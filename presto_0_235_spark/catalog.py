@@ -1,0 +1,65 @@
+"""Fixture catalog: named parquet tables -> DataFrames / temp views.
+
+Presto surfaces every source as a table of typed columns through a
+connector catalog (SURVEY.md §1.1, reference SPI/ConnectorMetadata via
+MAIN/metadata/MetadataManager.java). Here the catalog is the driver's
+parquet fixture directory (TESTDATA.md): schemas are fixed (read from
+parquet footers, never inferred at query time), which mirrors Presto's
+declared-schema model.
+
+Scale note: `spark.read.parquet` is the vectorized reader with filter
+pushdown and column pruning; at 100 TB the same call works — partition
+pruning comes free if the dataset is written partitioned, and the
+schema contract here does not change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from presto_0_235_spark.session import ensure_session_defaults
+
+# The ten driver fixtures (FIXTURES.md). TPC-H-subset star schema +
+# events stream + LLM-pipeline tables.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (schema from footer)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Load several fixture tables at once."""
+    ensure_session_defaults(spark)
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture as a temp view for the SQL front door.
+
+    Mirrors Presto's catalog.schema.table resolution: after this,
+    ``spark.sql("SELECT ... FROM lineitem")`` resolves like a Presto
+    query against the tpch catalog.
+    """
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,88 @@
+"""Central registry of verified queries.
+
+Every operator/function claimed as implemented (SURVEY.md §2 inventory
+plus the LLM-pipeline extensions) registers here as a named query:
+
+  - a **builder** ``(spark, sf_dir) -> DataFrame`` — the Spark-first
+    implementation, built from the engine's operator/function modules;
+  - an optional **oracle** — equivalent ANSI SQL that DuckDB runs on
+    the same parquet tables. The driver (and tests/) compares
+    row-count + schema + order-insensitive value-hash. Queries whose
+    semantics are not SQL-expressible (approx sketches, streaming,
+    sampling) register with ``oracle=None`` → rows-only check.
+
+Determinism rules every registered query follows (so the value-hash
+comparison is exact, not fuzzy):
+  - money sums go through DECIMAL(18,4) so addition is exact and
+    order-independent on both engines (see functions/compat.py);
+  - float outputs from inherently order-sensitive aggregates are
+    rounded, on low-magnitude columns where fp error << the rounding
+    step;
+  - every LIMIT has a total ORDER BY (unique tiebreak column);
+  - aggregate/computed columns are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryBuilder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    builder: QueryBuilder
+    oracle: str | None
+    doc: str
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str, oracle: str | None = None, doc: str = ""
+) -> Callable[[QueryBuilder], QueryBuilder]:
+    """Decorator: add a builder to the registry under ``name``."""
+
+    def wrap(fn: QueryBuilder) -> QueryBuilder:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = Query(name, fn, oracle, doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+def all_queries() -> dict[str, Query]:
+    """Name -> Query for every registered entry (loads all modules)."""
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryBuilder]:
+    """The __spark_entry__.queries() payload."""
+    return {name: q.builder for name, q in all_queries().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    """The __spark_entry__.oracle_sql() payload (oracle-backed only)."""
+    return {
+        name: q.oracle for name, q in all_queries().items() if q.oracle
+    }
+
+
+def _load_all() -> None:
+    """Import every query module for its registration side effects."""
+    from presto_0_235_spark.queries import (  # noqa: F401
+        aggregates_q,
+        extensions_q,
+        functions_q,
+        relational_q,
+        streaming_q,
+        tpch_q,
+        window_q,
+    )

@@ -1,0 +1,99 @@
+"""SparkSession factory with Presto-compatible defaults.
+
+Presto 0.235 runs a distributed pipelined engine (SURVEY.md §3.1); the
+Spark equivalent of its LocalQueryRunner embedding (§3.3) is a
+SparkSession. Everything below is session configuration, not engine
+code — Catalyst already implements the reference's optimizer rewrites
+(SURVEY.md §4.1) and Tungsten its physical techniques (§4.2).
+
+Scale notes (local[N] here, 1000-executor cluster in production):
+  - AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+    and broadcast conversion replace Presto's cost-based
+    DetermineJoinDistributionType (reference
+    MAIN/sql/planner/optimizations/DetermineJoinDistributionType.java).
+  - shuffle.partitions is only the AQE *upper bound*; at cluster scale
+    raise it to ~2-3x total cores and let AQE coalesce.
+  - autoBroadcastJoinThreshold handles dimension tables; fact-fact
+    joins shuffle on their keys and benefit from bucketing (see
+    sources/bucketing in SCALE.md).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Session-level settings every query path assumes. These are runtime
+# (non-static) confs, safe to set on a live session — including the
+# driver-provided one handed to __spark_entry__ callables.
+SESSION_DEFAULTS: dict[str, str] = {
+    # Fixtures are UTC date-valued timestamps (FIXTURES.md); Presto
+    # evaluates date/time in the session zone — pin it.
+    "spark.sql.session.timeZone": "UTC",
+    # Presto raises on division-by-zero / invalid casts / OOB array
+    # subscripts (reference MAIN/type/BigintOperators.java:135,
+    # ArraySubscriptOperator.java). Spark 4 ANSI mode matches that
+    # error discipline; TRY(...) maps to try_* functions.
+    "spark.sql.ansi.enabled": "true",
+    # Runtime re-planning: partition coalescing, skew splitting,
+    # shuffle->broadcast conversion.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-interop path (vectorized UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_session_defaults(spark: SparkSession) -> SparkSession:
+    """Apply SESSION_DEFAULTS to an existing session (idempotent).
+
+    Called at the top of every public query builder so the engine
+    behaves identically on a session it did not create (the driver's
+    verify harness builds its own).
+    """
+    for key, value in SESSION_DEFAULTS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Static conf on this build — keep going; defaults are
+            # best-effort hardening, not correctness-critical.
+            pass
+    return spark
+
+
+def build_session(
+    app_name: str = "presto-0235-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to local[$SPARK_GRAFT_CPUS] (driver contract)
+    or local[*]. ``shuffle_partitions`` defaults to the local core
+    count — small for local runs; AQE coalesces below it anyway.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for key, value in SESSION_DEFAULTS.items():
+        builder = builder.config(key, value)
+
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 8
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions)
+    )
+    # Local runs: keep the UI off and the driver quiet.
+    builder = builder.config("spark.ui.enabled", "false")
+
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+
+    spark = builder.getOrCreate()
+    return ensure_session_defaults(spark)

@@ -1,0 +1,113 @@
+"""Shared fixtures: one SparkSession + one DuckDB oracle per run.
+
+Mirrors the driver's t2 gate (and the reference's own methodology —
+Presto diffs every test query against H2, reference
+presto-tests/.../QueryAssertions.java:97-122; ours diffs against
+DuckDB): row count + column names + order-insensitive multiset of
+canonicalized values.
+
+SPARK_GRAFT_TEST_SF_DIR selects the fixture scale (default sf0.001
+for fast iteration; CI-style runs use sf0.01 like the driver).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+
+import duckdb
+import pytest
+
+from presto_0_235_spark.catalog import TABLES
+from presto_0_235_spark.session import build_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    session = build_session(
+        "presto-0235-spark-tests", master="local[8]", shuffle_partitions=8
+    )
+    yield session
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for table in TABLES:
+        con.execute(
+            f"CREATE VIEW {table} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{table}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(value):
+    """Canonicalize one cell so Spark and DuckDB values compare equal."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return value
+    if isinstance(value, decimal.Decimal):
+        return float(value)
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        return value
+    if isinstance(value, datetime.datetime):
+        return value.replace(tzinfo=None).isoformat()
+    if isinstance(value, datetime.date):
+        return value.isoformat()
+    if isinstance(value, (list, tuple)):
+        return tuple(_canon(v) for v in value)
+    if isinstance(value, dict):
+        return tuple(sorted((k, _canon(v)) for k, v in value.items()))
+    if isinstance(value, (bytes, bytearray)):
+        return bytes(value)
+    return value
+
+
+def assert_df_matches_oracle(df, duck_con, oracle: str) -> None:
+    """Order-insensitive exact comparison of a DataFrame vs oracle SQL."""
+    spark_cols = list(df.columns)
+    spark_rows = [tuple(row) for row in df.collect()]
+
+    result = duck_con.execute(oracle)
+    duck_cols = [d[0] for d in result.description]
+    duck_rows = result.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"column names differ: spark={sorted(spark_cols)} "
+        f"duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"row counts differ: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+
+    # Reorder both to name-sorted columns, canonicalize, compare multisets.
+    sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
+    didx = [duck_cols.index(c) for c in sorted(duck_cols)]
+    s_canon = sorted(
+        tuple(_canon(r[i]) for i in sidx) for r in spark_rows
+    )
+    d_canon = sorted(
+        tuple(_canon(r[i]) for i in didx) for r in duck_rows
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_canon, d_canon)) if a != b
+    ]
+    assert not mismatches, (
+        f"{len(mismatches)}/{len(s_canon)} rows differ; first: "
+        f"spark={mismatches[0][1]} duck={mismatches[0][2]} "
+        f"(cols={sorted(spark_cols)})"
+    )
