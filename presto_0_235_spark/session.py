@@ -43,6 +43,10 @@ SESSION_DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas-interop path (vectorized UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The events fixture stores timestamp[ns], which Spark's parquet
+    # reader rejects outright; read as long and let the catalog
+    # restore a TimestampType column (catalog.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

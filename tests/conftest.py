@@ -16,6 +16,7 @@ import datetime
 import decimal
 import math
 import os
+from collections import Counter
 
 import duckdb
 import pytest
@@ -97,17 +98,12 @@ def assert_df_matches_oracle(df, duck_con, oracle: str) -> None:
     # Reorder both to name-sorted columns, canonicalize, compare multisets.
     sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
     didx = [duck_cols.index(c) for c in sorted(duck_cols)]
-    s_canon = sorted(
-        tuple(_canon(r[i]) for i in sidx) for r in spark_rows
-    )
-    d_canon = sorted(
-        tuple(_canon(r[i]) for i in didx) for r in duck_rows
-    )
-    mismatches = [
-        (i, a, b) for i, (a, b) in enumerate(zip(s_canon, d_canon)) if a != b
-    ]
-    assert not mismatches, (
-        f"{len(mismatches)}/{len(s_canon)} rows differ; first: "
-        f"spark={mismatches[0][1]} duck={mismatches[0][2]} "
-        f"(cols={sorted(spark_cols)})"
-    )
+    s_canon = Counter(tuple(_canon(r[i]) for i in sidx) for r in spark_rows)
+    d_canon = Counter(tuple(_canon(r[i]) for i in didx) for r in duck_rows)
+    if s_canon != d_canon:
+        only_spark = list((s_canon - d_canon).items())[:3]
+        only_duck = list((d_canon - s_canon).items())[:3]
+        raise AssertionError(
+            f"row multisets differ (cols={sorted(spark_cols)}); "
+            f"spark-only: {only_spark}; duck-only: {only_duck}"
+        )
