@@ -1,1 +1,441 @@
-"""Placeholder — populated in this round."""
+"""Aggregate function library queries (SURVEY.md §2.4 table).
+
+Float-valued statistics are computed on low-magnitude columns and
+rounded where the aggregation is inherently order-sensitive; the
+rounding step is orders of magnitude above the worst-case fp error,
+so both engines land on the same rounded value (margin analysis in
+functions/compat.py).
+
+DuckDB's skewness/kurtosis apply sample-bias correction while Spark's
+are population moments, so those oracles state the population formula
+explicitly rather than calling DuckDB's aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_0_235_spark.catalog import load_table
+from presto_0_235_spark.functions.aggregate import (
+    checksum_agg,
+    entropy_of_counts,
+    geometric_mean,
+    map_agg,
+    oracle_portable_hash64,
+    reduce_agg_sum,
+)
+from presto_0_235_spark.functions.compat import dec_sum, oracle_dec_sum
+from presto_0_235_spark.queries.registry import register
+from presto_0_235_spark.session import ensure_session_defaults
+
+
+@register(
+    "agg_variance_family",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(var_samp(l_discount), 10) AS var_s,
+       ROUND(var_pop(l_discount), 10) AS var_p,
+       ROUND(stddev_samp(l_discount), 10) AS std_s,
+       ROUND(stddev_pop(l_discount), 10) AS std_p
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_variance_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """var/stddev samp+pop (VarianceAggregation.java). l_discount is
+    O(0.05), fp noise O(1e-17) — rounding at 1e-10 is exact."""
+    ensure_session_defaults(spark)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.var_samp("l_discount"), 10).alias("var_s"),
+            F.round(F.var_pop("l_discount"), 10).alias("var_p"),
+            F.round(F.stddev_samp("l_discount"), 10).alias("std_s"),
+            F.round(F.stddev_pop("l_discount"), 10).alias("std_p"),
+        )
+    )
+
+
+@register(
+    "agg_corr_covar_regr",
+    oracle="""
+SELECT ROUND(corr(l_quantity, l_extendedprice), 8) AS c_qty_price,
+       ROUND(covar_samp(l_discount, l_tax), 10) AS cv_s,
+       ROUND(covar_pop(l_discount, l_tax), 10) AS cv_p,
+       ROUND(regr_slope(l_discount, l_tax), 8) AS slope,
+       ROUND(regr_intercept(l_discount, l_tax), 8) AS intercept
+FROM lineitem
+""",
+)
+def agg_corr_covar_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr/covar/regr family (DoubleCorrelationAggregation.java,
+    DoubleCovarianceAggregation.java, DoubleRegressionAggregation)."""
+    ensure_session_defaults(spark)
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 8).alias(
+            "c_qty_price"
+        ),
+        F.round(F.covar_samp("l_discount", "l_tax"), 10).alias("cv_s"),
+        F.round(F.covar_pop("l_discount", "l_tax"), 10).alias("cv_p"),
+        F.round(F.regr_slope("l_discount", "l_tax"), 8).alias("slope"),
+        F.round(F.regr_intercept("l_discount", "l_tax"), 8).alias(
+            "intercept"
+        ),
+    )
+
+
+@register(
+    "agg_skew_kurt",
+    oracle="""
+WITH mu AS (SELECT AVG(value) AS m FROM events)
+SELECT
+  ROUND(AVG(POWER(value - m, 3))
+        / POWER(AVG(POWER(value - m, 2)), 1.5), 6) AS skew,
+  ROUND(AVG(POWER(value - m, 4))
+        / POWER(AVG(POWER(value - m, 2)), 2) - 3, 6) AS kurt
+FROM events, mu
+""",
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skewness/kurtosis (CentralMomentsAggregation.java). Spark
+    computes population moments (excess kurtosis); the oracle states
+    the same formula because DuckDB's aggregates are bias-corrected."""
+    ensure_session_defaults(spark)
+    return load_table(spark, sf_dir, "events").agg(
+        F.round(F.skewness("value"), 6).alias("skew"),
+        F.round(F.kurtosis("value"), 6).alias("kurt"),
+    )
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+SELECT c_nationkey,
+       arg_max(c_name, c_acctbal) AS richest,
+       arg_min(c_name, c_acctbal) AS poorest,
+       MAX(c_acctbal) AS top_bal
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (minmaxby/AbstractMinMaxBy.java)."""
+    ensure_session_defaults(spark)
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_name", "c_acctbal").alias("richest"),
+            F.min_by("c_name", "c_acctbal").alias("poorest"),
+            F.max("c_acctbal").alias("top_bal"),
+        )
+    )
+
+
+@register(
+    "agg_array_agg",
+    oracle="""
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       array_to_string(list_sort(list_distinct(list(n_nationkey % 5))), ',')
+         AS key_mod_set
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def agg_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg(x ORDER BY y) and set_agg
+    (arrayagg/ArrayAggregationFunction.java; ordered agg is
+    AggregationNode.java:81) — collect_list/collect_set + sort_array,
+    serialized to strings for engine-independent comparison."""
+    ensure_session_defaults(spark)
+    return (
+        load_table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), ","
+            ).alias("nations"),
+            F.array_join(
+                F.sort_array(
+                    F.collect_set(F.col("n_nationkey") % 5)
+                ),
+                ",",
+            ).alias("key_mod_set"),
+        )
+    )
+
+
+@register(
+    "agg_map_agg",
+    oracle="""
+SELECT n_regionkey,
+       COUNT(*) AS n_entries,
+       string_agg(n_name || ':' || CAST(n_nationkey AS VARCHAR),
+                  ',' ORDER BY n_name || ':' || CAST(n_nationkey AS VARCHAR))
+         AS entries
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def agg_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_agg(k, v) (MapAggregationFunction.java) — built as
+    map_from_entries(collect_list(struct)); compared through sorted
+    entry strings since map cell ordering is engine-specific."""
+    ensure_session_defaults(spark)
+    m = map_agg("n_name", "n_nationkey")
+    return (
+        load_table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(m.alias("m"))
+        .select(
+            "n_regionkey",
+            F.size("m").cast("long").alias("n_entries"),
+            F.array_join(
+                F.sort_array(
+                    F.transform(
+                        F.map_entries("m"),
+                        lambda e: F.concat_ws(
+                            ":", e["key"], e["value"].cast("string")
+                        ),
+                    )
+                ),
+                ",",
+            ).alias("entries"),
+        )
+    )
+
+
+@register(
+    "agg_bool_bit",
+    oracle="""
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 400000) AS any_over_400k,
+       bit_and(o_custkey) AS band,
+       bit_or(o_custkey) AS bor,
+       bit_xor(o_custkey) AS bxor
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and/bool_or (BooleanAndAggregation.java) and bitwise
+    aggregates (BitwiseAndAggregation.java)."""
+    ensure_session_defaults(spark)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias(
+                "any_over_400k"
+            ),
+            F.bit_and("o_custkey").alias("band"),
+            F.bit_or("o_custkey").alias("bor"),
+            F.bit_xor("o_custkey").alias("bxor"),
+        )
+    )
+
+
+@register(
+    "agg_count_if",
+    oracle="""
+SELECT l_linestatus,
+       count_if(l_discount > 0.05) AS n_discounted,
+       CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bulk
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def agg_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if (CountIfAggregation.java) + sum(CASE) equivalent."""
+    ensure_session_defaults(spark)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+            F.sum(
+                F.when(F.col("l_quantity") >= 25, 1).otherwise(0)
+            ).alias("n_bulk"),
+        )
+    )
+
+
+@register(
+    "agg_percentiles_exact",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles — the oracle-checkable side of Presto's
+    approx_percentile family (linear interpolation = quantile_cont);
+    the sketch-based variant is agg_approx (rows-only)."""
+    ensure_session_defaults(spark)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
+        )
+    )
+
+
+@register("agg_approx_sketches", oracle=None)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_distinct (HLL, ApproximateCountDistinctAggregation.java)
+    and approx_percentile (qdigest/tdigest) — sketch outputs are
+    engine-specific, so this is a rows-only entry; the exact twins
+    (agg_global count distinct, agg_percentiles_exact) carry the
+    oracle check. Accuracy itself is asserted in tests/test_approx.py."""
+    ensure_session_defaults(spark)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
+                "approx_orders"
+            ),
+            F.percentile_approx(
+                "l_extendedprice", [0.25, 0.5, 0.75], 10000
+            ).alias("approx_pcts"),
+        )
+    )
+
+
+@register(
+    "agg_checksum",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(SUM({oracle_portable_hash64(
+           "concat(CAST(l_orderkey AS VARCHAR), '|', CAST(l_linenumber AS VARCHAR))"
+       )} % 1000000007) AS BIGINT) AS content_checksum
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """checksum() (ChecksumAggregationFunction.java): order-independent
+    content hash per group via portable md5-derived row hashes."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions.aggregate import portable_hash64
+
+    row_key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("|"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(portable_hash64(row_key) % 1000000007)
+            .cast("bigint")
+            .alias("content_checksum")
+        )
+    )
+
+
+@register(
+    "agg_geometric_mean_entropy",
+    oracle="""
+WITH counts AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS c FROM events
+  GROUP BY event_type
+)
+SELECT ROUND(gm, 6) AS geo_mean_qty, ROUND(ent, 8) AS type_entropy
+FROM (SELECT exp(AVG(ln(l_quantity))) AS gm FROM lineitem),
+     (SELECT log2(SUM(c)) - SUM(c * log2(c)) / SUM(c) AS ent FROM counts)
+""",
+)
+def agg_geometric_mean_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geometric_mean (GeometricMeanAggregations.java) + entropy
+    (EntropyAggregation.java) compositions."""
+    ensure_session_defaults(spark)
+    gm = (
+        load_table(spark, sf_dir, "lineitem")
+        .agg(geometric_mean("l_quantity", "gm"))
+        .select(F.round("gm", 6).alias("geo_mean_qty"))
+    )
+    ent = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("double").alias("c"))
+        .agg(entropy_of_counts("c", "ent"))
+        .select(F.round("ent", 8).alias("type_entropy"))
+    )
+    return gm.crossJoin(ent)
+
+
+@register(
+    "agg_reduce_lambda",
+    oracle="""
+SELECT l_returnflag, CAST(SUM(l_linenumber) AS BIGINT) AS total_lines
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_reduce_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reduce_agg user-lambda aggregation
+    (ReduceAggregationFunction.java) — aggregate() lambda over the
+    collected group; oracle states the equivalent plain SUM."""
+    ensure_session_defaults(spark)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(reduce_agg_sum("l_linenumber", "total_lines"))
+    )
+
+
+@register(
+    "agg_histogram_buckets",
+    oracle="""
+SELECT CAST(
+         CASE WHEN l_quantity < 1 THEN 0
+              WHEN l_quantity >= 51 THEN 11
+              ELSE FLOOR((l_quantity - 1) / 5) + 1 END AS BIGINT
+       ) AS bucket,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY 1
+""",
+)
+def agg_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numeric_histogram / width_bucket (NumericHistogram.java;
+    MathFunctions width_bucket) — bucket + count shape; the oracle
+    spells out width_bucket(x, 1, 51, 10) arithmetic."""
+    ensure_session_defaults(spark)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.width_bucket("l_quantity", F.lit(1), F.lit(51), F.lit(10))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register("agg_arbitrary", oracle=None)
+def agg_arbitrary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arbitrary(x) (ArbitraryAggregationFunction.java) — any value
+    from the group; inherently nondeterministic -> rows-only check."""
+    ensure_session_defaults(spark)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.any_value("o_orderpriority").alias("some_priority"))
+    )
