@@ -1,0 +1,91 @@
+"""Benchmark entry point (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Mirrors the reference benchmark surface (SURVEY.md §6):
+BenchmarkSuite.java:36-96 measures hash agg, hash join build+probe,
+predicate filter, top-100, orderBy and SQL TPC-H Q1/Q6 on the tpch
+catalog — the headline set below covers the same operator shapes via
+the engine's registered queries, plus the heaviest beyond-reference
+pipelines (near-dup, ANN) once registered.
+
+Each query runs twice; the second (warm) time is recorded — matching
+the reference's prewarm-then-measure protocol (tpch.yaml:1-6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    # TPC-H shapes (scan/filter/agg/join/topn) — reference BenchmarkSuite.
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q18",
+    # Operator micro-shapes.
+    "agg_group_hash",
+    "join_inner_broadcast",
+    "topn",
+    "win_topn_per_group",
+    # Beyond-reference pipelines (registered in later phases).
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from presto_0_235_spark.session import build_session
+    from presto_0_235_spark.queries.registry import all_queries
+
+    spark = build_session(
+        app_name="presto-0235-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else 8,
+    )
+
+    registered = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registered.get(name)
+        if q is None:
+            continue
+        # Prewarm: JIT/codegen + file-footer caches, like the
+        # reference's 2 prewarm runs.
+        q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf_match = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,227 @@
+"""Presto scalar-function surface on Spark expressions (SURVEY.md §2.9).
+
+The reference registers ~420 scalar functions
+(MAIN/operator/scalar/, BuiltInFunctionNamespaceManager.java). Spark
+names most of them identically; this module provides the Presto
+*names and semantics* where they differ, as Column builders. Each
+entry stays JVM-side (built-in functions, codegen-friendly) — Python
+UDFs appear only in udfs.py for the handful of functions with no
+Spark expression equivalent (word_stem, hmac_*, inverse CDFs).
+
+Key semantic adapters (the "hard list" from SURVEY.md §7 Phase 3):
+  - subscript/element_at are 1-based; a[i] raises on out-of-bounds
+    (ArraySubscriptOperator.java) while element_at returns NULL
+    (ArrayElementAtFunction.java) -> Spark element_at (1-based) with
+    ANSI mode for the raising form, try_element_at for the NULL form.
+  - truncate(x) drops toward zero (MathFunctions.java) — Spark has
+    no numeric trunc.
+  - day_of_week is ISO 1=Monday (DateTimeFunctions.java) — Spark's
+    dayofweek is 1=Sunday; weekday()+1 matches.
+  - date_add/date_diff take a unit string first
+    (DateTimeFunctions.java date_add("day", n, ts)).
+  - strpos/substr are 1-based (StringFunctions.java).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---- string (StringFunctions.java:927, 44 fns) ----------------------------
+
+
+def strpos(haystack: Column | str, needle: str) -> Column:
+    """1-based position of first occurrence, 0 if absent."""
+    return F.instr(_c(haystack), needle)
+
+
+def split_part(s: Column | str, delim: str, index: int) -> Column:
+    """1-based field extraction (SplitToMapFunction.java sibling)."""
+    return F.split_part(_c(s), F.lit(delim), F.lit(index))
+
+
+def split_to_map(s: Column | str, entry_delim: str, kv_delim: str) -> Column:
+    """split_to_map('a=1;b=2', ';', '=') -> map."""
+    return F.str_to_map(_c(s), F.lit(entry_delim), F.lit(kv_delim))
+
+
+def codepoint(s: Column | str) -> Column:
+    """Unicode codepoint of a 1-char string."""
+    return F.ascii(_c(s))
+
+
+def chr_(n: Column | str) -> Column:
+    return F.char(_c(n))
+
+
+def levenshtein_distance(a: Column | str, b: Column | str) -> Column:
+    return F.levenshtein(_c(a), _c(b))
+
+
+def hamming_distance(a: Column | str, b: Column | str) -> Column:
+    """Count of differing positions in equal-length strings
+    (StringFunctions.java hamming_distance): compare per position."""
+    ac, bc = _c(a), _c(b)
+    return F.aggregate(
+        F.zip_with(
+            F.split(ac, ""),
+            F.split(bc, ""),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+# ---- math (MathFunctions.java:1291, 92 fns) -------------------------------
+
+
+def truncate(x: Column | str) -> Column:
+    """Drop the fraction toward zero."""
+    c = _c(x)
+    return F.signum(c) * F.floor(F.abs(c))
+
+
+def from_base(s: Column | str, radix: int) -> Column:
+    return F.conv(_c(s), radix, 10).cast("bigint")
+
+
+def to_base(n: Column | str, radix: int) -> Column:
+    return F.lower(F.conv(_c(n).cast("string"), 10, radix))
+
+
+def cosine_similarity_arrays(a: Column | str, b: Column | str) -> Column:
+    """Presto cosine_similarity works on sparse map vectors
+    (MathFunctions.java); the engine's native layout for embeddings is
+    array<float> — dot/norms via zip_with + aggregate, fully
+    JVM-side (no UDF)."""
+    ac, bc = _c(a), _c(b)
+    dot = F.aggregate(
+        F.zip_with(ac, bc, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return dot / (norm(ac) * norm(bc))
+
+
+# ---- date/time (DateTimeFunctions.java:1401, 93 fns) ----------------------
+
+_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def date_add_unit(unit: str, n: int | Column, ts: Column | str) -> Column:
+    """Presto date_add('day', n, ts) — unit-first signature."""
+    c = _c(ts)
+    amount = F.lit(n) if isinstance(n, int) else n
+    unit = unit.lower()
+    if unit == "month":
+        return F.add_months(c, amount)
+    if unit == "year":
+        return F.add_months(c, amount * 12)
+    if unit in _UNIT_SECONDS:
+        return F.timestamp_seconds(
+            F.unix_timestamp(c) + amount * _UNIT_SECONDS[unit]
+        )
+    raise ValueError(f"unsupported unit {unit!r}")
+
+
+def date_diff_unit(unit: str, start: Column | str, end: Column | str) -> Column:
+    """Presto date_diff('day', a, b) = b - a in whole units."""
+    s, e = _c(start), _c(end)
+    unit = unit.lower()
+    if unit == "day":
+        return F.datediff(e.cast("date"), s.cast("date")).cast("bigint")
+    if unit == "month":
+        return F.floor(F.months_between(e, s)).cast("bigint")
+    if unit == "year":
+        return (F.year(e) - F.year(s)).cast("bigint")
+    if unit in _UNIT_SECONDS:
+        return (
+            (F.unix_timestamp(e) - F.unix_timestamp(s))
+            / F.lit(_UNIT_SECONDS[unit])
+        ).cast("bigint")
+    raise ValueError(f"unsupported unit {unit!r}")
+
+
+def day_of_week_iso(ts: Column | str) -> Column:
+    """ISO day-of-week, 1=Monday..7=Sunday (Presto day_of_week/dow)."""
+    return (F.weekday(_c(ts)) + 1).cast("bigint")
+
+
+def to_unixtime(ts: Column | str) -> Column:
+    return F.unix_timestamp(_c(ts)).cast("double")
+
+
+def from_unixtime_(epoch: Column | str) -> Column:
+    return F.timestamp_seconds(_c(epoch))
+
+
+# ---- json (JsonFunctions.java:502) ----------------------------------------
+
+
+def json_extract_scalar(j: Column | str, path: str) -> Column:
+    """json_extract_scalar(json, '$.k') -> string or NULL."""
+    return F.get_json_object(_c(j), path)
+
+
+def json_array_length_(j: Column | str) -> Column:
+    return F.json_array_length(_c(j)).cast("bigint")
+
+
+def is_json_scalar(j: Column | str) -> Column:
+    """True when the JSON text is a bare scalar (not object/array)."""
+    t = F.trim(_c(j))
+    return ~(t.startswith("[") | t.startswith("{"))
+
+
+# ---- url (UrlFunctions.java:193) ------------------------------------------
+
+
+def url_extract_host(url: Column | str) -> Column:
+    return F.parse_url(_c(url), F.lit("HOST"))
+
+
+def url_extract_path(url: Column | str) -> Column:
+    return F.parse_url(_c(url), F.lit("PATH"))
+
+
+def url_extract_query(url: Column | str) -> Column:
+    return F.parse_url(_c(url), F.lit("QUERY"))
+
+
+def url_extract_parameter(url: Column | str, name: str) -> Column:
+    return F.parse_url(_c(url), F.lit("QUERY"), F.lit(name))
+
+
+# ---- conditional / try (TryFunction.java, TryCastFunction.java) -----------
+
+
+def try_divide(a: Column | str, b: Column | str) -> Column:
+    """TRY(a / b): NULL instead of the division-by-zero error that
+    both Presto and ANSI-mode Spark raise."""
+    return F.try_divide(_c(a), _c(b))
+
+
+def try_cast(c: Column | str, to: str) -> Column:
+    return _c(c).try_cast(to)
+
+
+def element_at_1based(arr: Column | str, index: int | Column) -> Column:
+    """Presto element_at: 1-based, NULL out-of-bounds, negative counts
+    from the end — Spark try_element_at has identical semantics."""
+    idx = F.lit(index) if isinstance(index, int) else index
+    return F.try_element_at(_c(arr), idx)

@@ -1,1 +1,587 @@
-"""Placeholder — populated in this round."""
+"""Scalar function family queries (SURVEY.md §2.9).
+
+One query per function family, each exercising several functions of
+that family through the engine's compatibility layer
+(functions/scalar.py). Oracle notes:
+  - DuckDB lacks sha1/crc32/xxhash64/url_* — those functions run as
+    rows-only entries (fn_crypto_engine_specific) or with emulated
+    oracles (fn_url).
+  - double->int CAST rounds in DuckDB but truncates in ANSI Spark —
+    oracles use explicit floor/round, never a bare cast.
+  - trig outputs are rounded at 1e-10: JVM StrictMath and C libm may
+    legitimately differ in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_0_235_spark.catalog import load_table
+from presto_0_235_spark.functions import scalar as ps
+from presto_0_235_spark.queries.registry import register
+from presto_0_235_spark.session import ensure_session_defaults
+
+
+@register(
+    "fn_string_basic",
+    oracle="""
+SELECT p_partkey,
+       length(p_name) AS name_len,
+       upper(p_name) AS up,
+       lower(p_brand) AS lo,
+       substr(p_name, 1, 5) AS head,
+       trim('  ' || p_name || ' ') AS trimmed,
+       reverse(p_type) AS rev,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+       replace(p_name, ' ', '_') AS snake,
+       p_brand || '/' || p_type AS joined,
+       split_part(p_name, ' ', 2) AS second_word,
+       instr(p_name, 'e') AS first_e
+FROM part WHERE p_partkey < 500
+""",
+)
+def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core string functions (StringFunctions.java:927 — length,
+    substr/trim/upper/lower/replace/reverse/lpad/concat/split_part/
+    strpos; all 1-based like Presto)."""
+    ensure_session_defaults(spark)
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 500)
+        .select(
+            "p_partkey",
+            F.length("p_name").cast("bigint").alias("name_len"),
+            F.upper("p_name").alias("up"),
+            F.lower("p_brand").alias("lo"),
+            F.substring("p_name", 1, 5).alias("head"),
+            F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias(
+                "trimmed"
+            ),
+            F.reverse("p_type").alias("rev"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
+            F.replace("p_name", F.lit(" "), F.lit("_")).alias("snake"),
+            F.concat_ws("/", "p_brand", "p_type").alias("joined"),
+            ps.split_part("p_name", " ", 2).alias("second_word"),
+            ps.strpos("p_name", "e").cast("bigint").alias("first_e"),
+        )
+    )
+
+
+@register(
+    "fn_string_distance",
+    oracle="""
+SELECT p_partkey,
+       levenshtein(p_name, 'red widget') AS lev,
+       hamming(substr(p_name, 1, 3), 'red') AS ham,
+       translate(p_name, 'aeiou', 'AEIOU') AS shouted,
+       repeat('*', p_size % 5 + 1) AS stars
+FROM part WHERE p_partkey < 300
+""",
+)
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String distances + translate/repeat (levenshtein_distance,
+    hamming_distance in StringFunctions.java; hamming built UDF-free
+    from zip_with per scalar.hamming_distance)."""
+    ensure_session_defaults(spark)
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            ps.levenshtein_distance("p_name", F.lit("red widget"))
+            .cast("bigint")
+            .alias("lev"),
+            ps.hamming_distance(
+                F.substring("p_name", 1, 3), F.lit("red")
+            )
+            .cast("bigint")
+            .alias("ham"),
+            F.translate("p_name", "aeiou", "AEIOU").alias("shouted"),
+            F.repeat(F.lit("*"), (F.col("p_size") % 5 + 1).cast("int")).alias(
+                "stars"
+            ),
+        )
+    )
+
+
+@register(
+    "fn_regex",
+    oracle="""
+SELECT doc_id,
+       regexp_matches(text, 'table|query') AS mentions_sql,
+       regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+       len(regexp_extract_all(text, 'data[a-z]*')) AS n_data_words,
+       regexp_replace(text, ' +', '_', 'g') AS underscored
+FROM documents WHERE doc_id < 30
+""",
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family (JoniRegexpFunctions.java:319 — regexp_like,
+    regexp_extract, regexp_extract_all, regexp_replace). Patterns kept
+    in the Joni/RE2/Java-common subset."""
+    ensure_session_defaults(spark)
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select(
+            "doc_id",
+            F.col("text").rlike("table|query").alias("mentions_sql"),
+            F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 2).alias(
+                "second_word"
+            ),
+            F.size(F.regexp_extract_all("text", F.lit(r"data[a-z]*"), 0))
+            .cast("bigint")
+            .alias("n_data_words"),
+            F.regexp_replace("text", r" +", "_").alias("underscored"),
+        )
+    )
+
+
+@register(
+    "fn_datetime",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       day(o_orderdate) AS dy,
+       quarter(o_orderdate) AS qtr,
+       dayofyear(o_orderdate) AS doy,
+       extract(isodow FROM o_orderdate) AS dow_iso,
+       week(o_orderdate) AS wk,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       strftime(o_orderdate, '%Y-%m') AS ym,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       CAST(o_orderdate + INTERVAL 7 DAY AS DATE) AS plus_week,
+       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+         AS days_since_95
+FROM orders WHERE o_orderkey < 2000
+""",
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family (DateTimeFunctions.java:1401 — extract
+    fields, ISO dow/week, date_trunc, date_add/date_diff with
+    unit-first Presto signatures, date_format, to_unixtime)."""
+    ensure_session_defaults(spark)
+    od = F.col("o_orderdate")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            F.year(od).cast("bigint").alias("yr"),
+            F.month(od).cast("bigint").alias("mo"),
+            F.dayofmonth(od).cast("bigint").alias("dy"),
+            F.quarter(od).cast("bigint").alias("qtr"),
+            F.dayofyear(od).cast("bigint").alias("doy"),
+            ps.day_of_week_iso(od).alias("dow_iso"),
+            F.weekofyear(od).cast("bigint").alias("wk"),
+            F.last_day(od).alias("month_end"),
+            F.date_trunc("month", od).cast("date").alias("month_start"),
+            F.date_format(od, "yyyy-MM").alias("ym"),
+            F.unix_timestamp(od).alias("epoch_s"),
+            ps.date_add_unit("day", 7, od).cast("date").alias("plus_week"),
+            ps.date_diff_unit(
+                "day", F.lit("1995-01-01").cast("date"), od
+            ).alias("days_since_95"),
+        )
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(-l_quantity) AS abs_qty,
+       ceil(l_extendedprice / 1000) AS price_k_ceil,
+       floor(l_extendedprice / 1000) AS price_k_floor,
+       round(l_discount * 100, 1) AS disc_pct,
+       CAST(sign(l_quantity - 25) AS DOUBLE) AS side,
+       mod(l_orderkey, 7) AS m7,
+       ROUND(sqrt(l_quantity), 10) AS root,
+       ROUND(cbrt(l_quantity), 10) AS cuberoot,
+       ROUND(exp(ln(l_quantity)), 9) AS roundtrip,
+       ROUND(log10(l_extendedprice), 10) AS lg10,
+       ROUND(log2(l_quantity), 10) AS lg2,
+       ROUND(power(l_quantity, 1.5), 8) AS pow15,
+       ROUND(sin(l_discount), 12) AS sin_d,
+       ROUND(atan2(l_discount, l_tax + 0.01), 12) AS angle,
+       ROUND(degrees(l_discount), 10) AS deg,
+       isnan(l_discount / 1.0) AS never_nan
+FROM lineitem WHERE l_orderkey < 300
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family (MathFunctions.java:1291 — abs/ceil/floor/round/
+    sign/mod/sqrt/cbrt/exp/ln/log/power/trig/degrees/is_nan)."""
+    ensure_session_defaults(spark)
+    q = F.col("l_quantity")
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 300)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(-q).alias("abs_qty"),
+            F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+            F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
+            F.round(F.col("l_discount") * 100, 1).alias("disc_pct"),
+            F.signum(q - 25).alias("side"),
+            (F.col("l_orderkey") % 7).alias("m7"),
+            F.round(F.sqrt(q), 10).alias("root"),
+            F.round(F.cbrt(q), 10).alias("cuberoot"),
+            F.round(F.exp(F.log(q)), 9).alias("roundtrip"),
+            F.round(F.log10("l_extendedprice"), 10).alias("lg10"),
+            F.round(F.log2(q), 10).alias("lg2"),
+            F.round(F.pow(q, 1.5), 8).alias("pow15"),
+            F.round(F.sin("l_discount"), 12).alias("sin_d"),
+            F.round(F.atan2(F.col("l_discount"), F.col("l_tax") + 0.01), 12)
+            .alias("angle"),
+            F.round(F.degrees("l_discount"), 10).alias("deg"),
+            F.isnan(F.col("l_discount") / 1.0).alias("never_nan"),
+        )
+    )
+
+
+@register(
+    "fn_bitwise_base",
+    oracle="""
+SELECT n_nationkey,
+       n_nationkey & 12 AS band,
+       n_nationkey | 3 AS bor,
+       xor(n_nationkey, 21) AS bxor,
+       n_nationkey << 2 AS shl,
+       n_nationkey >> 1 AS shr,
+       lower(to_base(n_nationkey + 240, 16)) AS hex_repr,
+       CAST(concat('0x', to_base(n_nationkey + 240, 16)) AS BIGINT)
+         AS from_hex_roundtrip
+FROM nation
+""",
+)
+def fn_bitwise_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise ops (BitwiseFunctions.java:136) + from_base/to_base
+    radix conversion (MathFunctions.java)."""
+    ensure_session_defaults(spark)
+    k = F.col("n_nationkey")
+    return load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        k.bitwiseAND(F.lit(12)).alias("band"),
+        k.bitwiseOR(F.lit(3)).alias("bor"),
+        k.bitwiseXOR(F.lit(21)).alias("bxor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 1).alias("shr"),
+        ps.to_base(k + 240, 16).alias("hex_repr"),
+        ps.from_base(ps.to_base(k + 240, 16), 16).alias(
+            "from_hex_roundtrip"
+        ),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+SELECT p_partkey,
+       len(string_split(p_name, ' ')) AS n_words,
+       array_to_string(list_sort(string_split(p_name, ' ')), ',')
+         AS words_sorted,
+       list_contains(string_split(p_name, ' '), 'red') AS has_red,
+       COALESCE(list_position(string_split(p_name, ' '), 'red'), 0)
+         AS red_pos,
+       string_split(p_name, ' ')[2] AS word2,
+       string_split(p_name, ' ')[9] AS word9_null,
+       array_to_string(string_split(p_name, ' ')[1:2], '-') AS first_two,
+       list_reduce(generate_series(1, p_size % 10 + 1), (a, b) -> a + b)
+         AS seq_sum,
+       array_to_string(list_transform(string_split(p_name, ' '),
+                                      w -> upper(w)), ',') AS up_words,
+       COALESCE(array_to_string(list_filter(string_split(p_name, ' '),
+                                            w -> length(w) > 4), ','), '')
+         AS long_words
+FROM part WHERE p_partkey < 400
+""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family (40+ files in MAIN/operator/scalar/ — transform,
+    filter, reduce/aggregate, sort, contains, position, slice,
+    element_at, sequence; Presto subscripts are 1-based and
+    element_at returns NULL out-of-bounds, matching Spark
+    element_at/try_element_at)."""
+    ensure_session_defaults(spark)
+    words = F.split(F.col("p_name"), " ")
+    seq = F.sequence(F.lit(1), F.col("p_size") % 10 + 1)
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 400)
+        .select(
+            "p_partkey",
+            F.size(words).cast("bigint").alias("n_words"),
+            F.array_join(F.array_sort(words), ",").alias("words_sorted"),
+            F.array_contains(words, "red").alias("has_red"),
+            F.array_position(words, "red").alias("red_pos"),
+            F.element_at(words, 2).alias("word2"),
+            ps.element_at_1based(words, 9).alias("word9_null"),
+            F.array_join(F.slice(words, 1, 2), "-").alias("first_two"),
+            F.aggregate(seq, F.lit(0), lambda a, b: a + b)
+            .cast("bigint")
+            .alias("seq_sum"),
+            F.array_join(
+                F.transform(words, lambda w: F.upper(w)), ","
+            ).alias("up_words"),
+            F.array_join(
+                F.filter(words, lambda w: F.length(w) > 4), ","
+            ).alias("long_words"),
+        )
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+SELECT p_partkey,
+       3 AS n_entries,
+       'brand:' || p_brand || ',size:' || CAST(p_size AS VARCHAR)
+         || ',type:' || p_type AS entries,
+       p_brand AS brand_lookup,
+       'BRAND:' || upper(p_brand) AS upper_brand_entry
+FROM part WHERE p_partkey < 300
+""",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family (MapConstructor, MapConcatFunction,
+    MapTransformValueFunction, MapKeys/MapValues, MapElementAt...).
+    The engine side really builds/concats/transforms maps; the oracle
+    states the expected entry strings directly (DuckDB's map surface
+    is too thin to mirror the operations)."""
+    ensure_session_defaults(spark)
+    base = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    merged = F.map_concat(
+        base, F.create_map(F.lit("size"), F.col("p_size").cast("string"))
+    )
+    upper_map = F.transform_values(
+        F.map_filter(merged, lambda k, v: k == "brand"),
+        lambda k, v: F.upper(v),
+    )
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            F.size(merged).alias("n_entries"),
+            F.array_join(
+                F.sort_array(
+                    F.transform(
+                        F.map_entries(merged),
+                        lambda e: F.concat_ws(":", e["key"], e["value"]),
+                    )
+                ),
+                ",",
+            ).alias("entries"),
+            F.element_at(merged, F.lit("brand")).alias("brand_lookup"),
+            F.array_join(
+                F.transform(
+                    F.map_entries(upper_map),
+                    lambda e: F.concat_ws(
+                        ":", F.upper(e["key"]), e["value"]
+                    ),
+                ),
+                ",",
+            ).alias("upper_brand_entry"),
+        )
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+       json_extract_string(props, '$.missing') AS absent,
+       json_array_length('[1,2,3]') AS arr_len,
+       NOT (trim(props) LIKE '{%' OR trim(props) LIKE '[%')
+         AS props_is_scalar
+FROM events WHERE event_id < 100
+""",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family (JsonFunctions.java:502 — json_extract_scalar,
+    json_array_length, is_json_scalar; Spark get_json_object /
+    json_array_length)."""
+    ensure_session_defaults(spark)
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 100)
+        .select(
+            "event_id",
+            ps.json_extract_scalar("props", "$.k").cast("int").alias("k_val"),
+            ps.json_extract_scalar("props", "$.missing").alias("absent"),
+            ps.json_array_length_(F.lit("[1,2,3]")).cast("int").alias(
+                "arr_len"
+            ),
+            ps.is_json_scalar("props").alias("props_is_scalar"),
+        )
+    )
+
+
+@register(
+    "fn_url",
+    oracle="""
+SELECT doc_id,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query,
+       CAST(doc_id AS VARCHAR) AS id_param,
+       replace(lang || ' ' || source, ' ', '+') AS encoded
+FROM (
+  SELECT doc_id, lang, source,
+         'https://example.com/' || lang || '/docs?id=' || CAST(doc_id AS VARCHAR)
+           AS url
+  FROM documents WHERE doc_id < 50
+)
+""",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family (UrlFunctions.java:193 — url_extract_host/path/
+    query/parameter, url_encode). DuckDB has no URL functions; the
+    oracle emulates with regexes over the same constructed URLs."""
+    ensure_session_defaults(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("https://example.com/"),
+                F.col("lang"),
+                F.lit("/docs?id="),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        ps.url_extract_host("url").alias("host"),
+        ps.url_extract_path("url").alias("path"),
+        ps.url_extract_query("url").alias("query"),
+        ps.url_extract_parameter("url", "id").alias("id_param"),
+        F.url_encode(F.concat_ws(" ", "lang", "source")).alias("encoded"),
+    )
+
+
+@register(
+    "fn_crypto",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS md5_hex,
+       sha256(text) AS sha256_hex,
+       to_base64(CAST(lang AS BLOB)) AS lang_b64,
+       lower(hex(CAST(source AS BLOB))) AS source_hex
+FROM documents WHERE doc_id < 50
+""",
+)
+def fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/crypto family (VarbinaryFunctions.java:479 — md5, sha2,
+    base64, hex; sha1/crc32/xxhash64 live in
+    fn_crypto_engine_specific since DuckDB lacks them)."""
+    ensure_session_defaults(spark)
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.md5("text").alias("md5_hex"),
+            F.sha2("text", 256).alias("sha256_hex"),
+            F.base64(F.col("lang").cast("binary")).alias("lang_b64"),
+            F.lower(F.hex(F.col("source").cast("binary"))).alias(
+                "source_hex"
+            ),
+        )
+    )
+
+
+@register("fn_crypto_engine_specific", oracle=None)
+def fn_crypto_engine_specific(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sha1 / crc32 / xxhash64 / hmac_sha256 — standard digests DuckDB
+    cannot cross-check; values are still deterministic (hmac via
+    pandas UDF, functions/udfs.py)."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions.udfs import hmac_sha256
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            F.sha1("text").alias("sha1_hex"),
+            F.crc32(F.col("text").cast("binary")).alias("crc"),
+            F.xxhash64("text").alias("xx64"),
+            hmac_sha256(F.col("text"), F.lit("secret-key")).alias("mac"),
+        )
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_custkey % 3 = 0 THEN NULL
+            ELSE o_totalprice / (o_custkey % 3) END AS safe_div,
+       TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+       greatest(o_totalprice, 250000.0) AS hi,
+       least(o_totalprice, 250000.0) AS lo,
+       COALESCE(TRY_CAST(o_orderpriority AS INT), -1) AS nvl_demo,
+       CASE WHEN o_orderstatus = 'O' THEN 'open' ELSE 'done' END AS iff
+FROM orders WHERE o_orderkey < 2000
+""",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY / try_cast / greatest / least / nvl / if
+    (TryFunction.java, TryCastFunction.java, Greatest.java, Nvl.java).
+    ANSI mode makes division-by-zero raise exactly like Presto;
+    try_divide is the TRY() wrapper."""
+    ensure_session_defaults(spark)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            ps.try_divide(
+                F.col("o_totalprice"), F.col("o_custkey") % 3
+            ).alias("safe_div"),
+            ps.try_cast("o_orderpriority", "int").alias("bad_cast"),
+            F.greatest(F.col("o_totalprice"), F.lit(250000.0)).alias("hi"),
+            F.least(F.col("o_totalprice"), F.lit(250000.0)).alias("lo"),
+            F.nvl(ps.try_cast("o_orderpriority", "int"), F.lit(-1)).alias(
+                "nvl_demo"
+            ),
+            F.when(F.col("o_orderstatus") == "O", "open")
+            .otherwise("done")
+            .alias("iff"),
+        )
+    )
+
+
+@register("fn_python_udfs", oracle=None)
+def fn_python_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word_stem + inverse_normal_cdf — the two §2.9 functions with no
+    Spark expression form, as Arrow-batched pandas UDFs
+    (functions/udfs.py). Deterministic, rows-only check."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions.udfs import (
+        inverse_normal_cdf,
+        word_stem,
+    )
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            word_stem(ps.split_part("text", " ", 1)).alias("stem1"),
+            inverse_normal_cdf(
+                F.lit(0.0), F.lit(1.0), (F.col("doc_id") + 1) / 25.0
+            ).alias("z_score"),
+        )
+    )
