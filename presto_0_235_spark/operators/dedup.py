@@ -1,0 +1,262 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-reference surface (the reference engine has no dedup operators;
+its closest machinery is DISTINCT / MarkDistinctOperator,
+MAIN/operator/MarkDistinctOperator.java:35). These are the standard
+large-corpus dedup algorithms re-expressed Spark-first:
+
+  - exact dedup        : normalize -> hash -> groupBy (one shuffle)
+  - n-gram Jaccard     : shingle arrays + blocked self-join
+  - MinHash + LSH      : shingle -> K minhashes -> B bands -> bucket
+                         join (the scale path: candidate pairs only,
+                         never all-pairs)
+  - SimHash            : per-bit token-hash voting -> fingerprint ->
+                         chunk-bucket join for hamming<=d candidates
+
+Every primitive is a pure Column expression (JVM-side, inside
+WholeStageCodegen — no Python UDFs) so the only shuffles are the final
+groupBy/join, and each has a DuckDB SQL twin generator used by the
+oracle strings (same constants, same hash = md5, same separators), so
+the differential gate checks real values, not just row counts.
+
+Scale notes (100 TB corpus, 1000 executors):
+  - Exact dedup shuffles once on the 128-bit content key: perfectly
+    partitionable, no skew (hash keys are uniform).
+  - LSH band join shuffles on (band_id, band_key) — uniform by
+    construction; candidate verification touches only bucket
+    collisions, so cost ~ O(duplicates), not O(n^2).
+  - The all-pairs Jaccard join is intentionally blocked (by lang
+    here); it exists as the small-block verifier, not the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Shared constants — the Spark builders and the DuckDB oracle SQL
+# generators below both derive from these, so they cannot drift.
+SHINGLE_WORDS = 3
+MINHASH_K = 12  # number of min-wise hashes in the signature
+LSH_BANDS = 6  # bands of LSH_ROWS hashes each (B*R == MINHASH_K)
+LSH_ROWS = 2
+SIMHASH_BITS = 32  # fingerprint width (64 at production scale)
+SIMHASH_CHUNKS = 4  # bucket-join chunks (hamming<=3 needs one clean chunk)
+
+
+# ---------------------------------------------------------------------------
+# text normalization + shingling
+
+
+def normalized_text(col: Column | str) -> Column:
+    """lower + collapse whitespace + trim (canonical dedup form)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def sql_normalized_text(expr: str) -> str:
+    # DuckDB regexp_replace needs the explicit 'g' flag (Spark's is
+    # always global).
+    return f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+
+
+def word_shingles(col: Column | str, n: int = SHINGLE_WORDS) -> Column:
+    """Distinct n-word shingles of the normalized text.
+
+    Pure expression: split -> sliding window via sequence+slice ->
+    distinct. Distinctness matters for Jaccard/minhash set semantics.
+    """
+    words = F.split(normalized_text(col), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    )
+
+
+def sql_word_shingles(expr: str, n: int = SHINGLE_WORDS) -> str:
+    words = f"string_split({sql_normalized_text(expr)}, ' ')"
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({words}) - {n - 1}, 1)), "
+        f"i -> array_to_string(({words})[i:i+{n - 1}], ' ')))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|a ∩ b| / |a ∪ b| over distinct-element arrays (double)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    # int/int division -> exactly-rounded double, identical on DuckDB.
+    return inter / union
+
+
+def sql_jaccard(a: str, b: str) -> str:
+    return (
+        f"len(list_intersect({a}, {b})) / "
+        f"len(list_distinct(list_concat({a}, {b})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signature(shingles: Column, k: int = MINHASH_K) -> Column:
+    """Array of K min-wise hashes: sig[i] = min over shingles of
+    md5(i || '|' || shingle).
+
+    md5-hex string min is a valid min-wise hash family (seeded by the
+    prefix), computable identically on any engine with md5 — which is
+    what makes the DuckDB differential check possible. JVM-side only.
+    """
+    # NB: helper factory, not `lambda s, i=i: ...` — pyspark reads the
+    # lambda's arity from its signature, so a defaulted second param
+    # turns it into an (element, index) lambda and binds the index
+    # Column over the seed.
+    def seed_min(i: int) -> Column:
+        prefix = F.lit(f"{i}|")
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(prefix, s)))
+        )
+
+    return F.array(*[seed_min(i) for i in range(k)])
+
+
+def sql_minhash_signature(shingles: str, k: int = MINHASH_K) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform({shingles}, s -> md5('{i}|' || s)))"
+        for i in range(k)
+    )
+    return f"[{mins}]"
+
+
+def lsh_band_keys(
+    sig: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> Column:
+    """Array of B band keys: band b hashes rows [b*R, b*R+R) of the
+    signature. Two docs collide on band b iff those R minhashes all
+    match — the classic (jac^R per band) LSH amplification."""
+    return F.array(
+        *[
+            F.md5(F.concat_ws("|", *[sig[b * rows + j] for j in range(rows)]))
+            for b in range(bands)
+        ]
+    )
+
+
+def sql_lsh_band_key(sig: str, band: int, rows: int = LSH_ROWS) -> str:
+    # 1-based list indexing in DuckDB.
+    parts = " || '|' || ".join(f"{sig}[{band * rows + j + 1}]" for j in range(rows))
+    return f"md5({parts})"
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """(id1, id2) candidate pairs sharing >=1 LSH band bucket.
+
+    One narrow projection computes signatures, posexplode emits B
+    (band_id, band_key) rows per doc, and the self-join shuffles on the
+    uniform (band_id, band_key) composite — the only shuffle in the
+    pipeline, O(n*B) rows. distinct() collapses multi-band collisions.
+    """
+    sig = minhash_signature(F.col(shingle_col))
+    banded = docs.select(
+        F.col(id_col),
+        F.posexplode(lsh_band_keys(sig, bands, rows)).alias("band_id", "band_key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id1"),
+            F.col(f"r.{id_col}").alias("id2"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def _token_hash32(tok: Column) -> Column:
+    """Deterministic 32-bit token hash both engines can compute:
+    first 8 hex digits of md5, as a bigint."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+
+
+def sql_token_hash32(tok: str) -> str:
+    return f"('0x' || substr(md5({tok}), 1, 8))::BIGINT"
+
+
+def simhash(tokens_hashes: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash fingerprint from a precomputed token-hash array.
+
+    Bit b of the fingerprint is 1 iff the sum over tokens of
+    (+1 if bit b of hash(token) else -1) is positive. Integer-only
+    arithmetic -> engine-exact. Expression cost is bits folds over the
+    hash array; precompute the hash array once per row (withColumn)
+    so md5 runs once per token, not per bit.
+    """
+    def bit_vote(b: int) -> Column:
+        # b closes over this call's scope (2-ary lambda — see
+        # minhash_signature note on pyspark lambda arity).
+        return F.aggregate(
+            tokens_hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(bit_vote(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return fp
+
+
+def sql_simhash(hashes: str, bits: int = SIMHASH_BITS) -> str:
+    terms = []
+    for b in range(bits):
+        vote = (
+            f"list_sum(list_transform({hashes}, "
+            f"h -> ((h >> {b}) & 1) * 2 - 1))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash_chunks(
+    fp: Column, bits: int = SIMHASH_BITS, chunks: int = SIMHASH_CHUNKS
+) -> Column:
+    """Array of chunk values for the hamming-candidate bucket join:
+    pairs within hamming distance < chunks must agree on >=1 chunk
+    (pigeonhole), so joining per-chunk finds all of them without an
+    all-pairs comparison."""
+    w = bits // chunks
+    mask = (1 << w) - 1
+    return F.array(
+        *[F.shiftright(fp, c * w).bitwiseAND(F.lit(mask)) for c in range(chunks)]
+    )
+
+
+def sql_simhash_chunk(fp: str, chunk: int, bits: int = SIMHASH_BITS,
+                      chunks: int = SIMHASH_CHUNKS) -> str:
+    w = bits // chunks
+    mask = (1 << w) - 1
+    return f"(({fp} >> {chunk * w}) & {mask})"
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two long fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))

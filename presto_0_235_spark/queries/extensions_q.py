@@ -1,1 +1,569 @@
-"""Placeholder — populated in this round."""
+"""Beyond-reference queries: dedup, similarity search, text analysis,
+multimodal plumbing (SURVEY.md §7 Phase 6).
+
+These are the training-data-pipeline operators a 100 TB corpus needs;
+the reference engine has no analog (its closest surface is DISTINCT +
+scalar string functions). Each entry is Spark-first — pure Column
+expressions and one bounded shuffle where the algorithm requires it —
+with a DuckDB oracle generated from the *same* constants/SQL-fragment
+twins in operators/{dedup,similarity,text}.py, so the differential
+gate verifies values, not vibes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_0_235_spark.catalog import load_table
+from presto_0_235_spark.operators import dedup as dd
+from presto_0_235_spark.operators import multimodal as mm
+from presto_0_235_spark.operators import similarity as sim
+from presto_0_235_spark.operators import text as tx
+from presto_0_235_spark.queries.registry import register
+from presto_0_235_spark.session import ensure_session_defaults
+
+# ---------------------------------------------------------------------------
+# deduplication
+
+_NORM = dd.sql_normalized_text("text")
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+SELECT md5({_NORM}) AS content_key,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5({_NORM})
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize -> 128-bit content key -> one hash
+    groupBy keeping the smallest doc_id. At 100 TB this is a single
+    uniform-key shuffle (no skew: md5 keys are uniform), with map-side
+    partial aggregation halving shuffle volume."""
+    ensure_session_defaults(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(dd.normalized_text("text")).alias("content_key"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+_SHINGLES = dd.sql_word_shingles("text")
+# Bigram shingles for the Jaccard verifier: the synthetic corpus has
+# no true near-dups (max trigram jaccard ~0.04), so bigrams + a 0.05
+# floor give the pairs output real content to verify.
+_SHINGLES2 = dd.sql_word_shingles("text", 2)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, {_SHINGLES2} AS sh
+  FROM documents WHERE doc_id < 200
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.lang AS lang,
+       {dd.sql_jaccard('a.sh', 'b.sh')} AS jac
+FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE {dd.sql_jaccard('a.sh', 'b.sh')} >= 0.05
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup on a blocked self-join (block = lang).
+    This is the small-block verifier; the scale path is
+    dedup_minhash_lsh (candidates first, verify after). The lang join
+    key is low-cardinality/skewed — at scale, salt it or go LSH."""
+    ensure_session_defaults(spark)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "lang", dd.word_shingles("text", 2).alias("sh"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    jac = dd.jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.lang").alias("lang"),
+            jac.alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.05)
+    )
+
+
+_SIG = dd.sql_minhash_signature("sh")
+_BAND_SELECTS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, {dd.sql_lsh_band_key('sig', b)} AS band_key FROM sig"
+    for b in range(dd.LSH_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents
+),
+sig AS (
+  SELECT doc_id, {_SIG} AS sig FROM d
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)
+SELECT c.doc1, c.doc2, {dd.sql_jaccard('d1.sh', 'd2.sh')} AS jac
+FROM cand c
+JOIN d d1 ON d1.doc_id = c.doc1
+JOIN d d2 ON d2.doc_id = c.doc2
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup — the scale path. shingle -> K=12 md5
+    minhashes -> 6 bands of 2 -> bucket self-join -> exact-Jaccard
+    verification of candidates only. The only shuffles are the band
+    join (uniform composite key, O(n*B) rows) and the two candidate
+    lookups; never O(n^2). At 1000 executors this is the textbook
+    LSH dedup layout."""
+    ensure_session_defaults(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", dd.word_shingles("text").alias("sh")
+    )
+    pairs = dd.lsh_candidate_pairs(d, "doc_id", "sh")
+    d1 = d.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
+    d2 = d.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
+    return (
+        pairs.join(d1, "id1")
+        .join(d2, "id2")
+        .select(
+            F.col("id1").alias("doc1"),
+            F.col("id2").alias("doc2"),
+            dd.jaccard(F.col("sh1"), F.col("sh2")).alias("jac"),
+        )
+    )
+
+
+_HS = f"list_transform({tx.sql_ws_tokens('text')}, t -> {dd.sql_token_hash32('t')})"
+_CHUNK_SELECTS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, fp, {c} AS chunk_id, {dd.sql_simhash_chunk('fp', c)} AS chunk_val FROM f"
+    for c in range(dd.SIMHASH_CHUNKS)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_HS} AS hs FROM documents
+),
+f AS (
+  SELECT doc_id, {dd.sql_simhash('hs')} AS fp FROM t
+),
+chunks AS (
+  {_CHUNK_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, a.fp AS fp1, b.doc_id AS doc2, b.fp AS fp2
+  FROM chunks a
+  JOIN chunks b ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+               AND a.doc_id < b.doc_id
+)
+SELECT doc1, doc2, CAST(bit_count(xor(fp1, fp2)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(fp1, fp2)) <= 2
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: per-bit token voting -> fingerprint ->
+    chunk-bucket join (pigeonhole: hamming<=2 over 4 chunks implies
+    >=1 identical chunk) -> hamming filter. Integer-only arithmetic,
+    engine-exact. 32-bit here for test speed; production uses 64-bit
+    (one constant in operators/dedup.py)."""
+    ensure_session_defaults(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn(
+            "hs", F.transform(tx.ws_tokens("text"), dd._token_hash32)
+        )
+        .withColumn("fp", dd.simhash(F.col("hs")))
+        .select("doc_id", "fp")
+    )
+    chunked = docs.select(
+        "doc_id",
+        "fp",
+        F.posexplode(dd.simhash_chunks(F.col("fp"))).alias(
+            "chunk_id", "chunk_val"
+        ),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("a.fp").alias("fp1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("b.fp").alias("fp2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", dd.hamming64(F.col("fp1"), F.col("fp2")).cast("bigint")
+        )
+        .filter(F.col("hamming") <= 2)
+        .select("doc1", "doc2", "hamming")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 200
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2, a.label AS label,
+       round({sim.sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({sim.sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.3
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup on a label-blocked self-join —
+    the semantic-dedup verifier (block here = cluster label; at scale
+    the block is an LSH/IVF bucket, see ann_lsh_bucketed)."""
+    ensure_session_defaults(spark)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "label", "embedding")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(sim.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.col("a.label").alias("label"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search (ANN)
+
+_TOPK = 10
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round({sim.sql_cosine('q.qv', 'c.cv')}, 6) AS score
+  FROM q CROSS JOIN c
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, score, rnk FROM ranked WHERE rnk <= {_TOPK}
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k — the exact ANN baseline. The query
+    set is broadcast (tiny), scoring is a narrow pure-expression map
+    over all candidates, and the per-query top-k is a window that
+    Spark executes with partial top-k per partition (InferWindowGroupLimit),
+    so nothing N-sized ever shuffles."""
+    ensure_session_defaults(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= 5).select(
+        "vec_id", F.col("embedding").alias("cv")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(sim.cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK)
+        .select("query_id", "vec_id", "score", "rnk")
+    )
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         {sim.sql_lsh_bucket('embedding')} AS bucket
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id, embedding AS cv,
+         {sim.sql_lsh_bucket('embedding')} AS bucket
+  FROM embeddings WHERE vec_id >= 5
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round({sim.sql_cosine('q.qv', 'c.cv')}, 6) AS score
+  FROM q JOIN c ON q.bucket = c.bucket
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, score, rnk FROM ranked WHERE rnk <= 3
+""",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — the scale path. Sign-of-random-projection
+    buckets (Charikar hyperplane LSH, P=4 -> 16 buckets) assigned in a
+    narrow projection; the join only scores same-bucket candidates,
+    cutting compute ~2^P-fold at a recall cost tuned by P. At 100B
+    vectors: partition candidates by bucket once, broadcast queries."""
+    ensure_session_defaults(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        sim.lsh_bucket(F.col("embedding")).alias("bucket"),
+    )
+    c = emb.filter(F.col("vec_id") >= 5).select(
+        "vec_id",
+        F.col("embedding").alias("cv"),
+        sim.lsh_bucket(F.col("embedding")).alias("bucket"),
+    )
+    from pyspark.sql import Window
+
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(sim.cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "vec_id", "score", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+_TOKENS = tx.sql_ws_tokens("text")
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_TOKENS}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all({tx.sql_normalized_text('text')},
+                                   '{tx.BPE_PATTERN}')) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(length({tx.sql_normalized_text('text')}) AS BIGINT) AS n_chars
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex
+    pre-tokenization (letter runs | digit runs | single symbol) —
+    the unit a token-budgeted pipeline meters by. Narrow projection;
+    pipelines inside the scan at any scale."""
+    ensure_session_defaults(spark)
+    norm = dd.normalized_text("text")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tx.ws_tokens("text")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(norm, F.lit(tx.BPE_PATTERN), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.length(norm).cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+SELECT doc_id, lang AS declared_lang,
+       {tx.sql_lang_id(_TOKENS)} AS guessed_lang,
+       CAST({tx.sql_stopword_score(_TOKENS, 'en')} AS BIGINT) AS en_score
+FROM documents
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-membership language ID (n-gram heuristic family):
+    score tokens against per-language stopword seeds, argmax with a
+    deterministic tie-break. (The synthetic corpus is English-ish for
+    every lang label, so guesses won't match `declared_lang` — the
+    operator and its oracle recompute the same heuristic.)"""
+    ensure_session_defaults(spark)
+    toks = tx.ws_tokens("text")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        tx.lang_id(toks).alias("guessed_lang"),
+        tx.stopword_score(toks, "en").cast("bigint").alias("en_score"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS} AS toks,
+         length({tx.sql_normalized_text('text')}) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       len(list_distinct(toks)) / len(toks) AS uniq_ratio,
+       CAST({tx.sql_stopword_score('toks', 'en')} AS BIGINT)
+         / len(toks) AS stop_ratio,
+       (n_chars - (len(toks) - 1)) / len(toks) AS avg_token_len,
+       0.4 * (len(list_distinct(toks)) / len(toks))
+         + 0.3 * least(1.0, len(toks) / 64.0)
+         + 0.3 * least(1.0, ({tx.sql_stopword_score('toks', 'en')}
+                             / len(toks)) * 4.0) AS quality
+FROM t
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from length / stopword-density / uniqueness
+    ratios — the standard cheap pre-filter before expensive model
+    scoring. Pure per-row arithmetic on integer counts: bit-identical
+    across engines with no rounding."""
+    ensure_session_defaults(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        tx.ws_tokens("text").alias("toks"),
+        F.length(dd.normalized_text("text")).alias("n_chars"),
+    )
+    n = F.size("toks")
+    uniq = F.size(F.array_distinct("toks")) / n
+    stop = tx.stopword_score(F.col("toks"), "en")
+    stop_ratio = stop.cast("bigint") / n
+    quality = (
+        0.4 * uniq
+        + 0.3 * F.least(F.lit(1.0), n / F.lit(64.0))
+        + 0.3 * F.least(F.lit(1.0), stop_ratio * 4.0)
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        uniq.alias("uniq_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        ((F.col("n_chars") - (n - 1)) / n).alias("avg_token_len"),
+        quality.alias("quality"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       {tx.sql_rolling_fingerprint(tx.sql_normalized_text('text'))} AS fp,
+       CAST(len({_SHINGLES}) AS BIGINT) AS n_shingles
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: polynomial rolling hash (base 31 mod
+    2^31-1) over the normalized prefix + distinct-shingle count.
+    Integer fold -> engine-exact; prefix cap bounds per-row cost."""
+    ensure_session_defaults(spark)
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        tx.rolling_fingerprint(dd.normalized_text("text")).alias("fp"),
+        F.size(dd.word_shingles("text")).cast("bigint").alias("n_shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+
+
+@register(
+    "mm_resize_plan",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CAST((doc_id % 16 + 1) * 64 AS INT) AS width,
+         CAST((doc_id % 9 + 1) * 64 AS INT) AS height,
+         octet_length(CAST(text AS BLOB)) AS payload_bytes
+  FROM documents
+)
+SELECT doc_id, width, height,
+       round(least(1.0, 256 / greatest(width, height)::DOUBLE), 6) AS scale,
+       CAST(ceil(width * least(1.0, 256 / greatest(width, height)::DOUBLE))
+            AS INT) AS target_w,
+       CAST(ceil(height * least(1.0, 256 / greatest(width, height)::DOUBLE))
+            AS INT) AS target_h,
+       payload_bytes
+FROM m
+""",
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media metadata transforms (resize planning) as pure
+    expressions over the typed meta struct — filters/plans on
+    metadata never touch payload bytes, so at 100 TB the scan prunes
+    the binary column entirely (ReadSchema shows meta-only)."""
+    ensure_session_defaults(spark)
+    media = mm.as_media_table(load_table(spark, sf_dir, "documents"))
+    return mm.resize_plan(media)
+
+
+@register("mm_decode_stub", oracle=None)
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract/frame-sample via Arrow-batched
+    mapInPandas. The codec call is a deterministic STUB (no image
+    libs in this container — operators/multimodal.py:_stub_decode);
+    the schema contract, Arrow batching, and partition behavior are
+    the production plumbing. Rows-only check (no SQL equivalent of
+    mapInPandas)."""
+    ensure_session_defaults(spark)
+    media = mm.as_media_table(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    )
+    return mm.decode_media(media)
