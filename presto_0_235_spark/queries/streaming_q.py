@@ -1,1 +1,159 @@
-"""Placeholder — populated in this round."""
+"""Structured Streaming queries over the events fixture.
+
+Beyond-reference extension (SURVEY.md §2.10: the reference has no
+event-time streaming runtime — its Kafka connector scans topics as
+batch tables). Each query here is a real streaming pipeline
+(readStream -> watermark -> windowed/stateful op -> sink) executed to
+completion with Trigger.AvailableNow so the builder contract and the
+DuckDB batch oracle both hold: bounded replay of a stream must equal
+the batch computation over the same data (the streaming unit-test
+methodology Spark itself uses).
+
+Float sums cross the decimal(18,6) hop (functions/compat.py) because
+streaming aggregation order is as nondeterministic as batch shuffle
+order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_0_235_spark.functions.compat import dec_sum, oracle_dec_sum
+from presto_0_235_spark.queries.registry import register
+from presto_0_235_spark.streaming.engine import read_events_stream, run_to_batch
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle=f"""
+SELECT time_bucket(INTERVAL 6 HOUR, ts) AS ws,
+       event_type,
+       count(*) AS n_events,
+       {oracle_dec_sum('value', 'sum_value')}
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation with a watermark:
+    window(ts, 6h) x event_type -> count/sum. The watermark bounds
+    state (1h lateness); 6h buckets align to the epoch on both
+    engines, so the batch oracle is a plain time_bucket GROUP BY."""
+    events = read_events_stream(spark, sf_dir)
+    windowed = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value", "sum_value"),
+        )
+    )
+    return run_to_batch(windowed).select(
+        F.col("window.start").alias("ws"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_sliding_agg",
+    oracle=f"""
+WITH slid AS (
+  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS base_ws, ts, event_type, value
+  FROM events
+),
+assigned AS (
+  SELECT base_ws AS ws, event_type, value FROM slid
+  UNION ALL
+  SELECT base_ws - INTERVAL 6 HOUR AS ws, event_type, value FROM slid
+)
+SELECT ws, event_type, count(*) AS n_events,
+       {oracle_dec_sum('value', 'sum_value')}
+FROM assigned
+GROUP BY 1, 2
+""",
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (12h length, 6h slide) aggregation: every event
+    lands in exactly two windows. The oracle replicates each event to
+    its two window starts (base bucket and base-6h) — the same Expand
+    Spark plans for sliding windows."""
+    events = read_events_stream(spark, sf_dir)
+    windowed = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "12 hours", "6 hours"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value", "sum_value"),
+        )
+    )
+    return run_to_batch(windowed).select(
+        F.col("window.start").alias("ws"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM gaps
+)
+SELECT user_id, min(ts) AS sess_start, count(*) AS n_events,
+       {oracle_dec_sum('value', 'sum_value')}
+FROM sess
+GROUP BY user_id, sess_id
+""",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (4h inactivity gap) per user — Spark's native
+    stateful session_window operator. The oracle sessionizes with the
+    classic lag/flag/cumsum idiom; an event exactly at gap distance
+    starts a new session (session end is exclusive), hence >= in the
+    oracle's gap test."""
+    events = read_events_stream(spark, sf_dir)
+    sessions = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "4 hours"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value", "sum_value"),
+        )
+    )
+    return run_to_batch(sessions).select(
+        "user_id",
+        F.col("session_window.start").alias("sess_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@register("stream_dedup_watermark", oracle=None)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with bounded state:
+    dropDuplicatesWithinWatermark on (user_id, event_type) keeps one
+    row per key per watermark horizon — the streaming analog of exact
+    dedup with O(keys-in-horizon) state instead of O(all-history).
+    Which row survives depends on arrival order -> rows-only check."""
+    events = read_events_stream(spark, sf_dir)
+    deduped = events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    return run_to_batch(deduped, output_mode="append").select(
+        "user_id", "event_type", "ts", "value"
+    )
