@@ -32,8 +32,8 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q18",
     # Operator micro-shapes.
-    "agg_group_hash",
-    "join_inner_broadcast",
+    "agg_grouping_sets",
+    "join_broadcast_dim",
     "topn",
     "win_topn_per_group",
     # Beyond-reference pipelines (registered in later phases).

@@ -39,12 +39,21 @@ TABLES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table as a DataFrame (schema from footer)."""
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Load one fixture table as a DataFrame (schema from footer).
+
+    ``spread=True`` requests full-core parallelism for compute-bound
+    consumers: see spread_scan. The guard here is a free file-size
+    estimate of the scan's split count (size / maxPartitionBytes),
+    so the common no-op case costs nothing.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     ensure_session_defaults(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
         # ts is parquet timestamp[ns], read as long nanos
         # (nanosAsLong); truncate to micros exactly like DuckDB /
@@ -52,7 +61,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if spread:
+        cores = spark.sparkContext.defaultParallelism
+        max_bytes = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            .lower().removesuffix("b").replace("m", "000000").replace("k", "000")
+        )
+        est_splits = max(1, os.path.getsize(path) // max_bytes)
+        if est_splits < cores:
+            df = df.repartition(cores)
     return df
+
+
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan to the session's core count
+    when the source delivers fewer input splits than cores.
+
+    The driver fixtures are single-row-group parquet files — an
+    unsplittable scan unit — so every downstream compute runs on ONE
+    task regardless of local[$N]. For compute-bound operators
+    (decimal aggregation, minhash/md5 passes, cosine folds) this
+    explicit exchange buys full-core parallelism for one extra
+    shuffle of the scanned rows.
+
+    Scale note: on a real cluster the dataset has thousands of
+    splits, `existing >= target` holds, and this is a no-op — the
+    guard makes it safe to leave in production plans. It exists to
+    fix the local-fixture artifact, not to second-guess Spark's
+    split planning.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    existing = df.rdd.getNumPartitions()
+    if existing >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_tables(

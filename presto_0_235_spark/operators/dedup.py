@@ -167,12 +167,18 @@ def lsh_candidate_pairs(
     (band_id, band_key) rows per doc, and the self-join shuffles on the
     uniform (band_id, band_key) composite — the only shuffle in the
     pipeline, O(n*B) rows. distinct() collapses multi-band collisions.
+
+    The banded table is persisted: the self-join scans it twice, and
+    without the cache each side would recompute every minhash
+    (K md5 passes over every shingle) — the single biggest cost in
+    the pipeline. Same move at cluster scale (persist or checkpoint
+    the signature table; it is ~n*B small rows).
     """
     sig = minhash_signature(F.col(shingle_col))
     banded = docs.select(
         F.col(id_col),
         F.posexplode(lsh_band_keys(sig, bands, rows)).alias("band_id", "band_key"),
-    )
+    ).persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (

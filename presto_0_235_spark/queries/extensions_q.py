@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from presto_0_235_spark.catalog import load_table
+from presto_0_235_spark.catalog import load_table, spread_scan
 from presto_0_235_spark.operators import dedup as dd
 from presto_0_235_spark.operators import multimodal as mm
 from presto_0_235_spark.operators import similarity as sim
@@ -140,8 +140,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookups; never O(n^2). At 1000 executors this is the textbook
     LSH dedup layout."""
     ensure_session_defaults(spark)
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", dd.word_shingles("text").alias("sh")
+    # Shingle table persisted: read by the signature pass and twice by
+    # the verification joins — without the cache the shingling (split
+    # + slide + distinct per doc) runs three times.
+    d = (
+        load_table(spark, sf_dir, "documents", spread=True)
+        .select("doc_id", dd.word_shingles("text").alias("sh"))
+        .persist()
     )
     pairs = dd.lsh_candidate_pairs(d, "doc_id", "sh")
     d1 = d.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
@@ -195,7 +200,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one constant in operators/dedup.py)."""
     ensure_session_defaults(spark)
     docs = (
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents", spread=True)
         .withColumn(
             "hs", F.transform(tx.ws_tokens("text"), dd._token_hash32)
         )
@@ -303,7 +308,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    c = emb.filter(F.col("vec_id") >= 5).select(
+    c = spread_scan(emb.filter(F.col("vec_id") >= 5)).select(
         "vec_id", F.col("embedding").alias("cv")
     )
     from pyspark.sql import Window

@@ -59,7 +59,10 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans the identical two-phase HashAggregate automatically.
     """
     ensure_session_defaults(spark)
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread_scan: the decimal aggregation is compute-bound and the
+    # fixture is a single unsplittable row group — spread it across
+    # cores (no-op on real multi-split datasets).
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
