@@ -1,0 +1,139 @@
+"""Source/sink queries: the write path (SURVEY.md §2.1).
+
+The reference writes through TableWriterOperator + commit via
+TableFinishOperator (MAIN/operator/TableWriterOperator.java:64,
+TableFinishOperator.java) to Hive-format sinks — PARQUET, ORC, CSV,
+JSON among them (presto-hive-metastore/.../HiveStorageFormat.java:42-91).
+Spark's df.write covers the same formats with the same commit-protocol
+guarantees. Each query here writes a real sink to a scratch dir and
+reads it back, so the differential gate verifies the written bytes
+decode to the same values the oracle computes from the source table —
+a write-path correctness check, not just an API touch.
+
+Scale notes:
+  - Writers parallelize per-partition (one file per task) — the same
+    layout at 1000 executors; the commit protocol (driver-side
+    _SUCCESS rename) is Spark's TableFinishOperator analog.
+  - io_partitioned_prune shows partition pruning on read-back
+    (PushedFilters + PartitionFilters in explain): the physical
+    layout choice (partitionBy year) is what makes a 100 TB scan of
+    one year touch 1% of files.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_0_235_spark.catalog import load_table
+from presto_0_235_spark.queries.registry import register
+from presto_0_235_spark.session import ensure_session_defaults
+
+# Scratch roots keyed by (format, sf) so concurrent scales never
+# collide; mode("overwrite") keeps reruns idempotent.
+_SCRATCH = os.path.join(tempfile.gettempdir(), "presto_0_235_spark_io")
+
+
+def _sink_path(fmt: str, sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_SCRATCH, f"{fmt}_{tag}")
+
+
+_ORDERS_SLICE_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
+FROM orders WHERE o_orderkey < 3000
+"""
+
+
+def _orders_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 3000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register("io_roundtrip_parquet", oracle=_ORDERS_SLICE_ORACLE)
+def io_roundtrip_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet write -> commit -> read-back. The round-tripped values
+    must equal the oracle computed from the source — verifying writer
+    encode + commit + reader decode, not just the API."""
+    ensure_session_defaults(spark)
+    path = _sink_path("parquet", sf_dir)
+    _orders_slice(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@register("io_roundtrip_orc", oracle=_ORDERS_SLICE_ORACLE)
+def io_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write/read-back — the reference's default Hive format
+    (HiveStorageFormat.java:42, native reader presto-orc/)."""
+    ensure_session_defaults(spark)
+    path = _sink_path("orc", sf_dir)
+    _orders_slice(spark, sf_dir).write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@register("io_roundtrip_json", oracle=_ORDERS_SLICE_ORACLE)
+def io_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write/read-back with an explicit read schema (the
+    engine's declared-schema model — no inference at query time,
+    matching ConnectorTableMetadata fixed schemas)."""
+    ensure_session_defaults(spark)
+    path = _sink_path("json", sf_dir)
+    src = _orders_slice(spark, sf_dir)
+    src.write.mode("overwrite").json(path)
+    return spark.read.schema(src.schema).json(path)
+
+
+@register("io_roundtrip_csv", oracle=_ORDERS_SLICE_ORACLE)
+def io_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write/read-back with header + explicit schema. Doubles
+    survive exactly (Java shortest-roundtrip formatting); dates via
+    ISO format."""
+    ensure_session_defaults(spark)
+    path = _sink_path("csv", sf_dir)
+    src = _orders_slice(spark, sf_dir)
+    src.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(src.schema).option("header", True).csv(path)
+
+
+@register(
+    "io_partitioned_prune",
+    oracle="""
+SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS o_year
+FROM orders
+WHERE year(o_orderdate) = 1997
+""",
+)
+def io_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition-pruned read: write
+    orders partitioned by year, read back one year. The filter prunes
+    directories before any file IO (PartitionFilters in the plan) —
+    the layout decision that makes selective scans at 100 TB touch
+    only matching partitions (reference analog: TupleDomain partition
+    pruning via PickTableLayout.java + MetadataDeleteOperator's
+    partition model)."""
+    ensure_session_defaults(spark)
+    path = _sink_path("part_year", sf_dir)
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    src.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1997)
+    return back.select(
+        "o_orderkey", "o_totalprice", F.col("o_year").cast("int").alias("o_year")
+    )

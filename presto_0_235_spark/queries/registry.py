@@ -81,7 +81,9 @@ def _load_all() -> None:
         aggregates_q,
         extensions_q,
         functions_q,
+        io_q,
         relational_q,
+        sql_q,
         streaming_q,
         tpch_q,
         window_q,

@@ -1,0 +1,243 @@
+"""SQL front door queries (SURVEY.md §7 Phase 5).
+
+Presto is SQL-first: parse -> analyze -> plan (reference
+PARSER/SqlParser.java:101, grammar SqlBase.g4). The engine's front
+door is sql/frontend.run_sql — Spark SQL plus a thin Presto-dialect
+rewrite (UNNEST [WITH ORDINALITY], quantified comparisons). Each
+query here enters through SQL text, not DataFrame builders, proving
+the surface a Presto user actually types keeps working: CTEs,
+set ops, CASE/LIKE/IN/BETWEEN, lateral correlation, EXPLAIN.
+
+Scale note: SQL and DataFrame paths produce the same Catalyst plans;
+nothing here changes plan shape vs the DataFrame twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from presto_0_235_spark.catalog import register_views
+from presto_0_235_spark.queries.registry import register
+from presto_0_235_spark.sql.frontend import run_sql
+
+# The oracle strings below are near-identical to the submitted SQL —
+# that is the point: the front door accepts ANSI/Presto SQL and the
+# differential gate replays it on DuckDB.
+
+
+@register(
+    "sql_tpch_q6",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 submitted as SQL text through the front door
+    (scan+filter+global agg; BETWEEN predicate — reference grammar
+    SqlBase.g4 predicated rules, InCodeGenerator/LIKE compiled
+    filters)."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """,
+    )
+
+
+@register(
+    "sql_cte_setops",
+    oracle="""
+WITH big AS (
+  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000
+),
+urgent AS (
+  SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT k FROM (
+  SELECT k FROM big INTERSECT SELECT k FROM urgent
+) t
+ORDER BY k
+LIMIT 50
+""",
+)
+def sql_cte_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTEs + INTERSECT + ordered LIMIT via SQL (grammar
+    SqlBase.g4:130-136 for WITH, :205-210 for set ops; lowering
+    ImplementIntersectAndExceptAsUnion.java:110 — Spark plans a
+    left-semi join instead, same semantics)."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        WITH big AS (
+          SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000
+        ),
+        urgent AS (
+          SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+        SELECT k FROM (
+          SELECT k FROM big INTERSECT SELECT k FROM urgent
+        ) t
+        ORDER BY k
+        LIMIT 50
+        """,
+    )
+
+
+@register(
+    "sql_unnest_ordinality",
+    oracle="""
+SELECT p_partkey, t.word, t.ord
+FROM (
+  SELECT p_partkey,
+         unnest(string_split(p_name, ' ')) AS word,
+         unnest(generate_series(1, len(string_split(p_name, ' ')))) AS ord
+  FROM part
+  WHERE p_partkey < 100
+) t
+""",
+)
+def sql_unnest_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto `CROSS JOIN UNNEST(...) WITH ORDINALITY` syntax through
+    the dialect rewrite (grammar SqlBase.g4:304,
+    UnnestOperator.java:48 — 1-based ordinality). The frontend
+    rewrites to LATERAL VIEW posexplode; DuckDB zips parallel
+    unnests for the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT p_partkey, word, __pos + 1 AS ord
+        FROM part
+        CROSS JOIN UNNEST(split(p_name, ' ')) WITH ORDINALITY AS t (word, ord)
+        WHERE p_partkey < 100
+        """,
+    ).selectExpr("p_partkey", "word", "CAST(ord AS BIGINT) AS ord")
+
+
+@register(
+    "sql_quantified_all",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > ALL (
+  SELECT o_totalprice FROM orders WHERE o_orderpriority = '5-LOW'
+)
+ORDER BY o_orderkey
+""",
+)
+def sql_quantified_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparison `> ALL (subquery)` — Presto lowers it to
+    an aggregate (TransformQuantifiedComparisonApplyToLateralJoin.java);
+    the frontend applies the same MAX/MIN rewrite since Spark SQL has
+    no quantified comparisons."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > ALL (
+          SELECT o_totalprice FROM orders WHERE o_orderpriority = '5-LOW'
+        )
+        ORDER BY o_orderkey
+        """,
+    )
+
+
+@register(
+    "sql_case_like_in",
+    oracle="""
+SELECT p_partkey,
+       CASE WHEN p_size < 10 THEN 'small'
+            WHEN p_size < 30 THEN 'medium'
+            ELSE 'large' END AS size_class,
+       p_name LIKE '%red%' AS is_red,
+       p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') AS is_low_brand,
+       p_size BETWEEN 10 AND 20 AS mid_size,
+       coalesce(nullif(p_brand, 'Brand#33'), 'other') AS brand_or_other
+FROM part
+WHERE p_partkey < 500
+""",
+)
+def sql_case_like_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate surface via SQL: searched CASE, LIKE, IN-list,
+    BETWEEN, COALESCE/NULLIF (reference compiled predicates —
+    InCodeGenerator.java, LikeFunctions Joni regex,
+    SqlBase.g4 predicate rules)."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT p_partkey,
+               CASE WHEN p_size < 10 THEN 'small'
+                    WHEN p_size < 30 THEN 'medium'
+                    ELSE 'large' END AS size_class,
+               p_name LIKE '%red%' AS is_red,
+               p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') AS is_low_brand,
+               p_size BETWEEN 10 AND 20 AS mid_size,
+               coalesce(nullif(p_brand, 'Brand#33'), 'other') AS brand_or_other
+        FROM part
+        WHERE p_partkey < 500
+        """,
+    )
+
+
+@register(
+    "sql_lateral_join",
+    oracle="""
+SELECT n.n_name, t.top_price
+FROM nation n
+JOIN LATERAL (
+  SELECT max(o_totalprice) AS top_price
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_nationkey = n.n_nationkey
+) t ON TRUE
+WHERE n.n_nationkey < 10
+ORDER BY n.n_name
+""",
+)
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (grammar SqlBase.g4:305,
+    LateralJoinNode + decorrelation rules; Spark 3.2+ lateral join
+    support — both engines decorrelate to an aggregate+join)."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT n.n_name, t.top_price
+        FROM nation n
+        JOIN LATERAL (
+          SELECT max(o_totalprice) AS top_price
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+        ) t
+        WHERE n.n_nationkey < 10
+        ORDER BY n.n_name
+        """,
+    )
+
+
+@register("sql_explain", oracle=None)
+def sql_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLAIN through the front door (ExplainAnalyzeOperator /
+    EXPLAIN task in the reference). Plan text is engine-specific —
+    rows-only check."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        "EXPLAIN SELECT l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag",
+    )

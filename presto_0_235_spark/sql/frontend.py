@@ -25,13 +25,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from presto_0_235_spark.session import ensure_session_defaults
 
+# The <arr> operand may itself contain one level of calls like
+# split(x, ' ') — allow balanced single-depth parens.
+_ARR = r"(?P<arr>[^()]*(?:\([^()]*\)[^()]*)*)"
 _UNNEST_ORD = re.compile(
-    r"CROSS\s+JOIN\s+UNNEST\s*\((?P<arr>[^)]+)\)\s+WITH\s+ORDINALITY\s+"
+    rf"CROSS\s+JOIN\s+UNNEST\s*\({_ARR}\)\s+WITH\s+ORDINALITY\s+"
     r"(?:AS\s+)?(?P<t>\w+)\s*\(\s*(?P<c>\w+)\s*,\s*(?P<ord>\w+)\s*\)",
     re.IGNORECASE,
 )
 _UNNEST = re.compile(
-    r"CROSS\s+JOIN\s+UNNEST\s*\((?P<arr>[^)]+)\)\s+"
+    rf"CROSS\s+JOIN\s+UNNEST\s*\({_ARR}\)\s+"
     r"(?:AS\s+)?(?P<t>\w+)\s*\(\s*(?P<c>\w+)\s*\)",
     re.IGNORECASE,
 )
