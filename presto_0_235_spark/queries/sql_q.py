@@ -231,6 +231,94 @@ def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_presto_function_names",
+    oracle="""
+SELECT o_orderkey,
+       CAST(instr(o_orderpriority, '-') AS BIGINT) AS dash_pos,
+       CAST(len(string_split(o_orderpriority, '-')) AS BIGINT) AS n_parts,
+       list_contains(string_split(o_orderpriority, '-'), 'URGENT')
+         AS has_urgent,
+       dayofmonth(o_orderdate) AS dom,
+       dayofyear(o_orderdate) AS doy,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       lower(hex(CAST(o_orderstatus AS BLOB))) AS status_hex,
+       to_base64(CAST(o_orderstatus AS BLOB)) AS status_b64
+FROM orders
+WHERE o_orderkey < 1000
+""",
+)
+def sql_presto_function_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto-named functions through the front door: strpos,
+    cardinality, contains, day_of_month/day_of_year, to_unixtime,
+    to_hex, to_base64 (reference names registered in
+    BuiltInFunctionNamespaceManager.java:435+). The frontend's
+    lexical rename table (sql/frontend.PRESTO_FN_RENAMES) maps each
+    to its same-semantics Spark twin — names with *different*
+    semantics (day_of_week ISO vs Sunday-based) are deliberately
+    excluded from lexical rewriting."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT o_orderkey,
+               CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_pos,
+               CAST(cardinality(split(o_orderpriority, '-')) AS BIGINT)
+                 AS n_parts,
+               contains(split(o_orderpriority, '-'), 'URGENT') AS has_urgent,
+               day_of_month(o_orderdate) AS dom,
+               CAST(day_of_year(o_orderdate) AS INT) AS doy,
+               to_unixtime(o_orderdate) AS epoch_s,
+               lower(to_hex(CAST(o_orderstatus AS BINARY))) AS status_hex,
+               to_base64(CAST(o_orderstatus AS BINARY)) AS status_b64
+        FROM orders
+        WHERE o_orderkey < 1000
+        """,
+    ).selectExpr(
+        "o_orderkey",
+        "dash_pos",
+        "n_parts",
+        "has_urgent",
+        "CAST(dom AS BIGINT) AS dom",
+        "CAST(doy AS BIGINT) AS doy",
+        "CAST(epoch_s AS BIGINT) AS epoch_s",
+        "status_hex",
+        "status_b64",
+    )
+
+
+@register(
+    "sql_ddl_lifecycle",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n, max(o_totalprice) AS top
+FROM orders
+WHERE o_totalprice > 100000
+GROUP BY o_orderpriority
+""",
+)
+def sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL surface (reference MAIN/execution/CreateTableTask etc.,
+    grammar SqlBase.g4:33-190): CREATE OR REPLACE TEMPORARY VIEW over
+    a query, then query the view — the session-catalog lifecycle a
+    Presto user drives with CREATE VIEW/TABLE AS."""
+    register_views(spark, sf_dir)
+    run_sql(
+        spark,
+        """
+        CREATE OR REPLACE TEMPORARY VIEW big_orders AS
+        SELECT * FROM orders WHERE o_totalprice > 100000
+        """,
+    )
+    return run_sql(
+        spark,
+        """
+        SELECT o_orderpriority, count(*) AS n, max(o_totalprice) AS top
+        FROM big_orders
+        GROUP BY o_orderpriority
+        """,
+    )
+
+
 @register("sql_explain", oracle=None)
 def sql_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXPLAIN through the front door (ExplainAnalyzeOperator /

@@ -76,10 +76,63 @@ def _rewrite_quantified(sql: str) -> str:
     return _QUANT.sub(repl, sql)
 
 
+# Presto function names whose Spark twin differs only by name (or by a
+# fixed argument shape). Applied lexically at call sites (`name(`) —
+# the §2.9 survey's rename column. Names equal in both dialects
+# (length, substr, concat, coalesce, …) need no entry.
+PRESTO_FN_RENAMES: dict[str, str] = {
+    # string
+    "strpos": "instr",
+    "codepoint": "ascii",
+    "chr": "char",
+    # array / map (Presto `contains` is the array-membership fn)
+    "cardinality": "size",
+    "contains": "array_contains",
+    # aggregates
+    "approx_distinct": "approx_count_distinct",
+    "approx_percentile": "percentile_approx",
+    "array_agg": "collect_list",
+    "set_agg": "collect_set",
+    "arbitrary": "any_value",
+    "bool_and": "every",
+    "bool_or": "any",
+    # math
+    "random": "rand",
+    "is_nan": "isnan",
+    # datetime (same-semantics renames only: day_of_week is ISO in
+    # Presto but Sunday-based in Spark — NOT safe to rename lexically;
+    # use functions/scalar.day_of_week_iso on the DataFrame path)
+    "day_of_month": "dayofmonth",
+    "day_of_year": "dayofyear",
+    "week_of_year": "weekofyear",
+    "to_unixtime": "unix_timestamp",
+    # json
+    "json_extract_scalar": "get_json_object",
+    # binary
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    "to_base64": "base64",
+    "from_base64": "unbase64",
+}
+
+_FN_CALL = re.compile(
+    r"\b(" + "|".join(sorted(PRESTO_FN_RENAMES, key=len, reverse=True)) + r")\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_function_names(sql: str) -> str:
+    """Presto function name -> Spark function name at call sites."""
+    return _FN_CALL.sub(
+        lambda m: PRESTO_FN_RENAMES[m.group(1).lower()] + "(", sql
+    )
+
+
 def presto_to_spark_sql(sql: str) -> str:
     """Source-level Presto->Spark SQL dialect translation."""
     sql = _rewrite_unnest(sql)
     sql = _rewrite_quantified(sql)
+    sql = _rewrite_function_names(sql)
     return sql
 
 

@@ -1,0 +1,116 @@
+"""Plan-shape assertions — the reference's planner-test methodology
+(BasePlanTest + 40 matchers, TestLogicalPlanner, TestPredicatePushdown;
+SURVEY.md §5.3) re-expressed as explain-string checks.
+
+These pin the *scale* properties the engine promises (SCALE.md):
+filters reach the scan, projections prune columns, dimension joins
+broadcast, aggregations two-phase, top-k plans TakeOrderedAndProject,
+per-row operators add no exchange.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from presto_0_235_spark.queries.registry import all_queries
+
+_QUERIES = all_queries()
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    """Q6 filters reach the parquet reader; scan reads only needed
+    columns (reference: ScanFilterAndProjectOperator fusion +
+    PickTableLayout TupleDomain pushdown)."""
+    plan = plan_of(_QUERIES["tpch_q6"].builder(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_q1_two_phase_aggregation(spark, sf_dir):
+    """Partial+final HashAggregate around one exchange (reference
+    AggregationNode.Step PARTIAL/FINAL,
+    PushPartialAggregationThroughExchange)."""
+    plan = plan_of(_QUERIES["tpch_q1"].builder(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_broadcast_dim_join(spark, sf_dir):
+    """Small dimension sides broadcast (reference
+    DetermineJoinDistributionType REPLICATED)."""
+    plan = plan_of(_QUERIES["join_broadcast_dim"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q5_broadcasts_dims_single_fact_shuffle(spark, sf_dir):
+    """Q5: nation/region/supplier/customer broadcast; lineitem-orders
+    is the only fact-fact join."""
+    plan = plan_of(_QUERIES["tpch_q5"].builder(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 3
+
+
+def test_topn_plans_take_ordered(spark, sf_dir):
+    """ORDER BY + LIMIT plans partial top-k (reference TopNOperator +
+    CreatePartialTopN)."""
+    plan = plan_of(_QUERIES["topn"].builder(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_text_ops_no_exchange(spark, sf_dir):
+    """Per-row text operators are narrow: no shuffle anywhere in the
+    plan (they pipeline inside the scan stage at any scale)."""
+    for name in ["text_token_count", "text_fingerprint", "text_lang_id"]:
+        plan = plan_of(_QUERIES[name].builder(spark, sf_dir), "simple")
+        assert "Exchange" not in plan, f"{name} unexpectedly shuffles"
+
+
+def test_codegen_covers_expressions(spark, sf_dir):
+    """Expression work runs inside WholeStageCodegen spans (reference
+    analog: compiled PageProcessor/ExpressionCompiler)."""
+    plan = plan_of(_QUERIES["fn_math"].builder(spark, sf_dir), "simple")
+    # "*(n)" marks WholeStageCodegen stages in simple explain output.
+    assert "*(" in plan
+
+
+def test_partition_prune_on_partitioned_sink(spark, sf_dir):
+    """Reading back a year from the partitioned sink prunes
+    partitions (PartitionFilters), not post-scan filters."""
+    df = _QUERIES["io_partitioned_prune"].builder(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PartitionFilters:" in plan
+    pf_line = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "o_year" in pf_line
+
+
+def test_ann_broadcasts_queries(spark, sf_dir):
+    """Brute-force ANN broadcasts the query set; the candidate side
+    never shuffles N rows before scoring."""
+    plan = plan_of(_QUERIES["ann_cosine_topk"].builder(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+
+
+def test_plan_determinism(spark, sf_dir):
+    """Same query -> same plan (reference TestQueryPlanDeterminism)."""
+    p1 = plan_of(_QUERIES["tpch_q3"].builder(spark, sf_dir), "simple")
+    p2 = plan_of(_QUERIES["tpch_q3"].builder(spark, sf_dir), "simple")
+    # Normalize auto-generated expression ids before comparing.
+    import re
+
+    def strip(s: str) -> str:
+        s = re.sub(r"#\d+L?", "#x", s)
+        return re.sub(r"plan_id=\d+", "plan_id=x", s)
+
+    assert strip(p1) == strip(p2)
