@@ -563,6 +563,54 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fn_misc",
+    oracle="""
+SELECT p_partkey,
+       CASE WHEN p_retailprice < 900.005 THEN 0
+            WHEN p_retailprice >= 1100.005 THEN 9
+            ELSE CAST(floor((p_retailprice - 900.005)
+                            / (1100.005 - 900.005) * 8) AS BIGINT) + 1
+       END AS price_bucket,
+       map_extract(map(['brand','type'], [p_brand, p_type]),
+                   'brand')[1] AS kv_brand,
+       greatest(p_size, 25) AS hi_size,
+       least(p_size, 25) AS lo_size,
+       CAST(p_size AS VARCHAR) || ':' || p_brand AS sized_brand
+FROM part WHERE p_partkey < 400
+""",
+)
+def fn_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """width_bucket (MathFunctions.java), split_to_map-style kv maps
+    (SplitToMapFunction.java), greatest/least (Greatest.java). The
+    engine builds a real map from kv text; DuckDB mirrors with
+    map()/map_extract."""
+    ensure_session_defaults(spark)
+    kv = F.str_to_map(
+        F.concat_ws(
+            ",",
+            F.concat(F.lit("brand:"), F.col("p_brand")),
+            F.concat(F.lit("type:"), F.col("p_type")),
+        ),
+        F.lit(","),
+        F.lit(":"),
+    )
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 400)
+        .select(
+            "p_partkey",
+            F.width_bucket("p_retailprice", F.lit(900.005), F.lit(1100.005), F.lit(8))
+            .alias("price_bucket"),
+            F.element_at(kv, F.lit("brand")).alias("kv_brand"),
+            F.greatest(F.col("p_size"), F.lit(25)).alias("hi_size"),
+            F.least(F.col("p_size"), F.lit(25)).alias("lo_size"),
+            F.concat(F.col("p_size").cast("string"), F.lit(":"), "p_brand")
+            .alias("sized_brand"),
+        )
+    )
+
+
 @register("fn_python_udfs", oracle=None)
 def fn_python_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """word_stem + inverse_normal_cdf — the two §2.9 functions with no

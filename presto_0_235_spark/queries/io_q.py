@@ -110,6 +110,72 @@ def io_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "io_bucketed_join",
+    oracle="""
+SELECT l.l_orderkey,
+       count(*) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS line_total,
+       max(o.o_totalprice) AS order_total
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_orderkey < 5000
+GROUP BY l.l_orderkey
+""",
+)
+def io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — the SCALE.md fact-fact strategy.
+    Both sides are written `bucketBy(8, orderkey)` + sorted, then the
+    join runs with NO exchange on either side (verified by plan test:
+    SortMergeJoin over bucketed scans). At 100 TB this is the layout
+    decision that deletes the biggest shuffle in the workload
+    (reference analog: grouped execution over bucketed Hive tables,
+    MAIN/operator/StageExecutionDescriptor.java)."""
+    ensure_session_defaults(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    li_tbl, o_tbl = f"li_bucketed_{tag}", f"o_bucketed_{tag}"
+    if not spark.catalog.tableExists(li_tbl):
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_orderkey") < 5000)
+            .select("l_orderkey", "l_extendedprice")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", _sink_path("bucket_li", sf_dir))
+            .mode("overwrite")
+            .saveAsTable(li_tbl)
+        )
+    if not spark.catalog.tableExists(o_tbl):
+        (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") < 5000)
+            .select("o_orderkey", "o_totalprice")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", _sink_path("bucket_o", sf_dir))
+            .mode("overwrite")
+            .saveAsTable(o_tbl)
+        )
+    li = spark.table(li_tbl)
+    orders = spark.table(o_tbl)
+    # merge hint: at fixture scale AQE would broadcast the small side,
+    # which hides the point of the demo — the SortMergeJoin over
+    # bucketed+sorted scans runs with ZERO exchanges (and the
+    # downstream groupBy(l_orderkey) reuses the same distribution, so
+    # the whole query is shuffle-free).
+    return (
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("line_total"),
+            F.max("o_totalprice").alias("order_total"),
+        )
+    )
+
+
+@register(
     "io_partitioned_prune",
     oracle="""
 SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS o_year

@@ -95,6 +95,18 @@ def test_partition_prune_on_partitioned_sink(spark, sf_dir):
     assert "o_year" in pf_line
 
 
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """Bucketed co-located join: SortMergeJoin over bucketed scans
+    with zero exchanges — the layout that deletes the fact-fact
+    shuffle at 100 TB (SCALE.md §2)."""
+    plan = plan_of(_QUERIES["io_bucketed_join"].builder(spark, sf_dir), "simple")
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan_of(
+        _QUERIES["io_bucketed_join"].builder(spark, sf_dir)
+    )
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_ann_broadcasts_queries(spark, sf_dir):
     """Brute-force ANN broadcasts the query set; the candidate side
     never shuffles N rows before scoring."""

@@ -1,0 +1,72 @@
+"""Presto semantics-parity checks that the differential oracle can't
+express (error paths raise; they never produce comparable rows).
+
+Reference behaviors pinned here:
+  - division by zero raises (MAIN/type/BigintOperators.java:135)
+  - invalid cast raises; TRY(...)/try_cast returns NULL
+    (TryCastFunction.java)
+  - array subscript a[i] raises out-of-bounds
+    (ArraySubscriptOperator.java); element_at returns NULL
+    (ArrayElementAtFunction.java)
+The engine matches via Spark ANSI mode (session.py SESSION_DEFAULTS)
+plus try_* twins.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _eval(spark, expr: str):
+    return spark.sql(f"SELECT {expr} AS v").collect()[0][0]
+
+
+def test_division_by_zero_raises(spark):
+    with pytest.raises(Exception, match="(?i)divide.*zero|DIVIDE_BY_ZERO"):
+        _eval(spark, "1 div 0")
+
+
+def test_try_division_by_zero_null(spark):
+    assert _eval(spark, "try_divide(1, 0)") is None
+
+
+def test_invalid_cast_raises(spark):
+    with pytest.raises(Exception, match="(?i)cast|invalid"):
+        _eval(spark, "CAST('not-a-number' AS INT)")
+
+
+def test_try_cast_invalid_null(spark):
+    assert _eval(spark, "TRY_CAST('not-a-number' AS INT)") is None
+
+
+def test_array_subscript_oob_raises(spark):
+    with pytest.raises(Exception, match="(?i)index|INVALID_ARRAY_INDEX"):
+        _eval(spark, "array(1, 2, 3)[5]")
+
+
+def test_element_at_oob_null(spark):
+    assert _eval(spark, "try_element_at(array(1, 2, 3), 9)") is None
+
+
+def test_element_at_is_one_based(spark):
+    # Presto element_at(a, 1) = first element; Spark agrees.
+    assert _eval(spark, "element_at(array(10, 20, 30), 1)") == 10
+
+
+def test_null_sort_order_matches_presto(spark):
+    """Presto default: nulls LAST for both ASC and DESC
+    (PlannerUtils.java:39-51). The engine's sort operator emits
+    asc_nulls_last/desc_nulls_last explicitly."""
+    df = spark.createDataFrame([(1,), (None,), (2,)], "v int")
+    asc = [r.v for r in df.orderBy(F.asc_nulls_last("v")).collect()]
+    desc = [r.v for r in df.orderBy(F.desc_nulls_last("v")).collect()]
+    assert asc == [1, 2, None]
+    assert desc == [2, 1, None]
+
+
+def test_timestamp_semantics_utc(spark):
+    """Session pinned to UTC — date extraction is zone-stable
+    (fixtures are UTC date-valued timestamps, FIXTURES.md)."""
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert _eval(spark, "year(TIMESTAMP '1997-06-15 00:00:00')") == 1997
