@@ -439,3 +439,27 @@ def agg_arbitrary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.any_value("o_orderpriority").alias("some_priority"))
     )
+
+
+@register("agg_hll_mergeable_sketch", oracle=None)
+def agg_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_set / merge(HLL) / cardinality(HLL) restored as a
+    mergeable sketch (reference HyperLogLogType,
+    ApproximateSetAggregation, MergeHyperLogLogAggregation) — a pure
+    DataFrame HLL whose register table is data (operators/sketches.py).
+    Output: per-priority distinct-customer estimates PLUS the global
+    estimate produced by MERGING the per-priority sketches (not
+    rescanning) — the operation Spark's approx_count_distinct cannot
+    express. Deterministic (xxhash64 + max), but engine-specific ->
+    rows-only gate; tests/test_approx.py asserts the error bound and
+    that merge(sketches) == direct global sketch exactly."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.operators import sketches as sk
+
+    orders = load_table(spark, sf_dir, "orders")
+    regs = sk.hll_registers(orders, ["o_orderpriority"], "o_custkey")
+    per_group = sk.hll_cardinality(regs, ["o_orderpriority"])
+    merged = sk.hll_cardinality(sk.hll_merge(regs, []), []).select(
+        F.lit("ALL (merged)").alias("o_orderpriority"), "approx_distinct"
+    )
+    return per_group.unionByName(merged)

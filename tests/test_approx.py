@@ -28,3 +28,40 @@ def test_percentile_approx_error(spark, sf_dir):
         ),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.02
+
+
+def test_hll_sketch_error_bound(spark, sf_dir):
+    """Custom HLL register-table sketch: estimate within the expected
+    ~2.3% band (P=11) of exact, per group and merged."""
+    from presto_0_235_spark.operators import sketches as sk
+
+    orders = load_table(spark, sf_dir, "orders")
+    regs = sk.hll_registers(orders, ["o_orderpriority"], "o_custkey")
+    est = {
+        r.o_orderpriority: r.approx_distinct
+        for r in sk.hll_cardinality(regs, ["o_orderpriority"]).collect()
+    }
+    exact = {
+        r.o_orderpriority: r.exact
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("exact"))
+        .collect()
+    }
+    for k, ex in exact.items():
+        assert abs(est[k] - ex) / ex < 0.08, (k, est[k], ex)
+
+
+def test_hll_merge_equals_direct(spark, sf_dir):
+    """merge(per-group sketches) must equal the sketch built directly
+    on the whole input — register-wise max is exact, so this is exact
+    equality, not a tolerance check (the property that makes sketches
+    safe to pre-aggregate at 100 TB)."""
+    from presto_0_235_spark.operators import sketches as sk
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_group = sk.hll_registers(orders, ["o_orderpriority"], "o_custkey")
+    merged = sk.hll_cardinality(sk.hll_merge(per_group, []), [])
+    direct = sk.hll_cardinality(
+        sk.hll_registers(orders, [], "o_custkey"), []
+    )
+    assert merged.collect()[0][0] == direct.collect()[0][0]
