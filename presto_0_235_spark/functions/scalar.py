@@ -225,3 +225,75 @@ def element_at_1based(arr: Column | str, index: int | Column) -> Column:
     from the end — Spark try_element_at has identical semantics."""
     idx = F.lit(index) if isinstance(index, int) else index
     return F.try_element_at(_c(arr), idx)
+
+
+# ---- MySQL-pattern datetime parse/format ----------------------------------
+# Presto date_parse/date_format use MySQL %-specifiers
+# (reference DateTimeFunctions.java:1401, DateFormat parsing); Spark
+# uses JVM DateTimeFormatter patterns. This table is the documented
+# MySQL->Java translation (SURVEY.md §7 Phase 3 "hard list").
+_MYSQL_TO_JAVA: dict[str, str] = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%c": "M",
+    "%d": "dd",
+    "%e": "d",
+    "%H": "HH",
+    "%k": "H",
+    "%h": "hh",
+    "%l": "h",
+    "%i": "mm",
+    "%s": "ss",
+    "%S": "ss",
+    "%f": "SSSSSS",
+    "%p": "a",
+    "%W": "EEEE",
+    "%a": "EEE",
+    "%b": "MMM",
+    "%M": "MMMM",
+    "%j": "DDD",
+    "%T": "HH:mm:ss",
+    "%%": "%",
+}
+
+
+def mysql_to_java_pattern(fmt: str) -> str:
+    """Translate a MySQL datetime pattern to a JVM one. Literal runs
+    are single-quoted so letters in them are never read as pattern
+    fields."""
+    out: list[str] = []
+    literal: list[str] = []
+
+    def flush() -> None:
+        if literal:
+            text = "".join(literal).replace("'", "''")
+            if any(ch.isalpha() for ch in text):
+                out.append(f"'{text}'")
+            else:
+                out.append(text)
+            literal.clear()
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            spec = fmt[i : i + 2]
+            if spec in _MYSQL_TO_JAVA:
+                flush()
+                out.append(_MYSQL_TO_JAVA[spec])
+                i += 2
+                continue
+        literal.append(fmt[i])
+        i += 1
+    flush()
+    return "".join(out)
+
+
+def date_parse(s: Column | str, mysql_fmt: str) -> Column:
+    """Presto date_parse(string, mysql_format) -> timestamp."""
+    return F.to_timestamp(_c(s), mysql_to_java_pattern(mysql_fmt))
+
+
+def date_format_mysql(ts: Column | str, mysql_fmt: str) -> Column:
+    """Presto date_format(timestamp, mysql_format) -> string."""
+    return F.date_format(_c(ts), mysql_to_java_pattern(mysql_fmt))

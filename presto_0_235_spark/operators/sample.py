@@ -28,3 +28,13 @@ def deterministic_sample(
     keys while staying exactly expressible in portable SQL."""
     bucket = (F.col(key) * F.lit(2654435761)) % modulus
     return df.filter(bucket < percent)
+
+
+def system_sample(df: DataFrame, percent: int) -> DataFrame:
+    """TABLESAMPLE SYSTEM(p) — split-granularity sampling, Presto's
+    second sampling mode: whole splits are kept or dropped (cheap:
+    skipped splits are never read in the connector; here, never
+    processed past the scan). Spark analog: filter on the partition
+    id — keeps ~p% of partitions, each wholly."""
+    keep_every = max(1, round(100 / max(1, percent)))
+    return df.filter(F.spark_partition_id() % keep_every == 0)

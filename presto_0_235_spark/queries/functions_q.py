@@ -564,6 +564,43 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_datetime_formats",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+       strftime(o_orderdate, '%d/%m/%Y') AS eu_day,
+       strftime(o_orderdate, '%b %Y') AS mon_year,
+       strftime(o_orderdate, '%j') AS doy_padded,
+       strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS reparsed
+FROM orders WHERE o_orderkey < 1000
+""",
+)
+def fn_datetime_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_format/date_parse with MySQL %-patterns (reference
+    DateTimeFunctions.java date_format/date_parse use MySQL
+    specifiers). The engine translates %-patterns to JVM patterns
+    (scalar.mysql_to_java_pattern — the SURVEY §7 Phase 3 'hard
+    list' item); DuckDB's strftime/strptime speak the MySQL-style
+    patterns natively, so the oracle uses the original strings."""
+    ensure_session_defaults(spark)
+    od = F.col("o_orderdate")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            ps.date_format_mysql(od, "%Y-%m-%d").alias("iso_day"),
+            ps.date_format_mysql(od, "%d/%m/%Y").alias("eu_day"),
+            ps.date_format_mysql(od, "%b %Y").alias("mon_year"),
+            ps.date_format_mysql(od, "%j").alias("doy_padded"),
+            ps.date_parse(
+                ps.date_format_mysql(od, "%Y-%m-%d"), "%Y-%m-%d"
+            ).alias("reparsed"),
+        )
+    )
+
+
+@register(
     "fn_misc",
     oracle="""
 SELECT p_partkey,

