@@ -85,6 +85,7 @@ def _load_all() -> None:
         relational_q,
         sql_q,
         streaming_q,
+        tpch_more_q,
         tpch_q,
         window_q,
     )
