@@ -572,3 +572,33 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     )
     return mm.decode_media(media)
+
+
+@register(
+    "events_decode_json_topic",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) FILTER (json_extract_string(props, '$.k') IS NOT NULL)
+            AS BIGINT) AS with_k,
+       CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+         AS max_k,
+       min(ts) AS first_ts
+FROM events
+GROUP BY event_type
+""",
+)
+def events_decode_json_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-as-table with a JSON message decoder — the reference's
+    Kafka model (presto-kafka KafkaRecordSet.java:52 scans topics
+    batch-style; presto-record-decoder/.../json decodes payloads into
+    typed columns). Here: events.props is the raw message; the
+    decoder is from_json-style extraction inside the scan, grouped by
+    type with the _timestamp pseudo-column analog (ts)."""
+    ensure_session_defaults(spark)
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return events.groupBy("event_type").agg(
+        F.count(F.when(k.isNotNull(), 1)).cast("bigint").alias("with_k"),
+        F.max(F.try_to_number(k, F.lit("999999"))).cast("int").alias("max_k"),
+        F.min("ts").alias("first_ts"),
+    )

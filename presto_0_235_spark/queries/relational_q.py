@@ -1071,3 +1071,39 @@ def sample_system(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample.system_sample(li, 25).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+SELECT s_name,
+       count(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS total_price
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/skew.py, SCALE.md §2): the probe
+    side scatters each key over S salt buckets, the build side is
+    replicated S ways — result exactly equals the plain join (the
+    oracle IS the plain join), while a hot key's shuffle partition
+    shrinks S-fold. The deterministic remedy for skew AQE can't fix
+    (one giant key can't be split by measurement alone when the
+    aggregation keys collide with the join key)."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    joined = salted_join(li, supp, "l_suppkey", "s_suppkey", salt=8)
+    return (
+        joined.groupBy("s_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
