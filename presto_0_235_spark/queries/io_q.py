@@ -203,3 +203,41 @@ def io_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "o_orderkey", "o_totalprice", F.col("o_year").cast("int").alias("o_year")
     )
+
+
+@register(
+    "io_partition_delete",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n
+FROM orders
+WHERE year(o_orderdate) <> 1997
+GROUP BY 1
+""",
+)
+def io_partition_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-partition delete — the reference's MetadataDeleteOperator
+    (deletes partitions via metastore metadata, no row scan). Spark
+    analog: ALTER TABLE ... DROP PARTITION on a partitioned catalog
+    table — an O(1) metadata operation at any scale; the read-back
+    proves the partition's rows are gone."""
+    ensure_session_defaults(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tbl = f"orders_part_{tag}"
+    path = _sink_path("part_delete", sf_dir)
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    # (Re)create the partitioned table fresh each run, then drop 1997.
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        src.write.partitionBy("o_year")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    spark.sql(f"ALTER TABLE {tbl} DROP IF EXISTS PARTITION (o_year=1997)")
+    return (
+        spark.table(tbl)
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(F.count("*").alias("n"))
+    )

@@ -329,3 +329,25 @@ def sql_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "EXPLAIN SELECT l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag",
     )
+
+
+@register("sql_udf_registration", oracle=None)
+def sql_udf_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined function surface (reference SPI Plugin
+    getFunctions / CREATE FUNCTION, SqlBase.g4:62-66,
+    CreateFunctionTask.java): register a Python function into the
+    session catalog and call it from SQL. word_stem is the engine's
+    pandas UDF (functions/udfs.py); registration makes it a SQL
+    citizen exactly like a Presto plugin function. Deterministic but
+    engine-specific -> rows-only."""
+    from presto_0_235_spark.functions.udfs import word_stem
+
+    register_views(spark, sf_dir)
+    spark.udf.register("word_stem", word_stem)
+    return run_sql(
+        spark,
+        """
+        SELECT p_partkey, word_stem(element_at(split(p_name, ' '), 1)) AS stem
+        FROM part WHERE p_partkey < 100
+        """,
+    )

@@ -1,0 +1,155 @@
+"""Per-operator unit tests on crafted inputs — the reference's
+per-function test layer (AbstractTestFunctions, per-operator tests in
+presto-main/src/test/.../operator/; SURVEY.md §5.4): exact values on
+edge cases the fixture queries don't reach (empty text, single token,
+identical/disjoint inputs, known hash values).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from presto_0_235_spark.functions.scalar import mysql_to_java_pattern
+from presto_0_235_spark.operators import dedup as dd
+from presto_0_235_spark.operators import similarity as sim
+from presto_0_235_spark.operators import text as tx
+
+
+def test_shingles_edge_cases(spark):
+    df = spark.createDataFrame(
+        [("",), ("one",), ("a b",), ("a b c",), ("a b c d",)], "text string"
+    )
+    rows = df.select(
+        "text", F.size(dd.word_shingles("text")).alias("n")
+    ).collect()
+    got = {r.text: r.n for r in rows}
+    # Short texts yield the single clamped window; 3-grams slide after.
+    assert got[""] == 1 and got["one"] == 1 and got["a b"] == 1
+    assert got["a b c"] == 1
+    assert got["a b c d"] == 2
+
+
+def test_jaccard_bounds(spark):
+    df = spark.createDataFrame([(["a", "b"], ["a", "b"], ["c", "d"])],
+                               "x array<string>, y array<string>, z array<string>")
+    row = df.select(
+        dd.jaccard(F.col("x"), F.col("y")).alias("same"),
+        dd.jaccard(F.col("x"), F.col("z")).alias("disjoint"),
+    ).collect()[0]
+    assert row.same == 1.0
+    assert row.disjoint == 0.0
+
+
+def test_minhash_identical_texts_identical_signatures(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "a completely different doc here")],
+        "id long, text string",
+    )
+    sigs = df.select(
+        "id", dd.minhash_signature(dd.word_shingles("text")).alias("sig")
+    ).collect()
+    by_id = {r.id: r.sig for r in sigs}
+    assert len(by_id[1]) == dd.MINHASH_K
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_simhash_identical_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "delta epsilon zeta eta")],
+        "id long, text string",
+    )
+    fps = df.select(
+        "id",
+        dd.simhash(
+            F.transform(tx.ws_tokens("text"), dd._token_hash32)
+        ).alias("fp"),
+    ).collect()
+    by_id = {r.id: r.fp for r in fps}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+    assert 0 <= by_id[1] < (1 << dd.SIMHASH_BITS)
+
+
+def test_cosine_self_is_one(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [2.0, 4.0, 6.0], [-1.0, 0.0, 0.0])],
+        "a array<double>, b array<double>, c array<double>",
+    )
+    row = df.select(
+        F.round(sim.cosine(F.col("a"), F.col("a")), 9).alias("self"),
+        F.round(sim.cosine(F.col("a"), F.col("b")), 9).alias("colinear"),
+        F.round(sim.cosine(F.col("a"), F.col("c")), 9).alias("neg"),
+    ).collect()[0]
+    assert row.self == 1.0
+    assert row.colinear == 1.0
+    assert row.neg < 0
+
+
+def test_rolling_fingerprint_known_value(spark):
+    text = "abc"
+    expected = 7
+    for ch in text:
+        expected = (expected * tx.FP_BASE + ord(ch)) % tx.FP_MOD
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(tx.rolling_fingerprint("t").alias("fp")).collect()[0].fp
+    assert got == expected
+
+
+def test_lang_id_stopword_evidence(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat of the mat and a dog"),
+         (2, "der hund ist ein gutes tier und der beste"),
+         (3, "zzz qqq xxx")],
+        "id long, text string",
+    )
+    rows = df.select("id", tx.lang_id(tx.ws_tokens("text")).alias("g")).collect()
+    got = {r.id: r.g for r in rows}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "und"
+
+
+def test_mysql_pattern_formats_like_strftime(spark):
+    """Translated MySQL patterns produce the same text Python's
+    strftime produces for the shared specifiers."""
+    ts = datetime.datetime(1997, 3, 9, 14, 5, 42)
+    cases = ["%Y-%m-%d", "%d/%m/%Y %H:%i:%s", "%Y%j", "%b %Y", "%H:%i"]
+    df = spark.createDataFrame([(ts,)], "ts timestamp")
+    sel = [
+        F.date_format("ts", mysql_to_java_pattern(fmt)).alias(f"c{i}")
+        for i, fmt in enumerate(cases)
+    ]
+    row = df.select(*sel).collect()[0]
+    for i, fmt in enumerate(cases):
+        pyfmt = fmt.replace("%i", "%M").replace("%s", "%S")
+        assert row[f"c{i}"] == ts.strftime(pyfmt), fmt
+
+
+def test_hamming64_known(spark):
+    df = spark.createDataFrame([(0b1010, 0b0110)], "a long, b long")
+    got = df.select(dd.hamming64(F.col("a"), F.col("b")).alias("h")).collect()[0].h
+    assert got == 2
+
+
+def test_salted_join_equals_plain_join(spark):
+    from presto_0_235_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (3, "w"), (None, "n")],
+        "k int, v string",
+    )
+    build = spark.createDataFrame([(1, "A"), (2, "B"), (9, "C")], "bk int, bv string")
+    plain = sorted(
+        (r.k, r.v, r.bv)
+        for r in probe.join(build, probe.k == build.bk).collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.bv)
+        for r in salted_join(probe, build, "k", "bk", salt=4).collect()
+    )
+    assert plain == salted
