@@ -602,3 +602,40 @@ def events_decode_json_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.try_to_number(k, F.lit("999999"))).cast("int").alias("max_k"),
         F.min("ts").alias("first_ts"),
     )
+
+
+@register(
+    "join_asof_backward",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts, p.value, v.value AS prior_view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+)
+def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (beyond-reference: the reference runs such queries
+    as nested-loop theta joins — SURVEY.md §2.3): every purchase is
+    enriched with the value of the user's latest view at-or-before
+    it. One shuffle + window pass (operators/asof.py); the oracle is
+    DuckDB's native ASOF LEFT JOIN — two independent formulations,
+    same rows."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.operators.asof import asof_join_backward
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join_backward(
+        purchases,
+        views,
+        on="user_id",
+        ts="ts",
+        left_cols=["event_id", "value"],
+        right_value="value",
+        out_col="prior_view_value",
+    ).select("event_id", "user_id", "ts", "value", "prior_view_value")
