@@ -639,3 +639,114 @@ def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_value="value",
         out_col="prior_view_value",
     ).select("event_id", "user_id", "ts", "value", "prior_view_value")
+
+
+_IVF_TOPK = 5
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 97 = 7
+),
+cand AS (
+  SELECT vec_id, embedding AS ev FROM embeddings WHERE vec_id >= 5
+),
+cand_assign AS (
+  SELECT vec_id, ev, cid FROM (
+    SELECT c.vec_id, c.ev, cent.cid,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY round({sim.sql_cosine('c.ev', 'cent.cv')}, 6) DESC, cent.cid
+           ) AS rn
+    FROM cand c CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+q_probe AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, cent.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({sim.sql_cosine('q.qv', 'cent.cv')}, 6) DESC, cent.cid
+           ) AS rn
+    FROM q CROSS JOIN cent
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round({sim.sql_cosine('p.qv', 'a.ev')}, 6) AS score
+  FROM q_probe p JOIN cand_assign a ON p.cid = a.cid
+)
+SELECT query_id, vec_id, score, rnk FROM (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= {_IVF_TOPK}
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN — the inverted-file scale path beside LSH
+    (ann_lsh_bucketed). Centroids here are a deterministic sample
+    (vec_id % 97 == 7) so the oracle can replay the exact pipeline;
+    at production scale they come from k-means (pyspark.ml) and the
+    plan shape is unchanged: assign candidates to nearest centroid
+    once (narrow cross join with the tiny broadcast centroid set),
+    probe the nProbe=2 nearest lists per query, score only those
+    lists. Compute cut ~ |lists|/nProbe at recall controlled by
+    nProbe."""
+    ensure_session_defaults(spark)
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % 97 == 7).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    cand = spread_scan(emb.filter(F.col("vec_id") >= 5)).select(
+        "vec_id", F.col("embedding").alias("ev")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+    w_cand = Window.partitionBy("vec_id").orderBy(
+        F.col("c_score").desc(), F.col("cid")
+    )
+    cand_assign = (
+        cand.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "c_score", F.round(sim.cosine(F.col("ev"), F.col("cv")), 6)
+        )
+        .withColumn("rn", F.row_number().over(w_cand))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "ev", "cid")
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("c_score").desc(), F.col("cid")
+    )
+    q_probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "c_score", F.round(sim.cosine(F.col("qv"), F.col("cv")), 6)
+        )
+        .withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "qv", "cid")
+    )
+    scored = q_probe.join(cand_assign, "cid").select(
+        "query_id",
+        "vec_id",
+        F.round(sim.cosine(F.col("qv"), F.col("ev")), 6).alias("score"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= _IVF_TOPK)
+        .select("query_id", "vec_id", "score", "rnk")
+    )

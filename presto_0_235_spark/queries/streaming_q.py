@@ -204,3 +204,28 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(joined, output_mode="append").select(
         "purchase_id", "view_id", "user_id"
     )
+
+
+@register(
+    "stream_stateful_user_profile",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState,
+    streaming/stateful.py): per-user running profile in GroupState.
+    Only order-independent state (count/min/max bounds) is kept, so
+    the bounded replay equals the batch GROUP BY — a custom stateful
+    operator that still passes the exact differential gate."""
+    from presto_0_235_spark.streaming.stateful import user_profile_stream
+
+    events = read_events_stream(spark, sf_dir)
+    return run_to_batch(user_profile_stream(events), output_mode="update")
