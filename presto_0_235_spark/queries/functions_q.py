@@ -336,6 +336,120 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_array_advanced",
+    oracle="""
+WITH t AS (
+  SELECT p_partkey,
+         string_split(p_name, ' ') AS words,
+         string_split(p_type, '') AS chars
+  FROM part WHERE p_partkey < 300
+)
+SELECT p_partkey,
+       array_to_string(flatten([words, chars]), '|') AS flat,
+       array_to_string(list_transform(generate_series(1, least(len(words), len(chars))),
+                       i -> words[i] || '#' || chars[i]), ',') AS zipped,
+       len(list_intersect(words, chars)) > 0 AS overlaps,
+       CAST(len(list_distinct(list_concat(words, chars))) AS BIGINT) AS union_n,
+       CAST(len(list_filter(words, w -> NOT list_contains(chars, w)))
+            AS BIGINT) AS except_n,
+       array_to_string(list_transform(generate_series(1, greatest(len(words) - 1, 1)),
+                       i -> array_to_string(words[i:i+1], ' ')), '/') AS bigrams,
+       words[-1] AS last_word,
+       array_to_string(list_reverse_sort(words), ',') AS rev_sorted
+FROM t
+""",
+)
+def fn_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advanced array functions (ArrayFlattenFunction, ZipWithFunction,
+    ArraysOverlapFunction, ArrayUnionFunction, ArrayExceptFunction,
+    ArrayNgramsFunction, ArraySortComparatorFunction — SURVEY.md §2.9
+    array row): flatten, zip_with, arrays_overlap, union/except
+    counts, word bigrams (ngrams), negative indexing, descending
+    sort."""
+    ensure_session_defaults(spark)
+    words = F.split(F.col("p_name"), " ")
+    chars = F.split(F.col("p_type"), "")
+    n = F.least(F.size(words), F.size(chars))
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            F.array_join(F.flatten(F.array(words, chars)), "|").alias("flat"),
+            F.array_join(
+                F.zip_with(
+                    F.slice(words, 1, n),
+                    F.slice(chars, 1, n),
+                    lambda w, c: F.concat(w, F.lit("#"), c),
+                ),
+                ",",
+            ).alias("zipped"),
+            F.arrays_overlap(words, chars).alias("overlaps"),
+            F.size(F.array_union(words, chars)).cast("bigint").alias("union_n"),
+            F.size(F.array_except(words, chars)).cast("bigint").alias("except_n"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+                ),
+                "/",
+            ).alias("bigrams"),
+            F.element_at(words, -1).alias("last_word"),
+            F.array_join(F.reverse(F.array_sort(words)), ",").alias("rev_sorted"),
+        )
+    )
+
+
+@register(
+    "fn_map_advanced",
+    oracle="""
+SELECT o_orderkey,
+       'count:' || CAST(cnt AS VARCHAR) || ';total:'
+         || CAST(CAST(total AS BIGINT) AS VARCHAR) AS merged_repr,
+       cnt * 2 AS zipped_count
+FROM (
+  SELECT o_orderkey, 1 AS cnt, floor(o_totalprice) AS total
+  FROM orders WHERE o_orderkey < 1000
+)
+""",
+)
+def fn_map_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_from_entries / map_zip_with / map_entries round-trip
+    (MapFromEntriesFunction, MapZipWithFunction — SURVEY.md §2.9 map
+    row). The engine really builds maps and zips them; the oracle
+    states the expected flattened representation (DuckDB's map
+    surface is too thin to mirror the lambda ops)."""
+    ensure_session_defaults(spark)
+    m1 = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("count").alias("key"), F.lit(1).cast("long").alias("value")),
+            F.struct(
+                F.lit("total").alias("key"),
+                F.floor(F.col("o_totalprice")).cast("long").alias("value"),
+            ),
+        )
+    )
+    doubled = F.map_zip_with(m1, m1, lambda k, v1, v2: v1 + v2)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.array_join(
+                F.sort_array(
+                    F.transform(
+                        F.map_entries(m1),
+                        lambda e: F.concat_ws(":", e["key"], e["value"]),
+                    )
+                ),
+                ";",
+            ).alias("merged_repr"),
+            F.element_at(doubled, F.lit("count")).alias("zipped_count"),
+        )
+    )
+
+
+@register(
     "fn_map",
     oracle="""
 SELECT p_partkey,

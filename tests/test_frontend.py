@@ -1,0 +1,101 @@
+"""Property + table tests for the pure-Python translation layers
+(no Spark session needed — fast). Exceeds the reference's test
+strategy (no property-based testing in-repo, SURVEY.md §5) where it
+is cheap to do so.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from presto_0_235_spark.functions.scalar import _MYSQL_TO_JAVA, mysql_to_java_pattern
+from presto_0_235_spark.sql.frontend import (
+    PRESTO_FN_RENAMES,
+    _rewrite_function_names,
+    presto_to_spark_sql,
+)
+
+# ---------------------------------------------------------------------------
+# MySQL pattern translator
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.sampled_from(sorted(_MYSQL_TO_JAVA)),
+            st.text(alphabet="-/:. ,", min_size=1, max_size=3),
+            st.text(alphabet="abcXYZ", min_size=1, max_size=3),
+        ),
+        max_size=8,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_mysql_translation_quotes_all_literal_letters(parts):
+    """Anything that is not a %-specifier must come out either
+    non-alphabetic or single-quoted — otherwise the JVM would read
+    stray letters as pattern fields."""
+    fmt = "".join(parts)
+    out = mysql_to_java_pattern(fmt)
+    # Strip quoted literal sections and known field letters; nothing
+    # alphabetic may remain.
+    no_quotes = re.sub(r"'[^']*'", "", out)
+    no_fields = re.sub(r"[yMdHhmsSaEDj]", "", no_quotes)
+    assert not any(ch.isalpha() for ch in no_fields), (fmt, out)
+
+
+def test_mysql_translation_known_pairs():
+    assert mysql_to_java_pattern("%Y-%m-%d") == "yyyy-MM-dd"
+    assert mysql_to_java_pattern("%H:%i:%s") == "HH:mm:ss"
+    assert mysql_to_java_pattern("%% %Y") == "% yyyy"
+    # Literal words are quoted.
+    assert mysql_to_java_pattern("week %j") == "'week 'DDD"
+
+
+# ---------------------------------------------------------------------------
+# function-name renames
+
+
+def test_renames_only_apply_at_call_sites():
+    sql = "SELECT strpos(x, 'strpos'), my_strpos(x), strposx(x) FROM t"
+    out = _rewrite_function_names(sql)
+    assert "instr(x," in out
+    assert "my_strpos(x)" in out  # prefixed identifier untouched
+    assert "strposx(x)" in out  # suffixed identifier untouched
+
+
+@given(st.sampled_from(sorted(PRESTO_FN_RENAMES)))
+@settings(max_examples=50, deadline=None)
+def test_every_rename_rewrites_direct_call(name):
+    out = _rewrite_function_names(f"SELECT {name}(col) FROM t")
+    assert f"{PRESTO_FN_RENAMES[name]}(" in out
+
+
+# ---------------------------------------------------------------------------
+# UNNEST / quantified rewrites
+
+
+def test_unnest_rewrite_handles_nested_calls():
+    sql = (
+        "SELECT a FROM t CROSS JOIN UNNEST(split(x, ' ')) "
+        "WITH ORDINALITY AS u (w, o)"
+    )
+    out = presto_to_spark_sql(sql)
+    assert "LATERAL VIEW posexplode(split(x, ' '))" in out
+    assert "UNNEST" not in out
+
+
+def test_unnest_rewrite_plain():
+    out = presto_to_spark_sql("SELECT a FROM t CROSS JOIN UNNEST(arr) AS u (v)")
+    assert "LATERAL VIEW explode(arr) u AS v" in out
+
+
+def test_quantified_rewrite_all_any():
+    out = presto_to_spark_sql("SELECT 1 WHERE x > ALL (SELECT v FROM t)")
+    assert "MAX" in out and "ALL" not in out
+    out2 = presto_to_spark_sql("SELECT 1 WHERE x > ANY (SELECT v FROM t)")
+    assert "MIN" in out2
+    out3 = presto_to_spark_sql("SELECT 1 WHERE x < ALL (SELECT v FROM t)")
+    assert "MIN" in out3
