@@ -106,3 +106,15 @@ def _inv_norm(p: float) -> float:
 def inverse_normal_cdf(mean: pd.Series, sd: pd.Series, p: pd.Series) -> pd.Series:
     """inverse_normal_cdf(mean, sd, p) (MathFunctions.java)."""
     return mean + sd * p.map(_inv_norm)
+
+
+@F.pandas_udf(StringType())
+def normalize_nfc(s: pd.Series) -> pd.Series:
+    """normalize(string[, NFC]) — Unicode normalization
+    (StringFunctions.java normalize). No Spark expression exists;
+    unicodedata is stdlib."""
+    import unicodedata
+
+    return s.map(
+        lambda v: None if v is None else unicodedata.normalize("NFC", v)
+    )

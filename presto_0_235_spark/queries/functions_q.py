@@ -770,6 +770,7 @@ def fn_python_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_defaults(spark)
     from presto_0_235_spark.functions.udfs import (
         inverse_normal_cdf,
+        normalize_nfc,
         word_stem,
     )
 
@@ -782,5 +783,6 @@ def fn_python_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             inverse_normal_cdf(
                 F.lit(0.0), F.lit(1.0), (F.col("doc_id") + 1) / 25.0
             ).alias("z_score"),
+            normalize_nfc(F.col("lang")).alias("lang_nfc"),
         )
     )
