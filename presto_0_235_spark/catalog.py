@@ -110,7 +110,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
     Mirrors Presto's catalog.schema.table resolution: after this,
     ``spark.sql("SELECT ... FROM lineitem")`` resolves like a Presto
-    query against the tpch catalog.
+    query against the tpch catalog. Memoized per (session, sf_dir):
+    re-registering re-reads ten parquet footers, which dominates
+    sub-second SQL queries' build time.
     """
+    marker = "spark.graft.registeredViewsDir"
+    try:
+        if spark.conf.get(marker, "") == sf_dir:
+            return
+    except Exception:
+        pass
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+    try:
+        spark.conf.set(marker, sf_dir)
+    except Exception:
+        pass

@@ -263,11 +263,18 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q") > 300)
         .select("l_orderkey")
     )
+    # The >300-quantity order set is tiny at every SF — broadcast it
+    # into the semi join, and broadcast the resulting filtered orders
+    # into the lineitem join so the 600k-row fact side never
+    # shuffles (reference analog: REPLICATED distribution choice,
+    # DetermineJoinDistributionType).
+    filtered_orders = orders.join(
+        F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi"
+    ).join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
     return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.select("l_orderkey", "l_quantity")
         .join(
-            li.select("l_orderkey", "l_quantity"),
+            F.broadcast(filtered_orders),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .groupBy(
