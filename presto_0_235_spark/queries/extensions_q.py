@@ -750,3 +750,103 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _IVF_TOPK)
         .select("query_id", "vec_id", "score", "rnk")
     )
+
+
+_P_TOKS = tx.sql_ws_tokens("text")
+_P_SH2 = dd.sql_word_shingles("text", 2)
+_P_SIG2 = dd.sql_minhash_signature("sh")
+_P_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, {dd.sql_lsh_band_key('sig', b)} AS band_key FROM sig"
+    for b in range(dd.LSH_BANDS)
+)
+
+
+@register(
+    "pipeline_corpus_dedup",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang, {_P_TOKS} AS toks, {_P_SH2} AS sh,
+         md5({dd.sql_normalized_text('text')}) AS ckey
+  FROM documents
+  WHERE len({_P_TOKS}) >= 20
+    AND len(list_distinct({_P_TOKS})) / len({_P_TOKS}) >= 0.4
+),
+exact AS (
+  SELECT min(doc_id) AS doc_id FROM q GROUP BY ckey
+),
+kept AS (
+  SELECT q.* FROM q JOIN exact ON q.doc_id = exact.doc_id
+),
+sig AS (
+  SELECT doc_id, {_P_SIG2} AS sig FROM kept
+),
+bands AS (
+  {_P_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+neardup AS (
+  SELECT DISTINCT c.doc2
+  FROM cand c
+  JOIN kept d1 ON d1.doc_id = c.doc1
+  JOIN kept d2 ON d2.doc_id = c.doc2
+  WHERE {dd.sql_jaccard('d1.sh', 'd2.sh')} >= 0.08
+),
+final AS (
+  SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc2 FROM neardup)
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
+FROM final
+GROUP BY lang
+""",
+)
+def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation pipeline as ONE composed query:
+    quality filter (length + uniqueness) -> exact dedup (content-key
+    groupBy) -> MinHash-LSH near-dup candidates -> Jaccard verify ->
+    drop the younger twin -> per-language corpus stats. Every stage
+    is the operator proved individually elsewhere; this entry proves
+    they compose — the thing a 100 TB curation job actually runs.
+    Shuffle inventory: content-key agg, band join, two candidate
+    lookups, final group-by — all uniform keys."""
+    ensure_session_defaults(spark)
+    toks = tx.ws_tokens("text")
+    q = (
+        load_table(spark, sf_dir, "documents", spread=True)
+        .select(
+            "doc_id",
+            "lang",
+            toks.alias("toks"),
+            dd.word_shingles("text", 2).alias("sh"),
+            F.md5(dd.normalized_text("text")).alias("ckey"),
+        )
+        .filter(
+            (F.size("toks") >= 20)
+            & (F.size(F.array_distinct("toks")) / F.size("toks") >= 0.4)
+        )
+        .persist()
+    )
+    exact_keep = q.groupBy("ckey").agg(F.min("doc_id").alias("doc_id"))
+    kept = q.join(exact_keep, "doc_id").persist()
+    cand = dd.lsh_candidate_pairs(
+        kept.select("doc_id", "sh"), "doc_id", "sh"
+    )
+    d1 = kept.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
+    d2 = kept.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
+    neardup = (
+        cand.join(d1, "id1")
+        .join(d2, "id2")
+        .filter(dd.jaccard(F.col("sh1"), F.col("sh2")) >= 0.08)
+        .select(F.col("id2").alias("doc_id"))
+        .distinct()
+    )
+    final = kept.join(neardup, "doc_id", "left_anti")
+    return final.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).cast("bigint").alias("total_tokens"),
+    )
