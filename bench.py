@@ -41,6 +41,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality_score",
+    # Composed curation pipeline (quality -> exact dedup -> LSH).
+    "pipeline_corpus_dedup",
 ]
 
 

@@ -786,3 +786,54 @@ def fn_python_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             normalize_nfc(F.col("lang")).alias("lang_nfc"),
         )
     )
+
+
+@register(
+    "fn_scalar_helpers",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(trunc(l_extendedprice / 7) AS BIGINT) AS truncated,
+       chr(65 + (l_linenumber % 26)) AS letter,
+       ascii(chr(65 + (l_linenumber % 26))) AS code_roundtrip,
+       round(list_cosine_similarity(
+         [l_quantity, l_discount * 100, l_tax * 100],
+         [1.0, 2.0, 3.0]), 6) AS cos_sim,
+       CAST(epoch(l_shipdate) AS BIGINT) AS ship_epoch,
+       l_shipdate AS ship_roundtrip
+FROM lineitem WHERE l_orderkey < 200
+""",
+)
+def fn_scalar_helpers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining compat-layer scalars: truncate (toward zero),
+    chr/codepoint roundtrip, cosine_similarity on numeric vectors
+    (MathFunctions.java cosineSimilarity), to_unixtime/from_unixtime
+    roundtrip — every helper in functions/scalar.py is exercised by
+    some oracle-checked query."""
+    ensure_session_defaults(spark)
+    vec_a = F.array(
+        F.col("l_quantity"),
+        F.col("l_discount") * 100,
+        F.col("l_tax") * 100,
+    )
+    vec_b = F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0))
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 200)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            ps.truncate(F.col("l_extendedprice") / 7)
+            .cast("bigint")
+            .alias("truncated"),
+            ps.chr_(65 + (F.col("l_linenumber") % 26)).alias("letter"),
+            ps.codepoint(ps.chr_(65 + (F.col("l_linenumber") % 26)))
+            .cast("int")
+            .alias("code_roundtrip"),
+            F.round(ps.cosine_similarity_arrays(vec_a, vec_b), 6).alias(
+                "cos_sim"
+            ),
+            ps.to_unixtime("l_shipdate").cast("bigint").alias("ship_epoch"),
+            ps.from_unixtime_(ps.to_unixtime("l_shipdate").cast("bigint"))
+            .alias("ship_roundtrip"),
+        )
+    )

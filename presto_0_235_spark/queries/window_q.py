@@ -262,3 +262,50 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").over(w).alias("n_near"),
         )
     )
+
+
+@register(
+    "win_range_time_interval",
+    oracle="""
+SELECT event_id, user_id, ts,
+       count(*) OVER (
+         PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+         RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW
+       ) AS n_2h,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+         PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+         RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS sum_2h
+FROM events
+WHERE user_id < 30
+""",
+)
+def win_range_time_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-valued RANGE frame: trailing 2-hour window per user.
+    The reference analyzer REJECTS `RANGE k PRECEDING`
+    (StatementAnalyzer.java:1513-1515) — Spark's rangeBetween over
+    event-time seconds is strictly more general (SURVEY.md §2.5
+    note), so this entry documents the superset with an exact
+    oracle (both engines frame over the same truncated epoch
+    seconds — interval frames on full-precision timestamps would
+    disagree on sub-second boundary rows). Decimal hop: frame sums
+    are order-dependent doubles otherwise."""
+    ensure_session_defaults(spark)
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-7200, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_2h"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_2h"),
+    )
