@@ -850,3 +850,85 @@ def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.size("toks")).cast("bigint").alias("total_tokens"),
     )
+
+
+@register("ann_ivf_kmeans", oracle=None)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with trained centroids — the production variant of
+    ann_ivf_topk: k-means (pyspark.ml, fixed seed) learns the 8
+    coarse lists, candidates are assigned once, queries probe their
+    nearest list. Clustering is engine-specific -> rows-only gate;
+    tests/test_quality.py holds the recall floor for the sampled-
+    centroid twin with identical plan shape."""
+    ensure_session_defaults(spark)
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vec", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    cand = emb.filter(F.col("vec_id") >= 5)
+    model = KMeans(
+        k=8, seed=42, featuresCol="vec", predictionCol="list_id"
+    ).fit(cand.select("vec"))
+    cand_assigned = model.transform(cand).select(
+        "vec_id", F.col("embedding").alias("ev"), "list_id"
+    )
+    q_assigned = model.transform(emb.filter(F.col("vec_id") < 5)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "list_id",
+    )
+    scored = q_assigned.join(cand_assigned, "list_id").select(
+        "query_id",
+        "vec_id",
+        F.round(sim.cosine(F.col("qv"), F.col("ev")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "vec_id", "score", "rnk")
+    )
+
+
+@register(
+    "events_decode_csv_topic",
+    oracle="""
+WITH lines AS (
+  SELECT event_id,
+         event_type || ',' || CAST(user_id AS VARCHAR) || ','
+           || CAST(round(value, 4) AS VARCHAR) AS line
+  FROM events WHERE event_id < 500
+)
+SELECT event_id,
+       string_split(line, ',')[1] AS f_type,
+       CAST(string_split(line, ',')[2] AS BIGINT) AS f_user,
+       CAST(string_split(line, ',')[3] AS DOUBLE) AS f_value
+FROM lines
+""",
+)
+def events_decode_csv_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV message decoder for topic-as-table (reference
+    presto-record-decoder/.../csv): encode each event as a delimited
+    line (the raw message), then decode back into typed columns with
+    split + casts — round-trip through the decoder proves field
+    alignment and type coercion."""
+    ensure_session_defaults(spark)
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    line = F.concat_ws(
+        ",",
+        "event_type",
+        F.col("user_id").cast("string"),
+        F.round("value", 4).cast("string"),
+    )
+    parts = F.split(line, ",")
+    return events.select(
+        "event_id",
+        F.element_at(parts, 1).alias("f_type"),
+        F.element_at(parts, 2).cast("bigint").alias("f_user"),
+        F.element_at(parts, 3).cast("double").alias("f_value"),
+    )
