@@ -932,3 +932,89 @@ def events_decode_csv_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(parts, 2).cast("bigint").alias("f_user"),
         F.element_at(parts, 3).cast("double").alias("f_value"),
     )
+
+
+@register(
+    "mm_chunk_payload",
+    oracle="""
+WITH m AS (
+  -- DuckDB 1.0 cannot substring BLOBs; the fixture text is pure
+  -- ASCII (octet_length == length, checked), so chunking the VARCHAR
+  -- and measuring its bytes is exactly the binary chunking.
+  SELECT doc_id, text AS src FROM documents
+  WHERE doc_id < 100
+),
+idx AS (
+  SELECT doc_id, src,
+         unnest(generate_series(1,
+           CAST(ceil(octet_length(CAST(src AS BLOB)) / 64.0) AS BIGINT))) AS i
+  FROM m
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       octet_length(CAST(substring(src, CAST((i - 1) * 64 + 1 AS INT), 64)
+                         AS BLOB)) AS chunk_bytes
+FROM idx
+""",
+)
+def mm_chunk_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload chunking — the segmentation stage of an audio/video
+    pipeline: split each opaque binary payload into fixed 64-byte
+    windows WITH ORDINALITY, all JVM-side (binary substring), no
+    decode needed. At 100 TB this runs inside the scan stage; chunks
+    feed the Arrow decode stub downstream."""
+    ensure_session_defaults(spark)
+    media = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+    n_chunks = F.ceil(F.octet_length("payload") / 64.0)
+    return media.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(1), n_chunks)).alias("pos", "i"),
+        F.col("payload"),
+    ).select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_id"),
+        F.octet_length(
+            F.expr("substring(payload, (i - 1) * 64 + 1, 64)")
+        ).alias("chunk_bytes"),
+    )
+
+
+@register(
+    "text_ngram_freq",
+    oracle=f"""
+WITH grams AS (
+  SELECT lang, unnest({dd.sql_word_shingles('text', 2)}) AS gram
+  FROM documents
+),
+counts AS (
+  SELECT lang, gram, count(*) AS n FROM grams GROUP BY lang, gram
+)
+SELECT lang, gram, n, rnk FROM (
+  SELECT lang, gram, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS rnk
+  FROM counts
+) WHERE rnk <= 5
+""",
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: explode distinct bigram shingles,
+    count per (lang, gram), top-5 per lang. The
+    explode -> count -> group-limit shape that vocabulary/contamination
+    analyses run at corpus scale; shuffle keys are (lang, gram) —
+    high-cardinality, uniform."""
+    ensure_session_defaults(spark)
+    from pyspark.sql import Window
+
+    grams = load_table(spark, sf_dir, "documents").select(
+        "lang", F.explode(dd.word_shingles("text", 2)).alias("gram")
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("gram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "gram", "n", "rnk")
+    )
