@@ -229,3 +229,30 @@ def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_events_stream(spark, sf_dir)
     return run_to_batch(user_profile_stream(events), output_mode="update")
+
+
+@register(
+    "stream_static_enrich",
+    oracle=f"""
+SELECT c_mktsegment, count(*) AS n_events,
+       {oracle_dec_sum('value', 'sum_value')}
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming side is enriched against a
+    static dimension (the broadcast-dimension pattern for streams —
+    no state needed, the static side is just re-read per batch).
+    Aggregated per segment; bounded replay equals the batch join."""
+    from presto_0_235_spark.catalog import load_table as _lt
+
+    events = read_events_stream(spark, sf_dir)
+    cust = _lt(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = events.join(cust, events.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        dec_sum("value", "sum_value"),
+    )
+    return run_to_batch(agg, output_mode="complete")
