@@ -463,3 +463,67 @@ def agg_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ALL (merged)").alias("o_orderpriority"), "approx_distinct"
     )
     return per_group.unionByName(merged)
+
+
+@register(
+    "agg_map_union_multimap",
+    oracle="""
+WITH kv AS (
+  SELECT o_orderpriority AS grp, o_orderstatus AS k, o_orderkey AS v
+  FROM orders WHERE o_orderkey < 2000
+)
+SELECT grp,
+       array_to_string(list_sort(list_transform(
+         (SELECT list(DISTINCT k2) FROM (
+            SELECT k AS k2 FROM kv i WHERE i.grp = kv.grp) t),
+         x -> x)), ',') AS union_keys,
+       CAST((SELECT count(DISTINCT k3) FROM (
+          SELECT k AS k3 FROM kv i WHERE i.grp = kv.grp) t2) AS BIGINT)
+         AS n_keys,
+       CAST((SELECT min(v2) FROM (
+          SELECT v AS v2 FROM kv i WHERE i.grp = kv.grp AND i.k = 'O') t3)
+         AS BIGINT) AS first_open_key
+FROM kv
+GROUP BY grp
+""",
+)
+def agg_map_union_multimap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_union / multimap_agg (MapUnionAggregation.java,
+    multimapagg/) — merge per-row maps across a group. Spark
+    composition: entries -> groupBy -> map_from_entries(collect);
+    the engine really materializes the merged map and multimap, the
+    output flattens them into engine-independent scalars (sorted key
+    list, key count, min value under one key)."""
+    ensure_session_defaults(spark)
+    kv = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("o_orderstatus").alias("k"),
+            F.col("o_orderkey").alias("v"),
+        )
+    )
+    # multimap: key -> sorted value list; map_union keeps min value
+    # per key (deterministic merge rule mirrored in the oracle).
+    merged = (
+        kv.groupBy("grp", "k")
+        .agg(F.min("v").alias("minv"), F.sort_array(F.collect_list("v")).alias("vals"))
+        .groupBy("grp")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("k", "minv")))
+            ).alias("m"),
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("k", "vals")))
+            ).alias("mm"),
+        )
+    )
+    return merged.select(
+        "grp",
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("union_keys"),
+        F.size(F.map_keys("mm")).cast("bigint").alias("n_keys"),
+        F.element_at(F.col("m"), F.lit("O")).cast("bigint").alias(
+            "first_open_key"
+        ),
+    )
