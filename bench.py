@@ -43,6 +43,8 @@ HEADLINE = [
     "text_quality_score",
     # Composed curation pipeline (quality -> exact dedup -> LSH).
     "pipeline_corpus_dedup",
+    # Streaming replay (watermark + tumbling window over events).
+    "stream_tumbling_agg",
 ]
 
 

@@ -89,3 +89,51 @@ def test_hostile_session_repaired(spark, sf_dir, duck):
         assert_df_matches_oracle(df, duck, q.oracle)
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_empty_input_aggregates(spark, duck, sf_dir):
+    """Aggregates over empty inputs: COUNT=0 (one row), SUM/AVG=NULL —
+    the same on both engines (a classic differential trap)."""
+    from presto_0_235_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < -1)
+    row = li.agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").alias("s"),
+        F.avg("l_quantity").alias("a"),
+        F.max("l_quantity").alias("m"),
+    ).collect()[0]
+    drow = duck.execute(
+        "SELECT count(*), sum(l_quantity), avg(l_quantity), max(l_quantity) "
+        "FROM lineitem WHERE l_quantity < -1"
+    ).fetchall()[0]
+    assert (row.n, row.s, row.a, row.m) == drow == (0, None, None, None)
+
+
+def test_empty_group_by_no_rows(spark, sf_dir):
+    """GROUP BY over empty input yields zero rows (not a NULL row)."""
+    from presto_0_235_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < -1)
+    assert li.groupBy("l_returnflag").count().count() == 0
+
+
+def test_bigint_overflow_raises(spark):
+    """ANSI overflow discipline matches Presto's checked arithmetic
+    (reference MAIN/type/BigintOperators.java raises on overflow)."""
+    with pytest.raises(Exception, match="(?i)overflow"):
+        _eval(spark, "CAST(9223372036854775807 AS BIGINT) + CAST(1 AS BIGINT)")
+
+
+def test_analyze_table_stats(spark, sf_dir):
+    """ANALYZE TABLE (StatisticsWriterOperator analog): computed
+    statistics land in the catalog and are visible to the planner."""
+    from presto_0_235_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "path", "/tmp/presto_0_235_spark_io/stats_nation"
+    ).saveAsTable("nation_stats_demo")
+    spark.sql("ANALYZE TABLE nation_stats_demo COMPUTE STATISTICS")
+    detail = spark.sql("DESCRIBE EXTENDED nation_stats_demo").collect()
+    stats = [r for r in detail if r.col_name == "Statistics"]
+    assert stats and "rows" in stats[0].data_type
