@@ -95,3 +95,81 @@ def hll_cardinality(registers: DataFrame, keys: list[str]) -> DataFrame:
     return agg.select(
         *keys, F.round(estimate).cast("bigint").alias("approx_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (qdigest/tdigest interop analog,
+# reference SPI/type/QuantileDigestType.java, TDigestType.java,
+# QuantileDigestAggregationFunction.java). Fixed-bin histogram state:
+# coarser than a true qdigest but carries the property that matters —
+# the state is mergeable data rows — while staying integer-exact, so
+# unlike HLL the whole pipeline (state, merge, estimate) can be
+# differentially verified against SQL, not just bound-tested.
+
+QH_BINS = 256
+
+
+def qhist_registers(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = QH_BINS,
+) -> DataFrame:
+    """Quantile-sketch state: per-key histogram rows (bin, n).
+    One shuffle with map-side partial counts; <= bins rows per key."""
+    x = F.col(col)
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((x - F.lit(lo)) / F.lit(hi - lo) * bins).cast("int"),
+        ),
+    )
+    return (
+        df.select(*keys, b.alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def qhist_merge(registers: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge sketches onto a coarser key set: sum counts per bin —
+    associative/commutative/exact."""
+    return registers.groupBy(*keys, "bin").agg(F.sum("n").alias("n"))
+
+
+def qhist_quantile(
+    registers: DataFrame,
+    keys: list[str],
+    q: float,
+    lo: float,
+    hi: float,
+    bins: int = QH_BINS,
+) -> DataFrame:
+    """Estimate the q-quantile from the histogram state: the midpoint
+    of the first bin whose cumulative count reaches ceil(q * total).
+    Integer thresholds -> engine-exact."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*keys)
+    width = (hi - lo) / bins
+    cum = registers.withColumn("cumn", F.sum("n").over(w_cum)).withColumn(
+        "total", F.sum("n").over(w_tot)
+    )
+    hit = cum.filter(
+        F.col("cumn") >= F.ceil(F.lit(q) * F.col("total"))
+    )
+    first_bin = hit.groupBy(*keys).agg(F.min("bin").alias("qbin"))
+    return first_bin.select(
+        *keys,
+        (F.lit(lo) + (F.col("qbin") + 0.5) * F.lit(width)).alias(
+            f"q{int(q * 100)}"
+        ),
+    )

@@ -527,3 +527,55 @@ def agg_map_union_multimap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_open_key"
         ),
     )
+
+
+_QH_LO, _QH_HI, _QH_BINS = 0.0, 400000.0, 256
+_QH_W = (_QH_HI - _QH_LO) / _QH_BINS
+
+
+@register(
+    "agg_quantile_sketch",
+    oracle=f"""
+WITH regs AS (
+  SELECT o_orderpriority AS grp,
+         least({_QH_BINS - 1}, greatest(0,
+           CAST(floor((o_totalprice - {_QH_LO}) / {_QH_HI - _QH_LO}
+                      * {_QH_BINS}) AS INT))) AS bin,
+         count(*) AS n
+  FROM orders
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, bin, n,
+         sum(n) OVER (PARTITION BY grp ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cumn,
+         sum(n) OVER (PARTITION BY grp) AS total
+  FROM regs
+)
+SELECT grp,
+       {_QH_LO} + (min(CASE WHEN cumn >= ceil(0.5 * total) THEN bin END)
+                   + 0.5) * {_QH_W} AS q50,
+       {_QH_LO} + (min(CASE WHEN cumn >= ceil(0.9 * total) THEN bin END)
+                   + 0.5) * {_QH_W} AS q90
+FROM cum
+GROUP BY grp
+""",
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (qdigest/tdigest interop analog —
+    operators/sketches.py qhist_*): histogram state as rows, quantile
+    estimates from cumulative bins. Integer-exact end to end, so the
+    differential gate verifies the *sketch pipeline itself*, which
+    the reference can only unit-test."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.operators import sketches as sk
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), "o_totalprice"
+    )
+    regs = sk.qhist_registers(
+        orders, ["grp"], "o_totalprice", _QH_LO, _QH_HI, _QH_BINS
+    )
+    q50 = sk.qhist_quantile(regs, ["grp"], 0.5, _QH_LO, _QH_HI, _QH_BINS)
+    q90 = sk.qhist_quantile(regs, ["grp"], 0.9, _QH_LO, _QH_HI, _QH_BINS)
+    return q50.join(q90, "grp")

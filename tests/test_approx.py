@@ -65,3 +65,58 @@ def test_hll_merge_equals_direct(spark, sf_dir):
         sk.hll_registers(orders, [], "o_custkey"), []
     )
     assert merged.collect()[0][0] == direct.collect()[0][0]
+
+
+def test_qhist_merge_equals_direct(spark, sf_dir):
+    """Quantile-sketch merge property: merging per-group histogram
+    states equals the histogram built directly on the union — exact
+    (integer counts), like the HLL merge test."""
+    from presto_0_235_spark.operators import sketches as sk
+
+    orders = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS grp", "o_totalprice"
+    )
+    per = sk.qhist_registers(orders, ["grp"], "o_totalprice", 0.0, 400000.0)
+    merged = sk.qhist_merge(per, []).orderBy("bin").collect()
+    direct = (
+        sk.qhist_registers(orders, [], "o_totalprice", 0.0, 400000.0)
+        .orderBy("bin")
+        .collect()
+    )
+    assert [(r.bin, r.n) for r in merged] == [(r.bin, r.n) for r in direct]
+
+
+def test_qhist_quantile_accuracy(spark, sf_dir):
+    """Sketch quantile within one bin width of the exact quantile."""
+    from presto_0_235_spark.operators import sketches as sk
+
+    orders = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS grp", "o_totalprice"
+    )
+    regs = sk.qhist_registers(orders, ["grp"], "o_totalprice", 0.0, 400000.0)
+    est = {
+        r.grp: r.q50
+        for r in sk.qhist_quantile(regs, ["grp"], 0.5, 0.0, 400000.0).collect()
+    }
+    # Compare against the DISCRETE quantile (value at rank
+    # ceil(q*n)) — the definition the histogram sketch estimates;
+    # interpolated percentile() can sit in a data gap wider than a
+    # bin on sparse groups.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("o_totalprice")
+    wn = Window.partitionBy("grp")
+    ranked = orders.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    exact = {
+        r.grp: r.ex
+        for r in ranked.filter(
+            F.col("rk") == F.ceil(0.5 * F.col("n"))
+        )
+        .selectExpr("grp", "o_totalprice AS ex")
+        .collect()
+    }
+    bin_width = 400000.0 / sk.QH_BINS
+    for grp, ex in exact.items():
+        assert abs(est[grp] - ex) <= bin_width, (grp, est[grp], ex)
