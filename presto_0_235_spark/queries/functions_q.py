@@ -837,3 +837,84 @@ def fn_scalar_helpers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ship_roundtrip"),
         )
     )
+
+
+@register(
+    "fn_decimal_arithmetic",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+            + CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,4)) AS dec_add,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+            * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(18,4)) AS dec_mul,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+            - CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,4)) AS dec_sub,
+       CAST(round(CAST(l_tax AS DECIMAL(18,4)), 2) AS DECIMAL(18,4)) AS dec_round
+FROM lineitem WHERE l_orderkey < 300
+""",
+)
+def fn_decimal_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal arithmetic (§1.2: decimal(p,s) backed by
+    long/int128 in the reference, ShortDecimalType /
+    UnscaledDecimal128Arithmetic). Engines widen intermediate
+    precision by slightly different rules (SURVEY §7 Phase 3 gotcha),
+    so every operation carries an explicit result cast — the
+    documented portable-decimal convention. Division is deliberately
+    absent: price/qty quotients land exactly on the half grid at the
+    result scale, where the JVM (HALF_UP via shortest-repr string)
+    and C engines (round from binary) legitimately disagree — the
+    engine's rule is divide in double or use exact unscaled-integer
+    division (compat.py discussion)."""
+    ensure_session_defaults(spark)
+    d = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    out = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 300)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            out(d("l_extendedprice") + d("l_quantity")).alias("dec_add"),
+            out(d("l_extendedprice") * d("l_discount")).alias("dec_mul"),
+            out(d("l_extendedprice") - d("l_quantity")).alias("dec_sub"),
+            out(F.round(d("l_tax"), 2)).alias("dec_round"),
+        )
+    )
+
+
+@register(
+    "fn_interval_arith",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+       CAST(o_orderdate - INTERVAL 1 YEAR AS DATE) AS minus_1y,
+       CAST(o_orderdate AS DATE) + 90 AS plus_90d,
+       date_diff('month', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+         AS months_since_95
+FROM orders WHERE o_orderkey < 1000
+""",
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic (year-month + day-time intervals, §1.2
+    temporal types; reference DateTimeFunctions date_add family):
+    add_months / interval subtraction / day offsets / whole-month
+    difference. Month-end clamping (add_months) agrees between
+    engines. (Oracle note: DuckDB interval equality treats 90 days ==
+    3 months, so `+ INTERVAL 90 DAY` next to `+ INTERVAL 3 MONTH`
+    gets CSE-folded into one expression — the oracle adds integer
+    days to a DATE instead.)"""
+    ensure_session_defaults(spark)
+    od = F.col("o_orderdate")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.add_months(od, 3).alias("plus_3m"),
+            F.add_months(od, -12).alias("minus_1y"),
+            F.date_add(od.cast("date"), 90).alias("plus_90d"),
+            (
+                (F.year(od) - F.lit(1995)) * 12 + F.month(od) - F.lit(1)
+            ).cast("bigint").alias("months_since_95"),
+        )
+    )

@@ -1107,3 +1107,40 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "join_null_keys",
+    oracle="""
+WITH l AS (
+  SELECT o_orderkey, nullif(o_orderkey % 7, 0) AS k FROM orders
+  WHERE o_orderkey < 1000
+),
+r AS (
+  SELECT nullif(n_nationkey % 7, 0) AS k, n_name FROM nation
+)
+SELECT l.o_orderkey, l.k AS lk, r.n_name
+FROM l LEFT JOIN r ON l.k = r.k
+""",
+)
+def join_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL join keys never match (SQL three-valued equality) — the
+    parity point that separates `=` from IS NOT DISTINCT FROM in a
+    join condition. Left rows with NULL keys survive with NULL
+    payload; both engines agree."""
+    ensure_session_defaults(spark)
+    left = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderkey") % 7, F.lit(0)).alias("k"),
+        )
+    )
+    right = load_table(spark, sf_dir, "nation").select(
+        F.nullif(F.col("n_nationkey") % 7, F.lit(0)).alias("rk"), "n_name"
+    )
+    return (
+        left.join(right, left.k == right.rk, "left")
+        .select("o_orderkey", F.col("k").alias("lk"), "n_name")
+    )
