@@ -266,3 +266,63 @@ def sql_simhash_chunk(fp: str, chunk: int, bits: int = SIMHASH_BITS,
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two long fingerprints."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over an undirected edge list (id1, id2):
+    iterative min-label propagation — each vertex takes the minimum
+    label among itself and its neighbors until fixpoint.
+
+    This is the clustering step real dedup needs after candidate
+    pairs: a near-dup *cluster* keeps one representative (the min
+    id), not pairwise survivors. Iteration is driver-controlled
+    (Spark has no recursive CTE); each round is one join + one
+    aggregate, and the loop exits on convergence — the iterative-
+    algorithm escape hatch the task calls out, kept fully
+    distributed (labels never collect()).
+
+    Scale: rounds needed = graph diameter (near-dup clusters are
+    shallow, typically <= 3-4); each round shuffles O(edges). For
+    web-scale graphs swap in the large-star/small-star variant —
+    same loop skeleton.
+    """
+    both = edges.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    )
+    labels = (
+        both.select(F.col("src").alias("vertex"))
+        .distinct()
+        .withColumn("label", F.col("vertex"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            both.join(labels, both.dst == labels.vertex)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.vertex == neighbor_min.src, "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1018,3 +1018,61 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("lang", "gram", "n", "rnk")
     )
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents
+),
+sig AS (
+  SELECT doc_id, {_SIG} AS sig FROM d
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+edges AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT id1 AS src, id2 AS dst FROM edges
+  UNION ALL SELECT id2, id1 FROM edges
+),
+walk(doc, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.doc
+),
+cc AS (
+  SELECT doc, min(label) AS cluster FROM walk GROUP BY doc
+)
+SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size,
+       CAST(min(doc) AS BIGINT) AS representative
+FROM cc
+GROUP BY cluster
+""".replace("walk(doc, label) AS (", "walk(doc, label) AS ("),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the LSH
+    candidate-pair graph (operators/dedup.py connected_components —
+    iterative min-label propagation, driver-controlled loop,
+    fully-distributed rounds). The oracle replays it with a
+    RECURSIVE CTE — the reference has neither (0.235 CTEs are
+    non-recursive, SURVEY §2.8), making this a beyond-reference
+    iterative-algorithm entry that is still exactly verified."""
+    ensure_session_defaults(spark)
+    d = (
+        load_table(spark, sf_dir, "documents", spread=True)
+        .select("doc_id", dd.word_shingles("text").alias("sh"))
+        .persist()
+    )
+    edges = dd.lsh_candidate_pairs(d, "doc_id", "sh")
+    labels = dd.connected_components(edges)
+    return labels.groupBy(F.col("label").alias("cluster")).agg(
+        F.count("*").cast("bigint").alias("cluster_size"),
+        F.min("vertex").cast("bigint").alias("representative"),
+    )
