@@ -40,11 +40,12 @@ def oracle_portable_hash64(expr: str) -> str:
 
 
 def checksum_agg(col: Column | str, alias: str) -> Column:
-    """Order-independent content checksum: sum of row hashes
-    (Presto checksum() xors row hashes — sum is equally
-    order-independent and exactly portable in int64 wraparound-free
-    range; 60-bit hashes over <2^13 rows stay within int64)."""
-    return F.sum(portable_hash64(col)).alias(alias)
+    """Order-independent content checksum: xor of row hashes, exactly
+    Presto checksum()'s combine rule (ChecksumAggregationFunction.java
+    xors row hashes) — order-independent and overflow-free at any row
+    count (a sum of 60-bit hashes would overflow int64 after ~16 rows
+    and raise under the session's ANSI mode)."""
+    return F.bit_xor(portable_hash64(col)).alias(alias)
 
 
 def geometric_mean(col: Column | str, alias: str) -> Column:

@@ -18,10 +18,15 @@ surface in pure DataFrame ops, no UDAF, no Python:
   - hll_cardinality(registers, keys): the LogLog-β-free standard
     estimator with small-range correction — this IS cardinality(hll).
 
-Determinism: xxhash64 is a fixed function, max() is order-independent,
-so the register table — and therefore the estimate — is bit-identical
-on any cluster layout: a sketch aggregate that still hash-matches a
-stored expected value at 1000 executors.
+Determinism: the row hash is the portable 60-bit md5 hash
+(functions/aggregate.portable_hash64 — identical on any engine with
+md5), rho comes from exact integer bit-length (length(bin(w)), no
+floating point), and max()/sum() are order-independent — so the
+register table AND the estimate are bit-identical on any cluster
+layout and replayable in plain SQL on another engine (the
+agg_hll_mergeable_sketch oracle replays the whole pipeline in
+DuckDB). Swap portable_hash64 for F.xxhash64 when no cross-engine
+diff is needed and hash throughput matters.
 
 Scale: one shuffle on (keys, register_idx) with map-side partial max
 (2^P * |groups| rows max, P=11 -> 2048 registers/group); merge and
@@ -42,18 +47,23 @@ HLL_M = 1 << HLL_P
 HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 
 
+HASH_BITS = 60  # portable_hash64 yields 60 usable bits
+RHO_WIDTH = HASH_BITS - HLL_P  # bits feeding the rank
+
+
 def _register_and_rho(col: Column) -> tuple[Column, Column]:
     """(register index, rank) for one value: index = low P bits of the
-    64-bit hash; rank = leading-zero count of the remaining 64-P bits
-    (computed exactly via floor(log2): the 53-bit operand fits a
-    double losslessly) + 1."""
-    h = F.xxhash64(col)
+    portable 60-bit hash; rank = leading-zero count of the remaining
+    bits + 1, computed as RHO_WIDTH + 1 - bitlength(w) via the binary
+    string length — exact integer arithmetic, no libm, so any engine
+    reproduces it bit-for-bit."""
+    from presto_0_235_spark.functions.aggregate import portable_hash64
+
+    h = portable_hash64(col.cast("string"))
     idx = F.pmod(h, F.lit(HLL_M)).cast("int")
-    # Remaining bits as a non-negative 53-bit value.
-    w = F.pmod(F.shiftrightunsigned(h, HLL_P), F.lit(1 << 53))
-    width = 64 - HLL_P
-    rho = F.when(w == 0, F.lit(width + 1)).otherwise(
-        F.lit(width) - F.floor(F.log2(w.cast("double"))).cast("int")
+    w = F.shiftrightunsigned(h, HLL_P)  # h >= 0: exact floor-div by m
+    rho = F.when(w == 0, F.lit(RHO_WIDTH + 1)).otherwise(
+        F.lit(RHO_WIDTH + 1) - F.length(F.bin(w)).cast("int")
     )
     return idx, rho.cast("int")
 
@@ -79,16 +89,23 @@ def hll_merge(registers: DataFrame, keys: list[str]) -> DataFrame:
 
 def hll_cardinality(registers: DataFrame, keys: list[str]) -> DataFrame:
     """cardinality(HLL): alpha*m^2 / (zeros + sum 2^-rho), with the
-    standard linear-counting correction when the estimate is small."""
+    standard linear-counting correction when the estimate is small.
+
+    sum 2^-rho is accumulated as the exact integer sum of
+    2^(RHO_WIDTH+1-rho) (order-independent, overflow-free: <= m *
+    2^RHO_WIDTH = 2^60), scaled back to double once — so the estimate
+    is identical on every engine and cluster layout."""
+    scale = RHO_WIDTH + 1  # max rho; 2^(scale-rho) is a bigint
     agg = registers.groupBy(*keys).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("inv_sum"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {scale} - max_rho)")
+        ).alias("inv_scaled"),
         F.count("*").alias("nonzero"),
     )
-    zeros = F.lit(HLL_M) - F.col("nonzero")
-    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (
-        F.col("inv_sum") + zeros.cast("double")
-    )
-    linear = F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / zeros.cast("double"))
+    zeros = (F.lit(HLL_M) - F.col("nonzero")).cast("double")
+    inv_sum = F.col("inv_scaled").cast("double") / F.lit(float(1 << scale))
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (inv_sum + zeros)
+    linear = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros)
     estimate = F.when(
         (raw <= 2.5 * HLL_M) & (zeros > 0), linear
     ).otherwise(raw)

@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 
 from presto_0_235_spark.catalog import load_table
 from presto_0_235_spark.functions.aggregate import (
-    checksum_agg,
     entropy_of_counts,
     geometric_mean,
     map_agg,
@@ -244,7 +243,7 @@ def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_count_if",
     oracle="""
 SELECT l_linestatus,
-       count_if(l_discount > 0.05) AS n_discounted,
+       CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
        CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_bulk
 FROM lineitem
@@ -299,9 +298,11 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     and approx_percentile (qdigest/tdigest) — sketch outputs are
     engine-specific, so this is a rows-only entry; the exact twins
     (agg_global count distinct, agg_percentiles_exact) carry the
-    oracle check. Accuracy itself is asserted in tests/test_approx.py."""
+    oracle check. Accuracy itself is asserted in tests/test_approx.py.
+    The percentile sketch output is projected to scalar columns so the
+    result is hashable by any downstream canonicalizer."""
     ensure_session_defaults(spark)
-    return (
+    agged = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
@@ -312,6 +313,13 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "l_extendedprice", [0.25, 0.5, 0.75], 10000
             ).alias("approx_pcts"),
         )
+    )
+    return agged.select(
+        "l_returnflag",
+        "approx_orders",
+        F.col("approx_pcts")[0].alias("approx_p25"),
+        F.col("approx_pcts")[1].alias("approx_p50"),
+        F.col("approx_pcts")[2].alias("approx_p75"),
     )
 
 
@@ -429,19 +437,85 @@ def agg_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_arbitrary", oracle=None)
+@register(
+    "agg_arbitrary",
+    oracle="""
+SELECT o_orderstatus, TRUE AS picked_is_member
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
 def agg_arbitrary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """arbitrary(x) (ArbitraryAggregationFunction.java) — any value
-    from the group; inherently nondeterministic -> rows-only check."""
+    from the group. The picked value is nondeterministic, so the
+    oracle checks the deterministic contract instead: every group
+    yields exactly one row whose pick IS a member of the group
+    (semi-join back against the group's values). A non-member or a
+    missing group drops the row -> row-count/hash mismatch."""
     ensure_session_defaults(spark)
-    return (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(F.any_value("o_orderpriority").alias("some_priority"))
+    orders = load_table(spark, sf_dir, "orders")
+    picked = orders.groupBy("o_orderstatus").agg(
+        F.any_value("o_orderpriority").alias("some_priority")
+    )
+    members = orders.select(
+        "o_orderstatus", F.col("o_orderpriority").alias("some_priority")
+    ).distinct()
+    return picked.join(
+        members, ["o_orderstatus", "some_priority"], "left_semi"
+    ).select("o_orderstatus", F.lit(True).alias("picked_is_member"))
+
+
+def _hll_oracle() -> str:
+    """DuckDB replay of the whole HLL pipeline (hash -> registers ->
+    merge -> estimate), exact because operators/sketches.py keeps the
+    state path in integer arithmetic and the portable md5 hash."""
+    from presto_0_235_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        RHO_WIDTH,
     )
 
+    scale = RHO_WIDTH + 1
+    return f"""
+WITH h AS (
+  SELECT o_orderpriority AS grp,
+         CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM orders
+), rr AS (
+  SELECT grp, hv % {HLL_M} AS reg_idx,
+         CASE WHEN hv // {HLL_M} = 0 THEN {scale}
+              ELSE {scale} - length(bin(hv // {HLL_M})) END AS rho
+  FROM h
+), regs AS (
+  SELECT grp, reg_idx, max(rho) AS max_rho FROM rr GROUP BY grp, reg_idx
+), sketches AS (
+  SELECT grp, reg_idx, max_rho FROM regs
+  UNION ALL
+  SELECT 'ALL (merged)' AS grp, reg_idx, max(max_rho) AS max_rho
+  FROM regs GROUP BY reg_idx
+), agg AS (
+  SELECT grp,
+         sum(1::BIGINT << ({scale} - max_rho)) AS inv_scaled,
+         count(*) AS nonzero
+  FROM sketches GROUP BY grp
+), est AS (
+  SELECT grp,
+         {HLL_ALPHA * HLL_M * HLL_M!r}
+           / (CAST(inv_scaled AS DOUBLE) / {float(1 << scale)!r}
+              + CAST({HLL_M} - nonzero AS DOUBLE)) AS raw,
+         CAST({HLL_M} - nonzero AS DOUBLE) AS zeros
+  FROM agg
+)
+SELECT grp AS o_orderpriority,
+       CAST(round(CASE WHEN raw <= {2.5 * HLL_M!r} AND zeros > 0
+                       THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / zeros)
+                       ELSE raw END) AS BIGINT) AS approx_distinct
+FROM est
+"""
 
-@register("agg_hll_mergeable_sketch", oracle=None)
+
+@register("agg_hll_mergeable_sketch", oracle=_hll_oracle())
 def agg_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_set / merge(HLL) / cardinality(HLL) restored as a
     mergeable sketch (reference HyperLogLogType,
@@ -450,8 +524,9 @@ def agg_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per-priority distinct-customer estimates PLUS the global
     estimate produced by MERGING the per-priority sketches (not
     rescanning) — the operation Spark's approx_count_distinct cannot
-    express. Deterministic (xxhash64 + max), but engine-specific ->
-    rows-only gate; tests/test_approx.py asserts the error bound and
+    express. The portable-hash + integer-exact state path makes the
+    whole pipeline replayable in DuckDB (oracle above);
+    tests/test_approx.py additionally asserts the error bound and
     that merge(sketches) == direct global sketch exactly."""
     ensure_session_defaults(spark)
     from presto_0_235_spark.operators import sketches as sk
@@ -553,10 +628,10 @@ cum AS (
   FROM regs
 )
 SELECT grp,
-       {_QH_LO} + (min(CASE WHEN cumn >= ceil(0.5 * total) THEN bin END)
-                   + 0.5) * {_QH_W} AS q50,
-       {_QH_LO} + (min(CASE WHEN cumn >= ceil(0.9 * total) THEN bin END)
-                   + 0.5) * {_QH_W} AS q90
+       CAST({_QH_LO} + (min(CASE WHEN cumn >= ceil(0.5 * total) THEN bin END)
+                   + 0.5) * {_QH_W} AS DOUBLE) AS q50,
+       CAST({_QH_LO} + (min(CASE WHEN cumn >= ceil(0.9 * total) THEN bin END)
+                   + 0.5) * {_QH_W} AS DOUBLE) AS q90
 FROM cum
 GROUP BY grp
 """,

@@ -559,19 +559,51 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.resize_plan(media)
 
 
-@register("mm_decode_stub", oracle=None)
+@register(
+    "mm_decode_stub",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'png'
+            WHEN doc_id % 3 = 1 THEN 'jpeg'
+            ELSE 'webp' END AS fmt,
+       CAST((doc_id % 16 + 1) * 64 AS INT) AS width,
+       CAST((doc_id % 9 + 1) * 64 AS INT) AS height,
+       CAST((doc_id % 16 + 1) * 64 AS BIGINT)
+         * CAST((doc_id % 9 + 1) * 64 AS BIGINT) AS n_pixels,
+       CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT)
+         / 4294967296.0 AS mean_luma,
+       CAST(len(range(0, CAST(n_chars % 30 + 1 AS INT), 7)) AS INT)
+         AS n_sampled,
+       array_to_string(range(0, CAST(n_chars % 30 + 1 AS INT), 7), ',')
+         AS frames_csv
+FROM documents WHERE doc_id < 100
+""",
+)
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract/frame-sample via Arrow-batched
     mapInPandas. The codec call is a deterministic STUB (no image
-    libs in this container — operators/multimodal.py:_stub_decode);
-    the schema contract, Arrow batching, and partition behavior are
-    the production plumbing. Rows-only check (no SQL equivalent of
-    mapInPandas)."""
+    libs in this container — operators/multimodal.py:_stub_decode:
+    sha256-derived 'luma'), which makes the whole mapInPandas stage
+    replayable in SQL — the oracle recomputes payload digests and
+    frame-sample indices in DuckDB. The frame list is projected to
+    (count, csv) so the output is scalar-typed end to end."""
     ensure_session_defaults(spark)
     media = mm.as_media_table(
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     )
-    return mm.decode_media(media)
+    decoded = mm.decode_media(media)
+    return decoded.select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        "n_pixels",
+        "mean_luma",
+        F.size("sampled_frames").cast("int").alias("n_sampled"),
+        F.array_join(
+            F.col("sampled_frames").cast("array<string>"), ","
+        ).alias("frames_csv"),
+    )
 
 
 @register(
@@ -852,14 +884,24 @@ def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_kmeans", oracle=None)
+@register(
+    "ann_ivf_kmeans",
+    oracle="""
+SELECT 'recall_at_5' AS metric,
+       CAST(5 AS BIGINT) AS n_queries,
+       TRUE AS meets_floor
+""",
+)
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with trained centroids — the production variant of
     ann_ivf_topk: k-means (pyspark.ml, fixed seed) learns the 8
     coarse lists, candidates are assigned once, queries probe their
-    nearest list. Clustering is engine-specific -> rows-only gate;
-    tests/test_quality.py holds the recall floor for the sampled-
-    centroid twin with identical plan shape."""
+    nearest list. The clustering itself is engine-specific, so the
+    checkable output is the quality contract: the IVF top-k is
+    compared against the exact brute-force top-k inside the query and
+    one metric row asserts the recall floor (0.2, the same floor
+    tests/test_quality.py holds for the sampled-centroid twin). A
+    recall regression flips meets_floor -> hash mismatch."""
     ensure_session_defaults(spark)
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -888,10 +930,50 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id")
     )
-    return (
+    ivf_hits = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
-        .select("query_id", "vec_id", "score", "rnk")
+        .select("query_id", "vec_id")
+    )
+    # Exact brute-force top-5 per query (same ranking rule), the
+    # ground truth for recall.
+    exact = (
+        emb.filter(F.col("vec_id") >= 5)
+        .select("vec_id", F.col("embedding").alias("ev"))
+        .crossJoin(
+            F.broadcast(
+                emb.filter(F.col("vec_id") < 5).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qv"),
+                )
+            )
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(sim.cosine(F.col("qv"), F.col("ev")), 6).alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "vec_id")
+    )
+    per_query = (
+        exact.join(
+            ivf_hits.withColumn("hit", F.lit(1)),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / 5.0).alias(
+                "recall"
+            )
+        )
+    )
+    return per_query.agg(
+        F.lit("recall_at_5").alias("metric"),
+        F.count("*").alias("n_queries"),
+        (F.avg("recall") >= 0.2).alias("meets_floor"),
     )
 
 

@@ -194,8 +194,8 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey, l_linenumber,
        abs(-l_quantity) AS abs_qty,
-       ceil(l_extendedprice / 1000) AS price_k_ceil,
-       floor(l_extendedprice / 1000) AS price_k_floor,
+       CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+       CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
        round(l_discount * 100, 1) AS disc_pct,
        CAST(sign(l_quantity - 25) AS DOUBLE) AS side,
        mod(l_orderkey, 7) AS m7,

@@ -120,7 +120,7 @@ def filter_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "values_inline",
     oracle="""
-SELECT id, name, score FROM (
+SELECT id, name, CAST(score AS DOUBLE) AS score FROM (
   VALUES (1, 'alpha', 9.5), (2, 'beta', 7.25), (3, 'gamma', NULL)
 ) AS t(id, name, score)
 """,

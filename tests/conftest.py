@@ -54,17 +54,26 @@ def duck():
 
 
 def _canon(value):
-    """Canonicalize one cell so Spark and DuckDB values compare equal."""
+    """Canonicalize one cell so Spark and DuckDB values compare equal.
+
+    Type-STRICT on numerics (kind tags): int 3, float 3.0, and
+    Decimal('3') are all different — Python's cross-type equality
+    (3 == 3.0) would otherwise mask oracle typing bugs that the
+    driver's dtype-aware hash gate flags (e.g. DuckDB count_if
+    float64 vs Spark bigint). A mistyped oracle must fail HERE first.
+    """
     if value is None:
         return None
     if isinstance(value, bool):
-        return value
+        return ("bool", value)
+    if isinstance(value, int):
+        return ("int", value)
     if isinstance(value, decimal.Decimal):
-        return float(value)
+        return ("dec", str(value.normalize()))
     if isinstance(value, float):
         if math.isnan(value):
-            return "NaN"
-        return value
+            return ("float", "NaN")
+        return ("float", value)
     if isinstance(value, datetime.datetime):
         return value.replace(tzinfo=None).isoformat()
     if isinstance(value, datetime.date):
