@@ -140,15 +140,21 @@ def date_add_unit(unit: str, n: int | Column, ts: Column | str) -> Column:
 
 
 def date_diff_unit(unit: str, start: Column | str, end: Column | str) -> Column:
-    """Presto date_diff('day', a, b) = b - a in whole units."""
+    """Presto date_diff('day', a, b) = b - a in whole ELAPSED units
+    (Joda monthsBetween/yearsBetween in DateTimeFunctions.java):
+    truncation toward zero, not calendar-field difference — e.g.
+    date_diff('year', '2020-12-31', '2021-01-01') = 0, and
+    date_diff('month', a, b) = 0 for any |b - a| under one whole
+    month, whichever side of zero."""
     s, e = _c(start), _c(end)
     unit = unit.lower()
     if unit == "day":
         return F.datediff(e.cast("date"), s.cast("date")).cast("bigint")
     if unit == "month":
-        return F.floor(F.months_between(e, s)).cast("bigint")
+        # cast double->int truncates toward zero (unlike floor).
+        return F.months_between(e, s).cast("int").cast("bigint")
     if unit == "year":
-        return (F.year(e) - F.year(s)).cast("bigint")
+        return (F.months_between(e, s) / 12).cast("int").cast("bigint")
     if unit in _UNIT_SECONDS:
         return (
             (F.unix_timestamp(e) - F.unix_timestamp(s))

@@ -89,10 +89,22 @@ def null_aware_not_in(
     expresses the same semantics in DataFrame form.
     """
     has_null = right.filter(F.col(right_key).isNull()).limit(1)
-    clean = right.filter(F.col(right_key).isNotNull()).select(right_key)
+    non_empty = right.limit(1).select(F.lit(1).alias("__any_flag"))
+    # Internal rename keeps the anti-join condition unambiguous even
+    # when probe and build share the column name.
+    clean = right.filter(F.col(right_key).isNotNull()).select(
+        F.col(right_key).alias("__nin_key")
+    )
     return (
-        left.filter(F.col(left_key).isNotNull())
-        .join(clean, F.col(left_key) == F.col(right_key), "left_anti")
+        # NULL probe keys never qualify — EXCEPT against an empty
+        # build side, where NOT IN is vacuously TRUE for every row
+        # (Spark's NullAwareAntiJoin applies the same special case).
+        left.join(F.broadcast(non_empty), how="left")
+        .filter(F.col(left_key).isNotNull() | F.col("__any_flag").isNull())
+        .drop("__any_flag")
+        # NULL-keyed probe rows fall through the anti join untouched
+        # (NULL == k is never true), which is exactly right here.
+        .join(clean, F.col(left_key) == F.col("__nin_key"), "left_anti")
         # empty result if any build-side NULL: cross-join the 0/1-row
         # null marker and keep rows only when it is absent
         .join(F.broadcast(has_null.select(F.lit(1).alias("__null_flag"))),

@@ -114,13 +114,15 @@ def sql_unnest_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Presto `CROSS JOIN UNNEST(...) WITH ORDINALITY` syntax through
     the dialect rewrite (grammar SqlBase.g4:304,
     UnnestOperator.java:48 — 1-based ordinality). The frontend
-    rewrites to LATERAL VIEW posexplode; DuckDB zips parallel
-    unnests for the oracle."""
+    rewrites to a correlated LATERAL posexplode that emits the
+    user's declared ordinality alias with Presto's 1-based values —
+    the query below references `ord` exactly as written in Presto.
+    DuckDB zips parallel unnests for the oracle."""
     register_views(spark, sf_dir)
     return run_sql(
         spark,
         """
-        SELECT p_partkey, word, __pos + 1 AS ord
+        SELECT p_partkey, word, ord AS ord
         FROM part
         CROSS JOIN UNNEST(split(p_name, ' ')) WITH ORDINALITY AS t (word, ord)
         WHERE p_partkey < 100
@@ -315,6 +317,240 @@ def sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority, count(*) AS n, max(o_totalprice) AS top
         FROM big_orders
         GROUP BY o_orderpriority
+        """,
+    )
+
+
+@register(
+    "sql_try_expr",
+    oracle="""
+SELECT o_orderkey,
+       TRY_CAST(o_orderpriority AS INTEGER) AS pri_int,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri_digit,
+       CASE WHEN (o_orderkey % 3) = 0 THEN NULL
+            ELSE CAST(o_totalprice / (o_orderkey % 3) AS DOUBLE) END
+         AS safe_div
+FROM orders WHERE o_orderkey < 500
+""",
+)
+def sql_try_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto TRY(...) (MAIN/operator/scalar/TryFunction.java —
+    errors become NULL) through the dialect rewrite: TRY(CAST ...)
+    lowers to TRY_CAST, TRY(a / b) to try_divide. The division by
+    (o_orderkey % 3) = 0 raises under the session's ANSI mode without
+    the rewrite — the NULLs prove the TRY path executed."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT o_orderkey,
+               TRY(CAST(o_orderpriority AS INTEGER)) AS pri_int,
+               TRY(CAST(substr(o_orderpriority, 1, 1) AS INTEGER)) AS pri_digit,
+               TRY(o_totalprice / (o_orderkey % 3)) AS safe_div
+        FROM orders WHERE o_orderkey < 500
+        """,
+    )
+
+
+@register(
+    "sql_subscript_array_literal",
+    oracle="""
+SELECT p_partkey,
+       str_split(p_name, ' ')[1] AS first_word,
+       str_split(p_name, ' ')[2] AS second_word,
+       (['small', 'medium', 'large'])[1 + (p_size % 3)] AS size_bucket,
+       map(['s', 'm'], [1, 2])['m'][1] AS map_val
+FROM part WHERE p_partkey < 300
+""",
+)
+def sql_subscript_array_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto 1-based subscripts and ARRAY[...]/MAP(ARRAY..) literals
+    (ArraySubscriptOperator.java is 1-based — Spark's native a[i] is
+    0-based, so a pass-through would silently shift every element;
+    SqlBase.g4 ARRAY/MAP constructors). The frontend rewrites a[i] ->
+    element_at(a, i), ARRAY[..] -> array(..), MAP(ARRAY..,ARRAY..) ->
+    map_from_arrays. DuckDB subscripts are natively 1-based."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT p_partkey,
+               split(p_name, ' ')[1] AS first_word,
+               split(p_name, ' ')[2] AS second_word,
+               ARRAY['small', 'medium', 'large'][1 + (p_size % 3)]
+                 AS size_bucket,
+               MAP(ARRAY['s', 'm'], ARRAY[1, 2])['m'] AS map_val
+        FROM part WHERE p_partkey < 300
+        """,
+    )
+
+
+@register(
+    "sql_filter_clause",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+         AS n_big,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+              FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f,
+       CAST(max(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+         AS max_open
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER (WHERE ...) straight through the front door —
+    identical grammar in Presto (SqlBase.g4:450-452 filter rule,
+    lowered by AggregationNode masks) and Spark; the frontend's
+    quote-aware passes must leave it untouched."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                      FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f,
+               max(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS max_open
+        FROM orders
+        GROUP BY o_orderpriority
+        """,
+    )
+
+
+@register(
+    "sql_lambda_functions",
+    oracle="""
+SELECT p_partkey,
+       list_transform(str_split(p_name, ' '), x -> upper(x)) AS words_up,
+       list_filter(str_split(p_name, ' '), x -> len(x) > 5) AS long_words,
+       CAST(list_sum(list_transform(str_split(p_name, ' '), x -> len(x)))
+            AS BIGINT) AS total_len
+FROM part WHERE p_partkey < 200
+""",
+)
+def sql_lambda_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto lambda syntax `x -> e` (SqlBase.g4 lambda rule,
+    LambdaDefinitionExpression) — char-identical in Spark; the
+    rewrite passes must not corrupt `->` or fire renames incorrectly
+    inside lambda bodies. aggregate/transform/filter cover the
+    higher-order family (reference ArrayTransformFunction.java,
+    ArrayFilterFunction.java, ArrayReduceFunction.java)."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT p_partkey,
+               transform(split(p_name, ' '), x -> upper(x)) AS words_up,
+               filter(split(p_name, ' '), x -> length(x) > 5) AS long_words,
+               aggregate(transform(split(p_name, ' '), x -> length(x)),
+                         0L, (s, x) -> s + x) AS total_len
+        FROM part WHERE p_partkey < 200
+        """,
+    )
+
+
+@register(
+    "sql_interval_literals",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 3 DAY AS DATE) AS plus_3d,
+       CAST(o_orderdate + INTERVAL 14 MONTH AS DATE) AS plus_1y2m,
+       CAST(o_orderdate - INTERVAL 36 HOUR AS TIMESTAMP) AS minus_36h,
+       (CAST(o_orderdate AS DATE) > DATE '1996-06-30') AS after_cutoff
+FROM orders WHERE o_orderkey < 400
+""",
+)
+def sql_interval_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto INTERVAL literals — day-time AND year-month
+    (StandardTypes.java:31-32 INTERVAL_YEAR_TO_MONTH /
+    INTERVAL_DAY_TO_SECOND; grammar intervalLiteral): quoted
+    single-field and YEAR TO MONTH forms parse unchanged in Spark.
+    The `'1-2' YEAR TO MONTH` literal is 14 months — the oracle
+    states it in months (DuckDB lacks the compound literal)."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT o_orderkey,
+               CAST(o_orderdate + INTERVAL '3' DAY AS DATE) AS plus_3d,
+               CAST(o_orderdate + INTERVAL '1-2' YEAR TO MONTH AS DATE)
+                 AS plus_1y2m,
+               o_orderdate - INTERVAL '36' HOUR AS minus_36h,
+               (CAST(o_orderdate AS DATE) > DATE '1996-06-30') AS after_cutoff
+        FROM orders WHERE o_orderkey < 400
+        """,
+    )
+
+
+@register(
+    "sql_quoted_identifiers",
+    oracle="""
+SELECT "o_orderkey" AS key_col,
+       'contains strpos( and ARRAY[ 1 ] inside' AS tricky_literal,
+       "o_orderpriority" AS "mixed Case alias"
+FROM orders
+WHERE "o_orderkey" < 100 -- strpos( in a comment stays put
+""",
+)
+def sql_quoted_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto double-quoted identifiers (SqlBase.g4 quotedIdentifier)
+    -> Spark backticks, with quote-aware rewriting: the string
+    literal and comment deliberately contain `strpos(` and `ARRAY[`,
+    which the masked passes must NOT rewrite. DuckDB reads the
+    double-quoted originals natively."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT "o_orderkey" AS key_col,
+               'contains strpos( and ARRAY[ 1 ] inside' AS tricky_literal,
+               "o_orderpriority" AS "mixed Case alias"
+        FROM orders
+        WHERE "o_orderkey" < 100 -- strpos( in a comment stays put
+        """,
+    )
+
+
+@register(
+    "sql_quantified_edge",
+    oracle="""
+SELECT o_orderkey,
+       o_totalprice > ALL (SELECT o_totalprice FROM orders WHERE 1 = 0)
+         AS gt_all_empty,
+       o_totalprice > ANY (SELECT o_totalprice FROM orders WHERE 1 = 0)
+         AS gt_any_empty,
+       o_totalprice < ALL (
+         SELECT CASE WHEN o2.o_orderkey % 2 = 0 THEN NULL
+                     ELSE o2.o_totalprice + 500000 END
+         FROM orders o2 WHERE o2.o_orderkey < 40
+       ) AS lt_all_nullmix
+FROM orders WHERE o_orderkey < 60
+""",
+)
+def sql_quantified_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified-comparison edge semantics that the naive MIN/MAX
+    lowering gets wrong (Presto's count-guarded lowering,
+    TransformQuantifiedComparisonApplyToLateralJoin.java): `> ALL
+    (empty)` must be TRUE, `> ANY (empty)` FALSE, and a NULL-bearing
+    subquery yields UNKNOWN unless a definite witness exists. DuckDB
+    evaluates native quantified comparisons as the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT o_orderkey,
+               o_totalprice > ALL (SELECT o_totalprice FROM orders WHERE 1 = 0)
+                 AS gt_all_empty,
+               o_totalprice > ANY (SELECT o_totalprice FROM orders WHERE 1 = 0)
+                 AS gt_any_empty,
+               o_totalprice < ALL (
+                 SELECT CASE WHEN o2.o_orderkey % 2 = 0 THEN NULL
+                             ELSE o2.o_totalprice + 500000 END
+                 FROM orders o2 WHERE o2.o_orderkey < 40
+               ) AS lt_all_nullmix
+        FROM orders WHERE o_orderkey < 60
         """,
     )
 

@@ -2,19 +2,45 @@
 
 Presto's path is parse (PARSER/SqlParser.java:101, ANTLR SqlBase.g4)
 -> analyze -> plan -> optimize (SURVEY.md §3.1). Spark SQL implements
-the same pipeline; its ANSI dialect is close to Presto's grammar for
-the whole §2 surface. What remains is a thin source-level rewrite for
-the handful of syntactic divergences, plus Presto-named function
-registration (functions/presto_names.py).
+the same pipeline; its dialect is close to Presto's grammar for the
+whole §2 surface. What remains is a thin source-level rewrite for the
+documented syntactic divergences, plus Presto-named function
+registration.
 
-Rewrites (applied as regex passes — each targets one documented
-grammar divergence, not general SQL transformation):
-  - `CROSS JOIN UNNEST(x) [WITH ORDINALITY] [AS] t (c[, ord])`
-    -> LATERAL VIEW posexplode/explode
-  - quantified comparisons `op ALL/ANY (SELECT ...)`
-    -> MIN/MAX scalar subquery form (Spark lacks quantified
-       comparisons; Presto lowers them the same way —
-       TransformQuantifiedComparisonApplyToLateralJoin.java)
+All rewrites are QUOTE-AWARE: the source is first scanned into
+code / 'string literal' / "quoted identifier" / comment segments;
+regex passes run only over code (so `SELECT 'use strpos(x)'` is never
+corrupted), double-quoted identifiers come back as backtick-quoted
+(SqlBase.g4 quotedIdentifier), and strings/comments are restored
+verbatim.
+
+Rewrites (each targets one grammar divergence, not general SQL
+transformation):
+  - ARRAY[...] literals -> array(...)          (SqlBase.g4 ARRAY rule)
+  - MAP(array(...), ...) -> map_from_arrays    (MapConstructor)
+  - TRY(expr) -> TRY_CAST / try_divide / try_add / try_subtract /
+    try_multiply / try_element_at by shape     (TryFunction.java;
+    other expression shapes fall back to the bare expression —
+    documented limitation, Spark has no generic error-absorber)
+  - 1-based subscripts a[i] -> element_at(a, i) (ArraySubscriptOperator
+    .java is 1-based; Spark's native a[i] is 0-based so a lexical
+    keep-as-is would silently shift every element)
+  - CROSS JOIN UNNEST(x) [WITH ORDINALITY] [AS] t(c[, ord]) ->
+    CROSS JOIN LATERAL (posexplode ...) emitting the USER'S ordinality
+    alias with Presto's 1-based values (UnnestOperator.java:48);
+    UNNEST(m) AS t(k, v) -> LATERAL VIEW explode for maps
+  - quantified comparisons  x op ALL/ANY (subquery)  -> the
+    count-guarded CASE Presto itself lowers to
+    (TransformQuantifiedComparisonApplyToLateralJoin.java): empty
+    subquery => TRUE for ALL / FALSE for ANY, NULLs in the subquery
+    or a NULL lhs => UNKNOWN where required. The lhs must be a simple
+    column/literal reference (documented restriction of the
+    source-level rewrite).
+  - Presto function names -> Spark twins at call sites
+
+Already identical in both grammars (verified, no rewrite): lambda
+syntax `x -> e`, aggregate FILTER (WHERE ...), INTERVAL literals,
+DATE/TIMESTAMP literals, TRY_CAST.
 """
 
 from __future__ import annotations
@@ -25,6 +51,245 @@ from pyspark.sql import DataFrame, SparkSession
 
 from presto_0_235_spark.session import ensure_session_defaults
 
+# --------------------------------------------------------------------------
+# Quote-aware scanning: split source into (kind, text) segments.
+# --------------------------------------------------------------------------
+
+
+def _scan(sql: str) -> list[tuple[str, str]]:
+    """Segment SQL into code / str / dq / comment pieces. Quote
+    escapes ('' and "") follow SqlBase.g4 STRING/quotedIdentifier."""
+    out: list[tuple[str, str]] = []
+    i, n = 0, len(sql)
+    code_start = 0
+
+    def flush(upto: int) -> None:
+        if upto > code_start:
+            out.append(("code", sql[code_start:upto]))
+
+    while i < n:
+        c = sql[i]
+        if c == "'" or c == '"':
+            flush(i)
+            j = i + 1
+            while j < n:
+                if sql[j] == c:
+                    if j + 1 < n and sql[j + 1] == c:  # escaped quote
+                        j += 2
+                        continue
+                    break
+                j += 1
+            j = min(j, n - 1)
+            out.append(("str" if c == "'" else "dq", sql[i : j + 1]))
+            i = j + 1
+            code_start = i
+        elif sql.startswith("--", i):
+            flush(i)
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            out.append(("comment", sql[i:j]))
+            i = j
+            code_start = i
+        elif sql.startswith("/*", i):
+            flush(i)
+            j = sql.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            out.append(("comment", sql[i:j]))
+            i = j
+            code_start = i
+        else:
+            i += 1
+    flush(n)
+    return out
+
+
+_MASK_RE = re.compile("\x00(\\d+)\x00")
+
+
+def _mask(sql: str) -> tuple[str, list[tuple[str, str]]]:
+    """Replace non-code segments with \\x00<idx>\\x00 placeholders so
+    the regex passes can treat the rest as one contiguous code text."""
+    stash: list[tuple[str, str]] = []
+    parts: list[str] = []
+    for kind, text in _scan(sql):
+        if kind == "code":
+            parts.append(text)
+        else:
+            parts.append(f"\x00{len(stash)}\x00")
+            stash.append((kind, text))
+    return "".join(parts), stash
+
+
+def _unmask(sql: str, stash: list[tuple[str, str]]) -> str:
+    def repl(m: re.Match) -> str:
+        kind, text = stash[int(m.group(1))]
+        if kind == "dq":  # Presto "ident" -> Spark `ident`
+            inner = text[1:-1].replace('""', '"')
+            return "`" + inner.replace("`", "``") + "`"
+        return text
+
+    return _MASK_RE.sub(repl, sql)
+
+
+def _balanced(s: str, open_i: int) -> int:
+    """Index just past the ')' matching s[open_i] == '('."""
+    depth = 0
+    for j in range(open_i, len(s)):
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j + 1
+    raise ValueError("unbalanced parentheses in SQL")
+
+
+# --------------------------------------------------------------------------
+# ARRAY / MAP literals
+# --------------------------------------------------------------------------
+
+_ARRAY_LIT = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
+_MAP_CTOR = re.compile(r"\bMAP\s*\(\s*(?=array\s*\()", re.IGNORECASE)
+
+
+def _rewrite_array_literals(sql: str) -> str:
+    """ARRAY[a, b] -> array(a, b), innermost handled by iteration."""
+    while True:
+        m = _ARRAY_LIT.search(sql)
+        if not m:
+            return sql
+        depth = 0
+        close = -1
+        for j in range(m.end() - 1, len(sql)):
+            if sql[j] == "[":
+                depth += 1
+            elif sql[j] == "]":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+        if close < 0:
+            return sql  # unbalanced — leave for Spark to report
+        sql = sql[: m.start()] + "array(" + sql[m.end() : close] + ")" + sql[close + 1 :]
+
+
+def _rewrite_map_ctor(sql: str) -> str:
+    """MAP(array(...), array(...)) -> map_from_arrays(...)."""
+    return _MAP_CTOR.sub("map_from_arrays(", sql)
+
+
+# --------------------------------------------------------------------------
+# TRY(expr)
+# --------------------------------------------------------------------------
+
+_TRY = re.compile(r"\bTRY\s*\(", re.IGNORECASE)
+_TRY_FNS = {"/": "try_divide", "*": "try_multiply", "+": "try_add", "-": "try_subtract"}
+
+
+def _split_top_binary(expr: str) -> tuple[str, str, str] | None:
+    """Split at the last top-level +/- (else last top-level * or /),
+    mirroring precedence so TRY(a * b + c) -> try_add(a * b, c)."""
+    for ops in ("+-", "*/"):
+        depth = 0
+        best = -1
+        for j, ch in enumerate(expr):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and ch in ops and 0 < j < len(expr) - 1:
+                left = expr[:j].rstrip()
+                if left and left[-1] not in "+-*/%,(<>=":
+                    best = j
+        if best >= 0:
+            return expr[best], expr[:best].strip(), expr[best + 1 :].strip()
+    return None
+
+
+def _lower_try(inner: str) -> str:
+    stripped = inner.strip()
+    m = re.match(r"^(CAST|element_at)\s*\(", stripped, re.IGNORECASE)
+    if m:
+        open_i = stripped.index("(", m.start())
+        if _balanced(stripped, open_i) == len(stripped):
+            head = m.group(1).upper()
+            if head == "CAST":
+                return "TRY_CAST(" + stripped[open_i + 1 : -1] + ")"
+            return "try_element_at(" + stripped[open_i + 1 : -1] + ")"
+    top = _split_top_binary(stripped)
+    if top:
+        op, left, right = top
+        return f"{_TRY_FNS[op]}({left}, {right})"
+    # No Spark try_* shape: strip TRY (documented limitation — Spark
+    # has no generic runtime-error absorber).
+    return "(" + stripped + ")"
+
+
+def _rewrite_try(sql: str) -> str:
+    while True:
+        m = _TRY.search(sql)
+        if not m:
+            return sql
+        open_i = sql.index("(", m.start())
+        close_i = _balanced(sql, open_i)
+        inner = sql[open_i + 1 : close_i - 1]
+        # Recurse for nested TRY before lowering the outer one.
+        inner = _rewrite_try(inner)
+        sql = sql[: m.start()] + _lower_try(inner) + sql[close_i:]
+
+
+# --------------------------------------------------------------------------
+# 1-based subscripts
+# --------------------------------------------------------------------------
+
+_SUBSCRIPT = re.compile(r"(?P<base>\b[A-Za-z_][\w.]*)\s*\[(?P<idx>[^\[\]]+)\]")
+_CALL_SUBSCRIPT = re.compile(r"\)\s*\[(?P<idx>[^\[\]]+)\]")
+
+
+def _rewrite_subscripts(sql: str) -> str:
+    """a[i] / f(x)[i] -> element_at(..., i): Presto subscripts are
+    1-based (ArraySubscriptOperator.java), Spark's native ones
+    0-based — element_at is Spark's 1-based accessor and also covers
+    maps. Bases may be identifiers or call/parenthesized expressions
+    (split(x, ' ')[1])."""
+    while True:
+        new = _SUBSCRIPT.sub(
+            lambda m: f"element_at({m.group('base')}, {m.group('idx')})", sql
+        )
+        if new != sql:
+            sql = new
+            continue
+        m = _CALL_SUBSCRIPT.search(sql)
+        if not m:
+            return sql
+        close = m.start()  # index of ')'
+        depth = 0
+        open_i = -1
+        for j in range(close, -1, -1):
+            if sql[j] == ")":
+                depth += 1
+            elif sql[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    open_i = j
+                    break
+        if open_i < 0:
+            return sql  # unbalanced — leave for Spark to report
+        k = open_i
+        while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] in "_."):
+            k -= 1
+        base = sql[k : close + 1]
+        sql = (
+            sql[:k]
+            + f"element_at({base}, {m.group('idx')})"
+            + sql[m.end() :]
+        )
+
+
+# --------------------------------------------------------------------------
+# UNNEST [WITH ORDINALITY]
+# --------------------------------------------------------------------------
+
 # The <arr> operand may itself contain one level of calls like
 # split(x, ' ') — allow balanced single-depth parens.
 _ARR = r"(?P<arr>[^()]*(?:\([^()]*\)[^()]*)*)"
@@ -33,22 +298,39 @@ _UNNEST_ORD = re.compile(
     r"(?:AS\s+)?(?P<t>\w+)\s*\(\s*(?P<c>\w+)\s*,\s*(?P<ord>\w+)\s*\)",
     re.IGNORECASE,
 )
+_UNNEST_TWO = re.compile(
+    rf"CROSS\s+JOIN\s+UNNEST\s*\({_ARR}\)\s+"
+    r"(?:AS\s+)?(?P<t>\w+)\s*\(\s*(?P<k>\w+)\s*,\s*(?P<v>\w+)\s*\)",
+    re.IGNORECASE,
+)
 _UNNEST = re.compile(
     rf"CROSS\s+JOIN\s+UNNEST\s*\({_ARR}\)\s+"
     r"(?:AS\s+)?(?P<t>\w+)\s*\(\s*(?P<c>\w+)\s*\)",
     re.IGNORECASE,
 )
-_QUANT = re.compile(
-    r"(?P<op>[<>]=?)\s*(?P<q>ALL|ANY|SOME)\s*\(\s*(?P<sub>SELECT\b[^()]*(?:\([^()]*\)[^()]*)*)\)",
-    re.IGNORECASE,
-)
 
 
 def _rewrite_unnest(sql: str) -> str:
-    sql = _UNNEST_ORD.sub(
+    counter = [0]
+
+    def ord_repl(m: re.Match) -> str:
+        k = counter[0]
+        counter[0] += 1
+        arr, t, c, o = m.group("arr"), m.group("t"), m.group("c"), m.group("ord")
+        # Nested correlated lateral: posexplode's 0-based pos becomes
+        # the user's 1-based ordinality alias, so `t.ord`/`ord` work
+        # exactly as written in the Presto query.
+        return (
+            f"CROSS JOIN LATERAL (SELECT {c}, __p{k} + 1 AS {o} "
+            f"FROM (SELECT posexplode({arr}) AS (__p{k}, {c}))) {t}"
+        )
+
+    sql = _UNNEST_ORD.sub(ord_repl, sql)
+    # Two aliases without ORDINALITY = map unnest (k, v).
+    sql = _UNNEST_TWO.sub(
         lambda m: (
-            f"LATERAL VIEW posexplode({m.group('arr')}) {m.group('t')} "
-            f"AS __pos, {m.group('c')}"
+            f"LATERAL VIEW explode({m.group('arr')}) {m.group('t')} "
+            f"AS {m.group('k')}, {m.group('v')}"
         ),
         sql,
     )
@@ -62,19 +344,67 @@ def _rewrite_unnest(sql: str) -> str:
     return sql
 
 
+# --------------------------------------------------------------------------
+# Quantified comparisons
+# --------------------------------------------------------------------------
+
+_QUANT = re.compile(
+    r"(?P<lhs>[A-Za-z_][\w.]*|\d+(?:\.\d+)?)\s*(?P<op>[<>]=?)\s*"
+    r"(?P<q>ALL|ANY|SOME)\s*\(\s*(?P<sub>SELECT\b[^()]*(?:\([^()]*\)[^()]*)*)\)",
+    re.IGNORECASE,
+)
+
+
 def _rewrite_quantified(sql: str) -> str:
-    """x > ALL (q) -> x > (SELECT MAX(...) FROM (q)); mirrors Presto's
-    own lowering of quantified comparisons to aggregates."""
+    """x op ALL/ANY (sub) -> Presto's count-guarded aggregate lowering
+    (TransformQuantifiedComparisonApplyToLateralJoin.java):
+
+      x > ALL (sub):  TRUE if sub empty; FALSE if x <= max(non-null);
+                      NULL if x is NULL or sub contains NULLs without
+                      a FALSE witness; else TRUE.
+      x > ANY (sub):  FALSE if sub empty; TRUE if x > min(non-null);
+                      NULL if x is NULL or sub contains NULLs without
+                      a TRUE witness; else FALSE.
+    """
+    n = [0]
 
     def repl(m: re.Match) -> str:
-        op, quant, sub = m.group("op"), m.group("q").upper(), m.group("sub")
+        lhs, op = m.group("lhs"), m.group("op")
+        quant = m.group("q").upper()
+        sub = m.group("sub")
+        if quant == "SOME":
+            quant = "ANY"
         greater = op.startswith(">")
-        # > ALL -> > max;  > ANY -> > min;  < ALL -> < min;  < ANY -> < max
         agg = "MAX" if (greater == (quant == "ALL")) else "MIN"
-        return f"{op} (SELECT {agg}(__q.__v) FROM ({sub}) AS __q(__v))"
+        k = n[0]
+        n[0] += 1
+        a = f"__qc{k}"
+        cnt_all = f"(SELECT COUNT(*) FROM ({sub}) {a}n)"
+        cnt_val = f"(SELECT COUNT({a}c.__v) FROM ({sub}) AS {a}c(__v))"
+        agg_v = f"(SELECT {agg}({a}v.__v) FROM ({sub}) AS {a}v(__v))"
+        null_b = "CAST(NULL AS BOOLEAN)"
+        if quant == "ALL":
+            return (
+                f"(CASE WHEN {cnt_all} = 0 THEN TRUE"
+                f" WHEN {lhs} IS NULL THEN {null_b}"
+                f" WHEN NOT ({lhs} {op} {agg_v}) THEN FALSE"
+                f" WHEN {cnt_val} <> {cnt_all} THEN {null_b}"
+                f" ELSE TRUE END)"
+            )
+        return (
+            f"(CASE WHEN {cnt_all} = 0 THEN FALSE"
+            f" WHEN {lhs} IS NULL THEN {null_b}"
+            f" WHEN {lhs} {op} {agg_v} THEN TRUE"
+            f" WHEN {cnt_val} <> {cnt_all} THEN {null_b}"
+            f" ELSE FALSE END)"
+        )
 
     return _QUANT.sub(repl, sql)
 
+
+# --------------------------------------------------------------------------
+# Function renames
+# --------------------------------------------------------------------------
 
 # Presto function names whose Spark twin differs only by name (or by a
 # fixed argument shape). Applied lexically at call sites (`name(`) —
@@ -128,20 +458,26 @@ def _rewrite_function_names(sql: str) -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Pipeline
+# --------------------------------------------------------------------------
+
+
 def presto_to_spark_sql(sql: str) -> str:
-    """Source-level Presto->Spark SQL dialect translation."""
-    sql = _rewrite_unnest(sql)
-    sql = _rewrite_quantified(sql)
-    sql = _rewrite_function_names(sql)
-    return sql
+    """Source-level Presto->Spark SQL dialect translation (quote- and
+    comment-aware: rewrites never touch literals)."""
+    masked, stash = _mask(sql)
+    masked = _rewrite_array_literals(masked)
+    masked = _rewrite_map_ctor(masked)
+    masked = _rewrite_try(masked)
+    masked = _rewrite_unnest(masked)
+    masked = _rewrite_quantified(masked)
+    masked = _rewrite_subscripts(masked)
+    masked = _rewrite_function_names(masked)
+    return _unmask(masked, stash)
 
 
 def run_sql(spark: SparkSession, sql: str) -> DataFrame:
-    """Execute Presto-dialect SQL against the registered catalog.
-
-    WITH ORDINALITY emits a 1-based `__pos`-derived column; callers
-    select `__pos + 1`. (Presto ordinality is 1-based,
-    UnnestOperator.java:48.)
-    """
+    """Execute Presto-dialect SQL against the registered catalog."""
     ensure_session_defaults(spark)
     return spark.sql(presto_to_spark_sql(sql))

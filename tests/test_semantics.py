@@ -137,3 +137,50 @@ def test_analyze_table_stats(spark, sf_dir):
     detail = spark.sql("DESCRIBE EXTENDED nation_stats_demo").collect()
     stats = [r for r in detail if r.col_name == "Statistics"]
     assert stats and "rows" in stats[0].data_type
+
+
+def test_not_in_empty_build_keeps_null_probe(spark):
+    """x NOT IN (empty subquery) is TRUE for EVERY probe row,
+    including NULL-keyed ones (SQL 3VL vacuous truth; Spark's
+    NullAwareAntiJoin special-cases the empty build the same way)."""
+    from presto_0_235_spark.operators.joins import null_aware_not_in
+
+    left = spark.createDataFrame(
+        [(1,), (None,), (3,)], schema="k int"
+    )
+    empty = spark.createDataFrame([], schema="k int")
+    got = sorted(
+        (r.k for r in null_aware_not_in(left, "k", empty, "k").collect()),
+        key=lambda v: (v is None, v),
+    )
+    assert got == [1, 3, None]
+
+    # Non-empty build without NULLs: NULL probe keys never qualify.
+    build = spark.createDataFrame([(3,)], schema="k int")
+    got2 = [r.k for r in null_aware_not_in(left, "k", build, "k").collect()]
+    assert got2 == [1]
+
+
+def test_date_diff_whole_elapsed_units(spark):
+    """Presto date_diff('year'/'month') counts whole ELAPSED units
+    with truncation toward zero (Joda years/monthsBetween,
+    DateTimeFunctions.java) — not calendar-field differences."""
+    from presto_0_235_spark.functions import scalar as ps
+
+    df = spark.createDataFrame(
+        [("2020-12-31", "2021-01-01"), ("2020-01-15", "2021-01-14"),
+         ("2021-01-10", "2020-12-26")],
+        schema="s string, e string",
+    ).select(
+        ps.date_diff_unit("year", F.col("s").cast("date"),
+                          F.col("e").cast("date")).alias("y"),
+        ps.date_diff_unit("month", F.col("s").cast("date"),
+                          F.col("e").cast("date")).alias("m"),
+    )
+    rows = df.collect()
+    # '2020-12-31'->'2021-01-01': 0 years (calendar diff would say 1)
+    assert (rows[0].y, rows[0].m) == (0, 0)
+    # '2020-01-15'->'2021-01-14': one day short of a year
+    assert (rows[1].y, rows[1].m) == (0, 11)
+    # negative span under one month truncates toward zero, not -1
+    assert (rows[2].y, rows[2].m) == (0, 0)
