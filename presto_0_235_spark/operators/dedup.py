@@ -42,6 +42,13 @@ LSH_BANDS = 6  # bands of LSH_ROWS hashes each (B*R == MINHASH_K)
 LSH_ROWS = 2
 SIMHASH_BITS = 32  # fingerprint width (64 at production scale)
 SIMHASH_CHUNKS = 4  # bucket-join chunks (hamming<=3 needs one clean chunk)
+# Standard LSH hygiene: a degenerate band bucket (mass-duplicated
+# boilerplate) makes the band self-join quadratic in that bucket.
+# Buckets above this size are excluded from pair generation — their
+# members are (near-)identical en masse and belong to the exact-dedup
+# path, which the curation pipeline runs FIRST (extensions_q
+# pipeline_corpus_dedup) precisely so LSH never sees them.
+LSH_MAX_BUCKET = 64
 
 
 # ---------------------------------------------------------------------------
@@ -160,6 +167,7 @@ def lsh_candidate_pairs(
     shingle_col: str,
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """(id1, id2) candidate pairs sharing >=1 LSH band bucket.
 
@@ -168,17 +176,38 @@ def lsh_candidate_pairs(
     uniform (band_id, band_key) composite — the only shuffle in the
     pipeline, O(n*B) rows. distinct() collapses multi-band collisions.
 
+    Bucket-size cap (``max_bucket``): without it, ONE degenerate
+    band_key — a 100k-copy boilerplate doc, common in real corpora —
+    makes the self-join quadratic in that bucket (10^10 pairs from a
+    single key). Buckets above the cap are dropped from pair
+    generation, bounding the output at O(n * B * max_bucket); their
+    members are mass-duplicates that the exact-dedup stage (run first
+    in the curation pipeline) already collapses. The count is a
+    window over the SAME (band_id, band_key) partitioning the join
+    shuffles on, so the cap adds no extra exchange. Pass
+    ``max_bucket=None`` for the uncapped research variant.
+
     The banded table is persisted: the self-join scans it twice, and
     without the cache each side would recompute every minhash
     (K md5 passes over every shingle) — the single biggest cost in
     the pipeline. Same move at cluster scale (persist or checkpoint
     the signature table; it is ~n*B small rows).
     """
+    from pyspark.sql import Window
+
     sig = minhash_signature(F.col(shingle_col))
     banded = docs.select(
         F.col(id_col),
         F.posexplode(lsh_band_keys(sig, bands, rows)).alias("band_id", "band_key"),
-    ).persist()
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        banded = (
+            banded.withColumn("__bsz", F.count("*").over(w))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -293,28 +322,36 @@ def connected_components(
     ).unionByName(
         edges.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
     )
+    both = both.persist()
     labels = (
         both.select(F.col("src").alias("vertex"))
         .distinct()
         .withColumn("label", F.col("vertex"))
         .persist()
     )
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         neighbor_min = (
             both.join(labels, both.dst == labels.vertex)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.vertex == neighbor_min.src, "left")
-            .select(
-                "vertex",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .persist()
+        new_labels = labels.join(
+            neighbor_min, labels.vertex == neighbor_min.src, "left"
+        ).select(
+            "vertex",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
         )
+        # Lineage hygiene: each round's plan references the previous
+        # round's — unbounded, the DAG deepens linearly and a deep
+        # graph re-plans/re-executes the whole chain. localCheckpoint
+        # every 3rd round truncates lineage; superseded label tables
+        # unpersist eagerly so executor storage stays O(1) rounds.
+        if (i + 1) % 3 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "vertex")
@@ -322,7 +359,9 @@ def connected_components(
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    both.unpersist()
     return labels

@@ -120,10 +120,19 @@ sig AS (
 bands AS (
   {_BAND_SELECTS}
 ),
+small_buckets AS (
+  SELECT band_id, band_key FROM bands
+  GROUP BY band_id, band_key
+  HAVING count(*) <= {dd.LSH_MAX_BUCKET}
+),
+kept AS (
+  SELECT b.* FROM bands b
+  JOIN small_buckets s ON b.band_id = s.band_id AND b.band_key = s.band_key
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-  FROM bands a
-  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  FROM kept a
+  JOIN kept b ON a.band_id = b.band_id AND a.band_key = b.band_key
               AND a.doc_id < b.doc_id
 )
 SELECT c.doc1, c.doc2, {dd.sql_jaccard('d1.sh', 'd2.sh')} AS jac
@@ -134,7 +143,9 @@ JOIN d d2 ON d2.doc_id = c.doc2
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup — the scale path. shingle -> K=12 md5
-    minhashes -> 6 bands of 2 -> bucket self-join -> exact-Jaccard
+    minhashes -> 6 bands of 2 -> bucket self-join (buckets capped at
+    LSH_MAX_BUCKET rows — degenerate boilerplate buckets would be
+    quadratic; the oracle replays the cap) -> exact-Jaccard
     verification of candidates only. The only shuffles are the band
     join (uniform composite key, O(n*B) rows) and the two candidate
     lookups; never O(n^2). At 1000 executors this is the textbook

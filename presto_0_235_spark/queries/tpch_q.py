@@ -121,11 +121,18 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > cutoff
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # No broadcast hint on customer: the BUILDING segment grows
+    # linearly with SF, so a hard-coded hint would force a multi-GB
+    # broadcast at 100x and override the cost-based choice Spark/AQE
+    # makes at runtime (the decision Presto takes in
+    # DetermineJoinDistributionType.java). At small SF AQE still
+    # converts this to a broadcast join via autoBroadcastJoinThreshold
+    # (pinned by tests/test_plans.py).
     return (
         li.join(
             orders, li.l_orderkey == orders.o_orderkey
         )
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
@@ -177,11 +184,14 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_name") == "ASIA"
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # customer and supplier grow with SF — no hard broadcast hints
+    # (AQE decides size-aware at runtime); nation/region are bounded
+    # (25/5 rows at any SF) and keep explicit hints.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -263,18 +273,20 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q") > 300)
         .select("l_orderkey")
     )
-    # The >300-quantity order set is tiny at every SF — broadcast it
-    # into the semi join, and broadcast the resulting filtered orders
-    # into the lineitem join so the 600k-row fact side never
-    # shuffles (reference analog: REPLICATED distribution choice,
-    # DetermineJoinDistributionType).
+    # The >300-quantity order set is tiny at every SF (bounded by the
+    # qty distribution, not by SF alone) — keep its broadcast hint.
+    # orders-with-customers, by contrast, grows linearly with SF: a
+    # hard broadcast hint on it would OOM the build side at 100x, so
+    # the lineitem join is left to AQE's size-aware choice (it still
+    # broadcasts at small SF; Presto's cost-based analog is
+    # DetermineJoinDistributionType.java).
     filtered_orders = orders.join(
         F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi"
-    ).join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+    ).join(cust, F.col("o_custkey") == cust.c_custkey)
     return (
         li.select("l_orderkey", "l_quantity")
         .join(
-            F.broadcast(filtered_orders),
+            filtered_orders,
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .groupBy(

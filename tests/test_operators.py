@@ -153,3 +153,39 @@ def test_salted_join_equals_plain_join(spark):
         for r in salted_join(probe, build, "k", "bk", salt=4).collect()
     )
     assert plain == salted
+
+
+def test_lsh_bucket_cap_bounds_mass_duplicates(spark):
+    """A mass-duplicated boilerplate doc must NOT produce a quadratic
+    candidate-pair set: every copy lands in the same band buckets, so
+    without the cap N copies emit ~N^2/2 pairs; with the cap the
+    degenerate buckets are excluded entirely (their members belong to
+    the exact-dedup path, which the curation pipeline runs first)."""
+    n = 300
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(n)]
+    rows += [(1000, "a genuinely unique document about gardens"),
+             (1001, "a genuinely unique document about gardens!")]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string").select(
+        "doc_id", dd.word_shingles("text").alias("sh")
+    )
+    capped = dd.lsh_candidate_pairs(docs, "doc_id", "sh")
+    n_capped = capped.count()
+    # the near-dup pair (1000, 1001) must survive; the 300-copy
+    # bucket (~45k pairs uncapped) must not
+    assert n_capped <= 10, n_capped
+    assert capped.filter((F.col("id1") == 1000) & (F.col("id2") == 1001)).count() == 1
+
+    uncapped = dd.lsh_candidate_pairs(docs, "doc_id", "sh", max_bucket=None)
+    assert uncapped.count() >= n * (n - 1) // 2
+
+
+def test_connected_components_deep_chain_converges(spark):
+    """A 40-vertex path graph (diameter >> checkpoint stride) still
+    converges to a single min-label component — exercises the
+    localCheckpoint/unpersist lineage hygiene across many rounds."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], schema="id1 long, id2 long"
+    )
+    labels = dd.connected_components(edges, max_iterations=50)
+    got = {(r.vertex, r.label) for r in labels.collect()}
+    assert got == {(v, 0) for v in range(41)}

@@ -126,3 +126,15 @@ def test_plan_determinism(spark, sf_dir):
         return re.sub(r"plan_id=\d+", "plan_id=x", s)
 
     assert strip(p1) == strip(p2)
+
+
+def test_no_hardcoded_broadcast_on_sf_growing_sides(spark, sf_dir):
+    """q3/q18 carry NO broadcast hint on SF-growing sides (customer,
+    filtered orders) — yet at small SF the size-aware planner still
+    picks broadcast joins on its own (the cost-based choice the
+    reference makes in DetermineJoinDistributionType.java). A
+    hard-coded hint would force a multi-GB broadcast at 100x scale."""
+    q3 = plan_of(_QUERIES["tpch_q3"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in q3 or "BroadcastExchange" in q3
+    q18 = plan_of(_QUERIES["tpch_q18"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in q18 or "BroadcastExchange" in q18
