@@ -97,6 +97,32 @@ def io_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(src.schema).json(path)
 
 
+@register("io_roundtrip_textfile", oracle=_ORDERS_SLICE_ORACLE)
+def io_roundtrip_textfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive TEXTFILE write/read-back (HiveStorageFormat.java:42-91
+    TEXTFILE: LazySimpleSerDe, \\x01 field delimiter). Spark shape:
+    concat_ws('\\x01') -> text sink, text source -> split + typed
+    casts — the declared-schema decode the reference's SerDe performs,
+    all in JVM expressions."""
+    ensure_session_defaults(spark)
+    path = _sink_path("textfile", sf_dir)
+    src = _orders_slice(spark, sf_dir)
+    src.select(
+        F.concat_ws(
+            "\x01", *[F.col(c).cast("string") for c in src.columns]
+        ).alias("value")
+    ).write.mode("overwrite").text(path)
+    parts = F.split(F.col("value"), "\x01")
+    return spark.read.text(path).select(
+        parts[0].cast("bigint").alias("o_orderkey"),
+        parts[1].cast("bigint").alias("o_custkey"),
+        parts[2].alias("o_orderstatus"),
+        parts[3].cast("double").alias("o_totalprice"),
+        parts[4].cast("date").alias("o_date"),
+        parts[5].alias("o_orderpriority"),
+    )
+
+
 @register("io_roundtrip_csv", oracle=_ORDERS_SLICE_ORACLE)
 def io_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV write/read-back with header + explicit schema. Doubles

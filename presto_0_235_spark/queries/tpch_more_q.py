@@ -4,9 +4,13 @@ The reference benchmarks the full TPC-H set
 (presto-benchto-benchmarks/.../sql/presto/tpch/*.sql); these are the
 queries expressible over the driver's reduced fixture schemas
 (FIXTURES.md drops partsupp, l_commitdate/receiptdate/shipmode,
-p_container, c_phone — q2/q4/q11/q12/q16/q20/q21 need them and are
+p_container, c_phone — q2/q11/q16/q20 need them structurally and are
 out of fixture scope; literals are adapted to the synthetic value
-domains, e.g. NATION_3/NATION_7, p_type='PROMO').
+domains, e.g. NATION_3/NATION_7, p_type='PROMO'). q4/q12/q21's
+EXISTS / anti-join / conditional-count SHAPES survive the missing
+columns — they are registered as *_adapted with the late-delivery
+predicates mapped onto surviving columns (l_returnflag = 'R' stands
+in for commitdate < receiptdate).
 
 Plan shapes these pin down beyond q1/q3/q5/q6/q18:
   - q7/q8: multi-way star joins with two roles for nation (self-alias)
@@ -494,4 +498,153 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
         .agg(dec_sum(revenue, "profit"))
+    )
+
+
+@register(
+    "tpch_q4_adapted",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def tpch_q4_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority checking (benchto tpch/q04.sql): date-window
+    scan + EXISTS semi join + grouped count. Adapted: the late-
+    delivery predicate l_commitdate < l_receiptdate (columns dropped
+    by the fixtures) maps to l_returnflag = 'R'; the plan shape —
+    SemiJoinNode over the fact table, then count per priority — is
+    exactly the reference's."""
+    ensure_session_defaults(spark)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    flagged = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        orders.join(
+            flagged, orders.o_orderkey == flagged.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q12_adapted",
+    oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def tpch_q12_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping modes & priority (benchto tpch/q12.sql): fact-fact
+    join + the signature conditional-count split on order priority.
+    Adapted: grouped by l_linestatus (fixtures drop l_shipmode) and
+    windowed on l_shipdate (commit/receipt dates dropped); the
+    high/low priority CASE aggregation is verbatim."""
+    ensure_session_defaults(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "tpch_q21_adapted",
+    oracle="""
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def tpch_q21_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers who kept orders waiting (benchto tpch/q21.sql) —
+    the hardest TPC-H shape: one fact table in three roles, an EXISTS
+    semi join AND a NOT EXISTS anti join, both correlated on
+    (same order, different supplier). Adapted: 'late' maps to
+    l_returnflag = 'R' (receipt/commit dates dropped). The
+    correlated-with-inequality EXISTS lowers to semi/anti joins on
+    compound conditions — Presto plans the same via SemiJoinNode +
+    correlated-scalar decorrelation."""
+    ensure_session_defaults(spark)
+    supp = load_table(spark, sf_dir, "supplier")
+    orders_f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(orders_f, F.col("l1.l_orderkey") == orders_f.o_orderkey)
+        .join(supp, F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
     )
