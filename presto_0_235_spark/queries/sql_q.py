@@ -555,6 +555,54 @@ def sql_quantified_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_explain_analyze",
+    oracle="""
+SELECT 'Scan parquet ' AS operator, 'numOutputRows' AS metric,
+       (SELECT count(*) FROM lineitem) AS value
+UNION ALL
+SELECT 'HashAggregate' AS operator, 'numOutputRows' AS metric,
+       (SELECT count(DISTINCT l_returnflag) FROM lineitem) AS value
+""",
+)
+def sql_explain_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLAIN ANALYZE (MAIN/operator/ExplainAnalyzeOperator.java):
+    the query executes and per-operator RUNTIME statistics come back.
+    The deterministic slice is oracle-checked against first
+    principles: the scan must report exactly count(lineitem) output
+    rows and the final aggregate exactly the group count — proving
+    the numbers are real measurements, not plan estimates. Timing
+    metrics (scanTime, aggTime, shuffle bytes) are returned by
+    plans.explain_analyze too but excluded here as run-specific."""
+    from presto_0_235_spark.plans import explain_analyze
+
+    register_views(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    stats = explain_analyze(
+        spark,
+        run_sql(
+            spark,
+            "SELECT l_returnflag, count(*) AS n FROM lineitem "
+            "GROUP BY l_returnflag",
+        ),
+    )
+    scan = stats.filter(
+        F.col("operator").startswith("Scan parquet")
+        & (F.col("metric") == "numOutputRows")
+    ).select(F.lit("Scan parquet ").alias("operator"), "metric", "value")
+    final_agg = (
+        stats.filter(
+            (F.col("operator") == "HashAggregate")
+            & (F.col("metric") == "numOutputRows")
+        )
+        .orderBy("op_id")
+        .limit(1)
+        .select("operator", "metric", "value")
+    )
+    return scan.unionByName(final_agg)
+
+
 @register("sql_explain", oracle=None)
 def sql_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXPLAIN through the front door (ExplainAnalyzeOperator /

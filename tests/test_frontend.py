@@ -83,7 +83,10 @@ def test_unnest_rewrite_handles_nested_calls():
         "WITH ORDINALITY AS u (w, o)"
     )
     out = presto_to_spark_sql(sql)
-    assert "LATERAL VIEW posexplode(split(x, ' '))" in out
+    # Correlated LATERAL posexplode emitting the USER'S ordinality
+    # alias, 1-based.
+    assert "posexplode(split(x, ' '))" in out
+    assert "+ 1 AS o" in out
     assert "UNNEST" not in out
 
 
@@ -92,10 +95,55 @@ def test_unnest_rewrite_plain():
     assert "LATERAL VIEW explode(arr) u AS v" in out
 
 
+def test_unnest_rewrite_map_two_aliases():
+    out = presto_to_spark_sql("SELECT a FROM t CROSS JOIN UNNEST(m) AS u (k, v)")
+    assert "LATERAL VIEW explode(m) u AS k, v" in out
+
+
 def test_quantified_rewrite_all_any():
     out = presto_to_spark_sql("SELECT 1 WHERE x > ALL (SELECT v FROM t)")
-    assert "MAX" in out and "ALL" not in out
+    assert "MAX" in out and " ALL" not in out
+    # count-guarded lowering: empty -> TRUE, NULL-bearing -> UNKNOWN
+    assert "COUNT(*)" in out and "THEN TRUE" in out
     out2 = presto_to_spark_sql("SELECT 1 WHERE x > ANY (SELECT v FROM t)")
-    assert "MIN" in out2
+    assert "MIN" in out2 and "= 0 THEN FALSE" in out2
     out3 = presto_to_spark_sql("SELECT 1 WHERE x < ALL (SELECT v FROM t)")
     assert "MIN" in out3
+
+
+def test_rewrites_never_touch_literals_or_comments():
+    sql = (
+        "SELECT 'use strpos(x) and ARRAY[1] and TRY(b)' AS lit, "
+        "strpos(y, 'z') AS p -- cardinality(arr) here\n"
+        "FROM t"
+    )
+    out = presto_to_spark_sql(sql)
+    assert "'use strpos(x) and ARRAY[1] and TRY(b)'" in out
+    assert "-- cardinality(arr) here" in out
+    assert "instr(y, 'z')" in out
+
+
+def test_double_quoted_identifiers_become_backticks():
+    out = presto_to_spark_sql('SELECT "a b" FROM "t"')
+    assert "`a b`" in out and "`t`" in out
+
+
+def test_try_lowering_by_shape():
+    assert "TRY_CAST(x AS INT)" in presto_to_spark_sql(
+        "SELECT TRY(CAST(x AS INT))"
+    )
+    assert "try_divide(a, b)" in presto_to_spark_sql("SELECT TRY(a / b)")
+    assert "try_add(a * b, c)" in presto_to_spark_sql("SELECT TRY(a * b + c)")
+    assert "try_element_at(arr, 5)" in presto_to_spark_sql(
+        "SELECT TRY(element_at(arr, 5))"
+    )
+
+
+def test_subscripts_one_based():
+    assert "element_at(a, 1)" in presto_to_spark_sql("SELECT a[1] FROM t")
+    assert "element_at(split(x, ','), 2)" in presto_to_spark_sql(
+        "SELECT split(x, ',')[2] FROM t"
+    )
+    # ARRAY literal + subscript compose
+    out = presto_to_spark_sql("SELECT ARRAY[10, 20][i] FROM t")
+    assert "element_at(array(10, 20), i)" in out
