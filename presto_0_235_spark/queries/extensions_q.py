@@ -1169,3 +1169,132 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("cluster_size"),
         F.min("vertex").cast("bigint").alias("representative"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline additions (round 2): benchmark decontamination,
+# deterministic stratified sampling, intra-document repetition signal.
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({dd.sql_word_shingles("text")}) AS s FROM documents
+),
+ev AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+),
+tr AS (
+  SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0
+)
+SELECT tr.doc_id, CAST(count(DISTINCT tr.s) AS BIGINT) AS n_shared
+FROM tr JOIN ev ON tr.s = ev.s
+GROUP BY tr.doc_id
+""",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the n-gram-overlap check every
+    serious training pipeline runs before training (flag train docs
+    sharing shingles with an eval/benchmark set; doc_id % 97 == 0
+    stands in for the benchmark here). Shape: explode shingles,
+    DISTINCT the benchmark side, inner-join, count per doc.
+
+    100 TB: eval sets are tiny (benchmarks, not corpora) — the
+    distinct benchmark-shingle table broadcasts, so the train side
+    never shuffles; cost is one narrow pass over train shingles.
+    Beyond-reference surface (closest reference machinery:
+    SemiJoinNode + MarkDistinct)."""
+    ensure_session_defaults(spark)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sh = docs.select(
+        "doc_id", F.explode(dd.word_shingles("text")).alias("s")
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select("s")
+        .distinct()
+    )
+    tr = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_shared"))
+    )
+
+
+_STRAT_HASH = "CAST(concat('0x', substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_STRAT_HASH} % 100 <
+      CASE WHEN lang = 'en' THEN 10 ELSE 30 END
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified down-sampling by per-language quota — the
+    language-rebalancing step of corpus curation (e.g. cap English
+    at 10%, keep 30% of the rest), implemented as a DETERMINISTIC
+    hash gate: keep iff portable_hash(doc_id) % 100 < quota(lang).
+    Unlike TABLESAMPLE the decision is a pure function of the row —
+    reproducible across engines (the oracle replays it), stable
+    under retries/stragglers at 1000 executors, and join-free (no
+    shuffle at all; reference analog: SampleNode BERNOULLI, which is
+    RNG-based and NOT reproducible)."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions.aggregate import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash64(
+        F.concat(F.lit("strat|"), F.col("doc_id").cast("string"))
+    )
+    quota = F.when(F.col("lang") == "en", 10).otherwise(30)
+    return docs.filter(F.pmod(h, F.lit(100)) < quota).select(
+        "doc_id", "lang"
+    )
+
+
+_WORDS = f"string_split({dd.sql_normalized_text('text')}, ' ')"
+_GRAMS2 = (
+    f"list_transform(generate_series(1, greatest(len({_WORDS}) - 1, 1)), "
+    f"i -> array_to_string(({_WORDS})[i:i+1], ' '))"
+)
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_GRAMS2}) AS BIGINT) AS n_grams,
+       round(1 - len(list_distinct({_GRAMS2})) / len({_GRAMS2}), 6)
+         AS rep_score
+FROM documents
+""",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signal (Gopher/C4-style quality
+    rule: heavily repeated n-grams mark boilerplate/spam): fraction
+    of duplicate word 2-grams, 1 - distinct/total. Pure per-row
+    expressions — zero shuffles at any scale; composes with
+    text_quality_score as another filter column."""
+    ensure_session_defaults(spark)
+    words = F.split(dd.normalized_text(F.col("text")), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(words) - 1, F.lit(1))
+    )
+    grams = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(words, i, 2))
+    )
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    g = docs.select("doc_id", grams.alias("g"))
+    return g.select(
+        "doc_id",
+        F.size("g").cast("bigint").alias("n_grams"),
+        F.round(
+            1 - F.size(F.array_distinct("g")) / F.size("g"), 6
+        ).alias("rep_score"),
+    )
