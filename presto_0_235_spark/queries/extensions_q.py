@@ -858,7 +858,13 @@ def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle inventory: content-key agg, band join, two candidate
     lookups, final group-by — all uniform keys."""
     ensure_session_defaults(spark)
+    from pyspark.sql import Window
+
     toks = tx.ws_tokens("text")
+    # Token arrays exist only transiently for the quality filter; the
+    # persisted table carries the scalar count (what the final stats
+    # need) — at 100 TB that keeps the cached/shuffled footprint at
+    # shingles + scalars instead of two large arrays per row.
     q = (
         load_table(spark, sf_dir, "documents", spread=True)
         .select(
@@ -872,10 +878,19 @@ def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size("toks") >= 20)
             & (F.size(F.array_distinct("toks")) / F.size("toks") >= 0.4)
         )
+        .select("doc_id", "lang", "sh", "ckey", F.size("toks").alias("n_toks"))
+    )
+    # Exact dedup as ONE shuffle: first row per content key (min
+    # doc_id) via window group-limit, instead of groupBy + join back
+    # (two shuffles). Spark pushes the rank filter into a partial
+    # top-1 per partition (InferWindowGroupLimit).
+    w_ck = Window.partitionBy("ckey").orderBy("doc_id")
+    kept = (
+        q.withColumn("__rn", F.row_number().over(w_ck))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
         .persist()
     )
-    exact_keep = q.groupBy("ckey").agg(F.min("doc_id").alias("doc_id"))
-    kept = q.join(exact_keep, "doc_id").persist()
     cand = dd.lsh_candidate_pairs(
         kept.select("doc_id", "sh"), "doc_id", "sh"
     )
@@ -891,7 +906,7 @@ def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = kept.join(neardup, "doc_id", "left_anti")
     return final.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size("toks")).cast("bigint").alias("total_tokens"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
     )
 
 

@@ -59,10 +59,12 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans the identical two-phase HashAggregate automatically.
     """
     ensure_session_defaults(spark)
-    # spread_scan: the decimal aggregation is compute-bound and the
-    # fixture is a single unsplittable row group — spread it across
-    # cores (no-op on real multi-split datasets).
-    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    # No spread_scan here: with the scaled-long money sums
+    # (functions/compat.py) the aggregation is cheap enough that a
+    # repartition of the single-row-group fixture costs more than the
+    # single-task partial agg it would parallelize. On real
+    # multi-split data the scan parallelizes by itself.
+    li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
