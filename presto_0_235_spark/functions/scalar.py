@@ -300,6 +300,54 @@ def date_parse(s: Column | str, mysql_fmt: str) -> Column:
     return F.to_timestamp(_c(s), mysql_to_java_pattern(mysql_fmt))
 
 
+def joda_to_java_pattern(fmt: str) -> str:
+    """Translate a Joda-Time pattern (Presto format_datetime /
+    parse_datetime, reference DateTimeFunctions.java — Joda
+    DateTimeFormat) to a java.time one (Spark date_format /
+    to_timestamp).
+
+    Most field letters coincide; the divergences handled:
+      Y  Joda year-of-era      -> y   (java.time Y is WEEK-year!)
+      x  Joda weekyear         -> Y
+      e  Joda day-of-week #    -> e
+    Single-quoted literal sections pass through untouched.
+    """
+    out: list[str] = []
+    i, n = 0, len(fmt)
+    while i < n:
+        ch = fmt[i]
+        if ch == "'":  # quoted literal — copy verbatim incl. quotes
+            j = i + 1
+            while j < n:
+                if fmt[j] == "'" and j + 1 < n and fmt[j + 1] == "'":
+                    j += 2
+                    continue
+                if fmt[j] == "'":
+                    break
+                j += 1
+            out.append(fmt[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "Y":
+            out.append("y")
+        elif ch == "x":
+            out.append("Y")
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def format_datetime(ts: Column | str, joda_fmt: str) -> Column:
+    """Presto format_datetime(timestamp, joda_format) -> varchar."""
+    return F.date_format(_c(ts), joda_to_java_pattern(joda_fmt))
+
+
+def parse_datetime(s: Column | str, joda_fmt: str) -> Column:
+    """Presto parse_datetime(string, joda_format) -> timestamp."""
+    return F.to_timestamp(_c(s), joda_to_java_pattern(joda_fmt))
+
+
 def date_format_mysql(ts: Column | str, mysql_fmt: str) -> Column:
     """Presto date_format(timestamp, mysql_format) -> string."""
     return F.date_format(_c(ts), mysql_to_java_pattern(mysql_fmt))

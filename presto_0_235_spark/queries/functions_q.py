@@ -918,3 +918,40 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("months_since_95"),
         )
     )
+
+
+@register(
+    "fn_datetime_joda",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+       strftime(o_orderdate, '%Y-%m-%d') AS era_day,
+       strftime(o_orderdate, '%a %d %b %Y') AS pretty,
+       CAST(o_orderdate AS TIMESTAMP) AS roundtrip
+FROM orders WHERE o_orderkey < 1000
+""",
+)
+def fn_datetime_joda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format_datetime / parse_datetime — Presto's JODA-pattern pair
+    (DateTimeFunctions.java, Joda DateTimeFormat), translated to
+    java.time patterns (functions/scalar.joda_to_java_pattern). The
+    era_day column uses Joda 'Y' (year-of-era): untranslated,
+    java.time would read it as WEEK-year and diverge for end-of-
+    December dates — the oracle proves the translation, not just the
+    happy path. roundtrip = parse(format(ts)) must be the identity."""
+    ensure_session_defaults(spark)
+    od = F.col("o_orderdate")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            ps.format_datetime(od, "yyyy-MM-dd").alias("iso_day"),
+            ps.format_datetime(od, "Y-MM-dd").alias("era_day"),
+            ps.format_datetime(od, "EEE dd MMM yyyy").alias("pretty"),
+            ps.parse_datetime(
+                ps.format_datetime(od, "yyyy-MM-dd HH:mm:ss"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("roundtrip"),
+        )
+    )

@@ -131,6 +131,34 @@ def sql_unnest_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_unnest_multi_array",
+    oracle="""
+SELECT p_partkey,
+       unnest(str_split(p_name, ' ')) AS w,
+       unnest(range(1, 4)) AS n
+FROM part
+WHERE p_partkey < 50
+""",
+)
+def sql_unnest_multi_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto parallel-array UNNEST — `UNNEST(a, b) AS t(x, y)` zips
+    the arrays, padding the shorter with NULLs (UnnestOperator.java
+    zips all unnest channels). The frontend lowers to
+    explode(zip_with(...)) in a lateral; DuckDB's parallel unnest has
+    identical pad semantics for the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT p_partkey, w, n
+        FROM part
+        CROSS JOIN UNNEST(split(p_name, ' '), sequence(1, 3)) AS t (w, n)
+        WHERE p_partkey < 50
+        """,
+    ).selectExpr("p_partkey", "w", "CAST(n AS BIGINT) AS n")
+
+
+@register(
     "sql_quantified_all",
     oracle="""
 SELECT o_orderkey, o_totalprice

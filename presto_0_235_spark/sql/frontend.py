@@ -310,6 +310,21 @@ _UNNEST = re.compile(
 )
 
 
+def _split_top_comma(s: str) -> list[str]:
+    """Split on commas at paren/bracket depth 0."""
+    parts, depth, start = [], 0, 0
+    for j, ch in enumerate(s):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:j])
+            start = j + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts]
+
+
 def _rewrite_unnest(sql: str) -> str:
     counter = [0]
 
@@ -325,15 +340,28 @@ def _rewrite_unnest(sql: str) -> str:
             f"FROM (SELECT posexplode({arr}) AS (__p{k}, {c}))) {t}"
         )
 
+    def two_repl(m: re.Match) -> str:
+        t, a, b = m.group("t"), m.group("k"), m.group("v")
+        operands = _split_top_comma(m.group("arr"))
+        if len(operands) == 2:
+            # UNNEST(arr1, arr2) AS t(x, y): parallel zip, padded to
+            # the longer array with NULLs (UnnestOperator.java zips
+            # all unnest channels; zip_with pads identically).
+            k = counter[0]
+            counter[0] += 1
+            p1, p2 = operands
+            return (
+                f"CROSS JOIN LATERAL (SELECT __s{k}.__c0 AS {a}, "
+                f"__s{k}.__c1 AS {b} FROM (SELECT explode(zip_with("
+                f"{p1}, {p2}, (l, r) -> named_struct('__c0', l, "
+                f"'__c1', r))) AS __s{k})) {t}"
+            )
+        # Single map operand: UNNEST(m) AS t(k, v).
+        return f"LATERAL VIEW explode({m.group('arr')}) {t} AS {a}, {b}"
+
     sql = _UNNEST_ORD.sub(ord_repl, sql)
-    # Two aliases without ORDINALITY = map unnest (k, v).
-    sql = _UNNEST_TWO.sub(
-        lambda m: (
-            f"LATERAL VIEW explode({m.group('arr')}) {m.group('t')} "
-            f"AS {m.group('k')}, {m.group('v')}"
-        ),
-        sql,
-    )
+    # Two aliases without ORDINALITY = map unnest OR two-array zip.
+    sql = _UNNEST_TWO.sub(two_repl, sql)
     sql = _UNNEST.sub(
         lambda m: (
             f"LATERAL VIEW explode({m.group('arr')}) {m.group('t')} "

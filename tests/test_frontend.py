@@ -147,3 +147,19 @@ def test_subscripts_one_based():
     # ARRAY literal + subscript compose
     out = presto_to_spark_sql("SELECT ARRAY[10, 20][i] FROM t")
     assert "element_at(array(10, 20), i)" in out
+
+
+# ---------------------------------------------------------------------------
+# Joda pattern translator
+
+
+def test_joda_translation_year_of_era_and_weekyear():
+    from presto_0_235_spark.functions.scalar import joda_to_java_pattern
+
+    # Joda Y (year-of-era) -> java y; Joda x (weekyear) -> java Y.
+    assert joda_to_java_pattern("Y-MM-dd") == "y-MM-dd"
+    assert joda_to_java_pattern("x'W'ww") == "Y'W'ww"
+    # Quoted literals pass through untouched, even with Y inside.
+    assert joda_to_java_pattern("'Year Y' yyyy") == "'Year Y' yyyy"
+    # Common fields unchanged.
+    assert joda_to_java_pattern("yyyy-MM-dd HH:mm:ss") == "yyyy-MM-dd HH:mm:ss"
