@@ -118,3 +118,35 @@ def normalize_nfc(s: pd.Series) -> pd.Series:
     return s.map(
         lambda v: None if v is None else unicodedata.normalize("NFC", v)
     )
+
+
+@F.pandas_udf(DoubleType())
+def top3_sum(v: pd.Series) -> float:
+    """Custom grouped AGGREGATE (UDAF) — the reference's plugin-UDAF
+    surface (@AggregationFunction, presto-tests CustomSum.java) as an
+    Arrow grouped-agg pandas UDF: sum of the 3 largest values.
+    Deterministic: values are sorted before the fixed-order 3-term
+    sum, so the result is engine- and partitioning-independent."""
+    s = v.sort_values(ascending=False).head(3).tolist()
+    while len(s) < 3:
+        s.append(0.0)
+    return float((s[0] + s[1]) + s[2])
+
+
+def make_split_words_udtf():
+    """Custom TABLE function (UDTF) — beyond the reference (Presto
+    0.235 has no UDTF surface beyond UNNEST, SURVEY.md §2.11): a
+    Python UDTF usable in LATERAL position, exploding text into
+    (word, pos) rows. Returned as a factory so the class is created
+    after cloudpickle's by-value registration."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split()):
+                yield (w, i + 1)
+
+    return SplitWords

@@ -267,3 +267,52 @@ def io_partition_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_year").cast("int").alias("o_year"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "io_memory_table",
+    oracle="""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(o_totalprice) AS DOUBLE) AS top
+FROM orders WHERE o_totalprice > 200000
+GROUP BY o_orderstatus
+""",
+)
+def io_memory_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory connector analog (reference presto-memory: tables held
+    in RAM across queries): CACHE TABLE pins the relation in the
+    in-memory columnar store (eager), and subsequent queries scan
+    InMemoryRelation instead of the source files."""
+    ensure_session_defaults(spark)
+    load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 200000
+    ).createOrReplaceTempView("mem_big_orders")
+    spark.sql("CACHE TABLE mem_big_orders")
+    return (
+        spark.table("mem_big_orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("o_totalprice").cast("double").alias("top"),
+        )
+    )
+
+
+@register("io_system_tables", oracle=None)
+def io_system_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """System/metadata tables (reference MAIN/connector/system/ —
+    system.runtime.*, information_schema): the catalog answers
+    queries about itself. Output is engine-specific (rows-only):
+    registered table names + column counts from the session catalog."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    rows = [
+        (t.name, len(spark.table(t.name).columns))
+        for t in spark.catalog.listTables()
+        if t.tableType == "TEMPORARY"
+    ]
+    return spark.createDataFrame(
+        sorted(rows), schema="table_name string, n_columns int"
+    )

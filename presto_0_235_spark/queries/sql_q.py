@@ -643,6 +643,60 @@ def sql_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_udaf_custom",
+    oracle="""
+SELECT o_orderpriority,
+       list_sum((list_sort(list(o_totalprice), 'DESC'))[1:3]) AS top3_total
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def sql_udaf_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface (reference @AggregationFunction plugins,
+    presto-tests CustomSum.java): an Arrow grouped-agg pandas UDF —
+    sum of the 3 largest order totals per priority — registered and
+    grouped like any built-in aggregate. Deterministic (sorted
+    fixed-order sum), so DuckDB replays it exactly with
+    list_sort+slice."""
+    from presto_0_235_spark.functions.udfs import top3_sum
+
+    register_views(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .groupBy("o_orderpriority")
+        .agg(top3_sum("o_totalprice").alias("top3_total"))
+    )
+
+
+@register(
+    "sql_udtf_lateral",
+    oracle="""
+SELECT p_partkey,
+       unnest(str_split(p_name, ' ')) AS word,
+       unnest(range(1, len(str_split(p_name, ' ')) + 1)) AS pos
+FROM part WHERE p_partkey < 60
+""",
+)
+def sql_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in LATERAL position — a user TABLE function
+    exploding each part name into (word, pos) rows, the surface the
+    reference caps at built-in UNNEST (SURVEY.md §2.11; Spark's
+    Python UDTFs exceed it). Deterministic -> full DuckDB oracle."""
+    from presto_0_235_spark.functions.udfs import make_split_words_udtf
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("split_words", make_split_words_udtf())
+    return run_sql(
+        spark,
+        """
+        SELECT p.p_partkey, s.word, s.pos
+        FROM part p, LATERAL split_words(p.p_name) s
+        WHERE p.p_partkey < 60
+        """,
+    )
+
+
 @register("sql_udf_registration", oracle=None)
 def sql_udf_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-defined function surface (reference SPI Plugin
