@@ -1313,3 +1313,88 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.size(F.array_distinct("g")) / F.size("g"), 6
         ).alias("rep_score"),
     )
+
+
+@register(
+    "ts_rollup_gapfill",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, value
+  FROM events WHERE event_id % 20 = 0
+),
+agg AS (
+  SELECT event_type, bucket,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS sum_value
+  FROM ev GROUP BY event_type, bucket
+),
+bounds AS (
+  SELECT event_type, min(bucket) AS mn, max(bucket) AS mx FROM agg
+  GROUP BY event_type
+),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+)
+SELECT s.event_type, s.bucket,
+       coalesce(a.n_events, 0) AS n_events,
+       last_value(a.sum_value IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.bucket
+       ) AS sum_value_locf
+FROM spine s LEFT JOIN agg a
+  ON s.event_type = a.event_type AND s.bucket = a.bucket
+""",
+)
+def ts_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup with gap-filling and LOCF
+    interpolation (the TimescaleDB time_bucket_gapfill / locf shape —
+    a custom operator the reference lacks; its closest machinery is
+    date_trunc + GROUP BY): hourly rollup per event type, a generated
+    bucket spine covering [min, max] per type so EMPTY buckets
+    surface as rows (count 0), and last-observation-carried-forward
+    over the sparse sum via an IGNORE NULLS running window.
+
+    100 TB: the rollup is one uniform (type, bucket) shuffle with
+    partial aggregation; the spine is generated from per-type bounds
+    (tiny) and the gap-fill join is spine-sized, not event-sized; the
+    LOCF window partitions by type — no global ordering anywhere."""
+    ensure_session_defaults(spark)
+    from pyspark.sql import Window
+    from presto_0_235_spark.functions.compat import dec_sum
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 20 == 0)
+        .select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "value",
+        )
+    )
+    agg = ev.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n_events"),
+        dec_sum("value", "sum_value"),
+    )
+    bounds = agg.groupBy("event_type").agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    return (
+        spine.join(agg, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.last("sum_value", ignorenulls=True)
+            .over(w)
+            .alias("sum_value_locf"),
+        )
+    )
