@@ -1398,3 +1398,82 @@ def ts_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value_locf"),
         )
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+WITH iv AS (
+  SELECT event_id, event_type, date_trunc('second', ts) AS s,
+         date_trunc('second', ts)
+           + to_seconds(CAST(round(value * 10) AS BIGINT)) AS e
+  FROM events WHERE event_id % 25 = 0
+)
+SELECT a.event_id AS id1, b.event_id AS id2, a.event_type,
+       CAST(epoch(least(a.e, b.e)) - epoch(greatest(a.s, b.s))
+            AS BIGINT) AS overlap_s
+FROM iv a JOIN iv b
+  ON a.event_type = b.event_type AND a.event_id < b.event_id
+ AND a.s <= b.e AND b.s <= a.e
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-overlap) join — the binned scale path, not a
+    nested-loop. Each interval [s, e] (event ts + value*10 seconds)
+    explodes into the hour buckets it spans; candidates join on the
+    uniform (type, bucket) key; exact overlap predicates filter; a
+    distinct collapses intervals meeting in several buckets. The
+    reference runs range predicates as nested-loop joins
+    (JoinFilterFunction residuals) — O(n^2); this is O(n * buckets +
+    true pairs), the interval-binning layout Spark needs at 100 TB.
+    The oracle is the direct quadratic range join on DuckDB — same
+    pairs, proving the binning loses nothing."""
+    ensure_session_defaults(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 25 == 0)
+        .select(
+            "event_id",
+            "event_type",
+            # Whole-second bounds on BOTH engines: mixed-precision
+            # endpoints would make the overlap arithmetic disagree on
+            # sub-second fractions (Spark truncates, DuckDB keeps
+            # micros).
+            F.date_trunc("second", F.col("ts")).alias("s"),
+            F.timestamp_seconds(
+                F.unix_timestamp("ts")
+                + F.round(F.col("value") * 10).cast("long")
+            ).alias("e"),
+        )
+    )
+    binned = ev.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("s")),
+                F.date_trunc("hour", F.col("e")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.event_id").alias("id1"),
+            F.col("b.event_id").alias("id2"),
+            F.col("a.event_type").alias("event_type"),
+            (
+                F.unix_timestamp(F.least(F.col("a.e"), F.col("b.e")))
+                - F.unix_timestamp(F.greatest(F.col("a.s"), F.col("b.s")))
+            ).alias("overlap_s"),
+        )
+        .distinct()
+    )
