@@ -231,7 +231,12 @@ def _rewrite_try(sql: str) -> str:
         if not m:
             return sql
         open_i = sql.index("(", m.start())
-        close_i = _balanced(sql, open_i)
+        try:
+            close_i = _balanced(sql, open_i)
+        except ValueError:
+            # Malformed parens: leave the text for Spark's parser to
+            # report with a proper SQL error position.
+            return sql
         inner = sql[open_i + 1 : close_i - 1]
         # Recurse for nested TRY before lowering the outer one.
         inner = _rewrite_try(inner)

@@ -163,3 +163,21 @@ def test_joda_translation_year_of_era_and_weekyear():
     assert joda_to_java_pattern("'Year Y' yyyy") == "'Year Y' yyyy"
     # Common fields unchanged.
     assert joda_to_java_pattern("yyyy-MM-dd HH:mm:ss") == "yyyy-MM-dd HH:mm:ss"
+
+
+@given(
+    st.text(
+        alphabet="abxy ,.'\"()[]-%<>=/*+SELECTRYALUNESTMAP0123\x00",
+        max_size=60,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_translation_total_on_arbitrary_text(sql):
+    """The dialect translation is TOTAL: on any input (malformed
+    parens, dangling quotes, stray keywords, even NUL bytes) it
+    returns a string without raising and never leaks mask
+    placeholders — malformed SQL must surface as Spark's parse error,
+    not a Python traceback from the rewriter."""
+    out = presto_to_spark_sql(sql)
+    assert isinstance(out, str)
+    assert "\x00" not in out.replace(sql, "") or "\x00" in sql
