@@ -19,7 +19,9 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(SF01), reason="sf0.1 fixtures not present"
 )
 
-_HEAVY = ["tpch_q5", "dedup_minhash_lsh", "pipeline_corpus_dedup"]
+_HEAVY = ["tpch_q5", "dedup_minhash_lsh", "pipeline_corpus_dedup",
+          "text_decontaminate", "join_interval_overlap",
+          "ts_rollup_gapfill", "tpch_q21_adapted"]
 
 
 @pytest.mark.parametrize("name", _HEAVY)
