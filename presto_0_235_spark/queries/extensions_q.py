@@ -1477,3 +1477,68 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH e AS (
+  SELECT user_id, date_trunc('second', ts) AS ts
+  FROM events WHERE user_id < 40
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS duration_s
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gaps-and-islands operator every
+    event pipeline needs (30-min inactivity gap -> session id via
+    lag + running sum; the batch twin of the streaming
+    session_window). One shuffle on user_id serves both windows and
+    the final aggregate — Spark reuses the partitioning. DuckDB
+    replays the identical window algebra."""
+    ensure_session_defaults(spark)
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select("user_id", F.date_trunc("second", F.col("ts")).alias("ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            prev.isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w_run)
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duration_s"),
+    )

@@ -955,3 +955,43 @@ def fn_datetime_joda(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("roundtrip"),
         )
     )
+
+
+@register(
+    "fn_row_type",
+    oracle="""
+SELECT o_orderkey,
+       struct_pack(k := o_orderkey, v := o_totalprice).v AS pair_v,
+       (list_sort([struct_pack(k := o_orderkey, v := o_totalprice),
+                   struct_pack(k := o_orderkey % 7,
+                               v := o_totalprice / 2)]))[1].k AS min_k,
+       struct_pack(outer_f := struct_pack(k := o_orderkey + 1)).outer_f.k
+         AS nested_k
+FROM orders WHERE o_orderkey < 500
+""",
+)
+def fn_row_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW type surface (SPI/type/RowType.java; §1.2 structural
+    types): row construction, field dereference, rows nested in rows,
+    and ordering of row values inside arrays (RowComparisonOperators
+    — lexicographic by field), mapped onto Spark structs. DuckDB
+    structs replay all of it for the oracle."""
+    ensure_session_defaults(spark)
+    k, v = F.col("o_orderkey"), F.col("o_totalprice")
+    pair = F.struct(k.alias("k"), v.alias("v"))
+    alt = F.struct((k % 7).alias("k"), (v / 2).alias("v"))
+    nested = F.struct(
+        F.struct((k + 1).alias("k")).alias("outer_f")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            pair.getField("v").alias("pair_v"),
+            F.element_at(F.sort_array(F.array(pair, alt)), 1)
+            .getField("k")
+            .alias("min_k"),
+            nested.getField("outer_f").getField("k").alias("nested_k"),
+        )
+    )
