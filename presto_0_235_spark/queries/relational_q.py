@@ -1144,3 +1144,48 @@ def join_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         left.join(right, left.k == right.rk, "left")
         .select("o_orderkey", F.col("k").alias("lk"), "n_name")
     )
+
+
+@register(
+    "pivot_unpivot_roundtrip",
+    oracle="""
+WITH p AS (SELECT DISTINCT o_orderpriority FROM orders),
+s AS (SELECT unnest(['O', 'F', 'P']) AS o_orderstatus),
+counts AS (
+  SELECT o_orderpriority, o_orderstatus, count(*) AS n
+  FROM orders WHERE o_orderstatus IN ('O', 'F', 'P')
+  GROUP BY o_orderpriority, o_orderstatus
+)
+SELECT p.o_orderpriority, s.o_orderstatus,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM p CROSS JOIN s
+LEFT JOIN counts c
+  ON c.o_orderpriority = p.o_orderpriority
+ AND c.o_orderstatus = s.o_orderstatus
+""",
+)
+def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT -> UNPIVOT roundtrip (beyond-reference: Presto 0.235 has
+    no PIVOT; its users emulate it with conditional aggregation —
+    the oracle does exactly that emulation). Spark pivots order
+    counts to one column per status (missing combos coalesced to 0,
+    the dense-matrix contract), then unpivots back to long form —
+    proving both reshapes preserve every cell."""
+    ensure_session_defaults(spark)
+    statuses = ["O", "F", "P"]
+    pivoted = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .count()
+        .select(
+            "o_orderpriority",
+            *[
+                F.coalesce(F.col(s), F.lit(0)).alias(s)
+                for s in statuses
+            ],
+        )
+    )
+    return pivoted.unpivot(
+        ["o_orderpriority"], statuses, "o_orderstatus", "n"
+    )
