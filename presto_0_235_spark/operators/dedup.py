@@ -365,3 +365,110 @@ def connected_components(
             break
     both.unpersist()
     return labels
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    """Undirected (a, b) edge list -> both directed rows (u, v)."""
+    return e.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """large-star(u): connect every strictly-larger neighbor of u to
+    m(u) = min(neighbors(u) + {u})."""
+    both = _symmetrize(e)
+    m = both.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+    return (
+        both.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """small-star(u): orient edges larger->smaller; connect u and all
+    its smaller neighbors to their minimum."""
+    directed = (
+        e.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = directed.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        directed.join(m, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .unionByName(
+            m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the WEB-SCALE variant of connected_components: converges in
+    O(log n) rounds regardless of graph diameter, where min-label
+    propagation needs diameter-many rounds (a 10^6-long chain of
+    paraphrased documents would take 10^6 propagation rounds but ~20
+    star rounds). Same output contract as connected_components:
+    (vertex, label) with label = the component's minimum id.
+
+    Each round is two self-free join+aggregate passes over the edge
+    list on uniform keys; the edge set only shrinks toward the final
+    star forest, so round cost decreases. localCheckpoint every round
+    bounds lineage exactly as in the propagation variant.
+    """
+    e = (
+        edges.select(
+            F.col("id1").cast("long").alias("a"),
+            F.col("id2").cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    vertices = (
+        _symmetrize(e).select(F.col("u").alias("vertex")).distinct().persist()
+    )
+    for _ in range(max_iterations):
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # Converged when the canonical edge multiset is unchanged:
+        # same count and no edge outside the intersection.
+        canon_old = e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).distinct()
+        canon_new = new_e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).distinct()
+        changed = (
+            canon_new.exceptAll(canon_old).limit(1).count()
+            + canon_old.exceptAll(canon_new).limit(1).count()
+        )
+        e.unpersist()
+        e = new_e
+        if changed == 0:
+            break
+    # Final star forest: leaves' min neighbor is the root; roots keep
+    # themselves (their neighbors are all larger).
+    both = _symmetrize(e)
+    labels = both.groupBy(F.col("u").alias("vertex")).agg(
+        F.min("v").alias("mn")
+    )
+    labels = labels.select(
+        "vertex", F.least(F.col("vertex"), F.col("mn")).alias("label")
+    )
+    # Vertices whose edges collapsed away entirely (singleton after
+    # star contraction) label themselves.
+    return vertices.join(labels, "vertex", "left").select(
+        "vertex", F.coalesce(F.col("label"), F.col("vertex")).alias("label")
+    )

@@ -1128,9 +1128,7 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_connected_components",
-    oracle=f"""
+_CC_ORACLE = f"""
 WITH RECURSIVE d AS (
   SELECT doc_id, {_SHINGLES} AS sh FROM documents
 ),
@@ -1140,10 +1138,19 @@ sig AS (
 bands AS (
   {_BAND_SELECTS}
 ),
+small_buckets AS (
+  SELECT band_id, band_key FROM bands
+  GROUP BY band_id, band_key
+  HAVING count(*) <= {dd.LSH_MAX_BUCKET}
+),
+kept AS (
+  SELECT b.* FROM bands b
+  JOIN small_buckets s ON b.band_id = s.band_id AND b.band_key = s.band_key
+),
 edges AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-  FROM bands a
-  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  FROM kept a
+  JOIN kept b ON a.band_id = b.band_id AND a.band_key = b.band_key
               AND a.doc_id < b.doc_id
 ),
 sym AS (
@@ -1162,8 +1169,10 @@ SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size,
        CAST(min(doc) AS BIGINT) AS representative
 FROM cc
 GROUP BY cluster
-""".replace("walk(doc, label) AS (", "walk(doc, label) AS ("),
-)
+"""
+
+
+@register("dedup_connected_components", oracle=_CC_ORACLE)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: connected components over the LSH
     candidate-pair graph (operators/dedup.py connected_components —
@@ -1180,6 +1189,27 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = dd.lsh_candidate_pairs(d, "doc_id", "sh")
     labels = dd.connected_components(edges)
+    return labels.groupBy(F.col("label").alias("cluster")).agg(
+        F.count("*").cast("bigint").alias("cluster_size"),
+        F.min("vertex").cast("bigint").alias("representative"),
+    )
+
+
+@register("dedup_cc_star", oracle=_CC_ORACLE)
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as dedup_connected_components, computed by the
+    WEB-SCALE algorithm: alternating large-star / small-star rounds
+    (operators/dedup.connected_components_star — O(log n) rounds vs
+    graph diameter; Kiveris et al.). Identical oracle: both variants
+    must land on the same clusters — and do, exactly."""
+    ensure_session_defaults(spark)
+    d = (
+        load_table(spark, sf_dir, "documents", spread=True)
+        .select("doc_id", dd.word_shingles("text").alias("sh"))
+        .persist()
+    )
+    edges = dd.lsh_candidate_pairs(d, "doc_id", "sh")
+    labels = dd.connected_components_star(edges)
     return labels.groupBy(F.col("label").alias("cluster")).agg(
         F.count("*").cast("bigint").alias("cluster_size"),
         F.min("vertex").cast("bigint").alias("representative"),

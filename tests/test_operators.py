@@ -189,3 +189,31 @@ def test_connected_components_deep_chain_converges(spark):
     labels = dd.connected_components(edges, max_iterations=50)
     got = {(r.vertex, r.label) for r in labels.collect()}
     assert got == {(v, 0) for v in range(41)}
+
+
+def test_cc_star_equals_propagation(spark):
+    """large-star/small-star CC must produce exactly the labels of
+    min-label propagation on chains, stars, cliques, random graphs,
+    and disconnected mixtures."""
+    import random
+
+    rng = random.Random(7)
+    cases = [
+        [(i, i + 1) for i in range(30)],                      # long chain
+        [(0, i) for i in range(1, 12)],                       # star
+        [(a, b) for a in range(6) for b in range(a + 1, 6)],  # clique
+        [(100, 101), (200, 201), (300, 301)],                 # tiny comps
+        [(rng.randrange(40), rng.randrange(40)) for _ in range(60)],
+    ]
+    for edges_py in cases:
+        edges_py = [(a, b) for a, b in edges_py if a != b]
+        edges = spark.createDataFrame(edges_py, schema="id1 long, id2 long")
+        prop = {
+            (r.vertex, r.label)
+            for r in dd.connected_components(edges, 60).collect()
+        }
+        star = {
+            (r.vertex, r.label)
+            for r in dd.connected_components_star(edges, 25).collect()
+        }
+        assert star == prop, (sorted(star - prop)[:5], sorted(prop - star)[:5])
