@@ -1572,3 +1572,55 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
         ).alias("duration_s"),
     )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+WITH dims AS (
+  SELECT vec_id % 4 AS shard,
+         unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+SELECT shard, CAST(dim AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 / count(*) AS centroid
+FROM dims
+GROUP BY shard, dim
+""",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation: element-wise centroid of an embedding
+    column per group (the k-means/update and class-prototype step a
+    training pipeline runs on billions of vectors). posexplode emits
+    (dim, value) rows; one (group, dim) shuffle with map-side partial
+    sums computes all coordinates at once. Coordinates are cast
+    float->double (exact) then FLOOR-quantized to the 1e-6 grid
+    before the integer sum: floor (unlike round) has no .5-tie, so
+    the quantization is IEEE-identical on every engine for ARBITRARY
+    doubles — each coordinate's mean is bit-exact, order-independent,
+    and within 1e-6 of the unquantized mean. The reference has no
+    vector aggregate at all. 1-based dim matches DuckDB's
+    generate_subscripts."""
+    ensure_session_defaults(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        (F.col("vec_id") % 4).alias("shard"),
+        F.posexplode(F.col("embedding")).alias("dim0", "x"),
+    )
+    return (
+        dims.groupBy("shard", (F.col("dim0") + 1).cast("int").alias("dim"))
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(
+                    F.floor(F.col("x").cast("double") * 1000000).cast("long")
+                )
+                .cast("double")
+                / F.lit(1000000.0)
+                / F.count("*")
+            ).alias("centroid"),
+        )
+    )
