@@ -256,3 +256,52 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum("value", "sum_value"),
     )
     return run_to_batch(agg, output_mode="complete")
+
+
+@register(
+    "stream_topk_per_window",
+    oracle="""
+WITH agg AS (
+  SELECT time_bucket(INTERVAL 12 HOUR, ts) AS ws, user_id,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT ws, user_id, n_events,
+         row_number() OVER (PARTITION BY ws
+                            ORDER BY n_events DESC, user_id) AS rnk
+  FROM agg
+)
+SELECT ws, CAST(user_id AS BIGINT) AS user_id,
+       CAST(n_events AS BIGINT) AS n_events, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k per event-time window — the trending-items
+    query. Structured Streaming forbids ranking windows on a live
+    stream, so the production shape is two stages: the STREAM
+    maintains per-(window, user) counts under a watermark (bounded
+    state); the settled results are ranked with a group-limit window
+    per batch/downstream (here: on the AvailableNow-settled table —
+    in production, inside foreachBatch or over the sink table).
+    Replay equals the batch oracle exactly."""
+    from pyspark.sql import Window
+
+    events = read_events_stream(spark, sf_dir)
+    counts = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "12 hours"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    settled = run_to_batch(counts).select(
+        F.col("window.start").alias("ws"), "user_id", "n_events"
+    )
+    w = Window.partitionBy("ws").orderBy(
+        F.col("n_events").desc(), F.col("user_id")
+    )
+    return (
+        settled.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("ws", "user_id", "n_events", F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -21,7 +21,7 @@ pytestmark = pytest.mark.skipif(
 
 _HEAVY = ["tpch_q5", "dedup_minhash_lsh", "pipeline_corpus_dedup",
           "text_decontaminate", "join_interval_overlap",
-          "ts_rollup_gapfill", "tpch_q21_adapted"]
+          "ts_rollup_gapfill", "tpch_q21_adapted", "dedup_cc_star"]
 
 
 @pytest.mark.parametrize("name", _HEAVY)
