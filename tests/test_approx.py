@@ -120,3 +120,48 @@ def test_qhist_quantile_accuracy(spark, sf_dir):
     bin_width = 400000.0 / sk.QH_BINS
     for grp, ex in exact.items():
         assert abs(est[grp] - ex) <= bin_width, (grp, est[grp], ex)
+
+
+def test_hll_partition_layout_independent(spark, sf_dir):
+    """The HLL register table — and therefore the estimate — must be
+    IDENTICAL under any partition layout (the bit-for-bit claim in
+    operators/sketches.py): 1-partition vs 17-partition inputs."""
+    from presto_0_235_spark.catalog import load_table
+    from presto_0_235_spark.operators import sketches as sk
+
+    orders = load_table(spark, sf_dir, "orders")
+    one = sk.hll_cardinality(
+        sk.hll_registers(orders.coalesce(1), ["o_orderpriority"], "o_custkey"),
+        ["o_orderpriority"],
+    )
+    many = sk.hll_cardinality(
+        sk.hll_registers(
+            orders.repartition(17), ["o_orderpriority"], "o_custkey"
+        ),
+        ["o_orderpriority"],
+    )
+    a = {(r.o_orderpriority, r.approx_distinct) for r in one.collect()}
+    b = {(r.o_orderpriority, r.approx_distinct) for r in many.collect()}
+    assert a == b
+
+
+def test_dec_sum_partition_layout_independent(spark, sf_dir):
+    """dec_sum's scaled-long money sums are exactly order- and
+    partitioning-independent — a plain double sum is NOT (this is the
+    property the oracle hash relies on)."""
+    from presto_0_235_spark.catalog import load_table
+    from presto_0_235_spark.functions.compat import dec_sum
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def run(df):
+        return {
+            (r.l_returnflag, r.s)
+            for r in df.groupBy("l_returnflag")
+            .agg(dec_sum(rev, "s"))
+            .collect()
+        }
+
+    assert run(li.coalesce(1)) == run(li.repartition(23))
