@@ -57,8 +57,11 @@ GROUP BY 1, 2, 3
 def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 volume shipping: nation plays two roles (supplier side and
     customer side) — a self-aliased dimension joined twice, both
-    broadcast. Disjunctive nation-pair filter evaluated after both
-    joins (reference: JoinFilterFunction residual predicates)."""
+    broadcast (25 rows, SF-invariant). customer/supplier carry NO
+    hint: they grow with SF, so the size-based planner / AQE decides
+    (reference: DetermineJoinDistributionType.java chooses by cost,
+    never by fiat). Disjunctive nation-pair filter evaluated after
+    both joins (reference: JoinFilterFunction residual predicates)."""
     ensure_session_defaults(spark)
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between("1995-01-01", "1996-12-31 00:00:00")
@@ -81,8 +84,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
         .filter(pair)
@@ -124,7 +127,10 @@ GROUP BY o_year
 def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 national market share: 8-way join, nation twice, ratio of
     conditional to total volume per year (FILTER-style conditional
-    aggregation — reference ImplementFilteredAggregations)."""
+    aggregation — reference ImplementFilteredAggregations).
+    part/customer/supplier grow with SF — no broadcast hints on them;
+    only nation/region (bounded 25/5 rows) are pinned. At sf0.01 AQE
+    still broadcasts the small sides on its own (plan test)."""
     ensure_session_defaults(spark)
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
@@ -143,12 +149,12 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     flows = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),
@@ -187,7 +193,8 @@ LIMIT 20
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 returned items: join + wide-key grouping + top-20
     (TopNOperator over aggregated output; grouping keys carry
-    customer attributes)."""
+    customer attributes). customer grows with SF — no broadcast hint
+    (the r2 tpch_q.py rule); nation (25 rows) keeps its hint."""
     ensure_session_defaults(spark)
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -199,7 +206,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dec_sum(revenue, "revenue"))
@@ -264,7 +271,8 @@ WHERE l_shipdate >= TIMESTAMP '1996-06-01'
 )
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 promotion effect: conditional-aggregation ratio over a
-    part join (CASE inside SUM — filtered aggregation)."""
+    part join (CASE inside SUM — filtered aggregation). part grows
+    with SF — no broadcast hint, AQE decides."""
     ensure_session_defaults(spark)
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-06-01").cast("timestamp"))
@@ -274,7 +282,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -342,18 +350,31 @@ WHERE p_brand = 'Brand#13'
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17 small-quantity-order revenue: correlated scalar subquery
     against the same fact table — decorrelated to an aggregate+join
-    (reference TransformCorrelatedScalarAggregationToJoin). avg is
-    over integer-valued quantities per part; the 0.2*avg threshold
-    compare is exact on both engines."""
+    (reference TransformCorrelatedScalarAggregationToJoin). The
+    Brand#13 filter is pushed INTO the correlated aggregate: lineitem
+    is first semi-joined to the filtered part keys (p_partkey is
+    unique, so the semi join equals the original inner join), and
+    only then aggregated per part — shrinking the aggregate's shuffle
+    to ~4% of lineitem (the reference achieves the same via
+    PredicatePushDown.java equality inference). Per-part averages are
+    unchanged because the aggregate groups by the same key the filter
+    selects on. No broadcast hints: both the filtered keys and the
+    per-part aggregate grow with SF; AQE broadcasts them at small SF
+    (plan test). avg is over integer-valued quantities per part; the
+    0.2*avg threshold compare is exact on both engines."""
     ensure_session_defaults(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
-    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+    part_keys = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li_brand = li.join(part_keys, li.l_partkey == part_keys.p_partkey, "left_semi")
+    per_part = li_brand.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(per_part), li.l_partkey == F.col("ap_partkey"))
+        li_brand.join(per_part, li_brand.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0)
@@ -380,7 +401,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     spanning both join sides — the classic OR'd-bands residual filter
     (reference: nested-loop fallback avoided because the equi-key
     p_partkey=l_partkey still drives a hash join; the OR bands stay a
-    post-join filter)."""
+    post-join filter). part grows with SF — no broadcast hint."""
     ensure_session_defaults(spark)
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
@@ -395,7 +416,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(band)
         .agg(dec_sum(revenue, "revenue"))
     )
@@ -480,7 +501,9 @@ GROUP BY n_name, CAST(year(o_orderdate) AS INT)
 def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 product-type profit (adapted: fixtures drop ps_supplycost,
     so profit = discounted revenue): 5-way join filtered by a LIKE
-    predicate on part, grouped by supplier nation x order year."""
+    predicate on part, grouped by supplier nation x order year.
+    part/supplier grow with SF — no broadcast hints; nation (25 rows)
+    keeps its hint. AQE broadcasts the small sides at small SF."""
     ensure_session_defaults(spark)
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
@@ -489,8 +512,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(

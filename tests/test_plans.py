@@ -138,3 +138,61 @@ def test_no_hardcoded_broadcast_on_sf_growing_sides(spark, sf_dir):
     assert "BroadcastHashJoin" in q3 or "BroadcastExchange" in q3
     q18 = plan_of(_QUERIES["tpch_q18"].builder(spark, sf_dir))
     assert "BroadcastHashJoin" in q18 or "BroadcastExchange" in q18
+
+
+def test_tpch_more_no_sf_growing_broadcasts(spark, sf_dir):
+    """q7/q8/q9/q10/q14/q17/q19 (tpch_more_q.py) carry NO broadcast
+    hint on SF-growing sides (customer/supplier/part/per-part
+    aggregates) — the r2 tpch_q.py rule extended to the whole corpus.
+    The size-aware planner still picks broadcast joins on its own at
+    small SF (reference DetermineJoinDistributionType.java chooses by
+    cost, never by fiat). Static-hint detection: ResolvedHint nodes in
+    the analyzed logical plan only appear for explicit F.broadcast
+    calls — the allowed ones are the bounded dims (nation=25,
+    region=5 rows) and single-row scalar aggregates."""
+    import re
+
+    bounded_hint_budget = {
+        "tpch_q7": 2,   # n1, n2
+        "tpch_q8": 3,   # n1, n2, region
+        "tpch_q9": 1,   # nation
+        "tpch_q10": 1,  # nation
+        "tpch_q14": 0,
+        "tpch_q17": 0,
+        "tpch_q19": 0,
+    }
+    for name, budget in bounded_hint_budget.items():
+        df = _QUERIES[name].builder(spark, sf_dir)
+        extended = plan_of(df, "extended")
+        analyzed = extended.split("== Analyzed Logical Plan ==")[1].split(
+            "== Optimized Logical Plan =="
+        )[0]
+        n_hints = len(re.findall(r"ResolvedHint", analyzed))
+        assert n_hints <= budget, (
+            f"{name}: {n_hints} broadcast hints (allowed {budget} bounded dims)"
+        )
+        # The physical plan still broadcasts the small sides at this SF
+        # via size-based planning / AQE — the cost-based choice.
+        physical = plan_of(df)
+        assert "BroadcastHashJoin" in physical or "BroadcastExchange" in physical, (
+            f"{name}: expected size-based broadcast at small SF"
+        )
+
+
+def test_q17_semi_join_below_aggregate(spark, sf_dir):
+    """Q17's correlated per-part aggregate consumes only Brand#13
+    lineitem rows: the semi join to filtered part keys sits BELOW the
+    per-part HashAggregate (reference analog:
+    TransformCorrelatedScalarAggregationToJoin + PredicatePushDown
+    equality inference shrink the aggregate input ~25x)."""
+    plan = plan_of(_QUERIES["tpch_q17"].builder(spark, sf_dir), "extended")
+    # Optimized logical plan: aggregate over a semi join, not the raw scan.
+    optimized = plan.split("== Optimized Logical Plan ==")[1]
+    agg_pos = optimized.find("Aggregate [l_partkey")
+    assert agg_pos != -1
+    # Children print after their parent: a LeftSemi after the per-part
+    # Aggregate line means the aggregate consumes the semi-joined
+    # (Brand#13-only) lineitem, not the raw scan.
+    assert optimized.find("LeftSemi", agg_pos) != -1, (
+        "per-part aggregate should consume the Brand#13 semi join"
+    )
