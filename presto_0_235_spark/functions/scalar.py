@@ -176,6 +176,38 @@ def from_unixtime_(epoch: Column | str) -> Column:
     return F.timestamp_seconds(_c(epoch))
 
 
+# ---- timezone conversion (DateTimeFunctions.java at_timezone,
+# TimestampWithTimeZoneType.java / DateTimeEncoding.java) --------------------
+#
+# The engine stores naive timestamps denoting UTC instants (session tz
+# pinned UTC by ensure_session_defaults). Presto's `timestamp with
+# time zone` packs (instant, zone) into one value; the Spark-first
+# representation is the instant plus explicit conversion at the edges:
+
+
+def at_timezone(ts: Column | str, zone: str | Column) -> Column:
+    """Presto at_timezone(tstz, zone): same instant, rendered as the
+    zone's wall-clock time. Naive-UTC convention -> from_utc_timestamp."""
+    return F.from_utc_timestamp(_c(ts), zone)
+
+
+def with_timezone(ts: Column | str, zone: str | Column) -> Column:
+    """Presto with_timezone(ts, zone): declare a naive timestamp to BE
+    zone-local wall time; result is the UTC instant."""
+    return F.to_utc_timestamp(_c(ts), zone)
+
+
+def from_unixtime_tz(epoch: Column | str, zone: str | Column) -> Column:
+    """Presto from_unixtime(unixtime, zone) -> tstz: epoch seconds to
+    the zone's wall-clock time."""
+    return F.from_utc_timestamp(F.timestamp_seconds(_c(epoch)), zone)
+
+
+def convert_timezone_(src: str, tgt: str, ts: Column | str) -> Column:
+    """src-zone wall time -> tgt-zone wall time (Spark convert_timezone)."""
+    return F.convert_timezone(F.lit(src), F.lit(tgt), _c(ts))
+
+
 # ---- json (JsonFunctions.java:502) ----------------------------------------
 
 

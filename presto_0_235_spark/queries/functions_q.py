@@ -958,6 +958,118 @@ def fn_datetime_joda(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_timezone",
+    oracle="""
+SELECT o_orderkey,
+       timezone('America/Los_Angeles', timezone('UTC', o_orderdate))
+         AS la_wall,
+       timezone('UTC', timezone('America/Los_Angeles', o_orderdate))
+         AS utc_from_la,
+       timezone('Europe/Paris', timezone('Asia/Tokyo', o_orderdate))
+         AS paris_from_tokyo,
+       timezone('America/New_York',
+                to_timestamp(CAST(epoch(o_orderdate) AS BIGINT)))
+         AS ny_from_epoch,
+       timezone('America/Los_Angeles',
+                timezone('UTC', TIMESTAMP '2024-03-10 10:30:00'))
+         AS dst_spring,
+       timezone('America/Los_Angeles',
+                timezone('UTC', TIMESTAMP '2024-11-03 09:30:00'))
+         AS dst_fall
+FROM orders WHERE o_orderkey < 1000
+""",
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AT TIME ZONE family (DateTimeFunctions.java at_timezone /
+    tz-aware from_unixtime; TimestampWithTimeZoneType.java,
+    DateTimeEncoding.java pack (instant, zone) into one value — the
+    Spark-first representation is a naive-UTC instant plus explicit
+    conversion at the edges): at_timezone, with_timezone (inverse),
+    two-zone conversion, epoch->zone, and both DST boundaries
+    (2024-03-10 spring-forward: 10:30 UTC -> 03:30 PDT;
+    2024-11-03 fall-back: 09:30 UTC -> 01:30 PST). DuckDB replays via
+    ICU timezone(); both engines read the same IANA tzdb."""
+    ensure_session_defaults(spark)
+    od = F.col("o_orderdate")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            ps.at_timezone(od, "America/Los_Angeles").alias("la_wall"),
+            ps.with_timezone(od, "America/Los_Angeles").alias("utc_from_la"),
+            ps.convert_timezone_("Asia/Tokyo", "Europe/Paris", od).alias(
+                "paris_from_tokyo"
+            ),
+            ps.from_unixtime_tz(
+                F.unix_timestamp(od), "America/New_York"
+            ).alias("ny_from_epoch"),
+            ps.at_timezone(
+                F.lit("2024-03-10 10:30:00").cast("timestamp"),
+                "America/Los_Angeles",
+            ).alias("dst_spring"),
+            ps.at_timezone(
+                F.lit("2024-11-03 09:30:00").cast("timestamp"),
+                "America/Los_Angeles",
+            ).alias("dst_fall"),
+        )
+    )
+
+
+@register(
+    "fn_decimal38",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+            * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))
+         AS wide_mul,
+       CAST(CAST(l_extendedprice AS DECIMAL(24,4))
+            * CAST(1000000000000 AS DECIMAL(13,0)) AS DECIMAL(38,4))
+         AS huge_mul,
+       CAST(CAST(l_extendedprice AS DECIMAL(30,4))
+            / CAST(1000 AS DECIMAL(4,0)) AS DECIMAL(38,7))
+         AS exact_div
+FROM lineitem WHERE l_orderkey < 300
+""",
+)
+def fn_decimal38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-decimal (128-bit) arithmetic at precision >18
+    (SPI/type/LongDecimalType.java, UnscaledDecimal128Arithmetic.java:
+    the reference switches from long to int128 backing above
+    precision 18). Shapes chosen to be EXACT on both engines so the
+    value-hash is meaningful:
+      - wide_mul: (18,4)x(19,4) -> precision 38 scale 8, no loss on
+        either engine (Spark p1+p2+1 = 38 exactly; DuckDB int128);
+      - huge_mul: x * 10^12 pushes unscaled values past 2^63, forcing
+        the int128 path while staying exact;
+      - exact_div: /1000 terminates at scale 7 -> no rounding-rule
+        divergence (general decimal division rounds HALF_UP in the
+        JVM vs from-binary in C engines — documented in
+        fn_decimal_arithmetic; exact quotients sidestep it)."""
+    ensure_session_defaults(spark)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 300)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * F.col("l_quantity").cast("decimal(19,4)")
+            ).cast("decimal(38,8)").alias("wide_mul"),
+            (
+                F.col("l_extendedprice").cast("decimal(24,4)")
+                * F.lit(1000000000000).cast("decimal(13,0)")
+            ).cast("decimal(38,4)").alias("huge_mul"),
+            (
+                F.col("l_extendedprice").cast("decimal(30,4)")
+                / F.lit(1000).cast("decimal(4,0)")
+            ).cast("decimal(38,7)").alias("exact_div"),
+        )
+    )
+
+
+@register(
     "fn_row_type",
     oracle="""
 SELECT o_orderkey,

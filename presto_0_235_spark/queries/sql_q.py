@@ -697,6 +697,48 @@ def sql_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_create_function",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 200000 THEN 'high'
+            WHEN o_totalprice >= 100000 THEN 'mid'
+            ELSE 'low' END AS band,
+       o_orderkey * 2 + 1 AS seq
+FROM orders WHERE o_orderkey < 500
+""",
+)
+def sql_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-declared functions via the CREATE FUNCTION statement path
+    (reference grammar SqlBase.g4:62-66, CreateFunctionTask.java:47 —
+    Presto 0.235's SQL-function DDL): the function body is SQL, the
+    declaration is a statement through the front door, and the
+    function is then callable from any query — exactly the
+    SqlInvokedFunction surface. Spark-first: SQL scalar UDFs
+    (CREATE TEMPORARY FUNCTION ... RETURNS ... RETURN expr), which
+    stay expression-level — the body inlines into the plan, keeping
+    whole-stage codegen (no Python in the hot path). Deterministic
+    pure-SQL bodies -> full DuckDB oracle with the bodies inlined."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN p >= 200000 THEN 'high' "
+        "WHEN p >= 100000 THEN 'mid' ELSE 'low' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION odd_seq(k BIGINT) "
+        "RETURNS BIGINT RETURN k * 2 + 1"
+    )
+    return run_sql(
+        spark,
+        """
+        SELECT o_orderkey, price_band(o_totalprice) AS band,
+               odd_seq(o_orderkey) AS seq
+        FROM orders WHERE o_orderkey < 500
+        """,
+    )
+
+
 @register("sql_udf_registration", oracle=None)
 def sql_udf_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-defined function surface (reference SPI Plugin

@@ -19,9 +19,12 @@ transformation):
   - ARRAY[...] literals -> array(...)          (SqlBase.g4 ARRAY rule)
   - MAP(array(...), ...) -> map_from_arrays    (MapConstructor)
   - TRY(expr) -> TRY_CAST / try_divide / try_add / try_subtract /
-    try_multiply / try_element_at by shape     (TryFunction.java;
-    other expression shapes fall back to the bare expression —
-    documented limitation, Spark has no generic error-absorber)
+    try_multiply / try_element_at / try_to_number / try_to_timestamp
+    by shape                                   (TryFunction.java;
+    any OTHER expression shape raises TryShapeNotSupportedError at
+    translate time — Spark has no generic error-absorber, and
+    silently dropping TRY would change failure semantics, so the
+    front door refuses loudly instead)
   - 1-based subscripts a[i] -> element_at(a, i) (ArraySubscriptOperator
     .java is 1-based; Spark's native a[i] is 0-based so a lexical
     keep-as-is would silently shift every element)
@@ -185,6 +188,30 @@ def _rewrite_map_ctor(sql: str) -> str:
 _TRY = re.compile(r"\bTRY\s*\(", re.IGNORECASE)
 _TRY_FNS = {"/": "try_divide", "*": "try_multiply", "+": "try_add", "-": "try_subtract"}
 
+# Call heads with a Spark try_-twin (error -> NULL, exactly Presto's
+# TryFunction.java semantics for the same shapes).
+_TRY_CALL_TWINS = {
+    "CAST": "TRY_CAST",
+    "ELEMENT_AT": "try_element_at",
+    "TO_NUMBER": "try_to_number",
+    "TO_TIMESTAMP": "try_to_timestamp",
+    "TO_BINARY": "try_to_binary",
+}
+_TRY_HEAD = re.compile(
+    r"^(CAST|element_at|to_number|to_timestamp|to_binary)\s*\(", re.IGNORECASE
+)
+
+
+class TryShapeNotSupportedError(ValueError):
+    """TRY(expr) wraps a shape with no Spark error-absorbing twin.
+
+    Presto's TRY (MAIN/operator/scalar/TryFunction.java) absorbs ANY
+    runtime error to NULL; Spark only has shape-specific try_*
+    functions. Translating an unsupported shape by dropping TRY would
+    silently change failure semantics (query errors where Presto
+    returns NULL), so the translator refuses at translate time.
+    """
+
 
 def _split_top_binary(expr: str) -> tuple[str, str, str] | None:
     """Split at the last top-level +/- (else last top-level * or /),
@@ -208,21 +235,26 @@ def _split_top_binary(expr: str) -> tuple[str, str, str] | None:
 
 def _lower_try(inner: str) -> str:
     stripped = inner.strip()
-    m = re.match(r"^(CAST|element_at)\s*\(", stripped, re.IGNORECASE)
+    m = _TRY_HEAD.match(stripped)
     if m:
         open_i = stripped.index("(", m.start())
         if _balanced(stripped, open_i) == len(stripped):
-            head = m.group(1).upper()
-            if head == "CAST":
-                return "TRY_CAST(" + stripped[open_i + 1 : -1] + ")"
-            return "try_element_at(" + stripped[open_i + 1 : -1] + ")"
+            twin = _TRY_CALL_TWINS[m.group(1).upper()]
+            return twin + "(" + stripped[open_i + 1 : -1] + ")"
     top = _split_top_binary(stripped)
     if top:
         op, left, right = top
         return f"{_TRY_FNS[op]}({left}, {right})"
-    # No Spark try_* shape: strip TRY (documented limitation — Spark
-    # has no generic runtime-error absorber).
-    return "(" + stripped + ")"
+    # Bare identifier / numeric literal / masked string literal:
+    # nothing can error at runtime, TRY(x) == x.
+    if re.fullmatch(r"[\w.\x00]*", stripped):
+        return "(" + stripped + ")"
+    raise TryShapeNotSupportedError(
+        f"TRY shape not supported: TRY({stripped}). Spark has no generic "
+        "runtime-error absorber; supported shapes: CAST, element_at, "
+        "to_number, to_timestamp, to_binary, and +/-/*// arithmetic. "
+        "Rewrite with an explicit try_* function or a guard predicate."
+    )
 
 
 def _rewrite_try(sql: str) -> str:
@@ -469,6 +501,13 @@ PRESTO_FN_RENAMES: dict[str, str] = {
     "day_of_year": "dayofyear",
     "week_of_year": "weekofyear",
     "to_unixtime": "unix_timestamp",
+    # tz conversion: the engine's convention is naive timestamps
+    # denoting UTC instants, so at_timezone(ts, zone) == render the
+    # instant in zone (from_utc_timestamp) and with_timezone(ts, zone)
+    # == declare wall time zone-local (to_utc_timestamp); both share
+    # Presto's (ts, zone) argument order (DateTimeFunctions.java).
+    "at_timezone": "from_utc_timestamp",
+    "with_timezone": "to_utc_timestamp",
     # json
     "json_extract_scalar": "get_json_object",
     # binary
@@ -499,6 +538,10 @@ def _rewrite_function_names(sql: str) -> str:
 def presto_to_spark_sql(sql: str) -> str:
     """Source-level Presto->Spark SQL dialect translation (quote- and
     comment-aware: rewrites never touch literals)."""
+    # NUL is never legal in SQL (SqlBase.g4 has no rule producing it)
+    # but it IS the mask-placeholder delimiter below — a literal NUL
+    # in hostile input could forge a placeholder and crash _unmask.
+    sql = sql.replace("\x00", "")
     masked, stash = _mask(sql)
     masked = _rewrite_array_literals(masked)
     masked = _rewrite_map_ctor(masked)

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import re
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from presto_0_235_spark.functions.scalar import _MYSQL_TO_JAVA, mysql_to_java_pattern
@@ -137,6 +137,25 @@ def test_try_lowering_by_shape():
     assert "try_element_at(arr, 5)" in presto_to_spark_sql(
         "SELECT TRY(element_at(arr, 5))"
     )
+    assert "try_to_number(s, '999')" in presto_to_spark_sql(
+        "SELECT TRY(to_number(s, '999'))"
+    )
+
+
+def test_try_unsupported_shape_raises_loudly():
+    """Unsupported TRY shapes refuse at translate time with
+    remediation text — silently dropping TRY would change failure
+    semantics vs Presto's TryFunction.java (r2 verdict item 8).
+    Bare identifiers/literals still pass (nothing can error)."""
+    import pytest as _pytest
+
+    from presto_0_235_spark.sql.frontend import TryShapeNotSupportedError
+
+    with _pytest.raises(TryShapeNotSupportedError, match="TRY shape not supported"):
+        presto_to_spark_sql("SELECT TRY(json_parse(x))")
+    # TRY over something that cannot fail passes through untouched.
+    assert "(b)" in presto_to_spark_sql("SELECT TRY(b)")
+    assert "('lit')" in presto_to_spark_sql("SELECT TRY('lit')")
 
 
 def test_subscripts_one_based():
@@ -172,12 +191,22 @@ def test_joda_translation_year_of_era_and_weekyear():
     )
 )
 @settings(max_examples=300, deadline=None)
+@example(sql="\x000\x00")  # NUL forging a mask placeholder (r2 crash)
 def test_translation_total_on_arbitrary_text(sql):
     """The dialect translation is TOTAL: on any input (malformed
     parens, dangling quotes, stray keywords, even NUL bytes) it
     returns a string without raising and never leaks mask
     placeholders — malformed SQL must surface as Spark's parse error,
-    not a Python traceback from the rewriter."""
-    out = presto_to_spark_sql(sql)
+    not a Python traceback from the rewriter. The ONE deliberate
+    exception: TryShapeNotSupportedError, the documented loud refusal
+    for TRY() shapes Spark cannot absorb errors for (a clean
+    translate-time error with remediation text, not a crash)."""
+    from presto_0_235_spark.sql.frontend import TryShapeNotSupportedError
+
+    try:
+        out = presto_to_spark_sql(sql)
+    except TryShapeNotSupportedError as exc:
+        assert "TRY shape not supported" in str(exc)
+        return
     assert isinstance(out, str)
-    assert "\x00" not in out.replace(sql, "") or "\x00" in sql
+    assert "\x00" not in out
