@@ -12,8 +12,11 @@ catalog — the headline set below covers the same operator shapes via
 the engine's registered queries, plus the heaviest beyond-reference
 pipelines (near-dup, ANN) once registered.
 
-Each query runs twice; the second (warm) time is recorded — matching
-the reference's prewarm-then-measure protocol (tpch.yaml:1-6).
+Each query runs three times; the best of the two warm runs is
+recorded — the reference's prewarm-then-measure protocol
+(tpch.yaml:1-6) with min-of-N to damp same-machine noise (JIT,
+page cache, GC phase), which round-2's single-warm-run protocol
+showed at the ±40% level on sub-second queries.
 """
 
 from __future__ import annotations
@@ -71,9 +74,14 @@ def main() -> None:
         # Prewarm: JIT/codegen + file-footer caches, like the
         # reference's 2 prewarm runs.
         q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     sf_match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else None

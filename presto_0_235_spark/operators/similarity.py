@@ -122,3 +122,70 @@ def sql_lsh_bucket(vec: str, planes: int = ANN_PLANES) -> str:
         )
         terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (the ANN memory path: 4x smaller vector
+# store than float32; standard practice for large-scale retrieval —
+# quantized scan first, exact re-rank on the survivors if needed)
+
+
+def int8_quantize(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: q_i = floor(x_i / s),
+    s = max|x| / 127 (guarded against zero vectors).
+
+    floor, not round: Spark rounds doubles HALF_EVEN while other
+    engines round HALF_UP — floor is identical everywhere, making the
+    quantized codes bit-exact for the differential oracle (same trick
+    as operators/dedup.py's floor-quantized centroid means)."""
+    s = F.greatest(
+        F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+        / 127.0,
+        F.lit(1e-30),
+    )
+    return F.transform(vec, lambda x: F.floor(x.cast("double") / s).cast("long"))
+
+
+def sql_int8_quantize(vec: str) -> str:
+    """DuckDB twin of int8_quantize (inline scale subexpression)."""
+    s = (
+        f"greatest(list_max(list_transform({vec}, x -> abs(x::DOUBLE)))"
+        f" / 127.0, 1e-30)"
+    )
+    return (
+        f"list_transform({vec}, x -> CAST(floor(x::DOUBLE / {s}) AS BIGINT))"
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product over quantized codes (bigint fold —
+    no fp at all until the final normalization)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sql_int_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        f"generate_series(1, len({a})), "
+        f"i -> ({a})[i] * ({b})[i])), (x, y) -> x + y)"
+    )
+
+
+def int8_cosine(a: Column, b: Column) -> Column:
+    """Approximate cosine from int8 codes: intdot / sqrt(|a|²|b|²).
+    Numerator and both norms are exact integers; one double division
+    + sqrt at the end — engine-identical."""
+    return int_dot(a, b).cast("double") / F.sqrt(
+        (int_dot(a, a) * int_dot(b, b)).cast("double")
+    )
+
+
+def sql_int8_cosine(a: str, b: str) -> str:
+    return (
+        f"(CAST({sql_int_dot(a, b)} AS DOUBLE) / "
+        f"sqrt(CAST({sql_int_dot(a, a)} * {sql_int_dot(b, b)} AS DOUBLE)))"
+    )

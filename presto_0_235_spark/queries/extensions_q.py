@@ -1624,3 +1624,70 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid"),
         )
     )
+
+
+@register(
+    "ann_int8_topk",
+    oracle=f"""
+WITH qz AS (
+  SELECT vec_id, {sim.sql_int8_quantize('embedding')} AS q
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 5),
+c AS (SELECT vec_id, q AS cq FROM qz WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round({sim.sql_int8_cosine('q.qq', 'c.cq')}, 6) AS qscore
+  FROM q CROSS JOIN c
+),
+ranked AS (
+  SELECT query_id, vec_id, qscore,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qscore DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, qscore, rnk FROM ranked WHERE rnk <= {_TOPK}
+""",
+)
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over int8-quantized embeddings — the memory path for a
+    100B-vector store: symmetric per-vector quantization shrinks the
+    candidate store 4x vs float32 AND turns the scoring hot loop into
+    exact integer multiply-adds (SIMD-friendly; no fp until one final
+    divide). Standard large-scale retrieval practice: quantized scan
+    first, exact re-rank of the survivors if needed (here the top-k
+    itself, matching ann_cosine_topk's contract).
+
+    Determinism: codes are floor-quantized (engine-identical for
+    arbitrary doubles), dots and norms are exact bigints, so the
+    differential oracle checks real values, not tolerances.
+
+    Scale: quantization is a narrow per-row map (do it ONCE at
+    ingest and store array<tinyint> + scale); scoring broadcasts the
+    tiny quantized query set; per-query top-k is the same
+    InferWindowGroupLimit partial top-k as the float path — nothing
+    N-sized shuffles."""
+    ensure_session_defaults(spark)
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = emb.select("vec_id", sim.int8_quantize(F.col("embedding")).alias("q"))
+    q = qz.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    c = spread_scan(qz.filter(F.col("vec_id") >= 5)).select(
+        "vec_id", F.col("q").alias("cq")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(sim.int8_cosine(F.col("qq"), F.col("cq")), 6).alias("qscore"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qscore").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK)
+        .select("query_id", "vec_id", "qscore", "rnk")
+    )
