@@ -1691,3 +1691,160 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOPK)
         .select("query_id", "vec_id", "qscore", "rnk")
     )
+
+
+@register(
+    "text_pii_redact",
+    oracle=r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@example.com or +1-555-' ||
+         lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+         ' from 10.0.' || (doc_id % 256) || '.1' AS raw
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+           '\+?1?-?555-[0-9]{4}', '<PHONE>', 'g'),
+         '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted,
+       length(raw) - length(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\+?1?-?555-[0-9]{4}', '<PHONE>', 'g'),
+           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')
+       ) AS bytes_removed
+FROM seeded
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub pass every training-data pipeline
+    runs before anything ships: emails, phone numbers, and IPv4
+    addresses replaced with typed placeholder tokens via chained
+    regexp_replace. The synthetic corpus carries no PII, so the query
+    SEEDS deterministic fake PII per row first (same construction on
+    both engines), making the replacements real, counted, and
+    oracle-checked.
+
+    Patterns stay inside the RE2-compatible subset (no lookbehind) so
+    Java regex (Spark) and RE2 (other engines) agree character-for-
+    character.
+
+    Scale: pure per-row expressions, zero shuffles — runs at scan
+    speed on any corpus size."""
+    ensure_session_defaults(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+
+    def redact(c):
+        c = F.regexp_replace(
+            c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+        )
+        c = F.regexp_replace(c, r"\+?1?-?555-[0-9]{4}", "<PHONE>")
+        return F.regexp_replace(
+            c, r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"
+        )
+
+    return docs.select(
+        "doc_id",
+        redact(raw).alias("redacted"),
+        (F.length(raw) - F.length(redact(raw))).alias("bytes_removed"),
+    )
+
+
+@register(
+    "docs_split_assign",
+    oracle="""
+SELECT doc_id,
+       ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100
+         AS bucket,
+       CASE
+         WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 80
+           THEN 'train'
+         WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 90
+           THEN 'validation'
+         ELSE 'test'
+       END AS split
+FROM documents
+""",
+)
+def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test split assignment (80/10/10)
+    — hash-gated, so membership is a pure function of the stable key:
+    reproducible across runs, engines, and re-partitions, and adding
+    documents never reassigns existing ones (the property random
+    splits lack). Same portable md5-prefix gate as stratified
+    sampling (operators/dedup.py note: Spark hash()/xxhash64 are
+    engine-private, md5 is everywhere).
+
+    Scale: narrow per-row projection, zero shuffles; at 100 TB the
+    split column is computed at scan speed and usually written back
+    as a partition column."""
+    ensure_session_defaults(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("validation"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@register(
+    "docs_domain_cap",
+    oracle="""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT source, doc_id, n_chars, rk
+FROM ranked WHERE rk <= 10
+""",
+)
+def docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the anti-domination pass that stops
+    one crawl domain from flooding the corpus: keep the top-K
+    documents per source (here K=10 by length, doc_id tiebreak).
+    The reference's closest shape is row_number-with-filter; a
+    curation pipeline runs it with quality score as the ranking key.
+
+    Scale: top-K-per-group lowers to InferWindowGroupLimit — partial
+    top-K per partition BEFORE the shuffle, so only ~K rows per
+    domain per partition move; skewed domains (the exact problem this
+    op exists to fix) never concentrate on one task."""
+    ensure_session_defaults(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("source", "doc_id", "n_chars", "rk")
+    )

@@ -867,10 +867,12 @@ def tpch_q16_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped) maps to s_acctbal < 0 — same excluded-supplier-set
     shape; bridge via lineitem instead of partsupp.
 
-    Scale: the anti side (negative-balance suppliers) is a bounded
-    fraction of a dim table — broadcast anti join; the distinct-count
-    shuffles once on the grouping keys with partial distinct
-    (MarkDistinct in the reference, partial agg in Spark).
+    Scale: the anti side (negative-balance suppliers) GROWS with SF —
+    no broadcast hint (AQE broadcasts it at small SF, shuffles at
+    100x; Presto's DetermineJoinDistributionType makes the same
+    cost-based call); the distinct-count shuffles once on the
+    grouping keys with partial distinct (MarkDistinct in the
+    reference, partial agg in Spark).
     """
     ensure_session_defaults(spark)
     li = load_table(spark, sf_dir, "lineitem")
@@ -884,11 +886,7 @@ def tpch_q16_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     return (
         li.join(part, li.l_partkey == part.p_partkey)
-        .join(
-            F.broadcast(bad_supp),
-            li.l_suppkey == bad_supp.s_suppkey,
-            "left_anti",
-        )
+        .join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
