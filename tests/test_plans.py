@@ -196,3 +196,58 @@ def test_q17_semi_join_below_aggregate(spark, sf_dir):
     assert optimized.find("LeftSemi", agg_pos) != -1, (
         "per-part aggregate should consume the Brand#13 semi join"
     )
+
+
+def test_adapted_partsupp_queries_no_sf_growing_broadcasts(spark, sf_dir):
+    """q2/q11/q16/q20 adapted (lineitem-derived partsupp bridge) keep
+    hints only on bounded sides: nation (25 rows), region (5 rows),
+    and q11's single-row global total. The SF-growing sides (the
+    bridge itself, suppliers, the grouped-HAVING supplier set) are
+    left to the size-aware planner."""
+    import re
+
+    bounded_hint_budget = {
+        "tpch_q2_adapted": 4,   # nation, region — x2: the EU bridge
+                                # subplan (and its two bounded-dim
+                                # hints) appears under both the main
+                                # join and the min-cost aggregate
+        "tpch_q11_adapted": 3,  # nation x2 (the val subplan appears
+                                # under both the filter and the global
+                                # total), single-row total
+        "tpch_q16_adapted": 0,
+        "tpch_q20_adapted": 1,  # nation
+    }
+    for name, budget in bounded_hint_budget.items():
+        df = _QUERIES[name].builder(spark, sf_dir)
+        extended = plan_of(df, "extended")
+        analyzed = extended.split("== Analyzed Logical Plan ==")[1].split(
+            "== Optimized Logical Plan =="
+        )[0]
+        n_hints = len(re.findall(r"ResolvedHint", analyzed))
+        assert n_hints <= budget, (
+            f"{name}: {n_hints} broadcast hints (allowed {budget} bounded)"
+        )
+
+
+def test_domain_cap_plans_window_group_limit(spark, sf_dir):
+    """docs_domain_cap (top-K per source) plans a WindowGroupLimit:
+    partial top-K per partition BEFORE the shuffle, so a skewed
+    domain never funnels all its rows through one task."""
+    plan = plan_of(_QUERIES["docs_domain_cap"].builder(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_int8_ann_broadcasts_queries_only(spark, sf_dir):
+    """ann_int8_topk broadcasts the (bounded) quantized query set;
+    the N-sized candidate side never broadcasts and never shuffles
+    N rows (window group-limit takes per-partition top-k first)."""
+    plan = plan_of(_QUERIES["ann_int8_topk"].builder(spark, sf_dir))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_split_assign_no_exchange(spark, sf_dir):
+    """docs_split_assign is a pure per-row projection — zero
+    exchanges in the plan (scan-speed at any corpus size)."""
+    plan = plan_of(_QUERIES["docs_split_assign"].builder(spark, sf_dir))
+    assert "Exchange" not in plan

@@ -92,3 +92,55 @@ def test_partition_invariance(spark, sf_dir):
             assert rows_at(2, name) == rows_at(16, name), name
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_ann_int8_recall_vs_bruteforce(spark, sf_dir):
+    """int8 quantization must preserve the neighborhood structure:
+    per-query top-10 overlap with the exact float top-10 stays high
+    (quantization error ~1/254 of the max coordinate per element —
+    orders of magnitude below the synthetic embeddings' score gaps),
+    and quantized scores stay within a small absolute band of the
+    exact scores for the same (query, candidate) pairs."""
+    truth = _topk_sets(_QUERIES["ann_cosine_topk"].builder(spark, sf_dir))
+    q8 = _topk_sets(_QUERIES["ann_int8_topk"].builder(spark, sf_dir))
+    assert set(q8) == set(truth)
+    overlaps = [
+        len(q8[qid] & truth[qid]) / len(truth[qid]) for qid in truth
+    ]
+    assert sum(overlaps) / len(overlaps) >= 0.8, overlaps
+
+    exact = {
+        (r.query_id, r.vec_id): r.score
+        for r in _QUERIES["ann_cosine_topk"].builder(spark, sf_dir).collect()
+    }
+    quant = _QUERIES["ann_int8_topk"].builder(spark, sf_dir).collect()
+    shared = [
+        abs(r.qscore - exact[(r.query_id, r.vec_id)])
+        for r in quant
+        if (r.query_id, r.vec_id) in exact
+    ]
+    assert shared and max(shared) < 0.05, (len(shared), max(shared, default=0))
+
+
+def test_split_assign_proportions_and_stability(spark, sf_dir):
+    """docs_split_assign: (a) proportions land near 80/10/10 (md5
+    buckets are uniform); (b) assignment is a pure function of
+    doc_id — recomputing on a filtered subset never reassigns
+    (the growth-stability property random splits lack)."""
+    df = _QUERIES["docs_split_assign"].builder(spark, sf_dir)
+    rows = df.collect()
+    n = len(rows)
+    frac = {
+        s: sum(1 for r in rows if r.split == s) / n
+        for s in ("train", "validation", "test")
+    }
+    assert 0.70 <= frac["train"] <= 0.90, frac
+    assert 0.04 <= frac["validation"] <= 0.16, frac
+    assert 0.04 <= frac["test"] <= 0.16, frac
+
+    full = {r.doc_id: r.split for r in rows}
+    half = {
+        r.doc_id: r.split
+        for r in df.filter(F.col("doc_id") % 2 == 0).collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
