@@ -759,3 +759,110 @@ def sql_udf_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part WHERE p_partkey < 100
         """,
     )
+
+
+@register(
+    "sql_show_metadata",
+    oracle="""
+SELECT 'table' AS kind, table_name AS name, '-' AS dtype
+FROM information_schema.tables
+WHERE table_name IN ('region', 'nation', 'customer', 'supplier',
+                     'part', 'orders', 'lineitem', 'events',
+                     'documents', 'embeddings')
+UNION ALL
+SELECT 'column' AS kind, column_name AS name,
+       CASE lower(data_type)
+         WHEN 'varchar' THEN 'string'
+         WHEN 'integer' THEN 'int'
+         ELSE lower(data_type)
+       END AS dtype
+FROM information_schema.columns
+WHERE table_name = 'lineitem'
+""",
+)
+def sql_show_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog introspection — SHOW TABLES + SHOW COLUMNS (reference
+    ShowQueriesRewrite.java:204/253 rewrites both into
+    information_schema scans; presto-main ShowColumns/ShowTables AST
+    nodes). Spark answers the same statements from its session
+    catalog; the oracle IS the information_schema query Presto would
+    rewrite to, with the engine type-name dialect normalized
+    (varchar->string, integer->int). SHOW TABLES is filtered to the
+    fixture names so temp views other queries registered in the same
+    session can't perturb the result."""
+    from pyspark.sql import functions as F
+
+    from presto_0_235_spark.catalog import TABLES
+
+    register_views(spark, sf_dir)
+    tabs = (
+        spark.sql("SHOW TABLES")
+        .filter(F.col("tableName").isin(*TABLES))
+        .select(
+            F.lit("table").alias("kind"),
+            F.col("tableName").alias("name"),
+            F.lit("-").alias("dtype"),
+        )
+    )
+    cols = (
+        spark.sql("DESCRIBE TABLE lineitem")
+        .filter(~F.col("col_name").startswith("#"))
+        .select(
+            F.lit("column").alias("kind"),
+            F.col("col_name").alias("name"),
+            # Spark 4 displays parquet timestamps as timestamp_ntz;
+            # Presto's TIMESTAMP is the same wall-clock (no-zone)
+            # type (SPI TimestampType), displayed without the suffix.
+            F.regexp_replace(
+                F.col("data_type"), "^timestamp_ntz$", "timestamp"
+            ).alias("dtype"),
+        )
+    )
+    return tabs.unionAll(cols)
+
+
+@register(
+    "sql_prepared_execute",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS total
+FROM orders
+WHERE o_totalprice > 150000.0
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def sql_prepared_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prepared statements — Presto's PREPARE stmt FROM ... /
+    EXECUTE stmt USING 150000.0, ... surface (reference
+    PrepareTask.java:39, QueryPreparer.java; grammar
+    SqlBase.g4 EXECUTE ... USING). Spark-first: parameterized
+    spark.sql(query, args) — named parameter markers bind
+    server-side exactly like Presto's positional ?-markers, the
+    parameters never splice into the SQL text (injection-safe), and
+    the bound plan is cached/reusable. The oracle inlines the same
+    literals."""
+    from presto_0_235_spark.functions.compat import dec_sum
+
+    register_views(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    df = spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               sum(cast(round(o_totalprice * 1000000) AS BIGINT)) AS ts
+        FROM orders
+        WHERE o_totalprice > :minp
+          AND o_orderdate < CAST(:cutoff AS TIMESTAMP)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"minp": 150000.0, "cutoff": "1997-01-01"},
+    )
+    return df.select(
+        "o_orderpriority",
+        "n",
+        (F.col("ts").cast("double") / 1_000_000.0).alias("total"),
+    )
