@@ -866,3 +866,65 @@ def sql_prepared_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("ts").cast("double") / 1_000_000.0).alias("total"),
     )
+
+
+_SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+         AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS DECIMAL(18,6))) AS DOUBLE)
+         AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01' - INTERVAL '90' DAY
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_tpch_q1", oracle=_SQL_Q1)
+def sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 as SQL text through the front door — the pricing
+    summary report with its INTERVAL-literal date arithmetic
+    (reference grammar SqlBase.g4 interval rule; the dialect layer
+    normalizes Presto INTERVAL '90' DAY). Money sums cross the exact
+    DECIMAL(18,6) hop in the text itself, so the same statement is
+    exact on Spark and on the DuckDB oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_Q1)
+
+
+_SQL_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01' + INTERVAL '2' YEAR
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("sql_tpch_q5", oracle=_SQL_Q5)
+def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 as SQL text through the front door: the 6-way star
+    join with a compound join predicate and year-interval date
+    arithmetic. The text carries no distribution hints — join order
+    and broadcast choices belong entirely to the optimizer, exactly
+    how a Presto user runs it (ReorderJoins.java +
+    DetermineJoinDistributionType.java; Catalyst + AQE here)."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_Q5)
