@@ -1848,3 +1848,73 @@ def docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("source", "doc_id", "n_chars", "rk")
     )
+
+
+@register(
+    "docs_pack_sequences",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n_toks
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, n_toks,
+         SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_toks
+  FROM toks
+)
+SELECT lang,
+       CAST(floor((cum_toks - n_toks) / 2048) AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS seq_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM packed
+GROUP BY lang, CAST(floor((cum_toks - n_toks) / 2048) AS BIGINT)
+""",
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the batching step between curation and
+    training: concatenate documents (per language, in stable doc_id
+    order) into fixed token-budget training sequences (budget 2048).
+    Binning is cumulative-budget assignment: a document starts in the
+    sequence its running-total start offset falls in — the
+    one-window-pass packing a distributed pipeline actually runs
+    (true greedy first-fit is inherently sequential; start-offset
+    binning is its deterministic, shuffle-once approximation and is
+    exact when documents are budget-sized or smaller).
+
+    Scale: one window partitioned by lang (the pack group) + one
+    groupBy on (lang, seq_id) — both shuffle the same key, and AQE
+    reuses the partitioning; per-row token counts are pure
+    expressions. At 100 TB the pack group adds a date/shard
+    component so no single partition holds a whole language.
+    """
+    ensure_session_defaults(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.select(
+        "doc_id", "lang", n_toks.alias("n_toks")
+    ).withColumn("cum_toks", F.sum("n_toks").over(w))
+    return (
+        packed.groupBy(
+            "lang",
+            F.floor((F.col("cum_toks") - F.col("n_toks")) / 2048)
+            .cast("bigint")
+            .alias("seq_id"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
