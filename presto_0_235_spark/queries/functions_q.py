@@ -1107,3 +1107,73 @@ def fn_row_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             nested.getField("outer_f").getField("k").alias("nested_k"),
         )
     )
+
+
+def _color_exprs(d):
+    """Shared spec for fn_color_bar: (name, SQL text) pairs emitted
+    per dialect from functions/color.py generators."""
+    from presto_0_235_spark.functions import color as cf
+
+    name = (
+        f"element_at(array({', '.join(repr(n) for n in cf.SYSTEM_COLORS)}), "
+        f"CAST(o_orderkey % 8 AS INT) + 1)"
+    )
+    if d is cf.DUCK:
+        name = (
+            f"list_extract([{', '.join(repr(n) for n in cf.SYSTEM_COLORS)}], "
+            f"CAST(o_orderkey % 8 AS INT) + 1)"
+        )
+    hex3 = "concat('#', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 3))"
+    if d is cf.SPARK:
+        hex3 = "concat('#', substr(md5(CAST(o_orderkey AS STRING)), 1, 3))"
+    pct = "((o_orderkey % 11) / 10.0)"
+    return [
+        ("packed_rgb", cf.sql_rgb(
+            "o_orderkey % 256", "(o_orderkey * 7) % 256",
+            "(o_orderkey * 13) % 256")),
+        ("named_color", cf.sql_color_named(name)),
+        ("hex_color", cf.sql_color_hex(hex3, d)),
+        ("rendered", cf.sql_render(
+            "o_orderkey", cf.rgb_int(0, 0, 255), d)),
+        ("bar_gradient", cf.sql_bar(pct, 10, d)),
+        ("bar_flat", cf.sql_bar(
+            pct, 8, d, cf.rgb_int(0, 0, 255), cf.rgb_int(0, 0, 255))),
+    ]
+
+
+def _color_oracle() -> str:
+    from presto_0_235_spark.functions import color as cf
+
+    cols = ",\n       ".join(
+        f"{sql} AS {name}" for name, sql in _color_exprs(cf.DUCK)
+    )
+    return (
+        f"SELECT o_orderkey,\n       {cols}\n"
+        f"FROM orders WHERE o_orderkey < 300"
+    )
+
+
+@register("fn_color_bar", oracle=_color_oracle())
+def fn_color_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color function family (reference MAIN/operator/scalar/
+    ColorFunctions.java — Presto's CLI visualization surface):
+    rgb() 24-bit packing, color('#rgb') CSS-short-hex parsing,
+    color('<name>') system-color codes, render(value, color) ANSI
+    256-color wrapping, and bar(percent, width [, low, high]) —
+    U+2588 cells colored by HSV interpolation (java.awt.Color
+    HSB round-trip re-expressed in IEEE doubles), reset, space-padded
+    to exact width. One spec generates both engines' SQL
+    (functions/color.py); the oracle checks the exact escape-coded
+    strings including every per-cell ANSI index of the red->green
+    gradient.
+
+    Scale: pure per-row string/arithmetic expressions — zero
+    shuffles; the width-bounded transform stays inside codegen."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions import color as cf
+
+    df = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    return df.select(
+        "o_orderkey",
+        *[F.expr(sql).alias(name) for name, sql in _color_exprs(cf.SPARK)],
+    )
