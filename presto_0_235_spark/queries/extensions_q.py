@@ -1918,3 +1918,111 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@register(
+    "join_spatial_radius",
+    oracle="""
+WITH cust_pts AS (
+  SELECT c_custkey AS id,
+         (('0x' || substr(md5('x' || c_custkey::VARCHAR), 1, 6))::BIGINT
+          % 10000) / 100.0 AS x,
+         (('0x' || substr(md5('y' || c_custkey::VARCHAR), 1, 6))::BIGINT
+          % 10000) / 100.0 AS y
+  FROM customer WHERE c_custkey < 500
+),
+supp_pts AS (
+  SELECT s_suppkey AS id,
+         (('0x' || substr(md5('x' || s_suppkey::VARCHAR), 1, 6))::BIGINT
+          % 10000) / 100.0 AS x,
+         (('0x' || substr(md5('y' || s_suppkey::VARCHAR), 1, 6))::BIGINT
+          % 10000) / 100.0 AS y
+  FROM supplier
+)
+SELECT c.id AS cust_id, s.id AS supp_id,
+       round(sqrt((c.x - s.x) * (c.x - s.x)
+                  + (c.y - s.y) * (c.y - s.y)), 6) AS dist
+FROM cust_pts c
+JOIN supp_pts s
+  ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) < 4.0
+""",
+)
+def join_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial join — point-radius pairing (reference
+    MAIN/operator/SpatialJoinOperator.java + the
+    ExtractSpatialJoins.java grid partitioning that makes it
+    distributed in presto-geospatial). The reference builds an R-tree
+    per partition of a KDB-partitioned build side; the Spark-first
+    equivalent is GRID-CELL bucketing — the 2D sibling of the binned
+    interval join (`join_interval_overlap`): assign each point to a
+    floor(x/r), floor(y/r) cell, replicate the probe side to its 3x3
+    cell neighborhood (every within-r pair shares a neighborhood by
+    the triangle inequality — lossless), equi-join on cell id, then
+    the exact distance filter. Coordinates here are md5-derived
+    (deterministic, portable); the metric is planar Euclidean, the
+    oracle is the direct quadratic join.
+
+    Scale: the equi-join shuffles on uniform hash-derived cell ids —
+    no quadratic blowup (each probe point lands in exactly 9 cells,
+    candidates are O(density), the exact filter prunes the rest), and
+    AQE handles any dense-cell skew; the reference's KDB-tree
+    partition count maps to cell granularity r."""
+    ensure_session_defaults(spark)
+    r = 2.0  # radius; cell size == r
+
+    def pts(df, key_col):
+        def coord(axis):
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(axis), F.col(key_col).cast("string"))),
+                    1, 6,
+                ), 16, 10,
+            ).cast("bigint")
+            return (h % 10000) / F.lit(100.0)
+
+        return df.select(
+            F.col(key_col).alias("id"),
+            coord("x").alias("x"),
+            coord("y").alias("y"),
+        )
+
+    cust = pts(
+        load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500),
+        "c_custkey",
+    )
+    supp = pts(load_table(spark, sf_dir, "supplier"), "s_suppkey")
+    # Build side: home cell only. Probe side: 3x3 neighborhood.
+    supp_cells = supp.select(
+        "id", "x", "y",
+        F.floor(F.col("x") / r).alias("cx"),
+        F.floor(F.col("y") / r).alias("cy"),
+    )
+    neighbors = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), dx -> "
+        "transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    )
+    cust_cells = (
+        cust.select("id", "x", "y", neighbors.alias("n"))
+        .select(
+            "id", "x", "y",
+            (F.floor(F.col("x") / r) + F.col("n.dx")).alias("cx"),
+            (F.floor(F.col("y") / r) + F.col("n.dy")).alias("cy"),
+        )
+    )
+    d2 = (
+        (cust_cells.x - supp_cells.x) * (cust_cells.x - supp_cells.x)
+        + (cust_cells.y - supp_cells.y) * (cust_cells.y - supp_cells.y)
+    )
+    return (
+        cust_cells.join(
+            supp_cells,
+            (cust_cells.cx == supp_cells.cx)
+            & (cust_cells.cy == supp_cells.cy),
+        )
+        .filter(d2 < r * r)
+        .select(
+            cust_cells.id.alias("cust_id"),
+            supp_cells.id.alias("supp_id"),
+            F.round(F.sqrt(d2), 6).alias("dist"),
+        )
+    )
