@@ -217,3 +217,89 @@ def test_cc_star_equals_propagation(spark):
             for r in dd.connected_components_star(edges, 25).collect()
         }
         assert star == prop, (sorted(star - prop)[:5], sorted(prop - star)[:5])
+
+
+def test_bar_visible_width_and_monotone_fill(spark):
+    """bar(percent, width): after stripping ANSI escapes, the visible
+    output is EXACTLY width columns (filled blocks + space padding),
+    and fill count is monotone in percent — the reference's
+    column-alignment contract (ColorFunctions.java bar pads to
+    width)."""
+    import re as _re
+
+    from presto_0_235_spark.functions import color as cf
+
+    ansi = _re.compile("\x1b\\[[0-9;]*m")
+    rows = spark.range(0, 21).selectExpr(
+        "id",
+        f"{cf.sql_bar('id / 20.0', 10, cf.SPARK)} AS bar",
+    ).collect()
+    fills = {}
+    for r in rows:
+        visible = ansi.sub("", r.bar)
+        assert len(visible) == 10, (r.id, repr(visible))
+        filled = visible.rstrip(" ")
+        assert set(filled) <= {cf.BLOCK}, repr(visible)
+        fills[r.id] = len(filled)
+    assert all(fills[i] <= fills[i + 1] for i in range(20))
+    assert fills[0] == 0 and fills[20] == 10
+
+
+def test_spatial_grid_join_lossless_vs_direct(spark, sf_dir):
+    """The 3x3-neighborhood grid join returns EXACTLY the
+    within-radius pairs of the direct quadratic join for multiple
+    radii (triangle-inequality losslessness isn't radius-specific)."""
+    from pyspark.sql import functions as F
+
+    from presto_0_235_spark.catalog import load_table
+
+    def pts(df, key_col, n):
+        def coord(axis):
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(axis), F.col(key_col).cast("string"))),
+                    1, 6,
+                ), 16, 10,
+            ).cast("bigint")
+            return (h % 10000) / F.lit(100.0)
+
+        return df.filter(F.col(key_col) < n).select(
+            F.col(key_col).alias("id"),
+            coord("x").alias("x"),
+            coord("y").alias("y"),
+        )
+
+    left = pts(load_table(spark, sf_dir, "customer"), "c_custkey", 300)
+    right = pts(load_table(spark, sf_dir, "supplier"), "s_suppkey", 200)
+    for r in (0.7, 5.0):
+        lc = left.select(
+            "id", "x", "y",
+            F.explode(F.expr(
+                "flatten(transform(sequence(-1, 1), dx -> "
+                "transform(sequence(-1, 1), dy -> struct(dx, dy))))"
+            )).alias("n"),
+        ).select(
+            F.col("id").alias("lid"), F.col("x").alias("lx"),
+            F.col("y").alias("ly"),
+            (F.floor(F.col("x") / r) + F.col("n.dx")).alias("cx"),
+            (F.floor(F.col("y") / r) + F.col("n.dy")).alias("cy"),
+        )
+        rc = right.select(
+            F.col("id").alias("rid"), F.col("x").alias("rx"),
+            F.col("y").alias("ry"),
+            F.floor(F.col("x") / r).alias("cx"),
+            F.floor(F.col("y") / r).alias("cy"),
+        )
+        d2g = (F.col("lx") - F.col("rx")) ** 2 + (F.col("ly") - F.col("ry")) ** 2
+        grid = {
+            (row.lid, row.rid)
+            for row in lc.join(rc, ["cx", "cy"]).filter(d2g < r * r)
+            .select("lid", "rid").collect()
+        }
+        d2d = (left.x - right.x) ** 2 + (left.y - right.y) ** 2
+        direct = {
+            (row[0], row[1])
+            for row in left.crossJoin(right).filter(d2d < r * r)
+            .select(left.id, right.id).collect()
+        }
+        assert grid == direct, (r, len(grid), len(direct))
