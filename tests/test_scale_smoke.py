@@ -21,7 +21,9 @@ pytestmark = pytest.mark.skipif(
 
 _HEAVY = ["tpch_q5", "dedup_minhash_lsh", "pipeline_corpus_dedup",
           "text_decontaminate", "join_interval_overlap",
-          "ts_rollup_gapfill", "tpch_q21_adapted", "dedup_cc_star"]
+          "ts_rollup_gapfill", "tpch_q21_adapted", "dedup_cc_star",
+          "tpch_q2_adapted", "ann_int8_topk", "join_spatial_radius",
+          "docs_pack_sequences"]
 
 
 @pytest.mark.parametrize("name", _HEAVY)
