@@ -305,3 +305,63 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("ws", "user_id", "n_events", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@register(
+    "stream_interval_join_left",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT * FROM events WHERE event_type = 'view'),
+     wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM v))
+                   - INTERVAL 1 HOUR AS w)
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+FROM p
+LEFT JOIN v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 30 MINUTE
+ AND v.ts <= p.ts
+WHERE v.event_id IS NOT NULL OR p.ts < (SELECT w FROM wm)
+""",
+)
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the harder state-
+    management case: an unmatched left row can only emit once the
+    watermark proves no match can still arrive, so outer results are
+    a function of watermark PROGRESS, not just data. The oracle
+    replays that rule exactly: the final event-time watermark of a
+    bounded AvailableNow run is min(max p_ts, max v_ts) - delay
+    (multipleWatermarkPolicy=min default), matched rows always emit,
+    and unmatched purchases emit only if p_ts is strictly below the
+    final watermark (younger state is still "open" at termination —
+    the documented outer-join semantics, not an approximation).
+    Watermarks bound the buffered state to the interval+lateness
+    horizon on both sides."""
+    events = read_events_stream(spark, sf_dir)
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    return run_to_batch(joined, output_mode="append").select(
+        "purchase_id", "view_id", "user_id"
+    )
