@@ -2026,3 +2026,72 @@ def join_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(d2), 6).alias("dist"),
         )
     )
+
+
+@register(
+    "docs_pack_materialize",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, text,
+         len(string_split_regex(trim(text), '\\s+')) AS n_toks
+  FROM documents WHERE doc_id < 120
+),
+packed AS (
+  SELECT doc_id, lang, text, n_toks,
+         SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT lang,
+       CAST(floor((cum - n_toks) / 2048) AS BIGINT) AS seq_id,
+       string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS sequence_text,
+       CAST(SUM(n_toks) AS BIGINT) AS seq_tokens
+FROM packed
+GROUP BY lang, CAST(floor((cum - n_toks) / 2048) AS BIGINT)
+""",
+)
+def docs_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize packed training sequences: the documents assigned
+    to each (lang, seq_id) bin by `docs_pack_sequences` concatenated
+    IN ORDER with a double-newline separator — the actual byte stream
+    a trainer reads. Ordered concatenation inside a group is
+    collect-structs -> array_sort -> join (array_sort on structs
+    orders by the leading doc_id field), all expression-level; the
+    oracle is ORDER BY-qualified string_agg.
+
+    Scale: same single (lang-bin) shuffle as the assignment query;
+    sequence payloads are budget-bounded (~2048 tokens) so no group
+    blows up a task."""
+    ensure_session_defaults(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    n_toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.select(
+        "doc_id", "lang", "text", n_toks.alias("n_toks")
+    ).withColumn("cum", F.sum("n_toks").over(w))
+    return (
+        packed.groupBy(
+            "lang",
+            F.floor((F.col("cum") - F.col("n_toks")) / 2048)
+            .cast("bigint")
+            .alias("seq_id"),
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "text"))
+                    ),
+                    lambda s: s.text,
+                ),
+                "\n\n",
+            ).alias("sequence_text"),
+            F.sum("n_toks").cast("bigint").alias("seq_tokens"),
+        )
+    )
