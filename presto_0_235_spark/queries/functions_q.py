@@ -1177,3 +1177,129 @@ def fn_color_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         *[F.expr(sql).alias(name) for name, sql in _color_exprs(cf.SPARK)],
     )
+
+
+@register(
+    "fn_scalar_gaps",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g') AS iso_ts,
+       CAST('2020-05-01T03:02:0' || (o_orderkey % 10) AS TIMESTAMP)
+         AS iso_parsed,
+       CAST(regexp_extract('' || (o_orderkey % 90) || '.5m',
+                           '([0-9.]+)([a-z]+)', 1) AS DOUBLE)
+         * (CASE regexp_extract('' || (o_orderkey % 90) || '.5m',
+                                '([0-9.]+)([a-z]+)', 2)
+              WHEN 'ns' THEN 0.000000001 WHEN 'us' THEN 0.000001
+              WHEN 'ms' THEN 0.001 WHEN 's' THEN 1.0 WHEN 'm' THEN 60.0
+              WHEN 'h' THEN 3600.0 ELSE 86400.0 END) AS dur_sec,
+       replace(replace(to_base64(('k' || o_orderkey || '?>')::BLOB),
+                       '+', '-'), '/', '_') AS b64url,
+       ('0x' || lpad(to_hex(o_orderkey * 1103515245),
+                     16, '0'))::BIGINT AS big_endian_roundtrip,
+       json_extract_string('[10, 20, 30]',
+                           '$[' || (o_orderkey % 3) || ']') AS json_arr,
+       len(generate_series(DATE '2020-01-01',
+                           DATE '2020-01-01'
+                           + to_months((o_orderkey % 6 + 1)::INT),
+                           INTERVAL 1 MONTH)) AS date_seq_len,
+       map_keys(map_from_entries(list_transform(
+         map_entries(MAP([o_orderkey % 7, o_orderkey % 7 + 50],
+                         ['lo', 'hi'])),
+         e -> {k: e.key * 10, v: upper(e.value)}))) AS tk_keys,
+       map_values(map_from_entries(list_transform(
+         map_entries(MAP([o_orderkey % 7, o_orderkey % 7 + 50],
+                         ['lo', 'hi'])),
+         e -> {k: e.key * 10, v: upper(e.value)}))) AS tv_vals,
+       round(((o_orderkey % 50) / 60.0 + 1.96 * 1.96 / 120.0
+              - 1.96 * sqrt((o_orderkey % 50) / 60.0
+                            * (1.0 - (o_orderkey % 50) / 60.0) / 60.0
+                            + 1.96 * 1.96 / (4.0 * 60.0 * 60.0)))
+             / (1.0 + 1.96 * 1.96 / 60.0), 9) AS wilson_lower
+FROM orders WHERE o_orderkey < 400
+""",
+)
+def fn_scalar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-surface gap sweep — reference functions with no earlier
+    query: to_iso8601 (DateTimeFunctions.java:243), from_iso8601_*
+    (:292), parse_duration (:1338, number+unit -> interval, emitted
+    here as seconds), to_base64url (VarbinaryFunctions.java),
+    to/from_big_endian_64 roundtrip (VarbinaryFunctions.java),
+    json_array_get (JsonFunctions.java), sequence() over dates with
+    month step (SequenceFunction.java), transform_keys /
+    transform_values (MapTransformKeyFunction.java — keys/values
+    projected as arrays so the differential gate compares plain
+    lists), and wilson_interval_lower (MathFunctions.java:1230 —
+    closed-form arithmetic, identical double expression both
+    engines). Every column is a pure per-row expression."""
+    ensure_session_defaults(spark)
+    k = F.col("o_orderkey")
+    dur_s = F.concat((k % 90).cast("string"), F.lit(".5m"))
+    dur_num = F.regexp_extract(dur_s, r"([0-9.]+)([a-z]+)", 1).cast("double")
+    dur_unit = F.regexp_extract(dur_s, r"([0-9.]+)([a-z]+)", 2)
+    mult = (
+        F.when(dur_unit == "ns", 1e-9).when(dur_unit == "us", 1e-6)
+        .when(dur_unit == "ms", 1e-3).when(dur_unit == "s", 1.0)
+        .when(dur_unit == "m", 60.0).when(dur_unit == "h", 3600.0)
+        .otherwise(86400.0)
+    )
+    tmap = F.transform_values(
+        F.transform_keys(
+            F.map_from_arrays(
+                F.array(k % 7, k % 7 + 50), F.array(F.lit("lo"), F.lit("hi"))
+            ),
+            lambda mk, _: mk * 10,
+        ),
+        lambda _, mv: F.upper(mv),
+    )
+    p_hat = (k % 50) / F.lit(60.0)
+    z = 1.96
+    wilson_lower = (
+        (p_hat + z * z / (2.0 * 60.0)
+         - z * F.sqrt(p_hat * (1.0 - p_hat) / 60.0
+                      + z * z / (4.0 * 60.0 * 60.0)))
+        / (1.0 + z * z / 60.0)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(k < 400)
+        .select(
+            "o_orderkey",
+            F.date_format(
+                F.col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSS"
+            ).alias("iso_ts"),
+            F.concat(
+                F.lit("2020-05-01T03:02:0"), (k % 10).cast("string")
+            ).cast("timestamp").alias("iso_parsed"),
+            (dur_num * mult).alias("dur_sec"),
+            F.translate(
+                F.base64(
+                    F.concat(F.lit("k"), k.cast("string"), F.lit("?>"))
+                    .cast("binary")
+                ),
+                "+/", "-_",
+            ).alias("b64url"),
+            F.conv(
+                F.hex(F.unhex(F.lpad(F.hex(k * 1103515245), 16, "0"))), 16, 10
+            ).cast("bigint").alias("big_endian_roundtrip"),
+            # json_array_get with a dynamic index: parse once, index
+            # with element_at (get_json_object needs a foldable path).
+            F.element_at(
+                F.from_json(F.lit("[10, 20, 30]"), "array<int>"),
+                (k % 3).cast("int") + 1,
+            ).cast("string").alias("json_arr"),
+            F.size(
+                F.sequence(
+                    F.lit("2020-01-01").cast("date"),
+                    F.add_months(
+                        F.lit("2020-01-01").cast("date"),
+                        (k % 6 + 1).cast("int"),
+                    ),
+                    F.expr("INTERVAL 1 MONTH"),
+                )
+            ).cast("bigint").alias("date_seq_len"),
+            F.map_keys(tmap).alias("tk_keys"),
+            F.map_values(tmap).alias("tv_vals"),
+            F.round(wilson_lower, 9).alias("wilson_lower"),
+        )
+    )
