@@ -1303,3 +1303,73 @@ def fn_scalar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(wilson_lower, 9).alias("wilson_lower"),
         )
     )
+
+
+@register(
+    "fn_array_map_gaps",
+    oracle="""
+WITH base AS (
+  SELECT p_partkey,
+         string_split(p_name, ' ') AS words,
+         p_name || '=a;' || p_brand || '=b;' || p_name || '=c' AS kvs
+  FROM part WHERE p_partkey < 400
+)
+SELECT p_partkey,
+       list_filter(words, x -> x <> 'small') AS removed,
+       list_slice(words, 1, 1) AS sliced,
+       list_transform(generate_series(1, 3), x -> words[1]) AS repeated,
+       list_sort(words, 'DESC') AS sorted_desc,
+       list_sort(list_distinct(list_transform(
+         string_split(kvs, ';'), e -> string_split(e, '=')[1]))) AS mm_keys,
+       list_transform(
+         list_sort(list_distinct(list_transform(
+           string_split(kvs, ';'), e -> string_split(e, '=')[1]))),
+         k -> list_transform(
+           list_filter(string_split(kvs, ';'),
+                       e -> string_split(e, '=')[1] = k),
+           e -> string_split(e, '=')[2])) AS mm_vals
+FROM base
+""",
+)
+def fn_array_map_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/map gap sweep — remaining 0.235 functions:
+    array_remove (ArrayRemoveFunction.java), slice
+    (ArraySliceFunction.java, 1-based like Presto subscripts), repeat
+    (RepeatFunction.java — element to array<n>), array_sort with a
+    comparator lambda (ArraySortComparatorFunction.java — Spark takes
+    the same (a,b)->int comparator; the oracle pins a descending
+    comparator against list_sort DESC), and split_to_multimap /
+    multimap_from_entries (MapFunctions — duplicate keys collect into
+    arrays; emitted as sorted key array + per-key value arrays so the
+    gate compares plain lists). All pure per-row expressions."""
+    ensure_session_defaults(spark)
+    words = F.split(F.col("p_name"), " ")
+    kvs = F.concat(
+        F.col("p_name"), F.lit("=a;"), F.col("p_brand"), F.lit("=b;"),
+        F.col("p_name"), F.lit("=c"),
+    )
+    entries = F.split(kvs, ";")
+    key_of = lambda e: F.element_at(F.split(e, "="), 1)
+    val_of = lambda e: F.element_at(F.split(e, "="), 2)
+    mm_keys = F.array_sort(F.array_distinct(F.transform(entries, key_of)))
+    desc_cmp = lambda a, b: (
+        F.when(a < b, F.lit(1)).when(a > b, F.lit(-1)).otherwise(F.lit(0))
+    )
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 400)
+        .select(
+            "p_partkey",
+            F.array_remove(words, "small").alias("removed"),
+            F.slice(words, 1, 1).alias("sliced"),
+            F.array_repeat(F.element_at(words, 1), 3).alias("repeated"),
+            F.array_sort(words, desc_cmp).alias("sorted_desc"),
+            mm_keys.alias("mm_keys"),
+            F.transform(
+                mm_keys,
+                lambda k: F.transform(
+                    F.filter(entries, lambda e: key_of(e) == k), val_of
+                ),
+            ).alias("mm_vals"),
+        )
+    )
