@@ -654,3 +654,96 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     q50 = sk.qhist_quantile(regs, ["grp"], 0.5, _QH_LO, _QH_HI, _QH_BINS)
     q90 = sk.qhist_quantile(regs, ["grp"], 0.9, _QH_LO, _QH_HI, _QH_BINS)
     return q50.join(q90, "grp")
+
+
+@register(
+    "agg_minmax_n",
+    oracle="""
+SELECT o_orderpriority,
+       list_slice(list_sort(list(round(o_totalprice, 2)), 'DESC'), 1, 3)
+         AS max3,
+       list_slice(list_sort(list(round(o_totalprice, 2))), 1, 3) AS min3,
+       list_transform(
+         list_slice(list_sort(list({y: round(o_totalprice, 2),
+                                    x: o_orderkey}), 'DESC'), 1, 2),
+         s -> s.x) AS top2_keys,
+       list_transform(
+         list_slice(list_sort(list({y: round(o_totalprice, 2),
+                                    x: o_orderkey})), 1, 2),
+         s -> s.x) AS bottom2_keys
+FROM orders WHERE o_orderkey < 3000
+GROUP BY o_orderpriority
+""",
+)
+def agg_minmax_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-variant min/max aggregates (reference
+    MaxNAggregationFunction.java / MinNAggregationFunction.java —
+    max(x, n) returns the n largest as an array — and the minmaxby
+    package's max_by(x, y, n)). Spark has no direct N-variants; the
+    lowering is collect -> array_sort -> slice (with (y, x) structs
+    for the *_by forms so ties break on the key, deterministic on
+    both engines). The reference implements exactly this with a
+    TypedHeap — same semantics, bounded state.
+
+    Scale note: collect_list holds a group's values before slicing —
+    fine for bounded groups; for huge groups the window top-k
+    (win_topn_per_group, InferWindowGroupLimit) is the same operator
+    with early pruning, already covered."""
+    ensure_session_defaults(spark)
+    price = F.round(F.col("o_totalprice"), 2)
+    yx = F.struct(price.alias("y"), F.col("o_orderkey").alias("x"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 3000)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.slice(F.reverse(F.array_sort(F.collect_list(price))), 1, 3)
+            .alias("max3"),
+            F.slice(F.array_sort(F.collect_list(price)), 1, 3).alias("min3"),
+            F.transform(
+                F.slice(F.reverse(F.array_sort(F.collect_list(yx))), 1, 2),
+                lambda s: s.x,
+            ).alias("top2_keys"),
+            F.transform(
+                F.slice(F.array_sort(F.collect_list(yx)), 1, 2),
+                lambda s: s.x,
+            ).alias("bottom2_keys"),
+        )
+    )
+
+
+@register(
+    "agg_interval_sum_avg",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(o_orderkey % 24) * 3600 AS BIGINT) AS total_seconds,
+       CAST(floor(SUM(o_orderkey % 24) * 3600.0
+                  / count(*)) AS BIGINT) AS avg_seconds_floor
+FROM orders WHERE o_orderkey < 3000
+GROUP BY o_orderpriority
+""",
+)
+def agg_interval_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-typed aggregation (reference
+    IntervalDayToSecondSumAggregation.java /
+    ...AverageAggregation.java — the engine stores day-second
+    intervals as long millis and sums them). Spark genuinely
+    aggregates DayTimeIntervalType here (sum over make_dt_interval),
+    then the result converts to whole seconds for the gate; the
+    oracle replays the same long arithmetic (floor on the average —
+    the reference's long division truncates)."""
+    ensure_session_defaults(spark)
+    hours = (F.col("o_orderkey") % 24).cast("int")
+    ivl = F.expr("make_dt_interval(0, CAST(o_orderkey % 24 AS INT), 0, 0)")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 3000)
+        .select("o_orderpriority", ivl.alias("ivl"), hours.alias("h"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("ivl").cast("long").alias("total_seconds"),
+            F.floor(
+                F.sum("ivl").cast("long").cast("double") / F.count("*")
+            ).cast("long").alias("avg_seconds_floor"),
+        )
+    )
