@@ -747,3 +747,76 @@ def agg_interval_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("avg_seconds_floor"),
         )
     )
+
+
+@register(
+    "agg_classification_eval",
+    oracle="""
+WITH scored AS (
+  SELECT (label % 2 = 1) AS y,
+         (('0x' || substr(md5(vec_id::VARCHAR), 1, 4))::BIGINT
+          % 1000) / 1000.0 AS pred
+  FROM embeddings
+),
+th AS (SELECT (x / 10.0) AS t FROM generate_series(0, 9) s(x))
+SELECT t AS threshold,
+       CAST(SUM(CASE WHEN pred >= t AND y THEN 1 ELSE 0 END) AS BIGINT)
+         AS tp,
+       CAST(SUM(CASE WHEN pred >= t AND NOT y THEN 1 ELSE 0 END) AS BIGINT)
+         AS fp,
+       round(SUM(CASE WHEN pred >= t AND y THEN 1 ELSE 0 END)
+             / greatest(SUM(CASE WHEN pred >= t THEN 1 ELSE 0 END), 1),
+             9) AS precision_at_t,
+       round(SUM(CASE WHEN pred >= t AND y THEN 1 ELSE 0 END)
+             / greatest(SUM(CASE WHEN y THEN 1 ELSE 0 END), 1), 9)
+         AS recall_at_t
+FROM scored CROSS JOIN th
+GROUP BY t
+ORDER BY t
+""",
+)
+def agg_classification_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification evaluation aggregates (reference
+    MAIN/operator/aggregation/ClassificationPrecisionAggregation.java,
+    ClassificationRecallAggregation.java,
+    ClassificationThresholdsAggregation.java — precision/recall
+    per threshold bucket over (boolean label, double prediction)
+    pairs; the reference buckets with a FixedDoubleHistogram, here
+    the thresholds are an explicit 10-point spine). Predictions are
+    md5-derived (deterministic, portable); counts are exact integers
+    and the ratios round identically. The model-eval step of a
+    training pipeline, runnable at corpus scale: one broadcast of the
+    threshold spine, one (threshold) shuffle, counts via map-side
+    partial agg."""
+    ensure_session_defaults(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+        ).cast("bigint") % 1000
+    ) / F.lit(1000.0)
+    scored = emb.select(
+        (F.col("label") % 2 == 1).alias("y"), pred.alias("pred")
+    )
+    th = spark.range(0, 10).select((F.col("id") / 10.0).alias("t"))
+    j = scored.crossJoin(F.broadcast(th))
+    tp = F.sum(F.when((F.col("pred") >= F.col("t")) & F.col("y"), 1).otherwise(0))
+    fp = F.sum(
+        F.when((F.col("pred") >= F.col("t")) & ~F.col("y"), 1).otherwise(0)
+    )
+    pos_pred = F.sum(F.when(F.col("pred") >= F.col("t"), 1).otherwise(0))
+    pos_true = F.sum(F.when(F.col("y"), 1).otherwise(0))
+    return (
+        j.groupBy(F.col("t").alias("threshold"))
+        .agg(
+            tp.cast("bigint").alias("tp"),
+            fp.cast("bigint").alias("fp"),
+            F.round(
+                tp.cast("double") / F.greatest(pos_pred, F.lit(1)), 9
+            ).alias("precision_at_t"),
+            F.round(
+                tp.cast("double") / F.greatest(pos_true, F.lit(1)), 9
+            ).alias("recall_at_t"),
+        )
+        .orderBy("threshold")
+    )
