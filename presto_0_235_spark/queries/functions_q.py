@@ -1373,3 +1373,123 @@ def fn_array_map_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mm_vals"),
         )
     )
+
+
+@register(
+    "fn_misc_gaps",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         '' || (o_orderkey % 9) || '.' || (o_orderkey % 4) || 'MB' AS dsize,
+         string_split('10.' || (o_orderkey % 256) || '.'
+                      || ((o_orderkey * 3) % 256) || '.'
+                      || ((o_orderkey * 7) % 256), '.') AS oct,
+         (o_orderkey % 17 + 8)::BIGINT AS pfx,
+         [o_orderkey % 5, o_orderkey % 7, o_orderkey % 3] AS nums
+  FROM orders WHERE o_orderkey < 300
+),
+ipm AS (
+  SELECT *,
+         oct[1]::BIGINT * 16777216 + oct[2]::BIGINT * 65536
+         + oct[3]::BIGINT * 256 + oct[4]::BIGINT AS ipint,
+         (1::BIGINT << (32 - pfx)) AS blk
+  FROM base
+),
+ipn AS (SELECT *, ipint - (ipint % blk) AS netint FROM ipm)
+SELECT k,
+       CAST(floor(CAST(regexp_extract(dsize, '([0-9.]+)([A-Z]+)', 1)
+                       AS DOUBLE)
+                  * (CASE regexp_extract(dsize, '([0-9.]+)([A-Z]+)', 2)
+                       WHEN 'B' THEN 1 WHEN 'kB' THEN 1024
+                       WHEN 'MB' THEN 1048576 ELSE 1073741824 END))
+            AS BIGINT) AS data_size_bytes,
+       len(list_filter(nums, x -> x >= 0)) = len(nums) AS all_nonneg,
+       len(list_filter(nums, x -> x > 4)) > 0 AS any_over4,
+       len(list_filter(nums, x -> x > 6)) = 0 AS none_over6,
+       flatten(list_transform(generate_series(1, len(nums) - 1),
+         i -> list_transform(generate_series(i + 1, len(nums)),
+           j -> [nums[i], nums[j]]))) AS combos2,
+       (netint // 16777216) || '.' || ((netint // 65536) % 256) || '.'
+       || ((netint // 256) % 256) || '.' || (netint % 256)
+       || '/' || pfx AS ip_prefix,
+       netint AS ip_subnet_min_int,
+       netint + blk - 1 AS ip_subnet_max_int
+FROM ipn
+""",
+)
+def fn_misc_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining scalar families: parse_presto_data_size
+    (DataSizeFunctions.java:37 — '2.3MB' -> bytes; 1024-based units,
+    floor to integral bytes on both engines), all_match / any_match /
+    none_match (ArrayAllMatchFunction.java family — Spark forall/
+    exists; the oracle counts filtered elements), array_combinations
+    of size 2 (ArrayCombinationsFunction.java — index-pair nested
+    transform), and the IpPrefixFunctions.java IPv4 family:
+    ip_prefix(addr, p) canonical network string plus
+    ip_subnet_min/max (emitted as integers — octet math is exact
+    integer arithmetic on both engines)."""
+    ensure_session_defaults(spark)
+    k = F.col("o_orderkey")
+    dsize = F.concat(
+        (k % 9).cast("string"), F.lit("."), (k % 4).cast("string"), F.lit("MB")
+    )
+    num = F.regexp_extract(dsize, r"([0-9.]+)([A-Z]+)", 1).cast("double")
+    unit = F.regexp_extract(dsize, r"([0-9.]+)([A-Z]+)", 2)
+    factor = (
+        F.when(unit == "B", 1).when(unit == "kB", 1024)
+        .when(unit == "MB", 1048576).otherwise(1073741824)
+    )
+    nums = F.array(k % 5, k % 7, k % 3)
+    n = F.size(nums)
+    combos2 = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.array(
+                    F.element_at(nums, i.cast("int")),
+                    F.element_at(nums, j.cast("int")),
+                ),
+            ),
+        )
+    )
+    ip = F.concat(
+        F.lit("10."), (k % 256).cast("string"), F.lit("."),
+        ((k * 3) % 256).cast("string"), F.lit("."),
+        ((k * 7) % 256).cast("string"),
+    )
+    octs = F.split(ip, r"\.")
+    ipint = (
+        F.element_at(octs, 1).cast("bigint") * 16777216
+        + F.element_at(octs, 2).cast("bigint") * 65536
+        + F.element_at(octs, 3).cast("bigint") * 256
+        + F.element_at(octs, 4).cast("bigint")
+    )
+    pfx = (k % 17 + 8).cast("bigint")
+    # shiftleft's bit count must be a Python int in the classic API;
+    # dynamic shift goes through expr.
+    blk = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - (o_orderkey % 17 + 8) AS INT))")
+    netint = ipint - (ipint % blk)
+    ip_prefix = F.concat(
+        F.floor(netint / 16777216).cast("bigint").cast("string"), F.lit("."),
+        (F.floor(netint / 65536).cast("bigint") % 256).cast("string"),
+        F.lit("."),
+        (F.floor(netint / 256).cast("bigint") % 256).cast("string"),
+        F.lit("."),
+        (netint % 256).cast("string"), F.lit("/"), pfx.cast("string"),
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(k < 300)
+        .select(
+            k.alias("k"),
+            F.floor(num * factor).cast("bigint").alias("data_size_bytes"),
+            F.forall(nums, lambda x: x >= 0).alias("all_nonneg"),
+            F.exists(nums, lambda x: x > 4).alias("any_over4"),
+            (~F.exists(nums, lambda x: x > 6)).alias("none_over6"),
+            combos2.alias("combos2"),
+            ip_prefix.alias("ip_prefix"),
+            netint.alias("ip_subnet_min_int"),
+            (netint + blk - 1).alias("ip_subnet_max_int"),
+        )
+    )
