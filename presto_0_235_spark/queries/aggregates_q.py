@@ -820,3 +820,61 @@ def agg_classification_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@register(
+    "agg_differential_entropy",
+    oracle="""
+WITH binned AS (
+  SELECT event_type,
+         CAST(floor(value / 25.0) AS BIGINT) AS bin,
+         count(*) AS c
+  FROM events WHERE value >= 0 AND value < 1000
+  GROUP BY event_type, CAST(floor(value / 25.0) AS BIGINT)
+),
+tot AS (
+  SELECT event_type, SUM(c) AS n FROM binned GROUP BY event_type
+)
+SELECT b.event_type,
+       round(-SUM((c / CAST(n AS DOUBLE))
+                  * ln(c / CAST(n AS DOUBLE))) + ln(25.0), 9)
+         AS diff_entropy
+FROM binned b JOIN tot USING (event_type)
+GROUP BY b.event_type, n
+""",
+)
+def agg_differential_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential entropy of a continuous column (reference
+    MAIN/operator/aggregation/differentialentropy/
+    DifferentialEntropyAggregation.java with the fixed-histogram MLE
+    strategy, FixedHistogramMleStateStrategy.java: bin the bounded
+    support, -sum(p ln p) over bin frequencies + ln(binwidth)).
+    Floor-binning and exact integer counts make the estimate
+    bit-replayable; the ratios and ln round identically at 1e-9.
+
+    Scale: two uniform-key shuffles (bin counts, then per-group
+    total) with map-side partial aggregation — the same plan family
+    as any histogram aggregate; bins are bounded (support/width)."""
+    ensure_session_defaults(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("value") >= 0) & (F.col("value") < 1000)
+    )
+    binned = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 25.0).cast("bigint").alias("bin"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    tot = binned.groupBy("event_type").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        binned.join(tot, "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.round(
+                -F.sum(p * F.log(p)) + F.log(F.lit(25.0)), 9
+            ).alias("diff_entropy")
+        )
+        .select("event_type", "diff_entropy")
+    )
