@@ -316,3 +316,43 @@ def io_system_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows), schema="table_name string, n_columns int"
     )
+
+
+@register("io_roundtrip_sequencefile", oracle=_ORDERS_SLICE_ORACLE)
+def io_roundtrip_sequencefile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive SEQUENCEFILE write/read-back (HiveStorageFormat.java:42-91
+    SEQUENCEFILE: Hadoop (key, value) container with LazySimpleSerDe
+    rows). Spark shape: the same \\x01-delimited row encoding as
+    TEXTFILE, carried through Hadoop's SequenceFile container via the
+    RDD API — the ONE place the RDD layer is genuinely required
+    (SequenceFile is a (key, value) container format with no
+    DataFrame source; saveAsSequenceFile/sequenceFile are the
+    supported vanilla-Spark path, no extra jars). Decode is the same
+    declared-schema split + typed casts, back in DataFrame land
+    immediately."""
+    ensure_session_defaults(spark)
+    path = _sink_path("sequencefile", sf_dir)
+    src = _orders_slice(spark, sf_dir)
+    encoded = src.select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.concat_ws(
+            "\x01", *[F.col(c).cast("string") for c in src.columns]
+        ).alias("v"),
+    )
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    encoded.rdd.map(lambda r: (r.k, r.v)).saveAsSequenceFile(path)
+    rows = spark.sparkContext.sequenceFile(path).map(lambda kv: (kv[1],))
+    parts = F.split(F.col("value"), "\x01")
+    return (
+        spark.createDataFrame(rows, schema="value string")
+        .select(
+            parts[0].cast("bigint").alias("o_orderkey"),
+            parts[1].cast("bigint").alias("o_custkey"),
+            parts[2].alias("o_orderstatus"),
+            parts[3].cast("double").alias("o_totalprice"),
+            parts[4].cast("date").alias("o_date"),
+            parts[5].alias("o_orderpriority"),
+        )
+    )
