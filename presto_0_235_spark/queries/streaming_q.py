@@ -365,3 +365,67 @@ def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(joined, output_mode="append").select(
         "purchase_id", "view_id", "user_id"
     )
+
+
+@register(
+    "stream_interval_join_full",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT * FROM events WHERE event_type = 'view'),
+     wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM v))
+                   - INTERVAL 1 HOUR AS w)
+SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+       coalesce(p.user_id, v.user_id) AS user_id
+FROM p
+FULL JOIN v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 30 MINUTE
+ AND v.ts <= p.ts
+WHERE (p.event_id IS NOT NULL AND v.event_id IS NOT NULL)
+   OR (v.event_id IS NULL AND p.ts < (SELECT w FROM wm))
+   OR (p.event_id IS NULL
+       AND v.ts < (SELECT w FROM wm) - INTERVAL 30 MINUTE)
+""",
+)
+def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — both sides' unmatched
+    rows gated on watermark progress, each by its own eviction
+    horizon: an unmatched purchase emits when the watermark passes
+    p_ts (no earlier-or-equal view can arrive); an unmatched view
+    emits when the watermark passes v_ts + 30min (no purchase within
+    its forward-looking match window can arrive). The oracle replays
+    BOTH rules against the final bounded-replay watermark
+    (min of the two sides' max event time - delay) — full-outer
+    state semantics as a checked value, the symmetric completion of
+    stream_interval_join_left."""
+    events = read_events_stream(spark, sf_dir)
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "full_outer",
+    )
+    return run_to_batch(joined, output_mode="append").select(
+        "purchase_id",
+        "view_id",
+        F.coalesce(F.col("user_id"), F.col("v_user")).alias("user_id"),
+    )
