@@ -179,6 +179,12 @@ def sql_bar(
     Gradient endpoints default to red->green and are Python constants
     — their HSV coordinates embed as double literals; the per-cell
     lerp + HSV->RGB + ANSI index is dialect-neutral text."""
+    # width=1 would make frac 'i / 0.0' -> NaN HSV math and an
+    # undefined ANSI index (the reference divides by (width - 1) the
+    # same way, ColorFunctions.java:213 — width 1 is degenerate there
+    # too); refuse rather than emit NaN-colored output.
+    if width < 2:
+        raise ValueError("bar() width must be >= 2")
     low = rgb_int(255, 0, 0) if low is None else low
     high = rgb_int(0, 255, 0) if high is None else high
     h1, s1, v1 = _rgb_to_hsv(low)

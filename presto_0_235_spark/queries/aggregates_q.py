@@ -834,13 +834,17 @@ WITH binned AS (
 ),
 tot AS (
   SELECT event_type, SUM(c) AS n FROM binned GROUP BY event_type
+),
+terms AS (
+  SELECT b.event_type, n,
+         (c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)) AS t
+  FROM binned b JOIN tot USING (event_type)
 )
-SELECT b.event_type,
-       round(-SUM((c / CAST(n AS DOUBLE))
-                  * ln(c / CAST(n AS DOUBLE))) + ln(25.0), 9)
-         AS diff_entropy
-FROM binned b JOIN tot USING (event_type)
-GROUP BY b.event_type, n
+SELECT event_type,
+       round(-list_reduce(list_sort(list(t)), (acc, x) -> acc + x)
+             + ln(25.0), 9) AS diff_entropy
+FROM terms
+GROUP BY event_type, n
 """,
 )
 def agg_differential_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -850,11 +854,15 @@ def agg_differential_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy, FixedHistogramMleStateStrategy.java: bin the bounded
     support, -sum(p ln p) over bin frequencies + ln(binwidth)).
     Floor-binning and exact integer counts make the estimate
-    bit-replayable; the ratios and ln round identically at 1e-9.
+    bit-replayable. The per-bin p*ln(p) terms are identical doubles
+    on both engines, but plain SUM's order is partition-dependent, so
+    both sides sort the terms and left-fold them — one deterministic
+    IEEE summation order, no rounding-boundary flake (r3 ADVICE).
 
     Scale: two uniform-key shuffles (bin counts, then per-group
     total) with map-side partial aggregation — the same plan family
-    as any histogram aggregate; bins are bounded (support/width)."""
+    as any histogram aggregate; bins are bounded (support/width), so
+    the collected term list is <= support/binwidth elements."""
     ensure_session_defaults(spark)
     ev = load_table(spark, sf_dir, "events").filter(
         (F.col("value") >= 0) & (F.col("value") < 1000)
@@ -870,11 +878,17 @@ def agg_differential_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("c") / F.col("n").cast("double")
     return (
         binned.join(tot, "event_type")
+        .select("event_type", "n", (p * F.log(p)).alias("t"))
         .groupBy("event_type", "n")
-        .agg(
+        .agg(F.array_sort(F.collect_list("t")).alias("ts"))
+        .select(
+            "event_type",
             F.round(
-                -F.sum(p * F.log(p)) + F.log(F.lit(25.0)), 9
-            ).alias("diff_entropy")
+                -F.aggregate(
+                    F.col("ts"), F.lit(0.0), lambda acc, x: acc + x
+                )
+                + F.log(F.lit(25.0)),
+                9,
+            ).alias("diff_entropy"),
         )
-        .select("event_type", "diff_entropy")
     )

@@ -64,6 +64,43 @@ def _orders_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LazySimpleSerDe NULL sentinel (Hive hive.serialization.null.format
+# default "\N"): concat_ws SKIPS nulls, which would silently shift all
+# subsequent fields on decode. Encode NULL as the sentinel so every
+# row has a fixed field count; decode maps the sentinel back to NULL.
+_SERDE_NULL = "\\N"
+
+
+def _lazy_serde_encode(src: DataFrame) -> F.Column:
+    """One \\x01-joined line per row, NULL-safe (LazySimpleSerDe
+    row encoding, presto-hive LazySimpleSerDe / HiveStorageFormat)."""
+    return F.concat_ws(
+        "\x01",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(_SERDE_NULL))
+            for c in src.columns
+        ],
+    ).alias("value")
+
+
+def _lazy_serde_field(parts: F.Column, i: int) -> F.Column:
+    p = parts[i]
+    return F.when(p == _SERDE_NULL, F.lit(None)).otherwise(p)
+
+
+def _decode_orders_slice(df: DataFrame) -> DataFrame:
+    parts = F.split(F.col("value"), "\x01")
+    f = lambda i: _lazy_serde_field(parts, i)  # noqa: E731
+    return df.select(
+        f(0).cast("bigint").alias("o_orderkey"),
+        f(1).cast("bigint").alias("o_custkey"),
+        f(2).alias("o_orderstatus"),
+        f(3).cast("double").alias("o_totalprice"),
+        f(4).cast("date").alias("o_date"),
+        f(5).alias("o_orderpriority"),
+    )
+
+
 @register("io_roundtrip_parquet", oracle=_ORDERS_SLICE_ORACLE)
 def io_roundtrip_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet write -> commit -> read-back. The round-tripped values
@@ -101,26 +138,15 @@ def io_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def io_roundtrip_textfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive TEXTFILE write/read-back (HiveStorageFormat.java:42-91
     TEXTFILE: LazySimpleSerDe, \\x01 field delimiter). Spark shape:
-    concat_ws('\\x01') -> text sink, text source -> split + typed
-    casts — the declared-schema decode the reference's SerDe performs,
-    all in JVM expressions."""
+    concat_ws('\\x01') with \\N-encoded NULLs -> text sink, text
+    source -> split + sentinel-aware typed casts — the
+    declared-schema decode the reference's SerDe performs, all in
+    JVM expressions."""
     ensure_session_defaults(spark)
     path = _sink_path("textfile", sf_dir)
     src = _orders_slice(spark, sf_dir)
-    src.select(
-        F.concat_ws(
-            "\x01", *[F.col(c).cast("string") for c in src.columns]
-        ).alias("value")
-    ).write.mode("overwrite").text(path)
-    parts = F.split(F.col("value"), "\x01")
-    return spark.read.text(path).select(
-        parts[0].cast("bigint").alias("o_orderkey"),
-        parts[1].cast("bigint").alias("o_custkey"),
-        parts[2].alias("o_orderstatus"),
-        parts[3].cast("double").alias("o_totalprice"),
-        parts[4].cast("date").alias("o_date"),
-        parts[5].alias("o_orderpriority"),
-    )
+    src.select(_lazy_serde_encode(src)).write.mode("overwrite").text(path)
+    return _decode_orders_slice(spark.read.text(path))
 
 
 @register("io_roundtrip_csv", oracle=_ORDERS_SLICE_ORACLE)
@@ -335,24 +361,13 @@ def io_roundtrip_sequencefile(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _orders_slice(spark, sf_dir)
     encoded = src.select(
         F.col("o_orderkey").cast("string").alias("k"),
-        F.concat_ws(
-            "\x01", *[F.col(c).cast("string") for c in src.columns]
-        ).alias("v"),
+        _lazy_serde_encode(src).alias("v"),
     )
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
     encoded.rdd.map(lambda r: (r.k, r.v)).saveAsSequenceFile(path)
     rows = spark.sparkContext.sequenceFile(path).map(lambda kv: (kv[1],))
-    parts = F.split(F.col("value"), "\x01")
-    return (
+    return _decode_orders_slice(
         spark.createDataFrame(rows, schema="value string")
-        .select(
-            parts[0].cast("bigint").alias("o_orderkey"),
-            parts[1].cast("bigint").alias("o_custkey"),
-            parts[2].alias("o_orderstatus"),
-            parts[3].cast("double").alias("o_totalprice"),
-            parts[4].cast("date").alias("o_date"),
-            parts[5].alias("o_orderpriority"),
-        )
     )

@@ -213,6 +213,18 @@ class TryShapeNotSupportedError(ValueError):
     """
 
 
+class NulInLiteralError(ValueError):
+    """A NUL byte appeared inside a quoted SQL literal.
+
+    NUL outside literals is never legal SQL (SqlBase.g4 produces no
+    token containing it) and is safely stripped; inside a string
+    literal it is DATA, and stripping it would silently alter the
+    literal's value. The translator refuses loudly instead (same
+    philosophy as TryShapeNotSupportedError: never silently change
+    semantics).
+    """
+
+
 def _split_top_binary(expr: str) -> tuple[str, str, str] | None:
     """Split at the last top-level +/- (else last top-level * or /),
     mirroring precedence so TRY(a * b + c) -> try_add(a * b, c)."""
@@ -541,7 +553,16 @@ def presto_to_spark_sql(sql: str) -> str:
     # NUL is never legal in SQL (SqlBase.g4 has no rule producing it)
     # but it IS the mask-placeholder delimiter below — a literal NUL
     # in hostile input could forge a placeholder and crash _unmask.
-    sql = sql.replace("\x00", "")
+    # Inside a quoted literal NUL is data: refuse loudly rather than
+    # silently altering the literal; elsewhere it is safe to strip.
+    if "\x00" in sql:
+        for kind, text in _scan(sql):
+            if kind in ("str", "dq") and "\x00" in text:
+                raise NulInLiteralError(
+                    "NUL byte inside a quoted SQL literal; encode it "
+                    "as from_utf8(x'00') / chr(0) instead"
+                )
+        sql = sql.replace("\x00", "")
     masked, stash = _mask(sql)
     masked = _rewrite_array_literals(masked)
     masked = _rewrite_map_ctor(masked)

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
@@ -192,21 +193,42 @@ def test_joda_translation_year_of_era_and_weekyear():
 )
 @settings(max_examples=300, deadline=None)
 @example(sql="\x000\x00")  # NUL forging a mask placeholder (r2 crash)
+@example(sql="SELECT 'a\x00b'")  # NUL inside a literal -> loud refusal
 def test_translation_total_on_arbitrary_text(sql):
     """The dialect translation is TOTAL: on any input (malformed
     parens, dangling quotes, stray keywords, even NUL bytes) it
     returns a string without raising and never leaks mask
     placeholders — malformed SQL must surface as Spark's parse error,
-    not a Python traceback from the rewriter. The ONE deliberate
-    exception: TryShapeNotSupportedError, the documented loud refusal
-    for TRY() shapes Spark cannot absorb errors for (a clean
-    translate-time error with remediation text, not a crash)."""
-    from presto_0_235_spark.sql.frontend import TryShapeNotSupportedError
+    not a Python traceback from the rewriter. The TWO deliberate
+    exceptions (both clean translate-time errors with remediation
+    text, not crashes): TryShapeNotSupportedError, the documented
+    loud refusal for TRY() shapes Spark cannot absorb errors for, and
+    NulInLiteralError, refusing to silently alter literal data when a
+    NUL byte appears inside a quoted literal."""
+    from presto_0_235_spark.sql.frontend import (
+        NulInLiteralError,
+        TryShapeNotSupportedError,
+    )
 
     try:
         out = presto_to_spark_sql(sql)
     except TryShapeNotSupportedError as exc:
         assert "TRY shape not supported" in str(exc)
         return
+    except NulInLiteralError as exc:
+        assert "NUL byte inside a quoted SQL literal" in str(exc)
+        return
     assert isinstance(out, str)
     assert "\x00" not in out
+
+
+def test_nul_handling_split_by_position():
+    """NUL outside literals is stripped (never legal SQL); NUL inside
+    a literal raises NulInLiteralError rather than altering data."""
+    from presto_0_235_spark.sql.frontend import NulInLiteralError
+
+    assert presto_to_spark_sql("SELECT\x00 1") == "SELECT 1"
+    with pytest.raises(NulInLiteralError):
+        presto_to_spark_sql("SELECT 'a\x00b'")
+    with pytest.raises(NulInLiteralError):
+        presto_to_spark_sql('SELECT "we\x00ird" FROM t')

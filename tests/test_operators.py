@@ -245,6 +245,56 @@ def test_bar_visible_width_and_monotone_fill(spark):
     assert fills[0] == 0 and fills[20] == 10
 
 
+def test_bar_width_one_refused():
+    """width=1 would divide by (width-1)=0 -> NaN HSV math and an
+    undefined ANSI index (r3 ADVICE); the generator refuses."""
+    import pytest as _pytest
+
+    from presto_0_235_spark.functions import color as cf
+
+    with _pytest.raises(ValueError, match="width must be >= 2"):
+        cf.sql_bar("0.5", 1, cf.SPARK)
+    with _pytest.raises(ValueError, match="width must be >= 2"):
+        cf.sql_bar("0.5", 0, cf.DUCK)
+
+
+def test_lazy_serde_null_fields_roundtrip(spark):
+    """LazySimpleSerDe encode must not drop NULL fields (concat_ws
+    skips nulls -> column shift, r3 ADVICE): NULLs encode as \\N and
+    decode back to NULL with every later column in place."""
+    from pyspark.sql import functions as F
+
+    from presto_0_235_spark.queries.io_q import (
+        _decode_orders_slice,
+        _lazy_serde_encode,
+    )
+
+    src = spark.createDataFrame(
+        [
+            (1, None, "O", None, "1995-01-01", "1-URGENT"),
+            (2, 7, None, 5.5, None, None),
+            (3, 8, "F", 0.0, "1996-02-29", "5-LOW"),
+        ],
+        schema=(
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+            " o_totalprice double, o_date string, o_orderpriority string"
+        ),
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_date").cast("date").alias("o_date"),
+        "o_orderpriority",
+    )
+    decoded = _decode_orders_slice(
+        src.select(_lazy_serde_encode(src).alias("value"))
+    )
+    got = sorted(decoded.collect(), key=lambda r: r.o_orderkey)
+    want = sorted(src.collect(), key=lambda r: r.o_orderkey)
+    assert got == want
+
+
 def test_spatial_grid_join_lossless_vs_direct(spark, sf_dir):
     """The 3x3-neighborhood grid join returns EXACTLY the
     within-radius pairs of the direct quadratic join for multiple
