@@ -275,15 +275,15 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q") > 300)
         .select("l_orderkey")
     )
-    # The >300-quantity order set is tiny at every SF (bounded by the
-    # qty distribution, not by SF alone) — keep its broadcast hint.
-    # orders-with-customers, by contrast, grows linearly with SF: a
-    # hard broadcast hint on it would OOM the build side at 100x, so
-    # the lineitem join is left to AQE's size-aware choice (it still
-    # broadcasts at small SF; Presto's cost-based analog is
-    # DetermineJoinDistributionType.java).
+    # The >300-quantity order-key set is a fixed FRACTION of orders, so
+    # its row count grows linearly with SF (~6M keys at the 100x-scale
+    # target) — a hard broadcast hint on it would force a
+    # multi-hundred-MB build side on every executor. Leave every join
+    # here to the size-aware planner: AQE still broadcasts the small
+    # sides at small SF, and the cost-based analog in the reference is
+    # DetermineJoinDistributionType.java (never an unconditional hint).
     filtered_orders = orders.join(
-        F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi"
+        big, orders.o_orderkey == big.l_orderkey, "left_semi"
     ).join(cust, F.col("o_custkey") == cust.c_custkey)
     return (
         li.select("l_orderkey", "l_quantity")

@@ -129,15 +129,39 @@ def test_plan_determinism(spark, sf_dir):
 
 
 def test_no_hardcoded_broadcast_on_sf_growing_sides(spark, sf_dir):
-    """q3/q18 carry NO broadcast hint on SF-growing sides (customer,
-    filtered orders) — yet at small SF the size-aware planner still
+    """The whole tpch_q.py corpus carries NO broadcast hint on
+    SF-growing sides (customer, filtered orders, the >300-qty
+    order-key set) — yet at small SF the size-aware planner still
     picks broadcast joins on its own (the cost-based choice the
     reference makes in DetermineJoinDistributionType.java). A
-    hard-coded hint would force a multi-GB broadcast at 100x scale."""
-    q3 = plan_of(_QUERIES["tpch_q3"].builder(spark, sf_dir))
-    assert "BroadcastHashJoin" in q3 or "BroadcastExchange" in q3
-    q18 = plan_of(_QUERIES["tpch_q18"].builder(spark, sf_dir))
-    assert "BroadcastHashJoin" in q18 or "BroadcastExchange" in q18
+    hard-coded hint would force a multi-GB broadcast at 100x scale.
+    Hint budget = bounded dims only (nation 25 rows, region 5 rows)."""
+    import re
+
+    bounded_hint_budget = {
+        "tpch_q1": 0,
+        "tpch_q3": 0,
+        "tpch_q5": 2,   # nation, region
+        "tpch_q6": 0,
+        "tpch_q18": 0,  # the >300-qty key set grows with SF: no hint
+    }
+    for name, budget in bounded_hint_budget.items():
+        df = _QUERIES[name].builder(spark, sf_dir)
+        extended = plan_of(df, "extended")
+        analyzed = extended.split("== Analyzed Logical Plan ==")[1].split(
+            "== Optimized Logical Plan =="
+        )[0]
+        n_hints = len(re.findall(r"ResolvedHint", analyzed))
+        assert n_hints <= budget, (
+            f"{name}: {n_hints} broadcast hints (allowed {budget} bounded dims)"
+        )
+    # Size-based planning still broadcasts the small sides of the join
+    # queries at this SF — the cost-based choice, without any hint.
+    for name in ("tpch_q3", "tpch_q18"):
+        physical = plan_of(_QUERIES[name].builder(spark, sf_dir))
+        assert "BroadcastHashJoin" in physical or "BroadcastExchange" in physical, (
+            f"{name}: expected size-based broadcast at small SF"
+        )
 
 
 def test_tpch_more_no_sf_growing_broadcasts(spark, sf_dir):
