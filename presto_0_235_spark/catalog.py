@@ -39,6 +39,28 @@ TABLES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Restore events.ts to session-TZ TimestampType regardless of how
+    the fixture generator wrote it.
+
+    Fixture generations have varied: parquet timestamp[ns] (read as
+    long nanos under nanosAsLong), timestamp[us] (read as
+    TIMESTAMP_NTZ), or already-LTZ timestamp. Event-time semantics
+    (and `withWatermark` in streaming, which rejects NTZ) require the
+    LTZ TimestampType; the session TZ is pinned UTC so the wall-clock
+    values are identical across all three paths.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        # long nanos -> truncate to micros exactly like DuckDB/pyarrow
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
@@ -55,12 +77,7 @@ def load_table(
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events":
-        # ts is parquet timestamp[ns], read as long nanos
-        # (nanosAsLong); truncate to micros exactly like DuckDB /
-        # pyarrow do, restoring the FIXTURES.md TimestampType schema.
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = normalize_events_ts(df)
     if spread:
         cores = spark.sparkContext.defaultParallelism
         max_bytes = int(

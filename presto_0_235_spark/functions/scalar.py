@@ -245,6 +245,111 @@ def url_extract_parameter(url: Column | str, name: str) -> Column:
     return F.parse_url(_c(url), F.lit("QUERY"), F.lit(name))
 
 
+def url_extract_protocol(url: Column | str) -> Column:
+    """url_extract_protocol (UrlFunctions.java:45)."""
+    return F.parse_url(_c(url), F.lit("PROTOCOL"))
+
+
+def url_extract_fragment(url: Column | str) -> Column:
+    """url_extract_fragment (UrlFunctions.java:66) — the part after
+    '#'; Spark's parse_url calls it REF."""
+    return F.parse_url(_c(url), F.lit("REF"))
+
+
+def url_extract_port(url: Column | str) -> Column:
+    """url_extract_port (UrlFunctions.java:103) -> bigint, NULL when
+    the authority carries no explicit port. parse_url has no PORT
+    field, so strip it from AUTHORITY (host[:port], where host may be
+    a bracketed IPv6 literal)."""
+    auth = F.parse_url(_c(url), F.lit("AUTHORITY"))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    return F.when(port != "", port.cast("bigint"))
+
+
+# ---- binary codecs (VarbinaryFunctions.java:199-243) -----------------------
+
+
+def to_big_endian_32(x: Column | str) -> Column:
+    """to_big_endian_32(integer) -> 4-byte big-endian two's
+    complement (VarbinaryFunctions.java)."""
+    unsigned = _c(x).cast("bigint").bitwiseAND(F.lit(4294967295))
+    return F.unhex(F.lpad(F.hex(unsigned), 8, "0"))
+
+
+def from_big_endian_32(b: Column | str) -> Column:
+    """from_big_endian_32(varbinary) -> integer (sign-correct)."""
+    u = F.conv(F.hex(_c(b)), 16, 10).cast("bigint")
+    return (
+        F.when(u >= 2147483648, u - 4294967296).otherwise(u).cast("int")
+    )
+
+
+def to_big_endian_64(x: Column | str) -> Column:
+    """to_big_endian_64(bigint) -> 8-byte big-endian two's
+    complement. F.hex on a bigint already emits the full 64-bit
+    two's-complement pattern for negatives."""
+    return F.unhex(F.lpad(F.hex(_c(x)), 16, "0"))
+
+
+def from_big_endian_64(b: Column | str) -> Column:
+    """from_big_endian_64(varbinary) -> bigint. conv's negative
+    target base interprets the 64-bit pattern as signed — the
+    two's-complement inverse of to_big_endian_64."""
+    return F.conv(F.hex(_c(b)), 16, -10).cast("bigint")
+
+
+# ---- closed-form distribution CDFs (MathFunctions.java) --------------------
+# Cauchy, Weibull and the Wilson interval have closed forms, so they
+# stay JVM-side Column expressions (whole-stage codegen); the
+# gamma/beta-backed family (beta/binomial/chi²/poisson) lives in
+# functions/udfs.py as Arrow pandas UDFs.
+
+_PI = 3.141592653589793
+
+
+def cauchy_cdf(median, scale, x) -> Column:
+    """cauchy_cdf(median, scale, x) = 1/2 + atan((x-median)/scale)/pi."""
+    return F.lit(0.5) + F.atan((_c(x) - _c(median)) / _c(scale)) / F.lit(_PI)
+
+
+def inverse_cauchy_cdf(median, scale, p) -> Column:
+    """inverse_cauchy_cdf(median, scale, p) = median + scale*tan(pi*(p-1/2))."""
+    return _c(median) + _c(scale) * F.tan(F.lit(_PI) * (_c(p) - F.lit(0.5)))
+
+
+def weibull_cdf(a, b, x) -> Column:
+    """weibull_cdf(a, b, x) = 1 - exp(-(x/b)^a), 0 for x < 0."""
+    xx = _c(x)
+    return F.when(xx < 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.exp(-F.pow(xx / _c(b), _c(a)))
+    )
+
+
+def inverse_weibull_cdf(a, b, p) -> Column:
+    """inverse_weibull_cdf(a, b, p) = b * (-ln(1-p))^(1/a)."""
+    ac = _c(a)
+    return _c(b) * F.pow(-F.log(F.lit(1.0) - _c(p)), F.lit(1.0) / ac)
+
+
+def _wilson_bound(successes, trials, z, sign: int) -> Column:
+    s, n, zz = _c(successes).cast("double"), _c(trials).cast("double"), _c(z)
+    p_hat = s / n
+    z2 = zz * zz
+    center = p_hat + z2 / (2 * n)
+    margin = zz * F.sqrt(p_hat * (1 - p_hat) / n + z2 / (4 * n * n))
+    return (center + sign * margin) / (1 + z2 / n)
+
+
+def wilson_interval_lower(successes, trials, z) -> Column:
+    """wilson_interval_lower (MathFunctions.java wilsonIntervalLower)."""
+    return _wilson_bound(successes, trials, z, -1)
+
+
+def wilson_interval_upper(successes, trials, z) -> Column:
+    """wilson_interval_upper (MathFunctions.java wilsonIntervalUpper)."""
+    return _wilson_bound(successes, trials, z, +1)
+
+
 # ---- conditional / try (TryFunction.java, TryCastFunction.java) -----------
 
 

@@ -16,7 +16,13 @@ import sys
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StringType
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    FloatType,
+    LongType,
+    StringType,
+)
 
 # The driver process may import this package from a path the executor
 # Python workers don't have on sys.path (e.g. the grading driver adds
@@ -106,6 +112,263 @@ def _inv_norm(p: float) -> float:
 def inverse_normal_cdf(mean: pd.Series, sd: pd.Series, p: pd.Series) -> pd.Series:
     """inverse_normal_cdf(mean, sd, p) (MathFunctions.java)."""
     return mean + sd * p.map(_inv_norm)
+
+
+def _gamma_p(a: float, x: float) -> float:
+    """Regularized lower incomplete gamma P(a, x): series expansion
+    for x < a+1, Lentz continued fraction otherwise — the classic
+    public-domain numerical treatment (|err| ~ 1e-14); the reference
+    backs its gamma-family CDFs with the same special function
+    (MathFunctions.java chiSquaredCdf/poissonCdf)."""
+    if x < 0 or a <= 0 or math.isnan(x) or math.isnan(a):
+        return float("nan")
+    if x == 0.0:
+        return 0.0
+    lg = math.lgamma(a)
+    if x < a + 1.0:
+        ap, summ, delta = a, 1.0 / a, 1.0 / a
+        for _ in range(500):
+            ap += 1.0
+            delta *= x / ap
+            summ += delta
+            if abs(delta) < abs(summ) * 1e-15:
+                break
+        return summ * math.exp(-x + a * math.log(x) - lg)
+    # continued fraction for Q(a, x)
+    tiny = 1e-300
+    b, c, d = x + 1.0 - a, 1e300, 1.0 / (x + 1.0 - a + tiny)
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-15:
+            break
+    q = math.exp(-x + a * math.log(x) - lg) * h
+    return 1.0 - q
+
+
+def _beta_i(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b) via the symmetric Lentz
+    continued fraction (public-domain algorithm; reference
+    MathFunctions.java betaCdf/inverseBetaCdf use the same special
+    function)."""
+    if math.isnan(x) or a <= 0 or b <= 0:
+        return float("nan")
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log1p(-x)
+    )
+    # use the symmetry relation so the fraction converges fast
+    if x >= (a + 1.0) / (a + b + 2.0):
+        return 1.0 - _beta_i(b, a, 1.0 - x)
+    tiny = 1e-300
+    c, d = 1.0, 1.0 - (a + b) * x / (a + 1.0)
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, 500):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((a + m2 - 1.0) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (a + b + m) * x / ((a + m2) * (a + m2 + 1.0))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-15:
+            break
+    return math.exp(ln_front) * h / a
+
+
+def _invert_monotone(cdf, p: float, lo: float, hi: float) -> float:
+    """Bisection inverse of a monotone CDF on [lo, hi] (~1e-12)."""
+    if math.isnan(p) or p < 0.0 or p > 1.0:
+        return float("nan")
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if cdf(mid) < p:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo < 1e-12 * max(1.0, abs(hi)):
+            break
+    return 0.5 * (lo + hi)
+
+
+@F.pandas_udf(DoubleType())
+def beta_cdf(a: pd.Series, b: pd.Series, x: pd.Series) -> pd.Series:
+    """beta_cdf(a, b, x) (MathFunctions.java betaCdf)."""
+    return pd.Series(
+        [_beta_i(float(ai), float(bi), float(xi))
+         for ai, bi, xi in zip(a, b, x)]
+    )
+
+
+@F.pandas_udf(DoubleType())
+def inverse_beta_cdf(a: pd.Series, b: pd.Series, p: pd.Series) -> pd.Series:
+    """inverse_beta_cdf(a, b, p) (MathFunctions.java:636)."""
+    return pd.Series(
+        [
+            _invert_monotone(
+                lambda x, ai=float(ai), bi=float(bi): _beta_i(ai, bi, x),
+                float(pi), 0.0, 1.0,
+            )
+            for ai, bi, pi in zip(a, b, p)
+        ]
+    )
+
+
+@F.pandas_udf(DoubleType())
+def binomial_cdf(n: pd.Series, pr: pd.Series, k: pd.Series) -> pd.Series:
+    """binomial_cdf(numberOfTrials, successProbability, value)
+    (MathFunctions.java binomialCdf): P[X <= k] = I_{1-p}(n-k, k+1)."""
+
+    def one(ni, pi, ki):
+        ni, ki = int(ni), int(ki)
+        if ki < 0:
+            return 0.0
+        if ki >= ni:
+            return 1.0
+        return _beta_i(ni - ki, ki + 1, 1.0 - float(pi))
+
+    return pd.Series([one(*t) for t in zip(n, pr, k)])
+
+
+@F.pandas_udf(DoubleType())
+def chi_squared_cdf(df: pd.Series, x: pd.Series) -> pd.Series:
+    """chi_squared_cdf(df, x) = P(df/2, x/2)."""
+    return pd.Series(
+        [_gamma_p(float(d) / 2.0, float(xi) / 2.0) for d, xi in zip(df, x)]
+    )
+
+
+@F.pandas_udf(DoubleType())
+def inverse_chi_squared_cdf(df: pd.Series, p: pd.Series) -> pd.Series:
+    """inverse_chi_squared_cdf(df, p) (MathFunctions.java)."""
+    return pd.Series(
+        [
+            _invert_monotone(
+                lambda x, d=float(d): _gamma_p(d / 2.0, x / 2.0),
+                float(pi), 0.0, max(1.0, float(d)) * 100.0,
+            )
+            for d, pi in zip(df, p)
+        ]
+    )
+
+
+@F.pandas_udf(DoubleType())
+def poisson_cdf(lam: pd.Series, k: pd.Series) -> pd.Series:
+    """poisson_cdf(lambda, k) = Q(k+1, lambda) = 1 - P(k+1, lambda)."""
+
+    def one(li, ki):
+        ki = int(ki)
+        if ki < 0:
+            return 0.0
+        return 1.0 - _gamma_p(ki + 1.0, float(li))
+
+    return pd.Series([one(li, ki) for li, ki in zip(lam, k)])
+
+
+@F.pandas_udf(LongType())
+def inverse_poisson_cdf(lam: pd.Series, p: pd.Series) -> pd.Series:
+    """inverse_poisson_cdf(lambda, p): smallest k with CDF(k) >= p
+    (the discrete quantile, matching the reference's convention)."""
+
+    def cdf(k, li):
+        return 1.0 - _gamma_p(k + 1.0, li)
+
+    def one(li, pi):
+        li, pi = float(li), float(pi)
+        if math.isnan(pi) or pi < 0 or pi >= 1.0:
+            return None
+        # exponential search for an upper bound, then binary search
+        hi = 1
+        while cdf(hi, li) < pi and hi < 1 << 40:
+            hi *= 2
+        lo = 0
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if cdf(mid, li) < pi:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    return pd.Series([one(li, pi) for li, pi in zip(lam, p)], dtype="object")
+
+
+@F.pandas_udf(BinaryType())
+def to_ieee754_64(x: pd.Series) -> pd.Series:
+    """to_ieee754_64(double) -> 8-byte big-endian IEEE754
+    (VarbinaryFunctions.java:199-243). No Spark expression exposes the
+    raw double bits, so this is an Arrow batch through struct.pack."""
+    import struct
+
+    return pd.Series(
+        [None if v is None else struct.pack(">d", v) for v in x],
+        dtype="object",
+    )
+
+
+@F.pandas_udf(DoubleType())
+def from_ieee754_64(b: pd.Series) -> pd.Series:
+    """from_ieee754_64(varbinary) -> double (bit-exact inverse)."""
+    import struct
+
+    return pd.Series(
+        [None if v is None else struct.unpack(">d", bytes(v))[0] for v in b]
+    )
+
+
+@F.pandas_udf(BinaryType())
+def to_ieee754_32(x: pd.Series) -> pd.Series:
+    """to_ieee754_32(real) -> 4-byte big-endian IEEE754."""
+    import struct
+
+    return pd.Series(
+        [None if v is None else struct.pack(">f", v) for v in x],
+        dtype="object",
+    )
+
+
+@F.pandas_udf(FloatType())
+def from_ieee754_32(b: pd.Series) -> pd.Series:
+    """from_ieee754_32(varbinary) -> real (bit-exact inverse)."""
+    import struct
+
+    return pd.Series(
+        [None if v is None else struct.unpack(">f", bytes(v))[0] for v in b],
+        dtype="float32",
+    )
 
 
 @F.pandas_udf(StringType())

@@ -450,9 +450,20 @@ def connected_components_star(
         canon_new = new_e.select(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         ).distinct()
+        # ONE symmetric-difference probe per round (a full outer join
+        # keeping rows missing from either side), not two exceptAll
+        # jobs — on a deep graph the convergence check is pure
+        # driver-side latency, so halving the job count matters.
         changed = (
-            canon_new.exceptAll(canon_old).limit(1).count()
-            + canon_old.exceptAll(canon_new).limit(1).count()
+            canon_old.withColumn("l", F.lit(1))
+            .join(
+                canon_new.withColumn("r", F.lit(1)),
+                ["a", "b"],
+                "full_outer",
+            )
+            .filter(F.col("l").isNull() | F.col("r").isNull())
+            .limit(1)
+            .count()
         )
         e.unpersist()
         e = new_e

@@ -190,3 +190,28 @@ def qhist_quantile(
             f"q{int(q * 100)}"
         ),
     )
+
+
+def qhist_quantile_at_value(
+    registers: DataFrame,
+    keys: list[str],
+    value: float,
+    lo: float,
+    hi: float,
+    bins: int = QH_BINS,
+    out: str = "q_at_value",
+) -> DataFrame:
+    """Inverse of qhist_quantile: the rank of `value` in the sketch —
+    mass at or below value's bin over total mass (reference
+    TDigestFunctions.java:56 quantileAtValue). A ratio of two exact
+    integer counts -> engine-exact double; one tiny aggregation over
+    the <= bins rows per key."""
+    vbin = min(bins - 1, max(0, int((value - lo) / (hi - lo) * bins)))
+    return registers.groupBy(*keys).agg(
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("bin") <= vbin, F.col("n"))), F.lit(0)
+            ).cast("double")
+            / F.sum("n")
+        ).alias(out)
+    )

@@ -631,7 +631,9 @@ SELECT grp,
        CAST({_QH_LO} + (min(CASE WHEN cumn >= ceil(0.5 * total) THEN bin END)
                    + 0.5) * {_QH_W} AS DOUBLE) AS q50,
        CAST({_QH_LO} + (min(CASE WHEN cumn >= ceil(0.9 * total) THEN bin END)
-                   + 0.5) * {_QH_W} AS DOUBLE) AS q90
+                   + 0.5) * {_QH_W} AS DOUBLE) AS q90,
+       CAST(coalesce(sum(CASE WHEN bin <= 128 THEN n END), 0) AS DOUBLE)
+         / sum(n) AS q_at_200k
 FROM cum
 GROUP BY grp
 """,
@@ -653,7 +655,12 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q50 = sk.qhist_quantile(regs, ["grp"], 0.5, _QH_LO, _QH_HI, _QH_BINS)
     q90 = sk.qhist_quantile(regs, ["grp"], 0.9, _QH_LO, _QH_HI, _QH_BINS)
-    return q50.join(q90, "grp")
+    # inverse lookup on the same state: rank of 200k (bin 128) —
+    # reference TDigestFunctions.java:56 quantile_at_value
+    qav = sk.qhist_quantile_at_value(
+        regs, ["grp"], 200000.0, _QH_LO, _QH_HI, _QH_BINS, out="q_at_200k"
+    )
+    return q50.join(q90, "grp").join(qav, "grp")
 
 
 @register(
@@ -679,36 +686,75 @@ def agg_minmax_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-variant min/max aggregates (reference
     MaxNAggregationFunction.java / MinNAggregationFunction.java —
     max(x, n) returns the n largest as an array — and the minmaxby
-    package's max_by(x, y, n)). Spark has no direct N-variants; the
-    lowering is collect -> array_sort -> slice (with (y, x) structs
-    for the *_by forms so ties break on the key, deterministic on
-    both engines). The reference implements exactly this with a
-    TypedHeap — same semantics, bounded state.
+    package's max_by(x, y, n)). The reference bounds per-group state
+    with a TypedHeap; the Spark lowering gets the same bound via a
+    window row_number() <= N pre-prune (InferWindowGroupLimit turns
+    the filter into a partial top-k BEFORE the shuffle), then the
+    trivial collect -> array_sort -> slice runs on at most N rows per
+    group per direction. Ties break on o_orderkey (unique), matching
+    the struct-sort tiebreak, so the prune is deterministic on both
+    engines.
 
-    Scale note: collect_list holds a group's values before slicing —
-    fine for bounded groups; for huge groups the window top-k
-    (win_topn_per_group, InferWindowGroupLimit) is the same operator
-    with early pruning, already covered."""
+    Scale note: a hot group costs O(N) state per task instead of the
+    whole group; the two pruned branches aggregate independently and
+    join on the (already hash-partitioned) group key."""
+    from pyspark.sql import Window
+
     ensure_session_defaults(spark)
     price = F.round(F.col("o_totalprice"), 2)
     yx = F.struct(price.alias("y"), F.col("o_orderkey").alias("x"))
-    return (
+    base = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") < 3000)
+        .select(F.col("o_orderpriority"), price.alias("p"), yx.alias("yx"))
+    )
+    w_desc = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("p").desc(), F.col("yx.x").desc()
+    )
+    w_asc = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("p").asc(), F.col("yx.x").asc()
+    )
+    top = (
+        base.withColumn("rn", F.row_number().over(w_desc))
+        .filter(F.col("rn") <= 3)
         .groupBy("o_orderpriority")
         .agg(
-            F.slice(F.reverse(F.array_sort(F.collect_list(price))), 1, 3)
+            F.slice(F.reverse(F.array_sort(F.collect_list("p"))), 1, 3)
             .alias("max3"),
-            F.slice(F.array_sort(F.collect_list(price)), 1, 3).alias("min3"),
             F.transform(
-                F.slice(F.reverse(F.array_sort(F.collect_list(yx))), 1, 2),
+                F.slice(
+                    F.reverse(
+                        F.array_sort(
+                            F.collect_list(F.when(F.col("rn") <= 2, F.col("yx")))
+                        )
+                    ),
+                    1,
+                    2,
+                ),
                 lambda s: s.x,
             ).alias("top2_keys"),
+        )
+    )
+    bottom = (
+        base.withColumn("rn", F.row_number().over(w_asc))
+        .filter(F.col("rn") <= 3)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("p")), 1, 3).alias("min3"),
             F.transform(
-                F.slice(F.array_sort(F.collect_list(yx)), 1, 2),
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("rn") <= 2, F.col("yx")))
+                    ),
+                    1,
+                    2,
+                ),
                 lambda s: s.x,
             ).alias("bottom2_keys"),
         )
+    )
+    return top.join(bottom, "o_orderpriority").select(
+        "o_orderpriority", "max3", "min3", "top2_keys", "bottom2_keys"
     )
 
 

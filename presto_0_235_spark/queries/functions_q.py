@@ -543,23 +543,32 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_url",
     oracle="""
 SELECT doc_id,
-       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+       regexp_extract(url, '^[a-z]+://([^/?#:]+)', 1) AS host,
+       CAST(NULLIF(regexp_extract(url, '^[a-z]+://[^/?#:]+:(\\d+)', 1), '')
+            AS BIGINT) AS port,
        regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
-       regexp_extract(url, '\\?(.*)$', 1) AS query,
+       regexp_extract(url, '\\?([^#]*)', 1) AS query,
+       regexp_extract(url, '#(.*)$', 1) AS fragment,
        CAST(doc_id AS VARCHAR) AS id_param,
        replace(lang || ' ' || source, ' ', '+') AS encoded
 FROM (
   SELECT doc_id, lang, source,
-         'https://example.com/' || lang || '/docs?id=' || CAST(doc_id AS VARCHAR)
-           AS url
+         'https://example.com'
+           || CASE WHEN doc_id % 2 = 0 THEN ':8443' ELSE '' END
+           || '/' || lang || '/docs?id=' || CAST(doc_id AS VARCHAR)
+           || '#sec' || CAST(doc_id AS VARCHAR) AS url
   FROM documents WHERE doc_id < 50
 )
 """,
 )
 def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL family (UrlFunctions.java:193 — url_extract_host/path/
-    query/parameter, url_encode). DuckDB has no URL functions; the
-    oracle emulates with regexes over the same constructed URLs."""
+    """URL family (UrlFunctions.java:45-193 — url_extract_protocol/
+    host/port/path/query/fragment/parameter, url_encode). Even
+    doc_ids carry an explicit :8443 port (odd ones exercise the NULL
+    port path); every URL has a fragment. DuckDB has no URL
+    functions; the oracle emulates with regexes over the same
+    constructed URLs."""
     ensure_session_defaults(spark)
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -567,18 +576,27 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "url",
             F.concat(
-                F.lit("https://example.com/"),
+                F.lit("https://example.com"),
+                F.when(F.col("doc_id") % 2 == 0, F.lit(":8443")).otherwise(
+                    F.lit("")
+                ),
+                F.lit("/"),
                 F.col("lang"),
                 F.lit("/docs?id="),
+                F.col("doc_id").cast("string"),
+                F.lit("#sec"),
                 F.col("doc_id").cast("string"),
             ),
         )
     )
     return docs.select(
         "doc_id",
+        ps.url_extract_protocol("url").alias("protocol"),
         ps.url_extract_host("url").alias("host"),
+        ps.url_extract_port("url").alias("port"),
         ps.url_extract_path("url").alias("path"),
         ps.url_extract_query("url").alias("query"),
+        ps.url_extract_fragment("url").alias("fragment"),
         ps.url_extract_parameter("url", "id").alias("id_param"),
         F.url_encode(F.concat_ws(" ", "lang", "source")).alias("encoded"),
     )
@@ -784,6 +802,105 @@ def fn_python_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0), F.lit(1.0), (F.col("doc_id") + 1) / 25.0
             ).alias("z_score"),
             normalize_nfc(F.col("lang")).alias("lang_nfc"),
+        )
+    )
+
+
+@register(
+    "fn_cdf_closed_form",
+    oracle="""
+SELECT p_partkey,
+       round(0.5 + atan((p_size - 10.0) / 4.0) / pi(), 10) AS cauchy_c,
+       round(10.0 + 4.0 * tan(pi() * ((p_size / 51.0) - 0.5)), 10)
+         AS cauchy_q,
+       round(1 - exp(-((p_size / 20.0) ^ 1.5)), 10) AS weibull_c,
+       round(20.0 * ((-ln(1 - p_size / 51.0)) ^ (1.0 / 1.5)), 10)
+         AS weibull_q,
+       round(((p_size / 50.0) + 1.9208 / 50.0
+              - 1.96 * sqrt((p_size / 50.0) * (1 - p_size / 50.0) / 50.0
+                            + 0.9604 / 2500.0))
+             / (1 + 3.8416 / 50.0), 10) AS wilson_lo,
+       round(((p_size / 50.0) + 1.9208 / 50.0
+              + 1.96 * sqrt((p_size / 50.0) * (1 - p_size / 50.0) / 50.0
+                            + 0.9604 / 2500.0))
+             / (1 + 3.8416 / 50.0), 10) AS wilson_hi
+FROM part WHERE p_partkey < 200
+""",
+)
+def fn_cdf_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form distribution functions (MathFunctions.java
+    cauchyCdf/inverseCauchyCdf/weibullCdf/inverseWeibullCdf/
+    wilsonIntervalLower/Upper) as pure Column expressions — JVM-side,
+    whole-stage codegen, no Python. The oracle restates the closed
+    forms; round(10) absorbs the last-ulp libm differences.
+    z = 1.96: z^2 = 3.8416, z^2/2 = 1.9208, z^4/4 = 0.9604."""
+    ensure_session_defaults(spark)
+    size = F.col("p_size").cast("double")
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 200)
+        .select(
+            "p_partkey",
+            F.round(ps.cauchy_cdf(F.lit(10.0), F.lit(4.0), size), 10)
+            .alias("cauchy_c"),
+            F.round(
+                ps.inverse_cauchy_cdf(F.lit(10.0), F.lit(4.0), size / 51.0), 10
+            ).alias("cauchy_q"),
+            F.round(ps.weibull_cdf(F.lit(1.5), F.lit(20.0), size), 10)
+            .alias("weibull_c"),
+            F.round(
+                ps.inverse_weibull_cdf(F.lit(1.5), F.lit(20.0), size / 51.0),
+                10,
+            ).alias("weibull_q"),
+            F.round(
+                ps.wilson_interval_lower(size, F.lit(50.0), F.lit(1.96)), 10
+            ).alias("wilson_lo"),
+            F.round(
+                ps.wilson_interval_upper(size, F.lit(50.0), F.lit(1.96)), 10
+            ).alias("wilson_hi"),
+        )
+    )
+
+
+@register("fn_cdf_gamma_family", oracle=None)
+def fn_cdf_gamma_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gamma/beta-backed distribution CDFs + inverses
+    (MathFunctions.java betaCdf:~600, inverseBetaCdf:636, binomialCdf,
+    chiSquaredCdf, poissonCdf and inverses) as Arrow pandas UDFs over
+    public-domain incomplete-gamma/beta algorithms. No DuckDB
+    equivalent exists, so the driver gate is rows-only; the real
+    checks are tests/test_semantics.py's monotonicity + inverse
+    roundtrip properties."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions.udfs import (
+        beta_cdf,
+        binomial_cdf,
+        chi_squared_cdf,
+        inverse_beta_cdf,
+        inverse_chi_squared_cdf,
+        inverse_poisson_cdf,
+        poisson_cdf,
+    )
+
+    size = F.col("p_size").cast("double")
+    p = size / 51.0
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 100)
+        .select(
+            "p_partkey",
+            F.round(beta_cdf(F.lit(2.0), F.lit(5.0), p), 8).alias("beta_c"),
+            F.round(inverse_beta_cdf(F.lit(2.0), F.lit(5.0), p), 8)
+            .alias("beta_q"),
+            F.round(
+                binomial_cdf(F.lit(40), F.lit(0.3), F.col("p_size")), 8
+            ).alias("binom_c"),
+            F.round(chi_squared_cdf(F.lit(7.0), size), 8).alias("chi2_c"),
+            F.round(inverse_chi_squared_cdf(F.lit(7.0), p), 8)
+            .alias("chi2_q"),
+            F.round(poisson_cdf(F.lit(12.0), F.col("p_size")), 8)
+            .alias("pois_c"),
+            inverse_poisson_cdf(F.lit(12.0), p).alias("pois_q"),
         )
     )
 
@@ -1176,6 +1293,57 @@ def fn_color_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "o_orderkey",
         *[F.expr(sql).alias(name) for name, sql in _color_exprs(cf.SPARK)],
+    )
+
+
+@register(
+    "fn_binary_codecs",
+    oracle="""
+SELECT o_orderkey,
+       upper(lpad(to_hex((o_orderkey - 200) & 4294967295), 8, '0'))
+         AS be32_hex,
+       CAST(o_orderkey - 200 AS INTEGER) AS be32_roundtrip,
+       o_orderkey * -1103515245 AS be64_roundtrip,
+       o_totalprice AS ieee64_roundtrip,
+       CAST(o_totalprice AS REAL) AS ieee32_roundtrip
+FROM orders WHERE o_orderkey < 400
+""",
+)
+def fn_binary_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec tail (VarbinaryFunctions.java:199-243):
+    to/from_big_endian_32 (sign-correct two's complement, pure Column
+    bit math), to/from_big_endian_64 over negatives, and
+    to/from_ieee754_32/64 (Arrow pandas UDFs over struct.pack — no
+    Spark expression exposes raw float bits). The oracle pins the
+    two's-complement hex of be32 and the bit-exact roundtrips;
+    tests/test_semantics.py pins the IEEE754 bit patterns against
+    known constants."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions.udfs import (
+        from_ieee754_32,
+        from_ieee754_64,
+        to_ieee754_32,
+        to_ieee754_64,
+    )
+
+    k = F.col("o_orderkey")
+    signed = (k - 200).cast("int")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(k < 400)
+        .select(
+            "o_orderkey",
+            F.hex(ps.to_big_endian_32(signed)).alias("be32_hex"),
+            ps.from_big_endian_32(ps.to_big_endian_32(signed))
+            .alias("be32_roundtrip"),
+            ps.from_big_endian_64(ps.to_big_endian_64(k * -1103515245))
+            .alias("be64_roundtrip"),
+            from_ieee754_64(to_ieee754_64(F.col("o_totalprice")))
+            .alias("ieee64_roundtrip"),
+            from_ieee754_32(
+                to_ieee754_32(F.col("o_totalprice").cast("float"))
+            ).alias("ieee32_roundtrip"),
+        )
     )
 
 

@@ -275,12 +275,12 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q") > 300)
         .select("l_orderkey")
     )
-    # The >300-quantity order-key set is a fixed FRACTION of orders, so
-    # its row count grows linearly with SF (~6M keys at the 100x-scale
-    # target) — a hard broadcast hint on it would force a
-    # multi-hundred-MB build side on every executor. Leave every join
-    # here to the size-aware planner: AQE still broadcasts the small
-    # sides at small SF, and the cost-based analog in the reference is
+    # The >300-quantity order-key set is a fixed FRACTION of orders
+    # (~4e-5: tens of keys at SF1, thousands at 100x), so it grows
+    # linearly with SF. It stays broadcast-small in practice — AQE's
+    # runtime size check will still broadcast it — but a hard-coded
+    # hint pins a planning decision that should stay size-based, so
+    # none is given. The cost-based analog in the reference is
     # DetermineJoinDistributionType.java (never an unconditional hint).
     filtered_orders = orders.join(
         big, orders.o_orderkey == big.l_orderkey, "left_semi"

@@ -35,14 +35,17 @@ from presto_0_235_spark.session import ensure_session_defaults
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a stream: parquet file source with the batch schema
-    (explicit — streaming sources never infer), nanos ts restored to
-    TimestampType exactly as catalog.load_table does."""
+    (explicit — streaming sources never infer), ts restored to LTZ
+    TimestampType exactly as catalog.load_table does (withWatermark
+    rejects TIMESTAMP_NTZ event-time columns)."""
+    from presto_0_235_spark.catalog import normalize_events_ts
+
     ensure_session_defaults(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file stream source wants a directory or glob, not a bare
     # file path (basePath must be a directory).
     raw = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_events_ts(raw)
 
 
 def run_to_batch(

@@ -152,8 +152,11 @@ def test_no_hardcoded_broadcast_on_sf_growing_sides(spark, sf_dir):
             "== Optimized Logical Plan =="
         )[0]
         n_hints = len(re.findall(r"ResolvedHint", analyzed))
-        assert n_hints <= budget, (
-            f"{name}: {n_hints} broadcast hints (allowed {budget} bounded dims)"
+        # Exact, not a ceiling: a nonzero budget means those bounded-dim
+        # hints are intentionally pinned — silently dropping one must
+        # fail here, not just lose broadcast coverage.
+        assert n_hints == budget, (
+            f"{name}: {n_hints} broadcast hints (pinned budget {budget} bounded dims)"
         )
     # Size-based planning still broadcasts the small sides of the join
     # queries at this SF — the cost-based choice, without any hint.
@@ -192,8 +195,11 @@ def test_tpch_more_no_sf_growing_broadcasts(spark, sf_dir):
             "== Optimized Logical Plan =="
         )[0]
         n_hints = len(re.findall(r"ResolvedHint", analyzed))
-        assert n_hints <= budget, (
-            f"{name}: {n_hints} broadcast hints (allowed {budget} bounded dims)"
+        # Exact, not a ceiling: a nonzero budget means those bounded-dim
+        # hints are intentionally pinned — silently dropping one must
+        # fail here, not just lose broadcast coverage.
+        assert n_hints == budget, (
+            f"{name}: {n_hints} broadcast hints (pinned budget {budget} bounded dims)"
         )
         # The physical plan still broadcasts the small sides at this SF
         # via size-based planning / AQE — the cost-based choice.
@@ -248,8 +254,11 @@ def test_adapted_partsupp_queries_no_sf_growing_broadcasts(spark, sf_dir):
             "== Optimized Logical Plan =="
         )[0]
         n_hints = len(re.findall(r"ResolvedHint", analyzed))
-        assert n_hints <= budget, (
-            f"{name}: {n_hints} broadcast hints (allowed {budget} bounded)"
+        # Exact, not a ceiling: a nonzero budget means those bounded-dim
+        # hints are intentionally pinned — silently dropping one must
+        # fail here, not just lose broadcast coverage.
+        assert n_hints == budget, (
+            f"{name}: {n_hints} broadcast hints (pinned budget {budget} bounded)"
         )
 
 
@@ -275,3 +284,13 @@ def test_split_assign_no_exchange(spark, sf_dir):
     exchanges in the plan (scan-speed at any corpus size)."""
     plan = plan_of(_QUERIES["docs_split_assign"].builder(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_minmax_n_bounds_state_with_window_group_limit(spark, sf_dir):
+    """agg_minmax_n pre-prunes each direction to row_number() <= N via
+    WindowGroupLimit (partial top-k before the shuffle) — the Spark
+    analog of the reference's bounded TypedHeap
+    (MAIN/operator/aggregation/MaxNAggregationFunction.java). A hot
+    group must never materialize whole-group collect_list state."""
+    plan = plan_of(_QUERIES["agg_minmax_n"].builder(spark, sf_dir))
+    assert plan.count("WindowGroupLimit") >= 2, plan

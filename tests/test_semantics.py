@@ -184,3 +184,106 @@ def test_date_diff_whole_elapsed_units(spark):
     assert (rows[1].y, rows[1].m) == (0, 11)
     # negative span under one month truncates toward zero, not -1
     assert (rows[2].y, rows[2].m) == (0, 0)
+
+
+def test_cdf_special_function_known_values():
+    """The incomplete-gamma/beta backends hit closed-form anchors:
+    I_0.5(2,5)=57/64, I_x(1,1)=x, chi2(df=2) is Exp(1/2),
+    poisson_cdf(lam,0)=e^-lam."""
+    import math
+
+    from presto_0_235_spark.functions.udfs import _beta_i, _gamma_p
+
+    assert abs(_beta_i(2, 5, 0.5) - 0.890625) < 1e-12
+    assert abs(_beta_i(1, 1, 0.3) - 0.3) < 1e-12
+    assert abs(_gamma_p(1.0, 1.5) - (1 - math.exp(-1.5))) < 1e-12
+    assert abs((1.0 - _gamma_p(1.0, 3.0)) - math.exp(-3)) < 1e-12
+
+
+def test_cdf_monotone_and_inverse_roundtrip():
+    """Every CDF is nondecreasing on its support and inverse(cdf(x))
+    recovers x (the reference's own correctness criterion for
+    MathFunctions.java inverse*Cdf)."""
+    from presto_0_235_spark.functions.udfs import (
+        _beta_i,
+        _gamma_p,
+        _invert_monotone,
+    )
+
+    grid = [i / 20.0 for i in range(1, 20)]
+    for cdf in (
+        lambda x: _beta_i(2.0, 5.0, x),
+        lambda x: _gamma_p(3.5, x * 40.0),
+    ):
+        vals = [cdf(x) for x in grid]
+        assert all(b >= a for a, b in zip(vals, vals[1:]))
+    for p in (0.05, 0.42, 0.9):
+        x = _invert_monotone(lambda v: _beta_i(2.0, 5.0, v), p, 0.0, 1.0)
+        assert abs(_beta_i(2.0, 5.0, x) - p) < 1e-9
+        x = _invert_monotone(
+            lambda v: _gamma_p(3.5, v / 2.0), p, 0.0, 700.0
+        )
+        assert abs(_gamma_p(3.5, x / 2.0) - p) < 1e-9
+
+
+def test_inverse_poisson_cdf_is_discrete_quantile(spark):
+    """inverse_poisson_cdf returns the SMALLEST k with CDF(k) >= p."""
+    from presto_0_235_spark.functions.udfs import (
+        _gamma_p,
+        inverse_poisson_cdf,
+        poisson_cdf,
+    )
+
+    df = spark.range(1).select(
+        inverse_poisson_cdf(F.lit(12.0), F.lit(0.75)).alias("k")
+    )
+    k = df.collect()[0].k
+    cdf = lambda kk: 1.0 - _gamma_p(kk + 1.0, 12.0)  # noqa: E731
+    assert cdf(k) >= 0.75 and (k == 0 or cdf(k - 1) < 0.75)
+
+
+def test_ieee754_known_bit_patterns(spark):
+    """to_ieee754_64/32 produce the canonical big-endian bit patterns
+    (VarbinaryFunctions.java:199-243): 1.0 -> 3FF0000000000000,
+    -2.0 -> C000000000000000, 1.0f -> 3F800000; from_* are bit-exact
+    inverses including for non-representable decimals."""
+    from presto_0_235_spark.functions.udfs import (
+        from_ieee754_64,
+        to_ieee754_32,
+        to_ieee754_64,
+    )
+
+    row = (
+        spark.range(1)
+        .select(
+            F.hex(to_ieee754_64(F.lit(1.0))).alias("one64"),
+            F.hex(to_ieee754_64(F.lit(-2.0))).alias("negtwo64"),
+            F.hex(to_ieee754_32(F.lit(1.0).cast("float"))).alias("one32"),
+            from_ieee754_64(to_ieee754_64(F.lit(0.1))).alias("tenth"),
+        )
+        .collect()[0]
+    )
+    assert row.one64 == "3FF0000000000000"
+    assert row.negtwo64 == "C000000000000000"
+    assert row.one32 == "3F800000"
+    assert row.tenth == 0.1
+
+
+def test_big_endian_32_sign_correct(spark):
+    """to/from_big_endian_32 round-trip INT_MIN/-1/0/INT_MAX and emit
+    the documented two's-complement patterns."""
+    from presto_0_235_spark.functions import scalar as ps
+
+    df = spark.createDataFrame(
+        [(-2147483648,), (-1,), (0,), (2147483647,)], "v int"
+    ).select(
+        "v",
+        F.hex(ps.to_big_endian_32("v")).alias("h"),
+        ps.from_big_endian_32(ps.to_big_endian_32("v")).alias("rt"),
+    )
+    rows = {r.v: r for r in df.collect()}
+    assert rows[-2147483648].h == "80000000"
+    assert rows[-1].h == "FFFFFFFF"
+    assert rows[0].h == "00000000"
+    assert rows[2147483647].h == "7FFFFFFF"
+    assert all(r.rt == v for v, r in rows.items())
