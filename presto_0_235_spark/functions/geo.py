@@ -1,0 +1,146 @@
+"""Geospatial scalar core (reference presto-geospatial
+GeoFunctions.java) — the planar point/linestring/polygon subset that
+needs no geometry library, as pure Column expressions.
+
+Geometry model: a POINT is struct<x:double, y:double>; a LINESTRING /
+POLYGON RING is array<struct<x,y>> (polygon rings are closed — first
+point repeated last, the WKT convention). This covers the measure /
+accessor / predicate core (ST_X/ST_Y/ST_Distance/ST_Length/ST_Area/
+ST_Centroid/envelope containment) plus great_circle_distance
+(MathFunctions.java:1398 — the reference keeps it in the math
+package). The full OGC surface (WKT parsing, ST_Buffer, ST_Union,
+arbitrary-polygon ST_Contains) needs a computational-geometry
+library (the reference links Esri-geometry-api) and stays a
+documented gap; the spatial RADIUS JOIN path is covered separately
+by join_spatial_radius (ExtractSpatialJoins.java:154 analog).
+
+Everything here is JVM-side whole-stage-codegen arithmetic — at
+100 TB these are scan-speed per-row expressions, no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def st_point(x: Column | str, y: Column | str) -> Column:
+    """ST_Point(x, y) (GeoFunctions.java stPoint)."""
+    return F.struct(
+        _c(x).cast("double").alias("x"), _c(y).cast("double").alias("y")
+    )
+
+
+def st_x(p: Column | str) -> Column:
+    """ST_X(point)."""
+    return _c(p).getField("x")
+
+
+def st_y(p: Column | str) -> Column:
+    """ST_Y(point)."""
+    return _c(p).getField("y")
+
+
+def st_distance(a: Column | str, b: Column | str) -> Column:
+    """ST_Distance(point, point) — planar euclidean
+    (GeoFunctions.java stDistance)."""
+    dx = st_x(a) - st_x(b)
+    dy = st_y(a) - st_y(b)
+    return F.sqrt(dx * dx + dy * dy)
+
+
+def st_length(line: Column | str) -> Column:
+    """ST_Length(linestring): sum of consecutive segment lengths.
+    aggregate over zip_with(line, shifted-line) — one pass, no UDF."""
+    pts = _c(line)
+    n = F.size(pts)
+    segs = F.zip_with(
+        F.slice(pts, 1, n - 1),
+        F.slice(pts, 2, n - 1),
+        lambda p, q: F.sqrt(
+            (q.getField("x") - p.getField("x"))
+            * (q.getField("x") - p.getField("x"))
+            + (q.getField("y") - p.getField("y"))
+            * (q.getField("y") - p.getField("y"))
+        ),
+    )
+    return F.aggregate(segs, F.lit(0.0), lambda acc, s: acc + s)
+
+
+def _shoelace_2a(ring: Column) -> Column:
+    """Twice the signed area of a closed ring (shoelace sum)."""
+    n = F.size(ring)
+    terms = F.zip_with(
+        F.slice(ring, 1, n - 1),
+        F.slice(ring, 2, n - 1),
+        lambda p, q: p.getField("x") * q.getField("y")
+        - q.getField("x") * p.getField("y"),
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+
+
+def st_area(ring: Column | str) -> Column:
+    """ST_Area(polygon ring) — absolute shoelace area
+    (GeoFunctions.java stArea). Ring must be closed."""
+    return F.abs(_shoelace_2a(_c(ring))) / 2.0
+
+
+def st_centroid_points(pts: Column | str) -> Column:
+    """ST_Centroid of a multipoint: arithmetic mean point."""
+    p = _c(pts)
+    n = F.size(p).cast("double")
+    sx = F.aggregate(
+        p, F.lit(0.0), lambda acc, q: acc + q.getField("x")
+    )
+    sy = F.aggregate(
+        p, F.lit(0.0), lambda acc, q: acc + q.getField("y")
+    )
+    return F.struct((sx / n).alias("x"), (sy / n).alias("y"))
+
+
+def st_envelope_contains(
+    xmin: Column | str,
+    ymin: Column | str,
+    xmax: Column | str,
+    ymax: Column | str,
+    p: Column | str,
+) -> Column:
+    """ST_Contains(envelope, point) — the rectangle fast path the
+    reference optimizer itself special-cases before handing general
+    polygons to the geometry library."""
+    return (
+        (st_x(p) >= _c(xmin))
+        & (st_x(p) <= _c(xmax))
+        & (st_y(p) >= _c(ymin))
+        & (st_y(p) <= _c(ymax))
+    )
+
+
+EARTH_RADIUS_KM = 6371.01
+
+
+def great_circle_distance(
+    lat1: Column | str,
+    lon1: Column | str,
+    lat2: Column | str,
+    lon2: Column | str,
+) -> Column:
+    """great_circle_distance(lat1, lon1, lat2, lon2) -> km
+    (MathFunctions.java:1398) — haversine on the reference's
+    6371.01 km mean earth radius."""
+    rlat1 = F.radians(_c(lat1))
+    rlat2 = F.radians(_c(lat2))
+    dlat = rlat2 - rlat1
+    dlon = F.radians(_c(lon2)) - F.radians(_c(lon1))
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return (
+        F.lit(2.0 * EARTH_RADIUS_KM)
+        * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+    )

@@ -1661,3 +1661,164 @@ def fn_misc_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             (netint + blk - 1).alias("ip_subnet_max_int"),
         )
     )
+
+
+@register(
+    "fn_ipv6_prefix",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         [8193, 3512, o_orderkey % 65536, (o_orderkey * 31) % 65536,
+          (o_orderkey * 131) % 65536, (o_orderkey * 7) % 65536,
+          (o_orderkey * 13) % 65536, (o_orderkey * 257) % 65536] AS gs,
+         CAST(o_orderkey % 101 + 20 AS BIGINT) AS p
+  FROM orders WHERE o_orderkey < 300
+),
+masked AS (
+  SELECT k, p,
+         list_transform(generate_series(1, 8), i ->
+           gs[i] - (gs[i] % CAST(2 ** (16 - greatest(0,
+             least(16, p - (i - 1) * 16))) AS BIGINT))) AS mn,
+         list_transform(generate_series(1, 8), i ->
+           gs[i] - (gs[i] % CAST(2 ** (16 - greatest(0,
+             least(16, p - (i - 1) * 16))) AS BIGINT))
+           + CAST(2 ** (16 - greatest(0, least(16, p - (i - 1) * 16)))
+                  AS BIGINT) - 1) AS mx
+  FROM base
+)
+SELECT k,
+       array_to_string(list_transform(mn, g -> lower(lpad(to_hex(g), 4, '0'))),
+                       ':') AS subnet_min,
+       array_to_string(list_transform(mx, g -> lower(lpad(to_hex(g), 4, '0'))),
+                       ':') AS subnet_max,
+       array_to_string(list_transform(mn, g -> lower(lpad(to_hex(g), 4, '0'))),
+                       ':') || '/' || p AS prefix
+FROM masked
+""",
+)
+def fn_ipv6_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv6 ip_prefix / ip_subnet_min / ip_subnet_max
+    (IpPrefixFunctions.java — the v6 half of the family; v4 is
+    oracle-checked in fn_misc_gaps). Addresses are synthesized as
+    eight 16-bit groups under 2001:0db8::/32; prefixes sweep 20..120
+    so masks land in every group position, including the keep=0 and
+    keep=16 boundary groups. Pure per-row group arithmetic — exact
+    integers on both engines, no UDFs."""
+    ensure_session_defaults(spark)
+    k = F.col("o_orderkey")
+    group_exprs = [
+        F.lit(8193),
+        F.lit(3512),
+        (k % 65536),
+        ((k * 31) % 65536),
+        ((k * 131) % 65536),
+        ((k * 7) % 65536),
+        ((k * 13) % 65536),
+        ((k * 257) % 65536),
+    ]
+    addr = F.concat_ws(
+        ":",
+        F.transform(
+            F.array(*[g.cast("int") for g in group_exprs]),
+            lambda g: F.format_string("%04x", g),
+        ),
+    )
+    p = (k % 101 + 20).cast("bigint")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(k < 300)
+        .select(
+            k.alias("k"),
+            ps.ip_subnet_min_v6(addr, p).alias("subnet_min"),
+            ps.ip_subnet_max_v6(addr, p).alias("subnet_max"),
+            ps.ip_prefix_v6(addr, p).alias("prefix"),
+        )
+    )
+
+
+@register(
+    "fn_geospatial_core",
+    oracle="""
+WITH pts AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey % 100) / 10.0 AS px, ((o_orderkey * 3) % 100) / 10.0 AS py,
+         ((o_orderkey * 7) % 100) / 10.0 AS qx,
+         ((o_orderkey * 13) % 100) / 10.0 AS qy,
+         (o_orderkey % 160) / 2.0 - 40.0 AS lat1,
+         ((o_orderkey * 3) % 720) / 2.0 - 180.0 AS lon1,
+         ((o_orderkey * 7) % 160) / 2.0 - 40.0 AS lat2,
+         ((o_orderkey * 11) % 720) / 2.0 - 180.0 AS lon2
+  FROM orders WHERE o_orderkey < 300
+)
+SELECT k, px AS x, py AS y,
+       round(sqrt((px - qx) * (px - qx) + (py - qy) * (py - qy)), 9)
+         AS dist,
+       round(sqrt(px * px + py * py)
+             + sqrt((qx - px) * (qx - px) + (qy - py) * (qy - py)), 9)
+         AS line_len,
+       round(px * py, 9) AS ring_area,
+       round((0 + px + qx + px + qx) / 5.0, 9) AS cx,
+       round((0 + py + qy + py + qy) / 5.0, 9) AS cy,
+       px >= 0 AND px <= 5 AND py >= 0 AND py <= 5 AS in_env,
+       round(2.0 * 6371.01 * asin(least(1.0, sqrt(
+         sin(radians(lat2 - lat1) / 2) * sin(radians(lat2 - lat1) / 2)
+         + cos(radians(lat1)) * cos(radians(lat2))
+           * sin(radians(lon2 - lon1) / 2)
+           * sin(radians(lon2 - lon1) / 2)))), 6) AS gcd_km
+FROM pts
+""",
+)
+def fn_geospatial_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial scalar core (presto-geospatial GeoFunctions.java —
+    ST_Point/ST_X/ST_Y/ST_Distance/ST_Length/ST_Area/ST_Centroid/
+    envelope ST_Contains; great_circle_distance is
+    MathFunctions.java:1398). Geometry = typed structs/arrays, every
+    measure a pure Column expression (functions/geo.py); the oracle
+    restates the planar formulas (segment sums, shoelace rectangle,
+    haversine on the 6371.01 km reference radius). WKT/ST_Buffer/
+    general-polygon predicates remain a documented gap (they need a
+    geometry library); the spatial-join path is join_spatial_radius."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions import geo
+
+    k = F.col("o_orderkey")
+    px, py = (k % 100) / 10.0, ((k * 3) % 100) / 10.0
+    qx, qy = ((k * 7) % 100) / 10.0, ((k * 13) % 100) / 10.0
+    p = geo.st_point(px, py)
+    q = geo.st_point(qx, qy)
+    origin = geo.st_point(F.lit(0.0), F.lit(0.0))
+    line = F.array(origin, p, q)
+    # closed rectangle ring (0,0)-(px,0)-(px,py)-(0,py)-(0,0)
+    ring = F.array(
+        origin,
+        geo.st_point(px, F.lit(0.0)),
+        geo.st_point(px, py),
+        geo.st_point(F.lit(0.0), py),
+        origin,
+    )
+    multi = F.array(origin, p, q, p, q)
+    lat1 = (k % 160) / 2.0 - 40.0
+    lon1 = ((k * 3) % 720) / 2.0 - 180.0
+    lat2 = ((k * 7) % 160) / 2.0 - 40.0
+    lon2 = ((k * 11) % 720) / 2.0 - 180.0
+    centroid = geo.st_centroid_points(multi)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(k < 300)
+        .select(
+            k.alias("k"),
+            geo.st_x(p).alias("x"),
+            geo.st_y(p).alias("y"),
+            F.round(geo.st_distance(p, q), 9).alias("dist"),
+            F.round(geo.st_length(line), 9).alias("line_len"),
+            F.round(geo.st_area(ring), 9).alias("ring_area"),
+            F.round(geo.st_x(centroid), 9).alias("cx"),
+            F.round(geo.st_y(centroid), 9).alias("cy"),
+            geo.st_envelope_contains(
+                F.lit(0.0), F.lit(0.0), F.lit(5.0), F.lit(5.0), p
+            ).alias("in_env"),
+            F.round(
+                geo.great_circle_distance(lat1, lon1, lat2, lon2), 6
+            ).alias("gcd_km"),
+        )
+    )

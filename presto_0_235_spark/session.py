@@ -43,9 +43,12 @@ SESSION_DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas-interop path (vectorized UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # The events fixture stores timestamp[ns], which Spark's parquet
-    # reader rejects outright; read as long and let the catalog
-    # restore a TimestampType column (catalog.load_table).
+    # Fixture generations have stored events.ts as timestamp[ns],
+    # which Spark's parquet reader rejects outright without this flag
+    # (read as long nanos instead); current fixtures use
+    # timestamp[us], making the flag a harmless no-op, but it stays so
+    # the engine reads BOTH layouts — catalog.normalize_events_ts
+    # restores TimestampType either way.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
