@@ -1436,7 +1436,7 @@ def ts_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH iv AS (
   SELECT event_id, event_type, date_trunc('second', ts) AS s,
          date_trunc('second', ts)
-           + to_seconds(CAST(round(value * 10) AS BIGINT)) AS e
+           + to_seconds(CAST(round(value * 600) AS BIGINT)) AS e
   FROM events WHERE event_id % 25 = 0
 )
 SELECT a.event_id AS id1, b.event_id AS id2, a.event_type,
@@ -1465,6 +1465,10 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "event_type",
+            # value*600s spans (regenerated fixtures spread events so
+            # value*10s intervals never overlapped — a vacuous
+            # differential); ~multi-hour intervals yield hundreds of
+            # true pairs at sf0.01.
             # Whole-second bounds on BOTH engines: mixed-precision
             # endpoints would make the overlap arithmetic disagree on
             # sub-second fractions (Spark truncates, DuckDB keeps
@@ -1472,7 +1476,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("second", F.col("ts")).alias("s"),
             F.timestamp_seconds(
                 F.unix_timestamp("ts")
-                + F.round(F.col("value") * 10).cast("long")
+                + F.round(F.col("value") * 600).cast("long")
             ).alias("e"),
         )
     )

@@ -291,21 +291,27 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_anti",
     oracle="""
-SELECT c_mktsegment, COUNT(*) AS n_customers_without_orders
+SELECT c_mktsegment, COUNT(*) AS n_customers_without_big_orders
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 350000)
 GROUP BY c_mktsegment
 """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join / NOT EXISTS."""
+    """Anti join / NOT EXISTS. The build side is the >350k-price
+    orders so the survivor set is nonempty at every fixture SF (every
+    customer has SOME order, so an unfiltered anti join is vacuously
+    empty and proves nothing)."""
     ensure_session_defaults(spark)
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    big = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 350000
+    )
     return (
-        joins.anti_join(cust, orders, cust.c_custkey == orders.o_custkey)
+        joins.anti_join(cust, big, cust.c_custkey == big.o_custkey)
         .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_customers_without_orders"))
+        .agg(F.count("*").alias("n_customers_without_big_orders"))
     )
 
 
@@ -746,17 +752,29 @@ def intersect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT n_nationkey AS nationkey FROM nation
 EXCEPT
-SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+SELECT c_nationkey FROM customer
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
 """,
 )
 def except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (DISTINCT)."""
+    """EXCEPT (DISTINCT). The subtracted set is rich-BUILDING
+    nations only, so the difference is nonempty at every fixture SF
+    (every nation has a BUILDING customer, so subtracting the whole
+    segment returned the vacuous empty set)."""
     ensure_session_defaults(spark)
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("c_acctbal") > 9000)
+        )
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
     return setops.except_(
         load_table(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("nationkey")
         ),
-        _seg_keys(spark, sf_dir, "BUILDING"),
+        rich,
     )
 
 
@@ -908,7 +926,7 @@ def lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderkey, o_totalprice
 FROM orders
-WHERE o_totalprice > 2 * (
+WHERE o_totalprice > 1.5 * (
   SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
   FROM orders
 )
@@ -924,7 +942,7 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > 2 * (
+        WHERE o_totalprice > 1.5 * (
           SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                  / COUNT(*)
           FROM orders

@@ -928,3 +928,56 @@ def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     DetermineJoinDistributionType.java; Catalyst + AQE here)."""
     register_views(spark, sf_dir)
     return run_sql(spark, _SQL_Q5)
+
+
+@register(
+    "sql_url_functions",
+    oracle="""
+SELECT doc_id,
+       regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+       regexp_extract(url, '^[a-z]+://([^/?#:]+)', 1) AS host,
+       CAST(NULLIF(regexp_extract(url, '^[a-z]+://[^/?#:]+:(\\d+)', 1), '')
+            AS BIGINT) AS port,
+       regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '#(.*)$', 1) AS frag,
+       CAST(doc_id AS VARCHAR) AS id_param
+FROM (
+  SELECT doc_id,
+         'https://host.example'
+           || CASE WHEN doc_id % 2 = 0 THEN ':9000' ELSE '' END
+           || '/d/' || CAST(doc_id AS VARCHAR)
+           || '?id=' || CAST(doc_id AS VARCHAR)
+           || '#f' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents WHERE doc_id < 40
+)
+""",
+)
+def sql_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto URL functions typed as SQL through the front door
+    (UrlFunctions.java:45-193): the dialect layer rewrites
+    url_extract_protocol/host/port/path/fragment/parameter into
+    parse_url templates (frontend._rewrite_url_fns) — not lexical
+    renames, since parse_url takes a part selector and PORT needs an
+    expression."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT doc_id,
+               url_extract_protocol(url) AS proto,
+               url_extract_host(url) AS host,
+               url_extract_port(url) AS port,
+               url_extract_path(url) AS path,
+               url_extract_fragment(url) AS frag,
+               url_extract_parameter(url, 'id') AS id_param
+        FROM (
+          SELECT doc_id,
+                 'https://host.example'
+                   || CASE WHEN doc_id % 2 = 0 THEN ':9000' ELSE '' END
+                   || '/d/' || CAST(doc_id AS VARCHAR)
+                   || '?id=' || CAST(doc_id AS VARCHAR)
+                   || '#f' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents WHERE doc_id < 40
+        )
+        """,
+    )

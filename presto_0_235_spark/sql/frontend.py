@@ -487,6 +487,45 @@ def _rewrite_quantified(sql: str) -> str:
 # fixed argument shape). Applied lexically at call sites (`name(`) —
 # the §2.9 survey's rename column. Names equal in both dialects
 # (length, substr, concat, coalesce, …) need no entry.
+# Presto URL functions -> parse_url templates (UrlFunctions.java:45-193).
+# Not plain renames: parse_url takes the part selector as a second
+# argument, and url_extract_port needs an expression (no PORT field).
+_URL_FIELD: dict[str, str] = {
+    "url_extract_protocol": "PROTOCOL",
+    "url_extract_host": "HOST",
+    "url_extract_path": "PATH",
+    "url_extract_query": "QUERY",
+    "url_extract_fragment": "REF",
+}
+_URL_FN = re.compile(
+    r"\b(url_extract_(?:protocol|host|path|query|fragment|parameter|port))"
+    r"\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_url_fns(sql: str) -> str:
+    while True:
+        m = _URL_FN.search(sql)
+        if not m:
+            return sql
+        fn = m.group(1).lower()
+        open_i = sql.index("(", m.start())
+        close_i = _balanced(sql, open_i)  # index just past ')'
+        inner = sql[open_i + 1 : close_i - 1]
+        if fn == "url_extract_parameter":
+            url, key = _split_top_comma(inner)
+            repl = f"parse_url({url}, 'QUERY', {key})"
+        elif fn == "url_extract_port":
+            repl = (
+                f"cast(nullif(regexp_extract(parse_url({inner}, "
+                f"'AUTHORITY'), ':([0-9]+)$', 1), '') as bigint)"
+            )
+        else:
+            repl = f"parse_url({inner}, '{_URL_FIELD[fn]}')"
+        sql = sql[: m.start()] + repl + sql[close_i:]
+
+
 PRESTO_FN_RENAMES: dict[str, str] = {
     # string
     "strpos": "instr",
@@ -570,7 +609,14 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = _rewrite_unnest(masked)
     masked = _rewrite_quantified(masked)
     masked = _rewrite_subscripts(masked)
+    masked = _rewrite_url_fns(masked)
     masked = _rewrite_function_names(masked)
+    # Presto's unparameterized VARCHAR (SqlBase.g4 allows bare type
+    # names; CAST(x AS VARCHAR) is idiomatic Presto) — Spark demands a
+    # length, so map the bare form to STRING. VARCHAR(n) passes through.
+    masked = re.sub(
+        r"\bVARCHAR\b(?!\s*\()", "STRING", masked, flags=re.IGNORECASE
+    )
     return _unmask(masked, stash)
 
 

@@ -46,3 +46,74 @@ def test_events_normalized_schema(spark, sf_dir):
 def test_all_fixture_tables_load(spark, sf_dir, name):
     df = load_table(spark, sf_dir, name)
     assert len(df.schema.fields) > 0
+
+
+# Column name -> physical type per table, as of the round-6 fixture
+# generation. Temporal columns accept the layouts the engine is known
+# to handle (see KNOWN_TS_LAYOUTS); everything else is pinned exactly.
+_TEMPORAL = KNOWN_TS_LAYOUTS
+EXPECTED_PHYSICAL = {
+    "region": {"r_regionkey": "int32", "r_name": "string"},
+    "nation": {
+        "n_nationkey": "int32", "n_name": "string", "n_regionkey": "int32",
+    },
+    "customer": {
+        "c_custkey": "int64", "c_name": "string", "c_nationkey": "int32",
+        "c_acctbal": "double", "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "int64", "s_name": "string", "s_nationkey": "int32",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "int64", "p_name": "string", "p_brand": "string",
+        "p_type": "string", "p_size": "int32", "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "int64", "o_custkey": "int64",
+        "o_orderstatus": "string", "o_totalprice": "double",
+        "o_orderdate": _TEMPORAL, "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "int64", "l_partkey": "int64", "l_suppkey": "int64",
+        "l_linenumber": "int32", "l_quantity": "double",
+        "l_extendedprice": "double", "l_discount": "double",
+        "l_tax": "double", "l_returnflag": "string",
+        "l_linestatus": "string", "l_shipdate": _TEMPORAL,
+    },
+    "events": {
+        "event_id": "int64", "ts": _TEMPORAL, "user_id": "int64",
+        "event_type": "string", "value": "double", "props": "string",
+    },
+    "documents": {
+        "doc_id": "int64", "text": "string", "lang": "string",
+        "source": "string", "n_chars": "int64",
+    },
+    "embeddings": {
+        "vec_id": "int64", "embedding": "list<element: float>",
+        "label": "int32",
+    },
+}
+
+
+@pytest.mark.parametrize("name", TABLES)
+def test_fixture_physical_schema_pinned(name):
+    """Pin every fixture's physical parquet schema so the next driver
+    regeneration that changes a layout fails HERE, by table name,
+    instead of surfacing as dozens of downstream query failures."""
+    footer = pq.read_schema(f"{SF_DIR}/{name}.parquet")
+    actual = {f.name: str(f.type) for f in footer}
+    expected = EXPECTED_PHYSICAL[name]
+    assert set(actual) == set(expected), (
+        f"{name}: columns changed: {sorted(actual)} vs {sorted(expected)}"
+    )
+    for col, want in expected.items():
+        if isinstance(want, (set, frozenset)):
+            assert actual[col] in want, (
+                f"{name}.{col}: layout {actual[col]!r} not in known set "
+                f"{sorted(want)}; teach the loader (and this pin)"
+            )
+        else:
+            assert actual[col] == want, (
+                f"{name}.{col}: layout changed {want!r} -> {actual[col]!r}"
+            )

@@ -232,3 +232,41 @@ def test_nul_handling_split_by_position():
         presto_to_spark_sql("SELECT 'a\x00b'")
     with pytest.raises(NulInLiteralError):
         presto_to_spark_sql('SELECT "we\x00ird" FROM t')
+
+
+def test_url_fn_rewrites():
+    from presto_0_235_spark.sql.frontend import presto_to_spark_sql as p2s
+
+    assert (
+        p2s("SELECT url_extract_host(u) FROM t")
+        == "SELECT parse_url(u, 'HOST') FROM t"
+    )
+    assert (
+        p2s("SELECT url_extract_parameter(u, 'id') FROM t")
+        == "SELECT parse_url(u, 'QUERY', 'id') FROM t"
+    )
+    # nested call keeps balanced parens
+    assert (
+        p2s("SELECT url_extract_path(concat(a, b)) FROM t")
+        == "SELECT parse_url(concat(a, b), 'PATH') FROM t"
+    )
+    assert "AUTHORITY" in p2s("SELECT url_extract_port(u) FROM t")
+    # function names inside string literals are data, not calls
+    assert (
+        p2s("SELECT 'url_extract_host(u)' FROM t")
+        == "SELECT 'url_extract_host(u)' FROM t"
+    )
+
+
+def test_bare_varchar_becomes_string():
+    from presto_0_235_spark.sql.frontend import presto_to_spark_sql as p2s
+
+    assert p2s("SELECT CAST(x AS VARCHAR) FROM t") == (
+        "SELECT CAST(x AS STRING) FROM t"
+    )
+    # parameterized VARCHAR(n) is legal Spark — untouched
+    assert p2s("SELECT CAST(x AS VARCHAR(10)) FROM t") == (
+        "SELECT CAST(x AS VARCHAR(10)) FROM t"
+    )
+    # literals are never rewritten
+    assert p2s("SELECT 'AS VARCHAR' FROM t") == "SELECT 'AS VARCHAR' FROM t"
