@@ -119,6 +119,19 @@ def minhash_signature(shingles: Column, k: int = MINHASH_K) -> Column:
     md5-hex string min is a valid min-wise hash family (seeded by the
     prefix), computable identically on any engine with md5 — which is
     what makes the DuckDB differential check possible. JVM-side only.
+
+    Cheaper families were measured at sf0.1 and REJECTED (round 6):
+      - Kirsch-Mitzenmacher double hashing (2 md5 bases, h0 + i*h1):
+        the min for large i is dominated by min-h1, collapsing K
+        permutations to ~2 effective ones — band recall on a
+        jaccard-0.6 pair drops from ~93% to ~40%. Wrong, not slow.
+      - 32-bit md5 windows (3 md5s sliced into 12 independent keys):
+        statistically correct (agreement variance matches binomial),
+        but higher-order lambdas are interpreted, not codegen'd, so
+        the shared md5 is NOT common-subexpression-eliminated across
+        windows; with the extra conv/substring it measured 2.57 s vs
+        1.42 s for this form, and a fold-based variant that does bind
+        the digest once measured 1.89 s. K plain md5 string-mins win.
     """
     # NB: helper factory, not `lambda s, i=i: ...` — pyspark reads the
     # lambda's arity from its signature, so a defaulted second param
