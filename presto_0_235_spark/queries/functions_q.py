@@ -1822,3 +1822,78 @@ def fn_geospatial_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gcd_km"),
         )
     )
+
+
+@register(
+    "fn_json_casts",
+    oracle="""
+SELECT event_id,
+       [event_id % 7, (event_id % 7) * 2, (event_id % 7) * 3]
+         AS arr_cast,
+       'k=' || CAST(json_extract(props, '$.k') AS VARCHAR) AS map_cast,
+       CAST(json_extract(props, '$.k') AS INT) AS row_x,
+       'id-' || CAST(event_id AS VARCHAR) AS row_y,
+       '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) || '}'
+         AS fmt_roundtrip,
+       3 AS arr_size,
+       1 AS obj_size
+FROM events WHERE event_id < 100
+""",
+)
+def fn_json_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON cast family (JsonToArrayCast/JsonToMapCast/JsonToRowCast,
+    json_parse + json_format roundtrip, json_size —
+    JsonOperators.java / JsonFunctions.java). Spark's from_json/
+    to_json ARE Presto's casts: JSON text -> array/map/row and back.
+    Row fields are projected out (engines render raw structs
+    differently; the VALUES are the contract). json_size = element
+    count of the array/object at the path, emitted per row."""
+    ensure_session_defaults(spark)
+    k = F.col("event_id")
+    arr_json = F.concat(
+        F.lit("["),
+        (k % 7).cast("string"), F.lit(","),
+        ((k % 7) * 2).cast("string"), F.lit(","),
+        ((k % 7) * 3).cast("string"),
+        F.lit("]"),
+    )
+    row_json = F.concat(
+        F.lit('{"x":'),
+        F.get_json_object("props", "$.k"),
+        F.lit(',"y":"id-'),
+        k.cast("string"),
+        F.lit('"}'),
+    )
+    row_struct = F.from_json(row_json, "struct<x:int,y:string>")
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(k < 100)
+        .select(
+            "event_id",
+            F.from_json(arr_json, "array<int>").alias("arr_cast"),
+            # maps compare as sorted entry strings (engine map
+            # renderings differ; see agg_map_agg)
+            F.array_join(
+                F.sort_array(
+                    F.transform(
+                        F.map_entries(
+                            F.from_json(F.col("props"), "map<string,int>")
+                        ),
+                        lambda e: F.concat_ws(
+                            "=", e["key"], e["value"].cast("string")
+                        ),
+                    )
+                ),
+                ",",
+            ).alias("map_cast"),
+            row_struct.getField("x").alias("row_x"),
+            row_struct.getField("y").alias("row_y"),
+            # json_format(json_parse(x)): canonical compact rendering
+            F.to_json(F.from_json(F.col("props"), "map<string,int>"))
+            .alias("fmt_roundtrip"),
+            F.size(F.from_json(arr_json, "array<int>")).alias("arr_size"),
+            F.size(
+                F.map_keys(F.from_json(F.col("props"), "map<string,int>"))
+            ).alias("obj_size"),
+        )
+    )
