@@ -287,3 +287,69 @@ def test_big_endian_32_sign_correct(spark):
     assert rows[0].h == "00000000"
     assert rows[2147483647].h == "7FFFFFFF"
     assert all(r.rt == v for v, r in rows.items())
+
+
+def test_ipv6_prefix_boundaries(spark):
+    """/0 masks everything, /128 is the identity, /1 keeps only the
+    top bit — the group-boundary cases the fn_ipv6_prefix sweep
+    (20..120) cannot reach."""
+    from presto_0_235_spark.functions import scalar as ps
+
+    df = spark.createDataFrame(
+        [
+            ("2001:0db8:0000:0000:0000:0000:0000:0001", 0),
+            ("2001:0db8:0000:0000:0000:0000:0000:0001", 128),
+            ("ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff", 1),
+        ],
+        "addr string, p long",
+    )
+    rows = df.select(
+        "addr",
+        "p",
+        ps.ip_subnet_min_v6("addr", "p").alias("mn"),
+        ps.ip_subnet_max_v6("addr", "p").alias("mx"),
+    ).collect()
+    by_p = {r.p: r for r in rows}
+    assert by_p[0].mn == "0000:0000:0000:0000:0000:0000:0000:0000"
+    assert by_p[0].mx == "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff"
+    assert by_p[128].mn == by_p[128].addr and by_p[128].mx == by_p[128].addr
+    assert by_p[1].mn == "8000:0000:0000:0000:0000:0000:0000:0000"
+    assert by_p[1].mx == "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff"
+
+
+def test_cdf_domain_edges(spark):
+    """CDF domain boundaries: P(X<=x)=0 at the support's left edge,
+    1 at the right, NaN propagates, negative support clamps."""
+    from presto_0_235_spark.functions import scalar as ps
+    from presto_0_235_spark.functions.udfs import _beta_i, _gamma_p
+
+    assert _beta_i(2, 5, 0.0) == 0.0 and _beta_i(2, 5, 1.0) == 1.0
+    assert _gamma_p(3.0, 0.0) == 0.0
+    import math
+
+    assert math.isnan(_beta_i(2, 5, float("nan")))
+    assert math.isnan(_gamma_p(3.0, -1.0))
+    row = spark.range(1).select(
+        ps.weibull_cdf(F.lit(1.5), F.lit(20.0), F.lit(-5.0)).alias("wneg"),
+        ps.inverse_weibull_cdf(F.lit(1.5), F.lit(20.0), F.lit(0.0)).alias(
+            "iw0"
+        ),
+        ps.cauchy_cdf(F.lit(0.0), F.lit(1.0), F.lit(0.0)).alias("c_med"),
+    ).collect()[0]
+    assert row.wneg == 0.0 and row.iw0 == 0.0 and row.c_med == 0.5
+
+
+def test_geo_degenerate_shapes(spark):
+    """Single-point linestring has length 0; a collapsed ring has
+    area 0 — the slice/aggregate lowering must not error on
+    fewer-than-two-point inputs."""
+    from presto_0_235_spark.functions import geo
+
+    p0 = geo.st_point(F.lit(0.0), F.lit(0.0))
+    row = spark.range(1).select(
+        geo.st_length(F.array(geo.st_point(F.lit(1.0), F.lit(2.0)))).alias(
+            "len1"
+        ),
+        geo.st_area(F.array(p0, p0, p0, p0)).alias("area0"),
+    ).collect()[0]
+    assert row.len1 == 0.0 and row.area0 == 0.0
