@@ -2099,3 +2099,49 @@ def docs_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("bigint").alias("seq_tokens"),
         )
     )
+
+
+_RES_HASH = (
+    "CAST(concat('0x', substr(md5('res|' || CAST(doc_id AS VARCHAR)), "
+    "1, 15)) AS BIGINT)"
+)
+
+
+@register(
+    "sample_reservoir_per_group",
+    oracle=f"""
+SELECT lang, doc_id
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY {_RES_HASH}, doc_id) <= 50
+""",
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sample — reservoir-sampling semantics
+    (reference operator/aggregation/reservoirsample/
+    UnweightedDoubleReservoirSample.java holds a bounded random
+    subset) made DETERMINISTIC and distributed: rank rows per group
+    by a portable 64-bit hash (uniform, so the top-K by hash IS a
+    uniform K-subset) and keep rank <= K. A true reservoir needs
+    sequential state; the hash-rank formulation is its
+    order-independent equivalent — same marginal distribution,
+    reproducible across engines/retries, and the row_number filter
+    plans a WindowGroupLimit (partial top-K per partition BEFORE the
+    shuffle), so a billion-row group ships only K rows per task.
+    Complement of sample_stratified (fraction per group vs exact
+    size per group)."""
+    from pyspark.sql import Window
+
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions.aggregate import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash64(
+        F.concat(F.lit("res|"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 50)
+        .select("lang", "doc_id")
+    )
