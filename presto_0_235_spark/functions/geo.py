@@ -55,12 +55,14 @@ def st_distance(a: Column | str, b: Column | str) -> Column:
 
 def st_length(line: Column | str) -> Column:
     """ST_Length(linestring): sum of consecutive segment lengths.
-    aggregate over zip_with(line, shifted-line) — one pass, no UDF."""
+    aggregate over zip_with(line, shifted-line) — one pass, no UDF.
+    Empty/single-point inputs yield 0.0 (slice length clamps to 0;
+    a negative length is a runtime error)."""
     pts = _c(line)
-    n = F.size(pts)
+    n = F.greatest(F.size(pts) - 1, F.lit(0))
     segs = F.zip_with(
-        F.slice(pts, 1, n - 1),
-        F.slice(pts, 2, n - 1),
+        F.slice(pts, 1, n),
+        F.slice(pts, 2, n),
         lambda p, q: F.sqrt(
             (q.getField("x") - p.getField("x"))
             * (q.getField("x") - p.getField("x"))
@@ -72,11 +74,12 @@ def st_length(line: Column | str) -> Column:
 
 
 def _shoelace_2a(ring: Column) -> Column:
-    """Twice the signed area of a closed ring (shoelace sum)."""
-    n = F.size(ring)
+    """Twice the signed area of a closed ring (shoelace sum).
+    Empty rings yield 0.0 (slice length clamps to 0)."""
+    n = F.greatest(F.size(ring) - 1, F.lit(0))
     terms = F.zip_with(
-        F.slice(ring, 1, n - 1),
-        F.slice(ring, 2, n - 1),
+        F.slice(ring, 1, n),
+        F.slice(ring, 2, n),
         lambda p, q: p.getField("x") * q.getField("y")
         - q.getField("x") * p.getField("y"),
     )

@@ -167,6 +167,13 @@ def _beta_i(a: float, b: float, x: float) -> float:
         return 0.0
     if x >= 1.0:
         return 1.0
+    # Use the symmetry relation so the fraction converges fast.
+    # STRICT >: with >= the a==b, x==0.5 case (threshold exactly 0.5,
+    # reached deterministically by _invert_monotone's first midpoint)
+    # recurses on itself forever. Checked before computing ln_front so
+    # the swapped branch doesn't pay the lgamma/log cost twice.
+    if x > (a + 1.0) / (a + b + 2.0):
+        return 1.0 - _beta_i(b, a, 1.0 - x)
     ln_front = (
         math.lgamma(a + b)
         - math.lgamma(a)
@@ -174,9 +181,6 @@ def _beta_i(a: float, b: float, x: float) -> float:
         + a * math.log(x)
         + b * math.log1p(-x)
     )
-    # use the symmetry relation so the fraction converges fast
-    if x >= (a + 1.0) / (a + b + 2.0):
-        return 1.0 - _beta_i(b, a, 1.0 - x)
     tiny = 1e-300
     c, d = 1.0, 1.0 - (a + b) * x / (a + 1.0)
     if abs(d) < tiny:
@@ -326,49 +330,103 @@ def inverse_poisson_cdf(lam: pd.Series, p: pd.Series) -> pd.Series:
     return pd.Series([one(li, pi) for li, pi in zip(lam, p)], dtype="object")
 
 
+# IEEE754 codecs: the raw pandas UDFs cannot distinguish SQL NULL from
+# NaN — Arrow hands nullable doubles to the worker as NaN (so a None
+# guard inside the UDF is dead code), and a float-dtype result Series
+# turns None back into NaN. NaN is a LEGITIMATE input here (its bit
+# pattern is exactly what to_ieee754_64 must encode), so NULL-ness is
+# preserved OUTSIDE the worker: the public functions wrap the raw UDF
+# in a JVM-side null guard, matching the reference's @SqlNullable
+# null-in-null-out contract (VarbinaryFunctions.java:199-243).
+
+
 @F.pandas_udf(BinaryType())
-def to_ieee754_64(x: pd.Series) -> pd.Series:
-    """to_ieee754_64(double) -> 8-byte big-endian IEEE754
-    (VarbinaryFunctions.java:199-243). No Spark expression exposes the
-    raw double bits, so this is an Arrow batch through struct.pack."""
+def _to_ieee754_64_raw(x: pd.Series) -> pd.Series:
     import struct
 
-    return pd.Series(
-        [None if v is None else struct.pack(">d", v) for v in x],
-        dtype="object",
-    )
+    return pd.Series([struct.pack(">d", v) for v in x], dtype="object")
 
 
 @F.pandas_udf(DoubleType())
-def from_ieee754_64(b: pd.Series) -> pd.Series:
-    """from_ieee754_64(varbinary) -> double (bit-exact inverse)."""
+def _from_ieee754_64_raw(b: pd.Series) -> pd.Series:
     import struct
 
     return pd.Series(
-        [None if v is None else struct.unpack(">d", bytes(v))[0] for v in b]
+        [
+            float("nan") if v is None else struct.unpack(">d", bytes(v))[0]
+            for v in b
+        ]
     )
 
 
 @F.pandas_udf(BinaryType())
-def to_ieee754_32(x: pd.Series) -> pd.Series:
-    """to_ieee754_32(real) -> 4-byte big-endian IEEE754."""
+def _to_ieee754_32_raw(x: pd.Series) -> pd.Series:
     import struct
 
-    return pd.Series(
-        [None if v is None else struct.pack(">f", v) for v in x],
-        dtype="object",
-    )
+    return pd.Series([struct.pack(">f", v) for v in x], dtype="object")
 
 
 @F.pandas_udf(FloatType())
-def from_ieee754_32(b: pd.Series) -> pd.Series:
-    """from_ieee754_32(varbinary) -> real (bit-exact inverse)."""
+def _from_ieee754_32_raw(b: pd.Series) -> pd.Series:
     import struct
 
     return pd.Series(
-        [None if v is None else struct.unpack(">f", bytes(v))[0] for v in b],
+        [
+            float("nan") if v is None else struct.unpack(">f", bytes(v))[0]
+            for v in b
+        ],
         dtype="float32",
     )
+
+
+def _null_safe(raw_udf, col):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNotNull(), raw_udf(c))
+
+
+def to_ieee754_64(x) -> "F.Column":
+    """to_ieee754_64(double) -> 8-byte big-endian IEEE754, NULL-in
+    NULL-out. No Spark expression exposes the raw double bits, so the
+    packing is an Arrow batch through struct.pack."""
+    return _null_safe(_to_ieee754_64_raw, x)
+
+
+def from_ieee754_64(b) -> "F.Column":
+    """from_ieee754_64(varbinary) -> double (bit-exact inverse).
+
+    NaN patterns are decoded JVM-side: Arrow's nan_as_null conversion
+    makes it impossible for a pandas UDF to RETURN NaN (it arrives as
+    NULL), so the wrapper tests the exponent/mantissa bits on the
+    binary input and substitutes a literal NaN — all NaN payloads are
+    one SQL double NaN, exactly the reference's behavior."""
+    c = F.col(b) if isinstance(b, str) else b
+    u = F.conv(F.hex(c), 16, -10).cast("bigint")
+    exp_mask, mant_mask = 0x7FF0000000000000, 0x000FFFFFFFFFFFFF
+    is_nan = (u.bitwiseAND(F.lit(exp_mask)) == exp_mask) & (
+        u.bitwiseAND(F.lit(mant_mask)) != 0
+    )
+    return F.when(c.isNotNull() & is_nan, F.lit(float("nan"))).otherwise(
+        _null_safe(_from_ieee754_64_raw, c)
+    )
+
+
+def to_ieee754_32(x) -> "F.Column":
+    """to_ieee754_32(real) -> 4-byte big-endian IEEE754, NULL-in
+    NULL-out."""
+    return _null_safe(_to_ieee754_32_raw, x)
+
+
+def from_ieee754_32(b) -> "F.Column":
+    """from_ieee754_32(varbinary) -> real (bit-exact inverse); NaN
+    decoded JVM-side (see from_ieee754_64)."""
+    c = F.col(b) if isinstance(b, str) else b
+    u = F.conv(F.hex(c), 16, 10).cast("bigint")
+    is_nan = (u.bitwiseAND(F.lit(0x7F800000)) == 0x7F800000) & (
+        u.bitwiseAND(F.lit(0x007FFFFF)) != 0
+    )
+    return F.when(
+        c.isNotNull() & is_nan, F.lit(float("nan")).cast("float")
+    ).otherwise(_null_safe(_from_ieee754_32_raw, c))
 
 
 @F.pandas_udf(StringType())

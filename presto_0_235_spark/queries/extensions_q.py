@@ -1449,7 +1449,7 @@ FROM iv a JOIN iv b
 )
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval-overlap) join — the binned scale path, not a
-    nested-loop. Each interval [s, e] (event ts + value*10 seconds)
+    nested-loop. Each interval [s, e] (event ts + value*600 seconds)
     explodes into the hour buckets it spans; candidates join on the
     uniform (type, bucket) key; exact overlap predicates filter; a
     distinct collapses intervals meeting in several buckets. The
@@ -2101,10 +2101,11 @@ def docs_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RES_HASH = (
-    "CAST(concat('0x', substr(md5('res|' || CAST(doc_id AS VARCHAR)), "
-    "1, 15)) AS BIGINT)"
+from presto_0_235_spark.functions.aggregate import (
+    oracle_portable_hash64 as _oracle_hash64,
 )
+
+_RES_HASH = _oracle_hash64("'res|' || CAST(doc_id AS VARCHAR)")
 
 
 @register(

@@ -269,6 +269,53 @@ def test_ieee754_known_bit_patterns(spark):
     assert row.tenth == 0.1
 
 
+def test_ieee754_null_nan_inf_faithful(spark):
+    """NULL-in NULL-out, NaN and inf preserved through the codec --
+    the @SqlNullable contract plus the two cases the Arrow transport
+    would otherwise fold together (nullable doubles arrive at the
+    worker as NaN; NaN results return as NULL), handled by the
+    JVM-side guards in functions/udfs.py."""
+    import math
+
+    from presto_0_235_spark.functions.udfs import (
+        from_ieee754_32,
+        from_ieee754_64,
+        to_ieee754_32,
+        to_ieee754_64,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (float("nan"),), (float("inf"),)], "v double"
+    )
+    rows = df.select(
+        "v",
+        F.hex(to_ieee754_64("v")).alias("h64"),
+        from_ieee754_64(to_ieee754_64("v")).alias("rt64"),
+        from_ieee754_32(to_ieee754_32(F.col("v").cast("float"))).alias(
+            "rt32"
+        ),
+    ).collect()
+    by = {str(r.v): r for r in rows}
+    assert by["None"].h64 is None and by["None"].rt64 is None
+    assert by["nan"].h64 == "7FF8000000000000"
+    assert math.isnan(by["nan"].rt64) and math.isnan(by["nan"].rt32)
+    assert by["inf"].h64 == "7FF0000000000000"
+    assert by["inf"].rt64 == float("inf") and by["inf"].rt32 == float("inf")
+    assert by["1.0"].rt64 == 1.0
+
+
+def test_beta_symmetry_threshold_no_recursion():
+    """a==b with x exactly 0.5 sits ON the symmetry threshold --
+    must evaluate (0.5 by symmetry), not recurse forever. Reached
+    deterministically by inverse_beta_cdf's first bisection midpoint
+    and by binomial_cdf(2k+1, 0.5, k)."""
+    from presto_0_235_spark.functions.udfs import _beta_i
+
+    assert abs(_beta_i(2, 2, 0.5) - 0.5) < 1e-12
+    assert abs(_beta_i(5, 5, 0.5) - 0.5) < 1e-12
+    assert abs(_beta_i(1, 1, 0.5) - 0.5) < 1e-12
+
+
 def test_big_endian_32_sign_correct(spark):
     """to/from_big_endian_32 round-trip INT_MIN/-1/0/INT_MAX and emit
     the documented two's-complement patterns."""
@@ -346,10 +393,14 @@ def test_geo_degenerate_shapes(spark):
     from presto_0_235_spark.functions import geo
 
     p0 = geo.st_point(F.lit(0.0), F.lit(0.0))
+    empty = F.array().cast("array<struct<x:double,y:double>>")
     row = spark.range(1).select(
         geo.st_length(F.array(geo.st_point(F.lit(1.0), F.lit(2.0)))).alias(
             "len1"
         ),
         geo.st_area(F.array(p0, p0, p0, p0)).alias("area0"),
+        geo.st_length(empty).alias("len_empty"),
+        geo.st_area(empty).alias("area_empty"),
     ).collect()[0]
     assert row.len1 == 0.0 and row.area0 == 0.0
+    assert row.len_empty == 0.0 and row.area_empty == 0.0
