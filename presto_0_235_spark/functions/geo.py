@@ -123,6 +123,76 @@ def st_envelope_contains(
     )
 
 
+# ---- WKT text I/O (GeoFunctions.java stGeometryFromText/stAsText) ----------
+# The three basic OGC types parse/render with pure string expressions;
+# no geometry library needed. (Multi-geometries and nested polygon
+# holes remain out of scope — they need a real parser.)
+
+
+def st_point_from_text(wkt: Column | str) -> Column:
+    """ST_GeometryFromText('POINT (x y)') -> point struct."""
+    w = _c(wkt)
+    x = F.regexp_extract(w, r"^POINT \(([-0-9.eE]+) [-0-9.eE]+\)$", 1)
+    y = F.regexp_extract(w, r"^POINT \([-0-9.eE]+ ([-0-9.eE]+)\)$", 1)
+    return F.when(
+        x != "",
+        F.struct(
+            x.cast("double").alias("x"), y.cast("double").alias("y")
+        ),
+    )
+
+
+def _coords_to_points(inner: Column) -> Column:
+    return F.transform(
+        F.split(inner, r",\s*"),
+        lambda pair: F.struct(
+            F.split(F.trim(pair), " ")[0].cast("double").alias("x"),
+            F.split(F.trim(pair), " ")[1].cast("double").alias("y"),
+        ),
+    )
+
+
+def st_line_from_text(wkt: Column | str) -> Column:
+    """ST_GeometryFromText('LINESTRING (x y, x y, ...)') ->
+    array<point>."""
+    inner = F.regexp_extract(_c(wkt), r"^LINESTRING \((.+)\)$", 1)
+    return F.when(inner != "", _coords_to_points(inner))
+
+
+def st_polygon_from_text(wkt: Column | str) -> Column:
+    """ST_GeometryFromText('POLYGON ((x y, ...))') -> closed ring
+    array<point> (single outer ring; holes out of scope)."""
+    inner = F.regexp_extract(_c(wkt), r"^POLYGON \(\((.+)\)\)$", 1)
+    return F.when(inner != "", _coords_to_points(inner))
+
+
+def st_as_text_point(p: Column | str) -> Column:
+    """ST_AsText(point) -> 'POINT (x y)'."""
+    return F.concat(
+        F.lit("POINT ("),
+        st_x(p).cast("string"),
+        F.lit(" "),
+        st_y(p).cast("string"),
+        F.lit(")"),
+    )
+
+
+def st_as_text_line(line: Column | str) -> Column:
+    """ST_AsText(linestring) -> 'LINESTRING (x y, x y, ...)'."""
+    coords = F.array_join(
+        F.transform(
+            _c(line),
+            lambda q: F.concat(
+                q.getField("x").cast("string"),
+                F.lit(" "),
+                q.getField("y").cast("string"),
+            ),
+        ),
+        ", ",
+    )
+    return F.concat(F.lit("LINESTRING ("), coords, F.lit(")"))
+
+
 EARTH_RADIUS_KM = 6371.01
 
 

@@ -1897,3 +1897,94 @@ def fn_json_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("obj_size"),
         )
     )
+
+
+@register(
+    "fn_geospatial_wkt",
+    oracle="""
+WITH pts AS (
+  SELECT o_orderkey AS k,
+         CAST((o_orderkey % 100) / 10.0 AS VARCHAR) AS sx,
+         CAST(((o_orderkey * 3) % 100) / 10.0 AS VARCHAR) AS sy,
+         CAST(((o_orderkey * 7) % 100) / 10.0 AS VARCHAR) AS sx2,
+         CAST(((o_orderkey * 13) % 100) / 10.0 AS VARCHAR) AS sy2
+  FROM orders WHERE o_orderkey < 300
+),
+wkt AS (
+  SELECT k,
+         'POINT (' || sx || ' ' || sy || ')' AS wp,
+         'LINESTRING (0.0 0.0, ' || sx || ' ' || sy || ', '
+           || sx2 || ' ' || sy2 || ')' AS wl,
+         'POLYGON ((0.0 0.0, ' || sx || ' 0.0, ' || sx || ' ' || sy
+           || ', 0.0 ' || sy || ', 0.0 0.0))' AS wpoly
+  FROM pts
+),
+parsed AS (
+  SELECT k, wp, wl,
+         CAST(regexp_extract(wp, '^POINT \\(([-0-9.eE]+) ', 1) AS DOUBLE)
+           AS px,
+         CAST(regexp_extract(wp, ' ([-0-9.eE]+)\\)$', 1) AS DOUBLE) AS py,
+         list_transform(string_split(regexp_extract(wl,
+             '^LINESTRING \\((.+)\\)$', 1), ', '),
+           p -> {x: CAST(string_split(p, ' ')[1] AS DOUBLE),
+                 y: CAST(string_split(p, ' ')[2] AS DOUBLE)}) AS line,
+         list_transform(string_split(regexp_extract(wpoly,
+             '^POLYGON \\(\\((.+)\\)\\)$', 1), ', '),
+           p -> {x: CAST(string_split(p, ' ')[1] AS DOUBLE),
+                 y: CAST(string_split(p, ' ')[2] AS DOUBLE)}) AS ring
+  FROM wkt
+)
+SELECT k, px, py,
+       round(sqrt(line[2].x * line[2].x + line[2].y * line[2].y)
+             + sqrt((line[3].x - line[2].x) * (line[3].x - line[2].x)
+                    + (line[3].y - line[2].y) * (line[3].y - line[2].y)),
+             9) AS line_len,
+       round(ring[2].x * ring[3].y, 9) AS ring_area,
+       'POINT (' || CAST(px AS VARCHAR) || ' ' || CAST(py AS VARCHAR)
+         || ')' AS point_text,
+       wl AS line_text
+FROM parsed
+""",
+)
+def fn_geospatial_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT text I/O for the basic OGC types (GeoFunctions.java
+    stGeometryFromText/stAsText) — POINT/LINESTRING/POLYGON parse and
+    render as pure string expressions over the typed-struct geometry
+    model, then the measures (st_length, st_area) run on the PARSED
+    geometry, proving parse -> compute -> render end to end. The
+    oracle performs the same string surgery in DuckDB. Multi-
+    geometries / polygon holes stay a documented gap (real parser
+    territory)."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions import geo
+
+    k = F.col("o_orderkey")
+    sx = ((k % 100) / 10.0).cast("string")
+    sy = (((k * 3) % 100) / 10.0).cast("string")
+    sx2 = (((k * 7) % 100) / 10.0).cast("string")
+    sy2 = (((k * 13) % 100) / 10.0).cast("string")
+    wp = F.concat(F.lit("POINT ("), sx, F.lit(" "), sy, F.lit(")"))
+    wl = F.concat(
+        F.lit("LINESTRING (0.0 0.0, "), sx, F.lit(" "), sy,
+        F.lit(", "), sx2, F.lit(" "), sy2, F.lit(")"),
+    )
+    wpoly = F.concat(
+        F.lit("POLYGON ((0.0 0.0, "), sx, F.lit(" 0.0, "), sx,
+        F.lit(" "), sy, F.lit(", 0.0 "), sy, F.lit(", 0.0 0.0))"),
+    )
+    point = geo.st_point_from_text(wp)
+    line = geo.st_line_from_text(wl)
+    ring = geo.st_polygon_from_text(wpoly)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(k < 300)
+        .select(
+            k.alias("k"),
+            geo.st_x(point).alias("px"),
+            geo.st_y(point).alias("py"),
+            F.round(geo.st_length(line), 9).alias("line_len"),
+            F.round(geo.st_area(ring), 9).alias("ring_area"),
+            geo.st_as_text_point(point).alias("point_text"),
+            geo.st_as_text_line(line).alias("line_text"),
+        )
+    )
