@@ -123,6 +123,40 @@ def st_envelope_contains(
     )
 
 
+def st_x_min(pts: Column | str) -> Column:
+    """ST_XMin of a multipoint/linestring/ring."""
+    return F.array_min(F.transform(_c(pts), lambda q: q.getField("x")))
+
+
+def st_x_max(pts: Column | str) -> Column:
+    """ST_XMax."""
+    return F.array_max(F.transform(_c(pts), lambda q: q.getField("x")))
+
+
+def st_y_min(pts: Column | str) -> Column:
+    """ST_YMin."""
+    return F.array_min(F.transform(_c(pts), lambda q: q.getField("y")))
+
+
+def st_y_max(pts: Column | str) -> Column:
+    """ST_YMax."""
+    return F.array_max(F.transform(_c(pts), lambda q: q.getField("y")))
+
+
+def st_num_points(pts: Column | str) -> Column:
+    """ST_NumPoints."""
+    return F.size(_c(pts)).cast("bigint")
+
+
+def st_is_closed(pts: Column | str) -> Column:
+    """ST_IsClosed: first point equals last point."""
+    p = _c(pts)
+    first, last = F.element_at(p, 1), F.element_at(p, F.size(p))
+    return (first.getField("x") == last.getField("x")) & (
+        first.getField("y") == last.getField("y")
+    )
+
+
 # ---- WKT text I/O (GeoFunctions.java stGeometryFromText/stAsText) ----------
 # The three basic OGC types parse/render with pure string expressions;
 # no geometry library needed. (Multi-geometries and nested polygon

@@ -1942,7 +1942,16 @@ SELECT k, px, py,
        round(ring[2].x * ring[3].y, 9) AS ring_area,
        'POINT (' || CAST(px AS VARCHAR) || ' ' || CAST(py AS VARCHAR)
          || ')' AS point_text,
-       wl AS line_text
+       wl AS line_text,
+       list_min(list_transform(line, q -> q.x)) AS xmin,
+       list_max(list_transform(line, q -> q.x)) AS xmax,
+       list_min(list_transform(line, q -> q.y)) AS ymin,
+       list_max(list_transform(line, q -> q.y)) AS ymax,
+       CAST(len(ring) AS BIGINT) AS n_ring_pts,
+       ring[1].x = ring[len(ring)].x AND ring[1].y = ring[len(ring)].y
+         AS ring_closed,
+       line[1].x = line[len(line)].x AND line[1].y = line[len(line)].y
+         AS line_closed
 FROM parsed
 """,
 )
@@ -1951,8 +1960,10 @@ def fn_geospatial_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     stGeometryFromText/stAsText) — POINT/LINESTRING/POLYGON parse and
     render as pure string expressions over the typed-struct geometry
     model, then the measures (st_length, st_area) run on the PARSED
-    geometry, proving parse -> compute -> render end to end. The
-    oracle performs the same string surgery in DuckDB. Multi-
+    geometry, proving parse -> compute -> render end to end, plus the envelope
+    accessors (ST_XMin/XMax/YMin/YMax), ST_NumPoints and ST_IsClosed
+    on the parsed geometries. The oracle performs the same string
+    surgery in DuckDB. Multi-
     geometries / polygon holes stay a documented gap (real parser
     territory)."""
     ensure_session_defaults(spark)
@@ -1986,5 +1997,12 @@ def fn_geospatial_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(geo.st_area(ring), 9).alias("ring_area"),
             geo.st_as_text_point(point).alias("point_text"),
             geo.st_as_text_line(line).alias("line_text"),
+            geo.st_x_min(line).alias("xmin"),
+            geo.st_x_max(line).alias("xmax"),
+            geo.st_y_min(line).alias("ymin"),
+            geo.st_y_max(line).alias("ymax"),
+            geo.st_num_points(ring).alias("n_ring_pts"),
+            geo.st_is_closed(ring).alias("ring_closed"),
+            geo.st_is_closed(line).alias("line_closed"),
         )
     )

@@ -294,3 +294,17 @@ def test_minmax_n_bounds_state_with_window_group_limit(spark, sf_dir):
     group must never materialize whole-group collect_list state."""
     plan = plan_of(_QUERIES["agg_minmax_n"].builder(spark, sf_dir))
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_per_row_scalar_queries_no_exchange(spark, sf_dir):
+    """The round-6 scalar families (geo planar core, WKT I/O, IPv6
+    prefix, binary codecs) are pure per-row projections — their plans
+    must contain NO exchange: scan-speed at any corpus size."""
+    for name in (
+        "fn_geospatial_core",
+        "fn_geospatial_wkt",
+        "fn_ipv6_prefix",
+        "fn_binary_codecs",
+    ):
+        plan = plan_of(_QUERIES[name].builder(spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} plans an exchange"
