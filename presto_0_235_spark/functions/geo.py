@@ -61,14 +61,7 @@ def st_length(line: Column | str) -> Column:
     pts = _c(line)
     n = F.greatest(F.size(pts) - 1, F.lit(0))
     segs = F.zip_with(
-        F.slice(pts, 1, n),
-        F.slice(pts, 2, n),
-        lambda p, q: F.sqrt(
-            (q.getField("x") - p.getField("x"))
-            * (q.getField("x") - p.getField("x"))
-            + (q.getField("y") - p.getField("y"))
-            * (q.getField("y") - p.getField("y"))
-        ),
+        F.slice(pts, 1, n), F.slice(pts, 2, n), st_distance
     )
     return F.aggregate(segs, F.lit(0.0), lambda acc, s: acc + s)
 
@@ -123,24 +116,28 @@ def st_envelope_contains(
     )
 
 
+def _coord_extreme(pts: Column | str, field: str, extreme) -> Column:
+    return extreme(F.transform(_c(pts), lambda q: q.getField(field)))
+
+
 def st_x_min(pts: Column | str) -> Column:
     """ST_XMin of a multipoint/linestring/ring."""
-    return F.array_min(F.transform(_c(pts), lambda q: q.getField("x")))
+    return _coord_extreme(pts, "x", F.array_min)
 
 
 def st_x_max(pts: Column | str) -> Column:
     """ST_XMax."""
-    return F.array_max(F.transform(_c(pts), lambda q: q.getField("x")))
+    return _coord_extreme(pts, "x", F.array_max)
 
 
 def st_y_min(pts: Column | str) -> Column:
     """ST_YMin."""
-    return F.array_min(F.transform(_c(pts), lambda q: q.getField("y")))
+    return _coord_extreme(pts, "y", F.array_min)
 
 
 def st_y_max(pts: Column | str) -> Column:
     """ST_YMax."""
-    return F.array_max(F.transform(_c(pts), lambda q: q.getField("y")))
+    return _coord_extreme(pts, "y", F.array_max)
 
 
 def st_num_points(pts: Column | str) -> Column:
@@ -163,11 +160,14 @@ def st_is_closed(pts: Column | str) -> Column:
 # holes remain out of scope — they need a real parser.)
 
 
+_POINT_WKT = r"^POINT \(([-0-9.eE]+) ([-0-9.eE]+)\)$"
+
+
 def st_point_from_text(wkt: Column | str) -> Column:
     """ST_GeometryFromText('POINT (x y)') -> point struct."""
     w = _c(wkt)
-    x = F.regexp_extract(w, r"^POINT \(([-0-9.eE]+) [-0-9.eE]+\)$", 1)
-    y = F.regexp_extract(w, r"^POINT \([-0-9.eE]+ ([-0-9.eE]+)\)$", 1)
+    x = F.regexp_extract(w, _POINT_WKT, 1)
+    y = F.regexp_extract(w, _POINT_WKT, 2)
     return F.when(
         x != "",
         F.struct(
@@ -177,11 +177,14 @@ def st_point_from_text(wkt: Column | str) -> Column:
 
 
 def _coords_to_points(inner: Column) -> Column:
+    # split each "x y" pair once, then bind the pieces via a nested
+    # transform (higher-order lambdas have no let-form)
     return F.transform(
-        F.split(inner, r",\s*"),
-        lambda pair: F.struct(
-            F.split(F.trim(pair), " ")[0].cast("double").alias("x"),
-            F.split(F.trim(pair), " ")[1].cast("double").alias("y"),
+        F.transform(
+            F.split(inner, r",\s*"), lambda pair: F.split(F.trim(pair), " ")
+        ),
+        lambda xy: F.struct(
+            xy[0].cast("double").alias("x"), xy[1].cast("double").alias("y")
         ),
     )
 

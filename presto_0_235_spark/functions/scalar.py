@@ -24,6 +24,8 @@ Key semantic adapters (the "hard list" from SURVEY.md §7 Phase 3):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -355,7 +357,7 @@ def from_big_endian_64(b: Column | str) -> Column:
 # gamma/beta-backed family (beta/binomial/chi²/poisson) lives in
 # functions/udfs.py as Arrow pandas UDFs.
 
-_PI = 3.141592653589793
+_PI = math.pi
 
 
 def cauchy_cdf(median, scale, x) -> Column:
