@@ -240,17 +240,19 @@ def great_circle_distance(
     lon2: Column | str,
 ) -> Column:
     """great_circle_distance(lat1, lon1, lat2, lon2) -> km
-    (MathFunctions.java:1398) — haversine on the reference's
-    6371.01 km mean earth radius."""
+    (SphericalGeographyUtils.java:82 greatCircleDistance) — the
+    reference's spherical-Vincenty atan2 form on its 6371.01 km mean
+    earth radius. atan2(sqrt(t1²+t2²), t3) is well-conditioned at
+    both the near-zero and near-antipodal tails, where plain
+    haversine (asin form) loses precision — same formula, same
+    floating-point shape, so parity holds in the tails too."""
     rlat1 = F.radians(_c(lat1))
     rlat2 = F.radians(_c(lat2))
-    dlat = rlat2 - rlat1
-    dlon = F.radians(_c(lon2)) - F.radians(_c(lon1))
-    a = (
-        F.sin(dlat / 2) * F.sin(dlat / 2)
-        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) * F.sin(dlon / 2)
-    )
-    return (
-        F.lit(2.0 * EARTH_RADIUS_KM)
-        * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
-    )
+    sin1, cos1 = F.sin(rlat1), F.cos(rlat1)
+    sin2, cos2 = F.sin(rlat2), F.cos(rlat2)
+    dlon = F.radians(_c(lon1)) - F.radians(_c(lon2))
+    cos_dlon = F.cos(dlon)
+    t1 = cos2 * F.sin(dlon)
+    t2 = cos1 * sin2 - sin1 * cos2 * cos_dlon
+    t3 = sin1 * sin2 + cos1 * cos2 * cos_dlon
+    return F.atan2(F.sqrt(t1 * t1 + t2 * t2), t3) * F.lit(EARTH_RADIUS_KM)

@@ -330,10 +330,17 @@ def to_big_endian_32(x: Column | str) -> Column:
 
 
 def from_big_endian_32(b: Column | str) -> Column:
-    """from_big_endian_32(varbinary) -> integer (sign-correct)."""
-    u = F.conv(F.hex(_c(b)), 16, 10).cast("bigint")
-    return (
-        F.when(u >= 2147483648, u - 4294967296).otherwise(u).cast("int")
+    """from_big_endian_32(varbinary) -> integer (sign-correct).
+    The reference (VarbinaryFunctions.java:201) requires length ==
+    4 and throws INVALID_FUNCTION_ARGUMENT otherwise; Column
+    expressions can't raise data-dependent errors, so the documented
+    deviation is NULL for wrong-length input (the TRY()-wrapped
+    reference behavior) instead of silently decoding it."""
+    bb = _c(b)
+    u = F.conv(F.hex(bb), 16, 10).cast("bigint")
+    return F.when(
+        F.length(bb) == 4,
+        F.when(u >= 2147483648, u - 4294967296).otherwise(u).cast("int"),
     )
 
 
@@ -347,21 +354,30 @@ def to_big_endian_64(x: Column | str) -> Column:
 def from_big_endian_64(b: Column | str) -> Column:
     """from_big_endian_64(varbinary) -> bigint. conv's negative
     target base interprets the 64-bit pattern as signed — the
-    two's-complement inverse of to_big_endian_64."""
-    return F.conv(F.hex(_c(b)), 16, -10).cast("bigint")
+    two's-complement inverse of to_big_endian_64. Length must be 8
+    (VarbinaryFunctions.java:180 throws INVALID_FUNCTION_ARGUMENT);
+    documented deviation: NULL for wrong-length input."""
+    bb = _c(b)
+    return F.when(
+        F.length(bb) == 8, F.conv(F.hex(bb), 16, -10).cast("bigint")
+    )
 
 
-# ---- closed-form distribution CDFs (MathFunctions.java) --------------------
+# ---- closed-form distribution CDFs ----------------------------------------
 # Cauchy, Weibull and the Wilson interval have closed forms, so they
 # stay JVM-side Column expressions (whole-stage codegen); the
 # gamma/beta-backed family (beta/binomial/chi²/poisson) lives in
-# functions/udfs.py as Arrow pandas UDFs.
+# functions/udfs.py as Arrow pandas UDFs. The Wilson interval is a
+# reference-parity item (operator/scalar/WilsonInterval.java); the
+# Cauchy/Weibull CDFs are FORWARD-PORTS — not in the 0.235
+# reference's MathFunctions.java (extensions, see COVERAGE.md).
 
 _PI = math.pi
 
 
 def cauchy_cdf(median, scale, x) -> Column:
-    """cauchy_cdf(median, scale, x) = 1/2 + atan((x-median)/scale)/pi."""
+    """cauchy_cdf(median, scale, x) = 1/2 + atan((x-median)/scale)/pi.
+    FORWARD-PORT extension (not in the 0.235 reference)."""
     return F.lit(0.5) + F.atan((_c(x) - _c(median)) / _c(scale)) / F.lit(_PI)
 
 
@@ -371,7 +387,8 @@ def inverse_cauchy_cdf(median, scale, p) -> Column:
 
 
 def weibull_cdf(a, b, x) -> Column:
-    """weibull_cdf(a, b, x) = 1 - exp(-(x/b)^a), 0 for x < 0."""
+    """weibull_cdf(a, b, x) = 1 - exp(-(x/b)^a), 0 for x < 0.
+    FORWARD-PORT extension (not in the 0.235 reference)."""
     xx = _c(x)
     return F.when(xx < 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.exp(-F.pow(xx / _c(b), _c(a)))
@@ -394,12 +411,12 @@ def _wilson_bound(successes, trials, z, sign: int) -> Column:
 
 
 def wilson_interval_lower(successes, trials, z) -> Column:
-    """wilson_interval_lower (MathFunctions.java wilsonIntervalLower)."""
+    """wilson_interval_lower (WilsonInterval.java lowerBound)."""
     return _wilson_bound(successes, trials, z, -1)
 
 
 def wilson_interval_upper(successes, trials, z) -> Column:
-    """wilson_interval_upper (MathFunctions.java wilsonIntervalUpper)."""
+    """wilson_interval_upper (WilsonInterval.java upperBound)."""
     return _wilson_bound(successes, trials, z, +1)
 
 

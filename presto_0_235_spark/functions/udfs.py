@@ -253,10 +253,15 @@ def inverse_beta_cdf(a: pd.Series, b: pd.Series, p: pd.Series) -> pd.Series:
 
 @F.pandas_udf(DoubleType())
 def binomial_cdf(n: pd.Series, pr: pd.Series, k: pd.Series) -> pd.Series:
-    """binomial_cdf(numberOfTrials, successProbability, value)
-    (MathFunctions.java binomialCdf): P[X <= k] = I_{1-p}(n-k, k+1)."""
+    """binomial_cdf(numberOfTrials, successProbability, value):
+    P[X <= k] = I_{1-p}(n-k, k+1). FORWARD-PORT: not in the 0.235
+    reference (its MathFunctions.java has only beta/normal CDFs);
+    added in later Presto releases — tracked as an extension, not a
+    reference-parity item (see COVERAGE.md)."""
 
     def one(ni, pi, ki):
+        if math.isnan(ni) or math.isnan(ki) or math.isnan(pi):
+            return None
         ni, ki = int(ni), int(ki)
         if ki < 0:
             return 0.0
@@ -269,7 +274,9 @@ def binomial_cdf(n: pd.Series, pr: pd.Series, k: pd.Series) -> pd.Series:
 
 @F.pandas_udf(DoubleType())
 def chi_squared_cdf(df: pd.Series, x: pd.Series) -> pd.Series:
-    """chi_squared_cdf(df, x) = P(df/2, x/2)."""
+    """chi_squared_cdf(df, x) = P(df/2, x/2). FORWARD-PORT: not in
+    the 0.235 reference's MathFunctions.java (extension, see
+    COVERAGE.md)."""
     return pd.Series(
         [_gamma_p(float(d) / 2.0, float(xi) / 2.0) for d, xi in zip(df, x)]
     )
@@ -277,7 +284,10 @@ def chi_squared_cdf(df: pd.Series, x: pd.Series) -> pd.Series:
 
 @F.pandas_udf(DoubleType())
 def inverse_chi_squared_cdf(df: pd.Series, p: pd.Series) -> pd.Series:
-    """inverse_chi_squared_cdf(df, p) (MathFunctions.java)."""
+    """inverse_chi_squared_cdf(df, p). FORWARD-PORT extension (same
+    note as chi_squared_cdf); the bisection inverse mirrors the
+    reference's inverse-CDF convention (e.g. inverseBetaCdf,
+    MathFunctions.java:636)."""
     return pd.Series(
         [
             _invert_monotone(
@@ -291,9 +301,13 @@ def inverse_chi_squared_cdf(df: pd.Series, p: pd.Series) -> pd.Series:
 
 @F.pandas_udf(DoubleType())
 def poisson_cdf(lam: pd.Series, k: pd.Series) -> pd.Series:
-    """poisson_cdf(lambda, k) = Q(k+1, lambda) = 1 - P(k+1, lambda)."""
+    """poisson_cdf(lambda, k) = Q(k+1, lambda) = 1 - P(k+1, lambda).
+    FORWARD-PORT: not in the 0.235 reference's MathFunctions.java
+    (extension, see COVERAGE.md)."""
 
     def one(li, ki):
+        if math.isnan(ki) or math.isnan(li):
+            return None
         ki = int(ki)
         if ki < 0:
             return 0.0
@@ -305,14 +319,15 @@ def poisson_cdf(lam: pd.Series, k: pd.Series) -> pd.Series:
 @F.pandas_udf(LongType())
 def inverse_poisson_cdf(lam: pd.Series, p: pd.Series) -> pd.Series:
     """inverse_poisson_cdf(lambda, p): smallest k with CDF(k) >= p
-    (the discrete quantile, matching the reference's convention)."""
+    (discrete quantile). FORWARD-PORT extension (same note as
+    poisson_cdf)."""
 
     def cdf(k, li):
         return 1.0 - _gamma_p(k + 1.0, li)
 
     def one(li, pi):
         li, pi = float(li), float(pi)
-        if math.isnan(pi) or pi < 0 or pi >= 1.0:
+        if math.isnan(li) or math.isnan(pi) or pi < 0 or pi >= 1.0:
             return None
         # exponential search for an upper bound, then binary search
         hi = 1

@@ -828,11 +828,13 @@ FROM part WHERE p_partkey < 200
 """,
 )
 def fn_cdf_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Closed-form distribution functions (MathFunctions.java
-    cauchyCdf/inverseCauchyCdf/weibullCdf/inverseWeibullCdf/
-    wilsonIntervalLower/Upper) as pure Column expressions — JVM-side,
-    whole-stage codegen, no Python. The oracle restates the closed
-    forms; round(10) absorbs the last-ulp libm differences.
+    """Closed-form distribution functions as pure Column expressions
+    — JVM-side, whole-stage codegen, no Python. wilson_interval_
+    lower/upper are reference-parity (WilsonInterval.java); cauchy/
+    weibull CDFs + inverses are FORWARD-PORT extensions (later-Presto
+    functions, not in the 0.235 reference — tracked in COVERAGE.md).
+    The oracle restates the closed forms; round(10) absorbs the
+    last-ulp libm differences.
     z = 1.96: z^2 = 3.8416, z^2/2 = 1.9208, z^4/4 = 0.9604."""
     ensure_session_defaults(spark)
     size = F.col("p_size").cast("double")
@@ -864,13 +866,15 @@ def fn_cdf_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("fn_cdf_gamma_family", oracle=None)
 def fn_cdf_gamma_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gamma/beta-backed distribution CDFs + inverses
-    (MathFunctions.java betaCdf:~600, inverseBetaCdf:636, binomialCdf,
-    chiSquaredCdf, poissonCdf and inverses) as Arrow pandas UDFs over
-    public-domain incomplete-gamma/beta algorithms. No DuckDB
-    equivalent exists, so the driver gate is rows-only; the real
-    checks are tests/test_semantics.py's monotonicity + inverse
-    roundtrip properties."""
+    """Gamma/beta-backed distribution CDFs + inverses as Arrow pandas
+    UDFs over public-domain incomplete-gamma/beta algorithms.
+    beta_cdf/inverse_beta_cdf are reference-parity
+    (MathFunctions.java:651,636); binomial/chi²/poisson + inverses
+    are FORWARD-PORT extensions (later-Presto functions, not in the
+    0.235 reference — tracked in COVERAGE.md). No DuckDB equivalent
+    exists, so the driver gate is rows-only; the real checks are
+    tests/test_semantics.py's monotonicity + inverse roundtrip
+    properties."""
     ensure_session_defaults(spark)
     from presto_0_235_spark.functions.udfs import (
         beta_cdf,
@@ -1760,11 +1764,14 @@ SELECT k, px AS x, py AS y,
        round((0 + px + qx + px + qx) / 5.0, 9) AS cx,
        round((0 + py + qy + py + qy) / 5.0, 9) AS cy,
        px >= 0 AND px <= 5 AND py >= 0 AND py <= 5 AS in_env,
-       round(2.0 * 6371.01 * asin(least(1.0, sqrt(
-         sin(radians(lat2 - lat1) / 2) * sin(radians(lat2 - lat1) / 2)
+       round(6371.01 * atan2(
+         sqrt(pow(cos(radians(lat2)) * sin(radians(lon1 - lon2)), 2)
+              + pow(cos(radians(lat1)) * sin(radians(lat2))
+                    - sin(radians(lat1)) * cos(radians(lat2))
+                      * cos(radians(lon1 - lon2)), 2)),
+         sin(radians(lat1)) * sin(radians(lat2))
          + cos(radians(lat1)) * cos(radians(lat2))
-           * sin(radians(lon2 - lon1) / 2)
-           * sin(radians(lon2 - lon1) / 2)))), 6) AS gcd_km
+           * cos(radians(lon1 - lon2))), 6) AS gcd_km
 FROM pts
 """,
 )
@@ -1772,12 +1779,15 @@ def fn_geospatial_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geospatial scalar core (presto-geospatial GeoFunctions.java —
     ST_Point/ST_X/ST_Y/ST_Distance/ST_Length/ST_Area/ST_Centroid/
     envelope ST_Contains; great_circle_distance is
-    MathFunctions.java:1398). Geometry = typed structs/arrays, every
-    measure a pure Column expression (functions/geo.py); the oracle
-    restates the planar formulas (segment sums, shoelace rectangle,
-    haversine on the 6371.01 km reference radius). WKT/ST_Buffer/
-    general-polygon predicates remain a documented gap (they need a
-    geometry library); the spatial-join path is join_spatial_radius."""
+    SphericalGeographyUtils.java:82). Geometry = typed structs/
+    arrays, every measure a pure Column expression
+    (functions/geo.py); the oracle restates the planar formulas
+    (segment sums, shoelace rectangle, spherical-Vincenty atan2 on
+    the 6371.01 km reference radius). ST_Buffer/multi-geometry
+    predicates remain a documented gap (they need a geometry
+    library); polygon containment is fn_geospatial_polygon, the
+    spatial-join paths are join_spatial_radius and
+    join_spatial_contains."""
     ensure_session_defaults(spark)
     from presto_0_235_spark.functions import geo
 

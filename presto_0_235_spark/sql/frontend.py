@@ -581,6 +581,48 @@ def _rewrite_function_names(sql: str) -> str:
     )
 
 
+_AS_KEYWORD = re.compile(r"\bAS\s+", re.IGNORECASE)
+_BARE_VARCHAR = re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE)
+
+
+def _rewrite_bare_varchar(masked: str) -> str:
+    """Presto's unparameterized VARCHAR (SqlBase.g4 allows bare type
+    names; CAST(x AS VARCHAR) is idiomatic Presto) — Spark demands a
+    length, so map the bare form to STRING. VARCHAR(n) passes
+    through. The rewrite fires only in TYPE POSITIONS — the tail of
+    an ``AS`` keyword, including nested constructor types like
+    ``CAST(x AS array(varchar))`` (the tail spans balanced parens) —
+    so a bare identifier that happens to be named ``varchar``
+    elsewhere in the query survives. Remaining lexical limitation
+    (documented, same class as PRESTO_FN_RENAMES'): an unquoted
+    COLUMN ALIAS literally named varchar (``SELECT x AS varchar``)
+    is indistinguishable from a cast tail at this level and is still
+    rewritten; quote it to protect it."""
+    out: list[str] = []
+    pos = 0
+    for m in _AS_KEYWORD.finditer(masked):
+        start = m.end()
+        if start < pos:
+            continue
+        i, depth = start, 0
+        while i < len(masked):
+            ch = masked[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and not (ch.isalnum() or ch == "_"):
+                break
+            i += 1
+        out.append(masked[pos:start])
+        out.append(_BARE_VARCHAR.sub("STRING", masked[start:i]))
+        pos = i
+    out.append(masked[pos:])
+    return "".join(out)
+
+
 # --------------------------------------------------------------------------
 # Pipeline
 # --------------------------------------------------------------------------
@@ -611,12 +653,7 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = _rewrite_subscripts(masked)
     masked = _rewrite_url_fns(masked)
     masked = _rewrite_function_names(masked)
-    # Presto's unparameterized VARCHAR (SqlBase.g4 allows bare type
-    # names; CAST(x AS VARCHAR) is idiomatic Presto) — Spark demands a
-    # length, so map the bare form to STRING. VARCHAR(n) passes through.
-    masked = re.sub(
-        r"\bVARCHAR\b(?!\s*\()", "STRING", masked, flags=re.IGNORECASE
-    )
+    masked = _rewrite_bare_varchar(masked)
     return _unmask(masked, stash)
 
 

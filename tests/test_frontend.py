@@ -270,3 +270,17 @@ def test_bare_varchar_becomes_string():
     )
     # literals are never rewritten
     assert p2s("SELECT 'AS VARCHAR' FROM t") == "SELECT 'AS VARCHAR' FROM t"
+    # nested constructor types in the AS tail are rewritten
+    assert p2s("SELECT CAST(x AS array(varchar)) FROM t") == (
+        "SELECT CAST(x AS array(STRING)) FROM t"
+    )
+    assert p2s("SELECT CAST(m AS map(varchar, varchar)) FROM t") == (
+        "SELECT CAST(m AS map(STRING, STRING)) FROM t"
+    )
+    # a bare identifier named varchar OUTSIDE a type position survives
+    assert p2s("SELECT varchar FROM t") == "SELECT varchar FROM t"
+    assert p2s("SELECT t.varchar + 1 FROM t") == "SELECT t.varchar + 1 FROM t"
+    # quoted alias is protected even after AS (dq ids become backticks)
+    assert p2s('SELECT x AS "varchar" FROM t') == (
+        "SELECT x AS `varchar` FROM t"
+    )
