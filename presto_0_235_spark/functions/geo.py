@@ -140,6 +140,70 @@ def st_y_max(pts: Column | str) -> Column:
     return _coord_extreme(pts, "y", F.array_max)
 
 
+def st_contains_ring(ring: Column | str, p: Column | str) -> Column:
+    """ST_Contains(polygon, point) for a single closed ring —
+    ray-casting crossing count as a pure Column fold
+    (GeoFunctions.java:1021 stContains; the reference delegates to
+    the Esri geometry library — crossing-parity is the same
+    algorithm every planar geometry engine uses for point-in-
+    polygon). For each edge (a, b) of the ring, a rightward
+    horizontal ray from p crosses iff the edge straddles p.y
+    strictly and the edge/ray intersection lies right of p.x; an odd
+    crossing total means inside. Horizontal edges contribute nothing
+    (the straddle test is false; the slope division may produce
+    inf — harmless under IEEE doubles, identically on any engine).
+    Boundary points follow crossing parity (not the OGC boundary
+    convention) — exact on-edge hits are measure-zero for real
+    coordinates and both sides of every differential test run the
+    identical arithmetic.
+
+    Whole-stage-codegen per-row math: O(vertices) per point, no
+    shuffle, no UDF — at 100 TB this is scan-speed, and the
+    join_spatial_contains grid bucketing keeps candidate pairs
+    sparse."""
+    pts = _c(ring)
+    px, py = st_x(p), st_y(p)
+    n = F.greatest(F.size(pts) - 1, F.lit(0))
+    crossings = F.zip_with(
+        F.slice(pts, 1, n),
+        F.slice(pts, 2, n),
+        lambda a, b: F.when(
+            ((a.getField("y") > py) != (b.getField("y") > py))
+            & (
+                px
+                < (b.getField("x") - a.getField("x"))
+                * (py - a.getField("y"))
+                / (b.getField("y") - a.getField("y"))
+                + a.getField("x")
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(crossings, F.lit(0), lambda acc, c: acc + c) % 2 == 1
+
+
+def st_within_ring(p: Column | str, ring: Column | str) -> Column:
+    """ST_Within(point, polygon) = ST_Contains(polygon, point) with
+    the arguments flipped (GeoFunctions.java stWithin)."""
+    return st_contains_ring(ring, p)
+
+
+def ray_cast_sql(px: str, py: str, vertices: list[tuple[float, float]]) -> str:
+    """Emit the ANSI-SQL twin of st_contains_ring for a FIXED ring:
+    the crossing test unrolled edge-by-edge with the identical
+    arithmetic (same straddle comparison, same slope expression), so
+    a DuckDB oracle reproduces the engine's doubles bit-for-bit.
+    ``vertices`` is the closed ring (first == last)."""
+    terms = []
+    for (x1, y1), (x2, y2) in zip(vertices, vertices[1:]):
+        terms.append(
+            f"(CASE WHEN (({y1} > {py}) <> ({y2} > {py})) AND "
+            f"({px} < ({x2} - {x1}) * ({py} - {y1}) / ({y2} - {y1}) "
+            f"+ {x1}) THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
 def st_num_points(pts: Column | str) -> Column:
     """ST_NumPoints."""
     return F.size(_c(pts)).cast("bigint")

@@ -2146,3 +2146,140 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 50)
         .select("lang", "doc_id")
     )
+
+
+from presto_0_235_spark.functions.geo import ray_cast_sql as _ray_cast_sql
+
+# Per-supplier diamond (rotated square) of L2-radius _DIAMOND_R around
+# an md5-derived center — the closed ring and its SQL-expression twin.
+_DIAMOND_R = 1.5
+_DIAMOND_SQL_VERTICES = [
+    ("(s.cx + 1.5)", "s.cy"),
+    ("s.cx", "(s.cy + 1.5)"),
+    ("(s.cx - 1.5)", "s.cy"),
+    ("s.cx", "(s.cy - 1.5)"),
+    ("(s.cx + 1.5)", "s.cy"),
+]
+
+
+@register(
+    "join_spatial_contains",
+    oracle=f"""
+WITH cust_pts AS (
+  SELECT c_custkey AS id,
+         (('0x' || substr(md5('x' || c_custkey::VARCHAR), 1, 6))::BIGINT
+          % 10000) / 100.0 AS x,
+         (('0x' || substr(md5('y' || c_custkey::VARCHAR), 1, 6))::BIGINT
+          % 10000) / 100.0 AS y
+  FROM customer WHERE c_custkey < 500
+),
+supp_ctr AS (
+  SELECT s_suppkey AS id,
+         (('0x' || substr(md5('x' || s_suppkey::VARCHAR), 1, 6))::BIGINT
+          % 10000) / 100.0 AS cx,
+         (('0x' || substr(md5('y' || s_suppkey::VARCHAR), 1, 6))::BIGINT
+          % 10000) / 100.0 AS cy
+  FROM supplier
+)
+SELECT c.id AS cust_id, s.id AS supp_id
+FROM cust_pts c
+JOIN supp_ctr s
+  ON {_ray_cast_sql("c.x", "c.y", _DIAMOND_SQL_VERTICES)}
+""",
+)
+def join_spatial_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial CONTAINMENT join — ST_Contains(polygon, point) as a
+    distributed equi-join (the reference rewrites ST_Contains
+    θ-joins into its grid-partitioned SpatialJoinOperator:
+    ExtractSpatialJoins.java:107-114 + GeoFunctions.java:1021).
+    Spark-first shape, same cell machinery as join_spatial_radius
+    but ENVELOPE-driven: each polygon (here a per-supplier diamond
+    ring) is replicated to every grid cell its bounding box
+    overlaps, each point maps to exactly its home cell, the
+    equi-join on cell id meets every (point, containing-polygon)
+    pair exactly once (a containing polygon's envelope necessarily
+    covers the point's home cell; points live in ONE cell so there
+    are no duplicate pairs to dedup), and the exact ray-casting
+    predicate (functions/geo.py st_contains_ring) filters
+    candidates. The oracle is the quadratic join with the identical
+    crossing arithmetic unrolled edge-by-edge.
+
+    Scale: polygons replicate to O(envelope_area / cell_area) cells
+    (here ≤4), points never replicate, the join shuffles on uniform
+    hash-derived cell ids — candidates are O(density), no quadratic
+    blowup, AQE absorbs dense-cell skew; cell size tunes the
+    replication/selectivity trade exactly like the reference's
+    KDB-tree leaf granularity."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions import geo
+
+    r, s = _DIAMOND_R, 4.0
+
+    def coords(df, key_col):
+        def coord(axis):
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(axis), F.col(key_col).cast("string"))),
+                    1, 6,
+                ), 16, 10,
+            ).cast("bigint")
+            return (h % 10000) / F.lit(100.0)
+
+        return df.select(
+            F.col(key_col).alias("id"),
+            coord("x").alias("x"),
+            coord("y").alias("y"),
+        )
+
+    cust = coords(
+        load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500),
+        "c_custkey",
+    )
+    supp = coords(load_table(spark, sf_dir, "supplier"), "s_suppkey")
+    cx, cy = F.col("x"), F.col("y")
+    ring = F.array(
+        geo.st_point(cx + r, cy),
+        geo.st_point(cx, cy + r),
+        geo.st_point(cx - r, cy),
+        geo.st_point(cx, cy - r),
+        geo.st_point(cx + r, cy),
+    )
+    # envelope cell fan-out: every (gx, gy) the bounding box overlaps
+    cell_grid = F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(
+                    F.floor((cx - r) / s), F.floor((cx + r) / s)
+                ),
+                lambda gx: F.transform(
+                    F.sequence(
+                        F.floor((cy - r) / s), F.floor((cy + r) / s)
+                    ),
+                    lambda gy: F.struct(
+                        gx.alias("gx"), gy.alias("gy")
+                    ),
+                ),
+            )
+        )
+    )
+    supp_cells = supp.select(
+        F.col("id"), ring.alias("ring"), cell_grid.alias("cell")
+    ).select("id", "ring", "cell.gx", "cell.gy")
+    cust_cells = cust.select(
+        "id", "x", "y",
+        F.floor(cx / s).alias("gx"),
+        F.floor(cy / s).alias("gy"),
+    )
+    p = F.struct(cust_cells.x.alias("x"), cust_cells.y.alias("y"))
+    return (
+        cust_cells.join(
+            supp_cells,
+            (cust_cells.gx == supp_cells.gx)
+            & (cust_cells.gy == supp_cells.gy),
+        )
+        .filter(geo.st_contains_ring(supp_cells.ring, p))
+        .select(
+            cust_cells.id.alias("cust_id"),
+            supp_cells.id.alias("supp_id"),
+        )
+    )

@@ -2016,3 +2016,69 @@ def fn_geospatial_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
             geo.st_is_closed(line).alias("line_closed"),
         )
     )
+
+
+# Fixed test rings for fn_geospatial_polygon — closed (first == last).
+# The hexagon is NON-convex (dents at (6.35,4.95) and (3.95,4.45)) so
+# the test exercises crossing counts > 1; the triangle is the convex
+# base case. Coordinates sit off the 0.1 grid the probe points live
+# on, so no point lies exactly on an edge.
+_HEX_RING = [
+    (1.15, 1.05), (8.25, 2.15), (6.35, 4.95), (8.45, 7.65),
+    (2.05, 8.85), (3.95, 4.45), (1.15, 1.05),
+]
+_TRI_RING = [(2.05, 2.15), (7.95, 3.05), (5.05, 7.85), (2.05, 2.15)]
+
+from presto_0_235_spark.functions.geo import ray_cast_sql as _ray_cast_sql
+
+
+@register(
+    "fn_geospatial_polygon",
+    oracle=f"""
+WITH pts AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey % 100) / 10.0 AS px,
+         ((o_orderkey * 3) % 100) / 10.0 AS py
+  FROM orders WHERE o_orderkey < 400
+)
+SELECT k, px, py,
+       {_ray_cast_sql("px", "py", _HEX_RING)} AS in_hex,
+       {_ray_cast_sql("px", "py", _TRI_RING)} AS in_tri,
+       {_ray_cast_sql("px", "py", _TRI_RING)} AS within_tri
+FROM pts
+""",
+)
+def fn_geospatial_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-polygon point containment (GeoFunctions.java:1021
+    stContains / stWithin — the reference hands arbitrary polygons
+    to the Esri geometry library; here ray-casting crossing parity
+    is a pure Column fold over the ring array, functions/geo.py
+    st_contains_ring). Probed against a NON-convex hexagon (crossing
+    counts 0/1/2/3 all occur) and a convex triangle; the oracle
+    unrolls the identical crossing arithmetic edge-by-edge, so both
+    engines compute the same doubles. Per-row whole-stage-codegen
+    math — no shuffle, no UDF; the distributed join shape over this
+    predicate is join_spatial_contains."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions import geo
+
+    def ring_lit(vs):
+        return F.array(
+            *[geo.st_point(F.lit(x), F.lit(y)) for x, y in vs]
+        )
+
+    k = F.col("o_orderkey")
+    p = geo.st_point((k % 100) / 10.0, ((k * 3) % 100) / 10.0)
+    hexagon, triangle = ring_lit(_HEX_RING), ring_lit(_TRI_RING)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(k < 400)
+        .select(
+            k.alias("k"),
+            geo.st_x(p).alias("px"),
+            geo.st_y(p).alias("py"),
+            geo.st_contains_ring(hexagon, p).alias("in_hex"),
+            geo.st_contains_ring(triangle, p).alias("in_tri"),
+            geo.st_within_ring(p, triangle).alias("within_tri"),
+        )
+    )

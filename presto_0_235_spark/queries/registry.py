@@ -126,6 +126,7 @@ def _load_all() -> None:
         relational_q,
         sql_q,
         streaming_q,
+        tpcds_q,
         tpch_more_q,
         tpch_q,
         window_q,

@@ -1,0 +1,452 @@
+"""TPC-DS-shape coverage, adapted to the driver fixtures.
+
+The reference ships the full TPC-DS q01-q99 corpus as a first-class
+benchmark surface (presto-benchto-benchmarks/src/main/resources/sql/
+presto/tpcds/*.sql); this module carries its REPRESENTATIVE PLAN
+SHAPES onto the TPC-H-ish fixture tables, the same way
+tpch_more_q.py adapts the partsupp-dependent TPC-H queries:
+
+  - q3/q42/q52: date-dim x fact x item star rollup + top-k
+    (date_dim -> orders carrying o_orderdate, item -> part)
+  - q7: 4-way star with dimension-attribute filters + four AVGs
+  - q19: brand rollup with a cross-dimension MISMATCH predicate
+    (ca_zip <> s_zip becomes customer.nation <> supplier.nation)
+  - q33: per-channel aggregate CTEs + UNION ALL + re-aggregate
+    (store/catalog/web channels become order-priority bands)
+  - q36: ROLLUP hierarchy + GROUPING() + rank() OVER within parent
+
+Role mapping (fixtures have no date_dim/item/store tables —
+FIXTURES.md): date_dim attributes (d_year/d_moy) derive from
+o_orderdate; item attributes map p_brand <- i_brand, p_type <-
+i_category, p_size bands <- i_manufact_id/i_manager_id; channels map
+to o_orderpriority bands. Literals follow the synthetic fixture
+domains (Brand#*, PROMO/STANDARD/..., 1-URGENT/...).
+
+Money sums route through the fixed-point hop (functions/compat.py) so
+every aggregate hash-matches its DuckDB oracle exactly; every LIMIT
+carries a total ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_0_235_spark.catalog import load_table
+from presto_0_235_spark.functions.compat import (
+    dec_avg,
+    dec_sum,
+    oracle_dec_avg,
+    oracle_dec_sum,
+)
+from presto_0_235_spark.queries.registry import register
+from presto_0_235_spark.session import ensure_session_defaults
+
+
+def _fact_dims(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    return li, orders, part
+
+
+@register(
+    "tpcds_q3_adapted",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS INT) AS d_year,
+       p_brand AS brand,
+       {oracle_dec_sum('l_extendedprice', 'sum_agg')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE month(o_orderdate) = 11 AND p_size = 28
+GROUP BY 1, 2
+ORDER BY d_year ASC, sum_agg DESC, brand ASC
+LIMIT 100
+""",
+)
+def tpcds_q3_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q3 (tpcds/q03.sql): date-dim x store_sales x item star,
+    dim-attribute filters (d_moy = 11, i_manufact_id), brand revenue
+    by year, ORDER BY year, revenue DESC LIMIT. Fixture roles:
+    orders carries the date dim (month(o_orderdate) = 11), part the
+    item dim (p_size = 28 as the manufact-id selector). The plan
+    shape is the TPC-DS signature: fact scan with two dim hash joins
+    (both dims filter-reduced, so the size-based planner broadcasts
+    them), two-phase agg, TakeOrderedAndProject."""
+    ensure_session_defaults(spark)
+    li, orders, part = _fact_dims(spark, sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter((F.month("o_orderdate") == 11) & (F.col("p_size") == 28))
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("d_year"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(dec_sum("l_extendedprice", "sum_agg"))
+        .orderBy(F.col("d_year").asc(), F.col("sum_agg").desc(),
+                 F.col("brand").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q7_adapted",
+    oracle=f"""
+SELECT p_brand AS i_item_id,
+       {oracle_dec_avg('l_quantity', 'agg1')},
+       {oracle_dec_avg('p_retailprice', 'agg2')},
+       {oracle_dec_avg('l_discount', 'agg3')},
+       {oracle_dec_avg('l_extendedprice', 'agg4')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH')
+  AND year(o_orderdate) = 2000
+GROUP BY 1
+ORDER BY i_item_id ASC
+""",
+)
+def tpcds_q7_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q7 (tpcds/q07.sql): 4-way star (fact x demographics x
+    date x item x promotion) with equality filters on demographic
+    attributes, an OR'd promotion predicate, and FOUR AVG aggregates
+    per item. Fixture roles: customer(c_mktsegment = 'BUILDING')
+    stands in for customer_demographics, the o_orderpriority
+    disjunction for the p_channel OR, year(o_orderdate) = 2000 for
+    d_year. All four AVGs route through the fixed-point hop so the
+    hash comparison is exact."""
+    ensure_session_defaults(spark)
+    li, orders, part = _fact_dims(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (
+                (F.col("o_orderpriority") == "1-URGENT")
+                | (F.col("o_orderpriority") == "2-HIGH")
+            )
+            & (F.year("o_orderdate") == 2000)
+        )
+        .groupBy(F.col("p_brand").alias("i_item_id"))
+        .agg(
+            dec_avg("l_quantity", "agg1"),
+            dec_avg("p_retailprice", "agg2"),
+            dec_avg("l_discount", "agg3"),
+            dec_avg("l_extendedprice", "agg4"),
+        )
+        .orderBy(F.col("i_item_id").asc())
+    )
+
+
+@register(
+    "tpcds_q19_adapted",
+    oracle=f"""
+SELECT p_brand AS brand, p_type AS manufact,
+       {oracle_dec_sum('l_extendedprice', 'ext_price')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE month(o_orderdate) = 11 AND year(o_orderdate) = 1998
+  AND p_size BETWEEN 10 AND 20
+  AND c_nationkey <> s_nationkey
+GROUP BY 1, 2
+ORDER BY ext_price DESC, brand ASC, manufact ASC
+LIMIT 100
+""",
+)
+def tpcds_q19_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q19 (tpcds/q19.sql): brand revenue for one month with
+    the signature CROSS-DIMENSION MISMATCH residual — the reference
+    filters substr(ca_zip,1,5) <> substr(s_zip,1,5) (customer
+    address vs store zip); the fixture analog is c_nationkey <>
+    s_nationkey (customer nation differs from supplier nation). The
+    inequality cannot be a join key, so it must plan as a residual
+    filter on the joined row — the same JoinFilterFunction shape the
+    reference compiles."""
+    ensure_session_defaults(spark)
+    li, orders, part = _fact_dims(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(
+            (F.month("o_orderdate") == 11)
+            & (F.year("o_orderdate") == 1998)
+            & F.col("p_size").between(10, 20)
+            & (cust.c_nationkey != supp.s_nationkey)
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"), F.col("p_type").alias("manufact")
+        )
+        .agg(dec_sum("l_extendedprice", "ext_price"))
+        .orderBy(
+            F.col("ext_price").desc(), F.col("brand").asc(),
+            F.col("manufact").asc(),
+        )
+        .limit(100)
+    )
+
+
+_CHANNELS = (
+    ("ch_store", "o_orderpriority IN ('1-URGENT', '2-HIGH')"),
+    ("ch_catalog", "o_orderpriority = '3-MEDIUM'"),
+    ("ch_web", "o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')"),
+)
+
+
+@register(
+    "tpcds_q33_adapted",
+    oracle=f"""
+WITH promo_brands AS (
+  SELECT DISTINCT p_brand FROM part WHERE p_type = 'PROMO'
+),
+{", ".join(
+    f'''{name} AS (
+  SELECT p_brand, {oracle_dec_sum('l_extendedprice', 'total_sales')}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IN (SELECT p_brand FROM promo_brands)
+    AND year(o_orderdate) = 1998 AND {pred}
+  GROUP BY p_brand
+)''' for name, pred in _CHANNELS)}
+SELECT p_brand,
+       CAST(SUM(CAST(round(total_sales * 1000000) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS total_sales
+FROM (SELECT * FROM ch_store UNION ALL
+      SELECT * FROM ch_catalog UNION ALL
+      SELECT * FROM ch_web)
+GROUP BY p_brand
+ORDER BY total_sales DESC, p_brand ASC
+LIMIT 100
+""",
+)
+def tpcds_q33_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q33 (tpcds/q33.sql): the three-channel pattern — one
+    aggregate CTE per sales channel (store/catalog/web), each with an
+    IN-subquery on the item dim (manufacturers of one category),
+    UNION ALL, then re-aggregate the per-channel partials. Fixture
+    roles: channels are o_orderpriority bands over the one fact
+    table, the category IN-subquery selects the brands that have a
+    PROMO part. The re-aggregate sums the (exact) channel partials on
+    the same fixed-point grid so the final double is
+    order-independent too. Plan: three branch aggregations feeding a
+    Union, one final hash agg — the reference's
+    exchange-under-union shape."""
+    ensure_session_defaults(spark)
+    li, orders, part = _fact_dims(spark, sf_dir)
+    promo_brands = (
+        part.filter(F.col("p_type") == "PROMO").select("p_brand").distinct()
+    )
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(promo_brands), "p_brand", "left_semi")
+        .filter(F.year("o_orderdate") == 1998)
+    )
+    channels = [
+        base.filter(F.expr(pred))
+        .groupBy("p_brand")
+        .agg(dec_sum("l_extendedprice", "total_sales"))
+        for _, pred in _CHANNELS
+    ]
+    unioned = channels[0].unionAll(channels[1]).unionAll(channels[2])
+    scaled = F.round(F.col("total_sales") * 1_000_000).cast("long")
+    return (
+        unioned.groupBy("p_brand")
+        .agg(
+            (F.sum(scaled).cast("double") / F.lit(1_000_000.0)).alias(
+                "total_sales"
+            )
+        )
+        .orderBy(F.col("total_sales").desc(), F.col("p_brand").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q36_adapted",
+    oracle=f"""
+WITH agg AS (
+  SELECT p_type AS i_category, p_brand AS i_class,
+         GROUPING(p_type) + GROUPING(p_brand) AS lochierarchy,
+         GROUPING(p_brand) AS g_class,
+         {oracle_dec_sum('l_extendedprice * (1 - l_discount)', 'net')},
+         {oracle_dec_sum('l_extendedprice', 'gross')}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE year(o_orderdate) = 2001
+  GROUP BY ROLLUP (p_type, p_brand)
+)
+SELECT round(net / gross, 9) AS gross_margin,
+       i_category, i_class, lochierarchy,
+       rank() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN g_class = 0 THEN i_category END
+         ORDER BY net / gross ASC, i_class ASC NULLS FIRST
+       ) AS rank_within_parent
+FROM agg
+ORDER BY lochierarchy DESC,
+         CASE WHEN lochierarchy = 0 THEN i_category END ASC NULLS FIRST,
+         rank_within_parent ASC, i_category ASC NULLS FIRST,
+         i_class ASC NULLS FIRST
+""",
+)
+def tpcds_q36_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q36 (tpcds/q36.sql): gross-margin ROLLUP hierarchy —
+    GROUP BY ROLLUP(category, class), lochierarchy =
+    GROUPING(category) + GROUPING(class), and rank() OVER a
+    partition keyed by the grouping level (rank-within-parent). The
+    one TPC-DS shape that composes grouping sets WITH window
+    functions over the grouped output. Fixture roles: p_type is the
+    category, p_brand the class. Both margin components go through
+    the fixed-point hop and the rank's ORDER BY carries a total
+    tiebreak, so ranks are deterministic on both engines."""
+    ensure_session_defaults(spark)
+    from pyspark.sql import Window
+
+    li, orders, part = _fact_dims(spark, sf_dir)
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    grouped = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter(F.year("o_orderdate") == 2001)
+        .select(
+            F.col("p_type").alias("i_category"),
+            F.col("p_brand").alias("i_class"),
+            net.alias("net_val"),
+            F.col("l_extendedprice").alias("gross_val"),
+        )
+        .rollup("i_category", "i_class")
+        .agg(
+            (F.grouping("i_category") + F.grouping("i_class")).alias(
+                "lochierarchy"
+            ),
+            F.grouping("i_class").alias("g_class"),
+            dec_sum("net_val", "net"),
+            dec_sum("gross_val", "gross"),
+        )
+    )
+    w = Window.partitionBy(
+        F.col("lochierarchy"),
+        F.when(F.col("g_class") == 0, F.col("i_category")),
+    ).orderBy(
+        (F.col("net") / F.col("gross")).asc(),
+        F.col("i_class").asc_nulls_first(),
+    )
+    return (
+        grouped.select(
+            F.round(F.col("net") / F.col("gross"), 9).alias("gross_margin"),
+            "i_category", "i_class", "lochierarchy",
+            F.rank().over(w).alias("rank_within_parent"),
+        )
+        .orderBy(
+            F.col("lochierarchy").desc(),
+            F.when(F.col("lochierarchy") == 0, F.col("i_category"))
+            .asc_nulls_first(),
+            F.col("rank_within_parent").asc(),
+            F.col("i_category").asc_nulls_first(),
+            F.col("i_class").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "tpcds_q42_adapted",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS INT) AS d_year,
+       p_type AS i_category,
+       {oracle_dec_sum('l_extendedprice', 'ext_price')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE month(o_orderdate) = 11 AND year(o_orderdate) = 2000
+  AND p_size < 15
+GROUP BY 1, 2
+ORDER BY ext_price DESC, d_year ASC, i_category ASC
+LIMIT 100
+""",
+)
+def tpcds_q42_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q42 (tpcds/q42.sql): category revenue for one month of
+    one year (d_moy = 11, d_year = 2000), ORDER BY revenue DESC
+    first — the top-categories variant of the q3 star. p_type plays
+    i_category, p_size < 15 the i_manager_id selector."""
+    ensure_session_defaults(spark)
+    li, orders, part = _fact_dims(spark, sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            (F.month("o_orderdate") == 11)
+            & (F.year("o_orderdate") == 2000)
+            & (F.col("p_size") < 15)
+        )
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("d_year"),
+            F.col("p_type").alias("i_category"),
+        )
+        .agg(dec_sum("l_extendedprice", "ext_price"))
+        .orderBy(
+            F.col("ext_price").desc(), F.col("d_year").asc(),
+            F.col("i_category").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q52_adapted",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS INT) AS d_year,
+       p_brand AS brand,
+       {oracle_dec_sum('l_extendedprice', 'ext_price')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE month(o_orderdate) = 11 AND year(o_orderdate) = 2000
+  AND p_type = 'STANDARD'
+GROUP BY 1, 2
+ORDER BY d_year ASC, ext_price DESC, brand ASC
+LIMIT 100
+""",
+)
+def tpcds_q52_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q52 (tpcds/q52.sql): brand revenue for one month of one
+    year — q3's sibling with the year pinned and ORDER BY year,
+    revenue DESC, brand. p_type = 'STANDARD' plays the
+    i_manager_id = 1 selector."""
+    ensure_session_defaults(spark)
+    li, orders, part = _fact_dims(spark, sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            (F.month("o_orderdate") == 11)
+            & (F.year("o_orderdate") == 2000)
+            & (F.col("p_type") == "STANDARD")
+        )
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("d_year"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(dec_sum("l_extendedprice", "ext_price"))
+        .orderBy(
+            F.col("d_year").asc(), F.col("ext_price").desc(),
+            F.col("brand").asc(),
+        )
+        .limit(100)
+    )

@@ -308,3 +308,14 @@ def test_per_row_scalar_queries_no_exchange(spark, sf_dir):
     ):
         plan = plan_of(_QUERIES[name].builder(spark, sf_dir))
         assert "Exchange" not in plan, f"{name} plans an exchange"
+
+
+def test_spatial_contains_join_no_cartesian(spark, sf_dir):
+    """join_spatial_contains must plan a hash equi-join on grid cell
+    ids with the ray-cast predicate as a join filter — never a
+    cartesian/nested-loop product (the whole point of the
+    ExtractSpatialJoins.java:107-114 rewrite the query mirrors)."""
+    plan = plan_of(_QUERIES["join_spatial_contains"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan

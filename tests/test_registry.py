@@ -31,3 +31,29 @@ def test_priority_core_is_fully_oracle_backed():
     assert not missing, f"_PRIORITY names not registered: {missing}"
     no_oracle = [n for n in _PRIORITY if queries[n].oracle is None]
     assert not no_oracle, f"_PRIORITY entries without oracle: {no_oracle}"
+
+
+def test_correctness_local_artifact_covers_full_registry():
+    """The committed per-round CORRECTNESS_LOCAL_r*.json (emitted by
+    tools/correctness_all.py) must cover EVERY registered query — the
+    driver gate samples only the 50-query prefix, so this artifact is
+    the tail's committed evidence. A new query without a re-run (or a
+    failing row) turns this red."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifacts = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_LOCAL_r*.json")))
+    assert artifacts, "no CORRECTNESS_LOCAL_r*.json committed"
+    with open(artifacts[-1]) as f:
+        report = json.load(f)
+    registered = set(all_queries())
+    missing = registered - set(report)
+    assert not missing, f"artifact missing queries: {sorted(missing)}"
+    bad = [
+        n for n, r in report.items()
+        if not (r["rows_match"] and r["schema_match"] and r["hash_match"])
+        or r["err"]
+    ]
+    assert not bad, f"artifact records failures: {sorted(bad)}"
