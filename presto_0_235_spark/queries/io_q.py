@@ -371,3 +371,28 @@ def io_roundtrip_sequencefile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _decode_orders_slice(
         spark.createDataFrame(rows, schema="value string")
     )
+
+
+@register("io_roundtrip_avro", oracle=_ORDERS_SLICE_ORACLE)
+def io_roundtrip_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive AVRO write/read-back (HiveStorageFormat.java:42-91 AVRO).
+    No spark-avro connector jar is deployable in this container and
+    no Python avro package is installed, so the engine carries its
+    own object-container codec written from the public Avro 1.11
+    spec (sources/avro.py): distributed file-per-task sink and
+    one-task-per-file source over mapInPandas, null codec,
+    nullable-union fields, date/timestamp logical types.
+    Files interoperate with the real Apache Avro Java library
+    (pinned by tests/test_operators.py::test_avro_java_interop, which
+    reads a codec-written file through org.apache.avro via the
+    session JVM)."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.sources.avro import (
+        read_avro_dataframe,
+        write_avro_dataframe,
+    )
+
+    path = _sink_path("avro", sf_dir)
+    src = _orders_slice(spark, sf_dir)
+    write_avro_dataframe(src, path)
+    return read_avro_dataframe(spark, path, src.schema)
