@@ -558,3 +558,136 @@ def parse_datetime(s: Column | str, joda_fmt: str) -> Column:
 def date_format_mysql(ts: Column | str, mysql_fmt: str) -> Column:
     """Presto date_format(timestamp, mysql_format) -> string."""
     return F.date_format(_c(ts), mysql_to_java_pattern(mysql_fmt))
+
+
+# ---- char(n) semantics (SPI/type/CharType.java, Chars.java) ----------------
+# Presto's char(n) STORES values truncated to n code points with
+# trailing spaces trimmed (Chars.java:91 truncateToLengthAndTrimSpaces)
+# and compares the stored (trimmed) bytes directly (CharType.java
+# compareTo over slices) — so CHAR 'ab ' = CHAR 'ab' is true because
+# both store 'ab'. Display pads back to n (Chars.java:48 padSpaces).
+# Spark has no standalone char(n) runtime type outside DDL columns;
+# these helpers reproduce the cast/compare/display semantics exactly
+# as Column expressions.
+
+
+def char_cast(c: Column | str, n: int) -> Column:
+    """CAST(varchar AS char(n)): truncate to n code points, trim
+    trailing spaces — the STORED form (Chars.java:91). Comparisons on
+    the result ARE Presto char comparisons."""
+    return F.rtrim(F.substring(_c(c), 1, n))
+
+
+def char_pad_display(c: Column | str, n: int) -> Column:
+    """char(n) output form: space-padded to n (Chars.java:48
+    padSpaces) — what the client sees when a char(n) is printed or
+    cast back to varchar."""
+    return F.rpad(_c(c), n, " ")
+
+
+# ---- TIME WITH TIME ZONE (SPI/type/TimeWithTimeZoneType.java) --------------
+# The reference packs a time-tz value as (millisUtc, zoneKey)
+# (DateTimeEncoding.java) and orders/hashes/compares on millisUtc
+# ALONE (TimeWithTimeZoneType.java:45-59) — two literals naming the
+# same instant in different zones are EQUAL but render differently.
+# Spark has no time-with-time-zone type; the engine models the packed
+# pair as struct<millis_utc: bigint, offset_minutes: int> with the
+# same comparison key and field/display functions, all Column-level.
+
+_TIME_TZ_RE = (
+    r"^(\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,3}))?\s*([+-])(\d{2}):(\d{2})$"
+)
+
+
+def parse_time_tz(s: Column | str) -> Column:
+    """TIME '<HH:MM:SS[.fff] ±HH:MM>' literal parser ->
+    struct<millis_utc, offset_minutes>. millis_utc = local clock
+    millis minus the offset, exactly the packed representation
+    (negative / >1 day values are kept as-is, as the reference
+    does). NULL on malformed input (the TRY-wrapped behavior)."""
+    w = _c(s)
+
+    def part(i):
+        return F.regexp_extract(w, _TIME_TZ_RE, i)
+
+    ok = part(1) != ""
+    ms_txt = part(4)
+    local = (
+        part(1).cast("bigint") * 3600000
+        + part(2).cast("bigint") * 60000
+        + part(3).cast("bigint") * 1000
+        + F.coalesce(F.rpad(ms_txt, 3, "0").cast("bigint"), F.lit(0))
+    )
+    offset = (
+        F.when(part(5) == "-", F.lit(-1)).otherwise(F.lit(1))
+        * (part(6).cast("int") * 60 + part(7).cast("int"))
+    )
+    return F.when(
+        ok,
+        F.struct(
+            (local - offset.cast("bigint") * 60000).alias("millis_utc"),
+            offset.alias("offset_minutes"),
+        ),
+    )
+
+
+def time_tz_millis_utc(t: Column | str) -> Column:
+    """The comparison/hash key (TimeWithTimeZoneType.java:45
+    unpackMillisUtc): ordering and equality use this alone."""
+    return _c(t).getField("millis_utc")
+
+
+def _time_tz_local(t: Column) -> Column:
+    return (
+        t.getField("millis_utc")
+        + t.getField("offset_minutes").cast("bigint") * 60000
+    )
+
+
+def time_tz_hour(t: Column | str) -> Column:
+    """hour(time with time zone): hour of the LOCAL clock reading
+    (DateTimeFunctions.java hourFromTimeWithTimeZone reads the
+    value's own chronology)."""
+    local = _time_tz_local(_c(t))
+    return F.pmod(F.floor(local / 3600000), F.lit(24)).cast("bigint")
+
+
+def time_tz_minute(t: Column | str) -> Column:
+    """minute(time with time zone), local clock."""
+    local = _time_tz_local(_c(t))
+    return F.pmod(F.floor(local / 60000), F.lit(60)).cast("bigint")
+
+
+def time_tz_at_zone(t: Column | str, offset_minutes: Column) -> Column:
+    """AT TIME ZONE for time-tz: same instant (millis_utc unchanged),
+    new display zone — precisely the reference's zone re-pack."""
+    return F.struct(
+        _c(t).getField("millis_utc").alias("millis_utc"),
+        offset_minutes.cast("int").alias("offset_minutes"),
+    )
+
+
+def format_time_tz(t: Column | str) -> Column:
+    """Render 'HH:MM:SS.fff ±HH:MM' from the packed pair (the
+    SqlTimeWithTimeZone client form)."""
+    tt = _c(t)
+    local = F.pmod(_time_tz_local(tt), F.lit(86400000))
+    off = tt.getField("offset_minutes")
+
+    def two(x):
+        return F.lpad(x.cast("string"), 2, "0")
+
+    return F.concat(
+        two(F.floor(local / 3600000)),
+        F.lit(":"),
+        two(F.pmod(F.floor(local / 60000), F.lit(60))),
+        F.lit(":"),
+        two(F.pmod(F.floor(local / 1000), F.lit(60))),
+        F.lit("."),
+        F.lpad(F.pmod(local, F.lit(1000)).cast("string"), 3, "0"),
+        F.lit(" "),
+        F.when(off < 0, F.lit("-")).otherwise(F.lit("+")),
+        two(F.floor(F.abs(off) / 60)),
+        F.lit(":"),
+        two(F.pmod(F.abs(off), F.lit(60))),
+    )

@@ -2082,3 +2082,111 @@ def fn_geospatial_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             geo.st_within_ring(p, triangle).alias("within_tri"),
         )
     )
+
+
+@register(
+    "fn_char_time_tz",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey AS k,
+         'VL' || substr(o_orderstatus, 1, 1)
+              || repeat(' ', o_orderkey % 3) AS raw,
+         o_orderkey % 24 AS hh, (o_orderkey * 7) % 60 AS mi,
+         (o_orderkey * 13) % 60 AS ss, (o_orderkey * 3) % 1000 AS ms,
+         CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE -1 END AS sgn,
+         o_orderkey % 12 AS oh, (o_orderkey * 5) % 60 AS om
+  FROM orders WHERE o_orderkey < 300
+),
+t AS (
+  SELECT *,
+         (hh * 3600000 + mi * 60000 + ss * 1000 + ms)
+           - sgn * (oh * 60 + om) * 60000 AS millis_utc,
+         sgn * (oh * 60 + om) AS off_min
+  FROM src
+)
+SELECT k,
+       rtrim(substr(raw, 1, 4)) AS c4,
+       rpad(rtrim(substr(raw, 1, 4)), 4, ' ') AS c4_disp,
+       rtrim(substr(raw, 1, 4)) = rtrim(substr(raw || '  ', 1, 4))
+         AS char_trailing_space_eq,
+       millis_utc AS t_millis,
+       hh AS t_hour, mi AS t_minute,
+       lpad(hh::VARCHAR, 2, '0') || ':' || lpad(mi::VARCHAR, 2, '0')
+         || ':' || lpad(ss::VARCHAR, 2, '0') || '.'
+         || lpad(ms::VARCHAR, 3, '0') || ' '
+         || (CASE WHEN off_min < 0 THEN '-' ELSE '+' END)
+         || lpad((abs(off_min) // 60)::VARCHAR, 2, '0') || ':'
+         || lpad((abs(off_min) % 60)::VARCHAR, 2, '0') AS t_fmt,
+       ((millis_utc + 330 * 60000) % 86400000 + 86400000) % 86400000
+         AS t_at_local_millis,
+       TRUE AS t_rezone_eq
+FROM t
+""",
+)
+def fn_char_time_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """char(n) + TIME WITH TIME ZONE semantics (SPI/type/CharType.java
+    + Chars.java:48,91; TimeWithTimeZoneType.java:45-59):
+
+    - char(n): CAST truncates to n code points and TRIMS trailing
+      spaces for storage, comparisons act on the trimmed bytes (so
+      trailing-space differences are insignificant — pinned by
+      char_trailing_space_eq being TRUE for every row), display pads
+      back to n.
+    - time-tz: packed (millis_utc, offset_minutes) struct; ordering
+      key is millis_utc alone; hour/minute read the LOCAL clock;
+      AT TIME ZONE re-zones without moving the instant (pinned:
+      t_rezone_eq compares the comparison keys before/after a +05:30
+      re-zone); the client rendering is 'HH:MM:SS.fff ±HH:MM'.
+
+    Both sides build the same literal strings from row keys; Spark
+    actually PARSES them with the regex parser (functions/scalar.py
+    parse_time_tz), the oracle recomputes the packed values from the
+    components — a differential check of parser + arithmetic."""
+    ensure_session_defaults(spark)
+    k = F.col("o_orderkey")
+    raw = F.concat(
+        F.lit("VL"), F.substring("o_orderstatus", 1, 1),
+        F.repeat(F.lit(" "), (k % 3).cast("int")),
+    )
+    hh, mi = k % 24, (k * 7) % 60
+    ss, ms = (k * 13) % 60, (k * 3) % 1000
+    sgn = F.when(k % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    oh, om = k % 12, (k * 5) % 60
+
+    def two(x):
+        return F.lpad(x.cast("string"), 2, "0")
+
+    tz_lit = F.concat(
+        two(hh), F.lit(":"), two(mi), F.lit(":"), two(ss),
+        F.lit("."), F.lpad(ms.cast("string"), 3, "0"), F.lit(" "),
+        F.when(sgn < 0, F.lit("-")).otherwise(F.lit("+")),
+        two(oh), F.lit(":"), two(om),
+    )
+    t = ps.parse_time_tz(tz_lit)
+    rezoned = ps.time_tz_at_zone(t, F.lit(330))
+    c4 = ps.char_cast(raw, 4)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(k < 300)
+        .select(
+            k.alias("k"),
+            c4.alias("c4"),
+            ps.char_pad_display(c4, 4).alias("c4_disp"),
+            (ps.char_cast(raw, 4) == ps.char_cast(
+                F.concat(raw, F.lit("  ")), 4
+            )).alias("char_trailing_space_eq"),
+            ps.time_tz_millis_utc(t).alias("t_millis"),
+            ps.time_tz_hour(t).alias("t_hour"),
+            ps.time_tz_minute(t).alias("t_minute"),
+            ps.format_time_tz(t).alias("t_fmt"),
+            F.pmod(
+                ps.time_tz_millis_utc(rezoned)
+                + F.lit(330) * 60000,
+                F.lit(86400000),
+            ).alias("t_at_local_millis"),
+            (
+                ps.time_tz_millis_utc(rezoned)
+                == ps.time_tz_millis_utc(t)
+            ).alias("t_rezone_eq"),
+        )
+    )

@@ -404,3 +404,81 @@ def test_geo_degenerate_shapes(spark):
     ).collect()[0]
     assert row.len1 == 0.0 and row.area0 == 0.0
     assert row.len_empty == 0.0 and row.area_empty == 0.0
+
+
+class TestCharAndTimeTzSemantics:
+    """Pinned semantics for the two SPI types with no Spark runtime
+    analog (SPI/type/CharType.java + Chars.java,
+    TimeWithTimeZoneType.java) — emulated by functions/scalar.py.
+    Documented divergence: these are HELPER-level semantics (explicit
+    char_cast/parse_time_tz calls), not engine-wide implicit types —
+    a bare string comparison in Spark stays byte-exact, it does not
+    acquire char padding by declaration."""
+
+    def test_char_cast_trims_and_truncates(self, spark):
+        from presto_0_235_spark.functions import scalar as ps
+
+        df = spark.createDataFrame(
+            [("ab  ",), ("abcdef",), ("aéc ",)], "s string"
+        ).select(
+            ps.char_cast("s", 4).alias("c"),
+            ps.char_pad_display(ps.char_cast("s", 4), 4).alias("d"),
+        )
+        rows = df.collect()
+        # stored form is trimmed; truncation counts CODE POINTS
+        assert [r.c for r in rows] == ["ab", "abcd", "aéc"]
+        # display pads back to n
+        assert [r.d for r in rows] == ["ab  ", "abcd", "aéc "]
+
+    def test_char_comparison_ignores_trailing_spaces(self, spark):
+        from presto_0_235_spark.functions import scalar as ps
+
+        row = (
+            spark.range(1)
+            .select(
+                (
+                    ps.char_cast(F.lit("xy "), 5)
+                    == ps.char_cast(F.lit("xy"), 5)
+                ).alias("eq"),
+                (
+                    ps.char_cast(F.lit("xy z"), 5)
+                    == ps.char_cast(F.lit("xy"), 5)
+                ).alias("ne"),
+            )
+            .first()
+        )
+        assert row.eq is True and row.ne is False
+
+    def test_time_tz_compares_on_utc_instant(self, spark):
+        """09:30:00 +05:30 and 04:00:00 +00:00 are the SAME value
+        (equal millis_utc) though they render differently —
+        TimeWithTimeZoneType.java:45 comparison contract."""
+        from presto_0_235_spark.functions import scalar as ps
+
+        df = spark.range(1).select(
+            ps.parse_time_tz(F.lit("09:30:00 +05:30")).alias("a"),
+            ps.parse_time_tz(F.lit("04:00:00 +00:00")).alias("b"),
+        )
+        row = df.select(
+            (
+                ps.time_tz_millis_utc("a") == ps.time_tz_millis_utc("b")
+            ).alias("eq"),
+            ps.time_tz_hour("a").alias("ha"),
+            ps.time_tz_hour("b").alias("hb"),
+            ps.format_time_tz("a").alias("fa"),
+            ps.format_time_tz("b").alias("fb"),
+        ).first()
+        assert row.eq is True
+        assert (row.ha, row.hb) == (9, 4)  # local clock fields differ
+        assert row.fa == "09:30:00.000 +05:30"
+        assert row.fb == "04:00:00.000 +00:00"
+
+    def test_time_tz_malformed_is_null(self, spark):
+        from presto_0_235_spark.functions import scalar as ps
+
+        row = (
+            spark.range(1)
+            .select(ps.parse_time_tz(F.lit("not a time")).alias("t"))
+            .first()
+        )
+        assert row.t is None
