@@ -94,3 +94,133 @@ def test_lsh_bucket_cap_survives_mass_duplication(spark):
         (F.col("id1") == 100_001) & (F.col("id2") == 100_002)
     ).count()
     assert organic == 1
+
+
+# ---- scale-trend smoke -----------------------------------------------------
+# The bucketing/banding claims in SCALE.md say the heavy pipeline
+# operators are ~linear in corpus size. Validate the TREND empirically
+# (not just at one SF): run each operator on a synthetic corpus and on
+# a 10x larger one, and assert wall-time grows at most ~linearly.
+# Bound: ratio <= 25 — linear growth with fixed overhead lands well
+# under 10x, a quadratic blowup lands near 100x; 25 separates the two
+# with margin for same-machine noise. Sizes are small enough to keep
+# the suite interactive yet large enough that real work dominates
+# session fixed costs.
+
+
+def _synth_docs(spark, n):
+    """Deterministic ~24-word docs over a 500-word vocabulary."""
+    from pyspark.sql import functions as F
+
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(24)),
+        lambda i: F.concat(
+            F.lit("w"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("id").cast("string"),
+                                F.lit("|"), i.cast("string"),
+                            )
+                        ), 1, 4,
+                    ), 16, 10,
+                ).cast("bigint") % 500
+            ).cast("string"),
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(words, " ").alias("text"),
+    )
+
+
+def _timed(fn):
+    start = time.monotonic()
+    fn()
+    return time.monotonic() - start
+
+
+def test_trend_lsh_near_linear(spark):
+    from pyspark.sql import functions as F
+
+    from presto_0_235_spark.operators import dedup as dd
+
+    def run(n):
+        docs = _synth_docs(spark, n).select(
+            "doc_id", dd.word_shingles(dd.normalized_text("text")).alias("sh")
+        )
+        dd.lsh_candidate_pairs(docs, "doc_id", "sh").count()
+
+    run(2_000)  # warm: codegen + session fixed costs out of the timing
+    t1 = _timed(lambda: run(4_000))
+    t10 = _timed(lambda: run(40_000))
+    assert t10 / t1 <= 25, f"LSH trend superlinear: {t1:.2f}s -> {t10:.2f}s"
+
+
+def test_trend_cc_star_near_linear(spark):
+    from pyspark.sql import functions as F
+
+    from presto_0_235_spark.operators import dedup as dd
+
+    def run(n):
+        # sparse random graph: n edges over n vertices (hash targets)
+        edges = spark.range(n).select(
+            F.col("id").alias("id1"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("id").cast("string")), 1, 6),
+                    16, 10,
+                ).cast("bigint") % F.lit(n)
+            ).alias("id2"),
+        )
+        dd.connected_components_star(edges).count()
+
+    run(2_000)
+    t1 = _timed(lambda: run(4_000))
+    t10 = _timed(lambda: run(40_000))
+    assert t10 / t1 <= 25, f"CC trend superlinear: {t1:.2f}s -> {t10:.2f}s"
+
+
+def test_trend_ann_bruteforce_near_linear(spark):
+    from pyspark.sql import functions as F
+
+    from presto_0_235_spark.operators import similarity as sim
+
+    def run(n):
+        dim = 16
+        vec = F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("id").cast("string"),
+                                F.lit(":"), i.cast("string"),
+                            )
+                        ), 1, 4,
+                    ), 16, 10,
+                ).cast("double") % 100
+            ) / 100.0,
+        )
+        corpus = spark.range(n).select(F.col("id").alias("vec_id"),
+                                       vec.alias("emb"))
+        queries = corpus.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+        )
+        from pyspark.sql import Window
+
+        scored = corpus.crossJoin(F.broadcast(queries)).select(
+            "q_id", "vec_id", sim.cosine(F.col("emb"), F.col("q_emb")).alias("s")
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("s").desc(), "vec_id")
+        scored.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= 10
+        ).count()
+
+    run(2_000)
+    t1 = _timed(lambda: run(4_000))
+    t10 = _timed(lambda: run(40_000))
+    assert t10 / t1 <= 25, f"ANN trend superlinear: {t1:.2f}s -> {t10:.2f}s"
