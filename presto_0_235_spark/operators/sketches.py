@@ -38,8 +38,17 @@ where the reference needs a custom varbinary codec).
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+try:  # wire codec runs inside pandas workers: pickle by value
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - older vendored cloudpickle
+    pass
 
 HLL_P = 11  # 2^11 = 2048 registers; rel. error ~1.04/sqrt(m) ~ 2.3%
 HLL_M = 1 << HLL_P
@@ -215,3 +224,133 @@ def qhist_quantile_at_value(
             / F.sum("n")
         ).alias(out)
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog wire format (Presto/airlift DENSE_V2 layout).
+#
+# The reference exchanges HLL state as varbinary in the airlift
+# serialization (com.facebook.airlift.stats.cardinality.HyperLogLog,
+# used by HyperLogLogUtils.java / approx_set & merge; the layout is
+# defined by the PUBLIC airlift DenseHll source):
+#
+#   byte  0              format tag (3 = DENSE_V2)
+#   byte  1              indexBitLength p  (numBuckets = 2^p)
+#   byte  2              baseline (minimum register value)
+#   bytes 3 .. 3+2^p/2   4-bit deltas, two buckets per byte — EVEN
+#                        bucket in the HIGH nibble (airlift
+#                        shiftForBucket(bucket) = ((~bucket)&1)<<2)
+#   short (LE)           number of overflow entries
+#   short (LE) * n       overflow bucket indexes
+#   byte * n             overflow values
+#
+# register value = baseline + delta (+ overflow when delta == 15).
+#
+# INTEROP SCOPE (stated precisely): these bytes parse in any airlift
+# reader and this codec parses airlift-written dense sketches — the
+# CONTAINER is compatible. The register CONTENTS are built from this
+# engine's portable md5-based hash (operators/sketches.py header),
+# not airlift's Murmur3-128, so merging one of our sketches with a
+# Presto-built sketch over the same raw values is NOT meaningful.
+# Within this engine (and any engine that replays the documented
+# portable hash) serialize -> exchange -> deserialize -> merge ->
+# estimate is exact, which is the property sketch EXCHANGE needs.
+
+_DENSE_V2_TAG = 3
+_MAX_DELTA = 15
+
+
+def hll_serialize_dense(registers: dict[int, int], p: int = HLL_P) -> bytes:
+    """Register map {bucket: value} -> DENSE_V2 bytes. Buckets not
+    present hold 0. Baseline is the true minimum over ALL buckets
+    (0 whenever any register is empty, matching a dense encoder)."""
+    import struct
+
+    m = 1 << p
+    values = bytearray(m)
+    for bucket, value in registers.items():
+        if not 0 <= bucket < m:
+            raise ValueError(f"bucket {bucket} out of range for p={p}")
+        values[bucket] = value
+    baseline = min(values)
+    deltas = bytearray(m // 2)
+    overflows: list[tuple[int, int]] = []
+    for bucket, value in enumerate(values):
+        delta = value - baseline
+        if delta > _MAX_DELTA:
+            overflows.append((bucket, delta - _MAX_DELTA))
+            delta = _MAX_DELTA
+        shift = ((~bucket) & 1) << 2  # even bucket -> high nibble
+        deltas[bucket >> 1] |= delta << shift
+    out = bytearray()
+    out += struct.pack("<BBB", _DENSE_V2_TAG, p, baseline)
+    out += deltas
+    out += struct.pack("<H", len(overflows))
+    for bucket, _ in overflows:
+        out += struct.pack("<H", bucket)
+    for _, over in overflows:
+        out += struct.pack("<B", over)
+    return bytes(out)
+
+
+def hll_deserialize_dense(data: bytes) -> tuple[int, dict[int, int]]:
+    """DENSE_V2 bytes -> (p, {bucket: value}) with zero-valued
+    buckets omitted (the register-table row form)."""
+    import struct
+
+    tag, p, baseline = struct.unpack_from("<BBB", data, 0)
+    if tag != _DENSE_V2_TAG:
+        raise ValueError(f"not a DENSE_V2 HLL (tag {tag})")
+    m = 1 << p
+    pos = 3
+    deltas = data[pos : pos + m // 2]
+    pos += m // 2
+    (n_over,) = struct.unpack_from("<H", data, pos)
+    pos += 2
+    over_buckets = struct.unpack_from(f"<{n_over}H", data, pos)
+    pos += 2 * n_over
+    over_values = struct.unpack_from(f"<{n_over}B", data, pos)
+    overflow = dict(zip(over_buckets, over_values))
+    registers: dict[int, int] = {}
+    for bucket in range(m):
+        shift = ((~bucket) & 1) << 2
+        delta = (deltas[bucket >> 1] >> shift) & 0xF
+        value = baseline + delta
+        if delta == _MAX_DELTA:
+            value += overflow.get(bucket, 0)
+        if value:
+            registers[bucket] = value
+    return p, registers
+
+
+def hll_merge_bytes(*sketches: bytes) -> bytes:
+    """merge(HLL, HLL, ...) on the wire form: deserialize, take the
+    register-wise max (the HLL union), re-serialize. Equals the
+    sketch built directly on the concatenated inputs — the
+    MergeHyperLogLogAggregation.java contract."""
+    merged: dict[int, int] = {}
+    p_seen = None
+    for data in sketches:
+        p, regs = hll_deserialize_dense(data)
+        if p_seen is None:
+            p_seen = p
+        elif p != p_seen:
+            raise ValueError(f"bucket counts differ: 2^{p_seen} vs 2^{p}")
+        for bucket, value in regs.items():
+            if value > merged.get(bucket, 0):
+                merged[bucket] = value
+    return hll_serialize_dense(merged, p_seen if p_seen is not None else HLL_P)
+
+
+def hll_estimate_registers(registers: dict[int, int]) -> int:
+    """Driver-side estimate from a register map — the same
+    alpha*m^2 / sum(2^-rho) + linear-counting formula
+    hll_cardinality evaluates distributively."""
+    import math
+
+    zeros = HLL_M - len(registers)
+    inv_sum = zeros * 1.0 + sum(2.0 ** -v for v in registers.values())
+    raw = HLL_ALPHA * HLL_M * HLL_M / inv_sum
+    if raw <= 2.5 * HLL_M and zeros > 0:
+        return round(HLL_M * math.log(HLL_M / zeros))
+    return round(raw)

@@ -938,3 +938,72 @@ def agg_differential_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("diff_entropy"),
         )
     )
+
+
+@register("agg_hll_wire_format", oracle=_hll_oracle())
+def agg_hll_wire_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch EXCHANGE through the reference's varbinary wire
+    form (HyperLogLogUtils.java state exchange; byte layout = the
+    public airlift DENSE_V2 dense-HLL serialization — see
+    operators/sketches.py hll_serialize_dense for the layout and the
+    precise interop scope). Pipeline: distributed register build ->
+    per-group SERIALIZE to wire bytes (applyInPandas) -> the bytes
+    are the exchanged artifact -> merge on the wire form
+    (deserialize/max/re-serialize, MergeHyperLogLogAggregation
+    contract) -> per-sketch DESERIALIZE + estimate (mapInPandas).
+    Output equals agg_hll_mergeable_sketch (same oracle replays the
+    register pipeline in DuckDB) — proving the wire hop is lossless.
+
+    Scale: sketches are ~1 KB regardless of input size (2^11 4-bit
+    registers); per-group serialization is a grouped pass over the
+    already-aggregated register table, and the merge touches only
+    |groups| rows of bytes — this is exactly why engines exchange
+    sketches instead of raw distincts."""
+    ensure_session_defaults(spark)
+    import pandas as pd
+
+    from presto_0_235_spark.operators import sketches as sk
+
+    orders = load_table(spark, sf_dir, "orders")
+    regs = sk.hll_registers(orders, ["o_orderpriority"], "o_custkey")
+
+    def to_sketch(pdf: pd.DataFrame) -> pd.DataFrame:
+        regmap = {
+            int(i): int(r) for i, r in zip(pdf["reg_idx"], pdf["max_rho"])
+        }
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+                "sketch": [sk.hll_serialize_dense(regmap)],
+            }
+        )
+
+    sketches = regs.groupBy("o_orderpriority").applyInPandas(
+        to_sketch, "o_orderpriority string, sketch binary"
+    )
+
+    def merge_all(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = sk.hll_merge_bytes(*[bytes(b) for b in pdf["sketch"]])
+        return pd.DataFrame(
+            {"o_orderpriority": ["ALL (merged)"], "sketch": [merged]}
+        )
+
+    merged = (
+        sketches.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(merge_all, "o_orderpriority string, sketch binary")
+    )
+
+    def estimate(batches):
+        for pdf in batches:
+            rows = []
+            for grp, b in zip(pdf["o_orderpriority"], pdf["sketch"]):
+                _, regmap = sk.hll_deserialize_dense(bytes(b))
+                rows.append((grp, sk.hll_estimate_registers(regmap)))
+            yield pd.DataFrame(
+                rows, columns=["o_orderpriority", "approx_distinct"]
+            )
+
+    return sketches.unionByName(merged).mapInPandas(
+        estimate, "o_orderpriority string, approx_distinct long"
+    )

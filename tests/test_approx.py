@@ -165,3 +165,69 @@ def test_dec_sum_partition_layout_independent(spark, sf_dir):
         }
 
     assert run(li.coalesce(1)) == run(li.repartition(23))
+
+
+class TestHllWireFormat:
+    """DENSE_V2 wire codec (operators/sketches.py): structural layout
+    pins + lossless roundtrip + wire-merge == direct-merge. Interop
+    scope is documented at the codec: container-compatible with the
+    airlift layout; register contents use this engine's portable
+    hash."""
+
+    def test_layout_structure(self):
+        from presto_0_235_spark.operators import sketches as S
+
+        regs = {5: 3, 17: 20, 2047: 50}
+        data = S.hll_serialize_dense(regs)
+        assert data[0] == 3  # DENSE_V2 tag
+        assert data[1] == S.HLL_P
+        assert data[2] == 0  # baseline 0 (empty buckets exist)
+        # 3 header + m/2 nibbles + 2 overflow count + (2+1)/overflow;
+        # values 20 and 50 exceed baseline+15 -> exactly 2 overflows
+        assert len(data) == 3 + S.HLL_M // 2 + 2 + 3 * 2
+
+    def test_roundtrip_with_overflows(self):
+        from presto_0_235_spark.operators import sketches as S
+
+        regs = {0: 1, 1: 16, 2: 15, 100: 49, 1023: 7, 2047: 50}
+        p, back = S.hll_deserialize_dense(S.hll_serialize_dense(regs))
+        assert p == S.HLL_P
+        assert back == regs
+
+    def test_nonzero_baseline(self):
+        from presto_0_235_spark.operators import sketches as S
+
+        # every bucket occupied -> baseline rises above zero
+        regs = {b: 3 + (b % 5) for b in range(S.HLL_M)}
+        data = S.hll_serialize_dense(regs)
+        assert data[2] == 3
+        _, back = S.hll_deserialize_dense(data)
+        assert back == regs
+
+    def test_wire_merge_equals_direct_merge(self):
+        from presto_0_235_spark.operators import sketches as S
+
+        a = {1: 5, 2: 30, 7: 2}
+        b = {2: 4, 7: 9, 9: 44}
+        wire = S.hll_merge_bytes(
+            S.hll_serialize_dense(a), S.hll_serialize_dense(b)
+        )
+        _, merged = S.hll_deserialize_dense(wire)
+        direct = {
+            k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)
+        }
+        assert merged == direct
+        # and the estimate transfers through the wire hop unchanged
+        assert S.hll_estimate_registers(merged) == S.hll_estimate_registers(
+            direct
+        )
+
+    def test_mismatched_bucket_count_raises(self):
+        from presto_0_235_spark.operators import sketches as S
+
+        small = S.hll_serialize_dense({1: 2}, p=10)
+        big = S.hll_serialize_dense({1: 2}, p=11)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="bucket counts differ"):
+            S.hll_merge_bytes(small, big)
