@@ -161,7 +161,11 @@ def st_contains_ring(ring: Column | str, p: Column | str) -> Column:
     shuffle, no UDF — at 100 TB this is scan-speed, and the
     join_spatial_contains grid bucketing keeps candidate pairs
     sparse."""
-    pts = _c(ring)
+    return _ring_crossings(_c(ring), _c(p)) % 2 == 1
+
+
+def _ring_crossings(pts: Column, p: Column) -> Column:
+    """Rightward-ray crossing count against one closed ring."""
     px, py = st_x(p), st_y(p)
     n = F.greatest(F.size(pts) - 1, F.lit(0))
     crossings = F.zip_with(
@@ -179,7 +183,24 @@ def st_contains_ring(ring: Column | str, p: Column | str) -> Column:
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
-    return F.aggregate(crossings, F.lit(0), lambda acc, c: acc + c) % 2 == 1
+    return F.aggregate(crossings, F.lit(0), lambda acc, c: acc + c)
+
+
+def st_contains_polygon(rings: Column | str, p: Column | str) -> Column:
+    """ST_Contains for a polygon WITH HOLES:
+    ``rings`` = array<array<point>> — outer ring first, then hole
+    rings (each closed). The EVEN-ODD rule extends crossing parity
+    naturally: total crossings over ALL rings is odd iff the point
+    is inside the outer ring an even number of hole boundaries deep
+    — i.e., inside the polygon and outside its holes. Same per-row
+    whole-stage-codegen math as st_contains_ring, one nested fold."""
+    pp = _c(p)
+    total = F.aggregate(
+        _c(rings),
+        F.lit(0),
+        lambda acc, ring: acc + _ring_crossings(ring, pp),
+    )
+    return total % 2 == 1
 
 
 def st_within_ring(p: Column | str, ring: Column | str) -> Column:
@@ -188,12 +209,14 @@ def st_within_ring(p: Column | str, ring: Column | str) -> Column:
     return st_contains_ring(ring, p)
 
 
-def ray_cast_sql(px: str, py: str, vertices: list[tuple[float, float]]) -> str:
-    """Emit the ANSI-SQL twin of st_contains_ring for a FIXED ring:
-    the crossing test unrolled edge-by-edge with the identical
-    arithmetic (same straddle comparison, same slope expression), so
-    a DuckDB oracle reproduces the engine's doubles bit-for-bit.
-    ``vertices`` is the closed ring (first == last)."""
+def ray_cast_terms_sql(
+    px: str, py: str, vertices: list[tuple[float, float]]
+) -> str:
+    """SQL sum of per-edge crossing indicators for one closed ring —
+    identical arithmetic to _ring_crossings (same straddle
+    comparison, same slope expression), so a DuckDB oracle reproduces
+    the engine's doubles bit-for-bit. Vertex coordinates may be
+    numbers or SQL expression strings."""
     terms = []
     for (x1, y1), (x2, y2) in zip(vertices, vertices[1:]):
         terms.append(
@@ -201,7 +224,22 @@ def ray_cast_sql(px: str, py: str, vertices: list[tuple[float, float]]) -> str:
             f"({px} < ({x2} - {x1}) * ({py} - {y1}) / ({y2} - {y1}) "
             f"+ {x1}) THEN 1 ELSE 0 END)"
         )
-    return "((" + " + ".join(terms) + ") % 2 = 1)"
+    return "(" + " + ".join(terms) + ")"
+
+
+def ray_cast_sql(px: str, py: str, vertices: list[tuple[float, float]]) -> str:
+    """ANSI-SQL twin of st_contains_ring for a FIXED closed ring:
+    crossing-term sum parity."""
+    return f"({ray_cast_terms_sql(px, py, vertices)} % 2 = 1)"
+
+
+def ray_cast_holes_sql(
+    px: str, py: str, rings: list[list[tuple[float, float]]]
+) -> str:
+    """ANSI-SQL twin of st_contains_polygon (even-odd over outer +
+    hole rings)."""
+    total = " + ".join(ray_cast_terms_sql(px, py, r) for r in rings)
+    return f"(({total}) % 2 = 1)"
 
 
 def st_num_points(pts: Column | str) -> Column:
@@ -219,9 +257,11 @@ def st_is_closed(pts: Column | str) -> Column:
 
 
 # ---- WKT text I/O (GeoFunctions.java stGeometryFromText/stAsText) ----------
-# The three basic OGC types parse/render with pure string expressions;
-# no geometry library needed. (Multi-geometries and nested polygon
-# holes remain out of scope — they need a real parser.)
+# The basic OGC types parse/render with pure string expressions — no
+# geometry library needed: POINT, LINESTRING, POLYGON with a single
+# ring (st_polygon_from_text) or with holes
+# (st_polygon_rings_from_text). Multi-geometries (MULTIPOLYGON /
+# GEOMETRYCOLLECTION) remain out of scope.
 
 
 _POINT_WKT = r"^POINT \(([-0-9.eE]+) ([-0-9.eE]+)\)$"
@@ -262,9 +302,27 @@ def st_line_from_text(wkt: Column | str) -> Column:
 
 def st_polygon_from_text(wkt: Column | str) -> Column:
     """ST_GeometryFromText('POLYGON ((x y, ...))') -> closed ring
-    array<point> (single outer ring; holes out of scope)."""
+    array<point> (single outer ring; for holes use
+    st_polygon_rings_from_text)."""
     inner = F.regexp_extract(_c(wkt), r"^POLYGON \(\((.+)\)\)$", 1)
     return F.when(inner != "", _coords_to_points(inner))
+
+
+def st_polygon_rings_from_text(wkt: Column | str) -> Column:
+    """ST_GeometryFromText('POLYGON ((outer), (hole), ...)') ->
+    array<array<point>> — outer ring first, then holes; feeds
+    st_contains_polygon. Ring splitting is on the ')…(' boundaries,
+    then the residual parens strip per ring — still pure string
+    expressions."""
+    inner = F.regexp_extract(_c(wkt), r"^POLYGON \((.+)\)$", 1)
+    rings_txt = F.split(inner, r"\)\s*,\s*\(")
+    cleaned = F.transform(
+        rings_txt, lambda r: F.regexp_replace(r, r"^\(|\)$", "")
+    )
+    return F.when(
+        inner != "",
+        F.transform(cleaned, lambda r: _coords_to_points(r)),
+    )
 
 
 def st_as_text_point(p: Column | str) -> Column:

@@ -2190,3 +2190,77 @@ def fn_char_time_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t_rezone_eq"),
         )
     )
+
+
+# Polygon-with-holes fixture for fn_geospatial_holes: outer square,
+# one square hole, one triangular hole (disjoint, both inside the
+# outer ring). Vertices off the probe points' 0.1 grid.
+_HOLES_RINGS = [
+    [(1.05, 1.15), (8.95, 1.15), (8.95, 8.85), (1.05, 8.85),
+     (1.05, 1.15)],
+    [(2.55, 2.45), (4.45, 2.45), (4.45, 4.35), (2.55, 4.35),
+     (2.55, 2.45)],
+    [(5.85, 5.25), (7.95, 5.45), (6.55, 7.65), (5.85, 5.25)],
+]
+
+_HOLES_WKT = "POLYGON (" + ", ".join(
+    "(" + ", ".join(f"{x} {y}" for x, y in ring) + ")"
+    for ring in _HOLES_RINGS
+) + ")"
+
+from presto_0_235_spark.functions.geo import (  # noqa: E402
+    ray_cast_holes_sql as _ray_cast_holes_sql,
+)
+
+_HOLES_PRED_SQL = _ray_cast_holes_sql("px", "py", _HOLES_RINGS)
+
+
+@register(
+    "fn_geospatial_holes",
+    oracle=f"""
+WITH pts AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey % 100) / 10.0 AS px,
+         ((o_orderkey * 3) % 100) / 10.0 AS py
+  FROM orders WHERE o_orderkey < 400
+)
+SELECT k, px, py,
+       {_HOLES_PRED_SQL} AS in_poly,
+       {_HOLES_PRED_SQL} AS in_poly_wkt
+FROM pts
+""",
+)
+def fn_geospatial_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon WITH HOLES containment (GeoFunctions.java:1021
+    stContains on polygons with interior rings — the reference's
+    Esri-backed path; here the even-odd crossing rule over ALL rings,
+    functions/geo.py st_contains_polygon). Exercised through BOTH
+    geometry doors: the typed ring-array literal and the WKT text
+    form 'POLYGON ((outer), (hole), (hole))' parsed by
+    st_polygon_rings_from_text — the two results must agree with
+    each other and with the oracle's edge-unrolled arithmetic.
+    Points inside a hole report NOT contained; holes make crossing
+    totals of 0..4 all occur."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions import geo
+
+    rings_lit = F.array(
+        *[
+            F.array(*[geo.st_point(F.lit(x), F.lit(y)) for x, y in ring])
+            for ring in _HOLES_RINGS
+        ]
+    )
+    k = F.col("o_orderkey")
+    p = geo.st_point((k % 100) / 10.0, ((k * 3) % 100) / 10.0)
+    parsed = geo.st_polygon_rings_from_text(F.lit(_HOLES_WKT))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(k < 400)
+        .select(
+            k.alias("k"),
+            geo.st_x(p).alias("px"),
+            geo.st_y(p).alias("py"),
+            geo.st_contains_polygon(rings_lit, p).alias("in_poly"),
+            geo.st_contains_polygon(parsed, p).alias("in_poly_wkt"),
+        )
+    )
