@@ -450,3 +450,298 @@ def tpcds_q52_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+@register(
+    "tpcds_q1_adapted",
+    oracle=f"""
+WITH ctr AS (
+  SELECT c_custkey, c_nationkey,
+         {oracle_dec_sum('l_extendedprice', 'ctr_total')}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R' AND year(o_orderdate) = 1998
+  GROUP BY c_custkey, c_nationkey
+),
+thresh AS (
+  SELECT c_nationkey,
+         CAST(SUM(CAST(round(ctr_total * 1000000) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 / COUNT(*) * 1.2 AS cutoff
+  FROM ctr GROUP BY c_nationkey
+)
+SELECT c_name
+FROM ctr
+JOIN thresh ON ctr.c_nationkey = thresh.c_nationkey
+JOIN customer ON ctr.c_custkey = customer.c_custkey
+WHERE ctr_total > cutoff
+ORDER BY c_name ASC
+LIMIT 100
+""",
+)
+def tpcds_q1_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q1 (tpcds/q01.sql): the aggregate-CTE + CORRELATED
+    scalar subquery shape — customers whose total returns exceed
+    1.2x the average of their store's customers. Fixture roles:
+    'returns' are l_returnflag = 'R' lineitems, the store grouping
+    is the customer's nation. Implemented in the DECORRELATED form
+    the reference's optimizer itself produces
+    (TransformCorrelatedScalarAggregationToJoin.java): the per-group
+    average joins back to the per-customer totals — one extra
+    aggregate + broadcast-size join instead of a per-row subquery.
+    The second-level average re-scales the (exact-grid) totals to
+    longs so it is order-independent too."""
+    ensure_session_defaults(spark)
+    li, orders, _ = _fact_dims(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    ctr = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.year("o_orderdate") == 1998)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(dec_sum("l_extendedprice", "ctr_total"))
+    )
+    scaled = F.round(F.col("ctr_total") * 1_000_000).cast("long")
+    thresh = ctr.groupBy("c_nationkey").agg(
+        (
+            F.sum(scaled).cast("double") / F.lit(1_000_000.0)
+            / F.count("*") * 1.2
+        ).alias("cutoff")
+    )
+    return (
+        ctr.join(thresh, "c_nationkey")
+        .filter(F.col("ctr_total") > F.col("cutoff"))
+        .join(
+            cust.select("c_custkey", "c_name"), "c_custkey"
+        )
+        .select("c_name")
+        .orderBy(F.col("c_name").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q48_adapted",
+    oracle=f"""
+SELECT {oracle_dec_sum('l_quantity', 'quantity_total')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE year(o_orderdate) = 1999
+  AND ((c_mktsegment = 'BUILDING'
+        AND o_totalprice BETWEEN 10000 AND 100000)
+    OR (c_mktsegment = 'MACHINERY'
+        AND o_totalprice BETWEEN 50000 AND 200000)
+    OR (c_mktsegment = 'AUTOMOBILE'
+        AND o_totalprice BETWEEN 100000 AND 300000))
+  AND ((s_nationkey IN (1, 3, 5) AND l_discount BETWEEN 0.00 AND 0.05)
+    OR (s_nationkey IN (7, 9, 11) AND l_discount BETWEEN 0.02 AND 0.08)
+    OR (s_nationkey IN (13, 15, 17) AND l_discount BETWEEN 0.04 AND 0.10))
+""",
+)
+def tpcds_q48_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q48 (tpcds/q48.sql): one global SUM gated by two
+    independent OR-groups of (dimension-attribute AND fact-measure
+    band) conjunctions — the disjunction-of-band-predicates shape
+    (each OR arm pairs a demographic equality with a different price
+    band; each address arm pairs a state set with a profit band).
+    Fixture roles: customer market segment x order-price bands, and
+    supplier nation sets x discount bands. The predicate cannot be
+    pushed into either dimension alone — it must evaluate on the
+    joined row, like the reference's residual filter."""
+    ensure_session_defaults(spark)
+    li, orders, _ = _fact_dims(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    seg_band = (
+        (
+            (F.col("c_mktsegment") == "BUILDING")
+            & F.col("o_totalprice").between(10000, 100000)
+        )
+        | (
+            (F.col("c_mktsegment") == "MACHINERY")
+            & F.col("o_totalprice").between(50000, 200000)
+        )
+        | (
+            (F.col("c_mktsegment") == "AUTOMOBILE")
+            & F.col("o_totalprice").between(100000, 300000)
+        )
+    )
+    nat_band = (
+        (F.col("s_nationkey").isin(1, 3, 5)
+         & F.col("l_discount").between(0.00, 0.05))
+        | (F.col("s_nationkey").isin(7, 9, 11)
+           & F.col("l_discount").between(0.02, 0.08))
+        | (F.col("s_nationkey").isin(13, 15, 17)
+           & F.col("l_discount").between(0.04, 0.10))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter((F.year("o_orderdate") == 1999) & seg_band & nat_band)
+        .agg(dec_sum("l_quantity", "quantity_total"))
+    )
+
+
+_Q51_CHANNELS = (
+    ("web", "o_orderpriority IN ('1-URGENT', '2-HIGH')"),
+    ("store", "o_orderpriority NOT IN ('1-URGENT', '2-HIGH')"),
+)
+
+
+@register(
+    "tpcds_q51_adapted",
+    oracle=f"""
+WITH {", ".join(
+    f'''{name}_v1 AS (
+  SELECT p_brand AS item, CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+         CAST(SUM(SUM(CAST(round(l_extendedprice * 1000000) AS BIGINT)))
+              OVER (PARTITION BY p_brand
+                    ORDER BY CAST(date_trunc('month', o_orderdate) AS DATE)
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000000.0
+           AS cume_sales
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE {pred} AND year(o_orderdate) BETWEEN 1996 AND 1997
+  GROUP BY p_brand, CAST(date_trunc('month', o_orderdate) AS DATE)
+)''' for name, pred in _Q51_CHANNELS)}
+SELECT item, mon, web_sales, store_sales,
+       max(web_sales) OVER (PARTITION BY item ORDER BY mon
+                            ROWS UNBOUNDED PRECEDING) AS web_cumulative,
+       max(store_sales) OVER (PARTITION BY item ORDER BY mon
+                              ROWS UNBOUNDED PRECEDING) AS store_cumulative
+FROM (
+  SELECT coalesce(web.item, store.item) AS item,
+         coalesce(web.mon, store.mon) AS mon,
+         web.cume_sales AS web_sales,
+         store.cume_sales AS store_sales
+  FROM web_v1 web
+  FULL JOIN store_v1 store
+    ON web.item = store.item AND web.mon = store.mon
+)
+""",
+)
+def tpcds_q51_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 (tpcds/q51.sql): the cumulative-sales FULL-OUTER
+    shape — per channel, a sum-over-sum window (aggregate then
+    running cumulative per item); channels FULL JOIN on (item, date)
+    with coalesced keys; then running MAX windows over the joined
+    row. Exercises window-over-aggregate composition, full-outer key
+    coalescing, and windows over a join output in one plan. Fixture
+    roles: channels are order-priority bands, item is p_brand, the
+    date axis is order month. Running money sums accumulate scaled
+    longs (exact, order-independent) and convert to double once per
+    row."""
+    ensure_session_defaults(spark)
+    from pyspark.sql import Window
+
+    li, orders, part = _fact_dims(spark, sf_dir)
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter(F.year("o_orderdate").between(1996, 1997))
+        .select(
+            F.col("p_brand").alias("item"),
+            F.trunc("o_orderdate", "month").alias("mon"),
+            F.col("o_orderpriority"),
+            F.round(F.col("l_extendedprice") * 1_000_000)
+            .cast("long")
+            .alias("scaled"),
+        )
+    )
+
+    def channel(pred):
+        w = (
+            Window.partitionBy("item")
+            .orderBy("mon")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            base.filter(F.expr(pred))
+            .groupBy("item", "mon")
+            .agg(F.sum("scaled").alias("s"))
+            .select(
+                "item", "mon",
+                (F.sum("s").over(w).cast("double") / 1_000_000.0).alias(
+                    "cume_sales"
+                ),
+            )
+        )
+
+    web = channel(_Q51_CHANNELS[0][1])
+    store = channel(_Q51_CHANNELS[1][1])
+    joined = (
+        web.alias("web")
+        .join(
+            store.alias("store"),
+            (F.col("web.item") == F.col("store.item"))
+            & (F.col("web.mon") == F.col("store.mon")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("web.item"), F.col("store.item")).alias("item"),
+            F.coalesce(F.col("web.mon"), F.col("store.mon")).alias("mon"),
+            F.col("web.cume_sales").alias("web_sales"),
+            F.col("store.cume_sales").alias("store_sales"),
+        )
+    )
+    w_max = (
+        Window.partitionBy("item")
+        .orderBy("mon")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "item", "mon", "web_sales", "store_sales",
+        F.max("web_sales").over(w_max).alias("web_cumulative"),
+        F.max("store_sales").over(w_max).alias("store_cumulative"),
+    )
+
+
+_Q88_BANDS = (
+    ("h1", "l_quantity BETWEEN 1 AND 10",
+     "o_orderpriority IN ('1-URGENT', '2-HIGH')"),
+    ("h2", "l_quantity BETWEEN 11 AND 20",
+     "o_orderpriority IN ('2-HIGH', '3-MEDIUM')"),
+    ("h3", "l_quantity BETWEEN 21 AND 30",
+     "o_orderpriority IN ('3-MEDIUM', '4-NOT SPECIFIED')"),
+    ("h4", "l_quantity BETWEEN 31 AND 40",
+     "o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')"),
+)
+
+
+@register(
+    "tpcds_q88_adapted",
+    oracle=f"""
+SELECT {", ".join(f"{name}.n AS {name}" for name, _, _ in _Q88_BANDS)}
+FROM {", ".join(
+    f'''(SELECT count(*) AS n
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE {band} AND {prio} AND l_returnflag = 'N') {name}'''
+    for name, band, prio in _Q88_BANDS)}
+""",
+)
+def tpcds_q88_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 (tpcds/q88.sql): N independent single-row COUNT
+    subqueries (one per half-hour band in the reference) cross-joined
+    into ONE wide result row — the multi-scalar-subquery plan shape
+    (each subquery is its own aggregation subtree; the joins are
+    single-row cartesians, the one place a cross join is exactly
+    right). Fixture roles: quantity bands x order-priority sets play
+    the time-of-day x household-demographics bands."""
+    ensure_session_defaults(spark)
+    li, orders, _ = _fact_dims(spark, sf_dir)
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_returnflag") == "N"
+    )
+    out = None
+    for name, band, prio in _Q88_BANDS:
+        c = (
+            joined.filter(F.expr(band) & F.expr(prio))
+            .agg(F.count("*").alias(name))
+        )
+        out = c if out is None else out.crossJoin(c)
+    return out
