@@ -3,22 +3,29 @@ GeoFunctions.java) — the planar point/linestring/polygon subset that
 needs no geometry library, as pure Column expressions.
 
 Geometry model: a POINT is struct<x:double, y:double>; a LINESTRING /
-POLYGON RING is array<struct<x,y>> (polygon rings are closed — first
-point repeated last, the WKT convention). This covers the measure /
-accessor / predicate core (ST_X/ST_Y/ST_Distance/ST_Length/ST_Area/
-ST_Centroid/envelope containment) plus great_circle_distance
-(MathFunctions.java:1398 — the reference keeps it in the math
-package). The full OGC surface (WKT parsing, ST_Buffer, ST_Union,
-arbitrary-polygon ST_Contains) needs a computational-geometry
-library (the reference links Esri-geometry-api) and stays a
-documented gap; the spatial RADIUS JOIN path is covered separately
-by join_spatial_radius (ExtractSpatialJoins.java:154 analog).
+POLYGON RING is array<struct<x,y>> (rings closed — first point
+repeated last, the WKT convention); a POLYGON WITH HOLES and a
+MULTILINESTRING are array<array<point>>. Covered as pure Column
+expressions: the measure/accessor/predicate core (ST_X/ST_Y/
+ST_Distance/ST_Length/ST_Area/ST_Centroid/envelope containment),
+general-polygon ST_Contains/ST_Within by ray-casting crossing
+parity (holes via the even-odd rule), WKT parse/render for POINT/
+LINESTRING/POLYGON (incl. interior rings)/MULTIPOINT/
+MULTILINESTRING, point ST_Buffer as an N-gon circle, and
+great_circle_distance (SphericalGeographyUtils.java:82). Remaining
+gaps (documented): MULTIPOLYGON/GEOMETRYCOLLECTION, line/polygon
+buffers, ST_Union — these need a computational-geometry library
+(the reference links Esri-geometry-api). The spatial JOIN paths are
+join_spatial_radius and join_spatial_contains
+(ExtractSpatialJoins.java analogs).
 
 Everything here is JVM-side whole-stage-codegen arithmetic — at
 100 TB these are scan-speed per-row expressions, no shuffle, no UDF.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -378,3 +385,81 @@ def great_circle_distance(
     t2 = cos1 * sin2 - sin1 * cos2 * cos_dlon
     t3 = sin1 * sin2 + cos1 * cos2 * cos_dlon
     return F.atan2(F.sqrt(t1 * t1 + t2 * t2), t3) * F.lit(EARTH_RADIUS_KM)
+
+
+# ---- multi-geometries (subset) + point buffer ------------------------------
+# ST_MultiPoint (GeoFunctions.java:171) is array<point> natively in
+# this engine's geometry model; MULTIPOINT/MULTILINESTRING WKT parse/
+# render with the same string expressions as the single forms. A
+# MULTILINESTRING is array<array<point>>; its ST_Length is the sum of
+# member lengths. ST_Buffer (GeoFunctions.java:277) on a POINT is a
+# regular-polygon circle approximation (the classic N-gon buffer —
+# a geometry library refines the same idea); buffers of lines/
+# polygons stay out of scope.
+
+
+def st_multipoint_from_text(wkt: Column | str) -> Column:
+    """ST_GeometryFromText('MULTIPOINT (x y, x y, ...)') ->
+    array<point>. Both WKT spellings parse: bare pairs and the
+    parenthesized '(x y), (x y)' form."""
+    inner = F.regexp_extract(_c(wkt), r"^MULTIPOINT \((.+)\)$", 1)
+    cleaned = F.regexp_replace(inner, r"[()]", "")
+    return F.when(inner != "", _coords_to_points(cleaned))
+
+
+def st_as_text_multipoint(pts: Column | str) -> Column:
+    """ST_AsText(multipoint) -> 'MULTIPOINT (x y, x y, ...)'."""
+    coords = F.array_join(
+        F.transform(
+            _c(pts),
+            lambda q: F.concat(
+                q.getField("x").cast("string"),
+                F.lit(" "),
+                q.getField("y").cast("string"),
+            ),
+        ),
+        ", ",
+    )
+    return F.concat(F.lit("MULTIPOINT ("), coords, F.lit(")"))
+
+
+def st_multiline_from_text(wkt: Column | str) -> Column:
+    """ST_GeometryFromText('MULTILINESTRING ((...), (...))') ->
+    array<array<point>> (same ring-splitting as polygon holes)."""
+    inner = F.regexp_extract(_c(wkt), r"^MULTILINESTRING \((.+)\)$", 1)
+    lines_txt = F.split(inner, r"\)\s*,\s*\(")
+    cleaned = F.transform(
+        lines_txt, lambda r: F.regexp_replace(r, r"^\(|\)$", "")
+    )
+    return F.when(
+        inner != "",
+        F.transform(cleaned, lambda r: _coords_to_points(r)),
+    )
+
+
+def st_length_multi(lines: Column | str) -> Column:
+    """ST_Length(multilinestring): sum of member linestring lengths."""
+    return F.aggregate(
+        _c(lines), F.lit(0.0), lambda acc, line: acc + st_length(line)
+    )
+
+
+def st_buffer_point(p: Column | str, radius, sides: int = 32) -> Column:
+    """ST_Buffer(point, r) as a closed regular ``sides``-gon ring
+    (GeoFunctions.java:277; the Esri buffer of a point is a circle —
+    this is its N-gon approximation, area within cos(pi/n) of the
+    disc). Vertex k sits at angle 2*pi*k/n — plain cos/sin Column
+    math, so the ring feeds every other geo function (area, length,
+    contains) unchanged."""
+    pp = _c(p)
+    r = F.lit(float(radius)) if isinstance(radius, (int, float)) else radius
+    two_pi = 2.0 * math.pi
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(sides)),
+        lambda k: F.struct(
+            (st_x(pp) + r * F.cos(k.cast("double") * (two_pi / sides)))
+            .alias("x"),
+            (st_y(pp) + r * F.sin(k.cast("double") * (two_pi / sides)))
+            .alias("y"),
+        ),
+    )

@@ -2264,3 +2264,78 @@ def fn_geospatial_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
             geo.st_contains_polygon(parsed, p).alias("in_poly_wkt"),
         )
     )
+
+
+@register(
+    "fn_geospatial_multi",
+    oracle="""
+WITH pts AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey % 100) / 10.0 AS ax, ((o_orderkey * 3) % 100) / 10.0 AS ay,
+         ((o_orderkey * 7) % 100) / 10.0 AS bx,
+         ((o_orderkey * 13) % 100) / 10.0 AS by,
+         1.0 + (o_orderkey % 30) / 10.0 AS r
+  FROM orders WHERE o_orderkey < 300
+)
+SELECT k,
+       'MULTIPOINT (' || ax::VARCHAR || ' ' || ay::VARCHAR || ', '
+         || bx::VARCHAR || ' ' || by::VARCHAR || ')' AS mp_text,
+       2 AS mp_n,
+       round(sqrt(ax * ax + ay * ay)
+             + sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay)), 9)
+         AS ml_len,
+       round(0.5 * 32 * r * r * sin(2 * pi() / 32), 6) AS buf_area,
+       TRUE AS buf_contains_center,
+       FALSE AS buf_contains_far
+FROM pts
+""",
+)
+def fn_geospatial_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-geometry subset + point ST_Buffer (GeoFunctions.java:171
+    stMultiPoint, :277 stBuffer): MULTIPOINT WKT parse -> render
+    roundtrip (the rendered text is compared, so parse and render
+    both check), MULTILINESTRING parse + summed ST_Length, and the
+    N-gon circle buffer — its shoelace area must match the closed
+    form n/2*r^2*sin(2pi/n) at 6 dp, it must contain its center and
+    must not contain a point 3r away. Buffer ring feeds the SAME
+    st_area/st_contains_ring code paths as hand-built rings."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions import geo
+
+    k = F.col("o_orderkey")
+    ax, ay = (k % 100) / 10.0, ((k * 3) % 100) / 10.0
+    bx, by = ((k * 7) % 100) / 10.0, ((k * 13) % 100) / 10.0
+    r = 1.0 + (k % 30) / 10.0
+
+    def two(x, y):
+        return F.concat(
+            x.cast("double").cast("string"), F.lit(" "),
+            y.cast("double").cast("string"),
+        )
+
+    mp_wkt = F.concat(
+        F.lit("MULTIPOINT ("), two(ax, ay), F.lit(", "), two(bx, by),
+        F.lit(")"),
+    )
+    ml_wkt = F.concat(
+        F.lit("MULTILINESTRING ((0 0, "), two(ax, ay), F.lit("), ("),
+        two(ax, ay), F.lit(", "), two(bx, by), F.lit("))"),
+    )
+    mp = geo.st_multipoint_from_text(mp_wkt)
+    ml = geo.st_multiline_from_text(ml_wkt)
+    center = geo.st_point(ax, ay)
+    buf = geo.st_buffer_point(center, r)
+    far = geo.st_point(ax + 3 * r, ay)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(k < 300)
+        .select(
+            k.alias("k"),
+            geo.st_as_text_multipoint(mp).alias("mp_text"),
+            geo.st_num_points(mp).cast("int").alias("mp_n"),
+            F.round(geo.st_length_multi(ml), 9).alias("ml_len"),
+            F.round(geo.st_area(buf), 6).alias("buf_area"),
+            geo.st_contains_ring(buf, center).alias("buf_contains_center"),
+            geo.st_contains_ring(buf, far).alias("buf_contains_far"),
+        )
+    )
