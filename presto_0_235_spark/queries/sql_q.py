@@ -981,3 +981,68 @@ def sql_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """,
     )
+
+
+_SQL_TPCDS_Q3 = """
+SELECT CAST(year(o_orderdate) AS INT) AS d_year,
+       p_brand AS brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS sum_agg
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE month(o_orderdate) = 11 AND p_size = 28
+GROUP BY 1, 2
+ORDER BY d_year ASC, sum_agg DESC, brand ASC
+LIMIT 100
+"""
+
+
+@register("sql_tpcds_q3", oracle=_SQL_TPCDS_Q3)
+def sql_tpcds_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q3's star-rollup shape as SQL TEXT through the Presto
+    front door (the reference's benchto corpus runs these as text:
+    presto-benchto-benchmarks/.../tpcds/q03.sql) — the DataFrame twin
+    is tpcds_q3_adapted; this one proves the dialect layer carries
+    the TPC-DS text shape. Money sum through the DECIMAL hop inside
+    the statement itself."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q3)
+
+
+_SQL_TPCDS_Q36 = """
+WITH agg AS (
+  SELECT p_type AS i_category, p_brand AS i_class,
+         GROUPING(p_type) + GROUPING(p_brand) AS lochierarchy,
+         GROUPING(p_brand) AS g_class,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS net,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           AS gross
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE year(o_orderdate) = 2001
+  GROUP BY ROLLUP (p_type, p_brand)
+)
+SELECT round(net / gross, 9) AS gross_margin,
+       i_category, i_class, lochierarchy,
+       rank() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN g_class = 0 THEN i_category END
+         ORDER BY net / gross ASC, i_class ASC NULLS FIRST
+       ) AS rank_within_parent
+FROM agg
+"""
+
+
+@register("sql_tpcds_q36", oracle=_SQL_TPCDS_Q36)
+def sql_tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q36's ROLLUP + GROUPING() + rank-within-parent as SQL
+    text through the front door — grouping-set functions and windows
+    over grouped output crossing the dialect layer in one statement
+    (tpcds/q36.sql; DataFrame twin tpcds_q36_adapted). The running
+    sums cross the DECIMAL hop; both engines evaluate the identical
+    text."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q36)
