@@ -319,3 +319,14 @@ def test_spatial_contains_join_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_tpcds_star_broadcasts_dims_and_takes_ordered(spark, sf_dir):
+    """tpcds_q3_adapted must plan the TPC-DS star signature: the
+    filter-reduced dims broadcast (no shuffle of the fact for the
+    dim joins), two-phase aggregation, and a TakeOrderedAndProject
+    for ORDER BY ... LIMIT — never a global sort."""
+    plan = plan_of(_QUERIES["tpcds_q3_adapted"].builder(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
