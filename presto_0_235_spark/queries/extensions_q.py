@@ -2283,3 +2283,59 @@ def join_spatial_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
             supp_cells.id.alias("supp_id"),
         )
     )
+
+
+_TEMP_HASH = _oracle_hash64("'temp|' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "docs_sample_temperature",
+    oracle=f"""
+WITH stats AS (
+  SELECT source, CAST(floor(8 * sqrt(count(*))) AS BIGINT) AS n_keep
+  FROM documents GROUP BY source
+)
+SELECT d.source, d.doc_id
+FROM documents d
+JOIN stats s ON d.source = s.source
+QUALIFY row_number() OVER (PARTITION BY d.source
+                           ORDER BY {_TEMP_HASH}, d.doc_id) <= s.n_keep
+""",
+)
+def docs_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing — the standard LLM
+    data-mixing move (sample domain d with weight proportional to
+    share_d^alpha, alpha < 1, so head domains shrink and tail
+    domains survive; alpha = 0.5 here). Deterministic contract: keep
+    floor(c * sqrt(count_d)) documents per domain (c = 8, the global
+    mixing knob), selected by portable-hash rank — the same
+    hash-rank uniform-subset device as sample_reservoir_per_group,
+    so the kept set is reproducible across engines, retries, and
+    partitionings. sqrt keeps the boundary safe: for any integer
+    count, 8*sqrt(count) is either an exact integer (perfect
+    square) or far from one, so floor agrees bit-for-bit on any
+    IEEE engine.
+
+    Scale: one tiny domain-stats aggregate broadcasts back onto the
+    corpus; the per-domain rank plans a WindowGroupLimit when the
+    cap is selective — a skewed megadomain ships O(sqrt(n)) rows,
+    which is the operator's entire purpose."""
+    from pyspark.sql import Window
+
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions.aggregate import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.floor(8 * F.sqrt(F.count("*"))).cast("bigint").alias("n_keep")
+    )
+    h = portable_hash64(
+        F.concat(F.lit("temp|"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.join(F.broadcast(stats), "source")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("n_keep"))
+        .select("source", "doc_id")
+    )
