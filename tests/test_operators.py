@@ -417,3 +417,36 @@ def test_avro_java_interop(spark):
         '{"k": null, "price": null, "status": null, "d": null}',
         '{"k": -7, "price": 2.25, "status": "x", "d": -1}',
     ]
+
+
+def test_avro_multi_file_roundtrip(spark, tmp_path):
+    """The distributed shape: N partitions -> N container files ->
+    N read tasks. Values, nulls, and types must survive the
+    multi-file path (the oracle roundtrip query writes a single
+    file at the fixture's partitioning)."""
+    from pyspark.sql import functions as F
+
+    from presto_0_235_spark.sources.avro import (
+        read_avro_dataframe,
+        write_avro_dataframe,
+    )
+
+    src = (
+        spark.range(1000)
+        .repartition(4)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.5).alias("v"),
+            F.when(F.col("id") % 7 == 0, F.lit(None))
+            .otherwise(F.concat(F.lit("s"), F.col("id").cast("string")))
+            .alias("s"),
+        )
+    )
+    path = str(tmp_path / "avro_multi")
+    n_files = write_avro_dataframe(src, path)
+    assert n_files == 4
+    back = read_avro_dataframe(spark, path, src.schema)
+    assert back.count() == 1000
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
