@@ -463,3 +463,243 @@ def st_buffer_point(p: Column | str, radius, sides: int = 32) -> Column:
             .alias("y"),
         ),
     )
+
+
+# ---- Bing tiles (presto-geospatial BingTileFunctions.java,
+# BingTile.java) -------------------------------------------------------------
+# The reference's quadkey tile system (the standard Bing Maps tile
+# scheme, msdn bb259689): a tile is (x, y, zoomLevel), zoom <= 23,
+# with a packed-bigint encoding and a base-4 quadkey string form.
+# Engine model: struct<x:int, y:int, zoom:int>; every function below
+# is pure Column arithmetic (trig + exact powers of two — bit shifts
+# are expressed as divisions by 2^k, exact in IEEE doubles for the
+# <= 23-bit coordinate range).
+
+BING_MAX_ZOOM = 23
+_TILE_PIXELS = 256
+
+
+def bing_tile(x: Column | str, y: Column | str, zoom: Column | str) -> Column:
+    """bing_tile(x, y, zoom) constructor (BingTileFunctions.java:117).
+    Out-of-range coordinates (>= 2^zoom) yield NULL — the
+    TRY-wrapped form of the reference's thrown error."""
+    xx, yy, zz = _c(x).cast("int"), _c(y).cast("int"), _c(zoom).cast("int")
+    valid = (
+        (zz >= 0) & (zz <= BING_MAX_ZOOM)
+        & (xx >= 0) & (xx < F.pow(F.lit(2.0), zz))
+        & (yy >= 0) & (yy < F.pow(F.lit(2.0), zz))
+    )
+    return F.when(
+        valid,
+        F.struct(xx.alias("x"), yy.alias("y"), zz.alias("zoom")),
+    )
+
+
+def bing_tile_x(t: Column | str) -> Column:
+    """bing_tile_coordinates(tile).x"""
+    return _c(t).getField("x")
+
+
+def bing_tile_y(t: Column | str) -> Column:
+    """bing_tile_coordinates(tile).y"""
+    return _c(t).getField("y")
+
+
+def bing_tile_zoom_level(t: Column | str) -> Column:
+    """bing_tile_zoom_level(tile) (BingTileFunctions.java:168)."""
+    return _c(t).getField("zoom").cast("bigint")
+
+
+def bing_tile_encode(t: Column | str) -> Column:
+    """CAST(tile AS BIGINT) — the packed form (BingTile.java:165:
+    version 0 in the top 5 bits, x << 32, zoom << 26, y low):
+    y | x*2^32 | zoom*2^26."""
+    tt = _c(t)
+    return (
+        tt.getField("y").cast("bigint")
+        + tt.getField("x").cast("bigint") * F.lit(1 << 32).cast("bigint")
+        + tt.getField("zoom").cast("bigint") * F.lit(1 << 26).cast("bigint")
+    )
+
+
+def bing_tile_decode(b: Column | str) -> Column:
+    """CAST(bigint AS BingTile) — inverse of bing_tile_encode
+    (BingTile.java:175 decode, version 0)."""
+    bb = _c(b).cast("bigint")
+    x = F.floor(bb / F.lit(float(1 << 32))).cast("int")
+    zoom = F.pmod(F.floor(bb / F.lit(float(1 << 26))), F.lit(32)).cast("int")
+    y = F.pmod(bb, F.lit(1 << 23)).cast("int")
+    return F.struct(x.alias("x"), y.alias("y"), zoom.alias("zoom"))
+
+
+def _bit_at(v: Column, k: Column) -> Column:
+    """(v >> k) & 1 as exact double-division arithmetic."""
+    return F.pmod(F.floor(v.cast("double") / F.pow(F.lit(2.0), k)), F.lit(2))
+
+
+def bing_tile_quadkey(t: Column | str) -> Column:
+    """bing_tile_quadkey(tile) -> base-4 string, most significant
+    bit first (BingTile.java:141 toQuadKey: digit_i =
+    bit(x, zoom-i) + 2*bit(y, zoom-i))."""
+    tt = _c(t)
+    x, y, zoom = tt.getField("x"), tt.getField("y"), tt.getField("zoom")
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), zoom),
+            lambda i: (
+                _bit_at(x, zoom - i) + _bit_at(y, zoom - i) * 2
+            ).cast("int").cast("string"),
+        ),
+        "",
+    )
+
+
+def bing_tile_from_quadkey(qk: Column | str) -> Column:
+    """bing_tile(quadkey) (BingTileFunctions.java:176,
+    BingTile.java:94 fromQuadKey): zoom = length, digit at position
+    i contributes bit (zoom - i) of x (low bit of digit) and y
+    (high bit). NULL for malformed digits or zoom > 23."""
+    q = _c(qk)
+    zoom = F.length(q)
+
+    def accum(which_bit):
+        return F.aggregate(
+            F.sequence(F.lit(1), zoom),
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc
+            + F.pmod(
+                F.floor(
+                    F.substring(q, i, 1).cast("double")
+                    / (2.0 if which_bit else 1.0)
+                ),
+                F.lit(2),
+            ).cast("bigint")
+            * F.pow(F.lit(2.0), (zoom - i).cast("double")).cast("bigint"),
+        )
+
+    valid = (zoom <= BING_MAX_ZOOM) & q.rlike("^[0-3]*$")
+    return F.when(
+        valid,
+        F.struct(
+            accum(False).cast("int").alias("x"),
+            accum(True).cast("int").alias("y"),
+            zoom.cast("int").alias("zoom"),
+        ),
+    )
+
+
+def _map_size(zoom: Column) -> Column:
+    return F.lit(float(_TILE_PIXELS)) * F.pow(F.lit(2.0), zoom.cast("double"))
+
+
+def _axis_to_tile(axis: Column, map_size: Column) -> Column:
+    clipped = F.least(
+        F.greatest(axis * map_size, F.lit(0.0)), map_size - 1
+    )
+    # Java (int) cast truncates toward zero; values are >= 0 -> floor
+    return F.floor(F.floor(clipped) / _TILE_PIXELS).cast("int")
+
+
+def bing_tile_at(
+    lat: Column | str, lon: Column | str, zoom: Column | str
+) -> Column:
+    """bing_tile_at(latitude, longitude, zoom)
+    (BingTileFunctions.java:185 -> :620 latitudeLongitudeToTile,
+    :637 longitudeToTileX / :643 longitudeToTileY): Mercator pixel
+    math on the clipped WGS84 square. NULL outside lat
+    [-85.05112878, 85.05112878] / lon [-180, 180] (TRY-form of the
+    thrown error)."""
+    la, lo = _c(lat).cast("double"), _c(lon).cast("double")
+    zz = _c(zoom).cast("int")
+    m = _map_size(zz)
+    sin_lat = F.sin(la * math.pi / 180.0)
+    x_axis = (lo + 180.0) / 360.0
+    y_axis = (
+        F.lit(0.5)
+        - F.log((1.0 + sin_lat) / (1.0 - sin_lat)) / (4.0 * math.pi)
+    )
+    valid = (
+        la.between(-85.05112878, 85.05112878)
+        & lo.between(-180.0, 180.0)
+        & (zz >= 0) & (zz <= BING_MAX_ZOOM)
+    )
+    return F.when(
+        valid,
+        F.struct(
+            _axis_to_tile(x_axis, m).alias("x"),
+            _axis_to_tile(y_axis, m).alias("y"),
+            zz.alias("zoom"),
+        ),
+    )
+
+
+def bing_tiles_around(
+    lat: Column | str, lon: Column | str, zoom: Column | str
+) -> Column:
+    """bing_tiles_around(lat, lon, zoom) (BingTileFunctions.java:200):
+    the 3x3 neighborhood of the containing tile, clipped to the
+    valid coordinate range — array<tile> in row-major (dx, dy)
+    order matching the reference's loop."""
+    center = bing_tile_at(lat, lon, zoom)
+    zz = _c(zoom).cast("int")
+    max_index = F.pow(F.lit(2.0), zz.cast("double")).cast("int") - 1
+    cx, cy = center.getField("x"), center.getField("y")
+    offsets = F.flatten(
+        F.transform(
+            F.sequence(F.lit(-1), F.lit(1)),
+            lambda dx: F.transform(
+                F.sequence(F.lit(-1), F.lit(1)),
+                lambda dy: F.struct(dx.alias("dx"), dy.alias("dy")),
+            ),
+        )
+    )
+    return F.filter(
+        F.transform(
+            offsets,
+            lambda o: F.when(
+                ((cx + o.getField("dx")).between(F.lit(0), max_index))
+                & ((cy + o.getField("dy")).between(F.lit(0), max_index)),
+                F.struct(
+                    (cx + o.getField("dx")).cast("int").alias("x"),
+                    (cy + o.getField("dy")).cast("int").alias("y"),
+                    zz.alias("zoom"),
+                ),
+            ),
+        ),
+        lambda t: t.isNotNull(),
+    )
+
+
+def bing_tile_polygon(t: Column | str) -> Column:
+    """bing_tile_polygon(tile) (BingTileFunctions.java:366 ->
+    tileToEnvelope): the tile's lat/lon envelope as a closed ring
+    (feeds st_area/st_contains_ring directly). Corner math is the
+    :?? tileXYToLatitudeLongitude inverse-Mercator:
+    lat = 90 - 360*atan(exp(-y_axis*2*pi))/pi, lon = 360*x_axis."""
+    tt = _c(t)
+    zoom = tt.getField("zoom")
+    m = _map_size(zoom)
+
+    def lon_at(tile_x):
+        x_axis = (
+            F.least(tile_x.cast("double") * _TILE_PIXELS, m) / m - 0.5
+        )
+        return 360.0 * x_axis
+
+    def lat_at(tile_y):
+        y_axis = (
+            F.lit(0.5)
+            - F.least(tile_y.cast("double") * _TILE_PIXELS, m) / m
+        )
+        return (
+            F.lit(90.0)
+            - 360.0 * F.atan(F.exp(-y_axis * 2.0 * math.pi)) / math.pi
+        )
+
+    x0, x1 = tt.getField("x"), tt.getField("x") + 1
+    y0, y1 = tt.getField("y"), tt.getField("y") + 1
+    nw = st_point(lon_at(x0), lat_at(y0))
+    ne = st_point(lon_at(x1), lat_at(y0))
+    se = st_point(lon_at(x1), lat_at(y1))
+    sw = st_point(lon_at(x0), lat_at(y1))
+    return F.array(nw, ne, se, sw, nw)

@@ -2339,3 +2339,92 @@ def fn_geospatial_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             geo.st_contains_ring(buf, far).alias("buf_contains_far"),
         )
     )
+
+
+@register(
+    "fn_bing_tiles",
+    oracle="""
+WITH pts AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey % 160) / 2.0 - 40.0 AS lat,
+         ((o_orderkey * 7) % 680) / 2.0 - 170.0 AS lon
+  FROM orders WHERE o_orderkey < 300
+),
+tiles AS (
+  SELECT k, lat, lon,
+         CAST(floor(floor(least(greatest(((lon + 180.0) / 360.0)
+                 * (256.0 * 2.0^12), 0.0), 256.0 * 2.0^12 - 1)) / 256)
+              AS BIGINT) AS tx,
+         CAST(floor(floor(least(greatest((0.5
+                 - ln((1.0 + sin(lat * pi() / 180.0))
+                      / (1.0 - sin(lat * pi() / 180.0))) / (4.0 * pi()))
+                 * (256.0 * 2.0^12), 0.0), 256.0 * 2.0^12 - 1)) / 256)
+              AS BIGINT) AS ty
+  FROM pts
+)
+SELECT k, tx, ty,
+       list_aggregate(
+         [(CAST(floor(tx / 2.0^(12 - i)) AS BIGINT) % 2
+           + 2 * (CAST(floor(ty / 2.0^(12 - i)) AS BIGINT) % 2))::VARCHAR
+          for i in range(1, 13)], 'string_agg', '') AS quadkey,
+       ty + tx * 4294967296 + 12 * 67108864 AS encoded,
+       TRUE AS decode_roundtrip,
+       TRUE AS quadkey_roundtrip,
+       (CASE WHEN tx = 0 OR tx = 4095 THEN 2 ELSE 3 END)
+         * (CASE WHEN ty = 0 OR ty = 4095 THEN 2 ELSE 3 END) AS n_around,
+       round(360.0 * (least(tx * 256.0, 256.0 * 2.0^12)
+                      / (256.0 * 2.0^12) - 0.5), 9) AS env_west,
+       round(90.0 - 360.0 * atan(exp(-(0.5 - least(ty * 256.0,
+                 256.0 * 2.0^12) / (256.0 * 2.0^12)) * 2.0 * pi()))
+               / pi(), 9) AS env_north
+FROM tiles
+""",
+)
+def fn_bing_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bing tile family (presto-geospatial BingTileFunctions.java:
+    bing_tile/bing_tile_at:185/bing_tile_quadkey:129/
+    bing_tiles_around:200/bing_tile_polygon:366 + the
+    BingTile.java:165 bigint encoding) — the reference's quadkey
+    spatial-indexing scheme as pure Column arithmetic at zoom 12.
+    Roundtrips are pinned IN the engine (encode->decode and
+    quadkey->parse both recover (x, y), emitted as booleans); the
+    oracle recomputes tile coordinates, quadkey, packed encoding,
+    neighbor count, and the envelope corner from the same Mercator
+    formulas."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions import geo
+
+    k = F.col("o_orderkey")
+    lat = (k % 160) / 2.0 - 40.0
+    lon = ((k * 7) % 680) / 2.0 - 170.0
+    zoom = F.lit(12)
+    tile = geo.bing_tile_at(lat, lon, zoom)
+    encoded = geo.bing_tile_encode(tile)
+    decoded = geo.bing_tile_decode(encoded)
+    qk = geo.bing_tile_quadkey(tile)
+    reparsed = geo.bing_tile_from_quadkey(qk)
+    ring = geo.bing_tile_polygon(tile)
+    nw = F.element_at(ring, 1)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(k < 300)
+        .select(
+            k.alias("k"),
+            geo.bing_tile_x(tile).cast("bigint").alias("tx"),
+            geo.bing_tile_y(tile).cast("bigint").alias("ty"),
+            qk.alias("quadkey"),
+            encoded.alias("encoded"),
+            (
+                (geo.bing_tile_x(decoded) == geo.bing_tile_x(tile))
+                & (geo.bing_tile_y(decoded) == geo.bing_tile_y(tile))
+                & (geo.bing_tile_zoom_level(decoded) == 12)
+            ).alias("decode_roundtrip"),
+            (
+                (geo.bing_tile_x(reparsed) == geo.bing_tile_x(tile))
+                & (geo.bing_tile_y(reparsed) == geo.bing_tile_y(tile))
+            ).alias("quadkey_roundtrip"),
+            F.size(geo.bing_tiles_around(lat, lon, zoom)).alias("n_around"),
+            F.round(geo.st_x(nw), 9).alias("env_west"),
+            F.round(geo.st_y(nw), 9).alias("env_north"),
+        )
+    )
