@@ -354,3 +354,91 @@ def hll_estimate_registers(registers: dict[int, int]) -> int:
     if raw <= 2.5 * HLL_M and zeros > 0:
         return round(HLL_M * math.log(HLL_M / zeros))
     return round(raw)
+
+
+# ---------------------------------------------------------------------------
+# KMV / KHyperLogLog (reference type/khyperloglog/KHyperLogLog.java).
+#
+# The reference's KHyperLogLog keeps the K smallest value-hashes
+# (a sorted minhash table) with one HLL per kept hash counting the
+# "user" ids seen with that value; cardinality() extrapolates from
+# the stored hash density (KHyperLogLog.java:259, the Beyer et al.
+# KMV estimator: "On Synopses for Distinct-Value Estimation Under
+# Multiset Operations"), and uniquenessDistribution() histograms
+# per-value user counts (KHyperLogLogFunctions.java:80) — the
+# reidentification-analysis signature.
+#
+# Engine model: the minhash table as ROWS (keys, h, value) — k
+# smallest DISTINCT portable hashes per key group, kept by a
+# hash-ranked WindowGroupLimit (partial top-k before the shuffle).
+# Per-kept-value user counting is EXACT (count distinct over the
+# k-value sample) where the reference uses a per-hash HLL — same
+# semantics, deterministic, and fully SQL-replayable; the HLL
+# variant only trades exactness for constant per-hash state, which
+# matters at the reference's k=2048 x uii-cardinality scale, not
+# for the sample sizes the histogram is read at (documented
+# deviation).
+
+KMV_K = 256
+KMV_HASH_RANGE = float(1 << 60)  # portable_hash64 yields [0, 2^60)
+
+
+def kmv_registers(
+    df: DataFrame, keys: list[str], col: str, k: int = KMV_K
+) -> DataFrame:
+    """khyperloglog_agg's minhash table: the k smallest distinct
+    value-hashes per key group, with the value retained (the
+    reference keeps it implicitly via the per-hash HLL handle)."""
+    from pyspark.sql import Window
+
+    from presto_0_235_spark.functions.aggregate import portable_hash64
+
+    distinct = (
+        df.select(*keys, F.col(col).alias("kmv_value"))
+        .distinct()
+        .withColumn(
+            "kmv_hash", portable_hash64(F.col("kmv_value").cast("string"))
+        )
+    )
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    rn = F.row_number().over(w.orderBy(F.col("kmv_hash").asc()))
+    return (
+        distinct.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(
+    registers: DataFrame, keys: list[str], k: int = KMV_K
+) -> DataFrame:
+    """merge_khll onto a coarser key set: union the tables, re-rank,
+    keep the k smallest — exactly the sketch built on the union
+    (minhash tables are mergeable by construction)."""
+    from pyspark.sql import Window
+
+    dedup = registers.select(*keys, "kmv_value", "kmv_hash").distinct()
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    rn = F.row_number().over(w.orderBy(F.col("kmv_hash").asc()))
+    return dedup.withColumn("__rn", rn).filter(F.col("__rn") <= k).drop("__rn")
+
+
+def kmv_cardinality(
+    registers: DataFrame, keys: list[str], k: int = KMV_K
+) -> DataFrame:
+    """cardinality(khll) (KHyperLogLog.java:259): exact when fewer
+    than k hashes are stored; otherwise the KMV density estimator
+    (k-1) * H / h_k with H the hash range and h_k the largest kept
+    hash — integer inputs, one double division, so the estimate is
+    bit-identical on any engine."""
+    agg = registers.groupBy(*keys).agg(
+        F.count("*").alias("n"), F.max("kmv_hash").alias("h_k")
+    )
+    est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(KMV_HASH_RANGE)
+        / F.col("h_k").cast("double")
+    )
+    return agg.select(
+        *keys, F.round(est).cast("bigint").alias("approx_distinct")
+    )

@@ -1007,3 +1007,128 @@ def agg_hll_wire_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.unionByName(merged).mapInPandas(
         estimate, "o_orderpriority string, approx_distinct long"
     )
+
+
+_KMV_HASH_SQL = "CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "agg_kmv_distinct",
+    oracle=f"""
+WITH hashes AS (
+  SELECT DISTINCT o_orderpriority AS grp, o_custkey,
+         {_KMV_HASH_SQL} AS h
+  FROM orders
+),
+kept AS (
+  SELECT grp, o_custkey, h
+  FROM hashes
+  QUALIFY row_number() OVER (PARTITION BY grp ORDER BY h) <= 256
+),
+merged AS (
+  -- explicit rank-then-filter: DISTINCT + QUALIFY in one block binds
+  -- the window to the pre-DISTINCT rows in DuckDB
+  SELECT 'ALL (merged)' AS grp, h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT o_custkey, h FROM kept)
+  ) WHERE rn <= 256
+),
+sketches AS (
+  SELECT grp, h FROM kept UNION ALL SELECT grp, h FROM merged
+)
+SELECT grp AS o_orderpriority,
+       CAST(round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                       ELSE 255.0 * 1152921504606846976.0
+                            / CAST(max(h) AS DOUBLE) END) AS BIGINT)
+         AS approx_distinct
+FROM sketches
+GROUP BY grp
+""",
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """khyperloglog_agg / cardinality(khll) — the KMV
+    (k-minimum-values) half of the reference's KHyperLogLog
+    (type/khyperloglog/KHyperLogLog.java:259: extrapolate distinct
+    count from the density of the k smallest value-hashes, the
+    Beyer et al. estimator; KHyperLogLogAggregationFunction.java).
+    State = the minhash table as rows (operators/sketches.py
+    kmv_registers — hash-ranked WindowGroupLimit keeps k smallest
+    per group BEFORE the shuffle), merge = re-rank of the union
+    (kmv_merge), estimate exact below k and (k-1)*H/h_k above.
+    Per-priority estimates PLUS the global estimate from MERGING
+    the per-priority sketches; everything replays in SQL because
+    hash, ranks, and the single final division are deterministic."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.operators import sketches as sk
+
+    orders = load_table(spark, sf_dir, "orders")
+    regs = sk.kmv_registers(orders, ["o_orderpriority"], "o_custkey")
+    per_group = sk.kmv_cardinality(regs, ["o_orderpriority"])
+    merged = sk.kmv_cardinality(sk.kmv_merge(regs, []), []).select(
+        F.lit("ALL (merged)").alias("o_orderpriority"), "approx_distinct"
+    )
+    return per_group.unionByName(merged)
+
+
+@register(
+    "agg_khll_uniqueness",
+    oracle=f"""
+WITH hashes AS (
+  SELECT DISTINCT o_custkey, {_KMV_HASH_SQL} AS h
+  FROM orders
+),
+kept AS (
+  SELECT o_custkey FROM hashes
+  QUALIFY row_number() OVER (ORDER BY h) <= 256
+),
+per_value AS (
+  SELECT o.o_custkey,
+         least(count(DISTINCT o.o_orderkey), 8) AS bucket
+  FROM orders o JOIN kept k ON o.o_custkey = k.o_custkey
+  GROUP BY o.o_custkey
+)
+SELECT bucket,
+       round(CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM kept), 9) AS fraction
+FROM per_value
+GROUP BY bucket
+""",
+)
+def agg_khll_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniqueness_distribution(khll)
+    (KHyperLogLogFunctions.java:80 -> KHyperLogLog.java:323): over
+    the KMV-sampled values, histogram the per-value count of
+    distinct user ids (capped at the histogram size), each value
+    contributing 1/|sample| — the reidentification-analysis read:
+    the mass at bucket 1 is the fraction of values identifying a
+    single user. Value = o_custkey, user-id interaction =
+    o_orderkey, cap 8. DEVIATION (documented): per-value counting
+    is exact over the k-value sample where the reference uses a
+    per-hash HLL — identical semantics, deterministic, and
+    SQL-replayable; the HLL only matters when a single value's user
+    set is itself huge. Sample join is a broadcast of k=256 keys."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.operators import sketches as sk
+
+    orders = load_table(spark, sf_dir, "orders")
+    kept = sk.kmv_registers(orders, [], "o_custkey").select(
+        F.col("kmv_value").alias("o_custkey")
+    )
+    n_sample = kept.count()
+    per_value = (
+        orders.join(F.broadcast(kept), "o_custkey")
+        .groupBy("o_custkey")
+        .agg(
+            F.least(
+                F.count_distinct(F.col("o_orderkey")), F.lit(8)
+            ).alias("bucket")
+        )
+    )
+    return (
+        per_value.groupBy("bucket")
+        .agg(
+            F.round(
+                F.count("*").cast("double") / F.lit(float(n_sample)), 9
+            ).alias("fraction")
+        )
+    )
