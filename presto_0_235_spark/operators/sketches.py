@@ -442,3 +442,44 @@ def kmv_cardinality(
     return agg.select(
         *keys, F.round(est).cast("bigint").alias("approx_distinct")
     )
+
+
+def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """jaccard_index(setdigest, setdigest)
+    (type/setdigest/SetDigest.java:166): over the s smallest hashes
+    of the UNION of the two minhash tables (s = the smaller table's
+    size), the fraction present in both — the classic MinHash
+    estimate of |A∩B|/|A∪B|. Inputs are global kmv_registers tables;
+    output one row (s, intersection, jaccard). The union ranking is
+    a single window over <= 2k rows; the size bound s arrives via a
+    single-row cross join — everything deterministic and
+    SQL-replayable."""
+    from pyspark.sql import Window
+
+    fa = a.select(F.col("kmv_hash").alias("h"), F.lit(1).alias("in_a"))
+    fb = b.select(F.col("kmv_hash").alias("h"), F.lit(1).alias("in_b"))
+    u = (
+        fa.join(fb, "h", "full_outer")
+        .fillna(0, ["in_a", "in_b"])
+    )
+    sizes = a.agg(F.count("*").alias("na")).crossJoin(
+        b.agg(F.count("*").alias("nb"))
+    ).select(F.least("na", "nb").alias("s"))
+    ranked = u.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("h").asc()))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(sizes))
+        .filter(F.col("rn") <= F.col("s"))
+        .agg(
+            F.first("s").alias("s"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("intersection"),
+        )
+        .select(
+            "s",
+            "intersection",
+            (F.col("intersection").cast("double") / F.col("s")).alias(
+                "jaccard"
+            ),
+        )
+    )

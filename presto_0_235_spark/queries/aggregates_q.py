@@ -1132,3 +1132,62 @@ def agg_khll_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fraction")
         )
     )
+
+
+@register(
+    "agg_setdigest_jaccard",
+    oracle=f"""
+WITH ha AS (
+  SELECT DISTINCT o_custkey, {_KMV_HASH_SQL} AS h
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+hb AS (
+  SELECT DISTINCT o_custkey, {_KMV_HASH_SQL} AS h
+  FROM orders WHERE o_orderpriority = '2-HIGH'
+),
+ka AS (SELECT h FROM ha QUALIFY row_number() OVER (ORDER BY h) <= 256),
+kb AS (SELECT h FROM hb QUALIFY row_number() OVER (ORDER BY h) <= 256),
+u AS (
+  SELECT coalesce(ka.h, kb.h) AS h,
+         CASE WHEN ka.h IS NULL THEN 0 ELSE 1 END AS in_a,
+         CASE WHEN kb.h IS NULL THEN 0 ELSE 1 END AS in_b
+  FROM ka FULL JOIN kb ON ka.h = kb.h
+),
+sizes AS (
+  SELECT least((SELECT count(*) FROM ka), (SELECT count(*) FROM kb)) AS s
+),
+ranked AS (
+  SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS rn FROM u
+)
+SELECT s, SUM(in_a * in_b) AS intersection,
+       round(CAST(SUM(in_a * in_b) AS DOUBLE) / s, 9) AS jaccard
+FROM ranked, sizes
+WHERE rn <= s
+GROUP BY s
+""",
+)
+def agg_setdigest_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_set_digest / jaccard_index (type/setdigest/
+    SetDigest.java:166, SetDigestFunctions.java:78): MinHash set
+    similarity between the customer sets of two order-priority
+    classes — over the s smallest union hashes (s = smaller sketch
+    size), the fraction present in both sketches. Built on the same
+    kmv_registers state as the KHLL surface (operators/sketches.py
+    kmv_jaccard); one <= 2k-row window + a single-row size bound,
+    all deterministic, full SQL replay."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.operators import sketches as sk
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = sk.kmv_registers(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+        [], "o_custkey",
+    )
+    b = sk.kmv_registers(
+        orders.filter(F.col("o_orderpriority") == "2-HIGH"),
+        [], "o_custkey",
+    )
+    out = sk.kmv_jaccard(a, b)
+    return out.select(
+        "s", "intersection", F.round("jaccard", 9).alias("jaccard")
+    )
