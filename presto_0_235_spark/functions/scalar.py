@@ -691,3 +691,234 @@ def format_time_tz(t: Column | str) -> Column:
         F.lit(":"),
         two(F.pmod(F.abs(off), F.lit(60))),
     )
+
+
+# ---- r7 gap sweep 2: remaining registered scalars --------------------------
+
+
+def fnv1_32(b: Column | str) -> Column:
+    """fnv1_32(varbinary) (VarbinaryFunctions.java:342): FNV-1 with
+    32-bit wraparound — hash = (hash * prime) mod 2^32, then XOR the
+    byte; offset 0x811c9dc5, prime 0x01000193. Pure Column fold over
+    the bytes (the 32-bit product fits a bigint); result
+    sign-extended from 32 bits, matching Java int widening."""
+    return _fnv32(b, a_variant=False)
+
+
+def fnv1a_32(b: Column | str) -> Column:
+    """fnv1a_32(varbinary): XOR the byte FIRST, then multiply."""
+    return _fnv32(b, a_variant=True)
+
+
+def _fnv32(b: Column | str, a_variant: bool) -> Column:
+    bb = _c(b)
+    byte_at = lambda i: F.conv(  # noqa: E731
+        F.hex(F.substring(bb, i, 1)), 16, 10
+    ).cast("bigint")
+    prime, mask = 0x01000193, 0xFFFFFFFF
+
+    def step(acc, i):
+        byte = byte_at(i)
+        if a_variant:
+            return acc.bitwiseXOR(byte) * prime % F.lit(mask + 1)
+        return (acc * prime % F.lit(mask + 1)).bitwiseXOR(byte)
+
+    # sequence(1, 0) would DESCEND ([1, 0]); empty input short-circuits
+    # to the offset basis instead.
+    unsigned = F.when(
+        F.length(bb) == 0, F.lit(0x811C9DC5).cast("bigint")
+    ).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), F.length(bb)),
+            F.lit(0x811C9DC5).cast("bigint"),
+            step,
+        )
+    )
+    return F.when(
+        unsigned >= F.lit(1 << 31), unsigned - F.lit(1 << 32)
+    ).otherwise(unsigned).cast("bigint")
+
+
+def combine_hash(prev: Column | str, value: Column | str) -> Column:
+    """combine_hash(bigint, bigint) = 31 * prev + value with Java
+    64-bit wraparound (CombineHashFunction.java:28). The product is
+    computed in DECIMAL(38) (31 * 2^63 fits easily), wrapped mod
+    2^64, and mapped back to the signed range — no ANSI overflow."""
+    p = _c(prev).cast("decimal(38,0)")
+    v = _c(value).cast("decimal(38,0)")
+    # 2^63 / 2^64 exceed the long literal range -> string-cast route
+    two63 = F.lit("9223372036854775808").cast("decimal(38,0)")
+    two64 = F.lit("18446744073709551616").cast("decimal(38,0)")
+    wrapped = F.pmod(p * 31 + v + two63, two64) - two63
+    return wrapped.cast("bigint")
+
+
+def strrpos(s: Column | str, sub: str) -> Column:
+    """strrpos(string, substring): 1-based position of the LAST
+    occurrence, 0 if absent (StringFunctions.java stringPosition
+    from-the-end variant): found at reverse-position k in the
+    reversed string -> forward position len - k - len(sub) + 2."""
+    ss = _c(s)
+    rev_pos = F.instr(F.reverse(ss), sub[::-1])
+    return F.when(rev_pos == 0, F.lit(0)).otherwise(
+        F.length(ss) - rev_pos - len(sub) + 2
+    ).cast("bigint")
+
+
+def from_base64url(s: Column | str) -> Column:
+    """from_base64url(varchar) -> varbinary: RFC 4648 URL-safe
+    alphabet ('-_' for '+/') (VarbinaryFunctions.java
+    fromBase64UrlVarchar)."""
+    return F.unbase64(F.translate(_c(s), "-_", "+/"))
+
+
+def url_decode_(s: Column | str) -> Column:
+    """url_decode(varchar) (UrlFunctions.java urlDecode) — Spark's
+    url_decode is the same percent-decoding."""
+    return F.url_decode(_c(s))
+
+
+def from_iso8601_date(s: Column | str) -> Column:
+    """from_iso8601_date(varchar) -> date
+    (DateTimeFunctions.java fromISO8601Date)."""
+    return F.to_date(_c(s))
+
+
+def from_iso8601_timestamp(s: Column | str) -> Column:
+    """from_iso8601_timestamp(varchar) -> timestamp (offset applied
+    to the UTC instant, the engine's naive-UTC convention)."""
+    return F.to_timestamp(_c(s))
+
+
+def millisecond_(ts: Column | str) -> Column:
+    """millisecond(timestamp) (DateTimeFunctions.java
+    millisecondFromTimestamp): the millis-of-second field."""
+    return (
+        F.floor(F.pmod(F.unix_micros(_c(ts)), F.lit(1_000_000)) / 1000)
+    ).cast("bigint")
+
+
+def year_of_week(ts: Column | str) -> Column:
+    """year_of_week / yow (DateTimeFunctions.java yearOfWeek):
+    the ISO week-numbering year."""
+    return F.extract(F.lit("YEAROFWEEK"), _c(ts)).cast("bigint")
+
+
+def timezone_hour(ts: Column | str, zone: str | Column) -> Column:
+    """timezone_hour(tstz) (DateTimeFunctions.java timeZoneHour):
+    hour component of the zone's UTC offset at the instant —
+    derived from the wall-clock shift, so DST is honored. Truncation
+    is toward zero, per the reference's integer division."""
+    offset_min = _tz_offset_minutes(ts, zone)
+    return (offset_min / 60).cast("int").cast("bigint")
+
+
+def timezone_minute(ts: Column | str, zone: str | Column) -> Column:
+    """timezone_minute(tstz): minute component of the UTC offset
+    (signed, like the reference)."""
+    offset_min = _tz_offset_minutes(ts, zone)
+    return F.pmod(offset_min, F.lit(60)).cast("int").cast("bigint") * F.when(
+        offset_min < 0, F.lit(-1)
+    ).otherwise(F.lit(1))
+
+
+def _tz_offset_minutes(ts: Column | str, zone: str | Column) -> Column:
+    c = _c(ts)
+    shifted = F.from_utc_timestamp(c, zone)
+    return (
+        (F.unix_micros(shifted) - F.unix_micros(c)) / 60_000_000
+    ).cast("int")
+
+
+def _ip4_to_int(addr: Column | str) -> Column:
+    """dotted-quad -> uint32 as bigint."""
+    parts = F.split(_c(addr), r"\.")
+    return (
+        parts[0].cast("bigint") * 16777216
+        + parts[1].cast("bigint") * 65536
+        + parts[2].cast("bigint") * 256
+        + parts[3].cast("bigint")
+    )
+
+
+def _ip4_from_int(n: Column) -> Column:
+    return F.concat_ws(
+        ".",
+        F.floor(n / 16777216).cast("string"),
+        F.pmod(F.floor(n / 65536), F.lit(256)).cast("string"),
+        F.pmod(F.floor(n / 256), F.lit(256)).cast("string"),
+        F.pmod(n, F.lit(256)).cast("string"),
+    )
+
+
+def _ip4_prefix_bounds(prefix: Column | str) -> tuple[Column, Column]:
+    """'a.b.c.d/p' -> (network int, broadcast int)."""
+    pfx = _c(prefix)
+    addr = F.split_part(pfx, F.lit("/"), F.lit(1))
+    bits = F.split_part(pfx, F.lit("/"), F.lit(2)).cast("int")
+    block = F.pow(F.lit(2.0), (32 - bits).cast("double")).cast("bigint")
+    net = F.floor(_ip4_to_int(addr) / block) * block
+    return net, net + block - 1
+
+
+def ip_subnet_range_v4(prefix: Column | str) -> Column:
+    """ip_subnet_range(ipprefix) -> [min, max] addresses
+    (IpPrefixFunctions.java:115 ipSubnetRange)."""
+    lo, hi = _ip4_prefix_bounds(prefix)
+    return F.array(_ip4_from_int(lo), _ip4_from_int(hi))
+
+
+def is_subnet_of_v4(prefix: Column | str, addr: Column | str) -> Column:
+    """is_subnet_of(ipprefix, ipaddress)
+    (IpPrefixFunctions.java:126)."""
+    lo, hi = _ip4_prefix_bounds(prefix)
+    n = _ip4_to_int(addr)
+    return (n >= lo) & (n <= hi)
+
+
+def is_prefix_subnet_of_v4(
+    outer: Column | str, inner: Column | str
+) -> Column:
+    """is_subnet_of(ipprefix, ipprefix): the second prefix's whole
+    range inside the first's (IpPrefixFunctions.java overload)."""
+    olo, ohi = _ip4_prefix_bounds(outer)
+    ilo, ihi = _ip4_prefix_bounds(inner)
+    return (ilo >= olo) & (ihi <= ohi)
+
+
+def json_array_contains(j: Column | str, value) -> Column:
+    """json_array_contains(json, value) (JsonFunctions.java
+    jsonArrayContains): does the JSON array contain the scalar?
+    Typed by the probe value: strings parse as array<string>,
+    booleans as array<boolean>, numbers as array<double> (exact for
+    the bigint range JSON practically carries). NULL for malformed
+    JSON, matching @SqlNullable."""
+    c = _c(j)
+    if isinstance(value, bool):
+        arr = F.from_json(c, "array<boolean>")
+        probe = F.lit(value)
+    elif isinstance(value, str):
+        arr = F.from_json(c, "array<string>")
+        probe = F.lit(value)
+    else:
+        arr = F.from_json(c, "array<double>")
+        probe = F.lit(float(value))
+    return F.when(arr.isNotNull(), F.array_contains(arr, probe))
+
+
+def typeof_(df, col: str) -> Column:
+    """typeof(x) (TypeOfFunction.java): the static SQL type of the
+    expression. Resolution is a planner-time lookup in both engines;
+    here it reads the column's resolved Spark type from the
+    DataFrame schema and emits the Presto spelling for the common
+    scalar types."""
+    spark_name = dict(
+        zip(df.columns, (f.dataType.simpleString() for f in df.schema.fields))
+    )[col]
+    presto_name = {
+        "bigint": "bigint", "int": "integer", "smallint": "smallint",
+        "tinyint": "tinyint", "double": "double", "float": "real",
+        "string": "varchar", "boolean": "boolean", "date": "date",
+        "timestamp": "timestamp", "binary": "varbinary",
+    }.get(spark_name, spark_name)
+    return F.lit(presto_name)

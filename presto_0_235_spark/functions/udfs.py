@@ -486,3 +486,43 @@ def make_split_words_udtf():
                 yield (w, i + 1)
 
     return SplitWords
+
+
+# ---- FNV-1/1a 64-bit (VarbinaryFunctions.java:350,366) --------------------
+# The 32-bit variants are pure Column folds (functions/scalar.py);
+# the 64-bit multiply needs mod-2^64 wraparound, which Spark's ANSI
+# bigint arithmetic (rightly) refuses — so these two are Arrow batch
+# UDFs like the other codec-shaped gaps.
+
+_FNV64_OFFSET = 0xCBF29CE484222325
+_FNV64_PRIME = 0x100000001B3
+_U64 = (1 << 64) - 1
+
+
+def _fnv64_bytes(data: bytes, a_variant: bool) -> int:
+    h = _FNV64_OFFSET
+    for byte in data:
+        if a_variant:
+            h = ((h ^ byte) * _FNV64_PRIME) & _U64
+        else:
+            h = ((h * _FNV64_PRIME) & _U64) ^ byte
+    # Java long is signed
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+@F.pandas_udf(LongType())
+def fnv1_64(b: pd.Series) -> pd.Series:
+    """fnv1_64(varbinary) -> bigint (VarbinaryFunctions.java:350)."""
+    return pd.Series(
+        [None if v is None else _fnv64_bytes(bytes(v), False) for v in b],
+        dtype="object",
+    )
+
+
+@F.pandas_udf(LongType())
+def fnv1a_64(b: pd.Series) -> pd.Series:
+    """fnv1a_64(varbinary) -> bigint (VarbinaryFunctions.java:366)."""
+    return pd.Series(
+        [None if v is None else _fnv64_bytes(bytes(v), True) for v in b],
+        dtype="object",
+    )

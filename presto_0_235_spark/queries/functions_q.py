@@ -2428,3 +2428,149 @@ def fn_bing_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(geo.st_y(nw), 9).alias("env_north"),
         )
     )
+
+
+@register(
+    "fn_scalar_gaps2",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey AS k, o_orderpriority AS s, o_orderdate,
+         [ascii(substr(o_orderpriority, i, 1))
+          for i in range(1, length(o_orderpriority) + 1)] AS bytes,
+         '10.' || (o_orderkey % 200)::VARCHAR || '.'
+               || ((o_orderkey * 3) % 256)::VARCHAR || '.'
+               || ((o_orderkey * 7) % 256)::VARCHAR AS addr
+  FROM orders WHERE o_orderkey < 300
+),
+f AS (
+  SELECT *,
+    list_reduce(list_prepend(2166136261, bytes),
+      (acc, x) -> xor((acc * 16777619) % 4294967296, x)) AS u32,
+    list_reduce(list_prepend(2166136261, bytes),
+      (acc, x) -> (xor(acc, x) * 16777619) % 4294967296) AS u32a,
+    list_reduce(list_prepend(14695981039346656037::HUGEINT,
+                             [b::HUGEINT for b in bytes]),
+      (acc, x) -> xor((acc * 1099511628211::HUGEINT)
+                      % 18446744073709551616::HUGEINT, x)) AS u64,
+    list_reduce(list_prepend(14695981039346656037::HUGEINT,
+                             [b::HUGEINT for b in bytes]),
+      (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
+                  % 18446744073709551616::HUGEINT) AS u64a,
+    (k % 200) * 65536 + ((k * 3) % 256) * 256 + ((k * 7) % 256) AS low24
+  FROM src
+)
+SELECT k,
+  CASE WHEN u32 >= 2147483648 THEN u32 - 4294967296 ELSE u32 END AS fnv32,
+  CASE WHEN u32a >= 2147483648 THEN u32a - 4294967296 ELSE u32a END
+    AS fnv1a32,
+  CAST(CASE WHEN u64 >= 9223372036854775808::HUGEINT
+            THEN u64 - 18446744073709551616::HUGEINT ELSE u64 END
+       AS BIGINT) AS fnv64,
+  CAST(CASE WHEN u64a >= 9223372036854775808::HUGEINT
+            THEN u64a - 18446744073709551616::HUGEINT ELSE u64a END
+       AS BIGINT) AS fnv1a64,
+  CAST((31::HUGEINT * k + (k * 37 % 1000)
+        + 9223372036854775808::HUGEINT)
+       % 18446744073709551616::HUGEINT
+       - 9223372036854775808::HUGEINT AS BIGINT) AS ch,
+  CASE WHEN strpos(reverse(s), 'E') = 0 THEN 0
+       ELSE length(s) - strpos(reverse(s), 'E') + 1 END AS rp,
+  hex(from_base64(translate(
+    replace(replace(to_base64(s::BLOB), '+', '-'), '/', '_'),
+    '-_', '+/'))) AS b64u_hex,
+  'p q/' || s AS url_decoded,
+  CAST(DATE '1997-03-01' + INTERVAL ((k % 9)) DAY AS DATE) AS iso_d,
+  CAST(k % 1000 AS BIGINT) AS ms,
+  CAST(isoyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS yow,
+  CAST(5 AS BIGINT) AS tzh, CAST(30 AS BIGINT) AS tzm,
+  CAST(-(epoch(timezone('America/New_York', o_orderdate))
+         - epoch(o_orderdate)) / 3600 AS BIGINT) AS tzh_ny,
+  '10.' || (k % 200)::VARCHAR || '.0.0 - 10.' || (k % 200)::VARCHAR
+        || '.63.255' AS subnet_range,
+  ((k * 3) % 256) < 64 AS in_own_18,
+  (k % 200) < 128 AS in_second_octet_band,
+  ((k % 5) = 3) AS json_has_3, TRUE AS json_has_b,
+  NULL::BOOLEAN AS json_malformed,
+  'double' AS type_price, 'bigint' AS type_key
+FROM f
+""",
+)
+def fn_scalar_gaps2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-function completeness sweep #2 — the last scalars
+    from the reference's BuiltInFunctionNamespaceManager list with
+    no prior carrier: fnv1_32/fnv1a_32 (pure Column byte folds,
+    VarbinaryFunctions.java:342,358), fnv1_64/fnv1a_64 (Arrow UDFs
+    — 64-bit wraparound multiply, VarbinaryFunctions.java:350,366;
+    all four verified against the standard FNV test vectors in
+    tests), combine_hash with Java 64-bit wraparound
+    (CombineHashFunction.java:28, DECIMAL(38) mod arithmetic),
+    strrpos, from_base64url (RFC 4648 URL alphabet), url_decode,
+    from_iso8601_date, millisecond, year_of_week,
+    timezone_hour/minute (fixed-offset AND DST-varying zones),
+    ip_subnet_range / is_subnet_of for v4 prefixes
+    (IpPrefixFunctions.java:115,126), typed json_array_contains
+    incl. NULL-on-malformed (JsonFunctions.java), and typeof
+    (TypeOfFunction.java)."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions.udfs import fnv1_64, fnv1a_64
+
+    k = F.col("o_orderkey")
+    s = F.col("o_orderpriority")
+    b = s.cast("binary")
+    df = load_table(spark, sf_dir, "orders").filter(k < 300)
+    addr = F.concat(
+        F.lit("10."), (k % 200).cast("string"), F.lit("."),
+        ((k * 3) % 256).cast("string"), F.lit("."),
+        ((k * 7) % 256).cast("string"),
+    )
+    own_18 = F.concat(
+        F.lit("10."), (k % 200).cast("string"), F.lit(".0.0/18")
+    )
+    ts_ms = F.timestamp_millis(
+        F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+        + F.pmod(k, F.lit(1000))
+    )
+    return df.select(
+        k.alias("k"),
+        ps.fnv1_32(b).alias("fnv32"),
+        ps.fnv1a_32(b).alias("fnv1a32"),
+        fnv1_64(b).alias("fnv64"),
+        fnv1a_64(b).alias("fnv1a64"),
+        ps.combine_hash(k, F.pmod(k * 37, F.lit(1000))).alias("ch"),
+        ps.strrpos(s, "E").alias("rp"),
+        F.hex(ps.from_base64url(
+            F.translate(F.base64(b), "+/", "-_")
+        )).alias("b64u_hex"),
+        ps.url_decode_(F.concat(F.lit("p%20q%2F"), s)).alias(
+            "url_decoded"
+        ),
+        ps.from_iso8601_date(
+            F.concat(F.lit("1997-03-0"), (k % 9 + 1).cast("string"))
+        ).alias("iso_d"),
+        ps.millisecond_(ts_ms).alias("ms"),
+        ps.year_of_week("o_orderdate").alias("yow"),
+        ps.timezone_hour(F.col("o_orderdate").cast("timestamp"), "Asia/Kolkata").alias("tzh"),
+        ps.timezone_minute(F.col("o_orderdate").cast("timestamp"), "Asia/Kolkata").alias("tzm"),
+        ps.timezone_hour(F.col("o_orderdate").cast("timestamp"), "America/New_York").alias(
+            "tzh_ny"
+        ),
+        F.array_join(ps.ip_subnet_range_v4(own_18), " - ").alias(
+            "subnet_range"
+        ),
+        ps.is_subnet_of_v4(own_18, addr).alias("in_own_18"),
+        ps.is_prefix_subnet_of_v4(
+            F.lit("10.0.0.0/9"), own_18
+        ).alias("in_second_octet_band"),
+        ps.json_array_contains(
+            F.concat(F.lit("[1, 2, "), (k % 5).cast("string"), F.lit("]")),
+            3,
+        ).alias("json_has_3"),
+        ps.json_array_contains(F.lit('["a", "b"]'), "b").alias(
+            "json_has_b"
+        ),
+        ps.json_array_contains(F.lit("not json"), "b").alias(
+            "json_malformed"
+        ),
+        ps.typeof_(df, "o_totalprice").alias("type_price"),
+        ps.typeof_(df, "o_orderkey").alias("type_key"),
+    )

@@ -450,3 +450,30 @@ def test_avro_multi_file_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, src.collect())
     )
+
+
+def test_fnv_standard_vectors(spark):
+    """All four FNV variants against the published test vectors
+    (fnv1_32('hello') = 0xb6fa7167, fnv1a_32 = 0x4f9f2cab,
+    fnv1_64 = 0x7b495389bdbdd4c7, fnv1a_64 = 0xa430d84680aabd0b;
+    empty input returns the offset basis)."""
+    from pyspark.sql import functions as F
+
+    from presto_0_235_spark.functions import scalar as ps
+    from presto_0_235_spark.functions.udfs import fnv1_64, fnv1a_64
+
+    row = spark.range(1).select(
+        ps.fnv1_32(F.lit(b"hello")).alias("a"),
+        ps.fnv1a_32(F.lit(b"hello")).alias("b"),
+        fnv1_64(F.lit(b"hello")).alias("c"),
+        fnv1a_64(F.lit(b"hello")).alias("d"),
+        ps.fnv1_32(F.lit(b"")).alias("e32"),
+        fnv1_64(F.lit(b"")).alias("e64"),
+    ).first()
+    u32, u64 = (1 << 32) - 1, (1 << 64) - 1
+    assert row.a & u32 == 0xB6FA7167
+    assert row.b & u32 == 0x4F9F2CAB
+    assert row.c & u64 == 0x7B495389BDBDD4C7
+    assert row.d & u64 == 0xA430D84680AABD0B
+    assert row.e32 & u32 == 0x811C9DC5
+    assert row.e64 & u64 == 0xCBF29CE484222325
