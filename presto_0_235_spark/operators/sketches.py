@@ -483,3 +483,13 @@ def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
             ),
         )
     )
+
+
+def qhist_scale(registers: DataFrame, factor: int) -> DataFrame:
+    """scale_qdigest(qdigest, factor)
+    (QuantileDigestFunctions.java scaleQDigest): multiply every
+    stored weight by the factor — used to re-weight a sketch before
+    merging sketches of unequal sampling rates. Integer factor keeps
+    the state exact; quantiles are invariant under uniform scaling
+    (the property the query pins)."""
+    return registers.withColumn("n", F.col("n") * factor)

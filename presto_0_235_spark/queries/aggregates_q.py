@@ -1191,3 +1191,93 @@ def agg_setdigest_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "s", "intersection", F.round("jaccard", 9).alias("jaccard")
     )
+
+
+@register(
+    "agg_qdigest_scale_multi",
+    oracle=f"""
+WITH b AS (
+  SELECT o_orderpriority AS grp,
+         least({_QH_BINS - 1}, greatest(0,
+           CAST(floor((o_totalprice - {_QH_LO}) / {_QH_HI - _QH_LO}
+                      * {_QH_BINS}) AS INT))) AS bin
+  FROM orders
+),
+regs AS (SELECT grp, bin, count(*) AS n FROM b GROUP BY grp, bin),
+cum AS (
+  SELECT grp, bin, n,
+         SUM(n) OVER (PARTITION BY grp ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cumn,
+         SUM(n) OVER (PARTITION BY grp) AS total
+  FROM regs
+),
+qs AS (
+  SELECT grp,
+         min(CASE WHEN cumn >= CAST(ceil(0.25 * total) AS BIGINT)
+                  THEN bin END) AS b25,
+         min(CASE WHEN cumn >= CAST(ceil(0.50 * total) AS BIGINT)
+                  THEN bin END) AS b50,
+         min(CASE WHEN cumn >= CAST(ceil(0.75 * total) AS BIGINT)
+                  THEN bin END) AS b75,
+         max(total) AS total
+  FROM cum GROUP BY grp
+)
+SELECT grp,
+       round({_QH_LO} + (b25 + 0.5) * {_QH_W}, 6) || ','
+         || round({_QH_LO} + (b50 + 0.5) * {_QH_W}, 6) || ','
+         || round({_QH_LO} + (b75 + 0.5) * {_QH_W}, 6)
+         AS values_at_quantiles,
+       TRUE AS scale_invariant,
+       CAST(total * 7 AS BIGINT) AS scaled_weight
+FROM qs
+""",
+)
+def agg_qdigest_scale_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """values_at_quantiles + scale_qdigest
+    (QuantileDigestFunctions.java valuesAtQuantiles/scaleQDigest):
+    the multi-quantile read of one sketch state (25/50/75th as a
+    comma-joined list — the array form's semantics) and uniform
+    weight scaling (x7), pinning the reference property that
+    quantiles are INVARIANT under scaling while the total weight
+    multiplies. Same rows-as-state qhist machinery as
+    agg_quantile_sketch; everything integer-exact."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.operators import sketches as sk
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), "o_totalprice"
+    )
+    regs = sk.qhist_registers(
+        orders, ["grp"], "o_totalprice", _QH_LO, _QH_HI, _QH_BINS
+    )
+    scaled = sk.qhist_scale(regs, 7)
+
+    def q(r, p, name):
+        auto = f"q{int(p * 100)}"  # qhist_quantile's output column
+        return sk.qhist_quantile(
+            r, ["grp"], p, _QH_LO, _QH_HI, _QH_BINS
+        ).withColumnRenamed(auto, name)
+
+    qs = (
+        q(regs, 0.25, "q25")
+        .join(q(regs, 0.50, "q50"), "grp")
+        .join(q(regs, 0.75, "q75"), "grp")
+        .join(q(scaled, 0.50, "q50_scaled"), "grp")
+        .join(
+            scaled.groupBy("grp").agg(
+                F.sum("n").cast("bigint").alias("scaled_weight")
+            ),
+            "grp",
+        )
+    )
+    return qs.select(
+        "grp",
+        F.concat_ws(
+            ",",
+            F.round("q25", 6).cast("string"),
+            F.round("q50", 6).cast("string"),
+            F.round("q75", 6).cast("string"),
+        ).alias("values_at_quantiles"),
+        (F.col("q50") == F.col("q50_scaled")).alias("scale_invariant"),
+        "scaled_weight",
+    )
