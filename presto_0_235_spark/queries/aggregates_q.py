@@ -221,8 +221,11 @@ GROUP BY o_orderpriority
 """,
 )
 def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """bool_and/bool_or (BooleanAndAggregation.java) and bitwise
-    aggregates (BitwiseAndAggregation.java)."""
+    """bool_and/bool_or (BooleanAndAggregation.java) and the bitwise
+    aggregates bitwise_and_agg/bitwise_or_agg
+    (BitwiseAndAggregation.java, BitwiseOrAggregation.java — Spark
+    spells them bit_and/bit_or), plus bit_xor (checksum's combine
+    primitive)."""
     ensure_session_defaults(spark)
     return (
         load_table(spark, sf_dir, "orders")
@@ -815,7 +818,14 @@ SELECT t AS threshold,
              9) AS precision_at_t,
        round(SUM(CASE WHEN pred >= t AND y THEN 1 ELSE 0 END)
              / greatest(SUM(CASE WHEN y THEN 1 ELSE 0 END), 1), 9)
-         AS recall_at_t
+         AS recall_at_t,
+       round((SUM(CASE WHEN y THEN 1 ELSE 0 END)
+              - SUM(CASE WHEN pred >= t AND y THEN 1 ELSE 0 END))
+             / greatest(SUM(CASE WHEN y THEN 1 ELSE 0 END), 1), 9)
+         AS miss_rate_at_t,
+       round(SUM(CASE WHEN pred >= t AND NOT y THEN 1 ELSE 0 END)
+             / greatest(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END), 1), 9)
+         AS fall_out_at_t
 FROM scored CROSS JOIN th
 GROUP BY t
 ORDER BY t
@@ -825,10 +835,13 @@ def agg_classification_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classification evaluation aggregates (reference
     MAIN/operator/aggregation/ClassificationPrecisionAggregation.java,
     ClassificationRecallAggregation.java,
-    ClassificationThresholdsAggregation.java — precision/recall
-    per threshold bucket over (boolean label, double prediction)
-    pairs; the reference buckets with a FixedDoubleHistogram, here
-    the thresholds are an explicit 10-point spine). Predictions are
+    ClassificationMissRateAggregation.java,
+    ClassificationFallOutAggregation.java,
+    ClassificationThresholdsAggregation.java — the full
+    precision/recall/miss-rate/fall-out family per threshold bucket
+    over (boolean label, double prediction) pairs; the reference
+    buckets with a FixedDoubleHistogram, here the thresholds are an
+    explicit 10-point spine). Predictions are
     md5-derived (deterministic, portable); counts are exact integers
     and the ratios round identically. The model-eval step of a
     training pipeline, runnable at corpus scale: one broadcast of the
@@ -852,6 +865,7 @@ def agg_classification_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pos_pred = F.sum(F.when(F.col("pred") >= F.col("t"), 1).otherwise(0))
     pos_true = F.sum(F.when(F.col("y"), 1).otherwise(0))
+    neg_true = F.sum(F.when(~F.col("y"), 1).otherwise(0))
     return (
         j.groupBy(F.col("t").alias("threshold"))
         .agg(
@@ -863,6 +877,13 @@ def agg_classification_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 tp.cast("double") / F.greatest(pos_true, F.lit(1)), 9
             ).alias("recall_at_t"),
+            F.round(
+                (pos_true - tp).cast("double")
+                / F.greatest(pos_true, F.lit(1)), 9,
+            ).alias("miss_rate_at_t"),
+            F.round(
+                fp.cast("double") / F.greatest(neg_true, F.lit(1)), 9
+            ).alias("fall_out_at_t"),
         )
         .orderBy("threshold")
     )
