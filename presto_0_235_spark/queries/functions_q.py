@@ -1011,7 +1011,9 @@ SELECT o_orderkey,
        CAST(o_orderdate - INTERVAL 1 YEAR AS DATE) AS minus_1y,
        CAST(o_orderdate AS DATE) + 90 AS plus_90d,
        date_diff('month', DATE '1995-01-01', CAST(o_orderdate AS DATE))
-         AS months_since_95
+         AS months_since_95,
+       CAST((o_orderkey % 24) * 3600000 + (o_orderkey % 60) * 60000
+            AS BIGINT) AS ivl_millis
 FROM orders WHERE o_orderkey < 1000
 """,
 )
@@ -1037,6 +1039,18 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 (F.year(od) - F.lit(1995)) * 12 + F.month(od) - F.lit(1)
             ).cast("bigint").alias("months_since_95"),
+            # to_milliseconds(interval day-second)
+            # (DateTimeFunctions.java toMilliseconds): a genuine
+            # DayTimeIntervalType; casting a DAY-TO-SECOND interval
+            # to long yields whole seconds (Spark's end-field rule),
+            # so ms = seconds * 1000.
+            (
+                F.expr(
+                    "make_dt_interval(0, CAST(o_orderkey % 24 AS INT),"
+                    " CAST(o_orderkey % 60 AS INT), 0)"
+                ).cast("long")
+                * 1000
+            ).cast("bigint").alias("ivl_millis"),
         )
     )
 
