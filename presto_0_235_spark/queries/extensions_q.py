@@ -2339,3 +2339,82 @@ def docs_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= F.col("n_keep"))
         .select("source", "doc_id")
     )
+
+
+@register(
+    "agg_spatial_partitioning",
+    oracle="""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         (('0x' || substr(md5('x' || c_custkey::VARCHAR), 1, 6))::BIGINT
+          % 10000) / 100.0 AS x,
+         (('0x' || substr(md5('y' || c_custkey::VARCHAR), 1, 6))::BIGINT
+          % 10000) / 100.0 AS y
+  FROM customer
+),
+xb AS (
+  SELECT *, ntile(4) OVER (ORDER BY x, id) AS x_band FROM pts
+),
+yb AS (
+  SELECT *, ntile(4) OVER (PARTITION BY x_band ORDER BY y, id) AS y_band
+  FROM xb
+)
+SELECT x_band, y_band,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(min(x), 6) AS x_min, round(max(x), 6) AS x_max,
+       round(min(y), 6) AS y_min, round(max(y), 6) AS y_max
+FROM yb
+GROUP BY x_band, y_band
+""",
+)
+def agg_spatial_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spatial_partitioning(geometry) (reference
+    presto-geospatial/.../SpatialPartitioningAggregateFunction.java
+    + SpatialPartitioningInternalAggregateFunction.java — builds a
+    KDB tree over a sample so the distributed spatial join gets
+    BALANCED partitions): the Spark-first equivalent is a two-level
+    equi-depth split — ntile over x (with a total-order tiebreak)
+    then ntile over y within each x band — yielding 4x4 cells of
+    near-equal population with their bounding boxes, exactly the
+    KDB leaf set. This is the data-adaptive alternative to the
+    fixed-size grid the join_spatial_* queries use: skewed point
+    clouds get smaller cells where density is high.
+
+    Scale: two window passes over the (sample of) points — at
+    100 TB the reference samples too (its aggregate keeps at most
+    MAX_SAMPLE points); the ntile windows shuffle once per level on
+    uniform keys and every cell's population is n/16 by
+    construction, which is the whole point."""
+    ensure_session_defaults(spark)
+    from pyspark.sql import Window
+
+    def coord(axis):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(axis), F.col("c_custkey").cast("string"))),
+                1, 6,
+            ), 16, 10,
+        ).cast("bigint")
+        return (h % 10000) / F.lit(100.0)
+
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        coord("x").alias("x"),
+        coord("y").alias("y"),
+    )
+    xb = pts.withColumn(
+        "x_band", F.ntile(4).over(Window.orderBy(F.col("x"), F.col("id")))
+    )
+    yb = xb.withColumn(
+        "y_band",
+        F.ntile(4).over(
+            Window.partitionBy("x_band").orderBy(F.col("y"), F.col("id"))
+        ),
+    )
+    return yb.groupBy("x_band", "y_band").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.round(F.min("x"), 6).alias("x_min"),
+        F.round(F.max("x"), 6).alias("x_max"),
+        F.round(F.min("y"), 6).alias("y_min"),
+        F.round(F.max("y"), 6).alias("y_max"),
+    )

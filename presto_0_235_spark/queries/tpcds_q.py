@@ -745,3 +745,140 @@ def tpcds_q88_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = c if out is None else out.crossJoin(c)
     return out
+
+
+@register(
+    "tpcds_q34_adapted",
+    oracle="""
+WITH dn AS (
+  SELECT o_orderkey AS ticket, o_custkey, count(*) AS cnt
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE (day(o_orderdate) BETWEEN 1 AND 3
+         OR day(o_orderdate) BETWEEN 25 AND 28)
+    AND (o_orderpriority = '1-URGENT' OR o_orderpriority = '5-LOW')
+    AND year(o_orderdate) IN (1998, 1999, 2000)
+  GROUP BY o_orderkey, o_custkey
+)
+SELECT c_name, ticket, cnt
+FROM dn
+JOIN customer ON o_custkey = c_custkey
+WHERE cnt BETWEEN 4 AND 7
+ORDER BY c_name ASC, ticket ASC
+""",
+)
+def tpcds_q34_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q34 (tpcds/q34.sql): the 'together buyers' shape — an
+    inner aggregate counts items per (ticket, customer) under
+    dimension filters (day-of-month bands, demographic OR), a
+    HAVING-style band on the COUNT (cnt BETWEEN) gates which
+    tickets survive, and the survivors join back to the customer
+    dim for display columns. Fixture roles: o_orderkey is the
+    ticket, lineitems are the scanned units, order-priority plays
+    hd_buy_potential, day(o_orderdate) bands play d_dom. The plan
+    signature is aggregate -> filter-on-aggregate -> dimension
+    join, with the count band applied AFTER aggregation (not
+    pushable)."""
+    ensure_session_defaults(spark)
+    li, orders, _ = _fact_dims(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    dn = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (
+                F.dayofmonth("o_orderdate").between(1, 3)
+                | F.dayofmonth("o_orderdate").between(25, 28)
+            )
+            & (
+                (F.col("o_orderpriority") == "1-URGENT")
+                | (F.col("o_orderpriority") == "5-LOW")
+            )
+            & F.year("o_orderdate").isin(1998, 1999, 2000)
+        )
+        .groupBy(
+            F.col("o_orderkey").alias("ticket"), F.col("o_custkey")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt").between(4, 7))
+    )
+    return (
+        dn.join(cust, dn.o_custkey == cust.c_custkey)
+        .select("c_name", "ticket", "cnt")
+        .orderBy(F.col("c_name").asc(), F.col("ticket").asc())
+    )
+
+
+@register(
+    "tpcds_q97_adapted",
+    oracle="""
+WITH ssci AS (
+  SELECT DISTINCT o_custkey AS customer_sk, l_partkey AS item_sk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    AND year(o_orderdate) BETWEEN 1996 AND 1997
+),
+csci AS (
+  SELECT DISTINCT o_custkey AS customer_sk, l_partkey AS item_sk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    AND year(o_orderdate) BETWEEN 1996 AND 1997
+)
+SELECT
+  CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                 AND csci.customer_sk IS NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS store_only,
+  CAST(SUM(CASE WHEN ssci.customer_sk IS NULL
+                 AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS catalog_only,
+  CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                 AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS store_and_catalog
+FROM ssci
+FULL JOIN csci ON ssci.customer_sk = csci.customer_sk
+              AND ssci.item_sk = csci.item_sk
+""",
+)
+def tpcds_q97_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q97 (tpcds/q97.sql): channel-overlap census — per
+    channel a DISTINCT (customer, item) pair set, FULL OUTER join
+    on the composite key, then one row of three conditional counts
+    (store-only / catalog-only / both). The signature is
+    distinct-aggregate CTEs feeding a full-outer set comparison
+    whose NULL-ness encodes set membership. Fixture channels are
+    the urgent/non-urgent order-priority split."""
+    ensure_session_defaults(spark)
+    li, orders, _ = _fact_dims(spark, sf_dir)
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.year("o_orderdate").between(1996, 1997)
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+
+    def channel(pred):
+        return (
+            base.filter(pred)
+            .select(
+                F.col("o_custkey").alias("customer_sk"),
+                F.col("l_partkey").alias("item_sk"),
+            )
+            .distinct()
+        )
+
+    ssci, csci = channel(urgent), channel(~urgent)
+    j = ssci.alias("s").join(
+        csci.alias("c"),
+        (F.col("s.customer_sk") == F.col("c.customer_sk"))
+        & (F.col("s.item_sk") == F.col("c.item_sk")),
+        "full_outer",
+    )
+    s_k, c_k = F.col("s.customer_sk"), F.col("c.customer_sk")
+    return j.agg(
+        F.sum(
+            F.when(s_k.isNotNull() & c_k.isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("store_only"),
+        F.sum(
+            F.when(s_k.isNull() & c_k.isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("catalog_only"),
+        F.sum(
+            F.when(s_k.isNotNull() & c_k.isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("store_and_catalog"),
+    )
