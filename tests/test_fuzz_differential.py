@@ -116,3 +116,72 @@ def test_string_expressions_agree(fuzz_views, parts):
     )
     drows = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert srows == drows, f"\nexpr: {concat}"
+
+
+# ---- codec roundtrip properties (pure-Python, no Spark session) ------------
+# The r7 byte codecs must hold for ARBITRARY inputs, not just the
+# fixture domains the oracles sample — hypothesis explores the space.
+
+
+class TestAvroCodecProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+                st.one_of(
+                    st.none(),
+                    st.floats(allow_nan=False, allow_infinity=True),
+                ),
+                st.one_of(st.none(), st.text(max_size=40)),
+                st.one_of(st.none(), st.binary(max_size=40)),
+                st.one_of(st.none(), st.booleans()),
+            ),
+            max_size=30,
+        )
+    )
+    def test_container_roundtrip_is_identity(self, rows):
+        from presto_0_235_spark.sources import avro as A
+
+        fields = [
+            ("i", A.LONG), ("d", A.DOUBLE), ("s", A.STRING),
+            ("b", A.BYTES), ("f", A.BOOLEAN),
+        ]
+        data = A.write_container(rows, fields, b"0123456789abcdef")
+        got_fields, got_rows = A.read_container(data)
+        assert [n for n, _ in got_fields] == [n for n, _ in fields]
+        assert got_rows == rows
+
+
+class TestHllWireProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(
+        regs=st.dictionaries(
+            st.integers(0, 2047), st.integers(1, 60), max_size=300
+        )
+    )
+    def test_dense_roundtrip_is_identity(self, regs):
+        from presto_0_235_spark.operators import sketches as S
+
+        _, back = S.hll_deserialize_dense(S.hll_serialize_dense(regs))
+        assert back == regs
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        a=st.dictionaries(
+            st.integers(0, 2047), st.integers(1, 60), max_size=200
+        ),
+        b=st.dictionaries(
+            st.integers(0, 2047), st.integers(1, 60), max_size=200
+        ),
+    )
+    def test_wire_merge_matches_register_max(self, a, b):
+        from presto_0_235_spark.operators import sketches as S
+
+        wire = S.hll_merge_bytes(
+            S.hll_serialize_dense(a), S.hll_serialize_dense(b)
+        )
+        _, merged = S.hll_deserialize_dense(wire)
+        assert merged == {
+            k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)
+        }
