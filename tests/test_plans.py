@@ -330,3 +330,21 @@ def test_tpcds_star_broadcasts_dims_and_takes_ordered(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_tpcds_q97_full_outer_membership_join(spark, sf_dir):
+    """tpcds_q97_adapted must plan ONE full-outer join between the
+    two distinct pair-set aggregates — the NULL-ness membership
+    census shape; never a cartesian, and exactly one FullOuter."""
+    plan = plan_of(_QUERIES["tpcds_q97_adapted"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("FullOuter") >= 1, plan
+
+
+def test_spatial_partitioning_is_two_window_passes(spark, sf_dir):
+    """agg_spatial_partitioning: two ntile window levels (x split,
+    then y split within band) and a final aggregate — no joins, no
+    cartesian; the equi-depth KDB shape."""
+    plan = plan_of(_QUERIES["agg_spatial_partitioning"].builder(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Window") >= 2, plan
