@@ -396,3 +396,87 @@ def io_roundtrip_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _orders_slice(spark, sf_dir)
     write_avro_dataframe(src, path)
     return read_avro_dataframe(spark, path, src.schema)
+
+
+@register("io_roundtrip_rcfile", oracle=_ORDERS_SLICE_ORACLE)
+def io_roundtrip_rcfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive RCFILE (RCTEXT) write/read-back
+    (HiveStorageFormat.java:42-91 RCTEXT: RCFile columnar container
+    + ColumnarSerDe text cells). There is no vanilla-Spark DataFrame
+    source for RCFile, but Hive's OWN implementation ships on
+    Spark's classpath (hive-exec-2.3.10-core:
+    org.apache.hadoop.hive.ql.io.RCFile) — so the engine drives the
+    REAL writer/reader through the session JVM instead of
+    reimplementing the container (zero spec-drift risk; the row
+    groups, run-length column headers, and sync markers are Hive's
+    bytes). Cells carry the same text encoding the TEXTFILE path
+    uses, i.e. RCTEXT semantics; RCBINARY's LazyBinaryColumnarSerDe
+    cell encoding stays a documented gap.
+
+    Scale note (honest): this bridge serializes through the driver —
+    it is the FORMAT-CAPABILITY path, sized to the roundtrip slice.
+    A Hive-enabled deployment writes RCFile distributed via the Hive
+    table path (STORED AS RCFILE); the bytes are identical because
+    the classes are."""
+    ensure_session_defaults(spark)
+    src = _orders_slice(spark, sf_dir)
+    cols = src.columns
+    path = os.path.join(
+        _SCRATCH,
+        f"rcfile_{os.path.basename(os.path.normpath(sf_dir))}.rc",
+    )
+    os.makedirs(_SCRATCH, exist_ok=True)
+    if os.path.exists(path):
+        os.remove(path)  # RCFile.Writer refuses to overwrite
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jvm.org.apache.hadoop.hive.ql.io.RCFileOutputFormat.setColumnNumber(
+        conf, len(cols)
+    )
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    writer = jvm.org.apache.hadoop.hive.ql.io.RCFile.Writer(fs, conf, jpath)
+    braw = jvm.org.apache.hadoop.hive.serde2.columnar.BytesRefArrayWritable
+    brw = jvm.org.apache.hadoop.hive.serde2.columnar.BytesRefWritable
+    encoded = src.select(
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(_SERDE_NULL)).alias(c)
+            for c in cols
+        ]
+    )
+    for r in encoded.toLocalIterator():
+        row = braw(len(cols))
+        for i, c in enumerate(cols):
+            cell = r[c].encode("utf-8")
+            row.set(i, brw(cell, 0, len(cell)))
+        writer.append(row)
+    writer.close()
+
+    reader = jvm.org.apache.hadoop.hive.ql.io.RCFile.Reader(fs, jpath, conf)
+    rid = jvm.org.apache.hadoop.io.LongWritable()
+    row = braw()
+    rows = []
+    while reader.next(rid):
+        reader.getCurrentRow(row)
+        rows.append(
+            tuple(
+                bytes(row.get(i).getBytesCopy()).decode("utf-8")
+                for i in range(len(cols))
+            )
+        )
+    reader.close()
+    decoded = spark.createDataFrame(
+        rows, schema=", ".join(f"{c} string" for c in cols)
+    )
+    f = lambda c: F.when(  # noqa: E731
+        F.col(c) == _SERDE_NULL, F.lit(None)
+    ).otherwise(F.col(c))
+    return decoded.select(
+        f("o_orderkey").cast("bigint").alias("o_orderkey"),
+        f("o_custkey").cast("bigint").alias("o_custkey"),
+        f("o_orderstatus").alias("o_orderstatus"),
+        f("o_totalprice").cast("double").alias("o_totalprice"),
+        f("o_date").cast("date").alias("o_date"),
+        f("o_orderpriority").alias("o_orderpriority"),
+    )
