@@ -480,3 +480,111 @@ def io_roundtrip_rcfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f("o_date").cast("date").alias("o_date"),
         f("o_orderpriority").alias("o_orderpriority"),
     )
+
+
+@register("io_roundtrip_rcbinary", oracle=_ORDERS_SLICE_ORACLE)
+def io_roundtrip_rcbinary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive RCBINARY write/read-back (HiveStorageFormat.java:42-91
+    RCBINARY: RCFile container + LazyBinaryColumnarSerDe cells —
+    the BINARY cell encoding, vs RCTEXT's text cells). Same
+    real-Hive-classes bridge as io_roundtrip_rcfile, now with the
+    serde in the loop: typed Writables (LongWritable / Text /
+    DoubleWritable / DateWritable) -> LazyBinaryColumnarSerDe
+    .serialize -> RCFile.Writer, and RCFile.Reader ->
+    .deserialize -> ObjectInspector field reads on the way back.
+    Every byte of both the container AND the cell encoding is
+    Hive's own code. Driver-side format bridge, same honest scale
+    note as RCTEXT."""
+    ensure_session_defaults(spark)
+    src = _orders_slice(spark, sf_dir)
+    cols = src.columns
+    path = os.path.join(
+        _SCRATCH,
+        f"rcbinary_{os.path.basename(os.path.normpath(sf_dir))}.rc",
+    )
+    os.makedirs(_SCRATCH, exist_ok=True)
+    if os.path.exists(path):
+        os.remove(path)
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    props = jvm.java.util.Properties()
+    props.setProperty("columns", ",".join(cols))
+    props.setProperty(
+        "columns.types", "bigint,bigint,string,double,date,string"
+    )
+    serde = jvm.org.apache.hadoop.hive.serde2.columnar.LazyBinaryColumnarSerDe()
+    serde.initialize(conf, props)
+    poif = (
+        jvm.org.apache.hadoop.hive.serde2.objectinspector.primitive
+        .PrimitiveObjectInspectorFactory
+    )
+    insp = [
+        poif.writableLongObjectInspector,
+        poif.writableLongObjectInspector,
+        poif.writableStringObjectInspector,
+        poif.writableDoubleObjectInspector,
+        poif.writableDateObjectInspector,
+        poif.writableStringObjectInspector,
+    ]
+    names = jvm.java.util.ArrayList()
+    ois = jvm.java.util.ArrayList()
+    for c, oi in zip(cols, insp):
+        names.add(c)
+        ois.add(oi)
+    soi = (
+        jvm.org.apache.hadoop.hive.serde2.objectinspector
+        .ObjectInspectorFactory.getStandardStructObjectInspector(names, ois)
+    )
+    jvm.org.apache.hadoop.hive.ql.io.RCFileOutputFormat.setColumnNumber(
+        conf, len(cols)
+    )
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    writer = jvm.org.apache.hadoop.hive.ql.io.RCFile.Writer(fs, conf, jpath)
+    long_w = jvm.org.apache.hadoop.io.LongWritable
+    text_w = jvm.org.apache.hadoop.io.Text
+    double_w = jvm.org.apache.hadoop.io.DoubleWritable
+    date_w = jvm.org.apache.hadoop.hive.serde2.io.DateWritable
+    epoch = __import__("datetime").date(1970, 1, 1)
+    for r in src.toLocalIterator():
+        row = jvm.java.util.ArrayList()
+        row.add(None if r[0] is None else long_w(r[0]))
+        row.add(None if r[1] is None else long_w(r[1]))
+        row.add(None if r[2] is None else text_w(r[2]))
+        row.add(None if r[3] is None else double_w(r[3]))
+        row.add(None if r[4] is None else date_w((r[4] - epoch).days))
+        row.add(None if r[5] is None else text_w(r[5]))
+        writer.append(serde.serialize(row, soi))
+    writer.close()
+
+    reader = jvm.org.apache.hadoop.hive.ql.io.RCFile.Reader(fs, jpath, conf)
+    rid = jvm.org.apache.hadoop.io.LongWritable()
+    braw = jvm.org.apache.hadoop.hive.serde2.columnar.BytesRefArrayWritable()
+    out_oi = serde.getObjectInspector()
+    frefs = out_oi.getAllStructFieldRefs()
+    rows = []
+    while reader.next(rid):
+        reader.getCurrentRow(braw)
+        obj = serde.deserialize(braw)
+        vals = []
+        for i in range(frefs.size()):
+            fref = frefs.get(i)
+            data = out_oi.getStructFieldData(obj, fref)
+            if data is None:
+                vals.append(None)
+            else:
+                v = fref.getFieldObjectInspector().getPrimitiveJavaObject(
+                    data
+                )
+                vals.append(str(v) if i == 4 else v)
+        rows.append(tuple(vals))
+    reader.close()
+    decoded = spark.createDataFrame(
+        rows,
+        schema=(
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_date string, o_orderpriority string"
+        ),
+    )
+    return decoded.withColumn("o_date", F.col("o_date").cast("date"))
