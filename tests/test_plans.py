@@ -348,3 +348,12 @@ def test_spatial_partitioning_is_two_window_passes(spark, sf_dir):
     plan = plan_of(_QUERIES["agg_spatial_partitioning"].builder(spark, sf_dir))
     assert "Join" not in plan, plan
     assert plan.count("Window") >= 2, plan
+
+
+def test_kmv_rank_gets_window_group_limit(spark, sf_dir):
+    """agg_kmv_distinct's k-smallest-hash rank uses a LITERAL k, so
+    Spark must pre-prune via WindowGroupLimit (partial top-k per
+    partition BEFORE the shuffle) — the property that keeps the KMV
+    sketch build O(k) per group per task, as the docstring claims."""
+    plan = plan_of(_QUERIES["agg_kmv_distinct"].builder(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
