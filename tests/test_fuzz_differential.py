@@ -153,6 +153,58 @@ class TestAvroCodecProperties:
         assert got_rows == rows
 
 
+class TestPageFileCodecProperties:
+    @settings(max_examples=150, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+                st.one_of(
+                    st.none(),
+                    st.floats(allow_nan=False, allow_infinity=True),
+                ),
+                st.one_of(st.none(), st.text(max_size=40)),
+                st.one_of(st.none(), st.binary(max_size=40)),
+            ),
+            max_size=40,
+        ),
+        compression=st.sampled_from(["none", "zstd"]),
+        page_positions=st.sampled_from([3, 7, 4096]),
+    )
+    def test_file_roundtrip_is_identity(
+        self, rows, compression, page_positions, tmp_path_factory
+    ):
+        import pandas as pd
+
+        from presto_0_235_spark.sources import pagefile as pf
+
+        p = str(tmp_path_factory.mktemp("pgf") / "t.pagefile")
+        pdf = pd.DataFrame(
+            {
+                "i": pd.array([r[0] for r in rows], dtype=object),
+                "d": pd.array([r[1] for r in rows], dtype=object),
+                "s": pd.array([r[2] for r in rows], dtype=object),
+                "b": pd.array([r[3] for r in rows], dtype=object),
+            }
+        )
+        kinds = [pf.LONG, pf.DOUBLE, pf.STRING, pf.BINARY]
+        pf.write_file(
+            p, pdf, kinds, compression=compression,
+            page_positions=page_positions, stripe_max_bytes=2048,
+        )
+        offsets, fo = pf.read_footer(p)
+        cols = [[] for _ in kinds]
+        for i, start in enumerate(offsets):
+            end = offsets[i + 1] if i + 1 < len(offsets) else fo
+            for page_cols in pf.read_stripe(p, start, end, kinds):
+                for j, c in enumerate(page_cols):
+                    cols[j].extend(c)
+        assert cols[0] == [r[0] for r in rows]
+        assert cols[1] == [r[1] for r in rows]
+        assert cols[2] == [r[2] for r in rows]
+        assert cols[3] == [r[3] for r in rows]
+
+
 class TestHllWireProperties:
     @settings(max_examples=200, deadline=None)
     @given(
