@@ -465,6 +465,191 @@ def st_buffer_point(p: Column | str, radius, sides: int = 32) -> Column:
     )
 
 
+# ---- MULTIPOLYGON / GEOMETRYCOLLECTION / ST_Union (subset) -----------------
+# A MULTIPOLYGON in this engine's typed model is
+# array<array<array<point>>> — polygons -> rings (outer first, then
+# holes) -> closed point rings. Containment extends the even-odd rule
+# across every ring of every member polygon (valid for the disjoint
+# member polygons OGC requires of a MULTIPOLYGON); area sums
+# outer-minus-holes per member. A GEOMETRYCOLLECTION parses into its
+# member WKTs + standard type names (GeometryType.java:23-29), each
+# member feeding the existing single-geometry parsers — the same
+# recursive shape the reference's Esri-backed collection takes.
+# ST_Union covers the exactly-representable cases: point-set union
+# (dedup) and union of polygons with DISJOINT interiors (concat into
+# a multipolygon — the grid/tile pipeline case); overlapping-polygon
+# boundary clipping needs a geometry kernel and stays out of scope.
+
+
+def st_multipolygon_from_text(wkt: Column | str) -> Column:
+    """ST_GeometryFromText('MULTIPOLYGON (((...)), ((...), (hole)))')
+    -> array<array<array<point>>>. Polygons split on the ')), (('
+    boundary, rings inside each polygon on '), (' — coordinates never
+    contain parens, so the two-level split is unambiguous with pure
+    string expressions."""
+    inner = F.regexp_extract(_c(wkt), r"^MULTIPOLYGON \((.+)\)$", 1)
+    polys_txt = F.split(inner, r"\)\)\s*,\s*\(\(")
+    return F.when(
+        inner != "",
+        F.transform(
+            polys_txt,
+            lambda poly: F.transform(
+                F.split(
+                    F.regexp_replace(poly, r"^\(+|\)+$", ""),
+                    r"\)\s*,\s*\(",
+                ),
+                lambda ring: _coords_to_points(ring),
+            ),
+        ),
+    )
+
+
+def st_as_text_multipolygon(polys: Column | str) -> Column:
+    """ST_AsText(multipolygon) -> 'MULTIPOLYGON (((...)), ...)'."""
+    def ring_txt(ring):
+        return F.concat(
+            F.lit("("),
+            F.array_join(
+                F.transform(
+                    ring,
+                    lambda q: F.concat(
+                        q.getField("x").cast("string"),
+                        F.lit(" "),
+                        q.getField("y").cast("string"),
+                    ),
+                ),
+                ", ",
+            ),
+            F.lit(")"),
+        )
+
+    poly_txt = F.transform(
+        _c(polys),
+        lambda rings: F.concat(
+            F.lit("("),
+            F.array_join(F.transform(rings, ring_txt), ", "),
+            F.lit(")"),
+        ),
+    )
+    return F.concat(
+        F.lit("MULTIPOLYGON ("), F.array_join(poly_txt, ", "), F.lit(")")
+    )
+
+
+def st_contains_multipolygon(polys: Column | str, p: Column | str) -> Column:
+    """ST_Contains(multipolygon, point): crossing parity over EVERY
+    ring of EVERY member polygon. For the disjoint members a valid
+    MULTIPOLYGON requires, a point interior to one member crosses
+    that member's rings an odd total and every other member's an even
+    total — the global parity is exactly membership. Same whole-stage
+    codegen fold as st_contains_polygon, one level deeper."""
+    pp = _c(p)
+    total = F.aggregate(
+        _c(polys),
+        F.lit(0),
+        lambda acc, rings: acc
+        + F.aggregate(
+            rings, F.lit(0), lambda a2, ring: a2 + _ring_crossings(ring, pp)
+        ),
+    )
+    return total % 2 == 1
+
+
+def st_area_polygon(rings: Column | str) -> Column:
+    """ST_Area of a polygon with holes: |outer| minus the hole areas
+    (shoelace absolute value per ring — holes subtract regardless of
+    their winding)."""
+    r = _c(rings)
+    outer = F.abs(_shoelace_2a(F.element_at(r, 1))) / 2.0
+    holes = F.aggregate(
+        F.slice(r, 2, F.greatest(F.size(r) - 1, F.lit(0))),
+        F.lit(0.0),
+        lambda acc, ring: acc + F.abs(_shoelace_2a(ring)) / 2.0,
+    )
+    return outer - holes
+
+
+def st_area_multipolygon(polys: Column | str) -> Column:
+    """ST_Area(multipolygon): sum of member polygon areas."""
+    return F.aggregate(
+        _c(polys),
+        F.lit(0.0),
+        lambda acc, rings: acc + st_area_polygon(rings),
+    )
+
+
+_GEOM_STANDARD_NAMES = {
+    "POINT": "ST_Point",
+    "MULTIPOINT": "ST_MultiPoint",
+    "LINESTRING": "ST_LineString",
+    "MULTILINESTRING": "ST_MultiLineString",
+    "POLYGON": "ST_Polygon",
+    "MULTIPOLYGON": "ST_MultiPolygon",
+    "GEOMETRYCOLLECTION": "ST_GeomCollection",
+}
+
+
+def st_geometry_type(wkt: Column | str) -> Column:
+    """ST_GeometryType -> the OGC standard name
+    (GeometryType.java:23-29 standardName: ST_Point, ST_LineString,
+    ST_Polygon, ST_Multi*, ST_GeomCollection)."""
+    tag = F.regexp_extract(_c(wkt), r"^([A-Z]+)", 1)
+    expr = F.lit(None).cast("string")
+    for raw, std in _GEOM_STANDARD_NAMES.items():
+        expr = F.when(tag == raw, F.lit(std)).otherwise(expr)
+    return expr
+
+
+def st_collection_members(wkt: Column | str) -> Column:
+    """GEOMETRYCOLLECTION (...) -> array of member WKT strings.
+    Members split on commas FOLLOWED BY a geometry keyword (lookahead
+    — coordinates never start with a letter), so nested commas inside
+    member coordinate lists survive. Each member string feeds the
+    existing typed parsers (st_point_from_text & co.) — recursion via
+    composition, as the SQL user would write it."""
+    inner = F.regexp_extract(
+        _c(wkt), r"^GEOMETRYCOLLECTION \((.+)\)$", 1
+    )
+    return F.when(
+        inner != "", F.transform(F.split(inner, r",\s*(?=[A-Z])"), F.trim)
+    )
+
+
+def st_num_geometries(wkt: Column | str) -> Column:
+    """ST_NumGeometries over a collection WKT (1 for single
+    geometries, member count for GEOMETRYCOLLECTION — matching the
+    reference's OGCConcreteGeometryCollection.numGeometries)."""
+    members = st_collection_members(wkt)
+    return F.coalesce(F.size(members), F.lit(1)).cast("bigint")
+
+
+def st_geometry_n(wkt: Column | str, n) -> Column:
+    """ST_GeometryN(collection, n) -> member WKT (1-based, NULL out
+    of range; the single-geometry case returns the geometry itself
+    for n=1, reference GeoFunctions stGeometryN)."""
+    nn = F.lit(n) if isinstance(n, int) else n
+    members = F.coalesce(
+        st_collection_members(wkt), F.array(_c(wkt))
+    )
+    return F.when(
+        (nn >= 1) & (nn <= F.size(members)), F.element_at(members, nn)
+    )
+
+
+def st_union_multipoint(a: Column | str, b: Column | str) -> Column:
+    """ST_Union of two point sets -> deduplicated multipoint
+    (array_union on the typed point structs)."""
+    return F.array_union(_c(a), _c(b))
+
+
+def st_union_disjoint_polygons(a: Column | str, b: Column | str) -> Column:
+    """ST_Union of two multipolygons whose interiors are DISJOINT
+    (the tiling/partition case): the union is exactly the member
+    concatenation. Overlapping unions require boundary clipping (a
+    geometry kernel) — out of scope, documented."""
+    return F.concat(_c(a), _c(b))
+
+
 # ---- Bing tiles (presto-geospatial BingTileFunctions.java,
 # BingTile.java) -------------------------------------------------------------
 # The reference's quadkey tile system (the standard Bing Maps tile

@@ -2355,6 +2355,165 @@ def fn_geospatial_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MULTIPOLYGON fixture for fn_geospatial_multipolygon: member 1 is a
+# square with a square hole, member 2 a disjoint triangle; the union
+# partner is a distant square. All vertices off the probe grid.
+_MP_POLYS = [
+    [
+        [(0.55, 0.65), (4.45, 0.65), (4.45, 4.35), (0.55, 4.35),
+         (0.55, 0.65)],
+        [(1.55, 1.45), (2.95, 1.45), (2.95, 2.85), (1.55, 2.85),
+         (1.55, 1.45)],
+    ],
+    [
+        [(5.85, 5.25), (9.05, 5.45), (7.15, 8.95), (5.85, 5.25)],
+    ],
+]
+_MP_UNION_POLYS = [
+    [[(11.05, 11.15), (13.95, 11.15), (13.95, 13.85), (11.05, 13.85),
+      (11.05, 11.15)]],
+]
+
+_MP_WKT = "MULTIPOLYGON (" + ", ".join(
+    "(" + ", ".join(
+        "(" + ", ".join(f"{x} {y}" for x, y in ring) + ")"
+        for ring in rings
+    ) + ")"
+    for rings in _MP_POLYS
+) + ")"
+
+
+def _shoelace_sql(ring):
+    """SQL twin of geo._shoelace_2a's left fold for a FIXED ring."""
+    terms = " + ".join(
+        f"({x1!r} * {y2!r} - {x2!r} * {y1!r})"
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:])
+    )
+    return f"(0.0 + {terms})"
+
+
+def _poly_area_sql(rings):
+    outer = f"abs({_shoelace_sql(rings[0])}) / 2.0"
+    if len(rings) == 1:
+        return f"({outer} - 0.0)"
+    holes = " + ".join(
+        f"abs({_shoelace_sql(r)}) / 2.0" for r in rings[1:]
+    )
+    return f"({outer} - (0.0 + {holes}))"
+
+
+def _mp_area_sql(polys):
+    return "(0.0 + " + " + ".join(_poly_area_sql(p) for p in polys) + ")"
+
+
+@register(
+    "fn_geospatial_multipolygon",
+    oracle=f"""
+WITH pts AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey % 100) / 10.0 AS px,
+         ((o_orderkey * 3) % 100) / 10.0 AS py,
+         ((o_orderkey * 7) % 100) / 10.0 AS bx,
+         ((o_orderkey * 13) % 100) / 10.0 AS by
+  FROM orders WHERE o_orderkey < 300
+)
+SELECT k, px, py,
+       {_ray_cast_holes_sql("px", "py",
+                            [r for p in _MP_POLYS for r in p])} AS in_mp,
+       {_ray_cast_holes_sql("px", "py",
+                            [r for p in _MP_POLYS for r in p])} AS in_mp_wkt,
+       '{_MP_WKT}' AS mp_text,
+       round({_mp_area_sql(_MP_POLYS)}, 9) AS area_mp,
+       'ST_MultiPolygon' AS gtype,
+       3 AS gc_n,
+       'ST_LineString' AS gc_type2,
+       round(px, 9) AS gc_px,
+       round({_mp_area_sql(_MP_POLYS + _MP_UNION_POLYS)}, 9) AS u_area,
+       (CASE WHEN px = bx AND py = by THEN 2 ELSE 3 END) AS u_pts
+FROM pts
+""",
+)
+def fn_geospatial_multipolygon(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTIPOLYGON + GEOMETRYCOLLECTION + ST_Union subset
+    (GeoFunctions.java stContains/stArea on multi-geometries,
+    stGeometryType/stNumGeometries/stGeometryN,
+    GeometryType.java:23-29 standard names). Containment runs through
+    BOTH doors — the typed array<array<array<point>>> literal and the
+    WKT text parsed by st_multipolygon_from_text — and must agree
+    with the oracle's edge-unrolled crossing parity over every ring
+    of every member (even-odd across disjoint members + holes).
+    ST_AsText round-trips the parse. Area = sum of outer-minus-holes
+    shoelace areas, replayed as identical left-fold arithmetic in
+    SQL. A per-row GEOMETRYCOLLECTION built from fixture coordinates
+    parses into members (lookahead comma split), counts them, types
+    member 2, and extracts member 1's x through the POINT parser.
+    ST_Union covers the exactly-representable cases: disjoint-polygon
+    union (member concat -> area adds) and point-set union (dedup
+    count). All pure Column string/array expressions — scan-speed at
+    100 TB, no UDFs, no shuffle."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions import geo
+
+    def ring_lit(vs):
+        return F.array(*[geo.st_point(F.lit(x), F.lit(y)) for x, y in vs])
+
+    def polys_lit(polys):
+        return F.array(
+            *[F.array(*[ring_lit(r) for r in rings]) for rings in polys]
+        )
+
+    k = F.col("o_orderkey")
+    ax, ay = (k % 100) / 10.0, ((k * 3) % 100) / 10.0
+    bx, by = ((k * 7) % 100) / 10.0, ((k * 13) % 100) / 10.0
+    p = geo.st_point(ax, ay)
+    mp_typed = polys_lit(_MP_POLYS)
+    mp_parsed = geo.st_multipolygon_from_text(F.lit(_MP_WKT))
+
+    def two(x, y):
+        return F.concat(
+            x.cast("double").cast("string"), F.lit(" "),
+            y.cast("double").cast("string"),
+        )
+
+    gc = F.concat(
+        F.lit("GEOMETRYCOLLECTION (POINT ("), two(ax, ay),
+        F.lit("), LINESTRING (0 0, "), two(bx, by),
+        F.lit("), POLYGON ((5.85 5.25, 9.05 5.45, 7.15 8.95, "
+              "5.85 5.25)))"),
+    )
+    union_mp = geo.st_union_disjoint_polygons(
+        mp_typed, polys_lit(_MP_UNION_POLYS)
+    )
+    pts_a = F.array(geo.st_point(ax, ay), geo.st_point(bx, by))
+    pts_b = F.array(geo.st_point(bx, by), geo.st_point(F.lit(55.5), F.lit(55.5)))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(k < 300)
+        .select(
+            k.alias("k"),
+            geo.st_x(p).alias("px"),
+            geo.st_y(p).alias("py"),
+            geo.st_contains_multipolygon(mp_typed, p).alias("in_mp"),
+            geo.st_contains_multipolygon(mp_parsed, p).alias("in_mp_wkt"),
+            geo.st_as_text_multipolygon(mp_parsed).alias("mp_text"),
+            F.round(geo.st_area_multipolygon(mp_typed), 9).alias("area_mp"),
+            geo.st_geometry_type(F.lit(_MP_WKT)).alias("gtype"),
+            geo.st_num_geometries(gc).cast("int").alias("gc_n"),
+            geo.st_geometry_type(geo.st_geometry_n(gc, 2)).alias("gc_type2"),
+            F.round(
+                geo.st_x(
+                    geo.st_point_from_text(geo.st_geometry_n(gc, 1))
+                ),
+                9,
+            ).alias("gc_px"),
+            F.round(geo.st_area_multipolygon(union_mp), 9).alias("u_area"),
+            F.size(geo.st_union_multipoint(pts_a, pts_b)).alias("u_pts"),
+        )
+    )
+
+
 @register(
     "fn_bing_tiles",
     oracle="""

@@ -406,6 +406,40 @@ def test_geo_degenerate_shapes(spark):
     assert row.len_empty == 0.0 and row.area_empty == 0.0
 
 
+def test_geo_multipolygon_collection_edges(spark):
+    """Multi-geometry edges: a single-member MULTIPOLYGON parses;
+    ST_GeometryN is NULL out of range and identity for n=1 on a
+    single geometry; ST_NumGeometries is 1 for non-collections;
+    ST_GeometryType is NULL for malformed text; point-set union
+    dedups exact duplicates."""
+    from presto_0_235_spark.functions import geo
+
+    mp1 = "MULTIPOLYGON (((0.5 0.5, 2.5 0.5, 2.5 2.5, 0.5 0.5)))"
+    gc = "GEOMETRYCOLLECTION (POINT (1 2), POINT (3 4))"
+    row = spark.range(1).select(
+        F.size(geo.st_multipolygon_from_text(F.lit(mp1))).alias("n_polys"),
+        geo.st_contains_multipolygon(
+            geo.st_multipolygon_from_text(F.lit(mp1)),
+            geo.st_point(F.lit(1.5), F.lit(1.0)),
+        ).alias("inside"),
+        geo.st_geometry_n(F.lit(gc), 3).alias("oob"),
+        geo.st_geometry_n(F.lit("POINT (7 8)"), 1).alias("single_n1"),
+        geo.st_num_geometries(F.lit("POINT (7 8)")).alias("single_n"),
+        geo.st_geometry_type(F.lit("not wkt")).alias("bad_type"),
+        F.size(
+            geo.st_union_multipoint(
+                F.array(geo.st_point(F.lit(1.0), F.lit(2.0))),
+                F.array(geo.st_point(F.lit(1.0), F.lit(2.0))),
+            )
+        ).alias("union_dedup"),
+    ).first()
+    assert row.n_polys == 1 and row.inside is True
+    assert row.oob is None
+    assert row.single_n1 == "POINT (7 8)" and row.single_n == 1
+    assert row.bad_type is None
+    assert row.union_dedup == 1
+
+
 class TestCharAndTimeTzSemantics:
     """Pinned semantics for the two SPI types with no Spark runtime
     analog (SPI/type/CharType.java + Chars.java,
