@@ -882,3 +882,423 @@ def tpcds_q97_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(s_k.isNotNull() & c_k.isNotNull(), 1).otherwise(0)
         ).cast("bigint").alias("store_and_catalog"),
     )
+
+
+@register(
+    "tpcds_q38_adapted",
+    oracle="""
+SELECT count(*) AS cnt
+FROM (
+  SELECT DISTINCT c_name, CAST(year(o_orderdate) AS INT) AS d_year
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT DISTINCT c_name, CAST(year(o_orderdate) AS INT) AS d_year
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderpriority = '2-HIGH'
+  INTERSECT
+  SELECT DISTINCT c_name, CAST(year(o_orderdate) AS INT) AS d_year
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderpriority = '3-MEDIUM'
+) hot_cust
+""",
+)
+def tpcds_q38_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q38 (tpcds/q38.sql): COUNT(*) over the three-way
+    INTERSECT of per-channel DISTINCT (customer, date) sets — the
+    corpus's set-operation signature shape. Fixture roles: the three
+    sales channels (store/catalog/web x date_dim x customer) become
+    three order-priority bands joined to customer; the distinct key
+    (c_last_name, c_first_name, d_date) becomes (c_name, year).
+    Spark lowers each DISTINCT to a partial/final hash agg and the
+    INTERSECT chain to left-semi joins over the deduped sets — no
+    row explosion at any scale; the count is a single-row final
+    agg."""
+    ensure_session_defaults(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def channel(priority: str) -> DataFrame:
+        return (
+            orders.filter(F.col("o_orderpriority") == priority)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select(
+                F.col("c_name"),
+                F.year("o_orderdate").cast("int").alias("d_year"),
+            )
+            .distinct()
+        )
+
+    hot = (
+        channel("1-URGENT")
+        .intersect(channel("2-HIGH"))
+        .intersect(channel("3-MEDIUM"))
+    )
+    return hot.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "tpcds_q65_adapted",
+    oracle=f"""
+WITH sa AS (
+  SELECT l_suppkey, l_partkey,
+         {oracle_dec_sum('l_extendedprice', 'revenue')}
+  FROM lineitem
+  WHERE year(l_shipdate) BETWEEN 1996 AND 1998
+  GROUP BY l_suppkey, l_partkey
+),
+sb AS (
+  SELECT l_suppkey, {oracle_dec_avg('revenue', 'ave')}
+  FROM sa GROUP BY l_suppkey
+)
+SELECT s_name, p_name, sc.l_partkey AS item_sk, sc.revenue,
+       p_retailprice, p_brand
+FROM sa sc
+JOIN sb ON sb.l_suppkey = sc.l_suppkey
+JOIN supplier ON s_suppkey = sc.l_suppkey
+JOIN part ON p_partkey = sc.l_partkey
+WHERE sc.revenue <= 0.1 * sb.ave
+ORDER BY s_name, p_name, item_sk
+LIMIT 100
+""",
+)
+def tpcds_q65_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q65 (tpcds/q65.sql): two-level aggregation — revenue
+    per (store, item), then avg revenue per store — joined back to
+    find items selling at <= 0.1x their store's average, decorated
+    with both dimension tables. Fixture roles: (ss_store_sk,
+    ss_item_sk) -> (l_suppkey, l_partkey), store -> supplier,
+    item -> part, d_month_seq window -> shipdate years 1996-1998.
+    Plan: ONE shuffle on (suppkey, partkey) feeds both levels (the
+    per-store re-agg is a narrow second pass over far fewer rows);
+    supplier/part joins broadcast; TakeOrderedAndProject caps the
+    output. The revenue-vs-average comparison runs on exact
+    decimal-hopped doubles, so both engines branch identically."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    sa = (
+        li.filter(F.year("l_shipdate").between(1996, 1998))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dec_sum("l_extendedprice", "revenue"))
+    )
+    sb = sa.groupBy("l_suppkey").agg(dec_avg("revenue", "ave"))
+    sc = sa.alias("sc")
+    return (
+        sc.join(
+            sb.alias("sb"),
+            F.col("sb.l_suppkey") == F.col("sc.l_suppkey"),
+        )
+        .filter(F.col("sc.revenue") <= 0.1 * F.col("sb.ave"))
+        .join(supp, supp.s_suppkey == F.col("sc.l_suppkey"))
+        .join(part, part.p_partkey == F.col("sc.l_partkey"))
+        .select(
+            "s_name", "p_name",
+            F.col("sc.l_partkey").alias("item_sk"),
+            F.col("sc.revenue").alias("revenue"),
+            "p_retailprice", "p_brand",
+        )
+        .orderBy("s_name", "p_name", "item_sk")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q75_adapted",
+    oracle=f"""
+WITH sales_detail AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS d_year, p_brand,
+         CASE WHEN l_returnflag = 'R' THEN -l_quantity
+              ELSE l_quantity END AS net_qty,
+         CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
+              ELSE l_extendedprice END AS net_amt
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+),
+all_sales AS (
+  SELECT d_year, p_brand,
+         CAST(SUM(CAST(net_qty AS BIGINT)) AS BIGINT) AS sales_cnt,
+         {oracle_dec_sum('net_amt', 'sales_amt')}
+  FROM sales_detail
+  GROUP BY d_year, p_brand
+)
+SELECT prev_yr.d_year AS prev_year, curr_yr.d_year AS d_year,
+       curr_yr.p_brand AS brand,
+       prev_yr.sales_cnt AS prev_yr_cnt,
+       curr_yr.sales_cnt AS curr_yr_cnt,
+       curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
+       round(curr_yr.sales_amt - prev_yr.sales_amt, 4) AS sales_amt_diff
+FROM all_sales curr_yr
+JOIN all_sales prev_yr
+  ON curr_yr.p_brand = prev_yr.p_brand
+ AND curr_yr.d_year = prev_yr.d_year + 1
+WHERE CAST(curr_yr.sales_cnt AS DOUBLE)
+      / CAST(prev_yr.sales_cnt AS DOUBLE) < 0.9
+  AND prev_yr.sales_cnt > 0
+ORDER BY sales_cnt_diff, brand, d_year
+LIMIT 100
+""",
+)
+def tpcds_q75_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q75 (tpcds/q75.sql): year-over-year decline report —
+    per-channel sales netted of returns, re-aggregated per
+    (year, brand), then the aggregate SELF-JOINED on
+    curr.year = prev.year + 1 to keep brands whose unit count fell
+    below 0.9x. Fixture roles: the three channels with
+    cs_quantity - COALESCE(cr_return_quantity, 0) netting become
+    priority-band orders with 'R'-flagged lineitems entering
+    negatively; (d_year, i_brand) -> (year(o_orderdate), p_brand).
+    Plan: one shuffle builds all_sales (small: years x brands), the
+    self-join runs on that aggregate — broadcastable at any fact
+    scale because the join input is the AGGREGATE, not the fact."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    sign = F.when(F.col("l_returnflag") == "R", F.lit(-1.0)).otherwise(
+        F.lit(1.0)
+    )
+    detail = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM"
+            )
+        )
+        .select(
+            F.year("o_orderdate").cast("int").alias("d_year"),
+            "p_brand",
+            (sign * F.col("l_quantity")).alias("net_qty"),
+            (sign * F.col("l_extendedprice")).alias("net_amt"),
+        )
+    )
+    all_sales = detail.groupBy("d_year", "p_brand").agg(
+        F.sum(F.col("net_qty").cast("bigint")).alias("sales_cnt"),
+        dec_sum("net_amt", "sales_amt"),
+    )
+    curr, prev = all_sales.alias("curr"), all_sales.alias("prev")
+    return (
+        curr.join(
+            prev,
+            (F.col("curr.p_brand") == F.col("prev.p_brand"))
+            & (F.col("curr.d_year") == F.col("prev.d_year") + 1),
+        )
+        .filter(
+            (
+                F.col("curr.sales_cnt").cast("double")
+                / F.col("prev.sales_cnt").cast("double")
+                < 0.9
+            )
+            & (F.col("prev.sales_cnt") > 0)
+        )
+        .select(
+            F.col("prev.d_year").alias("prev_year"),
+            F.col("curr.d_year").alias("d_year"),
+            F.col("curr.p_brand").alias("brand"),
+            F.col("prev.sales_cnt").alias("prev_yr_cnt"),
+            F.col("curr.sales_cnt").alias("curr_yr_cnt"),
+            (F.col("curr.sales_cnt") - F.col("prev.sales_cnt")).alias(
+                "sales_cnt_diff"
+            ),
+            F.round(
+                F.col("curr.sales_amt") - F.col("prev.sales_amt"), 4
+            ).alias("sales_amt_diff"),
+        )
+        .orderBy("sales_cnt_diff", "brand", "d_year")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q17_adapted",
+    oracle=f"""
+WITH ss AS (
+  SELECT l_suppkey AS sk, o_custkey AS ck, l_quantity AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag <> 'R' AND month(o_orderdate) BETWEEN 1 AND 6
+),
+sr AS (
+  SELECT l_suppkey AS sk, o_custkey AS ck, l_quantity AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+),
+cs AS (
+  SELECT l_suppkey AS sk, o_custkey AS ck, l_quantity AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag <> 'R' AND month(o_orderdate) BETWEEN 7 AND 12
+)
+SELECT s_name,
+       CAST(count(ss.qty) AS BIGINT) AS ss_cnt,
+       {oracle_dec_avg('ss.qty', 'ss_avg')},
+       round(stddev_samp(ss.qty), 6) AS ss_std,
+       CAST(count(sr.qty) AS BIGINT) AS sr_cnt,
+       {oracle_dec_avg('sr.qty', 'sr_avg')},
+       round(stddev_samp(sr.qty), 6) AS sr_std,
+       CAST(count(cs.qty) AS BIGINT) AS cs_cnt,
+       {oracle_dec_avg('cs.qty', 'cs_avg')},
+       round(stddev_samp(cs.qty), 6) AS cs_std
+FROM ss
+JOIN sr ON ss.sk = sr.sk AND ss.ck = sr.ck
+JOIN cs ON ss.sk = cs.sk AND ss.ck = cs.ck
+JOIN supplier ON s_suppkey = ss.sk
+GROUP BY s_name
+ORDER BY s_name
+LIMIT 100
+""",
+)
+def tpcds_q17_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q17 (tpcds/q17.sql): the triple-fact chain —
+    store_sales -> store_returns -> catalog_sales joined on shared
+    (customer, item), then per-item count/avg/stddev of each fact's
+    quantity (the 'quantity variability across a return cycle'
+    report). Fixture roles: the three facts become lineitem slices
+    (first-half-year sales, 'R'-flag returns, second-half-year
+    repurchases) keyed by (l_suppkey, o_custkey) — the
+    supplier/customer pair recurs enough in the fixtures to populate
+    the chain, where (part, customer) is empty; the quarter
+    constraints (d_quarter_name = '2001Q1'...) become the month
+    bands; item/state grouping becomes s_name. Plan: all three
+    slices shuffle once on the SAME (sk, ck) composite key, so the
+    two fact-fact joins co-partition with zero extra exchanges —
+    the property that keeps this shape viable at 100 TB; the
+    supplier dim broadcasts; avgs ride the exact decimal hop and
+    stddevs round at 1e-6 (fp noise is 1e-12 on O(25) quantities).
+    Single-row groups: Spark yields NaN for stddev_samp(n=1) where
+    ANSI engines yield NULL — normalized to NULL, matching the
+    reference (VarianceAggregation.java output for count < 2)."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def fact(flag_r: bool, lo: int = None, hi: int = None) -> DataFrame:
+        cond = (
+            (F.col("l_returnflag") == "R")
+            if flag_r
+            else (F.col("l_returnflag") != "R")
+        )
+        df = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+            cond
+        )
+        if lo is not None:
+            df = df.filter(F.month("o_orderdate").between(lo, hi))
+        return df.select(
+            F.col("l_suppkey").alias("sk"),
+            F.col("o_custkey").alias("ck"),
+            F.col("l_quantity").alias("qty"),
+        )
+
+    def std6(col: str, alias: str):
+        s = F.round(F.stddev_samp(col), 6)
+        return F.when(~F.isnan(s), s).alias(alias)
+
+    ss = fact(False, 1, 6).alias("ss")
+    sr = fact(True).alias("sr")
+    cs = fact(False, 7, 12).alias("cs")
+    joined = (
+        ss.join(
+            sr,
+            (F.col("ss.sk") == F.col("sr.sk"))
+            & (F.col("ss.ck") == F.col("sr.ck")),
+        )
+        .join(
+            cs,
+            (F.col("ss.sk") == F.col("cs.sk"))
+            & (F.col("ss.ck") == F.col("cs.ck")),
+        )
+        .join(supp, supp.s_suppkey == F.col("ss.sk"))
+    )
+    return (
+        joined.groupBy("s_name")
+        .agg(
+            F.count("ss.qty").alias("ss_cnt"),
+            dec_avg(F.col("ss.qty"), "ss_avg"),
+            std6("ss.qty", "ss_std"),
+            F.count("sr.qty").alias("sr_cnt"),
+            dec_avg(F.col("sr.qty"), "sr_avg"),
+            std6("sr.qty", "sr_std"),
+            F.count("cs.qty").alias("cs_cnt"),
+            dec_avg(F.col("cs.qty"), "cs_avg"),
+            std6("cs.qty", "cs_std"),
+        )
+        .orderBy("s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q93_adapted",
+    oracle=f"""
+WITH returns_agg AS (
+  SELECT l_orderkey AS ok, l_partkey AS pk,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ret_qty
+  FROM lineitem WHERE l_returnflag = 'R'
+  GROUP BY l_orderkey, l_partkey
+),
+net AS (
+  SELECT o_custkey,
+         l_quantity - COALESCE(ret_qty, 0) AS act_qty
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  LEFT JOIN returns_agg ON ok = l_orderkey AND pk = l_partkey
+  WHERE l_returnflag <> 'R'
+)
+SELECT o_custkey, {oracle_dec_sum('act_qty', 'sumact')}
+FROM net
+GROUP BY o_custkey
+ORDER BY sumact, o_custkey
+LIMIT 100
+""",
+)
+def tpcds_q93_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q93 (tpcds/q93.sql): sales LEFT JOIN returns with
+    conditional quantity netting — actual quantity is
+    ss_quantity - sr_return_quantity where a matching return exists,
+    summed per customer, lowest-activity customers first. Fixture
+    roles: store_returns becomes the 'R'-flag lineitem slice
+    PRE-AGGREGATED per (orderkey, partkey) (store_returns is
+    uniquely keyed by (item, ticket) — the pre-agg restores that
+    uniqueness so the left join never fans out), the reason-code
+    filter becomes the flag split. Plan: returns_agg and the sales
+    side shuffle on the same (orderkey, partkey) key; the per-customer
+    re-agg is the only further exchange; TakeOrderedAndProject caps
+    output. Netting can push a customer negative — kept, as the
+    reference keeps negative actuals."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    returns_agg = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").alias("pk"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("ret_qty"))
+    )
+    net = (
+        li.filter(F.col("l_returnflag") != "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            returns_agg,
+            (F.col("ok") == F.col("l_orderkey"))
+            & (F.col("pk") == F.col("l_partkey")),
+            "left",
+        )
+        .select(
+            "o_custkey",
+            (
+                F.col("l_quantity")
+                - F.coalesce(F.col("ret_qty"), F.lit(0))
+            ).alias("act_qty"),
+        )
+    )
+    return (
+        net.groupBy("o_custkey")
+        .agg(dec_sum("act_qty", "sumact"))
+        .orderBy("sumact", "o_custkey")
+        .limit(100)
+    )
