@@ -465,6 +465,121 @@ def st_buffer_point(p: Column | str, radius, sides: int = 32) -> Column:
     )
 
 
+# ---- general ST_Distance (point <-> linestring / polygon) ------------------
+# GeoFunctions.java stDistance accepts any geometry pair (Esri
+# kernel). The point-vs-line and point-vs-polygon cases are closed
+# forms over segments: distance to a segment is the distance to the
+# clamped projection onto it. This also gives exact ST_Buffer
+# CONTAINMENT for lines without constructing the capsule boundary:
+# a point lies in ST_Buffer(line, r) iff its distance to the line is
+# <= r (the buffer IS the distance-<=-r set) — the representable
+# subset of line buffers noted at st_buffer_point.
+
+
+def _seg_dist2(p: Column, a: Column, b: Column) -> Column:
+    """Squared distance from point p to segment (a, b): clamp the
+    projection parameter t to [0, 1], then squared distance to the
+    projected point. Zero-length segments fall back to the vertex
+    distance (the t expression would divide by zero)."""
+    vx = b.getField("x") - a.getField("x")
+    vy = b.getField("y") - a.getField("y")
+    wx = st_x(p) - a.getField("x")
+    wy = st_y(p) - a.getField("y")
+    len2 = vx * vx + vy * vy
+    t = F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), (wx * vx + wy * vy) / len2)
+    )
+    dx = wx - t * vx
+    dy = wy - t * vy
+    return F.when(len2 == 0.0, wx * wx + wy * wy).otherwise(
+        dx * dx + dy * dy
+    )
+
+
+def _line_min_dist2(line: Column, p: Column) -> Column:
+    n = F.greatest(F.size(line) - 1, F.lit(0))
+    d2s = F.zip_with(
+        F.slice(line, 1, n),
+        F.slice(line, 2, n),
+        lambda a, b: _seg_dist2(p, a, b),
+    )
+    return F.array_min(d2s)
+
+
+def st_distance_point_line(p: Column | str, line: Column | str) -> Column:
+    """ST_Distance(point, linestring): min over segments of the
+    point-to-segment distance (GeoFunctions.java stDistance for the
+    point/line pair). Pure Column math, O(vertices) per row."""
+    return F.sqrt(_line_min_dist2(_c(line), _c(p)))
+
+
+def st_distance_point_polygon(
+    rings: Column | str, p: Column | str
+) -> Column:
+    """ST_Distance(point, polygon): 0 when the point is inside the
+    polygon (even-odd over outer + holes), else the distance to the
+    nearest boundary edge over ALL rings — a point inside a hole is
+    outside the polygon and measures to the hole boundary."""
+    rr, pp = _c(rings), _c(p)
+    boundary = F.sqrt(
+        F.array_min(
+            F.transform(rr, lambda ring: _line_min_dist2(ring, pp))
+        )
+    )
+    return F.when(st_contains_polygon(rr, pp), F.lit(0.0)).otherwise(
+        boundary
+    )
+
+
+def st_line_buffer_contains(
+    line: Column | str, radius, p: Column | str
+) -> Column:
+    """ST_Contains(ST_Buffer(linestring, r), point) without
+    constructing the capsule polygon: membership in the buffer is
+    exactly distance(line, point) <= r."""
+    r = F.lit(float(radius)) if isinstance(radius, (int, float)) else radius
+    return st_distance_point_line(p, line) <= r
+
+
+def seg_dist2_sql(px, py, x1, y1, x2, y2) -> str:
+    """SQL twin of _seg_dist2 for fixed or expression endpoints —
+    identical clamp/projection arithmetic so DuckDB reproduces the
+    engine's doubles exactly."""
+    vx, vy = f"({x2} - {x1})", f"({y2} - {y1})"
+    wx, wy = f"({px} - {x1})", f"({py} - {y1})"
+    len2 = f"({vx} * {vx} + {vy} * {vy})"
+    t = (
+        f"greatest(0.0, least(1.0, ({wx} * {vx} + {wy} * {vy}) / {len2}))"
+    )
+    dx = f"({wx} - {t} * {vx})"
+    dy = f"({wy} - {t} * {vy})"
+    return (
+        f"(CASE WHEN {len2} = 0.0 THEN {wx} * {wx} + {wy} * {wy} "
+        f"ELSE {dx} * {dx} + {dy} * {dy} END)"
+    )
+
+
+def line_dist_sql(px, py, vertices) -> str:
+    """SQL twin of st_distance_point_line over fixed/expression
+    vertex pairs."""
+    d2s = ", ".join(
+        seg_dist2_sql(px, py, x1, y1, x2, y2)
+        for (x1, y1), (x2, y2) in zip(vertices, vertices[1:])
+    )
+    return f"sqrt(least({d2s}))"
+
+
+def polygon_dist_sql(px, py, rings) -> str:
+    """SQL twin of st_distance_point_polygon for FIXED rings."""
+    d2s = ", ".join(
+        seg_dist2_sql(px, py, x1, y1, x2, y2)
+        for ring in rings
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:])
+    )
+    contains = ray_cast_holes_sql(px, py, rings)
+    return f"(CASE WHEN {contains} THEN 0.0 ELSE sqrt(least({d2s})) END)"
+
+
 # ---- MULTIPOLYGON / GEOMETRYCOLLECTION / ST_Union (subset) -----------------
 # A MULTIPOLYGON in this engine's typed model is
 # array<array<array<point>>> — polygons -> rings (outer first, then
