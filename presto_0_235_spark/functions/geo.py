@@ -580,6 +580,139 @@ def polygon_dist_sql(px, py, rings) -> str:
     return f"(CASE WHEN {contains} THEN 0.0 ELSE sqrt(least({d2s})) END)"
 
 
+# ---- ST_Intersects / ST_Crosses (segment-arithmetic cases) -----------------
+# GeoFunctions.java stIntersects/stCrosses delegate to the Esri
+# kernel; for line/line and polygon/polygon the predicate is exact
+# segment arithmetic: two segments intersect iff the endpoints of
+# each straddle the other's supporting line (orientation sign
+# products), with the collinear cases resolved by bounding-box
+# overlap. Polygons additionally intersect when one contains the
+# other's first vertex (covers the nested case with no edge
+# crossings). All closed-form doubles — replayable in SQL.
+
+
+def _orient(a: Column, b: Column, c: Column) -> Column:
+    """Signed orientation of c relative to directed a->b
+    (cross product of (b-a) x (c-a))."""
+    return (b.getField("x") - a.getField("x")) * (
+        c.getField("y") - a.getField("y")
+    ) - (b.getField("y") - a.getField("y")) * (
+        c.getField("x") - a.getField("x")
+    )
+
+
+def _on_seg(a: Column, b: Column, c: Column) -> Column:
+    """Collinear c lies within the bounding box of segment (a, b)."""
+    ax, ay = a.getField("x"), a.getField("y")
+    bx, by = b.getField("x"), b.getField("y")
+    cx, cy = c.getField("x"), c.getField("y")
+    return (
+        (F.least(ax, bx) <= cx)
+        & (cx <= F.greatest(ax, bx))
+        & (F.least(ay, by) <= cy)
+        & (cy <= F.greatest(ay, by))
+    )
+
+
+def _segs_intersect(
+    a1: Column, a2: Column, b1: Column, b2: Column
+) -> Column:
+    o1 = _orient(a1, a2, b1)
+    o2 = _orient(a1, a2, b2)
+    o3 = _orient(b1, b2, a1)
+    o4 = _orient(b1, b2, a2)
+    proper = (o1 * o2 < 0.0) & (o3 * o4 < 0.0)
+    return (
+        proper
+        | ((o1 == 0.0) & _on_seg(a1, a2, b1))
+        | ((o2 == 0.0) & _on_seg(a1, a2, b2))
+        | ((o3 == 0.0) & _on_seg(b1, b2, a1))
+        | ((o4 == 0.0) & _on_seg(b1, b2, a2))
+    )
+
+
+def _segments(line: Column) -> Column:
+    n = F.greatest(F.size(line) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(line, 1, n),
+        F.slice(line, 2, n),
+        lambda a, b: F.struct(a.alias("p"), b.alias("q")),
+    )
+
+
+def st_intersects_lines(la: Column | str, lb: Column | str) -> Column:
+    """ST_Intersects(linestring, linestring): any segment pair
+    intersects. O(n*m) per row in whole-stage codegen — linestrings
+    in relational rows are short; the distributed shape for big
+    geometry sets is the grid-bucketed spatial join."""
+    sa, sb = _segments(_c(la)), _segments(_c(lb))
+    return F.exists(
+        sa,
+        lambda s: F.exists(
+            sb,
+            lambda t: _segs_intersect(
+                s.getField("p"), s.getField("q"),
+                t.getField("p"), t.getField("q"),
+            ),
+        ),
+    )
+
+
+def st_intersects_polygons(ra: Column | str, rb: Column | str) -> Column:
+    """ST_Intersects(polygon, polygon) for single-ring polygons:
+    boundary edges cross, OR one polygon contains the other's first
+    vertex (the fully-nested case)."""
+    a, b = _c(ra), _c(rb)
+    return (
+        st_intersects_lines(a, b)
+        | st_contains_ring(a, F.element_at(b, 1))
+        | st_contains_ring(b, F.element_at(a, 1))
+    )
+
+
+def orient_sql(a, b, c) -> str:
+    """SQL twin of _orient; points are (x, y) expression pairs."""
+    return (
+        f"(({b[0]} - {a[0]}) * ({c[1]} - {a[1]})"
+        f" - ({b[1]} - {a[1]}) * ({c[0]} - {a[0]}))"
+    )
+
+
+def seg_intersect_sql(a1, a2, b1, b2) -> str:
+    """SQL twin of _segs_intersect."""
+    o1 = orient_sql(a1, a2, b1)
+    o2 = orient_sql(a1, a2, b2)
+    o3 = orient_sql(b1, b2, a1)
+    o4 = orient_sql(b1, b2, a2)
+
+    def on_seg(a, b, c):
+        return (
+            f"(least({a[0]}, {b[0]}) <= {c[0]}"
+            f" AND {c[0]} <= greatest({a[0]}, {b[0]})"
+            f" AND least({a[1]}, {b[1]}) <= {c[1]}"
+            f" AND {c[1]} <= greatest({a[1]}, {b[1]}))"
+        )
+
+    return (
+        f"(({o1} * {o2} < 0.0 AND {o3} * {o4} < 0.0)"
+        f" OR ({o1} = 0.0 AND {on_seg(a1, a2, b1)})"
+        f" OR ({o2} = 0.0 AND {on_seg(a1, a2, b2)})"
+        f" OR ({o3} = 0.0 AND {on_seg(b1, b2, a1)})"
+        f" OR ({o4} = 0.0 AND {on_seg(b1, b2, a2)}))"
+    )
+
+
+def lines_intersect_sql(va, vb) -> str:
+    """SQL twin of st_intersects_lines over fixed/expression vertex
+    lists."""
+    terms = [
+        seg_intersect_sql(a1, a2, b1, b2)
+        for a1, a2 in zip(va, va[1:])
+        for b1, b2 in zip(vb, vb[1:])
+    ]
+    return "(" + " OR ".join(terms) + ")"
+
+
 # ---- MULTIPOLYGON / GEOMETRYCOLLECTION / ST_Union (subset) -----------------
 # A MULTIPOLYGON in this engine's typed model is
 # array<array<array<point>>> — polygons -> rings (outer first, then

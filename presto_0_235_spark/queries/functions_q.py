@@ -2597,6 +2597,102 @@ def fn_geospatial_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from presto_0_235_spark.functions.geo import (  # noqa: E402
+    lines_intersect_sql as _lines_intersect_sql,
+    ray_cast_sql as _rc_sql,
+)
+
+_LINE_A = [("0.0", "0.0"), ("ax", "ay"), ("bx", "by")]
+_LINE_B = [("10.0", "0.0"), ("cx", "cy"), ("0.0", "10.0")]
+_TRI_SHIFT = [
+    ("(0.05 + tx)", "(0.15 + ty)"),
+    ("(1.45 + tx)", "(0.35 + ty)"),
+    ("(0.65 + tx)", "(1.55 + ty)"),
+    ("(0.05 + tx)", "(0.15 + ty)"),
+]
+_PP_SQL = (
+    "("
+    + _lines_intersect_sql(_HEX_RING, _TRI_SHIFT)
+    + " OR "
+    + _rc_sql("(0.05 + tx)", "(0.15 + ty)", _HEX_RING)
+    + " OR "
+    + _rc_sql("1.15", "1.05", _TRI_SHIFT)
+    + ")"
+)
+
+
+@register(
+    "fn_geospatial_intersects",
+    oracle=f"""
+WITH pts AS (
+  SELECT o_orderkey AS k,
+         ((o_orderkey * 7) % 100) / 10.0 AS ax,
+         ((o_orderkey * 13) % 100) / 10.0 AS ay,
+         ((o_orderkey * 11) % 100) / 10.0 AS bx,
+         ((o_orderkey * 17) % 100) / 10.0 AS by,
+         ((o_orderkey * 19) % 100) / 10.0 AS cx,
+         ((o_orderkey * 23) % 100) / 10.0 AS cy,
+         ((o_orderkey * 7) % 110) / 10.0 AS tx,
+         ((o_orderkey * 3) % 110) / 10.0 AS ty
+  FROM orders WHERE o_orderkey < 300
+)
+SELECT k,
+       {_lines_intersect_sql(_LINE_A, _LINE_B)} AS ll_int,
+       {_PP_SQL} AS pp_int
+FROM pts
+""",
+)
+def fn_geospatial_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersects for the segment-arithmetic cases
+    (GeoFunctions.java stIntersects — Esri-backed in the reference;
+    here exact orientation-sign products with collinear cases
+    resolved by bbox overlap, functions/geo.py _segs_intersect).
+    Line/line: any segment pair of two per-row 2-segment linestrings.
+    Polygon/polygon: boundary edges cross OR either polygon contains
+    the other's first vertex — probed by sweeping a triangle across
+    a fixed non-convex hexagon (overlapping, nested, and disjoint
+    placements all occur over the key range). The oracle unrolls the
+    identical orientation arithmetic per segment pair. Touching
+    endpoints land on the collinear/zero-orientation branch — exact
+    in doubles, identical on both engines."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions import geo
+
+    k = F.col("o_orderkey")
+    ax, ay = ((k * 7) % 100) / 10.0, ((k * 13) % 100) / 10.0
+    bx, by = ((k * 11) % 100) / 10.0, ((k * 17) % 100) / 10.0
+    cx, cy = ((k * 19) % 100) / 10.0, ((k * 23) % 100) / 10.0
+    tx, ty = ((k * 7) % 110) / 10.0, ((k * 3) % 110) / 10.0
+    line_a = F.array(
+        geo.st_point(F.lit(0.0), F.lit(0.0)),
+        geo.st_point(ax, ay),
+        geo.st_point(bx, by),
+    )
+    line_b = F.array(
+        geo.st_point(F.lit(10.0), F.lit(0.0)),
+        geo.st_point(cx, cy),
+        geo.st_point(F.lit(0.0), F.lit(10.0)),
+    )
+    hexagon = F.array(
+        *[geo.st_point(F.lit(x), F.lit(y)) for x, y in _HEX_RING]
+    )
+    tri = F.array(
+        geo.st_point(F.lit(0.05) + tx, F.lit(0.15) + ty),
+        geo.st_point(F.lit(1.45) + tx, F.lit(0.35) + ty),
+        geo.st_point(F.lit(0.65) + tx, F.lit(1.55) + ty),
+        geo.st_point(F.lit(0.05) + tx, F.lit(0.15) + ty),
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(k < 300)
+        .select(
+            k.alias("k"),
+            geo.st_intersects_lines(line_a, line_b).alias("ll_int"),
+            geo.st_intersects_polygons(hexagon, tri).alias("pp_int"),
+        )
+    )
+
+
 @register(
     "fn_bing_tiles",
     oracle="""
