@@ -1242,23 +1242,35 @@ qs AS (
                   THEN bin END) AS b75,
          max(total) AS total
   FROM cum GROUP BY grp
+),
+rk AS (
+  SELECT grp,
+         CAST(COALESCE(SUM(CASE WHEN bin <= 96 THEN n END), 0)
+              AS DOUBLE) / SUM(n) AS r1,
+         CAST(COALESCE(SUM(CASE WHEN bin <= 192 THEN n END), 0)
+              AS DOUBLE) / SUM(n) AS r2
+  FROM regs GROUP BY grp
 )
-SELECT grp,
+SELECT qs.grp,
        round({_QH_LO} + (b25 + 0.5) * {_QH_W}, 6) || ','
          || round({_QH_LO} + (b50 + 0.5) * {_QH_W}, 6) || ','
          || round({_QH_LO} + (b75 + 0.5) * {_QH_W}, 6)
          AS values_at_quantiles,
+       round(r1, 9) || ',' || round(r2, 9) AS quantiles_at_values,
        TRUE AS scale_invariant,
        CAST(total * 7 AS BIGINT) AS scaled_weight
-FROM qs
+FROM qs JOIN rk ON qs.grp = rk.grp
 """,
 )
 def agg_qdigest_scale_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """values_at_quantiles + scale_qdigest
-    (QuantileDigestFunctions.java valuesAtQuantiles/scaleQDigest):
-    the multi-quantile read of one sketch state (25/50/75th as a
-    comma-joined list — the array form's semantics) and uniform
-    weight scaling (x7), pinning the reference property that
+    """values_at_quantiles + quantiles_at_values + scale_qdigest
+    (QuantileDigestFunctions.java valuesAtQuantiles/scaleQDigest,
+    TDigestFunctions.java quantilesAtValues — the vector inverse
+    lookup): the multi-quantile read of one sketch state (25/50/75th
+    as a comma-joined list — the array form's semantics), the ranks
+    of the values 150k and 300k in the same state (mass at-or-below
+    each value's bin over total mass, ratios of exact integers), and
+    uniform weight scaling (x7), pinning the reference property that
     quantiles are INVARIANT under scaling while the total weight
     multiplies. Same rows-as-state qhist machinery as
     agg_quantile_sketch; everything integer-exact."""
@@ -1285,6 +1297,20 @@ def agg_qdigest_scale_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(q(regs, 0.75, "q75"), "grp")
         .join(q(scaled, 0.50, "q50_scaled"), "grp")
         .join(
+            sk.qhist_quantile_at_value(
+                regs, ["grp"], 150000.0, _QH_LO, _QH_HI, _QH_BINS,
+                out="r1",
+            ),
+            "grp",
+        )
+        .join(
+            sk.qhist_quantile_at_value(
+                regs, ["grp"], 300000.0, _QH_LO, _QH_HI, _QH_BINS,
+                out="r2",
+            ),
+            "grp",
+        )
+        .join(
             scaled.groupBy("grp").agg(
                 F.sum("n").cast("bigint").alias("scaled_weight")
             ),
@@ -1299,6 +1325,11 @@ def agg_qdigest_scale_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("q50", 6).cast("string"),
             F.round("q75", 6).cast("string"),
         ).alias("values_at_quantiles"),
+        F.concat_ws(
+            ",",
+            F.round("r1", 9).cast("string"),
+            F.round("r2", 9).cast("string"),
+        ).alias("quantiles_at_values"),
         (F.col("q50") == F.col("q50_scaled")).alias("scale_invariant"),
         "scaled_weight",
     )
