@@ -12,12 +12,20 @@ general-polygon ST_Contains/ST_Within by ray-casting crossing
 parity (holes via the even-odd rule), WKT parse/render for POINT/
 LINESTRING/POLYGON (incl. interior rings)/MULTIPOINT/
 MULTILINESTRING, point ST_Buffer as an N-gon circle, and
-great_circle_distance (SphericalGeographyUtils.java:82). Remaining
-gaps (documented): MULTIPOLYGON/GEOMETRYCOLLECTION, line/polygon
-buffers, ST_Union — these need a computational-geometry library
-(the reference links Esri-geometry-api). The spatial JOIN paths are
-join_spatial_radius and join_spatial_contains
-(ExtractSpatialJoins.java analogs).
+great_circle_distance (SphericalGeographyUtils.java:82),
+MULTIPOLYGON (even-odd containment, summed area, WKT both ways),
+GEOMETRYCOLLECTION (member split + ST_NumGeometries/ST_GeometryN),
+general ST_Distance (point-line / point-polygon via clamped segment
+projection, which also gives exact line-buffer containment),
+ST_Intersects for line/line + polygon/polygon (orientation-sign
+segment tests), ST_Union for the exactly-representable cases
+(point-set dedup, disjoint-polygon concat), and ST_ConvexHull
+(monotone chain — the one Arrow-UDF member — plus the two-phase
+distributed convex_hull_agg). Remaining gaps (documented): polygon
+boundary buffers and overlapping-polygon union/clipping — these need
+a computational-geometry kernel (the reference links
+Esri-geometry-api). The spatial JOIN paths are join_spatial_radius
+and join_spatial_contains (ExtractSpatialJoins.java analogs).
 
 Everything here is JVM-side whole-stage-codegen arithmetic — at
 100 TB these are scan-speed per-row expressions, no shuffle, no UDF.
@@ -26,9 +34,18 @@ Everything here is JVM-side whole-stage-codegen arithmetic — at
 from __future__ import annotations
 
 import math
+import sys
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+try:  # st_convex_hull/convex_hull_agg run worker-side — pickle this
+    # module by value so executor Pythons need no repo on sys.path
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - older vendored cloudpickle
+    pass
 
 
 def _c(col: Column | str) -> Column:
@@ -896,6 +913,122 @@ def st_union_disjoint_polygons(a: Column | str, b: Column | str) -> Column:
     concatenation. Overlapping unions require boundary clipping (a
     geometry kernel) — out of scope, documented."""
     return F.concat(_c(a), _c(b))
+
+
+# ---- ST_ConvexHull (GeoFunctions.java stConvexHull) ------------------------
+# The reference hands hulls to the Esri kernel; here Andrew's
+# monotone chain over the typed point array — the one geometry
+# function in this engine that needs sequential stack logic, so it
+# runs as an Arrow pandas UDF (never row-at-a-time Python). The
+# output ring is DETERMINISTIC: CCW, starting at the
+# lexicographically smallest vertex, closed. Degenerate inputs
+# return what they are: a single point or a 2-point segment.
+
+
+def _hull_of(points: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    """Monotone-chain convex hull; CCW closed ring for >= 3 distinct
+    non-collinear points, the sorted degenerate set otherwise."""
+    pts = sorted(set(points))
+    if len(pts) <= 2:
+        return pts
+
+    def half(seq):
+        out: list[tuple[float, float]] = []
+        for p in seq:
+            while (
+                len(out) >= 2
+                and (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+                <= 0
+            ):
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(reversed(pts))
+    ring = lower[:-1] + upper[:-1]
+    if len(ring) < 3:  # all collinear
+        return [pts[0], pts[-1]]
+    return ring + [ring[0]]
+
+
+def st_convex_hull(pts: Column | str) -> Column:
+    """ST_ConvexHull(multipoint) -> closed CCW hull ring
+    (GeoFunctions.java stConvexHull). Arrow-batched pandas UDF over
+    the typed point-array column."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<x:double,y:double>>")
+    def hull_udf(col):
+        import pandas as pd
+
+        out = []
+        for arr in col:
+            if arr is None:
+                out.append(None)
+                continue
+            ring = _hull_of(
+                [(float(p["x"]), float(p["y"])) for p in arr]
+            )
+            out.append([{"x": x, "y": y} for x, y in ring])
+        return pd.Series(out)
+
+    return hull_udf(_c(pts))
+
+
+def convex_hull_agg(
+    df, keys: list[str], x: str, y: str, partials: int = 16
+):
+    """Distributed convex-hull aggregate (the reference's
+    convex_hull_agg / GeometryStateFactory path, re-planned for
+    scale): hull(all points) == hull(union of partial hulls), so
+    phase 1 computes a per-(key, salt) partial hull — output bounded
+    by hull size, not partition size — and phase 2 merges the partial
+    hull vertices per key. State never exceeds
+    partials x hull_size points per key at the merge, which is what
+    makes a 100 TB point set feasible; both phases are Arrow
+    applyInPandas."""
+    import pandas as pd
+    from pyspark.sql import functions as SF
+
+    def hull_pdf(pdf: pd.DataFrame, with_seq: bool) -> pd.DataFrame:
+        ring = _hull_of(list(zip(pdf[x], pdf[y])))
+        head = pdf.iloc[:1]
+        rows = {k: [head[k].iloc[0]] * len(ring) for k in keys}
+        if with_seq:
+            rows["seq"] = list(range(len(ring)))
+        rows[x] = [p[0] for p in ring]
+        rows[y] = [p[1] for p in ring]
+        return pd.DataFrame(rows)
+
+    base = df.select(*keys, x, y)
+    schema1 = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in base.schema.fields
+    )
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in base.select(*keys).schema.fields
+    )
+    xy_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in base.select(x, y).schema.fields
+    )
+    schema2 = f"{key_fields}, seq int, {xy_fields}"
+    salted = base.withColumn(
+        "_hull_salt",
+        SF.pmod(SF.hash(SF.col(x), SF.col(y)), SF.lit(partials)),
+    )
+    phase1 = salted.groupBy(*keys, "_hull_salt").applyInPandas(
+        lambda pdf: hull_pdf(pdf.drop(columns=["_hull_salt"]), False),
+        schema1,
+    )
+    # the explicit seq column carries the ring order through the
+    # unordered exchange (rows have no implicit order post-shuffle)
+    return phase1.groupBy(*keys).applyInPandas(
+        lambda pdf: hull_pdf(pdf, True), schema2
+    )
 
 
 # ---- Bing tiles (presto-geospatial BingTileFunctions.java,

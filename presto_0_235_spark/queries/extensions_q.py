@@ -2418,3 +2418,43 @@ def agg_spatial_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("y"), 6).alias("y_min"),
         F.round(F.max("y"), 6).alias("y_max"),
     )
+
+
+@register("agg_convex_hull")
+def agg_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed convex-hull aggregate (the reference's
+    convex_hull_agg, presto-geospatial GeometryStateFactory +
+    GeoFunctions.java stConvexHull — Esri-backed there; monotone
+    chain here, functions/geo.py). TWO-PHASE: per-(group, salt)
+    partial hulls first — each partial's output is bounded by its
+    HULL size, not its partition size — then hull-of-hull-vertices
+    per group, exact because hull(all) == hull(union of hulls).
+    That bound is what makes a 100 TB point set feasible: the merge
+    sees at most partials x hull_size points per group. Rows-only
+    (a convex hull is not expressible in ANSI SQL): the output ring
+    is DETERMINISTIC (CCW from the lexicographically smallest
+    vertex, explicit seq order), so rows+schema pin it; the
+    two-phase == single-pass equality and the all-points-inside
+    property are pinned in tests/test_operators.py."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions.geo import convex_hull_agg
+
+    k = F.col("o_orderkey")
+    pts = (
+        load_table(spark, sf_dir, "orders")
+        .filter(k < 2000)
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            (
+                ((k % 100) / 10.0) * F.cos((k % 89).cast("double"))
+            ).alias("px"),
+            (
+                ((k * 3 % 100) / 10.0) * F.sin((k % 89).cast("double"))
+            ).alias("py"),
+        )
+    )
+    hull = convex_hull_agg(pts, ["grp"], "px", "py")
+    return hull.select(
+        "grp", "seq",
+        F.round("px", 9).alias("x"), F.round("py", 9).alias("y"),
+    ).orderBy("grp", "seq")

@@ -673,6 +673,94 @@ class TestPageFileCodec:
         )
 
 
+def test_convex_hull_two_phase_exact_and_contains_all(spark):
+    """convex_hull_agg properties: (1) the two-phase distributed
+    hull equals the single-pass hull of all collected points —
+    hull(all) == hull(union of partial hulls), exactly; (2) every
+    input point lies inside or on the hull (point-polygon distance
+    0 up to fp eps); (3) the ring is convex and CCW (all edge cross
+    products >= 0); (4) the scalar st_convex_hull UDF agrees with
+    the same kernel."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from presto_0_235_spark.functions import geo
+    from presto_0_235_spark.functions.geo import _hull_of, convex_hull_agg
+
+    pts = (
+        spark.range(500)
+        .repartition(8)
+        .select(
+            (F.col("id") % 3).cast("int").alias("grp"),
+            (F.cos(F.col("id").cast("double")) * (1 + F.col("id") % 7))
+            .alias("px"),
+            (F.sin(F.col("id").cast("double")) * (1 + F.col("id") % 5))
+            .alias("py"),
+        )
+    )
+    hull = convex_hull_agg(pts, ["grp"], "px", "py").collect()
+    by_grp = {}
+    for r in hull:
+        by_grp.setdefault(r.grp, []).append((r.seq, r.px, r.py))
+    raw = {}
+    for r in pts.collect():
+        raw.setdefault(r.grp, []).append((r.px, r.py))
+
+    for grp, ring_rows in by_grp.items():
+        ring = [(x, y) for _, x, y in sorted(ring_rows)]
+        # (1) distributed == single-pass
+        assert ring == _hull_of(raw[grp]), grp
+        # (3) convex, CCW
+        for (ax, ay), (bx, by), (cx, cy) in zip(
+            ring, ring[1:], ring[2:] + ring[1:2]
+        ):
+            cross = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            assert cross >= -1e-12, (grp, cross)
+        # (2) all points inside or on the hull
+        def dist_to_seg(p, a, b):
+            vx, vy = b[0] - a[0], b[1] - a[1]
+            wx, wy = p[0] - a[0], p[1] - a[1]
+            ln = vx * vx + vy * vy
+            t = max(0.0, min(1.0, (wx * vx + wy * vy) / ln)) if ln else 0.0
+            return math.hypot(wx - t * vx, wy - t * vy)
+
+        def inside(p):
+            c = 0
+            for a, b in zip(ring, ring[1:]):
+                if (a[1] > p[1]) != (b[1] > p[1]):
+                    xi = (b[0] - a[0]) * (p[1] - a[1]) / (b[1] - a[1]) + a[0]
+                    if p[0] < xi:
+                        c += 1
+            return c % 2 == 1
+
+        for p in raw[grp]:
+            on_edge = min(
+                dist_to_seg(p, a, b) for a, b in zip(ring, ring[1:])
+            )
+            assert inside(p) or on_edge <= 1e-9, (grp, p)
+
+    # (4) scalar door agrees with the kernel
+    row = (
+        spark.range(1)
+        .select(
+            geo.st_convex_hull(
+                F.array(
+                    *[
+                        geo.st_point(F.lit(float(x)), F.lit(float(y)))
+                        for x, y in [(0, 0), (4, 0), (4, 4), (0, 4),
+                                     (2, 2), (1, 3)]
+                    ]
+                )
+            ).alias("h")
+        )
+        .first()
+    )
+    got = [(p["x"], p["y"]) for p in row.h]
+    assert got == _hull_of([(0, 0), (4, 0), (4, 4), (0, 4), (2, 2),
+                            (1, 3)])
+
+
 def test_fnv_standard_vectors(spark):
     """All four FNV variants against the published test vectors
     (fnv1_32('hello') = 0xb6fa7167, fnv1a_32 = 0x4f9f2cab,
