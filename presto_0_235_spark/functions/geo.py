@@ -27,8 +27,10 @@ a computational-geometry kernel (the reference links
 Esri-geometry-api). The spatial JOIN paths are join_spatial_radius
 and join_spatial_contains (ExtractSpatialJoins.java analogs).
 
-Everything here is JVM-side whole-stage-codegen arithmetic — at
-100 TB these are scan-speed per-row expressions, no shuffle, no UDF.
+Everything here except the convex hull is JVM-side whole-stage-
+codegen arithmetic — at 100 TB these are scan-speed per-row
+expressions, no shuffle, no UDF. The hull alone needs sequential
+stack logic and runs as an Arrow pandas UDF (never row-at-a-time).
 """
 
 from __future__ import annotations
