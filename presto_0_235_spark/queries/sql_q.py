@@ -1046,3 +1046,32 @@ def sql_tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     text."""
     register_views(spark, sf_dir)
     return run_sql(spark, _SQL_TPCDS_Q36)
+
+
+_SQL_TPCDS_Q38 = """
+SELECT count(*) AS cnt
+FROM (
+  SELECT DISTINCT c_name, CAST(year(o_orderdate) AS INT) AS d_year
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT DISTINCT c_name, CAST(year(o_orderdate) AS INT) AS d_year
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderpriority = '2-HIGH'
+  INTERSECT
+  SELECT DISTINCT c_name, CAST(year(o_orderdate) AS INT) AS d_year
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderpriority = '3-MEDIUM'
+) hot_cust
+"""
+
+
+@register("sql_tpcds_q38", oracle=_SQL_TPCDS_Q38)
+def sql_tpcds_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q38's three-way INTERSECT of DISTINCT sets as SQL text
+    through the Presto front door (tpcds/q38.sql; DataFrame twin
+    tpcds_q38_adapted) — chained set operations with embedded
+    DISTINCT subqueries crossing the dialect layer in one statement;
+    both engines evaluate the identical text."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q38)
