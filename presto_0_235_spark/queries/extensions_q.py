@@ -2458,3 +2458,144 @@ def agg_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp", "seq",
         F.round("px", 9).alias("x"), F.round("py", 9).alias("y"),
     ).orderBy("grp", "seq")
+
+
+@register(
+    "events_decode_raw_topic",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(user_id) AS BIGINT) AS max_user,
+       min(ts) AS first_ts
+FROM events
+GROUP BY event_type
+""",
+)
+def events_decode_raw_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka RAW record decoder (presto-record-decoder/.../raw
+    RawRowDecoder: fixed byte offsets of the binary message mapped to
+    typed columns, big-endian numerics). The message is ENCODED
+    in-engine — 8-byte BE user_id ++ 8-byte BE epoch-micros ++ utf8
+    event_type tail — then decoded back by byte slicing with the
+    engine's own to/from_big_endian_64 (VarbinaryFunctions.java
+    codecs), so the decoder path under test is the same binary
+    arithmetic the reference's decoder performs. The oracle computes
+    the same aggregate straight from the source table: any
+    encode/decode discrepancy (offset, sign, endianness, utf8 tail)
+    breaks the match. Pure Column expressions end to end."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions import scalar as ps
+
+    events = load_table(spark, sf_dir, "events")
+    msg = F.concat(
+        ps.to_big_endian_64(F.col("user_id")),
+        ps.to_big_endian_64(F.unix_micros(F.col("ts"))),
+        F.encode(F.col("event_type"), "utf-8"),
+    )
+    topic = events.select(msg.alias("message"))
+    decoded = topic.select(
+        ps.from_big_endian_64(F.substring("message", 1, 8)).alias(
+            "user_id"
+        ),
+        F.timestamp_micros(
+            ps.from_big_endian_64(F.substring("message", 9, 8))
+        ).alias("ts"),
+        F.decode(
+            F.substring("message", 17, 1000), "utf-8"
+        ).alias("event_type"),
+    )
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("user_id").cast("bigint").alias("max_user"),
+        F.min("ts").alias("first_ts"),
+    )
+
+
+@register(
+    "events_decode_avro_topic",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(user_id) AS BIGINT) AS max_user,
+       round(CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
+             / 10000.0, 4) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def events_decode_avro_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka AVRO record decoder (presto-record-decoder/.../avro
+    AvroRowDecoder: schema-driven decode of BARE Avro datum bytes —
+    no container framing — into typed columns). Messages are encoded
+    per row with the engine's own Avro binary codec
+    (sources/avro.py: zigzag varints, IEEE doubles, length-prefixed
+    strings — the spec encoding the Java interop test pins), then
+    decoded back by the same schema walk, both directions as Arrow
+    pandas UDFs over the bytes column. The oracle recomputes the
+    aggregate from the source: any varint/union/float encoding slip
+    breaks the match."""
+    ensure_session_defaults(spark)
+    import io as _io
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from presto_0_235_spark.sources import avro as A
+
+    fields = [
+        ("user_id", A.LONG), ("event_type", A.STRING),
+        ("value", A.DOUBLE),
+    ]
+
+    @pandas_udf("binary")
+    def enc(user_id, event_type, value):
+        out = []
+        for u, t, v in zip(user_id, event_type, value):
+            buf = _io.BytesIO()
+            for (name, (base, logical)), cell in zip(
+                fields, (u, t, v)
+            ):
+                if cell is None or (
+                    isinstance(cell, float) and cell != cell
+                    and base != "double"
+                ):
+                    A._write_long(buf, 0)
+                else:
+                    A._write_long(buf, 1)
+                    A._encode_value(buf, base, logical, cell)
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    @pandas_udf(
+        "struct<user_id:bigint,event_type:string,value:double>"
+    )
+    def dec(msgs):
+        rows = []
+        for raw in msgs:
+            pos = 0
+            rec = {}
+            for name, (base, logical) in fields:
+                branch, pos = A._read_long(raw, pos)
+                if branch == 0:
+                    rec[name] = None
+                else:
+                    v, pos = A._decode_value(raw, pos, base, logical)
+                    rec[name] = v
+            rows.append(rec)
+        return pd.DataFrame(rows)
+
+    events = load_table(spark, sf_dir, "events")
+    topic = events.select(
+        enc("user_id", "event_type", "value").alias("message")
+    )
+    decoded = topic.select(dec("message").alias("r")).select("r.*")
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("user_id").cast("bigint").alias("max_user"),
+        F.round(
+            F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+            .cast("double")
+            / 10000.0,
+            4,
+        ).alias("sum_value"),
+    )
