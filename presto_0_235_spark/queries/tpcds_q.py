@@ -969,10 +969,17 @@ def tpcds_q65_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     with both dimension tables. Fixture roles: (ss_store_sk,
     ss_item_sk) -> (l_suppkey, l_partkey), store -> supplier,
     item -> part, d_month_seq window -> shipdate years 1996-1998.
-    Plan: ONE shuffle on (suppkey, partkey) feeds both levels (the
-    per-store re-agg is a narrow second pass over far fewer rows);
-    supplier/part joins broadcast; TakeOrderedAndProject caps the
-    output. The revenue-vs-average comparison runs on exact
+    Plan: the (suppkey, partkey) aggregate feeds two consumers (the
+    filter branch and the per-store average); Catalyst prunes their
+    columns differently so the exchange is NOT reused and the
+    first-level aggregate computes once per branch — at fixture
+    scale the double scan is free, and at 100 TB the right move is
+    persisting the first-level aggregate (it is |stores x items|
+    sized, tiny next to the fact) before fanning out, exactly what
+    the reference's CTE materialization does for this query. The
+    per-store average is broadcast back (aggregate-sized build
+    side); supplier/part joins broadcast; TakeOrderedAndProject caps
+    the output. The revenue-vs-average comparison runs on exact
     decimal-hopped doubles, so both engines branch identically."""
     ensure_session_defaults(spark)
     li = load_table(spark, sf_dir, "lineitem")

@@ -357,3 +357,50 @@ def test_kmv_rank_gets_window_group_limit(spark, sf_dir):
     sketch build O(k) per group per task, as the docstring claims."""
     plan = plan_of(_QUERIES["agg_kmv_distinct"].builder(spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_tpcds_q17_co_partitioned_fact_chain(spark, sf_dir):
+    """tpcds_q17_adapted: the three fact slices each shuffle ONCE on
+    the shared (sk, ck) composite key and the two fact-fact joins
+    consume them co-partitioned (sort-merge with no extra exchange);
+    dims broadcast. Pin: exactly 3 slice exchanges + 1 final
+    group-by exchange, 2 sort-merge joins, >= 4 broadcast joins."""
+    plan = plan_of(
+        _QUERIES["tpcds_q17_adapted"].builder(spark, sf_dir), "simple"
+    )
+    assert plan.count("Exchange hashpartitioning") == 4, plan
+    assert plan.count("SortMergeJoin") == 2, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_tpcds_q38_intersect_plans_no_cartesian(spark, sf_dir):
+    """tpcds_q38_adapted: the INTERSECT chain must lower to
+    (semi/hash) joins over the deduped channel sets — never a
+    cartesian product — and the count is a final single-row
+    aggregate."""
+    plan = plan_of(_QUERIES["tpcds_q38_adapted"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_geometry_multi_queries_no_exchange(spark, sf_dir):
+    """The r7 geometry families (multipolygon, distance,
+    intersects) are pure per-row projections — no exchange, scan
+    speed at any corpus size."""
+    for name in (
+        "fn_geospatial_multipolygon",
+        "fn_geospatial_distance",
+        "fn_geospatial_intersects",
+    ):
+        plan = plan_of(_QUERIES[name].builder(spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} plans an exchange"
+
+
+def test_convex_hull_agg_is_two_phase(spark, sf_dir):
+    """agg_convex_hull: exactly two Arrow applyInPandas stages (the
+    per-salt partial hulls, then the hull-of-hull-vertices merge) —
+    the bounded-state two-phase shape the docstring claims."""
+    plan = plan_of(
+        _QUERIES["agg_convex_hull"].builder(spark, sf_dir), "simple"
+    )
+    assert plan.count("FlatMapGroupsInPandas") == 2, plan
