@@ -2926,3 +2926,83 @@ def fn_scalar_gaps2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.typeof_(df, "o_totalprice").alias("type_price"),
         ps.typeof_(df, "o_orderkey").alias("type_key"),
     )
+
+
+@register(
+    "fn_time_type",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey * 37137) % 86400000 AS m,
+         (o_orderkey * 9901) % 86400000 AS m2
+  FROM orders WHERE o_orderkey < 400
+)
+SELECT k, m,
+       lpad(CAST(CAST(floor(m / 3600000) AS BIGINT) AS VARCHAR), 2, '0')
+         || ':'
+         || lpad(CAST(CAST(floor((m % 3600000) / 60000) AS BIGINT)
+                      AS VARCHAR), 2, '0') || ':'
+         || lpad(CAST(CAST(floor((m % 60000) / 1000) AS BIGINT)
+                      AS VARCHAR), 2, '0') || '.'
+         || lpad(CAST(m % 1000 AS VARCHAR), 3, '0') AS rendered,
+       CAST(floor(m / 3600000) AS BIGINT) AS hour_of,
+       CAST(floor((m % 3600000) / 60000) AS BIGINT) AS minute_of,
+       CAST(floor((m % 60000) / 1000) AS BIGINT) AS second_of,
+       CAST(m % 1000 AS BIGINT) AS milli_of,
+       TRUE AS parse_roundtrip,
+       (m < m2) AS lt_other
+FROM t
+""",
+)
+def fn_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain TIME type semantics (SPI/type/TimeType.java — the last
+    §1.2 temporal type without a pinned carrier; TIME WITH TIME ZONE
+    is fn_char_time_tz). Presto's TIME is millis since midnight in a
+    long; Spark has no TIME type, so the engine carries the SAME
+    representation: a bigint millis value with render
+    ('HH:MM:SS.mmm'), field extraction (hour/minute/second/
+    millisecond as integer divisions), a parse->render roundtrip
+    pinned in-engine, and ordering on the underlying millis —
+    exactly the reference's comparison (TimeType operators compare
+    the long). Everything is integer Column arithmetic replayed
+    identically by the oracle."""
+    ensure_session_defaults(spark)
+    k = F.col("o_orderkey")
+    m = (k * 37137) % 86400000
+    m2 = (k * 9901) % 86400000
+
+    def two(x):
+        return F.lpad(x.cast("string"), 2, "0")
+
+    hour = F.floor(m / F.lit(3600000)).cast("bigint")
+    minute = F.floor((m % 3600000) / F.lit(60000)).cast("bigint")
+    second = F.floor((m % 60000) / F.lit(1000)).cast("bigint")
+    rendered = F.concat(
+        two(hour), F.lit(":"),
+        two(minute), F.lit(":"),
+        two(second), F.lit("."),
+        F.lpad((m % 1000).cast("string"), 3, "0"),
+    )
+    # parse back: split on :/. and recombine — the TIME literal parser
+    parts = F.split(rendered, r"[:.]")
+    reparsed = (
+        parts[0].cast("bigint") * 3600000
+        + parts[1].cast("bigint") * 60000
+        + parts[2].cast("bigint") * 1000
+        + parts[3].cast("bigint")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(k < 400)
+        .select(
+            k.alias("k"),
+            m.alias("m"),
+            rendered.alias("rendered"),
+            hour.alias("hour_of"),
+            minute.alias("minute_of"),
+            second.alias("second_of"),
+            (m % 1000).cast("bigint").alias("milli_of"),
+            (reparsed == m).alias("parse_roundtrip"),
+            (m < m2).alias("lt_other"),
+        )
+    )
