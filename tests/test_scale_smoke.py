@@ -224,3 +224,39 @@ def test_trend_ann_bruteforce_near_linear(spark):
     t1 = _timed(lambda: run(4_000))
     t10 = _timed(lambda: run(40_000))
     assert t10 / t1 <= 25, f"ANN trend superlinear: {t1:.2f}s -> {t10:.2f}s"
+
+
+def test_trend_pagefile_codec_near_linear(tmp_path):
+    """The PAGEFILE codec is per-page byte work — encode+decode
+    wall-time must grow ~linearly in row count (a quadratic slip in
+    the offset/null-bit vectorization would land near 100x)."""
+    import pandas as pd
+
+    from presto_0_235_spark.sources import pagefile as pf
+
+    kinds = [pf.LONG, pf.DOUBLE, pf.STRING]
+
+    def run(n, tag):
+        pdf = pd.DataFrame(
+            {
+                "k": range(n),
+                "v": [i * 1.5 for i in range(n)],
+                "s": [f"doc-{i}" * 3 for i in range(n)],
+            }
+        )
+        p = str(tmp_path / f"trend_{tag}.pagefile")
+        pf.write_file(p, pdf, kinds, page_positions=1024)
+        offsets, fo = pf.read_footer(p)
+        total = 0
+        for i, start in enumerate(offsets):
+            end = offsets[i + 1] if i + 1 < len(offsets) else fo
+            for cols in pf.read_stripe(p, start, end, kinds):
+                total += len(cols[0])
+        assert total == n
+
+    run(2_000, "warm")
+    t1 = _timed(lambda: run(5_000, "a"))
+    t10 = _timed(lambda: run(50_000, "b"))
+    assert t10 / t1 <= 25, (
+        f"pagefile codec superlinear: {t1:.2f}s -> {t10:.2f}s"
+    )
