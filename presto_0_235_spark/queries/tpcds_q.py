@@ -1309,3 +1309,468 @@ def tpcds_q93_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sumact", "o_custkey")
         .limit(100)
     )
+
+
+@register(
+    "tpcds_q31_adapted",
+    oracle=f"""
+WITH ss AS (
+  SELECT c_nationkey AS nation, month(o_orderdate) AS moy,
+         {oracle_dec_sum('l_extendedprice', 'amt')}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE year(o_orderdate) = 1997
+    AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    AND month(o_orderdate) IN (1, 2, 3)
+  GROUP BY 1, 2
+),
+ws AS (
+  SELECT c_nationkey AS nation, month(o_orderdate) AS moy,
+         {oracle_dec_sum('l_extendedprice', 'amt')}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE year(o_orderdate) = 1997
+    AND o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+    AND month(o_orderdate) IN (1, 2, 3)
+  GROUP BY 1, 2
+)
+SELECT ss1.nation,
+       round(ss2.amt / ss1.amt, 9) AS store_g1,
+       round(ss3.amt / ss2.amt, 9) AS store_g2,
+       round(ws2.amt / ws1.amt, 9) AS web_g1,
+       round(ws3.amt / ws2.amt, 9) AS web_g2
+FROM ss ss1 JOIN ss ss2 ON ss1.nation = ss2.nation AND ss2.moy = 2
+            JOIN ss ss3 ON ss1.nation = ss3.nation AND ss3.moy = 3
+            JOIN ws ws1 ON ss1.nation = ws1.nation AND ws1.moy = 1
+            JOIN ws ws2 ON ss1.nation = ws2.nation AND ws2.moy = 2
+            JOIN ws ws3 ON ss1.nation = ws3.nation AND ws3.moy = 3
+WHERE ss1.moy = 1 AND ss1.amt > 0 AND ss2.amt > 0
+  AND ws1.amt > 0 AND ws2.amt > 0
+  AND ws2.amt / ws1.amt > ss2.amt / ss1.amt
+ORDER BY ss1.nation
+""",
+)
+def tpcds_q31_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q31 (tpcds/q31.sql): the chained-self-join growth
+    comparison — store and web sales aggregated per (county,
+    quarter), then SIX instances of the two aggregates joined on
+    county across three consecutive quarters, keeping counties whose
+    web growth outpaced store growth. Fixture roles: county ->
+    customer nation, the two channels -> priority bands, quarters ->
+    months 1-3 of 1997. Plan: the two aggregates are tiny
+    (nations x months), so all five growth joins broadcast off the
+    first — aggregate-sized exchanges regardless of fact scale; the
+    ratio comparisons run on exact decimal-hopped sums, so both
+    engines branch identically."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def channel(priorities) -> DataFrame:
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .filter(
+                (F.year("o_orderdate") == 1997)
+                & F.col("o_orderpriority").isin(*priorities)
+                & F.month("o_orderdate").isin(1, 2, 3)
+            )
+            .groupBy(
+                F.col("c_nationkey").alias("nation"),
+                F.month("o_orderdate").alias("moy"),
+            )
+            .agg(dec_sum("l_extendedprice", "amt"))
+        )
+
+    ss = channel(["1-URGENT", "2-HIGH"])
+    ws = channel(["4-NOT SPECIFIED", "5-LOW"])
+
+    def pick(df, alias, moy):
+        return df.filter(F.col("moy") == moy).alias(alias)
+
+    ss1, ss2, ss3 = pick(ss, "ss1", 1), pick(ss, "ss2", 2), pick(ss, "ss3", 3)
+    ws1, ws2, ws3 = pick(ws, "ws1", 1), pick(ws, "ws2", 2), pick(ws, "ws3", 3)
+    j = (
+        ss1.join(ss2, F.col("ss1.nation") == F.col("ss2.nation"))
+        .join(ss3, F.col("ss1.nation") == F.col("ss3.nation"))
+        .join(ws1, F.col("ss1.nation") == F.col("ws1.nation"))
+        .join(ws2, F.col("ss1.nation") == F.col("ws2.nation"))
+        .join(ws3, F.col("ss1.nation") == F.col("ws3.nation"))
+    )
+    return (
+        j.filter(
+            (F.col("ss1.amt") > 0)
+            & (F.col("ss2.amt") > 0)
+            & (F.col("ws1.amt") > 0)
+            & (F.col("ws2.amt") > 0)
+            & (
+                F.col("ws2.amt") / F.col("ws1.amt")
+                > F.col("ss2.amt") / F.col("ss1.amt")
+            )
+        )
+        .select(
+            F.col("ss1.nation").alias("nation"),
+            F.round(F.col("ss2.amt") / F.col("ss1.amt"), 9).alias(
+                "store_g1"
+            ),
+            F.round(F.col("ss3.amt") / F.col("ss2.amt"), 9).alias(
+                "store_g2"
+            ),
+            F.round(F.col("ws2.amt") / F.col("ws1.amt"), 9).alias(
+                "web_g1"
+            ),
+            F.round(F.col("ws3.amt") / F.col("ws2.amt"), 9).alias(
+                "web_g2"
+            ),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "tpcds_q47_adapted",
+    oracle=f"""
+WITH v1 AS (
+  SELECT p_brand, year(o_orderdate) AS d_year,
+         month(o_orderdate) AS d_moy,
+         {oracle_dec_sum('l_extendedprice', 'sum_sales')}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2, 3
+),
+v2 AS (
+  SELECT p_brand, d_year, d_moy, sum_sales,
+         CAST(SUM(CAST(round(sum_sales * 10000) AS BIGINT))
+                   OVER (PARTITION BY p_brand, d_year) AS DOUBLE)
+           / 10000.0
+           / COUNT(sum_sales) OVER (PARTITION BY p_brand, d_year)
+           AS avg_monthly_sales,
+         lag(sum_sales) OVER (PARTITION BY p_brand
+                              ORDER BY d_year, d_moy) AS psum,
+         lead(sum_sales) OVER (PARTITION BY p_brand
+                               ORDER BY d_year, d_moy) AS nsum
+  FROM v1
+)
+SELECT p_brand, d_year, d_moy,
+       round(sum_sales, 4) AS sum_sales,
+       avg_monthly_sales,
+       round(psum, 4) AS psum, round(nsum, 4) AS nsum
+FROM v2
+WHERE d_year = 1997 AND avg_monthly_sales > 0
+  AND abs(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1
+ORDER BY p_brand, d_year, d_moy
+""",
+)
+def tpcds_q47_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q47 (tpcds/q47.sql): the window-over-aggregate
+    deviation report — monthly sales per brand, the yearly average
+    as a window over the aggregate, lag/lead month neighbors, and a
+    >10% deviation filter. Fixture roles: (i_brand, store) ->
+    p_brand, d_year/d_moy from o_orderdate. Plan: one shuffle
+    builds the monthly aggregate; the three window functions share
+    ONE (p_brand)-partitioned window exchange (avg re-sorts within);
+    the deviation arithmetic runs on exact decimal-hopped sums.
+    avg_monthly_sales itself rides the scaled-bigint hop INSIDE the
+    window (exact integer numerator / exact count), so the 0.1
+    deviation comparison branches identically on both engines —
+    a plain window avg of doubles is summation-order-dependent and
+    flips knife-edge rows."""
+    ensure_session_defaults(spark)
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    v1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.year("o_orderdate").alias("d_year"),
+            F.month("o_orderdate").alias("d_moy"),
+        )
+        .agg(dec_sum("l_extendedprice", "sum_sales"))
+    )
+    w_year = Window.partitionBy("p_brand", "d_year")
+    w_seq = Window.partitionBy("p_brand").orderBy("d_year", "d_moy")
+    v2 = v1.select(
+        "p_brand", "d_year", "d_moy", "sum_sales",
+        (
+            F.sum(
+                F.round(F.col("sum_sales") * 10000).cast("bigint")
+            ).over(w_year).cast("double")
+            / 10000.0
+            / F.count("sum_sales").over(w_year)
+        ).alias("avg_monthly_sales"),
+        F.lag("sum_sales").over(w_seq).alias("psum"),
+        F.lead("sum_sales").over(w_seq).alias("nsum"),
+    )
+    return (
+        v2.filter(
+            (F.col("d_year") == 1997)
+            & (F.col("avg_monthly_sales") > 0)
+            & (
+                F.abs(F.col("sum_sales") - F.col("avg_monthly_sales"))
+                / F.col("avg_monthly_sales")
+                > 0.1
+            )
+        )
+        .select(
+            "p_brand", "d_year", "d_moy",
+            F.round("sum_sales", 4).alias("sum_sales"),
+            "avg_monthly_sales",
+            F.round("psum", 4).alias("psum"),
+            F.round("nsum", 4).alias("nsum"),
+        )
+        .orderBy("p_brand", "d_year", "d_moy")
+    )
+
+
+@register(
+    "tpcds_q49_adapted",
+    oracle=f"""
+WITH per_item AS (
+  SELECT o_orderpriority AS channel, l_partkey AS item,
+         CAST(SUM(CASE WHEN l_returnflag = 'R'
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS ret_qty,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sold_qty,
+         CAST(SUM(CASE WHEN l_returnflag = 'R'
+                       THEN CAST(round(l_extendedprice * 10000) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS ret_amt_s,
+         CAST(SUM(CAST(round(l_extendedprice * 10000) AS BIGINT))
+              AS BIGINT) AS sold_amt_s
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+    AND year(o_orderdate) = 1997
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT channel, item,
+         CAST(ret_qty AS DOUBLE) / sold_qty AS return_ratio,
+         CAST(ret_amt_s AS DOUBLE) / sold_amt_s AS currency_ratio,
+         rank() OVER (PARTITION BY channel
+                      ORDER BY CAST(ret_qty AS DOUBLE) / sold_qty,
+                               item) AS return_rank,
+         rank() OVER (PARTITION BY channel
+                      ORDER BY CAST(ret_amt_s AS DOUBLE) / sold_amt_s,
+                               item) AS currency_rank
+  FROM per_item WHERE sold_qty > 0
+)
+SELECT channel, item, round(return_ratio, 9) AS return_ratio,
+       CAST(return_rank AS BIGINT) AS return_rank,
+       CAST(currency_rank AS BIGINT) AS currency_rank
+FROM ranked
+WHERE return_rank <= 10 OR currency_rank <= 10
+ORDER BY channel, return_rank, currency_rank, item
+""",
+)
+def tpcds_q49_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q49 (tpcds/q49.sql): the 'worst return ratios' report
+    — per channel, per item: returned-to-sold quantity and currency
+    ratios, DUAL rank() windows over each ratio, keep items in
+    either top-10, UNION across channels. Fixture roles: the three
+    channels (web/catalog/store) -> priority bands computed in ONE
+    grouped pass (channel is a group key — the reference's three
+    UNION branches share one plan here, an improvement Catalyst
+    makes natural); returns -> 'R'-flag rows via conditional sums.
+    Ratios are exact-integer divisions (quantities and scaled
+    amounts), so ranks are deterministic; rank ties break on the
+    item key inside the ORDER BY."""
+    ensure_session_defaults(spark)
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    r_flag = F.col("l_returnflag") == "R"
+    qty = F.col("l_quantity").cast("bigint")
+    amt_s = F.round(F.col("l_extendedprice") * 10000).cast("bigint")
+    per_item = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM"
+            )
+            & (F.year("o_orderdate") == 1997)
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("channel"),
+            F.col("l_partkey").alias("item"),
+        )
+        .agg(
+            F.sum(F.when(r_flag, qty).otherwise(F.lit(0)))
+            .cast("bigint").alias("ret_qty"),
+            F.sum(qty).cast("bigint").alias("sold_qty"),
+            F.sum(F.when(r_flag, amt_s).otherwise(F.lit(0)))
+            .cast("bigint").alias("ret_amt_s"),
+            F.sum(amt_s).cast("bigint").alias("sold_amt_s"),
+        )
+        .filter(F.col("sold_qty") > 0)
+    )
+    rr = F.col("ret_qty").cast("double") / F.col("sold_qty")
+    cr = F.col("ret_amt_s").cast("double") / F.col("sold_amt_s")
+    w_r = Window.partitionBy("channel").orderBy(rr, "item")
+    w_c = Window.partitionBy("channel").orderBy(cr, "item")
+    ranked = per_item.select(
+        "channel", "item",
+        rr.alias("return_ratio"),
+        F.rank().over(w_r).alias("return_rank"),
+        F.rank().over(w_c).alias("currency_rank"),
+    )
+    return (
+        ranked.filter(
+            (F.col("return_rank") <= 10) | (F.col("currency_rank") <= 10)
+        )
+        .select(
+            "channel", "item",
+            F.round("return_ratio", 9).alias("return_ratio"),
+            F.col("return_rank").cast("bigint").alias("return_rank"),
+            F.col("currency_rank").cast("bigint").alias("currency_rank"),
+        )
+        .orderBy("channel", "return_rank", "currency_rank", "item")
+    )
+
+
+@register(
+    "tpcds_q66_adapted",
+    oracle=f"""
+WITH monthly AS (
+  SELECT l_suppkey,
+         {", ".join(
+             "CAST(SUM(CASE WHEN month(l_shipdate) = %d "
+             "THEN CAST(round(l_extendedprice * 10000) AS BIGINT) "
+             "ELSE 0 END) AS DOUBLE) / 10000.0 AS m%d_sales" % (m, m)
+             for m in range(1, 13)
+         )},
+         {oracle_dec_sum('l_extendedprice', 'total_sales')}
+  FROM lineitem
+  WHERE year(l_shipdate) = 1997
+  GROUP BY l_suppkey
+)
+SELECT s_name, s_nationkey,
+       {", ".join("m%d_sales" % m for m in range(1, 13))},
+       total_sales
+FROM monthly JOIN supplier ON s_suppkey = l_suppkey
+ORDER BY s_name
+""",
+)
+def tpcds_q66_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q66 (tpcds/q66.sql): the wide pivot-style aggregate —
+    per warehouse, TWELVE monthly conditional sums (jan_sales ..
+    dec_sales) plus the total, decorated with warehouse attributes.
+    Fixture roles: warehouse -> supplier, ship_mode/time_sk filters
+    -> the shipdate year, the web+catalog UNION collapses into one
+    fact pass (the reference unions two channel scans; the fixture
+    has one fact). The signature is the WIDTH: 13 independent
+    conditional aggregates evaluated in a single grouped pass —
+    one shuffle, every sum through the exact decimal hop."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    amt_s = F.round(F.col("l_extendedprice") * 10000).cast("bigint")
+    aggs = [
+        (
+            F.sum(
+                F.when(F.month("l_shipdate") == m, amt_s).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / 10000.0
+        ).alias(f"m{m}_sales")
+        for m in range(1, 13)
+    ]
+    monthly = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .groupBy("l_suppkey")
+        .agg(*aggs, dec_sum("l_extendedprice", "total_sales"))
+    )
+    return (
+        monthly.join(supp, supp.s_suppkey == monthly.l_suppkey)
+        .select(
+            "s_name", "s_nationkey",
+            *[f"m{m}_sales" for m in range(1, 13)],
+            "total_sales",
+        )
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "tpcds_q23_adapted",
+    oracle=f"""
+WITH frequent_parts AS (
+  SELECT l_partkey FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1997
+  GROUP BY l_partkey HAVING count(*) > 8
+),
+spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(l_extendedprice * 10000) AS BIGINT))
+              AS BIGINT) AS spend_s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey
+),
+best_customers AS (
+  SELECT o_custkey FROM spend
+  WHERE CAST(spend_s AS DOUBLE)
+        > 0.5 * (SELECT CAST(max(spend_s) AS DOUBLE) FROM spend)
+)
+SELECT {oracle_dec_sum('l_extendedprice', 'total_spend')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE year(o_orderdate) = 1997 AND month(o_orderdate) = 12
+  AND l_partkey IN (SELECT l_partkey FROM frequent_parts)
+  AND o_custkey IN (SELECT o_custkey FROM best_customers)
+""",
+)
+def tpcds_q23_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q23 (tpcds/q23_1.sql): the two-stage CTE funnel —
+    'frequent items' (sold more than k times in the year), 'best
+    customers' (total spend above a fraction of the MAX total spend
+    — an aggregate-over-aggregate scalar threshold), then one month's
+    sales restricted to both sets, as a single global sum. Fixture
+    roles: item count threshold > 8 (q23's > 4 over 4x the dates),
+    best-customer fraction 0.5 of the max (q23 uses 95th-percentile
+    of totals; max keeps the oracle exact), Dec 1997 as the target
+    month. Plan: both filter sets are aggregates (small), so the
+    final restriction is two semi joins with broadcast-able build
+    sides; the scalar max is a single-row cross join. The threshold
+    comparison runs on exact scaled integers."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    frequent = (
+        lo.filter(F.year("o_orderdate") == 1997)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 8)
+        .select("l_partkey")
+    )
+    spend = lo.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 10000).cast("bigint")
+        ).alias("spend_s")
+    )
+    max_spend = spend.agg(
+        F.max("spend_s").cast("double").alias("max_s")
+    )
+    best = (
+        spend.crossJoin(F.broadcast(max_spend))
+        .filter(F.col("spend_s").cast("double") > 0.5 * F.col("max_s"))
+        .select("o_custkey")
+    )
+    target = lo.filter(
+        (F.year("o_orderdate") == 1997) & (F.month("o_orderdate") == 12)
+    )
+    return (
+        target.join(frequent, "l_partkey", "left_semi")
+        .join(best, "o_custkey", "left_semi")
+        .agg(dec_sum("l_extendedprice", "total_spend"))
+    )
