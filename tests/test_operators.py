@@ -605,6 +605,42 @@ class TestPageFileCodec:
         (page_cols,) = pf.read_stripe(p, 0, fo, [pf.STRING])
         assert page_cols[0] == ["the same text again"] * 500
 
+    def test_zstd_page_body_decodes_through_jvm_zstd(
+        self, spark, tmp_path
+    ):
+        """Cross-implementation pin: a COMPRESSED page body written
+        by the codec must decompress through the JVM's zstd-jni
+        (com.github.luben.zstd, bundled with Spark) — proving the
+        frames really are the standard zstd format airlift's
+        ZstdDecompressor reads, not merely pyarrow-roundtrippable."""
+        import struct
+
+        import pandas as pd
+
+        from presto_0_235_spark.sources import pagefile as pf
+
+        p = str(tmp_path / "interop.pagefile")
+        pdf = pd.DataFrame({"s": ["repeated body text"] * 300})
+        pf.write_file(p, pdf, [pf.STRING], compression="zstd")
+        data = open(p, "rb").read()
+        _, markers, unc, size = struct.unpack_from("<iBii", data, 0)
+        assert markers == pf.COMPRESSED_MARKER
+        body = data[13 : 13 + size]
+        jvm = spark._jvm
+        raw = bytes(jvm.com.github.luben.zstd.Zstd.decompress(body, unc))
+        assert len(raw) == unc
+        # decoded slice parses as the raw page: blockCount then the
+        # VARIABLE_WIDTH block with all 300 strings
+        cols, n_rows, _ = pf.decode_page(
+            memoryview(
+                struct.pack("<iBii", 300, 0, len(raw), len(raw)) + raw
+            ),
+            0,
+            [pf.STRING],
+        )
+        assert n_rows == 300
+        assert cols[0] == ["repeated body text"] * 300
+
     def test_stripe_splits_parallel_read(self, spark, tmp_path):
         """A single large file splits into one read task per stripe
         (the format's split contract): force tiny stripes, then the
