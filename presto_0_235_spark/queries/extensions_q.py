@@ -2599,3 +2599,132 @@ def events_decode_avro_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("sum_value"),
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS step_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS step_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS step_purchase,
+       round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+             / (SELECT count(*) FROM v), 9) AS conv_click,
+       round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+             / (SELECT count(*) FROM v), 9) AS conv_purchase
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase) — the
+    event-sequence operator every product-analytics engine carries
+    (the reference's users express it exactly as this chain of
+    min-timestamp self-joins; ClickHouse ships it as windowFunnel).
+    STRICT ordering: each step's timestamp must fall after the
+    user's previous step — min-aggregate per step, then join the
+    next step's events above that bound. Plan: every stage shuffles
+    on user_id, so the three step joins CO-PARTITION on the same
+    key (one exchange each for the step aggregates, no re-exchange
+    of probe sides); step tables only shrink down the funnel. The
+    conversion-rate divisions are exact-integer ratios."""
+    ensure_session_defaults(spark)
+    events = load_table(spark, sf_dir, "events")
+
+    def first_after(step_type: str, prior: DataFrame, bound: str,
+                    out: str) -> DataFrame:
+        e = events.filter(F.col("event_type") == step_type)
+        return (
+            e.join(prior, "user_id")
+            .filter(F.col("ts") > F.col(bound))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("step_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("step_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("step_purchase")))
+    )
+    return counts.select(
+        F.col("step_view").cast("bigint").alias("step_view"),
+        F.col("step_click").cast("bigint").alias("step_click"),
+        F.col("step_purchase").cast("bigint").alias("step_purchase"),
+        F.round(
+            F.col("step_click").cast("double") / F.col("step_view"), 9
+        ).alias("conv_click"),
+        F.round(
+            F.col("step_purchase").cast("double") / F.col("step_view"),
+            9,
+        ).alias("conv_purchase"),
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH weeks AS (
+  SELECT user_id,
+         CAST(floor(date_diff('day', DATE '2024-01-01',
+                              CAST(ts AS DATE)) / 7) AS INT) AS wk
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM weeks GROUP BY user_id
+),
+activity AS (SELECT DISTINCT user_id, wk FROM weeks)
+SELECT c.cohort_wk,
+       a.wk - c.cohort_wk AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+GROUP BY 1, 2
+ORDER BY cohort_wk, week_offset
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — users bucketed by first-activity
+    week, counted per subsequent active week offset (the standard
+    product-analytics rollup the reference's users build from
+    min-over-user + distinct-activity joins). Week arithmetic is
+    integer day-difference division — no engine week-numbering
+    involved, so both engines bucket identically. Plan: one shuffle
+    on user_id builds both the cohort table and the distinct
+    activity set; the join re-uses that partitioning; the final
+    (cohort, offset) aggregate is tiny (weeks x weeks)."""
+    ensure_session_defaults(spark)
+    events = load_table(spark, sf_dir, "events")
+    wk = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7
+    ).cast("int")
+    weeks = events.select("user_id", wk.alias("wk"))
+    cohorts = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    activity = weeks.distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias(
+            "active_users"
+        ))
+        .orderBy("cohort_wk", "week_offset")
+    )
