@@ -917,6 +917,52 @@ def st_union_disjoint_polygons(a: Column | str, b: Column | str) -> Column:
     return F.concat(_c(a), _c(b))
 
 
+def geometry_to_bing_tiles_envelope(
+    lat_min, lat_max, lon_min, lon_max, zoom: Column | str
+) -> Column:
+    """geometry_to_bing_tiles for the envelope path
+    (BingTileFunctions.java:378 geometryToBingTiles — points and
+    rectangles take the pure tile-range branch; general shapes add a
+    per-tile disjoint filter the Esri kernel performs): the covering
+    grid spans from the tile of (lat_max, lon_min) to the tile of
+    (lat_min, lon_max), with the reference's border-touch shrink
+    (:401-414): when the lower-right tile's upper-left corner falls
+    EXACTLY on the envelope's max-x / min-y border, the range
+    retreats one tile in that axis. Returns
+    array<struct<x:int,y:int>> row-major — pure Column sequence
+    arithmetic, identical doubles both engines."""
+    la0 = _c(lat_min).cast("double")
+    la1 = _c(lat_max).cast("double")
+    lo0 = _c(lon_min).cast("double")
+    lo1 = _c(lon_max).cast("double")
+    zz = _c(zoom).cast("int")
+    lu = bing_tile_at(la1, lo0, zz)
+    rl = bing_tile_at(la0, lo1, zz)
+    m = _map_size(zz)
+    x1, y1 = lu.getField("x"), lu.getField("y")
+    rx, ry = rl.getField("x"), rl.getField("y")
+    corner_lon = 360.0 * (
+        F.least(rx.cast("double") * _TILE_PIXELS, m) / m - 0.5
+    )
+    corner_lat = 90.0 - 360.0 * F.atan(
+        F.exp(
+            -(0.5 - F.least(ry.cast("double") * _TILE_PIXELS, m) / m)
+            * (2.0 * math.pi)
+        )
+    ) / math.pi
+    x2 = F.when((rx > x1) & (corner_lon == lo1), rx - 1).otherwise(rx)
+    y2 = F.when((ry > y1) & (corner_lat == la0), ry - 1).otherwise(ry)
+    return F.flatten(
+        F.transform(
+            F.sequence(y1, y2),
+            lambda y: F.transform(
+                F.sequence(x1, x2),
+                lambda x: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+
+
 # ---- ST_ConvexHull (GeoFunctions.java stConvexHull) ------------------------
 # The reference hands hulls to the Esri kernel; here Andrew's
 # monotone chain over the typed point array — the one geometry

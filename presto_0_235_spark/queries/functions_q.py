@@ -3006,3 +3006,116 @@ def fn_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             (m < m2).alias("lt_other"),
         )
     )
+
+
+_BT_MAP = "1048576.0"  # 256 * 2^12 — zoom 12 map size in pixels
+
+
+def _bt_tx(lon: str) -> str:
+    return (
+        f"CAST(floor(floor(least(greatest((({lon}) + 180.0) / 360.0"
+        f" * {_BT_MAP}, 0.0), {_BT_MAP} - 1)) / 256) AS BIGINT)"
+    )
+
+
+def _bt_ty(lat: str) -> str:
+    return (
+        f"CAST(floor(floor(least(greatest((0.5 - ln((1.0 + sin(({lat})"
+        f" * pi() / 180.0)) / (1.0 - sin(({lat}) * pi() / 180.0)))"
+        f" / (4.0 * pi())) * {_BT_MAP}, 0.0), {_BT_MAP} - 1)) / 256)"
+        f" AS BIGINT)"
+    )
+
+
+def _bt_corner_lon(x: str) -> str:
+    return f"(360.0 * (least(({x}) * 256.0, {_BT_MAP}) / {_BT_MAP} - 0.5))"
+
+
+def _bt_corner_lat(y: str) -> str:
+    return (
+        f"(90.0 - 360.0 * atan(exp(-(0.5 - least(({y}) * 256.0,"
+        f" {_BT_MAP}) / {_BT_MAP}) * 2.0 * pi())) / pi())"
+    )
+
+
+@register(
+    "fn_bing_tiles_cover",
+    oracle=f"""
+WITH env AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey % 140) / 2.0 - 35.0 AS lat0,
+         (o_orderkey % 140) / 2.0 - 35.0 + 0.3 AS lat1,
+         -170.0 + ((o_orderkey * 7) % 960) * 0.3515625 AS lon0,
+         -170.0 + ((o_orderkey * 7) % 960) * 0.3515625
+           + (CASE WHEN o_orderkey % 3 = 0 THEN 0.703125
+                   ELSE 0.7 END) AS lon1
+  FROM orders WHERE o_orderkey < 300
+),
+corners AS (
+  SELECT k, lat0, lon1,
+         {_bt_tx('lon0')} AS x1, {_bt_ty('lat1')} AS y1,
+         {_bt_tx('lon1')} AS rx, {_bt_ty('lat0')} AS ry
+  FROM env
+),
+shifted AS (
+  SELECT k, x1, y1,
+         CASE WHEN rx > x1 AND {_bt_corner_lon('rx')} = lon1
+              THEN rx - 1 ELSE rx END AS x2,
+         CASE WHEN ry > y1 AND {_bt_corner_lat('ry')} = lat0
+              THEN ry - 1 ELSE ry END AS y2
+  FROM corners
+)
+SELECT k, x1, y1, x2, y2,
+       (x2 - x1 + 1) * (y2 - y1 + 1) AS n_tiles,
+       (x1 + x2) * (x2 - x1 + 1) // 2 * (y2 - y1 + 1) AS sum_x,
+       (y1 + y2) * (y2 - y1 + 1) // 2 * (x2 - x1 + 1) AS sum_y
+FROM shifted
+""",
+)
+def fn_bing_tiles_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geometry_to_bing_tiles — the envelope covering grid
+    (BingTileFunctions.java:378; points/rectangles take the pure
+    tile-range branch, :401-414 border-touch shrink): tiles from the
+    (lat_max, lon_min) tile to the (lat_min, lon_max) tile, with the
+    lower-right tile retreating when its upper-left corner falls
+    exactly on the envelope border. Envelope longitudes sit ON the
+    zoom-12 tile grid (0.3515625° steps) and every third row's east
+    edge lands exactly on a border, so the shrink branch is
+    genuinely exercised and the exact-double corner comparison is
+    replayable. The oracle pins the corner tiles plus tile count and
+    the row-major coordinate sums in closed form — the enumeration
+    itself, not just its envelope."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.functions import geo
+
+    k = F.col("o_orderkey")
+    lat0 = (k % 140) / 2.0 - 35.0
+    lat1 = lat0 + 0.3
+    lon0 = F.lit(-170.0) + ((k * 7) % 960) * 0.3515625
+    lon1 = lon0 + F.when(k % 3 == 0, F.lit(0.703125)).otherwise(
+        F.lit(0.7)
+    )
+    tiles = geo.geometry_to_bing_tiles_envelope(
+        lat0, lat1, lon0, lon1, F.lit(12)
+    )
+    first = F.element_at(tiles, 1)
+    last = F.element_at(tiles, F.size(tiles))
+    zero = F.lit(0).cast("bigint")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(k < 300)
+        .select(
+            k.alias("k"),
+            first.getField("x").cast("bigint").alias("x1"),
+            first.getField("y").cast("bigint").alias("y1"),
+            last.getField("x").cast("bigint").alias("x2"),
+            last.getField("y").cast("bigint").alias("y2"),
+            F.size(tiles).cast("bigint").alias("n_tiles"),
+            F.aggregate(
+                tiles, zero, lambda acc, t: acc + t.getField("x")
+            ).alias("sum_x"),
+            F.aggregate(
+                tiles, zero, lambda acc, t: acc + t.getField("y")
+            ).alias("sum_y"),
+        )
+    )
