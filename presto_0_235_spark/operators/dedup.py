@@ -234,6 +234,56 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_incremental_pairs(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    max_bucket: int | None = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Incremental (cross-corpus) LSH: candidate pairs between a NEW
+    batch and an EXISTING corpus — the ingestion-time shape. Bands
+    the new batch and joins it against the OLD corpus's banded
+    signature table only: no old-old pairs (already deduped when the
+    corpus was built) and no new-new pairs (run lsh_candidate_pairs
+    on the batch for those), so the join is |new|*B vs |old|*B on
+    the uniform band key, never all-pairs.
+
+    The bucket cap applies to the OLD (index) side: a degenerate
+    index bucket is the one that would otherwise meet every matching
+    new row. In production the old banded table is the persisted
+    artifact of the original dedup run — here it is recomputed, the
+    same table either way. Returns (id_new, id_old) distinct pairs.
+    """
+    from pyspark.sql import Window
+
+    def banded(docs: DataFrame, out: str) -> DataFrame:
+        sig = minhash_signature(F.col(shingle_col))
+        return docs.select(
+            F.col(id_col).alias(out),
+            F.posexplode(lsh_band_keys(sig, bands, rows)).alias(
+                "band_id", "band_key"
+            ),
+        )
+
+    old_b = banded(old_docs, "id_old")
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        old_b = (
+            old_b.withColumn("__bsz", F.count("*").over(w))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
+    new_b = banded(new_docs, "id_new")
+    return (
+        new_b.join(old_b, ["band_id", "band_key"])
+        .select("id_new", "id_old")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

@@ -2728,3 +2728,87 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         .orderBy("cohort_wk", "week_offset")
     )
+
+
+_INC_BAND_OLD = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id,"
+    f" {dd.sql_lsh_band_key('sig', b)} AS band_key FROM sig_old"
+    for b in range(dd.LSH_BANDS)
+)
+_INC_BAND_NEW = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id,"
+    f" {dd.sql_lsh_band_key('sig', b)} AS band_key FROM sig_new"
+    for b in range(dd.LSH_BANDS)
+)
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents
+),
+sig_old AS (
+  SELECT doc_id, {dd.sql_minhash_signature('sh')} AS sig FROM d
+  WHERE doc_id < 600
+),
+sig_new AS (
+  SELECT doc_id, {dd.sql_minhash_signature('sh')} AS sig FROM d
+  WHERE doc_id >= 600
+),
+bands_old AS (
+  {_INC_BAND_OLD}
+),
+kept_old AS (
+  SELECT b.* FROM bands_old b
+  JOIN (
+    SELECT band_id, band_key FROM bands_old
+    GROUP BY band_id, band_key
+    HAVING count(*) <= {dd.LSH_MAX_BUCKET}
+  ) s ON b.band_id = s.band_id AND b.band_key = s.band_key
+),
+bands_new AS (
+  {_INC_BAND_NEW}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+  FROM bands_new n
+  JOIN kept_old o
+    ON n.band_id = o.band_id AND n.band_key = o.band_key
+)
+SELECT c.id_new, c.id_old, {dd.sql_jaccard('dn.sh', 'do_.sh')} AS jac
+FROM cand c
+JOIN d dn ON dn.doc_id = c.id_new
+JOIN d do_ ON do_.doc_id = c.id_old
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus near-dedup — the INGESTION shape: a
+    new document batch is LSH-checked against the existing corpus's
+    banded signature index only (no old-old pairs — the corpus was
+    deduped when built; no new-new pairs — that is the batch's own
+    lsh pass), then candidates verify by exact Jaccard. The join is
+    |new|*B against |old|*B on the uniform band key with the bucket
+    cap on the INDEX side — never all-pairs, and the index table is
+    the persisted artifact a production pipeline reuses across
+    batches (operators/dedup.py lsh_incremental_pairs). Fixture
+    split: doc_id < 600 is the corpus, the rest the batch."""
+    ensure_session_defaults(spark)
+    d = (
+        load_table(spark, sf_dir, "documents", spread=True)
+        .select("doc_id", dd.word_shingles("text").alias("sh"))
+        .persist()
+    )
+    old = d.filter(F.col("doc_id") < 600)
+    new = d.filter(F.col("doc_id") >= 600)
+    pairs = dd.lsh_incremental_pairs(old, new, "doc_id", "sh")
+    dn = d.select(F.col("doc_id").alias("id_new"), F.col("sh").alias("shn"))
+    do = d.select(F.col("doc_id").alias("id_old"), F.col("sh").alias("sho"))
+    return (
+        pairs.join(dn, "id_new")
+        .join(do, "id_old")
+        .select(
+            "id_new", "id_old",
+            dd.jaccard(F.col("shn"), F.col("sho")).alias("jac"),
+        )
+    )
