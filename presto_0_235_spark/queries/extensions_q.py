@@ -2750,11 +2750,11 @@ WITH d AS (
 ),
 sig_old AS (
   SELECT doc_id, {dd.sql_minhash_signature('sh')} AS sig FROM d
-  WHERE doc_id < 600
+  WHERE doc_id % 2 = 0
 ),
 sig_new AS (
   SELECT doc_id, {dd.sql_minhash_signature('sh')} AS sig FROM d
-  WHERE doc_id >= 600
+  WHERE doc_id % 2 = 1
 ),
 bands_old AS (
   {_INC_BAND_OLD}
@@ -2799,8 +2799,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", dd.word_shingles("text").alias("sh"))
         .persist()
     )
-    old = d.filter(F.col("doc_id") < 600)
-    new = d.filter(F.col("doc_id") >= 600)
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
     pairs = dd.lsh_incremental_pairs(old, new, "doc_id", "sh")
     dn = d.select(F.col("doc_id").alias("id_new"), F.col("sh").alias("shn"))
     do = d.select(F.col("doc_id").alias("id_old"), F.col("sh").alias("sho"))
