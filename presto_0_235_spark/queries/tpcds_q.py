@@ -1774,3 +1774,233 @@ def tpcds_q23_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(best, "o_custkey", "left_semi")
         .agg(dec_sum("l_extendedprice", "total_spend"))
     )
+
+
+@register(
+    "tpcds_q32_adapted",
+    oracle=f"""
+WITH amounts AS (
+  SELECT l_partkey,
+         l_extendedprice * l_discount AS disc_amt
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1997
+),
+thresholds AS (
+  SELECT l_partkey,
+         1.3 * (CAST(SUM(CAST(round(disc_amt * 10000) AS BIGINT))
+                     AS DOUBLE) / 10000.0 / COUNT(disc_amt))
+           AS excess_floor
+  FROM amounts GROUP BY l_partkey
+)
+SELECT {oracle_dec_sum('a.disc_amt', 'excess_discount')}
+FROM amounts a
+JOIN thresholds t ON a.l_partkey = t.l_partkey
+WHERE a.disc_amt > t.excess_floor
+""",
+)
+def tpcds_q32_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q32 (tpcds/q32.sql): 'excess discount' — the sum of
+    discount amounts that exceed 1.3x their ITEM's average discount
+    for the period; the correlated per-item average decorrelates to
+    an aggregate joined back to the detail (exactly what the
+    reference's TransformCorrelatedScalarAggregationToJoin does).
+    Fixture roles: cs_ext_discount_amt -> l_extendedprice *
+    l_discount (a 4-decimal-exact product), the date_dim window ->
+    order year 1997. The per-item average rides the scaled-bigint
+    hop so the 1.3x comparison branches identically; the final sum
+    is one global aggregate. Plan: one shuffle on l_partkey feeds
+    the threshold aggregate; the join back is aggregate-vs-detail
+    on the same key."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    amounts = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.year("o_orderdate") == 1997)
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "disc_amt"
+            ),
+        )
+    )
+    thresholds = amounts.groupBy("l_partkey").agg(
+        (
+            F.lit(1.3)
+            * (
+                F.sum(
+                    F.round(F.col("disc_amt") * 10000).cast("bigint")
+                ).cast("double")
+                / 10000.0
+                / F.count("disc_amt")
+            )
+        ).alias("excess_floor")
+    )
+    return (
+        amounts.join(thresholds, "l_partkey")
+        .filter(F.col("disc_amt") > F.col("excess_floor"))
+        .agg(dec_sum("disc_amt", "excess_discount"))
+    )
+
+
+@register(
+    "tpcds_q43_adapted",
+    oracle=f"""
+SELECT s_name,
+       {", ".join(
+           "CAST(SUM(CASE WHEN date_diff('day', DATE '1995-01-01',"
+           " CAST(o_orderdate AS DATE)) %% 7 = %d"
+           " THEN CAST(round(l_extendedprice * 10000) AS BIGINT)"
+           " ELSE 0 END) AS DOUBLE) / 10000.0 AS %s_sales" % (d, nm)
+           for d, nm in enumerate(
+               ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+           )
+       )}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE year(o_orderdate) = 1997
+GROUP BY s_name
+ORDER BY s_name
+LIMIT 100
+""",
+)
+def tpcds_q43_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q43 (tpcds/q43.sql): per-store weekly day-of-week
+    pivot — seven conditional sums (sun_sales .. sat_sales) in one
+    grouped pass. Fixture roles: store -> supplier, d_day_name ->
+    an ENGINE-NEUTRAL day-of-week (days since Sunday 1995-01-01
+    mod 7 — Spark's dayofweek() and DuckDB's dayofweek() number
+    days differently, so the oracle-exact formulation avoids both).
+    One shuffle; every sum through the exact decimal hop."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    dow = (
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01")) % 7
+    )
+    amt_s = F.round(F.col("l_extendedprice") * 10000).cast("bigint")
+    names = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+    aggs = [
+        (
+            F.sum(F.when(dow == d, amt_s).otherwise(F.lit(0)))
+            .cast("double")
+            / 10000.0
+        ).alias(f"{nm}_sales")
+        for d, nm in enumerate(names)
+    ]
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.year("o_orderdate") == 1997)
+        .groupBy("s_name")
+        .agg(*aggs)
+        .orderBy("s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q50_adapted",
+    oracle="""
+SELECT s_name,
+       CAST(SUM(CASE WHEN lat <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS d30,
+       CAST(SUM(CASE WHEN lat > 30 AND lat <= 60 THEN 1 ELSE 0 END)
+            AS BIGINT) AS d60,
+       CAST(SUM(CASE WHEN lat > 60 AND lat <= 90 THEN 1 ELSE 0 END)
+            AS BIGINT) AS d90,
+       CAST(SUM(CASE WHEN lat > 90 AND lat <= 120 THEN 1 ELSE 0 END)
+            AS BIGINT) AS d120,
+       CAST(SUM(CASE WHEN lat > 120 THEN 1 ELSE 0 END) AS BIGINT)
+         AS d120plus
+FROM (
+  SELECT s_name,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) AS lat
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_returnflag = 'R'
+) t
+GROUP BY s_name
+ORDER BY s_name
+LIMIT 100
+""",
+)
+def tpcds_q50_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q50 (tpcds/q50.sql): return-latency banding — counts
+    of returns whose sale-to-return gap lands in 30/60/90/120-day
+    bands, per store. Fixture roles: store -> supplier, the
+    sold-vs-returned date pair -> order date vs ship date of
+    'R'-flagged lineitems. Integer day differences into CASE bands —
+    five conditional counts in one grouped pass, engine-exact."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    lat = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+
+    def band(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(
+            name
+        )
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("l_returnflag") == "R")
+        .select("s_name", lat.alias("lat"))
+        .groupBy("s_name")
+        .agg(
+            band(F.col("lat") <= 30, "d30"),
+            band((F.col("lat") > 30) & (F.col("lat") <= 60), "d60"),
+            band((F.col("lat") > 60) & (F.col("lat") <= 90), "d90"),
+            band((F.col("lat") > 90) & (F.col("lat") <= 120), "d120"),
+            band(F.col("lat") > 120, "d120plus"),
+        )
+        .orderBy("s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q90_adapted",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END) AS BIGINT)
+         AS am_cnt,
+       CAST(SUM(CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END) AS BIGINT)
+         AS pm_cnt,
+       round(CAST(SUM(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / SUM(CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END), 9)
+         AS am_pm_ratio
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def tpcds_q90_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q90 (tpcds/q90.sql): the am/pm ratio — counts of
+    activity in two time-of-day bands and their ratio. Fixture
+    roles: web_sales x time_dim hour bands -> the events table's
+    timestamps (the one fixture table with intraday times), household
+    demographics grouping -> event_type. The ratio is an
+    exact-integer division; hour() runs in the session's pinned UTC
+    on both engines."""
+    ensure_session_defaults(spark)
+    events = load_table(spark, sf_dir, "events")
+    am = F.sum(F.when(F.hour("ts") < 12, 1).otherwise(0))
+    pm = F.sum(F.when(F.hour("ts") >= 12, 1).otherwise(0))
+    return (
+        events.groupBy("event_type")
+        .agg(
+            am.cast("bigint").alias("am_cnt"),
+            pm.cast("bigint").alias("pm_cnt"),
+            F.round(am.cast("double") / pm, 9).alias("am_pm_ratio"),
+        )
+        .orderBy("event_type")
+    )
