@@ -2004,3 +2004,209 @@ def tpcds_q90_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "tpcds_q87_adapted",
+    oracle="""
+SELECT count(*) AS cnt
+FROM (
+  SELECT DISTINCT c_name, CAST(year(o_orderdate) AS INT) AS d_year
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderpriority = '1-URGENT'
+  EXCEPT
+  SELECT DISTINCT c_name, CAST(year(o_orderdate) AS INT) AS d_year
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderpriority = '2-HIGH'
+  EXCEPT
+  SELECT DISTINCT c_name, CAST(year(o_orderdate) AS INT) AS d_year
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderpriority = '3-MEDIUM'
+) cool_cust
+""",
+)
+def tpcds_q87_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q87 (tpcds/q87.sql): the EXCEPT-chain census — store
+    customers minus catalog minus web buyers, counted; the
+    set-difference complement of Q38's INTERSECT chain (both ship in
+    the reference corpus as the canonical set-op pair). Same fixture
+    roles as q38: channels -> priority bands, the distinct key ->
+    (c_name, year). Spark lowers each EXCEPT to a left-anti join
+    over the deduped sets."""
+    ensure_session_defaults(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def channel(priority: str) -> DataFrame:
+        return (
+            orders.filter(F.col("o_orderpriority") == priority)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select(
+                F.col("c_name"),
+                F.year("o_orderdate").cast("int").alias("d_year"),
+            )
+            .distinct()
+        )
+
+    cool = (
+        channel("1-URGENT")
+        .exceptAll(channel("2-HIGH"))
+        .distinct()
+        .exceptAll(channel("3-MEDIUM"))
+        .distinct()
+    )
+    return cool.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "tpcds_q45_adapted",
+    oracle=f"""
+WITH wanted_parts AS (
+  SELECT p_partkey FROM part WHERE p_size IN (28, 35, 42)
+)
+SELECT c_nationkey,
+       {oracle_dec_sum('l_extendedprice', 'sales')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_nationkey IN (3, 7, 11, 17, 21)
+   OR l_partkey IN (SELECT p_partkey FROM wanted_parts)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def tpcds_q45_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q45 (tpcds/q45.sql): the OR-ACROSS-SUBQUERY residual —
+    keep rows where the customer zip is in a literal list OR the
+    item is in a dimension subquery. An OR between a local predicate
+    and subquery membership cannot lower to a semi join alone: the
+    membership becomes a BOOLEAN COLUMN (left join against the
+    deduped subquery, NULL-ness as the flag) so the disjunction
+    evaluates row-wise — the same existential-to-marker lowering the
+    reference applies (TransformExistsApplyToLateralNode ->
+    marker-join). Fixture roles: ca_zip list -> nation keys, the
+    i_item_id subquery -> p_size-selected parts."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    wanted = (
+        part.filter(F.col("p_size").isin(28, 35, 42))
+        .select(F.col("p_partkey").alias("wanted_pk"))
+        .distinct()
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            wanted, li.l_partkey == F.col("wanted_pk"), "left"
+        )
+    )
+    return (
+        joined.filter(
+            F.col("c_nationkey").isin(3, 7, 11, 17, 21)
+            | F.col("wanted_pk").isNotNull()
+        )
+        .groupBy("c_nationkey")
+        .agg(dec_sum("l_extendedprice", "sales"))
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "tpcds_q58_adapted",
+    oracle=f"""
+WITH ch AS (
+  SELECT l_partkey AS item, o_orderpriority AS pri,
+         CAST(SUM(CAST(round(l_extendedprice * 10000) AS BIGINT))
+              AS BIGINT) AS rev_s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+    AND year(o_orderdate) = 1997
+  GROUP BY 1, 2
+),
+ss AS (SELECT item, rev_s FROM ch WHERE pri = '1-URGENT'),
+cs AS (SELECT item, rev_s FROM ch WHERE pri = '2-HIGH'),
+ws AS (SELECT item, rev_s FROM ch WHERE pri = '3-MEDIUM')
+SELECT ss.item,
+       CAST(ss.rev_s AS DOUBLE) / 10000.0 AS ss_rev,
+       CAST(cs.rev_s AS DOUBLE) / 10000.0 AS cs_rev,
+       CAST(ws.rev_s AS DOUBLE) / 10000.0 AS ws_rev,
+       round(CAST(ss.rev_s + cs.rev_s + ws.rev_s AS DOUBLE)
+             / 3.0 / 10000.0, 9) AS average
+FROM ss JOIN cs ON ss.item = cs.item JOIN ws ON ss.item = ws.item
+WHERE CAST(ss.rev_s AS DOUBLE)
+        BETWEEN 0.9 * CAST(ss.rev_s + cs.rev_s + ws.rev_s AS DOUBLE) / 3.0
+            AND 1.1 * CAST(ss.rev_s + cs.rev_s + ws.rev_s AS DOUBLE) / 3.0
+  AND CAST(cs.rev_s AS DOUBLE)
+        BETWEEN 0.9 * CAST(ss.rev_s + cs.rev_s + ws.rev_s AS DOUBLE) / 3.0
+            AND 1.1 * CAST(ss.rev_s + cs.rev_s + ws.rev_s AS DOUBLE) / 3.0
+  AND CAST(ws.rev_s AS DOUBLE)
+        BETWEEN 0.9 * CAST(ss.rev_s + cs.rev_s + ws.rev_s AS DOUBLE) / 3.0
+            AND 1.1 * CAST(ss.rev_s + cs.rev_s + ws.rev_s AS DOUBLE) / 3.0
+ORDER BY ss.item
+""",
+)
+def tpcds_q58_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q58 (tpcds/q58.sql): the equal-share band join —
+    items whose revenue is WITHIN 10% of the three-channel average
+    in EVERY channel, i.e. a 3-way join of per-channel aggregates
+    with six band predicates over the shared average. Fixture roles:
+    the three channels -> priority bands, computed in ONE grouped
+    pass then split (the reference scans three fact tables). All
+    band arithmetic runs on exact scaled integers cast to double
+    identically on both engines. Plan: one fact shuffle builds the
+    channel aggregate; the three-way join runs on the tiny aggregate."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ch = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM"
+            )
+            & (F.year("o_orderdate") == 1997)
+        )
+        .groupBy(
+            F.col("l_partkey").alias("item"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 10000).cast("bigint")
+            ).alias("rev_s")
+        )
+    )
+
+    def pick(pri, alias):
+        return ch.filter(F.col("pri") == pri).select(
+            "item", F.col("rev_s").alias(f"{alias}_s")
+        )
+
+    j = (
+        pick("1-URGENT", "ss")
+        .join(pick("2-HIGH", "cs"), "item")
+        .join(pick("3-MEDIUM", "ws"), "item")
+    )
+    total = (
+        F.col("ss_s") + F.col("cs_s") + F.col("ws_s")
+    ).cast("double")
+    avg3 = total / 3.0
+
+    def in_band(col):
+        v = F.col(col).cast("double")
+        return (v >= 0.9 * avg3) & (v <= 1.1 * avg3)
+
+    return (
+        j.filter(in_band("ss_s") & in_band("cs_s") & in_band("ws_s"))
+        .select(
+            "item",
+            (F.col("ss_s").cast("double") / 10000.0).alias("ss_rev"),
+            (F.col("cs_s").cast("double") / 10000.0).alias("cs_rev"),
+            (F.col("ws_s").cast("double") / 10000.0).alias("ws_rev"),
+            F.round(avg3 / 10000.0, 9).alias("average"),
+        )
+        .orderBy("item")
+    )
