@@ -1075,3 +1075,67 @@ def sql_tpcds_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines evaluate the identical text."""
     register_views(spark, sf_dir)
     return run_sql(spark, _SQL_TPCDS_Q38)
+
+
+@register(
+    "sql_geospatial",
+    oracle="""
+WITH pts AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey % 100) / 10.0 AS px,
+         ((o_orderkey * 3) % 100) / 10.0 AS py,
+         ((o_orderkey * 7) % 100) / 10.0 AS qx,
+         ((o_orderkey * 13) % 100) / 10.0 AS qy
+  FROM orders WHERE o_orderkey < 400
+)
+SELECT k,
+       round(sqrt((px - qx) * (px - qx) + (py - qy) * (py - qy)), 9)
+         AS dist,
+       (px >= 2.0 AND px <= 8.0 AND py >= 1.0 AND py <= 7.0)
+         AS in_env,
+       round(sqrt(px * px + py * py), 9) AS dist_origin
+FROM pts
+""",
+)
+def sql_geospatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry through the SQL FRONT DOOR: the reference exposes
+    ST_* as SQL scalar functions (presto-geospatial registers them
+    into the session catalog via the Plugin SPI); here the planar
+    core becomes SQL-BODIED functions (CREATE TEMPORARY FUNCTION ...
+    RETURN expr — the SqlInvokedFunction path sql_create_function
+    pins), so a SQL user writes st_distance(...)/
+    st_contains_envelope(...) as text and the bodies inline into the
+    plan with whole-stage codegen intact — no Python in the hot
+    path. The oracle inlines the same arithmetic."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION st_distance_xy("
+        "x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE) RETURNS DOUBLE "
+        "RETURN sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION st_contains_envelope("
+        "xmin DOUBLE, ymin DOUBLE, xmax DOUBLE, ymax DOUBLE, "
+        "x DOUBLE, y DOUBLE) RETURNS BOOLEAN "
+        "RETURN x >= xmin AND x <= xmax AND y >= ymin AND y <= ymax"
+    )
+    return run_sql(
+        spark,
+        """
+        WITH pts AS (
+          SELECT o_orderkey AS k,
+                 (o_orderkey % 100) / 10.0 AS px,
+                 ((o_orderkey * 3) % 100) / 10.0 AS py,
+                 ((o_orderkey * 7) % 100) / 10.0 AS qx,
+                 ((o_orderkey * 13) % 100) / 10.0 AS qy
+          FROM orders WHERE o_orderkey < 400
+        )
+        SELECT k,
+               round(st_distance_xy(px, py, qx, qy), 9) AS dist,
+               st_contains_envelope(2.0, 1.0, 8.0, 7.0, px, py)
+                 AS in_env,
+               round(st_distance_xy(px, py, 0.0, 0.0), 9)
+                 AS dist_origin
+        FROM pts
+        """,
+    )
