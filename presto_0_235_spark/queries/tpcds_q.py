@@ -2210,3 +2210,308 @@ def tpcds_q58_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item")
     )
+
+
+@register(
+    "tpcds_q98_adapted",
+    oracle="""
+WITH rev AS (
+  SELECT p_type, p_brand,
+         CAST(SUM(CAST(round(l_extendedprice * 10000) AS BIGINT))
+              AS BIGINT) AS rev_s
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type, p_brand
+)
+SELECT p_type, p_brand,
+       CAST(rev_s AS DOUBLE) / 10000.0 AS itemrevenue,
+       round(CAST(rev_s AS DOUBLE) * 100
+             / CAST(SUM(rev_s) OVER (PARTITION BY p_type) AS DOUBLE),
+             9) AS revenueratio
+FROM rev
+ORDER BY p_type, revenueratio DESC, p_brand
+""",
+)
+def tpcds_q98_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q98 (tpcds/q98.sql, siblings q12/q20): the windowed
+    SHARE-OF-TOTAL — each item's revenue as a percentage of its
+    class's total, the ratio_to_report shape: a window SUM over the
+    grouped aggregate partitioned by class, then a row/total ratio.
+    Fixture roles: i_class -> p_type, i_item_id -> p_brand. The
+    window sum runs over exact scaled integers, so the percentage
+    division is engine-identical. Plan: one shuffle for the
+    aggregate, one window exchange on the class key — both over the
+    aggregate's cardinality, not the fact's."""
+    ensure_session_defaults(spark)
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 10000).cast("bigint")
+            ).alias("rev_s")
+        )
+    )
+    w = Window.partitionBy("p_type")
+    return (
+        rev.select(
+            "p_type", "p_brand",
+            (F.col("rev_s").cast("double") / 10000.0).alias(
+                "itemrevenue"
+            ),
+            F.round(
+                F.col("rev_s").cast("double")
+                * 100
+                / F.sum("rev_s").over(w).cast("double"),
+                9,
+            ).alias("revenueratio"),
+        )
+        .orderBy(
+            "p_type", F.col("revenueratio").desc(), "p_brand"
+        )
+    )
+
+
+@register(
+    "tpcds_q95_adapted",
+    oracle=f"""
+WITH multi_supp AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1
+),
+with_return AS (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT CAST(count(*) AS BIGINT) AS order_count,
+       {oracle_dec_sum('o_totalprice', 'total_value')}
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM multi_supp)
+  AND o_orderkey IN (SELECT l_orderkey FROM with_return)
+""",
+)
+def tpcds_q95_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q95 (tpcds/q95.sql): orders shipped from MULTIPLE
+    warehouses that also had a return — two membership subqueries,
+    one a distinct-count-HAVING aggregate, one a distinct set, both
+    consumed as semi joins into a single count+sum row. Fixture
+    roles: ws_warehouse_sk -> l_suppkey, the returns table ->
+    'R'-flag rows. Plan: both membership sets aggregate on
+    l_orderkey (one shuffle each), then two left-semi joins against
+    the orders scan — never a fan-out join."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    multi_supp = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    with_return = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        orders.join(
+            multi_supp, orders.o_orderkey == multi_supp.l_orderkey,
+            "left_semi",
+        )
+        .join(
+            with_return,
+            orders.o_orderkey == with_return.l_orderkey,
+            "left_semi",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("order_count"),
+            dec_sum("o_totalprice", "total_value"),
+        )
+    )
+
+
+@register(
+    "tpcds_q39_adapted",
+    oracle="""
+WITH stats AS (
+  SELECT l_suppkey, month(l_shipdate) AS moy,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx
+  FROM lineitem
+  WHERE year(l_shipdate) = 1997
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT l_suppkey, moy, n, sx, sxx
+  FROM stats
+  WHERE n > 1
+    AND 4 * (n * sxx - sx * sx) * n > sx * sx * (n - 1)
+)
+SELECT a.l_suppkey AS suppkey, a.moy AS moy1, b.moy AS moy2,
+       round(CAST(a.sx AS DOUBLE) / a.n, 9) AS mean1,
+       round(CAST(b.sx AS DOUBLE) / b.n, 9) AS mean2
+FROM flagged a
+JOIN flagged b ON a.l_suppkey = b.l_suppkey AND b.moy = a.moy + 1
+ORDER BY suppkey, moy1
+""",
+)
+def tpcds_q39_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q39 (tpcds/q39_1.sql): the inventory-variability pair
+    report — per (warehouse, item, month) mean and stdev, keep
+    months whose coefficient of variation (stdev/mean) exceeds 1,
+    then SELF-JOIN consecutive months to find persistent
+    variability. Fixture roles: (warehouse, item) -> supplier,
+    inv_quantity_on_hand -> l_quantity, the cov threshold 0.5
+    (the fixtures' uniform 1..50 quantities sit near cov 0.57; the
+    reference's 1.0 would keep nothing). The knife-edge filter is
+    made ENGINE-EXACT by comparing in integers:
+    stdev/mean > 0.5 <=> 4*var > mean^2 <=> 4*(n*sxx - sx^2)*n >
+    sx^2*(n-1) — no floating stdev in the branch at all (a float
+    formulation would flip rows between engines; at extreme scale
+    the products need decimal(38) headroom, noted). Means surface
+    as exact-integer ratios."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    stats = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .groupBy(
+            "l_suppkey", F.month("l_shipdate").alias("moy")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(q).alias("sx"),
+            F.sum(q * q).alias("sxx"),
+        )
+    )
+    flagged = stats.filter(
+        (F.col("n") > 1)
+        & (
+            4
+            * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.col("n")
+            > F.col("sx") * F.col("sx") * (F.col("n") - 1)
+        )
+    )
+    a, b = flagged.alias("a"), flagged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+            & (F.col("b.moy") == F.col("a.moy") + 1),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("suppkey"),
+            F.col("a.moy").alias("moy1"),
+            F.col("b.moy").alias("moy2"),
+            F.round(
+                F.col("a.sx").cast("double") / F.col("a.n"), 9
+            ).alias("mean1"),
+            F.round(
+                F.col("b.sx").cast("double") / F.col("b.n"), 9
+            ).alias("mean2"),
+        )
+        .orderBy("suppkey", "moy1")
+    )
+
+
+@register(
+    "tpcds_q59_adapted",
+    oracle="""
+WITH wk AS (
+  SELECT s_suppkey,
+         CAST(floor(date_diff('day', DATE '1995-01-01',
+                    CAST(o_orderdate AS DATE)) / 7) AS BIGINT) AS wk_seq,
+         CAST(date_diff('day', DATE '1995-01-01',
+                        CAST(o_orderdate AS DATE)) % 7 AS INT) AS dow,
+         CAST(round(l_extendedprice * 10000) AS BIGINT) AS amt_s
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+),
+weekly AS (
+  SELECT s_suppkey, wk_seq,
+         CAST(SUM(CASE WHEN dow = 0 THEN amt_s ELSE 0 END) AS BIGINT)
+           AS sun_s,
+         CAST(SUM(CASE WHEN dow = 3 THEN amt_s ELSE 0 END) AS BIGINT)
+           AS wed_s,
+         CAST(SUM(CASE WHEN dow = 6 THEN amt_s ELSE 0 END) AS BIGINT)
+           AS sat_s
+  FROM wk GROUP BY 1, 2
+)
+SELECT y1.s_suppkey AS suppkey, y1.wk_seq AS wk_seq,
+       round(CAST(y2.sun_s AS DOUBLE) / y1.sun_s, 9) AS sun_ratio,
+       round(CAST(y2.wed_s AS DOUBLE) / y1.wed_s, 9) AS wed_ratio,
+       round(CAST(y2.sat_s AS DOUBLE) / y1.sat_s, 9) AS sat_ratio
+FROM weekly y1
+JOIN weekly y2 ON y1.s_suppkey = y2.s_suppkey
+              AND y2.wk_seq = y1.wk_seq + 52
+WHERE y1.sun_s > 0 AND y1.wed_s > 0 AND y1.sat_s > 0
+ORDER BY suppkey, wk_seq
+""",
+)
+def tpcds_q59_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q59 (tpcds/q59.sql): the week-over-week ratio matrix —
+    weekly per-day-of-week sales per store, SELF-JOINED against the
+    same week one year later (wk_seq + 52), emitting the per-day
+    ratios. Fixture roles: store -> supplier; week sequence and
+    day-of-week from the engine-neutral days-since-Sunday-epoch
+    arithmetic (q43's formulation). Ratios divide exact scaled
+    integers. Plan: one shuffle builds the weekly matrix; the
+    year-over-year join runs on the (supplier, week) aggregate."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    days = F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
+    amt_s = F.round(F.col("l_extendedprice") * 10000).cast("bigint")
+    wk = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            F.floor(days / 7).cast("bigint").alias("wk_seq"),
+            (days % 7).cast("int").alias("dow"),
+            amt_s.alias("amt_s"),
+        )
+    )
+
+    def day_sum(d, name):
+        return F.sum(
+            F.when(F.col("dow") == d, F.col("amt_s")).otherwise(F.lit(0))
+        ).cast("bigint").alias(name)
+
+    weekly = wk.groupBy("s_suppkey", "wk_seq").agg(
+        day_sum(0, "sun_s"), day_sum(3, "wed_s"), day_sum(6, "sat_s")
+    )
+    y1, y2 = weekly.alias("y1"), weekly.alias("y2")
+    return (
+        y1.join(
+            y2,
+            (F.col("y1.s_suppkey") == F.col("y2.s_suppkey"))
+            & (F.col("y2.wk_seq") == F.col("y1.wk_seq") + 52),
+        )
+        .filter(
+            (F.col("y1.sun_s") > 0)
+            & (F.col("y1.wed_s") > 0)
+            & (F.col("y1.sat_s") > 0)
+        )
+        .select(
+            F.col("y1.s_suppkey").alias("suppkey"),
+            F.col("y1.wk_seq").alias("wk_seq"),
+            F.round(
+                F.col("y2.sun_s").cast("double") / F.col("y1.sun_s"), 9
+            ).alias("sun_ratio"),
+            F.round(
+                F.col("y2.wed_s").cast("double") / F.col("y1.wed_s"), 9
+            ).alias("wed_ratio"),
+            F.round(
+                F.col("y2.sat_s").cast("double") / F.col("y1.sat_s"), 9
+            ).alias("sat_ratio"),
+        )
+        .orderBy("suppkey", "wk_seq")
+    )
