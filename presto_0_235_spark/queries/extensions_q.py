@@ -2812,3 +2812,132 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             dd.jaccard(F.col("shn"), F.col("sho")).alias("jac"),
         )
     )
+
+
+@register(
+    "dedup_canonical",
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents
+),
+sig AS (
+  SELECT doc_id, {_SIG} AS sig FROM d
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+small_buckets AS (
+  SELECT band_id, band_key FROM bands
+  GROUP BY band_id, band_key
+  HAVING count(*) <= {dd.LSH_MAX_BUCKET}
+),
+kept AS (
+  SELECT b.* FROM bands b
+  JOIN small_buckets s ON b.band_id = s.band_id AND b.band_key = s.band_key
+),
+edges AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM kept a
+  JOIN kept b ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT id1 AS src, id2 AS dst FROM edges
+  UNION ALL SELECT id2, id1 FROM edges
+),
+walk(doc, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.doc
+),
+cc AS (
+  SELECT doc, min(label) AS cluster FROM walk GROUP BY doc
+),
+q AS (
+  SELECT doc_id,
+         0.4 * (len(list_distinct({_TOKENS})) / len({_TOKENS}))
+           + 0.3 * least(1.0, len({_TOKENS}) / 64.0)
+           + 0.3 * least(1.0, ({tx.sql_stopword_score(_TOKENS, 'en')}
+                               / len({_TOKENS})) * 4.0) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT cc.cluster, cc.doc, q.quality,
+         row_number() OVER (PARTITION BY cc.cluster
+                            ORDER BY q.quality DESC, cc.doc)
+           AS rn
+  FROM cc JOIN q ON q.doc_id = cc.doc
+)
+SELECT cluster,
+       CAST(max(CASE WHEN rn = 1 THEN doc END) AS BIGINT)
+         AS canonical_doc,
+       round(max(CASE WHEN rn = 1 THEN quality END), 9)
+         AS canonical_quality,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       CAST(count(*) - 1 AS BIGINT) AS dropped
+FROM ranked
+GROUP BY cluster
+""",
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection — the step that turns near-dup
+    CLUSTERS into a dedup DECISION: within each connected component
+    of the LSH pair graph keep the highest-QUALITY member (ties
+    break on doc_id), drop the rest. This is how production corpora
+    actually dedup: not 'keep the first', keep the best. Composition
+    of three existing operators: LSH candidates -> connected
+    components -> per-cluster arg-max by the text_quality_score
+    formula (exact integer-ratio arithmetic, so the arg-max is
+    deterministic on both engines). The oracle replays the whole
+    chain, recursive-CTE components included. Plan: the arg-max is
+    one row_number window over the (tiny) cluster-membership table;
+    everything upstream is the already-bounded LSH/CC machinery."""
+    ensure_session_defaults(spark)
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "documents", spread=True)
+        .select(
+            "doc_id",
+            dd.word_shingles("text").alias("sh"),
+            tx.ws_tokens("text").alias("toks"),
+        )
+        .persist()
+    )
+    edges = dd.lsh_candidate_pairs(
+        d.select("doc_id", "sh"), "doc_id", "sh"
+    )
+    labels = dd.connected_components(edges)
+    n = F.size("toks")
+    quality = (
+        0.4 * (F.size(F.array_distinct("toks")) / n)
+        + 0.3 * F.least(F.lit(1.0), n / F.lit(64.0))
+        + 0.3
+        * F.least(
+            F.lit(1.0),
+            (tx.stopword_score(F.col("toks"), "en").cast("bigint") / n)
+            * 4.0,
+        )
+    )
+    q = d.select("doc_id", quality.alias("quality"))
+    member = labels.join(
+        q, labels.vertex == q.doc_id
+    ).select(
+        F.col("label").alias("cluster"),
+        F.col("vertex").alias("doc"),
+        "quality",
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("quality").desc(), F.col("doc")
+    )
+    ranked = member.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc")))
+        .cast("bigint")
+        .alias("canonical_doc"),
+        F.round(
+            F.max(F.when(F.col("rn") == 1, F.col("quality"))), 9
+        ).alias("canonical_quality"),
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("dropped"),
+    )
