@@ -709,6 +709,73 @@ class TestPageFileCodec:
         )
 
 
+def test_incremental_lsh_matches_cross_pairs_of_full_run(spark):
+    """lsh_incremental_pairs(old, new) must equal the CROSS-corpus
+    subset of lsh_candidate_pairs(old ∪ new) on a corpus with no
+    capped buckets (the cap scopes differ by design: index-side vs
+    global), and must contain no old-old or new-new pairs."""
+    from pyspark.sql import functions as F
+
+    from presto_0_235_spark.operators import dedup as dd
+
+    base = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta "),
+            F.when(F.col("id") % 9 == 0, F.lit("eta theta iota"))
+            .otherwise(
+                F.concat(F.lit("word"), F.col("id").cast("string"))
+            ),
+        ).alias("text"),
+    )
+    docs = base.select(
+        "doc_id", dd.word_shingles("text", 2).alias("sh")
+    ).persist()
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inc = {
+        (r.id_new, r.id_old)
+        for r in dd.lsh_incremental_pairs(old, new, "doc_id", "sh")
+        .collect()
+    }
+    full = {
+        (r.id1, r.id2)
+        for r in dd.lsh_candidate_pairs(docs, "doc_id", "sh").collect()
+    }
+    cross = {
+        (b, a) if b % 2 == 1 else (a, b)
+        for a, b in full
+        if a % 2 != b % 2
+    }
+    assert inc == cross
+    assert all(n % 2 == 1 and o % 2 == 0 for n, o in inc)
+
+
+def test_time_type_boundary_rendering(spark):
+    """Plain-TIME boundaries: midnight renders 00:00:00.000 and the
+    last representable milli renders 23:59:59.999 (the TimeType
+    value-range endpoints)."""
+    from pyspark.sql import functions as F
+
+    def render(m):
+        hour = F.floor(F.lit(m) / 3600000).cast("bigint")
+        minute = F.floor((F.lit(m) % 3600000) / 60000).cast("bigint")
+        second = F.floor((F.lit(m) % 60000) / 1000).cast("bigint")
+        return F.concat(
+            F.lpad(hour.cast("string"), 2, "0"), F.lit(":"),
+            F.lpad(minute.cast("string"), 2, "0"), F.lit(":"),
+            F.lpad(second.cast("string"), 2, "0"), F.lit("."),
+            F.lpad((F.lit(m) % 1000).cast("string"), 3, "0"),
+        )
+
+    row = spark.range(1).select(
+        render(0).alias("lo"), render(86399999).alias("hi")
+    ).first()
+    assert row.lo == "00:00:00.000"
+    assert row.hi == "23:59:59.999"
+
+
 def test_convex_hull_two_phase_exact_and_contains_all(spark):
     """convex_hull_agg properties: (1) the two-phase distributed
     hull equals the single-pass hull of all collected points —
