@@ -404,3 +404,28 @@ def test_convex_hull_agg_is_two_phase(spark, sf_dir):
         _QUERIES["agg_convex_hull"].builder(spark, sf_dir), "simple"
     )
     assert plan.count("FlatMapGroupsInPandas") == 2, plan
+
+
+def test_tpcds_q98_share_of_total_windows_over_aggregate(spark, sf_dir):
+    """tpcds_q98_adapted: the ratio_to_report window must run over
+    the AGGREGATE (one fact shuffle for the group-by, one window
+    exchange on the class key) — a plan that windowed the fact
+    itself would shuffle the full table twice."""
+    plan = plan_of(
+        _QUERIES["tpcds_q98_adapted"].builder(spark, sf_dir), "simple"
+    )
+    assert plan.count("Window") == 1, plan
+    # window input is the HashAggregate output, not a fact scan:
+    # exactly 2 hash exchanges (agg + window), nothing more
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_tpcds_q59_self_join_runs_on_aggregate(spark, sf_dir):
+    """tpcds_q59_adapted: the year-over-year join must consume the
+    weekly AGGREGATE on both sides (broadcast or co-partitioned) —
+    never a fact-vs-fact join; no cartesian."""
+    plan = plan_of(
+        _QUERIES["tpcds_q59_adapted"].builder(spark, sf_dir), "simple"
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
