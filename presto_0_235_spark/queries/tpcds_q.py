@@ -2515,3 +2515,152 @@ def tpcds_q59_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppkey", "wk_seq")
     )
+
+
+@register(
+    "tpcds_q41_adapted",
+    oracle="""
+WITH brand_hits AS (
+  SELECT p_brand,
+         CAST(SUM(CASE
+           WHEN (p_type LIKE '%%ECO%%' AND p_size BETWEEN 5 AND 20)
+             OR (p_type LIKE '%%STAND%%' AND p_size BETWEEN 15 AND 35)
+             OR (p_type LIKE '%%PROMO%%' AND p_size BETWEEN 1 AND 10)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM part GROUP BY p_brand
+)
+SELECT DISTINCT p_name
+FROM part
+JOIN brand_hits ON part.p_brand = brand_hits.p_brand
+WHERE p_retailprice BETWEEN 900 AND 1200
+  AND n_hits > 0
+ORDER BY p_name
+LIMIT 100
+""",
+)
+def tpcds_q41_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q41 (tpcds/q41.sql): the DIMENSION-ONLY correlated
+    EXISTS — distinct product names of items whose MANUFACTURER also
+    makes an item matching one of several OR'd attribute-band
+    conjunctions ((SELECT count(*) ... WHERE i_manufact =
+    i1.i_manufact AND (bands)) > 0). Decorrelated the way the
+    reference's TransformCorrelatedScalarAggregationToJoin does: the
+    per-manufacturer hit count becomes a conditional aggregate
+    joined back, the > 0 test a join filter. Fixture roles:
+    i_manufact -> p_brand, the color/size/unit bands -> p_type
+    substring + p_size bands (fixture p_type domain: ECONOMY/PROMO/
+    STANDARD/...), the outer manufact-id range -> a p_retailprice
+    band. No fact table at all — the whole query runs
+    on the (broadcastable) dimension."""
+    ensure_session_defaults(spark)
+    part = load_table(spark, sf_dir, "part")
+    hit = (
+        (F.col("p_type").like("%ECO%") & F.col("p_size").between(5, 20))
+        | (
+            F.col("p_type").like("%STAND%")
+            & F.col("p_size").between(15, 35)
+        )
+        | (
+            F.col("p_type").like("%PROMO%")
+            & F.col("p_size").between(1, 10)
+        )
+    )
+    brand_hits = part.groupBy("p_brand").agg(
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_hits")
+    )
+    return (
+        part.join(brand_hits, "p_brand")
+        .filter(
+            F.col("p_retailprice").between(920, 960)
+            & (F.col("n_hits") > 0)
+        )
+        .select("p_name")
+        .distinct()
+        .orderBy("p_name")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q78_adapted",
+    oracle=f"""
+WITH returned_keys AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_returnflag = 'R'
+),
+clean AS (
+  SELECT o_custkey, o_orderpriority,
+         CAST(l.l_quantity AS BIGINT) AS qty
+  FROM lineitem l
+  JOIN orders ON l.l_orderkey = o_orderkey
+  LEFT JOIN returned_keys r
+    ON l.l_orderkey = r.l_orderkey AND l.l_partkey = r.l_partkey
+  WHERE l.l_returnflag <> 'R' AND r.l_orderkey IS NULL
+),
+per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN qty ELSE 0 END) AS BIGINT) AS store_qty,
+         CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                            ('1-URGENT', '2-HIGH')
+                       THEN qty ELSE 0 END) AS BIGINT) AS other_qty
+  FROM clean GROUP BY o_custkey
+)
+SELECT o_custkey, store_qty, other_qty,
+       round(CAST(other_qty AS DOUBLE) / store_qty, 9) AS ratio
+FROM per_cust
+WHERE store_qty > 0 AND other_qty > 0
+ORDER BY ratio DESC, o_custkey
+LIMIT 100
+""",
+)
+def tpcds_q78_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q78 (tpcds/q78.sql): the NON-RETURNED-sales channel
+    ratio — sales rows are kept only when NO matching return exists
+    (LEFT JOIN returns, NULL-ness filter — anti-join semantics
+    INSIDE the aggregation pipeline), then per-customer
+    channel-vs-channel quantity ratios rank the cross-channel
+    shoppers. Fixture roles: the returns tables -> distinct
+    (orderkey, partkey) pairs of 'R' rows, store/web+catalog
+    channels -> priority bands. Ratios are exact-integer divisions;
+    the LIMIT order closes over the unique customer key. Plan: the
+    anti filter shuffles on the same (orderkey, partkey) key as the
+    returns aggregate; the channel pivot is one grouped pass."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    clean = (
+        li.filter(F.col("l_returnflag") != "R")
+        .join(returned, ["l_orderkey", "l_partkey"], "left_anti")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_custkey", "o_orderpriority",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    per_cust = clean.groupBy("o_custkey").agg(
+        F.sum(F.when(urgent, F.col("qty")).otherwise(0))
+        .cast("bigint").alias("store_qty"),
+        F.sum(F.when(~urgent, F.col("qty")).otherwise(0))
+        .cast("bigint").alias("other_qty"),
+    )
+    return (
+        per_cust.filter(
+            (F.col("store_qty") > 0) & (F.col("other_qty") > 0)
+        )
+        .select(
+            "o_custkey", "store_qty", "other_qty",
+            F.round(
+                F.col("other_qty").cast("double") / F.col("store_qty"),
+                9,
+            ).alias("ratio"),
+        )
+        .orderBy(F.col("ratio").desc(), "o_custkey")
+        .limit(100)
+    )
