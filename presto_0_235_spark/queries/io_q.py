@@ -428,6 +428,27 @@ def io_roundtrip_pagefile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_pagefile_dataframe(spark, path, src.schema)
 
 
+@register("io_roundtrip_pagefile_zstd", oracle=_ORDERS_SLICE_ORACLE)
+def io_roundtrip_pagefile_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGEFILE with ZSTD page compression — the codec path
+    (PagesSerde.java wrapSlice: per-page compress, COMPRESSED marker
+    bit, 0.8 min-compression-ratio gate; airlift-compatible standard
+    zstd frames, cross-checked against the JVM's zstd-jni in
+    tests/test_operators.py). Same differential gate as the
+    uncompressed roundtrip — the written bytes must decode to the
+    oracle's values through the compressed frames."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.sources.pagefile import (
+        read_pagefile_dataframe,
+        write_pagefile_dataframe,
+    )
+
+    path = _sink_path("pagefile_zstd", sf_dir)
+    src = _orders_slice(spark, sf_dir)
+    write_pagefile_dataframe(src, path, compression="zstd")
+    return read_pagefile_dataframe(spark, path, src.schema)
+
+
 @register("io_roundtrip_rcfile", oracle=_ORDERS_SLICE_ORACLE)
 def io_roundtrip_rcfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive RCFILE (RCTEXT) write/read-back
