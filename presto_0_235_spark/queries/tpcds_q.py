@@ -2532,7 +2532,7 @@ WITH brand_hits AS (
 SELECT DISTINCT p_name
 FROM part
 JOIN brand_hits ON part.p_brand = brand_hits.p_brand
-WHERE p_retailprice BETWEEN 900 AND 1200
+WHERE p_retailprice BETWEEN 900.25 AND 950.0
   AND n_hits > 0
 ORDER BY p_name
 LIMIT 100
@@ -2571,7 +2571,7 @@ def tpcds_q41_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         part.join(brand_hits, "p_brand")
         .filter(
-            F.col("p_retailprice").between(920, 960)
+            F.col("p_retailprice").between(900.25, 950.0)
             & (F.col("n_hits") > 0)
         )
         .select("p_name")
