@@ -2664,3 +2664,191 @@ def tpcds_q78_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ratio").desc(), "o_custkey")
         .limit(100)
     )
+
+
+@register(
+    "tpcds_q30_adapted",
+    oracle="""
+WITH cust_returns AS (
+  SELECT c_nationkey AS nation, o_custkey,
+         CAST(SUM(CAST(round(l_extendedprice * 10000) AS BIGINT))
+              AS BIGINT) AS ret_s
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2
+),
+nation_avg AS (
+  SELECT nation,
+         CAST(SUM(ret_s) AS DOUBLE) / COUNT(ret_s) AS avg_s
+  FROM cust_returns GROUP BY nation
+)
+SELECT cr.o_custkey, cr.nation,
+       CAST(cr.ret_s AS DOUBLE) / 10000.0 AS ctr_total_return
+FROM cust_returns cr
+JOIN nation_avg na ON cr.nation = na.nation
+WHERE CAST(cr.ret_s AS DOUBLE) > 1.2 * na.avg_s
+ORDER BY cr.o_custkey
+LIMIT 100
+""",
+)
+def tpcds_q30_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q30 (tpcds/q30.sql, sibling q81): customers whose
+    return total exceeds 1.2x their STATE's average customer return
+    total — the correlated above-group-average threshold
+    (ctr1.ctr_total_return > (SELECT avg(ctr_total_return)*1.2 FROM
+    ctr2 WHERE ctr1.ctr_state = ctr2.ctr_state)), decorrelated to a
+    per-state aggregate joined back. Fixture roles: state ->
+    customer nation, the returns fact -> 'R'-flag lineitems. The
+    per-customer totals are exact scaled integers and the state
+    average divides two exact numbers — the 1.2x comparison branches
+    identically. Plan: one shuffle builds the per-customer table;
+    the state average aggregates THAT (tiny) and broadcasts back."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cr = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy(
+            F.col("c_nationkey").alias("nation"), "o_custkey"
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 10000).cast("bigint")
+            ).alias("ret_s")
+        )
+    )
+    na = cr.groupBy("nation").agg(
+        (
+            F.sum("ret_s").cast("double") / F.count("ret_s")
+        ).alias("avg_s")
+    )
+    return (
+        cr.join(na, "nation")
+        .filter(F.col("ret_s").cast("double") > 1.2 * F.col("avg_s"))
+        .select(
+            "o_custkey", "nation",
+            (F.col("ret_s").cast("double") / 10000.0).alias(
+                "ctr_total_return"
+            ),
+        )
+        .orderBy("o_custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q70_adapted",
+    oracle="""
+WITH nation_sales AS (
+  SELECT c_nationkey AS nation,
+         CAST(SUM(CAST(round(l_extendedprice * 10000) AS BIGINT))
+              AS BIGINT) AS total_s
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+),
+top_nations AS (
+  SELECT nation FROM (
+    SELECT nation,
+           rank() OVER (ORDER BY total_s DESC, nation) AS rnk
+    FROM nation_sales
+  ) r WHERE rnk <= 12
+),
+detail AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(round(l_extendedprice * 10000) AS BIGINT) AS amt_s
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_nationkey IN (SELECT nation FROM top_nations)
+),
+agg AS (
+  SELECT nation, segment,
+         GROUPING(nation) + GROUPING(segment) AS lochierarchy,
+         GROUPING(segment) AS g_seg,
+         CAST(SUM(amt_s) AS DOUBLE) / 10000.0 AS total_sum
+  FROM detail
+  GROUP BY ROLLUP (nation, segment)
+)
+SELECT total_sum, nation, segment, lochierarchy,
+       CAST(rank() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN g_seg = 0 THEN nation END
+         ORDER BY total_sum DESC, segment NULLS FIRST
+       ) AS BIGINT) AS rank_within_parent
+FROM agg
+ORDER BY lochierarchy DESC, nation NULLS FIRST, segment NULLS FIRST,
+         rank_within_parent
+""",
+)
+def tpcds_q70_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q70 (tpcds/q70.sql): the RANK-FILTERED-SUBQUERY
+    rollup — the main ROLLUP(state, county) report restricted to the
+    TOP-k STATES, where the top-k set itself comes from a rank()
+    window over a sales aggregate in a subquery (s_state IN (SELECT
+    s_state FROM (... rank() over (partition by s_state...)) WHERE
+    ranking <= 5)), plus the grouping-hierarchy rank-within-parent
+    window over the rollup. Fixture roles: state -> customer nation
+    (top 12 of 25), county -> c_mktsegment. Two window layers with
+    an aggregate between them; sums exact via the scaled hop, ranks
+    tie-broken deterministically. Plan: the top-k subquery runs over
+    the nation aggregate (25 rows); its result semi-join-filters the
+    detail before the rollup."""
+    ensure_session_defaults(spark)
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("l_extendedprice") * 10000)
+            .cast("bigint")
+            .alias("amt_s"),
+        )
+    )
+    nation_sales = base.groupBy("nation").agg(
+        F.sum("amt_s").alias("total_s")
+    )
+    w_top = Window.orderBy(F.col("total_s").desc(), F.col("nation"))
+    top_nations = (
+        nation_sales.withColumn("rnk", F.rank().over(w_top))
+        .filter(F.col("rnk") <= 12)
+        .select("nation")
+    )
+    detail = base.join(top_nations, "nation", "left_semi")
+    agg = detail.rollup("nation", "segment").agg(
+        (F.sum("amt_s").cast("double") / 10000.0).alias("total_sum"),
+        (F.grouping("nation") + F.grouping("segment"))
+        .cast("bigint")
+        .alias("lochierarchy"),
+        F.grouping("segment").cast("bigint").alias("g_seg"),
+    )
+    w_rank = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("g_seg") == 0, F.col("nation")),
+    ).orderBy(F.col("total_sum").desc(), F.col("segment").asc_nulls_first())
+    return (
+        agg.select(
+            "total_sum", "nation", "segment", "lochierarchy",
+            F.rank().over(w_rank).cast("bigint").alias(
+                "rank_within_parent"
+            ),
+        )
+        .orderBy(
+            F.col("lochierarchy").desc(),
+            F.col("nation").asc_nulls_first(),
+            F.col("segment").asc_nulls_first(),
+            "rank_within_parent",
+        )
+    )
