@@ -2852,3 +2852,133 @@ def tpcds_q70_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_within_parent",
         )
     )
+
+
+@register(
+    "tpcds_q5_adapted",
+    oracle=f"""
+WITH detail AS (
+  SELECT o_orderpriority AS channel,
+         CASE WHEN l_returnflag = 'R' THEN 0
+              ELSE CAST(round(l_extendedprice * 10000) AS BIGINT)
+         END AS sales_s,
+         CASE WHEN l_returnflag = 'R'
+              THEN CAST(round(l_extendedprice * 10000) AS BIGINT)
+              ELSE 0 END AS returns_s,
+         CASE WHEN l_returnflag = 'R'
+              THEN -CAST(round(l_extendedprice * l_discount * 10000)
+                         AS BIGINT)
+              ELSE CAST(round(l_extendedprice * (1 - l_discount)
+                              * 10000) AS BIGINT)
+         END AS profit_s
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1997
+)
+SELECT channel,
+       CAST(grouping(channel) AS BIGINT) AS g,
+       CAST(SUM(sales_s) AS DOUBLE) / 10000.0 AS sales,
+       CAST(SUM(returns_s) AS DOUBLE) / 10000.0 AS returns_amt,
+       CAST(SUM(profit_s) AS DOUBLE) / 10000.0 AS profit
+FROM detail
+GROUP BY ROLLUP (channel)
+ORDER BY g, channel NULLS FIRST
+""",
+)
+def tpcds_q5_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q5 (tpcds/q05.sql): the channel profit-and-loss
+    report — sales, returns, and net profit per channel via a UNION
+    of sales rows (positive) and return rows (negative profit), then
+    ROLLUP(channel) for the grand total. Fixture roles: the three
+    channel fact+returns pairs -> priority-band orders with
+    'R'-flag rows entering the returns/negative-profit columns
+    (one fact pass; the reference's UNION of five scans collapses),
+    profit -> extendedprice x (1-discount) for sales and the
+    negated discount amount for returns. Conditional scaled-integer
+    sums + grouping() totals — engine-exact."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    is_r = F.col("l_returnflag") == "R"
+    amt_s = F.round(F.col("l_extendedprice") * 10000).cast("bigint")
+    disc_s = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 10000
+    ).cast("bigint")
+    net_s = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    detail = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.year("o_orderdate") == 1997)
+        .select(
+            F.col("o_orderpriority").alias("channel"),
+            F.when(is_r, F.lit(0)).otherwise(amt_s).alias("sales_s"),
+            F.when(is_r, amt_s).otherwise(F.lit(0)).alias("returns_s"),
+            F.when(is_r, -disc_s).otherwise(net_s).alias("profit_s"),
+        )
+    )
+    return (
+        detail.rollup("channel")
+        .agg(
+            F.grouping("channel").cast("bigint").alias("g"),
+            (F.sum("sales_s").cast("double") / 10000.0).alias("sales"),
+            (F.sum("returns_s").cast("double") / 10000.0).alias(
+                "returns_amt"
+            ),
+            (F.sum("profit_s").cast("double") / 10000.0).alias("profit"),
+        )
+        .select("channel", "g", "sales", "returns_amt", "profit")
+        .orderBy("g", F.col("channel").asc_nulls_first())
+    )
+
+
+@register(
+    "tpcds_q22_adapted",
+    oracle=f"""
+SELECT p_type, p_brand, p_size,
+       CAST(grouping(p_type) + grouping(p_brand)
+            + grouping(p_size) AS BIGINT) AS g,
+       {oracle_dec_avg('l_quantity', 'qoh')}
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = 1997
+GROUP BY ROLLUP (p_type, p_brand, p_size)
+ORDER BY qoh, p_type NULLS FIRST, p_brand NULLS FIRST,
+         p_size NULLS FIRST
+LIMIT 100
+""",
+)
+def tpcds_q22_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q22 (tpcds/q22.sql): the DEEP ROLLUP average — average
+    quantity on hand over a FOUR-level item hierarchy rollup
+    (product/brand/class/category), ordered by the average itself.
+    Fixture roles: the hierarchy -> (p_type, p_brand, p_size)
+    three levels plus the grand total; inventory quantity ->
+    l_quantity over a shipdate year. The AVG rides the exact
+    decimal hop at EVERY grouping level, so ordering by the average
+    is deterministic; the LIMIT closes over the full NULLS FIRST
+    hierarchy ordering."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(F.year("l_shipdate") == 1997)
+        .rollup("p_type", "p_brand", "p_size")
+        .agg(
+            (
+                F.grouping("p_type")
+                + F.grouping("p_brand")
+                + F.grouping("p_size")
+            ).cast("bigint").alias("g"),
+            dec_avg("l_quantity", "qoh"),
+        )
+        .select("p_type", "p_brand", "p_size", "g", "qoh")
+        .orderBy(
+            "qoh",
+            F.col("p_type").asc_nulls_first(),
+            F.col("p_brand").asc_nulls_first(),
+            F.col("p_size").asc_nulls_first(),
+        )
+        .limit(100)
+    )
