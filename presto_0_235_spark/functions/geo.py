@@ -522,7 +522,13 @@ def _line_min_dist2(line: Column, p: Column) -> Column:
         F.slice(line, 2, n),
         lambda a, b: _seg_dist2(p, a, b),
     )
-    return F.array_min(d2s)
+    # A degenerate single-vertex linestring has no segments (array_min
+    # over an empty array is NULL); the Esri kernel measures to the
+    # lone vertex, so fall back to the point-to-vertex distance.
+    v0 = F.element_at(line, 1)
+    wx = st_x(p) - v0.getField("x")
+    wy = st_y(p) - v0.getField("y")
+    return F.coalesce(F.array_min(d2s), wx * wx + wy * wy)
 
 
 def st_distance_point_line(p: Column | str, line: Column | str) -> Column:

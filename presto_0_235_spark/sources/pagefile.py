@@ -79,7 +79,8 @@ _EPOCH_TS = datetime.datetime(1970, 1, 1)
 LONG = "long"  # int64 -> LONG_ARRAY
 INT = "int"  # int32 -> INT_ARRAY
 SHORT = "short"  # int16 -> SHORT_ARRAY
-BYTE = "byte"  # int8 / boolean -> BYTE_ARRAY
+BYTE = "byte"  # int8 -> BYTE_ARRAY
+BOOLEAN = "boolean"  # boolean -> BYTE_ARRAY (ByteArrayBlock, 0/1 cells)
 DOUBLE = "double"  # float64 bits -> LONG_ARRAY
 REAL = "real"  # float32 bits -> INT_ARRAY
 STRING = "string"  # utf8 -> VARIABLE_WIDTH
@@ -92,6 +93,7 @@ _FIXED = {
     INT: ("INT_ARRAY", np.dtype("<i4")),
     SHORT: ("SHORT_ARRAY", np.dtype("<i2")),
     BYTE: ("BYTE_ARRAY", np.dtype("<i1")),
+    BOOLEAN: ("BYTE_ARRAY", np.dtype("<i1")),
     DOUBLE: ("LONG_ARRAY", np.dtype("<f8")),
     REAL: ("INT_ARRAY", np.dtype("<f4")),
     DATE: ("INT_ARRAY", np.dtype("<i4")),
@@ -107,7 +109,7 @@ def spark_kinds(spark_schema) -> list[str]:
         "int": INT,
         "smallint": SHORT,
         "tinyint": BYTE,
-        "boolean": BYTE,
+        "boolean": BOOLEAN,
         "double": DOUBLE,
         "float": REAL,
         "string": STRING,
@@ -233,7 +235,7 @@ def _block_bytes(col, kind: str) -> bytes:
             else:
                 conv.append(int(v))
         live = conv
-    elif kind == BYTE:
+    elif kind in (BYTE, BOOLEAN):
         live = [int(bool(v)) if isinstance(v, (bool, np.bool_)) else int(v)
                 for v in live]
     arr = np.asarray(live, dtype=dtype)
@@ -292,6 +294,10 @@ def _decode_block(buf: memoryview, pos: int, kind: str):
             out.append(
                 _EPOCH_TS + datetime.timedelta(milliseconds=int(v))
             )
+        elif kind == BOOLEAN:
+            # Arrow refuses int objects in a boolean target column, so
+            # decode to real Python bools for the Spark source path.
+            out.append(bool(v))
         elif kind == BYTE:
             out.append(int(v))
         elif kind in (DOUBLE, REAL):
@@ -387,13 +393,20 @@ def write_file(path: str, pdf, kinds: list[str], compression: str = "none",
         raise ValueError(f"unsupported compression {compression!r}")
 
     n = len(pdf)
+    if n == 0:
+        # Reference empty-file shape: zero stripes, footer is just its
+        # own int32 size (PageFileFooterOutput.createEmptyPageFileFooterOutput;
+        # PageFileFooterReader treats footerOffset==0 as no stripes).
+        with open(path, "wb") as fh:
+            fh.write(struct.pack("<i", 4))
+        return 0
     columns = [pdf[c] for c in pdf.columns]
     stripe_offsets: list[int] = []
     offset = 0
     stripe_bytes = 0
     stripe_started = False
     with open(path, "wb") as fh:
-        for lo in range(0, n, page_positions) or [0]:
+        for lo in range(0, n, page_positions):
             chunk_cols = [c.iloc[lo : lo + page_positions] for c in columns]
             rows = min(page_positions, n - lo)
             page = encode_page(chunk_cols, kinds, rows, compressor)
@@ -452,7 +465,13 @@ def read_stripe(path: str, start: int, end: int, kinds: list[str]):
 def write_pagefile_dataframe(df, path: str, compression: str = "none") -> int:
     """Distributed PAGEFILE sink: one file per task (the layout every
     Spark file sink and the reference's PageFileWriterFactory use).
-    Returns the number of files written."""
+    Returns the number of files written.
+
+    Rows cross the JVM->Python boundary as Arrow record batches
+    (``mapInArrow``), NOT pandas: Arrow's int64-with-nulls becomes
+    float64 under pandas conversion, silently rounding |v| > 2^53
+    before the codec sees it. ``to_pylist()`` on the Arrow columns
+    keeps longs exact (Python ints) at any magnitude."""
     import os
     import shutil
 
@@ -464,22 +483,31 @@ def write_pagefile_dataframe(df, path: str, compression: str = "none") -> int:
     cols = list(df.columns)
 
     def encode_partition(batches):
+        import pyarrow as pa
         from pyspark import TaskContext
 
-        parts = [pdf for pdf in batches]
-        pdf = (
-            pd.concat(parts, ignore_index=True)
-            if parts
-            else pd.DataFrame(columns=cols)
-        )
+        parts = list(batches)
+        if parts:
+            tbl = pa.Table.from_batches(parts)
+            pdf = pd.DataFrame(
+                {c: pd.Series(tbl.column(c).to_pylist(), dtype=object)
+                 for c in cols}
+            )
+        else:
+            pdf = pd.DataFrame(columns=cols, dtype=object)
         pid = TaskContext.get().partitionId()
         fname = os.path.join(path, f"part-{pid:05d}.pagefile")
         stripes = write_file(fname, pdf, kinds, compression)
-        yield pd.DataFrame(
-            {"file": [fname], "n_rows": [len(pdf)], "stripes": [stripes]}
+        out = pa.RecordBatch.from_pydict(
+            {"file": [fname], "n_rows": [len(pdf)], "stripes": [stripes]},
+            schema=pa.schema(
+                [("file", pa.string()), ("n_rows", pa.int64()),
+                 ("stripes", pa.int32())]
+            ),
         )
+        yield out
 
-    manifest = df.mapInPandas(
+    manifest = df.mapInArrow(
         encode_partition, "file string, n_rows long, stripes int"
     ).collect()
     return len(manifest)

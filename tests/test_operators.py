@@ -708,6 +708,74 @@ class TestPageFileCodec:
             map(tuple, src.collect())
         )
 
+    def test_boolean_column_spark_roundtrip(self, spark, tmp_path):
+        """Boolean columns must survive the distributed sink/source:
+        BOOLEAN cells ride BYTE_ARRAY on disk but decode to Python
+        bools (Arrow rejects int objects in a boolean column)."""
+        from pyspark.sql import functions as F
+
+        from presto_0_235_spark.sources.pagefile import (
+            read_pagefile_dataframe,
+            write_pagefile_dataframe,
+        )
+
+        src = spark.range(100).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 5 == 0, F.lit(None))
+            .otherwise(F.col("id") % 2 == 0)
+            .alias("flag"),
+        )
+        path = str(tmp_path / "pagefile_bool")
+        write_pagefile_dataframe(src, path)
+        back = read_pagefile_dataframe(spark, path, src.schema)
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, src.collect())
+        )
+
+    def test_nullable_bigint_beyond_2p53_exact(self, spark, tmp_path):
+        """A nullable bigint with |v| > 2^53 must round-trip exactly
+        through the distributed sink: the Arrow batches feed the codec
+        directly (mapInArrow), never passing through pandas float64."""
+        from pyspark.sql import functions as F
+
+        from presto_0_235_spark.sources.pagefile import (
+            read_pagefile_dataframe,
+            write_pagefile_dataframe,
+        )
+
+        big = 2**62 + 1  # unrepresentable in float64 (rounds to 2^62)
+        src = spark.createDataFrame(
+            [(1, big), (2, None), (3, -big)], "id bigint, v bigint"
+        )
+        path = str(tmp_path / "pagefile_bigint")
+        write_pagefile_dataframe(src, path)
+        back = read_pagefile_dataframe(spark, path, src.schema)
+        got = {r["id"]: r["v"] for r in back.collect()}
+        assert got == {1: big, 2: None, 3: -big}
+
+    def test_empty_file_reference_footer_shape(self, tmp_path):
+        """Empty input writes the reference's empty-file shape — zero
+        stripes, footer == just its own int32 size 4
+        (PageFileFooterOutput.createEmptyPageFileFooterOutput) — not a
+        stripe containing an empty page."""
+        import os
+        import struct
+
+        import pandas as pd
+
+        from presto_0_235_spark.sources import pagefile as pf
+
+        p = str(tmp_path / "empty.pagefile")
+        pdf = pd.DataFrame({"k": pd.array([], dtype=object)})
+        n_stripes = pf.write_file(p, pdf, [pf.LONG])
+        assert n_stripes == 0
+        with open(p, "rb") as fh:
+            raw = fh.read()
+        assert raw == struct.pack("<i", 4)
+        offsets, footer_offset = pf.read_footer(p)
+        assert offsets == [] and footer_offset == 0
+        assert os.path.getsize(p) == 4
+
 
 def test_incremental_lsh_matches_cross_pairs_of_full_run(spark):
     """lsh_incremental_pairs(old, new) must equal the CROSS-corpus

@@ -406,6 +406,23 @@ def test_geo_degenerate_shapes(spark):
     assert row.len_empty == 0.0 and row.area_empty == 0.0
 
 
+def test_geo_single_vertex_linestring_distance(spark):
+    """ST_Distance(point, single-vertex linestring) measures to the
+    lone vertex (the Esri kernel's answer), not NULL — a degenerate
+    line has no segments for array_min to scan."""
+    from presto_0_235_spark.functions import geo
+
+    p = geo.st_point(F.lit(3.0), F.lit(4.0))
+    one_vertex = F.array(geo.st_point(F.lit(0.0), F.lit(0.0)))
+    row = spark.range(1).select(
+        geo.st_distance_point_line(p, one_vertex).alias("d"),
+        geo.st_line_buffer_contains(one_vertex, 5.5, p).alias("inside"),
+        geo.st_line_buffer_contains(one_vertex, 4.5, p).alias("outside"),
+    ).collect()[0]
+    assert row.d == 5.0
+    assert row.inside is True and row.outside is False
+
+
 def test_geo_multipolygon_collection_edges(spark):
     """Multi-geometry edges: a single-member MULTIPOLYGON parses;
     ST_GeometryN is NULL out of range and identity for n=1 on a
