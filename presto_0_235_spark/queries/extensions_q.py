@@ -2317,9 +2317,17 @@ def docs_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE engine.
 
     Scale: one tiny domain-stats aggregate broadcasts back onto the
-    corpus; the per-domain rank plans a WindowGroupLimit when the
-    cap is selective — a skewed megadomain ships O(sqrt(n)) rows,
-    which is the operator's entire purpose."""
+    corpus. The per-domain rank filter is a CONJUNCTION of the exact
+    per-domain cap (`__rn <= n_keep`, a column) and a CONSTANT
+    conservative cap (`__rn <= max(n_keep)`, a driver-side scalar off
+    the same tiny aggregate) — InferWindowGroupLimit only fires on
+    foldable limits, so the constant leg is what turns the full
+    per-domain sort into a WindowGroupLimit: every map task keeps at
+    most max_keep = O(sqrt(largest domain)) rows per domain before
+    the shuffle, so a skewed megadomain ships O(sqrt(n)) rows instead
+    of landing whole in one task — which is the operator's entire
+    purpose. The column leg then trims each domain to its exact
+    n_keep; results are unchanged (n_keep <= max_keep always)."""
     from pyspark.sql import Window
 
     ensure_session_defaults(spark)
@@ -2329,6 +2337,9 @@ def docs_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = docs.groupBy("source").agg(
         F.floor(8 * F.sqrt(F.count("*"))).cast("bigint").alias("n_keep")
     )
+    # One scalar off the per-domain aggregate (tiny: one row per
+    # domain). Collecting it is what makes the window cap foldable.
+    max_keep = stats.agg(F.max("n_keep")).collect()[0][0] or 0
     h = portable_hash64(
         F.concat(F.lit("temp|"), F.col("doc_id").cast("string"))
     )
@@ -2336,7 +2347,10 @@ def docs_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.join(F.broadcast(stats), "source")
         .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= F.col("n_keep"))
+        .filter(
+            (F.col("__rn") <= F.lit(int(max_keep)))
+            & (F.col("__rn") <= F.col("n_keep"))
+        )
         .select("source", "doc_id")
     )
 

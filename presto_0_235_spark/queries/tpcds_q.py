@@ -971,12 +971,12 @@ def tpcds_q65_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     item -> part, d_month_seq window -> shipdate years 1996-1998.
     Plan: the (suppkey, partkey) aggregate feeds two consumers (the
     filter branch and the per-store average); Catalyst prunes their
-    columns differently so the exchange is NOT reused and the
-    first-level aggregate computes once per branch — at fixture
-    scale the double scan is free, and at 100 TB the right move is
-    persisting the first-level aggregate (it is |stores x items|
-    sized, tiny next to the fact) before fanning out, exactly what
-    the reference's CTE materialization does for this query. The
+    columns differently so the exchange would NOT be reused and the
+    100 TB fact would be scanned and aggregated once per branch. The
+    first-level aggregate is therefore persisted — it is
+    |stores x items| sized, tiny next to the fact — so the plan shows
+    ONE lineitem scan feeding an InMemoryRelation both branches read
+    (the reference's CTE materialization for this query). The
     per-store average is broadcast back (aggregate-sized build
     side); supplier/part joins broadcast; TakeOrderedAndProject caps
     the output. The revenue-vs-average comparison runs on exact
@@ -989,6 +989,7 @@ def tpcds_q65_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.year("l_shipdate").between(1996, 1998))
         .groupBy("l_suppkey", "l_partkey")
         .agg(dec_sum("l_extendedprice", "revenue"))
+        .persist()
     )
     sb = sa.groupBy("l_suppkey").agg(dec_avg("revenue", "ave"))
     sc = sa.alias("sc")
@@ -1060,7 +1061,10 @@ def tpcds_q75_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatively; (d_year, i_brand) -> (year(o_orderdate), p_brand).
     Plan: one shuffle builds all_sales (small: years x brands), the
     self-join runs on that aggregate — broadcastable at any fact
-    scale because the join input is the AGGREGATE, not the fact."""
+    scale because the join input is the AGGREGATE, not the fact.
+    all_sales is persisted so the 100 TB fact chain is scanned and
+    aggregated ONCE; without it Catalyst prunes the two self-join
+    sides differently and re-runs the whole chain per side."""
     ensure_session_defaults(spark)
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -1086,7 +1090,7 @@ def tpcds_q75_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_sales = detail.groupBy("d_year", "p_brand").agg(
         F.sum(F.col("net_qty").cast("bigint")).alias("sales_cnt"),
         dec_sum("net_amt", "sales_amt"),
-    )
+    ).persist()
     curr, prev = all_sales.alias("curr"), all_sales.alias("prev")
     return (
         curr.join(
@@ -1363,7 +1367,9 @@ def tpcds_q31_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nations x months), so all five growth joins broadcast off the
     first — aggregate-sized exchanges regardless of fact scale; the
     ratio comparisons run on exact decimal-hopped sums, so both
-    engines branch identically."""
+    engines branch identically. Each channel aggregate feeds THREE
+    join instances, so both are persisted — otherwise Catalyst
+    re-runs the 100 TB fact chain once per instance (six scans)."""
     ensure_session_defaults(spark)
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -1385,8 +1391,8 @@ def tpcds_q31_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(dec_sum("l_extendedprice", "amt"))
         )
 
-    ss = channel(["1-URGENT", "2-HIGH"])
-    ws = channel(["4-NOT SPECIFIED", "5-LOW"])
+    ss = channel(["1-URGENT", "2-HIGH"]).persist()
+    ws = channel(["4-NOT SPECIFIED", "5-LOW"]).persist()
 
     def pick(df, alias, moy):
         return df.filter(F.col("moy") == moy).alias(alias)
@@ -1753,11 +1759,14 @@ def tpcds_q23_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") > 8)
         .select("l_partkey")
     )
+    # spend feeds two consumers (the scalar max and the threshold
+    # filter) — persist the customer-sized aggregate so the 100 TB
+    # fact chain aggregates once, not once per consumer.
     spend = lo.groupBy("o_custkey").agg(
         F.sum(
             F.round(F.col("l_extendedprice") * 10000).cast("bigint")
         ).alias("spend_s")
-    )
+    ).persist()
     max_spend = spend.agg(
         F.max("spend_s").cast("double").alias("max_s")
     )
@@ -2462,7 +2471,9 @@ def tpcds_q59_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-of-week from the engine-neutral days-since-Sunday-epoch
     arithmetic (q43's formulation). Ratios divide exact scaled
     integers. Plan: one shuffle builds the weekly matrix; the
-    year-over-year join runs on the (supplier, week) aggregate."""
+    year-over-year join runs on the (supplier, week) aggregate,
+    persisted so the 100 TB fact chain is scanned once for both
+    self-join sides."""
     ensure_session_defaults(spark)
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -2487,7 +2498,7 @@ def tpcds_q59_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     weekly = wk.groupBy("s_suppkey", "wk_seq").agg(
         day_sum(0, "sun_s"), day_sum(3, "wed_s"), day_sum(6, "sat_s")
-    )
+    ).persist()
     y1, y2 = weekly.alias("y1"), weekly.alias("y2")
     return (
         y1.join(

@@ -270,6 +270,26 @@ def test_domain_cap_plans_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_sample_temperature_plans_window_group_limit(spark, sf_dir):
+    """docs_sample_temperature caps the per-domain rank with a
+    constant (max over domains of n_keep) alongside the exact
+    per-domain column cap, so InferWindowGroupLimit fires: a Partial
+    WindowGroupLimit must sit BELOW the shuffle — a skewed megadomain
+    ships O(sqrt(n)) rows per map task instead of landing whole in
+    one task and being fully sorted."""
+    plan_str = plan_of(
+        _QUERIES["docs_sample_temperature"].builder(spark, sf_dir),
+        mode="simple",
+    )
+    assert plan_str.count("WindowGroupLimit") >= 2, plan_str
+    # simple mode prints top-down: the Partial WindowGroupLimit sits
+    # after (= physically below) the source-key Exchange.
+    exchange = plan_str.find("Exchange hashpartitioning(source")
+    assert exchange != -1, plan_str
+    below = plan_str[exchange:]
+    assert "WindowGroupLimit" in below and "Partial" in below, plan_str
+
+
 def test_int8_ann_broadcasts_queries_only(spark, sf_dir):
     """ann_int8_topk broadcasts the (bounded) quantized query set;
     the N-sized candidate side never broadcasts and never shuffles
@@ -429,3 +449,39 @@ def test_tpcds_q59_self_join_runs_on_aggregate(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name,min_cache_uses",
+    [
+        ("tpcds_q65_adapted", 2),
+        ("tpcds_q75_adapted", 2),
+        ("tpcds_q31_adapted", 6),  # 3 quarter instances x 2 channels
+        ("tpcds_q59_adapted", 2),
+        ("tpcds_q23_adapted", 2),
+    ],
+)
+def test_multi_consumer_aggregates_scan_fact_once(
+    spark, sf_dir, name, min_cache_uses
+):
+    """Queries whose first-level aggregate feeds multiple consumers
+    (self-joins, avg-over-aggregate, scalar thresholds) persist that
+    aggregate, so the 100 TB fact chain runs ONCE — Catalyst would
+    otherwise prune the consumers differently and re-run the whole
+    chain per consumer. Pin: every consumer reads an InMemoryRelation
+    (>= min_cache_uses of them), and every lineitem FileScan in the
+    optimized plan sits INSIDE a cached subtree (each InMemoryRelation
+    printout embeds its own cached plan, so standalone scans would
+    push the lineitem count above the relation count)."""
+    df = _QUERIES[name].builder(spark, sf_dir)
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        n_cache = plan.count("InMemoryRelation")
+        n_li = plan.count("lineitem.parquet")
+        assert n_cache >= min_cache_uses, f"{name}: {n_cache} cache uses"
+        assert n_li <= n_cache, (
+            f"{name}: {n_li} lineitem scans vs {n_cache} cached relations "
+            f"— a consumer bypassed the persisted aggregate\n{plan}"
+        )
+    finally:
+        spark.catalog.clearCache()
