@@ -452,6 +452,294 @@ def test_avro_multi_file_roundtrip(spark, tmp_path):
     )
 
 
+class TestRcFileCodec:
+    """sources/rcfile.py — the public RCFile layout (header, sync'd
+    row groups, RLE cell-length key sections, Hadoop vlongs) with
+    RCBINARY (LazyBinaryColumnarSerDe) and RCTEXT (ColumnarSerDe)
+    cells, written from the reference's own presto-rcfile
+    re-implementation (RcFileWriter.java / binary/*Encoding.java).
+    The authority check is byte interop with Hive's REAL classes
+    (hive-exec on Spark's classpath), both directions."""
+
+    _COLS = ["k", "s", "d", "dt", "fl"]
+    _TYPES = "bigint,string,double,date,boolean"
+
+    def _kinds(self):
+        from presto_0_235_spark.sources import rcfile as rc
+
+        return [rc.LONG, rc.STRING, rc.DOUBLE, rc.DATE, rc.BOOLEAN]
+
+    def _pdf(self):
+        import datetime
+
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "k": pd.array([1, None, -(2**62)], dtype=object),
+                "s": pd.array(["héllo", "", None], dtype=object),
+                "d": pd.array([1.5, None, -2.25], dtype=object),
+                "dt": pd.array(
+                    [datetime.date(2024, 2, 29), None,
+                     datetime.date(1969, 12, 31)],
+                    dtype=object,
+                ),
+                "fl": pd.array([True, False, None], dtype=object),
+            }
+        )
+
+    def test_vlong_hadoop_format(self):
+        """Hadoop WritableUtils vlong: one byte for -112..127, else
+        sign+size marker then big-endian magnitude
+        (RcFileDecoderUtils.java:45-113)."""
+        from presto_0_235_spark.sources import rcfile as rc
+
+        for v in [0, 1, -1, 127, -112, 128, -113, 255, 2**31,
+                  -(2**31) - 1, 2**62, -(2**62), 2**63 - 1, -(2**63)]:
+            out = bytearray()
+            rc.write_vlong(out, v)
+            got, pos = rc.read_vlong(bytes(out), 0)
+            assert got == v and pos == len(out), v
+        one = bytearray()
+        rc.write_vlong(one, 127)
+        assert len(one) == 1
+        two = bytearray()
+        rc.write_vlong(two, 128)
+        assert two[0] == (-113 & 0xFF) and two[1] == 128
+
+    def test_python_roundtrip_multi_group(self):
+        """Values, nulls, empty strings, and >2^53 longs survive the
+        codec across row-group boundaries, both serdes."""
+        import datetime
+        import math
+        import tempfile
+
+        from presto_0_235_spark.sources import rcfile as rc
+
+        pdf = self._pdf()
+        kinds = self._kinds()
+        for serde in ("binary", "text"):
+            with tempfile.NamedTemporaryFile(suffix=".rc") as tmp:
+                groups = rc.write_file(
+                    tmp.name, pdf, kinds, serde, row_group_rows=2
+                )
+                assert groups == 2
+                cols = rc.read_file(tmp.name, kinds, serde)
+            assert cols[0] == [1, None, -(2**62)], serde
+            assert cols[1] == ["héllo", "", None], serde
+            assert cols[2][0] == 1.5 and cols[2][1] is None
+            assert math.isclose(cols[2][2], -2.25)
+            assert cols[3] == [
+                datetime.date(2024, 2, 29), None,
+                datetime.date(1969, 12, 31),
+            ]
+            assert cols[4] == [True, False, None], serde
+
+    def test_rle_length_packing(self):
+        """A run of equal cell lengths packs as the length then
+        ~runLength (ColumnEncodeOutput.closeEntry)."""
+        from presto_0_235_spark.sources import rcfile as rc
+
+        packed = rc._pack_lengths([5, 5, 5, 2, 9, 9])
+        expect = bytearray()
+        rc.write_vlong(expect, 5)
+        rc.write_vlong(expect, ~2)
+        rc.write_vlong(expect, 2)
+        rc.write_vlong(expect, 9)
+        rc.write_vlong(expect, ~1)
+        assert packed == bytes(expect)
+        assert rc._unpack_lengths(packed, 6) == [5, 5, 5, 2, 9, 9]
+
+    def test_hive_java_reads_python_rcbinary(self, spark, tmp_path):
+        """A codec-written RCBINARY file must decode through Hive's
+        REAL RCFile.Reader + LazyBinaryColumnarSerDe — container,
+        key sections, and every cell encoding byte-compatible."""
+        from presto_0_235_spark.sources import rcfile as rc
+
+        p = str(tmp_path / "py_binary.rc")
+        rc.write_file(p, self._pdf(), self._kinds(), "binary",
+                      row_group_rows=2)
+        rows = self._hive_read(spark, p, "LazyBinaryColumnarSerDe")
+        assert rows == [
+            ["1", "héllo", "1.5", "2024-02-29", "True"],
+            [None, "", None, None, "False"],
+            ["-4611686018427387904", None, "-2.25", "1969-12-31", None],
+        ]
+
+    def test_hive_java_reads_python_rctext(self, spark, tmp_path):
+        """Same spec pin for RCTEXT cells through Hive's
+        ColumnarSerDe (text cells, \\N nulls)."""
+        from presto_0_235_spark.sources import rcfile as rc
+
+        p = str(tmp_path / "py_text.rc")
+        rc.write_file(p, self._pdf(), self._kinds(), "text",
+                      row_group_rows=2)
+        rows = self._hive_read(spark, p, "ColumnarSerDe")
+        assert rows == [
+            ["1", "héllo", "1.5", "2024-02-29", "True"],
+            [None, "", None, None, "False"],
+            ["-4611686018427387904", None, "-2.25", "1969-12-31", None],
+        ]
+
+    def test_python_reads_hive_written_rcbinary(self, spark, tmp_path):
+        """The reverse direction: a file written by Hive's REAL
+        RCFile.Writer + LazyBinaryColumnarSerDe decodes through the
+        Python codec with identical values and nulls."""
+        import datetime
+        import os
+
+        from presto_0_235_spark.sources import rcfile as rc
+
+        p = str(tmp_path / "hive_binary.rc")
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        props = jvm.java.util.Properties()
+        props.setProperty("columns", ",".join(self._COLS))
+        props.setProperty("columns.types", self._TYPES)
+        serde = (
+            jvm.org.apache.hadoop.hive.serde2.columnar
+            .LazyBinaryColumnarSerDe()
+        )
+        serde.initialize(conf, props)
+        poif = (
+            jvm.org.apache.hadoop.hive.serde2.objectinspector.primitive
+            .PrimitiveObjectInspectorFactory
+        )
+        insp = [
+            poif.writableLongObjectInspector,
+            poif.writableStringObjectInspector,
+            poif.writableDoubleObjectInspector,
+            poif.writableDateObjectInspector,
+            poif.writableBooleanObjectInspector,
+        ]
+        names = jvm.java.util.ArrayList()
+        ois = jvm.java.util.ArrayList()
+        for c, oi in zip(self._COLS, insp):
+            names.add(c)
+            ois.add(oi)
+        soi = (
+            jvm.org.apache.hadoop.hive.serde2.objectinspector
+            .ObjectInspectorFactory
+            .getStandardStructObjectInspector(names, ois)
+        )
+        jvm.org.apache.hadoop.hive.ql.io.RCFileOutputFormat.setColumnNumber(
+            conf, len(self._COLS)
+        )
+        if os.path.exists(p):
+            os.remove(p)
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(conf)
+        writer = jvm.org.apache.hadoop.hive.ql.io.RCFile.Writer(
+            fs, conf, jpath
+        )
+        lw = jvm.org.apache.hadoop.io.LongWritable
+        tw = jvm.org.apache.hadoop.io.Text
+        dw = jvm.org.apache.hadoop.io.DoubleWritable
+        daw = jvm.org.apache.hadoop.hive.serde2.io.DateWritable
+        bw = jvm.org.apache.hadoop.io.BooleanWritable
+        epoch = datetime.date(1970, 1, 1)
+        data = [
+            (1, "héllo", 1.5, datetime.date(2024, 2, 29), True),
+            (None, "", None, None, False),
+            (-(2**62), None, -2.25, datetime.date(1969, 12, 31), None),
+        ]
+        for r in data:
+            row = jvm.java.util.ArrayList()
+            row.add(None if r[0] is None else lw(r[0]))
+            row.add(None if r[1] is None else tw(r[1]))
+            row.add(None if r[2] is None else dw(r[2]))
+            row.add(None if r[3] is None else daw((r[3] - epoch).days))
+            row.add(None if r[4] is None else bw(r[4]))
+            writer.append(serde.serialize(row, soi))
+        writer.close()
+
+        cols = rc.read_file(p, self._kinds(), "binary")
+        got = [tuple(c[i] for c in cols) for i in range(3)]
+        assert got == data
+
+    def _hive_read(self, spark, path, serde_name):
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(conf)
+        reader = jvm.org.apache.hadoop.hive.ql.io.RCFile.Reader(
+            fs, jpath, conf
+        )
+        props = jvm.java.util.Properties()
+        props.setProperty("columns", ",".join(self._COLS))
+        props.setProperty("columns.types", self._TYPES)
+        serde = getattr(
+            jvm.org.apache.hadoop.hive.serde2.columnar, serde_name
+        )()
+        serde.initialize(conf, props)
+        rid = jvm.org.apache.hadoop.io.LongWritable()
+        braw = (
+            jvm.org.apache.hadoop.hive.serde2.columnar
+            .BytesRefArrayWritable()
+        )
+        out_oi = serde.getObjectInspector()
+        frefs = out_oi.getAllStructFieldRefs()
+        rows = []
+        while reader.next(rid):
+            reader.getCurrentRow(braw)
+            obj = serde.deserialize(braw)
+            vals = []
+            for i in range(frefs.size()):
+                fref = frefs.get(i)
+                data = out_oi.getStructFieldData(obj, fref)
+                if data is None:
+                    vals.append(None)
+                else:
+                    vals.append(
+                        str(
+                            fref.getFieldObjectInspector()
+                            .getPrimitiveJavaObject(data)
+                        )
+                    )
+            rows.append(vals)
+        reader.close()
+        return rows
+
+    def test_distributed_roundtrip_no_driver_loops(self, spark, tmp_path):
+        """N partitions -> N files -> per-file read tasks, values and
+        nulls intact — and the io_q query path contains no
+        driver-side row loops (the r7 bridge's toLocalIterator is
+        gone)."""
+        import inspect
+
+        from pyspark.sql import functions as F
+
+        from presto_0_235_spark.queries import io_q
+        from presto_0_235_spark.sources.rcfile import (
+            read_rcfile_dataframe,
+            write_rcfile_dataframe,
+        )
+
+        src = (
+            spark.range(1000)
+            .repartition(4)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") * 1.5).alias("v"),
+                F.when(F.col("id") % 7 == 0, F.lit(None))
+                .otherwise(
+                    F.concat(F.lit("s"), F.col("id").cast("string"))
+                )
+                .alias("s"),
+            )
+        )
+        for serde in ("binary", "text"):
+            path = str(tmp_path / f"rc_multi_{serde}")
+            n_files = write_rcfile_dataframe(src, path, serde)
+            assert n_files == 4
+            back = read_rcfile_dataframe(spark, path, src.schema, serde)
+            assert back.rdd.getNumPartitions() == 4
+            assert sorted(map(tuple, back.collect())) == sorted(
+                map(tuple, src.collect())
+            )
+        assert "toLocalIterator" not in inspect.getsource(io_q)
+
+
 class TestPageFileCodec:
     """sources/pagefile.py — the reference's PAGEFILE byte layout
     (SerializedPage frames + named block encodings + stripe footer),
