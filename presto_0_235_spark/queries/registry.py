@@ -58,32 +58,42 @@ def register(
 
 
 # Registration order determines the order downstream harnesses see the
-# queries in; external correctness gates may only sample a prefix. Keep
-# the relational/join/window/sort/set-op/TPC-H core — the operators the
-# reference's own differential corpus (presto-tests AbstractTestQueries)
-# exercises first — at the front, all oracle-backed.
+# queries in; external correctness gates may only sample a prefix. The
+# prefix mixes the relational/join/window/sort/set-op/TPC-H core — the
+# operators the reference's own differential corpus (presto-tests
+# AbstractTestQueries) exercises first — with one representative per
+# newer surface family (TPC-DS plan shapes, storage-format codecs,
+# geometry, dedup/LSH pipelines, sketch wire formats, sampling) so an
+# external gate that samples only the prefix hash-checks every family,
+# not just the oldest one. All oracle-backed; everything outside the
+# prefix is still covered by the full-registry local artifact.
 _PRIORITY: tuple[str, ...] = (
-    # joins (hash/broadcast/semi/anti/null-aware/cross/theta/skew)
-    "join_inner", "join_left", "join_right", "join_full",
-    "join_cross", "join_semi", "join_anti", "join_not_in_null_aware",
+    # joins (hash/broadcast/semi/anti/null-aware/theta/skew)
+    "join_inner", "join_left", "join_full",
+    "join_semi", "join_anti", "join_not_in_null_aware",
     "join_theta_range", "join_broadcast_dim", "join_skew_salted",
     "join_null_keys",
     # window functions
-    "win_topn_per_group", "win_ranking", "win_distribution",
-    "win_lag_lead", "win_value_functions", "win_running_agg",
-    "win_range_frame", "win_range_time_interval",
+    "win_topn_per_group", "win_ranking",
+    "win_lag_lead", "win_running_agg", "win_range_frame",
     # sort / limit / top-k
     "orderby_nulls_last", "topn", "limit_deterministic",
     # set operations
     "union_all", "union_distinct", "intersect_distinct",
-    "except_distinct", "intersect_all_ext", "except_all_ext",
+    "except_distinct",
     # TPC-H suite
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
-    "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q8",
+    "tpch_q10", "tpch_q13", "tpch_q14",
     "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
     # subqueries + core shapes
     "scalar_subquery", "in_subquery", "quantified_all",
     "filter_predicates", "agg_grouping_sets", "cte_query",
+    # representative r7+ families (one per surface)
+    "tpcds_q65_adapted", "io_roundtrip_pagefile",
+    "io_roundtrip_rcbinary", "io_roundtrip_avro",
+    "fn_geospatial_polygon", "join_spatial_contains",
+    "dedup_minhash_lsh", "pipeline_corpus_dedup",
+    "agg_hll_wire_format", "docs_sample_temperature",
 )
 
 
