@@ -357,6 +357,16 @@ _UNNEST = re.compile(
     r"(?:AS\s+)?(?P<t>\w+)\s*\(\s*(?P<c>\w+)\s*\)",
     re.IGNORECASE,
 )
+_FROM_UNNEST_ORD = re.compile(
+    rf"\bFROM\s+UNNEST\s*\({_ARR}\)\s+WITH\s+ORDINALITY\s+"
+    r"(?:AS\s+)?(?P<t>\w+)\s*\(\s*(?P<c>\w+)\s*,\s*(?P<ord>\w+)\s*\)",
+    re.IGNORECASE,
+)
+_FROM_UNNEST = re.compile(
+    rf"\bFROM\s+UNNEST\s*\({_ARR}\)\s+"
+    r"(?:AS\s+)?(?P<t>\w+)\s*\(\s*(?P<c>\w+)\s*\)",
+    re.IGNORECASE,
+)
 
 
 def _split_top_comma(s: str) -> list[str]:
@@ -415,6 +425,30 @@ def _rewrite_unnest(sql: str) -> str:
         lambda m: (
             f"LATERAL VIEW explode({m.group('arr')}) {m.group('t')} "
             f"AS {m.group('c')}"
+        ),
+        sql,
+    )
+    # FROM-position UNNEST (no join): the reference corpus'
+    # `SELECT a FROM UNNEST(ARRAY[...]) t(a)` shape
+    # (AbstractTestQueries.java:608 testUnnest). WITH ORDINALITY maps
+    # to posexplode with the 0-based pos lifted to Presto's 1-based
+    # bigint ordinality, preserving the (value, ordinality) column
+    # order of the t(a, b) alias.
+    def from_ord_repl(m: re.Match) -> str:
+        k = counter[0]
+        counter[0] += 1
+        arr, t, c, o = (m.group("arr"), m.group("t"), m.group("c"),
+                        m.group("ord"))
+        return (
+            f"FROM (SELECT {c}, CAST(__p{k} + 1 AS BIGINT) AS {o} "
+            f"FROM (SELECT posexplode({arr}) AS (__p{k}, {c}))) {t}"
+        )
+
+    sql = _FROM_UNNEST_ORD.sub(from_ord_repl, sql)
+    sql = _FROM_UNNEST.sub(
+        lambda m: (
+            f"FROM (SELECT explode({m.group('arr')}) AS "
+            f"{m.group('c')}) {m.group('t')}"
         ),
         sql,
     )
@@ -581,6 +615,123 @@ def _rewrite_function_names(sql: str) -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Presto null-ordering default (found by the reference corpus,
+# AbstractTestQueries.java:3048 testOrderByWithNulls)
+# --------------------------------------------------------------------------
+
+_ORDER_BY_KW = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+# Keywords that terminate an ORDER BY item list at depth 0.
+_ORDER_TERM = re.compile(
+    r"(LIMIT|OFFSET|FETCH|ROWS|RANGE|GROUPS|UNION|INTERSECT|EXCEPT"
+    r"|WINDOW|HAVING|ASOF)\b",
+    re.IGNORECASE,
+)
+_HAS_NULLS_ORDER = re.compile(r"\bNULLS\s+(FIRST|LAST)\s*$", re.IGNORECASE)
+
+
+def _rewrite_order_by_nulls(sql: str) -> str:
+    """Presto sorts NULLS LAST by default for BOTH ASC and DESC
+    (PlannerUtils.java:39-51 toSortOrder); Spark's ASC default is
+    nulls-FIRST. Append an explicit NULLS LAST to every sort item
+    that does not already carry a null ordering — in top-level ORDER
+    BY, OVER(... ORDER BY ...), and ORDER BY inside aggregate calls
+    alike (the Presto default applies to all three)."""
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = _ORDER_BY_KW.search(sql, pos)
+        if m is None:
+            break
+        start = m.end()
+        i, depth = start, 0
+        item_bounds: list[tuple[int, int]] = []
+        item_start = start
+        end = len(sql)
+        while i < len(sql):
+            ch = sql[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                item_bounds.append((item_start, i))
+                item_start = i + 1
+            elif depth == 0 and (ch.isalpha() or ch == "_"):
+                if _ORDER_TERM.match(sql, i):
+                    end = i
+                    break
+                j = i
+                while j < len(sql) and (sql[j].isalnum() or sql[j] == "_"):
+                    j += 1
+                i = j
+                continue
+            i += 1
+        item_bounds.append((item_start, end))
+        out.append(sql[pos:start])
+        rebuilt = []
+        for a, b in item_bounds:
+            text = sql[a:b]
+            stripped = text.rstrip()
+            if not stripped or _HAS_NULLS_ORDER.search(stripped):
+                rebuilt.append(text)
+            else:
+                rebuilt.append(
+                    stripped + " NULLS LAST" + text[len(stripped):]
+                )
+        out.append(",".join(rebuilt))
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+# Bare untyped NULL as a whole WHERE/HAVING condition: Presto types it
+# boolean (no rows); Spark rejects VOID filters
+# (AbstractTestAggregations.java:58 "WHERE NULL").
+_BARE_NULL_PREDICATE = re.compile(
+    r"\b(WHERE|HAVING)\s+NULL\b"
+    r"(?=\s*($|\)|GROUP\b|ORDER\b|LIMIT\b|OFFSET\b|UNION\b|INTERSECT\b"
+    r"|EXCEPT\b|HAVING\b|WINDOW\b))",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_bare_null_predicate(sql: str) -> str:
+    return _BARE_NULL_PREDICATE.sub(
+        lambda m: f"{m.group(1)} CAST(NULL AS BOOLEAN)", sql
+    )
+
+
+# Multi-argument grouping(): Presto's grouping(c1, ..., cn) bitmask
+# (GroupingOperationRewriter.java, leftmost = most significant bit) is
+# Spark's grouping_id(c1, ..., cn); Spark's own grouping() is
+# single-argument only (found by AbstractTestQueries.java:1373).
+_GROUPING_CALL = re.compile(r"\bGROUPING\s*\(", re.IGNORECASE)
+
+
+def _rewrite_multiarg_grouping(sql: str) -> str:
+    out: list[str] = []
+    pos = 0
+    for m in _GROUPING_CALL.finditer(sql):
+        if m.start() < pos:
+            continue
+        open_i = m.end() - 1
+        try:
+            past_close = _balanced(sql, open_i)
+        except ValueError:
+            continue
+        inner = sql[open_i + 1 : past_close - 1]
+        if len(_split_top_comma(inner)) > 1:
+            out.append(sql[pos : m.start()])
+            out.append("grouping_id(")
+            pos = open_i + 1
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 _AS_KEYWORD = re.compile(r"\bAS\s+", re.IGNORECASE)
 _BARE_VARCHAR = re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE)
 
@@ -654,6 +805,9 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = _rewrite_url_fns(masked)
     masked = _rewrite_function_names(masked)
     masked = _rewrite_bare_varchar(masked)
+    masked = _rewrite_multiarg_grouping(masked)
+    masked = _rewrite_bare_null_predicate(masked)
+    masked = _rewrite_order_by_nulls(masked)
     return _unmask(masked, stash)
 
 
