@@ -2993,3 +2993,1556 @@ def tpcds_q22_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 10 (round 8): the year-over-year self-joins, the share-of-group
+# window report, the correlated-threshold window sum, and the
+# ROLLUP+grouping report (tpcds/q11.sql, q74.sql, q89.sql, q92.sql,
+# q27.sql).
+# --------------------------------------------------------------------------
+
+
+_Q11_YT = """
+SELECT o_custkey AS custkey, CAST(year(o_orderdate) AS INT) AS yr,
+       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 's' ELSE 'w' END AS sale_type,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS year_total
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE year(o_orderdate) IN (1996, 1997)
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "tpcds_q11_adapted",
+    oracle=f"""
+WITH year_total AS ({_Q11_YT})
+SELECT s2.custkey
+FROM year_total s1
+JOIN year_total s2 ON s1.custkey = s2.custkey
+JOIN year_total w1 ON s1.custkey = w1.custkey
+JOIN year_total w2 ON s1.custkey = w2.custkey
+WHERE s1.sale_type = 's' AND s2.sale_type = 's'
+  AND w1.sale_type = 'w' AND w2.sale_type = 'w'
+  AND s1.yr = 1996 AND s2.yr = 1997
+  AND w1.yr = 1996 AND w2.yr = 1997
+  AND s1.year_total > 0 AND w1.year_total > 0
+  AND (CASE WHEN w1.year_total > 0
+            THEN CAST(w2.year_total AS DOUBLE) / w1.year_total
+            ELSE 0.0 END)
+    > (CASE WHEN s1.year_total > 0
+            THEN CAST(s2.year_total AS DOUBLE) / s1.year_total
+            ELSE 0.0 END)
+ORDER BY s2.custkey
+LIMIT 100
+""",
+)
+def tpcds_q11_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q11 (tpcds/q11.sql): the year-over-year customer
+    self-join — one year_total CTE unioning two channels, then FOUR
+    instances of it joined on customer, keeping customers whose web
+    growth ratio beat their store growth ratio. Fixture roles:
+    store/web channels -> priority bands, d_year -> order year,
+    ss_ext_list_price - ss_ext_discount_amt -> l_extendedprice in
+    exact cents so the growth ratios are single divisions of exact
+    integers (identical IEEE result on both engines).
+    Plan: year_total is customer x year x channel sized (tiny next to
+    the fact) and feeds FOUR join instances, so it is persisted — one
+    fact scan builds it, and all four instances broadcast or
+    co-partition off the cached aggregate."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    yt = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                F.lit("s"),
+            ).otherwise(F.lit("w")).alias("sale_type"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).cast("bigint").alias("year_total")
+        )
+        .persist()
+    )
+
+    def inst(alias, st, yr):
+        return (
+            yt.filter((F.col("sale_type") == st) & (F.col("yr") == yr))
+            .alias(alias)
+        )
+
+    s1, s2 = inst("s1", "s", 1996), inst("s2", "s", 1997)
+    w1, w2 = inst("w1", "w", 1996), inst("w2", "w", 1997)
+
+    def ratio(num, den):
+        return F.when(
+            F.col(f"{den}.year_total") > 0,
+            F.col(f"{num}.year_total").cast("double")
+            / F.col(f"{den}.year_total"),
+        ).otherwise(F.lit(0.0))
+
+    return (
+        s1.join(s2, F.col("s1.custkey") == F.col("s2.custkey"))
+        .join(w1, F.col("s1.custkey") == F.col("w1.custkey"))
+        .join(w2, F.col("s1.custkey") == F.col("w2.custkey"))
+        .filter(
+            (F.col("s1.year_total") > 0)
+            & (F.col("w1.year_total") > 0)
+            & (ratio("w2", "w1") > ratio("s2", "s1"))
+        )
+        .select(F.col("s2.custkey").alias("custkey"))
+        .orderBy("custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q74_adapted",
+    oracle=f"""
+WITH year_total AS (
+SELECT o_custkey AS custkey, CAST(year(o_orderdate) AS INT) AS yr,
+       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 's' ELSE 'w' END AS sale_type,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         / COUNT(*) AS year_avg
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE year(o_orderdate) IN (1996, 1997)
+GROUP BY 1, 2, 3
+)
+SELECT s2.custkey, round(s2.year_avg, 9) AS s_avg,
+       round(w2.year_avg, 9) AS w_avg
+FROM year_total s1
+JOIN year_total s2 ON s1.custkey = s2.custkey
+JOIN year_total w1 ON s1.custkey = w1.custkey
+JOIN year_total w2 ON s1.custkey = w2.custkey
+WHERE s1.sale_type = 's' AND s2.sale_type = 's'
+  AND w1.sale_type = 'w' AND w2.sale_type = 'w'
+  AND s1.yr = 1996 AND s2.yr = 1997
+  AND w1.yr = 1996 AND w2.yr = 1997
+  AND s1.year_avg > 0 AND w1.year_avg > 0
+  AND (CASE WHEN w1.year_avg > 0 THEN w2.year_avg / w1.year_avg
+            ELSE NULL END)
+    > (CASE WHEN s1.year_avg > 0 THEN s2.year_avg / s1.year_avg
+            ELSE NULL END)
+ORDER BY s2.custkey
+LIMIT 100
+""",
+)
+def tpcds_q74_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q74 (tpcds/q74.sql): Q11's sibling — the same
+    four-instance year-over-year customer self-join, but on AVERAGE
+    sales with a NULL-propagating ratio CASE (ELSE NULL: a customer
+    with no first-year web sales drops out instead of comparing
+    against 0). The average is a single division of an exact integer
+    sum by a count — identical IEEE doubles on both engines. Same
+    persist-the-CTE plan note as q11."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    yt = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                F.lit("s"),
+            ).otherwise(F.lit("w")).alias("sale_type"),
+        )
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("year_avg")
+        )
+        .persist()
+    )
+
+    def inst(alias, st, yr):
+        return (
+            yt.filter((F.col("sale_type") == st) & (F.col("yr") == yr))
+            .alias(alias)
+        )
+
+    s1, s2 = inst("s1", "s", 1996), inst("s2", "s", 1997)
+    w1, w2 = inst("w1", "w", 1996), inst("w2", "w", 1997)
+
+    def ratio(num, den):
+        return F.when(
+            F.col(f"{den}.year_avg") > 0,
+            F.col(f"{num}.year_avg") / F.col(f"{den}.year_avg"),
+        ).otherwise(F.lit(None).cast("double"))
+
+    return (
+        s1.join(s2, F.col("s1.custkey") == F.col("s2.custkey"))
+        .join(w1, F.col("s1.custkey") == F.col("w1.custkey"))
+        .join(w2, F.col("s1.custkey") == F.col("w2.custkey"))
+        .filter(
+            (F.col("s1.year_avg") > 0)
+            & (F.col("w1.year_avg") > 0)
+            & (ratio("w2", "w1") > ratio("s2", "s1"))
+        )
+        .select(
+            F.col("s2.custkey").alias("custkey"),
+            F.round(F.col("s2.year_avg"), 9).alias("s_avg"),
+            F.round(F.col("w2.year_avg"), 9).alias("w_avg"),
+        )
+        .orderBy("custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q89_adapted",
+    oracle="""
+WITH monthly AS (
+  SELECT p_brand, p_type, s_name,
+         CAST(month(o_orderdate) AS INT) AS moy,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS sum_s
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE year(o_orderdate) = 1997
+    AND p_type IN ('PROMO', 'STANDARD', 'ECONOMY')
+  GROUP BY p_brand, p_type, s_name, month(o_orderdate)
+),
+win AS (
+  SELECT *, avg(CAST(sum_s AS DOUBLE))
+              OVER (PARTITION BY p_brand, p_type, s_name)
+              AS avg_monthly
+  FROM monthly
+)
+SELECT p_brand, p_type, s_name, moy,
+       round(sum_s / 100.0, 2) AS sum_sales,
+       round(avg_monthly / 100.0, 4) AS avg_monthly_sales
+FROM win
+WHERE CASE WHEN avg_monthly <> 0
+           THEN abs(sum_s - avg_monthly) / avg_monthly
+           ELSE NULL END > 0.1
+ORDER BY sum_s - avg_monthly, s_name, p_brand, p_type, moy
+LIMIT 100
+""",
+)
+def tpcds_q89_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q89 (tpcds/q89.sql): monthly sales vs the line's
+    average month — an aggregate feeding a window aggregate OVER the
+    non-time keys, then a deviation filter (> 10% off the average).
+    Fixture roles: (i_category, i_brand, s_store_name) ->
+    (p_type, p_brand, s_name); d_moy -> order month. The window
+    average runs over exact bigint cents (window sum of ints is
+    order-free; one division) so the 0.1 branch is engine-identical.
+    Plan: one shuffle for the group-by, one window pass over the
+    aggregate (months x brands sized) — no second fact scan; the
+    deviation ORDER BY carries full tiebreaks under the LIMIT."""
+    from pyspark.sql import Window
+
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    monthly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(
+            (F.year("o_orderdate") == 1997)
+            & F.col("p_type").isin("PROMO", "STANDARD", "ECONOMY")
+        )
+        .groupBy(
+            "p_brand", "p_type", "s_name",
+            F.month("o_orderdate").cast("int").alias("moy"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).cast("bigint").alias("sum_s")
+        )
+    )
+    w = Window.partitionBy("p_brand", "p_type", "s_name")
+    win = monthly.withColumn(
+        "avg_monthly", F.avg(F.col("sum_s").cast("double")).over(w)
+    )
+    dev = F.when(
+        F.col("avg_monthly") != 0,
+        F.abs(F.col("sum_s") - F.col("avg_monthly"))
+        / F.col("avg_monthly"),
+    ).otherwise(F.lit(None))
+    return (
+        win.filter(dev > 0.1)
+        .select(
+            "p_brand", "p_type", "s_name", "moy",
+            F.round(F.col("sum_s") / 100.0, 2).alias("sum_sales"),
+            F.round(F.col("avg_monthly") / 100.0, 4).alias(
+                "avg_monthly_sales"
+            ),
+            (F.col("sum_s") - F.col("avg_monthly")).alias("__diff"),
+        )
+        .orderBy("__diff", "s_name", "p_brand", "p_type", "moy")
+        .limit(100)
+        .drop("__diff")
+    )
+
+
+@register(
+    "tpcds_q92_adapted",
+    oracle="""
+WITH windowed AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)
+           AS disc_s
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate BETWEEN DATE '1997-01-27'
+                        AND DATE '1997-01-27' + INTERVAL 90 DAY
+),
+brand_parts AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#21'
+),
+thresholds AS (
+  SELECT l_partkey,
+         1.3 * (CAST(SUM(disc_s) AS DOUBLE) / COUNT(*)) AS floor_s
+  FROM windowed GROUP BY l_partkey
+)
+SELECT round(CAST(SUM(w.disc_s) AS DOUBLE) / 10000.0, 4)
+         AS excess_discount
+FROM windowed w
+JOIN brand_parts b ON w.l_partkey = b.p_partkey
+JOIN thresholds t ON w.l_partkey = t.l_partkey
+WHERE w.disc_s > t.floor_s
+""",
+)
+def tpcds_q92_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q92 (tpcds/q92.sql): 'excess discount' over a 90-day
+    window restricted to ONE manufacturer's items — the correlated
+    per-item 1.3x-average threshold decorrelates to an aggregate
+    joined back (TransformCorrelatedScalarAggregationToJoin), with
+    the brand restriction applied as a semi filter BEFORE the
+    threshold join. Differs from q32's shape by the date-window scan
+    predicate + tiny broadcast brand list + single-row output.
+    Exact: discounts ride scaled bigints; the threshold is one
+    division. Plan: thresholds is item-sized (broadcastable); the
+    brand list prunes the probe early."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    windowed = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("o_orderdate").between("1997-01-27", "1997-04-27")
+        )
+        .select(
+            "l_partkey",
+            F.round(
+                F.col("l_extendedprice") * F.col("l_discount") * 10000
+            ).cast("bigint").alias("disc_s"),
+        )
+    )
+    brand_parts = part.filter(F.col("p_brand") == "Brand#21").select(
+        "p_partkey"
+    )
+    thresholds = windowed.groupBy("l_partkey").agg(
+        (
+            1.3
+            * (F.sum("disc_s").cast("double") / F.count(F.lit(1)))
+        ).alias("floor_s")
+    )
+    return (
+        windowed.join(
+            F.broadcast(brand_parts),
+            windowed.l_partkey == brand_parts.p_partkey,
+        )
+        .join(thresholds, "l_partkey")
+        .filter(F.col("disc_s") > F.col("floor_s"))
+        .agg(
+            F.round(
+                F.sum("disc_s").cast("double") / 10000.0, 4
+            ).alias("excess_discount")
+        )
+    )
+
+
+@register(
+    "tpcds_q27_adapted",
+    oracle="""
+SELECT p_brand, n_name,
+       CAST(grouping(n_name) AS BIGINT) AS g_state,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(l_quantity)
+         AS agg1,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 100.0 AS agg2,
+       CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 10000.0 AS agg3,
+       CAST(SUM(CAST(round(l_tax * 10000) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 10000.0 AS agg4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE c_mktsegment = 'BUILDING' AND year(o_orderdate) = 1997
+GROUP BY ROLLUP (p_brand, n_name)
+ORDER BY p_brand NULLS FIRST, n_name NULLS FIRST
+""",
+)
+def tpcds_q27_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q27 (tpcds/q27.sql): demographic-filtered star with
+    ROLLUP (item, state) + GROUPING() flag + four averages. Fixture
+    roles: cd_* demographic filters -> customer mktsegment, s_state
+    -> customer nation name, the four ss_* averages -> quantity /
+    extendedprice / discount / tax, each an exact-integer sum over a
+    single division so both engines emit identical doubles.
+    Plan: dims broadcast; ROLLUP is Spark's Expand over one shuffle."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+
+    def exact_avg(col, scale, out):
+        s = F.sum(F.round(F.col(col) * scale).cast("bigint"))
+        return (
+            s.cast("double") / F.count(F.lit(1)) / float(scale)
+        ).alias(out)
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.year("o_orderdate") == 1997)
+        )
+        .rollup("p_brand", "n_name")
+        .agg(
+            F.grouping("n_name").cast("bigint").alias("g_state"),
+            (
+                F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+                / F.count("l_quantity")
+            ).alias("agg1"),
+            exact_avg("l_extendedprice", 100, "agg2"),
+            exact_avg("l_discount", 10000, "agg3"),
+            exact_avg("l_tax", 10000, "agg4"),
+        )
+        .select(
+            "p_brand", "n_name", "g_state",
+            "agg1", "agg2", "agg3", "agg4",
+        )
+        .orderBy(
+            F.col("p_brand").asc_nulls_first(),
+            F.col("n_name").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch 11 (round 8): the bought-vs-home mismatch report, the
+# cross-channel cohort revenue buckets, the returns-netted channel P&L,
+# the EXISTS-gated demographic report, and the inventory date-logic
+# join (tpcds/q46.sql, q54.sql, q80.sql, q35.sql, q72.sql).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpcds_q46_adapted",
+    oracle=f"""
+WITH dn AS (
+  SELECT o_orderkey AS ticket, o_custkey AS custkey,
+         n_name AS bought_nation,
+         {oracle_dec_sum('l_extendedprice * l_discount', 'amt')},
+         {oracle_dec_sum('l_extendedprice', 'profit')}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE date_diff('day', DATE '1992-01-05',
+                  CAST(o_orderdate AS DATE)) % 7 IN (0, 6)
+    AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    AND n_name IN ('NATION_1', 'NATION_2', 'NATION_7', 'NATION_12', 'NATION_19')
+  GROUP BY o_orderkey, o_custkey, n_name
+)
+SELECT c_name, cn.n_name AS cust_nation, dn.bought_nation,
+       dn.ticket, dn.amt, dn.profit
+FROM dn
+JOIN customer ON dn.custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE cn.n_name <> dn.bought_nation
+ORDER BY c_name, cust_nation, bought_nation, ticket
+LIMIT 100
+""",
+)
+def tpcds_q46_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q46 (tpcds/q46.sql): weekend purchases aggregated per
+    (ticket, customer, bought-city), then joined to the customer's
+    CURRENT address keeping only mismatches (bought somewhere other
+    than home). Fixture roles: ca_city -> nation names (bought =
+    supplier's nation, current = customer's), weekend d_dow IN (6,0)
+    -> engine-neutral days-since-Sunday-epoch % 7 IN (0, 6),
+    hd_dep_count/vehicle filter -> priority bands, s_city list ->
+    nation list. Plan: the inner aggregate shrinks the fact before
+    the customer join; nation dims broadcast; total-order LIMIT."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    days = F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-05"))
+    dn = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .filter(
+            (days % 7).isin(0, 6)
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("n_name").isin(
+                "NATION_1", "NATION_2", "NATION_7", "NATION_12",
+                "NATION_19",
+            )
+        )
+        .groupBy(
+            F.col("o_orderkey").alias("ticket"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("n_name").alias("bought_nation"),
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "amt"),
+            dec_sum("l_extendedprice", "profit"),
+        )
+    )
+    cn = nation.alias("cn")
+    return (
+        dn.join(cust, dn.custkey == cust.c_custkey)
+        .join(
+            F.broadcast(cn),
+            cust.c_nationkey == F.col("cn.n_nationkey"),
+        )
+        .filter(F.col("cn.n_name") != F.col("bought_nation"))
+        .select(
+            "c_name",
+            F.col("cn.n_name").alias("cust_nation"),
+            "bought_nation", "ticket", "amt", "profit",
+        )
+        .orderBy("c_name", "cust_nation", "bought_nation", "ticket")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q54_adapted",
+    oracle="""
+WITH my_customers AS (
+  SELECT DISTINCT o_custkey AS custkey
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND year(o_orderdate) = 1996 AND month(o_orderdate) = 3
+    AND o_orderpriority IN ('1-URGENT', '2-HIGH', '4-NOT SPECIFIED',
+                            '5-LOW')
+),
+my_revenue AS (
+  SELECT c.c_custkey AS custkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS revenue_s
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer c ON o_custkey = c.c_custkey
+  JOIN supplier s ON l_suppkey = s.s_suppkey
+  WHERE c.c_custkey IN (SELECT custkey FROM my_customers)
+    AND c.c_nationkey = s.s_nationkey
+    AND year(o_orderdate) = 1996
+    AND month(o_orderdate) BETWEEN 4 AND 6
+  GROUP BY c.c_custkey
+)
+SELECT CAST(floor(revenue_s / 500000.0) AS BIGINT) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS num_customers
+FROM my_revenue
+GROUP BY 1
+ORDER BY segment
+LIMIT 100
+""",
+)
+def tpcds_q54_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q54 (tpcds/q54.sql): cross-channel cohort — customers
+    who bought the target category in the seed month (union of two
+    channels -> DISTINCT), their LOCAL revenue over the following
+    quarter (customer county/state = store county/state), bucketed
+    into $5000 segments with a count per bucket. Fixture roles:
+    i_category/i_class -> p_type PROMO; the channel union -> all
+    priority bands; county+state locality -> customer nation =
+    supplier nation; the month_seq+1..+3 scalar subqueries -> the
+    literal following quarter (the fixture's date dim IS the
+    calendar). Plan: the cohort is DISTINCT customer keys
+    (broadcastable semi join); the revenue aggregate shuffles once on
+    customer; buckets are a second tiny aggregate."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    cohort = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            (F.col("p_type") == "PROMO")
+            & (F.year("o_orderdate") == 1996)
+            & (F.month("o_orderdate") == 3)
+            & F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "4-NOT SPECIFIED", "5-LOW"
+            )
+        )
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    revenue = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(
+            (cust.c_nationkey == supp.s_nationkey)
+            & (F.year("o_orderdate") == 1996)
+            & F.month("o_orderdate").between(4, 6)
+        )
+        .join(
+            F.broadcast(cohort),
+            cust.c_custkey == cohort.custkey,
+            "left_semi",
+        )
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).cast("bigint").alias("revenue_s")
+        )
+    )
+    return (
+        revenue.groupBy(
+            F.floor(F.col("revenue_s") / 500000.0)
+            .cast("bigint")
+            .alias("segment")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("num_customers"))
+        .orderBy("segment")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q80_adapted",
+    oracle=f"""
+WITH sales AS (
+  SELECT o_orderpriority AS pr, l_orderkey, l_partkey, l_suppkey,
+         l_extendedprice, l_discount
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag <> 'R'
+    AND o_orderdate BETWEEN DATE '1997-03-01'
+                        AND DATE '1997-03-01' + INTERVAL 30 DAY
+),
+rets AS (
+  SELECT l_orderkey, l_partkey,
+         {oracle_dec_sum('l_extendedprice', 'ret_amt')}
+  FROM lineitem WHERE l_returnflag = 'R'
+  GROUP BY l_orderkey, l_partkey
+),
+channels AS (
+  SELECT CASE WHEN s.pr IN ('1-URGENT', '2-HIGH') THEN 'store'
+              WHEN s.pr = '3-MEDIUM' THEN 'catalog'
+              ELSE 'web' END AS channel,
+         sup.s_name AS id,
+         CAST(round(s.l_extendedprice * 100) AS BIGINT) AS sales_s,
+         CAST(round(COALESCE(r.ret_amt, 0) * 100) AS BIGINT) AS ret_s,
+         CAST(round(s.l_extendedprice * (1 - s.l_discount) * 100)
+              AS BIGINT)
+           - CAST(round(COALESCE(r.ret_amt, 0) * 100) AS BIGINT)
+           AS profit_s
+  FROM sales s
+  JOIN supplier sup ON s.l_suppkey = sup.s_suppkey
+  JOIN part p ON s.l_partkey = p.p_partkey
+  LEFT JOIN rets r ON s.l_orderkey = r.l_orderkey
+                  AND s.l_partkey = r.l_partkey
+  WHERE p.p_retailprice > 950
+)
+SELECT channel, id,
+       round(SUM(sales_s) / 100.0, 2) AS sales,
+       round(SUM(ret_s) / 100.0, 2) AS returns,
+       round(SUM(profit_s) / 100.0, 2) AS profit
+FROM channels
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
+LIMIT 100
+""",
+)
+def tpcds_q80_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q80 (tpcds/q80.sql): returns-netted channel P&L — each
+    channel LEFT JOINs its returns fact (COALESCE-netted sales /
+    returns / profit), a 30-day date window and a price dim filter,
+    then ROLLUP (channel, id). Differs from q5's channel rollup by
+    the OUTER-join netting against a second fact. Fixture roles:
+    returns fact -> 'R'-flagged lineitems keyed (orderkey, partkey);
+    channels -> priority bands; i_current_price > 50 ->
+    p_retailprice > 950. Exact: all three measures ride bigint
+    cents. Plan: returns pre-aggregates to the join key before the
+    outer join (no fact x fact fanout); dims broadcast; one rollup
+    shuffle."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    sales = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("l_returnflag") != "R")
+            & F.col("o_orderdate").between("1997-03-01", "1997-03-31")
+        )
+        .select(
+            F.col("o_orderpriority").alias("pr"),
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount",
+        )
+    )
+    rets = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(dec_sum("l_extendedprice", "ret_amt"))
+        .withColumnRenamed("l_orderkey", "r_orderkey")
+        .withColumnRenamed("l_partkey", "r_partkey")
+    )
+    channel = (
+        F.when(F.col("pr").isin("1-URGENT", "2-HIGH"), F.lit("store"))
+        .when(F.col("pr") == "3-MEDIUM", F.lit("catalog"))
+        .otherwise(F.lit("web"))
+    )
+    ret_s = F.round(F.coalesce(F.col("ret_amt"), F.lit(0)) * 100).cast(
+        "bigint"
+    )
+    channels = (
+        sales.join(supp, sales.l_suppkey == supp.s_suppkey)
+        .join(part, sales.l_partkey == part.p_partkey)
+        .filter(F.col("p_retailprice") > 950)
+        .join(
+            rets,
+            (sales.l_orderkey == rets.r_orderkey)
+            & (sales.l_partkey == rets.r_partkey),
+            "left",
+        )
+        .select(
+            channel.alias("channel"),
+            F.col("s_name").alias("id"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint").alias("sales_s"),
+            ret_s.alias("ret_s"),
+            (
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+                - ret_s
+            ).alias("profit_s"),
+        )
+    )
+    return (
+        channels.rollup("channel", "id")
+        .agg(
+            F.round(F.sum("sales_s") / 100.0, 2).alias("sales"),
+            F.round(F.sum("ret_s") / 100.0, 2).alias("returns"),
+            F.round(F.sum("profit_s") / 100.0, 2).alias("profit"),
+        )
+        .orderBy(
+            F.col("channel").asc_nulls_first(),
+            F.col("id").asc_nulls_first(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q35_adapted",
+    oracle="""
+SELECT n_name, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       round(MIN(c_acctbal), 2) AS min_bal,
+       round(MAX(c_acctbal), 2) AS max_bal,
+       round(CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 100.0, 6) AS avg_bal
+FROM customer c
+JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND year(o.o_orderdate) = 1996)
+  AND (EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderpriority = '5-LOW'
+      AND year(o.o_orderdate) = 1996)
+   OR EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderpriority = '3-MEDIUM'
+      AND year(o.o_orderdate) = 1996))
+GROUP BY n_name, c_mktsegment
+ORDER BY n_name, c_mktsegment
+""",
+)
+def tpcds_q35_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q35 (tpcds/q35.sql): the EXISTS-gated demographic
+    report — customers must have store activity AND (web OR catalog)
+    activity in the window, then count/min/max/avg per demographic
+    cell. Fixture roles: the three channels -> priority bands, the
+    demographic columns -> (nation, mktsegment, acctbal). The OR of
+    two EXISTS lowers to a union-deduped semi join (Presto lowers
+    through TransformExistsApplyToLateralNode + semi joins — Spark
+    plans the same shape). avg rides exact cents / count.
+    Plan: three semi-join build sides are year-filtered order keys
+    (small); the outer customer scan survives once."""
+    ensure_session_defaults(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    o96 = orders.filter(F.year("o_orderdate") == 1996)
+
+    def keys(pred):
+        return o96.filter(pred).select(
+            F.col("o_custkey").alias("k")
+        )
+
+    store_k = keys(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    web_k = keys(F.col("o_orderpriority") == "5-LOW")
+    cat_k = keys(F.col("o_orderpriority") == "3-MEDIUM")
+    either = web_k.union(cat_k)
+    return (
+        cust.join(
+            store_k, cust.c_custkey == store_k.k, "left_semi"
+        )
+        .join(either, cust.c_custkey == either.k, "left_semi")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(
+                F.sum(
+                    F.round(F.col("c_acctbal") * 100).cast("bigint")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / 100.0,
+                6,
+            ).alias("avg_bal"),
+        )
+        .orderBy("n_name", "c_mktsegment")
+    )
+
+
+@register(
+    "tpcds_q72_adapted",
+    oracle="""
+WITH sale AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_shipdate,
+         o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag <> 'R' AND year(o_orderdate) = 1996
+),
+inv AS (
+  SELECT l_partkey AS inv_partkey, l_quantity AS inv_qty,
+         CAST(floor(date_diff('day', DATE '1992-01-05',
+                    CAST(l_shipdate AS DATE)) / 7) AS BIGINT) AS inv_wk
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+promo AS (SELECT p_partkey AS promo_key FROM part
+          WHERE p_type = 'PROMO'),
+joined AS (
+  SELECT p.p_brand, n.n_name AS warehouse,
+         CAST(floor(date_diff('day', DATE '1992-01-05',
+                    CAST(s.o_orderdate AS DATE)) / 7) AS BIGINT)
+           AS wk_seq,
+         pr.promo_key
+  FROM sale s
+  JOIN inv ON s.l_partkey = inv.inv_partkey
+          AND inv.inv_wk = CAST(floor(date_diff('day',
+                DATE '1992-01-05', CAST(s.o_orderdate AS DATE)) / 7)
+                AS BIGINT)
+          AND inv.inv_qty < s.l_quantity
+  JOIN part p ON s.l_partkey = p.p_partkey
+  JOIN supplier sup ON s.l_suppkey = sup.s_suppkey
+  JOIN nation n ON sup.s_nationkey = n.n_nationkey
+  LEFT JOIN promo pr ON s.l_partkey = pr.promo_key
+  WHERE CAST(s.l_shipdate AS DATE)
+        > CAST(s.o_orderdate AS DATE) + INTERVAL 5 DAY
+)
+SELECT p_brand, warehouse, wk_seq,
+       CAST(SUM(CASE WHEN promo_key IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS no_promo,
+       CAST(SUM(CASE WHEN promo_key IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS promo,
+       CAST(COUNT(*) AS BIGINT) AS total_cnt
+FROM joined
+GROUP BY p_brand, warehouse, wk_seq
+ORDER BY total_cnt DESC, p_brand, warehouse, wk_seq
+LIMIT 100
+""",
+)
+def tpcds_q72_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q72 (tpcds/q72.sql): the inventory date-logic join —
+    sales joined to INVENTORY rows of the same item in the SAME WEEK
+    with on-hand quantity below the ordered quantity, a cross-table
+    date inequality (ship date > order date + 5 days), and a LEFT
+    JOIN against the promotion dim to split promo/no-promo counts.
+    Fixture roles: inventory -> 'R'-flagged lineitems (item, week,
+    quantity), warehouse -> supplier nation, the three date_dim
+    roles -> engine-neutral week arithmetic on
+    orderdate/shipdate, promotion -> PROMO-typed parts.
+    Plan: the sale-inventory join keys on (partkey, week) — an
+    equi-join Catalyst shuffles on both keys with the quantity
+    inequality as residual (the reference's planner does exactly
+    this split at ExtractCommonPredicates/EqualityInference); promo
+    is a broadcast LEFT JOIN; one aggregate shuffle after."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def week_of(col):
+        return F.floor(
+            F.datediff(F.to_date(col), F.lit("1992-01-05")) / 7
+        ).cast("bigint")
+
+    sale = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("l_returnflag") != "R")
+            & (F.year("o_orderdate") == 1996)
+        )
+        .select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_shipdate", "o_orderdate",
+        )
+    )
+    inv = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_partkey").alias("inv_partkey"),
+            F.col("l_quantity").alias("inv_qty"),
+            week_of("l_shipdate").alias("inv_wk"),
+        )
+    )
+    promo = part.filter(F.col("p_type") == "PROMO").select(
+        F.col("p_partkey").alias("promo_key")
+    )
+    joined = (
+        sale.join(
+            inv,
+            (sale.l_partkey == inv.inv_partkey)
+            & (inv.inv_wk == week_of("o_orderdate"))
+            & (inv.inv_qty < sale.l_quantity),
+        )
+        .join(part, sale.l_partkey == part.p_partkey)
+        .join(supp, sale.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(promo),
+            sale.l_partkey == promo.promo_key,
+            "left",
+        )
+        .filter(
+            F.to_date("l_shipdate")
+            > F.date_add(F.to_date("o_orderdate"), 5)
+        )
+        .select(
+            "p_brand",
+            F.col("n_name").alias("warehouse"),
+            week_of("o_orderdate").alias("wk_seq"),
+            "promo_key",
+        )
+    )
+    return (
+        joined.groupBy("p_brand", "warehouse", "wk_seq")
+        .agg(
+            F.sum(
+                F.when(F.col("promo_key").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("no_promo"),
+            F.sum(
+                F.when(F.col("promo_key").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("promo"),
+            F.count(F.lit(1)).cast("bigint").alias("total_cnt"),
+        )
+        .orderBy(
+            F.col("total_cnt").desc(), "p_brand", "warehouse", "wk_seq"
+        )
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch 12 (round 8): the INTERSECT-driven cross-channel monster, the
+# deepest multi-join self-comparison, the correlated category-average
+# filter, the EXISTS/NOT-EXISTS shipping report, and the narrow
+# point-filter count (tpcds/q14_1.sql, q64.sql, q06.sql, q16.sql,
+# q96.sql).
+# --------------------------------------------------------------------------
+
+_Q14_CH = {
+    "store": ("'1-URGENT', '2-HIGH'", ["1-URGENT", "2-HIGH"]),
+    "catalog": ("'3-MEDIUM'", ["3-MEDIUM"]),
+    "web": ("'4-NOT SPECIFIED', '5-LOW'", ["4-NOT SPECIFIED", "5-LOW"]),
+}
+
+
+def _q14_channel_attr_sql(prios: str) -> str:
+    return f"""
+  SELECT DISTINCT p_brand, p_type
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE year(o_orderdate) BETWEEN 1995 AND 1997
+    AND o_orderpriority IN ({prios})
+"""
+
+
+def _q14_branch_sql(channel: str, prios: str) -> str:
+    return f"""
+  SELECT '{channel}' AS channel, p_brand, p_type,
+         CAST(SUM(CAST(round(l_quantity * l_extendedprice * 100)
+                       AS BIGINT)) AS BIGINT) AS sales_s,
+         CAST(COUNT(*) AS BIGINT) AS number_sales
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE year(o_orderdate) = 1997
+    AND o_orderpriority IN ({prios})
+    AND l_partkey IN (SELECT p_partkey FROM cross_items)
+  GROUP BY p_brand, p_type
+  HAVING CAST(SUM(CAST(round(l_quantity * l_extendedprice * 100)
+                       AS BIGINT)) AS BIGINT)
+         > (SELECT avg_s FROM avg_sales)
+"""
+
+
+@register(
+    "tpcds_q14_adapted",
+    oracle=f"""
+WITH attrs AS (
+  {_q14_channel_attr_sql(_Q14_CH['store'][0])}
+  INTERSECT
+  {_q14_channel_attr_sql(_Q14_CH['catalog'][0])}
+  INTERSECT
+  {_q14_channel_attr_sql(_Q14_CH['web'][0])}
+),
+cross_items AS (
+  SELECT p_partkey FROM part
+  JOIN attrs ON part.p_brand = attrs.p_brand
+            AND part.p_type = attrs.p_type
+),
+avg_sales AS (
+  SELECT CAST(SUM(CAST(round(l_quantity * l_extendedprice * 100)
+                       AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) BETWEEN 1995 AND 1997
+),
+y AS (
+  {_q14_branch_sql('store', _Q14_CH['store'][0])}
+  UNION ALL
+  {_q14_branch_sql('catalog', _Q14_CH['catalog'][0])}
+  UNION ALL
+  {_q14_branch_sql('web', _Q14_CH['web'][0])}
+)
+SELECT channel, p_brand, p_type,
+       round(SUM(sales_s) / 100.0, 2) AS sales,
+       CAST(SUM(number_sales) AS BIGINT) AS number_sales
+FROM y
+GROUP BY ROLLUP (channel, p_brand, p_type)
+ORDER BY channel NULLS FIRST, p_brand NULLS FIRST, p_type NULLS FIRST
+LIMIT 100
+""",
+)
+def tpcds_q14_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q14 (tpcds/q14_1.sql): the INTERSECT-driven
+    cross-channel monster — cross_items is the set of items whose
+    attribute tuple sold in ALL THREE channels over three years
+    (a 3-way INTERSECT joined back to the item dim), avg_sales is a
+    scalar over the 3-channel union, and each channel's target-year
+    aggregate keeps only cross_items with sales above that scalar,
+    UNION ALL'd under a ROLLUP. Fixture roles: channels -> priority
+    bands, (i_brand_id, i_class_id, i_category_id) -> (p_brand,
+    p_type), quantity*list_price in exact cents so the HAVING
+    threshold branches identically (bigint sum vs single-division
+    double).
+    Plan: cross_items and avg_sales are each consumed by all three
+    branches -> both persisted (the reference materializes these
+    CTEs); cross_items enters each branch as a broadcast semi join;
+    Spark lowers INTERSECT to two left-semi joins over DISTINCT
+    (ReplaceIntersectWithSemiJoin — the analog of the reference's
+    ImplementIntersectAndExceptAsUnion lowering)."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    sales_s = F.sum(
+        F.round(
+            F.col("l_quantity") * F.col("l_extendedprice") * 100
+        ).cast("bigint")
+    ).cast("bigint")
+
+    def attrs(prios):
+        return (
+            lo.join(part, li.l_partkey == part.p_partkey)
+            .filter(
+                F.year("o_orderdate").between(1995, 1997)
+                & F.col("o_orderpriority").isin(*prios)
+            )
+            .select("p_brand", "p_type")
+            .distinct()
+        )
+
+    common = (
+        attrs(_Q14_CH["store"][1])
+        .intersect(attrs(_Q14_CH["catalog"][1]))
+        .intersect(attrs(_Q14_CH["web"][1]))
+    )
+    cross_items = (
+        part.join(common, ["p_brand", "p_type"])
+        .select(F.col("p_partkey").alias("ci_key"))
+        .persist()
+    )
+    avg_sales = (
+        lo.filter(F.year("o_orderdate").between(1995, 1997))
+        .agg(
+            (
+                sales_s.cast("double") / F.count(F.lit(1))
+            ).alias("avg_s")
+        )
+        .persist()
+    )
+
+    def branch(channel, prios):
+        return (
+            lo.join(part, li.l_partkey == part.p_partkey)
+            .filter(
+                (F.year("o_orderdate") == 1997)
+                & F.col("o_orderpriority").isin(*prios)
+            )
+            .join(
+                F.broadcast(cross_items),
+                F.col("l_partkey") == cross_items.ci_key,
+                "left_semi",
+            )
+            .groupBy("p_brand", "p_type")
+            .agg(
+                sales_s.alias("sales_s"),
+                F.count(F.lit(1)).cast("bigint").alias("number_sales"),
+            )
+            .crossJoin(F.broadcast(avg_sales))
+            .filter(F.col("sales_s") > F.col("avg_s"))
+            .select(
+                F.lit(channel).alias("channel"),
+                "p_brand", "p_type", "sales_s", "number_sales",
+            )
+        )
+
+    y = (
+        branch("store", _Q14_CH["store"][1])
+        .unionAll(branch("catalog", _Q14_CH["catalog"][1]))
+        .unionAll(branch("web", _Q14_CH["web"][1]))
+    )
+    return (
+        y.rollup("channel", "p_brand", "p_type")
+        .agg(
+            F.round(F.sum("sales_s") / 100.0, 2).alias("sales"),
+            F.sum("number_sales").cast("bigint").alias("number_sales"),
+        )
+        .orderBy(
+            F.col("channel").asc_nulls_first(),
+            F.col("p_brand").asc_nulls_first(),
+            F.col("p_type").asc_nulls_first(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q64_adapted",
+    oracle=f"""
+WITH rets AS (
+  SELECT l_partkey AS r_partkey, l_suppkey AS r_suppkey,
+         l_extendedprice AS refund
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+cs_ui AS (
+  SELECT s.l_partkey
+  FROM lineitem s
+  JOIN rets r ON s.l_partkey = r.r_partkey
+             AND s.l_suppkey = r.r_suppkey
+  WHERE s.l_returnflag <> 'R'
+  GROUP BY s.l_partkey
+  HAVING SUM(CAST(round(s.l_extendedprice * 100) AS BIGINT))
+         > SUM(CAST(round(r.refund * 100) AS BIGINT))
+),
+cross_sales AS (
+  SELECT p.p_name AS product_name, p.p_partkey AS item_sk,
+         sup.s_name AS store_name, sn.n_name AS store_zip,
+         year(o.o_orderdate) AS syear,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         {oracle_dec_sum('s.l_extendedprice * (1 - s.l_discount)', 's1')},
+         {oracle_dec_sum('s.l_extendedprice', 's2')},
+         {oracle_dec_sum('s.l_extendedprice * s.l_discount', 's3')}
+  FROM lineitem s
+  JOIN rets r ON s.l_partkey = r.r_partkey
+             AND s.l_suppkey = r.r_suppkey
+  JOIN orders o ON s.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN supplier sup ON s.l_suppkey = sup.s_suppkey
+  JOIN nation sn ON sup.s_nationkey = sn.n_nationkey
+  JOIN part p ON s.l_partkey = p.p_partkey
+  WHERE s.l_returnflag <> 'R'
+    AND s.l_partkey IN (SELECT l_partkey FROM cs_ui)
+    AND cn.n_name <> sn.n_name
+    AND p.p_size BETWEEN 1 AND 50
+  GROUP BY p.p_name, p.p_partkey, sup.s_name, sn.n_name,
+           year(o.o_orderdate)
+)
+SELECT cs1.product_name, cs1.store_name, cs1.store_zip,
+       cs1.cnt AS cnt1, cs1.s1 AS s11, cs1.s2 AS s21, cs1.s3 AS s31,
+       cs2.cnt AS cnt2, cs2.s1 AS s12, cs2.s2 AS s22, cs2.s3 AS s32
+FROM cross_sales cs1
+JOIN cross_sales cs2 ON cs1.item_sk = cs2.item_sk
+                    AND cs1.store_name = cs2.store_name
+                    AND cs1.store_zip = cs2.store_zip
+WHERE cs1.syear = 1996 AND cs2.syear = 1997
+  AND cs2.cnt <= cs1.cnt
+ORDER BY cs1.product_name, cs1.store_name, cs2.cnt,
+         cs1.item_sk
+LIMIT 100
+""",
+)
+def tpcds_q64_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q64 (tpcds/q64.sql): the deepest multi-join — a
+    returns-heavy item filter CTE (sale > refund; the sale-return
+    match keys on (item, warehouse) = (partkey, suppkey) — the
+    fixture's synthetic returns rarely share a ticket), then an
+    8-table join with DOUBLE-ROLE dimensions (customer's nation vs
+    supplier's nation standing in for q64's cd1/cd2 + ad1/ad2 pairs,
+    with the reference's cd1.marital <> cd2.marital mismatch
+    becoming the nation mismatch), aggregated per (product, store,
+    year) — finally SELF-JOINED across consecutive years keeping
+    stores that sold the item at most as often in year 2. Exact
+    money via the decimal hop; cs_ui's threshold in bigint cents.
+    Plan: cs_ui is item-sized (broadcast semi); cross_sales feeds
+    both self-join sides -> persisted (one pass over the deep
+    join); dims broadcast; the self-join runs on the aggregate."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    rets = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_partkey").alias("r_partkey"),
+            F.col("l_suppkey").alias("r_suppkey"),
+            F.col("l_extendedprice").alias("refund"),
+        )
+    )
+    sales = li.filter(F.col("l_returnflag") != "R")
+    sale_ret = sales.join(
+        rets,
+        (sales.l_partkey == rets.r_partkey)
+        & (sales.l_suppkey == rets.r_suppkey),
+    )
+    cents = lambda c: F.round(c * 100).cast("bigint")  # noqa: E731
+    cs_ui = (
+        sale_ret.groupBy("l_partkey")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice"))).alias("sale_s"),
+            F.sum(cents(F.col("refund"))).alias("refund_s"),
+        )
+        .filter(F.col("sale_s") > F.col("refund_s"))
+        .select(F.col("l_partkey").alias("ui_key"))
+    )
+    cn, sn = nation.alias("cn"), nation.alias("sn")
+    cross_sales = (
+        sale_ret.join(orders, sales.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(cn),
+            cust.c_nationkey == F.col("cn.n_nationkey"),
+        )
+        .join(supp, sales.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(sn),
+            supp.s_nationkey == F.col("sn.n_nationkey"),
+        )
+        .join(part, sales.l_partkey == part.p_partkey)
+        .filter(
+            (F.col("cn.n_name") != F.col("sn.n_name"))
+            & F.col("p_size").between(1, 50)
+        )
+        .join(
+            F.broadcast(cs_ui),
+            F.col("l_partkey") == cs_ui.ui_key,
+            "left_semi",
+        )
+        .groupBy(
+            F.col("p_name").alias("product_name"),
+            F.col("p_partkey").alias("item_sk"),
+            F.col("s_name").alias("store_name"),
+            F.col("sn.n_name").alias("store_zip"),
+            F.year("o_orderdate").alias("syear"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "s1",
+            ),
+            dec_sum("l_extendedprice", "s2"),
+            dec_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), "s3"
+            ),
+        )
+        .persist()
+    )
+    cs1 = cross_sales.filter(F.col("syear") == 1996).alias("cs1")
+    cs2 = cross_sales.filter(F.col("syear") == 1997).alias("cs2")
+    return (
+        cs1.join(
+            cs2,
+            (F.col("cs1.item_sk") == F.col("cs2.item_sk"))
+            & (F.col("cs1.store_name") == F.col("cs2.store_name"))
+            & (F.col("cs1.store_zip") == F.col("cs2.store_zip"))
+            & (F.col("cs2.cnt") <= F.col("cs1.cnt")),
+        )
+        .select(
+            F.col("cs1.product_name").alias("product_name"),
+            F.col("cs1.store_name").alias("store_name"),
+            F.col("cs1.store_zip").alias("store_zip"),
+            F.col("cs1.cnt").alias("cnt1"),
+            F.col("cs1.s1").alias("s11"),
+            F.col("cs1.s2").alias("s21"),
+            F.col("cs1.s3").alias("s31"),
+            F.col("cs2.cnt").alias("cnt2"),
+            F.col("cs2.s1").alias("s12"),
+            F.col("cs2.s2").alias("s22"),
+            F.col("cs2.s3").alias("s32"),
+            F.col("cs1.item_sk").alias("__item"),
+        )
+        .orderBy("product_name", "store_name", "cnt2", "__item")
+        .limit(100)
+        .drop("__item")
+    )
+
+
+@register(
+    "tpcds_q6_adapted",
+    oracle="""
+WITH type_avg AS (
+  SELECT p_type,
+         CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT))
+              AS DOUBLE) / COUNT(*) AS avg_price_s
+  FROM part GROUP BY p_type
+),
+pricey_parts AS (
+  SELECT p_partkey FROM part
+  JOIN type_avg ON part.p_type = type_avg.p_type
+  WHERE CAST(round(p_retailprice * 100) AS BIGINT)
+        > 1.02 * avg_price_s
+)
+SELECT n_name AS state, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE year(o_orderdate) = 1997 AND month(o_orderdate) = 1
+  AND l_partkey IN (SELECT p_partkey FROM pricey_parts)
+GROUP BY n_name
+HAVING COUNT(*) >= 10
+ORDER BY cnt, state
+LIMIT 100
+""",
+)
+def tpcds_q6_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q6 (tpcds/q06.sql): customers' states buying items
+    priced above 1.2x their CATEGORY's average — a correlated scalar
+    average decorrelated to a per-category aggregate joined back
+    (the reference's TransformCorrelatedScalarAggregationToJoin),
+    plus the month_seq scalar subquery collapsed to the literal
+    month (the fixture's date dim IS the calendar). Fixture roles:
+    ca_state -> customer nation, i_category -> p_type, 1.2x -> 1.02x
+    (the synthetic price spread is narrow). The average is exact
+    cents / count. Plan: type_avg is category-sized -> broadcast
+    back onto part; pricey_parts enters the fact as a broadcast semi
+    join; HAVING count >= 10."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    price_s = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    type_avg = part.groupBy("p_type").agg(
+        (
+            F.sum(price_s).cast("double") / F.count(F.lit(1))
+        ).alias("avg_price_s")
+    )
+    pricey = (
+        part.join(F.broadcast(type_avg), "p_type")
+        .filter(price_s > 1.02 * F.col("avg_price_s"))
+        .select("p_partkey")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .filter(
+            (F.year("o_orderdate") == 1997)
+            & (F.month("o_orderdate") == 1)
+        )
+        .join(
+            F.broadcast(pricey),
+            li.l_partkey == pricey.p_partkey,
+            "left_semi",
+        )
+        .groupBy(F.col("n_name").alias("state"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= 10)
+        .orderBy("cnt", "state")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q16_adapted",
+    oracle=f"""
+SELECT CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS order_count,
+       {oracle_dec_sum('l1.l_extendedprice * l1.l_discount',
+                       'total_ship_cost')},
+       {oracle_dec_sum('l1.l_extendedprice', 'total_net_profit')}
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate BETWEEN DATE '1997-02-01'
+                      AND DATE '1997-02-01' + INTERVAL 60 DAY
+  AND c_nationkey = 3
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_returnflag = 'R')
+""",
+)
+def tpcds_q16_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q16 (tpcds/q16.sql): the shipping report — COUNT
+    (DISTINCT order) + money sums over orders that shipped from MORE
+    THAN ONE warehouse (correlated EXISTS with an inequality on the
+    correlated row) and were never returned (NOT EXISTS against the
+    returns fact). Fixture roles: warehouses -> suppliers, call
+    center county -> customer nation, catalog_returns -> 'R'-flagged
+    lineitems. The EXISTS with l2.suppkey <> l1.suppkey holds for a
+    row iff its order has >= 2 distinct suppliers, so it lowers to a
+    semi join against the multi-supplier order list — the same
+    aggregate-then-semi-join decorrelation the reference plans; the
+    NOT EXISTS is an anti join on returned-order keys.
+    Plan: both build sides are order-key lists (aggregates of the
+    fact); the probe survives one scan; no row-level correlated
+    subquery remains."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    multi_supp = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select(F.col("l_orderkey").alias("mk"))
+    )
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("rk"))
+        .distinct()
+    )
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(
+            F.col("o_orderdate").between("1997-02-01", "1997-04-02")
+            & (F.col("c_nationkey") == 3)
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+    )
+    return (
+        base.join(multi_supp, li.l_orderkey == multi_supp.mk, "left_semi")
+        .join(returned, li.l_orderkey == returned.rk, "left_anti")
+        .agg(
+            F.count_distinct("l_orderkey").cast("bigint").alias(
+                "order_count"
+            ),
+            dec_sum(
+                F.col("l_extendedprice") * F.col("l_discount"),
+                "total_ship_cost",
+            ),
+            dec_sum("l_extendedprice", "total_net_profit"),
+        )
+    )
+
+
+@register(
+    "tpcds_q96_adapted",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE month(o_orderdate) = 8 AND day(o_orderdate) >= 15
+  AND o_orderpriority = '3-MEDIUM'
+  AND s_nationkey = 7
+""",
+)
+def tpcds_q96_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q96 (tpcds/q96.sql): the narrow point-filter count —
+    every dimension contributes exactly one selective predicate
+    (t_hour/t_minute -> month/day-of-month bands, hd_dep_count ->
+    one priority, s_store_name -> one supplier nation) and the
+    answer is a single COUNT(*). The reference uses it to measure
+    pure scan+broadcast-join throughput; all three dim filters
+    reach the scans as pushed predicates."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(
+            (F.month("o_orderdate") == 8)
+            & (F.dayofmonth("o_orderdate") >= 15)
+            & (F.col("o_orderpriority") == "3-MEDIUM")
+            & (F.col("s_nationkey") == 7)
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
