@@ -96,6 +96,66 @@ def hll_merge(registers: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def hll_presto_registers(
+    df: DataFrame, keys: list[str], col: str, p: int = HLL_P
+) -> DataFrame:
+    """approx_set with PRESTO's exact register contents: values hash
+    through Murmur3 x64-128 (airlift Murmur3Hash128.hash64 — bigints
+    as their 8-byte little-endian form, everything else as utf8
+    bytes), bucket = top p hash bits, value =
+    numberOfLeadingZeros(hash << p) + 1 (airlift cardinality.Utils).
+    A sketch serialized from these registers via hll_serialize_dense
+    is byte-meaningful to a REAL airlift/Presto reader: same
+    container AND same register contents, so cross-engine merges are
+    lossless. No SQL oracle can replay Murmur3, so queries built on
+    this path register rows-only; conformance is pinned against
+    Guava's murmur3_128 and golden airlift bucket/value splits in
+    tests/test_approx.py.
+
+    Scale: one Arrow batch pass over the fact computes (bucket,
+    value) per row — numpy-vectorized for integer columns, per-value
+    Python murmur only for strings — then registers collapse to at
+    most 2^p rows per group before any shuffle leaves the map side."""
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, LongType
+
+    from presto_0_235_spark.functions import murmur3 as mm
+
+    is_int = isinstance(df.schema[col].dataType, (LongType, IntegerType))
+    fields = [
+        f"{k} {df.schema[k].dataType.simpleString()}" for k in keys
+    ]
+    out_schema = ", ".join(fields + ["reg_idx int", "rho int"])
+
+    def batch(iterator):
+        import numpy as np
+
+        for pdf in iterator:
+            vals = pdf[col]
+            if is_int:
+                hashes = mm.hash64_batch_longs(
+                    vals.to_numpy(dtype=np.int64)
+                )
+                pairs = [mm.hll_bucket_value(int(h), p) for h in hashes]
+            else:
+                pairs = [
+                    mm.hll_bucket_value(
+                        mm.hash64(str(v).encode("utf-8")), p
+                    )
+                    for v in vals
+                ]
+            out = pdf[keys].copy()
+            out["reg_idx"] = [b for b, _ in pairs]
+            out["rho"] = [r for _, r in pairs]
+            yield out
+
+    rows = df.select(*keys, col).mapInPandas(batch, out_schema)
+    return rows.groupBy(*keys, "reg_idx").agg(
+        F.max("rho").alias("max_rho")
+    )
+
+
 def hll_cardinality(registers: DataFrame, keys: list[str]) -> DataFrame:
     """cardinality(HLL): alpha*m^2 / (zeros + sum 2^-rho), with the
     standard linear-counting correction when the estimate is small.
@@ -246,15 +306,18 @@ def qhist_quantile_at_value(
 #
 # register value = baseline + delta (+ overflow when delta == 15).
 #
-# INTEROP SCOPE (stated precisely): these bytes parse in any airlift
-# reader and this codec parses airlift-written dense sketches — the
-# CONTAINER is compatible. The register CONTENTS are built from this
-# engine's portable md5-based hash (operators/sketches.py header),
-# not airlift's Murmur3-128, so merging one of our sketches with a
-# Presto-built sketch over the same raw values is NOT meaningful.
-# Within this engine (and any engine that replays the documented
-# portable hash) serialize -> exchange -> deserialize -> merge ->
-# estimate is exact, which is the property sketch EXCHANGE needs.
+# INTEROP SCOPE: these bytes parse in any airlift reader and this
+# codec parses airlift-written dense sketches — the CONTAINER is
+# compatible. Register CONTENTS come in two flavors:
+#   - hll_registers (portable md5-based hash): replayable in SQL, so
+#     the whole pipeline carries an exact DuckDB oracle; NOT
+#     merge-compatible with a real Presto sketch.
+#   - hll_presto_registers (Murmur3 x64-128, r8): airlift's exact
+#     hash + bucket/value split, so a DENSE_V2 sketch built here
+#     merges losslessly with one built by real Presto over the same
+#     values. Murmur3 is pinned against Guava's murmur3_128 in
+#     tests/test_approx.py; no SQL oracle can replay it, so queries
+#     on this path register rows-only.
 
 _DENSE_V2_TAG = 3
 _MAX_DELTA = 15

@@ -1030,6 +1030,75 @@ def agg_hll_wire_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_hll_presto_interop")
+def agg_hll_presto_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_set with PRESTO-EXACT register contents (r8 closes the
+    r7 interop gap): values hash through Murmur3 x64-128 exactly as
+    airlift Murmur3Hash128.hash64 does (HyperLogLogUtils.java's
+    underlying airlift HyperLogLog), bucket/value split per airlift
+    cardinality.Utils, serialized to the DENSE_V2 wire form — so the
+    emitted varbinary merges LOSSLESSLY with a sketch built by real
+    Presto over the same values. Pipeline mirrors
+    agg_hll_wire_format: distributed murmur register build ->
+    serialize -> wire merge -> deserialize + estimate. Murmur3 is
+    not SQL-expressible, so this registers rows-only; the hash is
+    pinned against Guava's independent murmur3_128 port and the
+    estimate against the exact count in tests/test_approx.py.
+
+    Scale: identical to agg_hll_wire_format — registers collapse
+    map-side to <= 2^p rows per group; sketches are ~1 KB."""
+    ensure_session_defaults(spark)
+    import pandas as pd
+
+    from presto_0_235_spark.operators import sketches as sk
+
+    orders = load_table(spark, sf_dir, "orders")
+    regs = sk.hll_presto_registers(
+        orders, ["o_orderpriority"], "o_custkey"
+    )
+
+    def to_sketch(pdf: pd.DataFrame) -> pd.DataFrame:
+        regmap = {
+            int(i): int(r) for i, r in zip(pdf["reg_idx"], pdf["max_rho"])
+        }
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+                "sketch": [sk.hll_serialize_dense(regmap)],
+            }
+        )
+
+    sketches = regs.groupBy("o_orderpriority").applyInPandas(
+        to_sketch, "o_orderpriority string, sketch binary"
+    )
+
+    def merge_all(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = sk.hll_merge_bytes(*[bytes(b) for b in pdf["sketch"]])
+        return pd.DataFrame(
+            {"o_orderpriority": ["ALL (merged)"], "sketch": [merged]}
+        )
+
+    merged = (
+        sketches.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(merge_all, "o_orderpriority string, sketch binary")
+    )
+
+    def estimate(batches):
+        for pdf in batches:
+            rows = []
+            for grp, b in zip(pdf["o_orderpriority"], pdf["sketch"]):
+                _, regmap = sk.hll_deserialize_dense(bytes(b))
+                rows.append((grp, sk.hll_estimate_registers(regmap)))
+            yield pd.DataFrame(
+                rows, columns=["o_orderpriority", "approx_distinct"]
+            )
+
+    return sketches.unionByName(merged).mapInPandas(
+        estimate, "o_orderpriority string, approx_distinct long"
+    )
+
+
 _KMV_HASH_SQL = "CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)"
 
 
