@@ -3119,3 +3119,193 @@ def fn_bing_tiles_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_y"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Polygon clipping (round 8): overlapping ST_Union / ST_Intersection and
+# polygon-boundary ST_Buffer — the last §2.9 geometry gap
+# (GeoFunctions.java stUnion / stIntersection / stBuffer; kernel in
+# functions/geo_clip.py, Greiner–Hormann).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_geospatial_union",
+    oracle="""
+WITH rects AS (
+  SELECT o_orderkey AS k,
+         CAST(o_orderkey % 7 AS DOUBLE) AS ax1,
+         CAST(o_orderkey % 5 AS DOUBLE) AS ay1,
+         CAST(o_orderkey % 7 + 2 + o_orderkey % 3 AS DOUBLE) AS ax2,
+         CAST(o_orderkey % 5 + 2 + o_orderkey % 4 AS DOUBLE) AS ay2,
+         (o_orderkey * 3) % 8 + 0.5 AS bx1,
+         (o_orderkey * 2) % 6 + 0.5 AS by1,
+         (o_orderkey * 3) % 8 + 1.5 + o_orderkey % 4 AS bx2,
+         (o_orderkey * 2) % 6 + 1.5 + (o_orderkey * 2) % 5 AS by2
+  FROM orders WHERE o_orderkey < 400
+),
+m AS (
+  SELECT *,
+         GREATEST(0, LEAST(ax2, bx2) - GREATEST(ax1, bx1)) AS ov_w,
+         GREATEST(0, LEAST(ay2, by2) - GREATEST(ay1, by1)) AS ov_h
+  FROM rects
+)
+SELECT k,
+       round(ov_w * ov_h, 9) AS inter_area,
+       round((ax2 - ax1) * (ay2 - ay1)
+             + (bx2 - bx1) * (by2 - by1) - ov_w * ov_h, 9) AS union_area,
+       CAST(CASE WHEN ov_w > 0 AND ov_h > 0 THEN 1 ELSE 2 END
+            AS INT) AS n_rings
+FROM m
+""",
+)
+def fn_geospatial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Union / ST_Intersection of OVERLAPPING polygons
+    (GeoFunctions.java stUnion/stIntersection — r7 could only union
+    disjoint geometries). Each row builds two axis-aligned rectangles
+    in general position (integer vs half-integer coordinates, so no
+    degenerate shared edges), runs the Greiner–Hormann kernel BOTH
+    ways, and emits the intersection area, union area, and union
+    ring count. The oracle computes the same quantities in closed
+    form (rectangle overlap algebra + inclusion-exclusion) — a true
+    differential check of the kernel's output geometry, since the
+    shoelace area of a wrong ring would not match.
+
+    Scale: the kernel runs per-row inside Arrow mapInPandas batches
+    on executors; no shuffle beyond the scan."""
+    ensure_session_defaults(spark)
+    import pandas as pd
+
+    from presto_0_235_spark.functions import geo_clip as gc
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 400)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            out = []
+            for k in pdf["k"]:
+                k = int(k)
+                ax1, ay1 = float(k % 7), float(k % 5)
+                ax2 = ax1 + 2 + k % 3
+                ay2 = ay1 + 2 + k % 4
+                bx1 = (k * 3) % 8 + 0.5
+                by1 = (k * 2) % 6 + 0.5
+                bx2 = bx1 + 1 + k % 4
+                by2 = by1 + 1 + (k * 2) % 5
+                A = [(ax1, ay1), (ax2, ay1), (ax2, ay2), (ax1, ay2)]
+                B = [(bx1, by1), (bx2, by1), (bx2, by2), (bx1, by2)]
+                inter = gc.intersection_area(A, B)
+                rings = gc.union_rings(A, B)
+                union = sum(abs(gc.polygon_area(r)) for r in rings)
+                out.append(
+                    (k, round(inter, 9), round(union, 9), len(rings))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["k", "inter_area", "union_area", "n_rings"],
+            )
+
+    return rows.mapInPandas(
+        compute,
+        "k bigint, inter_area double, union_area double, n_rings int",
+    )
+
+
+@register(
+    "fn_geospatial_buffer",
+    oracle="""
+SELECT o_orderkey AS k,
+       0.30 + 0.15 * (o_orderkey % 9) AS alpha_edge,
+       0.30 + 0.15 * ((o_orderkey * 5) % 9) AS alpha_corner,
+       0.30 + 0.15 * (o_orderkey % 9) <= 1.0 AS edge_in_buffer,
+       0.30 + 0.15 * ((o_orderkey * 5) % 9) <= 1.0 AS corner_in_buffer
+FROM orders WHERE o_orderkey < 400
+""",
+)
+def fn_geospatial_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-boundary ST_Buffer (GeoFunctions.java stBuffer — r7
+    covered only point and line buffers). Each row buffers a convex
+    pentagon by r = 1 via exact edge offsetting + 48-gon round
+    joins (functions/geo_clip.buffer_convex), then classifies two
+    probe points by ray-cast membership in the CONSTRUCTED buffer
+    polygon: one placed an exact alpha*r beyond an edge midpoint
+    along its outward normal (nearest feature: that edge — offset
+    exactly, so membership is alpha <= 1 with no discretization
+    error), one placed alpha*r beyond a vertex along its angle
+    bisector (nearest feature: the vertex; the inscribed arc chord
+    sits at r*cos(pi/48) = 0.9979r, and the alpha grid
+    {0.30 .. 1.50 step 0.15} stays clear of that band). The oracle
+    is the closed-form membership law alpha <= 1 — geometry theory
+    as the differential check.
+
+    Scale: per-row kernel inside Arrow mapInPandas; no shuffle."""
+    ensure_session_defaults(spark)
+    import math
+
+    import pandas as pd
+
+    from presto_0_235_spark.functions import geo_clip as gc
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 400)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+
+    def compute(batches):
+        R, r = 5.0, 1.0
+        for pdf in batches:
+            out = []
+            for k in pdf["k"]:
+                k = int(k)
+                cx, cy = float(k % 11), float(k % 13)
+                penta = [
+                    (
+                        cx + R * math.cos(math.pi / 2 + 2 * math.pi * i / 5),
+                        cy + R * math.sin(math.pi / 2 + 2 * math.pi * i / 5),
+                    )
+                    for i in range(5)
+                ]
+                buf = gc.buffer_convex(penta, r)
+                a_e = 0.30 + 0.15 * (k % 9)
+                a_c = 0.30 + 0.15 * ((k * 5) % 9)
+                # edge probe: midpoint of edge 0 + alpha*r along the
+                # outward normal
+                (x1, y1), (x2, y2) = penta[0], penta[1]
+                mx, my = (x1 + x2) / 2, (y1 + y2) / 2
+                dx, dy = x2 - x1, y2 - y1
+                ln = math.hypot(dx, dy)
+                nx, ny = dy / ln, -dx / ln
+                pe = (mx + a_e * r * nx, my + a_e * r * ny)
+                # corner probe: vertex 2 + alpha*r along the outward
+                # bisector (for a regular polygon: away from center)
+                vx, vy = penta[2]
+                bx, by = vx - cx, vy - cy
+                bl = math.hypot(bx, by)
+                pc = (vx + a_c * r * bx / bl, vy + a_c * r * by / bl)
+                out.append(
+                    (
+                        k,
+                        round(a_e, 9),
+                        round(a_c, 9),
+                        gc.point_in_polygon(pe, buf),
+                        gc.point_in_polygon(pc, buf),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "k", "alpha_edge", "alpha_corner",
+                    "edge_in_buffer", "corner_in_buffer",
+                ],
+            )
+
+    return rows.mapInPandas(
+        compute,
+        "k bigint, alpha_edge double, alpha_corner double, "
+        "edge_in_buffer boolean, corner_in_buffer boolean",
+    )

@@ -533,3 +533,66 @@ class TestCharAndTimeTzSemantics:
             .first()
         )
         assert row.t is None
+
+
+class TestPolygonClipKernel:
+    """functions/geo_clip.py — Greiner–Hormann property pins."""
+
+    def test_inclusion_exclusion_random_rects(self):
+        """area(A u B) = area(A) + area(B) - area(A n B) for rects in
+        general position (integer vs half-integer grids)."""
+        import random
+
+        from presto_0_235_spark.functions import geo_clip as gc
+
+        random.seed(3)
+        for _ in range(200):
+            ax1, ay1 = random.randrange(8), random.randrange(8)
+            ax2, ay2 = ax1 + random.randrange(1, 5), ay1 + random.randrange(1, 5)
+            bx1 = random.randrange(8) + 0.5
+            by1 = random.randrange(8) + 0.5
+            bx2, by2 = bx1 + random.randrange(1, 5), by1 + random.randrange(1, 5)
+            A = [(ax1, ay1), (ax2, ay1), (ax2, ay2), (ax1, ay2)]
+            B = [(bx1, by1), (bx2, by1), (bx2, by2), (bx1, by2)]
+            inter = gc.intersection_area(A, B)
+            union = gc.union_area(A, B)
+            aA = (ax2 - ax1) * (ay2 - ay1)
+            aB = (bx2 - bx1) * (by2 - by1)
+            ov = max(0, min(ax2, bx2) - max(ax1, bx1)) * max(
+                0, min(ay2, by2) - max(ay1, by1)
+            )
+            assert abs(inter - ov) < 1e-9, (A, B)
+            assert abs(union - (aA + aB - inter)) < 1e-9, (A, B)
+
+    def test_triangle_square_grid_membership(self):
+        """Every grid probe point is in the computed intersection
+        polygon iff it is in BOTH inputs (membership law)."""
+        from presto_0_235_spark.functions import geo_clip as gc
+
+        A = [(0, 0), (4, 0), (4, 4), (0, 4)]
+        T = [(1.5, -1.5), (5.5, 2.5), (1.5, 5.5)]
+        rings = gc.clip_polygons(A, T, "intersection")
+        assert rings
+        for i in range(40):
+            for j in range(40):
+                p = (i * 0.1 + 0.037, j * 0.1 + 0.041)
+                expect = gc.point_in_polygon(p, A) and gc.point_in_polygon(
+                    p, T
+                )
+                got = any(gc.point_in_polygon(p, r) for r in rings)
+                assert got == expect, p
+
+    def test_buffer_area_round_join_formula(self):
+        """Convex buffer area approaches A + P*r + pi*r^2 from below
+        (inscribed arcs), within the 48-gon sagitta bound."""
+        import math
+
+        from presto_0_235_spark.functions import geo_clip as gc
+
+        sq = [(0, 0), (3, 0), (3, 3), (0, 3)]
+        r = 0.75
+        buf = gc.buffer_convex(sq, r)
+        area = abs(gc.polygon_area(buf))
+        exact = 9 + 12 * r + math.pi * r * r
+        assert area <= exact + 1e-9
+        assert area > exact * 0.999, (area, exact)
