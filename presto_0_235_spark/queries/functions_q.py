@@ -3219,8 +3219,9 @@ def fn_geospatial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_geospatial_buffer",
     oracle="""
 SELECT o_orderkey AS k,
-       0.30 + 0.15 * (o_orderkey % 9) AS alpha_edge,
-       0.30 + 0.15 * ((o_orderkey * 5) % 9) AS alpha_corner,
+       CAST(0.30 + 0.15 * (o_orderkey % 9) AS DOUBLE) AS alpha_edge,
+       CAST(0.30 + 0.15 * ((o_orderkey * 5) % 9) AS DOUBLE)
+         AS alpha_corner,
        0.30 + 0.15 * (o_orderkey % 9) <= 1.0 AS edge_in_buffer,
        0.30 + 0.15 * ((o_orderkey * 5) % 9) <= 1.0 AS corner_in_buffer
 FROM orders WHERE o_orderkey < 400

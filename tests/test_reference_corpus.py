@@ -589,6 +589,302 @@ CORPUS: list[Case] = [
       "CAST('-Infinity' AS DOUBLE) < -1e308, "
       "CAST('NaN' AS DOUBLE) IS NULL", f"{_ATQ}:781 (adapted)",
       duck="SELECT TRUE, TRUE, FALSE"),
+    # ---- corpus batch 2 (round 8 continued) ------------------------------
+    # window functions
+    C("window_expressions",
+      "SELECT orderkey, orderstatus, row_number() OVER (ORDER BY "
+      "orderkey * 2) * row_number() OVER (ORDER BY orderkey DESC) + 100 "
+      "FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) x "
+      "ORDER BY orderkey LIMIT 5", f"{_ATQ}:3393", ordered=True),
+    C("window_from_aggregate",
+      "SELECT * FROM (SELECT orderstatus, orderpriority, "
+      "sum(CAST(round(totalprice*100) AS BIGINT)) sales, rank() OVER "
+      "(PARTITION BY orderstatus ORDER BY "
+      "sum(CAST(round(totalprice*100) AS BIGINT)) DESC) rnk FROM orders "
+      "GROUP BY orderstatus, orderpriority) x WHERE rnk <= 2 "
+      "ORDER BY orderstatus, rnk",
+      f"{_ATQ}:3410 (adapted: clerk -> orderpriority, exact cents)",
+      ordered=True),
+    C("order_by_window_function",
+      "SELECT orderkey, row_number() OVER (ORDER BY orderkey) "
+      "FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) "
+      "ORDER BY 2 DESC LIMIT 5", f"{_ATQ}:3438", ordered=True),
+    C("row_number_limit",
+      "SELECT row_number() OVER (PARTITION BY orderstatus) rn, "
+      "orderstatus FROM orders LIMIT 10", f"{_ATQ}:3509",
+      duck="SELECT * FROM (VALUES (1,'x'),(2,'x'),(3,'x'),(4,'x'),"
+           "(5,'x'),(6,'x'),(7,'x'),(8,'x'),(9,'x'),(10,'x')) t(rn, s)",
+      marks=(pytest.mark.skip(
+          reason="row_number over unordered partitions is "
+                 "nondeterministic row-identity; the reference only "
+                 "asserts row count — covered by the shape below"),)),
+    C("row_number_filter",
+      "SELECT * FROM (SELECT orderkey, row_number() OVER (ORDER BY "
+      "orderkey) rn FROM orders) WHERE rn <= 5",
+      f"{_ATQ}:3597 (adapted: ordered rn so the filter is "
+      "deterministic)"),
+    C("row_number_partitioned_filter",
+      "SELECT * FROM (SELECT orderstatus, orderkey, row_number() OVER "
+      "(PARTITION BY orderstatus ORDER BY orderkey) rn FROM orders) "
+      "WHERE rn <= 3", f"{_ATQ}:3659 (adapted: ordered)"),
+    C("value_window_functions",
+      "SELECT * FROM (SELECT orderkey, orderstatus, "
+      "first_value(orderkey + 1000) OVER (PARTITION BY orderstatus "
+      "ORDER BY orderkey) fvalue, nth_value(orderkey + 1000, 2) OVER "
+      "(PARTITION BY orderstatus ORDER BY orderkey ROWS BETWEEN "
+      "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) nvalue FROM "
+      "(SELECT * FROM orders ORDER BY orderkey LIMIT 10) x) x "
+      "ORDER BY orderkey LIMIT 5", f"{_ATQ}:4049", ordered=True),
+    C("window_frames_dynamic",
+      "SELECT * FROM (SELECT orderkey, orderstatus, sum(orderkey + "
+      "1000) OVER (PARTITION BY orderstatus ORDER BY orderkey ROWS "
+      "BETWEEN 1 PRECEDING AND 2 FOLLOWING) FROM (SELECT * FROM orders "
+      "ORDER BY orderkey LIMIT 10) x) x ORDER BY orderkey LIMIT 5",
+      f"{_ATQ}:4069 (adapted: constant frame bounds — Spark rejects "
+      "per-row frame offsets, reference allows them)", ordered=True),
+    C("window_no_channels",
+      "SELECT rank() OVER () FROM (SELECT * FROM orders LIMIT 10) "
+      "LIMIT 3", f"{_ATQ}:4091", duck="VALUES (1), (1), (1)",
+      marks=(pytest.mark.xfail(
+          strict=True,
+          reason="Spark requires ORDER BY for rank(); Presto/DuckDB "
+                 "treat the empty window as one peer group (all rank "
+                 "1). Engine-level analyzer restriction; the "
+                 "count(*) OVER () shape works on all three",
+      ),)),
+    C("window_count_no_channels",
+      "SELECT count(*) OVER () FROM (SELECT * FROM orders LIMIT 10) "
+      "LIMIT 3", f"{_ATQ}:4091 (adapted: the unrestricted empty-"
+      "window shape)", duck="VALUES (10), (10), (10)"),
+    C("window_implicit_coercion",
+      "SELECT orderkey, 1e0 / row_number() OVER (ORDER BY orderkey) "
+      "FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 5)",
+      f"{_ATQ}:3167 (adapted shape)"),
+    C("duplicate_columns_window_order_by",
+      "SELECT orderkey, row_number() OVER (ORDER BY orderkey, "
+      "orderkey) FROM (SELECT * FROM orders ORDER BY orderkey "
+      "LIMIT 10)", f"{_ATQ}:4462"),
+    C("distinct_window_over_aggregate",
+      "SELECT orderdate, COUNT(DISTINCT custkey), rank() OVER "
+      "(ORDER BY COUNT(DISTINCT custkey) DESC, orderdate) "
+      "FROM orders GROUP BY orderdate ORDER BY 3 LIMIT 5",
+      f"{_ATQ}:909 (adapted: total order)", ordered=True),
+    # WITH / subqueries
+    C("with_passthrough",
+      "WITH a AS (SELECT * FROM orders) SELECT * FROM a",
+      f"{_ATQ}:4221", duck="SELECT * FROM orders"),
+    C("with_qualified_prefix",
+      "WITH a AS (SELECT 123) SELECT a.* FROM a", f"{_ATQ}:4231",
+      duck="SELECT 123"),
+    C("with_aliased",
+      "WITH a AS (SELECT * FROM orders) SELECT * FROM a x",
+      f"{_ATQ}:4237", duck="SELECT * FROM orders"),
+    C("with_reference_in_from",
+      "WITH a AS (SELECT * FROM orders) SELECT * FROM (SELECT * FROM a)",
+      f"{_ATQ}:4243", duck="SELECT * FROM orders"),
+    C("with_chaining",
+      "WITH a AS (SELECT orderkey n FROM orders), "
+      "b AS (SELECT n + 1 n FROM a), c AS (SELECT n + 1 n FROM b) "
+      "SELECT n + 1 FROM c", f"{_ATQ}:4254",
+      duck="SELECT orderkey + 3 FROM orders"),
+    C("with_self_join",
+      "WITH x AS (SELECT DISTINCT orderkey FROM orders ORDER BY "
+      "orderkey LIMIT 10) SELECT count(*) FROM x a JOIN x b "
+      "USING (orderkey)", f"{_ATQ}:4265", duck="SELECT 10"),
+    C("with_column_aliasing",
+      "WITH t (a, b, c) AS (SELECT 1, custkey x, orderkey FROM orders) "
+      "SELECT c, b, a FROM t", f"{_ATQ}:4300",
+      duck="SELECT orderkey, custkey, 1 FROM orders"),
+    C("with_hiding",
+      "WITH a AS (SELECT 1), b AS (WITH a AS (SELECT 2) "
+      "SELECT * FROM a) SELECT * FROM b", f"{_ATQ}:4310",
+      duck="SELECT 2"),
+    C("unaliased_subqueries",
+      "SELECT orderkey FROM (SELECT orderkey FROM orders)",
+      f"{_ATQ}:4201"),
+    C("join_unaliased_subqueries",
+      "SELECT COUNT(*) FROM (SELECT * FROM lineitem) "
+      "JOIN (SELECT * FROM orders) USING (orderkey)",
+      f"{_ATQ}:4213"),
+    C("subquery_body_order_limit",
+      "(SELECT orderkey, custkey FROM orders) ORDER BY orderkey "
+      "LIMIT 10", f"{_ATQ}:4512", ordered=True),
+    C("wildcard_from_subquery",
+      "SELECT * FROM (SELECT orderkey X FROM orders)", f"{_ATQ}:4476"),
+    C("in_subquery_with_cross_join",
+      "SELECT a FROM (VALUES (1), (2)) t(a) WHERE a IN "
+      "(SELECT b FROM (VALUES (ARRAY[2])) AS t1 (a) "
+      "CROSS JOIN UNNEST(a) AS t2(b))",
+      f"{_ATQ}:4447 (verbatim — UNNEST through the front door)",
+      duck="SELECT 2"),
+    # CASE / IF / scalar expressions
+    C("case_no_else",
+      "SELECT orderkey, CASE orderstatus WHEN 'O' THEN 'a' END "
+      "FROM orders", f"{_ATQ}:4336"),
+    C("case_supertype_cast",
+      "SELECT CASE x WHEN 1 THEN CAST(1 AS DECIMAL(4,1)) "
+      "WHEN 2 THEN CAST(1 AS DECIMAL(4,2)) ELSE CAST(1 AS "
+      "DECIMAL(4,3)) END FROM (VALUES 1) t(x)", f"{_ATQ}:4350",
+      duck="SELECT CAST(1 AS DECIMAL(4,1))"),
+    C("if_expression",
+      "SELECT IF(orderstatus = 'O', 1, 0), COUNT(*) FROM orders "
+      "GROUP BY 1", f"{_ATQ}:4356",
+      duck="SELECT CASE WHEN orderstatus = 'O' THEN 1 ELSE 0 END, "
+           "COUNT(*) FROM orders GROUP BY 1"),
+    C("in_with_expressions",
+      "SELECT orderkey FROM orders WHERE orderkey IN "
+      "(1 + 1, 2 + 5, 3 * 11)", f"{_ATQ}:4379"),
+    C("null_on_lhs_of_in",
+      "SELECT NULL IN (1, 2, 3)", f"{_ATQ}:4432", duck="SELECT NULL"),
+    C("in_with_null_in_list",
+      "SELECT x IN (1, NULL) FROM (VALUES (1), (2), "
+      "(CAST(NULL AS INT))) t(x)", f"{_ATQ}:4379",
+      duck="VALUES (TRUE), (NULL), (NULL)"),
+    C("concat_operator",
+      "SELECT '12' || '34'", f"{_ATQ}:4181", duck="SELECT '1234'"),
+    C("quoted_identifiers",
+      'SELECT "totalprice" "my price" FROM "orders"', f"{_ATQ}:4187"),
+    C("cast_family",
+      "SELECT CAST('1' AS BIGINT), CAST(totalprice AS BIGINT), "
+      "CAST(orderkey AS DOUBLE), CAST(orderkey AS VARCHAR) "
+      "FROM orders", f"{_ATQ}:4121 (adapted: truncating double cast "
+      "replaced by exact-integer totalprice cast)",
+      duck="SELECT CAST('1' AS BIGINT), CAST(totalprice AS BIGINT), "
+           "CAST(orderkey AS DOUBLE), CAST(orderkey AS VARCHAR) "
+           "FROM orders",
+      marks=(pytest.mark.xfail(
+          strict=True,
+          reason="CAST(double AS BIGINT): Spark truncates toward "
+                 "zero, DuckDB/Presto round half-even — engine-level "
+                 "cast-semantics divergence; exact casts pass, "
+                 "documented like NaN equality",
+      ),)),
+    C("cast_exact_family",
+      "SELECT CAST('1' AS BIGINT), CAST(round(totalprice) AS BIGINT), "
+      "CAST(orderkey AS DOUBLE), CAST(orderkey AS VARCHAR) "
+      "FROM orders", f"{_ATQ}:4121 (adapted: pre-rounded)"),
+    C("nested_cast",
+      "SELECT CAST(CAST(orderkey AS VARCHAR) AS BIGINT) FROM orders",
+      f"{_ATQ}:4149"),
+    C("try_invalid_cast",
+      "SELECT TRY(CAST(x AS INT)) FROM (VALUES 'a', '7') t(x)",
+      f"{_ATQ}:4174",
+      duck="VALUES (CAST(NULL AS INT)), (7)"),
+    C("no_from", "SELECT 1 + 2, 3 + 4", f"{_ATQ}:5099",
+      duck="SELECT 3, 7"),
+    C("scalar_function_no_from",
+      "SELECT abs(-5), length('hello'), upper('x')", f"{_ATQ}:4115",
+      duck="SELECT 5, 5, 'X'"),
+    # top-n by multiple fields + null ordering defaults
+    C("topn_multi_asc_desc",
+      "SELECT orderkey, custkey, orderstatus FROM orders "
+      "ORDER BY orderkey ASC, custkey DESC LIMIT 10",
+      f"{_ATQ}:5105", ordered=True),
+    C("topn_desc_desc",
+      "SELECT orderkey, custkey, orderstatus FROM orders "
+      "ORDER BY orderkey DESC, custkey DESC LIMIT 10",
+      f"{_ATQ}:5105", ordered=True),
+    C("topn_nulls_first",
+      "SELECT orderkey, custkey FROM orders ORDER BY "
+      "nullif(orderkey, 3) ASC NULLS FIRST, custkey ASC LIMIT 10",
+      f"{_ATQ}:5105", ordered=True),
+    C("topn_default_nulls_last",
+      "SELECT orderkey, custkey FROM orders ORDER BY "
+      "nullif(orderkey, 3) ASC, custkey ASC LIMIT 10",
+      f"{_ATQ}:5105 (the 'assure default is nulls last' case)",
+      duck="SELECT orderkey, custkey FROM orders ORDER BY "
+           "nullif(orderkey, 3) ASC NULLS LAST, custkey ASC LIMIT 10",
+      ordered=True),
+    C("exchange_with_projection_pushdown",
+      "SELECT * FROM (SELECT orderkey + 1 orderkey FROM (SELECT * "
+      "FROM orders ORDER BY orderkey LIMIT 100)) o JOIN (SELECT "
+      "orderkey + 1 orderkey FROM (SELECT * FROM orders ORDER BY "
+      "orderkey LIMIT 100)) o1 ON (o.orderkey = o1.orderkey)",
+      f"{_ATQ}:5140"),
+    # aggregation batch 2
+    C("count_with_inline_view",
+      "SELECT COUNT(*) FROM (SELECT orderkey FROM lineitem) x",
+      f"{_ATA}:124"),
+    C("array_col_group_by",
+      "SELECT col[1], cnt FROM (SELECT ARRAY[custkey] col, COUNT(*) "
+      "cnt FROM orders GROUP BY 1 ORDER BY 1)",
+      f"{_ATA}:154 (1-based subscript through the front door)",
+      duck="SELECT custkey, COUNT(*) FROM orders GROUP BY custkey"),
+    C("group_by_array_key",
+      "SELECT cardinality(ks), cnt FROM (SELECT ARRAY[custkey, "
+      "orderkey % 3] ks, COUNT(*) cnt FROM orders GROUP BY 1)",
+      f"{_ATA}:154",
+      duck="SELECT 2, COUNT(*) FROM orders "
+           "GROUP BY custkey, orderkey % 3"),
+    C("sum_distinct_group_by",
+      "SELECT shipmode, SUM(DISTINCT qty) FROM (SELECT linenumber "
+      "shipmode, CAST(quantity AS BIGINT) qty FROM lineitem) "
+      "GROUP BY shipmode", f"{_ATA}:233 (adapted columns)"),
+    C("distinct_where",
+      "SELECT COUNT(DISTINCT custkey) FROM orders WHERE "
+      "orderstatus = 'F'", f"{_ATA}:284"),
+    C("multiple_different_distinct",
+      "SELECT COUNT(DISTINCT orderstatus), SUM(DISTINCT custkey) "
+      "FROM orders", f"{_ATA}:290"),
+    C("count_distinct_over_expression",
+      "SELECT COUNT(DISTINCT orderkey % 5), MAX(orderstatus) "
+      "FROM orders", f"{_ATA}:250"),
+    C("aggregation_implicit_coercion",
+      "SELECT 1.0 / COUNT(*) FROM orders", f"{_ATA}:354"),
+    C("nested_count_distinct_having_cardinality",
+      "SELECT COUNT(*) FROM (SELECT orderkey, COUNT(DISTINCT "
+      "partkey) FROM lineitem GROUP BY orderkey HAVING "
+      "COUNT(DISTINCT partkey) != CARDINALITY(ARRAY_DISTINCT("
+      "ARRAY_AGG(partkey))))", f"{_ATA}:250", duck="VALUES (0)"),
+    C("group_by_ordinal_complex",
+      "SELECT orderstatus || '_tag', COUNT(*) FROM orders GROUP BY 1",
+      f"{_ATQ} testGroupByOrdinal (adapted: computed key)"),
+    C("max_by_n",
+      "SELECT MAX_BY(orderkey, totalprice, 3) FROM orders",
+      f"{_ATQ}:3146",
+      duck="SELECT array_agg(orderkey ORDER BY totalprice DESC, "
+           "orderkey) FILTER (WHERE rn <= 3) FROM (SELECT orderkey, "
+           "totalprice, row_number() OVER (ORDER BY totalprice DESC, "
+           "orderkey) rn FROM orders) WHERE rn <= 3",
+      marks=(pytest.mark.xfail(
+          strict=True,
+          reason="max_by(x, y, N) ties broken arbitrarily: Spark and "
+                 "DuckDB pick different rows for equal totalprice — "
+                 "the N-variant is covered deterministically by the "
+                 "registered agg_minmax_n query",
+      ),)),
+    C("checksum_shape",
+      "SELECT COUNT(*) FROM (SELECT checksum_row FROM (SELECT "
+      "xxhash64(CAST(orderkey AS STRING)) checksum_row FROM orders))",
+      f"{_ATQ}:3134 (adapted: Spark xxhash64 as the checksum shape)",
+      duck="SELECT COUNT(*) FROM orders"),
+    # LIKE / string predicates
+    C("like_prefix",
+      "SELECT COUNT(*) FROM orders WHERE orderpriority LIKE '1%'",
+      f"{_ATQ} testLike (adapted)"),
+    C("like_underscore",
+      "SELECT COUNT(*) FROM orders WHERE orderpriority LIKE "
+      "'_-URGENT'", f"{_ATQ} testLike (adapted)"),
+    C("like_infix_not",
+      "SELECT COUNT(*) FROM orders WHERE orderpriority NOT LIKE "
+      "'%MEDIUM%'", f"{_ATQ} testLike (adapted)"),
+    C("between_not_between",
+      "SELECT COUNT(*) FROM orders WHERE totalprice BETWEEN 1000 AND "
+      "200000 AND orderkey NOT BETWEEN 5 AND 500",
+      f"{_ATQ} testRangePredicate (adapted)"),
+    # datetime expressions
+    C("date_extract_fields",
+      "SELECT year(orderdate), month(orderdate), day(orderdate), "
+      "COUNT(*) FROM orders GROUP BY 1, 2, 3",
+      f"{_ATQ} testExtract (adapted to fixture columns)"),
+    C("date_arithmetic_interval",
+      "SELECT COUNT(*) FROM orders WHERE orderdate + INTERVAL '30' "
+      "DAY < DATE '1997-01-01'", f"{_ATQ} date arithmetic (adapted)"),
+    C("date_trunc_group",
+      "SELECT date_trunc('month', orderdate) m, COUNT(*) FROM orders "
+      "GROUP BY 1", f"{_ATQ} testDateTruncate (adapted)",
+      duck="SELECT CAST(date_trunc('month', orderdate) AS TIMESTAMP) "
+           "m, COUNT(*) FROM orders GROUP BY 1"),
 ]
 
 
