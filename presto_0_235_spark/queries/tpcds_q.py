@@ -4546,3 +4546,509 @@ def tpcds_q96_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 13 (round 8 continued): the before/after boundary reports, the
+# promo-share scalar ratio, the null-key channel census, and the
+# dimension-chain lookup (tpcds/q21.sql, q37.sql, q40.sql, q61.sql,
+# q76.sql, q84.sql).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpcds_q21_adapted",
+    oracle="""
+WITH inv AS (
+  SELECT l_partkey, l_suppkey, l_quantity, l_shipdate
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+x AS (
+  SELECT n_name AS warehouse, p_brand AS item_id,
+         CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE)
+                            < DATE '1997-03-11'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS inv_before,
+         CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE)
+                            >= DATE '1997-03-11'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS inv_after
+  FROM inv
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_retailprice BETWEEN 920 AND 960
+    AND CAST(l_shipdate AS DATE)
+        BETWEEN DATE '1997-03-11' - INTERVAL 30 DAY
+            AND DATE '1997-03-11' + INTERVAL 30 DAY
+  GROUP BY n_name, p_brand
+)
+SELECT warehouse, item_id, inv_before, inv_after
+FROM x
+WHERE CASE WHEN inv_before > 0
+           THEN CAST(inv_after AS DOUBLE) / inv_before
+           ELSE NULL END BETWEEN 2.0/3.0 AND 3.0/2.0
+ORDER BY warehouse, item_id
+LIMIT 100
+""",
+)
+def tpcds_q21_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q21 (tpcds/q21.sql): inventory before/after a boundary
+    date — conditional sums split a ±30-day window at the boundary,
+    then a ratio guard keeps (warehouse, item) pairs whose stock
+    stayed within [2/3, 3/2]. Fixture roles: inventory ->
+    'R'-flagged lineitems (quantity on hand at ship date),
+    warehouse -> supplier nation, i_current_price band ->
+    p_retailprice band. The ratio is a single division of exact
+    bigint sums — both engines branch identically, including the
+    NULL (inv_before = 0) rows BETWEEN discards.
+    Plan: dims broadcast; one aggregate shuffle; the CASE split is
+    a Column expression inside the partial aggregate."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    boundary = "1997-03-11"
+    inv = li.filter(F.col("l_returnflag") == "R")
+    before = F.sum(
+        F.when(
+            F.to_date("l_shipdate") < F.lit(boundary),
+            F.col("l_quantity").cast("bigint"),
+        ).otherwise(F.lit(0))
+    ).cast("bigint")
+    after = F.sum(
+        F.when(
+            F.to_date("l_shipdate") >= F.lit(boundary),
+            F.col("l_quantity").cast("bigint"),
+        ).otherwise(F.lit(0))
+    ).cast("bigint")
+    x = (
+        inv.join(part, inv.l_partkey == part.p_partkey)
+        .join(supp, inv.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .filter(
+            F.col("p_retailprice").between(920, 960)
+            & F.to_date("l_shipdate").between("1997-02-09", "1997-04-10")
+        )
+        .groupBy(
+            F.col("n_name").alias("warehouse"),
+            F.col("p_brand").alias("item_id"),
+        )
+        .agg(before.alias("inv_before"), after.alias("inv_after"))
+    )
+    ratio = F.when(
+        F.col("inv_before") > 0,
+        F.col("inv_after").cast("double") / F.col("inv_before"),
+    ).otherwise(F.lit(None))
+    return (
+        x.filter(ratio.between(2.0 / 3.0, 3.0 / 2.0))
+        .orderBy("warehouse", "item_id")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q37_adapted",
+    oracle="""
+SELECT p_brand, p_type, round(p_retailprice, 2) AS price
+FROM part
+JOIN lineitem inv ON inv.l_partkey = p_partkey
+WHERE p_retailprice BETWEEN 920 AND 980
+  AND p_size IN (5, 10, 15, 20)
+  AND inv.l_returnflag = 'R'
+  AND CAST(inv.l_shipdate AS DATE)
+      BETWEEN DATE '1997-02-01' AND DATE '1997-02-01' + INTERVAL 60 DAY
+  AND inv.l_quantity BETWEEN 10 AND 40
+  AND p_partkey IN (SELECT l_partkey FROM lineitem
+                    WHERE l_returnflag <> 'R')
+GROUP BY p_brand, p_type, p_retailprice
+ORDER BY p_brand, p_type, price
+LIMIT 100
+""",
+)
+def tpcds_q37_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q37 (tpcds/q37.sql): items in a price band with
+    in-window on-hand inventory in a quantity band that ALSO sold
+    through the channel — a dim-driven report where the fact tables
+    act as filters (inventory join + channel semi join), grouped to
+    dedupe. Fixture roles: inventory -> 'R'-flagged lineitems,
+    manufact list -> p_size list, catalog_sales membership ->
+    non-'R' lineitem semi join.
+    Plan: part is the probe; the inventory join filters it; the
+    channel membership is a semi join on partkey (aggregate-free
+    build side); GROUP BY dedupes the inventory fanout."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    inv = li.filter(F.col("l_returnflag") == "R")
+    sold = (
+        li.filter(F.col("l_returnflag") != "R")
+        .select(F.col("l_partkey").alias("sold_key"))
+    )
+    return (
+        part.join(inv, inv.l_partkey == part.p_partkey)
+        .filter(
+            F.col("p_retailprice").between(920, 980)
+            & F.col("p_size").isin(5, 10, 15, 20)
+            & F.to_date("l_shipdate").between("1997-02-01", "1997-04-02")
+            & F.col("l_quantity").between(10, 40)
+        )
+        .join(sold, part.p_partkey == sold.sold_key, "left_semi")
+        .groupBy("p_brand", "p_type", "p_retailprice")
+        .agg(F.round(F.first("p_retailprice"), 2).alias("price"))
+        .select("p_brand", "p_type", "price")
+        .orderBy("p_brand", "p_type", "price")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q40_adapted",
+    oracle="""
+WITH rets AS (
+  SELECT l_orderkey AS r_orderkey, l_partkey AS r_partkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ret_s
+  FROM lineitem WHERE l_returnflag = 'R'
+  GROUP BY l_orderkey, l_partkey
+),
+sales AS (
+  SELECT s.l_partkey, s.l_suppkey, o.o_orderdate,
+         CAST(round(s.l_extendedprice * 100) AS BIGINT)
+           - COALESCE(r.ret_s, 0) AS net_s
+  FROM lineitem s
+  JOIN orders o ON s.l_orderkey = o.o_orderkey
+  LEFT JOIN rets r ON s.l_orderkey = r.r_orderkey
+                  AND s.l_partkey = r.r_partkey
+  WHERE s.l_returnflag <> 'R'
+    AND CAST(o.o_orderdate AS DATE)
+        BETWEEN DATE '1997-03-11' - INTERVAL 30 DAY
+            AND DATE '1997-03-11' + INTERVAL 30 DAY
+)
+SELECT n_name AS w_state, p_brand AS item_id,
+       round(SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1997-03-11'
+                 THEN net_s ELSE 0 END) / 100.0, 2) AS sales_before,
+       round(SUM(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1997-03-11'
+                 THEN net_s ELSE 0 END) / 100.0, 2) AS sales_after
+FROM sales
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_retailprice BETWEEN 920 AND 960
+GROUP BY n_name, p_brand
+ORDER BY w_state, item_id
+LIMIT 100
+""",
+)
+def tpcds_q40_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q40 (tpcds/q40.sql): returns-netted sales split
+    before/after a boundary date per (warehouse, item) — the q21
+    boundary-pivot shape applied to the SALES fact with a LEFT JOIN
+    against returns and COALESCE netting. Exact: netting and the
+    CASE split ride bigint cents. Plan: returns pre-aggregate to
+    the join key before the outer join; dims broadcast; one
+    aggregate shuffle."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    boundary = "1997-03-11"
+    rets = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(
+            F.col("l_orderkey").alias("r_orderkey"),
+            F.col("l_partkey").alias("r_partkey"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("ret_s")
+        )
+    )
+    s = li.filter(F.col("l_returnflag") != "R")
+    net_s = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        - F.coalesce(F.col("ret_s"), F.lit(0))
+    )
+    sales = (
+        s.join(orders, s.l_orderkey == orders.o_orderkey)
+        .join(
+            rets,
+            (s.l_orderkey == rets.r_orderkey)
+            & (s.l_partkey == rets.r_partkey),
+            "left",
+        )
+        .filter(
+            F.to_date("o_orderdate").between("1997-02-09", "1997-04-10")
+        )
+        .select(
+            "l_partkey", "l_suppkey", "o_orderdate",
+            net_s.alias("net_s"),
+        )
+    )
+    split = lambda cmp: F.sum(  # noqa: E731
+        F.when(cmp, F.col("net_s")).otherwise(F.lit(0))
+    )
+    return (
+        sales.join(part, sales.l_partkey == part.p_partkey)
+        .join(supp, sales.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .filter(F.col("p_retailprice").between(920, 960))
+        .groupBy(
+            F.col("n_name").alias("w_state"),
+            F.col("p_brand").alias("item_id"),
+        )
+        .agg(
+            F.round(
+                split(F.to_date("o_orderdate") < F.lit(boundary)) / 100.0,
+                2,
+            ).alias("sales_before"),
+            F.round(
+                split(F.to_date("o_orderdate") >= F.lit(boundary))
+                / 100.0,
+                2,
+            ).alias("sales_after"),
+        )
+        .orderBy("w_state", "item_id")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q61_adapted",
+    oracle="""
+WITH base AS (
+  SELECT p_type,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_s
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND year(o_orderdate) = 1997 AND month(o_orderdate) = 11
+),
+promotions AS (
+  SELECT CAST(SUM(price_s) AS BIGINT) AS promotions
+  FROM base WHERE p_type = 'PROMO'
+),
+total AS (
+  SELECT CAST(SUM(price_s) AS BIGINT) AS total FROM base
+)
+SELECT round(promotions / 100.0, 2) AS promotions,
+       round(total / 100.0, 2) AS total,
+       round(CAST(promotions AS DOUBLE) / total * 100, 9) AS promo_pct
+FROM promotions, total
+""",
+)
+def tpcds_q61_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q61 (tpcds/q61.sql): promotional share — two
+    single-row aggregates over the same dimensional slice (one
+    restricted to promoted items) cross-joined into a percentage.
+    Fixture roles: the promo-channel dim flags -> p_type = 'PROMO',
+    gmt_offset/category filters -> mktsegment + month slice. The
+    share is a single division of exact cent sums. Plan: the slice
+    aggregate feeds BOTH single-row branches (persisted — same
+    multi-consumer rule as q65); the cross join is 1 x 1."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.year("o_orderdate") == 1997)
+            & (F.month("o_orderdate") == 11)
+        )
+        .select(
+            "p_type",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint").alias("price_s"),
+        )
+        .persist()
+    )
+    promos = (
+        base.filter(F.col("p_type") == "PROMO")
+        .agg(F.sum("price_s").cast("bigint").alias("promotions"))
+    )
+    total = base.agg(F.sum("price_s").cast("bigint").alias("total"))
+    return promos.crossJoin(total).select(
+        F.round(F.col("promotions") / 100.0, 2).alias("promotions"),
+        F.round(F.col("total") / 100.0, 2).alias("total"),
+        F.round(
+            F.col("promotions").cast("double") / F.col("total") * 100, 9
+        ).alias("promo_pct"),
+    )
+
+
+@register(
+    "tpcds_q76_adapted",
+    oracle=f"""
+WITH slices AS (
+  SELECT 'store' AS channel, 'suppkey' AS col_name,
+         year(o_orderdate) AS yr, quarter(o_orderdate) AS qoy,
+         p_type, l_extendedprice AS price
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE NULLIF(l_suppkey % 13, 0) IS NULL
+    AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+  UNION ALL
+  SELECT 'web', 'custkey', year(o_orderdate), quarter(o_orderdate),
+         p_type, l_extendedprice
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE NULLIF(o_custkey % 11, 0) IS NULL
+    AND o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+  UNION ALL
+  SELECT 'catalog', 'partkey', year(o_orderdate),
+         quarter(o_orderdate), p_type, l_extendedprice
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE NULLIF(l_partkey % 17, 0) IS NULL
+    AND o_orderpriority = '3-MEDIUM'
+)
+SELECT channel, col_name, yr, qoy, p_type,
+       CAST(COUNT(*) AS BIGINT) AS sales_cnt,
+       {oracle_dec_sum('price', 'sales_amt')}
+FROM slices
+GROUP BY channel, col_name, yr, qoy, p_type
+ORDER BY channel, col_name, yr, qoy, p_type
+LIMIT 100
+""",
+)
+def tpcds_q76_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q76 (tpcds/q76.sql): the NULL-key census — each channel
+    reports the sales rows whose channel-specific foreign key IS
+    NULL, labeled with the column name, unioned and re-aggregated per
+    (year, quarter, category). The fixture has no null foreign keys,
+    so each slice NULL-ifies a key by modulus (NULLIF(key % m, 0) IS
+    NULL keeps exactly the key % m == 0 rows as the 'null' class) —
+    preserving the IS NULL predicate shape and the per-channel
+    col_name label. Plan: three fact passes (the reference scans
+    three distinct facts) unioned before one aggregate shuffle."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    lo = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+    )
+
+    def channel(tag, col_name, null_col, mod, prios):
+        return (
+            lo.filter(
+                F.nullif(F.col(null_col) % mod, F.lit(0)).isNull()
+                & F.col("o_orderpriority").isin(*prios)
+            )
+            .select(
+                F.lit(tag).alias("channel"),
+                F.lit(col_name).alias("col_name"),
+                F.year("o_orderdate").alias("yr"),
+                F.quarter("o_orderdate").alias("qoy"),
+                "p_type",
+                F.col("l_extendedprice").alias("price"),
+            )
+        )
+
+    slices = (
+        channel("store", "suppkey", "l_suppkey", 13,
+                ["1-URGENT", "2-HIGH"])
+        .unionAll(
+            channel("web", "custkey", "o_custkey", 11,
+                    ["4-NOT SPECIFIED", "5-LOW"])
+        )
+        .unionAll(
+            channel("catalog", "partkey", "l_partkey", 17,
+                    ["3-MEDIUM"])
+        )
+    )
+    return (
+        slices.groupBy("channel", "col_name", "yr", "qoy", "p_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("sales_cnt"),
+            dec_sum("price", "sales_amt"),
+        )
+        .orderBy("channel", "col_name", "yr", "qoy", "p_type")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q84_adapted",
+    oracle="""
+WITH income_band AS (
+  SELECT * FROM (VALUES (1, 0.0, 2500.0), (2, 2500.0, 5000.0),
+                        (3, 5000.0, 7500.0), (4, 7500.0, 10000.0))
+           t(ib_sk, lower_bound, upper_bound)
+),
+returners AS (
+  SELECT DISTINCT o_custkey FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+)
+SELECT c_custkey AS customer_id,
+       concat(concat(c_name, ', '), c_mktsegment) AS customername
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN income_band ON c_acctbal >= lower_bound
+                AND c_acctbal < upper_bound
+JOIN returners ON c_custkey = o_custkey
+WHERE n_name = 'NATION_3' AND ib_sk IN (2, 3)
+ORDER BY customer_id
+LIMIT 100
+""",
+)
+def tpcds_q84_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q84 (tpcds/q84.sql): the dimension-chain lookup — no
+    aggregation at all: customer joined through address, an
+    income-band RANGE join (lower <= v < upper), demographics, and a
+    returns-membership join, emitting a concatenated display name.
+    Fixture roles: ca_city -> nation name, income_band -> an inline
+    VALUES band dim ranged over c_acctbal, sr_cdemo_sk membership ->
+    customers with an 'R' return. Plan: the band dim is a broadcast
+    NLJ over 4 rows (bounded — the reference's income_band is 20
+    rows); returners is a distinct-key semi-join build; everything
+    else broadcasts."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    bands = spark.createDataFrame(
+        [(1, 0.0, 2500.0), (2, 2500.0, 5000.0), (3, 5000.0, 7500.0),
+         (4, 7500.0, 10000.0)],
+        "ib_sk int, lower_bound double, upper_bound double",
+    )
+    returners = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_returnflag") == "R")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(bands),
+            (cust.c_acctbal >= bands.lower_bound)
+            & (cust.c_acctbal < bands.upper_bound),
+        )
+        .join(returners, cust.c_custkey == returners.o_custkey)
+        .filter(
+            (F.col("n_name") == "NATION_3") & F.col("ib_sk").isin(2, 3)
+        )
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.concat(
+                F.concat(F.col("c_name"), F.lit(", ")),
+                F.col("c_mktsegment"),
+            ).alias("customername"),
+        )
+        .orderBy("customer_id")
+        .limit(100)
+    )
