@@ -3677,7 +3677,7 @@ channels AS (
   JOIN part p ON s.l_partkey = p.p_partkey
   LEFT JOIN rets r ON s.l_orderkey = r.l_orderkey
                   AND s.l_partkey = r.l_partkey
-  WHERE p.p_retailprice > 950
+  WHERE p.p_retailprice > 905
 )
 SELECT channel, id,
        round(SUM(sales_s) / 100.0, 2) AS sales,
@@ -3697,7 +3697,7 @@ def tpcds_q80_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the OUTER-join netting against a second fact. Fixture roles:
     returns fact -> 'R'-flagged lineitems keyed (orderkey, partkey);
     channels -> priority bands; i_current_price > 50 ->
-    p_retailprice > 950. Exact: all three measures ride bigint
+    p_retailprice > 905 (the synthetic price floor is 900 at every SF). Exact: all three measures ride bigint
     cents. Plan: returns pre-aggregates to the join key before the
     outer join (no fact x fact fanout); dims broadcast; one rollup
     shuffle."""
@@ -3736,7 +3736,7 @@ def tpcds_q80_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     channels = (
         sales.join(supp, sales.l_suppkey == supp.s_suppkey)
         .join(part, sales.l_partkey == part.p_partkey)
-        .filter(F.col("p_retailprice") > 950)
+        .filter(F.col("p_retailprice") > 905)
         .join(
             rets,
             (sales.l_orderkey == rets.r_orderkey)
@@ -4367,7 +4367,7 @@ pricey_parts AS (
   SELECT p_partkey FROM part
   JOIN type_avg ON part.p_type = type_avg.p_type
   WHERE CAST(round(p_retailprice * 100) AS BIGINT)
-        > 1.02 * avg_price_s
+        > 1.005 * avg_price_s
 )
 SELECT n_name AS state, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM lineitem
@@ -4389,8 +4389,8 @@ def tpcds_q6_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference's TransformCorrelatedScalarAggregationToJoin),
     plus the month_seq scalar subquery collapsed to the literal
     month (the fixture's date dim IS the calendar). Fixture roles:
-    ca_state -> customer nation, i_category -> p_type, 1.2x -> 1.02x
-    (the synthetic price spread is narrow). The average is exact
+    ca_state -> customer nation, i_category -> p_type, 1.2x -> 1.005x
+    (the synthetic price spread is narrow and SF-dependent). The average is exact
     cents / count. Plan: type_avg is category-sized -> broadcast
     back onto part; pricey_parts enters the fact as a broadcast semi
     join; HAVING count >= 10."""
@@ -4408,7 +4408,7 @@ def tpcds_q6_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pricey = (
         part.join(F.broadcast(type_avg), "p_type")
-        .filter(price_s > 1.02 * F.col("avg_price_s"))
+        .filter(price_s > 1.005 * F.col("avg_price_s"))
         .select("p_partkey")
     )
     return (
@@ -4577,7 +4577,7 @@ x AS (
   JOIN part ON l_partkey = p_partkey
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
-  WHERE p_retailprice BETWEEN 920 AND 960
+  WHERE p_retailprice BETWEEN 902 AND 940
     AND CAST(l_shipdate AS DATE)
         BETWEEN DATE '1997-03-11' - INTERVAL 30 DAY
             AND DATE '1997-03-11' + INTERVAL 30 DAY
@@ -4628,7 +4628,7 @@ def tpcds_q21_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp, inv.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .filter(
-            F.col("p_retailprice").between(920, 960)
+            F.col("p_retailprice").between(902, 940)
             & F.to_date("l_shipdate").between("1997-02-09", "1997-04-10")
         )
         .groupBy(
@@ -4654,7 +4654,7 @@ def tpcds_q21_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p_brand, p_type, round(p_retailprice, 2) AS price
 FROM part
 JOIN lineitem inv ON inv.l_partkey = p_partkey
-WHERE p_retailprice BETWEEN 920 AND 980
+WHERE p_retailprice BETWEEN 902 AND 930
   AND p_size IN (5, 10, 15, 20)
   AND inv.l_returnflag = 'R'
   AND CAST(inv.l_shipdate AS DATE)
@@ -4689,7 +4689,7 @@ def tpcds_q37_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         part.join(inv, inv.l_partkey == part.p_partkey)
         .filter(
-            F.col("p_retailprice").between(920, 980)
+            F.col("p_retailprice").between(902, 930)
             & F.col("p_size").isin(5, 10, 15, 20)
             & F.to_date("l_shipdate").between("1997-02-01", "1997-04-02")
             & F.col("l_quantity").between(10, 40)
@@ -4734,7 +4734,7 @@ FROM sales
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
-WHERE p_retailprice BETWEEN 920 AND 960
+WHERE p_retailprice BETWEEN 902 AND 918
 GROUP BY n_name, p_brand
 ORDER BY w_state, item_id
 LIMIT 100
@@ -4795,7 +4795,7 @@ def tpcds_q40_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         sales.join(part, sales.l_partkey == part.p_partkey)
         .join(supp, sales.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .filter(F.col("p_retailprice").between(920, 960))
+        .filter(F.col("p_retailprice").between(902, 918))
         .groupBy(
             F.col("n_name").alias("w_state"),
             F.col("p_brand").alias("item_id"),

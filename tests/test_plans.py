@@ -473,6 +473,11 @@ def test_multi_consumer_aggregates_scan_fact_once(
     optimized plan sits INSIDE a cached subtree (each InMemoryRelation
     printout embeds its own cached plan, so standalone scans would
     push the lineitem count above the relation count)."""
+    # Start from a cold cache: a MATERIALIZED InMemoryRelation (e.g.
+    # left behind by the oracle suite running the same builder) prints
+    # its AQE final+initial plans — two lineitem scans per cached
+    # relation — which would break the containment arithmetic below.
+    spark.catalog.clearCache()
     df = _QUERIES[name].builder(spark, sf_dir)
     try:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
