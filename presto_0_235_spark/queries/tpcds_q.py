@@ -5052,3 +5052,592 @@ def tpcds_q84_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("customer_id")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 14 (round 8 continued): the scalar-subquery bucket report, the
+# asc/desc rank-position join, rank over a deep ROLLUP, the zip-overlap
+# substring star, the fine-grained CTE with a global-scalar HAVING, and
+# the latency-band pivot (tpcds/q09.sql, q44.sql, q67.sql, q08.sql,
+# q24_1.sql, q62.sql).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpcds_q9_adapted",
+    oracle="""
+WITH b AS (
+  SELECT CAST(floor((l_quantity - 1) / 10) AS INT) AS bucket,
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS DOUBLE) / COUNT(*) / 100.0 AS avg_price,
+         CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT))
+              AS DOUBLE) / COUNT(*) / 10000.0 AS avg_disc
+  FROM lineitem WHERE l_quantity BETWEEN 1 AND 50
+  GROUP BY 1
+)
+SELECT
+  MAX(CASE WHEN bucket = 0 THEN
+      CASE WHEN cnt > 11000 THEN avg_price ELSE avg_disc END END)
+    AS bucket1,
+  MAX(CASE WHEN bucket = 1 THEN
+      CASE WHEN cnt > 11500 THEN avg_price ELSE avg_disc END END)
+    AS bucket2,
+  MAX(CASE WHEN bucket = 2 THEN
+      CASE WHEN cnt > 12000 THEN avg_price ELSE avg_disc END END)
+    AS bucket3,
+  MAX(CASE WHEN bucket = 3 THEN
+      CASE WHEN cnt > 12500 THEN avg_price ELSE avg_disc END END)
+    AS bucket4,
+  MAX(CASE WHEN bucket = 4 THEN
+      CASE WHEN cnt > 13000 THEN avg_price ELSE avg_disc END END)
+    AS bucket5
+FROM b
+""",
+)
+def tpcds_q9_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q9 (tpcds/q09.sql): five quantity buckets, each a CASE
+    choosing between two scalar subqueries by a count threshold — 15
+    uncorrelated scalar subqueries in the reference's text. The
+    Spark-first lowering computes all five (count, avgA, avgB)
+    triples in ONE grouped pass over the fact and folds the CASEs in
+    a single-row conditional aggregate — one scan instead of the
+    reference's fifteen (its own optimizer cannot fuse them; ours
+    can because the buckets partition the same scan). Averages are
+    exact integer sums over one division.
+    Plan: one shuffle on the 5-value bucket key; the final fold is a
+    1-row aggregate."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    b = (
+        li.filter(F.col("l_quantity").between(1, 50))
+        .groupBy(
+            F.floor((F.col("l_quantity") - 1) / 10)
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / 100.0
+            ).alias("avg_price"),
+            (
+                F.sum(
+                    F.round(F.col("l_discount") * 10000).cast("bigint")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / 10000.0
+            ).alias("avg_disc"),
+        )
+    )
+    thresholds = [11000, 11500, 12000, 12500, 13000]
+
+    def pick(i):
+        return F.max(
+            F.when(
+                F.col("bucket") == i,
+                F.when(
+                    F.col("cnt") > thresholds[i], F.col("avg_price")
+                ).otherwise(F.col("avg_disc")),
+            )
+        ).alias(f"bucket{i + 1}")
+
+    return b.agg(*[pick(i) for i in range(5)])
+
+
+@register(
+    "tpcds_q44_adapted",
+    oracle="""
+WITH profits AS (
+  SELECT l_partkey AS item_sk,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS DOUBLE) / COUNT(*) AS rank_col
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 4 AND l_returnflag <> 'R'
+  GROUP BY l_partkey
+),
+baseline AS (
+  SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS DOUBLE) / COUNT(*) AS base_col
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 4 AND l_returnflag = 'R'
+),
+kept AS (
+  SELECT item_sk, rank_col FROM profits, baseline
+  WHERE rank_col > 0.9 * base_col
+),
+asc_rnk AS (
+  SELECT item_sk, rank() OVER (ORDER BY rank_col, item_sk) AS rnk
+  FROM kept
+),
+desc_rnk AS (
+  SELECT item_sk, rank() OVER (ORDER BY rank_col DESC, item_sk) AS rnk
+  FROM kept
+)
+SELECT a.rnk, i1.p_name AS best_performing,
+       i2.p_name AS worst_performing
+FROM asc_rnk a
+JOIN desc_rnk d ON a.rnk = d.rnk
+JOIN part i1 ON i1.p_partkey = a.item_sk
+JOIN part i2 ON i2.p_partkey = d.item_sk
+WHERE a.rnk < 11
+ORDER BY a.rnk
+""",
+)
+def tpcds_q44_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q44 (tpcds/q44.sql): best vs worst performers — one
+    per-item profit aggregate filtered against 0.9x a baseline
+    scalar, ranked ASCENDING and DESCENDING, the two rankings joined
+    ON RANK POSITION, each side decorated from the item dim (joined
+    twice). Fixture roles: store 4 -> supplier nation 4, the
+    ss_addr_sk IS NULL baseline -> the 'R'-flagged slice, ties
+    broken by item for determinism. Averages are exact single
+    divisions.
+    Plan: the profit aggregate feeds both rank branches -> persisted;
+    each ranking is a single-partition window over the ~|items| rows
+    that survive the threshold (bounded, like the reference's rank);
+    the position join and both dim joins broadcast."""
+    from pyspark.sql import Window
+
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    base_f = li.join(supp, li.l_suppkey == supp.s_suppkey).filter(
+        F.col("s_nationkey") == 4
+    )
+    exact_avg = (
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).cast("double")
+        / F.count(F.lit(1))
+    )
+    profits = (
+        base_f.filter(F.col("l_returnflag") != "R")
+        .groupBy(F.col("l_partkey").alias("item_sk"))
+        .agg(exact_avg.alias("rank_col"))
+    )
+    baseline = (
+        base_f.filter(F.col("l_returnflag") == "R")
+        .agg(exact_avg.alias("base_col"))
+    )
+    kept = (
+        profits.crossJoin(F.broadcast(baseline))
+        .filter(F.col("rank_col") > 0.9 * F.col("base_col"))
+        .select("item_sk", "rank_col")
+        .persist()
+    )
+    asc_rnk = kept.withColumn(
+        "rnk",
+        F.rank().over(
+            Window.orderBy(F.col("rank_col").asc(), F.col("item_sk"))
+        ),
+    ).filter(F.col("rnk") < 11)
+    desc_rnk = kept.withColumn(
+        "rnk",
+        F.rank().over(
+            Window.orderBy(F.col("rank_col").desc(), F.col("item_sk"))
+        ),
+    ).filter(F.col("rnk") < 11)
+    i1, i2 = part.alias("i1"), part.alias("i2")
+    return (
+        asc_rnk.alias("a")
+        .join(desc_rnk.alias("d"), F.col("a.rnk") == F.col("d.rnk"))
+        .join(
+            F.broadcast(i1),
+            F.col("i1.p_partkey") == F.col("a.item_sk"),
+        )
+        .join(
+            F.broadcast(i2),
+            F.col("i2.p_partkey") == F.col("d.item_sk"),
+        )
+        .select(
+            F.col("a.rnk").alias("rnk"),
+            F.col("i1.p_name").alias("best_performing"),
+            F.col("i2.p_name").alias("worst_performing"),
+        )
+        .orderBy("rnk")
+    )
+
+
+@register(
+    "tpcds_q67_adapted",
+    oracle="""
+WITH dw1 AS (
+  SELECT p_type, p_brand, CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(quarter(o_orderdate) AS INT) AS qoy,
+         CAST(month(o_orderdate) AS INT) AS moy, s_name,
+         CAST(SUM(COALESCE(CAST(round(l_extendedprice * l_quantity
+                                      * 100) AS BIGINT), 0))
+              AS BIGINT) AS sumsales_s
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE year(o_orderdate) = 1997
+  GROUP BY ROLLUP (p_type, p_brand, year(o_orderdate),
+                   quarter(o_orderdate), month(o_orderdate), s_name)
+),
+dw2 AS (
+  SELECT *, rank() OVER (PARTITION BY p_type
+                         ORDER BY sumsales_s DESC, p_brand NULLS FIRST,
+                                  yr NULLS FIRST, qoy NULLS FIRST,
+                                  moy NULLS FIRST, s_name NULLS FIRST)
+            AS rk
+  FROM dw1
+)
+SELECT p_type, p_brand, yr, qoy, moy, s_name,
+       round(sumsales_s / 100.0, 2) AS sumsales, rk
+FROM dw2 WHERE rk <= 10
+ORDER BY p_type NULLS FIRST, rk
+LIMIT 100
+""",
+)
+def tpcds_q67_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67 (tpcds/q67.sql): rank OVER a deep ROLLUP — a
+    6-level hierarchy rollup whose OUTPUT rows (all grouping levels
+    mixed) are ranked within category and top-10-filtered. The rank
+    window partitions on a key that is NULL for rolled-up rows —
+    NULL is its own partition group on both engines — and carries a
+    full NULLS FIRST tiebreak so ranks are deterministic at every
+    grouping level. Sales ride exact cents.
+    Plan: one Expand+shuffle for the rollup, one window pass over
+    the aggregate (grouping-set-sized, not fact-sized), and the
+    rk <= 10 filter plans a WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    dw1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.year("o_orderdate") == 1997)
+        .rollup(
+            "p_type", "p_brand",
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.quarter("o_orderdate").cast("int").alias("qoy"),
+            F.month("o_orderdate").cast("int").alias("moy"),
+            "s_name",
+        )
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.round(
+                        F.col("l_extendedprice") * F.col("l_quantity")
+                        * 100
+                    ).cast("bigint"),
+                    F.lit(0),
+                )
+            ).cast("bigint").alias("sumsales_s")
+        )
+    )
+    w = Window.partitionBy("p_type").orderBy(
+        F.col("sumsales_s").desc(),
+        F.col("p_brand").asc_nulls_first(),
+        F.col("yr").asc_nulls_first(),
+        F.col("qoy").asc_nulls_first(),
+        F.col("moy").asc_nulls_first(),
+        F.col("s_name").asc_nulls_first(),
+    )
+    return (
+        dw1.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "p_type", "p_brand", "yr", "qoy", "moy", "s_name",
+            F.round(F.col("sumsales_s") / 100.0, 2).alias("sumsales"),
+            "rk",
+        )
+        .orderBy(F.col("p_type").asc_nulls_first(), "rk")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q8_adapted",
+    oracle=f"""
+WITH zip_list AS (
+  SELECT * FROM (VALUES ('07'), ('13'), ('21'), ('29'), ('33'),
+                        ('41'), ('47'), ('55'), ('63'), ('71'),
+                        ('77'), ('85'), ('93'), ('99'), ('03')) t(zip)
+),
+preferred_zips AS (
+  SELECT lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') AS zip
+  FROM customer WHERE c_acctbal > 5000
+  GROUP BY 1 HAVING COUNT(*) > 3
+),
+target_zips AS (
+  SELECT zip FROM zip_list INTERSECT SELECT zip FROM preferred_zips
+)
+SELECT s_name, {oracle_dec_sum('l_extendedprice * (1 - l_discount)',
+                               'net_profit')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE year(o_orderdate) = 1997
+  AND lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')
+      IN (SELECT zip FROM target_zips)
+GROUP BY s_name
+ORDER BY s_name
+LIMIT 100
+""",
+)
+def tpcds_q8_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q8 (tpcds/q08.sql): store profit restricted to zip
+    prefixes that are BOTH in a literal list AND have >10 preferred
+    customers — a VALUES list INTERSECTed with a HAVING-filtered
+    aggregate, driving the fact through a derived-key semi join.
+    Fixture roles: substr(ca_zip, 1, 5) -> the lpad'd customer-key
+    residue (a derived string key, preserving the computed-key-join
+    shape), preferred flag -> acctbal > 5000, count > 3 (fixture-scaled).
+    Plan: both zip sets are tiny (<=100 two-char strings); the
+    INTERSECT lowers to a semi join of two small sets, broadcast
+    back onto the probe's derived key."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    zip_of = F.lpad((F.col("c_custkey") % 100).cast("string"), 2, "0")
+    zip_list = spark.createDataFrame(
+        [(z,) for z in ["07", "13", "21", "29", "33", "41", "47",
+                        "55", "63", "71", "77", "85", "93", "99",
+                        "03"]],
+        "zip string",
+    )
+    preferred = (
+        cust.filter(F.col("c_acctbal") > 5000)
+        .groupBy(zip_of.alias("zip"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 3)
+        .select("zip")
+    )
+    target = zip_list.intersect(preferred)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.year("o_orderdate") == 1997)
+        .join(
+            F.broadcast(target),
+            zip_of == target.zip,
+            "left_semi",
+        )
+        .groupBy("s_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "net_profit",
+            )
+        )
+        .orderBy("s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q24_adapted",
+    oracle=f"""
+WITH rets AS (
+  SELECT l_partkey AS r_partkey, l_suppkey AS r_suppkey
+  FROM lineitem WHERE l_returnflag = 'R'
+  GROUP BY l_partkey, l_suppkey
+),
+ssales AS (
+  SELECT c_name, s_name, n.n_name AS state, p_type, p_brand,
+         {oracle_dec_sum('l_extendedprice * (1 - l_discount)',
+                         'netpaid')}
+  FROM lineitem s
+  JOIN rets r ON s.l_partkey = r.r_partkey
+             AND s.l_suppkey = r.r_suppkey
+  JOIN orders o ON s.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier sup ON s.l_suppkey = sup.s_suppkey
+  JOIN nation n ON sup.s_nationkey = n.n_nationkey
+  JOIN part p ON s.l_partkey = p.p_partkey
+  WHERE s.l_returnflag <> 'R'
+    AND c.c_nationkey = sup.s_nationkey
+  GROUP BY c_name, s_name, n.n_name, p_type, p_brand
+),
+threshold AS (
+  SELECT 0.05 * (CAST(SUM(CAST(round(netpaid * 10000) AS BIGINT))
+                      AS DOUBLE) / COUNT(*) / 10000.0) AS floor_paid
+  FROM ssales
+)
+SELECT c_name, s_name,
+       round(SUM(CAST(round(netpaid * 10000) AS BIGINT)) / 10000.0, 4)
+         AS paid
+FROM ssales, threshold
+WHERE p_type = 'PROMO'
+GROUP BY c_name, s_name, floor_paid
+HAVING SUM(CAST(round(netpaid * 10000) AS BIGINT)) / 10000.0
+       > floor_paid
+ORDER BY c_name, s_name
+""",
+)
+def tpcds_q24_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q24 (tpcds/q24_1.sql): the fine-grained returns-joined
+    CTE consumed TWICE — once re-aggregated per (customer, store)
+    over one item slice with a HAVING threshold, once as the
+    GLOBAL average that defines the threshold (0.05x avg netpaid).
+    Fixture roles: the ticket-level returns join -> (partkey,
+    suppkey) as in q64; c_birth_country = upper(ca_country) and
+    s_zip = ca_zip cross-dim equalities -> customer nation =
+    supplier nation; i_color = 'pale' -> p_type = 'PROMO'.
+    Exactness: netpaid re-aggregation rides scaled bigints; the
+    threshold is one division. Plan: ssales is persisted (two
+    consumers — the reference names this CTE twice); the threshold
+    is a 1-row broadcast."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    rets = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(
+            F.col("l_partkey").alias("r_partkey"),
+            F.col("l_suppkey").alias("r_suppkey"),
+        )
+        .agg(F.lit(1).alias("__r"))
+        .drop("__r")
+    )
+    s = li.filter(F.col("l_returnflag") != "R")
+    ssales = (
+        s.join(
+            rets,
+            (s.l_partkey == rets.r_partkey)
+            & (s.l_suppkey == rets.r_suppkey),
+        )
+        .join(orders, s.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, s.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(part, s.l_partkey == part.p_partkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .groupBy("c_name", "s_name", "n_name", "p_type", "p_brand")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "netpaid",
+            )
+        )
+        .persist()
+    )
+    paid_s = F.round(F.col("netpaid") * 10000).cast("bigint")
+    threshold = ssales.agg(
+        (
+            0.05
+            * (
+                F.sum(paid_s).cast("double")
+                / F.count(F.lit(1))
+                / 10000.0
+            )
+        ).alias("floor_paid")
+    )
+    return (
+        ssales.filter(F.col("p_type") == "PROMO")
+        .crossJoin(F.broadcast(threshold))
+        .groupBy("c_name", "s_name", "floor_paid")
+        .agg((F.sum(paid_s) / 10000.0).alias("paid_raw"))
+        .filter(F.col("paid_raw") > F.col("floor_paid"))
+        .select(
+            "c_name", "s_name",
+            F.round(F.col("paid_raw"), 4).alias("paid"),
+        )
+        .orderBy("c_name", "s_name")
+    )
+
+
+@register(
+    "tpcds_q62_adapted",
+    oracle="""
+SELECT substr(s_name, 1, 12) AS warehouse,
+       o_orderpriority AS sm_type,
+       n_name AS web_name,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) <= 30
+                THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) > 30
+                 AND date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) <= 60
+                THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) > 60
+                 AND date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) <= 90
+                THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) > 90
+                 AND date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) <= 120
+                THEN 1 ELSE 0 END) AS BIGINT) AS d91_120,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) > 120
+                THEN 1 ELSE 0 END) AS BIGINT) AS d_over_120
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE year(o_orderdate) = 1997
+GROUP BY substr(s_name, 1, 12), o_orderpriority, n_name
+ORDER BY warehouse, sm_type, web_name
+LIMIT 100
+""",
+)
+def tpcds_q62_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q62 (tpcds/q62.sql): the ship-latency band PIVOT —
+    five CASE-band counts as COLUMNS per (warehouse-prefix, ship
+    mode, site), the bands computed from the sold->ship day gap.
+    Fixture roles: warehouse name prefix -> substr(s_name, 1, 12)
+    (preserving the computed GROUP BY key), ship mode -> order
+    priority, web site -> supplier nation, ship-sold day gap ->
+    shipdate - orderdate.
+    Plan: single aggregate shuffle on the three-part computed key;
+    the five bands are Column CASEs inside the partial aggregate —
+    no extra passes."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    gap = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+
+    def band(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(
+            name
+        )
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .filter(F.year("o_orderdate") == 1997)
+        .groupBy(
+            F.substring("s_name", 1, 12).alias("warehouse"),
+            F.col("o_orderpriority").alias("sm_type"),
+            F.col("n_name").alias("web_name"),
+        )
+        .agg(
+            band(gap <= 30, "d30"),
+            band((gap > 30) & (gap <= 60), "d31_60"),
+            band((gap > 60) & (gap <= 90), "d61_90"),
+            band((gap > 90) & (gap <= 120), "d91_120"),
+            band(gap > 120, "d_over_120"),
+        )
+        .orderBy("warehouse", "sm_type", "web_name")
+        .limit(100)
+    )
