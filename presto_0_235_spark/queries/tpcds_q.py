@@ -5641,3 +5641,863 @@ def tpcds_q62_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("warehouse", "sm_type", "web_name")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 15 (round 8 continued): the three-channel six-instance growth
+# report, the double-OR demographic bands, the OR-of-three-predicates
+# rollup feed, the four-level geography ROLLUP of averages, and the
+# triple-fact sum chain (tpcds/q04.sql, q13.sql, q15.sql, q18.sql,
+# q25.sql).
+# --------------------------------------------------------------------------
+
+
+_Q4_YT = """
+SELECT o_custkey AS custkey, CAST(year(o_orderdate) AS INT) AS yr,
+       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 's'
+            WHEN o_orderpriority = '3-MEDIUM' THEN 'c'
+            ELSE 'w' END AS sale_type,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS year_total
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE year(o_orderdate) IN (1996, 1997)
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "tpcds_q4_adapted",
+    oracle=f"""
+WITH year_total AS ({_Q4_YT})
+SELECT s2.custkey
+FROM year_total s1
+JOIN year_total s2 ON s1.custkey = s2.custkey
+JOIN year_total c1 ON s1.custkey = c1.custkey
+JOIN year_total c2 ON s1.custkey = c2.custkey
+JOIN year_total w1 ON s1.custkey = w1.custkey
+JOIN year_total w2 ON s1.custkey = w2.custkey
+WHERE s1.sale_type = 's' AND s2.sale_type = 's'
+  AND c1.sale_type = 'c' AND c2.sale_type = 'c'
+  AND w1.sale_type = 'w' AND w2.sale_type = 'w'
+  AND s1.yr = 1996 AND s2.yr = 1997
+  AND c1.yr = 1996 AND c2.yr = 1997
+  AND w1.yr = 1996 AND w2.yr = 1997
+  AND s1.year_total > 0 AND c1.year_total > 0 AND w1.year_total > 0
+  AND CAST(c2.year_total AS DOUBLE) / c1.year_total
+      > CAST(s2.year_total AS DOUBLE) / s1.year_total
+  AND CAST(c2.year_total AS DOUBLE) / c1.year_total
+      > CAST(w2.year_total AS DOUBLE) / w1.year_total
+ORDER BY s2.custkey
+LIMIT 100
+""",
+)
+def tpcds_q4_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q4 (tpcds/q04.sql): the THREE-channel year-over-year
+    report — q11's big sibling: one year_total CTE over three
+    channels, SIX instances self-joined on customer, keeping
+    customers whose catalog growth beat BOTH store and web growth.
+    Fixture roles: the three channels -> priority bands
+    (urgent+high / medium / rest); ss_ext_list_price -
+    ss_ext_discount_amt -> extendedprice * (1 - discount) in exact
+    cents; ratios are single divisions of exact integers.
+    Plan: year_total persisted (SIX consumers); all instances join
+    off the cached customer x year x channel aggregate."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    yt = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                F.lit("s"),
+            )
+            .when(F.col("o_orderpriority") == "3-MEDIUM", F.lit("c"))
+            .otherwise(F.lit("w"))
+            .alias("sale_type"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).cast("bigint").alias("year_total")
+        )
+        .persist()
+    )
+
+    def inst(alias, st, yr):
+        return (
+            yt.filter((F.col("sale_type") == st) & (F.col("yr") == yr))
+            .alias(alias)
+        )
+
+    s1, s2 = inst("s1", "s", 1996), inst("s2", "s", 1997)
+    c1, c2 = inst("c1", "c", 1996), inst("c2", "c", 1997)
+    w1, w2 = inst("w1", "w", 1996), inst("w2", "w", 1997)
+
+    def growth(num, den):
+        return (
+            F.col(f"{num}.year_total").cast("double")
+            / F.col(f"{den}.year_total")
+        )
+
+    return (
+        s1.join(s2, F.col("s1.custkey") == F.col("s2.custkey"))
+        .join(c1, F.col("s1.custkey") == F.col("c1.custkey"))
+        .join(c2, F.col("s1.custkey") == F.col("c2.custkey"))
+        .join(w1, F.col("s1.custkey") == F.col("w1.custkey"))
+        .join(w2, F.col("s1.custkey") == F.col("w2.custkey"))
+        .filter(
+            (F.col("s1.year_total") > 0)
+            & (F.col("c1.year_total") > 0)
+            & (F.col("w1.year_total") > 0)
+            & (growth("c2", "c1") > growth("s2", "s1"))
+            & (growth("c2", "c1") > growth("w2", "w1"))
+        )
+        .select(F.col("s2.custkey").alias("custkey"))
+        .orderBy("custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q13_adapted",
+    oracle="""
+SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 100.0 AS avg_price,
+       CAST(SUM(CAST(round(l_tax * 10000) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 10000.0 AS avg_tax,
+       round(SUM(CAST(round(l_tax * 10000) AS BIGINT)) / 10000.0, 4)
+         AS sum_tax
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE year(o_orderdate) = 1997
+  AND ((c_mktsegment = 'BUILDING'
+        AND l_extendedprice BETWEEN 30000 AND 60000
+        AND o_orderpriority = '1-URGENT')
+    OR (c_mktsegment = 'AUTOMOBILE'
+        AND l_extendedprice BETWEEN 10000 AND 40000
+        AND o_orderpriority = '3-MEDIUM')
+    OR (c_mktsegment = 'MACHINERY'
+        AND l_extendedprice BETWEEN 40000 AND 70000
+        AND o_orderpriority = '5-LOW'))
+  AND ((n_name IN ('NATION_1', 'NATION_5', 'NATION_9')
+        AND l_quantity BETWEEN 10 AND 30)
+    OR (n_name IN ('NATION_12', 'NATION_17', 'NATION_21')
+        AND l_quantity BETWEEN 20 AND 40)
+    OR (n_name IN ('NATION_2', 'NATION_8', 'NATION_23')
+        AND l_quantity BETWEEN 30 AND 50))
+""",
+)
+def tpcds_q13_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q13 (tpcds/q13.sql): global averages under TWO
+    conjoined OR-groups of dimension x measure bands (demographic
+    bands AND geography bands — each row must satisfy one branch of
+    EACH group). Fixture roles: marital/education pairs ->
+    mktsegment x priority, sales-price bands -> extendedprice
+    bands, state triples -> nation triples, net-profit bands ->
+    quantity bands. All averages exact (integer sums over one
+    division).
+    Plan: the OR-groups are pure row-level residuals over the
+    joined row — no union fan-out; dims broadcast; single global
+    aggregate."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    demo = (
+        (
+            (F.col("c_mktsegment") == "BUILDING")
+            & F.col("l_extendedprice").between(30000, 60000)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        | (
+            (F.col("c_mktsegment") == "AUTOMOBILE")
+            & F.col("l_extendedprice").between(10000, 40000)
+            & (F.col("o_orderpriority") == "3-MEDIUM")
+        )
+        | (
+            (F.col("c_mktsegment") == "MACHINERY")
+            & F.col("l_extendedprice").between(40000, 70000)
+            & (F.col("o_orderpriority") == "5-LOW")
+        )
+    )
+    geo = (
+        (
+            F.col("n_name").isin("NATION_1", "NATION_5", "NATION_9")
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            F.col("n_name").isin("NATION_12", "NATION_17", "NATION_21")
+            & F.col("l_quantity").between(20, 40)
+        )
+        | (
+            F.col("n_name").isin("NATION_2", "NATION_8", "NATION_23")
+            & F.col("l_quantity").between(30, 50)
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .filter((F.year("o_orderdate") == 1997) & demo & geo)
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+                / F.count("l_quantity")
+            ).alias("avg_qty"),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / 100.0
+            ).alias("avg_price"),
+            (
+                F.sum(
+                    F.round(F.col("l_tax") * 10000).cast("bigint")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / 10000.0
+            ).alias("avg_tax"),
+            F.round(
+                F.sum(F.round(F.col("l_tax") * 10000).cast("bigint"))
+                / 10000.0,
+                4,
+            ).alias("sum_tax"),
+        )
+    )
+
+
+@register(
+    "tpcds_q15_adapted",
+    oracle=f"""
+SELECT lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') AS zip,
+       {oracle_dec_sum('l_extendedprice', 'sales')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE (lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')
+         IN ('05', '13', '31', '47', '59', '66', '74', '88', '92')
+    OR n_name IN ('NATION_3', 'NATION_11', 'NATION_19')
+    OR l_extendedprice > 55000)
+  AND year(o_orderdate) = 1997 AND quarter(o_orderdate) = 2
+GROUP BY 1
+ORDER BY zip
+LIMIT 100
+""",
+)
+def tpcds_q15_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q15 (tpcds/q15.sql): catalog sales per zip where the
+    row qualifies by ANY of three unrelated predicates — a zip-list
+    membership, a state-list membership, or a price threshold (the
+    corpus's OR-across-dimensions signature, which defeats
+    single-dimension pushdown). Fixture roles as q8 (derived zip) +
+    nation states + extendedprice.
+    Plan: one residual OR filter over the joined row; single
+    aggregate shuffle on the derived zip."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    zip_of = F.lpad((F.col("c_custkey") % 100).cast("string"), 2, "0")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .filter(
+            (
+                zip_of.isin(
+                    "05", "13", "31", "47", "59", "66", "74", "88", "92"
+                )
+                | F.col("n_name").isin(
+                    "NATION_3", "NATION_11", "NATION_19"
+                )
+                | (F.col("l_extendedprice") > 55000)
+            )
+            & (F.year("o_orderdate") == 1997)
+            & (F.quarter("o_orderdate") == 2)
+        )
+        .groupBy(zip_of.alias("zip"))
+        .agg(dec_sum("l_extendedprice", "sales"))
+        .orderBy("zip")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q18_adapted",
+    oracle="""
+SELECT p_brand, n_name, c_mktsegment, o_orderpriority,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         / COUNT(l_quantity) AS agg1,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 100.0 AS agg2,
+       CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 10000.0 AS agg3,
+       CAST(SUM(CAST(round(l_tax * 10000) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 10000.0 AS agg4,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 100.0 AS agg5
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE year(o_orderdate) = 1997
+  AND month(o_orderdate) IN (1, 2, 6, 8, 9, 12)
+  AND n_name IN ('NATION_2', 'NATION_7', 'NATION_13', 'NATION_18',
+                 'NATION_22')
+GROUP BY ROLLUP (p_brand, n_name, c_mktsegment, o_orderpriority)
+ORDER BY p_brand NULLS FIRST, n_name NULLS FIRST,
+         c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST
+LIMIT 100
+""",
+)
+def tpcds_q18_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q18 (tpcds/q18.sql): four-level ROLLUP (item,
+    country, state, county) of FIVE decimal averages with a
+    birth-month IN filter and a state list. Fixture roles: the
+    geography chain -> (brand, nation, mktsegment, priority);
+    c_birth_month IN -> order month IN; the seven DECIMAL(12,2)
+    averages -> five exact-integer averages (quantity, price,
+    discount, tax, acctbal).
+    Plan: dims broadcast; the 4-level rollup is one Expand +
+    shuffle; averages exact at every grouping level."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+
+    def exact_avg(col, scale, out):
+        return (
+            F.sum(F.round(F.col(col) * scale).cast("bigint"))
+            .cast("double")
+            / F.count(F.lit(1))
+            / float(scale)
+        ).alias(out)
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            (F.year("o_orderdate") == 1997)
+            & F.month("o_orderdate").isin(1, 2, 6, 8, 9, 12)
+            & F.col("n_name").isin(
+                "NATION_2", "NATION_7", "NATION_13", "NATION_18",
+                "NATION_22",
+            )
+        )
+        .rollup("p_brand", "n_name", "c_mktsegment", "o_orderpriority")
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+                / F.count("l_quantity")
+            ).alias("agg1"),
+            exact_avg("l_extendedprice", 100, "agg2"),
+            exact_avg("l_discount", 10000, "agg3"),
+            exact_avg("l_tax", 10000, "agg4"),
+            exact_avg("c_acctbal", 100, "agg5"),
+        )
+        .orderBy(
+            F.col("p_brand").asc_nulls_first(),
+            F.col("n_name").asc_nulls_first(),
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q25_adapted",
+    oracle=f"""
+WITH ss AS (
+  SELECT l_suppkey AS sk, o_custkey AS ck, l_partkey AS ik,
+         l_extendedprice AS amt
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag <> 'R' AND month(o_orderdate) = 4
+    AND year(o_orderdate) = 1997
+),
+sr AS (
+  SELECT l_suppkey AS sk, o_custkey AS ck, l_partkey AS ik,
+         l_extendedprice AS amt
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R' AND month(o_orderdate) BETWEEN 4 AND 10
+    AND year(o_orderdate) = 1997
+),
+cs AS (
+  SELECT l_suppkey AS sk, o_custkey AS ck, l_partkey AS ik,
+         l_extendedprice AS amt
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag <> 'R' AND month(o_orderdate) BETWEEN 5 AND 10
+    AND year(o_orderdate) = 1997
+)
+SELECT s_name, p_brand,
+       {oracle_dec_sum('ss.amt', 'store_sales_profit')},
+       {oracle_dec_sum('sr.amt', 'store_returns_loss')},
+       {oracle_dec_sum('cs.amt', 'catalog_sales_profit')}
+FROM ss
+JOIN sr ON ss.sk = sr.sk AND ss.ck = sr.ck
+JOIN cs ON ss.sk = cs.sk AND ss.ck = cs.ck
+JOIN supplier ON s_suppkey = ss.sk
+JOIN part ON p_partkey = ss.ik
+GROUP BY s_name, p_brand
+ORDER BY s_name, p_brand
+LIMIT 100
+""",
+)
+def tpcds_q25_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q25 (tpcds/q25.sql): the q17-family triple-fact chain
+    (sale -> return -> repurchase, month-staggered windows) with SUM
+    measures and both dims decorating the output (q17 takes
+    count/avg/stddev; q25 takes profit sums per (store, item)).
+    Fixture roles as q17: the three streams are returnflag/month
+    slices of lineitem x orders keyed (suppkey, custkey) — the
+    item key stays in the output decoration (the 3-part key is
+    vacuous at fixture scale).
+    Plan: the three slices co-partition on the composite key — three
+    slice shuffles, zero-exchange joins between them, dims
+    broadcast."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey)
+
+    def slice_(pred, alias):
+        return (
+            lo.filter(pred & (F.year("o_orderdate") == 1997))
+            .select(
+                F.col("l_suppkey").alias("sk"),
+                F.col("o_custkey").alias("ck"),
+                F.col("l_partkey").alias("ik"),
+                F.col("l_extendedprice").alias("amt"),
+            )
+            .alias(alias)
+        )
+
+    ss = slice_(
+        (F.col("l_returnflag") != "R") & (F.month("o_orderdate") == 4),
+        "ss",
+    )
+    sr = slice_(
+        (F.col("l_returnflag") == "R")
+        & F.month("o_orderdate").between(4, 10),
+        "sr",
+    )
+    cs = slice_(
+        (F.col("l_returnflag") != "R")
+        & F.month("o_orderdate").between(5, 10),
+        "cs",
+    )
+    return (
+        ss.join(
+            sr,
+            (F.col("ss.sk") == F.col("sr.sk"))
+            & (F.col("ss.ck") == F.col("sr.ck")),
+        )
+        .join(
+            cs,
+            (F.col("ss.sk") == F.col("cs.sk"))
+            & (F.col("ss.ck") == F.col("cs.ck")),
+        )
+        .join(supp, F.col("ss.sk") == supp.s_suppkey)
+        .join(part, F.col("ss.ik") == part.p_partkey)
+        .groupBy("s_name", "p_brand")
+        .agg(
+            dec_sum(F.col("ss.amt"), "store_sales_profit"),
+            dec_sum(F.col("sr.amt"), "store_returns_loss"),
+            dec_sum(F.col("cs.amt"), "catalog_sales_profit"),
+        )
+        .orderBy("s_name", "p_brand")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q28_adapted",
+    oracle="""
+WITH b AS (
+  SELECT CAST(floor((l_quantity - 1) / 10) AS INT) AS bucket,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_s
+  FROM lineitem WHERE l_quantity BETWEEN 1 AND 50
+),
+panels AS (
+  SELECT bucket,
+         CAST(SUM(price_s) AS DOUBLE) / COUNT(*) / 100.0 AS avg_price,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(COUNT(DISTINCT price_s) AS BIGINT) AS cnt_distinct
+  FROM b GROUP BY bucket
+)
+SELECT
+  MAX(CASE WHEN bucket = 0 THEN avg_price END) AS b1_avg,
+  MAX(CASE WHEN bucket = 0 THEN cnt END) AS b1_cnt,
+  MAX(CASE WHEN bucket = 0 THEN cnt_distinct END) AS b1_cntd,
+  MAX(CASE WHEN bucket = 1 THEN avg_price END) AS b2_avg,
+  MAX(CASE WHEN bucket = 1 THEN cnt END) AS b2_cnt,
+  MAX(CASE WHEN bucket = 1 THEN cnt_distinct END) AS b2_cntd,
+  MAX(CASE WHEN bucket = 2 THEN avg_price END) AS b3_avg,
+  MAX(CASE WHEN bucket = 2 THEN cnt END) AS b3_cnt,
+  MAX(CASE WHEN bucket = 2 THEN cnt_distinct END) AS b3_cntd,
+  MAX(CASE WHEN bucket = 3 THEN avg_price END) AS b4_avg,
+  MAX(CASE WHEN bucket = 3 THEN cnt END) AS b4_cnt,
+  MAX(CASE WHEN bucket = 3 THEN cnt_distinct END) AS b4_cntd,
+  MAX(CASE WHEN bucket = 4 THEN avg_price END) AS b5_avg,
+  MAX(CASE WHEN bucket = 4 THEN cnt END) AS b5_cnt,
+  MAX(CASE WHEN bucket = 4 THEN cnt_distinct END) AS b5_cntd
+FROM panels
+""",
+)
+def tpcds_q28_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q28 (tpcds/q28.sql): six quantity-band panels — each
+    (avg list price, count, count DISTINCT price) — cross-joined
+    into ONE wide row (the reference writes six subqueries and five
+    cross joins). Like q9, the Spark-first lowering computes every
+    panel in one grouped pass (bucket key) including the per-band
+    COUNT(DISTINCT), then folds to a single row — one scan + one
+    distinct-expand instead of six scans.
+    Plan: groupBy(bucket).agg(count_distinct) plans Spark's Expand;
+    the fold is a 1-row aggregate. Averages exact."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    price_s = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    panels = (
+        li.filter(F.col("l_quantity").between(1, 50))
+        .select(
+            F.floor((F.col("l_quantity") - 1) / 10)
+            .cast("int")
+            .alias("bucket"),
+            price_s.alias("price_s"),
+        )
+        .groupBy("bucket")
+        .agg(
+            (
+                F.sum("price_s").cast("double")
+                / F.count(F.lit(1))
+                / 100.0
+            ).alias("avg_price"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.count_distinct(F.col("price_s"))
+            .cast("bigint")
+            .alias("cnt_distinct"),
+        )
+    )
+    cols = []
+    for i in range(5):
+        for meas, tag in (("avg_price", "avg"), ("cnt", "cnt"),
+                          ("cnt_distinct", "cntd")):
+            cols.append(
+                F.max(
+                    F.when(F.col("bucket") == i, F.col(meas))
+                ).alias(f"b{i + 1}_{tag}")
+            )
+    return panels.agg(*cols)
+
+
+@register(
+    "tpcds_q55_adapted",
+    oracle=f"""
+SELECT p_brand,
+       {oracle_dec_sum('l_extendedprice', 'ext_price')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_size BETWEEN 20 AND 40
+  AND year(o_orderdate) = 1997 AND month(o_orderdate) = 11
+GROUP BY p_brand
+ORDER BY ext_price DESC, p_brand
+LIMIT 100
+""",
+)
+def tpcds_q55_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q55 (tpcds/q55.sql): the minimal star — one month's
+    brand revenue under a manager filter, ordered by revenue. The
+    corpus's smallest template (it exists to measure bare
+    star-join + topn throughput). Fixture roles: i_manager_id=28 ->
+    p_size band; d_moy/d_year -> order month/year.
+    Plan: part broadcast, one aggregate shuffle,
+    TakeOrderedAndProject."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            F.col("p_size").between(20, 40)
+            & (F.year("o_orderdate") == 1997)
+            & (F.month("o_orderdate") == 11)
+        )
+        .groupBy("p_brand")
+        .agg(dec_sum("l_extendedprice", "ext_price"))
+        .orderBy(F.col("ext_price").desc(), "p_brand")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q71_adapted",
+    oracle=f"""
+WITH channels AS (
+  SELECT l_extendedprice AS price, l_partkey AS item,
+         o_orderdate AS sold
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    AND year(o_orderdate) = 1997 AND month(o_orderdate) = 12
+  UNION ALL
+  SELECT l_extendedprice, l_partkey, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '3-MEDIUM'
+    AND year(o_orderdate) = 1997 AND month(o_orderdate) = 12
+  UNION ALL
+  SELECT l_extendedprice, l_partkey, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+    AND year(o_orderdate) = 1997 AND month(o_orderdate) = 12
+)
+SELECT p_brand,
+       CAST(CASE WHEN day(sold) <= 15 THEN 'am' ELSE 'pm' END
+            AS VARCHAR) AS meal_time,
+       {oracle_dec_sum('price', 'ext_price')}
+FROM channels JOIN part ON item = p_partkey
+WHERE p_size BETWEEN 10 AND 30
+GROUP BY p_brand, CASE WHEN day(sold) <= 15 THEN 'am' ELSE 'pm' END
+ORDER BY ext_price DESC, p_brand, meal_time
+LIMIT 100
+""",
+)
+def tpcds_q71_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q71 (tpcds/q71.sql): brand revenue by time-band across
+    the UNION of all three channels — the three-fact union feeding
+    one star aggregate with a derived time bucket (breakfast/dinner
+    hours -> first/second half of the month). Fixture roles as q33
+    (channels -> priority bands) + the time dim -> day-of-month
+    band.
+    Plan: the union is channel slices of one fact (the reference
+    unions three facts); one aggregate shuffle; part broadcast."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        (F.year("o_orderdate") == 1997)
+        & (F.month("o_orderdate") == 12)
+    )
+
+    def chan(prios):
+        return lo.filter(F.col("o_orderpriority").isin(*prios)).select(
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_partkey").alias("item"),
+            F.col("o_orderdate").alias("sold"),
+        )
+
+    channels = (
+        chan(["1-URGENT", "2-HIGH"])
+        .unionAll(chan(["3-MEDIUM"]))
+        .unionAll(chan(["4-NOT SPECIFIED", "5-LOW"]))
+    )
+    meal = F.when(F.dayofmonth("sold") <= 15, F.lit("am")).otherwise(
+        F.lit("pm")
+    )
+    return (
+        channels.join(part, channels.item == part.p_partkey)
+        .filter(F.col("p_size").between(10, 30))
+        .groupBy("p_brand", meal.alias("meal_time"))
+        .agg(dec_sum("price", "ext_price"))
+        .orderBy(F.col("ext_price").desc(), "p_brand", "meal_time")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q91_adapted",
+    oracle=f"""
+SELECT s_name AS call_center,
+       CAST(month(o_orderdate) AS INT) AS moy,
+       {oracle_dec_sum('l_extendedprice * l_discount', 'returns_loss')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_returnflag = 'R'
+  AND year(o_orderdate) = 1997
+  AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+  AND c_acctbal < 5000
+GROUP BY s_name, month(o_orderdate)
+ORDER BY returns_loss DESC, call_center, moy
+LIMIT 100
+""",
+)
+def tpcds_q91_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q91 (tpcds/q91.sql): call-center returns loss — the
+    returns fact through customer-demographic filters, grouped per
+    (call center, month), ordered by loss. Fixture roles: call
+    center -> supplier, cd_marital/education pairs -> mktsegment
+    list, hd_buy_potential -> acctbal band, catalog_returns ->
+    'R'-flagged lineitems.
+    Plan: pure star over the returns slice; dims broadcast; one
+    aggregate shuffle; ordered LIMIT with tiebreaks."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.year("o_orderdate") == 1997)
+            & F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            & (F.col("c_acctbal") < 5000)
+        )
+        .groupBy(
+            F.col("s_name").alias("call_center"),
+            F.month("o_orderdate").cast("int").alias("moy"),
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * F.col("l_discount"),
+                "returns_loss",
+            )
+        )
+        .orderBy(F.col("returns_loss").desc(), "call_center", "moy")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q83_adapted",
+    oracle="""
+WITH dates AS (
+  SELECT DISTINCT o_orderdate AS d FROM orders
+  WHERE o_orderdate IN (SELECT o_orderdate FROM orders
+                        WHERE year(o_orderdate) = 1997
+                          AND month(o_orderdate) IN (3, 6, 9))
+),
+ch1 AS (
+  SELECT l_partkey AS item,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate IN (SELECT d FROM dates)
+    AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+  GROUP BY l_partkey
+),
+ch2 AS (
+  SELECT l_partkey AS item,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate IN (SELECT d FROM dates)
+    AND o_orderpriority = '3-MEDIUM'
+  GROUP BY l_partkey
+),
+ch3 AS (
+  SELECT l_partkey AS item,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate IN (SELECT d FROM dates)
+    AND o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+  GROUP BY l_partkey
+)
+SELECT ch1.item,
+       ch1.qty AS sr_qty,
+       round(CAST(ch1.qty AS DOUBLE)
+             / (ch1.qty + ch2.qty + ch3.qty) * 100, 9) AS sr_share,
+       ch2.qty AS cr_qty, ch3.qty AS wr_qty,
+       CAST(ch1.qty + ch2.qty + ch3.qty AS BIGINT) AS total_qty
+FROM ch1
+JOIN ch2 ON ch1.item = ch2.item
+JOIN ch3 ON ch1.item = ch3.item
+ORDER BY ch1.item
+LIMIT 100
+""",
+)
+def tpcds_q83_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q83 (tpcds/q83.sql): three-way return-share — per-item
+    returned quantities in each channel over a date set defined by a
+    nested date IN-subquery chain, joined on item with each
+    channel's share of the three-channel total. Fixture roles:
+    channels -> priority bands of 'R' rows; the week-of IN-subquery
+    chain -> the distinct-dates IN-subquery (kept as a real
+    subquery, not folded literals). Shares are single divisions of
+    exact bigint sums.
+    Plan: the date set is tiny (broadcast semi); three channel
+    aggregates co-partition on item; the three-way join runs on
+    aggregates."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    dates = (
+        orders.filter(
+            (F.year("o_orderdate") == 1997)
+            & F.month("o_orderdate").isin(3, 6, 9)
+        )
+        .select(F.col("o_orderdate").alias("d"))
+        .distinct()
+    )
+    r = li.filter(F.col("l_returnflag") == "R").join(
+        orders, li.l_orderkey == orders.o_orderkey
+    )
+
+    def chan(alias, prios):
+        return (
+            r.filter(F.col("o_orderpriority").isin(*prios))
+            .join(
+                F.broadcast(dates),
+                F.col("o_orderdate") == dates.d,
+                "left_semi",
+            )
+            .groupBy(F.col("l_partkey").alias("item"))
+            .agg(
+                F.sum(F.col("l_quantity").cast("bigint"))
+                .cast("bigint")
+                .alias("qty")
+            )
+            .alias(alias)
+        )
+
+    ch1 = chan("ch1", ["1-URGENT", "2-HIGH"])
+    ch2 = chan("ch2", ["3-MEDIUM"])
+    ch3 = chan("ch3", ["4-NOT SPECIFIED", "5-LOW"])
+    total = (
+        F.col("ch1.qty") + F.col("ch2.qty") + F.col("ch3.qty")
+    )
+    return (
+        ch1.join(ch2, F.col("ch1.item") == F.col("ch2.item"))
+        .join(ch3, F.col("ch1.item") == F.col("ch3.item"))
+        .select(
+            F.col("ch1.item").alias("item"),
+            F.col("ch1.qty").alias("sr_qty"),
+            F.round(
+                F.col("ch1.qty").cast("double") / total * 100, 9
+            ).alias("sr_share"),
+            F.col("ch2.qty").alias("cr_qty"),
+            F.col("ch3.qty").alias("wr_qty"),
+            total.cast("bigint").alias("total_qty"),
+        )
+        .orderBy("item")
+        .limit(100)
+    )
