@@ -6501,3 +6501,1696 @@ def tpcds_q83_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("item")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 16 (round 8 continued): the remaining family siblings —
+# closing the full q01-q99 shape set. Each entry keeps its template's
+# DISTINGUISHING feature and notes the family it extends
+# (tpcds/q02.sql, q10.sql, q12.sql, q20.sql, q26.sql, q29.sql,
+# q53.sql).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpcds_q2_adapted",
+    oracle="""
+WITH wscs AS (
+  SELECT o_orderdate AS sold,
+         CAST(round(l_extendedprice * 10000) AS BIGINT) AS price_s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority IN ('3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+),
+wk AS (
+  SELECT CAST(floor(date_diff('day', DATE '1995-01-01',
+              CAST(sold AS DATE)) / 7) AS BIGINT) AS wk_seq,
+         CAST(date_diff('day', DATE '1995-01-01',
+              CAST(sold AS DATE)) % 7 AS INT) AS dow, price_s
+  FROM wscs
+),
+wswscs AS (
+  SELECT wk_seq,
+         SUM(CASE WHEN dow = 0 THEN price_s END) AS sun_s,
+         SUM(CASE WHEN dow = 3 THEN price_s END) AS wed_s,
+         SUM(CASE WHEN dow = 6 THEN price_s END) AS sat_s
+  FROM wk GROUP BY wk_seq
+)
+SELECT y.wk_seq AS wk_seq1,
+       round(CAST(y.sun_s AS DOUBLE) / z.sun_s, 2) AS sun_r,
+       round(CAST(y.wed_s AS DOUBLE) / z.wed_s, 2) AS wed_r,
+       round(CAST(y.sat_s AS DOUBLE) / z.sat_s, 2) AS sat_r
+FROM wswscs y JOIN wswscs z ON y.wk_seq = z.wk_seq - 53
+ORDER BY y.wk_seq
+""",
+)
+def tpcds_q2_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q2 (tpcds/q02.sql): the cross-channel weekly
+    day-of-week matrix self-joined at wk + 53 — q59's sibling whose
+    distinguishing features are (a) the UNION of TWO channels
+    feeding one weekly pivot and (b) NULL-propagating day sums
+    (CASE without ELSE: a week with no Sunday sales yields NULL,
+    not 0). Engine-neutral week arithmetic as q59; ratios are
+    single divisions of exact scaled sums.
+    Plan: one union + one weekly aggregate (persisted for the two
+    self-join instances); the year-over-year join runs on the
+    aggregate."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
+    wscs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("o_orderpriority").isin(
+                "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            )
+        )
+        .select(
+            F.floor(days / 7).cast("bigint").alias("wk_seq"),
+            (days % 7).cast("int").alias("dow"),
+            F.round(F.col("l_extendedprice") * 10000)
+            .cast("bigint").alias("price_s"),
+        )
+    )
+
+    def day_sum(d, name):
+        return F.sum(
+            F.when(F.col("dow") == d, F.col("price_s"))
+        ).alias(name)
+
+    weekly = wscs.groupBy("wk_seq").agg(
+        day_sum(0, "sun_s"), day_sum(3, "wed_s"), day_sum(6, "sat_s")
+    ).persist()
+    y, z = weekly.alias("y"), weekly.alias("z")
+    return (
+        y.join(z, F.col("y.wk_seq") == F.col("z.wk_seq") - 53)
+        .select(
+            F.col("y.wk_seq").alias("wk_seq1"),
+            F.round(
+                F.col("y.sun_s").cast("double") / F.col("z.sun_s"), 2
+            ).alias("sun_r"),
+            F.round(
+                F.col("y.wed_s").cast("double") / F.col("z.wed_s"), 2
+            ).alias("wed_r"),
+            F.round(
+                F.col("y.sat_s").cast("double") / F.col("z.sat_s"), 2
+            ).alias("sat_r"),
+        )
+        .orderBy("wk_seq1")
+    )
+
+
+@register(
+    "tpcds_q10_adapted",
+    oracle="""
+SELECT c_mktsegment, n_name,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM customer c
+JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name IN ('NATION_4', 'NATION_9', 'NATION_14', 'NATION_20')
+  AND EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND year(o.o_orderdate) = 1996
+      AND quarter(o.o_orderdate) <= 2)
+  AND (EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderpriority = '5-LOW'
+      AND year(o.o_orderdate) = 1996
+      AND quarter(o.o_orderdate) <= 2)
+   OR EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderpriority = '3-MEDIUM'
+      AND year(o.o_orderdate) = 1996
+      AND quarter(o.o_orderdate) <= 2))
+GROUP BY c_mktsegment, n_name
+ORDER BY c_mktsegment, n_name
+""",
+)
+def tpcds_q10_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q10 (tpcds/q10.sql): q35's sibling — the county-
+    restricted demographic census gated on EXISTS store AND (EXISTS
+    web OR EXISTS catalog) within a quarter window, counts only.
+    Distinguishing feature vs q35: the county IN-list pre-filter on
+    the outer dimension and the quarter-bounded windows. Same
+    semi-join lowering.
+    Plan: the nation list prunes customers BEFORE the semi joins;
+    three small year+quarter-filtered build sides."""
+    ensure_session_defaults(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    o96 = orders.filter(
+        (F.year("o_orderdate") == 1996)
+        & (F.quarter("o_orderdate") <= 2)
+    )
+
+    def keys(pred):
+        return o96.filter(pred).select(F.col("o_custkey").alias("k"))
+
+    store_k = keys(F.lit(True))
+    either = keys(F.col("o_orderpriority") == "5-LOW").union(
+        keys(F.col("o_orderpriority") == "3-MEDIUM")
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .filter(
+            F.col("n_name").isin(
+                "NATION_4", "NATION_9", "NATION_14", "NATION_20"
+            )
+        )
+        .join(store_k, cust.c_custkey == store_k.k, "left_semi")
+        .join(either, cust.c_custkey == either.k, "left_semi")
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy("c_mktsegment", "n_name")
+    )
+
+
+_Q12_ORACLE_TMPL = """
+WITH agg AS (
+  SELECT p_brand, p_type,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev_s
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type IN ({types})
+    AND o_orderdate BETWEEN DATE '{d0}'
+                        AND DATE '{d0}' + INTERVAL 30 DAY
+    AND o_orderpriority IN ({prios})
+  GROUP BY p_brand, p_type
+)
+SELECT p_brand, p_type,
+       round(rev_s / 100.0, 2) AS itemrevenue,
+       round(CAST(rev_s AS DOUBLE) * 100
+             / SUM(rev_s) OVER (PARTITION BY p_type), 9)
+         AS revenueratio
+FROM agg
+ORDER BY p_type, p_brand
+LIMIT 100
+"""
+
+
+def _q12_like(spark, sf_dir, types, d0, d1, prios):
+    from pyspark.sql import Window
+
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            F.col("p_type").isin(*types)
+            & F.col("o_orderdate").between(d0, d1)
+            & F.col("o_orderpriority").isin(*prios)
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).cast("bigint").alias("rev_s")
+        )
+    )
+    w = Window.partitionBy("p_type")
+    return (
+        agg.select(
+            "p_brand", "p_type",
+            F.round(F.col("rev_s") / 100.0, 2).alias("itemrevenue"),
+            F.round(
+                F.col("rev_s").cast("double") * 100
+                / F.sum("rev_s").over(w),
+                9,
+            ).alias("revenueratio"),
+        )
+        .orderBy("p_type", "p_brand")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q12_adapted",
+    oracle=_Q12_ORACLE_TMPL.format(
+        types="'PROMO', 'STANDARD'", d0="1997-02-22",
+        prios="'4-NOT SPECIFIED', '5-LOW'",
+    ),
+)
+def tpcds_q12_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q12 (tpcds/q12.sql): WEB-channel item revenue with the
+    share-of-class window ratio over a 30-day window — q98's sibling
+    whose distinguishing feature is the channel (web -> low-priority
+    bands) and category list. revenueratio = rev * 100 / window sum
+    over class, exact scaled sums, one window pass over the
+    aggregate."""
+    return _q12_like(
+        spark, sf_dir, ["PROMO", "STANDARD"], "1997-02-22",
+        "1997-03-24", ["4-NOT SPECIFIED", "5-LOW"],
+    )
+
+
+@register(
+    "tpcds_q20_adapted",
+    oracle=_Q12_ORACLE_TMPL.format(
+        types="'ECONOMY', 'LARGE', 'BRUSHED'", d0="1997-06-10",
+        prios="'3-MEDIUM'",
+    ),
+)
+def tpcds_q20_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q20 (tpcds/q20.sql): the CATALOG-channel twin of q12
+    (catalog -> the medium band, a different category list and
+    window) — same share-of-class window-over-aggregate plan."""
+    return _q12_like(
+        spark, sf_dir, ["ECONOMY", "LARGE", "BRUSHED"], "1997-06-10",
+        "1997-07-10", ["3-MEDIUM"],
+    )
+
+
+@register(
+    "tpcds_q26_adapted",
+    oracle="""
+SELECT p_brand,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         / COUNT(l_quantity) AS agg1,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 100.0 AS agg2,
+       CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 10000.0 AS agg3,
+       CAST(SUM(CAST(round(l_tax * 10000) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 10000.0 AS agg4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN part ON l_partkey = p_partkey
+WHERE c_mktsegment = 'AUTOMOBILE' AND year(o_orderdate) = 1996
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY p_brand
+ORDER BY p_brand
+LIMIT 100
+""",
+)
+def tpcds_q26_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q26 (tpcds/q26.sql): q27 WITHOUT the rollup — the
+    plain demographic star of four exact averages per item (catalog
+    channel, promo filter in the reference -> priority bands). Kept
+    as the family's flat-grouping representative."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+
+    def exact_avg(col, scale, out):
+        return (
+            F.sum(F.round(F.col(col) * scale).cast("bigint"))
+            .cast("double")
+            / F.count(F.lit(1))
+            / float(scale)
+        ).alias(out)
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            (F.col("c_mktsegment") == "AUTOMOBILE")
+            & (F.year("o_orderdate") == 1996)
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .groupBy("p_brand")
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+                / F.count("l_quantity")
+            ).alias("agg1"),
+            exact_avg("l_extendedprice", 100, "agg2"),
+            exact_avg("l_discount", 10000, "agg3"),
+            exact_avg("l_tax", 10000, "agg4"),
+        )
+        .orderBy("p_brand")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q29_adapted",
+    oracle=f"""
+WITH ss AS (
+  SELECT l_suppkey AS sk, o_custkey AS ck, l_quantity AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag <> 'R' AND month(o_orderdate) = 2
+    AND year(o_orderdate) = 1996
+),
+sr AS (
+  SELECT l_suppkey AS sk, o_custkey AS ck, l_quantity AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R' AND month(o_orderdate) BETWEEN 2 AND 5
+    AND year(o_orderdate) = 1996
+),
+cs AS (
+  SELECT l_suppkey AS sk, o_custkey AS ck, l_quantity AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag <> 'R'
+    AND year(o_orderdate) IN (1996, 1997, 1998)
+    AND month(o_orderdate) > 5
+)
+SELECT s_name,
+       CAST(SUM(CAST(ss.qty AS BIGINT)) AS BIGINT) AS store_qty,
+       CAST(SUM(CAST(sr.qty AS BIGINT)) AS BIGINT) AS return_qty,
+       CAST(SUM(CAST(cs.qty AS BIGINT)) AS BIGINT) AS catalog_qty
+FROM ss
+JOIN sr ON ss.sk = sr.sk AND ss.ck = sr.ck
+JOIN cs ON ss.sk = cs.sk AND ss.ck = cs.ck
+JOIN supplier ON s_suppkey = ss.sk
+GROUP BY s_name
+ORDER BY s_name
+LIMIT 100
+""",
+)
+def tpcds_q29_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q29 (tpcds/q29.sql): the third member of the
+    q17/q25 triple-fact family — QUANTITY flows (sold / returned /
+    repurchased-any-of-3-years), the repurchase window spanning
+    three years (the family's widest date-role spread). Same
+    co-partitioned chain plan as q17/q25."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey)
+
+    def slice_(pred, alias):
+        return (
+            lo.filter(pred)
+            .select(
+                F.col("l_suppkey").alias("sk"),
+                F.col("o_custkey").alias("ck"),
+                F.col("l_quantity").alias("qty"),
+            )
+            .alias(alias)
+        )
+
+    ss = slice_(
+        (F.col("l_returnflag") != "R")
+        & (F.year("o_orderdate") == 1996)
+        & (F.month("o_orderdate") == 2),
+        "ss",
+    )
+    sr = slice_(
+        (F.col("l_returnflag") == "R")
+        & (F.year("o_orderdate") == 1996)
+        & F.month("o_orderdate").between(2, 5),
+        "sr",
+    )
+    cs = slice_(
+        (F.col("l_returnflag") != "R")
+        & F.year("o_orderdate").isin(1996, 1997, 1998)
+        & (F.month("o_orderdate") > 5),
+        "cs",
+    )
+    return (
+        ss.join(
+            sr,
+            (F.col("ss.sk") == F.col("sr.sk"))
+            & (F.col("ss.ck") == F.col("sr.ck")),
+        )
+        .join(
+            cs,
+            (F.col("ss.sk") == F.col("cs.sk"))
+            & (F.col("ss.ck") == F.col("cs.ck")),
+        )
+        .join(supp, F.col("ss.sk") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.sum(F.col("ss.qty").cast("bigint"))
+            .cast("bigint").alias("store_qty"),
+            F.sum(F.col("sr.qty").cast("bigint"))
+            .cast("bigint").alias("return_qty"),
+            F.sum(F.col("cs.qty").cast("bigint"))
+            .cast("bigint").alias("catalog_qty"),
+        )
+        .orderBy("s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q53_adapted",
+    oracle="""
+WITH quarterly AS (
+  SELECT p_brand, CAST(quarter(o_orderdate) AS INT) AS qoy,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS sum_s
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE year(o_orderdate) = 1997
+    AND ((p_type IN ('PROMO', 'STANDARD')
+          AND p_size BETWEEN 1 AND 20)
+      OR (p_type IN ('ECONOMY', 'LARGE')
+          AND p_size BETWEEN 21 AND 50))
+  GROUP BY p_brand, quarter(o_orderdate)
+),
+win AS (
+  SELECT *, avg(CAST(sum_s AS DOUBLE)) OVER (PARTITION BY p_brand)
+            AS avg_q
+  FROM quarterly
+)
+SELECT p_brand, qoy, round(sum_s / 100.0, 2) AS sum_sales,
+       round(avg_q / 100.0, 4) AS avg_quarterly_sales
+FROM win
+WHERE CASE WHEN avg_q > 0 THEN abs(sum_s - avg_q) / avg_q
+           ELSE NULL END > 0.1
+ORDER BY avg_q, sum_s, p_brand, qoy
+LIMIT 100
+""",
+)
+def tpcds_q53_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q53 (tpcds/q53.sql): q89's QUARTERLY sibling — the
+    manufacturer's quarterly sales vs their average quarter, with
+    the two-sided OR category/brand-band filter that q89 lacks and
+    the deviation filter over exact cents. One window pass over the
+    quarterly aggregate."""
+    from pyspark.sql import Window
+
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    bands = (
+        (
+            F.col("p_type").isin("PROMO", "STANDARD")
+            & F.col("p_size").between(1, 20)
+        )
+        | (
+            F.col("p_type").isin("ECONOMY", "LARGE")
+            & F.col("p_size").between(21, 50)
+        )
+    )
+    quarterly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter((F.year("o_orderdate") == 1997) & bands)
+        .groupBy(
+            "p_brand",
+            F.quarter("o_orderdate").cast("int").alias("qoy"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).cast("bigint").alias("sum_s")
+        )
+    )
+    w = Window.partitionBy("p_brand")
+    win = quarterly.withColumn(
+        "avg_q", F.avg(F.col("sum_s").cast("double")).over(w)
+    )
+    dev = F.when(
+        F.col("avg_q") > 0,
+        F.abs(F.col("sum_s") - F.col("avg_q")) / F.col("avg_q"),
+    ).otherwise(F.lit(None))
+    return (
+        win.filter(dev > 0.1)
+        .select(
+            "p_brand", "qoy",
+            F.round(F.col("sum_s") / 100.0, 2).alias("sum_sales"),
+            F.round(F.col("avg_q") / 100.0, 4).alias(
+                "avg_quarterly_sales"
+            ),
+            F.col("avg_q").alias("__a"),
+        )
+        .orderBy("__a", "sum_sales", "p_brand", "qoy")
+        .limit(100)
+        .drop("__a")
+    )
+
+
+_Q56_ORACLE_TMPL = """
+WITH items AS (
+  SELECT p_partkey, p_brand FROM part WHERE {item_pred}
+),
+ch AS (
+  SELECT p_brand,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev_s
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN items ON l_partkey = p_partkey
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    AND year(o_orderdate) = 1997 AND month(o_orderdate) = {moy}
+  GROUP BY p_brand
+  UNION ALL
+  SELECT p_brand,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT)
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN items ON l_partkey = p_partkey
+  WHERE o_orderpriority = '3-MEDIUM'
+    AND year(o_orderdate) = 1997 AND month(o_orderdate) = {moy}
+  GROUP BY p_brand
+  UNION ALL
+  SELECT p_brand,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT)
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN items ON l_partkey = p_partkey
+  WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+    AND year(o_orderdate) = 1997 AND month(o_orderdate) = {moy}
+  GROUP BY p_brand
+)
+SELECT p_brand, round(SUM(rev_s) / 100.0, 2) AS total_sales
+FROM ch GROUP BY p_brand
+ORDER BY total_sales DESC, p_brand
+LIMIT 100
+"""
+
+
+def _q56_like(spark, sf_dir, item_pred_col, moy):
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    items = part.filter(item_pred_col).select("p_partkey", "p_brand")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        (F.year("o_orderdate") == 1997)
+        & (F.month("o_orderdate") == moy)
+    )
+
+    def chan(prios):
+        return (
+            lo.filter(F.col("o_orderpriority").isin(*prios))
+            .join(F.broadcast(items), li.l_partkey == items.p_partkey)
+            .groupBy("p_brand")
+            .agg(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100)
+                    .cast("bigint")
+                ).cast("bigint").alias("rev_s")
+            )
+        )
+
+    ch = (
+        chan(["1-URGENT", "2-HIGH"])
+        .unionAll(chan(["3-MEDIUM"]))
+        .unionAll(chan(["4-NOT SPECIFIED", "5-LOW"]))
+    )
+    return (
+        ch.groupBy("p_brand")
+        .agg(F.round(F.sum("rev_s") / 100.0, 2).alias("total_sales"))
+        .orderBy(F.col("total_sales").desc(), "p_brand")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q56_adapted",
+    oracle=_Q56_ORACLE_TMPL.format(
+        item_pred="p_type IN ('PROMO', 'ECONOMY')", moy=3,
+    ),
+)
+def tpcds_q56_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q56 (tpcds/q56.sql): q33's sibling — per-item
+    three-channel aggregate CTEs UNION ALL'd and re-aggregated, the
+    item set defined by a COLOR list (-> p_type list) instead of
+    q33's category. Channel aggregates co-partition on brand; the
+    item set broadcasts."""
+    return _q56_like(
+        spark, sf_dir, F.col("p_type").isin("PROMO", "ECONOMY"), 3
+    )
+
+
+@register(
+    "tpcds_q60_adapted",
+    oracle=_Q56_ORACLE_TMPL.format(
+        item_pred="p_size BETWEEN 30 AND 45", moy=9,
+    ),
+)
+def tpcds_q60_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q60 (tpcds/q60.sql): the q56/q33 family's third member
+    — item set by category (-> p_size band) in a different month;
+    same three-channel union + re-aggregate plan."""
+    return _q56_like(
+        spark, sf_dir, F.col("p_size").between(30, 45), 9
+    )
+
+
+@register(
+    "tpcds_q57_adapted",
+    oracle="""
+WITH v1 AS (
+  SELECT s_name, p_brand, CAST(month(o_orderdate) AS INT) AS moy,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS sum_s
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE year(o_orderdate) = 1997
+    AND p_type IN ('PROMO', 'STANDARD')
+  GROUP BY s_name, p_brand, month(o_orderdate)
+),
+win AS (
+  SELECT *,
+         avg(CAST(sum_s AS DOUBLE)) OVER (PARTITION BY s_name, p_brand)
+           AS avg_monthly,
+         lag(sum_s) OVER (PARTITION BY s_name, p_brand ORDER BY moy)
+           AS psum,
+         lead(sum_s) OVER (PARTITION BY s_name, p_brand ORDER BY moy)
+           AS nsum
+  FROM v1
+)
+SELECT s_name, p_brand, moy,
+       round(sum_s / 100.0, 2) AS sum_sales,
+       round(avg_monthly / 100.0, 4) AS avg_monthly_sales,
+       round(COALESCE(psum, 0) / 100.0, 2) AS psum_sales,
+       round(COALESCE(nsum, 0) / 100.0, 2) AS nsum_sales
+FROM win
+WHERE avg_monthly > 0
+  AND abs(sum_s - avg_monthly) / avg_monthly > 0.1
+ORDER BY sum_s - avg_monthly, s_name, p_brand, moy
+LIMIT 100
+""",
+)
+def tpcds_q57_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q57 (tpcds/q57.sql): q47's CATALOG-channel sibling —
+    the monthly aggregate with avg-over-line PLUS lag/lead month
+    neighbors in one window pass, deviation-filtered. Distinguishing
+    feature vs q89/q53: the lag/lead columns ride the same window
+    partition. Exact cents throughout."""
+    from pyspark.sql import Window
+
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    v1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(
+            (F.year("o_orderdate") == 1997)
+            & F.col("p_type").isin("PROMO", "STANDARD")
+        )
+        .groupBy(
+            "s_name", "p_brand",
+            F.month("o_orderdate").cast("int").alias("moy"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).cast("bigint").alias("sum_s")
+        )
+    )
+    part_w = Window.partitionBy("s_name", "p_brand")
+    seq_w = part_w.orderBy("moy")
+    win = (
+        v1.withColumn(
+            "avg_monthly",
+            F.avg(F.col("sum_s").cast("double")).over(part_w),
+        )
+        .withColumn("psum", F.lag("sum_s").over(seq_w))
+        .withColumn("nsum", F.lead("sum_s").over(seq_w))
+    )
+    return (
+        win.filter(
+            (F.col("avg_monthly") > 0)
+            & (
+                F.abs(F.col("sum_s") - F.col("avg_monthly"))
+                / F.col("avg_monthly")
+                > 0.1
+            )
+        )
+        .select(
+            "s_name", "p_brand", "moy",
+            F.round(F.col("sum_s") / 100.0, 2).alias("sum_sales"),
+            F.round(F.col("avg_monthly") / 100.0, 4).alias(
+                "avg_monthly_sales"
+            ),
+            F.round(
+                F.coalesce(F.col("psum"), F.lit(0)) / 100.0, 2
+            ).alias("psum_sales"),
+            F.round(
+                F.coalesce(F.col("nsum"), F.lit(0)) / 100.0, 2
+            ).alias("nsum_sales"),
+            (F.col("sum_s") - F.col("avg_monthly")).alias("__d"),
+        )
+        .orderBy("__d", "s_name", "p_brand", "moy")
+        .limit(100)
+        .drop("__d")
+    )
+
+
+@register(
+    "tpcds_q63_adapted",
+    oracle="""
+WITH monthly AS (
+  SELECT p_size AS mgr, CAST(month(o_orderdate) AS INT) AS moy,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS sum_s
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE year(o_orderdate) = 1997
+    AND ((p_type IN ('PROMO', 'STANDARD')
+          AND p_brand IN ('Brand#1', 'Brand#3', 'Brand#5'))
+      OR (p_type IN ('ECONOMY', 'LARGE')
+          AND p_brand IN ('Brand#2', 'Brand#4')))
+  GROUP BY p_size, month(o_orderdate)
+),
+win AS (
+  SELECT *, avg(CAST(sum_s AS DOUBLE)) OVER (PARTITION BY mgr)
+            AS avg_m
+  FROM monthly
+)
+SELECT mgr, moy, round(sum_s / 100.0, 2) AS sum_sales,
+       round(avg_m / 100.0, 4) AS avg_monthly_sales
+FROM win
+WHERE CASE WHEN avg_m > 0 THEN abs(sum_s - avg_m) / avg_m
+           ELSE NULL END > 0.1
+ORDER BY mgr, avg_m, sum_s, moy
+LIMIT 100
+""",
+)
+def tpcds_q63_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q63 (tpcds/q63.sql): the MANAGER-keyed member of the
+    q53/q89 deviation family (i_manager_id -> p_size as the manager
+    surrogate) with the two-sided category/brand OR bands. One
+    window pass over the monthly aggregate, exact cents."""
+    from pyspark.sql import Window
+
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    bands = (
+        (
+            F.col("p_type").isin("PROMO", "STANDARD")
+            & F.col("p_brand").isin("Brand#1", "Brand#3", "Brand#5")
+        )
+        | (
+            F.col("p_type").isin("ECONOMY", "LARGE")
+            & F.col("p_brand").isin("Brand#2", "Brand#4")
+        )
+    )
+    monthly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter((F.year("o_orderdate") == 1997) & bands)
+        .groupBy(
+            F.col("p_size").alias("mgr"),
+            F.month("o_orderdate").cast("int").alias("moy"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).cast("bigint").alias("sum_s")
+        )
+    )
+    w = Window.partitionBy("mgr")
+    win = monthly.withColumn(
+        "avg_m", F.avg(F.col("sum_s").cast("double")).over(w)
+    )
+    dev = F.when(
+        F.col("avg_m") > 0,
+        F.abs(F.col("sum_s") - F.col("avg_m")) / F.col("avg_m"),
+    ).otherwise(F.lit(None))
+    return (
+        win.filter(dev > 0.1)
+        .select(
+            "mgr", "moy",
+            F.round(F.col("sum_s") / 100.0, 2).alias("sum_sales"),
+            F.round(F.col("avg_m") / 100.0, 4).alias(
+                "avg_monthly_sales"
+            ),
+            F.col("avg_m").alias("__a"),
+        )
+        .orderBy("mgr", "__a", "sum_sales", "moy")
+        .limit(100)
+        .drop("__a")
+    )
+
+
+@register(
+    "tpcds_q68_adapted",
+    oracle=f"""
+WITH dn AS (
+  SELECT o_orderkey AS ticket, o_custkey AS custkey,
+         n_name AS bought_nation,
+         {oracle_dec_sum('l_extendedprice', 'extended_price')},
+         {oracle_dec_sum('l_extendedprice * l_discount', 'ext_disc_amt')},
+         {oracle_dec_sum('l_extendedprice * l_tax', 'ext_tax')}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE month(o_orderdate) IN (1, 2)
+    AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+    AND n_name IN ('NATION_6', 'NATION_16')
+  GROUP BY o_orderkey, o_custkey, n_name
+)
+SELECT c_name, cn.n_name AS cust_nation, dn.bought_nation, dn.ticket,
+       dn.extended_price, dn.ext_disc_amt, dn.ext_tax
+FROM dn
+JOIN customer ON dn.custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE cn.n_name <> dn.bought_nation
+ORDER BY c_name, cust_nation, bought_nation, ticket
+LIMIT 100
+""",
+)
+def tpcds_q68_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q68 (tpcds/q68.sql): q46's sibling — the same
+    per-ticket aggregate + current-vs-bought city mismatch, but with
+    THREE money measures (price / discount / tax) and month-based
+    dim filters instead of the weekend filter. Same
+    aggregate-then-decorate plan."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    dn = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .filter(
+            F.month("o_orderdate").isin(1, 2)
+            & F.col("o_orderpriority").isin("1-URGENT", "3-MEDIUM")
+            & F.col("n_name").isin("NATION_6", "NATION_16")
+        )
+        .groupBy(
+            F.col("o_orderkey").alias("ticket"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("n_name").alias("bought_nation"),
+        )
+        .agg(
+            dec_sum("l_extendedprice", "extended_price"),
+            dec_sum(
+                F.col("l_extendedprice") * F.col("l_discount"),
+                "ext_disc_amt",
+            ),
+            dec_sum(
+                F.col("l_extendedprice") * F.col("l_tax"), "ext_tax"
+            ),
+        )
+    )
+    cn = nation.alias("cn")
+    return (
+        dn.join(cust, dn.custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn.n_nationkey"))
+        .filter(F.col("cn.n_name") != F.col("bought_nation"))
+        .select(
+            "c_name",
+            F.col("cn.n_name").alias("cust_nation"),
+            "bought_nation", "ticket", "extended_price",
+            "ext_disc_amt", "ext_tax",
+        )
+        .orderBy("c_name", "cust_nation", "bought_nation", "ticket")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q69_adapted",
+    oracle="""
+SELECT c_mktsegment, n_name, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM customer c
+JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name IN ('NATION_5', 'NATION_10', 'NATION_15')
+  AND EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND year(o.o_orderdate) = 1996
+      AND month(o.o_orderdate) BETWEEN 1 AND 3)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderpriority = '5-LOW'
+      AND year(o.o_orderdate) = 1996
+      AND month(o.o_orderdate) BETWEEN 1 AND 3)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderpriority = '3-MEDIUM'
+      AND year(o.o_orderdate) = 1996
+      AND month(o.o_orderdate) BETWEEN 1 AND 3)
+GROUP BY c_mktsegment, n_name
+ORDER BY c_mktsegment, n_name
+""",
+)
+def tpcds_q69_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q69 (tpcds/q69.sql): q10's complement — customers with
+    STORE activity but NO web and NO catalog activity in the window
+    (EXISTS + two NOT EXISTS -> one semi and two ANTI joins). The
+    anti-join pair is the family's distinguishing lowering."""
+    ensure_session_defaults(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(
+        (F.year("o_orderdate") == 1996)
+        & F.month("o_orderdate").between(1, 3)
+    )
+
+    def keys(pred):
+        return o.filter(pred).select(F.col("o_custkey").alias("k"))
+
+    store_k = keys(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    web_k = keys(F.col("o_orderpriority") == "5-LOW")
+    cat_k = keys(F.col("o_orderpriority") == "3-MEDIUM")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .filter(
+            F.col("n_name").isin("NATION_5", "NATION_10", "NATION_15")
+        )
+        .join(store_k, cust.c_custkey == store_k.k, "left_semi")
+        .join(web_k, cust.c_custkey == web_k.k, "left_anti")
+        .join(cat_k, cust.c_custkey == cat_k.k, "left_anti")
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy("c_mktsegment", "n_name")
+    )
+
+
+@register(
+    "tpcds_q73_adapted",
+    oracle="""
+WITH dn AS (
+  SELECT o_orderkey AS ticket, o_custkey AS custkey,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority IN ('2-HIGH', '4-NOT SPECIFIED')
+    AND year(o_orderdate) IN (1996, 1997)
+  GROUP BY o_orderkey, o_custkey
+  HAVING COUNT(*) BETWEEN 1 AND 5
+)
+SELECT c_name, c_mktsegment, dn.ticket, dn.cnt
+FROM dn JOIN customer ON dn.custkey = c_custkey
+ORDER BY cnt DESC, c_name, ticket
+LIMIT 100
+""",
+)
+def tpcds_q73_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q73 (tpcds/q73.sql): q34's sibling — the 'together
+    buyers' count-band per ticket, with the LOW band (1-5 items vs
+    q34's 15-20) and different dim filters; aggregate -> HAVING band
+    -> decorate from the customer dim."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    dn = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("o_orderpriority").isin("2-HIGH", "4-NOT SPECIFIED")
+            & F.year("o_orderdate").isin(1996, 1997)
+        )
+        .groupBy(
+            F.col("o_orderkey").alias("ticket"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt").between(1, 5))
+    )
+    return (
+        dn.join(cust, dn.custkey == cust.c_custkey)
+        .select("c_name", "c_mktsegment", "ticket", "cnt")
+        .orderBy(F.col("cnt").desc(), "c_name", "ticket")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q77_adapted",
+    oracle="""
+WITH sales_ch AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 'store' WHEN o_orderpriority = '3-MEDIUM'
+              THEN 'catalog' ELSE 'web' END AS channel,
+         l_suppkey AS id,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS sales_s,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100)
+              AS BIGINT) AS profit_s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag <> 'R'
+    AND o_orderdate BETWEEN DATE '1997-08-01'
+                        AND DATE '1997-08-01' + INTERVAL 30 DAY
+),
+sales AS (
+  SELECT channel, id, CAST(SUM(sales_s) AS BIGINT) AS sales_s,
+         CAST(SUM(profit_s) AS BIGINT) AS profit_s
+  FROM sales_ch GROUP BY channel, id
+),
+rets_ch AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 'store' WHEN o_orderpriority = '3-MEDIUM'
+              THEN 'catalog' ELSE 'web' END AS channel,
+         l_suppkey AS id,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ret_s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate BETWEEN DATE '1997-08-01'
+                        AND DATE '1997-08-01' + INTERVAL 30 DAY
+),
+rets AS (
+  SELECT channel, id, CAST(SUM(ret_s) AS BIGINT) AS ret_s
+  FROM rets_ch GROUP BY channel, id
+),
+joined AS (
+  SELECT s.channel, s.id, s.sales_s,
+         COALESCE(r.ret_s, 0) AS ret_s,
+         s.profit_s - COALESCE(r.ret_s, 0) AS net_s
+  FROM sales s
+  LEFT JOIN rets r ON s.channel = r.channel AND s.id = r.id
+)
+SELECT channel, id,
+       round(SUM(sales_s) / 100.0, 2) AS sales,
+       round(SUM(ret_s) / 100.0, 2) AS returns,
+       round(SUM(net_s) / 100.0, 2) AS profit
+FROM joined
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
+LIMIT 100
+""",
+)
+def tpcds_q77_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q77 (tpcds/q77.sql): the q5/q80 family's third member
+    — per-channel sales and returns aggregated SEPARATELY per
+    location, LEFT-joined on (channel, id) (q80 joins at row level,
+    q77 at aggregate level — the reference even full-outer-joins one
+    channel), netted and ROLLUP'd. Exact cents; the aggregate-level
+    outer join is the distinguishing plan feature.
+    Plan: two channel aggregates (sales / returns) shuffle once
+    each; the outer join and rollup run on aggregates."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("o_orderdate").between("1997-08-01", "1997-08-31")
+    )
+    channel = (
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            F.lit("store"),
+        )
+        .when(F.col("o_orderpriority") == "3-MEDIUM", F.lit("catalog"))
+        .otherwise(F.lit("web"))
+    )
+    cents = lambda c: F.round(c * 100).cast("bigint")  # noqa: E731
+    sales = (
+        lo.filter(F.col("l_returnflag") != "R")
+        .groupBy(
+            channel.alias("channel"), F.col("l_suppkey").alias("id")
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice")))
+            .cast("bigint").alias("sales_s"),
+            F.sum(
+                cents(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                )
+            ).cast("bigint").alias("profit_s"),
+        )
+    )
+    rets = (
+        lo.filter(F.col("l_returnflag") == "R")
+        .groupBy(
+            channel.alias("channel"), F.col("l_suppkey").alias("id")
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice")))
+            .cast("bigint").alias("ret_s")
+        )
+        .withColumnRenamed("channel", "r_channel")
+        .withColumnRenamed("id", "r_id")
+    )
+    joined = (
+        sales.join(
+            rets,
+            (sales.channel == rets.r_channel) & (sales.id == rets.r_id),
+            "left",
+        )
+        .select(
+            "channel", "id", "sales_s",
+            F.coalesce(F.col("ret_s"), F.lit(0)).alias("ret_s2"),
+            (
+                F.col("profit_s")
+                - F.coalesce(F.col("ret_s"), F.lit(0))
+            ).alias("net_s"),
+        )
+    )
+    return (
+        joined.rollup("channel", "id")
+        .agg(
+            F.round(F.sum("sales_s") / 100.0, 2).alias("sales"),
+            F.round(F.sum("ret_s2") / 100.0, 2).alias("returns"),
+            F.round(F.sum("net_s") / 100.0, 2).alias("profit"),
+        )
+        .orderBy(
+            F.col("channel").asc_nulls_first(),
+            F.col("id").asc_nulls_first(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q79_adapted",
+    oracle=f"""
+WITH dn AS (
+  SELECT o_orderkey AS ticket, o_custkey AS custkey,
+         s_nationkey AS store_nation,
+         {oracle_dec_sum('l_extendedprice * l_discount', 'amt')},
+         {oracle_dec_sum('l_extendedprice * (1 - l_discount)',
+                         'profit')}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE date_diff('day', DATE '1992-01-06',
+                  CAST(o_orderdate AS DATE)) % 7 = 0
+    AND o_orderpriority IN ('1-URGENT', '4-NOT SPECIFIED')
+    AND s_nationkey < 12
+  GROUP BY o_orderkey, o_custkey, s_nationkey
+)
+SELECT c_name, dn.store_nation, dn.ticket, dn.amt, dn.profit
+FROM dn JOIN customer ON dn.custkey = c_custkey
+ORDER BY c_name, dn.store_nation, dn.ticket
+LIMIT 100
+""",
+)
+def tpcds_q79_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q79 (tpcds/q79.sql): q46's MONDAY sibling — per-ticket
+    coupon/profit aggregate on one day-of-week (d_dow = 1 -> the
+    engine-neutral Monday-epoch mod-7), store-count band -> nation
+    band, decorated from the customer dim WITHOUT the mismatch
+    filter (the family's simplest decoration)."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    days = F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-06"))
+    dn = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(
+            ((days % 7) == 0)
+            & F.col("o_orderpriority").isin(
+                "1-URGENT", "4-NOT SPECIFIED"
+            )
+            & (F.col("s_nationkey") < 12)
+        )
+        .groupBy(
+            F.col("o_orderkey").alias("ticket"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("s_nationkey").alias("store_nation"),
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), "amt"
+            ),
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "profit",
+            ),
+        )
+    )
+    return (
+        dn.join(cust, dn.custkey == cust.c_custkey)
+        .select("c_name", "store_nation", "ticket", "amt", "profit")
+        .orderBy("c_name", "store_nation", "ticket")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q81_adapted",
+    oracle="""
+WITH customer_total_return AS (
+  SELECT o_custkey AS ctr_custkey, c_nationkey AS ctr_state,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS ctr_total_s
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R' AND year(o_orderdate) = 1997
+  GROUP BY o_custkey, c_nationkey
+),
+state_avg AS (
+  SELECT ctr_state, CAST(SUM(ctr_total_s) AS DOUBLE) / COUNT(*)
+           AS avg_s
+  FROM customer_total_return GROUP BY ctr_state
+)
+SELECT c.c_custkey, c.c_name,
+       round(ctr.ctr_total_s / 100.0, 2) AS return_total
+FROM customer_total_return ctr
+JOIN state_avg sa ON ctr.ctr_state = sa.ctr_state
+JOIN customer c ON ctr.ctr_custkey = c.c_custkey
+WHERE ctr.ctr_total_s > 1.2 * sa.avg_s
+  AND c.c_nationkey = 7
+ORDER BY c.c_custkey
+LIMIT 100
+""",
+)
+def tpcds_q81_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q81 (tpcds/q81.sql): q30's CATALOG-returns sibling —
+    customers whose yearly return total exceeds 1.2x their state's
+    per-customer average (correlated threshold decorrelated to a
+    per-state aggregate joined back), final slice on one state.
+    The return aggregate feeds both the threshold and the probe ->
+    persisted. Exact cents; one division per state."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ctr = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.year("o_orderdate") == 1997)
+        )
+        .groupBy(
+            F.col("o_custkey").alias("ctr_custkey"),
+            F.col("c_nationkey").alias("ctr_state"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).cast("bigint").alias("ctr_total_s")
+        )
+        .persist()
+    )
+    state_avg = (
+        ctr.groupBy("ctr_state")
+        .agg(
+            (
+                F.sum("ctr_total_s").cast("double") / F.count(F.lit(1))
+            ).alias("avg_s")
+        )
+        .withColumnRenamed("ctr_state", "sa_state")
+    )
+    return (
+        ctr.join(
+            F.broadcast(state_avg),
+            ctr.ctr_state == state_avg.sa_state,
+        )
+        .filter(F.col("ctr_total_s") > 1.2 * F.col("avg_s"))
+        .join(cust, ctr.ctr_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == 7)
+        .select(
+            "c_custkey", "c_name",
+            F.round(F.col("ctr_total_s") / 100.0, 2).alias(
+                "return_total"
+            ),
+        )
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q82_adapted",
+    oracle="""
+SELECT p_brand, p_type, round(p_retailprice, 2) AS price
+FROM part
+JOIN lineitem inv ON inv.l_partkey = p_partkey
+WHERE p_retailprice BETWEEN 902 AND 930
+  AND p_size IN (2, 8, 14, 22)
+  AND inv.l_returnflag = 'R'
+  AND CAST(inv.l_shipdate AS DATE)
+      BETWEEN DATE '1997-05-01' AND DATE '1997-05-01' + INTERVAL 60 DAY
+  AND inv.l_quantity BETWEEN 5 AND 45
+  AND p_partkey IN (SELECT l_partkey FROM lineitem
+                    WHERE l_returnflag <> 'R'
+                      AND l_linestatus = 'F')
+GROUP BY p_brand, p_type, p_retailprice
+ORDER BY p_brand, p_type, price
+LIMIT 100
+""",
+)
+def tpcds_q82_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q82 (tpcds/q82.sql): q37's STORE-channel twin — item
+    report gated by in-window inventory in a quantity band plus
+    store-sales membership (vs q37's catalog membership; the
+    fixture distinguishes the channels by linestatus here). Same
+    dim-probe/fact-filter plan."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    inv = li.filter(F.col("l_returnflag") == "R")
+    sold = (
+        li.filter(
+            (F.col("l_returnflag") != "R")
+            & (F.col("l_linestatus") == "F")
+        )
+        .select(F.col("l_partkey").alias("sold_key"))
+    )
+    return (
+        part.join(inv, inv.l_partkey == part.p_partkey)
+        .filter(
+            F.col("p_retailprice").between(902, 930)
+            & F.col("p_size").isin(2, 8, 14, 22)
+            & F.to_date("l_shipdate").between("1997-05-01", "1997-06-30")
+            & F.col("l_quantity").between(5, 45)
+        )
+        .join(sold, part.p_partkey == sold.sold_key, "left_semi")
+        .groupBy("p_brand", "p_type", "p_retailprice")
+        .agg(F.round(F.first("p_retailprice"), 2).alias("price"))
+        .select("p_brand", "p_type", "price")
+        .orderBy("p_brand", "p_type", "price")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q85_adapted",
+    oracle="""
+SELECT o_orderpriority AS reason,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 100.0 AS avg_refund,
+       CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 10000.0 AS avg_disc
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R' AND year(o_orderdate) = 1997
+  AND ((c_mktsegment = 'BUILDING'
+        AND l_extendedprice BETWEEN 20000 AND 50000)
+    OR (c_mktsegment = 'FURNITURE'
+        AND l_extendedprice BETWEEN 30000 AND 60000)
+    OR (c_mktsegment = 'HOUSEHOLD'
+        AND l_extendedprice BETWEEN 40000 AND 70000))
+  AND ((n_name IN ('NATION_1', 'NATION_6') AND l_quantity
+        BETWEEN 5 AND 25)
+    OR (n_name IN ('NATION_11', 'NATION_16') AND l_quantity
+        BETWEEN 15 AND 35)
+    OR (n_name IN ('NATION_21', 'NATION_24') AND l_quantity
+        BETWEEN 25 AND 45))
+GROUP BY o_orderpriority
+ORDER BY reason
+LIMIT 100
+""",
+)
+def tpcds_q85_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q85 (tpcds/q85.sql): web-returns REASON report — the
+    q13-style double OR-band residual applied to the RETURNS fact,
+    averaged per return reason (-> order priority). The family's
+    returns-side member; averages exact."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    demo = (
+        (
+            (F.col("c_mktsegment") == "BUILDING")
+            & F.col("l_extendedprice").between(20000, 50000)
+        )
+        | (
+            (F.col("c_mktsegment") == "FURNITURE")
+            & F.col("l_extendedprice").between(30000, 60000)
+        )
+        | (
+            (F.col("c_mktsegment") == "HOUSEHOLD")
+            & F.col("l_extendedprice").between(40000, 70000)
+        )
+    )
+    geo = (
+        (
+            F.col("n_name").isin("NATION_1", "NATION_6")
+            & F.col("l_quantity").between(5, 25)
+        )
+        | (
+            F.col("n_name").isin("NATION_11", "NATION_16")
+            & F.col("l_quantity").between(15, 35)
+        )
+        | (
+            F.col("n_name").isin("NATION_21", "NATION_24")
+            & F.col("l_quantity").between(25, 45)
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.year("o_orderdate") == 1997)
+            & demo
+            & geo
+        )
+        .groupBy(F.col("o_orderpriority").alias("reason"))
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / 100.0
+            ).alias("avg_refund"),
+            (
+                F.sum(
+                    F.round(F.col("l_discount") * 10000).cast("bigint")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / 10000.0
+            ).alias("avg_disc"),
+        )
+        .orderBy("reason")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q86_adapted",
+    oracle="""
+WITH agg AS (
+  SELECT p_type, p_brand,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS total_s,
+         CAST(grouping(p_type) + grouping(p_brand) AS BIGINT)
+           AS lochierarchy
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE year(o_orderdate) = 1996 AND quarter(o_orderdate) = 3
+  GROUP BY ROLLUP (p_type, p_brand)
+)
+SELECT p_type, p_brand, round(total_s / 100.0, 2) AS total_sum,
+       lochierarchy,
+       CAST(rank() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN lochierarchy = 0 THEN p_type END
+         ORDER BY total_s DESC, p_brand NULLS FIRST) AS BIGINT)
+         AS rank_within_parent
+FROM agg
+ORDER BY lochierarchy DESC, p_type NULLS FIRST, rank_within_parent
+LIMIT 100
+""",
+)
+def tpcds_q86_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q86 (tpcds/q86.sql): q70's flat sibling — the ROLLUP
+    hierarchy with grouping()-derived lochierarchy and
+    rank-within-parent, WITHOUT q70's rank-filtered state subquery
+    feed (the family's pure hierarchy-report member). One Expand +
+    one window pass; exact cents."""
+    from pyspark.sql import Window
+
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            (F.year("o_orderdate") == 1996)
+            & (F.quarter("o_orderdate") == 3)
+        )
+        .rollup("p_type", "p_brand")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).cast("bigint").alias("total_s"),
+            (
+                F.grouping("p_type") + F.grouping("p_brand")
+            ).cast("bigint").alias("lochierarchy"),
+        )
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("lochierarchy") == 0, F.col("p_type")),
+    ).orderBy(
+        F.col("total_s").desc(), F.col("p_brand").asc_nulls_first()
+    )
+    return (
+        agg.select(
+            "p_type", "p_brand",
+            F.round(F.col("total_s") / 100.0, 2).alias("total_sum"),
+            "lochierarchy",
+            F.rank().over(w).cast("bigint").alias(
+                "rank_within_parent"
+            ),
+        )
+        .orderBy(
+            F.col("lochierarchy").desc(),
+            F.col("p_type").asc_nulls_first(),
+            "rank_within_parent",
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q94_adapted",
+    oracle=f"""
+SELECT CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS order_count,
+       {oracle_dec_sum('l1.l_extendedprice * l1.l_discount',
+                       'total_ship_cost')},
+       {oracle_dec_sum('l1.l_extendedprice', 'total_net_profit')}
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate BETWEEN DATE '1996-05-01'
+                      AND DATE '1996-05-01' + INTERVAL 60 DAY
+  AND c_nationkey = 11
+  AND o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_returnflag = 'R')
+""",
+)
+def tpcds_q94_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q94 (tpcds/q94.sql): q16's WEB-channel twin — the
+    multi-warehouse EXISTS + never-returned NOT EXISTS shipping
+    report over the web bands and a different window/state. Same
+    aggregate-driven semi/anti lowering."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    multi_supp = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select(F.col("l_orderkey").alias("mk"))
+    )
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("rk"))
+        .distinct()
+    )
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(
+            F.col("o_orderdate").between("1996-05-01", "1996-06-30")
+            & (F.col("c_nationkey") == 11)
+            & F.col("o_orderpriority").isin(
+                "4-NOT SPECIFIED", "5-LOW"
+            )
+        )
+    )
+    return (
+        base.join(multi_supp, li.l_orderkey == multi_supp.mk, "left_semi")
+        .join(returned, li.l_orderkey == returned.rk, "left_anti")
+        .agg(
+            F.count_distinct("l_orderkey").cast("bigint").alias(
+                "order_count"
+            ),
+            dec_sum(
+                F.col("l_extendedprice") * F.col("l_discount"),
+                "total_ship_cost",
+            ),
+            dec_sum("l_extendedprice", "total_net_profit"),
+        )
+    )
+
+
+@register(
+    "tpcds_q99_adapted",
+    oracle="""
+SELECT substr(s_name, 1, 12) AS warehouse,
+       o_orderpriority AS sm_type, n_name AS cc_name,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) <= 30
+                THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) > 30
+                 AND date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) <= 60
+                THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) > 60
+                THEN 1 ELSE 0 END) AS BIGINT) AS d_over_60
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE year(o_orderdate) = 1996 AND l_returnflag <> 'R'
+GROUP BY substr(s_name, 1, 12), o_orderpriority, n_name
+ORDER BY warehouse, sm_type, cc_name
+LIMIT 100
+""",
+)
+def tpcds_q99_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q99 (tpcds/q99.sql): q62's CATALOG-channel twin — the
+    ship-latency band pivot keyed by (warehouse prefix, ship mode,
+    CALL CENTER) over the non-returned slice of a different year
+    (three coarser bands). Same computed-key single-aggregate
+    plan."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    gap = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+
+    def band(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(
+            name
+        )
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .filter(
+            (F.year("o_orderdate") == 1996)
+            & (F.col("l_returnflag") != "R")
+        )
+        .groupBy(
+            F.substring("s_name", 1, 12).alias("warehouse"),
+            F.col("o_orderpriority").alias("sm_type"),
+            F.col("n_name").alias("cc_name"),
+        )
+        .agg(
+            band(gap <= 30, "d30"),
+            band((gap > 30) & (gap <= 60), "d31_60"),
+            band(gap > 60, "d_over_60"),
+        )
+        .orderBy("warehouse", "sm_type", "cc_name")
+        .limit(100)
+    )
