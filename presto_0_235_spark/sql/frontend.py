@@ -688,6 +688,22 @@ def _rewrite_order_by_nulls(sql: str) -> str:
     return "".join(out)
 
 
+# Presto TABLESAMPLE BERNOULLI (p) -> Spark TABLESAMPLE (p PERCENT)
+# (grammar SqlBase.g4:282-292 sampleType BERNOULLI; Spark only accepts
+# the PERCENT spelling). SYSTEM sampling is split-granular in Presto —
+# map it to the same row-Bernoulli (the reference's own
+# ImplementBernoulliSampleAsFilter lowering makes them equivalent in
+# expectation; exact only at the 0/100 boundaries either way).
+_TABLESAMPLE = re.compile(
+    r"\bTABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*([0-9.]+)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_tablesample(sql: str) -> str:
+    return _TABLESAMPLE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
+
+
 # Bare untyped NULL as a whole WHERE/HAVING condition: Presto types it
 # boolean (no rows); Spark rejects VOID filters
 # (AbstractTestAggregations.java:58 "WHERE NULL").
@@ -807,6 +823,7 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = _rewrite_bare_varchar(masked)
     masked = _rewrite_multiarg_grouping(masked)
     masked = _rewrite_bare_null_predicate(masked)
+    masked = _rewrite_tablesample(masked)
     masked = _rewrite_order_by_nulls(masked)
     return _unmask(masked, stash)
 

@@ -885,6 +885,205 @@ CORPUS: list[Case] = [
       "GROUP BY 1", f"{_ATQ} testDateTruncate (adapted)",
       duck="SELECT CAST(date_trunc('month', orderdate) AS TIMESTAMP) "
            "m, COUNT(*) FROM orders GROUP BY 1"),
+    # ---- corpus batch 3 (round 8 continued): unions ----------------------
+    C("union_keys", "SELECT orderkey FROM orders UNION "
+      "SELECT custkey FROM orders", f"{_ATQ}:5163"),
+    C("union_mixed_all_distinct",
+      "SELECT 123 UNION DISTINCT SELECT 123 UNION ALL SELECT 123",
+      f"{_ATQ}:5163", duck="VALUES (123), (123)"),
+    C("union_nulls", "SELECT NULL UNION SELECT NULL", f"{_ATQ}:5163",
+      duck="SELECT NULL"),
+    C("union_null_pairs",
+      "SELECT NULL, NULL UNION ALL SELECT NULL, NULL FROM nation",
+      f"{_ATQ}:5163"),
+    C("union_literal_with_names",
+      "SELECT 'x', 'y' UNION ALL SELECT name, name FROM nation",
+      f"{_ATQ}:5163"),
+    C("union_three_branches",
+      "SELECT orderkey FROM orders UNION ALL SELECT 123 UNION ALL "
+      "(SELECT custkey FROM orders GROUP BY custkey)", f"{_ATQ}:5163"),
+    C("union_array_subscript",
+      "SELECT a[1] FROM (SELECT ARRAY[1] UNION ALL SELECT ARRAY[1]) "
+      "t(a) LIMIT 1", f"{_ATQ}:5188", duck="SELECT 1"),
+    C("chained_unions_with_order",
+      "SELECT orderkey FROM orders UNION (SELECT custkey FROM orders "
+      "UNION SELECT linenumber FROM lineitem) UNION ALL "
+      "SELECT orderkey FROM lineitem ORDER BY orderkey",
+      f"{_ATQ}:5194", ordered=True),
+    C("union_with_topn",
+      "SELECT * FROM (SELECT regionkey FROM nation UNION ALL "
+      "SELECT nationkey FROM nation) t(a) ORDER BY a LIMIT 1",
+      f"{_ATQ}:5201", duck="SELECT 0", ordered=True),
+    C("union_with_join",
+      "SELECT * FROM (SELECT orderdate ds, orderkey FROM orders "
+      "UNION ALL SELECT shipdate ds, orderkey FROM lineitem) a "
+      "JOIN orders o ON (a.orderkey = o.orderkey)", f"{_ATQ}:5213"),
+    C("union_values_aggregation",
+      "SELECT regionkey, count(*) FROM (SELECT regionkey FROM nation "
+      "UNION ALL SELECT * FROM (VALUES 2, 100) t(regionkey)) "
+      "GROUP BY regionkey", f"{_ATQ}:5224",
+      duck="SELECT regionkey, count(*) FROM (SELECT regionkey FROM "
+           "nation UNION ALL SELECT * FROM (VALUES (2), (100)) "
+           "t(regionkey)) GROUP BY regionkey"),
+    C("union_distinct_aggregation",
+      "SELECT ds, count(DISTINCT orderkey) FROM (SELECT orderdate ds, "
+      "orderkey FROM orders UNION SELECT shipdate ds, orderkey FROM "
+      "lineitem) a GROUP BY ds", f"{_ATQ}:5224"),
+    C("union_requiring_coercion",
+      "SELECT x FROM (SELECT 1 x UNION ALL SELECT 2.0 x) t",
+      f"{_ATQ}:5390",
+      duck="SELECT x FROM (SELECT CAST(1 AS DECIMAL(11,1)) x "
+           "UNION ALL SELECT 2.0 x) t"),
+    C("multi_column_union_all",
+      "SELECT orderkey, orderstatus FROM orders UNION ALL "
+      "SELECT custkey, orderpriority FROM orders", f"{_ATQ}:5384"),
+    # ---- TABLE queries / limit algebra -----------------------------------
+    C("table_query", "TABLE nation", f"{_ATQ}:5417",
+      duck="SELECT * FROM nation"),
+    C("table_query_order_limit",
+      "TABLE orders ORDER BY orderkey LIMIT 10", f"{_ATQ}:5423",
+      duck="SELECT * FROM orders ORDER BY orderkey LIMIT 10",
+      ordered=True),
+    C("table_as_subquery",
+      "SELECT count(*) FROM (TABLE orders)", f"{_ATQ}:5435",
+      duck="SELECT count(*) FROM orders"),
+    C("limit_pushdown_through_union",
+      "SELECT COUNT(*) FROM (SELECT orderkey FROM (SELECT orderkey "
+      "FROM orders UNION ALL SELECT custkey orderkey FROM orders) "
+      "LIMIT 10)", f"{_ATQ}:5441", duck="SELECT 10"),
+    C("order_limit_compaction",
+      "SELECT * FROM (SELECT * FROM orders ORDER BY orderkey) "
+      "LIMIT 10", f"{_ATQ}:5456",
+      duck="SELECT * FROM orders ORDER BY orderkey LIMIT 10",
+      marks=(pytest.mark.skip(
+          reason="row IDENTITY under a LIMIT over an inner ORDER BY "
+                 "is engine-free (any 10 rows are legal); the "
+                 "reference only asserts containment"),)),
+    # ---- cross joins -----------------------------------------------------
+    C("cross_join_explicit",
+      "SELECT l.orderkey, r.regionkey FROM (SELECT orderkey FROM "
+      "orders WHERE orderkey < 5) l CROSS JOIN region r",
+      f"{_ATQ}:5477 (adapted: bounded sides)"),
+    C("implicit_cross_join",
+      "SELECT n.nationkey, r.regionkey FROM nation n, region r "
+      "WHERE n.nationkey < 3", f"{_ATQ}:5541"),
+    C("cross_join_with_where",
+      "SELECT a, b FROM (VALUES (1), (2)) t1(a), (VALUES (10), (20)) "
+      "t2(b) WHERE a + b < 22", f"{_ATQ}:5510",
+      duck="VALUES (1, 10), (2, 10), (1, 20)"),
+    C("cross_join_union",
+      "SELECT t.x, r.regionkey FROM (SELECT 1 x UNION ALL "
+      "SELECT 2 x) t CROSS JOIN region r", f"{_ATQ}:5575"),
+    # ---- semi / anti subquery variants -----------------------------------
+    C("semi_join_having_in",
+      "SELECT linenumber, min(orderkey) FROM lineitem GROUP BY "
+      "linenumber HAVING min(orderkey) IN (SELECT orderkey FROM "
+      "orders WHERE orderkey > 1)", f"{_ATQ}:5611"),
+    C("in_subquery_scalar_position",
+      "SELECT 10 in (SELECT orderkey FROM orders)", f"{_ATQ}:5611"),
+    C("in_values_conjunction",
+      "SELECT * FROM (VALUES (1,1), (2,2), (3, 3)) t(x, y) WHERE "
+      "(x+y in (VALUES 4, 5)) AND (x*y in (VALUES 4, 5))",
+      f"{_ATQ}:5611", duck="VALUES (2,2)"),
+    C("in_subquery_coercion",
+      "SELECT 1.0 IN (SELECT 1), 1 IN (SELECT 1)", f"{_ATQ}:5611",
+      duck="SELECT TRUE, TRUE"),
+    C("anti_join_basic",
+      "SELECT COUNT(*) FROM orders WHERE orderkey NOT IN "
+      "(SELECT orderkey FROM lineitem WHERE orderkey % 3 = 0)",
+      f"{_ATQ}:5713 (adapted)"),
+    C("semi_join_with_group_by",
+      "SELECT orderstatus, COUNT(*) FROM orders WHERE orderkey IN "
+      "(SELECT orderkey FROM lineitem WHERE linenumber = 1) "
+      "GROUP BY orderstatus", f"{_ATQ}:5783 (adapted)"),
+    C("same_in_predicate_projection_and_filter",
+      "SELECT custkey, custkey IN (SELECT custkey FROM customer "
+      "WHERE acctbal > 0) FROM orders WHERE custkey IN "
+      "(SELECT custkey FROM customer WHERE acctbal > 0) "
+      "AND orderkey < 20", f"{_ATQ}:5907 (adapted)"),
+    # ---- scalar subqueries -----------------------------------------------
+    C("nested_scalar_subquery",
+      "SELECT (SELECT (SELECT (SELECT 1)))", f"{_ATQ}:5921",
+      duck="SELECT 1"),
+    C("scalar_subquery_max_key",
+      "SELECT * FROM lineitem WHERE orderkey = "
+      "(SELECT max(orderkey) FROM orders)", f"{_ATQ}:5921"),
+    C("scalar_subquery_empty",
+      "SELECT * FROM lineitem WHERE orderkey = "
+      "(SELECT orderkey FROM orders WHERE 0=1)", f"{_ATQ}:5921"),
+    C("scalar_subquery_empty_is_null",
+      "SELECT count(*) FROM lineitem WHERE "
+      "(SELECT orderkey FROM orders WHERE 0=1) is null",
+      f"{_ATQ}:5921 (count-wrapped)",
+      duck="SELECT count(*) FROM lineitem"),
+    C("scalar_subquery_comparisons",
+      "SELECT (SELECT 1) IN (1, 2, 3), (SELECT 1) IN (2, 3), "
+      "(SELECT 1) = (SELECT 3), (SELECT 1) < (SELECT 3)",
+      f"{_ATQ}:5921", duck="SELECT TRUE, FALSE, FALSE, TRUE"),
+    C("scalar_subquery_both_sides",
+      "SELECT COUNT(*) FROM lineitem WHERE "
+      "(SELECT min(orderkey) FROM orders) < "
+      "(SELECT max(orderkey) FROM orders)", f"{_ATQ}:5921"),
+    C("three_scalar_subqueries",
+      "SELECT (SELECT 1), (SELECT 2), (SELECT 3)", f"{_ATQ}:5921",
+      duck="SELECT 1, 2, 3"),
+    C("scalar_subquery_between",
+      "SELECT DISTINCT orderkey FROM lineitem WHERE orderkey BETWEEN "
+      "(SELECT avg(orderkey) FROM orders) - 10 AND "
+      "(SELECT avg(orderkey) FROM orders) + 10", f"{_ATQ}:5921"),
+    C("order_by_constant_subquery",
+      "SELECT orderkey, totalprice FROM orders ORDER BY (SELECT 2)",
+      f"{_ATQ}:5921"),
+    C("scalar_subquery_division_coercion",
+      "SELECT 1.0/(SELECT 1), 1/(SELECT 1)", f"{_ATQ}:5921",
+      duck="SELECT 1.0/1, 1/1"),
+    # ---- correlated scalar subqueries ------------------------------------
+    C("correlated_identity_projection",
+      "SELECT (SELECT n.nationkey) FROM nation n", f"{_ATQ}:6181"),
+    C("correlated_expression_projection",
+      "SELECT (SELECT 2 * n.nationkey) FROM nation n", f"{_ATQ}:6181"),
+    C("correlated_filter",
+      "SELECT nationkey FROM nation n WHERE 2 = "
+      "(SELECT 2 * n.nationkey)", f"{_ATQ}:6181"),
+    C("correlated_order_by",
+      "SELECT nationkey FROM nation n ORDER BY "
+      "(SELECT 2 * n.nationkey)", f"{_ATQ}:6181",
+      duck="SELECT nationkey FROM nation ORDER BY nationkey",
+      ordered=True,
+      marks=(pytest.mark.xfail(
+          strict=True,
+          reason="Spark restricts correlated scalar subqueries to "
+                 "filters/aggregations/projections — ORDER BY is not "
+                 "a supported position (Presto decorrelates it). "
+                 "Engine-level analyzer restriction.",
+      ),)),
+    C("correlated_scalar_agg_in_where",
+      "SELECT c.custkey FROM customer c WHERE c.acctbal < "
+      "(SELECT avg(acctbal) FROM customer)",
+      f"{_ATQ}:6346 (adapted shape)"),
+    C("correlated_exists_pruned",
+      "SELECT COUNT(*) FROM nation n WHERE EXISTS "
+      "(SELECT 1 FROM region r WHERE r.regionkey = n.regionkey)",
+      f"{_ATQ}:6475 (adapted)"),
+    # ---- sampling boundaries / coercions ---------------------------------
+    C("tablesample_bernoulli_100",
+      "SELECT COUNT(*) FROM orders TABLESAMPLE BERNOULLI (100)",
+      f"{_ATQ}:6943", duck="SELECT COUNT(*) FROM orders"),
+    C("tablesample_bernoulli_0",
+      "SELECT COUNT(*) FROM orders TABLESAMPLE BERNOULLI (0)",
+      f"{_ATQ}:6943", duck="SELECT 0"),
+    C("coercion_double_int",
+      "SELECT 1.0 = 1, CAST(1 AS DOUBLE) = 1, 1 = CAST(1 AS "
+      "SMALLINT)", f"{_ATQ}:7613 (adapted)",
+      duck="SELECT TRUE, TRUE, TRUE"),
+    C("values_unused_columns",
+      "SELECT a FROM (VALUES (1, 'x'), (2, 'y')) t(a, b)",
+      f"{_ATQ}:7568", duck="VALUES (1), (2)"),
+    C("empty_input_unnest",
+      "SELECT * FROM (SELECT ARRAY[1, 2] a FROM orders WHERE 0 = 1) "
+      "t CROSS JOIN UNNEST(a) u(x)", f"{_ATQ}:7607",
+      duck="SELECT CAST(NULL AS INT[]) a, CAST(NULL AS INT) x "
+           "WHERE FALSE"),
 ]
 
 
