@@ -490,3 +490,42 @@ def test_multi_consumer_aggregates_scan_fact_once(
         )
     finally:
         spark.catalog.clearCache()
+
+
+def test_tpcds_q67_rank_over_rollup_group_limited(spark, sf_dir):
+    """tpcds_q67_adapted: the rk <= 10 filter over the rollup output
+    must plan a WindowGroupLimit (partial + final) so the top-10
+    prune happens before the window shuffle, and no cartesian."""
+    spark.catalog.clearCache()
+    df = _QUERIES["tpcds_q67_adapted"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q44_ranks_run_on_persisted_aggregate(spark, sf_dir):
+    """tpcds_q44_adapted: both rank branches read the PERSISTED
+    threshold-filtered profit aggregate (two InMemoryTableScans) and
+    the rnk < 11 filters plan WindowGroupLimits."""
+    spark.catalog.clearCache()
+    try:
+        df = _QUERIES["tpcds_q44_adapted"].builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        assert plan.count("WindowGroupLimit") >= 2, plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_tpcds_q14_branches_read_persisted_ctes(spark, sf_dir):
+    """tpcds_q14_adapted: all three channel branches consume the
+    persisted cross_items and avg_sales CTEs (>= 6 cached reads
+    total) — the deep INTERSECT and the union scalar compute ONCE."""
+    spark.catalog.clearCache()
+    try:
+        df = _QUERIES["tpcds_q14_adapted"].builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 6, plan
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.catalog.clearCache()
