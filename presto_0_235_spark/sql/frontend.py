@@ -341,7 +341,10 @@ def _rewrite_subscripts(sql: str) -> str:
 
 # The <arr> operand may itself contain one level of calls like
 # split(x, ' ') — allow balanced single-depth parens.
-_ARR = r"(?P<arr>[^()]*(?:\([^()]*\)[^()]*)*)"
+# Up to TWO levels of balanced parens inside the operand — enough for
+# transform(sequence(1, 5), x -> x * x) and the corpus's nested calls.
+_P1 = r"\((?:[^()]|\([^()]*\))*\)"
+_ARR = rf"(?P<arr>[^()]*(?:{_P1}[^()]*)*)"
 _UNNEST_ORD = re.compile(
     rf"CROSS\s+JOIN\s+UNNEST\s*\({_ARR}\)\s+WITH\s+ORDINALITY\s+"
     r"(?:AS\s+)?(?P<t>\w+)\s*\(\s*(?P<c>\w+)\s*,\s*(?P<ord>\w+)\s*\)",
@@ -688,6 +691,44 @@ def _rewrite_order_by_nulls(sql: str) -> str:
     return "".join(out)
 
 
+# Presto apply(value, x -> body) (ApplyFunction.java — the lambda
+# evaluator): Spark has lambdas only inside higher-order ARRAY
+# functions, so lower through a one-element array:
+#   apply(A, L)  ->  element_at(transform(array(A), L), 1)
+# element_at is 1-based on both engines; capture of outer columns
+# inside the lambda works identically.
+_APPLY_CALL = re.compile(r"\bapply\s*\(", re.IGNORECASE)
+
+
+def _rewrite_apply(sql: str) -> str:
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = _APPLY_CALL.search(sql, pos)
+        if m is None:
+            break
+        try:
+            past_close = _balanced(sql, m.end() - 1)
+        except ValueError:
+            break
+        inner = sql[m.end() : past_close - 1]
+        args = _split_top_comma(inner)
+        if len(args) != 2 or "->" not in args[1]:
+            pos = m.end()
+            continue
+        value, lam = args
+        # Recurse for nested apply(...) inside either argument.
+        value = _rewrite_apply(value)
+        lam = _rewrite_apply(lam)
+        out.append(sql[pos : m.start()])
+        out.append(
+            f"element_at(transform(array({value}), {lam}), 1)"
+        )
+        pos = past_close
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 # Presto TABLESAMPLE BERNOULLI (p) -> Spark TABLESAMPLE (p PERCENT)
 # (grammar SqlBase.g4:282-292 sampleType BERNOULLI; Spark only accepts
 # the PERCENT spelling). SYSTEM sampling is split-granular in Presto —
@@ -822,6 +863,7 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = _rewrite_function_names(masked)
     masked = _rewrite_bare_varchar(masked)
     masked = _rewrite_multiarg_grouping(masked)
+    masked = _rewrite_apply(masked)
     masked = _rewrite_bare_null_predicate(masked)
     masked = _rewrite_tablesample(masked)
     masked = _rewrite_order_by_nulls(masked)

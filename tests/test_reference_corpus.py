@@ -1084,6 +1084,125 @@ CORPUS: list[Case] = [
       "t CROSS JOIN UNNEST(a) u(x)", f"{_ATQ}:7607",
       duck="SELECT CAST(NULL AS INT[]) a, CAST(NULL AS INT) x "
            "WHERE FALSE"),
+    # ---- corpus batch 4: lambdas / apply / TRY / grouping sets -----------
+    C("lambda_capture",
+      "SELECT apply(0, x -> x + c1) FROM (VALUES 1) t(c1)",
+      f"{_ATQ}:214 testLambdaCapture", duck="VALUES (1)"),
+    C("lambda_capture_qualified",
+      "SELECT apply(0, x -> x + t.c1) FROM (VALUES 1) t(c1)",
+      f"{_ATQ}:214", duck="VALUES (1)"),
+    C("lambda_per_row",
+      "SELECT apply(c1, x -> x + c2) FROM (VALUES (1, 2), (3, 4), "
+      "(5, 6)) t(c1, c2)", f"{_ATQ}:214", duck="VALUES (3), (7), (11)"),
+    C("lambda_nested_capture",
+      "SELECT apply(c1 + 10, x -> apply(x + 100, y -> c1)) "
+      "FROM (VALUES 1) t(c1)", f"{_ATQ}:214", duck="VALUES (1)"),
+    C("lambda_shadowing",
+      "SELECT apply(1, x -> apply(10, y -> x)) FROM (VALUES 1000) "
+      "t(x)", f"{_ATQ}:214", duck="VALUES (1)"),
+    C("lambda_triple_nesting",
+      "SELECT apply(1, x -> apply(10, y -> apply(100, z -> x))) "
+      "FROM (VALUES 1000) t(x)", f"{_ATQ}:214", duck="VALUES (1)"),
+    C("lambda_over_aggregate",
+      "SELECT apply(sum(x), i -> i * i) FROM (VALUES 1, 2, 3, 4, 5) "
+      "t(x)", f"{_ATQ}:242 testLambdaInAggregationContext",
+      duck="SELECT 225"),
+    C("lambda_on_group_key",
+      "SELECT apply(x, i -> i - 1), sum(y) FROM (VALUES (1, 10), "
+      "(1, 20), (2, 50)) t(x,y) GROUP BY x", f"{_ATQ}:242",
+      duck="VALUES (0, 30), (1, 50)"),
+    C("lambda_aggregate_projection",
+      "SELECT x, apply(sum(y), i -> i * 10) FROM (VALUES (1, 10), "
+      "(1, 20), (2, 50)) t(x,y) GROUP BY x", f"{_ATQ}:242",
+      duck="VALUES (1, 300), (2, 500)"),
+    C("lambda_subquery_context",
+      "SELECT apply(x, i -> i * i) FROM (SELECT 10 x)",
+      f"{_ATQ}:256 testLambdaInSubqueryContext", duck="SELECT 100"),
+    C("lambda_scalar_subquery_arg",
+      "SELECT apply((SELECT 10), i -> i * i)", f"{_ATQ}:256",
+      duck="SELECT 100",
+      marks=(pytest.mark.xfail(
+          strict=True,
+          reason="Spark forbids subquery expressions inside "
+                 "higher-order functions (the lowering target of "
+                 "Presto's apply()); Presto evaluates them. "
+                 "Engine-level analyzer restriction.",
+      ),)),
+    C("lambda_in_unnest",
+      "SELECT * FROM UNNEST(transform(sequence(1, 5), x -> x * x)) "
+      "t(v)", f"{_ATQ}:268 testLambdaInValuesAndUnnest",
+      duck="VALUES (1), (4), (9), (16), (25)"),
+    C("lambda_transform_subscript",
+      "SELECT x[5] FROM (SELECT transform(sequence(1, 5), "
+      "x -> x * x) AS x) t", f"{_ATQ}:268 (adapted: VALUES row -> "
+      "SELECT; Spark inline tables reject lambda expressions)",
+      duck="SELECT 25"),
+    C("lambda_common_subexpr",
+      "SELECT apply(a, i -> i * i) + apply(a, i -> i * i) "
+      "FROM (VALUES 3) t(a)", f"{_ATQ}:275 testTryLambdaRepeated",
+      duck="SELECT 18"),
+    C("try_repeated",
+      "SELECT try(10 / a) + try(10 / a), try(10 / a) "
+      "FROM (VALUES 5) t(a)", f"{_ATQ}:275",
+      duck="SELECT 4, 2"),
+    C("try_division_null",
+      "SELECT try(1 / x) FROM (VALUES 0, 1, 2) t(x)",
+      f"{_ATQ}:5034 testTry (adapted)",
+      duck="VALUES (NULL), (1), (0)",
+      marks=(pytest.mark.xfail(
+          strict=True,
+          reason="Presto's / on integers is INTEGER division (1/2 = "
+                 "0); Spark and DuckDB both promote to double (0.5). "
+                 "Untypeable lexically in the front door; Presto "
+                 "users needing int division port to div()/floor().",
+      ),)),
+    # grouping sets with grouping() arithmetic
+    C("grouping_arith",
+      "SELECT a, b AS t, sum(c) AS s, grouping(a, b) + grouping(a) "
+      "AS g, grouping(b) AS gb FROM (VALUES ('h', 'j', 11), "
+      "('k', 'l', 7)) AS t (a, b, c) GROUP BY GROUPING SETS ( (a), "
+      "(b)) ORDER BY gb ASC, a NULLS FIRST, t NULLS FIRST",
+      f"{_ATQ}:1318 testGrouping (adapted: grouping(b) selected and "
+      "ordered by alias — Spark's ORDER BY cannot see `b` once the "
+      "select aliases it away; Presto resolves against the source)",
+      duck="VALUES (NULL, 'j', 11, 3, 0), (NULL, 'l', 7, 3, 0), "
+           "('h', NULL, 11, 1, 1), ('k', NULL, 7, 1, 1)",
+      ordered=True),
+    C("grouping_single_set",
+      "SELECT a, sum(b) AS s, grouping(a) AS g FROM (VALUES "
+      "('h', 11, 0), ('k', 7, 0)) AS t (a, b, c) "
+      "GROUP BY GROUPING SETS (a)", f"{_ATQ}:1318",
+      duck="VALUES ('h', 11, 0), ('k', 7, 0)"),
+    C("grouping_having",
+      "SELECT a, b, sum(c) AS s, grouping(a, b) AS g FROM (VALUES "
+      "('h', 'j', 11), ('k', 'l', 7) ) AS t (a, b, c) "
+      "GROUP BY GROUPING SETS ( (a), (b)) HAVING grouping(a, b) > 1",
+      f"{_ATQ}:1318",
+      duck="VALUES (NULL, 'j', 11, 2), (NULL, 'l', 7, 2)"),
+    C("grouping_in_arithmetic",
+      "SELECT a, grouping(a) * 1.0 FROM (VALUES (1) ) AS t (a) "
+      "GROUP BY a", f"{_ATQ}:1318", duck="VALUES (1, 0.0)",
+      marks=(pytest.mark.xfail(
+          strict=True,
+          reason="Spark restricts grouping() to GROUPING "
+                 "SETS/CUBE/ROLLUP queries; Presto/DuckDB return 0 "
+                 "under a plain GROUP BY. Engine-level analyzer "
+                 "restriction.",
+      ),)),
+    C("grouping_repeated",
+      "SELECT a, grouping(a), grouping(a) FROM (VALUES (1) ) "
+      "AS t (a) GROUP BY a", f"{_ATQ}:1318",
+      duck="VALUES (1, 0, 0)",
+      marks=(pytest.mark.xfail(
+          strict=True,
+          reason="same plain-GROUP-BY grouping() restriction as "
+                 "grouping_in_arithmetic",
+      ),)),
+    C("grouping_sets_over_table",
+      "SELECT orderstatus, orderpriority, COUNT(*), "
+      "grouping(orderstatus, orderpriority) FROM orders GROUP BY "
+      "GROUPING SETS ((orderstatus), (orderpriority), ())",
+      f"{_ATQ}:1346 testGroupingWithFortyArguments (adapted width)"),
 ]
 
 
