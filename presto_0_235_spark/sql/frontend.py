@@ -182,6 +182,59 @@ def _rewrite_map_ctor(sql: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# ROW type and constructor (SPI/type/RowType.java; grammar SqlBase.g4
+# rowType). Two positions:
+#   - TYPE position  CAST(e AS ROW(f1 T1, ...)) -> STRUCT<f1: T1, ...>
+#     (Spark's struct cast takes field names from the target type,
+#     exactly Presto's named-row cast semantics); nested ROW field
+#     types recurse; bare VARCHAR inside field types maps to STRING
+#   - VALUE position ROW(a, b) -> struct(a, b)
+# --------------------------------------------------------------------------
+
+_AS_ROW_TYPE = re.compile(r"\bAS\s+ROW\s*\(", re.IGNORECASE)
+_ROW_CTOR = re.compile(r"\bROW\s*\(", re.IGNORECASE)
+_ROW_TYPE_HEAD = re.compile(r"^\s*ROW\s*\(", re.IGNORECASE)
+_BARE_VARCHAR_TYPE = re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE)
+
+
+def _row_fields_to_struct(inner: str) -> str:
+    parts = []
+    for f in _split_top_comma(inner):
+        f = f.strip()
+        sp = f.find(" ")
+        if sp < 0:
+            parts.append(f)
+            continue
+        name, typ = f[:sp], f[sp + 1 :].strip()
+        m = _ROW_TYPE_HEAD.match(typ)
+        if m:
+            past = _balanced(typ, typ.index("("))
+            typ = _row_fields_to_struct(typ[typ.index("(") + 1 : past - 1])
+        else:
+            typ = _BARE_VARCHAR_TYPE.sub("STRING", typ)
+        parts.append(f"{name}: {typ}")
+    return "STRUCT<" + ", ".join(parts) + ">"
+
+
+def _rewrite_row_types(sql: str) -> str:
+    while True:
+        m = _AS_ROW_TYPE.search(sql)
+        if m is None:
+            return sql
+        open_i = m.end() - 1
+        try:
+            past = _balanced(sql, open_i)
+        except ValueError:
+            return sql
+        struct = _row_fields_to_struct(sql[open_i + 1 : past - 1])
+        sql = sql[: m.start()] + "AS " + struct + sql[past:]
+
+
+def _rewrite_row_ctor(sql: str) -> str:
+    return _ROW_CTOR.sub("struct(", sql)
+
+
+# --------------------------------------------------------------------------
 # TRY(expr)
 # --------------------------------------------------------------------------
 
@@ -855,6 +908,8 @@ def presto_to_spark_sql(sql: str) -> str:
     masked, stash = _mask(sql)
     masked = _rewrite_array_literals(masked)
     masked = _rewrite_map_ctor(masked)
+    masked = _rewrite_row_types(masked)
+    masked = _rewrite_row_ctor(masked)
     masked = _rewrite_try(masked)
     masked = _rewrite_unnest(masked)
     masked = _rewrite_quantified(masked)

@@ -1198,6 +1198,41 @@ CORPUS: list[Case] = [
           reason="same plain-GROUP-BY grouping() restriction as "
                  "grouping_in_arithmetic",
       ),)),
+    C("row_field_accessor",
+      "SELECT CAST(ROW(1, 2.0) AS ROW(x BIGINT, y DOUBLE)).x",
+      f"{_ATQ}:349 testRowFieldAccessor", duck="SELECT CAST(1 AS BIGINT)"),
+    C("row_field_accessor_string",
+      "SELECT t.r.y FROM (SELECT CAST(ROW(1, 'abc') AS "
+      "ROW(x BIGINT, y VARCHAR)) r) t", f"{_ATQ}:349",
+      duck="SELECT 'abc'"),
+    C("row_nested_accessor",
+      "SELECT CAST(ROW(1, ROW(2, 3)) AS ROW(a BIGINT, "
+      "b ROW(c BIGINT, d BIGINT))).b.d", f"{_ATQ}:349",
+      duck="SELECT CAST(3 AS BIGINT)"),
+    C("row_in_values",
+      "SELECT r.x + r.y FROM (VALUES (CAST(ROW(10, 20) AS "
+      "ROW(x BIGINT, y BIGINT)))) t(r)", f"{_ATQ}:733 testRows",
+      duck="SELECT CAST(30 AS BIGINT)"),
+    C("row_field_in_aggregate",
+      "SELECT SUM(r.v) FROM (SELECT CAST(ROW(orderkey, totalprice) "
+      "AS ROW(v BIGINT, p DOUBLE)) r FROM orders) t",
+      f"{_ATQ}:371 testRowFieldAccessorInAggregate (adapted)",
+      duck="SELECT SUM(orderkey) FROM orders"),
+    C("row_field_in_comparison",
+      "SELECT COUNT(*) FROM orders WHERE CAST(ROW(orderkey) AS "
+      "ROW(k BIGINT)).k < 100",
+      f"{_ATQ}:580 testDereferenceInComparison (adapted)",
+      duck="SELECT COUNT(*) FROM orders WHERE orderkey < 100"),
+    C("row_field_group_by",
+      "SELECT r.s, COUNT(*) FROM (SELECT CAST(ROW(orderstatus) AS "
+      "ROW(s VARCHAR)) r FROM orders) t GROUP BY r.s",
+      f"{_ATQ}:589 testMissingRowFieldInGroupBy (adapted)",
+      duck="SELECT orderstatus, COUNT(*) FROM orders "
+           "GROUP BY orderstatus"),
+    C("map_subscript",
+      "SELECT MAP(ARRAY[1, 3], ARRAY['one', 'three'])[1], "
+      "MAP(ARRAY['a'], ARRAY[7])['a']",
+      f"{_ATQ}:309 testMapSubscript", duck="SELECT 'one', 7"),
     C("grouping_sets_over_table",
       "SELECT orderstatus, orderpriority, COUNT(*), "
       "grouping(orderstatus, orderpriority) FROM orders GROUP BY "
