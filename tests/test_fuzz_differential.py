@@ -144,6 +144,17 @@ def _fq_query(draw):
             st.lists(_FQ_INT, min_size=1, max_size=3, unique=True)
         )
         items = ["a AS pk"] + [f"{e} AS c{i}" for i, e in enumerate(exprs)]
+        if draw(st.booleans()):
+            win = draw(
+                st.sampled_from(
+                    ["row_number() OVER (ORDER BY a)",
+                     "rank() OVER (ORDER BY b, a)",
+                     "sum(b) OVER (ORDER BY a)",
+                     "lag(b) OVER (ORDER BY a)",
+                     "count(*) OVER (PARTITION BY s)"]
+                )
+            )
+            items.append(f"{win} AS w")
         order = "ORDER BY pk" if limit else ""
         sql = f"SELECT {', '.join(items)} FROM fuzz_t"
         if where:

@@ -1229,6 +1229,29 @@ CORPUS: list[Case] = [
       f"{_ATQ}:589 testMissingRowFieldInGroupBy (adapted)",
       duck="SELECT orderstatus, COUNT(*) FROM orders "
            "GROUP BY orderstatus"),
+    C("agg_presto_names",
+      "SELECT approx_distinct(orderstatus), count_if(orderkey < 100), "
+      "bool_and(totalprice > 0), bool_or(orderkey > 10) FROM orders",
+      f"{_ATA} aggregate-name surface (approx_distinct exact at 3 "
+      "distinct values on both engines)",
+      duck="SELECT count(DISTINCT orderstatus), "
+           "count(*) FILTER (WHERE orderkey < 100), "
+           "bool_and(totalprice > 0), bool_or(orderkey > 10) "
+           "FROM orders"),
+    C("agg_max_by_min_by_deterministic",
+      "SELECT max_by(orderstatus, orderkey), "
+      "min_by(orderstatus, orderkey) FROM orders",
+      f"{_ATQ}:3140/:3153 (deterministic: orderkey unique)",
+      duck="SELECT arg_max(orderstatus, orderkey), "
+           "arg_min(orderstatus, orderkey) FROM orders"),
+    C("agg_approx_percentile_small",
+      "SELECT approx_percentile(x, 0.5) FROM (VALUES 1, 2, 3, 4, 5) "
+      "t(x)", f"{_ATQ}:797 testApproxPercentile (small-n exact)",
+      duck="SELECT 3"),
+    C("agg_arbitrary_single_value",
+      "SELECT arbitrary(x) FROM (VALUES 42) t(x)",
+      f"{_ATQ} arbitrary (single row: deterministic)",
+      duck="SELECT 42"),
     C("map_subscript",
       "SELECT MAP(ARRAY[1, 3], ARRAY['one', 'three'])[1], "
       "MAP(ARRAY['a'], ARRAY[7])['a']",
