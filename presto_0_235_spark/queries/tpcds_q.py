@@ -4096,20 +4096,32 @@ def tpcds_q14_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
-    lo = li.join(orders, li.l_orderkey == orders.o_orderkey)
-    sales_s = F.sum(
-        F.round(
-            F.col("l_quantity") * F.col("l_extendedprice") * 100
-        ).cast("bigint")
-    ).cast("bigint")
+    # The materialized 3-year slice every consumer reads — the
+    # reference materializes exactly this via its CTEs. Seven fact
+    # passes (3 attr sets + the scalar avg + 3 branches) collapse to
+    # ONE scan + cached reads; the slice is projected to 6 columns.
+    lo_slice = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter(F.year("o_orderdate").between(1995, 1997))
+        .select(
+            "l_partkey", "p_brand", "p_type", "o_orderpriority",
+            F.year("o_orderdate").alias("__yr"),
+            F.round(
+                F.col("l_quantity") * F.col("l_extendedprice") * 100
+            ).cast("bigint").alias("qp_s"),
+        )
+        .persist()
+    )
+    # Materialize eagerly: the INTERSECT legs and branches schedule
+    # concurrently, and a lazily-filled cache would recompute the
+    # slice once per parallel consumer before it populates.
+    lo_slice.count()
+    sales_s = F.sum("qp_s").cast("bigint")
 
     def attrs(prios):
         return (
-            lo.join(part, li.l_partkey == part.p_partkey)
-            .filter(
-                F.year("o_orderdate").between(1995, 1997)
-                & F.col("o_orderpriority").isin(*prios)
-            )
+            lo_slice.filter(F.col("o_orderpriority").isin(*prios))
             .select("p_brand", "p_type")
             .distinct()
         )
@@ -4125,8 +4137,7 @@ def tpcds_q14_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     avg_sales = (
-        lo.filter(F.year("o_orderdate").between(1995, 1997))
-        .agg(
+        lo_slice.agg(
             (
                 sales_s.cast("double") / F.count(F.lit(1))
             ).alias("avg_s")
@@ -4136,9 +4147,8 @@ def tpcds_q14_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def branch(channel, prios):
         return (
-            lo.join(part, li.l_partkey == part.p_partkey)
-            .filter(
-                (F.year("o_orderdate") == 1997)
+            lo_slice.filter(
+                (F.col("__yr") == 1997)
                 & F.col("o_orderpriority").isin(*prios)
             )
             .join(
