@@ -23,7 +23,10 @@ _HEAVY = ["tpch_q5", "dedup_minhash_lsh", "pipeline_corpus_dedup",
           "text_decontaminate", "join_interval_overlap",
           "ts_rollup_gapfill", "tpch_q21_adapted", "dedup_cc_star",
           "tpch_q2_adapted", "ann_int8_topk", "join_spatial_radius",
-          "docs_pack_sequences"]
+          "docs_pack_sequences",
+          # round-8 heavyweights: the TPC-DS monsters
+          "tpcds_q14_adapted", "tpcds_q64_adapted", "tpcds_q4_adapted",
+          "tpcds_q72_adapted", "tpcds_q67_adapted"]
 
 
 @pytest.mark.parametrize("name", _HEAVY)
