@@ -1410,3 +1410,77 @@ def sql_corpus_from_unnest_ordinality(
         "SELECT a, b FROM UNNEST(ARRAY[10, 20, 30]) "
         "WITH ORDINALITY t(a, b)",
     )
+
+
+_SQL_TPCDS_Q67_ORACLE = """
+WITH dw1 AS (
+  SELECT p_type, p_brand, CAST(quarter(o_orderdate) AS INT) AS qoy,
+         CAST(SUM(CAST(round(l_extendedprice * l_quantity * 100)
+                       AS BIGINT)) AS BIGINT) AS sumsales_s
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE year(o_orderdate) = 1996
+  GROUP BY ROLLUP (p_type, p_brand, quarter(o_orderdate))
+),
+dw2 AS (
+  SELECT *, CAST(rank() OVER (PARTITION BY p_type
+                  ORDER BY sumsales_s DESC, p_brand NULLS FIRST,
+                           qoy NULLS FIRST) AS BIGINT) AS rk
+  FROM dw1
+)
+SELECT p_type, p_brand, qoy,
+       round(sumsales_s / 100.0, 2) AS sumsales, rk
+FROM dw2 WHERE rk <= 5
+ORDER BY p_type NULLS FIRST, rk
+LIMIT 100
+"""
+
+
+@register("sql_tpcds_q67", oracle=_SQL_TPCDS_Q67_ORACLE)
+def sql_tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67's rank-over-ROLLUP as SQL text through the front
+    door (tpcds/q67.sql; DataFrame twin tpcds_q67_adapted) — a
+    window function FILTERED IN THE WHERE CLAUSE over a rollup's
+    mixed-grouping output in subquery form (both engines reject
+    window functions directly in WHERE); the point is the rollup +
+    NULL-partition rank + front-door NULLS FIRST handling crossing
+    the dialect layer as one statement."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q67_ORACLE)
+
+
+_SQL_TPCDS_Q9 = """
+WITH b AS (
+  SELECT CAST(floor((l_quantity - 1) / 10) AS INT) AS bucket,
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS DOUBLE) / COUNT(*) / 100.0 AS avg_price,
+         CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT))
+              AS DOUBLE) / COUNT(*) / 10000.0 AS avg_disc
+  FROM lineitem WHERE l_quantity BETWEEN 1 AND 50
+  GROUP BY 1
+)
+SELECT
+  MAX(CASE WHEN bucket = 0 THEN
+      CASE WHEN cnt > 11000 THEN avg_price ELSE avg_disc END END)
+    AS bucket1,
+  MAX(CASE WHEN bucket = 1 THEN
+      CASE WHEN cnt > 11500 THEN avg_price ELSE avg_disc END END)
+    AS bucket2,
+  MAX(CASE WHEN bucket = 2 THEN
+      CASE WHEN cnt > 12000 THEN avg_price ELSE avg_disc END END)
+    AS bucket3
+FROM b
+"""
+
+
+@register("sql_tpcds_q9", oracle=_SQL_TPCDS_Q9)
+def sql_tpcds_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q9's scalar-subquery bucket report as SQL text through
+    the front door (tpcds/q09.sql; DataFrame twin tpcds_q9_adapted)
+    — the fused one-pass formulation submitted as text: nested CASEs
+    folding per-bucket threshold choices over one grouped CTE. Both
+    engines run the identical statement."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q9)
