@@ -1252,6 +1252,47 @@ CORPUS: list[Case] = [
       "SELECT arbitrary(x) FROM (VALUES 42) t(x)",
       f"{_ATQ} arbitrary (single row: deterministic)",
       duck="SELECT 42"),
+    C("group_by_map_key",
+      "SELECT col[1], cnt FROM (SELECT MAP(ARRAY[1], ARRAY[custkey]) "
+      "col, COUNT(*) cnt FROM orders GROUP BY 1)",
+      f"{_ATA}:160 testGroupByMap",
+      duck="SELECT custkey, COUNT(*) FROM orders GROUP BY custkey"),
+    C("group_by_row_key",
+      "SELECT col.col1, cnt FROM (SELECT CAST(row(custkey, custkey) "
+      "AS row(col0 bigint, col1 bigint)) col, COUNT(*) cnt "
+      "FROM orders GROUP BY 1)", f"{_ATA}:172 testGroupByRow",
+      duck="SELECT custkey, COUNT(*) FROM orders GROUP BY custkey"),
+    C("reaggregate_per_key",
+      "SELECT custkey, sum(t) FROM (SELECT custkey, count(*) t "
+      "FROM orders GROUP BY custkey) GROUP BY custkey",
+      f"{_ATA}:184 testNestedGroupByWithSameKey"),
+    C("aggregation_over_right_join",
+      "SELECT value FROM (SELECT key FROM (VALUES 'match') AS "
+      "a(key) LEFT JOIN (SELECT * FROM (VALUES (0)) LIMIT 0) AS "
+      "x(ignored) ON TRUE GROUP BY 1) a RIGHT JOIN (VALUES "
+      "('match', 'value'), ('no-match', 'value')) AS b(key, value) "
+      "ON a.key = b.key GROUP BY 1", f"{_ATA}:361",
+      duck="VALUES ('value')"),
+    C("correlated_avg_threshold",
+      "SELECT * FROM nation n1 WHERE (n1.nationkey > (SELECT "
+      "avg(nationkey) FROM nation n2 WHERE "
+      "n1.regionkey=n2.regionkey))", f"{_ATA}:391"),
+    C("agg_over_outer_join_of_aggregates",
+      "SELECT max(name), min(name), count(nationkey) + 1, "
+      "count(nationkey) FROM (SELECT DISTINCT regionkey FROM region) "
+      "AS r1 LEFT JOIN nation ON r1.regionkey = nation.regionkey "
+      "AND nationkey > 90", f"{_ATA}:391 (adapted tail)"),
+    C("agg_with_argument_casts",
+      "SELECT sum(CAST(quantity AS BIGINT)), "
+      "avg(CAST(linenumber AS DOUBLE)), "
+      "max(CAST(orderkey AS VARCHAR)) FROM lineitem",
+      f"{_ATA}:435 testAggregationWithSomeArgumentCasts (adapted)"),
+    C("coercion_in_between",
+      "SELECT COUNT(*) FROM lineitem WHERE linenumber "
+      "BETWEEN 1.5 AND 3.5", f"{_ATQ}:7613 testCoercions (adapted)"),
+    C("coercion_in_in_list",
+      "SELECT COUNT(*) FROM lineitem WHERE linenumber IN "
+      "(1.0, 2.0, 99.5)", f"{_ATQ}:7613 (adapted)"),
     C("map_subscript",
       "SELECT MAP(ARRAY[1, 3], ARRAY['one', 'three'])[1], "
       "MAP(ARRAY['a'], ARRAY[7])['a']",
