@@ -1430,7 +1430,7 @@ dw2 AS (
   FROM dw1
 )
 SELECT p_type, p_brand, qoy,
-       round(sumsales_s / 100.0, 2) AS sumsales, rk
+       round(CAST(sumsales_s AS DOUBLE) / 100.0, 2) AS sumsales, rk
 FROM dw2 WHERE rk <= 5
 ORDER BY p_type NULLS FIRST, rk
 LIMIT 100
