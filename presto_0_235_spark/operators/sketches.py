@@ -118,11 +118,33 @@ def hll_presto_registers(
     most 2^p rows per group before any shuffle leaves the map side."""
     import pandas as pd
 
-    from pyspark.sql.types import IntegerType, LongType
+    from pyspark.sql.types import (
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
 
     from presto_0_235_spark.functions import murmur3 as mm
 
-    is_int = isinstance(df.schema[col].dataType, (LongType, IntegerType))
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, (LongType, IntegerType, ShortType)):
+        kind = "int"
+    elif isinstance(dtype, (DoubleType, FloatType)):
+        # Presto hashes DOUBLE as Murmur3(doubleToLongBits(v)) — the
+        # IEEE-754 bit pattern reinterpreted as a long, with Java's
+        # canonical NaN (ApproximateSetAggregation DOUBLE input path).
+        kind = "double"
+    elif isinstance(dtype, StringType):
+        kind = "varchar"
+    else:
+        raise TypeError(
+            f"hll_presto_registers: no Presto hash mapping for "
+            f"{dtype.simpleString()} — only bigint/int, double/real "
+            f"and varchar carry register-exact interop"
+        )
     fields = [
         f"{k} {df.schema[k].dataType.simpleString()}" for k in keys
     ]
@@ -133,10 +155,21 @@ def hll_presto_registers(
 
         for pdf in iterator:
             vals = pdf[col]
-            if is_int:
+            if kind == "int":
                 hashes = mm.hash64_batch_longs(
                     vals.to_numpy(dtype=np.int64)
                 )
+                pairs = [mm.hll_bucket_value(int(h), p) for h in hashes]
+            elif kind == "double":
+                bits = (
+                    vals.to_numpy(dtype=np.float64).view(np.int64).copy()
+                )
+                # Java doubleToLongBits collapses every NaN payload
+                # to the canonical quiet NaN.
+                bits[np.isnan(vals.to_numpy(dtype=np.float64))] = (
+                    0x7FF8000000000000
+                )
+                hashes = mm.hash64_batch_longs(bits)
                 pairs = [mm.hll_bucket_value(int(h), p) for h in hashes]
             else:
                 pairs = [
@@ -150,7 +183,14 @@ def hll_presto_registers(
             out["rho"] = [r for _, r in pairs]
             yield out
 
-    rows = df.select(*keys, col).mapInPandas(batch, out_schema)
+    # Presto's approx_set skips NULL inputs (they contribute no
+    # register); without this filter the int path raises and the
+    # varchar path would hash the literal string 'None'.
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .select(*keys, col)
+        .mapInPandas(batch, out_schema)
+    )
     return rows.groupBy(*keys, "reg_idx").agg(
         F.max("rho").alias("max_rho")
     )

@@ -731,6 +731,12 @@ def _rewrite_order_by_nulls(sql: str) -> str:
         rebuilt = []
         for a, b in item_bounds:
             text = sql[a:b]
+            if "(" in text:
+                # A sort item may itself contain an ORDER BY at
+                # depth>0 (scalar subquery, aggregate-internal ORDER
+                # BY, OVER clause used as a sort key); the outer scan
+                # resumes past `end`, so rewrite nested clauses here.
+                text = _rewrite_order_by_nulls(text)
             stripped = text.rstrip()
             if not stripped or _HAS_NULLS_ORDER.search(stripped):
                 rebuilt.append(text)
@@ -767,6 +773,10 @@ def _rewrite_apply(sql: str) -> str:
         inner = sql[m.end() : past_close - 1]
         args = _split_top_comma(inner)
         if len(args) != 2 or "->" not in args[1]:
+            # Not the 2-arg lambda form: emit the skipped segment
+            # verbatim before advancing, or the text between the last
+            # emit point and this call head would be silently dropped.
+            out.append(sql[pos : m.end()])
             pos = m.end()
             continue
         value, lam = args

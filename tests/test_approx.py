@@ -310,3 +310,67 @@ class TestMurmur3:
         merged = sk.hll_merge_bytes(wire, wire)  # self-merge = identity
         _, back = sk.hll_deserialize_dense(merged)
         assert back == {k: v for k, v in regmap.items() if v}
+
+
+class TestPrestoRegisterInputTypes:
+    """ADVICE r8: NULLs must be skipped (Presto's approx_set adds no
+    register for NULL) and DOUBLE must hash through
+    doubleToLongBits — not str(v)."""
+
+    def test_nulls_skipped_both_paths(self, spark):
+        import pyspark.sql.functions as F
+
+        from presto_0_235_spark.operators import sketches as sk
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (None, "b"), (3, "a")],
+            "k bigint, s string",
+        )
+        # int path: used to raise on to_numpy(int64) with nulls
+        regs_int = sk.hll_presto_registers(df, [], "k")
+        clean_int = sk.hll_presto_registers(df.filter("k is not null"), [], "k")
+        assert {
+            (r["reg_idx"], r["max_rho"]) for r in regs_int.collect()
+        } == {(r["reg_idx"], r["max_rho"]) for r in clean_int.collect()}
+        # varchar path: NULL used to hash as the literal 'None'
+        regs_str = sk.hll_presto_registers(df, [], "s")
+        clean_str = sk.hll_presto_registers(df.filter("s is not null"), [], "s")
+        assert {
+            (r["reg_idx"], r["max_rho"]) for r in regs_str.collect()
+        } == {(r["reg_idx"], r["max_rho"]) for r in clean_str.collect()}
+
+    def test_double_hashes_as_bit_pattern_long(self, spark):
+        """Murmur3(doubleToLongBits(v)) — the registers of a DOUBLE
+        column must equal those of its IEEE-754 bit pattern taken as
+        a BIGINT column (that is exactly what airlift feeds hash64)."""
+        import struct
+
+        from presto_0_235_spark.operators import sketches as sk
+
+        vals = [0.0, -0.0, 1.5, -273.15, 6.02214076e23, float("nan")]
+        bits = [
+            struct.unpack("<q", struct.pack("<d", v))[0]
+            if v == v
+            else 0x7FF8000000000000
+            for v in vals
+        ]
+        dd = spark.createDataFrame([(v,) for v in vals], "d double")
+        bb = spark.createDataFrame([(b,) for b in bits], "b bigint")
+        rd = {
+            (r["reg_idx"], r["max_rho"])
+            for r in sk.hll_presto_registers(dd, [], "d").collect()
+        }
+        rb = {
+            (r["reg_idx"], r["max_rho"])
+            for r in sk.hll_presto_registers(bb, [], "b").collect()
+        }
+        assert rd == rb
+
+    def test_unsupported_type_raises(self, spark):
+        import pytest as _pytest
+
+        from presto_0_235_spark.operators import sketches as sk
+
+        df = spark.createDataFrame([([1, 2],)], "a array<int>")
+        with _pytest.raises(TypeError, match="no Presto hash mapping"):
+            sk.hll_presto_registers(df, [], "a")

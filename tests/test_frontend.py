@@ -284,3 +284,47 @@ def test_bare_varchar_becomes_string():
     assert p2s('SELECT x AS "varchar" FROM t') == (
         "SELECT x AS `varchar` FROM t"
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 ADVICE regressions
+
+
+def test_apply_skip_path_preserves_text():
+    """A non-lambda apply( occurrence must pass through verbatim —
+    the skip path used to drop everything from the last emit point
+    through the call head (ADVICE r8)."""
+    from presto_0_235_spark.sql.frontend import _rewrite_apply
+
+    sql = "SELECT t.apply(1, 2) FROM t"
+    assert _rewrite_apply(sql) == sql
+    # Mixed: a real lambda apply AND a non-lambda one in one text.
+    mixed = "SELECT apply(x, v -> v + 1), t.apply(1, 2) FROM t"
+    out = _rewrite_apply(mixed)
+    assert "t.apply(1, 2) FROM t" in out
+    assert "element_at(transform(array(x), v -> v + 1), 1)" in out
+    # Non-lambda apply before a later lambda apply.
+    both = "SELECT ns.apply(a, b), apply(y, q -> q * 2) FROM t"
+    out2 = _rewrite_apply(both)
+    assert "ns.apply(a, b)" in out2
+    assert "element_at(transform(array(y), q -> q * 2), 1)" in out2
+
+
+def test_order_by_nulls_rewrites_nested_clause():
+    """An ORDER BY nested at depth>0 inside an outer ORDER BY item
+    (scalar subquery / aggregate-internal) also gets the Presto
+    NULLS LAST default (ADVICE r8)."""
+    from presto_0_235_spark.sql.frontend import _rewrite_order_by_nulls
+
+    sql = (
+        "SELECT a FROM t ORDER BY (SELECT max(x) FROM u ORDER BY y), b"
+    )
+    out = _rewrite_order_by_nulls(sql)
+    assert "ORDER BY y NULLS LAST" in out
+    assert out.rstrip().endswith("b NULLS LAST")
+    # Idempotent: a second pass changes nothing.
+    assert _rewrite_order_by_nulls(out) == out
+    # Aggregate-internal ORDER BY used as a sort item.
+    sql2 = "SELECT g FROM t GROUP BY g ORDER BY array_agg(v ORDER BY v DESC)"
+    out2 = _rewrite_order_by_nulls(sql2)
+    assert "ORDER BY v DESC NULLS LAST" in out2
