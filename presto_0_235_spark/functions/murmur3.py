@@ -167,3 +167,36 @@ def hll_bucket_value(h: int, p: int) -> tuple[int, int]:
     else:
         value = 64 - shifted.bit_length() + 1
     return bucket, value
+
+
+def bit_length_u64(values: np.ndarray) -> np.ndarray:
+    """Vectorized int.bit_length over a uint64 array (0 -> 0) — a
+    shift-or smear (fills every bit below the MSB) followed by a SWAR
+    popcount. Exact integer arithmetic, no float exponent tricks
+    (which mis-round near power-of-two boundaries)."""
+    t = values.copy()
+    for r in (1, 2, 4, 8, 16, 32):
+        t |= t >> np.uint64(r)
+    t = t - ((t >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    t = (t & np.uint64(0x3333333333333333)) + (
+        (t >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    t = (t + (t >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((t * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+        np.int64
+    )
+
+
+def hll_bucket_value_batch(
+    hashes: np.ndarray, p: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized hll_bucket_value over an int64 hash array — pure
+    numpy bit math, zero per-element Python. nlz(hash << p) =
+    64 - bit_length(hash << p). Pinned element-for-element against
+    the scalar hll_bucket_value in tests/test_approx.py."""
+    u = hashes.astype(np.int64).view(np.uint64)
+    bucket = (u >> np.uint64(64 - p)).astype(np.int64)
+    s = u << np.uint64(p)  # wraps mod 2^64, same as (u << p) & _MASK
+    bitlen = bit_length_u64(s)
+    value = np.where(s == np.uint64(0), 65, 65 - bitlen).astype(np.int64)
+    return bucket, value

@@ -43,6 +43,11 @@ import sys
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Module-level import (not inside worker-executed closures): murmur3
+# registers itself pickle-by-value, so executors receive it inside
+# the closure instead of re-importing from a sys.path they don't have.
+from presto_0_235_spark.functions import murmur3 as _mm
+
 try:  # wire codec runs inside pandas workers: pickle by value
     from pyspark import cloudpickle as _cp
 
@@ -96,13 +101,66 @@ def hll_merge(registers: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def _presto_hash_kind(dtype) -> str:
+    """Map a Spark column type to the airlift hash input form:
+    integer types hash as the 8-byte little-endian long (tinyint
+    included — Presto coerces tinyint to bigint for approx_set),
+    DOUBLE/REAL as Murmur3 of doubleToLongBits(v), varchar as utf8
+    bytes."""
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    if isinstance(dtype, (LongType, IntegerType, ShortType, ByteType)):
+        return "int"
+    if isinstance(dtype, (DoubleType, FloatType)):
+        return "double"
+    if isinstance(dtype, StringType):
+        return "varchar"
+    raise TypeError(
+        f"no Presto hash mapping for {dtype.simpleString()} — only "
+        f"bigint/int, double/real and varchar carry register-exact "
+        f"interop"
+    )
+
+
+def _presto_hash_batch(vals, kind: str):
+    """One pandas Series -> int64 numpy array of airlift
+    Murmur3Hash128.hash64 values (vectorized for fixed-width kinds,
+    per-string Python murmur for varchar — unavoidable and
+    documented)."""
+    import numpy as np
+
+    if kind == "int":
+        return _mm.hash64_batch_longs(vals.to_numpy(dtype=np.int64))
+    if kind == "double":
+        arr = vals.to_numpy(dtype=np.float64)
+        bits = arr.view(np.int64).copy()
+        # Java doubleToLongBits collapses every NaN payload to the
+        # canonical quiet NaN.
+        bits[np.isnan(arr)] = 0x7FF8000000000000
+        return _mm.hash64_batch_longs(bits)
+    return np.array(
+        [_mm.hash64(str(v).encode("utf-8")) for v in vals],
+        dtype=np.int64,
+    )
+
+
 def hll_presto_registers(
     df: DataFrame, keys: list[str], col: str, p: int = HLL_P
 ) -> DataFrame:
     """approx_set with PRESTO's exact register contents: values hash
-    through Murmur3 x64-128 (airlift Murmur3Hash128.hash64 — bigints
-    as their 8-byte little-endian form, everything else as utf8
-    bytes), bucket = top p hash bits, value =
+    through Murmur3 x64-128 (airlift Murmur3Hash128.hash64 — integer
+    types as their 8-byte little-endian form, DOUBLE/REAL as
+    Murmur3 of doubleToLongBits(v) — the IEEE-754 bit pattern with
+    Java's canonical quiet NaN — and varchar as utf8 bytes), bucket =
+    top p hash bits, value =
     numberOfLeadingZeros(hash << p) + 1 (airlift cardinality.Utils).
     A sketch serialized from these registers via hll_serialize_dense
     is byte-meaningful to a REAL airlift/Presto reader: same
@@ -113,74 +171,24 @@ def hll_presto_registers(
     tests/test_approx.py.
 
     Scale: one Arrow batch pass over the fact computes (bucket,
-    value) per row — numpy-vectorized for integer columns, per-value
-    Python murmur only for strings — then registers collapse to at
-    most 2^p rows per group before any shuffle leaves the map side."""
-    import pandas as pd
-
-    from pyspark.sql.types import (
-        DoubleType,
-        FloatType,
-        IntegerType,
-        LongType,
-        ShortType,
-        StringType,
-    )
-
-    from presto_0_235_spark.functions import murmur3 as mm
-
-    dtype = df.schema[col].dataType
-    if isinstance(dtype, (LongType, IntegerType, ShortType)):
-        kind = "int"
-    elif isinstance(dtype, (DoubleType, FloatType)):
-        # Presto hashes DOUBLE as Murmur3(doubleToLongBits(v)) — the
-        # IEEE-754 bit pattern reinterpreted as a long, with Java's
-        # canonical NaN (ApproximateSetAggregation DOUBLE input path).
-        kind = "double"
-    elif isinstance(dtype, StringType):
-        kind = "varchar"
-    else:
-        raise TypeError(
-            f"hll_presto_registers: no Presto hash mapping for "
-            f"{dtype.simpleString()} — only bigint/int, double/real "
-            f"and varchar carry register-exact interop"
-        )
+    value) per row — hash AND bucket/rho split fully numpy-vectorized
+    for integer and double columns (zero per-element Python),
+    per-value Python murmur only for strings — then registers
+    collapse to at most 2^p rows per group before any shuffle leaves
+    the map side."""
+    kind = _presto_hash_kind(df.schema[col].dataType)
     fields = [
         f"{k} {df.schema[k].dataType.simpleString()}" for k in keys
     ]
     out_schema = ", ".join(fields + ["reg_idx int", "rho int"])
 
     def batch(iterator):
-        import numpy as np
-
         for pdf in iterator:
-            vals = pdf[col]
-            if kind == "int":
-                hashes = mm.hash64_batch_longs(
-                    vals.to_numpy(dtype=np.int64)
-                )
-                pairs = [mm.hll_bucket_value(int(h), p) for h in hashes]
-            elif kind == "double":
-                bits = (
-                    vals.to_numpy(dtype=np.float64).view(np.int64).copy()
-                )
-                # Java doubleToLongBits collapses every NaN payload
-                # to the canonical quiet NaN.
-                bits[np.isnan(vals.to_numpy(dtype=np.float64))] = (
-                    0x7FF8000000000000
-                )
-                hashes = mm.hash64_batch_longs(bits)
-                pairs = [mm.hll_bucket_value(int(h), p) for h in hashes]
-            else:
-                pairs = [
-                    mm.hll_bucket_value(
-                        mm.hash64(str(v).encode("utf-8")), p
-                    )
-                    for v in vals
-                ]
+            hashes = _presto_hash_batch(pdf[col], kind)
+            buckets, rhos = _mm.hll_bucket_value_batch(hashes, p)
             out = pdf[keys].copy()
-            out["reg_idx"] = [b for b, _ in pairs]
-            out["rho"] = [r for _, r in pairs]
+            out["reg_idx"] = buckets
+            out["rho"] = rhos
             yield out
 
     # Presto's approx_set skips NULL inputs (they contribute no
@@ -193,6 +201,46 @@ def hll_presto_registers(
     )
     return rows.groupBy(*keys, "reg_idx").agg(
         F.max("rho").alias("max_rho")
+    )
+
+
+def hll_presto_sparse_entries(
+    df: DataFrame, keys: list[str], col: str
+) -> DataFrame:
+    """approx_set state in Presto's SPARSE form: per-key 32-bit
+    sparse entries (26-bit hash prefix | 6-bit zeros-after-prefix,
+    airlift SparseHll) ready for hll_serialize_sparse. Same typed
+    Murmur3 hashing as hll_presto_registers; the groupBy collapses
+    duplicate prefixes map-side keeping the max stored zero-count
+    (airlift's insert rule). Sparse state is only bounded when the
+    per-key cardinality is low — the caller is responsible for
+    converting groups past the 2^16 entry limit to dense, exactly
+    as airlift's HyperLogLog wrapper does."""
+    kind = _presto_hash_kind(df.schema[col].dataType)
+    fields = [
+        f"{k} {df.schema[k].dataType.simpleString()}" for k in keys
+    ]
+    out_schema = ", ".join(fields + ["prefix int", "zeros int"])
+
+    def batch(iterator):
+        import numpy as np
+
+        for pdf in iterator:
+            hashes = _presto_hash_batch(pdf[col], kind)
+            entries = hll_sparse_encode_batch(hashes)
+            out = pdf[keys].copy()
+            # entries are < 2^32, so int64 shifts are sign-safe
+            out["prefix"] = entries >> np.int64(_SPARSE_VALUE_BITS)
+            out["zeros"] = entries & np.int64(_SPARSE_VALUE_MASK)
+            yield out
+
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .select(*keys, col)
+        .mapInPandas(batch, out_schema)
+    )
+    return rows.groupBy(*keys, "prefix").agg(
+        F.max("zeros").alias("zeros")
     )
 
 
@@ -427,22 +475,40 @@ def hll_deserialize_dense(data: bytes) -> tuple[int, dict[int, int]]:
 
 
 def hll_merge_bytes(*sketches: bytes) -> bytes:
-    """merge(HLL, HLL, ...) on the wire form: deserialize, take the
-    register-wise max (the HLL union), re-serialize. Equals the
+    """merge(HLL, HLL, ...) on the wire form, accepting BOTH tags
+    (real Presto emits SPARSE_V2 for low-cardinality groups). All
+    sparse inputs -> sparse union (entry-wise, lossless); any dense
+    input promotes the whole merge to dense via register-wise max —
+    exactly airlift's HyperLogLog.mergeWith promotion. Equals the
     sketch built directly on the concatenated inputs — the
     MergeHyperLogLogAggregation.java contract."""
-    merged: dict[int, int] = {}
     p_seen = None
+    sparse_entries: list[int] = []
+    merged: dict[int, int] = {}
+    any_dense = False
     for data in sketches:
-        p, regs = hll_deserialize_dense(data)
+        if data[0] == _SPARSE_V2_TAG:
+            p, entries = hll_deserialize_sparse(data)
+            sparse_entries.extend(entries)
+        else:
+            p, regs = hll_deserialize_dense(data)
+            any_dense = True
+            for bucket, value in regs.items():
+                if value > merged.get(bucket, 0):
+                    merged[bucket] = value
         if p_seen is None:
             p_seen = p
         elif p != p_seen:
             raise ValueError(f"bucket counts differ: 2^{p_seen} vs 2^{p}")
-        for bucket, value in regs.items():
-            if value > merged.get(bucket, 0):
-                merged[bucket] = value
-    return hll_serialize_dense(merged, p_seen if p_seen is not None else HLL_P)
+    p_out = p_seen if p_seen is not None else HLL_P
+    if not any_dense:
+        return hll_serialize_sparse(sparse_entries, p_out)
+    for bucket, value in hll_sparse_to_registers(
+        p_out, sparse_entries
+    ).items():
+        if value > merged.get(bucket, 0):
+            merged[bucket] = value
+    return hll_serialize_dense(merged, p_out)
 
 
 def hll_estimate_registers(registers: dict[int, int]) -> int:
@@ -457,6 +523,166 @@ def hll_estimate_registers(registers: dict[int, int]) -> int:
     if raw <= 2.5 * HLL_M and zeros > 0:
         return round(HLL_M * math.log(HLL_M / zeros))
     return round(raw)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog SPARSE_V2 wire format (airlift SparseHll, tag 2).
+#
+# A real Presto approx_set over a LOW-cardinality column serializes
+# the sparse representation, not DENSE_V2 — the airlift HyperLogLog
+# wrapper starts sparse and only converts to dense when the entry
+# table would outgrow the dense register array. The layout (public
+# airlift stats/cardinality SparseHll serialization):
+#
+#   byte  0        format tag (2 = SPARSE_V2)
+#   byte  1        indexBitLength p
+#   short (LE)     number of entries
+#   int   (LE) * n entries, sorted ascending by hash prefix
+#
+# Each 32-bit entry packs the top 26 bits of the 64-bit value hash
+# (EXTENDED_PREFIX_BITS = 32 - VALUE_BITS) above a 6-bit count of
+# the zeros immediately AFTER that prefix:
+#
+#   entry = (hash >>> 38) << 6  |  nlz(hash << 26)
+#
+# Storing the raw 26-bit prefix (not just the p-bit bucket) is what
+# lets sparse sketches (a) convert losslessly to dense for ANY
+# p <= 26 — the dense bucket and rank are both recoverable — and
+# (b) estimate cardinality by linear counting over 2^26 virtual
+# buckets, which is near-exact in the sparse regime. Conversion to
+# dense registers (airlift SparseHll.eachBucket): bucket = top p
+# bits of the entry; zeros = nlz32(entry << p) unless that count
+# runs past the prefix (the remaining prefix bits are all zero), in
+# which case zeros = (26 - p) + the stored 6-bit value; register
+# value = zeros + 1.
+#
+# Self-consistency is pinned in tests/test_approx.py: for
+# adversarial hashes (including the all-zero-after-bucket branch)
+# sparse encode -> dense conversion must equal direct dense
+# insertion — the property any correct sparse layout must satisfy —
+# and the container header/entry bytes are golden-pinned.
+
+_SPARSE_V2_TAG = 2
+_SPARSE_VALUE_BITS = 6
+_SPARSE_VALUE_MASK = (1 << _SPARSE_VALUE_BITS) - 1
+_SPARSE_PREFIX_BITS = 32 - _SPARSE_VALUE_BITS  # 26
+_U64 = 0xFFFFFFFFFFFFFFFF
+
+
+def hll_sparse_encode_hash(h: int) -> int:
+    """64-bit value hash -> 32-bit sparse entry:
+    (top 26 hash bits << 6) | min(nlz(hash << 26), 63)."""
+    u = h & _U64
+    prefix = u >> (64 - _SPARSE_PREFIX_BITS)
+    shifted = (u << _SPARSE_PREFIX_BITS) & _U64
+    zeros = (64 - shifted.bit_length()) if shifted else 64
+    return (prefix << _SPARSE_VALUE_BITS) | min(zeros, _SPARSE_VALUE_MASK)
+
+
+def hll_sparse_encode_batch(hashes):
+    """Vectorized hll_sparse_encode_hash over an int64 hash array —
+    same numpy bit math as the dense bucket/value split."""
+    import numpy as np
+
+    u = hashes.astype(np.int64).view(np.uint64)
+    prefix = u >> np.uint64(64 - _SPARSE_PREFIX_BITS)
+    s = u << np.uint64(_SPARSE_PREFIX_BITS)
+    zeros = np.where(
+        s == np.uint64(0), 64, np.int64(64) - _mm.bit_length_u64(s)
+    )
+    zeros = np.minimum(zeros, _SPARSE_VALUE_MASK).astype(np.uint64)
+    return (
+        ((prefix << np.uint64(_SPARSE_VALUE_BITS)) | zeros)
+        .astype(np.uint64)
+        .astype(np.int64)
+    )
+
+
+def _sparse_dedupe(entries) -> list[int]:
+    """One entry per 26-bit prefix, keeping the max zero-count
+    (equal prefixes hash-collide above bit 38; the larger stored
+    count dominates, as in airlift's insert), sorted by prefix."""
+    best: dict[int, int] = {}
+    for e in entries:
+        pre = int(e) >> _SPARSE_VALUE_BITS
+        v = int(e) & _SPARSE_VALUE_MASK
+        if v > best.get(pre, -1):
+            best[pre] = v
+    return [
+        (pre << _SPARSE_VALUE_BITS) | best[pre] for pre in sorted(best)
+    ]
+
+
+def hll_serialize_sparse(entries, p: int = HLL_P) -> bytes:
+    """Sparse entries (32-bit ints, any order/dupes) -> SPARSE_V2
+    bytes."""
+    import struct
+
+    deduped = _sparse_dedupe(entries)
+    if len(deduped) > 0xFFFF:
+        raise ValueError(
+            f"{len(deduped)} sparse entries exceed the 16-bit count "
+            "field — convert to dense first"
+        )
+    out = bytearray(
+        struct.pack("<BBH", _SPARSE_V2_TAG, p, len(deduped))
+    )
+    for e in deduped:
+        out += struct.pack("<I", e & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def hll_deserialize_sparse(data: bytes) -> tuple[int, list[int]]:
+    """SPARSE_V2 bytes -> (p, sorted entry list)."""
+    import struct
+
+    tag, p = struct.unpack_from("<BB", data, 0)
+    if tag != _SPARSE_V2_TAG:
+        raise ValueError(f"not a SPARSE_V2 HLL (tag {tag})")
+    (n,) = struct.unpack_from("<H", data, 2)
+    return p, list(struct.unpack_from(f"<{n}I", data, 4))
+
+
+def hll_sparse_to_registers(p: int, entries) -> dict[int, int]:
+    """Sparse entries -> dense register map {bucket: value} (airlift
+    SparseHll.eachBucket / toDense)."""
+    registers: dict[int, int] = {}
+    for e in entries:
+        e = int(e) & 0xFFFFFFFF
+        bucket = e >> (32 - p)
+        shifted = (e << p) & 0xFFFFFFFF
+        zeros = (32 - shifted.bit_length()) if shifted else 32
+        if zeros > _SPARSE_PREFIX_BITS - p:
+            # the rest of the prefix is all zeros: the true run
+            # continues into the stored zeros-after-prefix count
+            zeros = (_SPARSE_PREFIX_BITS - p) + (
+                e & _SPARSE_VALUE_MASK
+            )
+        value = zeros + 1
+        if value > registers.get(bucket, 0):
+            registers[bucket] = value
+    return registers
+
+
+def hll_sparse_cardinality(entries) -> int:
+    """Linear counting over the 2^26 virtual prefix buckets — the
+    airlift SparseHll estimator (near-exact in the sparse regime)."""
+    import math
+
+    total = 1 << _SPARSE_PREFIX_BITS
+    distinct = len({int(e) >> _SPARSE_VALUE_BITS for e in entries})
+    zeros = total - distinct
+    return round(total * math.log(total / zeros))
+
+
+def hll_estimate_bytes(data: bytes) -> int:
+    """cardinality(HLL) on a wire sketch, either tag."""
+    tag = data[0]
+    if tag == _SPARSE_V2_TAG:
+        _, entries = hll_deserialize_sparse(data)
+        return hll_sparse_cardinality(entries)
+    _, registers = hll_deserialize_dense(data)
+    return hll_estimate_registers(registers)
 
 
 # ---------------------------------------------------------------------------
