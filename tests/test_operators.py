@@ -1245,3 +1245,36 @@ def test_fnv_standard_vectors(spark):
     assert row.d & u64 == 0xA430D84680AABD0B
     assert row.e32 & u32 == 0x811C9DC5
     assert row.e64 & u64 == 0xCBF29CE484222325
+
+
+def test_tdigest_wire_query_bounds(spark, sf_dir):
+    """agg_tdigest_wire_format end-to-end: per-group and merged
+    p50/p90/p99 must sit within 1.5% rank error of the exact
+    percentiles computed on the same parquet."""
+    import numpy as np
+
+    from presto_0_235_spark.queries.aggregates_q import (
+        agg_tdigest_wire_format,
+    )
+
+    got = {
+        r["l_returnflag"]: r
+        for r in agg_tdigest_wire_format(spark, sf_dir).collect()
+    }
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice")
+        .toPandas()
+    )
+    groups = {
+        flag: np.sort(grp["l_extendedprice"].to_numpy())
+        for flag, grp in li.groupby("l_returnflag")
+    }
+    groups["ALL (merged)"] = np.sort(li["l_extendedprice"].to_numpy())
+    assert set(got) == set(groups)
+    for flag, xs in groups.items():
+        row = got[flag]
+        assert row["n"] == len(xs)
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            rank = np.searchsorted(xs, row[col]) / len(xs)
+            assert abs(rank - q) < 0.015, (flag, col, rank)
