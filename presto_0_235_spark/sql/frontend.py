@@ -106,19 +106,28 @@ def _scan(sql: str) -> list[tuple[str, str]]:
     return out
 
 
-_MASK_RE = re.compile("\x00(\\d+)\x00")
+_MASK_RE = re.compile("\x00[sdc](\\d+)\x00")
+# Trailing run of whitespace and/or COMMENT placeholders — the text a
+# clause-appending rewriter must insert BEFORE (a token appended after
+# a line comment would be swallowed by it once unmasked).
+_TRAILING_COMMENTS_RE = re.compile("(?:\\s|\x00c\\d+\x00)*$")
+
+_KIND_CHAR = {"str": "s", "dq": "d", "comment": "c"}
 
 
 def _mask(sql: str) -> tuple[str, list[tuple[str, str]]]:
-    """Replace non-code segments with \\x00<idx>\\x00 placeholders so
-    the regex passes can treat the rest as one contiguous code text."""
+    """Replace non-code segments with \\x00<kind><idx>\\x00
+    placeholders so the regex passes can treat the rest as one
+    contiguous code text. The kind char (s=string, d=quoted ident,
+    c=comment) lets passes that APPEND trailing tokens (ORDER BY
+    NULLS LAST) hop over trailing comments without unmasking."""
     stash: list[tuple[str, str]] = []
     parts: list[str] = []
     for kind, text in _scan(sql):
         if kind == "code":
             parts.append(text)
         else:
-            parts.append(f"\x00{len(stash)}\x00")
+            parts.append(f"\x00{_KIND_CHAR[kind]}{len(stash)}\x00")
             stash.append((kind, text))
     return "".join(parts), stash
 
@@ -515,9 +524,15 @@ def _rewrite_unnest(sql: str) -> str:
 # Quantified comparisons
 # --------------------------------------------------------------------------
 
+# Separator between the op and the quantifier: whitespace and/or
+# masked comments (a comment there must not defeat the rewrite — it
+# is dropped with the rewritten expression).
+_QSEP = "(?:\\s|\x00c\\d+\x00)*"
 _QUANT = re.compile(
-    r"(?P<lhs>[A-Za-z_][\w.]*|\d+(?:\.\d+)?)\s*(?P<op>[<>]=?)\s*"
-    r"(?P<q>ALL|ANY|SOME)\s*\(\s*(?P<sub>SELECT\b[^()]*(?:\([^()]*\)[^()]*)*)\)",
+    r"(?P<lhs>[A-Za-z_][\w.]*|\d+(?:\.\d+)?)" + _QSEP
+    + r"(?P<op><>|!=|[<>]=?|=)" + _QSEP
+    + r"(?P<q>ALL|ANY|SOME)\s*\(\s*"
+    + r"(?P<sub>SELECT\b[^()]*(?:\([^()]*\)[^()]*)*)\)",
     re.IGNORECASE,
 )
 
@@ -541,6 +556,8 @@ def _rewrite_quantified(sql: str) -> str:
         sub = m.group("sub")
         if quant == "SOME":
             quant = "ANY"
+        if op in ("=", "<>", "!="):
+            return _quantified_equality(lhs, op, quant, sub, n)
         greater = op.startswith(">")
         agg = "MAX" if (greater == (quant == "ALL")) else "MIN"
         k = n[0]
@@ -567,6 +584,64 @@ def _rewrite_quantified(sql: str) -> str:
         )
 
     return _QUANT.sub(repl, sql)
+
+
+def _quantified_equality(
+    lhs: str, op: str, quant: str, sub: str, n: list[int]
+) -> str:
+    """Equality forms of the quantified comparison
+    (TransformQuantifiedComparisonApplyToLateralJoin.java handles
+    these through the same count-based lowering):
+
+      = ANY:  IN(sub), count-guarded — Spark's PROJECTED IN-subquery
+              is 2-valued (NULL lhs / null-bearing miss evaluate
+              FALSE, not NULL), so the standard 3-valued result is
+              restored explicitly: NULL lhs with rows -> NULL, miss
+              with NULLs present -> NULL.
+      <> ALL: the 3-valued negation of = ANY (standard NOT IN).
+      = ALL:  TRUE if sub empty; FALSE on a non-null witness <> lhs
+              (min/max both = lhs iff none); NULL if lhs is NULL with
+              rows present, or no witness but NULLs present.
+      <> ANY: the 3-valued negation of = ALL.
+    """
+    eq = op == "="
+    k = n[0]
+    n[0] += 1
+    a = f"__qc{k}"
+    cnt_all = f"(SELECT COUNT(*) FROM ({sub}) {a}n)"
+    cnt_val = f"(SELECT COUNT({a}c.__v) FROM ({sub}) AS {a}c(__v))"
+    min_v = f"(SELECT MIN({a}v.__v) FROM ({sub}) AS {a}v(__v))"
+    max_v = f"(SELECT MAX({a}w.__v) FROM ({sub}) AS {a}w(__v))"
+    null_b = "CAST(NULL AS BOOLEAN)"
+    if eq == (quant == "ANY"):
+        # = ANY (membership) and <> ALL (its negation)
+        t, f = ("TRUE", "FALSE") if eq else ("FALSE", "TRUE")
+        return (
+            f"(CASE WHEN {lhs} IS NULL THEN"
+            f" (CASE WHEN {cnt_all} = 0 THEN {f} ELSE {null_b} END)"
+            f" WHEN {lhs} IN ({sub}) THEN {t}"
+            f" WHEN {cnt_val} <> {cnt_all} THEN {null_b}"
+            f" ELSE {f} END)"
+        )
+    witness = (
+        f"{cnt_val} > 0 AND ({min_v} <> {lhs} OR {max_v} <> {lhs})"
+    )
+    if eq:  # = ALL
+        return (
+            f"(CASE WHEN {cnt_all} = 0 THEN TRUE"
+            f" WHEN {lhs} IS NULL THEN {null_b}"
+            f" WHEN {witness} THEN FALSE"
+            f" WHEN {cnt_val} <> {cnt_all} THEN {null_b}"
+            f" ELSE TRUE END)"
+        )
+    # <> ANY
+    return (
+        f"(CASE WHEN {cnt_all} = 0 THEN FALSE"
+        f" WHEN {lhs} IS NULL THEN {null_b}"
+        f" WHEN {witness} THEN TRUE"
+        f" WHEN {cnt_val} <> {cnt_all} THEN {null_b}"
+        f" ELSE FALSE END)"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -737,12 +812,16 @@ def _rewrite_order_by_nulls(sql: str) -> str:
                 # BY, OVER clause used as a sort key); the outer scan
                 # resumes past `end`, so rewrite nested clauses here.
                 text = _rewrite_order_by_nulls(text)
-            stripped = text.rstrip()
+            # Strip trailing whitespace AND trailing comment
+            # placeholders: NULLS LAST appended after a line comment
+            # would be swallowed by it once unmasked.
+            cut = _TRAILING_COMMENTS_RE.search(text).start()
+            stripped = text[:cut]
             if not stripped or _HAS_NULLS_ORDER.search(stripped):
                 rebuilt.append(text)
             else:
                 rebuilt.append(
-                    stripped + " NULLS LAST" + text[len(stripped):]
+                    stripped + " NULLS LAST" + text[cut:]
                 )
         out.append(",".join(rebuilt))
         pos = end

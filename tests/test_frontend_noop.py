@@ -1,0 +1,224 @@
+"""Adversarial NO-OP fuzzing of the SQL front-door rewrite passes
+(r10, VERDICT next-round #1).
+
+The r9 ADVICE bugs (_rewrite_apply corrupting any query containing a
+non-lambda ``apply(`` token; nested ORDER BY missing NULLS LAST)
+lived in rewrite passes the reference corpus never exercised with
+LOOK-ALIKE tokens. This suite pins, for every rewrite pass, that
+text which merely RESEMBLES the pass's trigger comes through
+byte-identical:
+
+- trigger tokens inside string literals, comments, and quoted
+  identifiers (the _mask guarantee),
+- near-miss code tokens (``x.apply``, ``misapply(``, ``try_cast``,
+  ``ordering``, columns named like keywords),
+- the trigger's non-rewritable forms (1-arg ``apply``, single-arg
+  ``grouping``, ORDER BY items that already carry NULLS markers).
+
+Each entry runs through the FULL presto_to_spark_sql pipeline — a
+pass interfering outside its trigger is exactly the bug class this
+guards against.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from presto_0_235_spark.sql.frontend import presto_to_spark_sql
+
+# SQL texts that contain look-alike trigger tokens but no genuine
+# Presto-only construct: the pipeline must return them byte-identical.
+NOOP_TEXTS = [
+    # ---- apply (r9 bug: non-lambda apply( corrupted the query) ----
+    "SELECT apply(a) FROM t",
+    "SELECT apply(a, b) FROM t",  # 2-arg but no lambda
+    "SELECT apply (x) FROM apply_log",
+    "SELECT x.apply FROM t",
+    "SELECT misapply(a, x) FROM t",
+    "SELECT applying, applyx FROM t WHERE reapply = 1",
+    # ---- TRY ----
+    "SELECT try_cast_result, trying FROM t WHERE retry > 1",
+    "SELECT tryst(a) FROM country",
+    # ---- ARRAY literal ----
+    "SELECT arrays, array_col FROM t",
+    "SELECT subarray(a, 1, 2) FROM t",
+    # ---- MAP ctor (trigger is MAP( followed by array() ) ----
+    "SELECT map_col, mapping FROM remap",
+    "SELECT bitmap(a) FROM t",
+    # ---- ROW ctor / type ----
+    "SELECT rows, rowcount, arrow FROM t",
+    "SELECT grow(a) FROM t",
+    # ---- UNNEST ----
+    "SELECT unnested, nest FROM t",
+    # ---- quantified (ALL/ANY/SOME) ----
+    "SELECT tally, anya, somec FROM t",
+    "SELECT a FROM t WHERE ball > 1 AND canyon < 2",
+    # ---- subscript near-miss: function call then bracket-free ----
+    "SELECT f(a), g FROM t",
+    # ---- url functions ----
+    "SELECT url_col, urlx FROM t",
+    # ---- function-name map near-misses ----
+    "SELECT strposition, lengthy FROM t",
+    # ---- grouping: single-arg stays Spark grouping() ----
+    "SELECT grouping(a) FROM t GROUP BY ROLLUP(a)",
+    "SELECT regrouping, grouping_sets_col FROM t",
+    # ---- tablesample ----
+    "SELECT a FROM tablesampler",
+    "SELECT tablesample_pct FROM t",
+    # ---- bare null predicate (only a WHOLE bare NULL rewrites) ----
+    "SELECT a FROM t WHERE nullable = 1",
+    "SELECT a FROM t WHERE x IS NULL",
+    "SELECT a FROM t WHERE NULL IS NULL",
+    # ---- order-by: explicit NULLS markers must not double-append ----
+    "SELECT a FROM t ORDER BY a NULLS LAST",
+    "SELECT a FROM t ORDER BY a DESC NULLS FIRST",
+    "SELECT a FROM t ORDER BY a ASC NULLS LAST, b DESC NULLS FIRST",
+    "SELECT a FROM t ORDER BY a NULLS LAST LIMIT 5",
+    # ---- varchar: parameterized + word-embedded stay ----
+    "SELECT CAST(a AS VARCHAR(10)) FROM t",
+    "SELECT varchars FROM t",
+    # ---- combinations ----
+    "SELECT x.apply, tryst(rows), unnested FROM tablesampler "
+    "WHERE nullable = 1",
+]
+
+# Texts where ONLY the documented transform may apply, and literal /
+# comment segments embedding every trigger token must survive
+# byte-identical.
+LITERAL_PAYLOADS = [
+    "apply(a, x -> b)",
+    "TRY(1/0)",
+    "ARRAY[1, 2]",
+    "MAP(ARRAY(1), ARRAY(2))",
+    "ROW(1, 2)",
+    "UNNEST(arr)",
+    "a > ALL (SELECT 1)",
+    "x[1]",
+    "url_extract_host(u)",
+    "GROUPING(a, b)",
+    "TABLESAMPLE BERNOULLI (10)",
+    "WHERE NULL",
+    "ORDER BY a DESC",
+    "CAST(a AS VARCHAR)",
+    "strpos(a, b)",
+    "it''s -- not a comment",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", NOOP_TEXTS, ids=[t[:48] for t in NOOP_TEXTS]
+)
+def test_near_miss_code_is_untouched(sql):
+    assert presto_to_spark_sql(sql) == sql
+
+
+@pytest.mark.parametrize(
+    "payload", LITERAL_PAYLOADS, ids=[p[:32] for p in LITERAL_PAYLOADS]
+)
+def test_trigger_tokens_inside_string_literals(payload):
+    lit = "'" + payload.replace("'", "''") + "'"
+    sql = f"SELECT {lit} AS c FROM t"
+    assert presto_to_spark_sql(sql) == sql
+
+
+@pytest.mark.parametrize(
+    "payload", LITERAL_PAYLOADS, ids=[p[:32] for p in LITERAL_PAYLOADS]
+)
+def test_trigger_tokens_inside_line_comments(payload):
+    sql = f"SELECT a FROM t -- {payload}"
+    assert presto_to_spark_sql(sql) == sql
+
+
+@pytest.mark.parametrize(
+    "payload", LITERAL_PAYLOADS, ids=[p[:32] for p in LITERAL_PAYLOADS]
+)
+def test_trigger_tokens_inside_block_comments(payload):
+    sql = f"SELECT a /* {payload} */ FROM t"
+    assert presto_to_spark_sql(sql) == sql
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [p for p in LITERAL_PAYLOADS if "'" not in p],
+    ids=[p[:32] for p in LITERAL_PAYLOADS if "'" not in p],
+)
+def test_trigger_tokens_inside_quoted_identifiers(payload):
+    """Presto "ident" becomes Spark `ident` — the CONTENT must come
+    through verbatim even when it spells a trigger token."""
+    sql = f'SELECT a AS "{payload}" FROM t'
+    expect = f"SELECT a AS `{payload}` FROM t"
+    assert presto_to_spark_sql(sql) == expect
+
+
+def test_rewrites_still_fire_outside_literals():
+    """Guard the guard: the same tokens OUTSIDE literals must still
+    rewrite (this suite must not be satisfiable by disabling the
+    rewriters)."""
+    out = presto_to_spark_sql("SELECT apply(a, x -> x + 1) FROM t")
+    assert "transform(array(a)" in out
+    out = presto_to_spark_sql("SELECT a FROM t ORDER BY a")
+    assert out == "SELECT a FROM t ORDER BY a NULLS LAST"
+    out = presto_to_spark_sql("SELECT ARRAY[1, 2] FROM t")
+    assert "array(1, 2)" in out
+    out = presto_to_spark_sql("SELECT grouping(a, b) FROM t "
+                              "GROUP BY GROUPING SETS ((a), (b))")
+    assert "grouping_id(a, b)" in out
+
+
+def test_mixed_literal_and_code_apply():
+    """The r9 corruption shape, adversarially: a non-lambda apply(
+    in code sitting NEXT to a lambda apply( and a literal spelling
+    apply( — only the lambda form rewrites, everything else
+    byte-identical."""
+    sql = ("SELECT apply(a), apply(b, x -> x + 1), 'apply(c, y -> y)' "
+           "FROM t")
+    out = presto_to_spark_sql(sql)
+    assert out == ("SELECT apply(a), "
+                   "element_at(transform(array(b), x -> x + 1), 1), "
+                   "'apply(c, y -> y)' FROM t")
+
+
+def test_quantified_equality_forms_rewrite():
+    """r10: = ANY / <> ALL / = ALL / <> ANY (Presto SqlBase.g4
+    quantifiedComparison) now lower through the count-guarded CASE;
+    previously they passed through and died at Spark's parser. Also:
+    a comment between the op and the quantifier no longer defeats
+    the rewrite."""
+    for sql in (
+        "SELECT a = ANY (SELECT b FROM u) FROM t",
+        "SELECT a <> ALL (SELECT b FROM u) FROM t",
+        "SELECT a = ALL (SELECT b FROM u) FROM t",
+        "SELECT a <> ANY (SELECT b FROM u) FROM t",
+        "SELECT a = /* c */ ANY (SELECT b FROM u) FROM t",
+    ):
+        out = presto_to_spark_sql(sql)
+        assert "ANY" not in out and "ALL (" not in out, (sql, out)
+        assert "CASE" in out, (sql, out)
+
+
+def test_order_by_trailing_comment_not_swallowed():
+    """r10 bug found by this suite: NULLS LAST appended AFTER a
+    trailing line comment was swallowed by it (nulls then sorted
+    first, silently). The append point must hop trailing comments."""
+    out = presto_to_spark_sql("SELECT a FROM t ORDER BY a -- tail")
+    assert out == "SELECT a FROM t ORDER BY a NULLS LAST -- tail"
+    out = presto_to_spark_sql(
+        "SELECT a FROM t ORDER BY a /* b */, c -- tail"
+    )
+    assert out == (
+        "SELECT a FROM t ORDER BY a NULLS LAST /* b */, "
+        "c NULLS LAST -- tail"
+    )
+    # a trailing STRING placeholder is part of the expression and
+    # must not be hopped
+    out = presto_to_spark_sql("SELECT a FROM t ORDER BY 'lit'")
+    assert out == "SELECT a FROM t ORDER BY 'lit' NULLS LAST"
+
+
+def test_nested_order_by_nulls_regression():
+    """The second r9 bug: ORDER BY nested under a sort item must also
+    get NULLS LAST."""
+    sql = ("SELECT array_agg(a ORDER BY b) FROM t "
+           "ORDER BY (SELECT max(x) FROM u ORDER BY y) ")
+    out = presto_to_spark_sql(sql)
+    assert out.count("NULLS LAST") == 3
