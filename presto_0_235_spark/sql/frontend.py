@@ -206,6 +206,38 @@ _ROW_TYPE_HEAD = re.compile(r"^\s*ROW\s*\(", re.IGNORECASE)
 _BARE_VARCHAR_TYPE = re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE)
 
 
+_ARRAY_TYPE_HEAD = re.compile(r"^\s*ARRAY\s*\(", re.IGNORECASE)
+_MAP_TYPE_HEAD = re.compile(r"^\s*MAP\s*\(", re.IGNORECASE)
+
+
+def _presto_type_to_spark(typ: str) -> str:
+    """Recursive Presto type -> Spark DDL type: row(...) ->
+    STRUCT<...>, array(T) -> ARRAY<T>, map(K, V) -> MAP<K, V>, bare
+    varchar -> STRING; scalars pass through (found via
+    AbstractTestQueries.java row-type texts with nested
+    array(integer) fields, which Spark's paren type syntax
+    rejects)."""
+    typ = typ.strip()
+    if _ROW_TYPE_HEAD.match(typ):
+        open_i = typ.index("(")
+        past = _balanced(typ, open_i)
+        return _row_fields_to_struct(typ[open_i + 1 : past - 1])
+    if _ARRAY_TYPE_HEAD.match(typ):
+        open_i = typ.index("(")
+        past = _balanced(typ, open_i)
+        inner = _presto_type_to_spark(typ[open_i + 1 : past - 1])
+        return f"ARRAY<{inner}>"
+    if _MAP_TYPE_HEAD.match(typ):
+        open_i = typ.index("(")
+        past = _balanced(typ, open_i)
+        kv = _split_top_comma(typ[open_i + 1 : past - 1])
+        if len(kv) == 2:
+            k = _presto_type_to_spark(kv[0])
+            v = _presto_type_to_spark(kv[1])
+            return f"MAP<{k}, {v}>"
+    return _BARE_VARCHAR_TYPE.sub("STRING", typ)
+
+
 def _row_fields_to_struct(inner: str) -> str:
     parts = []
     for f in _split_top_comma(inner):
@@ -215,19 +247,20 @@ def _row_fields_to_struct(inner: str) -> str:
             parts.append(f)
             continue
         name, typ = f[:sp], f[sp + 1 :].strip()
-        m = _ROW_TYPE_HEAD.match(typ)
-        if m:
-            past = _balanced(typ, typ.index("("))
-            typ = _row_fields_to_struct(typ[typ.index("(") + 1 : past - 1])
-        else:
-            typ = _BARE_VARCHAR_TYPE.sub("STRING", typ)
-        parts.append(f"{name}: {typ}")
+        parts.append(f"{name}: {_presto_type_to_spark(typ)}")
     return "STRUCT<" + ", ".join(parts) + ">"
+
+
+# CAST type position: AS ROW(...) / AS ARRAY(...) / AS MAP(...) — the
+# paren-spelled Presto container types Spark's DDL syntax rejects.
+_AS_CONTAINER_TYPE = re.compile(
+    r"\bAS\s+(?:ROW|ARRAY|MAP)\s*\(", re.IGNORECASE
+)
 
 
 def _rewrite_row_types(sql: str) -> str:
     while True:
-        m = _AS_ROW_TYPE.search(sql)
+        m = _AS_CONTAINER_TYPE.search(sql)
         if m is None:
             return sql
         open_i = m.end() - 1
@@ -235,12 +268,106 @@ def _rewrite_row_types(sql: str) -> str:
             past = _balanced(sql, open_i)
         except ValueError:
             return sql
-        struct = _row_fields_to_struct(sql[open_i + 1 : past - 1])
-        sql = sql[: m.start()] + "AS " + struct + sql[past:]
+        typ = _presto_type_to_spark(sql[m.start() + 2 : past])
+        sql = sql[: m.start()] + "AS " + typ + sql[past:]
 
 
 def _rewrite_row_ctor(sql: str) -> str:
     return _ROW_CTOR.sub("struct(", sql)
+
+
+# Ordinal subscript on ROW values (AbstractTestQueries.java:318
+# testRowSubscript): Presto's r[2] works on rows; Spark has no
+# positional struct access. The two syntactically-resolvable shapes
+# lower here: a direct ROW(...)[k] picks the k-th constructor
+# argument, and CAST(... AS STRUCT<f1: t1, ...>)[k] (the type already
+# converted by _rewrite_row_types) becomes .fk field access. A
+# subscript on a row-typed COLUMN is not statically distinguishable
+# from an array subscript at the string level and stays element_at —
+# documented scope.
+_ROW_SUB_IDX = re.compile(r"\s*\[\s*(\d+)\s*\]")
+_ATOMIC_ARG = re.compile(r"^(?:[\w.'\"]+|[A-Za-z_][\w.]*\s*\(.*\))$")
+_CAST_CALL = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
+_STRUCT_SPEC = re.compile(r"AS\s+STRUCT<(.*)>\s*$", re.IGNORECASE | re.DOTALL)
+
+
+def _split_struct_fields(spec: str) -> list[str]:
+    """Top-level field names of a STRUCT<...> spec (commas nest in
+    <> and ())."""
+    names, depth, start = [], 0, 0
+    for i, ch in enumerate(spec):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            names.append(spec[start:i])
+            start = i + 1
+    names.append(spec[start:])
+    return [f.split(":")[0].strip() for f in names]
+
+
+def _rewrite_row_subscript(sql: str) -> str:
+    changed = True
+    while changed:
+        changed = False
+        for m in _ROW_CTOR.finditer(sql):
+            open_i = sql.index("(", m.start())
+            try:
+                past = _balanced(sql, open_i)
+            except ValueError:
+                continue
+            mm = _ROW_SUB_IDX.match(sql, past)
+            if not mm:
+                continue
+            args = _split_top_comma(sql[open_i + 1 : past - 1])
+            k = int(mm.group(1))
+            if not 1 <= k <= len(args):
+                continue
+            arg = args[k - 1].strip()
+            if not _ATOMIC_ARG.match(arg):
+                arg = f"({arg})"
+            sql = sql[: m.start()] + arg + sql[mm.end() :]
+            changed = True
+            break
+        if changed:
+            continue
+        for m in _CAST_CALL.finditer(sql):
+            open_i = m.end() - 1
+            try:
+                past = _balanced(sql, open_i)
+            except ValueError:
+                continue
+            # the subscript may sit after a wrapping paren:
+            # (CAST(... AS STRUCT<...>))[k]
+            mm = re.match(r"(\s*\))?\s*\[\s*(\d+)\s*\]", sql[past:])
+            if not mm:
+                continue
+            spec = _STRUCT_SPEC.search(sql[open_i + 1 : past - 1])
+            if not spec:
+                continue
+            if mm.group(1):
+                # the close paren must WRAP this cast — i.e. the
+                # char before CAST is its open paren. Otherwise it
+                # closes an enclosing call (f(CAST(..))[k] subscripts
+                # f's result, not the row).
+                before = sql[: m.start()].rstrip()
+                if not before.endswith("("):
+                    continue
+            names = _split_struct_fields(spec.group(1))
+            k = int(mm.group(2))
+            if not 1 <= k <= len(names):
+                continue
+            anchor = past + len(mm.group(1) or "")
+            sql = (
+                sql[:anchor]
+                + "."
+                + names[k - 1]
+                + sql[past + mm.end() :]
+            )
+            changed = True
+            break
+    return sql
 
 
 # --------------------------------------------------------------------------
@@ -406,7 +533,10 @@ def _rewrite_subscripts(sql: str) -> str:
 # Up to TWO levels of balanced parens inside the operand — enough for
 # transform(sequence(1, 5), x -> x * x) and the corpus's nested calls.
 _P1 = r"\((?:[^()]|\([^()]*\))*\)"
-_ARR = rf"(?P<arr>[^()]*(?:{_P1}[^()]*)*)"
+# One more level on top of _P1 — array(array(array(1, 2, 3))) and the
+# corpus's triple-nested operands.
+_P2 = rf"\((?:[^()]|{_P1})*\)"
+_ARR = rf"(?P<arr>[^()]*(?:{_P2}[^()]*)*)"
 _UNNEST_ORD = re.compile(
     rf"CROSS\s+JOIN\s+UNNEST\s*\({_ARR}\)\s+WITH\s+ORDINALITY\s+"
     r"(?:AS\s+)?(?P<t>\w+)\s*\(\s*(?P<c>\w+)\s*,\s*(?P<ord>\w+)\s*\)",
@@ -430,6 +560,33 @@ _FROM_UNNEST_ORD = re.compile(
 _FROM_UNNEST = re.compile(
     rf"\bFROM\s+UNNEST\s*\({_ARR}\)\s+"
     r"(?:AS\s+)?(?P<t>\w+)\s*\(\s*(?P<c>\w+)\s*\)",
+    re.IGNORECASE,
+)
+# The lookahead shared by the alias-less forms: no alias may follow —
+# it rejects alias spellings but lets clause keywords and end-of-text
+# through (AbstractTestQueries.java:608 testUnnest bare shapes).
+_NO_ALIAS = (
+    r"(?!\s*(?:WITH\b|AS\b|"
+    r"(?!WHERE\b|GROUP\b|ORDER\b|LIMIT\b|OFFSET\b|HAVING\b|UNION\b"
+    r"|INTERSECT\b|EXCEPT\b|CROSS\b|JOIN\b|LEFT\b|RIGHT\b|FULL\b"
+    r"|INNER\b|ON\b)\w+|\())"
+)
+_FROM_UNNEST_BARE = re.compile(
+    rf"\bFROM\s+UNNEST\s*\({_ARR}\)" + _NO_ALIAS, re.IGNORECASE
+)
+_CROSS_UNNEST_BARE = re.compile(
+    rf"CROSS\s+JOIN\s+UNNEST\s*\({_ARR}\)" + _NO_ALIAS, re.IGNORECASE
+)
+# Comma-form unnest (FROM t, UNNEST(...)): Presto treats the comma
+# join exactly as CROSS JOIN (including correlation on the left
+# table) — normalize so the CROSS JOIN rewrites apply.
+_COMMA_UNNEST = re.compile(r",\s*(?=UNNEST\s*\()", re.IGNORECASE)
+# FROM-position two-alias form: UNNEST(a1, a2) t(x, y) zip or
+# UNNEST(m) t(k, v) map — the CROSS JOIN twins of these already
+# existed; these are the no-left-table spellings.
+_FROM_UNNEST_TWO = re.compile(
+    rf"\bFROM\s+UNNEST\s*\({_ARR}\)\s+"
+    r"(?:AS\s+)?(?P<t>\w+)\s*\(\s*(?P<k>\w+)\s*,\s*(?P<v>\w+)\s*\)",
     re.IGNORECASE,
 )
 
@@ -483,9 +640,29 @@ def _rewrite_unnest(sql: str) -> str:
         # Single map operand: UNNEST(m) AS t(k, v).
         return f"LATERAL VIEW explode({m.group('arr')}) {t} AS {a}, {b}"
 
+    sql = _COMMA_UNNEST.sub(" CROSS JOIN ", sql)
     sql = _UNNEST_ORD.sub(ord_repl, sql)
     # Two aliases without ORDINALITY = map unnest OR two-array zip.
     sql = _UNNEST_TWO.sub(two_repl, sql)
+
+    def from_two_repl(m: re.Match) -> str:
+        t, a, b = m.group("t"), m.group("k"), m.group("v")
+        operands = _split_top_comma(m.group("arr"))
+        if len(operands) == 2:
+            k = counter[0]
+            counter[0] += 1
+            p1, p2 = operands
+            return (
+                f"FROM (SELECT __s{k}.__c0 AS {a}, __s{k}.__c1 AS {b} "
+                f"FROM (SELECT explode(zip_with({p1}, {p2}, "
+                f"(l, r) -> named_struct('__c0', l, '__c1', r))) "
+                f"AS __s{k})) {t}"
+            )
+        return (
+            f"FROM (SELECT explode({m.group('arr')}) AS ({a}, {b})) {t}"
+        )
+
+    sql = _FROM_UNNEST_TWO.sub(from_two_repl, sql)
     sql = _UNNEST.sub(
         lambda m: (
             f"LATERAL VIEW explode({m.group('arr')}) {m.group('t')} "
@@ -517,6 +694,22 @@ def _rewrite_unnest(sql: str) -> str:
         ),
         sql,
     )
+
+    def bare_repl(m: re.Match) -> str:
+        k = counter[0]
+        counter[0] += 1
+        return (
+            f"FROM (SELECT explode({m.group('arr')}) AS col) __un{k}"
+        )
+
+    sql = _FROM_UNNEST_BARE.sub(bare_repl, sql)
+
+    def cross_bare_repl(m: re.Match) -> str:
+        k = counter[0]
+        counter[0] += 1
+        return f"LATERAL VIEW explode({m.group('arr')}) __un{k} AS col"
+
+    sql = _CROSS_UNNEST_BARE.sub(cross_bare_repl, sql)
     return sql
 
 
@@ -744,6 +937,83 @@ def _rewrite_function_names(sql: str) -> str:
     return _FN_CALL.sub(
         lambda m: PRESTO_FN_RENAMES[m.group(1).lower()] + "(", sql
     )
+
+
+# --------------------------------------------------------------------------
+# Call templates — Presto functions whose Spark twin needs argument
+# RESTRUCTURING, not just a rename (found porting
+# AbstractTestQueries.java:707 testReduceAgg, :750 testMaps, :781
+# testSpecialFloatingPointValues, :759 testValues).
+# --------------------------------------------------------------------------
+
+_TEMPLATE_CALL = re.compile(
+    r"\b(reduce_agg|map_agg|nan|infinity)\s*\(", re.IGNORECASE
+)
+_IN_VALUES = re.compile(r"\bIN\s*\(\s*(?=VALUES\b)", re.IGNORECASE)
+
+
+def _rewrite_call_templates(sql: str) -> str:
+    """reduce_agg(e, init, in_fn, comb_fn) -> aggregate(
+    collect_list(e), init, in_fn) — Presto requires commutative fns
+    (ReduceAggregationFunction.java), so folding the gathered list
+    with the input function alone is equivalent. map_agg(k, v) ->
+    map_from_entries over collect_list, with Presto's null-key
+    skipping (a CASE yields NULL for null keys and collect_list
+    drops NULL elements). nan()/infinity() -> the CAST spellings.
+    IN (VALUES ...) -> IN (SELECT * FROM (VALUES ...)) — Spark's IN
+    needs a query, not a bare table constructor."""
+    pos = 0
+    while True:
+        m = _TEMPLATE_CALL.search(sql, pos)
+        if m is None:
+            break
+        open_i = m.end() - 1
+        try:
+            past = _balanced(sql, open_i)
+        except ValueError:
+            break
+        inner = sql[open_i + 1 : past - 1]
+        args = [a.strip() for a in _split_top_comma(inner)]
+        name = m.group(1).lower()
+        repl = None
+        if name == "reduce_agg" and len(args) == 4:
+            e, init, in_fn, _comb = args
+            repl = f"aggregate(collect_list({e}), {init}, {in_fn})"
+        elif name == "map_agg" and len(args) == 2:
+            k, v = args
+            repl = (
+                f"map_from_entries(collect_list(CASE WHEN ({k}) IS "
+                f"NOT NULL THEN struct({k}, {v}) END))"
+            )
+        elif name == "nan" and args == [""]:
+            repl = "CAST('NaN' AS DOUBLE)"
+        elif name == "infinity" and args == [""]:
+            repl = "CAST('Infinity' AS DOUBLE)"
+        if repl is None:
+            pos = m.end()  # arity mismatch: leave verbatim, move on
+            continue
+        sql = sql[: m.start()] + repl + sql[past:]
+        pos = m.start()  # rescan: the template args may hold templates
+    while True:
+        m = _IN_VALUES.search(sql)
+        if m is None:
+            break
+        open_i = sql.index("(", m.start())
+        try:
+            past = _balanced(sql, open_i)
+        except ValueError:
+            break
+        inner = sql[open_i + 1 : past - 1]
+        # Spark's parser rejects an unaliased parenthesized VALUES in
+        # subquery position — alias it.
+        sql = (
+            sql[: open_i + 1]
+            + "SELECT * FROM ("
+            + inner
+            + ") __vin"
+            + sql[past - 1 :]
+        )
+    return sql
 
 
 # --------------------------------------------------------------------------
@@ -998,12 +1268,14 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = _rewrite_array_literals(masked)
     masked = _rewrite_map_ctor(masked)
     masked = _rewrite_row_types(masked)
+    masked = _rewrite_row_subscript(masked)
     masked = _rewrite_row_ctor(masked)
     masked = _rewrite_try(masked)
     masked = _rewrite_unnest(masked)
     masked = _rewrite_quantified(masked)
     masked = _rewrite_subscripts(masked)
     masked = _rewrite_url_fns(masked)
+    masked = _rewrite_call_templates(masked)
     masked = _rewrite_function_names(masked)
     masked = _rewrite_bare_varchar(masked)
     masked = _rewrite_multiarg_grouping(masked)

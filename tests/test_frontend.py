@@ -270,12 +270,15 @@ def test_bare_varchar_becomes_string():
     )
     # literals are never rewritten
     assert p2s("SELECT 'AS VARCHAR' FROM t") == "SELECT 'AS VARCHAR' FROM t"
-    # nested constructor types in the AS tail are rewritten
+    # constructor types in the AS tail convert to Spark DDL spelling
+    # (r10: the paren forms array(T)/map(K,V) are now fully lowered,
+    # not just varchar-substituted — Spark rejects nested paren types
+    # like array(integer) inside a ROW cast)
     assert p2s("SELECT CAST(x AS array(varchar)) FROM t") == (
-        "SELECT CAST(x AS array(STRING)) FROM t"
+        "SELECT CAST(x AS ARRAY<STRING>) FROM t"
     )
     assert p2s("SELECT CAST(m AS map(varchar, varchar)) FROM t") == (
-        "SELECT CAST(m AS map(STRING, STRING)) FROM t"
+        "SELECT CAST(m AS MAP<STRING, STRING>) FROM t"
     )
     # a bare identifier named varchar OUTSIDE a type position survives
     assert p2s("SELECT varchar FROM t") == "SELECT varchar FROM t"
