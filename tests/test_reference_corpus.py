@@ -1302,6 +1302,767 @@ CORPUS: list[Case] = [
       "grouping(orderstatus, orderpriority) FROM orders GROUP BY "
       "GROUPING SETS ((orderstatus), (orderpriority), ())",
       f"{_ATQ}:1346 testGroupingWithFortyArguments (adapted width)"),
+    # ---- corpus batch 6 (r10): rewriter-trigger-token texts --------------
+    C("lambda_capture_two_cols",
+      "SELECT apply(c1, x -> x + c2) FROM (VALUES (1, 2), (3, 4), "
+      "(5, 6)) t(c1, c2)",
+      f"{_ATQ}:214 testLambdaCapture",
+      duck="SELECT * FROM (VALUES (3), (7), (11))"),
+    C("lambda_nested_capture_qualified",
+      "SELECT apply(c1 + 10, x -> apply(x + 100, y -> t.c1)) FROM "
+      "(VALUES 1) t(c1)",
+      f"{_ATQ}:214",
+      duck="SELECT * FROM (VALUES (1))"),
+    C("lambda_row_field",
+      "SELECT apply(CAST(ROW(10) AS ROW(x INTEGER)), r -> r.x)",
+      f"{_ATQ}:214",
+      duck="SELECT * FROM (VALUES (10))"),
+    C("lambda_row_field_shadow",
+      "SELECT apply(CAST(ROW(10) AS ROW(x INTEGER)), r -> r.x) FROM "
+      "(VALUES 1) r(x)",
+      f"{_ATQ}:214",
+      duck="SELECT * FROM (VALUES (10))"),
+    C("lambda_row_field_nested",
+      "SELECT apply(CAST(ROW(10) AS ROW(x INTEGER)), r -> apply(3, y "
+      "-> y + r.x)) FROM (VALUES 1) u(x)",
+      f"{_ATQ}:214",
+      duck="SELECT * FROM (VALUES (13))"),
+    C("lambda_outer_capture",
+      "SELECT apply(CAST(ROW(10) AS ROW(x INTEGER)), z -> apply(3, y "
+      "-> y + r.x)) FROM (VALUES 1) r(x)",
+      f"{_ATQ}:214",
+      duck="SELECT * FROM (VALUES (4))"),
+    C("lambda_shadowing_chain",
+      "SELECT apply(1, x -> apply(10, y -> x)) FROM (VALUES 1000) "
+      "t(x)",
+      f"{_ATQ}:214",
+      duck="SELECT * FROM (VALUES (1))"),
+    C("lambda_shadowing_deep",
+      "SELECT apply(1, x -> apply(10, y -> apply(100, z -> x))) FROM "
+      "(VALUES 1000) t(x)",
+      f"{_ATQ}:214",
+      duck="SELECT * FROM (VALUES (1))"),
+    C("lambda_over_agg",
+      "SELECT apply(sum(x), i -> i * i) FROM (VALUES 1, 2, 3, 4, 5) "
+      "t(x)",
+      f"{_ATQ}:242 testLambdaInAggregationContext",
+      duck="SELECT 225"),
+    C("lambda_group_key",
+      "SELECT apply(x, i -> i - 1), sum(y) FROM (VALUES (1, 10), (1, "
+      "20), (2, 50)) t(x,y) GROUP BY x",
+      f"{_ATQ}:242",
+      duck="SELECT * FROM (VALUES (0, 30), (1, 50))"),
+    C("lambda_agg_per_group",
+      "SELECT x, apply(sum(y), i -> i * 10) FROM (VALUES (1, 10), "
+      "(1, 20), (2, 50)) t(x,y) GROUP BY x",
+      f"{_ATQ}:242",
+      duck="SELECT * FROM (VALUES (1, 300), (2, 500))"),
+    C("lambda_const_grouped",
+      "SELECT apply(8, x -> x + 1) FROM (VALUES (1, 2)) t(x,y) GROUP "
+      "BY y",
+      f"{_ATQ}:242",
+      duck="SELECT 9"),
+    C("lambda_same_var_nested",
+      "SELECT apply(sum(x), x -> apply(x, x -> x * x)) FROM (VALUES "
+      "1, 2, 3, 4, 5) t(x)",
+      f"{_ATQ}:242",
+      duck="SELECT 225"),
+    C("lambda_capture_subquery",
+      "SELECT apply(x, i -> i * x) FROM (SELECT 10 x)",
+      f"{_ATQ}:256",
+      duck="SELECT 100"),
+    C("lambda_shadow_outer",
+      "SELECT apply(x, y -> y * x) FROM (SELECT 10 x, 3 y)",
+      f"{_ATQ}:214",
+      duck="SELECT 100"),
+    C("lambda_capture_other",
+      "SELECT apply(x, z -> y * x) FROM (SELECT 10 x, 3 y)",
+      f"{_ATQ}:256",
+      duck="SELECT 30"),
+    C("lambda_values_subscript",
+      "SELECT x[5] FROM (VALUES transform(sequence(1, 5), x -> x * "
+      "x)) t(x)",
+      f"{_ATQ}:268",
+      duck="SELECT 25",
+      marks=(pytest.mark.xfail(
+          strict=True,
+          reason="Spark inline tables (VALUES) reject non-foldable lambda "
+                  "expressions; the adapted SELECT form passes as "
+                  "lambda_transform_subscript",
+      ),)),
+    C("lambda_repeated_sum",
+      "SELECT x + x FROM (SELECT apply(a, i -> i * i) x FROM (VALUES "
+      "3) t(a))",
+      f"{_ATQ}:275 testTryLambdaRepeated",
+      duck="SELECT 18"),
+    C("lambda_repeated_add",
+      "SELECT apply(a, i -> i * i) + apply(a, i -> i * i) FROM "
+      "(VALUES 3) t(a)",
+      f"{_ATQ}:275 testTryLambdaRepeated",
+      duck="SELECT 18"),
+    C("lambda_repeated_select",
+      "SELECT apply(a, i -> i * i), apply(a, i -> i * i) FROM "
+      "(VALUES 3) t(a)",
+      f"{_ATQ}:275 testTryLambdaRepeated",
+      duck="SELECT 9, 9"),
+    C("try_repeated_add",
+      "SELECT try(10 / a) + try(10 / a) FROM (VALUES 5) t(a)",
+      f"{_ATQ}:275",
+      duck="SELECT 4"),
+    C("try_repeated_select",
+      "SELECT try(10 / a), try(10 / a) FROM (VALUES 5) t(a)",
+      f"{_ATQ}:275",
+      duck="SELECT 2, 2"),
+    C("map_subscript_int",
+      "SELECT map(array[1], array['aa'])[1]",
+      f"{_ATQ}:309 testMapSubscript",
+      duck="SELECT 'aa'"),
+    C("map_subscript_varchar",
+      "SELECT map(array['a'], array['aa'])['a']",
+      f"{_ATQ}:309 testMapSubscript",
+      duck="SELECT 'aa'"),
+    C("map_subscript_array_key",
+      "SELECT map(array[array[1,1]], array['a'])[array[1,1]]",
+      f"{_ATQ}:309 testMapSubscript",
+      duck="SELECT 'a'"),
+    C("row_subscript_unnamed",
+      "SELECT ROW (1, 'a', true)[2]",
+      f"{_ATQ}:318 testRowSubscript",
+      duck="SELECT 'a'"),
+    C("row_subscript_values",
+      "SELECT r[2] FROM (VALUES (ROW (ROW (1, 'a', true)))) AS v(r)",
+      f"{_ATQ}:318 testRowSubscript",
+      duck="SELECT 'a'",
+      marks=(pytest.mark.xfail(
+          strict=True,
+          reason="ordinal subscript on a row-typed column is not statically "
+                  "distinguishable from an array subscript at the string-rewrite "
+                  "level (needs type info); stays element_at",
+      ),)),
+    C("row_subscript_table",
+      "SELECT r[1], r[2] FROM (SELECT ROW (name, regionkey) FROM "
+      "nation ORDER BY name LIMIT 1) t(r)",
+      f"{_ATQ}:318 testRowSubscript",
+      duck="SELECT name, regionkey FROM nation ORDER BY name LIMIT 1",
+      marks=(pytest.mark.xfail(
+          strict=True,
+          reason="ordinal subscript on a row-typed column is not statically "
+                  "distinguishable from an array subscript at the string-rewrite "
+                  "level (needs type info); stays element_at",
+      ),)),
+    C("row_subscript_named_cast",
+      "SELECT (CAST (ROW (1, 'a', 2 ) AS ROW (field1 bigint, field2 "
+      "varchar(1), field3 bigint)))[2]",
+      f"{_ATQ}:318 testRowSubscript",
+      duck="SELECT 'a'"),
+    C("row_subscript_nested",
+      "SELECT ROW (1, 'a', ROW (false, 2, 'b'))[3][3]",
+      f"{_ATQ}:318 testRowSubscript",
+      duck="SELECT 'b'"),
+    C("row_subscript_filter",
+      "SELECT orderstatus FROM orders WHERE ROW (orderkey, "
+      "custkey)[1] = 100",
+      f"{_ATQ}:318 testRowSubscript",
+      duck="SELECT orderstatus FROM orders WHERE orderkey = 100"),
+    C("row_subscript_join",
+      "SELECT n.name, r.name FROM nation n JOIN region r ON ROW "
+      "(n.name, n.regionkey)[2] = ROW (r.name, r.regionkey)[2] ORDER "
+      "BY n.name LIMIT 1",
+      f"{_ATQ}:318 testRowSubscript",
+      duck="SELECT n.name, r.name FROM nation n JOIN region r ON "
+           "n.regionkey = r.regionkey ORDER BY n.name LIMIT 1"),
+    C("row_subscript_lambda",
+      "SELECT apply(ROW (1, 2), r -> r[2])",
+      f"{_ATQ}:318 testRowSubscript",
+      duck="SELECT 2",
+      marks=(pytest.mark.xfail(
+          strict=True,
+          reason="ordinal subscript on a lambda-bound row variable is not "
+                  "statically resolvable at the string-rewrite level",
+      ),)),
+    C("row_field_deref",
+      "SELECT a FROM (VALUES ROW (CAST(ROW(1, 2) AS ROW(col0 "
+      "integer, col1 integer)).col0)) AS t (a)",
+      f"{_ATQ}:349 testRowFieldAccessor",
+      duck="SELECT 1"),
+    C("row_field_named",
+      "SELECT a.col0 FROM (VALUES ROW (CAST(ROW(1, 2) AS ROW(col0 "
+      "integer, col1 integer)))) AS t (a)",
+      f"{_ATQ}:349 testRowFieldAccessor",
+      duck="SELECT 1"),
+    C("row_field_bool",
+      "SELECT a.col0 FROM (VALUES ROW (CAST(ROW(TRUE, FALSE) AS "
+      "ROW(col0 boolean, col1 boolean)))) AS t (a)",
+      f"{_ATQ}:349 testRowFieldAccessor",
+      duck="SELECT TRUE"),
+    C("row_field_nested_deref",
+      "SELECT a.col2.col1 FROM (VALUES ROW(CAST(ROW(1.0, ARRAY[2], "
+      "row(3, 4.0)) AS ROW(col0 double, col1 array(int), col2 "
+      "row(col0 integer, col1 double))))) t(a)",
+      f"{_ATQ}:349 testRowFieldAccessor",
+      duck="SELECT 4.0"),
+    C("row_field_mix_table_ref",
+      "SELECT CAST(row(1, t.x) AS row(col0 bigint, col1 "
+      "bigint)).col1 FROM (VALUES 1, 2, 3) t(x)",
+      f"{_ATQ}:349 testRowFieldAccessor",
+      duck="SELECT * FROM (VALUES (1), (2), (3))"),
+    C("row_field_alias_deref",
+      "SELECT Y.col1 FROM (SELECT CAST(row(1, t.x) AS row(col0 "
+      "bigint, col1 bigint)) AS Y FROM (VALUES 1, 2, 3) t(x)) test_t",
+      f"{_ATQ}:349 testRowFieldAccessor",
+      duck="SELECT * FROM (VALUES (1), (2), (3))"),
+    C("row_field_subscript_mix",
+      "SELECT a.col1[2] FROM (VALUES ROW(CAST(ROW(1.0, ARRAY[22, 33, "
+      "44, 55], row(3, 4.0E0)) AS ROW(col0 double, col1 "
+      "array(integer), col2 row(col0 integer, col1 double))))) t(a)",
+      f"{_ATQ}:349 testRowFieldAccessor",
+      duck="SELECT 33"),
+    C("row_field_const",
+      "SELECT CAST(row(11, 12) AS row(col0 bigint, col1 bigint)).col0",
+      f"{_ATQ}:349 testRowFieldAccessor",
+      duck="SELECT 11"),
+    C("unnest_cross_no_alias",
+      "SELECT 1 FROM (VALUES (ARRAY[1])) AS t (a) CROSS JOIN "
+      "UNNEST(a)",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT 1"),
+    C("unnest_from_nested_array",
+      "SELECT x[1] FROM UNNEST(ARRAY[ARRAY[1, 2, 3]]) t(x)",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT 1"),
+    C("unnest_from_deep_array",
+      "SELECT x[1][2] FROM UNNEST(ARRAY[ARRAY[ARRAY[1, 2, 3]]]) t(x)",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT 2"),
+    C("unnest_from_map_elem",
+      "SELECT x[2] FROM UNNEST(ARRAY[MAP(ARRAY[1,2], ARRAY['hello', "
+      "'hi'])]) t(x)",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT 'hi'"),
+    C("unnest_bare_star",
+      "SELECT * FROM UNNEST(ARRAY[1, 2, 3])",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT * FROM (VALUES (1), (2), (3))"),
+    C("unnest_zip",
+      "SELECT a, b FROM UNNEST(ARRAY[1, 2], ARRAY[3, 4]) t(a, b)",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT * FROM (VALUES (1, 3), (2, 4))"),
+    C("unnest_zip_pad",
+      "SELECT a, b FROM UNNEST(ARRAY[1, 2, 3], ARRAY[4, 5]) t(a, b)",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT * FROM (VALUES (1, 4), (2, 5), (3, NULL))"),
+    C("unnest_zip_first_col",
+      "SELECT a FROM UNNEST(ARRAY[1, 2, 3], ARRAY[4, 5]) t(a, b)",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT * FROM (VALUES (1), (2), (3))"),
+    C("unnest_zip_second_col",
+      "SELECT b FROM UNNEST(ARRAY[1, 2, 3], ARRAY[4, 5]) t(a, b)",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT * FROM (VALUES (4), (5), (NULL))"),
+    C("unnest_count",
+      "SELECT count(*) FROM UNNEST(ARRAY[1, 2, 3], ARRAY[4, 5]) t(a, "
+      "b)",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT 3"),
+    C("unnest_strings",
+      "SELECT a FROM UNNEST(ARRAY['kittens', 'puppies']) t(a)",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT * FROM (VALUES ('kittens'), ('puppies'))"),
+    C("unnest_cte_cross",
+      "WITH unioned AS ( SELECT 1 UNION ALL SELECT 2 ) SELECT * FROM "
+      "unioned CROSS JOIN UNNEST(ARRAY[3]) steps (step)",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT * FROM (VALUES (1, 3), (2, 3))"),
+    C("unnest_correlated_cross",
+      "SELECT a.custkey, t.e FROM (SELECT custkey, ARRAY[1, 2, 3] AS "
+      "my_array FROM orders ORDER BY orderkey LIMIT 1) a CROSS JOIN "
+      "UNNEST(my_array) t(e)",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT * FROM (SELECT custkey FROM orders ORDER BY orderkey "
+           "LIMIT 1) CROSS JOIN (VALUES (1), (2), (3))"),
+    C("unnest_correlated_comma",
+      "SELECT a.custkey, t.e FROM (SELECT custkey, ARRAY[1, 2, 3] AS "
+      "my_array FROM orders ORDER BY orderkey LIMIT 1) a, "
+      "UNNEST(my_array) t(e)",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT * FROM (SELECT custkey FROM orders ORDER BY orderkey "
+           "LIMIT 1) CROSS JOIN (VALUES (1), (2), (3))"),
+    C("unnest_map",
+      "SELECT a, b FROM UNNEST(MAP(ARRAY[1,2], ARRAY['cat', 'dog'])) "
+      "t(a, b)",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT * FROM (VALUES (1, 'cat'), (2, 'dog'))"),
+    C("unnest_map_null_value",
+      "SELECT a, b FROM UNNEST(MAP(ARRAY[1,2], ARRAY['cat', NULL])) "
+      "t(a, b)",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT * FROM (VALUES (1, 'cat'), (2, NULL))"),
+    C("unnest_ord_from",
+      "SELECT b FROM UNNEST(ARRAY[10, 20, 30]) WITH ORDINALITY t(a, "
+      "b)",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT * FROM (VALUES (1), (2), (3))"),
+    C("unnest_ord_strings",
+      "SELECT a, b FROM UNNEST(ARRAY['kittens', 'puppies']) WITH "
+      "ORDINALITY t(a, b)",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT * FROM (VALUES ('kittens', 1), ('puppies', 2))"),
+    C("unnest_ord_correlated",
+      "SELECT a.custkey, t.e, t.f FROM (SELECT custkey, ARRAY[10, "
+      "20, 30] AS my_array FROM orders ORDER BY orderkey LIMIT 1) a "
+      "CROSS JOIN UNNEST(my_array) WITH ORDINALITY t(e, f)",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT * FROM (SELECT custkey FROM orders ORDER BY orderkey "
+           "LIMIT 1) CROSS JOIN (VALUES (10, 1), (20, 2), (30, 3))"),
+    C("unnest_const_join",
+      "SELECT * FROM orders, UNNEST(ARRAY[1])",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT orders.*, 1 FROM orders"),
+    C("arrays_of_col",
+      "SELECT a[1] FROM (SELECT ARRAY[orderkey] AS a FROM orders "
+      "ORDER BY orderkey) t",
+      f"{_ATQ}:690 testArrays",
+      duck="SELECT orderkey FROM orders"),
+    C("arrays_plus_one",
+      "SELECT a[1] + 1 FROM (SELECT ARRAY[orderkey] AS a FROM orders "
+      "ORDER BY orderkey) t",
+      f"{_ATQ}:690 testArrays",
+      duck="SELECT orderkey + 1 FROM orders"),
+    C("arrays_expr_inside",
+      "SELECT a[1] FROM (SELECT ARRAY[orderkey + 1] AS a FROM orders "
+      "ORDER BY orderkey) t",
+      f"{_ATQ}:690 testArrays",
+      duck="SELECT orderkey + 1 FROM orders"),
+    C("arrays_nested",
+      "SELECT a[1][1] FROM (SELECT ARRAY[ARRAY[orderkey + 1]] AS a "
+      "FROM orders ORDER BY orderkey) t",
+      f"{_ATQ}:690 testArrays",
+      duck="SELECT orderkey + 1 FROM orders"),
+    C("arrays_cardinality",
+      "SELECT CARDINALITY(a) FROM (SELECT ARRAY[orderkey, orderkey + "
+      "1] AS a FROM orders ORDER BY orderkey) t",
+      f"{_ATQ}:690 testArrays",
+      duck="SELECT 2 FROM orders"),
+    C("array_agg_cardinality",
+      "SELECT orderpriority, cardinality(array_agg(orderkey)) FROM "
+      "orders GROUP BY orderpriority",
+      f"{_ATQ}:701 testArrayAgg",
+      duck="SELECT orderpriority, count(*) FROM orders GROUP BY "
+           "orderpriority"),
+    C("reduce_agg_product",
+      "SELECT x, reduce_agg(y, 1, (a, b) -> a * b, (a, b) -> a * b) "
+      "FROM (VALUES (1, 5), (1, 6), (1, 7), (2, 8), (2, 9), (3, 10)) "
+      "AS t(x, y) GROUP BY x",
+      f"{_ATQ}:707 testReduceAgg",
+      duck="SELECT * FROM (VALUES (1, 5 * 6 * 7), (2, 8 * 9), (3, 10))"),
+    C("reduce_agg_sum",
+      "SELECT x, reduce_agg(y, 0, (a, b) -> a + b, (a, b) -> a + b) "
+      "FROM (VALUES (1, 5), (1, 6), (1, 7), (2, 8), (2, 9), (3, 10)) "
+      "AS t(x, y) GROUP BY x",
+      f"{_ATQ}:707 testReduceAgg",
+      duck="SELECT * FROM (VALUES (1, 5 + 6 + 7), (2, 8 + 9), (3, 10))"),
+    C("values_order_by",
+      "VALUES 1, 3, 2, 4 ORDER BY 1",
+      f"{_ATQ}:759 testValues",
+      duck="SELECT * FROM (VALUES (1), (3), (2), (4)) ORDER BY 1"),
+    C("values_exprs",
+      "VALUES (1.1, 2, 'foo'), (sin(3.3), 2+2, 'bar')",
+      f"{_ATQ}:759 testValues",
+      duck="SELECT * FROM (VALUES (1.1, 2, 'foo'), (sin(3.3), 2+2, 'bar'))"),
+    C("values_limit",
+      "VALUES (1.1, 2), (sin(3.3), 2+2) LIMIT 1",
+      f"{_ATQ}:759 testValues",
+      duck="SELECT * FROM (VALUES (1.1, 2)) LIMIT 1"),
+    C("values_in_pred",
+      "SELECT 1.1 in (VALUES (1.1), (2.2))",
+      f"{_ATQ}:759 testValues",
+      duck="SELECT TRUE"),
+    C("values_cte",
+      "WITH a AS (SELECT * FROM (VALUES (1.1, 2), (sin(3.3), 2+2))) "
+      "SELECT * FROM a",
+      f"{_ATQ}:759 testValues",
+      duck="SELECT * FROM (VALUES (1.1, 2), (sin(3.3), 2+2))"),
+    C("values_coercion",
+      "VALUES 1, 2.2, 3, 4.4",
+      f"{_ATQ}:759 testValues",
+      duck="SELECT * FROM (VALUES (1), (2.2), (3), (4.4))"),
+    C("values_mixed_rows",
+      "VALUES (1, 2), (3.3, 4.4)",
+      f"{_ATQ}:759 testValues",
+      duck="SELECT * FROM (VALUES (1, 2), (3.3, 4.4))"),
+    C("maps_subscript_agg",
+      "SELECT m[max_key] FROM (SELECT map_agg(orderkey, orderkey) m, "
+      "max(orderkey) max_key FROM orders)",
+      f"{_ATQ}:750 testMaps",
+      duck="SELECT max(orderkey) FROM orders"),
+    C("max_min_nullif",
+      "SELECT custkey, MAX(NULLIF(orderstatus, 'O')), "
+      "MIN(NULLIF(orderstatus, 'O')) FROM orders GROUP BY custkey",
+      f"{_ATQ}:791 testMaxMinStringWithNulls"),
+    C("special_fp_values",
+      "SELECT nan(), infinity(), -infinity()",
+      f"{_ATQ}:781 testSpecialFloatingPointValues",
+      duck="SELECT 'NaN'::DOUBLE, 'Infinity'::DOUBLE, '-Infinity'::DOUBLE"),
+    # ---- corpus batch 7 (r10): ORDER BY resolution / set ops / subqueries --
+    C("orderby_shadowed_alias",
+      "SELECT a*-2 AS a FROM (VALUES -1, 0, 2) t(a) ORDER BY a*-1",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (2), (0), (-4))",
+      ordered=True),
+    C("orderby_qualified_input",
+      "SELECT a*-2 AS a FROM (VALUES -1, 0, 2) t(a) ORDER BY t.a*-1",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (-4), (0), (2))",
+      ordered=True),
+    C("orderby_unaliased_proj",
+      "SELECT a*-2 FROM (VALUES -1, 0, 2) t(a) ORDER BY a*-1",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (-4), (0), (2))",
+      ordered=True),
+    C("orderby_unaliased_qualified",
+      "SELECT a*-2 FROM (VALUES -1, 0, 2) t(a) ORDER BY t.a*-1",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (-4), (0), (2))",
+      ordered=True),
+    C("orderby_mixed_aliases",
+      "SELECT a, a* -2 AS b FROM (VALUES -1, 0, 2) t(a) ORDER BY a + "
+      "b",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (2, -4), (0, 0), (-1, 2))",
+      ordered=True),
+    C("orderby_swapped_aliases",
+      "SELECT a AS b, a* -2 AS a FROM (VALUES -1, 0, 2) t(a) ORDER "
+      "BY a + b",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (2, -4), (0, 0), (-1, 2))",
+      ordered=True),
+    C("orderby_alias_plus_qualified",
+      "SELECT a* -2 AS a FROM (VALUES -1, 0, 2) t(a) ORDER BY a + t.a",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (-4), (0), (2))",
+      ordered=True),
+    C("orderby_coercion_fn",
+      "SELECT 1 x ORDER BY degrees(x)",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT 1"),
+    C("orderby_coercion_mult",
+      "SELECT a + 1 AS b FROM (VALUES 1, 2) t(a) ORDER BY -1.0 * b",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (3), (2))",
+      ordered=True),
+    C("orderby_coercion_alias",
+      "SELECT a AS b FROM (VALUES 1, 2) t(a) ORDER BY -1.0 * b",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (2), (1))",
+      ordered=True),
+    C("orderby_group_agg_qualified",
+      "SELECT max(a+b), min(a+b) AS a FROM (values "
+      "(1,2),(3,2),(1,5)) t(a,b) GROUP BY a ORDER BY max(t.a+t.b)",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (5, 5), (6, 3))",
+      ordered=True),
+    C("orderby_group_agg_scaled",
+      "SELECT max(a+b), min(a+b) AS a FROM (values "
+      "(1,2),(3,2),(1,5)) t(a,b) GROUP BY a ORDER BY "
+      "max(t.a+t.b)*-0.1",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (6, 3), (5, 5))",
+      ordered=True),
+    C("orderby_group_key_agg",
+      "SELECT max(a) FROM (values (1,2), (2,1)) t(a,b) GROUP BY b "
+      "ORDER BY max(b*1.0)",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (2), (1))",
+      ordered=True),
+    C("orderby_group_alias_key",
+      "SELECT max(a) AS b FROM (values (1,2), (2,1)) t(a,b) GROUP BY "
+      "b ORDER BY b",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (1), (2))",
+      ordered=True),
+    C("orderby_group_key_expr",
+      "SELECT max(a) FROM (values (1,2), (2,1)) t(a,b) GROUP BY b "
+      "ORDER BY b*1.0",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (2), (1))",
+      ordered=True),
+    C("orderby_group_agg_combined",
+      "SELECT max(a)*100 AS c FROM (values (1,2), (2,1)) t(a,b) "
+      "GROUP BY b ORDER BY max(b) + c",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (100), (200))",
+      ordered=True),
+    C("orderby_group_key_plain",
+      "SELECT max(a) FROM (values (1,2), (2,1)) t(a,b) GROUP BY b "
+      "ORDER BY b",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (2), (1))",
+      ordered=True),
+    C("orderby_groupby_expr_key",
+      "SELECT -(a+b) AS a, -(a+b) AS b, a+b FROM (values (41, 42), "
+      "(-41, -42)) t(a,b) GROUP BY a+b ORDER BY a+b",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (-83, -83, 83), (83, 83, -83))",
+      ordered=True),
+    C("orderby_grouping_sets",
+      "SELECT -a AS a FROM (values (1,2),(3,2)) t(a,b) GROUP BY "
+      "GROUPING SETS ((a), (a, b)) ORDER BY -a",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (-1), (-1), (-3), (-3))",
+      ordered=True),
+    C("orderby_grouping_sets_having",
+      "SELECT a AS foo FROM (values (1,2),(3,2)) t(a,b) GROUP BY "
+      "GROUPING SETS ((a), (a, b)) HAVING b IS NOT NULL ORDER BY -a",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (3), (1))",
+      marks=(pytest.mark.xfail(
+          strict=True,
+          reason="Spark does not resolve a grouping input column through its "
+                  "select-list alias under GROUPING SETS + HAVING (Presto's "
+                  "scope rules do); analyzer-level divergence",
+      ),)),
+    C("orderby_global_agg",
+      "SELECT max(a) FROM (values (1,2),(3,2)) t(a,b) ORDER BY "
+      "max(-a)",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT 3"),
+    C("orderby_distinct_alias",
+      "SELECT DISTINCT -a AS b FROM (VALUES 1, 2) t(a) ORDER BY b",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (-2), (-1))",
+      ordered=True),
+    C("orderby_distinct_ordinal",
+      "SELECT DISTINCT -a AS b FROM (VALUES 1, 2) t(a) ORDER BY 1",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (-2), (-1))",
+      ordered=True),
+    C("orderby_distinct_group",
+      "SELECT DISTINCT max(a) AS b FROM (values (1,2), (2,1)) t(a,b) "
+      "GROUP BY b ORDER BY b",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (1), (2))",
+      ordered=True),
+    C("orderby_window_neg",
+      "SELECT a FROM (VALUES 1, 2) t(a) ORDER BY -row_number() OVER "
+      "()",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (2), (1))",
+      marks=(pytest.mark.xfail(
+          strict=True,
+          reason="Spark requires an ORDER BY inside the row_number() OVER () "
+                  "frame; Presto permits the unordered form (same class as the "
+                  "documented rank() divergence)",
+      ),)),
+    C("orderby_lambda_key",
+      "SELECT x AS y FROM (values (1,2), (2,3)) t(x, y) GROUP BY x "
+      "ORDER BY apply(x, x -> -x) + 2*x",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (1), (2))",
+      ordered=True),
+    C("orderby_lambda_agg",
+      "SELECT -y AS x FROM (values (1,2), (2,3)) t(x, y) GROUP BY y "
+      "ORDER BY sum(apply(-y, x -> x * 1.0))",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
+      duck="SELECT * FROM (VALUES (-3), (-2))",
+      ordered=True),
+    C("orderby_agg_qualified_cast",
+      "SELECT x, sum(cast(x AS double)) FROM (VALUES '1.0') t(x) "
+      "GROUP BY x ORDER BY sum(cast(t.x AS double))",
+      f"{_ATQ}:1028 testOrderByWithAggregation",
+      duck="SELECT '1.0', 1.0"),
+    C("limit_all",
+      "SELECT custkey, totalprice FROM orders LIMIT ALL",
+      f"{_ATQ}:1058 testLimitAll",
+      duck="SELECT custkey, totalprice FROM orders"),
+    C("orderby_limit_zero",
+      "SELECT custkey, totalprice FROM orders ORDER BY orderkey "
+      "LIMIT 0",
+      f"{_ATQ}:1064 testOrderByLimitZero",
+      duck="SELECT custkey, totalprice FROM orders LIMIT 0"),
+    C("repeated_outputs",
+      "SELECT orderkey a, orderkey b FROM orders WHERE orderstatus = "
+      "'F'",
+      f"{_ATQ}:1082 testRepeatedOutputs"),
+    C("repeated_outputs_dates",
+      "SELECT orderdate, orderdate, orderkey FROM orders",
+      f"{_ATQ}:1082 testRepeatedOutputs"),
+    C("grouping_rollup_bitmask",
+      "SELECT orderpriority, custkey, sum(totalprice), "
+      "grouping(orderpriority)+grouping(custkey) FROM orders GROUP "
+      "BY ROLLUP (orderpriority, custkey)",
+      f"{_ATQ}:1318 testGrouping",
+      duck="SELECT orderpriority, custkey, sum(totalprice), (CASE WHEN "
+           "GROUPING(orderpriority) THEN 1 ELSE 0 END)+(CASE WHEN "
+           "GROUPING(custkey) THEN 1 ELSE 0 END) FROM orders GROUP BY "
+           "ROLLUP (orderpriority, custkey)"),
+    C("intersect_basic",
+      "SELECT nationkey FROM customer INTERSECT SELECT nationkey "
+      "FROM customer WHERE nationkey % 2 = 0",
+      f"{_ATQ}:1457 testIntersect (adapted: regionkey -> nationkey; fixture customer)"),
+    C("intersect_values",
+      "SELECT a FROM (VALUES 1, 2, 3) t(a) INTERSECT SELECT b FROM "
+      "(VALUES 2, 3, 4) u(b)",
+      f"{_ATQ}:1457 testIntersect",
+      duck="SELECT * FROM (VALUES (2), (3))"),
+    C("intersect_chain",
+      "SELECT a FROM (VALUES 1, 2, 3, 4) t(a) INTERSECT SELECT b "
+      "FROM (VALUES 2, 3, 4) u(b) INTERSECT SELECT c FROM (VALUES 3, "
+      "4) v(c)",
+      f"{_ATQ}:1457 testIntersect",
+      duck="SELECT * FROM (VALUES (3), (4))"),
+    C("intersect_with_agg",
+      "SELECT count(*) FROM (SELECT a FROM (VALUES 1, 2, 3) t(a) "
+      "INTERSECT SELECT b FROM (VALUES 2, 3, 4) u(b)) x",
+      f"{_ATQ}:1457 testIntersect",
+      duck="SELECT 2"),
+    C("except_values",
+      "SELECT a FROM (VALUES 1, 2, 3) t(a) EXCEPT SELECT b FROM "
+      "(VALUES 2, 3, 4) u(b)",
+      f"{_ATQ}:1520 testExcept",
+      duck="SELECT 1"),
+    C("except_chain",
+      "SELECT a FROM (VALUES 1, 2, 3, 4) t(a) EXCEPT SELECT b FROM "
+      "(VALUES 4) u(b) EXCEPT SELECT c FROM (VALUES 3) v(c)",
+      f"{_ATQ}:1520 testExcept",
+      duck="SELECT * FROM (VALUES (1), (2))"),
+    C("except_with_agg",
+      "SELECT count(*) FROM (SELECT a FROM (VALUES 1, 2, 3) t(a) "
+      "EXCEPT SELECT b FROM (VALUES 2, 3, 4) u(b)) x",
+      f"{_ATQ}:1520 testExcept",
+      duck="SELECT 1"),
+    C("quantified_eq_any_table",
+      "SELECT nationkey, name, regionkey FROM nation WHERE regionkey "
+      "= ANY (SELECT regionkey FROM region WHERE name IN ('ASIA', "
+      "'EUROPE'))",
+      f"{_ATQ}:7864 testQuantifiedComparison"),
+    C("quantified_eq_all_table",
+      "SELECT nationkey, name, regionkey FROM nation WHERE regionkey "
+      "= ALL (SELECT regionkey FROM region WHERE name IN ('ASIA', "
+      "'EUROPE'))",
+      f"{_ATQ}:7864 testQuantifiedComparison"),
+    C("quantified_neq_any_table",
+      "SELECT nationkey, name, regionkey FROM nation WHERE regionkey "
+      "<> ANY (SELECT regionkey FROM region WHERE name IN ('ASIA', "
+      "'EUROPE'))",
+      f"{_ATQ}:7864 testQuantifiedComparison"),
+    C("quantified_neq_all_table",
+      "SELECT nationkey, name, regionkey FROM nation WHERE regionkey "
+      "<> ALL (SELECT regionkey FROM region WHERE name IN ('ASIA', "
+      "'EUROPE'))",
+      f"{_ATQ}:7864 testQuantifiedComparison"),
+    C("quantified_eq_all_single",
+      "SELECT nationkey, name, regionkey FROM nation WHERE regionkey "
+      "= ALL (SELECT regionkey FROM region WHERE name IN ('ASIA'))",
+      f"{_ATQ}:7864 testQuantifiedComparison"),
+    C("quantified_neq_all_single",
+      "SELECT nationkey, name, regionkey FROM nation WHERE regionkey "
+      "<> ALL (SELECT regionkey FROM region WHERE name IN ('ASIA'))",
+      f"{_ATQ}:7864 testQuantifiedComparison"),
+    C("quantified_le_any_table",
+      "SELECT nationkey, name, regionkey FROM nation WHERE regionkey "
+      "<= ANY (SELECT regionkey FROM region WHERE name IN ('ASIA', "
+      "'EUROPE'))",
+      f"{_ATQ}:7864 testQuantifiedComparison"),
+    C("quantified_ge_all_table",
+      "SELECT nationkey, name, regionkey FROM nation WHERE regionkey "
+      ">= ALL (SELECT regionkey FROM region WHERE name IN ('ASIA', "
+      "'EUROPE'))",
+      f"{_ATQ}:7864 testQuantifiedComparison"),
+    C("quantified_in_subquery_combo",
+      "SELECT (1 = ANY(SELECT 1)) IN (SELECT TRUE)",
+      f"{_ATQ}:7864 testQuantifiedComparison",
+      duck="SELECT TRUE"),
+    C("quoted_identifiers_upper",
+      "SELECT \"TOTALPRICE\" \"my price\" FROM \"ORDERS\"",
+      f"{_ATQ}:4187 testQuotedIdentifiers",
+      duck="SELECT TOTALPRICE AS \"my price\" FROM ORDERS"),
+    C("unaliased_subquery_alias",
+      "SELECT a FROM (SELECT orderkey a FROM orders)",
+      f"{_ATQ}:4202 testUnaliasedSubqueries"),
+    C("in_subquery_cross_join",
+      "SELECT a FROM (VALUES (1),(2)) t(a) WHERE a IN (SELECT b FROM "
+      "(VALUES (ARRAY[2])) AS t1 (a) CROSS JOIN UNNEST(a) AS t2(b))",
+      f"{_ATQ}:4447 testInSubqueryWithCrossJoin",
+      duck="SELECT 2"),
+    C("duplicate_fields_star",
+      "SELECT * FROM (SELECT orderkey, orderkey FROM orders)",
+      f"{_ATQ}:4454 testDuplicateFields",
+      duck="SELECT orderkey, orderkey FROM orders"),
+    C("window_duplicate_sort_cols",
+      "SELECT a, row_number() OVER (ORDER BY a ASC, a DESC) FROM "
+      "(VALUES 3, 2, 1) t(a)",
+      f"{_ATQ}:4461 testDuplicateColumnsInWindowOrderByClause",
+      duck="SELECT * FROM (VALUES (1, 1), (2, 2), (3, 3))"),
+    C("case_insensitive_order_alias",
+      "SELECT orderkey X FROM orders ORDER BY x",
+      f"{_ATQ}:4482 testCaseInsensitive*",
+      ordered=True),
+    C("case_insensitive_attribute",
+      "SELECT x FROM (SELECT orderkey X FROM orders)",
+      f"{_ATQ}:4482 testCaseInsensitive*",
+      duck="SELECT orderkey FROM orders"),
+    C("case_insensitive_relation_star",
+      "SELECT A.* FROM orders a",
+      f"{_ATQ}:4482 testCaseInsensitive*",
+      duck="SELECT * FROM orders"),
+    C("case_insensitive_row_field",
+      "SELECT a.Col0 FROM (VALUES row(cast(ROW(1,2) AS ROW(col0 "
+      "integer, col1 integer)))) AS t (a)",
+      f"{_ATQ}:4482 testCaseInsensitive*",
+      duck="SELECT 1"),
+    C("subquery_body_projected_orderby",
+      "(SELECT orderkey, custkey FROM orders) ORDER BY orderkey * -1",
+      f"{_ATQ}:4504 testSubqueryBody*",
+      duck="SELECT orderkey, custkey FROM orders ORDER BY orderkey * -1",
+      ordered=True),
+    C("scalar_subquery_in_list_miss",
+      "SELECT (SELECT 1) IN (   2, 3)",
+      f"{_ATQ}:5921 testScalarSubquery",
+      duck="SELECT FALSE"),
+    C("scalar_subquery_compare_eq",
+      "SELECT (SELECT 1) = (SELECT 3)",
+      f"{_ATQ}:5921 testScalarSubquery",
+      duck="SELECT FALSE"),
+    C("scalar_subquery_compare_lt",
+      "SELECT (SELECT 1) < (SELECT 3)",
+      f"{_ATQ}:5921 testScalarSubquery",
+      duck="SELECT TRUE"),
+    C("scalar_subquery_count_where",
+      "SELECT * FROM (VALUES 1) t(a) WHERE 1=(SELECT count(*) WHERE "
+      "1.0 = a)",
+      f"{_ATQ}:5921 testScalarSubquery",
+      duck="SELECT 1"),
+    C("exists_nested",
+      "SELECT EXISTS(SELECT NOT EXISTS(SELECT EXISTS(SELECT 1)))",
+      f"{_ATQ}:6014 testExistsSubquery",
+      duck="SELECT TRUE"),
+    C("exists_uncorrelated_agg",
+      "SELECT COUNT(*) FROM lineitem WHERE EXISTS(SELECT "
+      "max(orderkey) FROM orders)",
+      f"{_ATQ}:6014 testExistsSubquery",
+      duck="SELECT COUNT(*) FROM lineitem"),
+    C("not_exists_false_filter",
+      "SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS(SELECT "
+      "orderkey FROM orders WHERE false)",
+      f"{_ATQ}:6014 testExistsSubquery",
+      duck="SELECT COUNT(*) FROM lineitem"),
+    C("exists_false_filter",
+      "SELECT COUNT(*) FROM lineitem WHERE EXISTS(SELECT orderkey "
+      "FROM orders WHERE false)",
+      f"{_ATQ}:6014 testExistsSubquery",
+      duck="SELECT 0"),
+    C("exists_in_list",
+      "SELECT (EXISTS(SELECT 1)) IN (false)",
+      f"{_ATQ}:6014 testExistsSubquery",
+      duck="SELECT false"),
+    C("not_exists_in_list",
+      "SELECT (NOT EXISTS(SELECT 1)) IN (true, false)",
+      f"{_ATQ}:6014 testExistsSubquery",
+      duck="SELECT true"),
+    C("exists_where_false_in_list",
+      "SELECT (EXISTS(SELECT 1 WHERE false)) IN (true, false)",
+      f"{_ATQ}:6014 testExistsSubquery",
+      duck="SELECT true"),
 ]
 
 
@@ -1398,9 +2159,10 @@ def test_reference_corpus(corpus_env, case):
 
 
 def test_corpus_breadth():
-    """The ported slice stays >= 60 texts (the round-8 contract) and
-    every entry carries a reference citation."""
-    assert len(CORPUS) >= 60, len(CORPUS)
+    """The ported slice stays >= 400 texts (the round-10 contract;
+    r8 set 60, r10 quadrupled it with the rewriter-trigger batches)
+    and every entry carries a reference citation."""
+    assert len(CORPUS) >= 400, len(CORPUS)
     assert len({c.name for c in CORPUS}) == len(CORPUS)
     for c in CORPUS:
         assert "AbstractTest" in c.cite, c.name
