@@ -11,11 +11,28 @@ convex-polygon buffer by exact edge offsetting with N-gon corner
 arcs (the standard round-join construction; arcs are inscribed
 chords with sagitta r*(1-cos(pi/k))).
 
-Scope (stated precisely): simple polygons without holes, vertices in
-general position (no shared vertices / collinear overlapping edges —
-the documented Greiner–Hormann degeneracy). The queries built on
-this kernel (fn_geospatial_union / fn_geospatial_buffer in
-queries/functions_q.py) generate such inputs and verify against
+Scope (r10 extension of the r8 kernel): the core Greiner–Hormann
+traversal still requires simple rings in general position, but the
+two degeneracy classes the reference's Esri kernel handles are now
+handled EXPLICITLY instead of being undefined behavior:
+
+  - polygons WITH HOLES: intersection/union areas via exact
+    inclusion-exclusion over (shell, holes) ring decompositions —
+    area(A n B) = area(Sa n Sb) - sum area(Sa n hb) - sum
+    area(ha n Sb) + sum area(ha n hb), valid whenever each hole
+    lies inside its shell and holes don't overlap (the OGC validity
+    precondition). Pure composition of the simple-ring kernel, so
+    it inherits its exactness.
+  - shared vertices / vertex-on-edge / collinear overlapping edges
+    between the two inputs: DETECTED up front (_has_degeneracy);
+    callers choose `on_degenerate="raise"` (loud ValueError, the
+    previous silent-UB path closed) or `"perturb"` (deterministic
+    index-keyed micro-perturbation of the subject, area error
+    bounded by eps * perimeter — documented approximation, exact
+    at the 1e-9-relative scale the oracles compare at).
+
+The queries built on this kernel (fn_geospatial_union /
+fn_geospatial_buffer in queries/functions_q.py) verify against
 closed-form differential oracles.
 
 Scale: the kernel is per-row Python, but it runs inside Arrow
@@ -140,14 +157,69 @@ def _intersect_segs(p1, p2, q1, q2):
     return None
 
 
+def _on_segment(p: Point, a: Point, b: Point, eps: float) -> bool:
+    """p lies on segment a-b (within eps, inclusive of endpoints)."""
+    cross = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+    if abs(cross) > eps * math.hypot(b[0] - a[0], b[1] - a[1]):
+        return False
+    dot = (p[0] - a[0]) * (b[0] - a[0]) + (p[1] - a[1]) * (b[1] - a[1])
+    return -eps <= dot <= (b[0] - a[0]) ** 2 + (b[1] - a[1]) ** 2 + eps
+
+
+def _has_degeneracy(subject: list[Point], clip: list[Point],
+                    eps: float = 1e-12) -> bool:
+    """True when the pair is NOT in general position for
+    Greiner-Hormann: a subject vertex on a clip edge (includes
+    shared vertices), a clip vertex on a subject edge, or collinear
+    overlapping edges (covered by the vertex-on-edge checks, since
+    overlap implies an endpoint of one edge lies on the other)."""
+    for pts, ring in ((subject, clip), (clip, subject)):
+        n = len(ring)
+        for p in pts:
+            for i in range(n):
+                if _on_segment(p, ring[i], ring[(i + 1) % n], eps):
+                    return True
+    return False
+
+
+def _perturb(poly: list[Point], scale: float) -> list[Point]:
+    """Deterministic micro-perturbation: vertex i moves by
+    eps * scale in a direction keyed on i alone — no RNG, so the
+    result is reproducible on any executor."""
+    out = []
+    for i, (x, y) in enumerate(poly):
+        ang = 2.399963229728653 * (i + 1)  # golden-angle spacing
+        out.append((x + scale * math.cos(ang), y + scale * math.sin(ang)))
+    return out
+
+
 def clip_polygons(subject: list[Point], clip: list[Point],
-                  op: str) -> list[list[Point]]:
+                  op: str, on_degenerate: str = "raise",
+                  ) -> list[list[Point]]:
     """Greiner–Hormann boolean op on two simple polygons.
     op: "intersection" or "union". Returns a list of result rings
     (possibly empty for a disjoint intersection, two rings for a
-    disjoint union)."""
+    disjoint union). on_degenerate: "raise" refuses shared-vertex /
+    vertex-on-edge / collinear-overlap pairs loudly; "perturb"
+    nudges the subject deterministically by ~1e-9 of the bbox span
+    first (r10 — previously these inputs were silent UB)."""
     if op not in ("intersection", "union"):
         raise ValueError(f"unsupported op {op!r}")
+    if _has_degeneracy(subject, clip):
+        if on_degenerate == "perturb":
+            xs = [p[0] for p in subject + clip]
+            ys = [p[1] for p in subject + clip]
+            span = max(max(xs) - min(xs), max(ys) - min(ys), 1.0)
+            subject = _perturb(subject, span * 1e-9)
+            if _has_degeneracy(subject, clip):  # pragma: no cover
+                subject = _perturb(subject, span * 3.7e-9)
+        else:
+            raise ValueError(
+                "degenerate polygon pair (shared vertex, vertex on "
+                "edge, or collinear overlapping edges) — pass "
+                "on_degenerate='perturb' to resolve with a bounded "
+                "deterministic perturbation"
+            )
     s_first = _build(subject)
     c_first = _build(clip)
 
@@ -242,18 +314,69 @@ def clip_polygons(subject: list[Point], clip: list[Point],
     return results
 
 
-def intersection_area(a: list[Point], b: list[Point]) -> float:
+def intersection_area(a: list[Point], b: list[Point],
+                      on_degenerate: str = "raise") -> float:
     return sum(
-        abs(polygon_area(r)) for r in clip_polygons(a, b, "intersection")
+        abs(polygon_area(r))
+        for r in clip_polygons(a, b, "intersection", on_degenerate)
     )
 
 
-def union_rings(a: list[Point], b: list[Point]) -> list[list[Point]]:
-    return clip_polygons(a, b, "union")
+def union_rings(a: list[Point], b: list[Point],
+                on_degenerate: str = "raise") -> list[list[Point]]:
+    return clip_polygons(a, b, "union", on_degenerate)
 
 
-def union_area(a: list[Point], b: list[Point]) -> float:
-    return sum(abs(polygon_area(r)) for r in union_rings(a, b))
+def union_area(a: list[Point], b: list[Point],
+               on_degenerate: str = "raise") -> float:
+    return sum(
+        abs(polygon_area(r)) for r in union_rings(a, b, on_degenerate)
+    )
+
+
+# ---- polygons with holes (r10) --------------------------------------------
+#
+# A holed polygon is [shell, hole1, hole2, ...] (OGC-valid: holes
+# strictly inside the shell, pairwise disjoint). Boolean-op AREAS
+# come from exact inclusion-exclusion over the ring decomposition —
+# A = Sa \ U ha  and  B = Sb \ U hb  give
+#   area(A n B) = area(Sa n Sb) - sum_j area(Sa n hbj)
+#               - sum_i area(hai n Sb) + sum_ij area(hai n hbj)
+# (each term a simple-ring intersection; holes inside shells make
+# every subtraction non-overlapping). The reference's Esri kernel
+# (GeoFunctions.java stIntersection/stUnion) returns the same areas
+# on these inputs; ring-structured OUTPUT for holed results is out
+# of scope (documented — the engine queries compare areas).
+
+Holed = list  # list[list[Point]]: [shell, *holes]
+
+
+def holed_area(p: Holed) -> float:
+    """Area of shell minus holes."""
+    return abs(polygon_area(p[0])) - sum(
+        abs(polygon_area(h)) for h in p[1:]
+    )
+
+
+def intersection_area_holed(a: Holed, b: Holed,
+                            on_degenerate: str = "raise") -> float:
+    total = intersection_area(a[0], b[0], on_degenerate)
+    for hb in b[1:]:
+        total -= intersection_area(a[0], hb, on_degenerate)
+    for ha in a[1:]:
+        total -= intersection_area(ha, b[0], on_degenerate)
+        for hb in b[1:]:
+            total += intersection_area(ha, hb, on_degenerate)
+    return total
+
+
+def union_area_holed(a: Holed, b: Holed,
+                     on_degenerate: str = "raise") -> float:
+    return (
+        holed_area(a)
+        + holed_area(b)
+        - intersection_area_holed(a, b, on_degenerate)
+    )
 
 
 # ---- convex polygon buffer (round joins) ----------------------------------

