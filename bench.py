@@ -67,21 +67,31 @@ def main() -> None:
 
     registered = all_queries()
     timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name in HEADLINE:
         q = registered.get(name)
         if q is None:
             continue
         # Prewarm: JIT/codegen + file-footer caches, like the
-        # reference's 2 prewarm runs.
+        # reference's 2 prewarm runs. All three raw wall times are
+        # recorded in the output (r10 noise protocol: the min can
+        # quantize suspiciously across rounds — raw runs make a
+        # stale-read or floor artifact distinguishable from noise).
+        runs: list[float] = []
+        t0 = time.perf_counter()
         q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(round(time.perf_counter() - t0, 4))
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             q.builder(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            runs.append(round(dt, 4))
+            best = min(best, dt)
         timings[name] = round(best, 4)
+        raw[name] = runs
 
     sf_match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
@@ -92,6 +102,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "raw_runs": raw,
                 "sf": sf,
             }
         )

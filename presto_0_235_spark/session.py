@@ -98,6 +98,15 @@ def build_session(
     )
     # Local runs: keep the UI off and the driver quiet.
     builder = builder.config("spark.ui.enabled", "false")
+    # local[N] runs the driver AND all executor threads in one JVM —
+    # Spark's 1g default heap is the sf1-tier OOM, not the plans.
+    # Static conf: only effective when this call actually starts the
+    # JVM (ignored on reuse, and the external driver contract builds
+    # its own session).
+    builder = builder.config(
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    )
 
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -263,3 +263,86 @@ def test_trend_pagefile_codec_near_linear(tmp_path):
     assert t10 / t1 <= 25, (
         f"pagefile codec superlinear: {t1:.2f}s -> {t10:.2f}s"
     )
+
+
+# ---------------------------------------------------------------------------
+# sf1 tier (r10, VERDICT next-round #7): the five heaviest queries must
+# scale near-linearly from sf0.1 to a 10x synthetic sf1. The sf1
+# fixture is derived from sf0.1 by unioning 10 key-shifted copies
+# (constant join fan-out, so linear wall-time growth is the correct
+# expectation); documents get a per-copy text suffix so near-dup
+# density stays organic instead of exploding 10x. Built once per
+# machine into SPARK_GRAFT_SF1_DIR (default /tmp/spark_graft_sf1) and
+# reused. Bound: wall(sf1)/wall(sf0.1) < 15 for 10x data.
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+
+_SF1_HEAVY = [
+    "tpcds_q14_adapted",
+    "tpcds_q64_adapted",
+    "tpcds_q23_adapted",
+    "pipeline_corpus_dedup",
+    "dedup_minhash_lsh",
+]
+
+_SF1_SCALE = {
+    # table -> key columns shifted per copy (others carried verbatim)
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "part": ["p_partkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "documents": ["doc_id"],
+}
+_SF1_COPY = ["nation", "region"]
+
+
+@pytest.fixture(scope="session")
+def sf1_dir(spark):
+    import pyspark.sql.functions as F
+
+    marker = os.path.join(SF1_DIR, "_COMPLETE")
+    if os.path.exists(marker):
+        return SF1_DIR
+    os.makedirs(SF1_DIR, exist_ok=True)
+    for table, keys in _SF1_SCALE.items():
+        df = spark.read.parquet(f"{SF01}/{table}.parquet")
+        offsets = {k: df.agg(F.max(k)).first()[0] + 1 for k in keys}
+        copies = []
+        for i in range(10):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + i * offsets[k])
+            if table == "documents" and "text" in df.columns:
+                c = c.withColumn(
+                    "text",
+                    F.concat(F.col("text"), F.lit(f" copytag{i}")),
+                )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{SF1_DIR}/{table}.parquet")
+    for table in _SF1_COPY:
+        spark.read.parquet(f"{SF01}/{table}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{SF1_DIR}/{table}.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return SF1_DIR
+
+
+@pytest.mark.parametrize("name", _SF1_HEAVY)
+def test_sf1_near_linear_scaling(name, spark, sf1_dir):
+    q = all_queries()[name]
+    # warm both tiers once (codegen + footer caches), then measure
+    q.builder(spark, SF01).write.format("noop").mode("overwrite").save()
+    t0 = time.monotonic()
+    q.builder(spark, SF01).write.format("noop").mode("overwrite").save()
+    base = time.monotonic() - t0
+    q.builder(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+    t0 = time.monotonic()
+    q.builder(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+    big = time.monotonic() - t0
+    ratio = big / max(base, 0.05)
+    assert ratio < 15, (name, base, big, ratio)
