@@ -321,3 +321,56 @@ class TestHllWireProperties:
         assert merged == {
             k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)
         }
+
+
+# ---------------------------------------------------------------------------
+# Quantified-comparison fuzzing (r10): every op x quantifier over
+# subqueries that hit all the lowering's CASE arms — empty,
+# single-row, multi-row, and NULL-bearing — with both NULL and
+# non-NULL left-hand sides, in projection position (the strictest
+# context: filters erase the NULL/FALSE distinction, projections
+# don't). The front door lowers these to Presto's count-guarded CASE
+# (TransformQuantifiedComparisonApplyToLateralJoin.java); DuckDB
+# implements the SQL standard natively — agreement means the
+# 3-valued semantics are right.
+# ---------------------------------------------------------------------------
+
+_Q_OPS = ["<", "<=", ">", ">=", "=", "<>"]
+_Q_QUANTS = ["ANY", "ALL", "SOME"]
+_Q_SUBFILTERS = [
+    "b > 100",          # empty subquery
+    "b = 1",            # single value
+    "b < 3",            # multi-row
+    "TRUE",             # all rows (both NULL and non-NULL b)
+]
+
+
+@pytest.fixture(scope="module")
+def quant_views(spark):
+    rows = [(1, 1), (2, 3), (3, None), (None, 2), (4, 1)]
+    df = spark.createDataFrame(rows, schema="a long, b long")
+    df.createOrReplaceTempView("fuzz_q")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fuzz_q (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO fuzz_q VALUES (?, ?)", rows)
+    return spark, con
+
+
+@given(
+    op=st.sampled_from(_Q_OPS),
+    quant=st.sampled_from(_Q_QUANTS),
+    subfilter=st.sampled_from(_Q_SUBFILTERS),
+)
+@settings(max_examples=72, deadline=None)
+def test_quantified_comparisons_agree(quant_views, op, quant, subfilter):
+    from presto_0_235_spark.sql.frontend import run_sql
+
+    spark, con = quant_views
+    sql = (
+        f"SELECT a, a {op} {quant} "
+        f"(SELECT b FROM fuzz_q WHERE {subfilter}) AS v FROM fuzz_q"
+    )
+    key = lambda row: tuple((x is None, str(x)) for x in row)
+    srows = sorted((tuple(r) for r in run_sql(spark, sql).collect()), key=key)
+    drows = sorted((tuple(r) for r in con.execute(sql).fetchall()), key=key)
+    assert srows == drows, f"\nsql: {sql}\nspark: {srows}\nduck:  {drows}"

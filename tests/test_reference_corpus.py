@@ -2063,6 +2063,106 @@ CORPUS: list[Case] = [
       "SELECT (EXISTS(SELECT 1 WHERE false)) IN (true, false)",
       f"{_ATQ}:6014 testExistsSubquery",
       duck="SELECT true"),
+    # ---- corpus batch 8 (r10): AbstractTestAggregations distinct optimizer shapes
+    C("agg_group_superset_partitioning",
+      "SELECT orderdate, c, count(*) FROM (SELECT orderdate, "
+      "count(*) c FROM orders GROUP BY orderdate) GROUP BY "
+      "orderdate, c",
+      f"{_ATA}:136 testGroupByOnSupersetOfPartitioning"),
+    C("agg_sum_of_nulls",
+      "SELECT orderstatus, sum(CAST(NULL AS BIGINT)) FROM orders "
+      "GROUP BY orderstatus",
+      f"{_ATA}:142 testSumOfNulls"),
+    C("agg_group_by_array",
+      "SELECT col[1], count FROM (SELECT ARRAY[custkey] col, "
+      "COUNT(*) count FROM orders GROUP BY 1 ORDER BY 1)",
+      f"{_ATA}:154 testGroupByArray",
+      duck="SELECT custkey, COUNT(*) FROM orders GROUP BY custkey ORDER "
+           "BY custkey"),
+    C("agg_group_by_map",
+      "SELECT col[1], count FROM (SELECT MAP(ARRAY[1], "
+      "ARRAY[custkey]) col, COUNT(*) count FROM orders GROUP BY 1)",
+      f"{_ATA}:160 testGroupByMap",
+      duck="SELECT custkey, COUNT(*) FROM orders GROUP BY custkey"),
+    C("agg_group_by_complex_map",
+      "SELECT MAP_KEYS(x)[1] FROM (VALUES MAP(ARRAY['a'], "
+      "ARRAY[ARRAY[1]]), MAP(ARRAY['b'], ARRAY[ARRAY[2]])) t(x) "
+      "GROUP BY x",
+      f"{_ATA}:166 testGroupByComplexMap",
+      duck="SELECT * FROM (VALUES ('a'), ('b'))"),
+    C("agg_group_by_row",
+      "SELECT col.col1, count FROM (SELECT CAST(row(custkey, "
+      "custkey) AS row(col0 bigint, col1 bigint)) col, COUNT(*) "
+      "count FROM orders GROUP BY 1)",
+      f"{_ATA}:172 testGroupByRow",
+      duck="SELECT custkey, COUNT(*) FROM orders GROUP BY custkey"),
+    C("agg_nested_group_same_key",
+      "SELECT custkey, sum(t) FROM (SELECT custkey, count(*) t FROM "
+      "orders GROUP BY custkey) GROUP BY custkey",
+      f"{_ATA}:184 testNestedGroupByWithSameKey"),
+    C("agg_reagg_line_counts",
+      "SELECT lines, COUNT(*) FROM (SELECT orderkey, COUNT(*) lines "
+      "FROM lineitem GROUP BY orderkey) U GROUP BY lines",
+      f"{_ATA}:184"),
+    C("agg_count_distinct_empty_input",
+      "SELECT COUNT(DISTINCT linenumber), COUNT(*) from lineitem "
+      "where linenumber < 0",
+      f"{_ATA}:209"),
+    C("agg_distinct_group_by_date",
+      "SELECT COUNT(DISTINCT orderpriority) AS count, orderdate FROM "
+      "orders GROUP BY orderdate ORDER BY count, orderdate",
+      f"{_ATA}:227 testDistinctGroupBy (adapted: clerk -> orderpriority)"),
+    C("agg_single_distinct_two_keys",
+      "SELECT custkey, orderstatus, COUNT(DISTINCT orderkey) FROM "
+      "orders GROUP BY custkey, orderstatus",
+      f"{_ATA}:233 testSingleDistinctOptimizer"),
+    C("agg_two_distinct_same_col",
+      "SELECT custkey, orderstatus, COUNT(DISTINCT orderkey), "
+      "SUM(DISTINCT orderkey) FROM orders GROUP BY custkey, "
+      "orderstatus",
+      f"{_ATA}:233"),
+    C("agg_two_distinct_diff_cols",
+      "SELECT custkey, COUNT(DISTINCT orderkey), COUNT(DISTINCT "
+      "orderstatus) FROM orders GROUP BY custkey",
+      f"{_ATA}:250 testExtractDistinctAggregationOptimizer"),
+    C("agg_distinct_over_distinct",
+      "SELECT SUM(DISTINCT x) FROM (SELECT custkey, COUNT(DISTINCT "
+      "orderstatus) x FROM orders GROUP BY custkey) t",
+      f"{_ATA}:250"),
+    C("agg_mixed_distinct_global",
+      "SELECT max(orderstatus), COUNT(orderkey), sum(DISTINCT "
+      "orderkey) FROM orders",
+      f"{_ATA}:250"),
+    C("agg_mixed_distinct_proj",
+      "SELECT custkey, orderstatus, avg(custkey % 4), SUM(DISTINCT "
+      "orderkey) FROM orders GROUP BY custkey, orderstatus",
+      f"{_ATA}:250 (adapted: shippriority -> custkey % 4)"),
+    C("agg_two_distinct_global",
+      "SELECT max(orderstatus), COUNT(DISTINCT orderkey), "
+      "sum(DISTINCT orderkey) FROM orders",
+      f"{_ATA}:250"),
+    C("agg_distinct_fn_arg",
+      "SELECT COUNT(tan(custkey % 4)), sum(DISTINCT orderkey) FROM "
+      "orders",
+      f"{_ATA}:250 (adapted: shippriority -> custkey % 4)"),
+    C("agg_count_distinct_row_value",
+      "SELECT count(DISTINCT a), max(b) FROM (VALUES (row(1, 2), 3)) "
+      "t(a, b)",
+      f"{_ATA}:250",
+      duck="SELECT * FROM (VALUES (1, 3))"),
+    C("agg_multiple_distinct_grouped",
+      "SELECT orderpriority, custkey % 4, COUNT(custkey % 4), "
+      "SUM(DISTINCT orderkey) FROM orders GROUP BY orderpriority, "
+      "custkey % 4",
+      f"{_ATA}:296 testMultipleDistinct (adapted: clerk/shippriority)"),
+    C("agg_count_distinct_filtered_len",
+      "SELECT COUNT(DISTINCT orderpriority) FROM orders WHERE "
+      "LENGTH(orderpriority) > 5",
+      f"{_ATA}:284 testDistinctWhere (adapted: clerk -> orderpriority)"),
+    C("agg_global_two_distinct_mixed",
+      "SELECT COUNT(DISTINCT orderstatus), SUM(DISTINCT custkey) "
+      "FROM orders",
+      f"{_ATA}:290 testMultipleDifferentDistinct"),
 ]
 
 
