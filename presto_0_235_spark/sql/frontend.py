@@ -950,6 +950,10 @@ _TEMPLATE_CALL = re.compile(
     r"\b(reduce_agg|map_agg|nan|infinity)\s*\(", re.IGNORECASE
 )
 _IN_VALUES = re.compile(r"\bIN\s*\(\s*(?=VALUES\b)", re.IGNORECASE)
+# Zero-argument count() == count(*) in Presto's grammar
+# (AbstractTestQueries.java:3294 testWindowFunctionWithoutParameters);
+# Spark requires the star.
+_COUNT_EMPTY = re.compile(r"\bCOUNT\s*\(\s*\)", re.IGNORECASE)
 
 
 def _rewrite_call_templates(sql: str) -> str:
@@ -961,7 +965,9 @@ def _rewrite_call_templates(sql: str) -> str:
     skipping (a CASE yields NULL for null keys and collect_list
     drops NULL elements). nan()/infinity() -> the CAST spellings.
     IN (VALUES ...) -> IN (SELECT * FROM (VALUES ...)) — Spark's IN
-    needs a query, not a bare table constructor."""
+    needs a query, not a bare table constructor. count() ->
+    count(*)."""
+    sql = _COUNT_EMPTY.sub("count(*)", sql)
     pos = 0
     while True:
         m = _TEMPLATE_CALL.search(sql, pos)
