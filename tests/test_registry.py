@@ -44,7 +44,14 @@ def test_correctness_local_artifact_covers_full_registry():
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    artifacts = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_LOCAL_r*.json")))
+    # numeric round sort — lexicographic would read r8 after r10
+    artifacts = sorted(
+        glob.glob(os.path.join(repo, "CORRECTNESS_LOCAL_r*.json")),
+        key=lambda p: int(
+            os.path.basename(p).removeprefix("CORRECTNESS_LOCAL_r")
+            .removesuffix(".json")
+        ),
+    )
     assert artifacts, "no CORRECTNESS_LOCAL_r*.json committed"
     with open(artifacts[-1]) as f:
         report = json.load(f)
