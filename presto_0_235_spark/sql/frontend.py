@@ -589,6 +589,22 @@ _FROM_UNNEST_TWO = re.compile(
     r"(?:AS\s+)?(?P<t>\w+)\s*\(\s*(?P<k>\w+)\s*,\s*(?P<v>\w+)\s*\)",
     re.IGNORECASE,
 )
+# Three-alias WITH ORDINALITY over a two-array zip — UNNEST(a1, a2)
+# WITH ORDINALITY t(x, y, ord) (AbstractTestQueries.java:608) — in
+# both FROM and CROSS JOIN positions.
+_UNNEST_ORD3 = re.compile(
+    rf"(?P<pos>\bFROM|CROSS\s+JOIN)\s+UNNEST\s*\({_ARR}\)\s+"
+    r"WITH\s+ORDINALITY\s+"
+    r"(?:AS\s+)?(?P<t>\w+)\s*\(\s*(?P<k>\w+)\s*,\s*(?P<v>\w+)\s*,"
+    r"\s*(?P<ord>\w+)\s*\)",
+    re.IGNORECASE,
+)
+# Alias-less WITH ORDINALITY (default column names col/ordinality)
+_UNNEST_ORD_BARE = re.compile(
+    rf"(?P<pos>\bFROM|CROSS\s+JOIN)\s+UNNEST\s*\({_ARR}\)\s+"
+    r"WITH\s+ORDINALITY" + _NO_ALIAS.replace("WITH\\b|", ""),
+    re.IGNORECASE,
+)
 
 
 def _split_top_comma(s: str) -> list[str]:
@@ -641,6 +657,49 @@ def _rewrite_unnest(sql: str) -> str:
         return f"LATERAL VIEW explode({m.group('arr')}) {t} AS {a}, {b}"
 
     sql = _COMMA_UNNEST.sub(" CROSS JOIN ", sql)
+
+    def ord3_repl(m: re.Match) -> str:
+        operands = _split_top_comma(m.group("arr"))
+        if len(operands) != 2:
+            return m.group(0)
+        k = counter[0]
+        counter[0] += 1
+        p1, p2 = operands
+        pos = m.group("pos")
+        head = (
+            "CROSS JOIN LATERAL"
+            if pos.upper().startswith("CROSS")
+            else "FROM"
+        )
+        body = (
+            f"(SELECT __s{k}.__c0 AS {m.group('k')}, "
+            f"__s{k}.__c1 AS {m.group('v')}, "
+            f"CAST(__p{k} + 1 AS BIGINT) AS {m.group('ord')} "
+            f"FROM (SELECT posexplode(zip_with({p1}, {p2}, "
+            f"(l, r) -> named_struct('__c0', l, '__c1', r))) "
+            f"AS (__p{k}, __s{k}))) {m.group('t')}"
+        )
+        return f"{head} {body}"
+
+    sql = _UNNEST_ORD3.sub(ord3_repl, sql)
+
+    def ord_bare_repl(m: re.Match) -> str:
+        k = counter[0]
+        counter[0] += 1
+        pos = m.group("pos")
+        head = (
+            "CROSS JOIN LATERAL"
+            if pos.upper().startswith("CROSS")
+            else "FROM"
+        )
+        body = (
+            f"(SELECT col, CAST(__p{k} + 1 AS BIGINT) AS ordinality "
+            f"FROM (SELECT posexplode({m.group('arr')}) "
+            f"AS (__p{k}, col))) __un{k}"
+        )
+        return f"{head} {body}"
+
+    sql = _UNNEST_ORD_BARE.sub(ord_bare_repl, sql)
     sql = _UNNEST_ORD.sub(ord_repl, sql)
     # Two aliases without ORDINALITY = map unnest OR two-array zip.
     sql = _UNNEST_TWO.sub(two_repl, sql)

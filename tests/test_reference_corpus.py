@@ -2340,6 +2340,26 @@ CORPUS: list[Case] = [
       "SELECT x IN (0) FROM (values 4294967296) t(x)",
       f"{_ATQ}:5576 testIn",
       duck="SELECT x IN (0) FROM (values (4294967296)) t(x)"),
+    # ---- corpus batch 12 (r10): WITH ORDINALITY remaining shapes --------
+    C("unnest_ord_zip_pad",
+      "SELECT a, b, c FROM UNNEST(ARRAY[10, 20, 30], ARRAY[4, 5]) "
+      "WITH ORDINALITY t(a, b, c)",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT * FROM (VALUES (10, 4, 1), (20, 5, 2), (30, NULL, 3))"),
+    C("unnest_ord_zip_cross",
+      "SELECT c FROM UNNEST(ARRAY[1, 2, 3], ARRAY[4, 5]) WITH "
+      "ORDINALITY t(a, b, c) CROSS JOIN (values (8), (9)) t2(d)",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT * FROM (VALUES (1), (1), (2), (2), (3), (3))"),
+    C("unnest_ord_bare_star",
+      "SELECT * FROM UNNEST(ARRAY[1, 2, 3]) WITH ORDINALITY",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT * FROM (VALUES (1, 1), (2, 2), (3, 3))"),
+    C("unnest_ord_cross_no_alias",
+      "SELECT 1 FROM (VALUES (ARRAY[1])) AS t (a) CROSS JOIN "
+      "UNNEST(a) WITH ORDINALITY",
+      f"{_ATQ}:608 testUnnest",
+      duck="SELECT 1"),
 ]
 
 
