@@ -77,6 +77,12 @@ NOOP_TEXTS = [
     # ---- varchar: parameterized + word-embedded stay ----
     "SELECT CAST(a AS VARCHAR(10)) FROM t",
     "SELECT varchars FROM t",
+    # ---- call templates (r10): near-misses stay verbatim ----
+    "SELECT nancy, infinity_col FROM t",
+    "SELECT count(x), count(DISTINCT y) FROM t",
+    "SELECT reduce_agg_result, map_agg_like FROM t",
+    "SELECT reduce_agg(a, b) FROM t",  # wrong arity: verbatim
+    "SELECT a FROM t WHERE b IN (1, 2, 3)",
     # ---- combinations ----
     "SELECT x.apply, tryst(rows), unnested FROM tablesampler "
     "WHERE nullable = 1",
