@@ -2360,6 +2360,106 @@ CORPUS: list[Case] = [
       "UNNEST(a) WITH ORDINALITY",
       f"{_ATQ}:608 testUnnest",
       duck="SELECT 1"),
+    # ---- corpus batch 13 (r10): non-equality / outer-join family --------
+    C("join_noneq_quantity_len",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON "
+      "lineitem.orderkey = orders.orderkey AND lineitem.quantity + "
+      "length(orders.orderpriority) > 7",
+      f"{_ATQ}:1953 testNonEqualityJoin (adapted: comment -> orderpriority)"),
+    C("join_noneq_not",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON "
+      "lineitem.orderkey = orders.orderkey AND NOT lineitem.quantity "
+      "> 2",
+      f"{_ATQ}:1953 testNonEqualityJoin (adapted: comment -> orderpriority)"),
+    C("join_noneq_double_not",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON NOT NOT "
+      "lineitem.orderkey = orders.orderkey AND NOT NOT "
+      "lineitem.quantity > 2",
+      f"{_ATQ}:1953 testNonEqualityJoin (adapted: comment -> orderpriority)"),
+    C("join_noneq_triple_not",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON "
+      "lineitem.orderkey = orders.orderkey AND NOT NOT NOT "
+      "lineitem.quantity > 2",
+      f"{_ATQ}:1953 testNonEqualityJoin (adapted: comment -> orderpriority)"),
+    C("join_noneq_neq_literal",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON "
+      "lineitem.orderkey = orders.orderkey AND lineitem.quantity != 2",
+      f"{_ATQ}:1953 testNonEqualityJoin (adapted: comment -> orderpriority)"),
+    C("join_noneq_date_compare",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON "
+      "lineitem.orderkey = orders.orderkey AND lineitem.shipdate > "
+      "orders.orderdate",
+      f"{_ATQ}:1953 testNonEqualityJoin (adapted: comment -> orderpriority)"),
+    C("join_noneq_like_const",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON "
+      "lineitem.orderkey = orders.orderkey AND orders.orderpriority "
+      "LIKE '%URGENT%'",
+      f"{_ATQ}:1953 testNonEqualityJoin (adapted: comment -> orderpriority)"),
+    C("join_noneq_like_col",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON "
+      "lineitem.orderkey = orders.orderkey AND orders.orderpriority "
+      "LIKE lineitem.linestatus",
+      f"{_ATQ}:1953 testNonEqualityJoin (adapted: comment -> orderpriority)"),
+    C("join_null_valued_keys",
+      "SELECT * FROM ( SELECT CASE WHEN orderkey % 3 = 0 THEN NULL "
+      "ELSE orderkey END AS orderkey FROM lineitem WHERE partkey % "
+      "512 = 0 ) AS lineitem JOIN ( SELECT CASE WHEN orderkey % 2 = "
+      "0 THEN NULL ELSE orderkey END AS orderkey FROM orders WHERE "
+      "custkey % 512 = 0 ) AS orders ON lineitem.orderkey = "
+      "orders.orderkey",
+      f"{_ATQ}:2313 testJoinWithNullValues"),
+    C("full_join_values",
+      "SELECT a, b FROM (VALUES (1), (2)) t (a) FULL OUTER JOIN "
+      "(VALUES (1), (3)) u (b) ON a = b",
+      f"{_ATQ}:2619 testSimpleFullJoin",
+      duck="SELECT * FROM (VALUES (1, 1), (2, NULL), (NULL, 3))"),
+    C("full_join_fact_count",
+      "SELECT COUNT(*) FROM lineitem FULL JOIN orders ON "
+      "lineitem.orderkey = orders.orderkey",
+      f"{_ATQ}:2619",
+      duck="SELECT COUNT(*) FROM ( SELECT lineitem.orderkey, "
+           "orders.orderkey AS o2 FROM lineitem LEFT OUTER JOIN orders ON "
+           "lineitem.orderkey = orders.orderkey UNION ALL SELECT "
+           "lineitem.orderkey, orders.orderkey AS o2 FROM lineitem RIGHT "
+           "OUTER JOIN orders ON lineitem.orderkey = orders.orderkey "
+           "WHERE lineitem.orderkey IS NULL ) x"),
+    C("full_join_mismatched_keys",
+      "SELECT COUNT(*) FROM lineitem FULL JOIN orders ON "
+      "lineitem.orderkey = orders.custkey",
+      f"{_ATQ}:2619"),
+    C("full_join_right_const",
+      "SELECT COUNT(*) FROM lineitem FULL JOIN orders ON "
+      "lineitem.orderkey = orders.orderkey AND orders.orderkey = 2",
+      f"{_ATQ}:2674 testFullJoinWithRightConstantEquality"),
+    C("full_join_left_const",
+      "SELECT COUNT(*) FROM lineitem FULL JOIN orders ON "
+      "lineitem.orderkey = orders.orderkey AND lineitem.orderkey = 2",
+      f"{_ATQ}:2686 testFullJoinWithLeftConstantEquality"),
+    C("left_join_null_probe",
+      "SELECT COUNT(*) FROM ( SELECT CASE WHEN orderkey % 3 = 0 THEN "
+      "NULL ELSE orderkey END AS orderkey FROM orders ) o LEFT JOIN "
+      "lineitem l ON o.orderkey = l.orderkey",
+      f"{_ATQ}:2722 testOuterJoinWithNullsOnProbe"),
+    C("right_join_null_build",
+      "SELECT COUNT(*) FROM lineitem l RIGHT JOIN ( SELECT CASE WHEN "
+      "orderkey % 3 = 0 THEN NULL ELSE orderkey END AS orderkey FROM "
+      "orders ) o ON l.orderkey = o.orderkey",
+      f"{_ATQ}:2988 testRightJoinWithNullValues"),
+    C("left_filtered_join",
+      "SELECT COUNT(*) FROM (SELECT * FROM lineitem WHERE orderkey % "
+      "16 = 0) lineitem JOIN orders ON lineitem.orderkey = "
+      "orders.orderkey",
+      f"{_ATQ}:2589 testLeftFilteredJoin"),
+    C("right_filtered_join",
+      "SELECT COUNT(*) FROM lineitem JOIN (SELECT * FROM orders "
+      "WHERE orderkey % 16 = 0) orders ON lineitem.orderkey = "
+      "orders.orderkey",
+      f"{_ATQ}:2596 testRightFilteredJoin"),
+    C("join_predicate_moved",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON "
+      "lineitem.orderkey = orders.orderkey WHERE lineitem.orderkey % "
+      "4 = 0 AND lineitem.quantity % 8 = 0",
+      f"{_ATQ}:2609 testJoinPredicateMoveAround"),
 ]
 
 
