@@ -2460,6 +2460,91 @@ CORPUS: list[Case] = [
       "lineitem.orderkey = orders.orderkey WHERE lineitem.orderkey % "
       "4 = 0 AND lineitem.quantity % 8 = 0",
       f"{_ATQ}:2609 testJoinPredicateMoveAround"),
+    # ---- corpus batch 14 (r10): correlated subqueries -------------------
+    C("corr_scalar_where",
+      "SELECT nationkey FROM nation n WHERE 2 = (SELECT 2 * "
+      "n.nationkey)",
+      f"{_ATQ}:6181 testCorrelatedScalarSubqueries",
+      duck="SELECT nationkey FROM nation WHERE nationkey = 1"),
+    C("corr_scalar_orderby",
+      "SELECT nationkey FROM nation n ORDER BY (SELECT 2 * "
+      "n.nationkey)",
+      f"{_ATQ}:6181 testCorrelatedScalarSubqueries",
+      duck="SELECT nationkey FROM nation ORDER BY nationkey",
+      marks=(pytest.mark.xfail(
+          strict=True,
+          reason="Spark's analyzer restricts correlated scalar subqueries to "
+                  "WHERE/SELECT positions; Presto decorrelates this position "
+                  "too. Engine-level divergence",
+      ),)),
+    C("corr_scalar_group_proj",
+      "SELECT max(n.regionkey), 2 * n.nationkey, (SELECT "
+      "n.nationkey) FROM nation n GROUP BY n.nationkey",
+      f"{_ATQ}:6181 testCorrelatedScalarSubqueries",
+      duck="SELECT max(regionkey), 2 * nationkey, nationkey FROM nation "
+           "GROUP BY nationkey",
+      marks=(pytest.mark.xfail(
+          strict=True,
+          reason="Spark's analyzer restricts correlated scalar subqueries to "
+                  "WHERE/SELECT positions; Presto decorrelates this position "
+                  "too. Engine-level divergence",
+      ),)),
+    C("corr_scalar_join_clause",
+      "SELECT * FROM nation n1 JOIN nation n2 ON n1.nationkey = "
+      "(SELECT n2.nationkey)",
+      f"{_ATQ}:6181 testCorrelatedScalarSubqueries",
+      duck="SELECT * FROM nation n1 JOIN nation n2 ON n1.nationkey = "
+           "n2.nationkey",
+      marks=(pytest.mark.xfail(
+          strict=True,
+          reason="Spark's analyzer restricts correlated scalar subqueries to "
+                  "WHERE/SELECT positions; Presto decorrelates this position "
+                  "too. Engine-level divergence",
+      ),)),
+    C("corr_guarded_null",
+      "SELECT (SELECT 1 WHERE a = 2) FROM (VALUES 1) t(a)",
+      f"{_ATQ}:6215 testCorrelatedNonAggregationScalarSubqueries",
+      duck="SELECT null"),
+    C("corr_guarded_hit",
+      "SELECT (SELECT 2 WHERE a = 1) FROM (VALUES 1) t(a)",
+      f"{_ATQ}:6215 testCorrelatedNonAggregationScalarSubqueries",
+      duck="SELECT 2"),
+    C("corr_count_where_proj",
+      "SELECT (SELECT count(*) WHERE o.orderkey = 1) FROM orders o",
+      f"{_ATQ}:6298 testCorrelatedScalarSubqueriesWithScalarAggregationAndEqualityPredicatesInWhere",
+      duck="SELECT CASE WHEN orderkey = 1 THEN 1 ELSE 0 END FROM orders"),
+    C("corr_count_where_filter",
+      "SELECT count(*) FROM orders o WHERE 1 = (SELECT count(*) "
+      "WHERE o.orderkey = 0)",
+      f"{_ATQ}:6298 testCorrelatedScalarSubqueriesWithScalarAggregationAndEqualityPredicatesInWhere",
+      duck="SELECT count(*) FROM orders WHERE orderkey = 0"),
+    C("corr_in_projected",
+      "SELECT orderkey, orderpriority IN (SELECT orderpriority FROM "
+      "orders s WHERE s.custkey = o.custkey AND s.orderkey < "
+      "o.orderkey) FROM orders o",
+      f"{_ATQ}:6432 testCorrelatedInPredicateSubqueries (adapted: clerk -> orderpriority)",
+      duck="SELECT orderkey, EXISTS(SELECT 1 FROM orders s WHERE "
+           "s.custkey = o.custkey AND s.orderkey < o.orderkey AND "
+           "s.orderpriority = o.orderpriority) FROM orders o"),
+    C("corr_in_filter",
+      "SELECT orderkey FROM orders o WHERE orderpriority IN (SELECT "
+      "orderpriority FROM orders s WHERE s.custkey = o.custkey AND "
+      "s.orderkey < o.orderkey)",
+      f"{_ATQ}:6432 testCorrelatedInPredicateSubqueries (adapted: clerk -> orderpriority)"),
+    C("corr_exists_filter",
+      "SELECT count(*) FROM orders o WHERE EXISTS(SELECT 1 FROM "
+      "orders i WHERE o.orderkey < i.orderkey AND i.orderkey % 1000 "
+      "= 0)",
+      f"{_ATQ}:6558 testCorrelatedExistsSubqueries"),
+    C("corr_not_exists_filter",
+      "SELECT count(*) FROM orders o WHERE NOT EXISTS(SELECT 1 FROM "
+      "orders i WHERE o.orderkey < i.orderkey)",
+      f"{_ATQ}:6558 testCorrelatedExistsSubqueries"),
+    C("corr_exists_agg_inner",
+      "SELECT count(*) FROM lineitem l WHERE EXISTS(SELECT 1 FROM "
+      "orders o WHERE o.orderkey = l.orderkey AND o.totalprice > "
+      "100000)",
+      f"{_ATQ}:6558 testCorrelatedExistsSubqueries"),
 ]
 
 
