@@ -1006,7 +1006,7 @@ def _rewrite_function_names(sql: str) -> str:
 # --------------------------------------------------------------------------
 
 _TEMPLATE_CALL = re.compile(
-    r"\b(reduce_agg|map_agg|nan|infinity)\s*\(", re.IGNORECASE
+    r"\b(reduce_agg|map_agg|nan|infinity|if)\s*\(", re.IGNORECASE
 )
 _IN_VALUES = re.compile(r"\bIN\s*\(\s*(?=VALUES\b)", re.IGNORECASE)
 # Zero-argument count() == count(*) in Presto's grammar
@@ -1054,6 +1054,11 @@ def _rewrite_call_templates(sql: str) -> str:
             repl = "CAST('NaN' AS DOUBLE)"
         elif name == "infinity" and args == [""]:
             repl = "CAST('Infinity' AS DOUBLE)"
+        elif name == "if" and len(args) == 2:
+            # Presto's 2-arg if(cond, v) has an implicit NULL else
+            # (ConditionalFunctions; AbstractTestQueries.java:4356);
+            # Spark's if() is strictly 3-arg.
+            repl = f"if({args[0]}, {args[1]}, NULL)"
         if repl is None:
             pos = m.end()  # arity mismatch: leave verbatim, move on
             continue
