@@ -2664,6 +2664,97 @@ CORPUS: list[Case] = [
       "985, 986, 987, 988, 989, 990, 991, 992, 993, 994, 995, 996, "
       "997, 998, 999)",
       f"{_ATQ}:4407 testLargeIn"),
+    # ---- corpus batch 16 (r10): semi/anti IN coercions, pushdown, cross --
+    C("semi_in_where_conj",
+      "SELECT 1 WHERE 1 IN (SELECT 1) AND 1.0 IN (SELECT 1)",
+      f"{_ATQ}:5611 testSemiJoin",
+      duck="SELECT 1"),
+    C("semi_in_decimal_coercion",
+      "SELECT CAST(1 AS decimal(3,2)) IN (SELECT CAST(1 AS "
+      "decimal(3,1)))",
+      f"{_ATQ}:5611 testSemiJoin",
+      duck="SELECT true"),
+    C("semi_in_projected_pair",
+      "SELECT 1 IN (SELECT 1), 2 IN (SELECT 1) WHERE 1 IN (SELECT 1)",
+      f"{_ATQ}:5611 testSemiJoin",
+      duck="SELECT true, false"),
+    C("semi_in_scalar_lhs",
+      "SELECT (SELECT 1) IN (SELECT 1)",
+      f"{_ATQ}:5611 testSemiJoin",
+      duck="SELECT true"),
+    C("semi_in_scalar_in_list",
+      "SELECT (SELECT 2) IN (1, (SELECT 2))",
+      f"{_ATQ}:5611 testSemiJoin",
+      duck="SELECT true"),
+    C("semi_in_expr_lhs",
+      "SELECT (2 + (SELECT 1)) IN (SELECT 1)",
+      f"{_ATQ}:5611 testSemiJoin",
+      duck="SELECT false"),
+    C("semi_in_nested_in",
+      "SELECT (1 IN (SELECT 1)) IN (SELECT TRUE)",
+      f"{_ATQ}:5611 testSemiJoin",
+      duck="SELECT true"),
+    C("semi_in_exists_lhs",
+      "SELECT (EXISTS(SELECT 1)) IN (SELECT TRUE)",
+      f"{_ATQ}:5611 testSemiJoin",
+      duck="SELECT true"),
+    C("anti_not_in_basic",
+      "SELECT orderkey FROM orders WHERE orderkey NOT IN (SELECT "
+      "orderkey FROM lineitem WHERE linenumber = 7)",
+      f"{_ATQ}:5713 testAntiJoin / 5725 testAntiJoinNullHandling"),
+    C("anti_not_in_null_build",
+      "SELECT x FROM (VALUES 1, 2, NULL) t(x) WHERE x NOT IN (SELECT "
+      "y FROM (VALUES 3, 4) u(y))",
+      f"{_ATQ}:5713 testAntiJoin / 5725 testAntiJoinNullHandling",
+      duck="SELECT x FROM (VALUES (1), (2), (NULL)) t(x) WHERE x NOT IN "
+           "(SELECT y FROM (VALUES (3), (4)) u(y))"),
+    C("anti_not_in_null_in_list",
+      "SELECT x FROM (VALUES 1, 2) t(x) WHERE x NOT IN (SELECT y "
+      "FROM (VALUES 3, NULL) u(y))",
+      f"{_ATQ}:5713 testAntiJoin / 5725 testAntiJoinNullHandling",
+      duck="SELECT x FROM (VALUES (1), (2)) t(x) WHERE x NOT IN (SELECT y "
+           "FROM (VALUES (3), (NULL)) u(y))"),
+    C("semi_groupby_combo",
+      "SELECT linenumber, min(orderkey), 6 IN (SELECT orderkey FROM "
+      "orders WHERE orderkey < 7) FROM lineitem GROUP BY linenumber",
+      f"{_ATQ}:5783 testSemiJoinWithGroupBy",
+      duck="SELECT linenumber, min(orderkey), true FROM lineitem GROUP BY "
+           "linenumber"),
+    C("pushdown_union_filter",
+      "SELECT * FROM ( SELECT orderkey+1 AS a FROM orders WHERE "
+      "orderstatus = 'F' UNION ALL SELECT orderkey FROM orders WHERE "
+      "orderkey % 2 = 0 UNION ALL (SELECT orderkey+custkey FROM "
+      "orders ORDER BY orderkey LIMIT 10) ) WHERE a < 20 OR a > 100 "
+      "ORDER BY a",
+      f"{_ATQ}:6665 testPredicatePushdown",
+      duck="SELECT * FROM ( SELECT orderkey+1 AS a FROM orders WHERE "
+           "orderstatus = 'F' UNION ALL SELECT orderkey FROM orders WHERE "
+           "orderkey % 2 = 0 UNION ALL (SELECT orderkey+custkey FROM "
+           "orders ORDER BY orderkey LIMIT 10) ) x WHERE a < 20 OR a > "
+           "100 ORDER BY a"),
+    C("pushdown_left_join_as_inner",
+      "SELECT * FROM lineitem l LEFT JOIN orders o ON l.orderkey = "
+      "o.orderkey WHERE o.custkey > 100",
+      f"{_ATQ}:6693 testLeftJoinAsInnerPredicatePushdown / 6707 plain"),
+    C("pushdown_left_join_plain",
+      "SELECT count(*) FROM lineitem l LEFT JOIN orders o ON "
+      "l.orderkey = o.orderkey WHERE l.partkey > 100",
+      f"{_ATQ}:6693 testLeftJoinAsInnerPredicatePushdown / 6707 plain"),
+    C("pushdown_groupby_key",
+      "SELECT * FROM (SELECT custkey, count(*) c FROM orders GROUP "
+      "BY custkey) t WHERE custkey > 100",
+      f"{_ATQ}:6814 testGroupByKeyPredicatePushdown"),
+    C("cross_join_counts",
+      "SELECT COUNT(*) FROM nation CROSS JOIN region",
+      f"{_ATQ}:5477 testCrossJoins"),
+    C("cross_join_where",
+      "SELECT n.name, r.name FROM nation n CROSS JOIN region r WHERE "
+      "n.regionkey = r.regionkey",
+      f"{_ATQ}:5477 testCrossJoins"),
+    C("cross_join_nulls",
+      "SELECT a, b FROM (VALUES (1), (2), (NULL)) t(a) CROSS JOIN "
+      "(VALUES (10), (NULL)) u(b)",
+      f"{_ATQ}:5477 testCrossJoins"),
 ]
 
 
