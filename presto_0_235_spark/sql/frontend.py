@@ -1013,6 +1013,15 @@ _IN_VALUES = re.compile(r"\bIN\s*\(\s*(?=VALUES\b)", re.IGNORECASE)
 # (AbstractTestQueries.java:3294 testWindowFunctionWithoutParameters);
 # Spark requires the star.
 _COUNT_EMPTY = re.compile(r"\bCOUNT\s*\(\s*\)", re.IGNORECASE)
+# The Presto HLL idiom cardinality(approx_set(x[, e])) is exactly
+# approx_distinct(x[, e]) (HyperLogLogFunctions.java cardinality over
+# ApproximateSetAggregation) — Spark has no HLL type, but the fused
+# composition maps to approx_count_distinct directly. Sketch-typed
+# intermediates (merge() across rows) stay on the DataFrame operators
+# (operators/sketches.py).
+_CARD_APPROX_SET = re.compile(
+    r"\bcardinality\s*\(\s*approx_set\s*\(", re.IGNORECASE
+)
 
 
 def _rewrite_call_templates(sql: str) -> str:
@@ -1027,6 +1036,24 @@ def _rewrite_call_templates(sql: str) -> str:
     needs a query, not a bare table constructor. count() ->
     count(*)."""
     sql = _COUNT_EMPTY.sub("count(*)", sql)
+    while True:
+        m = _CARD_APPROX_SET.search(sql)
+        if m is None:
+            break
+        inner_open = sql.index("(", sql.index("(", m.start()) + 1)
+        try:
+            inner_past = _balanced(sql, inner_open)
+            outer_past = _balanced(sql, sql.index("(", m.start()))
+        except ValueError:
+            break
+        if sql[inner_past:outer_past - 1].strip():
+            break  # anything between the two closes: not the idiom
+        args = sql[inner_open + 1 : inner_past - 1]
+        sql = (
+            sql[: m.start()]
+            + f"approx_count_distinct({args})"
+            + sql[outer_past:]
+        )
     pos = 0
     while True:
         m = _TEMPLATE_CALL.search(sql, pos)

@@ -331,3 +331,34 @@ def test_order_by_nulls_rewrites_nested_clause():
     sql2 = "SELECT g FROM t GROUP BY g ORDER BY array_agg(v ORDER BY v DESC)"
     out2 = _rewrite_order_by_nulls(sql2)
     assert "ORDER BY v DESC NULLS LAST" in out2
+
+
+def test_cardinality_approx_set_fusion(spark, sf_dir):
+    """The Presto HLL idiom cardinality(approx_set(x[, e])) fuses to
+    approx_count_distinct (AbstractTestQueries.java:7084
+    testApproxSetBigint ff.) — estimates are engine-specific, so the
+    pin is the reference's own bound: within the configured standard
+    error of the exact distinct count (x5 slack for sketch variance,
+    matching the reference's assertCount tolerance style)."""
+    from presto_0_235_spark.sql.frontend import presto_to_spark_sql, run_sql
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df.createOrReplaceTempView("orders_pq")
+    exact = df.select("o_custkey").distinct().count()
+    for sql in (
+        "SELECT cardinality(approx_set(o_custkey)) AS c FROM orders_pq",
+        "SELECT cardinality(approx_set(o_custkey, 0.023)) AS c "
+        "FROM orders_pq",
+        "SELECT approx_distinct(o_custkey) AS c FROM orders_pq",
+    ):
+        got = run_sql(spark, sql).first()["c"]
+        assert abs(got - exact) <= max(5, exact * 0.15), (sql, got, exact)
+    # non-idiom cardinality stays the array/map size function
+    out = presto_to_spark_sql("SELECT cardinality(x) FROM t")
+    assert out == "SELECT size(x) FROM t"
+    # composition inside a grouped query
+    out = presto_to_spark_sql(
+        "SELECT k, cardinality(approx_set(v)) FROM t GROUP BY k"
+    )
+    assert out == ("SELECT k, approx_count_distinct(v) FROM t "
+                   "GROUP BY k")
