@@ -2755,6 +2755,62 @@ CORPUS: list[Case] = [
       "SELECT a, b FROM (VALUES (1), (2), (NULL)) t(a) CROSS JOIN "
       "(VALUES (10), (NULL)) u(b)",
       f"{_ATQ}:5477 testCrossJoins"),
+    # ---- corpus batch 17 (r10): union coercion / pushdown family ---------
+    C("union_all_dates_mixed",
+      "SELECT orderkey, orderdate FROM orders WHERE custkey < 1000 "
+      "UNION ALL SELECT orderkey, shipdate FROM lineitem WHERE "
+      "linenumber < 2000",
+      f"{_ATQ}:5163 testUnion / 5182 testUnionAll"),
+    C("union_all_consts",
+      "SELECT 123, 'foo' UNION ALL SELECT 999, 'bar'",
+      f"{_ATQ}:5163 testUnion / 5182 testUnionAll"),
+    C("union_all_self",
+      "SELECT * FROM orders UNION ALL SELECT * FROM orders",
+      f"{_ATQ}:5163 testUnion / 5182 testUnionAll"),
+    C("union_values_coercion",
+      "VALUES 1 UNION ALL VALUES 1.0, 2",
+      f"{_ATQ}:5390 testUnionRequiringCoercion",
+      duck="SELECT * FROM (VALUES (1)) t UNION ALL SELECT * FROM (VALUES "
+           "(1.0), (2)) u"),
+    C("union_paren_values",
+      "(VALUES 1) UNION ALL (VALUES 1.0, 2)",
+      f"{_ATQ}:5390",
+      duck="SELECT * FROM (VALUES (1)) t UNION ALL SELECT * FROM (VALUES "
+           "(1.0), (2)) u"),
+    C("union_mixed_numeric",
+      "SELECT 0, 0 UNION ALL SELECT 1.0, 0",
+      f"{_ATQ}:5390"),
+    C("union_distinct_coercion",
+      "SELECT * FROM (VALUES 1) UNION SELECT * FROM (VALUES 1.0, 2)",
+      f"{_ATQ}:5390",
+      duck="SELECT * FROM (VALUES (1.0)) t UNION SELECT * FROM (VALUES "
+           "(1.0), (2.0)) u"),
+    C("union_distinct_null_row",
+      "SELECT * FROM (VALUES (NULL, NULL)) UNION SELECT * FROM "
+      "(VALUES (1, 1.0))",
+      f"{_ATQ}:5390",
+      duck="SELECT * FROM (VALUES (CAST(NULL AS INT), CAST(NULL AS "
+           "DOUBLE))) t UNION SELECT * FROM (VALUES (1, 1.0)) u"),
+    C("union_with_aggregation",
+      "SELECT orderstatus, count(*) FROM (SELECT orderkey, "
+      "orderstatus FROM orders UNION ALL SELECT orderkey, "
+      "orderstatus FROM orders) t GROUP BY orderstatus",
+      f"{_ATQ}:5224 testUnionWithAggregation"),
+    C("union_agg_and_join",
+      "SELECT count(*) FROM (SELECT orderkey, count(*) c FROM "
+      "(SELECT orderkey FROM orders UNION ALL SELECT orderkey FROM "
+      "lineitem) t GROUP BY orderkey) a JOIN orders o ON a.orderkey "
+      "= o.orderkey",
+      f"{_ATQ}:5337 testUnionWithAggregationAndJoin"),
+    C("union_filter_not_in_select",
+      "SELECT orderkey FROM (SELECT orderkey, custkey FROM orders "
+      "WHERE custkey < 100 UNION ALL SELECT orderkey, custkey FROM "
+      "orders WHERE custkey > 500) t WHERE custkey % 2 = 0",
+      f"{_ATQ}:5370 testUnionWithFilterNotInSelect"),
+    C("union_projection_pushdown",
+      "SELECT a + 1 FROM (SELECT orderkey a FROM orders UNION ALL "
+      "SELECT custkey FROM orders) t",
+      f"{_ATQ}:5144 testUnionWithProjectionPushDown"),
 ]
 
 
