@@ -143,6 +143,46 @@ def _unmask(sql: str, stash: list[tuple[str, str]]) -> str:
     return _MASK_RE.sub(repl, sql)
 
 
+# Presto generic typed literals TYPE 'text' (SqlBase.g4 typeConstructor
+# — any type name may prefix a string literal; found porting
+# AbstractTestQueries, where BIGINT '5' / DECIMAL '1.2' are pervasive).
+# Spark's parser only accepts DATE/TIMESTAMP/INTERVAL/X typed literals
+# and rejects the numeric/char ones outright — lower them to CASTs.
+# DECIMAL infers (precision, scale) from the literal digits exactly as
+# Presto's DecimalParser does; bare CAST AS DECIMAL would be (10,0)
+# and silently drop the scale. Runs on MASKED text (the literal is a
+# string placeholder) with stash access for the DECIMAL digits.
+_TYPED_LIT = re.compile(
+    "\\b(BIGINT|INTEGER|INT|SMALLINT|TINYINT|DECIMAL|DOUBLE|REAL"
+    "|BOOLEAN|VARCHAR|CHAR)\\s+(\x00s(\\d+)\x00)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_typed_literals(masked: str, stash) -> str:
+    def repl(m: re.Match) -> str:
+        typ = m.group(1).upper()
+        ph = m.group(2)
+        if typ == "INT":
+            typ = "INTEGER"
+        elif typ in ("VARCHAR", "CHAR"):
+            # CHAR trailing-pad semantics are the documented STRING
+            # divergence shared with the bare-varchar rewrite.
+            typ = "STRING"
+        elif typ == "REAL":
+            typ = "FLOAT"
+        elif typ == "DECIMAL":
+            lit = stash[int(m.group(3))][1]  # includes the quotes
+            body = lit[1:-1].strip().lstrip("+-")
+            ip, _, fp = body.partition(".")
+            digits = sum(c.isdigit() for c in ip + fp)
+            scale = sum(c.isdigit() for c in fp)
+            typ = f"DECIMAL({max(digits, 1)}, {scale})"
+        return f"CAST({ph} AS {typ})"
+
+    return _TYPED_LIT.sub(repl, masked)
+
+
 def _balanced(s: str, open_i: int) -> int:
     """Index just past the ')' matching s[open_i] == '('."""
     depth = 0
@@ -1362,6 +1402,7 @@ def presto_to_spark_sql(sql: str) -> str:
                 )
         sql = sql.replace("\x00", "")
     masked, stash = _mask(sql)
+    masked = _rewrite_typed_literals(masked, stash)
     masked = _rewrite_array_literals(masked)
     masked = _rewrite_map_ctor(masked)
     masked = _rewrite_row_types(masked)

@@ -228,3 +228,30 @@ def test_nested_order_by_nulls_regression():
            "ORDER BY (SELECT max(x) FROM u ORDER BY y) ")
     out = presto_to_spark_sql(sql)
     assert out.count("NULLS LAST") == 3
+
+
+def test_typed_literals_lowered_and_guarded():
+    """r10: TYPE 'literal' (Presto typeConstructor) lowers to CAST —
+    DECIMAL infers (precision, scale) from the digits — while the
+    Spark-supported typed literals and near-misses stay verbatim."""
+    assert presto_to_spark_sql("SELECT BIGINT '5'") == (
+        "SELECT CAST('5' AS BIGINT)"
+    )
+    assert presto_to_spark_sql("SELECT DECIMAL '-001.250'") == (
+        "SELECT CAST('-001.250' AS DECIMAL(6, 3))"
+    )
+    assert presto_to_spark_sql("SELECT REAL '1.5'") == (
+        "SELECT CAST('1.5' AS FLOAT)"
+    )
+    # Spark-native typed literals pass through
+    for sql in ("SELECT DATE '1970-01-01'",
+                "SELECT TIMESTAMP '1970-01-01 00:00:00'",
+                "SELECT INTERVAL '1' DAY"):
+        assert presto_to_spark_sql(sql) == sql
+    # near-misses: no string literal following / inside strings
+    assert presto_to_spark_sql("SELECT decimal_col FROM t") == (
+        "SELECT decimal_col FROM t"
+    )
+    assert presto_to_spark_sql("SELECT 'DECIMAL ''1.2''' FROM t") == (
+        "SELECT 'DECIMAL ''1.2''' FROM t"
+    )

@@ -2811,6 +2811,31 @@ CORPUS: list[Case] = [
       "SELECT a + 1 FROM (SELECT orderkey a FROM orders UNION ALL "
       "SELECT custkey FROM orders) t",
       f"{_ATQ}:5144 testUnionWithProjectionPushDown"),
+    # ---- corpus batch 18 (r10): generic typed literals ------------------
+    C("typed_literal_bigint",
+      "SELECT BIGINT '5' + orderkey FROM orders WHERE orderkey < 5",
+      f"{_ATQ} typeConstructor texts (pervasive; e.g. :5390 coercions)",
+      duck="SELECT 5 + orderkey FROM orders WHERE orderkey < 5"),
+    C("typed_literal_decimal_scale",
+      "SELECT DECIMAL '1.2' + DECIMAL '2.30'",
+      f"{_ATQ} typeConstructor texts (pervasive; e.g. :5390 coercions)",
+      duck="SELECT CAST('1.2' AS DECIMAL(2,1)) + CAST('2.30' AS "
+           "DECIMAL(3,2))"),
+    C("typed_literal_small_ints",
+      "SELECT SMALLINT '2' + TINYINT '1'",
+      f"{_ATQ} typeConstructor texts (pervasive; e.g. :5390 coercions)",
+      duck="SELECT CAST(2 AS SMALLINT) + CAST(1 AS TINYINT)"),
+    C("typed_literal_double_filter",
+      "SELECT count(*) FROM lineitem WHERE discount > DOUBLE '0.05'",
+      f"{_ATQ} typeConstructor texts (pervasive; e.g. :5390 coercions)",
+      duck="SELECT count(*) FROM lineitem WHERE discount > 0.05"),
+    C("typed_literal_in_values",
+      "SELECT x FROM (VALUES DECIMAL '1.5', DECIMAL '2.5') t(x) "
+      "WHERE x > DECIMAL '2.0'",
+      f"{_ATQ} typeConstructor texts (pervasive; e.g. :5390 coercions)",
+      duck="SELECT x FROM (VALUES (CAST('1.5' AS DECIMAL(2,1))), "
+           "(CAST('2.5' AS DECIMAL(2,1)))) t(x) WHERE x > CAST('2.0' AS "
+           "DECIMAL(2,1))"),
 ]
 
 
