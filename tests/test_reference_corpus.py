@@ -2836,6 +2836,51 @@ CORPUS: list[Case] = [
       duck="SELECT x FROM (VALUES (CAST('1.5' AS DECIMAL(2,1))), "
            "(CAST('2.5' AS DECIMAL(2,1)))) t(x) WHERE x > CAST('2.0' AS "
            "DECIMAL(2,1))"),
+    # ---- corpus batch 19 (r10): interval joins, TopN filters, nonreserved --
+    C("join_interval_date_window",
+      "SELECT o.orderkey, o.orderdate, l.shipdate FROM orders o JOIN "
+      "lineitem l ON l.orderkey = o.orderkey AND l.shipdate < "
+      "o.orderdate + INTERVAL '10' DAY",
+      f"{_ATQ}:1697 testJoinWithLessThanOnDatesInJoinClause"),
+    C("join_interval_band",
+      "SELECT o.orderkey, o.orderdate, l.shipdate FROM orders o JOIN "
+      "lineitem l ON o.orderkey=l.orderkey AND o.orderdate + "
+      "INTERVAL '2' DAY <= l.shipdate AND l.shipdate < o.orderdate + "
+      "INTERVAL '7' DAY",
+      f"{_ATQ}:1697 testJoinWithLessThanOnDatesInJoinClause"),
+    C("topn_rownum_filter_le",
+      "SELECT * FROM ( SELECT row_number() OVER (ORDER BY orderkey) "
+      "rn, orderkey, orderstatus FROM orders ) WHERE rn <= 5",
+      f"{_ATQ}:3795 testTopN*Window*",
+      duck="SELECT * FROM ( SELECT row_number() OVER (ORDER BY orderkey) "
+           "rn, orderkey, orderstatus FROM orders ) t WHERE rn <= 5"),
+    C("topn_rownum_partitioned",
+      "SELECT * FROM ( SELECT row_number() OVER (PARTITION BY "
+      "orderstatus ORDER BY orderkey) rn, orderkey, orderstatus FROM "
+      "orders ) WHERE rn <= 3",
+      f"{_ATQ}:3795 testTopN*Window*",
+      duck="SELECT * FROM ( SELECT row_number() OVER (PARTITION BY "
+           "orderstatus ORDER BY orderkey) rn, orderkey, orderstatus FROM "
+           "orders ) t WHERE rn <= 3"),
+    C("topn_rownum_equality",
+      "SELECT * FROM ( SELECT row_number() OVER (ORDER BY orderkey) "
+      "rn, orderkey, orderstatus FROM orders ) WHERE rn = 1",
+      f"{_ATQ}:3795 testTopN*Window*",
+      duck="SELECT * FROM ( SELECT row_number() OVER (ORDER BY orderkey) "
+           "rn, orderkey, orderstatus FROM orders ) t WHERE rn = 1"),
+    C("topn_rownum_composite",
+      "SELECT * FROM ( SELECT row_number() OVER (ORDER BY orderkey) "
+      "rn, orderkey, orderstatus FROM orders ) WHERE rn = 1 OR rn IN "
+      "(3, 4) OR rn BETWEEN 6 AND 7",
+      f"{_ATQ}:3795 testTopN*Window*",
+      duck="SELECT * FROM ( SELECT row_number() OVER (ORDER BY orderkey) "
+           "rn, orderkey, orderstatus FROM orders ) t WHERE rn = 1 OR rn "
+           "IN (3, 4) OR rn BETWEEN 6 AND 7"),
+    C("nonreserved_time_words",
+      "SELECT TIME, TIMESTAMP, DATE, INTERVAL FROM (SELECT 1 TIME, 2 "
+      "TIMESTAMP, 3 DATE, 4 INTERVAL)",
+      f"{_ATQ}:7045 testNonReservedTimeWords",
+      duck="SELECT 1, 2, 3, 4"),
 ]
 
 
