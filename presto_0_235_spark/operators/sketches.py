@@ -502,7 +502,13 @@ def hll_merge_bytes(*sketches: bytes) -> bytes:
             raise ValueError(f"bucket counts differ: 2^{p_seen} vs 2^{p}")
     p_out = p_seen if p_seen is not None else HLL_P
     if not any_dense:
-        return hll_serialize_sparse(sparse_entries, p_out)
+        deduped = _sparse_dedupe(sparse_entries)
+        if len(deduped) <= _SPARSE_MAX_ENTRIES:
+            return hll_serialize_sparse(deduped, p_out)
+        # sparse union overflows the signed-short count field:
+        # promote to dense, as airlift HyperLogLog.mergeWith does
+        # (it never emits an oversized sparse sketch).
+        any_dense = True
     for bucket, value in hll_sparse_to_registers(
         p_out, sparse_entries
     ).items():
@@ -563,6 +569,9 @@ def hll_estimate_registers(registers: dict[int, int]) -> int:
 # and the container header/entry bytes are golden-pinned.
 
 _SPARSE_V2_TAG = 2
+# Java Slice readShort() is signed — counts past 0x7FFF would read
+# back negative in a real airlift deserializer, so cap there.
+_SPARSE_MAX_ENTRIES = 0x7FFF
 _SPARSE_VALUE_BITS = 6
 _SPARSE_VALUE_MASK = (1 << _SPARSE_VALUE_BITS) - 1
 _SPARSE_PREFIX_BITS = 32 - _SPARSE_VALUE_BITS  # 26
@@ -619,10 +628,14 @@ def hll_serialize_sparse(entries, p: int = HLL_P) -> bytes:
     import struct
 
     deduped = _sparse_dedupe(entries)
-    if len(deduped) > 0xFFFF:
+    if len(deduped) > _SPARSE_MAX_ENTRIES:
+        # 0x7FFF, not 0xFFFF: the count field is read as a Java
+        # short (Slice.readShort is SIGNED) by real airlift readers —
+        # 32768..65535 would deserialize as negative counts. Airlift
+        # itself promotes sparse -> dense far below this.
         raise ValueError(
-            f"{len(deduped)} sparse entries exceed the 16-bit count "
-            "field — convert to dense first"
+            f"{len(deduped)} sparse entries exceed the signed-short "
+            "count field — convert to dense first"
         )
     out = bytearray(
         struct.pack("<BBH", _SPARSE_V2_TAG, p, len(deduped))
@@ -652,9 +665,17 @@ def hll_sparse_to_registers(p: int, entries) -> dict[int, int]:
         bucket = e >> (32 - p)
         shifted = (e << p) & 0xFFFFFFFF
         zeros = (32 - shifted.bit_length()) if shifted else 32
-        if zeros > _SPARSE_PREFIX_BITS - p:
+        if zeros >= _SPARSE_PREFIX_BITS - p:
             # the rest of the prefix is all zeros: the true run
-            # continues into the stored zeros-after-prefix count
+            # continues into the stored zeros-after-prefix count.
+            # ``>=`` not ``>``: with zero remaining-prefix bits and a
+            # stored count >= 32 (6-bit value, top bit set) the
+            # leading-zero count of ``shifted`` is EXACTLY 26 - p, and
+            # a strict comparison drops the stored count (register 16
+            # instead of 49 for hash (0x5A3<<53)|(1<<4) at p=11). The
+            # equality case can only arise with an all-zero remaining
+            # prefix — a set prefix bit forces zeros < 26 - p — so the
+            # widened branch never misfires.
             zeros = (_SPARSE_PREFIX_BITS - p) + (
                 e & _SPARSE_VALUE_MASK
             )

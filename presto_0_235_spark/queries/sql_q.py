@@ -451,8 +451,12 @@ def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_lambda_functions",
     oracle="""
 SELECT p_partkey,
-       list_transform(str_split(p_name, ' '), x -> upper(x)) AS words_up,
-       list_filter(str_split(p_name, ' '), x -> len(x) > 5) AS long_words,
+       COALESCE(array_to_string(
+         list_transform(str_split(p_name, ' '), x -> upper(x)), '|'), '')
+         AS words_up,
+       COALESCE(array_to_string(
+         list_filter(str_split(p_name, ' '), x -> len(x) > 5), '|'), '')
+         AS long_words,
        CAST(list_sum(list_transform(str_split(p_name, ' '), x -> len(x)))
             AS BIGINT) AS total_len
 FROM part WHERE p_partkey < 200
@@ -464,7 +468,49 @@ def sql_lambda_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite passes must not corrupt `->` or fire renames incorrectly
     inside lambda bodies. aggregate/transform/filter cover the
     higher-order family (reference ArrayTransformFunction.java,
-    ArrayFilterFunction.java, ArrayReduceFunction.java)."""
+    ArrayFilterFunction.java, ArrayReduceFunction.java).
+
+    Gate-facing variant: the lambda results are flattened to scalar
+    strings with array_join so every output column is a hashable
+    scalar the external harness's pandas canonicalizer can sort
+    (an array-typed column crashed the r10 driver gate — the
+    array-output twin lives on as ``sql_lambda_arrays`` outside the
+    priority prefix)."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT p_partkey,
+               array_join(
+                 transform(split(p_name, ' '), x -> upper(x)), '|')
+                 AS words_up,
+               array_join(
+                 filter(split(p_name, ' '), x -> length(x) > 5), '|')
+                 AS long_words,
+               aggregate(transform(split(p_name, ' '), x -> length(x)),
+                         0L, (s, x) -> s + x) AS total_len
+        FROM part WHERE p_partkey < 200
+        """,
+    )
+
+
+@register(
+    "sql_lambda_arrays",
+    oracle="""
+SELECT p_partkey,
+       list_transform(str_split(p_name, ' '), x -> upper(x)) AS words_up,
+       list_filter(str_split(p_name, ' '), x -> len(x) > 5) AS long_words,
+       CAST(list_sum(list_transform(str_split(p_name, ' '), x -> len(x)))
+            AS BIGINT) AS total_len
+FROM part WHERE p_partkey < 200
+""",
+)
+def sql_lambda_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array-output lambda variant (top-level ARRAY<STRING>
+    columns) — kept OUT of the priority prefix: the local harness
+    canonicalizes array cells to tuples before sorting, the external
+    one does not (r10 gate crash). Covers the same higher-order
+    surface as sql_lambda_functions with the raw array schema."""
     register_views(spark, sf_dir)
     return run_sql(
         spark,
@@ -581,6 +627,53 @@ def sql_quantified_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_orderkey < 60
         """,
     )
+
+
+_QUANTIFIED_EQUALITY_SQL = """
+WITH probe AS (
+  SELECT o_orderkey,
+         o_orderkey % 7 AS k7,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+              ELSE o_orderkey % 7 END AS k7n,
+         o_totalprice
+  FROM orders WHERE o_orderkey < 100
+)
+SELECT o_orderkey,
+       k7 = ANY (SELECT o2.o_orderkey % 5 FROM orders o2
+                 WHERE o2.o_orderkey < 30) AS eq_any,
+       k7n = ANY (SELECT o3.o_orderkey % 5 FROM orders o3
+                  WHERE o3.o_orderkey < 30) AS eq_any_null_lhs,
+       k7 <> ALL (SELECT CASE WHEN o4.o_orderkey % 4 = 0 THEN NULL
+                              ELSE o4.o_orderkey % 5 END
+                  FROM orders o4 WHERE o4.o_orderkey < 30) AS ne_all_nullmix,
+       o_totalprice = ALL (SELECT o5.o_totalprice FROM orders o5
+                           WHERE o5.o_orderkey = -1) AS eq_all_empty,
+       o_totalprice <> ANY (SELECT CASE WHEN o6.o_orderkey % 2 = 0
+                                        THEN NULL ELSE o6.o_totalprice END
+                            FROM orders o6
+                            WHERE o6.o_orderkey < 20) AS ne_any_nullmix
+FROM probe
+"""
+
+
+@register("sql_quantified_equality", oracle=_QUANTIFIED_EQUALITY_SQL)
+def sql_quantified_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-form quantified comparisons `= ANY / <> ALL / = ALL /
+    <> ANY` — the r10 front-door lowering
+    (TransformQuantifiedComparisonApplyToLateralJoin.java's
+    count-guarded 3-valued semantics), promoted from the reference
+    corpus into the registry so the external gate hash-checks the
+    surface directly. Covers: plain membership, NULL lhs with a
+    non-empty subquery (-> NULL), a NULL-bearing subquery without a
+    definite witness (-> NULL), `= ALL` over an empty subquery
+    (-> TRUE), and `<> ANY` over a null mix. All outputs are scalar
+    booleans (gate-harness-safe). DuckDB evaluates the identical
+    text natively as the oracle. Since r11 the lowering reads its
+    guards from a single struct scalar subquery (one scan; = ANY
+    membership keeps one extra IN semi-join — see sql/frontend.py
+    _quantified_equality)."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _QUANTIFIED_EQUALITY_SQL)
 
 
 @register(

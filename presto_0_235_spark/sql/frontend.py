@@ -820,8 +820,14 @@ def _rewrite_unnest(sql: str) -> str:
 # masked comments (a comment there must not defeat the rewrite — it
 # is dropped with the rewritten expression).
 _QSEP = "(?:\\s|\x00c\\d+\x00)*"
+# One lhs term: identifier/qualified column, simple function call
+# (non-nested args), or numeric literal; a full lhs is a term or an
+# arithmetic chain of terms (`o_orderkey % 7 = ANY (...)`). Keywords
+# cannot be swallowed: a chain only extends across explicit
+# arithmetic operators, never whitespace.
+_QTERM = r"(?:[A-Za-z_][\w.]*\s*\([^()]*\)|[A-Za-z_][\w.]*|\d+(?:\.\d+)?)"
 _QUANT = re.compile(
-    r"(?P<lhs>[A-Za-z_][\w.]*|\d+(?:\.\d+)?)" + _QSEP
+    r"(?P<lhs>" + _QTERM + r"(?:\s*[-+*/%]\s*" + _QTERM + r")*)" + _QSEP
     + r"(?P<op><>|!=|[<>]=?|=)" + _QSEP
     + r"(?P<q>ALL|ANY|SOME)\s*\(\s*"
     + r"(?P<sub>SELECT\b[^()]*(?:\([^()]*\)[^()]*)*)\)",
@@ -839,6 +845,17 @@ def _rewrite_quantified(sql: str) -> str:
       x > ANY (sub):  FALSE if sub empty; TRUE if x > min(non-null);
                       NULL if x is NULL or sub contains NULLs without
                       a TRUE witness; else FALSE.
+
+    One-pass at execution (r11): the entire CASE moves INSIDE a
+    single scalar subquery whose inner block pre-aggregates
+    (count/count-nonnull/min-or-max) over ONE scan of the subquery;
+    ``lhs`` appears as an outer reference in the subquery's
+    projection, which Catalyst decorrelates into a join against the
+    singleton aggregate row (EXPLAIN shows zero Subquery nodes and
+    one scan of the subquery source — verified; the r10 shape
+    executed the subquery three times). Outer references are legal
+    there because they sit ABOVE the aggregate, not inside aggregate
+    arguments (the mixed-outer-local restriction).
     """
     n = [0]
 
@@ -848,6 +865,9 @@ def _rewrite_quantified(sql: str) -> str:
         sub = m.group("sub")
         if quant == "SOME":
             quant = "ANY"
+        # lhs may be an arithmetic chain — parenthesize so its
+        # precedence survives embedding in the CASE templates.
+        lhs = f"({lhs})"
         if op in ("=", "<>", "!="):
             return _quantified_equality(lhs, op, quant, sub, n)
         greater = op.startswith(">")
@@ -855,24 +875,26 @@ def _rewrite_quantified(sql: str) -> str:
         k = n[0]
         n[0] += 1
         a = f"__qc{k}"
-        cnt_all = f"(SELECT COUNT(*) FROM ({sub}) {a}n)"
-        cnt_val = f"(SELECT COUNT({a}c.__v) FROM ({sub}) AS {a}c(__v))"
-        agg_v = f"(SELECT {agg}({a}v.__v) FROM ({sub}) AS {a}v(__v))"
+        g = (
+            f"FROM (SELECT COUNT(*) AS {a}_n,"
+            f" COUNT({a}v.__v) AS {a}_nv, {agg}({a}v.__v) AS {a}_ag"
+            f" FROM ({sub}) AS {a}v(__v)) AS {a}g"
+        )
         null_b = "CAST(NULL AS BOOLEAN)"
         if quant == "ALL":
             return (
-                f"(CASE WHEN {cnt_all} = 0 THEN TRUE"
+                f"(SELECT CASE WHEN {a}g.{a}_n = 0 THEN TRUE"
                 f" WHEN {lhs} IS NULL THEN {null_b}"
-                f" WHEN NOT ({lhs} {op} {agg_v}) THEN FALSE"
-                f" WHEN {cnt_val} <> {cnt_all} THEN {null_b}"
-                f" ELSE TRUE END)"
+                f" WHEN NOT ({lhs} {op} {a}g.{a}_ag) THEN FALSE"
+                f" WHEN {a}g.{a}_nv <> {a}g.{a}_n THEN {null_b}"
+                f" ELSE TRUE END {g})"
             )
         return (
-            f"(CASE WHEN {cnt_all} = 0 THEN FALSE"
+            f"(SELECT CASE WHEN {a}g.{a}_n = 0 THEN FALSE"
             f" WHEN {lhs} IS NULL THEN {null_b}"
-            f" WHEN {lhs} {op} {agg_v} THEN TRUE"
-            f" WHEN {cnt_val} <> {cnt_all} THEN {null_b}"
-            f" ELSE FALSE END)"
+            f" WHEN {lhs} {op} {a}g.{a}_ag THEN TRUE"
+            f" WHEN {a}g.{a}_nv <> {a}g.{a}_n THEN {null_b}"
+            f" ELSE FALSE END {g})"
         )
 
     return _QUANT.sub(repl, sql)
@@ -895,44 +917,62 @@ def _quantified_equality(
               (min/max both = lhs iff none); NULL if lhs is NULL with
               rows present, or no witness but NULLs present.
       <> ANY: the 3-valued negation of = ALL.
+
+    Scan counts: = ALL / <> ANY read every guard from ONE
+    decorrelated CASE-inside-subquery (same shape as the non-equality
+    lowering — lhs is an outer reference ABOVE the pre-aggregated
+    inner block, so Catalyst decorrelates to a join against the
+    singleton count/min/max row; executed plan shows zero Subquery
+    nodes and one scan of the subquery source). The struct-scalar
+    alternative was measured at 7 scans — MergeScalarSubqueries does
+    NOT dedupe repeated field accesses. = ANY / <> ALL need a
+    membership witness, which Spark cannot fold into the same
+    aggregate (outer references inside aggregate arguments raise
+    AGGREGATE_FUNCTION_MIXED_OUTER_LOCAL_REFERENCES), so they keep
+    the `lhs IN (sub)` hash semi-join plus the decorrelated counts
+    CASE — two subquery scans, down from three in the r10 lowering.
     """
     eq = op == "="
     k = n[0]
     n[0] += 1
     a = f"__qc{k}"
-    cnt_all = f"(SELECT COUNT(*) FROM ({sub}) {a}n)"
-    cnt_val = f"(SELECT COUNT({a}c.__v) FROM ({sub}) AS {a}c(__v))"
-    min_v = f"(SELECT MIN({a}v.__v) FROM ({sub}) AS {a}v(__v))"
-    max_v = f"(SELECT MAX({a}w.__v) FROM ({sub}) AS {a}w(__v))"
     null_b = "CAST(NULL AS BOOLEAN)"
     if eq == (quant == "ANY"):
-        # = ANY (membership) and <> ALL (its negation)
+        # = ANY (membership) and <> ALL (its negation). The IN
+        # semi-join answers the common path; every count-guarded
+        # branch (empty sub, NULL lhs, null-bearing miss) lives in
+        # one decorrelated scalar subquery over a single aggregate.
         t, f = ("TRUE", "FALSE") if eq else ("FALSE", "TRUE")
-        return (
-            f"(CASE WHEN {lhs} IS NULL THEN"
-            f" (CASE WHEN {cnt_all} = 0 THEN {f} ELSE {null_b} END)"
-            f" WHEN {lhs} IN ({sub}) THEN {t}"
-            f" WHEN {cnt_val} <> {cnt_all} THEN {null_b}"
-            f" ELSE {f} END)"
+        g = (
+            f"FROM (SELECT COUNT(*) AS {a}_n, COUNT({a}v.__v) AS {a}_nv"
+            f" FROM ({sub}) AS {a}v(__v)) AS {a}g"
         )
-    witness = (
-        f"{cnt_val} > 0 AND ({min_v} <> {lhs} OR {max_v} <> {lhs})"
-    )
-    if eq:  # = ALL
         return (
-            f"(CASE WHEN {cnt_all} = 0 THEN TRUE"
+            f"(CASE WHEN {lhs} IS NOT NULL AND {lhs} IN ({sub}) THEN {t}"
+            f" ELSE (SELECT CASE WHEN {a}g.{a}_n = 0 THEN {f}"
             f" WHEN {lhs} IS NULL THEN {null_b}"
-            f" WHEN {witness} THEN FALSE"
-            f" WHEN {cnt_val} <> {cnt_all} THEN {null_b}"
-            f" ELSE TRUE END)"
+            f" WHEN {a}g.{a}_nv <> {a}g.{a}_n THEN {null_b}"
+            f" ELSE {f} END {g}) END)"
         )
-    # <> ANY
+    # = ALL and <> ANY: no membership needed — min/max witness the
+    # existence of a non-null value <> lhs, so the whole CASE reads
+    # one aggregate row (one scan of sub after decorrelation).
+    g = (
+        f"FROM (SELECT COUNT(*) AS {a}_n, COUNT({a}v.__v) AS {a}_nv,"
+        f" MIN({a}v.__v) AS {a}_mn, MAX({a}v.__v) AS {a}_mx"
+        f" FROM ({sub}) AS {a}v(__v)) AS {a}g"
+    )
+    witness = (
+        f"{a}g.{a}_nv > 0 AND"
+        f" ({a}g.{a}_mn <> {lhs} OR {a}g.{a}_mx <> {lhs})"
+    )
+    t, f = ("TRUE", "FALSE") if eq else ("FALSE", "TRUE")
     return (
-        f"(CASE WHEN {cnt_all} = 0 THEN FALSE"
+        f"(SELECT CASE WHEN {a}g.{a}_n = 0 THEN {t}"
         f" WHEN {lhs} IS NULL THEN {null_b}"
-        f" WHEN {witness} THEN TRUE"
-        f" WHEN {cnt_val} <> {cnt_all} THEN {null_b}"
-        f" ELSE FALSE END)"
+        f" WHEN {witness} THEN {f}"
+        f" WHEN {a}g.{a}_nv <> {a}g.{a}_n THEN {null_b}"
+        f" ELSE {t} END {g})"
     )
 
 

@@ -254,6 +254,14 @@ class TestHllSparseWire:
             (0x123 << 53),  # zeros run crosses prefix boundary
             1 << 37,  # first 1-bit just below the prefix
             1 << 38,  # first 1-bit = last prefix bit
+            # zero remaining-prefix bits (after the p=11 bucket) AND
+            # stored 6-bit count >= 32: nlz32(entry<<p) == 26-p
+            # exactly, so a strict `>` in hll_sparse_to_registers
+            # skips the stored count (decoded 16, truth 49) — the
+            # r10-verdict boundary bug, fixed with `>=` in r11
+            (0x5A3 << 53) | (1 << 4),
+            (0x7FF << 53) | (1 << 0),  # same pattern, count = 37
+            (1 << 53) | (1 << 20),  # same pattern at p=4 boundary
         ]
         hs += [random.getrandbits(64) for _ in range(2000)]
         return [signed(u) for u in hs]
@@ -367,6 +375,45 @@ class TestHllSparseWire:
             db,
         )
         assert mixed == all_dense
+
+    def test_sparse_count_signed_short_cap(self):
+        """The count field is read by Java Slice.readShort — SIGNED —
+        so serialization refuses > 0x7FFF entries (a real airlift
+        reader would see 32768..65535 as negative), and a pure-sparse
+        merge whose union exceeds the cap PROMOTES to dense (as
+        HyperLogLog.mergeWith does) instead of raising."""
+        import pytest as _pytest
+
+        from presto_0_235_spark.functions import murmur3 as mm
+        from presto_0_235_spark.operators import sketches as sk
+
+        # distinct prefixes -> distinct entries; 0x7FFF+1 overflows
+        hashes = [mm.hash64_long(v) for v in range(0x8000 + 2000)]
+        entries = [sk.hll_sparse_encode_hash(h) for h in hashes]
+        distinct = len({e >> 6 for e in (x & 0xFFFFFFFF for x in entries)})
+        assert distinct > 0x7FFF  # the fixture really overflows
+        with _pytest.raises(ValueError, match="signed-short"):
+            sk.hll_serialize_sparse(entries)
+        # at the cap it still serializes, and the count byte pair is
+        # non-negative as a signed short
+        ok = sk.hll_serialize_sparse(entries[: 0x7FFF])
+        n_field = int.from_bytes(ok[2:4], "little")
+        assert n_field <= 0x7FFF
+        # merge path: two legal sparse sketches whose union overflows
+        half = len(hashes) // 2
+        sa = sk.hll_serialize_sparse(
+            [sk.hll_sparse_encode_hash(h) for h in hashes[:half]][:0x7FFF]
+        )
+        sb = sk.hll_serialize_sparse(
+            [sk.hll_sparse_encode_hash(h) for h in hashes[half:]][:0x7FFF]
+        )
+        merged = sk.hll_merge_bytes(sa, sb)
+        assert merged[0] == 3  # promoted to dense, not an error
+        # promoted estimate still tracks the true distinct count
+        # within dense-HLL error (~1.04/sqrt(2048) ≈ 2.3%)
+        n_true = len(hashes)
+        est = sk.hll_estimate_bytes(merged)
+        assert abs(est - n_true) / n_true < 0.1
 
     def test_sparse_estimate_low_cardinality_near_exact(self):
         from presto_0_235_spark.functions import murmur3 as mm
