@@ -65,10 +65,29 @@ def main() -> None:
         shuffle_partitions=int(cpus) if cpus.isdigit() else 8,
     )
 
+    def gc_millis() -> int:
+        """Cumulative stop-the-world GC time of the (single) local
+        JVM — driver + executor threads together in local[N]."""
+        beans = (
+            spark.sparkContext._jvm.java.lang.management
+            .ManagementFactory.getGarbageCollectorMXBeans()
+        )
+        total, it = 0, beans.iterator()
+        while it.hasNext():
+            total += it.next().getCollectionTime()
+        return total
+
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = (
+        [n.strip() for n in only.split(",") if n.strip()]
+        if only
+        else HEADLINE
+    )
     registered = all_queries()
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    gc_ms: dict[str, list[int]] = {}
+    for name in names:
         q = registered.get(name)
         if q is None:
             continue
@@ -78,20 +97,26 @@ def main() -> None:
         # quantize suspiciously across rounds — raw runs make a
         # stale-read or floor artifact distinguishable from noise).
         runs: list[float] = []
+        gcs: list[int] = []
+        g0 = gc_millis()
         t0 = time.perf_counter()
         q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs.append(round(time.perf_counter() - t0, 4))
+        gcs.append(gc_millis() - g0)
         best = float("inf")
         for _ in range(2):
+            g0 = gc_millis()
             t0 = time.perf_counter()
             q.builder(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             dt = time.perf_counter() - t0
             runs.append(round(dt, 4))
+            gcs.append(gc_millis() - g0)
             best = min(best, dt)
         timings[name] = round(best, 4)
         raw[name] = runs
+        gc_ms[name] = gcs
 
     sf_match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
@@ -103,6 +128,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "raw_runs": raw,
+                "gc_ms": gc_ms,
+                "driver_mem": os.environ.get(
+                    "SPARK_GRAFT_DRIVER_MEM", "16g"
+                ),
                 "sf": sf,
             }
         )

@@ -81,10 +81,12 @@ _PRIORITY: tuple[str, ...] = (
     # set operations (union_distinct rotated out in r10 — still in
     # the full-registry local artifact)
     "union_all", "intersect_distinct", "except_distinct",
-    # TPC-H suite
+    # TPC-H suite (r11 rotation: q10/q13/q17 out — plain join/agg
+    # shapes covered by q1/q3/q5/q18/q22 + the join_* block — and
+    # q19 BACK in per the r10 advice: its OR-of-ANDs predicate shape
+    # has no other gate representative)
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
-    "tpch_q10", "tpch_q13",
-    "tpch_q17", "tpch_q18", "tpch_q22",
+    "tpch_q18", "tpch_q19", "tpch_q22",
     # subqueries + core shapes
     "scalar_subquery", "in_subquery", "quantified_all",
     "filter_predicates", "agg_grouping_sets", "cte_query",
@@ -100,6 +102,9 @@ _PRIORITY: tuple[str, ...] = (
     "fn_geospatial_polygon", "join_spatial_contains",
     "dedup_minhash_lsh", "pipeline_corpus_dedup",
     "agg_hll_wire_format", "docs_sample_temperature",
+    # r11 rotation: holed-polygon geometry + the quantified-equality
+    # lowering (both r10/r11 surfaces, scalar outputs, oracle-backed)
+    "fn_geospatial_union_holed", "sql_quantified_equality",
 )
 
 

@@ -64,3 +64,28 @@ def test_correctness_local_artifact_covers_full_registry():
         or r["err"]
     ]
     assert not bad, f"artifact records failures: {sorted(bad)}"
+
+
+def test_priority_queries_gate_shape_safe(spark, duck, sf_dir):
+    """Every _PRIORITY query's output — Spark side AND DuckDB oracle
+    side — must survive a REPLICA of the external driver gate's
+    pandas canonicalizer (sort_values over all columns). The r10 gate
+    went 49/50 because a rotation shipped an ARRAY<STRING>-returning
+    query whose ndarray cells crash pandas factorize; this test makes
+    that class of incompatibility a local failure BEFORE any future
+    rotation ships (r10 verdict, next-round #1b)."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from gate_replica import assert_gate_shape_safe
+
+    queries = all_queries()
+    for name in _PRIORITY:
+        q = queries[name]
+        sdf = q.builder(spark, sf_dir)
+        assert_gate_shape_safe(sdf.toPandas(), f"{name} (spark)")
+        assert_gate_shape_safe(
+            duck.execute(q.oracle).df(), f"{name} (oracle)"
+        )
