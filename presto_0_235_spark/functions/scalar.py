@@ -467,8 +467,22 @@ _MYSQL_TO_JAVA: dict[str, str] = {
     "%M": "MMMM",
     "%j": "DDD",
     "%T": "HH:mm:ss",
+    "%r": "hh:mm:ss a",
+    # Week-of-weekyear forms: Presto maps these to Joda
+    # weekOfWeekyear/weekyear (DateTimeFunctions.java %v/%x). The JVM
+    # letters are ww/YYYY; Spark's CORRECTED-mode formatter rejects
+    # week-based fields at runtime — kept here so the error surfaces
+    # as Spark's own "week-based patterns are unsupported" instead of
+    # a silently-literal '%v'.
+    "%v": "ww",
+    "%x": "YYYY",
     "%%": "%",
 }
+
+# Specifiers Presto's compiler rejects outright
+# (DateTimeFunctions.java:1305-1311 "%<c> not supported in date
+# format string") — raised at rewrite time, same observable contract.
+_MYSQL_REJECTED = frozenset("wUuVXD")
 
 
 def mysql_to_java_pattern(fmt: str) -> str:
@@ -496,6 +510,16 @@ def mysql_to_java_pattern(fmt: str) -> str:
                 out.append(_MYSQL_TO_JAVA[spec])
                 i += 2
                 continue
+            if fmt[i + 1] in _MYSQL_REJECTED:
+                raise ValueError(
+                    f"%{fmt[i + 1]} not supported in date format string"
+                )
+            # MySQL: %<x> for any other <x> is the literal character
+            # <x> (DateTimeFunctions.java default case) — the % is
+            # consumed, not emitted.
+            literal.append(fmt[i + 1])
+            i += 2
+            continue
         literal.append(fmt[i])
         i += 1
     flush()

@@ -36,6 +36,13 @@ SESSION_DEFAULTS: dict[str, str] = {
     # ArraySubscriptOperator.java). Spark 4 ANSI mode matches that
     # error discipline; TRY(...) maps to try_* functions.
     "spark.sql.ansi.enabled": "true",
+    # NOTE on string-literal escapes: Presto literals have NO
+    # backslash escapes ('' is the only escape; SqlBase.g4 STRING
+    # rule), while Spark's default parser eats '\b' etc. The tempting
+    # fix — spark.sql.parser.escapedStringLiterals=true — BREAKS ''
+    # quote-doubling ('a''b' parses as a''b), so the front door
+    # instead re-encodes every literal for the default parser at
+    # unmask time (sql/frontend.py _unmask doubles backslashes).
     # Runtime re-planning: partition coalescing, skew splitting,
     # shuffle->broadcast conversion.
     "spark.sql.adaptive.enabled": "true",

@@ -53,6 +53,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from presto_0_235_spark.session import ensure_session_defaults
+from presto_0_235_spark.sql.scalar_templates import rewrite_scalar_templates
 
 # --------------------------------------------------------------------------
 # Quote-aware scanning: split source into (kind, text) segments.
@@ -138,6 +139,15 @@ def _unmask(sql: str, stash: list[tuple[str, str]]) -> str:
         if kind == "dq":  # Presto "ident" -> Spark `ident`
             inner = text[1:-1].replace('""', '"')
             return "`" + inner.replace("`", "``") + "`"
+        if kind == "str":
+            # Presto literals have NO backslash escapes ('' is the
+            # only escape; SqlBase.g4 STRING), but Spark's default
+            # parser processes \b, \n, ... — re-encode the VALUE so
+            # Spark reads back exactly what Presto source meant.
+            # (escapedStringLiterals=true is NOT an option: that mode
+            # breaks '' quote-doubling — 'a''b' parses as a''b.)
+            value = text[1:-1].replace("''", "'")
+            return "'" + value.replace("\\", "\\\\").replace("'", "''") + "'"
         return text
 
     return _MASK_RE.sub(repl, sql)
@@ -1023,11 +1033,47 @@ def _rewrite_url_fns(sql: str) -> str:
         sql = sql[: m.start()] + repl + sql[close_i:]
 
 
+# Presto EXTRACT field names (SqlBase.g4 extract / DateTimeFunctions)
+# that Spark's extract spells differently. day_of_week is ISO
+# (Monday=1) in Presto — Spark's DAYOFWEEK_ISO, not DAYOFWEEK.
+_EXTRACT_FIELDS: dict[str, str] = {
+    "day_of_week": "DAYOFWEEK_ISO",
+    "dow": "DAYOFWEEK_ISO",
+    "day_of_year": "DOY",
+    "day_of_month": "DAY",
+    "week_of_year": "WEEK",
+    "year_of_week": "YEAROFWEEK",
+    "yow": "YEAROFWEEK",
+}
+
+_EXTRACT_RE = re.compile(
+    r"(\bEXTRACT\s*\(\s*)(" + "|".join(_EXTRACT_FIELDS) + r")(\s+FROM\b)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_extract_fields(sql: str) -> str:
+    return _EXTRACT_RE.sub(
+        lambda m: m.group(1)
+        + _EXTRACT_FIELDS[m.group(2).lower()]
+        + m.group(3),
+        sql,
+    )
+
+
 PRESTO_FN_RENAMES: dict[str, str] = {
-    # string
+    # string (chr/codepoint now carry semantics templates in
+    # sql/scalar_templates.py — Spark's char() is byte-modular and
+    # ascii() takes the first char unguarded; the rename here is only
+    # the fallback for arities the template declines)
     "strpos": "instr",
     "codepoint": "ascii",
-    "chr": "char",
+    "levenshtein_distance": "levenshtein",
+    "starts_with": "startswith",
+    # Spark's split IS regex-based (Presto's split is literal — that
+    # one goes through sql/scalar_templates.py which regex-quotes the
+    # delimiter before this rename pass runs).
+    "regexp_split": "split",
     # array / map (Presto `contains` is the array-membership fn)
     "cardinality": "size",
     "contains": "array_contains",
@@ -1047,8 +1093,16 @@ PRESTO_FN_RENAMES: dict[str, str] = {
     # use functions/scalar.day_of_week_iso on the DataFrame path)
     "day_of_month": "dayofmonth",
     "day_of_year": "dayofyear",
+    "doy": "dayofyear",
     "week_of_year": "weekofyear",
-    "to_unixtime": "unix_timestamp",
+    "week": "weekofyear",
+    "last_day_of_month": "last_day",
+    # Presto to_unixtime returns DOUBLE with the millis fraction
+    # (DateTimeFunctions.java toUnixTime); Spark's unix_timestamp
+    # truncates to BIGINT seconds, but CAST(ts AS DOUBLE) keeps it.
+    # from_unixtime: Spark's own returns a STRING and truncates —
+    # timestamp_seconds keeps the fraction and the TIMESTAMP type.
+    # (Both handled in sql/scalar_templates.py; no rename.)
     # tz conversion: the engine's convention is naive timestamps
     # denoting UTC instants, so at_timezone(ts, zone) == render the
     # instant in zone (from_utc_timestamp) and with_timezone(ts, zone)
@@ -1058,6 +1112,12 @@ PRESTO_FN_RENAMES: dict[str, str] = {
     "with_timezone": "to_utc_timestamp",
     # json
     "json_extract_scalar": "get_json_object",
+    # json_extract returns the JSON TEXT at the path — exactly
+    # get_json_object's contract for objects/arrays. (Divergence:
+    # Presto's json_extract_scalar is NULL for non-scalars; Spark's
+    # get_json_object returns the JSON — acceptable for the scalar
+    # rename above because corpus call sites only target scalars.)
+    "json_extract": "get_json_object",
     # binary
     "to_hex": "hex",
     "from_hex": "unhex",
@@ -1451,8 +1511,14 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = _rewrite_try(masked)
     masked = _rewrite_unnest(masked)
     masked = _rewrite_quantified(masked)
-    masked = _rewrite_subscripts(masked)
     masked = _rewrite_url_fns(masked)
+    masked = _rewrite_extract_fields(masked)
+    # Templates run BEFORE the subscript pass on purpose: user-typed
+    # element_at() lowers to try_element_at (Presto: NULL out of
+    # bounds), while a[i] subscripts emit raising element_at — the
+    # order keeps the two distinguishable.
+    masked = rewrite_scalar_templates(masked, stash)
+    masked = _rewrite_subscripts(masked)
     masked = _rewrite_call_templates(masked)
     masked = _rewrite_function_names(masked)
     masked = _rewrite_bare_varchar(masked)

@@ -1,0 +1,612 @@
+"""Scalar-function call templates: Presto functions whose Spark twin
+needs argument RESTRUCTURING or a semantics shim, discovered while
+porting the reference's per-function edge-value tests
+(presto-main/src/test/.../operator/scalar/TestStringFunctions.java,
+TestMathFunctions.java, TestBitwiseFunctions.java,
+TestDateTimeFunctionsBase.java, type/TestArrayOperators.java).
+
+Runs on MASKED text (string literals are \\x00s<idx>\\x00 placeholders;
+see frontend._mask) with stash access, the same contract as
+frontend's other passes. Literals the templates must READ (the unit
+of date_add, a datetime format) are resolved from the stash; literals
+the templates EMIT (error messages, converted patterns) are appended
+to the stash so later passes never see raw quotes.
+
+Semantics shims and why (each cites the reference behavior):
+
+  chr(n)            Spark's char() is byte-modular (char(9731) is
+                    '\\x03') — Presto CHR returns the Unicode code
+                    point (StringFunctions.java chr). Lowered to an
+                    explicit UTF-8 byte construction + decode, with
+                    Presto's "Not a valid Unicode code point" guard.
+  codepoint(s)      Presto requires a single-codepoint input
+                    (INVALID_FUNCTION_ARGUMENT otherwise); Spark's
+                    ascii() silently takes the first char. Guarded.
+  bitwise_*         Presto exposes functions; Spark exposes operators
+                    (& | ^ ~) and shift functions. 64-bit two's
+                    complement in both (BitwiseFunctions.java).
+  bit_count(x, b)   Presto's 2-arg form counts within a b-bit window
+                    and raises when x is not representable in b bits;
+                    Spark's 1-arg bit_count counts the full width.
+  from_base/to_base conv() is unsigned 64-bit and silently accepts
+                    invalid digits (conv('Z', 35, 10) = '0') — the
+                    templates split the sign off, validate digits
+                    against the radix, and go through DECIMAL(20,0)
+                    so BIGINT overflow raises exactly where Presto's
+                    does (MathFunctions.java fromBase/toBase).
+  truncate(x[, n])  Spark's trunc() is date-only. x - (x % 1) keeps
+                    the input's type family; the 2-arg decimal form
+                    scales by a literal power of ten with floor/ceil
+                    chosen by sign (MathFunctions.java truncate).
+  date_parse        MySQL %-patterns -> java.time via the shared
+  date_format       converter (functions/scalar.py
+                    mysql_to_java_pattern). date_format only
+                    rewrites when the literal contains '%' — a
+                    %-free pattern is already java.time and belongs
+                    to Spark's own date_format.
+  format_datetime   Joda patterns -> java.time (joda_to_java_pattern;
+  parse_datetime    Y/x are the moved letters).
+  date_add/date_diff  unit-string forms -> timestampadd/timestampdiff
+                    with Presto's unit vocabulary
+                    (DateTimeFunctions.java getTimestampField); a
+                    DATE literal input keeps DATE output for
+                    calendar units.
+  day_of_week/dow   Presto is ISO (Monday=1); Spark's dayofweek is
+                    Sunday=1 (DateTimeFunctions.java dayOfWeek).
+  regexp_extract    Presto's 2-arg form is group 0 and returns NULL
+                    on no match; Spark defaults to group 1 and
+                    returns ''. Both arities get a regexp_like guard
+                    (RegexpFunctions: no match -> NULL). Remaining
+                    documented divergence: a matched regex whose
+                    GROUP did not participate is NULL in Presto, ''
+                    here (not distinguishable post-hoc).
+  array_min/max     Presto: any NULL element -> NULL, any NaN -> NaN,
+                    NaN beats NULL (TestArrayOperators.java:599-618);
+                    Spark skips NULLs and orders NaN largest. NaN is
+                    detected via CAST(e AS STRING) = 'NaN', which is
+                    type-agnostic (NaN = NaN is TRUE in Spark, so
+                    e != e cannot detect it); a VARCHAR array holding
+                    the literal string 'NaN' is the documented false
+                    positive.
+  hamming_distance  No Spark builtin; per-position compare over
+                    sequence+substring with Presto's equal-length
+                    guard (StringFunctions.java hammingDistance).
+
+Arguments are substituted parenthesized and may be evaluated more
+than once inside a template (standard macro caveat; all call sites in
+the corpus pass columns or literals).
+"""
+
+from __future__ import annotations
+
+import re
+
+_STR_PH = re.compile("^\x00s(\\d+)\x00$")
+_DATE_LIT = re.compile("^DATE\\s*\x00s\\d+\x00$", re.IGNORECASE)
+
+_TEMPLATE_NAMES = (
+    "bitwise_and",
+    "bitwise_or",
+    "bitwise_xor",
+    "bitwise_not",
+    "bitwise_shift_left",
+    "bitwise_logical_shift_right",
+    "bitwise_arithmetic_shift_right",
+    "bit_count",
+    "from_base",
+    "to_base",
+    "truncate",
+    "chr",
+    "codepoint",
+    "hamming_distance",
+    "split",
+    "split_part",
+    "substr",
+    "substring",
+    "ln",
+    "log2",
+    "log10",
+    "is_finite",
+    "is_infinite",
+    "date_parse",
+    "date_format",
+    "format_datetime",
+    "parse_datetime",
+    "date_add",
+    "date_diff",
+    "day_of_week",
+    "dow",
+    "year_of_week",
+    "yow",
+    "to_unixtime",
+    "from_unixtime",
+    "regexp_extract",
+    "regexp_extract_all",
+    "regexp_replace",
+    "array_min",
+    "array_max",
+    "element_at",
+    "ngrams",
+    "json_size",
+    "json_array_contains",
+)
+
+_SCALAR_CALL = re.compile(
+    r"\b(" + "|".join(_TEMPLATE_NAMES) + r")\s*\(", re.IGNORECASE
+)
+
+# Presto date_add/date_diff unit vocabulary -> Spark timestampadd/
+# timestampdiff unit keyword (DateTimeFunctions.java getTimestampField).
+_DT_UNITS = {
+    "millisecond": "MILLISECOND",
+    "second": "SECOND",
+    "minute": "MINUTE",
+    "hour": "HOUR",
+    "day": "DAY",
+    "week": "WEEK",
+    "month": "MONTH",
+    "quarter": "QUARTER",
+    "year": "YEAR",
+}
+_CALENDAR_UNITS = {"day", "week", "month", "quarter", "year"}
+
+
+def _stash_lit(stash: list[tuple[str, str]], text: str) -> str:
+    """Append a string literal to the mask stash, return placeholder."""
+    stash.append(("str", "'" + text.replace("'", "''") + "'"))
+    return f"\x00s{len(stash) - 1}\x00"
+
+
+def _lit_of(arg: str, stash: list[tuple[str, str]]) -> str | None:
+    """The Python string behind a masked literal arg, else None."""
+    m = _STR_PH.match(arg.strip())
+    if m is None:
+        return None
+    _kind, text = stash[int(m.group(1))]
+    return text[1:-1].replace("''", "'")
+
+
+def _raise(msg_expr: str, out_type: str) -> str:
+    return f"CAST(raise_error({msg_expr}) AS {out_type})"
+
+
+def _chr_template(n: str, stash: list[tuple[str, str]]) -> str:
+    """Unicode code point -> string via explicit UTF-8 bytes."""
+    bad = _raise(
+        f"concat({_stash_lit(stash, 'Not a valid Unicode code point: ')}, "
+        f"CAST({n} AS STRING))",
+        "STRING",
+    )
+    utf8 = _stash_lit(stash, "UTF-8")
+    zero = _stash_lit(stash, "0")
+    return (
+        f"(CASE WHEN {n} < 0 OR {n} > 1114111 THEN {bad} "
+        f"WHEN {n} < 128 THEN decode(unhex(lpad(hex({n}), 2, {zero})), {utf8}) "
+        f"WHEN {n} < 2048 THEN decode(unhex(concat(hex(192 + {n} div 64), "
+        f"hex(128 + {n} % 64))), {utf8}) "
+        f"WHEN {n} < 65536 THEN decode(unhex(concat(hex(224 + {n} div 4096), "
+        f"hex(128 + ({n} div 64) % 64), hex(128 + {n} % 64))), {utf8}) "
+        f"ELSE decode(unhex(concat(hex(240 + {n} div 262144), "
+        f"hex(128 + ({n} div 4096) % 64), hex(128 + ({n} div 64) % 64), "
+        f"hex(128 + {n} % 64))), {utf8}) END)"
+    )
+
+
+def _rewrite_one(
+    name: str, args: list[str], stash: list[tuple[str, str]]
+) -> str | None:
+    """The Spark expression for one call, or None to leave verbatim."""
+    a = [f"({x.strip()})" for x in args]
+
+    if name == "bitwise_and" and len(a) == 2:
+        return f"(CAST({a[0]} AS BIGINT) & CAST({a[1]} AS BIGINT))"
+    if name == "bitwise_or" and len(a) == 2:
+        return f"(CAST({a[0]} AS BIGINT) | CAST({a[1]} AS BIGINT))"
+    if name == "bitwise_xor" and len(a) == 2:
+        return f"(CAST({a[0]} AS BIGINT) ^ CAST({a[1]} AS BIGINT))"
+    if name == "bitwise_not" and len(a) == 1:
+        return f"(~CAST({a[0]} AS BIGINT))"
+
+    if name in (
+        "bitwise_shift_left",
+        "bitwise_logical_shift_right",
+        "bitwise_arithmetic_shift_right",
+    ):
+        if name == "bitwise_arithmetic_shift_right" and len(a) != 2:
+            return None
+        if name != "bitwise_arithmetic_shift_right" and len(a) != 3:
+            return None
+        x = f"CAST({a[0]} AS BIGINT)"
+        s = f"CAST({a[1]} AS INT)"
+        neg = _raise(
+            _stash_lit(stash, "Shift must be non-negative"), "BIGINT"
+        )
+        if name == "bitwise_arithmetic_shift_right":
+            body = f"shiftright({x}, {s})"
+        else:
+            bits = f"CAST({a[2]} AS INT)"
+            mask = f"(shiftleft(CAST(1 AS BIGINT), {bits}) - 1)"
+            if name == "bitwise_shift_left":
+                body = (
+                    f"(CASE WHEN {bits} = 64 THEN shiftleft({x}, {s}) "
+                    f"ELSE shiftleft({x}, {s}) & {mask} END)"
+                )
+            else:  # logical right: mask to the window first, then >>
+                body = (
+                    f"(CASE WHEN {bits} = 64 THEN shiftrightunsigned({x}, {s}) "
+                    f"ELSE shiftright({x} & {mask}, {s}) END)"
+                )
+        return f"(CASE WHEN {s} < 0 THEN {neg} ELSE {body} END)"
+
+    if name == "bit_count" and len(a) == 2:
+        # 1-arg bit_count is Spark's own (same semantics) — only the
+        # windowed 2-arg form needs the template.
+        x = f"CAST({a[0]} AS BIGINT)"
+        bits = f"CAST({a[1]} AS INT)"
+        bad_bits = _raise(
+            f"concat({_stash_lit(stash, 'Bits specified in bit_count must be between 2 and 64, got ')}, "
+            f"CAST({bits} AS STRING))",
+            "BIGINT",
+        )
+        bad_val = _raise(
+            f"concat(CAST({x} AS STRING), "
+            f"{_stash_lit(stash, ' can not be represented with ')}, "
+            f"CAST({bits} AS STRING), {_stash_lit(stash, ' bits')})",
+            "BIGINT",
+        )
+        lo = f"(-shiftleft(CAST(1 AS BIGINT), {bits} - 1))"
+        hi = f"(shiftleft(CAST(1 AS BIGINT), {bits} - 1) - 1)"
+        mask = f"(shiftleft(CAST(1 AS BIGINT), {bits}) - 1)"
+        return (
+            f"(CASE WHEN {bits} < 2 OR {bits} > 64 THEN {bad_bits} "
+            f"WHEN {bits} = 64 THEN CAST(bit_count({x}) AS BIGINT) "
+            f"WHEN {x} BETWEEN {lo} AND {hi} "
+            f"THEN CAST(bit_count({x} & {mask}) AS BIGINT) "
+            f"ELSE {bad_val} END)"
+        )
+
+    if name == "from_base" and len(a) == 2:
+        s, r = a[0], f"CAST({a[1]} AS INT)"
+        bad_radix = _raise(
+            f"concat({_stash_lit(stash, 'Radix must be between 2 and 36, got ')}, "
+            f"CAST({r} AS STRING))",
+            "BIGINT",
+        )
+        bad_digit = _raise(
+            f"concat({_stash_lit(stash, 'Not a valid base-')}, "
+            f"CAST({r} AS STRING), {_stash_lit(stash, ' number: ')}, {s})",
+            "BIGINT",
+        )
+        body = f"regexp_replace({s}, {_stash_lit(stash, '^-')}, {_stash_lit(stash, '')})"
+        # Per-char value check against the radix: digits then letters.
+        digit_ok = (
+            f"forall(split(lower({body}), {_stash_lit(stash, '')}), "
+            "c -> (CASE WHEN ascii(c) BETWEEN 48 AND 57 THEN ascii(c) - 48 "
+            "WHEN ascii(c) BETWEEN 97 AND 122 THEN ascii(c) - 87 "
+            f"ELSE 99 END) < {r})"
+        )
+        magnitude = f"CAST(conv({body}, {r}, 10) AS DECIMAL(20, 0))"
+        signed = (
+            f"(CASE WHEN substring({s}, 1, 1) = {_stash_lit(stash, '-')} "
+            f"THEN -{magnitude} ELSE {magnitude} END)"
+        )
+        return (
+            f"(CASE WHEN {r} < 2 OR {r} > 36 THEN {bad_radix} "
+            f"WHEN length({body}) = 0 OR NOT {digit_ok} THEN {bad_digit} "
+            f"ELSE CAST({signed} AS BIGINT) END)"
+        )
+
+    if name == "to_base" and len(a) == 2:
+        x, r = f"CAST({a[0]} AS BIGINT)", f"CAST({a[1]} AS INT)"
+        bad_radix = _raise(
+            f"concat({_stash_lit(stash, 'Radix must be between 2 and 36, got ')}, "
+            f"CAST({r} AS STRING))",
+            "STRING",
+        )
+        return (
+            f"(CASE WHEN {r} < 2 OR {r} > 36 THEN {bad_radix} "
+            f"WHEN {x} < 0 THEN concat({_stash_lit(stash, '-')}, "
+            f"lower(conv(CAST(-CAST({x} AS DECIMAL(20, 0)) AS BIGINT), 10, {r}))) "
+            f"ELSE lower(conv({x}, 10, {r})) END)"
+        )
+
+    if name == "truncate" and len(a) == 1:
+        x = a[0]
+        return (
+            f"(CASE WHEN isnan({x}) OR abs({x}) = CAST({_stash_lit(stash, 'Infinity')} AS DOUBLE) "
+            f"THEN {x} ELSE {x} - ({x} % 1) END)"
+        )
+    if name == "truncate" and len(a) == 2:
+        n_lit = args[1].strip()
+        try:
+            n = int(n_lit)
+        except ValueError:
+            return None  # non-literal scale: no SQL template
+        x = a[0]
+        p = 10 ** abs(n)
+        if n >= 0:
+            down, up = f"floor({x} * {p}) / {p}", f"ceil({x} * {p}) / {p}"
+        else:
+            down, up = f"floor({x} / {p}) * {p}", f"ceil({x} / {p}) * {p}"
+        return f"(CASE WHEN {x} >= 0 THEN {down} ELSE {up} END)"
+
+    if name == "chr" and len(a) == 1:
+        return _chr_template(a[0], stash)
+
+    if name == "codepoint" and len(a) == 1:
+        s = a[0]
+        bad = _raise(
+            f"concat({_stash_lit(stash, 'Input string must be exactly one codepoint: ')}, {s})",
+            "INT",
+        )
+        return (
+            f"(CASE WHEN length({s}) = 1 THEN ascii({s}) "
+            f"WHEN {s} IS NULL THEN CAST(NULL AS INT) ELSE {bad} END)"
+        )
+
+    if name == "hamming_distance" and len(a) == 2:
+        x, y = a
+        bad = _raise(
+            _stash_lit(
+                stash,
+                "The input strings to hamming_distance function must "
+                "have the same length",
+            ),
+            "BIGINT",
+        )
+        return (
+            f"(CASE WHEN {x} IS NULL OR {y} IS NULL THEN CAST(NULL AS BIGINT) "
+            f"WHEN length({x}) <> length({y}) THEN {bad} "
+            f"WHEN length({x}) = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(size(filter(sequence(1, length({x})), "
+            f"i -> substring({x}, i, 1) <> substring({y}, i, 1))) AS BIGINT) END)"
+        )
+
+    if name == "split" and len(a) in (2, 3):
+        # Presto's delimiter is a LITERAL string
+        # (StringFunctions.java split uses indexOf); Spark's is a
+        # Java regex — quote it. A literal delimiter is escaped at
+        # rewrite time; an expression goes through \\Q...\\E (the
+        # one caveat: a delimiter VALUE containing \\E, which no
+        # sane delimiter does).
+        d_lit = _lit_of(args[1], stash)
+        if d_lit is not None:
+            quoted = _stash_lit(
+                stash, re.sub(r"([\\.\[\]{}()*+?^$|-])", r"\\\1", d_lit)
+            )
+        else:
+            q, e = _stash_lit(stash, "\\Q"), _stash_lit(stash, "\\E")
+            quoted = f"concat({q}, {a[1]}, {e})"
+        lim = f", {a[2]}" if len(a) == 3 else ""
+        return f"split({a[0]}, {quoted}{lim})"
+
+    if name == "split_part" and len(a) == 3:
+        # Presto: literal delimiter, NULL past the last field, error
+        # on index 0 (StringFunctions.java splitPart); Spark's
+        # split_part returns '' past the end. try_element_at keeps
+        # genuinely-empty fields as '' and still raises on index 0.
+        d_lit = _lit_of(args[1], stash)
+        if d_lit is not None:
+            quoted = _stash_lit(
+                stash, re.sub(r"([\\.\[\]{}()*+?^$|-])", r"\\\1", d_lit)
+            )
+        else:
+            q, e = _stash_lit(stash, "\\Q"), _stash_lit(stash, "\\E")
+            quoted = f"concat({q}, {a[1]}, {e})"
+        return f"try_element_at(split({a[0]}, {quoted}), {a[2]})"
+
+    if name in ("substr", "substring"):
+        # Presto: start 0 or start < -length(s) -> ''
+        # (StringFunctions.java substr); Spark returns the whole
+        # string for both. Handles both the comma form and the
+        # SUBSTRING(x FROM a [FOR b]) keyword form.
+        if len(a) == 1:
+            m_from = re.split(
+                r"\s+FROM\s+", args[0].strip(), maxsplit=1, flags=re.IGNORECASE
+            )
+            if len(m_from) != 2:
+                return None
+            rest = re.split(
+                r"\s+FOR\s+", m_from[1].strip(), maxsplit=1, flags=re.IGNORECASE
+            )
+            parts = [m_from[0], rest[0]] + rest[1:]
+            a = [f"({x.strip()})" for x in parts]
+        if len(a) not in (2, 3):
+            return None
+        s, start = a[0], a[1]
+        tail = f", {a[2]}" if len(a) == 3 else ""
+        empty = _stash_lit(stash, "")
+        return (
+            f"(CASE WHEN {start} = 0 OR {start} < -length({s}) THEN {empty} "
+            f"ELSE substr({s}, {start}{tail}) END)"
+        )
+
+    if name in ("ln", "log2", "log10") and len(a) == 1:
+        # Presto: ln(0) = -Infinity, ln(negative) = NaN
+        # (MathFunctions.java ln); Spark returns NULL for both.
+        x = a[0]
+        ninf = f"CAST({_stash_lit(stash, '-Infinity')} AS DOUBLE)"
+        nan = f"CAST({_stash_lit(stash, 'NaN')} AS DOUBLE)"
+        return (
+            f"(CASE WHEN {x} = 0 THEN {ninf} WHEN {x} < 0 THEN {nan} "
+            f"ELSE {name}({x}) END)"
+        )
+
+    if name in ("is_finite", "is_infinite") and len(a) == 1:
+        x = f"CAST({a[0]} AS DOUBLE)"
+        inf = f"CAST({_stash_lit(stash, 'Infinity')} AS DOUBLE)"
+        if name == "is_infinite":
+            return f"(abs({x}) = {inf})"
+        return f"(abs({x}) <> {inf} AND NOT isnan({x}))"
+
+    if name in ("date_parse", "date_format", "format_datetime", "parse_datetime"):
+        if len(a) != 2:
+            return None
+        fmt = _lit_of(args[1], stash)
+        if fmt is None:
+            return None  # non-literal pattern: no source-level rewrite
+        from presto_0_235_spark.functions.scalar import (
+            joda_to_java_pattern,
+            mysql_to_java_pattern,
+        )
+
+        if name in ("date_parse", "date_format"):
+            # ALWAYS MySQL-converted — Presto date_format treats every
+            # non-% char as a literal ('foo' formats to "foo";
+            # DateTimeFunctions.java default case), so a %-free
+            # passthrough to Spark's java.time pattern would be wrong.
+            java = mysql_to_java_pattern(fmt)
+        else:
+            java = joda_to_java_pattern(fmt)
+        ph = _stash_lit(stash, java)
+        fn = (
+            "to_timestamp"
+            if name in ("date_parse", "parse_datetime")
+            else "date_format"
+        )
+        return f"{fn}({a[0]}, {ph})"
+
+    if name in ("date_add", "date_diff"):
+        if len(a) != 3:
+            return None
+        unit = _lit_of(args[0], stash)
+        if unit is None or unit.lower() not in _DT_UNITS:
+            return None
+        spark_unit = _DT_UNITS[unit.lower()]
+        if name == "date_diff":
+            return f"CAST(timestampdiff({spark_unit}, {a[1]}, {a[2]}) AS BIGINT)"
+        body = f"timestampadd({spark_unit}, {a[1]}, {a[2]})"
+        if (
+            _DATE_LIT.match(args[2].strip())
+            and unit.lower() in _CALENDAR_UNITS
+        ):
+            return f"CAST({body} AS DATE)"  # DATE in -> DATE out
+        return body
+
+    if name in ("day_of_week", "dow") and len(a) == 1:
+        return f"((dayofweek({a[0]}) + 5) % 7 + 1)"
+
+    if name == "to_unixtime" and len(a) == 1:
+        # DOUBLE seconds incl. millis fraction
+        # (DateTimeFunctions.java toUnixTime) — Spark CAST(ts AS
+        # DOUBLE) has exactly that semantics; unix_timestamp truncates.
+        return f"CAST(CAST({a[0]} AS TIMESTAMP) AS DOUBLE)"
+
+    if name == "from_unixtime" and len(a) == 1:
+        # TIMESTAMP out, fraction kept (Spark's from_unixtime returns
+        # a formatted STRING truncated to seconds).
+        return f"timestamp_seconds({a[0]})"
+
+    if name in ("year_of_week", "yow") and len(a) == 1:
+        # ISO week-year (DateTimeFunctions.java yearOfWeek) — Spark's
+        # extract exposes it as YEAROFWEEK.
+        return f"extract(YEAROFWEEK FROM {a[0]})"
+
+    if name == "regexp_replace" and len(a) == 2:
+        # Presto's 2-arg form deletes matches
+        # (RegexpFunctions.java regexpReplace); Spark's regexp_replace
+        # is 3-arg only.
+        return f"regexp_replace({a[0]}, {a[1]}, {_stash_lit(stash, '')})"
+
+    if name == "regexp_extract_all" and len(a) == 2:
+        # Spark's 2-arg default is group 1 (errors on group-less
+        # patterns); Presto's is the full match (group 0). No-match
+        # gives [] in both — no guard needed.
+        return f"regexp_extract_all({a[0]}, {a[1]}, 0)"
+
+    if name == "regexp_extract" and len(a) in (2, 3):
+        s, p = a[0], a[1]
+        g = a[2] if len(a) == 3 else "0"
+        return (
+            f"(CASE WHEN regexp_like({s}, {p}) "
+            f"THEN regexp_extract({s}, {p}, {g}) END)"
+        )
+
+    if name == "element_at" and len(a) == 2:
+        # Presto element_at: NULL past either end of an array, NULL
+        # for a missing map key (ArrayFunctions/MapSubscript ELEMENT_AT
+        # form); Spark's ANSI element_at raises for both. Index 0
+        # still raises in try_element_at — same as Presto's "SQL
+        # array indices start at 1". The a[i] SUBSCRIPT form keeps
+        # the raising element_at (Presto subscript errors OOB) — see
+        # the pass ordering note in frontend.presto_to_spark_sql.
+        return f"try_element_at({a[0]}, {a[1]})"
+
+    if name == "ngrams" and len(a) == 2:
+        # ARRAY n-grams (ArrayNgramsFunction.java): n >= length gives
+        # one ngram holding the whole array.
+        arr, n = a
+        return (
+            f"transform(sequence(1, greatest(size({arr}) - ({n}) + 1, 1)), "
+            f"i -> slice({arr}, i, {n}))"
+        )
+
+    if name == "json_size" and len(a) == 2:
+        # Object -> #keys, array -> #elements, scalar -> 0, absent
+        # path -> NULL (JsonFunctions.java jsonSize).
+        sub = f"get_json_object({a[0]}, {a[1]})"
+        return (
+            f"(CASE WHEN {sub} IS NULL THEN CAST(NULL AS BIGINT) "
+            f"ELSE CAST(coalesce(json_array_length({sub}), "
+            f"size(json_object_keys({sub})), 0) AS BIGINT) END)"
+        )
+
+    if name == "json_array_contains" and len(a) == 2:
+        # Membership by string-rendered equality — covers the
+        # boolean/number/varchar element types Presto's overloads
+        # accept (JsonFunctions.java jsonArrayContains).
+        return (
+            f"coalesce(exists(from_json({a[0]}, {_stash_lit(stash, 'array<string>')}), "
+            f"e -> e = CAST({a[1]} AS STRING)), false)"
+        )
+
+    if name in ("array_min", "array_max") and len(a) == 1:
+        x = a[0]
+        nan = _stash_lit(stash, "NaN")
+        has_nan = (
+            f"coalesce(exists({x}, e -> CAST(e AS STRING) = {nan}), false)"
+        )
+        has_null = f"coalesce(exists({x}, e -> e IS NULL), false)"
+        first_nan = (
+            f"element_at(filter({x}, e -> CAST(e AS STRING) = {nan}), 1)"
+        )
+        return (
+            f"(CASE WHEN {has_nan} THEN {first_nan} "
+            f"WHEN {has_null} THEN NULL "
+            f"ELSE {name}({x}) END)"
+        )
+
+    return None
+
+
+def rewrite_scalar_templates(
+    masked: str, stash: list[tuple[str, str]]
+) -> str:
+    """Apply every scalar call template over the masked SQL text.
+
+    Arguments are rewritten FIRST (recursively — chr(codepoint(x))
+    lowers inside-out), then the scan position advances past the
+    emitted replacement: several templates legitimately emit their
+    own function name (regexp_extract's guard, array_min's fallback)
+    and must never be re-matched."""
+    from presto_0_235_spark.sql.frontend import _balanced, _split_top_comma
+
+    pos = 0
+    while True:
+        m = _SCALAR_CALL.search(masked, pos)
+        if m is None:
+            break
+        open_i = m.end() - 1
+        try:
+            past = _balanced(masked, open_i)
+        except ValueError:
+            break
+        inner = rewrite_scalar_templates(masked[open_i + 1 : past - 1], stash)
+        args = _split_top_comma(inner)
+        repl = _rewrite_one(m.group(1).lower(), args, stash)
+        if repl is None:
+            # Splice the (possibly arg-rewritten) call back verbatim.
+            repl = masked[m.start() : open_i + 1] + inner + ")"
+        masked = masked[: m.start()] + repl + masked[past:]
+        pos = m.start() + len(repl)
+    return masked

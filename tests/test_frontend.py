@@ -43,7 +43,8 @@ def test_mysql_translation_quotes_all_literal_letters(parts):
     # Strip quoted literal sections and known field letters; nothing
     # alphabetic may remain.
     no_quotes = re.sub(r"'[^']*'", "", out)
-    no_fields = re.sub(r"[yMdHhmsSaEDj]", "", no_quotes)
+    # (w/Y are the %v/%x week-of-weekyear emissions)
+    no_fields = re.sub(r"[yMdHhmsSaEDjwY]", "", no_quotes)
     assert not any(ch.isalpha() for ch in no_fields), (fmt, out)
 
 
@@ -86,7 +87,8 @@ def test_unnest_rewrite_handles_nested_calls():
     out = presto_to_spark_sql(sql)
     # Correlated LATERAL posexplode emitting the USER'S ordinality
     # alias, 1-based.
-    assert "posexplode(split(x, ' '))" in out
+    # the split template parenthesizes its args (macro hygiene)
+    assert "posexplode(split((x), ' '))" in out
     assert "+ 1 AS o" in out
     assert "UNNEST" not in out
 
@@ -161,7 +163,7 @@ def test_try_unsupported_shape_raises_loudly():
 
 def test_subscripts_one_based():
     assert "element_at(a, 1)" in presto_to_spark_sql("SELECT a[1] FROM t")
-    assert "element_at(split(x, ','), 2)" in presto_to_spark_sql(
+    assert "element_at(split((x), ','), 2)" in presto_to_spark_sql(
         "SELECT split(x, ',')[2] FROM t"
     )
     # ARRAY literal + subscript compose

@@ -1,0 +1,594 @@
+"""Scalar-function edge-value parity corpus.
+
+The reference's second correctness pillar (besides the query-shape
+corpus in test_reference_corpus.py) is per-function EXACT VALUE
+assertions on boundary inputs — nulls, overflow, negative/zero
+indices, malformed patterns, NaN/Infinity — in
+presto-main/src/test/java/com/facebook/presto/operator/scalar/
+(TestStringFunctions.java, TestMathFunctions.java,
+TestBitwiseFunctions.java, TestDateTimeFunctionsBase.java,
+AbstractTestRegexpFunctions.java) and type/TestArrayOperators.java,
+type/TestMapOperators.java, via AbstractTestFunctions.assertFunction
+(SURVEY.md §5.4). This module ports that slice: each case is one
+Presto expression evaluated through the SQL front door
+(sql/frontend.run_sql) and pinned to the reference's expected value
+(VALUE cases) or required to raise (ERROR cases — the reference's
+assertInvalidFunction/assertNumericOverflow; Spark's error TEXT
+differs, the contract pinned here is that the input errors rather
+than returning a wrong value).
+
+Cites are reference file:line of the matching assertion. Cases where
+Spark's engine-level semantics genuinely diverge are xfailed with the
+divergence documented inline (same policy as the 19 engine
+divergences quarantined in test_reference_corpus.py).
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+import pytest
+
+from presto_0_235_spark.sql.frontend import run_sql
+
+S = "TestStringFunctions.java"
+M = "TestMathFunctions.java"
+B = "TestBitwiseFunctions.java"
+D = "TestDateTimeFunctionsBase.java"
+R = "AbstractTestRegexpFunctions.java"
+A = "type/TestArrayOperators.java"
+MP = "type/TestMapOperators.java"
+J = "TestJsonFunctions.java"
+C = "TestConditions.java"
+
+NAN = float("nan")
+INF = float("inf")
+
+
+def _case(name, expr, expected, cite, marks=()):
+    return pytest.param(expr, expected, cite, id=name, marks=marks)
+
+
+def _err(name, expr, cite, match=None, marks=()):
+    return pytest.param(expr, cite, match, id=name, marks=marks)
+
+
+_XFAIL_GROUP_NULL = pytest.mark.xfail(
+    reason="Spark regexp_extract returns '' for a matched regex whose "
+    "group did not participate; Presto returns NULL — not "
+    "recoverable post-hoc (documented in sql/scalar_templates.py)",
+    strict=True,
+)
+
+VALUE_CASES = [
+    # ---- strings: chr / codepoint (StringFunctions.java chr) -------------
+    _case("chr_ascii", "CHR(65)", "A", f"{S}:80"),
+    _case("chr_bmp", "CHR(9731)", "☃", f"{S}:81"),
+    _case("chr_astral", "CHR(131210)", "\U0002008A", f"{S}:82"),
+    _case("chr_nul", "CHR(0)", "\0", f"{S}:83"),
+    _case("codepoint_ascii", "CODEPOINT('x')", 0x78, f"{S}:92"),
+    _case("codepoint_bmp", "CODEPOINT('萌')", 0x840C, f"{S}:93"),
+    _case("codepoint_roundtrip", "CODEPOINT(CHR(128077))", 128077, f"{S}:95"),
+    # ---- concat / length --------------------------------------------------
+    _case("concat_basic", "CONCAT('hello', ' world')", "hello world", f"{S}:108"),
+    _case("concat_empty", "CONCAT('', '')", "", f"{S}:109"),
+    _case("concat_left_empty", "CONCAT('', 'what')", "what", f"{S}:111"),
+    _case("concat_nested", "CONCAT(CONCAT('this', ' is'), ' cool')", "this is cool", f"{S}:112"),
+    _case("concat_unicode", "CONCAT('hello naïve', ' world')", "hello naïve world", f"{S}:116"),
+    _case("length_empty", "LENGTH('')", 0, f"{S}:129"),
+    _case("length_basic", "LENGTH('hello')", 5, f"{S}:130"),
+    _case("length_unicode", "LENGTH('hello naïve world')", 17, f"{S}:134"),
+    _case("length_astral", "LENGTH('\U0001042Dend')", 4, f"{S}:135"),
+    _case("length_cjk", "LENGTH('信念,爱,希望')", 7, f"{S}:136"),
+    # ---- levenshtein / hamming -------------------------------------------
+    _case("lev_empty_both", "LEVENSHTEIN_DISTANCE('', '')", 0, f"{S}:160"),
+    _case("lev_left_empty", "LEVENSHTEIN_DISTANCE('', 'hello')", 5, f"{S}:161"),
+    _case("lev_same", "LEVENSHTEIN_DISTANCE('hello', 'hello')", 0, f"{S}:163"),
+    _case("lev_mixed", "LEVENSHTEIN_DISTANCE('hello world', 'hel wold')", 3, f"{S}:165"),
+    _case("lev_unicode", "LEVENSHTEIN_DISTANCE('hello naïve world', 'hello naive world')", 1, f"{S}:171"),
+    _case("hamming_empty", "HAMMING_DISTANCE('', '')", 0, f"{S}:193"),
+    _case("hamming_same", "HAMMING_DISTANCE('hello', 'hello')", 0, f"{S}:194"),
+    _case("hamming_one", "HAMMING_DISTANCE('hello', 'jello')", 1, f"{S}:195"),
+    _case("hamming_three", "HAMMING_DISTANCE('like', 'hate')", 3, f"{S}:196"),
+    _case("hamming_null_left", "HAMMING_DISTANCE(NULL, 'world')", None, f"{S}:200"),
+    _case("hamming_unicode", "HAMMING_DISTANCE('hello naïve world', 'hello naive world')", 1, f"{S}:203"),
+    # ---- replace / reverse / strpos --------------------------------------
+    _case("replace_grow", "REPLACE('aaa', 'a', 'aa')", "aaaaaa", f"{S}:219"),
+    _case("replace_two_arg", "REPLACE('abcdefabcdef', 'cd')", "abefabef", f"{S}:221"),
+    _case("replace_to_empty", "REPLACE('foo', 'foo', '')", "", f"{S}:229"),
+    _case("replace_unicode", "REPLACE('信念,爱,希望', ',', '—')", "信念—爱—希望", f"{S}:234"),
+    _case("reverse_empty", "REVERSE('')", "", f"{S}:256"),
+    _case("reverse_basic", "REVERSE('Quadratically')", "yllacitardauQ", f"{S}:258"),
+    _case("reverse_unicode", "REVERSE('Österreich')", "hcierretsÖ", f"{S}:262"),
+    _case("strpos_found", "STRPOS('high', 'ig')", 2, f"{S}:283"),
+    _case("strpos_missing", "STRPOS('foobarfoo', 'fb')", 0, f"{S}:295"),
+    # ---- substr boundary grid (StringFunctions.java substr) --------------
+    _case("substr_from5", "SUBSTR('Quadratically', 5)", "ratically", f"{S}:351"),
+    _case("substr_past_end", "SUBSTR('Quadratically', 50)", "", f"{S}:352"),
+    _case("substr_negative", "SUBSTR('Quadratically', -5)", "cally", f"{S}:353"),
+    _case("substr_neg_past", "SUBSTR('Quadratically', -50)", "", f"{S}:354"),
+    _case("substr_len", "SUBSTR('Quadratically', 5, 6)", "ratica", f"{S}:357"),
+    _case("substr_len_over", "SUBSTR('Quadratically', 5, 50)", "ratically", f"{S}:359"),
+    _case("substr_start_past_len", "SUBSTR('Quadratically', 50, 10)", "", f"{S}:360"),
+    _case("substr_neg_len", "SUBSTR('Quadratically', -5, 4)", "call", f"{S}:361"),
+    _case("substr_neg_len_over", "SUBSTR('Quadratically', -5, 40)", "cally", f"{S}:362"),
+    _case("substr_zero_len", "SUBSTR('Quadratically', 5, 0)", "", f"{S}:365"),
+    _case("substring_from_for", "SUBSTRING('Quadratically' FROM 5 FOR 6)", "ratica", f"{S}:373"),
+    _case("substring_unicode", "SUBSTRING('信念,爱,希望' FROM 3 FOR 5)", ",爱,希望", f"{S}:378"),
+    _case("substring_astral", "SUBSTRING('\U0001042Dend' FROM 1 FOR 1)", "\U0001042D", f"{S}:381"),
+    # ---- split: literal delimiter, limit semantics -----------------------
+    _case("split_dot_literal", "SPLIT('a.b.c', '.')", ["a", "b", "c"], f"{S}:428"),
+    _case("split_limit_one", "SPLIT('a.b', '.', 1)", ["a.b"], f"{S}:431"),
+    _case("split_two_char_delim", "SPLIT('a..b..c', '..')", ["a", "b", "c"], f"{S}:433"),
+    _case("split_limit_two", "SPLIT('a.b.c', '.', 2)", ["a", "b.c"], f"{S}:434"),
+    _case("split_trailing_kept", "SPLIT('a.b.c.', '.', 4)", ["a", "b", "c", ""], f"{S}:437"),
+    _case("split_trailing_merged", "SPLIT('a.b.c.', '.', 3)", ["a", "b", "c."], f"{S}:438"),
+    _case("split_all_delims", "SPLIT('...', '.')", ["", "", "", ""], f"{S}:439"),
+    _case("split_part_basic", "SPLIT_PART('abc-@-def-@-ghi', '-@-', 2)", "def", f"{S}:~466"),
+    _case("split_part_past", "SPLIT_PART('a.b.c', '.', 4)", None, f"{S}:~470"),
+    # ---- trim / pad ------------------------------------------------------
+    _case("trim_both", "TRIM('  hello  ')", "hello", f"{S}:~520"),
+    _case("ltrim_only", "LTRIM('  hello  ')", "hello  ", f"{S}:~540"),
+    _case("rtrim_only", "RTRIM('  hello  ')", "  hello", f"{S}:~560"),
+    _case("lpad_basic", "LPAD('text', 7, '#')", "###text", f"{S}:~640"),
+    _case("lpad_multi", "LPAD('text', 10, 'xy')", "xyxyxytext", f"{S}:~642"),
+    _case("lpad_truncates", "LPAD('text', 3, 'xy')", "tex", f"{S}:~644"),
+    _case("rpad_basic", "RPAD('text', 7, '#')", "text###", f"{S}:~650"),
+    _case("rpad_truncates", "RPAD('text', 3, 'xy')", "tex", f"{S}:~652"),
+    _case("pad_to_zero", "LPAD('text', 0, 'e')", "", f"{S}:~646"),
+    # ---- case / misc strings ---------------------------------------------
+    _case("upper_unicode", "UPPER('Österreich')", "ÖSTERREICH", f"{S}:~680"),
+    _case("lower_unicode", "LOWER('ÖSTERREICH')", "österreich", f"{S}:~690"),
+    _case("starts_with_true", "STARTS_WITH('foobar', 'foo')", True, f"{S}:~700"),
+    _case("starts_with_empty", "STARTS_WITH('foobar', '')", True, f"{S}:~702"),
+    # ---- math: abs across types + overflow (MathFunctions.java abs) -----
+    _case("abs_int", "abs(-123)", 123, f"{M}:56"),
+    _case("abs_bigint", "abs(-12300000000)", 12300000000, f"{M}:61"),
+    _case("abs_null", "abs(CAST(NULL AS INTEGER))", None, f"{M}:57"),
+    _case("abs_double", "abs(-123.45E0)", 123.45, f"{M}:66"),
+    _case("abs_real", "abs(REAL '-754.1985')", 754.198486328125, f"{M}:68"),
+    _case("abs_decimal", "abs(DECIMAL '-123.45')", Decimal("123.45"), f"{M}:74"),
+    _case("abs_decimal_long", "abs(DECIMAL '-1234567890123456.78')", Decimal("1234567890123456.78"), f"{M}:76"),
+    # ---- ceil / floor ----------------------------------------------------
+    _case("ceil_int_ident", "ceil(-123)", -123, f"{M}:144"),
+    _case("ceil_double_up", "ceil(123.45E0)", 124.0, f"{M}:~160"),
+    _case("ceil_double_neg", "ceil(-123.45E0)", -123.0, f"{M}:~161"),
+    _case("floor_double", "floor(123.45E0)", 123.0, f"{M}:~190"),
+    _case("floor_double_neg", "floor(-123.45E0)", -124.0, f"{M}:~191"),
+    # ---- cbrt / sqrt / ln / log / exp ------------------------------------
+    _case("cbrt_neg", "cbrt(-27.0E0)", -3.0, f"{M}:128"),
+    _case("cbrt_null", "cbrt(NULL)", None, f"{M}:131"),
+    _case("sqrt_neg_nan", "sqrt(-1.0E0)", NAN, f"{M}:~560"),
+    _case("ln_e", "ln(e())", 1.0, f"{M}:~430"),
+    _case("ln_zero", "ln(0.0E0)", -INF, f"{M}:~432"),
+    _case("ln_neg_nan", "ln(-1.0E0)", NAN, f"{M}:~433"),
+    _case("log2_basic", "log2(8.0E0)", 3.0, f"{M}:~440"),
+    _case("log10_basic", "log10(1000.0E0)", 3.0, f"{M}:~450"),
+    _case("exp_zero", "exp(0.0E0)", 1.0, f"{M}:~420"),
+    # ---- mod: sign follows dividend; decimal exactness -------------------
+    _case("mod_pos", "mod(7, 3)", 1, f"{M}:495"),
+    _case("mod_neg_dividend", "mod(-7, 3)", -1, f"{M}:495"),
+    _case("mod_neg_divisor", "mod(7, -3)", 1, f"{M}:495"),
+    _case("mod_double", "mod(5.0E0, 2.05E0)", 5.0 % 2.05, f"{M}:537"),
+    _case("mod_null", "mod(5.0E0, NULL)", None, f"{M}:547"),
+    _case("mod_decimal", "mod(DECIMAL '-13.0', DECIMAL '5.0')", Decimal("-3.0"), f"{M}:552"),
+    _case("mod_decimal_scale", "mod(DECIMAL '5.0', DECIMAL '2.05')", Decimal("0.90"), f"{M}:556"),
+    _case("mod_decimal_big", "mod(DECIMAL '12345678901234567.90', DECIMAL '12345678901234567.89')", Decimal("0.01"), f"{M}:560"),
+    # ---- round: half away from zero --------------------------------------
+    _case("round_half_up", "round(2.5E0)", 3.0, f"{M}:~710"),
+    _case("round_half_neg", "round(-2.5E0)", -3.0, f"{M}:~712"),
+    _case("round_neg35", "round(-3.5E0)", -4.0, f"{M}:718"),
+    _case("round_scale1", "round(-3.5E0, 1)", -3.5, f"{M}:784"),
+    _case("round_decimal", "round(DECIMAL '2.5')", Decimal("3"), f"{M}:~800"),
+    _case("round_decimal_neg", "round(DECIMAL '-2.5')", Decimal("-3"), f"{M}:~802"),
+    # ---- sign / truncate / infinity / nan --------------------------------
+    _case("sign_neg", "sign(-5)", -1, f"{M}:~860"),
+    _case("sign_zero", "sign(0)", 0, f"{M}:~861"),
+    _case("sign_nan", "sign(DOUBLE 'NaN')", NAN, f"{M}:~870"),
+    _case("truncate_pos", "truncate(17.18E0)", 17.0, f"{M}:242"),
+    _case("truncate_neg", "truncate(-17.88E0)", -17.0, f"{M}:245"),
+    _case("truncate_dec_scale", "truncate(DECIMAL '1234.56', 1)", Decimal("1234.5"), f"{M}:274"),
+    _case("truncate_dec_negscale", "truncate(DECIMAL '1234.56', -1)", Decimal("1230"), f"{M}:275"),
+    _case("truncate_dec_neg", "truncate(DECIMAL '-1239.99', 1)", Decimal("-1239.9"), f"{M}:278"),
+    _case("truncate_dec_noop_scale", "truncate(DECIMAL '1234.56', 3)", Decimal("1234.56"), f"{M}:287"),
+    _case("is_nan_true", "is_nan(nan())", True, f"{M}:~380"),
+    _case("is_nan_false", "is_nan(0.0E0)", False, f"{M}:~381"),
+    _case("infinity_value", "infinity()", INF, f"{M}:~390"),
+    _case("is_finite_inf", "is_finite(infinity())", False, f"{M}:~395"),
+    _case("is_infinite_inf", "is_infinite(infinity())", True, f"{M}:~398"),
+    _case(
+        "nan_neq_nan",
+        "nan() = nan()",
+        False,
+        f"{M}:~385",
+        marks=pytest.mark.xfail(
+            reason="Spark's comparison domain defines NaN = NaN as TRUE "
+            "(NaN sorts largest, equals itself — Spark SQL semantics "
+            "doc); Presto follows IEEE 754 inside scalar comparison. "
+            "Engine-level divergence, same class as the REAL=DECIMAL "
+            "xfails in test_reference_corpus.py.",
+            strict=True,
+        ),
+    ),
+    # ---- from_base / to_base (MathFunctions.java fromBase/toBase) --------
+    _case("from_base_hex", "from_base('80000000', 16)", 2147483648, f"{M}:1212"),
+    _case("from_base_bin", "from_base('11111111', 2)", 255, f"{M}:1213"),
+    _case("from_base_neg_hex", "from_base('-7fffffff', 16)", -2147483647, f"{M}:1214"),
+    _case("from_base_max", "from_base('9223372036854775807', 10)", 9223372036854775807, f"{M}:1215"),
+    _case("from_base_min", "from_base('-9223372036854775808', 10)", -9223372036854775808, f"{M}:1216"),
+    _case("from_base_null", "from_base(NULL, 10)", None, f"{M}:1217"),
+    _case("to_base_hex", "to_base(2147483648, 16)", "80000000", f"{M}:1200"),
+    _case("to_base_bin", "to_base(255, 2)", "11111111", f"{M}:1201"),
+    _case("to_base_neg", "to_base(-2147483647, 16)", "-7fffffff", f"{M}:1202"),
+    _case("to_base_null", "to_base(NULL, 16)", None, f"{M}:1203"),
+    _case("to_base_null_radix", "to_base(-2147483647, NULL)", None, f"{M}:1204"),
+    # ---- width_bucket ----------------------------------------------------
+    _case("width_bucket_mid", "width_bucket(3.14E0, 0, 4, 3)", 3, f"{M}:~1240"),
+    _case("width_bucket_below", "width_bucket(-1.0E0, 0, 4, 3)", 0, f"{M}:~1242"),
+    _case("width_bucket_above", "width_bucket(99.0E0, 0, 4, 3)", 4, f"{M}:~1244"),
+    # ---- greatest / least with NaN ---------------------------------------
+    _case("greatest_basic", "greatest(1, 2)", 2, f"{M}:~1100"),
+    _case("least_basic", "least(1, 2)", 1, f"{M}:~1110"),
+    # ---- bitwise (BitwiseFunctions.java) ---------------------------------
+    _case("bit_count_64", "bit_count(-8, 64)", 61, f"{B}:31"),
+    _case("bit_count_32", "bit_count(-8, 32)", 29, f"{B}:41"),
+    _case("bit_count_small_window", "bit_count(CAST(-8 AS SMALLINT), 6)", 3, f"{B}:38"),
+    _case("bit_count_62", "bit_count(1152921504598458367, 62)", 59, f"{B}:47"),
+    _case("bit_count_neg1_26", "bit_count(-1, 26)", 26, f"{B}:50"),
+    _case("bitwise_not_zero", "bitwise_not(0)", -1, f"{B}:62"),
+    _case("bitwise_not_max", "bitwise_not(9223372036854775807)", -9223372036854775808, f"{B}:66"),
+    _case("bitwise_and_basic", "bitwise_and(3, 8)", 0, f"{B}:74"),
+    _case("bitwise_and_neg", "bitwise_and(-4, 12)", 12, f"{B}:75"),
+    _case("bitwise_or_basic", "bitwise_or(3, 8)", 11, f"{B}:83"),
+    _case("bitwise_or_mixed", "bitwise_or(-4, 12)", -4, f"{B}:84"),
+    _case("bitwise_xor_zero", "bitwise_xor(0, -1)", -1, f"{B}:91"),
+    _case("bitwise_xor_mixed", "bitwise_xor(-4, 12)", -16, f"{B}:93"),
+    _case("shift_left_window", "bitwise_shift_left(7, 2, 4)", 12, f"{B}:100"),
+    _case("shift_left_64", "bitwise_shift_left(-4, 6, 64)", -256, f"{B}:102"),
+    _case("shift_left_small", "bitwise_shift_left(-4, 6, 5)", 0, f"{B}:103"),
+    _case("shift_left_9", "bitwise_shift_left(-4, 6, 9)", 256, f"{B}:104"),
+    _case("lshr_window", "bitwise_logical_shift_right(7, 2, 4)", 1, f"{B}:112"),
+    _case("lshr_64", "bitwise_logical_shift_right(-4, 6, 64)", (-4 % (1 << 64)) >> 6, f"{B}:114"),
+    _case("lshr_small", "bitwise_logical_shift_right(-8, 2, 5)", 6, f"{B}:115"),
+    _case("ashr_pos", "bitwise_arithmetic_shift_right(7, 2)", 1, f"{B}:126"),
+    _case("ashr_neg", "bitwise_arithmetic_shift_right(-4, 6)", -1, f"{B}:127"),
+]
+
+# ---- batch 2: datetime (TestDateTimeFunctionsBase.java) -------------------
+_TS = "TIMESTAMP '2001-08-22 03:04:05.321'"  # the reference's TIMESTAMP_LITERAL
+_DT = "TIMESTAMP '2001-01-09 13:04:05.321'"  # testDateFormat's dateTimeLiteral
+
+_XFAIL_NAMED_GROUP = pytest.mark.xfail(
+    reason="Spark's regexp_replace drops Java ${name} group references "
+    "in the replacement (Presto/Joni substitutes them); no "
+    "source-level rewrite can recover the binding",
+    strict=True,
+)
+_XFAIL_EMPTY_SPLIT_EDGES = pytest.mark.xfail(
+    reason="Java String.split drops the leading and trailing empty "
+    "fields a zero-width pattern produces; Presto/Joni keeps both",
+    strict=True,
+)
+
+VALUE_CASES += [
+    # ---- field extraction (testDayOfWeek..testYearOfWeek, :277-339) ------
+    _case("dt_day_of_week", f"day_of_week({_TS})", 3, f"{D}:277"),
+    _case("dt_day_of_month", f"day_of_month({_TS})", 22, f"{D}:280"),
+    _case("dt_day_of_year", f"day_of_year({_TS})", 234, f"{D}:281"),
+    _case("dt_week_of_year", f"week_of_year({_TS})", 34, f"{D}:284"),
+    _case("dt_week_alias", f"week({_TS})", 34, f"{D}:283"),
+    _case("dt_quarter", f"quarter({_TS})", 3, f"{D}:286"),
+    _case("dt_yow_plain", "year_of_week(DATE '2001-08-22')", 2001, f"{D}:331"),
+    _case("dt_yow_prev_year", "year_of_week(DATE '2005-01-02')", 2004, f"{D}:333"),
+    _case("dt_yow_dec_fwd", "year_of_week(DATE '2008-12-29')", 2009, f"{D}:335"),
+    _case("dt_yow_dec_back", "year_of_week(DATE '2009-12-31')", 2009, f"{D}:336"),
+    _case("dt_yow_jan_back", "year_of_week(DATE '2010-01-03')", 2009, f"{D}:337"),
+    _case("dt_last_day_feb", "last_day_of_month(DATE '2001-02-03')", date(2001, 2, 28), f"{D}:~430"),
+    _case("dt_last_day_leap", "last_day_of_month(DATE '2000-02-03')", date(2000, 2, 29), f"{D}:~431"),
+    _case("dt_extract_doy", "extract(day_of_year FROM DATE '2001-08-22')", 234, f"{D}:396"),
+    _case("dt_extract_dow", "extract(day_of_week FROM DATE '2001-08-22')", 3, f"{D}:392"),
+    _case("dt_extract_yow", "extract(year_of_week FROM DATE '2001-08-22')", 2001, f"{D}:398"),
+    _case("dt_extract_quarter_q1", "extract(quarter FROM DATE '2001-03-31')", 1, f"{D}:406"),
+    _case("dt_extract_quarter_q2", "extract(quarter FROM DATE '2001-04-01')", 2, f"{D}:407"),
+    # ---- date_trunc (testDateTrunc, :462-483) -----------------------------
+    _case("dt_trunc_second", f"date_trunc('second', {_TS})", datetime(2001, 8, 22, 3, 4, 5), f"{D}:462"),
+    _case("dt_trunc_minute", f"date_trunc('minute', {_TS})", datetime(2001, 8, 22, 3, 4), f"{D}:465"),
+    _case("dt_trunc_hour", f"date_trunc('hour', {_TS})", datetime(2001, 8, 22, 3), f"{D}:468"),
+    _case("dt_trunc_day", f"date_trunc('day', {_TS})", datetime(2001, 8, 22), f"{D}:471"),
+    _case("dt_trunc_week", f"date_trunc('week', {_TS})", datetime(2001, 8, 20), f"{D}:474"),
+    _case("dt_trunc_month", f"date_trunc('month', {_TS})", datetime(2001, 8, 1), f"{D}:477"),
+    _case("dt_trunc_quarter", f"date_trunc('quarter', {_TS})", datetime(2001, 7, 1), f"{D}:480"),
+    _case("dt_trunc_year", f"date_trunc('year', {_TS})", datetime(2001, 1, 1), f"{D}:483"),
+    # ---- date_add (testAddFieldToTimestamp/Date, :560-600) ----------------
+    _case("dt_add_ms", f"date_add('millisecond', 3, {_TS})", datetime(2001, 8, 22, 3, 4, 5, 324000), f"{D}:560"),
+    _case("dt_add_second", f"date_add('second', 3, {_TS})", datetime(2001, 8, 22, 3, 4, 8, 321000), f"{D}:561"),
+    _case("dt_add_minute", f"date_add('minute', 3, {_TS})", datetime(2001, 8, 22, 3, 7, 5, 321000), f"{D}:562"),
+    _case("dt_add_hour_neg", f"date_add('hour', -4, {_TS})", datetime(2001, 8, 21, 23, 4, 5, 321000), f"{D}:565"),
+    _case("dt_add_week", f"date_add('week', 3, {_TS})", datetime(2001, 9, 12, 3, 4, 5, 321000), f"{D}:568"),
+    _case("dt_add_quarter", f"date_add('quarter', 3, {_TS})", datetime(2002, 5, 22, 3, 4, 5, 321000), f"{D}:570"),
+    _case("dt_add_day_date", "date_add('day', 3, DATE '2001-08-22')", date(2001, 8, 25), f"{D}:583"),
+    _case("dt_add_year_date", "date_add('year', 3, DATE '2001-08-22')", date(2004, 8, 22), f"{D}:587"),
+    _case("dt_add_month_clamps", "date_add('month', 1, DATE '2001-01-31')", date(2001, 2, 28), f"{D}:585"),
+    # ---- date_diff (testDateDiff*, :604-660) -------------------------------
+    _case("dt_diff_day", "date_diff('day', DATE '2001-08-22', DATE '2001-09-01')", 10, f"{D}:~640"),
+    _case("dt_diff_week", f"date_diff('week', {_TS}, TIMESTAMP '2001-10-01 03:04:05.321')", 5, f"{D}:~610"),
+    _case("dt_diff_month", f"date_diff('month', {_TS}, TIMESTAMP '2002-10-22 03:04:05.321')", 14, f"{D}:~611"),
+    _case("dt_diff_hour_neg", "date_diff('hour', TIMESTAMP '2001-08-22 10:00:00', TIMESTAMP '2001-08-22 03:00:00')", -7, f"{D}:~608"),
+    # ---- date_format full %-table (testDateFormat, :730-759) --------------
+    _case("fmt_a", f"date_format({_DT}, '%a')", "Tue", f"{D}:730"),
+    _case("fmt_b", f"date_format({_DT}, '%b')", "Jan", f"{D}:731"),
+    _case("fmt_c", f"date_format({_DT}, '%c')", "1", f"{D}:732"),
+    _case("fmt_d", f"date_format({_DT}, '%d')", "09", f"{D}:733"),
+    _case("fmt_e", f"date_format({_DT}, '%e')", "9", f"{D}:734"),
+    _case("fmt_f", f"date_format({_DT}, '%f')", "321000", f"{D}:735"),
+    _case("fmt_H", f"date_format({_DT}, '%H')", "13", f"{D}:736"),
+    _case("fmt_h", f"date_format({_DT}, '%h')", "01", f"{D}:737"),
+    _case("fmt_i", f"date_format({_DT}, '%i')", "04", f"{D}:739"),
+    _case("fmt_j", f"date_format({_DT}, '%j')", "009", f"{D}:740"),
+    _case("fmt_k", f"date_format({_DT}, '%k')", "13", f"{D}:741"),
+    _case("fmt_l", f"date_format({_DT}, '%l')", "1", f"{D}:742"),
+    _case("fmt_M", f"date_format({_DT}, '%M')", "January", f"{D}:743"),
+    _case("fmt_m", f"date_format({_DT}, '%m')", "01", f"{D}:744"),
+    _case("fmt_p", f"date_format({_DT}, '%p')", "PM", f"{D}:745"),
+    _case("fmt_r", f"date_format({_DT}, '%r')", "01:04:05 PM", f"{D}:746"),
+    _case("fmt_S", f"date_format({_DT}, '%S')", "05", f"{D}:747"),
+    _case("fmt_T", f"date_format({_DT}, '%T')", "13:04:05", f"{D}:749"),
+    _case("fmt_W", f"date_format({_DT}, '%W')", "Tuesday", f"{D}:751"),
+    _case("fmt_Y", f"date_format({_DT}, '%Y')", "2001", f"{D}:752"),
+    _case("fmt_y", f"date_format({_DT}, '%y')", "01", f"{D}:753"),
+    _case("fmt_pct", f"date_format({_DT}, '%%')", "%", f"{D}:754"),
+    _case("fmt_literal", f"date_format({_DT}, 'foo')", "foo", f"{D}:755"),
+    _case("fmt_unknown_g", f"date_format({_DT}, '%g')", "g", f"{D}:756"),
+    _case("fmt_unknown_4", f"date_format({_DT}, '%4')", "4", f"{D}:757"),
+    _case("fmt_unicode", f"date_format({_DT}, '%Y年%m月%d日')", "2001年01月09日", f"{D}:759"),
+    # ---- date_parse (testDateParse, :808-868) ------------------------------
+    _case("parse_year", "date_parse('2013', '%Y')", datetime(2013, 1, 1), f"{D}:808"),
+    _case("parse_ym", "date_parse('2013-05', '%Y-%m')", datetime(2013, 5, 1), f"{D}:811"),
+    _case("parse_ymd", "date_parse('2013-05-17', '%Y-%m-%d')", datetime(2013, 5, 17), f"{D}:814"),
+    _case("parse_h12", "date_parse('2013-05-17 12:35:10', '%Y-%m-%d %h:%i:%s')", datetime(2013, 5, 17, 0, 35, 10), f"{D}:817"),
+    _case("parse_pm", "date_parse('2013-05-17 12:35:10 PM', '%Y-%m-%d %h:%i:%s %p')", datetime(2013, 5, 17, 12, 35, 10), f"{D}:820"),
+    _case("parse_am", "date_parse('2013-05-17 12:35:10 AM', '%Y-%m-%d %h:%i:%s %p')", datetime(2013, 5, 17, 0, 35, 10), f"{D}:823"),
+    _case("parse_h24", "date_parse('2013-05-17 23:35:10', '%Y-%m-%d %H:%i:%s')", datetime(2013, 5, 17, 23, 35, 10), f"{D}:830"),
+    _case("parse_literal_text", "date_parse('abc 2013-05-17 fff 23:35:10 xyz', 'abc %Y-%m-%d fff %H:%i:%s xyz')", datetime(2013, 5, 17, 23, 35, 10), f"{D}:833"),
+    _case("parse_fraction", "date_parse('59.123456', '%s.%f')", datetime(1970, 1, 1, 0, 0, 59, 123456), f"{D}:854"),
+    _case("parse_k_zero", "date_parse('0', '%k')", datetime(1970, 1, 1, 0, 0), f"{D}:858"),
+    _case("parse_k_five", "date_parse('5', '%k')", datetime(1970, 1, 1, 5, 0), f"{D}:859"),
+    # ---- to/from_unixtime (testFromUnixTime/testToUnixTime, :177-234) -----
+    _case("to_unixtime_millis", f"to_unixtime({_TS})", 998449445.321, f"{D}:233"),
+    _case("from_unixtime_whole", "from_unixtime(980172245)", datetime(2001, 1, 22, 14, 4, 5), f"{D}:177"),
+    _case("from_unixtime_frac", "from_unixtime(980172245.888)", datetime(2001, 1, 22, 14, 4, 5, 888000), f"{D}:181"),
+    _case("unixtime_roundtrip", f"to_unixtime(from_unixtime(to_unixtime({_TS})))", 998449445.321, f"{D}:~235"),
+    # ---- joda format_datetime / parse_datetime (:680-720) -----------------
+    _case("joda_format", f"format_datetime({_TS}, 'YYYY-MM-dd HH:mm:ss.SSS')", "2001-08-22 03:04:05.321", f"{D}:~690"),
+    _case("joda_parse", "parse_datetime('2001-08-22 03:04:05.321', 'yyyy-MM-dd HH:mm:ss.SSS')", datetime(2001, 8, 22, 3, 4, 5, 321000), f"{D}:~710"),
+    # ---- regex (AbstractTestRegexpFunctions.java) --------------------------
+    _case("re_like_alt", "regexp_like('Stephen', 'Ste(v|ph)en')", True, f"{R}:67"),
+    _case("re_like_partial", "regexp_like('Stevens', 'Ste(v|ph)en')", True, f"{R}:68"),
+    _case("re_like_anchor_t", "regexp_like('Stephen', '^Ste(v|ph)en$')", True, f"{R}:69"),
+    _case("re_like_anchor_f", "regexp_like('Stevens', '^Ste(v|ph)en$')", False, f"{R}:70"),
+    _case("re_like_case", "regexp_like('Hello', '^[a-z]+$')", False, f"{R}:74"),
+    _case("re_like_inline_i", "regexp_like('Hello', '^(?i)[a-z]+$')", True, f"{R}:75"),
+    _case("re_like_word_boundary", "regexp_like('test', 'test\\b')", True, f"{R}:79"),
+    _case("re_replace_delete", "regexp_replace('fun stuff.', '[a-z]')", " .", f"{R}:92"),
+    _case("re_replace_star", "regexp_replace('fun stuff.', '[a-z]', '*')", "*** *****.", f"{R}:93"),
+    _case("re_replace_groups", "regexp_replace('call 555.123.4444 now', '(\\d{3})\\.(\\d{3}).(\\d{4})', '($1) $2-$3')", "call (555) 123-4444 now", f"{R}:95"),
+    _case("re_replace_g0", "regexp_replace('xxx xxx xxx', 'x', '$0')", "xxx xxx xxx", f"{R}:109"),
+    _case("re_replace_g01", "regexp_replace('xxx', '(x)', '$01')", "xxx", f"{R}:110"),
+    _case("re_replace_g0_5", "regexp_replace('xxx', 'x', '$05')", "x5x5x5", f"{R}:111"),
+    _case("re_replace_g10_missing", "regexp_replace('123456789', '(1)(2)(3)(4)(5)(6)(7)(8)(9)', '$10')", "10", f"{R}:112"),
+    _case("re_replace_g11", "regexp_replace('1234567890', '(1)(2)(3)(4)(5)(6)(7)(8)(9)(0)', '$11')", "11", f"{R}:114"),
+    _case("re_replace_empty_pat", "regexp_replace('xxx', '', 'y')", "yxyxyxy", f"{R}:106"),
+    _case(
+        "re_replace_named_group",
+        "regexp_replace('wxyz', '(?<xyz>[xyz])', '${xyz}${xyz}')",
+        "wxxyyzz",
+        f"{R}:120",
+        marks=_XFAIL_NAMED_GROUP,
+    ),
+    _case("re_extract_g0_default", "regexp_extract('Hello world bye', '\\b[a-z]([a-z]*)')", "world", f"{R}:197"),
+    _case("re_extract_g1", "regexp_extract('Hello world bye', '\\b[a-z]([a-z]*)', 1)", "orld", f"{R}:198"),
+    _case("re_extract_no_match", "regexp_extract('12345', 'x')", None, f"{R}:200"),
+    _case(
+        "re_extract_group_unmatched",
+        "regexp_extract('rat cat\nbat dog', 'ra(.)|blah(.)(.)', 2)",
+        None,
+        f"{R}:199",
+        marks=_XFAIL_GROUP_NULL,
+    ),
+    _case("re_extract_all", "regexp_extract_all('rat cat\nbat dog', '.at')", ["rat", "cat", "bat"], f"{R}:210"),
+    _case("re_extract_all_g1", "regexp_extract_all('rat cat\nbat dog', '(.)at', 1)", ["r", "c", "b"], f"{R}:211"),
+    _case("re_extract_all_empty_pat", "regexp_extract_all('12345', '')", ["", "", "", "", "", ""], f"{R}:217"),
+    _case("re_split_class", "regexp_split('a.b:c;d', '[\\.:;]')", ["a", "b", "c", "d"], f"{R}:224"),
+    _case("re_split_escaped_dot", "regexp_split('a.b:c;d', '\\.')", ["a", "b:c;d"], f"{R}:225"),
+    _case("re_split_digits", "regexp_split('a1b2346c3d', '\\d+')", ["a", "b", "c", "d"], f"{R}:229"),
+    _case("re_split_no_match", "regexp_split('abcd', 'x')", ["abcd"], f"{R}:230"),
+    _case("re_split_empty_str", "regexp_split('', 'x')", [""], f"{R}:232"),
+    _case("re_split_all_delims", "regexp_split(',,,', ',')", ["", "", "", ""], f"{R}:237"),
+    _case("re_split_runs", "regexp_split(',,a,,,b,c,d,,', ',')", ["", "", "a", "", "", "b", "c", "d", "", ""], f"{R}:236"),
+    _case(
+        "re_split_empty_pattern",
+        "regexp_split('abcd', '')",
+        ["", "a", "b", "c", "d", ""],
+        f"{R}:231",
+        marks=_XFAIL_EMPTY_SPLIT_EDGES,
+    ),
+]
+
+# ---- batch 3: arrays / maps / json / conditions ---------------------------
+VALUE_CASES += [
+    # ---- contains (TestArrayOperators.java testArrayContains :507-534) ---
+    _case("arr_contains_t", "CONTAINS(ARRAY [1, 2, 3], 2)", True, f"{A}:508"),
+    _case("arr_contains_f", "CONTAINS(ARRAY [1, 2, 3], 5)", False, f"{A}:511"),
+    _case("arr_contains_null_hit", "CONTAINS(ARRAY [1, NULL, 3], 1)", True, f"{A}:512"),
+    _case("arr_contains_null_miss", "CONTAINS(ARRAY [NULL, 2, 3], 1)", None, f"{A}:513"),
+    _case("arr_contains_empty", "CONTAINS(ARRAY [], 1)", False, f"{A}:526"),
+    _case("arr_contains_decimal", "CONTAINS(ARRAY [2.2, 1.1], 1.1)", True, f"{A}:527"),
+    # ---- array_join (:543-556) --------------------------------------------
+    _case("arr_join_skips_null", "ARRAY_JOIN(ARRAY[1, NULL, 2], ',')", "1,2", f"{A}:543"),
+    _case("arr_join_null_repl", "ARRAY_JOIN(ARRAY [1, 2, null], ';', 'N/A')", "1;2;N/A", f"{A}:545"),
+    _case("arr_join_all_null", "ARRAY_JOIN(ARRAY [null, null], '=')", "", f"{A}:549"),
+    _case("arr_join_empty", "ARRAY_JOIN(ARRAY [], 'S')", "", f"{A}:550"),
+    # ---- array_position (:659-666) -----------------------------------------
+    _case("arr_pos_found", "ARRAY_POSITION(ARRAY [10, 20, 30, 40], 30)", 3, f"{A}:659"),
+    _case("arr_pos_nulls_skipped", "ARRAY_POSITION(ARRAY [NULL, NULL, 30, NULL], 30)", 3, f"{A}:663"),
+    _case("arr_pos_missing", "ARRAY_POSITION(ARRAY [cast(NULL as bigint)], 30)", 0, f"{A}:661"),
+    # ---- element_at: NULL past both ends (:740-757) ------------------------
+    _case("arr_elem_oob_pos", "ELEMENT_AT(ARRAY [1, 2, 3], 4)", None, f"{A}:742"),
+    _case("arr_elem_oob_neg", "ELEMENT_AT(ARRAY [1, 2, 3], -4)", None, f"{A}:743"),
+    _case("arr_elem_neg", "ELEMENT_AT(ARRAY [2, 1, 3], -2)", 1, f"{A}:751"),
+    _case("arr_elem_null_cell", "ELEMENT_AT(ARRAY [2, NULL, 3], 2)", None, f"{A}:752"),
+    # ---- array_sort: NULLs last (:804-929) ----------------------------------
+    _case("arr_sort_ints", "ARRAY_SORT(ARRAY[2, 3, 4, 1])", [1, 2, 3, 4], f"{A}:804"),
+    _case("arr_sort_nulls_last", "ARRAY_SORT(ARRAY[1, null, 0, null, -1])", [-1, 0, 1, None, None], f"{A}:928"),
+    _case("arr_reverse_sort", "REVERSE(ARRAY_SORT(ARRAY[2, 3, 4, 1]))", [4, 3, 2, 1], f"{A}:966"),
+    # ---- array_distinct: first-occurrence order (:977-1010) ----------------
+    _case("arr_distinct_order", "ARRAY_DISTINCT(ARRAY [2, 3, 4, 3, 1, 2, 3])", [2, 3, 4, 1], f"{A}:982"),
+    _case("arr_distinct_null", "ARRAY_DISTINCT(ARRAY [0, NULL, 0, NULL])", [0, None], f"{A}:981"),
+    _case("arr_distinct_null_mid", "ARRAY_DISTINCT(ARRAY [2, 3, NULL, 4, 3, 1, 2, 3])", [2, 3, None, 4, 1], f"{A}:1002"),
+    # ---- slice (:1030-1040) -------------------------------------------------
+    _case("arr_slice_head", "SLICE(ARRAY [1, 2, 3, 4, 5], 1, 4)", [1, 2, 3, 4], f"{A}:1030"),
+    _case("arr_slice_over_end", "SLICE(ARRAY [1, 2, 3, 4], 3, 3)", [3, 4], f"{A}:1034"),
+    _case("arr_slice_neg_start", "SLICE(ARRAY [1, 2, 3, 4], -3, 3)", [2, 3, 4], f"{A}:1035"),
+    _case("arr_slice_zero_len", "SLICE(ARRAY [1, 2, 3, 4], 1, 0)", [], f"{A}:1037"),
+    _case("arr_slice_neg_past", "SLICE(ARRAY [1, 2, 3, 4], -5, 5)", [], f"{A}:1039"),
+    # ---- overlap / set ops ---------------------------------------------------
+    _case("arr_overlap_t", "ARRAYS_OVERLAP(ARRAY [1, 2], ARRAY [2, 3])", True, f"{A}:1052"),
+    _case("arr_overlap_f", "ARRAYS_OVERLAP(ARRAY [1, 3], ARRAY [2, 4])", False, f"{A}:1057"),
+    _case("arr_intersect", "ARRAY_INTERSECT(ARRAY [1, 2, 3], ARRAY [2, 3, 4])", [2, 3], f"{A}:~1100"),
+    _case("arr_except", "ARRAY_EXCEPT(ARRAY [1, 2, 3], ARRAY [2])", [1, 3], "TestArrayExceptFunction.java:~30"),
+    _case("arr_union", "ARRAY_UNION(ARRAY [1, 2], ARRAY [2, 3])", [1, 2, 3], f"{A}:~1150"),
+    _case("arr_remove", "ARRAY_REMOVE(ARRAY [1, 2, 2, 3], 2)", [1, 3], f"{A}:~1200"),
+    # ---- flatten / sequence / repeat / cardinality / concat ----------------
+    _case("arr_flatten", "FLATTEN(ARRAY [ARRAY[1, 2], ARRAY[3, 4]])", [1, 2, 3, 4], f"{A}:~1250"),
+    _case("arr_sequence_up", "SEQUENCE(1, 5)", [1, 2, 3, 4, 5], f"{A}:~1300"),
+    _case("arr_sequence_down", "SEQUENCE(5, 1)", [5, 4, 3, 2, 1], f"{A}:~1302"),
+    _case("arr_sequence_step", "SEQUENCE(1, 9, 4)", [1, 5, 9], f"{A}:~1304"),
+    _case("arr_cardinality", "CARDINALITY(ARRAY [1, 2, 3])", 3, f"{A}:~400"),
+    _case("arr_cardinality_empty", "CARDINALITY(ARRAY [])", 0, f"{A}:~401"),
+    _case("arr_concat_op", "ARRAY[1,2,3] || ARRAY[4]", [1, 2, 3, 4], f"{A}:~410"),
+    _case("arr_concat_fn", "concat(ARRAY[1], ARRAY[2,3], ARRAY[])", [1, 2, 3], f"{A}:439"),
+    # ---- ngrams (TestArrayNgramsFunction.java) ------------------------------
+    _case("arr_ngrams_2", "NGRAMS(ARRAY['bar', 'foo', 'baz', 'foo'], 2)",
+          [["bar", "foo"], ["foo", "baz"], ["baz", "foo"]],
+          "TestArrayNgramsFunction.java:38"),
+    _case("arr_ngrams_over", "NGRAMS(ARRAY['bar', 'foo'], 5)", [["bar", "foo"]],
+          "TestArrayNgramsFunction.java:47"),
+    # ---- maps (TestMapOperators.java) ---------------------------------------
+    _case("map_cardinality", "CARDINALITY(MAP(ARRAY ['1','3'], ARRAY [2,4]))", 2, f"{MP}:142"),
+    _case("map_elem_hit", "element_at(MAP(ARRAY [1, 3], ARRAY [2, 4]), 3)", 4, f"{MP}:510"),
+    _case("map_elem_miss", "element_at(MAP(ARRAY [1], ARRAY [1e0]), 2)", None, f"{MP}:496"),
+    _case("map_subscript_null_val", "MAP(ARRAY [1], ARRAY [null])[1]", None, f"{MP}:529"),
+    _case("map_keys", "MAP_KEYS(MAP(ARRAY ['1','3'], ARRAY [2,4]))", ["1", "3"], f"{MP}:~560"),
+    _case("map_values", "MAP_VALUES(MAP(ARRAY ['1','3'], ARRAY [2,4]))", [2, 4], f"{MP}:~570"),
+    _case("map_concat_wins", "map_concat(MAP(ARRAY[1], ARRAY[2]), MAP(ARRAY[3], ARRAY[4]))[3]", 4, f"{MP}:~600"),
+    _case("map_from_entries", "cardinality(map_from_entries(ARRAY[(1, 'x'), (2, 'y')]))", 2, f"{MP}:~650"),
+    # ---- lambdas over arrays (TestArrayTransform/Filter/Reduce) -----------
+    _case("lam_transform", "transform(ARRAY [1, 2, 3], x -> x + 1)", [2, 3, 4], "TestArrayTransformFunction.java:~40"),
+    _case("lam_filter", "filter(ARRAY [1, 2, 3, 4], x -> x % 2 = 0)", [2, 4], "TestArrayFilterFunction.java:~40"),
+    _case("lam_reduce", "reduce(ARRAY [1, 2, 3], 0, (s, x) -> s + x, s -> s)", 6, "TestArrayReduceFunction.java:~40"),
+    # ---- json (TestJsonFunctions.java) --------------------------------------
+    _case("json_extract_scalar_num", """json_extract_scalar('{"a": {"b": 3}}', '$.a.b')""", "3", f"{J}:~200"),
+    _case("json_extract_obj", """json_extract('{"a": {"b": 3}}', '$.a')""", '{"b":3}', f"{J}:~210"),
+    _case("json_array_length_3", "json_array_length('[1, 2, 3]')", 3, f"{J}:~100"),
+    _case("json_array_contains_num", "json_array_contains('[1, 2, 3]', 2)", True, f"{J}:~120"),
+    _case("json_array_contains_bool", "json_array_contains('[true, false]', true)", True, f"{J}:~122"),
+    _case("json_array_contains_str", """json_array_contains('["foo", "bar"]', 'foo')""", True, f"{J}:~124"),
+    _case("json_array_contains_empty", "json_array_contains('[]', 1)", False, f"{J}:~126"),
+    _case("json_size_obj", """json_size('{"x": {"a": 1, "b": 2}}', '$.x')""", 2, f"{J}:~140"),
+    _case("json_size_arr", """json_size('{"x": [1, 2, 3]}', '$.x')""", 3, f"{J}:~142"),
+    _case("json_size_scalar", """json_size('{"x": 1}', '$.x')""", 0, f"{J}:~144"),
+    _case("json_size_absent", """json_size('{"x": 1}', '$.y')""", None, f"{J}:~146"),
+    # ---- conditions (TestConditions.java) -----------------------------------
+    _case("cond_nullif_nulls", "nullif(NULL, NULL)", None, f"{C}:~60"),
+    _case("cond_coalesce", "coalesce(NULL, 7)", 7, f"{C}:~80"),
+    _case("cond_try_div0", "try(1/0)", None, "TestTryFunction (operator/scalar)"),
+    _case("cond_try_badcast", "try(CAST('x' AS INTEGER))", None, "TestTryFunction (operator/scalar)"),
+    _case("cond_if_two_arg_t", "if(true, 1)", 1, f"{C}:~100"),
+    _case("cond_if_two_arg_f", "if(false, 1)", None, f"{C}:~102"),
+]
+
+ERROR_CASES = [
+    _err("chr_negative", "CHR(-1)", f"{S}:84", "Not a valid Unicode code point"),
+    _err("chr_too_big", "CHR(1234567)", f"{S}:85", "Not a valid Unicode code point"),
+    _err("chr_way_too_big", "CHR(8589934592)", f"{S}:86"),
+    _err("codepoint_empty", "CODEPOINT('')", f"{S}:101"),
+    _err("codepoint_multi", "CODEPOINT('hello')", f"{S}:98"),
+    _err("hamming_len_mismatch", "HAMMING_DISTANCE('hello', '')", f"{S}:208", "same length"),
+    _err("hamming_len_mismatch2", "HAMMING_DISTANCE('h', 'hello')", f"{S}:211", "same length"),
+    _err("abs_bigint_min", "abs(-9223372036854775807 - 1)", f"{M}:72"),
+    _err("bit_count_unrepresentable", "bit_count(2147483648, 32)", f"{B}:44", "can not be represented"),
+    _err("bit_count_bad_bits_low", "bit_count(0, 1)", f"{B}:55", "between 2 and 64"),
+    _err("bit_count_bad_bits_high", "bit_count(0, 65)", f"{B}:56", "between 2 and 64"),
+    _err("shift_left_negative", "bitwise_shift_left(7, -3, 2)", f"{B}:106", "non-negative"),
+    _err("lshr_negative", "bitwise_logical_shift_right(7, -3, 2)", f"{B}:120", "non-negative"),
+    _err("from_base_bad_radix", "from_base('Z', 37)", f"{M}:1220", "Radix must be between 2 and 36"),
+    _err("from_base_bad_digit", "from_base('Z', 35)", f"{M}:1221", "Not a valid base-35 number"),
+    _err("from_base_overflow", "from_base('9223372036854775808', 10)", f"{M}:1222"),
+    _err("to_base_bad_radix", "to_base(255, 1)", f"{M}:1206", "Radix must be between 2 and 36"),
+    _err("division_by_zero", "mod(5, 0)", f"{M}:~548"),
+    # ---- batch 2: rejected MySQL specifiers (testDateParse :872-877,
+    # testDateFormat :797-802 — "%<c> not supported in date format
+    # string", DateTimeFunctions.java:1305-1311) ------------------------
+    _err("parse_pct_D", "date_parse('', '%D')", f"{D}:872", "%D not supported"),
+    _err("parse_pct_U", "date_parse('', '%U')", f"{D}:873", "%U not supported"),
+    _err("parse_pct_u", "date_parse('', '%u')", f"{D}:874", "%u not supported"),
+    _err("parse_pct_V", "date_parse('', '%V')", f"{D}:875", "%V not supported"),
+    _err("parse_pct_w", "date_parse('', '%w')", f"{D}:876", "%w not supported"),
+    _err("parse_pct_X", "date_parse('', '%X')", f"{D}:877", "%X not supported"),
+    _err("format_pct_D", "date_format(DATE '2001-01-09', '%D')", f"{D}:797", "%D not supported"),
+    _err("format_pct_w", "date_format(DATE '2001-01-09', '%w')", f"{D}:801", "%w not supported"),
+    _err("format_pct_X", "date_format(DATE '2001-01-09', '%X')", f"{D}:802", "%X not supported"),
+]
+
+
+def _canon(v):
+    if isinstance(v, list):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    return v
+
+
+def _values_equal(got, want) -> bool:
+    if want is None or got is None:
+        return got is None and want is None
+    if isinstance(want, float):
+        if math.isnan(want):
+            return isinstance(got, float) and math.isnan(got)
+        if not isinstance(got, (int, float)) or isinstance(got, bool):
+            return False
+        if math.isinf(want):
+            return got == want
+        return math.isclose(float(got), want, rel_tol=1e-12, abs_tol=1e-300)
+    if isinstance(want, Decimal):
+        return isinstance(got, Decimal) and got == want
+    if isinstance(want, bool) or isinstance(got, bool):
+        return got is want
+    if isinstance(want, (list, tuple)):
+        got_c, want_c = _canon(got), _canon(list(want))
+        if not isinstance(got_c, tuple) or len(got_c) != len(want_c):
+            return False
+        return all(_values_equal(g, w) for g, w in zip(got_c, want_c))
+    return got == want
+
+
+def _eval(spark, expr):
+    return run_sql(spark, f"SELECT {expr} AS v").collect()[0][0]
+
+
+@pytest.mark.parametrize("expr,expected,cite", VALUE_CASES)
+def test_edge_value(spark, expr, expected, cite):
+    got = _eval(spark, expr)
+    assert _values_equal(got, expected), (
+        f"{expr} [{cite}]: got {got!r} ({type(got).__name__}), "
+        f"expected {expected!r}"
+    )
+
+
+@pytest.mark.parametrize("expr,cite,match", ERROR_CASES)
+def test_edge_error(spark, expr, cite, match):
+    with pytest.raises(Exception, match=match) as exc:
+        _eval(spark, expr)
+    assert exc is not None, f"{expr} [{cite}] should raise"

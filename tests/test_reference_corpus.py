@@ -22,6 +22,27 @@ significant digits — corpus texts aggregate raw doubles whose
 summation order differs per engine, the exact class of fuzz the
 reference's H2 comparison also tolerates (approximate compare for
 doubles in QueryAssertions).
+
+Terminal coverage note (r11): 610 texts. The AbstractTestQueries
+methods NOT represented here fall into these categories, none of
+which are fixture-expressible through an assertQuery-vs-DuckDB diff:
+  - approx_set / P4HyperLogLog value pins (~23 methods): the
+    reference pins ITS OWN hll cardinality estimates, which are
+    sketch-implementation-specific (H2 can't run them either — the
+    reference uses assertEqualsIgnoreOrder against literals). The
+    engine's sketch parity is pinned byte-level in
+    tests/test_approx.py instead.
+  - session/metadata surface (~42 methods): SHOW/DESCRIBE/EXPLAIN
+    formats, SET/RESET SESSION, prepared-statement DESCRIBE
+    INPUT/OUTPUT, access control, information_schema shapes — exercised
+    as queries()/DDL tests (queries/sql_q.py, io_q.py), not diffable
+    against DuckDB text-for-text.
+  - plugin/custom-function registration (3 methods) and
+    connector-internal behaviors (colocated-join session toggles,
+    internal tables, materialized views; ~15 methods): presuppose the
+    reference's plugin SPI or connector internals.
+  - remaining texts duplicate already-ported surfaces under another
+    method name (the corpus de-duplicates by SQL shape, not method).
 """
 
 from __future__ import annotations
@@ -2881,6 +2902,92 @@ CORPUS: list[Case] = [
       "TIMESTAMP, 3 DATE, 4 INTERVAL)",
       f"{_ATQ}:7045 testNonReservedTimeWords",
       duck="SELECT 1, 2, 3, 4"),
+    # ---- batch 20 (r11): remaining fixture-expressible ATQ texts ---------
+    C("count_literal", "SELECT COUNT(42) FROM orders",
+      f"{_ATQ} testCountAll", duck="SELECT COUNT(*) FROM orders"),
+    C("count_literal_expr", "SELECT COUNT(42 + 42) FROM orders",
+      f"{_ATQ} testCountAll", duck="SELECT COUNT(*) FROM orders"),
+    C("case_insensitive_aliased_relation", "SELECT A.* FROM orders a",
+      f"{_ATQ} testCaseInsensitiveAliasedRelation",
+      duck="SELECT * FROM orders"),
+    C("case_insensitive_output_alias_order_by",
+      "SELECT orderkey X FROM orders ORDER BY x",
+      f"{_ATQ} testCaseInsensitiveOutputAliasInOrderBy",
+      duck="SELECT orderkey FROM orders ORDER BY orderkey",
+      ordered=True),
+    C("column_aliases_t_xyz",
+      "SELECT x, T.y, z + 1 FROM (SELECT custkey, orderstatus, "
+      "totalprice FROM orders) T (x, y, z)",
+      f"{_ATQ} testColumnAliases",
+      duck="SELECT custkey, orderstatus, totalprice + 1 FROM orders"),
+    C("cross_join_where_clause",
+      "SELECT a, b, c, d FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c'), "
+      "(4, 'd')) t1 (a, b) CROSS JOIN (VALUES (1, 1.1), (3, 3.3), "
+      "(5, 5.5)) t2 (c, d) WHERE t1.a > t2.c",
+      f"{_ATQ} testCrossJoinsWithWhereClause",
+      duck="SELECT * FROM (VALUES (2, 'b', 1, 1.1), (3, 'c', 1, 1.1), "
+           "(4, 'd', 1, 1.1), (4, 'd', 3, 3.3))"),
+    C("complex_query_topn_having",
+      # (the reference pins literal VALUES against its own dense-key
+      # tiny fixture; ours has different orderkeys, so both engines
+      # run the text)
+      "SELECT sum(orderkey), row_number() OVER (ORDER BY orderkey) "
+      "FROM orders WHERE orderkey <= 10 GROUP BY orderkey HAVING "
+      "sum(orderkey) >= 3 ORDER BY orderkey DESC LIMIT 3",
+      f"{_ATQ} testComplexQuery", ordered=True),
+    C("cast_str_bigint", "SELECT CAST('1' AS BIGINT)",
+      f"{_ATQ} testCast"),
+    C("cast_price_bigint", "SELECT CAST(totalprice AS BIGINT) FROM orders",
+      f"{_ATQ} testCast",
+      marks=(pytest.mark.xfail(
+          reason="engine divergence: Spark ANSI CAST(double AS BIGINT) "
+          "truncates toward zero; Presto's DoubleOperators.castToLong "
+          "(and DuckDB) round half-up — same quarantined class as the "
+          "REAL=DECIMAL comparison-domain xfails",
+          strict=True),)),
+    C("cast_key_double", "SELECT CAST(orderkey AS DOUBLE) FROM orders",
+      f"{_ATQ} testCast"),
+    C("cast_key_varchar", "SELECT CAST(orderkey AS VARCHAR) FROM orders",
+      f"{_ATQ} testCast"),
+    C("try_cast_bad_str", "SELECT try_cast('foo' AS BIGINT)",
+      f"{_ATQ} testCast", duck="SELECT CAST(null AS BIGINT)"),
+    C("try_cast_col_bad",
+      "SELECT try_cast(orderpriority AS BIGINT) FROM orders",
+      f"{_ATQ} testCast (clerk adapted to orderpriority)",
+      duck="SELECT CAST(null AS BIGINT) FROM orders"),
+    C("cross_join_values_plain",
+      "SELECT a, b FROM (VALUES (1), (2)) t (a) CROSS JOIN "
+      "(VALUES (1), (3)) u (b)",
+      f"{_ATQ} testCrossJoinWithNulls",
+      duck="SELECT * FROM (VALUES (1, 1), (1, 3), (2, 1), (2, 3))"),
+    C("cross_join_values_nulls",
+      "SELECT a, b FROM (VALUES (1), (2), (null)) t (a), "
+      "(VALUES (11), (null), (13)) u (b)",
+      f"{_ATQ} testCrossJoinWithNulls",
+      duck="SELECT * FROM (VALUES (1, 11), (1, null), (1, 13), (2, 11), "
+           "(2, null), (2, 13), (null, 11), (null, null), (null, 13))"),
+    C("agg_over_unknown_null_col",
+      "SELECT orderpriority, min(totalprice), max(totalprice), "
+      "min(nullvalue), max(nullvalue) FROM (SELECT orderpriority, "
+      "totalprice, null AS nullvalue FROM orders) GROUP BY orderpriority",
+      f"{_ATQ} testAggregationOverUnknown (clerk adapted)",
+      duck="SELECT orderpriority, min(totalprice), max(totalprice), "
+           "NULL, NULL FROM (SELECT orderpriority, totalprice FROM "
+           "orders) t GROUP BY orderpriority"),
+    C("cross_join_union_scalar",
+      "SELECT t.c FROM (SELECT 1) CROSS JOIN "
+      "(SELECT 0 AS c UNION ALL SELECT 1) t",
+      f"{_ATQ} testCrossJoinUnion",
+      duck="SELECT c FROM (SELECT 1) x(d), (SELECT 0 AS c UNION ALL "
+           "SELECT 1) t"),
+    C("inline_view_plain",
+      "SELECT orderkey, custkey FROM (SELECT orderkey, custkey FROM "
+      "orders) U",
+      f"{_ATQ} testInlineView"),
+    C("join_coercion_sin",
+      "SELECT COUNT(*) FROM orders t JOIN (SELECT * FROM orders "
+      "LIMIT 1) t2 ON sin(t2.custkey) = 0",
+      f"{_ATQ} testJoinCoercion"),
 ]
 
 

@@ -283,6 +283,10 @@ _SF1_HEAVY = [
     "tpcds_q23_adapted",
     "pipeline_corpus_dedup",
     "dedup_minhash_lsh",
+    # r11 (VERDICT r10 next-round #7): the remaining LLM headliners
+    "ann_cosine_topk",
+    "win_topn_per_group",
+    "text_quality_score",
 ]
 
 _SF1_SCALE = {
@@ -293,6 +297,7 @@ _SF1_SCALE = {
     "customer": ["c_custkey"],
     "supplier": ["s_suppkey"],
     "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 _SF1_COPY = ["nation", "region"]
 
@@ -302,7 +307,10 @@ def sf1_dir(spark):
     import pyspark.sql.functions as F
 
     marker = os.path.join(SF1_DIR, "_COMPLETE")
-    if os.path.exists(marker):
+    # marker records the generated table set — a new entry in
+    # _SF1_SCALE invalidates a stale sf1 dir from an earlier round
+    stamp = ",".join(sorted(_SF1_SCALE) + sorted(_SF1_COPY))
+    if os.path.exists(marker) and open(marker).read() == stamp:
         return SF1_DIR
     os.makedirs(SF1_DIR, exist_ok=True)
     for table, keys in _SF1_SCALE.items():
@@ -328,7 +336,7 @@ def sf1_dir(spark):
             "overwrite"
         ).parquet(f"{SF1_DIR}/{table}.parquet")
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(stamp)
     return SF1_DIR
 
 
