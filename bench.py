@@ -54,6 +54,14 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # r11 GC A/B (driver mem 1g/4g/16g x3, pipeline_corpus_dedup +
+    # stream_tumbling_agg): warm-run GC is 0-86 ms at EVERY heap —
+    # GC is not the r9->r10 driver-bench regression mechanism — but
+    # the 16g session default (sized for sf1 interactive work) was
+    # consistently the slowest of the three (~+15% mean on the two
+    # allocation-heaviest queries, plausibly G1 region sizing). The
+    # bench pins the mid heap; sf1 runs still get 16g via the env var.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "4g")
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from presto_0_235_spark.session import build_session

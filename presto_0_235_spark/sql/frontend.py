@@ -1439,7 +1439,16 @@ def _rewrite_multiarg_grouping(sql: str) -> str:
 
 
 _AS_KEYWORD = re.compile(r"\bAS\s+", re.IGNORECASE)
-_BARE_VARCHAR = re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE)
+# Bare VARCHAR -> STRING (Spark demands a length); VARBINARY ->
+# BINARY (Spark has no VARBINARY spelling at all). Both only in type
+# positions (the AS-tail scan below).
+_BARE_VARCHAR = re.compile(
+    r"\b(VARCHAR\b(?!\s*\()|VARBINARY\b)", re.IGNORECASE
+)
+
+
+def _type_rename(m: re.Match) -> str:
+    return "BINARY" if m.group(1).upper() == "VARBINARY" else "STRING"
 
 
 def _rewrite_bare_varchar(masked: str) -> str:
@@ -1474,7 +1483,7 @@ def _rewrite_bare_varchar(masked: str) -> str:
                 break
             i += 1
         out.append(masked[pos:start])
-        out.append(_BARE_VARCHAR.sub("STRING", masked[start:i]))
+        out.append(_BARE_VARCHAR.sub(_type_rename, masked[start:i]))
         pos = i
     out.append(masked[pos:])
     return "".join(out)

@@ -129,6 +129,12 @@ _TEMPLATE_NAMES = (
     "ngrams",
     "json_size",
     "json_array_contains",
+    "md5",
+    "sha1",
+    "sha256",
+    "sha512",
+    "to_big_endian_64",
+    "from_big_endian_64",
 )
 
 _SCALAR_CALL = re.compile(
@@ -558,6 +564,31 @@ def _rewrite_one(
         return (
             f"coalesce(exists(from_json({a[0]}, {_stash_lit(stash, 'array<string>')}), "
             f"e -> e = CAST({a[1]} AS STRING)), false)"
+        )
+
+    if name in ("md5", "sha1", "sha256", "sha512") and len(a) == 1:
+        # Presto's digests return VARBINARY (VarbinaryFunctions.java);
+        # Spark's return lowercase hex STRINGs — unhex restores the
+        # type so to_hex/to_base64 compose exactly as in Presto.
+        fn = {"md5": "md5({0})", "sha1": "sha1({0})",
+              "sha256": "sha2({0}, 256)", "sha512": "sha2({0}, 512)"}[name]
+        return f"unhex({fn.format(a[0])})"
+
+    if name == "to_big_endian_64" and len(a) == 1:
+        # 8-byte big-endian two's complement (VarbinaryFunctions.java
+        # toBigEndian64) — hex() of BIGINT is already BE two's
+        # complement, left-padded to the full width.
+        return f"unhex(lpad(hex(CAST({a[0]} AS BIGINT)), 16, {_stash_lit(stash, '0')}))"
+
+    if name == "from_big_endian_64" and len(a) == 1:
+        # conv() reads the hex as UNSIGNED 64-bit; values >= 2^63
+        # wrap back to the negative range via the 2^64 complement
+        # (exact in DECIMAL(20,0)).
+        h = f"hex({a[0]})"
+        u = f"CAST(conv({h}, 16, 10) AS DECIMAL(20, 0))"
+        return (
+            f"CAST((CASE WHEN {u} >= 9223372036854775808 "
+            f"THEN {u} - 18446744073709551616 ELSE {u} END) AS BIGINT)"
         )
 
     if name in ("array_min", "array_max") and len(a) == 1:

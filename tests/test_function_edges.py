@@ -509,6 +509,50 @@ VALUE_CASES += [
     _case("cond_if_two_arg_f", "if(false, 1)", None, f"{C}:~102"),
 ]
 
+# ---- batch 4: URL (TestUrlFunctions.java) / binary (TestVarbinaryFunctions)
+U = "TestUrlFunctions.java"
+V = "TestVarbinaryFunctions.java"
+_URL = "http://example.com/path1/p.php?k1=v1&k2=v2#Ref1"
+_URLP = "http://example.com/path1/p.php?k1=v1&k2=v2&k3&k4#Ref1"
+
+VALUE_CASES += [
+    _case("url_protocol", f"url_extract_protocol('{_URL}')", "http", f"{U}:27"),
+    _case("url_host", f"url_extract_host('{_URL}')", "example.com", f"{U}:27"),
+    _case("url_host_with_port", "url_extract_host('http://example.com:8080/path1/p.php')", "example.com", f"{U}:30"),
+    _case("url_port", "url_extract_port('http://example.com:8080/path1/p.php')", 8080, f"{U}:30"),
+    _case("url_port_absent", "url_extract_port('http://example.com/path1/p.php')", None, f"{U}:27"),
+    _case("url_path", f"url_extract_path('{_URL}')", "/path1/p.php", f"{U}:27"),
+    _case("url_query", f"url_extract_query('{_URL}')", "k1=v1&k2=v2", f"{U}:27"),
+    _case("url_fragment", f"url_extract_fragment('{_URL}')", "Ref1", f"{U}:27"),
+    _case("url_param_k1", f"url_extract_parameter('{_URLP}', 'k1')", "v1", f"{U}:41"),
+    _case("url_param_k2", f"url_extract_parameter('{_URLP}', 'k2')", "v2", f"{U}:42"),
+    _case("url_param_absent", f"url_extract_parameter('{_URLP}', 'k5')", None, f"{U}:45"),
+    _case("url_encode_roundtrippable", "url_encode('http://test?a=b&c=d')", "http%3A%2F%2Ftest%3Fa%3Db%26c%3Dd", f"{U}:66"),
+    _case("url_decode_basic", "url_decode('http%3A%2F%2Ftest%3Fa%3Db%26c%3Dd')", "http://test?a=b&c=d", f"{U}:86"),
+    # ---- varbinary: length/concat/encodings (:54-130) ----------------------
+    _case("bin_length_empty", "length(CAST('' AS VARBINARY))", 0, f"{V}:60"),
+    _case("bin_length_abc", "length(CAST('abc' AS VARBINARY))", 3, f"{V}:62"),
+    _case("bin_concat_op", "CAST(CAST('foo' AS VARBINARY) || CAST('bar' AS VARBINARY) AS VARCHAR)", "foobar", f"{V}:70"),
+    _case("bin_concat_hex_lits", "to_hex(X'58' || X'' || X'F7')", "58F7", f"{V}:80"),
+    _case("bin_to_base64", "to_base64(CAST('hello world' AS VARBINARY))", "aGVsbG8gd29ybGQ=", f"{V}:106"),
+    _case("bin_from_base64", "CAST(from_base64('aGVsbG8gd29ybGQ=') AS VARCHAR)", "hello world", f"{V}:112"),
+    _case("bin_to_hex", "to_hex(CAST('hello' AS VARBINARY))", "68656C6C6F", f"{V}:~140"),
+    _case("bin_from_hex", "CAST(from_hex('68656C6C6F') AS VARCHAR)", "hello", f"{V}:~150"),
+    _case("bin_crc32", "crc32(CAST('ABCDEFGHIJK' AS VARBINARY))", 1129618807, f"{V}:~500"),
+    # digests return VARBINARY in Presto (hex-pinned to the
+    # reference's own expected bytes)
+    _case("bin_md5", "to_hex(md5(CAST('hashme' AS VARBINARY)))", "533F6357E0210E67D91F651BC49E1278", f"{V}:~520"),
+    _case("bin_sha1", "to_hex(sha1(CAST('hashme' AS VARBINARY)))", "FB78992E561929A6967D5328F49413FA99048D06", f"{V}:~530"),
+    _case("bin_sha256", "to_hex(sha256(CAST('hashme' AS VARBINARY)))", "02208B9403A87DF9F4ED6B2EE2657EFAA589026B4CCE9ACCC8E8A5BF3D693C86", f"{V}:~540"),
+    # big-endian 64 round trips incl. the signed extremes
+    _case("bin_be64_one", "to_hex(to_big_endian_64(1))", "0000000000000001", f"{V}:~560"),
+    _case("bin_be64_neg1", "to_hex(to_big_endian_64(-1))", "FFFFFFFFFFFFFFFF", f"{V}:~562"),
+    _case("bin_be64_roundtrip", "from_big_endian_64(to_big_endian_64(12345))", 12345, f"{V}:~565"),
+    _case("bin_be64_neg_roundtrip", "from_big_endian_64(to_big_endian_64(-98765))", -98765, f"{V}:~566"),
+    _case("bin_be64_min", "from_big_endian_64(to_big_endian_64(-9223372036854775807 - 1))", -9223372036854775808, f"{V}:~568"),
+    _case("bin_be64_max", "from_big_endian_64(to_big_endian_64(9223372036854775807))", 9223372036854775807, f"{V}:~569"),
+]
+
 ERROR_CASES = [
     _err("chr_negative", "CHR(-1)", f"{S}:84", "Not a valid Unicode code point"),
     _err("chr_too_big", "CHR(1234567)", f"{S}:85", "Not a valid Unicode code point"),
