@@ -1070,6 +1070,11 @@ PRESTO_FN_RENAMES: dict[str, str] = {
     "codepoint": "ascii",
     "levenshtein_distance": "levenshtein",
     "starts_with": "startswith",
+    # array lambda predicates (ArrayAnyMatch/AllMatchFunction.java) —
+    # Spark's exists/forall carry the same 3-valued semantics
+    # (NULL when undecided with null elements present)
+    "any_match": "exists",
+    "all_match": "forall",
     # Spark's split IS regex-based (Presto's split is literal — that
     # one goes through sql/scalar_templates.py which regex-quotes the
     # delimiter before this rename pass runs).

@@ -135,6 +135,11 @@ _TEMPLATE_NAMES = (
     "sha512",
     "to_big_endian_64",
     "from_big_endian_64",
+    "none_match",
+    "combinations",
+    "multimap_from_entries",
+    "parse_presto_data_size",
+    "parse_duration",
 )
 
 _SCALAR_CALL = re.compile(
@@ -565,6 +570,84 @@ def _rewrite_one(
             f"coalesce(exists(from_json({a[0]}, {_stash_lit(stash, 'array<string>')}), "
             f"e -> e = CAST({a[1]} AS STRING)), false)"
         )
+
+    if name == "none_match" and len(a) == 2:
+        # 3-valued NOT of any_match (ArrayNoneMatchFunction.java)
+        return f"(NOT exists({a[0]}, {args[1].strip()}))"
+
+    if name == "combinations" and len(a) == 2:
+        # n-element subsequences in order (ArrayCombinationsFunction
+        # .java; n capped at 5 there). Literal n only — generates n
+        # nested index loops; non-literal n declines.
+        try:
+            n = int(args[1].strip())
+        except ValueError:
+            return None
+        if n < 0 or n > 5:
+            return None
+        arr = a[0]
+        if n == 0:
+            return "array(array())"
+        # indexes i1 < i2 < ... < in over 1..size
+        expr = f"array(array({', '.join(f'element_at({arr}, i{k})' for k in range(1, n + 1))}))"
+        for k in range(n, 0, -1):
+            lo = "1" if k == 1 else f"i{k - 1} + 1"
+            hi = f"size({arr}) - {n - k}" if k < n else f"size({arr})"
+            expr = f"flatten(transform(sequence({lo}, {hi}), i{k} -> {expr}))"
+            if k > 1:
+                continue
+        # guard: sequence(lo, hi) with lo > hi DESCENDS in Spark —
+        # produce [] when the array is too short instead.
+        return (
+            f"(CASE WHEN size({arr}) < {n} THEN "
+            f"array() ELSE {expr} END)"
+        )
+
+    if name == "multimap_from_entries" and len(a) == 1:
+        # array(row(K, V)) -> map K -> array(V), first-seen key order
+        # (MultimapFromEntriesFunction.java). Handles the literal
+        # tuple form (struct fields col1/col2). The entries expression
+        # is evaluated more than once (macro caveat).
+        e = a[0]
+        keys = f"array_distinct(transform({e}, x -> x.col1))"
+        return (
+            f"map_from_arrays({keys}, transform({keys}, "
+            f"k -> transform(filter({e}, x -> x.col1 <=> k), x -> x.col2)))"
+        )
+
+    if name == "parse_presto_data_size" and len(a) == 1:
+        # '2.2kB' -> DECIMAL bytes (DataSizeFunctions.java; binary
+        # units). Literal argument resolved at rewrite time.
+        lit = _lit_of(args[0], stash)
+        if lit is None:
+            return None
+        m = re.match(r"^\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+)\s*$", lit)
+        units = {"B": 0, "kB": 1, "MB": 2, "GB": 3, "TB": 4,
+                 "PB": 5, "EB": 6, "ZB": 7, "YB": 8}
+        if m is None or m.group(2) not in units:
+            bad = _stash_lit(
+                stash, f"Invalid data size: '{lit}'"
+            )
+            return _raise(bad, "DECIMAL(38, 0)")
+        from decimal import Decimal as _D
+
+        value = int(_D(m.group(1)) * (1 << (10 * units[m.group(2)])))
+        return f"CAST({_stash_lit(stash, str(value))} AS DECIMAL(38, 0))"
+
+    if name == "parse_duration" and len(a) == 1:
+        # '5m' -> INTERVAL DAY TO SECOND (DateTimeFunctions.java
+        # parseDuration via airlift Duration). Literal only.
+        lit = _lit_of(args[0], stash)
+        if lit is None:
+            return None
+        m = re.match(r"^\s*(\d+(?:\.\d+)?)\s*([a-z]+)\s*$", lit)
+        secs_per = {"ns": 1e-9, "us": 1e-6, "ms": 1e-3, "s": 1.0,
+                    "m": 60.0, "h": 3600.0, "d": 86400.0}
+        if m is None or m.group(2) not in secs_per:
+            bad = _stash_lit(stash, f"duration is not a valid data duration string: {lit}")
+            return _raise(bad, "INTERVAL DAY TO SECOND")
+        total = float(m.group(1)) * secs_per[m.group(2)]
+        return f"make_dt_interval(0, 0, 0, CAST({total!r} AS DECIMAL(18, 6)))"
 
     if name in ("md5", "sha1", "sha256", "sha512") and len(a) == 1:
         # Presto's digests return VARBINARY (VarbinaryFunctions.java);

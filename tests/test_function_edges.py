@@ -553,6 +553,39 @@ VALUE_CASES += [
     _case("bin_be64_max", "from_big_endian_64(to_big_endian_64(9223372036854775807))", 9223372036854775807, f"{V}:~569"),
 ]
 
+# ---- batch 5: lambda predicates / combinations / data-size / duration -----
+VALUE_CASES += [
+    _case("match_any_true", "any_match(ARRAY[1, 2, 3], x -> x > 2)", True, "TestArrayMatchFunctions.java:~30"),
+    _case("match_any_null_undecided", "any_match(ARRAY[1, NULL, 3], x -> x > 5)", None, "TestArrayMatchFunctions.java:~35"),
+    _case("match_all_true", "all_match(ARRAY[1, 2, 3], x -> x > 0)", True, "TestArrayMatchFunctions.java:~50"),
+    _case("match_none_true", "none_match(ARRAY[1, 2, 3], x -> x > 5)", True, "TestArrayMatchFunctions.java:~70"),
+    _case("match_none_false", "none_match(ARRAY[1, 2, 3], x -> x > 2)", False, "TestArrayMatchFunctions.java:~72"),
+    _case("combinations_2", "combinations(ARRAY['foo','bar','baz'], 2)",
+          [["foo", "bar"], ["foo", "baz"], ["bar", "baz"]],
+          "TestArrayCombinationsFunction.java:~35"),
+    _case("combinations_3", "combinations(ARRAY[1, 2, 3, 4], 3)",
+          [[1, 2, 3], [1, 2, 4], [1, 3, 4], [2, 3, 4]],
+          "TestArrayCombinationsFunction.java:~45"),
+    _case("combinations_short", "combinations(ARRAY[1, 2], 5)", [],
+          "TestArrayCombinationsFunction.java:~50"),
+    _case("combinations_1", "combinations(ARRAY[1, 2], 1)", [[1], [2]],
+          "TestArrayCombinationsFunction.java:~30"),
+    _case("multimap_groups", "multimap_from_entries(ARRAY[(1, 'x'), (1, 'y'), (2, 'z')])[1]",
+          ["x", "y"], "MultimapFromEntriesFunction (TestMapOperators)"),
+    _case("datasize_zero", "parse_presto_data_size('0B')", Decimal("0"), "TestDataSizeFunctions.java:31"),
+    _case("datasize_frac_floor", "parse_presto_data_size('1.9B')", Decimal("1"), "TestDataSizeFunctions.java:34"),
+    _case("datasize_kb", "parse_presto_data_size('2.2kB')", Decimal("2252"), "TestDataSizeFunctions.java:35"),
+    _case("datasize_kb_3dp", "parse_presto_data_size('2.234kB')", Decimal("2287"), "TestDataSizeFunctions.java:38"),
+    _case("datasize_mb", "parse_presto_data_size('3MB')", Decimal("3145728"), "TestDataSizeFunctions.java:39"),
+    _case("datasize_gb", "parse_presto_data_size('4GB')", Decimal("4294967296"), "TestDataSizeFunctions.java:40"),
+    _case("duration_minutes", "CAST(parse_duration('5m') AS VARCHAR)",
+          "INTERVAL '0 00:05:00' DAY TO SECOND", f"{D} testParseDuration"),
+    _case("duration_frac_hours", "CAST(parse_duration('1.5h') AS VARCHAR)",
+          "INTERVAL '0 01:30:00' DAY TO SECOND", f"{D} testParseDuration"),
+    _case("duration_millis", "CAST(parse_duration('500ms') AS VARCHAR)",
+          "INTERVAL '0 00:00:00.5' DAY TO SECOND", f"{D} testParseDuration"),
+]
+
 ERROR_CASES = [
     _err("chr_negative", "CHR(-1)", f"{S}:84", "Not a valid Unicode code point"),
     _err("chr_too_big", "CHR(1234567)", f"{S}:85", "Not a valid Unicode code point"),
