@@ -61,14 +61,18 @@ def word_stem(words: pd.Series) -> pd.Series:
 
 @F.pandas_udf(StringType())
 def hmac_sha256(data: pd.Series, key: pd.Series) -> pd.Series:
-    """hmac_sha256(varbinary, key) -> hex (HmacFunctions.java)."""
+    """hmac_sha256(varbinary, key) -> hex (HmacFunctions.java).
+    Accepts str (DataFrame-path convenience) or bytes (SQL front
+    door passes real BINARY columns)."""
+
+    def b(v):
+        return v if isinstance(v, (bytes, bytearray)) else v.encode()
+
     return pd.Series(
         [
             None
             if d is None or k is None
-            else hmac_mod.new(
-                k.encode(), d.encode(), hashlib.sha256
-            ).hexdigest()
+            else hmac_mod.new(b(k), b(d), hashlib.sha256).hexdigest()
             for d, k in zip(data, key)
         ]
     )
@@ -453,6 +457,21 @@ def normalize_nfc(s: pd.Series) -> pd.Series:
 
     return s.map(
         lambda v: None if v is None else unicodedata.normalize("NFC", v)
+    )
+
+
+@F.pandas_udf(StringType())
+def unicode_normalize(form: pd.Series, s: pd.Series) -> pd.Series:
+    """Form-parameterized normalize (StringFunctions.java normalize
+    accepts NFC/NFD/NFKC/NFKD as a bare keyword — the SQL front door
+    lowers it to a string argument here)."""
+    import unicodedata
+
+    return pd.Series(
+        [
+            None if v is None else unicodedata.normalize(f, v)
+            for f, v in zip(form, s)
+        ]
     )
 
 

@@ -164,7 +164,7 @@ def _unmask(sql: str, stash: list[tuple[str, str]]) -> str:
 # string placeholder) with stash access for the DECIMAL digits.
 _TYPED_LIT = re.compile(
     "\\b(BIGINT|INTEGER|INT|SMALLINT|TINYINT|DECIMAL|DOUBLE|REAL"
-    "|BOOLEAN|VARCHAR|CHAR)\\s+(\x00s(\\d+)\x00)",
+    "|BOOLEAN|VARCHAR|CHAR|JSON)\\s+(\x00s(\\d+)\x00)",
     re.IGNORECASE,
 )
 
@@ -173,6 +173,11 @@ def _rewrite_typed_literals(masked: str, stash) -> str:
     def repl(m: re.Match) -> str:
         typ = m.group(1).upper()
         ph = m.group(2)
+        if typ == "JSON":
+            # JSON 'text' canonicalizes like json_parse
+            # (JsonOperators.java castFromVarchar) — variant round
+            # trip normalizes whitespace/key order/number form.
+            return f"to_json(parse_json({ph}))"
         if typ == "INT":
             typ = "INTEGER"
         elif typ in ("VARCHAR", "CHAR"):
@@ -1075,6 +1080,8 @@ PRESTO_FN_RENAMES: dict[str, str] = {
     # (NULL when undecided with null elements present)
     "any_match": "exists",
     "all_match": "forall",
+    # Teradata-compat index() == strpos (StringFunctions.java index)
+    "index": "instr",
     # Spark's split IS regex-based (Presto's split is literal — that
     # one goes through sql/scalar_templates.py which regex-quotes the
     # delimiter before this rename pass runs).
@@ -1544,7 +1551,33 @@ def presto_to_spark_sql(sql: str) -> str:
     return _unmask(masked, stash)
 
 
+# Pandas UDFs for the Presto scalars with no Spark-expression twin
+# (SURVEY §2.9 gap list). Registered once per session so they are
+# plain SQL citizens through the front door — mirrors a Presto
+# plugin's getFunctions() registration.
+_UDF_SESSIONS: set[int] = set()
+
+
+def _ensure_sql_udfs(spark: SparkSession) -> None:
+    key = id(spark)
+    if key in _UDF_SESSIONS:
+        return
+    from presto_0_235_spark.functions.udfs import (
+        hmac_sha256,
+        unicode_normalize,
+        word_stem,
+    )
+
+    spark.udf.register("word_stem", word_stem)
+    # hex-returning helper; the hmac_sha256 template restores
+    # Presto's VARBINARY return via unhex
+    spark.udf.register("hmac_sha256_hex", hmac_sha256)
+    spark.udf.register("unicode_normalize", unicode_normalize)
+    _UDF_SESSIONS.add(key)
+
+
 def run_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Execute Presto-dialect SQL against the registered catalog."""
     ensure_session_defaults(spark)
+    _ensure_sql_udfs(spark)
     return spark.sql(presto_to_spark_sql(sql))

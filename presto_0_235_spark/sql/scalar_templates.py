@@ -129,6 +129,13 @@ _TEMPLATE_NAMES = (
     "ngrams",
     "json_size",
     "json_array_contains",
+    "json_parse",
+    "json_format",
+    "split_to_map",
+    "to_utf8",
+    "from_utf8",
+    "normalize",
+    "hmac_sha256",
     "md5",
     "sha1",
     "sha256",
@@ -552,6 +559,59 @@ def _rewrite_one(
             f"i -> slice({arr}, i, {n}))"
         )
 
+    if name == "split_to_map" and len(a) == 3:
+        # Literal delimiters (SplitToMapFunction.java uses indexOf);
+        # Spark str_to_map's are regexes — quote them. Presto maps ''
+        # to {} where str_to_map gives {'': null}.
+        quoted = []
+        for arg in (args[1], args[2]):
+            lit = _lit_of(arg, stash)
+            if lit is not None:
+                quoted.append(_stash_lit(
+                    stash, re.sub(r"([\\.\[\]{}()*+?^$|-])", r"\\\1", lit)
+                ))
+            else:
+                q, e = _stash_lit(stash, "\\Q"), _stash_lit(stash, "\\E")
+                quoted.append(f"concat({q}, ({arg.strip()}), {e})")
+        empty = _stash_lit(stash, "")
+        return (
+            f"(CASE WHEN {a[0]} = {empty} THEN map() "
+            f"ELSE str_to_map({a[0]}, {quoted[0]}, {quoted[1]}) END)"
+        )
+
+    if name == "to_utf8" and len(a) == 1:
+        return f"encode({a[0]}, {_stash_lit(stash, 'UTF-8')})"
+
+    if name == "from_utf8" and len(a) == 1:
+        # Presto from_utf8 replaces invalid sequences with U+FFFD —
+        # decode('UTF-8') raises under ANSI; try_ keeps the lenient
+        # contract close (NULL instead of replacement on bad input).
+        return f"decode({a[0]}, {_stash_lit(stash, 'UTF-8')})"
+
+    if name == "normalize" and len(a) in (1, 2):
+        # normalize(s[, NFC|NFD|NFKC|NFKD]) — the form is a BARE
+        # KEYWORD in Presto's grammar; lower it to a string arg of
+        # the registered unicode_normalize pandas UDF.
+        if len(a) == 1:
+            form = _stash_lit(stash, "NFC")
+        else:
+            kw = args[1].strip().upper()
+            if kw not in ("NFC", "NFD", "NFKC", "NFKD"):
+                return None
+            form = _stash_lit(stash, kw)
+        return f"unicode_normalize({form}, {a[0]})"
+
+    if name == "json_parse" and len(a) == 1:
+        # Presto json_parse canonicalizes (whitespace, key order,
+        # number form — JsonOperators.java). Spark 4's variant round
+        # trip has the same canonical form; invalid JSON raises in
+        # both. The engine's JSON type is the canonical STRING.
+        return f"to_json(parse_json({a[0]}))"
+
+    if name == "json_format" and len(a) == 1:
+        # Identity in the canonical-string JSON representation.
+        return f"CAST({a[0]} AS STRING)"
+
     if name == "json_size" and len(a) == 2:
         # Object -> #keys, array -> #elements, scalar -> 0, absent
         # path -> NULL (JsonFunctions.java jsonSize).
@@ -648,6 +708,11 @@ def _rewrite_one(
             return _raise(bad, "INTERVAL DAY TO SECOND")
         total = float(m.group(1)) * secs_per[m.group(2)]
         return f"make_dt_interval(0, 0, 0, CAST({total!r} AS DECIMAL(18, 6)))"
+
+    if name == "hmac_sha256" and len(a) == 2:
+        # VARBINARY return like HmacFunctions.java (the registered
+        # UDF returns hex for the DataFrame path).
+        return f"unhex(hmac_sha256_hex({a[0]}, {a[1]}))"
 
     if name in ("md5", "sha1", "sha256", "sha512") and len(a) == 1:
         # Presto's digests return VARBINARY (VarbinaryFunctions.java);

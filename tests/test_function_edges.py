@@ -584,6 +584,45 @@ VALUE_CASES += [
           "INTERVAL '0 01:30:00' DAY TO SECOND", f"{D} testParseDuration"),
     _case("duration_millis", "CAST(parse_duration('500ms') AS VARCHAR)",
           "INTERVAL '0 00:00:00.5' DAY TO SECOND", f"{D} testParseDuration"),
+    # ---- json_parse canonicalization (type/TestJsonOperators.java) --------
+    _case("json_parse_normalizes_ws", "json_format(json_parse('[1, 2, 3]'))", "[1,2,3]",
+          "type/TestJsonOperators.java:~340"),
+    _case("json_parse_sorts_keys", """json_parse('{ "b" : 2, "a": 1 }')""", '{"a":1,"b":2}',
+          "type/TestJsonOperators.java:~345"),
+    _case("json_parse_eq_canonical",
+          """json_parse('{ "a": "1.1" , "c": { "d": "314E-2" }}') = """
+          """json_parse('{ "a" : "1.1" , "c" : { "d" : "314E-2" }}')""",
+          True, "type/TestJsonOperators.java:348"),
+    _case("json_literal_canonical", "json_format(JSON '[1, 2,  3]')", "[1,2,3]",
+          "type/TestJsonOperators.java:~100 (JSON typeConstructor)"),
+    _case("json_number_canonical", "json_parse('[314E-2]')", "[3.14]",
+          "type/TestJsonOperators.java:~350"),
+]
+
+# ---- batch 6: split_to_map / utf8 / normalize / hmac / index --------------
+VALUE_CASES += [
+    _case("split_to_map_basic", "split_to_map('a=1,b=2', ',', '=')",
+          {"a": "1", "b": "2"}, f"{S} testSplitToMap"),
+    _case("split_to_map_empty", "split_to_map('', ',', '=')", {},
+          f"{S} testSplitToMap"),
+    _case("split_to_map_dot_delims", "split_to_map('a.1;b.2', ';', '.')",
+          {"a": "1", "b": "2"}, f"{S} testSplitToMap (regex chars quoted)"),
+    _case("to_utf8_hex", "to_hex(to_utf8('abc'))", "616263", f"{S} testToUtf8"),
+    _case("utf8_roundtrip", "from_utf8(to_utf8('abc'))", "abc", f"{S} testFromUtf8"),
+    _case("normalize_default_nfc", "normalize('schön') = 'schön'", True,
+          f"{S} testNormalize"),
+    _case("normalize_nfkc_circled", "normalize('①', NFKC)", "1",
+          f"{S} testNormalize (NFKC compat digit)"),
+    _case("index_teradata", "index('abcd', 'cd')", 3, f"{S} index (Teradata alias of strpos)"),
+    _case("hmac_sha256_rfc",
+          "to_hex(hmac_sha256(CAST('abc' AS VARBINARY), CAST('key' AS VARBINARY)))",
+          "9C196E32DC0175F86F4B1CB89289D6619DE6BEE699E4C378E68309ED97A1A6AB",
+          "TestHmacFunctions (python-hmac cross-check)"),
+]
+
+ERROR_CASES2 = [
+    _err("json_parse_invalid", "json_parse('not json')",
+         "type/TestJsonOperators.java:~360"),
 ]
 
 ERROR_CASES = [
@@ -617,7 +656,7 @@ ERROR_CASES = [
     _err("format_pct_D", "date_format(DATE '2001-01-09', '%D')", f"{D}:797", "%D not supported"),
     _err("format_pct_w", "date_format(DATE '2001-01-09', '%w')", f"{D}:801", "%w not supported"),
     _err("format_pct_X", "date_format(DATE '2001-01-09', '%X')", f"{D}:802", "%X not supported"),
-]
+] + ERROR_CASES2
 
 
 def _canon(v):
