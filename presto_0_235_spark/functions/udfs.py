@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     FloatType,
     LongType,
@@ -458,6 +459,102 @@ def normalize_nfc(s: pd.Series) -> pd.Series:
     return s.map(
         lambda v: None if v is None else unicodedata.normalize("NFC", v)
     )
+
+
+@F.pandas_udf(StringType())
+def hmac_any_hex(algo: pd.Series, data: pd.Series, key: pd.Series) -> pd.Series:
+    """Algorithm-parameterized HMAC -> hex (HmacFunctions.java
+    hmacMd5/hmacSha1/hmacSha512 — the SQL front door lowers each name
+    to this with the algo as a string arg)."""
+
+    def b(v):
+        return v if isinstance(v, (bytes, bytearray)) else v.encode()
+
+    return pd.Series(
+        [
+            None
+            if d is None or k is None
+            else hmac_mod.new(b(k), b(d), getattr(hashlib, a)).hexdigest()
+            for a, d, k in zip(algo, data, key)
+        ]
+    )
+
+
+@F.pandas_udf(DoubleType())
+def normal_cdf(mean: pd.Series, sd: pd.Series, x: pd.Series) -> pd.Series:
+    """normal_cdf(mean, sd, value) (MathFunctions.java normalCdf —
+    0.5 * erfc(-(x-mean)/(sd*sqrt(2))), stdlib math.erfc)."""
+    import math
+
+    return pd.Series(
+        [
+            None
+            if any(v is None for v in (m, s, v_))
+            else 0.5 * math.erfc(-(v_ - m) / (s * math.sqrt(2.0)))
+            for m, s, v_ in zip(mean, sd, x)
+        ]
+    )
+
+
+@F.pandas_udf(StringType())
+def ip_prefix_str(addr: pd.Series, bits: pd.Series) -> pd.Series:
+    """ip_prefix(ip, prefix_bits) -> canonical 'net/bits'
+    (IpPrefixFunctions.java; v4 and v6 via stdlib ipaddress). The
+    engine renders IPADDRESS/IPPREFIX as canonical strings."""
+    import ipaddress
+
+    return pd.Series(
+        [
+            None
+            if a is None or b is None
+            else ipaddress.ip_network(f"{a}/{int(b)}", strict=False)
+            .with_prefixlen
+            for a, b in zip(addr, bits)
+        ]
+    )
+
+
+@F.pandas_udf(StringType())
+def ip_subnet_min_str(prefix: pd.Series) -> pd.Series:
+    """ip_subnet_min(prefix) -> first address of the subnet."""
+    import ipaddress
+
+    return prefix.map(
+        lambda p: None
+        if p is None
+        else str(ipaddress.ip_network(p, strict=False).network_address)
+    )
+
+
+@F.pandas_udf(StringType())
+def ip_subnet_max_str(prefix: pd.Series) -> pd.Series:
+    """ip_subnet_max(prefix) -> last address of the subnet."""
+    import ipaddress
+
+    return prefix.map(
+        lambda p: None
+        if p is None
+        else str(ipaddress.ip_network(p, strict=False).broadcast_address)
+    )
+
+
+@F.pandas_udf(BooleanType())
+def is_subnet_of_udf(prefix: pd.Series, value: pd.Series) -> pd.Series:
+    """is_subnet_of(prefix, ip) / is_subnet_of(prefix, prefix2)
+    (IpPrefixFunctions.java) — the 2nd arg may be a bare address
+    (treated as a /32 or /128 host net)."""
+    import ipaddress
+
+    def one(p, v):
+        if p is None or v is None:
+            return None
+        net = ipaddress.ip_network(p, strict=False)
+        inner = ipaddress.ip_network(
+            v if "/" in v else f"{v}/{net.max_prefixlen}", strict=False
+        )
+        return inner.subnet_of(net)
+
+    return pd.Series([one(p, v) for p, v in zip(prefix, value)])
 
 
 @F.pandas_udf(StringType())

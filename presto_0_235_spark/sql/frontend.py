@@ -1562,17 +1562,35 @@ def _ensure_sql_udfs(spark: SparkSession) -> None:
     key = id(spark)
     if key in _UDF_SESSIONS:
         return
-    from presto_0_235_spark.functions.udfs import (
-        hmac_sha256,
-        unicode_normalize,
-        word_stem,
-    )
+    from presto_0_235_spark.functions import udfs as U
 
-    spark.udf.register("word_stem", word_stem)
-    # hex-returning helper; the hmac_sha256 template restores
-    # Presto's VARBINARY return via unhex
-    spark.udf.register("hmac_sha256_hex", hmac_sha256)
-    spark.udf.register("unicode_normalize", unicode_normalize)
+    spark.udf.register("word_stem", U.word_stem)
+    # hex-returning helpers; templates restore Presto's VARBINARY
+    # returns via unhex
+    spark.udf.register("hmac_sha256_hex", U.hmac_sha256)
+    spark.udf.register("hmac_any_hex", U.hmac_any_hex)
+    spark.udf.register("unicode_normalize", U.unicode_normalize)
+    # CDF family (MathFunctions.java) — Arrow-batched numerics
+    spark.udf.register("normal_cdf", U.normal_cdf)
+    spark.udf.register("inverse_normal_cdf", U.inverse_normal_cdf)
+    spark.udf.register("beta_cdf", U.beta_cdf)
+    spark.udf.register("inverse_beta_cdf", U.inverse_beta_cdf)
+    spark.udf.register("binomial_cdf", U.binomial_cdf)
+    spark.udf.register("chi_squared_cdf", U.chi_squared_cdf)
+    spark.udf.register("inverse_chi_squared_cdf", U.inverse_chi_squared_cdf)
+    spark.udf.register("poisson_cdf", U.poisson_cdf)
+    spark.udf.register("inverse_poisson_cdf", U.inverse_poisson_cdf)
+    # IEEE754 bit codecs (VarbinaryFunctions.java)
+    spark.udf.register("to_ieee754_64", U._to_ieee754_64_raw)
+    spark.udf.register("from_ieee754_64", U._from_ieee754_64_raw)
+    spark.udf.register("to_ieee754_32", U._to_ieee754_32_raw)
+    spark.udf.register("from_ieee754_32", U._from_ieee754_32_raw)
+    # IP family (IpPrefixFunctions.java; IPADDRESS/IPPREFIX rendered
+    # as canonical strings)
+    spark.udf.register("ip_prefix", U.ip_prefix_str)
+    spark.udf.register("ip_subnet_min", U.ip_subnet_min_str)
+    spark.udf.register("ip_subnet_max", U.ip_subnet_max_str)
+    spark.udf.register("is_subnet_of", U.is_subnet_of_udf)
     _UDF_SESSIONS.add(key)
 
 

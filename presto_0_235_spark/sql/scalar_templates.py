@@ -136,6 +136,37 @@ _TEMPLATE_NAMES = (
     "from_utf8",
     "normalize",
     "hmac_sha256",
+    "hmac_md5",
+    "hmac_sha1",
+    "hmac_sha512",
+    "fail",
+    "from_iso8601_date",
+    "from_iso8601_timestamp",
+    "to_iso8601",
+    "millisecond",
+    "timezone_hour",
+    "timezone_minute",
+    "current_timezone",
+    "to_base64url",
+    "from_base64url",
+    "to_big_endian_32",
+    "from_big_endian_32",
+    "strrpos",
+    "cosine_similarity",
+    "is_json_scalar",
+    "json_array_get",
+    "wilson_interval_lower",
+    "wilson_interval_upper",
+    "split_to_multimap",
+    "normal_cdf",
+    "inverse_normal_cdf",
+    "beta_cdf",
+    "inverse_beta_cdf",
+    "binomial_cdf",
+    "chi_squared_cdf",
+    "inverse_chi_squared_cdf",
+    "poisson_cdf",
+    "inverse_poisson_cdf",
     "md5",
     "sha1",
     "sha256",
@@ -708,6 +739,171 @@ def _rewrite_one(
             return _raise(bad, "INTERVAL DAY TO SECOND")
         total = float(m.group(1)) * secs_per[m.group(2)]
         return f"make_dt_interval(0, 0, 0, CAST({total!r} AS DECIMAL(18, 6)))"
+
+    if name == "fail" and len(a) in (1, 2):
+        # FailureFunction.java — 2-arg form carries an error code;
+        # the message is the observable contract.
+        return f"raise_error({a[-1]})"
+
+    if name == "from_iso8601_date" and len(a) == 1:
+        return f"to_date({a[0]})"
+
+    if name == "from_iso8601_timestamp" and len(a) == 1:
+        return f"to_timestamp({a[0]})"
+
+    if name == "to_iso8601" and len(a) == 1:
+        # DATE literal -> date form; everything else the timestamp
+        # form (runtime DATE columns would get T00:00:00.000 — the
+        # documented static-rewrite limitation).
+        if _DATE_LIT.match(args[0].strip()):
+            return f"date_format({a[0]}, {_stash_lit(stash, 'yyyy-MM-dd')})"
+        return (
+            f"date_format({a[0]}, "
+            f"{_stash_lit(stash, chr(39).join(['yyyy-MM-dd', 'T', 'HH:mm:ss.SSS']))})"
+        )
+
+    if name == "millisecond" and len(a) == 1:
+        return (
+            f"CAST((extract(SECOND FROM {a[0]}) % 1) * 1000 AS BIGINT)"
+        )
+
+    if name in ("timezone_hour", "timezone_minute") and len(a) == 1:
+        # Engine convention: naive timestamps denote UTC instants
+        # (see at_timezone/with_timezone renames) — the session zone
+        # offset is always 0.
+        return (
+            f"(CASE WHEN {a[0]} IS NULL THEN CAST(NULL AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+
+    if name == "current_timezone" and len(a) in (0, 1):
+        return _stash_lit(stash, "UTC")
+
+    if name == "to_base64url" and len(a) == 1:
+        plus, dash = _stash_lit(stash, "+/"), _stash_lit(stash, "-_")
+        return f"translate(base64({a[0]}), {plus}, {dash})"
+
+    if name == "from_base64url" and len(a) == 1:
+        plus, dash = _stash_lit(stash, "+/"), _stash_lit(stash, "-_")
+        return f"unbase64(translate({a[0]}, {dash}, {plus}))"
+
+    if name == "to_big_endian_32" and len(a) == 1:
+        z = _stash_lit(stash, "0")
+        return (
+            f"unhex(lpad(hex(CAST(CAST({a[0]} AS INT) AS BIGINT) "
+            f"& 4294967295), 8, {z}))"
+        )
+
+    if name == "from_big_endian_32" and len(a) == 1:
+        u = f"CAST(conv(hex({a[0]}), 16, 10) AS BIGINT)"
+        return (
+            f"CAST((CASE WHEN {u} >= 2147483648 THEN {u} - 4294967296 "
+            f"ELSE {u} END) AS INT)"
+        )
+
+    if name == "strrpos" and len(a) == 2:
+        # Last occurrence, 1-based, 0 when absent
+        # (StringFunctions.java stringReversePosition).
+        s, sub = a
+        found = f"instr(reverse({s}), reverse({sub}))"
+        return (
+            f"(CASE WHEN {found} = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(length({s}) - {found} - length({sub}) + 2 AS BIGINT) END)"
+        )
+
+    if name == "cosine_similarity" and len(a) == 2:
+        # Sparse map vectors (MathFunctions.java cosineSimilarity).
+        m1, m2 = a
+        dot = (
+            f"aggregate(map_keys({m1}), CAST(0 AS DOUBLE), (s, k) -> "
+            f"s + coalesce(try_element_at({m2}, k), CAST(0 AS DOUBLE)) "
+            f"* try_element_at({m1}, k))"
+        )
+        n1 = f"sqrt(aggregate(map_values({m1}), CAST(0 AS DOUBLE), (s, v) -> s + v * v))"
+        n2 = f"sqrt(aggregate(map_values({m2}), CAST(0 AS DOUBLE), (s, v) -> s + v * v))"
+        return f"({dot} / ({n1} * {n2}))"
+
+    if name == "is_json_scalar" and len(a) == 1:
+        # true for JSON scalars, false for arrays/objects; invalid
+        # JSON raises (JsonFunctions.java isJsonScalar). parse_json
+        # supplies the validity raise; the first non-space char
+        # classifies.
+        j = a[0]
+        bracket = _stash_lit(stash, "^[\\[{]")
+        return (
+            f"(CASE WHEN {j} IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"WHEN parse_json({j}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE NOT (ltrim({j}) RLIKE {bracket}) END)"
+        )
+
+    if name == "json_array_get" and len(a) == 2:
+        # Literal non-negative index only (get_json_object needs a
+        # foldable path; Presto's negative-from-end form declines).
+        try:
+            idx = int(args[1].strip())
+        except ValueError:
+            return None
+        if idx < 0:
+            return None
+        path = _stash_lit(stash, f"$[{idx}]")
+        return f"get_json_object({a[0]}, {path})"
+
+    if name in (
+        "normal_cdf", "inverse_normal_cdf", "beta_cdf",
+        "inverse_beta_cdf", "binomial_cdf", "chi_squared_cdf",
+        "inverse_chi_squared_cdf", "poisson_cdf", "inverse_poisson_cdf",
+    ) and len(a) in (2, 3):
+        # The registered Arrow UDFs expect float64 series — SQL
+        # integer/decimal literals arrive as int64/Decimal objects
+        # otherwise (the integral params are re-int()ed inside).
+        cast_args = ", ".join(f"CAST({x} AS DOUBLE)" for x in a)
+        return f"{name}({cast_args})"
+
+    if name in ("hmac_md5", "hmac_sha1", "hmac_sha512") and len(a) == 2:
+        algo = _stash_lit(stash, name.removeprefix("hmac_"))
+        return f"unhex(hmac_any_hex({algo}, {a[0]}, {a[1]}))"
+
+    if name in ("wilson_interval_lower", "wilson_interval_upper") and len(a) == 3:
+        # WilsonInterval.java closed form.
+        s_, n_, z_ = (
+            f"CAST({a[0]} AS DOUBLE)",
+            f"CAST({a[1]} AS DOUBLE)",
+            f"CAST({a[2]} AS DOUBLE)",
+        )
+        sign = "-" if name.endswith("lower") else "+"
+        p_hat = f"({s_} / {n_})"
+        z2 = f"({z_} * {z_})"
+        center = f"({p_hat} + {z2} / (2 * {n_}))"
+        margin = (
+            f"({z_} * sqrt({p_hat} * (1 - {p_hat}) / {n_} "
+            f"+ {z2} / (4 * {n_} * {n_})))"
+        )
+        return f"(({center} {sign} {margin}) / (1 + {z2} / {n_}))"
+
+    if name == "split_to_multimap" and len(a) == 3:
+        # map K -> array of ALL values (SplitToMultimapFunction.java).
+        quoted = []
+        for arg in (args[1], args[2]):
+            lit = _lit_of(arg, stash)
+            if lit is not None:
+                quoted.append(_stash_lit(
+                    stash, re.sub(r"([\\.\[\]{}()*+?^$|-])", r"\\\1", lit)
+                ))
+            else:
+                q, e = _stash_lit(stash, "\\Q"), _stash_lit(stash, "\\E")
+                quoted.append(f"concat({q}, ({arg.strip()}), {e})")
+        entries = (
+            f"transform(split({a[0]}, {quoted[0]}), p -> named_struct("
+            f"{_stash_lit(stash, 'k')}, element_at(split(p, {quoted[1]}), 1), "
+            f"{_stash_lit(stash, 'v')}, element_at(split(p, {quoted[1]}), 2)))"
+        )
+        keys = f"array_distinct(transform({entries}, x -> x.k))"
+        empty = _stash_lit(stash, "")
+        return (
+            f"(CASE WHEN {a[0]} = {empty} THEN map() "
+            f"ELSE map_from_arrays({keys}, transform({keys}, "
+            f"k -> transform(filter({entries}, x -> x.k <=> k), x -> x.v))) END)"
+        )
 
     if name == "hmac_sha256" and len(a) == 2:
         # VARBINARY return like HmacFunctions.java (the registered

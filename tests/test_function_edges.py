@@ -620,9 +620,57 @@ VALUE_CASES += [
           "TestHmacFunctions (python-hmac cross-check)"),
 ]
 
+# ---- batch 7: ISO8601/tz/base64url/BE32/strrpos/CDF/wilson/ip/json --------
+VALUE_CASES += [
+    _case("iso_date_parse", "from_iso8601_date('2001-08-22')", date(2001, 8, 22), f"{D} testFromISO8601"),
+    _case("iso_ts_parse", "from_iso8601_timestamp('2001-08-22T03:04:05.321')", datetime(2001, 8, 22, 3, 4, 5, 321000), f"{D} testFromISO8601"),
+    _case("iso_format_date", "to_iso8601(DATE '2001-08-22')", "2001-08-22", f"{D} testToISO8601"),
+    _case("iso_format_ts", "to_iso8601(TIMESTAMP '2001-08-22 03:04:05.321')", "2001-08-22T03:04:05.321", f"{D} testToISO8601"),
+    _case("dt_millisecond", "millisecond(TIMESTAMP '2001-08-22 03:04:05.321')", 321, f"{D}:~290"),
+    _case("dt_tz_hour_utc", "timezone_hour(TIMESTAMP '2001-08-22 03:04:05.321')", 0, f"{D} (engine UTC-naive convention)"),
+    _case("dt_current_tz", "current_timezone()", "UTC", f"{D} (engine UTC-naive convention)"),
+    _case("b64url_encode", "to_base64url(CAST('abc?/~' AS VARBINARY))", "YWJjPy9-", f"{V}:124"),
+    _case("b64url_roundtrip", "CAST(from_base64url(to_base64url(CAST('a+b/c' AS VARBINARY))) AS VARCHAR)", "a+b/c", f"{V}:~130"),
+    _case("be32_neg", "to_hex(to_big_endian_32(-2))", "FFFFFFFE", f"{V}:~550"),
+    _case("be32_roundtrip", "from_big_endian_32(to_big_endian_32(-98765))", -98765, f"{V}:~552"),
+    _case("be32_max", "from_big_endian_32(to_big_endian_32(2147483647))", 2147483647, f"{V}:~554"),
+    _case("strrpos_run", "strrpos('aaa', 'a')", 3, f"{S}:~300"),
+    _case("strrpos_found", "strrpos('foobarfoo', 'foo')", 7, f"{S}:~302"),
+    _case("strrpos_missing", "strrpos('foobarfoo', 'zz')", 0, f"{S}:~304"),
+    _case("cosine_sim_maps",
+          "cosine_similarity(MAP(ARRAY['a','b'], ARRAY[1.0E0, 2.0E0]), MAP(ARRAY['a'], ARRAY[2.0E0]))",
+          2.0 / (math.sqrt(5.0) * 2.0), f"{M} testCosineSimilarity"),
+    _case("json_scalar_num", "is_json_scalar('1')", True, f"{J}:40"),
+    _case("json_scalar_str", """is_json_scalar('"str"')""", True, f"{J}:41"),
+    _case("json_scalar_arr", "is_json_scalar('[1, 2, 3]')", False, f"{J}:43"),
+    _case("json_scalar_nulltext", "is_json_scalar('null')", True, f"{J}:38"),
+    _case("json_scalar_null", "is_json_scalar(null)", None, f"{J}:32"),
+    _case("json_array_get_mid", """json_array_get('["a", "b", "c"]', 1)""", "b", f"{J} testJsonArrayGet"),
+    _case("hmac_md5_pin", "to_hex(hmac_md5(CAST('abc' AS VARBINARY), CAST('key' AS VARBINARY)))",
+          "D2FE98063F876B03193AFB49B4979591", "TestHmacFunctions (python-hmac cross-check)"),
+    _case("wilson_lower_ref", "wilson_interval_lower(1250, 1310, 1.96E0)", 0.9414883725395894, f"{M} testWilsonInterval"),
+    _case("wilson_upper_ref", "wilson_interval_upper(1250, 1310, 1.96E0)", 0.9642524717143908, f"{M} testWilsonInterval"),
+    _case("split_to_multimap_groups", "split_to_multimap('a=1,a=2,b=3', ',', '=')",
+          {"a": ["1", "2"], "b": ["3"]}, f"{S} testSplitToMultimap"),
+    _case("normal_cdf_196", "normal_cdf(0, 1, 1.96)", 0.9750021048517795, f"{M} testNormalCdf"),
+    _case("inv_normal_cdf_975", "inverse_normal_cdf(0, 1, 0.975)", 1.959963986120195, f"{M} testInverseNormalCdf"),
+    _case("beta_cdf_ref", "beta_cdf(3, 3.6, 0.3)", 0.21764809997679909, f"{M} testBetaCdf"),
+    _case("ieee754_64_roundtrip", "from_ieee754_64(to_ieee754_64(3.14))", 3.14, f"{V} testToIEEE754Binary64"),
+    _case("ieee754_32_bits", "to_hex(to_ieee754_32(CAST(1.0 AS REAL)))", "3F800000", f"{V} testToIEEE754Binary32"),
+    _case("ip_prefix_v4", "ip_prefix('192.168.255.255', 9)", "192.128.0.0/9", "TestIpPrefixFunctions.java:~35"),
+    _case("ip_prefix_v6", "ip_prefix('2001:0db8:85a3:0001:0001:8a2e:0370:7334', 48)", "2001:db8:85a3::/48", "TestIpPrefixFunctions.java:~50"),
+    _case("ip_subnet_min_v4", "ip_subnet_min('192.64.0.0/9')", "192.0.0.0", "TestIpPrefixFunctions.java:~70"),
+    _case("ip_subnet_max_v4", "ip_subnet_max('192.64.0.0/9')", "192.127.255.255", "TestIpPrefixFunctions.java:~72"),
+    _case("is_subnet_of_ip", "is_subnet_of('192.168.0.0/16', '192.168.1.1')", True, "TestIpPrefixFunctions.java:~90"),
+    _case("is_subnet_of_prefix", "is_subnet_of('192.168.0.0/16', '192.168.1.0/24')", True, "TestIpPrefixFunctions.java:~92"),
+    _case("is_subnet_of_outside", "is_subnet_of('192.168.0.0/16', '10.0.0.1')", False, "TestIpPrefixFunctions.java:~94"),
+]
+
 ERROR_CASES2 = [
     _err("json_parse_invalid", "json_parse('not json')",
          "type/TestJsonOperators.java:~360"),
+    _err("fail_raises", "fail('explicit failure message')",
+         "TestFailureFunction.java", "explicit failure message"),
 ]
 
 ERROR_CASES = [
