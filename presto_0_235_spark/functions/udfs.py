@@ -15,6 +15,8 @@ import math
 import sys
 
 import pandas as pd
+
+from presto_0_235_spark.functions import xxhash as _xxhash
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -641,4 +643,24 @@ def fnv1a_64(b: pd.Series) -> pd.Series:
     return pd.Series(
         [None if v is None else _fnv64_bytes(bytes(v), True) for v in b],
         dtype="object",
+    )
+
+
+@F.pandas_udf("decimal(20,0)")
+def presto_checksum_term(val: pd.Series, typ: pd.Series) -> pd.Series:
+    """Per-row CHECKSUM contribution
+    (ChecksumAggregationFunction.java:107-115): PRIME64 for null rows,
+    type.hash(value) * PRIME64 otherwise, mod 2^64, as DECIMAL(20,0)
+    so the summing aggregate is exact and wraparound is applied once
+    at the end (the SQL template's % 2^64). ``val`` is the row
+    rendered via CAST(x AS STRING) (hex() for binary) — strings
+    round-trip full-range BIGINT exactly where an Arrow float64
+    batch would not. See functions/xxhash.py for the hash family."""
+    from decimal import Decimal
+
+    return pd.Series(
+        [
+            Decimal(_xxhash.checksum_term(v, t))
+            for v, t in zip(val, typ)
+        ]
     )

@@ -96,8 +96,8 @@ _PRIORITY: tuple[str, ...] = (
     # three TPC-H shapes and union_distinct, so the external gate
     # hash-checks the newest surfaces directly)
     "tpcds_q65_adapted", "io_roundtrip_pagefile",
-    "io_roundtrip_rcbinary", "io_roundtrip_avro",
-    "io_roundtrip_rcfile", "fn_geospatial_union",
+    "io_roundtrip_avro",
+    "io_roundtrip_rcfile",
     "sql_lambda_functions", "sql_quoted_identifiers",
     "fn_geospatial_polygon", "join_spatial_contains",
     "dedup_minhash_lsh", "pipeline_corpus_dedup",
@@ -105,6 +105,14 @@ _PRIORITY: tuple[str, ...] = (
     # r11 rotation: holed-polygon geometry + the quantified-equality
     # lowering (both r10/r11 surfaces, scalar outputs, oracle-backed)
     "fn_geospatial_union_holed", "sql_quantified_equality",
+    # r11 rotation #2 — the aggregate-template surface (Presto
+    # skewness/kurtosis/corr semantics; array_agg ORDER BY, top-N
+    # min/max/max_by lowerings), both scalar-output and
+    # oracle-backed. io_roundtrip_rcbinary and fn_geospatial_union
+    # rotate out (their families stay covered in the prefix by
+    # io_roundtrip_rcfile and fn_geospatial_union_holed /
+    # fn_geospatial_polygon; both remain in the full local artifact).
+    "sql_agg_presto_stats", "sql_agg_array_order",
 )
 
 

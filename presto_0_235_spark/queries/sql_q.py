@@ -1577,3 +1577,176 @@ def sql_tpcds_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines run the identical statement."""
     register_views(spark, sf_dir)
     return run_sql(spark, _SQL_TPCDS_Q9)
+
+
+@register(
+    "sql_agg_presto_stats",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(var_samp(l_discount), 10) AS var_s,
+       ROUND(corr(l_quantity, l_extendedprice), 8) AS c_qp,
+       ROUND(skewness(l_discount) * (COUNT(*) - 2)
+             / sqrt(COUNT(*) * (COUNT(*) - 1.0)), 8) AS skew,
+       ROUND(kurtosis(l_discount), 8) AS kurt
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def sql_agg_presto_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto statistical-aggregate semantics through the SQL front
+    door (r11 aggregate templates, sql/scalar_templates.py): skewness
+    is the POPULATION g1 = sqrt(n)*m3/m2^1.5 with an n<3 NULL guard
+    (CentralMomentsAggregation.java:58-68 — DuckDB's skewness is the
+    bias-corrected G1, hence the oracle's (n-2)/sqrt(n(n-1)) back-
+    conversion), kurtosis is the SAMPLE excess G2
+    (CentralMomentsAggregation.java:70-86 — matches DuckDB directly,
+    while Spark's native kurtosis is population g2), and corr guards
+    ANSI division-by-zero to NULL like the reference's
+    isFinite gate (DoubleCorrelationAggregation.java:49-58)."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT l_returnflag,
+               ROUND(var_samp(l_discount), 10) AS var_s,
+               ROUND(corr(l_quantity, l_extendedprice), 8) AS c_qp,
+               ROUND(skewness(l_discount), 8) AS skew,
+               ROUND(kurtosis(l_discount), 8) AS kurt
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+    )
+
+
+@register(
+    "sql_agg_map_histogram",
+    oracle="""
+SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS npri,
+       CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+            AS BIGINT) AS urgent_cnt,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nstat,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F')
+            AS BIGINT) AS f_orders
+FROM orders
+""",
+)
+def sql_agg_map_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram / multimap_agg through the SQL front door (r11
+    aggregate templates): HistogramAggregation (map value->count,
+    nulls skipped) and MultimapAggregationFunction (key -> all
+    values), probed via gate-safe scalar projections
+    (cardinality/element_at) so the output is canonicalizer-friendly;
+    the oracle states the same facts as plain counts."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT CAST(cardinality(histogram(o_orderpriority)) AS BIGINT)
+                 AS npri,
+               element_at(histogram(o_orderpriority), '1-URGENT')
+                 AS urgent_cnt,
+               CAST(cardinality(multimap_agg(o_orderstatus, o_orderkey))
+                 AS BIGINT) AS nstat,
+               CAST(cardinality(element_at(
+                 multimap_agg(o_orderstatus, o_orderkey), 'F'))
+                 AS BIGINT) AS f_orders
+        FROM orders
+        """,
+    )
+
+
+@register(
+    "sql_agg_array_order",
+    oracle="""
+SELECT n_regionkey,
+       array_to_string(array_agg(n_name ORDER BY n_name DESC), ',')
+         AS names_desc,
+       array_to_string((array_agg(n_name ORDER BY n_name DESC))[1:2], ',')
+         AS top2,
+       array_to_string(
+         (array_agg(n_name ORDER BY n_nationkey DESC))[1:2], ',')
+         AS latest2
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def sql_agg_array_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg ORDER BY (sorted-aggregation comparator lowering),
+    2-arg max(x, n) top-N (MaxNAggregation) and 3-arg max_by
+    (MaxByNAggregation) through the SQL front door — all emitted as
+    array_join'd scalars so the external gate's pandas canonicalizer
+    digests the output shape (the r10 lesson). n_nationkey is unique,
+    so every ordering is tie-free and deterministic."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT n_regionkey,
+               array_join(array_agg(n_name ORDER BY n_name DESC), ',')
+                 AS names_desc,
+               array_join(max(n_name, 2), ',') AS top2,
+               array_join(max_by(n_name, n_nationkey, 2), ',') AS latest2
+        FROM nation
+        GROUP BY n_regionkey
+        """,
+    )
+
+
+@register(
+    "sql_agg_entropy_geomean",
+    oracle="""
+WITH s AS (SELECT SUM(l_linenumber) AS sc,
+                  SUM(l_linenumber * ln(l_linenumber)) AS slc
+           FROM lineitem)
+SELECT ROUND(greatest((ln(sc) - slc / sc) / ln(2), 0), 8) AS ent,
+       (SELECT ROUND(exp(avg(ln(l_quantity))), 8) FROM lineitem) AS gm
+FROM s
+""",
+)
+def sql_agg_entropy_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entropy (EntropyAggregation.java: log-2 entropy of count
+    weights — NOT DuckDB's value-frequency entropy, hence the
+    explicit closed-form oracle) and geometric_mean
+    (DoubleGeometricMeanAggregation: exp(mean(ln x))) through the SQL
+    front door."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT ROUND(entropy(l_linenumber), 8) AS ent,
+               ROUND(geometric_mean(l_quantity), 8) AS gm
+        FROM lineitem
+        """,
+    )
+
+
+@register("sql_agg_checksum", oracle=None)
+def sql_agg_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact CHECKSUM through the SQL front door
+    (ChecksumAggregationFunction.java:107-132: order-independent
+    wrapping sum of type.hash * PRIME64 terms, 8 LE bytes as
+    VARBINARY; type hashes per AbstractLongType.java:137 and XXH64
+    seed 0 — functions/xxhash.py). No cross-engine oracle exists for
+    the engine-specific bytes (rows-only here); the byte pins and the
+    public-spec/Spark cross-validation live in
+    tests/test_checksum_wire.py. Output columns are hex strings plus
+    the order-independence witness: the checksum over a reversed scan
+    must equal the forward one (combine() is addition)."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        WITH fwd AS (SELECT checksum(o_orderkey) c1,
+                            checksum(o_orderpriority) c2,
+                            checksum(o_totalprice) c3
+                     FROM orders),
+             rev AS (SELECT checksum(o_orderkey) c1 FROM
+                     (SELECT o_orderkey FROM orders
+                      ORDER BY o_orderkey DESC))
+        SELECT to_hex(fwd.c1) AS key_checksum,
+               to_hex(fwd.c2) AS pri_checksum,
+               to_hex(fwd.c3) AS price_checksum,
+               fwd.c1 = rev.c1 AS order_independent
+        FROM fwd, rev
+        """,
+    )

@@ -1591,6 +1591,9 @@ def _ensure_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("ip_subnet_min", U.ip_subnet_min_str)
     spark.udf.register("ip_subnet_max", U.ip_subnet_max_str)
     spark.udf.register("is_subnet_of", U.is_subnet_of_udf)
+    # CHECKSUM per-row term (ChecksumAggregationFunction.java; the
+    # aggregate shape lives in sql/scalar_templates.py)
+    spark.udf.register("presto_checksum_term", U.presto_checksum_term)
     _UDF_SESSIONS.add(key)
 
 

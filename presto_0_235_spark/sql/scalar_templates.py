@@ -178,7 +178,107 @@ _TEMPLATE_NAMES = (
     "multimap_from_entries",
     "parse_presto_data_size",
     "parse_duration",
+    # aggregate templates (see the AGGREGATE TEMPLATES section of
+    # _rewrite_one; window/FILTER call sites are left verbatim — the
+    # replacements are CASE-compositions of several aggregates and
+    # cannot carry an OVER clause)
+    "skewness",
+    "kurtosis",
+    "corr",
+    "entropy",
+    "geometric_mean",
+    "bitwise_and_agg",
+    "bitwise_or_agg",
+    "histogram",
+    "map_agg",
+    "multimap_agg",
+    "map_union",
+    "array_agg",
+    "min_by",
+    "max_by",
+    "min",
+    "max",
+    "checksum",
 )
+
+# Aggregate-template names whose replacement is a multi-aggregate
+# composition: a trailing OVER (window), FILTER, or WITHIN GROUP
+# clause cannot be attached to the rewritten form, so those call
+# sites keep Spark-native semantics (documented limitation — the
+# reference corpus exercises the plain aggregate positions).
+_AGG_TEMPLATE_NAMES = frozenset({
+    "skewness", "kurtosis", "corr", "entropy", "geometric_mean",
+    "histogram", "map_agg", "multimap_agg", "map_union", "array_agg",
+    "min_by", "max_by", "min", "max", "checksum",
+})
+_AGG_SUFFIX_RE = re.compile(r"\s*(OVER|FILTER|WITHIN)\b", re.IGNORECASE)
+_TOP_ORDER_BY_RE = re.compile(r"[()]|\bORDER\s+BY\b", re.IGNORECASE)
+
+
+_SORT_ITEM_TAIL = re.compile(
+    r"^(?P<key>.*?)(?:\s+(?P<dir>ASC|DESC))?"
+    r"(?:\s+NULLS\s+(?P<nulls>FIRST|LAST))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_order_by_items(
+    args: list[str],
+) -> tuple[str, list[tuple[str, int, bool]]] | None:
+    """Split ``array_agg``-style args into (value, sort keys).
+
+    ``array_agg(x ORDER BY a, b DESC)`` reaches the template as
+    ``["x ORDER BY a", "b DESC"]`` (the comma split is paren-aware
+    but ORDER BY-blind). Returns the value expression and a list of
+    (key, direction, nulls_last) with Presto's sort-item defaults
+    (ASC, NULLS LAST — PlannerUtils.java:39-51), or None when the
+    shape is not a plain value-plus-ORDER BY call."""
+    first = args[0]
+    m = None
+    depth = 0
+    for tok in re.finditer(r"[()]|\bORDER\s+BY\b", first, re.IGNORECASE):
+        t = tok.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            m = tok
+            break
+    if m is None:
+        return (first.strip(), []) if len(args) == 1 else None
+    value = first[: m.start()].strip()
+    if not value:
+        return None
+    items = [first[m.end():]] + list(args[1:])
+    keys: list[tuple[str, int, bool]] = []
+    for item in items:
+        sm = _SORT_ITEM_TAIL.match(item.strip())
+        if sm is None or not sm.group("key").strip():
+            return None
+        direction = -1 if (sm.group("dir") or "").upper() == "DESC" else 1
+        nulls = (sm.group("nulls") or "LAST").upper()
+        keys.append((sm.group("key").strip(), direction, nulls == "LAST"))
+    return value, keys
+
+
+def _has_agg_modifier(args: list[str]) -> bool:
+    """True when the call carries DISTINCT or a paren-depth-0 ORDER BY
+    inside its argument list — those forms keep their existing
+    lowering paths (frontend's order-by-in-aggregate pass)."""
+    if args and args[0].lstrip().upper().startswith("DISTINCT "):
+        return True
+    for arg in args:
+        depth = 0
+        for m in _TOP_ORDER_BY_RE.finditer(arg):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                return True
+    return False
 
 _SCALAR_CALL = re.compile(
     r"\b(" + "|".join(_TEMPLATE_NAMES) + r")\s*\(", re.IGNORECASE
@@ -951,6 +1051,307 @@ def _rewrite_one(
             f"ELSE {name}({x}) END)"
         )
 
+    # ---- AGGREGATE TEMPLATES ---------------------------------------------
+    # Presto aggregate semantics Spark's twins diverge from, found by
+    # porting the reference's per-aggregate tests
+    # (presto-main/src/test/.../operator/aggregation/). Each template
+    # composes several Spark aggregates; the duplicated aggregate
+    # subexpressions are textually identical, so Catalyst computes
+    # each underlying aggregate once per group.
+
+    if name == "skewness" and len(a) == 1:
+        # CentralMomentsAggregation.java:58-68: n < 3 -> NULL; the
+        # formula sqrt(n)*m3/m2^1.5 matches Spark's exactly, but a
+        # zero-variance group is NaN (Java 0.0/0.0) where Spark
+        # yields NULL. n >= 3 with a NULL Spark result can only mean
+        # zero variance (all-null input falls in the n < 3 branch).
+        x = f"CAST({a[0]} AS DOUBLE)"
+        nan = _stash_lit(stash, "NaN")
+        return (
+            f"(CASE WHEN count({x}) < 3 THEN CAST(NULL AS DOUBLE) "
+            f"WHEN skewness({x}) IS NULL THEN CAST({nan} AS DOUBLE) "
+            f"ELSE skewness({x}) END)"
+        )
+
+    if name == "kurtosis" and len(a) == 1:
+        # CentralMomentsAggregation.java:70-86: Presto returns the
+        # SAMPLE excess kurtosis G2 = (n-1)/((n-2)(n-3)) *
+        # ((n+1)(g2+3) - 3(n-1)) where g2 is Spark's population
+        # excess kurtosis; n < 4 -> NULL; zero variance -> NaN
+        # (Java 0/0).
+        x = f"CAST({a[0]} AS DOUBLE)"
+        n = f"count({x})"
+        ks = f"kurtosis({x})"
+        nan = _stash_lit(stash, "NaN")
+        return (
+            f"(CASE WHEN {n} < 4 THEN CAST(NULL AS DOUBLE) "
+            f"WHEN {ks} IS NULL THEN CAST({nan} AS DOUBLE) "
+            f"ELSE (CAST({n} - 1 AS DOUBLE) / (({n} - 2) * ({n} - 3)))"
+            f" * (({n} + 1) * ({ks} + 3) - 3 * ({n} - 1)) END)"
+        )
+
+    if name == "corr" and len(a) == 2:
+        # DoubleCorrelationAggregation.java:49-58: non-finite
+        # (n < 2 or zero variance) -> NULL. Spark's own corr RAISES
+        # DIVIDE_BY_ZERO under ANSI for a zero-variance side, so the
+        # rewrite computes covar/(sd*sd) directly with a nullif
+        # guard. Presto's state only advances when BOTH inputs are
+        # non-null — the CASE pair-filters each side the same way.
+        px = (
+            f"(CASE WHEN {a[0]} IS NOT NULL AND {a[1]} IS NOT NULL "
+            f"THEN CAST({a[0]} AS DOUBLE) END)"
+        )
+        py = (
+            f"(CASE WHEN {a[0]} IS NOT NULL AND {a[1]} IS NOT NULL "
+            f"THEN CAST({a[1]} AS DOUBLE) END)"
+        )
+        return (
+            f"(covar_samp({px}, {py}) / nullif(stddev_samp({px}) * "
+            f"stddev_samp({py}), CAST(0 AS DOUBLE)))"
+        )
+
+    if name == "entropy" and len(a) == 1:
+        # EntropyAggregation.java: log-2 entropy of count fractions;
+        # count < 0 raises, count = 0 contributes nothing, empty or
+        # zero-sum input -> 0.0 (not NULL), output clamped at >= 0.
+        c = a[0]
+        msg = _stash_lit(
+            stash, "Entropy count argument must be non-negative"
+        )
+        sc = (
+            f"sum(CASE WHEN {c} < 0 THEN "
+            f"CAST(raise_error({msg}) AS BIGINT) "
+            f"ELSE CAST({c} AS BIGINT) END)"
+        )
+        slc = (
+            f"sum(CASE WHEN {c} < 0 THEN "
+            f"CAST(raise_error({msg}) AS DOUBLE) "
+            f"WHEN {c} = 0 THEN CAST(0 AS DOUBLE) "
+            f"ELSE CAST({c} AS DOUBLE) * ln(CAST({c} AS DOUBLE)) END)"
+        )
+        return (
+            f"(CASE WHEN {sc} > 0 THEN "
+            f"greatest((ln(CAST({sc} AS DOUBLE)) - {slc} / {sc}) / "
+            f"ln(CAST(2 AS DOUBLE)), CAST(0 AS DOUBLE)) "
+            f"ELSE CAST(0 AS DOUBLE) END)"
+        )
+
+    if name == "geometric_mean" and len(a) == 1:
+        # LongGeometricMeanAggregation/DoubleGeometricMeanAggregation:
+        # exp(mean(log x)) with Java log semantics — log(0) = -Inf
+        # (exp -> 0.0), log(neg) = NaN (propagates); empty -> NULL.
+        # Spark's ln() would NULL those out, so the CASE spells the
+        # Java values explicitly.
+        x = a[0]
+        ninf = _stash_lit(stash, "-Infinity")
+        nan = _stash_lit(stash, "NaN")
+        return (
+            f"exp(avg(CASE WHEN {x} IS NULL THEN CAST(NULL AS DOUBLE) "
+            f"WHEN {x} > 0 THEN ln(CAST({x} AS DOUBLE)) "
+            f"WHEN {x} = 0 THEN CAST({ninf} AS DOUBLE) "
+            f"ELSE CAST({nan} AS DOUBLE) END))"
+        )
+
+    if name in ("bitwise_and_agg", "bitwise_or_agg") and len(a) == 1:
+        # BitwiseAndAggregation/BitwiseOrAggregation -> BIGINT; the
+        # CAST pins the 64-bit result type for narrower inputs.
+        fn = "bit_and" if name == "bitwise_and_agg" else "bit_or"
+        return f"{fn}(CAST({a[0]} AS BIGINT))"
+
+    if name == "histogram" and len(a) == 1:
+        # HistogramAggregation: map value -> count(BIGINT); null
+        # inputs ignored (collect_list drops them), empty -> NULL.
+        arr = f"collect_list({a[0]})"
+        keys = f"array_distinct({arr})"
+        return (
+            f"(CASE WHEN size({arr}) = 0 THEN NULL "
+            f"ELSE map_from_arrays({keys}, transform({keys}, "
+            f"__hk -> CAST(size(filter({arr}, __hv -> __hv <=> __hk)) "
+            f"AS BIGINT))) END)"
+        )
+
+    if name == "map_agg" and len(a) == 2:
+        # MapAggregationFunction via KeyValuePairs: null keys
+        # skipped, duplicate keys keep the FIRST occurrence
+        # (TypedSet.contains gate), empty -> NULL.
+        lk, lv = _stash_lit(stash, "k"), _stash_lit(stash, "v")
+        entries = (
+            f"collect_list(CASE WHEN {a[0]} IS NOT NULL THEN "
+            f"named_struct({lk}, {a[0]}, {lv}, {a[1]}) END)"
+        )
+        keys = f"array_distinct(transform({entries}, __me -> __me.k))"
+        return (
+            f"(CASE WHEN size({entries}) = 0 THEN NULL "
+            f"ELSE map_from_arrays({keys}, transform({keys}, "
+            f"__mk -> element_at(filter({entries}, "
+            f"__me -> __me.k <=> __mk), 1).v)) END)"
+        )
+
+    if name == "multimap_agg" and len(a) == 2:
+        # MultimapAggregationFunction: key -> array of ALL values in
+        # arrival order; null keys skipped, empty -> NULL.
+        lk, lv = _stash_lit(stash, "k"), _stash_lit(stash, "v")
+        entries = (
+            f"collect_list(CASE WHEN {a[0]} IS NOT NULL THEN "
+            f"named_struct({lk}, {a[0]}, {lv}, {a[1]}) END)"
+        )
+        keys = f"array_distinct(transform({entries}, __me -> __me.k))"
+        return (
+            f"(CASE WHEN size({entries}) = 0 THEN NULL "
+            f"ELSE map_from_arrays({keys}, transform({keys}, "
+            f"__mk -> transform(filter({entries}, "
+            f"__me -> __me.k <=> __mk), __me -> __me.v))) END)"
+        )
+
+    if name == "checksum" and len(a) == 1:
+        # ChecksumAggregationFunction.java:107-132: order-independent
+        # wrapping-64-bit sum of per-row type.hash * PRIME64 terms
+        # (null rows add PRIME64), emitted as the state's 8 LITTLE-
+        # endian bytes (wrappedLongArray -> VARBINARY). The per-row
+        # term is the registered presto_checksum_term UDF
+        # (functions/xxhash.py — reference type-hash mixes + public
+        # XXH64); the sum runs exact in DECIMAL and wraps once.
+        x = a[0]
+        bin_t = _stash_lit(stash, "binary")
+        rendered = (
+            f"(CASE WHEN typeof({x}) = {bin_t} THEN hex({x}) "
+            f"ELSE CAST({x} AS STRING) END)"
+        )
+        tot = (
+            f"(CAST(sum(presto_checksum_term({rendered}, typeof({x}))) "
+            f"AS DECIMAL(38, 0)) % 18446744073709551616)"
+        )
+        signed = (
+            f"CAST((CASE WHEN {tot} >= 9223372036854775808 "
+            f"THEN {tot} - 18446744073709551616 ELSE {tot} END) AS BIGINT)"
+        )
+        zero = _stash_lit(stash, "0")
+        hx = f"lpad(hex({signed}), 16, {zero})"
+        le = ", ".join(
+            f"substr({hx}, {pos}, 2)" for pos in (15, 13, 11, 9, 7, 5, 3, 1)
+        )
+        return (
+            f"(CASE WHEN count(*) = 0 THEN CAST(NULL AS BINARY) "
+            f"ELSE unhex(concat({le})) END)"
+        )
+
+    if name == "map_union" and len(a) == 1:
+        # MapUnionAggregation: union of the input maps; duplicate
+        # keys keep the value from the FIRST map that contained the
+        # key (KeyValuePairs gate), null map inputs ignored
+        # (collect_list drops them), empty -> NULL.
+        ents = f"flatten(collect_list(map_entries({a[0]})))"
+        keys = f"array_distinct(transform({ents}, __ue -> __ue.key))"
+        return (
+            f"(CASE WHEN count({a[0]}) = 0 THEN NULL "
+            f"ELSE map_from_arrays({keys}, transform({keys}, "
+            f"__uk -> element_at(filter({ents}, "
+            f"__ue -> __ue.key <=> __uk), 1).value)) END)"
+        )
+
+    if name in ("min_by", "max_by") and len(a) == 3:
+        # AbstractMinMaxByNAggregationFunction: array of x for the n
+        # largest/smallest keys y; null keys ignored, empty -> NULL.
+        # Presto leaves key ties arbitrary — the comparator breaks
+        # them by value ascending so the result is deterministic
+        # (and matches an ORDER BY key [DESC], value oracle).
+        lk, lv = _stash_lit(stash, "k"), _stash_lit(stash, "v")
+        if name == "max_by":
+            cmp_ = (
+                "CASE WHEN __l.k < __r.k THEN 1 "
+                "WHEN __l.k > __r.k THEN -1 "
+                "WHEN __l.v < __r.v THEN -1 "
+                "WHEN __l.v > __r.v THEN 1 ELSE 0 END"
+            )
+        else:
+            cmp_ = (
+                "CASE WHEN __l.k < __r.k THEN -1 "
+                "WHEN __l.k > __r.k THEN 1 "
+                "WHEN __l.v < __r.v THEN -1 "
+                "WHEN __l.v > __r.v THEN 1 ELSE 0 END"
+            )
+        pairs = (
+            f"array_sort(collect_list(CASE WHEN {a[1]} IS NOT NULL "
+            f"THEN named_struct({lk}, {a[1]}, {lv}, {a[0]}) END), "
+            f"(__l, __r) -> {cmp_})"
+        )
+        return (
+            f"(CASE WHEN size({pairs}) = 0 THEN NULL "
+            f"ELSE transform(slice({pairs}, 1, CAST({a[2]} AS INT)), "
+            f"__mb -> __mb.v) END)"
+        )
+
+    if name in ("min", "max") and len(a) == 2:
+        # MinNAggregation/MaxNAggregation: 2-arg min/max returns the
+        # n smallest/largest values as an array (Presto has no 2-arg
+        # scalar min/max, but only a bare integer-literal capacity is
+        # rewritten to keep the template conservative). Nulls
+        # ignored, empty -> NULL.
+        try:
+            cap = int(args[1].strip())
+        except ValueError:
+            return None
+        arr = f"array_sort(collect_list({a[0]}))"
+        if name == "max":
+            picked = f"slice(reverse({arr}), 1, {cap})"
+        else:
+            picked = f"slice({arr}, 1, {cap})"
+        return (
+            f"(CASE WHEN size({arr}) = 0 THEN NULL "
+            f"ELSE {picked} END)"
+        )
+
+    if name == "array_agg" and len(a) >= 1:
+        # ArrayAggregationFunction (FeaturesConfig.legacyArrayAgg
+        # defaults false in 0.235): null inputs are KEPT; Spark's
+        # collect_list drops them — the struct wrap smuggles nulls
+        # through, preserving arrival order. Empty -> NULL. The
+        # ORDER BY form (SortedAccumulatorFactory) sorts the struct
+        # pairs with an explicit comparator — Presto's sort-item
+        # defaults (ASC, NULLS LAST for both directions,
+        # PlannerUtils.java:39-51) spelled per key.
+        if args[0].lstrip().upper().startswith("DISTINCT "):
+            return None
+        parsed = _parse_order_by_items(args)
+        if parsed is None:
+            return None
+        value, keys = parsed
+        lv = _stash_lit(stash, "v")
+        if not keys:
+            if len(args) != 1:
+                return None
+            arr = f"collect_list(named_struct({lv}, ({value})))"
+            return (
+                f"(CASE WHEN size({arr}) = 0 THEN NULL "
+                f"ELSE transform({arr}, __aa -> __aa.v) END)"
+            )
+        fields = [f"{lv}, ({value})"]
+        clauses: list[str] = []
+        for i, (key, direction, nulls_last) in enumerate(keys):
+            kn = _stash_lit(stash, f"k{i}")
+            fields.append(f"{kn}, ({key})")
+            null_side = "1" if nulls_last else "-1"
+            null_other = "-1" if nulls_last else "1"
+            lt = "-1" if direction > 0 else "1"
+            gt = "1" if direction > 0 else "-1"
+            clauses.append(
+                f"WHEN __l.k{i} IS NULL AND __r.k{i} IS NOT NULL "
+                f"THEN {null_side} "
+                f"WHEN __l.k{i} IS NOT NULL AND __r.k{i} IS NULL "
+                f"THEN {null_other} "
+                f"WHEN __l.k{i} < __r.k{i} THEN {lt} "
+                f"WHEN __l.k{i} > __r.k{i} THEN {gt}"
+            )
+        cmp_ = "CASE " + " ".join(clauses) + " ELSE 0 END"
+        arr = (
+            f"array_sort(collect_list(named_struct({', '.join(fields)})), "
+            f"(__l, __r) -> {cmp_})"
+        )
+        return (
+            f"(CASE WHEN size({arr}) = 0 THEN NULL "
+            f"ELSE transform({arr}, __aa -> __aa.v) END)"
+        )
+
     return None
 
 
@@ -978,7 +1379,16 @@ def rewrite_scalar_templates(
             break
         inner = rewrite_scalar_templates(masked[open_i + 1 : past - 1], stash)
         args = _split_top_comma(inner)
-        repl = _rewrite_one(m.group(1).lower(), args, stash)
+        name = m.group(1).lower()
+        if name in _AGG_TEMPLATE_NAMES and (
+            _AGG_SUFFIX_RE.match(masked, past)
+            or (name != "array_agg" and _has_agg_modifier(args))
+        ):
+            # window/FILTER/ORDER BY/DISTINCT site: verbatim
+            # (array_agg handles its own ORDER BY form in-template)
+            repl = None
+        else:
+            repl = _rewrite_one(name, args, stash)
         if repl is None:
             # Splice the (possibly arg-rewritten) call back verbatim.
             repl = masked[m.start() : open_i + 1] + inner + ")"

@@ -223,11 +223,15 @@ def test_order_by_trailing_comment_not_swallowed():
 
 def test_nested_order_by_nulls_regression():
     """The second r9 bug: ORDER BY nested under a sort item must also
-    get NULLS LAST."""
+    get NULLS LAST. (r11: array_agg ORDER BY now lowers to an
+    explicit array_sort comparator — its null-last default is encoded
+    in the comparator, not as text — so the textual NULLS LAST pass
+    covers the remaining two ORDER BYs.)"""
     sql = ("SELECT array_agg(a ORDER BY b) FROM t "
            "ORDER BY (SELECT max(x) FROM u ORDER BY y) ")
     out = presto_to_spark_sql(sql)
-    assert out.count("NULLS LAST") == 3
+    assert out.count("NULLS LAST") == 2
+    assert "array_sort" in out and "__l.k0 IS NULL" in out
 
 
 def test_typed_literals_lowered_and_guarded():

@@ -866,14 +866,11 @@ CORPUS: list[Case] = [
       duck="SELECT array_agg(orderkey ORDER BY totalprice DESC, "
            "orderkey) FILTER (WHERE rn <= 3) FROM (SELECT orderkey, "
            "totalprice, row_number() OVER (ORDER BY totalprice DESC, "
-           "orderkey) rn FROM orders) WHERE rn <= 3",
-      marks=(pytest.mark.xfail(
-          strict=True,
-          reason="max_by(x, y, N) ties broken arbitrarily: Spark and "
-                 "DuckDB pick different rows for equal totalprice — "
-                 "the N-variant is covered deterministically by the "
-                 "registered agg_minmax_n query",
-      ),)),
+           "orderkey) rn FROM orders) WHERE rn <= 3"),
+    # (was xfail through r10: Spark's native max_by(x, y, N) broke key
+    # ties arbitrarily. The r11 aggregate template sorts (key DESC,
+    # value ASC) with an explicit comparator, so ties are
+    # deterministic and match the oracle.)
     C("checksum_shape",
       "SELECT COUNT(*) FROM (SELECT checksum_row FROM (SELECT "
       "xxhash64(CAST(orderkey AS STRING)) checksum_row FROM orders))",
