@@ -1506,6 +1506,122 @@ def _rewrite_bare_varchar(masked: str) -> str:
 # --------------------------------------------------------------------------
 
 
+_WIN_SHIM_FN = re.compile(
+    r"\b(ntile|cume_dist|percent_rank|rank|dense_rank|row_number)\s*\(",
+    re.IGNORECASE,
+)
+_OVER_PAREN = re.compile(r"\s*OVER\s*\(", re.IGNORECASE)
+_PARTITION_HEAD_RE = re.compile(r"^\s*PARTITION\s+BY\b", re.IGNORECASE)
+_SPEC_SCAN = re.compile(
+    r"[()]|\b(?:ORDER\s+BY|ROWS|RANGE|GROUPS)\b", re.IGNORECASE
+)
+
+
+def _spec_has_order_by(spec: str) -> bool:
+    depth = 0
+    for t in _SPEC_SCAN.finditer(spec):
+        tt = t.group(0)
+        if tt == "(":
+            depth += 1
+        elif tt == ")":
+            depth -= 1
+        elif depth == 0 and tt.upper().startswith("ORDER"):
+            return True
+    return False
+
+
+def _rewrite_window_shims(
+    masked: str, stash: list[tuple[str, str]]
+) -> str:
+    """Two ranking-window shims found porting the reference's
+    operator/window tests (tests/test_window_edges.py):
+
+    1. Per-row ntile(expr): Presto's NTileFunction takes the bucket
+       count from the row's value (NTileFunction.java:46-72 — n NULL
+       -> NULL, n <= 0 raises, n > partition size -> row number,
+       else remainder buckets first); Spark requires a foldable
+       ntile argument, so non-literal counts lower to the reference's
+       bucket arithmetic over row_number()/count(*).
+    2. Unordered ranking specs: Presto permits cume_dist()/rank()/…
+       OVER () — every row is a peer (cume_dist 1.0, percent_rank
+       0.0, rank 1); Spark demands an ORDER BY, so a constant sort
+       key is injected, which makes all rows peers — the same
+       semantics."""
+    from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+    pos = 0
+    out = masked
+    while True:
+        m = _WIN_SHIM_FN.search(out, pos)
+        if m is None:
+            break
+        open_i = m.end() - 1
+        try:
+            arg_past = _balanced(out, open_i)
+        except ValueError:
+            break
+        om = _OVER_PAREN.match(out, arg_past)
+        if om is None:
+            pos = arg_past
+            continue
+        spec_open = om.end() - 1
+        try:
+            spec_past = _balanced(out, spec_open)
+        except ValueError:
+            break
+        name = m.group(1).lower()
+        args_text = out[open_i + 1 : arg_past - 1]
+        spec = out[spec_open + 1 : spec_past - 1]
+        has_ob = _spec_has_order_by(spec)
+        new_text = None
+        if (
+            name == "ntile"
+            and args_text.strip()
+            and not re.fullmatch(r"\s*\d+\s*", args_text)
+        ):
+            part = ""
+            if _PARTITION_HEAD_RE.match(spec):
+                stop = len(spec)
+                depth = 0
+                for t in _SPEC_SCAN.finditer(spec):
+                    tt = t.group(0)
+                    if tt == "(":
+                        depth += 1
+                    elif tt == ")":
+                        depth -= 1
+                    elif depth == 0:
+                        stop = t.start()
+                        break
+                part = spec[:stop].strip()
+            full_spec = spec if has_ob else f"{spec} ORDER BY 1"
+            n = f"CAST(({args_text.strip()}) AS BIGINT)"
+            rn0 = f"(row_number() OVER ({full_spec}) - 1)"
+            cnt = f"count(*) OVER ({part})"
+            per = f"(({cnt}) DIV {n})"
+            rem = f"(({cnt}) % {n})"
+            msg = _stash_lit(stash, "Buckets must be greater than 0")
+            new_text = (
+                f"(CASE WHEN {n} IS NULL THEN CAST(NULL AS BIGINT) "
+                f"WHEN {n} <= 0 THEN CAST(raise_error({msg}) AS BIGINT) "
+                f"WHEN {cnt} < {n} THEN {rn0} + 1 "
+                f"WHEN {rn0} < ({per} + 1) * {rem} "
+                f"THEN ({rn0} DIV ({per} + 1)) + 1 "
+                f"ELSE (({rn0} - {rem}) DIV {per}) + 1 END)"
+            )
+        elif not has_ob:
+            new_text = (
+                out[m.start() : spec_open + 1]
+                + (spec + " ORDER BY 1").strip()
+                + ")"
+            )
+        if new_text is None:
+            pos = spec_past
+            continue
+        out = out[: m.start()] + new_text + out[spec_past:]
+        pos = m.start() + len(new_text)
+    return out
+
+
 def presto_to_spark_sql(sql: str) -> str:
     """Source-level Presto->Spark SQL dialect translation (quote- and
     comment-aware: rewrites never touch literals)."""
@@ -1539,6 +1655,7 @@ def presto_to_spark_sql(sql: str) -> str:
     # bounds), while a[i] subscripts emit raising element_at — the
     # order keeps the two distinguishable.
     masked = rewrite_scalar_templates(masked, stash)
+    masked = _rewrite_window_shims(masked, stash)
     masked = _rewrite_subscripts(masked)
     masked = _rewrite_call_templates(masked)
     masked = _rewrite_function_names(masked)

@@ -199,6 +199,9 @@ _TEMPLATE_NAMES = (
     "min",
     "max",
     "checksum",
+    "lag",
+    "lead",
+    "approx_percentile",
 )
 
 # Aggregate-template names whose replacement is a multi-aggregate
@@ -1050,6 +1053,70 @@ def _rewrite_one(
             f"WHEN {has_null} THEN NULL "
             f"ELSE {name}({x}) END)"
         )
+
+    if name == "approx_percentile" and len(a) in (3, 4):
+        # ApproximateLongPercentileAggregations.java:40-80 (0.235
+        # arg order): 3-arg with a DOUBLE third is (value, p,
+        # ACCURACY) — Spark's percentile_approx takes accuracy as
+        # ~1/relative-error INT; 3-arg with a BIGINT third is
+        # (value, p, WEIGHT) — lowered to Spark's exact
+        # percentile(value, p, frequency) (the digest is
+        # element-returning, exact percentile interpolates:
+        # documented divergence on even-weight medians). 4-arg is
+        # (value, p, weight, accuracy); the digest accuracy knob has
+        # no exact-percentile analog and is dropped.
+        third = args[2].strip()
+        if len(a) == 3 and re.fullmatch(r"0?\.\d+|\d+\.\d*(?:[eE]-?\d+)?",
+                                        third):
+            try:
+                acc = float(third)
+            except ValueError:
+                return None
+            if 0.0 < acc < 1.0:
+                return (
+                    f"percentile_approx({a[0]}, {a[1]}, "
+                    f"{max(1, int(round(1.0 / acc)))})"
+                )
+            return None
+        # anything else (integer literal or a column expression) is
+        # the weighted form — accuracy is in practice always a
+        # sub-1 double literal
+        return f"percentile({a[0]}, {a[1]}, CAST({a[2]} AS BIGINT))"
+
+    if name in ("lag", "lead") and len(a) in (2, 3):
+        # Presto accepts any BIGINT offset; a NULL offset yields NULL
+        # (LagFunction.java:55-75 — note: NULL, not the default), and
+        # offsets past the partition yield the default. Spark's
+        # lag/lead require a foldable INT offset — a NULL or
+        # super-int literal offset is normalized to INT_MAX, which is
+        # equivalent for any partition under 2^31 rows (the NULL form
+        # also drops the default, matching Presto's NULL-not-default
+        # contract).
+        off = args[1].strip()
+        is_null = re.fullmatch(
+            r"(?is)null|CAST\s*\(\s*NULL\s+AS\s+\w+\s*\)", off
+        )
+        if is_null:
+            return f"{name}({a[0]}, 2147483647)"
+        def _lit_digit(mm: re.Match) -> str:
+            text = _lit_of(mm.group(1), stash)
+            return text if text is not None and text.isdigit() else "x"
+
+        plain = re.sub(
+            r"(?is)CAST\s*\(\s*(\x00s\d+\x00)\s*AS\s*"
+            r"(?:BIGINT|INTEGER|INT)\s*\)",
+            _lit_digit,
+            off,
+        )
+        if re.fullmatch(r"[\d\s*+()-]+", plain):
+            try:
+                val = int(eval(plain, {"__builtins__": {}}))
+            except Exception:
+                return None
+            if val > 2147483647:
+                tail = f", {a[2]}" if len(a) == 3 else ""
+                return f"{name}({a[0]}, 2147483647{tail})"
+        return None
 
     # ---- AGGREGATE TEMPLATES ---------------------------------------------
     # Presto aggregate semantics Spark's twins diverge from, found by

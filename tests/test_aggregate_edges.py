@@ -405,6 +405,21 @@ VALUE_CASES = [
           "SELECT approx_percentile(x, 0.5E0) v FROM (VALUES (1.0E0), "
           "(2.0E0), (3.0E0)) t(x)",
           2.0, f"{AG}/TestApproximatePercentileAggregation"),
+    _case("approx_percentile_accuracy_form",
+          "SELECT approx_percentile(x, 0.5E0, 0.01E0) v FROM "
+          "(VALUES (1.0E0), (2.0E0), (3.0E0)) t(x)",
+          2.0, f"{AG}/ApproximateLongPercentileAggregations.java:50-57 "
+          "(3-arg DOUBLE third = accuracy)"),
+    _case("approx_percentile_weighted",
+          "SELECT approx_percentile(x, 0.5E0, w) v FROM (VALUES "
+          "(1.0E0, 1), (2.0E0, 1), (3.0E0, 3)) t(x, w)",
+          3.0, f"{AG}/ApproximateLongPercentileAggregations.java:59-68 "
+          "(3-arg BIGINT third = weight; lowered to exact weighted "
+          "percentile)"),
+    _case("approx_percentile_weighted_accuracy",
+          "SELECT approx_percentile(x, 0.5E0, w, 0.01E0) v FROM (VALUES "
+          "(1.0E0, 1), (2.0E0, 1), (3.0E0, 3)) t(x, w)",
+          3.0, f"{AG}/ApproximateLongPercentileAggregations.java:70-80"),
     _case("approx_percentile_bounds",
           "SELECT approx_percentile(x, 1.0E0) - approx_percentile(x, 0.0E0) "
           "v FROM (VALUES (1.0E0), (2.0E0), (3.0E0)) t(x)",

@@ -665,14 +665,11 @@ CORPUS: list[Case] = [
       "per-row frame offsets, reference allows them)", ordered=True),
     C("window_no_channels",
       "SELECT rank() OVER () FROM (SELECT * FROM orders LIMIT 10) "
-      "LIMIT 3", f"{_ATQ}:4091", duck="VALUES (1), (1), (1)",
-      marks=(pytest.mark.xfail(
-          strict=True,
-          reason="Spark requires ORDER BY for rank(); Presto/DuckDB "
-                 "treat the empty window as one peer group (all rank "
-                 "1). Engine-level analyzer restriction; the "
-                 "count(*) OVER () shape works on all three",
-      ),)),
+      "LIMIT 3", f"{_ATQ}:4091", duck="VALUES (1), (1), (1)"),
+    # (was xfail through r10: Spark's analyzer requires ORDER BY for
+    # ranking functions. The r11 window shim injects a constant sort
+    # key into unordered ranking specs — every row a peer, Presto's
+    # empty-window semantics — so the case now passes.)
     C("window_count_no_channels",
       "SELECT count(*) OVER () FROM (SELECT * FROM orders LIMIT 10) "
       "LIMIT 3", f"{_ATQ}:4091 (adapted: the unrestricted empty-"
