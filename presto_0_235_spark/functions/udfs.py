@@ -646,6 +646,88 @@ def fnv1a_64(b: pd.Series) -> pd.Series:
     )
 
 
+def _fnv32_bytes(data: bytes, a_variant: bool) -> int:
+    h = 0x811C9DC5
+    for byte in data:
+        if a_variant:
+            h = ((h ^ byte) * 0x01000193) & 0xFFFFFFFF
+        else:
+            h = ((h * 0x01000193) & 0xFFFFFFFF) ^ byte
+    # FnvHash.java returns int; the @ScalarFunction widens it to
+    # BIGINT via Java sign extension (pinned by the reference's
+    # "check for sign extension bug" vectors)
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+@F.pandas_udf(LongType())
+def fnv1_32(b: pd.Series) -> pd.Series:
+    """fnv1_32(varbinary) -> bigint (VarbinaryFunctions.java:342);
+    SQL-registered twin of the Column fold in functions/scalar.py."""
+    return pd.Series(
+        [None if v is None else _fnv32_bytes(bytes(v), False) for v in b],
+        dtype="object",
+    )
+
+
+@F.pandas_udf(LongType())
+def fnv1a_32(b: pd.Series) -> pd.Series:
+    """fnv1a_32(varbinary) -> bigint (VarbinaryFunctions.java:358)."""
+    return pd.Series(
+        [None if v is None else _fnv32_bytes(bytes(v), True) for v in b],
+        dtype="object",
+    )
+
+
+@F.pandas_udf(StringType())
+def spooky_hash_v2_32_hex(b: pd.Series) -> pd.Series:
+    """spooky_hash_v2_32(varbinary) (VarbinaryFunctions.java:306) —
+    hex-returning so the SQL template restores VARBINARY via unhex;
+    algorithm in functions/spookyhash.py (public-domain V2)."""
+    from presto_0_235_spark.functions import spookyhash as S
+
+    return pd.Series(
+        [
+            None if v is None else S.spooky_hash_v2_32_bytes(bytes(v)).hex()
+            for v in b
+        ],
+        dtype="object",
+    )
+
+
+@F.pandas_udf(StringType())
+def spooky_hash_v2_64_hex(b: pd.Series) -> pd.Series:
+    """spooky_hash_v2_64(varbinary) (VarbinaryFunctions.java:316)."""
+    from presto_0_235_spark.functions import spookyhash as S
+
+    return pd.Series(
+        [
+            None if v is None else S.spooky_hash_v2_64_bytes(bytes(v)).hex()
+            for v in b
+        ],
+        dtype="object",
+    )
+
+
+@F.pandas_udf(StringType())
+def xxhash64_hex(b: pd.Series) -> pd.Series:
+    """xxhash64(varbinary) -> varbinary (VarbinaryFunctions.java:296:
+    XxHash64.hash seed 0, 8 bytes big-endian). Spark's built-in
+    xxhash64 is seed-42-over-typed-rows — different function; this
+    one is the standard-spec digest (functions/xxhash.py, validated
+    against the public XXH64 vectors)."""
+    from presto_0_235_spark.functions.xxhash import xxh64
+
+    return pd.Series(
+        [
+            None
+            if v is None
+            else xxh64(bytes(v), 0).to_bytes(8, "big").hex()
+            for v in b
+        ],
+        dtype="object",
+    )
+
+
 @F.pandas_udf("decimal(20,0)")
 def presto_checksum_term(val: pd.Series, typ: pd.Series) -> pd.Series:
     """Per-row CHECKSUM contribution

@@ -1711,6 +1711,17 @@ def _ensure_sql_udfs(spark: SparkSession) -> None:
     # CHECKSUM per-row term (ChecksumAggregationFunction.java; the
     # aggregate shape lives in sql/scalar_templates.py)
     spark.udf.register("presto_checksum_term", U.presto_checksum_term)
+    # Binary hash family (VarbinaryFunctions.java:296-370 +
+    # CombineHashFunction.java) — wraparound arithmetic Spark's ANSI
+    # mode refuses; values pinned to the reference's own vectors in
+    # tests/test_function_edges.py
+    spark.udf.register("fnv1_32", U.fnv1_32)
+    spark.udf.register("fnv1_64", U.fnv1_64)
+    spark.udf.register("fnv1a_32", U.fnv1a_32)
+    spark.udf.register("fnv1a_64", U.fnv1a_64)
+    spark.udf.register("spooky_hash_v2_32_hex", U.spooky_hash_v2_32_hex)
+    spark.udf.register("spooky_hash_v2_64_hex", U.spooky_hash_v2_64_hex)
+    spark.udf.register("xxhash64_hex", U.xxhash64_hex)
     _UDF_SESSIONS.add(key)
 
 

@@ -178,6 +178,10 @@ _TEMPLATE_NAMES = (
     "multimap_from_entries",
     "parse_presto_data_size",
     "parse_duration",
+    "spooky_hash_v2_32",
+    "spooky_hash_v2_64",
+    "xxhash64",
+    "combine_hash",
     # aggregate templates (see the AGGREGATE TEMPLATES section of
     # _rewrite_one; window/FILTER call sites are left verbatim — the
     # replacements are CASE-compositions of several aggregates and
@@ -1007,6 +1011,28 @@ def _rewrite_one(
             f"ELSE map_from_arrays({keys}, transform({keys}, "
             f"k -> transform(filter({entries}, x -> x.k <=> k), x -> x.v))) END)"
         )
+
+    if name == "combine_hash" and len(a) == 2:
+        # CombineHashFunction.java:28: 31 * prev + value with Java
+        # 64-bit wraparound — exact DECIMAL(38) arithmetic mapped
+        # back to the signed range (mirrors functions/scalar.py's
+        # combine_hash; no UDF so full-range BIGINT never transits a
+        # float batch)
+        two63 = "CAST('9223372036854775808' AS DECIMAL(38,0))"
+        two64 = "CAST('18446744073709551616' AS DECIMAL(38,0))"
+        return (
+            f"CAST(pmod(CAST({a[0]} AS DECIMAL(38,0)) * 31 + "
+            f"CAST({a[1]} AS DECIMAL(38,0)) + {two63}, {two64}) "
+            f"- {two63} AS BIGINT)"
+        )
+
+    if (
+        name in ("spooky_hash_v2_32", "spooky_hash_v2_64", "xxhash64")
+        and len(a) == 1
+    ):
+        # VARBINARY-returning digests (VarbinaryFunctions.java:296-320)
+        # over registered hex UDFs, like the hmac family below
+        return f"unhex({name}_hex({a[0]}))"
 
     if name == "hmac_sha256" and len(a) == 2:
         # VARBINARY return like HmacFunctions.java (the registered

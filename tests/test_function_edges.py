@@ -666,6 +666,74 @@ VALUE_CASES += [
     _case("is_subnet_of_outside", "is_subnet_of('192.168.0.0/16', '10.0.0.1')", False, "TestIpPrefixFunctions.java:~94"),
 ]
 
+# ---- batch 8: the binary hash family (TestVarbinaryFunctions.java
+# :325-388 + CombineHashFunction.java) — wraparound arithmetic wired
+# through registered UDFs; every value below is the reference's own
+# pinned vector ----------------------------------------------------------
+VALUE_CASES += [
+    _case("xxhash64_empty", "to_hex(xxhash64(CAST('' AS VARBINARY)))",
+          "EF46DB3751D8E999", f"{V}:331"),
+    _case("xxhash64_hashme", "to_hex(xxhash64(CAST('hashme' AS VARBINARY)))",
+          "F9D96E0E1165E892", f"{V}:332"),
+    _case("spooky32_empty", "to_hex(spooky_hash_v2_32(CAST('' AS VARBINARY)))",
+          "6BF50919", f"{V}:338"),
+    _case("spooky32_hello",
+          "to_hex(spooky_hash_v2_32(CAST('hello' AS VARBINARY)))",
+          "D382E6CA", f"{V}:339"),
+    _case("spooky64_empty", "to_hex(spooky_hash_v2_64(CAST('' AS VARBINARY)))",
+          "232706FC6BF50919", f"{V}:340"),
+    _case("spooky64_hello",
+          "to_hex(spooky_hash_v2_64(CAST('hello' AS VARBINARY)))",
+          "3768826AD382E6CA", f"{V}:341"),
+    _case("crc32_crcme", "crc32(to_utf8('CRC me!'))", 38028046, f"{V}:360"),
+    _case("crc32_digits", "crc32(to_utf8('1234567890'))", 639479525,
+          f"{V}:361"),
+    _case("crc32_alpha13", "crc32(to_utf8('ABCDEFGHIJKLM'))", 4223167559,
+          f"{V}:364"),
+    # fnv1_32: int return sign-extended to BIGINT (the reference's
+    # "check for sign extension bug" vectors)
+    _case("fnv1_32_empty", "fnv1_32(from_hex(''))",
+          0x811C9DC5 - (1 << 32), f"{V}:371"),
+    _case("fnv1_32_19", "fnv1_32(from_hex('19'))", 0x050C5D06, f"{V}:372"),
+    _case("fnv1_32_f5", "fnv1_32(from_hex('F5'))", 0x050C5DEA, f"{V}:373"),
+    _case("fnv1_32_0919", "fnv1_32(from_hex('0919'))", 0x087689BB,
+          f"{V}:374"),
+    _case("fnv1_32_f50919", "fnv1_32(from_hex('F50919'))", 0x67A7FDEC,
+          f"{V}:375"),
+    _case("fnv1_32_8b", "fnv1_32(from_hex('232706FC6BF50919'))",
+          0x9F2263F3 - (1 << 32), f"{V}:376"),
+    _case("fnv1_64_empty", "fnv1_64(from_hex(''))",
+          0xCBF29CE484222325 - (1 << 64), f"{V}:377"),
+    _case("fnv1_64_8b", "fnv1_64(from_hex('232706FC6BF50919'))",
+          0x4A65FF96675A9F33, f"{V}:378"),
+    _case("fnv1a_32_empty", "fnv1a_32(from_hex(''))",
+          0x811C9DC5 - (1 << 32), f"{V}:380"),
+    _case("fnv1a_32_19", "fnv1a_32(from_hex('19'))", 0x1C0C8154, f"{V}:381"),
+    _case("fnv1a_32_f5", "fnv1a_32(from_hex('F5'))", 0x700B7290, f"{V}:382"),
+    _case("fnv1a_32_0919", "fnv1a_32(from_hex('0919'))", 0x34881807,
+          f"{V}:383"),
+    _case("fnv1a_32_f50919", "fnv1a_32(from_hex('F50919'))",
+          0xEB80C366 - (1 << 32), f"{V}:384"),
+    _case("fnv1a_32_8b", "fnv1a_32(from_hex('232706FC6BF50919'))",
+          0x0951D55F, f"{V}:385"),
+    _case("fnv1a_64_empty", "fnv1a_64(from_hex(''))",
+          0xCBF29CE484222325 - (1 << 64), f"{V}:386"),
+    _case("fnv1a_64_8b", "fnv1a_64(from_hex('232706FC6BF50919'))",
+          0x68ADDC0B0FEBAC5F, f"{V}:387"),
+    # combine_hash: 31*h1 + h2 with Java wraparound
+    # (CombineHashFunction.java:28; used by the engine's hash-
+    # generation rule, exercised here at the signed extremes)
+    _case("combine_hash_basic", "combine_hash(CAST(1 AS BIGINT), CAST(2 AS BIGINT))",
+          33, "CombineHashFunction.java:28"),
+    _case("combine_hash_wrap",
+          "combine_hash(CAST(9223372036854775807 AS BIGINT), CAST(0 AS BIGINT))",
+          (1 << 63) - 31,  # 31*(2^63-1) mod 2^64, still positive signed
+          "CombineHashFunction.java:28 (wraparound)"),
+    _case("combine_hash_null",
+          "combine_hash(CAST(NULL AS BIGINT), CAST(2 AS BIGINT))",
+          None, "CombineHashFunction.java (null propagation)"),
+]
+
 ERROR_CASES2 = [
     _err("json_parse_invalid", "json_parse('not json')",
          "type/TestJsonOperators.java:~360"),
@@ -736,6 +804,30 @@ def _values_equal(got, want) -> bool:
             return False
         return all(_values_equal(g, w) for g, w in zip(got_c, want_c))
     return got == want
+
+
+def test_spooky_long_path_properties():
+    """The reference pins only cover SpookyHashV2's SHORT path (<192
+    bytes; TestVarbinaryFunctions.java:338-341, matched exactly above).
+    No independent long-path oracle exists in this container, so the
+    >=192-byte path is held to structural properties: 32-bit hash is
+    the low word of the 64-bit hash at every length, results are
+    deterministic, and length/content perturbations change the value
+    (spec-derived implementation documented in
+    presto_0_235_spark/functions/spookyhash.py)."""
+    from presto_0_235_spark.functions import spookyhash as S
+
+    data = bytes(range(256)) * 3  # 768 bytes, well into the long path
+    seen = set()
+    for n in (0, 1, 15, 16, 31, 32, 95, 96, 191, 192, 193, 287, 288, 768):
+        h64 = S.hash64(data[:n], 0)
+        assert S.hash32(data[:n], 0) == h64 & 0xFFFFFFFF
+        assert S.hash64(data[:n], 0) == h64  # deterministic
+        assert 0 <= h64 < (1 << 64)
+        seen.add(h64)
+    assert len(seen) == 14  # every length distinct
+    flipped = bytes([data[0] ^ 1]) + data[1:]
+    assert S.hash64(flipped, 0) != S.hash64(data, 0)
 
 
 def _eval(spark, expr):
