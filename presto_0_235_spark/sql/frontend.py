@@ -198,6 +198,93 @@ def _rewrite_typed_literals(masked: str, stash) -> str:
     return _TYPED_LIT.sub(repl, masked)
 
 
+# Spark 4.1's UnaryMinus rounds DECIMAL values to 34 significant
+# digits (java.math MathContext.DECIMAL128 in the negation path):
+# `SELECT -CAST('12345678901234567890123456789012345678' AS
+# DECIMAL(38,0))` returns ...12350000 in a vanilla session, while
+# `0 - x` and `-1 * x` are exact. Presto's negation is exact at all
+# 38 digits (DecimalOperators.java negate; TestDecimalOperators.java
+# testNegation). Lower a clearly-UNARY minus before CAST(... AS
+# DECIMAL(p>34, s)) to the exact subtraction form. Binary minus is
+# left alone (Subtract is exact); precisions <= 34 are unaffected by
+# the engine bug and keep the terser form.
+_NEG_DEC_CAST = re.compile(r"-\s*(CAST\s*(\())", re.IGNORECASE)
+_DEC_CAST_TYPE = re.compile(
+    r"AS\s+(DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\))\s*$", re.IGNORECASE
+)
+_DEC_CAST_LIT_OPERAND = re.compile(r"^\s*(\x00s(\d+)\x00)\s+AS\b",
+                                   re.IGNORECASE)
+_UNARY_PREV_KEYWORDS = frozenset(
+    "SELECT WHERE WHEN THEN ELSE AND OR NOT BY ON IN VALUES RETURN "
+    "RETURNS AS HAVING SET BETWEEN CASE COALESCE NULLIF LEAST "
+    "GREATEST".split()
+)
+
+
+def _rewrite_negated_decimal_cast(masked: str, stash) -> str:
+    from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+    pos = 0
+    out = masked
+    while True:
+        m = _NEG_DEC_CAST.search(out, pos)
+        if m is None:
+            return out
+        open_i = m.start(2)
+        try:
+            past = _balanced(out, open_i)
+        except ValueError:
+            return out
+        inner = out[open_i + 1 : past - 1]
+        tm = _DEC_CAST_TYPE.search(inner)
+        if tm is None or int(tm.group(2)) <= 34:
+            pos = past
+            continue
+        j = m.start() - 1
+        while j >= 0 and out[j].isspace():
+            j -= 1
+        unary = j < 0 or out[j] in "(,=<>+-*/%"
+        if not unary and (out[j].isalpha() or out[j] == "_"):
+            k = j
+            while k >= 0 and (out[k].isalnum() or out[k] == "_"):
+                k -= 1
+            unary = out[k + 1 : j + 1].upper() in _UNARY_PREV_KEYWORDS
+        if not unary:
+            pos = past
+            continue
+        lm = _DEC_CAST_LIT_OPERAND.match(inner)
+        if lm is not None:
+            # literal operand: fold the sign into the string — exact
+            # at every (p, s), no arithmetic at all
+            lit = stash[int(lm.group(2))][1]
+            body = lit[1:-1].strip()
+            flipped = (
+                body[1:] if body.startswith("-")
+                else "-" + body.lstrip("+")
+            )
+            ph = _stash_lit(stash, flipped)
+            new = f"CAST({ph} AS {tm.group(1)})"
+        elif int(tm.group(3)) == 0:
+            # scale 0: Subtract derives (38, 0), which holds every
+            # 38-digit result — exact
+            new = f"(0 - {out[m.start(1):past]})"
+        else:
+            # p=38 with fractional digits: 0-x would derive (38, s-1)
+            # and round; negate through the exact decimal<->string
+            # round trip instead
+            cast = out[m.start(1) : past]
+            dash = _stash_lit(stash, "-")
+            new = (
+                f"CAST(CASE WHEN {cast} < 0 THEN "
+                f"substr(CAST({cast} AS STRING), 2) "
+                f"WHEN {cast} = 0 THEN CAST({cast} AS STRING) ELSE "
+                f"concat({dash}, CAST({cast} AS STRING)) END "
+                f"AS {tm.group(1)})"
+            )
+        out = out[: m.start()] + new + out[past:]
+        pos = m.start() + len(new)
+
+
 def _balanced(s: str, open_i: int) -> int:
     """Index just past the ')' matching s[open_i] == '('."""
     depth = 0
@@ -1640,6 +1727,7 @@ def presto_to_spark_sql(sql: str) -> str:
         sql = sql.replace("\x00", "")
     masked, stash = _mask(sql)
     masked = _rewrite_typed_literals(masked, stash)
+    masked = _rewrite_negated_decimal_cast(masked, stash)
     masked = _rewrite_array_literals(masked)
     masked = _rewrite_map_ctor(masked)
     masked = _rewrite_row_types(masked)

@@ -734,7 +734,223 @@ VALUE_CASES += [
           None, "CombineHashFunction.java (null propagation)"),
 ]
 
+# ---- batch 9: decimal arithmetic / cast edges (type/
+# TestDecimalOperators.java, type/TestDecimalCasts.java). Presto's
+# decimal type-derivation rules (DecimalOperators.java:91-481) match
+# Spark's for +/-/*/% — those values are pinned below, including the
+# 38-digit extremes and overflow raises. Three DOCUMENTED engine
+# divergences are xfailed at the end of the module (divide result
+# scale, decimal->integral cast rounding, multiply precision-loss),
+# and one real bug was found porting this batch: Spark 4.1's
+# UnaryMinus rounds decimals to 34 significant digits — fixed by
+# frontend._rewrite_negated_decimal_cast (exact 0-x lowering).
+DO = "type/TestDecimalOperators.java"
+DC = "type/TestDecimalCasts.java"
+VALUE_CASES += [
+    # add (:29-80)
+    _case("dec_add_basic", "DECIMAL '137.7' + DECIMAL '17.1'",
+          Decimal("154.8"), f"{DO}:32"),
+    _case("dec_add_scale16", "DECIMAL '.1234567890123456' + DECIMAL '.1234567890123456'",
+          Decimal("0.2469135780246912"), f"{DO}:35"),
+    _case("dec_add_long", "DECIMAL '12345678901234567890123456789012345678' + DECIMAL '12345678901234567890123456789012345678'",
+          Decimal("24691357802469135780246913578024691356"), f"{DO}:43"),
+    _case("dec_add_cancel", "DECIMAL '-99999999999999999999999999999999999999' + DECIMAL '99999999999999999999999999999999999999'",
+          Decimal("0"), f"{DO}:44"),
+    _case("dec_add_narrower_mixed", "DECIMAL '1234567890123456789' + DECIMAL '.12345678'",
+          Decimal("1234567890123456789.12345678"), f"{DO}:57 (adapted "
+          "narrower: combined digits fit 38 on both engines)"),
+    _case("dec_add_precision_cap", "DECIMAL '17014000000000000000000000000000000000' + DECIMAL '-7014000000000000000000000000000000000.1'",
+          Decimal("9999999999999999999999999999999999999.9"), f"{DO}:78"),
+    # subtract (:84-134)
+    _case("dec_sub_basic", "DECIMAL '107.7' - DECIMAL '17.1'",
+          Decimal("90.6"), f"{DO}:87"),
+    _case("dec_sub_zero_scale16", "DECIMAL '.1234567890123456' - DECIMAL '.1234567890123456'",
+          Decimal("0"), f"{DO}:90"),
+    # multiply (:138-167)
+    _case("dec_mul_38digit_by3", "DECIMAL '12345678901234567890123456789012345678' * DECIMAL '3'",
+          Decimal("37037036703703703670370370367037037034"), f"{DO}:155"),
+    _case("dec_mul_neg", "DECIMAL '-12345678901234567' * DECIMAL '123456789012345670'",
+          Decimal("-1524157875323883455265967556774890"), f"{DO}:150"),
+    _case("dec_mul_long_long", "CAST(3 AS DECIMAL(38,0)) * CAST(2 AS DECIMAL(38,0))",
+          Decimal("6"), f"{DO}:165"),
+    # divide — only the subset whose exact quotient needs no rounding
+    # on either engine (the rounding cases are the xfailed divergence)
+    _case("dec_div_exact_tenth", "DECIMAL '1.0' / DECIMAL '0.1'",
+          Decimal("10.0"), f"{DO}:187"),
+    _case("dec_div_exact_500", "DECIMAL '500.00' / DECIMAL '0.1'",
+          Decimal("5000.00"), f"{DO}:189"),
+    _case("dec_div_identity", "DECIMAL '999999999999999999' / DECIMAL '1'",
+          Decimal("999999999999999999"), f"{DO}:196"),
+    _case("dec_div_exact_3", "DECIMAL '9.0' / DECIMAL '3.0'",
+          Decimal("3.0"), f"{DO}:198"),
+    _case("dec_div_tiny_divisor", "DECIMAL '10' / DECIMAL '.000000001'",
+          Decimal("10000000000"), f"{DO}:213"),
+    _case("dec_div_long_long_exact", "DECIMAL '99999999999999999999999999999999999999' / DECIMAL '11111111111111111111111111111111111111'",
+          Decimal("9"), f"{DO}:239"),
+    _case("dec_div_long_ratio", "DECIMAL '9999999999999999999999.9' / DECIMAL '1111111111111111111111.100'",
+          Decimal("9.000"), f"{DO}:243"),
+    _case("dec_div_38_8", "CAST('1000' AS DECIMAL(38,8)) / CAST('25' AS DECIMAL(38,8))",
+          Decimal("40"), f"{DO}:245"),
+    # modulus (:261-322) — sign follows the dividend on both engines
+    _case("dec_mod_basic", "DECIMAL '10' % DECIMAL '3'", Decimal("1"),
+          f"{DO}:265"),
+    _case("dec_mod_scales", "DECIMAL '10.0' % DECIMAL '3.000'",
+          Decimal("1.000"), f"{DO}:268"),
+    _case("dec_mod_small", "DECIMAL '.1' % DECIMAL '.03'",
+          Decimal("0.01"), f"{DO}:273"),
+    _case("dec_mod_neg_dividend", "DECIMAL '-10' % DECIMAL '3'",
+          Decimal("-1"), f"{DO}:275"),
+    _case("dec_mod_neg_divisor", "DECIMAL '10' % DECIMAL '-3'",
+          Decimal("1"), f"{DO}:276"),
+    _case("dec_mod_both_neg", "DECIMAL '-10' % DECIMAL '-3'",
+          Decimal("-1"), f"{DO}:277"),
+    _case("dec_mod_long_dividend", "DECIMAL '99999999999999999999999999999999999997' % DECIMAL '3'",
+          Decimal("1"), f"{DO}:297"),
+    _case("dec_mod_long_scaled", "DECIMAL '7.000000000000000000000000000000000000' % DECIMAL '3'",
+          Decimal("1"), f"{DO}:304"),
+    # negation (:325-339) — incl. the 38-digit form that exposed the
+    # Spark UnaryMinus 34-digit rounding bug
+    _case("dec_neg_basic", "-DECIMAL '1234567.00500010734'",
+          Decimal("-1234567.00500010734"), f"{DO}:331"),
+    _case("dec_neg_38digit", "-DECIMAL '12345678901234567890123456789012345678'",
+          Decimal("-12345678901234567890123456789012345678"), f"{DO}:337"),
+    _case("dec_neg_38digit_neg", "-DECIMAL '-12345678901234567890123456789012345678'",
+          Decimal("12345678901234567890123456789012345678"), f"{DO}:338"),
+    _case("dec_neg_scaled_long", "-DECIMAL '123456789012345678.90123456789012345678'",
+          Decimal("-123456789012345678.90123456789012345678"), f"{DO}:339"),
+    # comparisons (:342-681) — cross-scale rescaled compare
+    _case("dec_eq_rescale", "DECIMAL '37' = DECIMAL '37.0'", True,
+          f"{DO}:344"),
+    _case("dec_eq_negzero", "DECIMAL '-0.000' = DECIMAL '0000.00000'",
+          True, f"{DO}:346"),
+    _case("dec_eq_short_long", "DECIMAL '37' = DECIMAL '37.0000000000000000000000000'",
+          True, f"{DO}:355"),
+    _case("dec_lt_cross_scale", "DECIMAL '37.0' < DECIMAL '37.001'", True,
+          f"{DO}:~440"),
+    _case("dec_between", "DECIMAL '37' BETWEEN DECIMAL '36.0' AND DECIMAL '38.0'",
+          True, f"{DO}:~640"),
+    _case("dec_distinct_rescale", "DECIMAL '37' IS DISTINCT FROM DECIMAL '37.0'",
+          False, f"{DO}:~760"),
+    _case("dec_nullif_long", "NULLIF(DECIMAL '12345678901234567.89', DECIMAL '12345678901234567.89')",
+          None, f"{DO}:~805"),
+    # decimal <-> other-type casts (TestDecimalCasts.java) — the
+    # agreeing families; decimal->integral HALF_UP is the xfailed one
+    _case("dec_cast_bool_to_dec", "CAST(true AS DECIMAL(2,0))",
+          Decimal("1"), f"{DC}:32"),
+    _case("dec_cast_dec_to_bool_true", "CAST(DECIMAL '1.1' AS BOOLEAN)",
+          True, f"{DC}:51"),
+    _case("dec_cast_dec_to_bool_false", "CAST(DECIMAL '0.0' AS BOOLEAN)",
+          False, f"{DC}:51"),
+    _case("dec_cast_bigint", "CAST(BIGINT '234' AS DECIMAL(5,2))",
+          Decimal("234.00"), f"{DC}:70"),
+    _case("dec_cast_bigint_wide", "CAST(BIGINT '1234567890' AS DECIMAL(30,20))",
+          Decimal("1234567890"), f"{DC}:79"),
+    _case("dec_cast_double_halfup", "CAST(DOUBLE '2.5' AS DECIMAL(1,0))",
+          Decimal("3"), f"{DC}:249 (double->decimal rounds half-up on "
+          "both engines)"),
+    _case("dec_cast_double_trunc", "CAST(DOUBLE '3.14159' AS DECIMAL(4,2))",
+          Decimal("3.14"), f"{DC}:~255"),
+    _case("dec_cast_varchar_in", "CAST('1234567890.12345679' AS DECIMAL(18,8))",
+          Decimal("1234567890.12345679"), f"{DC}:433"),
+    _case("dec_cast_varchar_pad", "CAST('.01' AS DECIMAL(3,3))",
+          Decimal("0.010"), f"{DC}:424"),
+    _case("dec_cast_to_varchar", "CAST(DECIMAL '2.34' AS VARCHAR)",
+          "2.34", f"{DC}:452"),
+    _case("dec_cast_to_varchar_frac", "CAST(DECIMAL '-.001' AS VARCHAR)",
+          "-0.001", f"{DC}:463"),
+    _case("dec_cast_to_varchar_zeros", "CAST(DECIMAL '-1.00000' AS VARCHAR)",
+          "-1.00000", f"{DC}:461"),
+    _case("dec_cast_to_varchar_long", "CAST(DECIMAL '1234567890.12345678900000000000' AS VARCHAR)",
+          "1234567890.12345678900000000000", f"{DC}:468"),
+]
+
+_XFAIL_DEC_DIVIDE = pytest.mark.xfail(
+    reason="engine divergence: Presto decimal divide yields scale "
+    "max(s1,s2) with HALF_UP rounding (DecimalOperators.java:316); "
+    "Spark derives scale >= 6 and keeps more fractional digits (or "
+    "raises NUMERIC_VALUE_OUT_OF_RANGE where the wider result "
+    "exceeds precision 38). Same quarantine class as the "
+    "REAL=DECIMAL comparison domain.",
+    strict=True,
+)
+_XFAIL_DEC_CAST_ROUND = pytest.mark.xfail(
+    reason="engine divergence: Presto rounds HALF_UP casting decimal "
+    "to integral types (DecimalCasts.java); Spark ANSI truncates "
+    "toward zero — same class as the CAST(double AS BIGINT) corpus "
+    "xfail.",
+    strict=True,
+)
+_XFAIL_DEC_MUL_LOSS = pytest.mark.xfail(
+    reason="engine divergence: when the derived +/* result type "
+    "exceeds precision 38, Presto caps precision but KEEPS the "
+    "scale (DecimalOperators.java:91,251 — multiply is p1+p2, add "
+    "keeps max-scale; true overflow raises at runtime); Spark's "
+    "allowPrecisionLoss reduces the SCALE instead and rounds "
+    "fractional digits away (or returns a rounded value where "
+    "Presto raises). Same quarantine class as the divide-scale "
+    "divergence.",
+    strict=True,
+)
+VALUE_CASES += [
+    _case("dec_add_mixed_scale", "DECIMAL '123456789012345678901234567890' + DECIMAL '.12345678'",
+          Decimal("123456789012345678901234567890.12345678"), f"{DO}:60",
+          marks=(_XFAIL_DEC_MUL_LOSS,)),
+    _case("dec_mul_scaled_by3", "DECIMAL '1234567890123456789.0123456789012345678' * DECIMAL '3'",
+          Decimal("3703703670370370367.0370370367037037034"), f"{DO}:156",
+          marks=(_XFAIL_DEC_MUL_LOSS,)),
+    _case("dec_mul_fraction", "DECIMAL '.12345678901234567890123456789012345678' * DECIMAL '3'",
+          Decimal("0.37037036703703703670370370367037037034"), f"{DO}:157",
+          marks=(_XFAIL_DEC_MUL_LOSS,)),
+    _case("dec_div_truncating", "DECIMAL '1' / DECIMAL '3'",
+          Decimal("0"), f"{DO}:184", marks=(_XFAIL_DEC_DIVIDE,)),
+    _case("dec_div_halfup", "DECIMAL '9' / DECIMAL '5'",
+          Decimal("2"), f"{DO}:202", marks=(_XFAIL_DEC_DIVIDE,)),
+    _case("dec_div_wide_rounded", "DECIMAL '200000000000000000000000000000000000' / DECIMAL '0.30'",
+          Decimal("666666666666666666666666666666666666.67"),
+          f"{DO}:216", marks=(_XFAIL_DEC_DIVIDE,)),
+    _case("dec_cast_bigint_halfup", "CAST(DECIMAL '2.5' AS BIGINT)", 3,
+          f"{DC}:155", marks=(_XFAIL_DEC_CAST_ROUND,)),
+    _case("dec_cast_int_halfup", "CAST(DECIMAL '-2.5' AS INTEGER)", -3,
+          f"{DC}:186", marks=(_XFAIL_DEC_CAST_ROUND,)),
+    _case("dec_mul_scale38", "DECIMAL '.1234567890123456789' * DECIMAL '.1234567890123456789'",
+          Decimal("0.01524157875323883675019051998750190521"),
+          f"{DO}:167",
+          marks=(pytest.mark.xfail(
+              reason="engine divergence: result scale s1+s2=38 "
+              "exceeds what Spark keeps under precision-loss (it "
+              "rounds to (38,37), losing the last digit); Presto "
+              "keeps all 38 fractional digits.",
+              strict=True),)),
+]
+
 ERROR_CASES2 = [
+    # decimal overflow / division-by-zero raises (both engines raise;
+    # the contract pinned is input-errors-not-wrong-value)
+    _err("dec_add_overflow", "DECIMAL '99999999999999999999999999999999999999' + DECIMAL '1'",
+         f"{DO}:68"),
+    _err("dec_add_overflow_scaled", "DECIMAL '17015000000000000000000000000000000000' + DECIMAL '-7015000000000000000000000000000000000.1'",
+         f"{DO}:80",
+         marks=(pytest.mark.xfail(
+             reason="engine divergence: the exact sum needs (39,1); "
+             "Presto raises NUMERIC_VALUE_OUT_OF_RANGE, Spark's "
+             "allowPrecisionLoss drops the fraction and returns the "
+             "rounded (38,0) value — multiply/add precision-loss "
+             "quarantine class.",
+             strict=True),)),
+    _err("dec_mul_overflow", "DECIMAL '12345678901234567890123456789012345678' * DECIMAL '9'",
+         f"{DO}:174"),
+    _err("dec_div_by_zero", "DECIMAL '1' / DECIMAL '0'", f"{DO}:253"),
+    _err("dec_div_by_zero_scaled", "DECIMAL '1.000000000000000000000000000000000000' / DECIMAL '0.0000000000000000000000000000000000000'",
+         f"{DO}:255"),
+    _err("dec_mod_by_zero", "DECIMAL '1' % DECIMAL '0'", f"{DO}:319"),
+    _err("dec_div_overflow", "DECIMAL '12345678901234567890123456789012345678' / DECIMAL '.1'",
+         f"{DO}:248"),
+    _err("dec_cast_varchar_too_large", "CAST('234.0' AS DECIMAL(2,0))",
+         f"{DC}:442"),
+    _err("dec_cast_varchar_nan", "CAST('foo' AS DECIMAL(2,0))",
+         f"{DC}:446"),
+    _err("dec_cast_bigint_too_small", "CAST(BIGINT '123' AS DECIMAL(2,1))",
+         f"{DC}:85"),
     _err("json_parse_invalid", "json_parse('not json')",
          "type/TestJsonOperators.java:~360"),
     _err("fail_raises", "fail('explicit failure message')",
