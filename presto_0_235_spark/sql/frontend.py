@@ -198,6 +198,57 @@ def _rewrite_typed_literals(masked: str, stash) -> str:
     return _TYPED_LIT.sub(repl, masked)
 
 
+# Presto interval literals may omit trailing fields of the declared
+# range — INTERVAL '12' DAY TO SECOND means 12 days, 0 h/m/s
+# (IntervalLiteral parsing; TestIntervalDayTime.java:58-100 pins every
+# short form). Spark's parser requires the full `d h:m:s[.n]` span for
+# a ranged unit and raises INVALID_INTERVAL_FORMAT on the short forms.
+# Pad the literal with zero fields up to the declared end unit.
+_INTERVAL_RANGED = re.compile(
+    r"\bINTERVAL\s+(\x00s(\d+)\x00)\s+"
+    r"(YEAR|DAY|HOUR|MINUTE)\s+TO\s+(MONTH|HOUR|MINUTE|SECOND)\b",
+    re.IGNORECASE,
+)
+_DT_UNIT_ORDER = {"DAY": 0, "HOUR": 1, "MINUTE": 2, "SECOND": 3}
+
+
+def _rewrite_interval_literals(masked: str, stash) -> str:
+    from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+    def repl(m: re.Match) -> str:
+        start_u = m.group(3).upper()
+        end_u = m.group(4).upper()
+        lit = stash[int(m.group(2))][1]
+        body = lit[1:-1].strip()
+        sign = ""
+        if body[:1] in "+-":
+            sign, body = body[:1], body[1:].strip()
+        if start_u == "YEAR":
+            if end_u != "MONTH" or "-" in body:
+                return m.group(0)
+            padded = f"{body}-0"
+        else:
+            needed = _DT_UNIT_ORDER[end_u] - _DT_UNIT_ORDER[start_u] + 1
+            if start_u == "DAY":
+                day, _, time = body.partition(" ")
+                fields = [day] + (time.split(":") if time.strip() else [])
+            else:
+                fields = body.split(":")
+            if len(fields) >= needed:
+                return m.group(0)
+            fields += ["0"] * (needed - len(fields))
+            if start_u == "DAY":
+                padded = fields[0] + (
+                    " " + ":".join(fields[1:]) if len(fields) > 1 else ""
+                )
+            else:
+                padded = ":".join(fields)
+        ph = _stash_lit(stash, sign + padded)
+        return f"INTERVAL {ph} {start_u} TO {end_u}"
+
+    return _INTERVAL_RANGED.sub(repl, masked)
+
+
 # Spark 4.1's UnaryMinus rounds DECIMAL values to 34 significant
 # digits (java.math MathContext.DECIMAL128 in the negation path):
 # `SELECT -CAST('12345678901234567890123456789012345678' AS
@@ -1727,6 +1778,7 @@ def presto_to_spark_sql(sql: str) -> str:
         sql = sql.replace("\x00", "")
     masked, stash = _mask(sql)
     masked = _rewrite_typed_literals(masked, stash)
+    masked = _rewrite_interval_literals(masked, stash)
     masked = _rewrite_negated_decimal_cast(masked, stash)
     masked = _rewrite_array_literals(masked)
     masked = _rewrite_map_ctor(masked)

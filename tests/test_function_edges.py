@@ -923,7 +923,126 @@ VALUE_CASES += [
               strict=True),)),
 ]
 
+# ---- batch 10: ROW operators (type/TestRowOperators.java) and
+# INTERVAL DAY TO SECOND literals/arithmetic (type/
+# TestIntervalDayTime.java, type/TestDateTimeOperators.java) ----------
+RO = "type/TestRowOperators.java"
+IDT = "type/TestIntervalDayTime.java"
+from datetime import timedelta  # noqa: E402
+
+VALUE_CASES += [
+    # field accessors through named-row casts (:385-410)
+    _case("row_field_basic", "CAST(row(1, 2) AS ROW(col0 integer, col1 integer)).col0",
+          1, f"{RO}:391"),
+    _case("row_field_varchar", "CAST(row(1, 'kittens') AS ROW(col0 integer, col1 varchar)).col1",
+          "kittens", f"{RO}:392"),
+    _case("row_field_null", "CAST(row(1, CAST(NULL AS DOUBLE)) AS ROW(col0 integer, col1 double)).col1",
+          None, f"{RO}:387"),
+    _case("row_field_case_insensitive", "CAST(ROW(1) AS ROW(A BIGINT)).A",
+          1, f"{RO}:408 (row type is not case sensitive)"),
+    _case("row_in_array_field", "CAST(array[row(1, 2)] AS array(row(col0 integer, col1 integer)))[1].col1",
+          2, f"{RO}:394"),
+    _case("row_cast_coerce_bool", "cast(row(2, 3) as row(aa bigint, bb boolean)).bb",
+          True, f"{RO}:433"),
+    _case("row_cast_all_null", "cast(row(null,null,null) as row(aa bigint, bb boolean, cc boolean)).aa",
+          None, f"{RO}:441"),
+    _case("row_cast_nested_field", "CAST(ROW(CAST(ROW('aa') AS ROW(a VARCHAR))) AS ROW(a ROW(a VARCHAR))).a.a",
+          "aa", f"{RO}:403"),
+    # row comparison (:484-534) — lexicographic, incl. nested arrays
+    _case("row_eq", "ROW(1, 2) = ROW(1, 2)", True, f"{RO}:525"),
+    _case("row_ne", "ROW(2, 1) != ROW(1, 2)", True, f"{RO}:526"),
+    _case("row_eq_decimal_long", "ROW(1.0, 123123123456.6549876543) = ROW(1.0, 123123123456.6549876543)",
+          True, f"{RO}:527"),
+    _case("row_ne_decimal_lastdigit", "ROW(1.0, 123123123456.6549876543) != ROW(1.0, 123123123456.6549876542)",
+          True, f"{RO}:530"),
+    _case("row_lt", "ROW(1, 2) < ROW(2, 1)", True, f"{RO}:523 "
+          "(assertComparisonCombination ROW(1,2) vs ROW(2,1))"),
+    _case("row_lt_array_prefix", "row(TRUE, ARRAY [1]) < row(TRUE, ARRAY [1, 2])",
+          True, f"{RO}:522"),
+    _case("row_eq_nested_array_map", "row(TRUE, ARRAY [1, 2], MAP(ARRAY[1, 3], ARRAY[2.0E0, 4.0E0])) = row(TRUE, ARRAY [1, 2], MAP(ARRAY[1, 3], ARRAY[2.0E0, 4.0E0]))",
+          True, f"{RO}:513",
+          marks=(pytest.mark.xfail(
+              reason="engine divergence: Spark refuses '=' on any "
+              "type containing a MAP (INVALID_ORDERING_TYPE — maps "
+              "have no defined ordering/equality in Catalyst); "
+              "Presto defines map equality. Map-free row equality "
+              "is pinned by the surrounding cases.",
+              strict=True),)),
+    _case("row_distinct_null", "row(NULL) IS DISTINCT FROM row(NULL)",
+          False, f"{RO}:498"),
+    _case("row_eq_decided_false", "row(2, CAST(NULL AS INTEGER)) = row(1, 2)",
+          False, f"{RO}:518 (first field decides; the NULL never "
+          "matters)"),
+    # 3-valued row equality with an undecided NULL field: Presto
+    # returns NULL (RowEqualOperator short-circuits only on a decided
+    # FALSE); Spark struct equality treats NULL fields as ordinary
+    # distinct values and returns FALSE
+    _case("row_eq_null_field", "row(1, CAST(NULL AS INTEGER)) = row(1, 2)",
+          None, f"{RO}:516",
+          marks=(pytest.mark.xfail(
+              reason="engine divergence: Presto row '=' is 3-valued "
+              "per field (NULL when undecided); Spark struct "
+              "equality is null-as-value and returns FALSE.",
+              strict=True),)),
+    # interval literals — every DAY TO SECOND literal form (:58-100)
+    _case("interval_dts_full", "INTERVAL '12 10:45:32.123' DAY TO SECOND",
+          timedelta(days=12, hours=10, minutes=45, seconds=32,
+                    milliseconds=123), f"{IDT}:60"),
+    _case("interval_dts_no_ms", "INTERVAL '12 10:45:32' DAY TO SECOND",
+          timedelta(days=12, hours=10, minutes=45, seconds=32),
+          f"{IDT}:62"),
+    _case("interval_dts_day_only", "INTERVAL '12' DAY TO SECOND",
+          timedelta(days=12), f"{IDT}:65"),
+    _case("interval_dts_day_hour", "INTERVAL '12 10' DAY TO SECOND",
+          timedelta(days=12, hours=10), f"{IDT}:64"),
+    _case("interval_dts_to_minute_short", "INTERVAL '12 10:45' DAY TO SECOND",
+          timedelta(days=12, hours=10, minutes=45), f"{IDT}:63"),
+    _case("interval_day_to_minute", "INTERVAL '12 10:45' DAY TO MINUTE",
+          timedelta(days=12, hours=10, minutes=45), f"{IDT}:67"),
+    _case("interval_day_to_minute_short", "INTERVAL '12' DAY TO MINUTE",
+          timedelta(days=12), f"{IDT}:69"),
+    _case("interval_hour_to_second_short", "INTERVAL '10' HOUR TO SECOND",
+          timedelta(hours=10), f"{IDT}:82"),
+    _case("interval_minute_to_second_short", "INTERVAL '45' MINUTE TO SECOND",
+          timedelta(minutes=45), f"{IDT}:91"),
+    _case("interval_year_to_month_short", "DATE '2000-01-15' + INTERVAL '3' YEAR TO MONTH",
+          date(2003, 1, 15), "type/TestIntervalYearMonth.java (short "
+          "form pads 0 months; pinned through date arithmetic — "
+          "PySpark cannot collect YearMonthInterval cells)"),
+    _case("interval_year_to_month_full", "DATE '2000-01-15' + INTERVAL '3-6' YEAR TO MONTH",
+          date(2003, 7, 15), "type/TestIntervalYearMonth.java"),
+    _case("interval_day_to_hour", "INTERVAL '12 10' DAY TO HOUR",
+          timedelta(days=12, hours=10), f"{IDT}:71"),
+    _case("interval_hour_to_second", "INTERVAL '10:45:32.123' HOUR TO SECOND",
+          timedelta(hours=10, minutes=45, seconds=32, milliseconds=123),
+          f"{IDT}:78"),
+    _case("interval_minute_to_second", "INTERVAL '45:32.123' MINUTE TO SECOND",
+          timedelta(minutes=45, seconds=32, milliseconds=123),
+          f"{IDT}:88"),
+    _case("interval_second_frac", "INTERVAL '32.123' SECOND",
+          timedelta(seconds=32, milliseconds=123), f"{IDT}:95"),
+    # interval arithmetic (:107-151)
+    _case("interval_add", "INTERVAL '3' DAY + INTERVAL '2' HOUR",
+          timedelta(days=3, hours=2), f"{IDT}:107"),
+    _case("interval_negate", "- INTERVAL '3' SECOND",
+          timedelta(seconds=-3), f"{IDT}:147"),
+    # timestamp/date +- interval (TestDateTimeOperators.java; the
+    # repo's UTC-naive session has no DST gaps by design)
+    _case("ts_plus_interval_day", "TIMESTAMP '2001-08-22 03:04:05.321' + INTERVAL '3' DAY",
+          datetime(2001, 8, 25, 3, 4, 5, 321000),
+          "type/TestDateTimeOperators.java:~130"),
+    _case("date_plus_interval", "DATE '2001-08-22' + INTERVAL '3' DAY",
+          date(2001, 8, 25), "type/TestDateTimeOperators.java:~140"),
+    _case("ts_minus_interval_hour", "TIMESTAMP '2013-03-31 04:05' - INTERVAL '3' hour",
+          datetime(2013, 3, 31, 1, 5), "type/TestDateTimeOperators.java:63 "
+          "(no timezone gap applied — the repo is UTC-naive)"),
+]
+
 ERROR_CASES2 = [
+    # non-legacy anonymous-row ordinal access is an error on both
+    # engines (legacyRowFieldOrdinalAccess defaults OFF in 0.235)
+    _err("row_field_ordinal_missing", "CAST(row(1, 2) as ROW(col0 integer, col1 integer)).field1",
+         f"{RO}:427 (MISSING_ATTRIBUTE)"),
     # decimal overflow / division-by-zero raises (both engines raise;
     # the contract pinned is input-errors-not-wrong-value)
     _err("dec_add_overflow", "DECIMAL '99999999999999999999999999999999999999' + DECIMAL '1'",
