@@ -1038,7 +1038,109 @@ VALUE_CASES += [
           "(no timezone gap applied — the repo is UTC-naive)"),
 ]
 
+# ---- batch 11: primitive-type operator edges — completes the
+# type/Test*Operators.java inventory. Files WITHOUT a ported slice,
+# by reason: TestCharOperators (CHAR lowers to STRING — the
+# documented trailing-pad divergence), TestDateTimeOperatorsLegacy /
+# TestDateTimeOperatorsBase TZ-gap sections (session-TZ semantics;
+# the engine is pinned UTC-naive by design), TestIpAddressOperators/
+# TestIpPrefixOperators (IPADDRESS/IPPREFIX are rendered as canonical
+# strings here; the function family is covered by fn_ipv6_prefix +
+# batch 7), TestUnknownOperators (NULL-typed ops — the usable subset
+# is below), TestSmallintOperators/TestTinyintOperators (same
+# overflow shape as the INTEGER slice below, via Spark's checked
+# SMALLINT/TINYINT arithmetic). --------------------------------------
+VALUE_CASES += [
+    # bigint extremes and checked arithmetic
+    _case("bigint_max_literal", "BIGINT '9223372036854775807'",
+          9223372036854775807, "type/TestBigintOperators.java:40"),
+    _case("bigint_plus_sign", "BIGINT '+754'", 754,
+          "type/TestBigintOperators.java:42"),
+    _case("int_mod_sign", "-7 % 3", -1,
+          "type/TestIntegerOperators.java (sign follows dividend)"),
+    _case("int_div_spark_spelling", "7 DIV 2", 3,
+          "type/TestIntegerOperators.java (Spark's spelling of "
+          "Presto's truncating integer '/')"),
+]
+
+_XFAIL_INT_DIVISION = pytest.mark.xfail(
+    reason="engine divergence: Presto '/' on integers is truncating "
+    "INTEGER division; Spark's '/' is always DOUBLE division (DIV is "
+    "the integer form). NOTE: DuckDB also float-divides, so this "
+    "divergence is invisible to the differential corpus — pinned "
+    "against the reference directly.",
+    strict=True,
+)
+VALUE_CASES += [
+    _case("int_div_truncates", "7 / 2", 3,
+          "type/TestIntegerOperators.java", marks=(_XFAIL_INT_DIVISION,)),
+    _case("int_div_neg_truncates", "-7 / 2", -3,
+          "type/TestIntegerOperators.java", marks=(_XFAIL_INT_DIVISION,)),
+    # double/real specials
+    _case("double_neg_zero_eq", "0E0 = -0E0", True,
+          "type/TestDoubleOperators.java (+0.0 equals -0.0)"),
+    _case("double_inf_literal", "is_infinite(DOUBLE 'Infinity')", True,
+          "type/TestDoubleOperators.java"),
+    _case("double_inf_compare", "DOUBLE 'Infinity' > 1E308", True,
+          "type/TestDoubleOperators.java"),
+    _case("double_nan_self_ne", "nan() = nan()", False,
+          "type/TestDoubleOperators.java:~100 (Presto scalar '=' on "
+          "NaN is IEEE-false)",
+          marks=(pytest.mark.xfail(
+              reason="engine divergence: Spark normalizes NaN to a "
+              "single value that equals itself in every comparison "
+              "domain (the documented NaN=NaN class); Presto's "
+              "scalar '=' is IEEE (false).",
+              strict=True),)),
+    # boolean casts and distinct-from (TestBooleanOperators.java)
+    _case("bool_cast_true", "cast('true' as boolean)", True,
+          "type/TestBooleanOperators.java testCastFromVarchar"),
+    _case("bool_cast_false", "cast('false' as boolean)", False,
+          "type/TestBooleanOperators.java"),
+    _case("bool_distinct_nulls", "CAST(NULL AS BOOLEAN) IS DISTINCT FROM CAST(NULL AS BOOLEAN)",
+          False, "type/TestBooleanOperators.java testIsDistinctFrom"),
+    _case("bool_distinct_from_null", "FALSE IS DISTINCT FROM NULL", True,
+          "type/TestBooleanOperators.java"),
+    # varchar operators (TestVarcharOperators.java)
+    _case("varchar_concat_op", "'foo' || 'bar'", "foobar",
+          "type/TestVarcharOperators.java:48"),
+    _case("varchar_lt", "'bar' < 'foo'", True,
+          "type/TestVarcharOperators.java"),
+    _case("varchar_between", "'bob' BETWEEN 'alice' AND 'carol'", True,
+          "type/TestVarcharOperators.java"),
+    # unknown (NULL-typed) operators
+    _case("unknown_is_null", "NULL IS NULL", True,
+          "type/TestUnknownOperators.java"),
+    _case("unknown_eq_propagates", "NULL = NULL", None,
+          "type/TestUnknownOperators.java ('=' on NULLs is NULL)"),
+]
+
 ERROR_CASES2 = [
+    # checked integer arithmetic raises at the extremes on both
+    # engines (TestBigintOperators.java:238-274 assertNumericOverflow)
+    _err("bigint_add_overflow", "9223372036854775807 + 1",
+         "type/TestBigintOperators.java:238"),
+    _err("bigint_sub_overflow", "-9223372036854775807 - 2",
+         "type/TestBigintOperators.java:245"),
+    _err("bigint_mul_overflow", "9223372036854775807 * 2",
+         "type/TestBigintOperators.java:251"),
+    _err("bigint_div_overflow", "(-9223372036854775807 - 1) / -1",
+         "type/TestBigintOperators.java:259",
+         marks=(pytest.mark.xfail(
+             reason="engine divergence: Presto '/' on integers is "
+             "truncating INTEGER division (so MIN/-1 overflows and "
+             "raises); Spark's '/' is always DOUBLE division (7/2 = "
+             "3.5, MIN/-1 = 9.22e18) — integer division is spelled "
+             "DIV. NOTE: the DuckDB oracle also float-divides, so "
+             "this divergence is invisible to the differential "
+             "corpus; pinned here against the reference directly.",
+             strict=True),)),
+    _err("bigint_neg_overflow", "-(-9223372036854775807 - 1)",
+         "type/TestBigintOperators.java:274"),
+    _err("int_add_overflow", "CAST(2147483647 AS INTEGER) + CAST(1 AS INTEGER)",
+         "type/TestIntegerOperators.java (integer addition overflow)"),
+    _err("int_div_by_zero", "7 / 0", "type/TestIntegerOperators.java"),
+    _err("int_mod_by_zero", "7 % 0", "type/TestIntegerOperators.java"),
     # non-legacy anonymous-row ordinal access is an error on both
     # engines (legacyRowFieldOrdinalAccess defaults OFF in 0.235)
     _err("row_field_ordinal_missing", "CAST(row(1, 2) as ROW(col0 integer, col1 integer)).field1",
