@@ -580,7 +580,9 @@ _TRY_CALL_TWINS = {
     "TO_BINARY": "try_to_binary",
 }
 _TRY_HEAD = re.compile(
-    r"^(CAST|element_at|to_number|to_timestamp|to_binary)\s*\(", re.IGNORECASE
+    r"^(CAST|element_at|to_number|to_timestamp|to_binary|json_parse)"
+    r"\s*\(",
+    re.IGNORECASE,
 )
 
 
@@ -633,8 +635,15 @@ def _lower_try(inner: str) -> str:
     if m:
         open_i = stripped.index("(", m.start())
         if _balanced(stripped, open_i) == len(stripped):
+            args = stripped[open_i + 1 : -1]
+            if m.group(1).upper() == "JSON_PARSE":
+                # json_parse lowers to the canonicalizing variant
+                # round trip (to_json(parse_json(x))); its TRY form is
+                # Spark's try_parse_json — NULL on invalid JSON, same
+                # canonical string otherwise (TestTryFunction.java:69)
+                return f"to_json(try_parse_json({args}))"
             twin = _TRY_CALL_TWINS[m.group(1).upper()]
-            return twin + "(" + stripped[open_i + 1 : -1] + ")"
+            return twin + "(" + args + ")"
     top = _split_top_binary(stripped)
     if top:
         op, left, right = top

@@ -182,6 +182,10 @@ _TEMPLATE_NAMES = (
     "spooky_hash_v2_64",
     "xxhash64",
     "combine_hash",
+    "zip",
+    "word_stem",
+    "json_extract",
+    "json_extract_scalar",
     # aggregate templates (see the AGGREGATE TEMPLATES section of
     # _rewrite_one; window/FILTER call sites are left verbatim — the
     # replacements are CASE-compositions of several aggregates and
@@ -1011,6 +1015,36 @@ def _rewrite_one(
             f"ELSE map_from_arrays({keys}, transform({keys}, "
             f"k -> transform(filter({entries}, x -> x.k <=> k), x -> x.v))) END)"
         )
+
+    if name == "zip" and len(a) >= 2:
+        # ZipFunction.java: positional element-wise zip to an array of
+        # rows, shorter arrays padded with NULL fields — exactly
+        # Spark's arrays_zip (field NAMES differ: Spark uses source
+        # expressions vs Presto's anonymous row; positional access is
+        # identical)
+        return f"arrays_zip({', '.join(a)})"
+
+    if name == "word_stem" and len(a) == 2:
+        # WordStemFunction.java 2-arg form; only the English stemmer
+        # is carried (the container has no Snowball library — the
+        # 1-arg UDF is a documented s-stemmer approximation)
+        lang = _lit_of(args[1], stash)
+        if lang is not None and lang.strip().lower() == "en":
+            return f"word_stem({a[0]})"
+        return None
+
+    if name in ("json_extract", "json_extract_scalar") and len(a) == 2:
+        # JsonPath bracket fields use double quotes in Presto
+        # ($["foo.bar"], JsonExtract.java tokenizePath); Spark's
+        # get_json_object wants single quotes — normalize literal
+        # paths, leave dynamic ones to the name mapping
+        path = _lit_of(args[1], stash)
+        if path is not None and '["' in path:
+            fixed = path.replace('["', "['").replace('"]', "']")
+            return (
+                f"get_json_object({a[0]}, {_stash_lit(stash, fixed)})"
+            )
+        return None
 
     if name == "combine_hash" and len(a) == 2:
         # CombineHashFunction.java:28: 31 * prev + value with Java

@@ -1115,6 +1115,80 @@ VALUE_CASES += [
           "type/TestUnknownOperators.java ('=' on NULLs is NULL)"),
 ]
 
+# ---- batch 12: lambda/zip/json-path/try tails (operator/scalar/
+# TestZipFunction, TestZipWithFunction, TestMapFilterFunction,
+# TestMapTransformKey/ValueFunction, TestMapZipWithFunction,
+# TestJsonExtract, TestTryFunction, TestTypeOfFunction,
+# TestArrayIntersectFunction, TestArraySortFunction). Remaining
+# operator/scalar files without a slice, by reason: engine-internal
+# harness/validation suites (TestScalarValidation, TestScalarParser,
+# TestOperatorValidation, TestPageProcessorCompiler,
+# TestIsNullAnnotation, TestBlockAndPositionNullConvention,
+# TestProvidedBlockBuilderReturnPlaceConvention,
+# TestParametricScalarImplementationValidation, TestCustomFunctions,
+# TestLambdaExpression capture internals, TestJsonHashTable),
+# session-TZ-dependent (TestDateTimeFunctions{,Legacy} — the Base
+# slice is ported), sketch scalars carried by operators/sketches
+# (TestHyperLogLogFunctions, TestQuantileDigestFunctions,
+# TestTDigestFunctions), regex engine twins of the ported abstract
+# suite (TestJoniRegexpFunctions, TestRe2jRegexpFunctions),
+# DataFrame-path color family (TestColorFunctions — fn_color_bar),
+# and TestWordStemFunction (the engine's word_stem is a documented
+# s-stemmer approximation; Porter pins would not match). -------------
+VALUE_CASES += [
+    _case("zip_pair_json", "to_json(zip(ARRAY[1, 2], ARRAY['a', 'b'])[1])",
+          '{"0":1,"1":"a"}', "TestZipFunction.java:41 (positional zip; "
+          "Spark arrays_zip field names are positional indices here)"),
+    _case("zip_shorter_padded", "to_json(zip(ARRAY[1, 2], ARRAY['a'])[2])",
+          '{"0":2}', "TestZipFunction.java (shorter array pads NULL — "
+          "to_json omits the null field)"),
+    _case("zip_with_add", "zip_with(ARRAY[1, 1], ARRAY[1, 2], (x, y) -> x + y)",
+          [2, 3], "TestZipWithFunction.java:55"),
+    _case("zip_with_concat", "zip_with(ARRAY['a', 'b'], ARRAY['c', 'd'], (x, y) -> concat(x, y))",
+          ["ac", "bd"], "TestZipWithFunction.java:67"),
+    _case("map_filter_keys", "map_filter(map(ARRAY[5, 6], ARRAY[10, 11]), (k, v) -> k > 5)",
+          {6: 11}, "TestMapFilterFunction.java:~60"),
+    _case("map_filter_null_pred", "cardinality(map_filter(map(ARRAY[1], ARRAY[10]), (k, v) -> CAST(NULL AS BOOLEAN)))",
+          0, "TestMapFilterFunction.java:47 (NULL predicate drops)"),
+    _case("transform_keys_arith", "transform_keys(map(ARRAY[1, 2], ARRAY['a', 'b']), (k, v) -> k + 1)",
+          {2: "a", 3: "b"}, "TestMapTransformKeyFunction.java:~60"),
+    _case("transform_values_kv", "transform_values(map(ARRAY[1, 2], ARRAY[10, 20]), (k, v) -> v + k)",
+          {1: 11, 2: 22}, "TestMapTransformValueFunction.java:~60"),
+    _case("map_zip_with_add", "map_zip_with(map(ARRAY[1], ARRAY[10]), map(ARRAY[1], ARRAY[2]), (k, v1, v2) -> v1 + v2)",
+          {1: 12}, "TestMapZipWithFunction.java:~50"),
+    _case("json_extract_nested", "json_extract('{\"x\": {\"a\" : 1, \"b\" : [2,3]} }', '$.x.b[1]')",
+          "3", "TestJsonExtract.java testJsonValueJsonExtractor "
+          "(0-based JsonPath array index)"),
+    _case("json_extract_scalar_nested", "json_extract_scalar('{\"x\": {\"a\" : 1, \"b\" : 2} }', '$.x.a')",
+          "1", "TestJsonExtract.java"),
+    _case("json_extract_bracket_quoted", "json_extract_scalar('{\"foo.bar\": 3}', '$[\"foo.bar\"]')",
+          "3", 'TestJsonExtract.java:55-56 (tokenizePath $["foo.bar"] '
+          "— dotted key via double-quoted bracket field)"),
+    _case("json_extract_array_index", "json_extract_scalar('[1,2,3]', '$[1]')",
+          "2", "TestJsonExtract.java"),
+    _case("try_division_null", "TRY(1/0)", None,
+          "TestTryFunction.java:68"),
+    _case("try_json_parse_invalid", "TRY(json_parse('INVALID'))", None,
+          "TestTryFunction.java:69"),
+    _case("try_json_parse_valid", "TRY(json_parse('[1, 2]'))", "[1,2]",
+          "TestTryFunction.java (valid input passes through "
+          "canonicalized)"),
+    _case("typeof_bigint", "typeof(CAST(1 AS BIGINT))", "bigint",
+          "TestTypeOfFunction.java:25"),
+    _case("typeof_double", "typeof(CAST(1 AS DOUBLE))", "double",
+          "TestTypeOfFunction.java:28"),
+    _case("array_intersect_basic", "array_intersect(ARRAY[1, 5, 3], ARRAY[3])",
+          [3], "TestArrayIntersectFunction.java:34"),
+    _case("array_intersect_null_member", "array_intersect(ARRAY[true, false, null], ARRAY[true, null])",
+          [True, None], "TestArrayIntersectFunction.java:37 (NULL is "
+          "a member for intersect)"),
+    _case("array_sort_nulls_last", "array_sort(ARRAY [5, 20, null, 5, 3, 50])",
+          [3, 5, 5, 20, 50, None], "TestArraySortFunction.java:31 "
+          "(nulls sort LAST)"),
+    _case("array_flatten", "flatten(ARRAY[ARRAY[1,2], ARRAY[3]])",
+          [1, 2, 3], "TestArrayFunctions.java flatten"),
+]
+
 ERROR_CASES2 = [
     # checked integer arithmetic raises at the extremes on both
     # engines (TestBigintOperators.java:238-274 assertNumericOverflow)
