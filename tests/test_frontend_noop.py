@@ -259,3 +259,90 @@ def test_typed_literals_lowered_and_guarded():
     assert presto_to_spark_sql("SELECT 'DECIMAL ''1.2''' FROM t") == (
         "SELECT 'DECIMAL ''1.2''' FROM t"
     )
+
+
+def test_negated_decimal_cast_rewrite_boundaries():
+    """r11: _rewrite_negated_decimal_cast must fire ONLY on a clearly
+    UNARY minus before CAST(... AS DECIMAL(p>34, s)) — binary minus
+    (exact in Spark) and small precisions stay verbatim."""
+    # unary at statement head -> exact 0-x form (scale 0)
+    assert presto_to_spark_sql(
+        "SELECT -CAST(a AS DECIMAL(38,0)) FROM t"
+    ) == "SELECT (0 - CAST(a AS DECIMAL(38,0))) FROM t"
+    # binary minus untouched (identifier before the '-')
+    assert presto_to_spark_sql(
+        "SELECT b -CAST(a AS DECIMAL(38,0)) FROM t"
+    ) == "SELECT b -CAST(a AS DECIMAL(38,0)) FROM t"
+    # closing paren before the '-' is binary too
+    assert presto_to_spark_sql(
+        "SELECT f(x) - CAST(a AS DECIMAL(38,0)) FROM t"
+    ) == "SELECT f(x) - CAST(a AS DECIMAL(38,0)) FROM t"
+    # precision <= 34 unaffected by the Spark bug -> verbatim
+    assert presto_to_spark_sql(
+        "SELECT -CAST(a AS DECIMAL(34,2)) FROM t"
+    ) == "SELECT -CAST(a AS DECIMAL(34,2)) FROM t"
+    # string-literal operand: sign folds INTO the literal (exact at
+    # every scale)
+    assert presto_to_spark_sql("SELECT -DECIMAL '1.5'") == (
+        "SELECT -CAST('1.5' AS DECIMAL(2, 1))"
+    )  # p=2 <= 34: left to Spark (exact there)
+    out = presto_to_spark_sql(
+        "SELECT -DECIMAL '123456789012345678.90123456789012345678'"
+    )
+    assert out == (
+        "SELECT CAST('-123456789012345678.90123456789012345678' "
+        "AS DECIMAL(38, 20))"
+    )
+    # keyword before the minus is unary (CASE branch)
+    out = presto_to_spark_sql(
+        "SELECT CASE WHEN x THEN -CAST(a AS DECIMAL(38,0)) END FROM t"
+    )
+    assert "(0 - CAST(a AS DECIMAL(38,0)))" in out
+
+
+def test_interval_literal_padding_boundaries():
+    """r11: ranged interval literals pad zero fields to the end unit;
+    full-length and unranged literals stay verbatim."""
+    assert presto_to_spark_sql("SELECT INTERVAL '12' DAY TO SECOND") == (
+        "SELECT INTERVAL '12 0:0:0' DAY TO SECOND"
+    )
+    assert presto_to_spark_sql("SELECT INTERVAL '12 10' DAY TO HOUR") == (
+        "SELECT INTERVAL '12 10' DAY TO HOUR"
+    )
+    assert presto_to_spark_sql("SELECT INTERVAL '10' HOUR TO MINUTE") == (
+        "SELECT INTERVAL '10:0' HOUR TO MINUTE"
+    )
+    assert presto_to_spark_sql("SELECT INTERVAL '-3' YEAR TO MONTH") == (
+        "SELECT INTERVAL '-3-0' YEAR TO MONTH"
+    )
+    # sign preserved on day-time
+    assert presto_to_spark_sql(
+        "SELECT INTERVAL '-12 10:45' DAY TO SECOND"
+    ) == "SELECT INTERVAL '-12 10:45:0' DAY TO SECOND"
+    # unranged forms stay verbatim
+    for sql in ("SELECT INTERVAL '1' DAY", "SELECT INTERVAL '45' MINUTE",
+                "SELECT INTERVAL '32.123' SECOND"):
+        assert presto_to_spark_sql(sql) == sql
+    # trigger text inside a literal is untouched
+    sql = "SELECT 'INTERVAL ''12'' DAY TO SECOND' FROM t"
+    assert presto_to_spark_sql(sql) == sql
+
+
+def test_window_shim_boundaries():
+    """r11: the ranking-window shims fire only on unordered specs and
+    non-literal ntile counts."""
+    # ordered ranking spec: no shim (only the standing NULLS LAST
+    # ordering pass applies)
+    assert presto_to_spark_sql("SELECT rank() OVER (ORDER BY a) FROM t") == (
+        "SELECT rank() OVER (ORDER BY a NULLS LAST) FROM t"
+    )
+    # literal ntile: no bucket-arithmetic lowering
+    assert presto_to_spark_sql(
+        "SELECT ntile(4) OVER (ORDER BY a) FROM t"
+    ) == "SELECT ntile(4) OVER (ORDER BY a NULLS LAST) FROM t"
+    # unordered spec gains a constant sort key
+    out = presto_to_spark_sql("SELECT cume_dist() OVER () FROM t")
+    assert "ORDER BY 1" in out
+    # per-row ntile lowers to bucket arithmetic
+    out = presto_to_spark_sql("SELECT ntile(n) OVER (ORDER BY a) FROM t")
+    assert "row_number()" in out and "count(*)" in out
