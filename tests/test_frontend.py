@@ -155,7 +155,11 @@ def test_try_unsupported_shape_raises_loudly():
     from presto_0_235_spark.sql.frontend import TryShapeNotSupportedError
 
     with _pytest.raises(TryShapeNotSupportedError, match="TRY shape not supported"):
-        presto_to_spark_sql("SELECT TRY(json_parse(x))")
+        presto_to_spark_sql("SELECT TRY(regexp_extract(x, p))")
+    # r11: json_parse gained a real absorber (Spark try_parse_json)
+    assert presto_to_spark_sql("SELECT TRY(json_parse(x))") == (
+        "SELECT to_json(try_parse_json(x))"
+    )
     # TRY over something that cannot fail passes through untouched.
     assert "(b)" in presto_to_spark_sql("SELECT TRY(b)")
     assert "('lit')" in presto_to_spark_sql("SELECT TRY('lit')")
