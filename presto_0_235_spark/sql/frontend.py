@@ -249,6 +249,57 @@ def _rewrite_interval_literals(masked: str, stash) -> str:
     return _INTERVAL_RANGED.sub(repl, masked)
 
 
+# Presto CAST to a SIZED character type truncates to n codepoints
+# (varchar(n)) or truncates-and-pads to exactly n (char(n)) —
+# type/TestCharacterStringCasts.java:30-57: cast('banana' as
+# varchar(3)) = 'ban', cast('bar  ' as char(10)) = 'bar' + 7 spaces,
+# and char(n)->varchar(m) composes through the padded form. Spark
+# accepts the syntax but IGNORES the length (returns the full
+# string). Lower sized casts to the explicit substr/rpad forms.
+_SIZED_CHAR_CAST = re.compile(r"\b(TRY_CAST|CAST)\s*(\()", re.IGNORECASE)
+_SIZED_CHAR_TYPE = re.compile(
+    r"\bAS\s+(VARCHAR|CHAR)\s*(?:\(\s*(\d+)\s*\))?\s*$", re.IGNORECASE
+)
+
+
+def _rewrite_sized_char_casts(masked: str, stash) -> str:
+    from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+    pos = 0
+    out = masked
+    while True:
+        m = _SIZED_CHAR_CAST.search(out, pos)
+        if m is None:
+            return out
+        cast_fn = m.group(1).upper()
+        open_i = m.start(2)
+        try:
+            past = _balanced(out, open_i)
+        except ValueError:
+            return out
+        inner = out[open_i + 1 : past - 1]
+        tm = _SIZED_CHAR_TYPE.search(inner)
+        # bare VARCHAR (unbounded) keeps the existing lowering; bare
+        # CHAR is char(1) per the SQL standard (TestCharacterString
+        # Casts.java:44 cast('bar' as char) = 'b')
+        if tm is None or (tm.group(2) is None and tm.group(1).upper() != "CHAR"):
+            # step inside: a nested sized cast may live in the operand
+            pos = open_i + 1
+            continue
+        operand = inner[: tm.start()].rstrip()
+        n = int(tm.group(2)) if tm.group(2) else 1
+        trunc = f"substr({cast_fn}({operand} AS STRING), 1, {n})"
+        if tm.group(1).upper() == "CHAR":
+            pad = _stash_lit(stash, " ")
+            new = f"rpad({trunc}, {n}, {pad})"
+        else:
+            new = trunc
+        out = out[: m.start()] + new + out[past:]
+        # re-scan from the replacement start so a nested sized cast
+        # inside the operand is found on the next iteration
+        pos = m.start()
+
+
 # Spark 4.1's UnaryMinus rounds DECIMAL values to 34 significant
 # digits (java.math MathContext.DECIMAL128 in the negation path):
 # `SELECT -CAST('12345678901234567890123456789012345678' AS
@@ -1789,6 +1840,7 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = _rewrite_typed_literals(masked, stash)
     masked = _rewrite_interval_literals(masked, stash)
     masked = _rewrite_negated_decimal_cast(masked, stash)
+    masked = _rewrite_sized_char_casts(masked, stash)
     masked = _rewrite_array_literals(masked)
     masked = _rewrite_map_ctor(masked)
     masked = _rewrite_row_types(masked)

@@ -270,10 +270,11 @@ def test_bare_varchar_becomes_string():
     assert p2s("SELECT CAST(x AS VARCHAR) FROM t") == (
         "SELECT CAST(x AS STRING) FROM t"
     )
-    # parameterized VARCHAR(n) is legal Spark — untouched
-    assert p2s("SELECT CAST(x AS VARCHAR(10)) FROM t") == (
-        "SELECT CAST(x AS VARCHAR(10)) FROM t"
-    )
+    # r11: parameterized VARCHAR(n) TRUNCATES in Presto
+    # (TestCharacterStringCasts.java:36) — Spark accepts the syntax
+    # but ignores the length, so sized casts lower to substr
+    out = p2s("SELECT CAST(x AS VARCHAR(10)) FROM t")
+    assert "substr" in out and "AS STRING" in out and "10" in out
     # literals are never rewritten
     assert p2s("SELECT 'AS VARCHAR' FROM t") == "SELECT 'AS VARCHAR' FROM t"
     # constructor types in the AS tail convert to Spark DDL spelling

@@ -75,7 +75,7 @@ NOOP_TEXTS = [
     "SELECT a FROM t ORDER BY a ASC NULLS LAST, b DESC NULLS FIRST",
     "SELECT a FROM t ORDER BY a NULLS LAST LIMIT 5",
     # ---- varchar: parameterized + word-embedded stay ----
-    "SELECT CAST(a AS VARCHAR(10)) FROM t",
+    "SELECT a_varchar10, varchar_col FROM t",
     "SELECT varchars FROM t",
     # ---- call templates (r10): near-misses stay verbatim ----
     "SELECT nancy, infinity_col FROM t",

@@ -1189,6 +1189,26 @@ VALUE_CASES += [
           [1, 2, 3], "TestArrayFunctions.java flatten"),
     _case("map_subscript_present", "map(ARRAY[1,2], ARRAY['a','b'])[1]",
           "a", "type/TestMapOperators.java (map subscript, present key)"),
+    # sized character casts (type/TestCharacterStringCasts.java:30-57)
+    # — Spark accepts but IGNORES the length; lowered to substr/rpad
+    # by frontend._rewrite_sized_char_casts
+    _case("varchar_cast_truncates", "cast('banana' as varchar(3))",
+          "ban", "type/TestCharacterStringCasts.java:36"),
+    _case("varchar_cast_fits", "cast('bar' as varchar(20))",
+          "bar", "type/TestCharacterStringCasts.java:32"),
+    _case("char_cast_pads", "cast('bar  ' as char(10))",
+          "bar       ", "type/TestCharacterStringCasts.java:43"),
+    _case("char_cast_bare_is_1", "cast('bar' as char)", "b",
+          "type/TestCharacterStringCasts.java:44"),
+    _case("char_to_varchar_padded", "cast(cast('bar' as char(5)) as varchar(10))",
+          "bar  ", "type/TestCharacterStringCasts.java:51"),
+    _case("char_to_varchar_truncated", "cast(cast('bar' as char(5)) as varchar(1))",
+          "b", "type/TestCharacterStringCasts.java:52"),
+    _case("char_to_varchar_exact", "cast(cast('b' as char(3)) as varchar(3))",
+          "b  ", "type/TestCharacterStringCasts.java:56"),
+    _case("int_to_sized_varchar", "cast(12345 as varchar(2))", "12",
+          "type/TestCharacterStringCasts.java (numeric through the "
+          "sized cast truncates like Presto)"),
     _case("map_element_at_missing", "element_at(map(ARRAY[1,2], ARRAY['a','b']), 9)",
           None, "MapFunctions.java element_at (missing key -> NULL)"),
 ]
