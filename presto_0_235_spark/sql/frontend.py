@@ -164,7 +164,10 @@ def _unmask(sql: str, stash: list[tuple[str, str]]) -> str:
 # string placeholder) with stash access for the DECIMAL digits.
 _TYPED_LIT = re.compile(
     "\\b(BIGINT|INTEGER|INT|SMALLINT|TINYINT|DECIMAL|DOUBLE|REAL"
-    "|BOOLEAN|VARCHAR|CHAR|JSON)\\s+(\x00s(\\d+)\x00)",
+    # \s* not \s+: Presto's grammar permits the no-space form
+    # (INTEGER'37', REAL'12.2' — pervasive in the reference's
+    # type-operator tests)
+    "|BOOLEAN|VARCHAR|CHAR|JSON|IPADDRESS|IPPREFIX)\\s*(\x00s(\\d+)\x00)",
     re.IGNORECASE,
 )
 
@@ -178,6 +181,39 @@ def _rewrite_typed_literals(masked: str, stash) -> str:
             # (JsonOperators.java castFromVarchar) — variant round
             # trip normalizes whitespace/key order/number form.
             return f"to_json(parse_json({ph}))"
+        if typ == "IPPREFIX":
+            # IPPREFIX 'addr/len' — Presto masks the host bits and
+            # renders the network start + /len
+            # (IpPrefixOperators.java:134-180); v4-mapped v6 becomes
+            # v4 FIRST, so the length applies to the 32-bit form
+            import ipaddress as _ip
+
+            lit = stash[int(m.group(3))][1]
+            body = lit[1:-1].strip()
+            addr_s, _, len_s = body.partition("/")
+            a = _ip.ip_address(addr_s.strip())
+            if isinstance(a, _ip.IPv6Address) and a.ipv4_mapped:
+                a = a.ipv4_mapped
+            net = _ip.ip_network(f"{a}/{int(len_s)}", strict=False)
+            from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+            return _stash_lit(
+                stash, f"{net.network_address}/{net.prefixlen}"
+            )
+        if typ == "IPADDRESS":
+            # IPADDRESS 'x' — the engine renders the type as Presto's
+            # canonical string (IpAddressOperators.java castToVarchar:
+            # IPv6 compressed lowercase, IPv4-mapped shown dotted);
+            # canonicalize the literal at rewrite time
+            import ipaddress as _ip
+
+            lit = stash[int(m.group(3))][1]
+            addr = _ip.ip_address(lit[1:-1].strip())
+            if isinstance(addr, _ip.IPv6Address) and addr.ipv4_mapped:
+                addr = addr.ipv4_mapped
+            from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+            return _stash_lit(stash, str(addr))
         if typ == "INT":
             typ = "INTEGER"
         elif typ in ("VARCHAR", "CHAR"):
@@ -1837,6 +1873,11 @@ def presto_to_spark_sql(sql: str) -> str:
                 )
         sql = sql.replace("\x00", "")
     masked, stash = _mask(sql)
+    # ANSI synonym Spark's parser lacks (DoubleType in the reference
+    # grammar; TestDoubleOperators.java:49 DOUBLE PRECISION '12.34')
+    masked = re.sub(
+        r"\bDOUBLE\s+PRECISION\b", "DOUBLE", masked, flags=re.IGNORECASE
+    )
     masked = _rewrite_typed_literals(masked, stash)
     masked = _rewrite_interval_literals(masked, stash)
     masked = _rewrite_negated_decimal_cast(masked, stash)
