@@ -679,6 +679,40 @@ def fnv1a_32(b: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(StringType())
+def from_utf8_replace(b: pd.Series, repl: pd.Series) -> pd.Series:
+    """from_utf8(varbinary[, replacement]) with Presto's REPLACE
+    decoding (StringFunctions.java fromUtf8): each malformed UTF-8
+    run becomes the replacement (default U+FFFD; '' deletes; more
+    than one char raises like the reference). Python's
+    UnicodeDecodeError start/end step over the malformed run the same
+    way Java's CharsetDecoder does."""
+
+    def dec(data, rep):
+        if data is None or rep is None:
+            return None
+        if len(rep) > 1:
+            raise ValueError(
+                "replaceCharacter must empty or a single character"
+            )
+        data = bytes(data)
+        out = []
+        i = 0
+        while i <= len(data):
+            try:
+                out.append(data[i:].decode("utf-8"))
+                break
+            except UnicodeDecodeError as e:
+                out.append(data[i : i + e.start].decode("utf-8"))
+                out.append(rep)
+                i += e.end
+        return "".join(out)
+
+    return pd.Series(
+        [dec(d, r) for d, r in zip(b, repl)], dtype="object"
+    )
+
+
+@F.pandas_udf(StringType())
 def spooky_hash_v2_32_hex(b: pd.Series) -> pd.Series:
     """spooky_hash_v2_32(varbinary) (VarbinaryFunctions.java:306) —
     hex-returning so the SQL template restores VARBINARY via unhex;

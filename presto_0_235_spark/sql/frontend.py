@@ -234,6 +234,41 @@ def _rewrite_typed_literals(masked: str, stash) -> str:
     return _TYPED_LIT.sub(repl, masked)
 
 
+# Presto's LIKE has NO default escape character (LikePredicate:
+# escape only when an ESCAPE clause is given; TestConditions.java
+# pins '_monkey_' LIKE '\\_monkey\\_' = false — the backslashes are
+# literal). Spark's LIKE defaults to backslash-escape. For LITERAL
+# patterns: a bare LIKE whose pattern contains a backslash gets the
+# backslashes doubled (making them literal under Spark), and
+# ESCAPE '' (Presto: "no escape char") is dropped with the same
+# doubling. Column-valued patterns can't be repaired textually and
+# keep Spark semantics (documented).
+_LIKE_LIT = re.compile(
+    r"\bLIKE\s+(\x00s(\d+)\x00)(\s+ESCAPE\s+(\x00s(\d+)\x00))?",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_like_escapes(masked: str, stash) -> str:
+    from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+    def repl(m: re.Match) -> str:
+        pat = stash[int(m.group(2))][1][1:-1]  # quotes stripped
+        if m.group(3) is not None:
+            esc = stash[int(m.group(5))][1][1:-1]
+            if esc != "":
+                return m.group(0)  # real escape char: Spark agrees
+        if "\\" not in pat:
+            # no backslash: bare LIKE and ESCAPE '' behave the same
+            # under either engine — just drop an empty ESCAPE clause
+            return f"LIKE {m.group(1)}"
+        ph = _stash_lit(stash, pat.replace("''", "'")
+                        .replace("\\", "\\\\"))
+        return f"LIKE {ph}"
+
+    return _LIKE_LIT.sub(repl, masked)
+
+
 # Presto interval literals may omit trailing fields of the declared
 # range — INTERVAL '12' DAY TO SECOND means 12 days, 0 h/m/s
 # (IntervalLiteral parsing; TestIntervalDayTime.java:58-100 pins every
@@ -1291,7 +1326,34 @@ _EXTRACT_RE = re.compile(
 )
 
 
+# Presto EXTRACT on an interval accepts any field of the interval's
+# family regardless of the literal's declared unit (extract(minute
+# FROM INTERVAL '247' SECOND) = 4, TestDateTimeFunctionsBase); Spark
+# rejects fields outside the declared range — widen interval-literal
+# operands to the full DAY TO SECOND / YEAR TO MONTH span first.
+_EXTRACT_INTERVAL_RE = re.compile(
+    r"(\bEXTRACT\s*\(\s*\w+\s+FROM\s+)"
+    r"(INTERVAL\s+\x00s\d+\x00\s+"
+    r"(?:DAY|HOUR|MINUTE|SECOND|YEAR|MONTH)\b"
+    r"(?:\s+TO\s+(?:HOUR|MINUTE|SECOND|MONTH)\b)?)",
+    re.IGNORECASE,
+)
+
+
+def _widen_extract_intervals(masked: str) -> str:
+    def repl(m: re.Match) -> str:
+        family = (
+            "INTERVAL YEAR TO MONTH"
+            if re.search(r"\b(YEAR|MONTH)\b", m.group(2), re.IGNORECASE)
+            else "INTERVAL DAY TO SECOND"
+        )
+        return f"{m.group(1)}CAST({m.group(2)} AS {family})"
+
+    return _EXTRACT_INTERVAL_RE.sub(repl, masked)
+
+
 def _rewrite_extract_fields(sql: str) -> str:
+    sql = _widen_extract_intervals(sql)
     return _EXTRACT_RE.sub(
         lambda m: m.group(1)
         + _EXTRACT_FIELDS[m.group(2).lower()]
@@ -1880,6 +1942,7 @@ def presto_to_spark_sql(sql: str) -> str:
     )
     masked = _rewrite_typed_literals(masked, stash)
     masked = _rewrite_interval_literals(masked, stash)
+    masked = _rewrite_like_escapes(masked, stash)
     masked = _rewrite_negated_decimal_cast(masked, stash)
     masked = _rewrite_sized_char_casts(masked, stash)
     masked = _rewrite_array_literals(masked)
@@ -1964,6 +2027,7 @@ def _ensure_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("spooky_hash_v2_32_hex", U.spooky_hash_v2_32_hex)
     spark.udf.register("spooky_hash_v2_64_hex", U.spooky_hash_v2_64_hex)
     spark.udf.register("xxhash64_hex", U.xxhash64_hex)
+    spark.udf.register("from_utf8_replace", U.from_utf8_replace)
     _UDF_SESSIONS.add(key)
 
 

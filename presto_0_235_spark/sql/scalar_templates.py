@@ -186,6 +186,13 @@ _TEMPLATE_NAMES = (
     "word_stem",
     "json_extract",
     "json_extract_scalar",
+    "strpos",
+    "greatest",
+    "least",
+    "width_bucket",
+    "is_nan",
+    "is_finite",
+    "is_infinite",
     # aggregate templates (see the AGGREGATE TEMPLATES section of
     # _rewrite_one; window/FILTER call sites are left verbatim — the
     # replacements are CASE-compositions of several aggregates and
@@ -724,11 +731,22 @@ def _rewrite_one(
     if name == "to_utf8" and len(a) == 1:
         return f"encode({a[0]}, {_stash_lit(stash, 'UTF-8')})"
 
-    if name == "from_utf8" and len(a) == 1:
-        # Presto from_utf8 replaces invalid sequences with U+FFFD —
-        # decode('UTF-8') raises under ANSI; try_ keeps the lenient
-        # contract close (NULL instead of replacement on bad input).
-        return f"decode({a[0]}, {_stash_lit(stash, 'UTF-8')})"
+    if name == "from_utf8" and len(a) in (1, 2):
+        # Presto from_utf8 REPLACES each malformed sequence
+        # (StringFunctions.java fromUtf8: CharsetDecoder REPLACE
+        # action) — U+FFFD by default, or the given single-char /
+        # codepoint replacement; '' deletes. Spark's decode raises
+        # under ANSI, so this routes through the registered
+        # from_utf8_replace UDF (functions/udfs.py — the same
+        # malformed-run stepping as Java's CharsetDecoder).
+        if len(a) == 1:
+            repl = _stash_lit(stash, "�")
+        elif re.fullmatch(r"\s*\d+\s*", args[1]):
+            # codepoint overload, literal form
+            repl = _stash_lit(stash, chr(int(args[1])))
+        else:
+            repl = a[1]
+        return f"from_utf8_replace({a[0]}, {repl})"
 
     if name == "normalize" and len(a) in (1, 2):
         # normalize(s[, NFC|NFD|NFKC|NFKD]) — the form is a BARE
@@ -765,12 +783,22 @@ def _rewrite_one(
         )
 
     if name == "json_array_contains" and len(a) == 2:
-        # Membership by string-rendered equality — covers the
-        # boolean/number/varchar element types Presto's overloads
-        # accept (JsonFunctions.java jsonArrayContains).
+        # TYPED membership (JsonFunctions.java jsonArrayContains
+        # overloads): a boolean needle matches only true/false JSON
+        # tokens, a number only number tokens, a string only string
+        # tokens. Render both sides as JSON tokens via the
+        # to_json(array(x)) bracket-strip trick and compare exactly;
+        # NULL input or NULL needle -> NULL, malformed JSON -> NULL,
+        # JSON null elements never match (the reference skips them).
+        arr = f"from_json({a[0]}, {_stash_lit(stash, 'array<variant>')})"
+        tok = f"to_json(array({a[1]}))"
+        needle = f"substr({tok}, 2, length({tok}) - 2)"
         return (
-            f"coalesce(exists(from_json({a[0]}, {_stash_lit(stash, 'array<string>')}), "
-            f"e -> e = CAST({a[1]} AS STRING)), false)"
+            f"(CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL "
+            f"THEN CAST(NULL AS BOOLEAN) "
+            f"WHEN {arr} IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE coalesce(exists({arr}, "
+            f"e -> to_json(e) = {needle}), false) END)"
         )
 
     if name == "none_match" and len(a) == 2:
@@ -912,14 +940,54 @@ def _rewrite_one(
             f"ELSE {u} END) AS INT)"
         )
 
-    if name == "strrpos" and len(a) == 2:
-        # Last occurrence, 1-based, 0 when absent
-        # (StringFunctions.java stringReversePosition).
-        s, sub = a
-        found = f"instr(reverse({s}), reverse({sub}))"
+    if name == "strrpos" and len(a) in (2, 3):
+        # Nth-from-the-end occurrence, 1-based, 0 when absent; empty
+        # substring -> 1 (StringFunctions.java stringPositionFromEnd:
+        # 233-235, 259-261). Positions are CODEPOINT-correct here; the
+        # reference's own from-the-end path is byte/char-confused for
+        # non-ASCII (line 269 feeds a UTF-16 lastIndexOf index into
+        # the byte-offset countCodePoints — TestStringFunctions.java:
+        # 316 pins position 2 for a match at codepoint 4), a bug this
+        # engine does not reproduce (documented divergence).
+        s, sub = a[0], a[1]
+        if len(a) == 2:
+            found = f"instr(reverse({s}), reverse({sub}))"
+            return (
+                f"(CASE WHEN ({s}) IS NULL OR ({sub}) IS NULL "
+                f"THEN CAST(NULL AS BIGINT) "
+                f"WHEN length({sub}) = 0 THEN CAST(1 AS BIGINT) "
+                f"WHEN {found} = 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE CAST(length({s}) - {found} - length({sub}) + 2 "
+                f"AS BIGINT) END)"
+            )
+        n = a[2]
+        positions = (
+            f"filter(sequence(1, length({s})), "
+            f"p -> substr({s}, p, length({sub})) = {sub})"
+        )
+        msg = _stash_lit(stash, "'instance' must be a positive number.")
         return (
-            f"(CASE WHEN {found} = 0 THEN CAST(0 AS BIGINT) "
-            f"ELSE CAST(length({s}) - {found} - length({sub}) + 2 AS BIGINT) END)"
+            f"(CASE WHEN ({n}) <= 0 THEN "
+            f"CAST(raise_error({msg}) AS BIGINT) "
+            f"WHEN ({s}) IS NULL OR ({sub}) IS NULL OR ({n}) IS NULL "
+            f"THEN CAST(NULL AS BIGINT) "
+            f"WHEN length({sub}) = 0 THEN 1 "
+            f"WHEN length({s}) = 0 THEN 0 "
+            f"ELSE CAST(coalesce(try_element_at({positions}, "
+            f"CAST(-({n}) AS INT)), 0) AS BIGINT) END)"
+        )
+
+    if name == "width_bucket" and len(a) == 2:
+        # Array-bins form (MathFunctions.java widthBucket(operand,
+        # bins)): index of the bucket = number of bin boundaries <=
+        # operand. The reference requires a non-empty bins array.
+        x, bins = a
+        msg = _stash_lit(stash, "Bins cannot be an empty array")
+        return (
+            f"(CASE WHEN size({bins}) = 0 THEN "
+            f"CAST(raise_error({msg}) AS BIGINT) "
+            f"ELSE CAST(size(filter({bins}, "
+            f"b -> CAST({x} AS DOUBLE) >= b)) AS BIGINT) END)"
         )
 
     if name == "cosine_similarity" and len(a) == 2:
@@ -1014,6 +1082,60 @@ def _rewrite_one(
             f"(CASE WHEN {a[0]} = {empty} THEN map() "
             f"ELSE map_from_arrays({keys}, transform({keys}, "
             f"k -> transform(filter({entries}, x -> x.k <=> k), x -> x.v))) END)"
+        )
+
+    if name == "strpos" and len(a) == 3:
+        # StringFunctions.java stringPosition(string, substring,
+        # instance): position of the Nth occurrence; negative N
+        # counts from the end; N = 0 raises; absent -> 0. Lowered to
+        # a position scan (filter over sequence) — element_at's own
+        # negative indexing provides the from-the-end form.
+        hay, sub, n = a
+        positions = (
+            f"filter(sequence(1, length({hay})), "
+            f"p -> substr({hay}, p, length({sub})) = {sub})"
+        )
+        msg = _stash_lit(stash, "'instance' must be a positive or "
+                                "negative number")
+        return (
+            f"(CASE WHEN ({n}) = 0 THEN "
+            f"CAST(raise_error({msg}) AS BIGINT) "
+            f"WHEN ({hay}) IS NULL OR ({sub}) IS NULL OR ({n}) IS NULL "
+            f"THEN CAST(NULL AS BIGINT) "
+            f"WHEN length({hay}) = 0 OR length({sub}) = 0 THEN 0 "
+            f"ELSE CAST(coalesce(try_element_at({positions}, "
+            f"CAST({n} AS INT)), 0) AS BIGINT) END)"
+        )
+
+    if name in ("greatest", "least") and len(a) >= 1:
+        # MathFunctions.java greatest/least: ANY NULL argument makes
+        # the result NULL (Presto), where Spark's greatest/least
+        # SKIP nulls; the 1-arg form (legal in Presto, rejected by
+        # Spark) is the identity
+        if len(a) == 1:
+            return f"({a[0]})"
+        null_guard = " OR ".join(f"({x}) IS NULL" for x in a)
+        return (
+            f"(CASE WHEN {null_guard} THEN NULL "
+            f"ELSE {name}({', '.join(a)}) END)"
+        )
+
+    if name in ("is_nan", "is_finite", "is_infinite") and len(a) == 1:
+        # @SqlNullable in the reference: NULL input -> NULL; Spark's
+        # isnan returns false for NULL
+        fn = {
+            "is_nan": f"isnan(CAST({a[0]} AS DOUBLE))",
+            "is_finite": (
+                f"(NOT isnan(CAST({a[0]} AS DOUBLE)) AND "
+                f"abs(CAST({a[0]} AS DOUBLE)) != CAST('Infinity' AS DOUBLE))"
+            ),
+            "is_infinite": (
+                f"(abs(CAST({a[0]} AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
+            ),
+        }[name]
+        return (
+            f"(CASE WHEN ({a[0]}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE {fn} END)"
         )
 
     if name == "zip" and len(a) >= 2:
