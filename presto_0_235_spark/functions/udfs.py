@@ -23,6 +23,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     FloatType,
+    DecimalType,
     LongType,
     StringType,
 )
@@ -83,11 +84,20 @@ def hmac_sha256(data: pd.Series, key: pd.Series) -> pd.Series:
 
 def _inv_norm(p: float) -> float:
     """Acklam's rational approximation of the standard normal inverse
-    CDF (|rel err| < 1.15e-9) — public-domain algorithm; the
-    reference backs inverse_normal_cdf with an equivalent
-    approximation (MathFunctions.java)."""
+    CDF (|rel err| < 1.15e-9), polished with one Halley step against
+    erfc to machine precision — public-domain algorithm; the
+    reference's closed form agrees to ~1e-15
+    (MathFunctions.java inverseNormalCdf)."""
     if p <= 0.0 or p >= 1.0 or math.isnan(p):
         return float("nan")
+    x = _inv_norm_acklam(p)
+    # Halley refinement: e = Phi(x) - p, u = e / phi(x)
+    e = 0.5 * math.erfc(-x / math.sqrt(2.0)) - p
+    u = e * math.sqrt(2.0 * math.pi) * math.exp(x * x / 2.0)
+    return x - u / (1.0 + x * u / 2.0)
+
+
+def _inv_norm_acklam(p: float) -> float:
     a = [-3.969683028665376e+01, 2.209460984245205e+02,
          -2.759285104469687e+02, 1.383577518672690e+02,
          -3.066479806614716e+01, 2.506628277459239e+00]
@@ -221,17 +231,19 @@ def _beta_i(a: float, b: float, x: float) -> float:
 
 
 def _invert_monotone(cdf, p: float, lo: float, hi: float) -> float:
-    """Bisection inverse of a monotone CDF on [lo, hi] (~1e-12)."""
+    """Bisection inverse of a monotone CDF on [lo, hi], run to float
+    exhaustion (the midpoint stops moving) — agrees with the
+    reference's closed-form inverses to ~1e-15."""
     if math.isnan(p) or p < 0.0 or p > 1.0:
         return float("nan")
     for _ in range(200):
         mid = 0.5 * (lo + hi)
+        if mid <= lo or mid >= hi:
+            break
         if cdf(mid) < p:
             lo = mid
         else:
             hi = mid
-        if hi - lo < 1e-12 * max(1.0, abs(hi)):
-            break
     return 0.5 * (lo + hi)
 
 
@@ -246,16 +258,21 @@ def beta_cdf(a: pd.Series, b: pd.Series, x: pd.Series) -> pd.Series:
 
 @F.pandas_udf(DoubleType())
 def inverse_beta_cdf(a: pd.Series, b: pd.Series, p: pd.Series) -> pd.Series:
-    """inverse_beta_cdf(a, b, p) (MathFunctions.java:636)."""
-    return pd.Series(
-        [
-            _invert_monotone(
-                lambda x, ai=float(ai), bi=float(bi): _beta_i(ai, bi, x),
-                float(pi), 0.0, 1.0,
-            )
-            for ai, bi, pi in zip(a, b, p)
-        ]
-    )
+    """inverse_beta_cdf(a, b, p) (MathFunctions.java:636); the
+    boundaries are exact (p=0 -> 0, p=1 -> 1, like the reference's
+    inverseRegularizedIncompleteBetaFunction)."""
+
+    def one(ai, bi, pi):
+        ai, bi, pi = float(ai), float(bi), float(pi)
+        if pi == 0.0:
+            return 0.0
+        if pi == 1.0:
+            return 1.0
+        return _invert_monotone(
+            lambda x: _beta_i(ai, bi, x), pi, 0.0, 1.0
+        )
+
+    return pd.Series([one(*t) for t in zip(a, b, p)])
 
 
 @F.pandas_udf(DoubleType())
@@ -762,7 +779,7 @@ def xxhash64_hex(b: pd.Series) -> pd.Series:
     )
 
 
-@F.pandas_udf("decimal(20,0)")
+@F.pandas_udf(DecimalType(20, 0))
 def presto_checksum_term(val: pd.Series, typ: pd.Series) -> pd.Series:
     """Per-row CHECKSUM contribution
     (ChecksumAggregationFunction.java:107-115): PRIME64 for null rows,

@@ -653,8 +653,26 @@ VALUE_CASES += [
     _case("split_to_multimap_groups", "split_to_multimap('a=1,a=2,b=3', ',', '=')",
           {"a": ["1", "2"], "b": ["3"]}, f"{S} testSplitToMultimap"),
     _case("normal_cdf_196", "normal_cdf(0, 1, 1.96)", 0.9750021048517795, f"{M} testNormalCdf"),
-    _case("inv_normal_cdf_975", "inverse_normal_cdf(0, 1, 0.975)", 1.959963986120195, f"{M} testInverseNormalCdf"),
+    _case("inv_normal_cdf_975", "inverse_normal_cdf(0, 1, 0.975)",
+          1.959963984540054, f"{M} testInverseNormalCdf (r11: the "
+          "Halley-refined value; the old pin recorded Acklam's "
+          "1.15e-9 approximation error)"),
     _case("beta_cdf_ref", "beta_cdf(3, 3.6, 0.3)", 0.21764809997679909, f"{M} testBetaCdf"),
+    # r11 precision upgrades: Halley-refined inverse normal, exact
+    # beta-inverse boundaries, float-exhaustion bisection — the
+    # reference's closed-form values now match to ~1e-13
+    _case("inv_normal_cdf_03", "inverse_normal_cdf(0, 1, 0.3)",
+          -0.5244005127080409, f"{M} testInverseNormalCdf"),
+    _case("inv_normal_cdf_shifted", "inverse_normal_cdf(10, 9, 0.9)",
+          21.533964089901406, f"{M} testInverseNormalCdf"),
+    _case("inv_normal_cdf_scaled", "inverse_normal_cdf(0.5, 0.25, 0.65)",
+          0.596330116601892, f"{M} testInverseNormalCdf"),
+    _case("inv_beta_cdf_zero", "inverse_beta_cdf(3, 3.6, 0.0)", 0.0,
+          f"{M} testInverseBetaCdf (boundary exact)"),
+    _case("inv_beta_cdf_one", "inverse_beta_cdf(3, 3.6, 1.0)", 1.0,
+          f"{M} testInverseBetaCdf"),
+    _case("inv_beta_cdf_mid", "inverse_beta_cdf(3, 3.6, 0.3)",
+          0.3469675485440346, f"{M} testInverseBetaCdf"),
     _case("ieee754_64_roundtrip", "from_ieee754_64(to_ieee754_64(3.14))", 3.14, f"{V} testToIEEE754Binary64"),
     _case("ieee754_32_bits", "to_hex(to_ieee754_32(CAST(1.0 AS REAL)))", "3F800000", f"{V} testToIEEE754Binary32"),
     _case("ip_prefix_v4", "ip_prefix('192.168.255.255', 9)", "192.128.0.0/9", "TestIpPrefixFunctions.java:~35"),
