@@ -190,6 +190,7 @@ _TEMPLATE_NAMES = (
     "greatest",
     "least",
     "width_bucket",
+    "repeat",
     "is_nan",
     "is_finite",
     "is_infinite",
@@ -975,6 +976,28 @@ def _rewrite_one(
             f"WHEN length({s}) = 0 THEN 0 "
             f"ELSE CAST(coalesce(try_element_at({positions}, "
             f"CAST(-({n}) AS INT)), 0) AS BIGINT) END)"
+        )
+
+    if name == "repeat" and len(a) == 2:
+        # Presto's repeat(element, count) builds an ARRAY
+        # (RepeatFunction.java) — Spark's same-named builtin is
+        # STRING repetition, a silent wrong-type trap. Lower to
+        # array_repeat with the reference's bounds (negative raises,
+        # count capped at 10000: RepeatFunction.java:36,146).
+        x, n = a
+        msg = _stash_lit(
+            stash,
+            "count argument of repeat function must be less than or "
+            "equal to 10000",
+        )
+        neg = _stash_lit(stash, "count argument of repeat function "
+                                "must be greater than or equal to 0")
+        return (
+            f"(CASE WHEN ({n}) < 0 THEN "
+            f"array_repeat({x}, CAST(raise_error({neg}) AS INT)) "
+            f"WHEN ({n}) > 10000 THEN "
+            f"array_repeat({x}, CAST(raise_error({msg}) AS INT)) "
+            f"ELSE array_repeat({x}, CAST({n} AS INT)) END)"
         )
 
     if name == "width_bucket" and len(a) == 2:
