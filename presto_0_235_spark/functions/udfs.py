@@ -16,6 +16,7 @@ import sys
 
 import pandas as pd
 
+from presto_0_235_spark.functions import geo_wkt as _geo_wkt
 from presto_0_235_spark.functions import xxhash as _xxhash
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -693,6 +694,184 @@ def fnv1a_32(b: pd.Series) -> pd.Series:
         [None if v is None else _fnv32_bytes(bytes(v), True) for v in b],
         dtype="object",
     )
+
+
+# ---- SQL-surface geometry (functions/geo_wkt.py engine; the
+# DataFrame path keeps the Column-expression implementations in
+# functions/geo.py) ---------------------------------------------------------
+
+
+def _geo1(fn):
+    """1-arg WKT function -> Arrow-batched wrapper."""
+
+    def batch(col: pd.Series) -> pd.Series:
+        f = getattr(_geo_wkt, fn)
+        return pd.Series(
+            [None if v is None else f(v) for v in col], dtype="object"
+        )
+
+    return batch
+
+
+def _make_geo_udfs():
+    """(name, pandas_udf) pairs for _ensure_sql_udfs registration."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    one_arg = {
+        "st_geometryfromtext": ("geometry_from_text", StringType()),
+        "st_astext": ("geometry_from_text", StringType()),
+        "st_linefromtext": ("geometry_from_text", StringType()),
+        "st_polygon": ("geometry_from_text", StringType()),
+        "st_geometrytype": ("geometry_type", StringType()),
+        "st_x": ("point_x", DoubleType()),
+        "st_y": ("point_y", DoubleType()),
+        "st_isclosed": ("is_closed", BooleanType()),
+        "st_isempty": ("is_empty", BooleanType()),
+        "st_isring": ("is_ring", BooleanType()),
+        "st_length": ("length", DoubleType()),
+        "st_area": ("area", DoubleType()),
+        "st_centroid": ("centroid", StringType()),
+        "st_boundary": ("boundary", StringType()),
+        "st_envelope": ("envelope_wkt", StringType()),
+        "st_numinteriorring": ("num_interior_ring", LongType()),
+        "st_exteriorring": ("exterior_ring", StringType()),
+        "st_startpoint": ("start_point", StringType()),
+        "st_endpoint": ("end_point", StringType()),
+        "st_numpoints": ("num_points", LongType()),
+        "bing_tile_qk": ("bing_tile_from_quadkey", StringType()),
+        "bing_tile_quadkey": ("bing_tile_from_quadkey", StringType()),
+        "bing_tile_polygon": ("bing_tile_polygon", StringType()),
+    }
+    udfs = [
+        (name, F.pandas_udf(typ)(_geo1(fn)))
+        for name, (fn, typ) in one_arg.items()
+    ]
+
+    def env_bound(idx):
+        def batch(col: pd.Series) -> pd.Series:
+            def one(v):
+                if v is None:
+                    return None
+                b = _geo_wkt.envelope_bounds(v)
+                return None if b is None else b[idx]
+
+            return pd.Series([one(v) for v in col], dtype="object")
+
+        return batch
+
+    for name, idx in (("st_xmin", 0), ("st_ymin", 1),
+                      ("st_xmax", 2), ("st_ymax", 3)):
+        udfs.append((name, F.pandas_udf(DoubleType())(env_bound(idx))))
+
+    @F.pandas_udf(StringType())
+    def st_point_geo(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if a is None or b is None else _geo_wkt.point_wkt(
+                    float(a), float(b))
+                for a, b in zip(x, y)
+            ],
+            dtype="object",
+        )
+
+    @F.pandas_udf(DoubleType())
+    def st_distance_geo(g1: pd.Series, g2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if a is None or b is None else _geo_wkt.distance(a, b)
+                for a, b in zip(g1, g2)
+            ],
+            dtype="object",
+        )
+
+    @F.pandas_udf(DoubleType())
+    def line_locate_point_geo(g1: pd.Series, g2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if a is None or b is None
+                else _geo_wkt.line_locate_point(a, b)
+                for a, b in zip(g1, g2)
+            ],
+            dtype="object",
+        )
+
+    @F.pandas_udf(DoubleType())
+    def great_circle_distance_geo(
+        lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if any(v is None for v in t)
+                else _geo_wkt.great_circle_distance(*map(float, t))
+                for t in zip(lat1, lon1, lat2, lon2)
+            ],
+            dtype="object",
+        )
+
+    @F.pandas_udf(StringType())
+    def bing_tile_xyz_geo(
+        x: pd.Series, y: pd.Series, zoom: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if any(v is None for v in t)
+                else _geo_wkt.bing_tile_from_xyz(*map(int, t))
+                for t in zip(x, y, zoom)
+            ],
+            dtype="object",
+        )
+
+    @F.pandas_udf(StringType())
+    def bing_tile_at_geo(
+        lat: pd.Series, lon: pd.Series, zoom: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if any(v is None for v in t)
+                else _geo_wkt.bing_tile_at(float(t[0]), float(t[1]), int(t[2]))
+                for t in zip(lat, lon, zoom)
+            ],
+            dtype="object",
+        )
+
+    coords_type = StructType(
+        [StructField("x", IntegerType()), StructField("y", IntegerType())]
+    )
+
+    @F.pandas_udf(coords_type)
+    def bing_tile_coordinates_geo(qk: pd.Series) -> pd.DataFrame:
+        xs, ys = [], []
+        for v in qk:
+            if v is None:
+                xs.append(None)
+                ys.append(None)
+            else:
+                x, y, _ = _geo_wkt.bing_tile_xyz(v)
+                xs.append(x)
+                ys.append(y)
+        return pd.DataFrame({"x": xs, "y": ys})
+
+    @F.pandas_udf(LongType())
+    def bing_tile_zoom_level_geo(qk: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else len(v) for v in qk], dtype="object"
+        )
+
+    udfs += [
+        ("st_point", st_point_geo),
+        ("st_distance", st_distance_geo),
+        ("line_locate_point", line_locate_point_geo),
+        ("great_circle_distance", great_circle_distance_geo),
+        ("bing_tile_xyz", bing_tile_xyz_geo),
+        ("bing_tile_at", bing_tile_at_geo),
+        ("bing_tile_coordinates", bing_tile_coordinates_geo),
+        ("bing_tile_zoom_level", bing_tile_zoom_level_geo),
+    ]
+    return udfs
 
 
 @F.pandas_udf(StringType())

@@ -2028,6 +2028,11 @@ def _ensure_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("spooky_hash_v2_64_hex", U.spooky_hash_v2_64_hex)
     spark.udf.register("xxhash64_hex", U.xxhash64_hex)
     spark.udf.register("from_utf8_replace", U.from_utf8_replace)
+    # SQL-surface geometry (functions/geo_wkt.py engine over
+    # canonical WKT strings; GeoFunctions.java parity — the bulk-data
+    # geometry route stays the Column path in functions/geo.py)
+    for geo_name, geo_udf in U._make_geo_udfs():
+        spark.udf.register(geo_name, geo_udf)
     _UDF_SESSIONS.add(key)
 
 

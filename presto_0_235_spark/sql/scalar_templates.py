@@ -191,6 +191,7 @@ _TEMPLATE_NAMES = (
     "least",
     "width_bucket",
     "repeat",
+    "bing_tile",
     "is_nan",
     "is_finite",
     "is_infinite",
@@ -999,6 +1000,14 @@ def _rewrite_one(
             f"array_repeat({x}, CAST(raise_error({msg}) AS INT)) "
             f"ELSE array_repeat({x}, CAST({n} AS INT)) END)"
         )
+
+    if name == "bing_tile" and len(a) in (1, 3):
+        # BingTileFunctions.java overloads: bing_tile(quadkey) and
+        # bing_tile(x, y, zoom); a tile is represented as its quadkey
+        # string (bing_tile_quadkey is the identity)
+        if len(a) == 1:
+            return f"bing_tile_qk({a[0]})"
+        return f"bing_tile_xyz({a[0]}, {a[1]}, {a[2]})"
 
     if name == "width_bucket" and len(a) == 2:
         # Array-bins form (MathFunctions.java widthBucket(operand,
