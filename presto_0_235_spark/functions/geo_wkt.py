@@ -305,6 +305,26 @@ def envelope_wkt(wkt: str) -> str:
     return format_wkt(("POLYGON", [ring]))
 
 
+def expand_envelope(wkt: str, distance: float) -> str:
+    """GeoFunctions.java:899-918 expandEnvelope: envelope grown by
+    `distance` on every side; NaN/negative distances raise, infinite
+    bounds serialize as the empty polygon (the reference's pins at
+    TestGeoFunctions.java:739-751)."""
+    if math.isnan(distance):
+        raise ValueError("expand_envelope: distance is NaN")
+    if distance < 0:
+        raise ValueError(
+            f"expand_envelope: distance {distance} is negative"
+        )
+    b = envelope_bounds(wkt)
+    if b is None or math.isinf(distance):
+        return "POLYGON EMPTY"
+    x0, y0, x1, y1 = (b[0] - distance, b[1] - distance,
+                      b[2] + distance, b[3] + distance)
+    ring = [(x0, y0), (x0, y1), (x1, y1), (x1, y0), (x0, y0)]
+    return format_wkt(("POLYGON", [ring]))
+
+
 _TYPE_NAMES = {
     "POINT": "ST_Point",
     "MULTIPOINT": "ST_MultiPoint",

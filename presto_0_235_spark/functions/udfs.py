@@ -774,6 +774,17 @@ def _make_geo_udfs():
             dtype="object",
         )
 
+    @F.pandas_udf(StringType())
+    def expand_envelope_geo(g: pd.Series, d: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if a is None or b is None
+                else _geo_wkt.expand_envelope(a, float(b))
+                for a, b in zip(g, d)
+            ],
+            dtype="object",
+        )
+
     @F.pandas_udf(DoubleType())
     def st_distance_geo(g1: pd.Series, g2: pd.Series) -> pd.Series:
         return pd.Series(
@@ -862,6 +873,7 @@ def _make_geo_udfs():
         )
 
     udfs += [
+        ("expand_envelope", expand_envelope_geo),
         ("st_point", st_point_geo),
         ("st_distance", st_distance_geo),
         ("line_locate_point", line_locate_point_geo),

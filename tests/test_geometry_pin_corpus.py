@@ -1,21 +1,22 @@
 """Geometry value-pin corpus — MECHANICALLY EXTRACTED from
 presto-geospatial's TestGeoFunctions/TestBingTileFunctions/
 TestSphericalGeoFunctions/TestGeoRelations (the r11 extraction
-methodology applied to the plugin suite). 148 pins covering the NEW
+methodology applied to the plugin suite). 155 pins covering the NEW
 SQL-surface geometry family: the DataFrame path keeps the
 Column-expression engine in functions/geo.py; the SQL front door now
 resolves ST_GeometryFromText / ST_AsText / ST_Point / ST_X/Y /
 ST_XMin/XMax/YMin/YMax / ST_Envelope / ST_GeometryType / ST_IsClosed/
 IsEmpty/IsRing / ST_Length / ST_Area / ST_Centroid / ST_Boundary /
 ST_NumInteriorRing / ST_ExteriorRing / ST_Start/EndPoint /
-ST_Distance (all planar type pairs) / line_locate_point /
+ST_Distance (all planar type pairs) / expand_envelope /
+line_locate_point /
 great_circle_distance (Vincenty, R=6371.01) and the Bing tile family
 (quadkey-string representation; coordinates as a named struct),
 backed by the pure-Python WKT engine in functions/geo_wkt.py and
 registered as Arrow-batched pandas UDFs.
 
-Excluded (70 of 218 extracted, by reason):
-- 48 unresolved: ST_Buffer / ST_Intersection / ST_Difference /
+Excluded (63 of 218 extracted, by reason):
+- unresolved: ST_Buffer / ST_Intersection / ST_Difference /
   ST_SymDifference / ST_Relate / ST_IsValid / geometry_invalid_reason
   / simplify_geometry / expand_envelope / geometry_to_bing_tiles /
   to_spherical_geography — the boolean-ops/DE-9IM tail, out of scope
@@ -130,6 +131,13 @@ CASES = [
     ('TestGeoFunctions.java', 712, 'VARCHAR', "ST_AsText(ST_Envelope(ST_GeometryFromText('POLYGON ((1 1, 4 1, 1 4, 1 1))')))", 'POLYGON ((1 1, 1 4, 4 4, 4 1, 1 1))'),
     ('TestGeoFunctions.java', 713, 'VARCHAR', "ST_AsText(ST_Envelope(ST_GeometryFromText('MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((0 0, 0 2, 2 2, 2 0, 0 0)))')))", 'POLYGON ((0 0, 0 3, 3 3, 3 0, 0 0))'),
     ('TestGeoFunctions.java', 714, 'VARCHAR', "ST_AsText(ST_Envelope(ST_GeometryFromText('GEOMETRYCOLLECTION (POINT (5 1), LINESTRING (3 4, 4 4))')))", 'POLYGON ((3 1, 3 4, 5 4, 5 1, 3 1))'),
+    ('TestGeoFunctions.java', 739, 'BOOLEAN', "ST_IsEmpty(expand_envelope(ST_GeometryFromText('POINT EMPTY'), 1))", True),
+    ('TestGeoFunctions.java', 740, 'BOOLEAN', "ST_IsEmpty(expand_envelope(ST_GeometryFromText('POLYGON EMPTY'), 1))", True),
+    ('TestGeoFunctions.java', 741, 'VARCHAR', 'ST_AsText(expand_envelope(ST_Envelope(ST_Point(1, 10)), 3))', 'POLYGON ((-2 7, -2 13, 4 13, 4 7, -2 7))'),
+    ('TestGeoFunctions.java', 742, 'VARCHAR', 'ST_AsText(expand_envelope(ST_Point(1, 10), 3))', 'POLYGON ((-2 7, -2 13, 4 13, 4 7, -2 7))'),
+    ('TestGeoFunctions.java', 743, 'VARCHAR', "ST_AsText(expand_envelope(ST_GeometryFromText('LINESTRING (1 10, 3 15)'), 2))", 'POLYGON ((-1 8, -1 17, 5 17, 5 8, -1 8))'),
+    ('TestGeoFunctions.java', 744, 'VARCHAR', "ST_AsText(expand_envelope(ST_GeometryFromText('GEOMETRYCOLLECTION (POINT (5 1), LINESTRING (3 4, 4 4))'), 1))", 'POLYGON ((2 0, 2 5, 6 5, 6 0, 2 0))'),
+    ('TestGeoFunctions.java', 748, 'VARCHAR', 'ST_AsText(expand_envelope(ST_Point(0, 0), infinity()))', 'POLYGON EMPTY'),
     ('TestGeoFunctions.java', 768, 'DOUBLE', 'ST_Distance(ST_Point(50, 100), ST_Point(150, 150))', 111.80339887498948),
     ('TestGeoFunctions.java', 769, 'DOUBLE', "ST_Distance(ST_Point(50, 100), ST_GeometryFromText('POINT (150 150)'))", 111.80339887498948),
     ('TestGeoFunctions.java', 770, 'DOUBLE', "ST_Distance(ST_GeometryFromText('POINT (50 100)'), ST_GeometryFromText('POINT (150 150)'))", 111.80339887498948),
