@@ -144,7 +144,7 @@ def checksum_term(rendered: str | None, type_str: str) -> int:
     would corrupt above 2^53. ``type_str`` is Spark ``typeof(x)``.
     """
     import struct
-    from datetime import date, datetime, timezone
+    from datetime import date, datetime, timedelta
     from decimal import Decimal
 
     if rendered is None:
@@ -174,12 +174,15 @@ def checksum_term(rendered: str | None, type_str: str) -> int:
         days = (date.fromisoformat(rendered) - date(1970, 1, 1)).days
         h = fixed_width_hash(days)
     elif t.startswith("timestamp"):
-        dt = datetime.fromisoformat(rendered).replace(tzinfo=timezone.utc)
+        dt = datetime.fromisoformat(rendered).replace(tzinfo=None)
         # Presto 0.235 TIMESTAMP is millisecond precision
         # (TimestampType extends AbstractLongType over epoch millis);
-        # sub-milli digits truncate.
-        micros = int(dt.timestamp() * 1_000_000 + 0.5)
-        h = fixed_width_hash(micros // 1000)
+        # sub-milli digits truncate. Exact integer arithmetic via
+        # timedelta floor-division — float epoch-seconds lose ~0.2us
+        # at 2026 and int() truncates toward zero for pre-1970 values
+        # where Java's calendar-field millis floor.
+        millis = (dt - datetime(1970, 1, 1)) // timedelta(milliseconds=1)
+        h = fixed_width_hash(millis)
     elif t.startswith("decimal"):
         precision = int(t.split("(")[1].split(",")[0])
         scale = int(t.rstrip(")").split(",")[1])

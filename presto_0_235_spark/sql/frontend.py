@@ -49,6 +49,7 @@ DATE/TIMESTAMP literals, TRY_CAST.
 from __future__ import annotations
 
 import re
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -1421,10 +1422,13 @@ PRESTO_FN_RENAMES: dict[str, str] = {
     # json
     "json_extract_scalar": "get_json_object",
     # json_extract returns the JSON TEXT at the path — exactly
-    # get_json_object's contract for objects/arrays. (Divergence:
+    # get_json_object's contract for objects/arrays. (Divergences:
     # Presto's json_extract_scalar is NULL for non-scalars; Spark's
     # get_json_object returns the JSON — acceptable for the scalar
-    # rename above because corpus call sites only target scalars.)
+    # rename above because corpus call sites only target scalars.
+    # And for SCALAR STRING targets json_extract keeps JSON quoting —
+    # json_extract('{"a":"x"}','$.a') = '"x"' — while get_json_object
+    # unquotes to 'x'; documented divergence, same class as above.)
     "json_extract": "get_json_object",
     # binary
     "to_hex": "hex",
@@ -1976,13 +1980,14 @@ def presto_to_spark_sql(sql: str) -> str:
 # Pandas UDFs for the Presto scalars with no Spark-expression twin
 # (SURVEY §2.9 gap list). Registered once per session so they are
 # plain SQL citizens through the front door — mirrors a Presto
-# plugin's getFunctions() registration.
-_UDF_SESSIONS: set[int] = set()
+# plugin's getFunctions() registration. WeakSet, not id()-keyed set:
+# CPython reuses ids after GC, which would silently skip
+# registration on a fresh session that recycled a dead session's id.
+_UDF_SESSIONS: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def _ensure_sql_udfs(spark: SparkSession) -> None:
-    key = id(spark)
-    if key in _UDF_SESSIONS:
+    if spark in _UDF_SESSIONS:
         return
     from presto_0_235_spark.functions import udfs as U
 
@@ -2033,7 +2038,7 @@ def _ensure_sql_udfs(spark: SparkSession) -> None:
     # geometry route stays the Column path in functions/geo.py)
     for geo_name, geo_udf in U._make_geo_udfs():
         spark.udf.register(geo_name, geo_udf)
-    _UDF_SESSIONS.add(key)
+    _UDF_SESSIONS.add(spark)
 
 
 def run_sql(spark: SparkSession, sql: str) -> DataFrame:

@@ -474,8 +474,11 @@ def _rewrite_one(
         )
         return (
             f"(CASE WHEN {r} < 2 OR {r} > 36 THEN {bad_radix} "
+            # magnitude via DECIMAL(20,0) *string* so Long.MIN_VALUE
+            # (-2^63, whose magnitude overflows BIGINT under ANSI)
+            # renders '-8000000000000000' like Presto's toBase
             f"WHEN {x} < 0 THEN concat({_stash_lit(stash, '-')}, "
-            f"lower(conv(CAST(-CAST({x} AS DECIMAL(20, 0)) AS BIGINT), 10, {r}))) "
+            f"lower(conv(CAST(-CAST({x} AS DECIMAL(20, 0)) AS STRING), 10, {r}))) "
             f"ELSE lower(conv({x}, 10, {r})) END)"
         )
 

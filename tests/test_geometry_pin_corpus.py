@@ -18,7 +18,7 @@ registered as Arrow-batched pandas UDFs.
 Excluded (63 of 218 extracted, by reason):
 - unresolved: ST_Buffer / ST_Intersection / ST_Difference /
   ST_SymDifference / ST_Relate / ST_IsValid / geometry_invalid_reason
-  / simplify_geometry / expand_envelope / geometry_to_bing_tiles /
+  / simplify_geometry / geometry_to_bing_tiles /
   to_spherical_geography — the boolean-ops/DE-9IM tail, out of scope
   this round (functions/geo_clip.py carries polygon boolean ops on
   the DataFrame path); listed as the r12 candidate in NOTES.
@@ -36,6 +36,7 @@ Excluded (63 of 218 extracted, by reason):
 from __future__ import annotations
 
 import math
+import re
 
 import pytest
 
@@ -216,6 +217,24 @@ def _eq(got, want, typ):
     if typ == "BOOLEAN":
         return got is want
     return got == want
+
+
+def test_excluded_inventory_not_stale():
+    """The docstring's unresolved-exclusion list is the audit
+    instrument — it must not name a function that actually has pins
+    in CASES (the r11 expand_envelope drift class)."""
+    doc = __doc__
+    start = doc.index("- unresolved:")
+    end = doc.index("this round")
+    names = re.findall(r"[A-Za-z_]{4,}", doc[start:end])
+    excluded = {
+        n for n in names
+        if n not in ("unresolved", "the", "boolean", "ops", "tail",
+                     "out", "of", "scope")
+    }
+    pinned = " ".join(expr for (_, _, _, expr, _) in CASES)
+    stale = sorted(n for n in excluded if re.search(rf"\b{n}\s*\(", pinned))
+    assert not stale, f"excluded-listed but pinned in CASES: {stale}"
 
 
 @pytest.mark.parametrize(
