@@ -1,0 +1,832 @@
+"""Exact planar overlay engine — ST_Intersection / ST_Difference /
+ST_SymDifference / ST_Union and the DE-9IM relate family for the
+SQL-surface geometry front door.
+
+Parity sources: the reference's presto-geospatial GeoFunctions.java
+(stIntersection:960 with its envelope fast path, stDifference:923,
+stSymmetricDifference:1009, stUnion:583-640 — union splits by
+dimension, unions each, then drops lower-dimension pieces covered by
+higher ones, per the Esri/geometry-api-java#199 workaround cited
+there) over the ESRI geometry kernel. This module is an ORIGINAL
+implementation (no ESRI/JTS code exists on this machine): a
+Fraction-exact segment arrangement with even-odd polygon semantics,
+in-the-limit side classification, and face/chain assembly.
+
+Observed ESRI output conventions (reverse-engineered from
+TestGeoFunctions.java and encoded here):
+  - noding vertices are KEPT (no collinear simplification): union of
+    touching unit squares prints the shared corners,
+  - polyline chains break at nodes of degree != 2 and start at their
+    (y, x)-lexicographic-minimum endpoint,
+  - multi-part outputs sort parts by (y, x) of their minimum vertex,
+  - polygon shells are clockwise, holes counter-clockwise, shell
+    rings rotated to start at their (y, x) minimum vertex,
+  - single-part results use the simple tag (POLYGON not
+    MULTIPOLYGON), mixed-dimension results are GEOMETRYCOLLECTION
+    ordered by ascending dimension,
+  - an empty intersection prints MULTIPOLYGON EMPTY (pin
+    TestGeoFunctions.java:800), except the envelope-pair fast path
+    which prints POLYGON EMPTY (GeoFunctions.java:968-988).
+ESRI's TopoGraph emits some rings rotated to an internal traversal
+phase instead of the (y, x) minimum (e.g. a difference ring may start
+at the subject's first vertex); those pins are compared
+ring-rotation-insensitively in the corpus and inventoried there.
+
+Scale: per-value Python inside Arrow batches — the SQL-surface
+convenience path for small WKT scalars, same division of labor as
+functions/geo_wkt.py (the DataFrame Column path in functions/geo.py
+and the clip kernel in functions/geo_clip.py remain the bulk routes).
+"""
+
+from __future__ import annotations
+
+import sys
+from fractions import Fraction
+
+try:  # pickle-by-value so executor workers don't need sys.path
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
+from presto_0_235_spark.functions import geo_wkt as _W
+
+Pt = tuple  # (Fraction, Fraction)
+
+
+def _fr(v) -> Fraction:
+    return Fraction(v) if not isinstance(v, float) else Fraction(v).limit_denominator(10**15)
+
+
+def _fpt(p) -> Pt:
+    return (Fraction(p[0]).limit_denominator(10**15),
+            Fraction(p[1]).limit_denominator(10**15))
+
+
+def _cross(o, a, b) -> Fraction:
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def _on_seg(p: Pt, a: Pt, b: Pt) -> bool:
+    """p lies on closed segment ab (exact)."""
+    if _cross(a, b, p) != 0:
+        return False
+    return (min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= p[1] <= max(a[1], b[1]))
+
+
+def _seg_intersections(a: Pt, b: Pt, c: Pt, d: Pt) -> list:
+    """Exact intersection points of closed segments ab and cd.
+    Proper crossing -> [point]; collinear overlap -> overlap
+    endpoints; endpoint touch -> [point]; disjoint -> []."""
+    d1, d2 = _cross(c, d, a), _cross(c, d, b)
+    d3, d4 = _cross(a, b, c), _cross(a, b, d)
+    if d1 == 0 and d2 == 0:  # collinear
+        pts = [p for p in (a, b) if _on_seg(p, c, d)]
+        pts += [p for p in (c, d) if _on_seg(p, a, b)]
+        return list(dict.fromkeys(pts))
+    if ((d1 > 0) != (d2 > 0) or 0 in (d1, d2)) and \
+       ((d3 > 0) != (d4 > 0) or 0 in (d3, d4)):
+        if d1 == 0:
+            return [a]
+        if d2 == 0:
+            return [b]
+        if d3 == 0:
+            return [c]
+        if d4 == 0:
+            return [d]
+        t = d3 / (d3 - d4)  # along cd? no: param of crossing on ab side
+        # Solve exactly: intersection of the two support lines.
+        x1, y1, x2, y2 = a[0], a[1], b[0], b[1]
+        x3, y3, x4, y4 = c[0], c[1], d[0], d[1]
+        den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+        px = ((x1 * y2 - y1 * x2) * (x3 - x4)
+              - (x1 - x2) * (x3 * y4 - y3 * x4)) / den
+        py = ((x1 * y2 - y1 * x2) * (y3 - y4)
+              - (y1 - y2) * (x3 * y4 - y3 * x4)) / den
+        return [(px, py)]
+    return []
+
+
+class _Geom:
+    """One input side: points / line segments / polygon rings with
+    Fraction coordinates. Even-odd fill semantics for rings (ESRI's
+    simplify treats overlapping same-input rings as XOR — pinned by
+    TestGeoFunctions.java:805 where an overlapping MULTIPOLYGON's
+    overlap region is a hole)."""
+
+    def __init__(self, wkt: str):
+        g = _W.parse_wkt(wkt)
+        self.points: list[Pt] = []
+        self.lines: list[tuple[Pt, Pt]] = []
+        self.rings: list[list[Pt]] = []
+        self.tags: set[str] = set()
+        self._load(g)
+
+    def _load(self, g):
+        tag, payload = g
+        if payload is None:
+            self.tags.add(tag)
+            return
+        self.tags.add(tag)
+        if tag == "POINT":
+            self.points.append(_fpt(payload))
+        elif tag == "MULTIPOINT":
+            self.points.extend(_fpt(p) for p in payload)
+        elif tag == "LINESTRING":
+            pts = [_fpt(p) for p in payload]
+            self.lines.extend(
+                (pts[i], pts[i + 1]) for i in range(len(pts) - 1)
+                if pts[i] != pts[i + 1])
+        elif tag == "MULTILINESTRING":
+            for path in payload:
+                pts = [_fpt(p) for p in path]
+                self.lines.extend(
+                    (pts[i], pts[i + 1]) for i in range(len(pts) - 1)
+                    if pts[i] != pts[i + 1])
+        elif tag == "POLYGON":
+            for ring in payload:
+                r = [_fpt(p) for p in ring]
+                if r and r[0] == r[-1]:
+                    r = r[:-1]
+                if len(r) >= 3:
+                    self.rings.append(r)
+        elif tag == "MULTIPOLYGON":
+            for rings in payload:
+                for ring in rings:
+                    r = [_fpt(p) for p in ring]
+                    if r and r[0] == r[-1]:
+                        r = r[:-1]
+                    if len(r) >= 3:
+                        self.rings.append(r)
+        elif tag == "GEOMETRYCOLLECTION":
+            for sub in payload:
+                self._load(sub)
+
+    def is_empty(self) -> bool:
+        return not (self.points or self.lines or self.rings)
+
+    def ring_edges(self) -> list[tuple[Pt, Pt]]:
+        out = []
+        for r in self.rings:
+            for i in range(len(r)):
+                a, b = r[i], r[(i + 1) % len(r)]
+                if a != b:
+                    out.append((a, b))
+        return out
+
+    def eo_inside(self, p: Pt) -> bool:
+        """Even-odd strictly-inside test (p must not be on a ring
+        edge). Half-open crossing rule on a +x ray."""
+        cnt = 0
+        for a, b in self.ring_edges():
+            if (a[1] > p[1]) != (b[1] > p[1]):
+                # x coordinate of edge at height p[1]
+                t = (p[1] - a[1]) / (b[1] - a[1])
+                x = a[0] + t * (b[0] - a[0])
+                if x > p[0]:
+                    cnt += 1
+        return cnt % 2 == 1
+
+    def on_boundary2(self, p: Pt) -> bool:
+        return any(_on_seg(p, a, b) for a, b in self.ring_edges())
+
+    def on_lines(self, p: Pt) -> bool:
+        return any(_on_seg(p, a, b) for a, b in self.lines)
+
+    def line_boundary_points(self) -> set:
+        """Mod-2 endpoints (OGC boundary of a 1D geometry)."""
+        from collections import Counter
+
+        c = Counter()
+        for a, b in self.lines:
+            c[a] += 1
+            c[b] += 1
+        return {p for p, n in c.items() if n % 2 == 1}
+
+    def in_closure(self, p: Pt) -> bool:
+        return (p in set(self.points) or self.on_lines(p)
+                or self.on_boundary2(p) or self.eo_inside(p))
+
+
+# ---------------------------------------------------------------------------
+# Arrangement: node every segment at every intersection / touching
+# feature from both inputs.
+# ---------------------------------------------------------------------------
+
+
+def _node(ga: _Geom, gb: _Geom):
+    """Returns (edges, labels) where edges are noded undirected
+    segments keyed (min_end, max_end) and labels[key] is a set of
+    ('A'|'B', 'line'|'ring') origins."""
+    raw = ([(s, ("A", "line")) for s in ga.lines]
+           + [(s, ("A", "ring")) for s in ga.ring_edges()]
+           + [(s, ("B", "line")) for s in gb.lines]
+           + [(s, ("B", "ring")) for s in gb.ring_edges()])
+    pts = list(ga.points) + list(gb.points)
+    segs = [s for s, _ in raw]
+    cuts = [set() for _ in raw]
+    for i, (a, b) in enumerate(segs):
+        for p in pts:
+            if _on_seg(p, a, b):
+                cuts[i].add(p)
+        for j, (c, d) in enumerate(segs):
+            if i == j:
+                continue
+            for p in _seg_intersections(a, b, c, d):
+                cuts[i].add(p)
+    labels: dict = {}
+    for i, ((a, b), lab) in enumerate(raw):
+        ordered = sorted(cuts[i] | {a, b},
+                         key=lambda p: ((p[0] - a[0]) ** 2
+                                        + (p[1] - a[1]) ** 2))
+        for u, v in zip(ordered, ordered[1:]):
+            if u == v:
+                continue
+            key = (u, v) if (u[1], u[0]) <= (v[1], v[0]) else (v, u)
+            labels.setdefault(key, set()).add(lab)
+    return labels
+
+
+def _eps_for(labels, extra_pts=()):
+    """A rational epsilon below half the minimum feature separation
+    of the arrangement, so mid +/- eps*normal classification is exact
+    in-the-limit."""
+    nodes = set(extra_pts)
+    for (u, v) in labels:
+        nodes.add(u)
+        nodes.add(v)
+    best = None
+
+    def upd(d2):
+        nonlocal best
+        if d2 > 0 and (best is None or d2 < best):
+            best = d2
+
+    nodes = list(nodes)
+    for i, p in enumerate(nodes):
+        for q in nodes[i + 1:]:
+            upd((p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2)
+        for (u, v) in labels:
+            if p in (u, v):
+                continue
+            # squared distance from p to segment uv
+            dx, dy = v[0] - u[0], v[1] - u[1]
+            L = dx * dx + dy * dy
+            t = ((p[0] - u[0]) * dx + (p[1] - u[1]) * dy) / L
+            t = min(max(t, Fraction(0)), Fraction(1))
+            cx, cy = u[0] + t * dx, u[1] + t * dy
+            upd((p[0] - cx) ** 2 + (p[1] - cy) ** 2)
+    if best is None:
+        return Fraction(1, 1 << 20)
+    # eps < sqrt(best)/4 : use best/(16*(1+best)) bound, cheap & safe
+    e = best
+    while e * e * 32 > best:  # e <= sqrt(best/32)
+        e = e / 2
+    return e
+
+
+def _mid(u: Pt, v: Pt) -> Pt:
+    return ((u[0] + v[0]) / 2, (u[1] + v[1]) / 2)
+
+
+def _side_pts(u: Pt, v: Pt, eps: Fraction):
+    """Points just left and right of edge uv at its midpoint."""
+    m = _mid(u, v)
+    dx, dy = v[0] - u[0], v[1] - u[1]
+    # normalize magnitude roughly to <=1 without sqrt: divide by
+    # max(|dx|,|dy|)
+    mag = max(abs(dx), abs(dy))
+    dx, dy = dx / mag, dy / mag
+    left = (m[0] - dy * eps, m[1] + dx * eps)
+    right = (m[0] + dy * eps, m[1] - dx * eps)
+    return left, right
+
+
+# ---------------------------------------------------------------------------
+# Output assembly helpers
+# ---------------------------------------------------------------------------
+
+
+def _yx(p: Pt):
+    return (p[1], p[0])
+
+
+def _chains(edges: list[tuple[Pt, Pt]]) -> list[list[Pt]]:
+    """Merge undirected noded edges into maximal paths breaking at
+    nodes of degree != 2; each chain starts at its (y, x)-min
+    endpoint; chains sorted by (y, x) of their minimum vertex."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    used = set()
+    chains = []
+
+    def key(u, v):
+        return (u, v) if (u[1], u[0]) <= (v[1], v[0]) else (v, u)
+
+    starts = [p for p in adj if len(adj[p]) != 2]
+    # closed loops with all degree-2 nodes: start anywhere
+    for start in sorted(adj, key=_yx):
+        if start not in starts and any(
+                key(start, n) not in used for n in adj[start]):
+            starts.append(start)
+    for start in sorted(starts, key=_yx):
+        for nxt in sorted(adj[start], key=_yx):
+            if key(start, nxt) in used:
+                continue
+            path = [start, nxt]
+            used.add(key(start, nxt))
+            cur, prev = nxt, start
+            while len(adj[cur]) == 2 and cur != start:
+                a, b = adj[cur]
+                nxt2 = a if a != prev else b
+                if key(cur, nxt2) in used:
+                    break
+                used.add(key(cur, nxt2))
+                path.append(nxt2)
+                prev, cur = cur, nxt2
+            chains.append(path)
+    # canonical: start at (y,x)-min endpoint
+    out = []
+    for ch in chains:
+        if ch[0] == ch[-1]:  # loop: rotate to min, keep closed
+            body = ch[:-1]
+            i = min(range(len(body)), key=lambda k: _yx(body[k]))
+            body = body[i:] + body[:i]
+            out.append(body + [body[0]])
+        elif _yx(ch[-1]) < _yx(ch[0]):
+            out.append(ch[::-1])
+        else:
+            out.append(ch)
+    out.sort(key=lambda ch: min(_yx(p) for p in ch))
+    return out
+
+
+def _signed_area2(ring: list[Pt]) -> Fraction:
+    s = Fraction(0)
+    n = len(ring)
+    for i in range(n):
+        a, b = ring[i], ring[(i + 1) % n]
+        s += a[0] * b[1] - b[0] * a[1]
+    return s
+
+
+def _assemble_faces(boundary: list[tuple[Pt, Pt, bool]]):
+    """boundary: directed edges (u, v, _) with the result region on
+    the RIGHT. Assemble closed rings by always taking, at each node,
+    the most-clockwise continuation (keeps the region on the right).
+    Returns list of (shell, holes) with shells CW, holes CCW."""
+    import math as _m
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for u, v, _ in boundary:
+        out[u].append(v)
+    used = set()
+    rings = []
+    for u0, v0, _ in sorted(boundary, key=lambda e: (_yx(e[0]), _yx(e[1]))):
+        if (u0, v0) in used:
+            continue
+        ring = [u0]
+        u, v = u0, v0
+        used.add((u, v))
+        while v != u0:
+            ring.append(v)
+            # Sharpest RIGHT turn relative to the travel direction:
+            # interior is on the right of every directed boundary
+            # edge, so the tightest clockwise continuation hugs ONE
+            # face — at pinch nodes this splits the region into
+            # simple polygons exactly like ESRI's TopoGraph output
+            # (TestGeoFunctions.java testSTSymmetricDifference).
+            ang_back = _m.atan2(float(u[1] - v[1]), float(u[0] - v[0]))
+            best = None
+            for w in out[v]:
+                if (v, w) in used:
+                    continue
+                ang = _m.atan2(float(w[1] - v[1]), float(w[0] - v[0]))
+                # counter-clockwise angle from the reversed incoming
+                # direction; the smallest positive value is the
+                # sharpest right turn w.r.t. travel
+                d = (ang - ang_back) % (2 * _m.pi)
+                if d == 0:
+                    d = 2 * _m.pi
+                if best is None or d < best[0]:
+                    best = (d, w)
+            if best is None:
+                break  # degenerate; abandon
+            w = best[1]
+            used.add((v, w))
+            u, v = v, w
+        if v == u0 and len(ring) >= 3:
+            rings.append(ring)
+    shells = [r for r in rings if _signed_area2(r) < 0]  # CW
+    holes = [r for r in rings if _signed_area2(r) > 0]   # CCW
+    faces = []
+    for s in shells:
+        faces.append((s, []))
+    for h in holes:
+        # assign to smallest containing shell
+        cand = []
+        hp = h[0]
+        for i, (s, _hs) in enumerate(faces):
+            if _point_in_ring(hp, s) or _pt_on_ring(hp, s):
+                cand.append((abs(_signed_area2(s)), i))
+        if cand:
+            faces[min(cand)[1]][1].append(h)
+    return faces
+
+
+def _point_in_ring(p: Pt, ring: list[Pt]) -> bool:
+    cnt = 0
+    n = len(ring)
+    for i in range(n):
+        a, b = ring[i], ring[(i + 1) % n]
+        if (a[1] > p[1]) != (b[1] > p[1]):
+            t = (p[1] - a[1]) / (b[1] - a[1])
+            x = a[0] + t * (b[0] - a[0])
+            if x > p[0]:
+                cnt += 1
+    return cnt % 2 == 1
+
+
+def _pt_on_ring(p: Pt, ring: list[Pt]) -> bool:
+    n = len(ring)
+    return any(_on_seg(p, ring[i], ring[(i + 1) % n]) for i in range(n))
+
+
+# ---------------------------------------------------------------------------
+# Serialization back to canonical WKT via geo_wkt.format_wkt
+# ---------------------------------------------------------------------------
+
+
+def _f(x: Fraction) -> float:
+    return float(x)
+
+
+def _to_wkt(points, chains, faces, empty_tag="MULTIPOLYGON") -> str:
+    parts = []
+    if points:
+        pts = sorted(set(points), key=_yx)
+        if len(pts) == 1:
+            parts.append(("POINT", (_f(pts[0][0]), _f(pts[0][1]))))
+        else:
+            parts.append(("MULTIPOINT",
+                          [(_f(p[0]), _f(p[1])) for p in pts]))
+    if chains:
+        cs = [[(_f(p[0]), _f(p[1])) for p in ch] for ch in chains]
+        if len(cs) == 1:
+            parts.append(("LINESTRING", cs[0]))
+        else:
+            parts.append(("MULTILINESTRING", cs))
+    if faces:
+        polys = []
+        for shell, holes in faces:
+            shell = _rotate_min(shell)
+            rings = [[(_f(p[0]), _f(p[1])) for p in shell
+                      ] + [(_f(shell[0][0]), _f(shell[0][1]))]]
+            for h in holes:
+                h = _rotate_min(h)
+                rings.append([(_f(p[0]), _f(p[1])) for p in h
+                              ] + [(_f(h[0][0]), _f(h[0][1]))])
+            polys.append(rings)
+        polys.sort(key=lambda rs: min((p[1], p[0]) for p in rs[0]))
+        if len(polys) == 1:
+            parts.append(("POLYGON", polys[0]))
+        else:
+            parts.append(("MULTIPOLYGON", polys))
+    if not parts:
+        return f"{empty_tag} EMPTY"
+    if len(parts) == 1:
+        return _W.format_wkt(parts[0])
+    return _W.format_wkt(("GEOMETRYCOLLECTION", parts))
+
+
+def _rotate_min(ring: list[Pt]) -> list[Pt]:
+    i = min(range(len(ring)), key=lambda k: _yx(ring[k]))
+    return ring[i:] + ring[:i]
+
+
+# ---------------------------------------------------------------------------
+# The overlay proper
+# ---------------------------------------------------------------------------
+
+
+def _overlay(wa: str, wb: str, op: str) -> str:
+    ga, gb = _Geom(wa), _Geom(wb)
+    if op == "intersection" and (ga.is_empty() or gb.is_empty()):
+        return "MULTIPOLYGON EMPTY"
+    if op == "difference" and ga.is_empty():
+        return "MULTIPOLYGON EMPTY"
+    if op == "difference" and gb.is_empty():
+        return _W.geometry_from_text(wa)
+    if op in ("symdifference", "union") and ga.is_empty():
+        return (_W.geometry_from_text(wb) if not gb.is_empty()
+                else "MULTIPOLYGON EMPTY")
+    if op in ("symdifference", "union") and gb.is_empty():
+        return _W.geometry_from_text(wa)
+
+    labels = _node(ga, gb)
+    all_pts = set(ga.points) | set(gb.points)
+    eps = _eps_for(labels, all_pts)
+
+    def pred(in_a: bool, in_b: bool) -> bool:
+        if op == "intersection":
+            return in_a and in_b
+        if op == "difference":
+            return in_a and not in_b
+        if op == "symdifference":
+            return in_a != in_b
+        return in_a or in_b  # union
+
+    # ---- dim-2: boundary edges of the result region --------------------
+    side_cache = {}
+    boundary = []
+    for (u, v), labs in labels.items():
+        has_ring = any(k == "ring" for _s, k in labs)
+        left, right = _side_pts(u, v, eps)
+        la = ga.eo_inside(left)
+        lb = gb.eo_inside(left)
+        ra = ga.eo_inside(right)
+        rb = gb.eo_inside(right)
+        side_cache[(u, v)] = (la, lb, ra, rb)
+        if not has_ring and not (la or lb or ra or rb):
+            continue
+        pl, pr = pred(la, lb), pred(ra, rb)
+        if pl != pr:
+            # orient region-on-right
+            boundary.append((u, v, True) if pr else (v, u, True))
+    faces = _assemble_faces(boundary)
+
+    # membership helpers for flatten/remove
+    def on_face_closure_pt(p: Pt) -> bool:
+        for shell, holes in faces:
+            if _pt_on_ring(p, shell) or any(
+                    _pt_on_ring(p, h) for h in holes):
+                return True
+            if _point_in_ring(p, shell) and not any(
+                    _point_in_ring(p, h) for h in holes):
+                return True
+        return False
+
+    def edge_in_face_closure(u: Pt, v: Pt) -> bool:
+        m = _mid(u, v)
+        return on_face_closure_pt(m) and on_face_closure_pt(u) \
+            and on_face_closure_pt(v)
+
+    # ---- dim-1 ----------------------------------------------------------
+    kept_edges = []
+    for (u, v), labs in labels.items():
+        a_line = ("A", "line") in labs
+        b_line = ("B", "line") in labs
+        a_ring = ("A", "ring") in labs
+        b_ring = ("B", "ring") in labs
+        la, lb, ra, rb = side_cache[(u, v)]
+        in_a1 = a_line or a_ring or (la and ra)  # edge subset of closure(A)
+        in_b1 = b_line or b_ring or (lb and rb)
+        keep = False
+        if op == "intersection":
+            keep = in_a1 and in_b1
+        elif op == "difference":
+            keep = a_line and not in_b1
+        elif op == "symdifference":
+            keep = (a_line and not in_b1) or (b_line and not in_a1)
+        else:  # union
+            keep = a_line or b_line
+        if keep and not edge_in_face_closure(u, v):
+            kept_edges.append((u, v))
+    chains = _chains(kept_edges)
+
+    def on_kept_edge(p: Pt) -> bool:
+        return any(_on_seg(p, u, v) for u, v in kept_edges)
+
+    # ---- dim-0 ----------------------------------------------------------
+    nodes = set()
+    for (u, v) in labels:
+        nodes.add(u)
+        nodes.add(v)
+    pts = []
+    if op == "intersection":
+        for p in sorted(nodes | all_pts, key=_yx):
+            if ga.in_closure(p) and gb.in_closure(p) \
+                    and not on_kept_edge(p) and not on_face_closure_pt(p):
+                pts.append(p)
+    elif op == "difference":
+        for p in sorted(set(ga.points), key=_yx):
+            if not gb.in_closure(p) and not on_kept_edge(p) \
+                    and not on_face_closure_pt(p):
+                pts.append(p)
+    elif op == "symdifference":
+        for p in sorted(set(ga.points) | set(gb.points), key=_yx):
+            lonely = (p in set(ga.points)) != (p in set(gb.points)) or \
+                (p in set(ga.points) and p in set(gb.points) and False)
+            if p in set(ga.points) and gb.in_closure(p):
+                continue
+            if p in set(gb.points) and ga.in_closure(p):
+                continue
+            if not on_kept_edge(p) and not on_face_closure_pt(p):
+                pts.append(p)
+    else:  # union
+        for p in sorted(all_pts, key=_yx):
+            covered = on_kept_edge(p) or on_face_closure_pt(p) \
+                or ga.on_lines(p) or gb.on_lines(p) \
+                or ga.on_boundary2(p) or gb.on_boundary2(p) \
+                or ga.eo_inside(p) or gb.eo_inside(p)
+            if p in set(ga.points) and p in set(gb.points):
+                covered = on_kept_edge(p) or on_face_closure_pt(p)
+            else:
+                covered = on_kept_edge(p) or on_face_closure_pt(p)
+            if not covered:
+                pts.append(p)
+    return _to_wkt(pts, chains, faces)
+
+
+# Public ops -----------------------------------------------------------------
+
+_UNION_OK = ("POINT", "MULTIPOINT", "LINESTRING", "MULTILINESTRING",
+             "POLYGON", "MULTIPOLYGON")
+
+
+def intersection(wa: str, wb: str) -> str:
+    """GeoFunctions.java:960 stIntersection (envelope fast path is
+    handled by the caller in udfs.py via the ENV: value marker)."""
+    return _overlay(wa, wb, "intersection")
+
+
+def difference(wa: str, wb: str) -> str:
+    """GeoFunctions.java:923 stDifference."""
+    return _overlay(wa, wb, "difference")
+
+
+def symdifference(wa: str, wb: str) -> str:
+    """GeoFunctions.java:1009 stSymmetricDifference."""
+    return _overlay(wa, wb, "symdifference")
+
+
+def union(wa: str, wb: str) -> str:
+    """GeoFunctions.java:583 stUnion (binary form)."""
+    return _overlay(wa, wb, "union")
+
+
+# ---------------------------------------------------------------------------
+# DE-9IM relate + named predicates
+# ---------------------------------------------------------------------------
+
+
+def _classify(p: Pt, g: _Geom) -> str:
+    """'I' / 'B' / 'E' of point p relative to geometry g, using the
+    highest-dimension component containing p (ESRI relational
+    operators work on the point-set of the whole geometry)."""
+    if g.rings:
+        if g.on_boundary2(p):
+            return "B"
+        if g.eo_inside(p):
+            return "I"
+    if g.lines:
+        if g.on_lines(p):
+            return "B" if p in g.line_boundary_points() and not g.rings \
+                else "I"
+    if p in set(g.points):
+        return "I"
+    return "E"
+
+
+def de9im(wa: str, wb: str) -> list:
+    """3x3 matrix of intersection DIMENSIONS (-1 empty, else 0/1/2)
+    between {interior, boundary, exterior} of A and of B."""
+    ga, gb = _Geom(wa), _Geom(wb)
+    dims_a = 2 if ga.rings else (1 if ga.lines else 0)
+    dims_b = 2 if gb.rings else (1 if gb.lines else 0)
+    labels = _node(ga, gb)
+    all_pts = set(ga.points) | set(gb.points)
+    eps = _eps_for(labels, all_pts)
+    m = [[-1] * 3 for _ in range(3)]
+    idx = {"I": 0, "B": 1, "E": 2}
+
+    def cls2(g: _Geom, p: Pt, dim_in: int) -> str:
+        # classification of a sample of dimension dim_in
+        c = _classify(p, g)
+        return c
+
+    def feed(p: Pt, dim: int):
+        ca, cb = _classify(p, ga), _classify(p, gb)
+        i, j = idx[ca], idx[cb]
+        if dim > m[i][j]:
+            m[i][j] = dim
+
+    # 0-dim samples: nodes + isolated points
+    nodes = set(all_pts)
+    for (u, v) in labels:
+        nodes.add(u)
+        nodes.add(v)
+    for p in nodes:
+        feed(p, 0)
+    # 1-dim samples: edge midpoints
+    for (u, v) in labels:
+        feed(_mid(u, v), 1)
+        # 2-dim samples: just off each edge on both sides
+        left, right = _side_pts(u, v, eps)
+        for q in (left, right):
+            ca = "I" if ga.eo_inside(q) else "E"
+            cb = "I" if gb.eo_inside(q) else "E"
+            if not ga.rings:
+                ca = "E" if not (ga.on_lines(q) or q in set(ga.points)) \
+                    else ca
+            if not gb.rings:
+                cb = "E" if not (gb.on_lines(q) or q in set(gb.points)) \
+                    else cb
+            if m[idx[ca]][idx[cb]] < 2:
+                m[idx[ca]][idx[cb]] = 2
+    # line interiors that are 1-dim subsets of polygon interiors:
+    # handled by midpoint feed above. Boundary-of-line endpoints by
+    # node feed. Exterior/exterior always dim 2 on the plane:
+    m[2][2] = 2
+    # exterior intersections with interiors of 2D/1D parts: a far
+    # point plus per-edge side samples cover EI/IE; ensure the
+    # far-field sample exists:
+    far = (Fraction(10) ** 9 + Fraction(12345, 67),
+           Fraction(10) ** 9 + Fraction(7, 13))
+    feed(far, 2) if False else None
+    # A interior vs B exterior at full dimension: any side sample
+    # strictly inside A and outside B already fed dim 2; for 1D A, a
+    # midpoint of an A-only edge fed dim 1. Nothing more needed.
+    return m
+
+
+def relate(wa: str, wb: str, pattern: str) -> bool:
+    if len(pattern) != 9:
+        raise ValueError("Relate pattern must have 9 characters")
+    m = de9im(wa, wb)
+    flat = [m[i][j] for i in range(3) for j in range(3)]
+    for ch, d in zip(pattern, flat):
+        if ch == "*":
+            continue
+        if ch in "Tt":
+            if d < 0:
+                return False
+        elif ch in "Ff":
+            if d >= 0:
+                return False
+        elif ch in "012":
+            if d != int(ch):
+                return False
+        else:
+            raise ValueError(f"invalid DE-9IM pattern char {ch!r}")
+    return True
+
+
+def _pattern_any(wa, wb, patterns) -> bool:
+    return any(relate(wa, wb, p) for p in patterns)
+
+
+def st_equals(wa: str, wb: str) -> bool:
+    return relate(wa, wb, "T*F**FFF*") or (
+        _Geom(wa).is_empty() and _Geom(wb).is_empty())
+
+
+def st_contains(wa: str, wb: str) -> bool:
+    return relate(wa, wb, "T*****FF*")
+
+
+def st_within(wa: str, wb: str) -> bool:
+    return relate(wa, wb, "T*F**F***")
+
+
+def st_touches(wa: str, wb: str) -> bool:
+    return _pattern_any(wa, wb, ("FT*******", "F**T*****", "F***T****"))
+
+
+def st_crosses(wa: str, wb: str) -> bool:
+    ga, gb = _Geom(wa), _Geom(wb)
+    da = 2 if ga.rings else (1 if ga.lines else 0)
+    db = 2 if gb.rings else (1 if gb.lines else 0)
+    if da < db:
+        return relate(wa, wb, "T*T******")
+    if da > db:
+        return relate(wa, wb, "T*****T**")
+    if da == 1:
+        return relate(wa, wb, "0********")
+    return False
+
+
+def st_overlaps(wa: str, wb: str) -> bool:
+    ga, gb = _Geom(wa), _Geom(wb)
+    da = 2 if ga.rings else (1 if ga.lines else 0)
+    db = 2 if gb.rings else (1 if gb.lines else 0)
+    if da != db:
+        return False
+    if da == 1:
+        return relate(wa, wb, "1*T***T**")
+    return relate(wa, wb, "T*T***T**")
+
+
+def st_intersects(wa: str, wb: str) -> bool:
+    return not st_disjoint(wa, wb)
+
+
+def st_disjoint(wa: str, wb: str) -> bool:
+    return relate(wa, wb, "FF*FF****")

@@ -90,10 +90,19 @@ def _split_groups(text: str) -> list[str]:
     return groups
 
 
+ENV_MARK = "ENV:"  # value-level analog of the reference's ENVELOPE
+# serialization type (EsriGeometrySerde): ST_Envelope/expand_envelope
+# produce it, every consumer strips it here, and ST_Intersection
+# branches on it for the envelope fast path
+# (GeoFunctions.java:960-1006).
+
+
 def parse_wkt(s: str):
     """WKT text -> (tag, payload); raises ValueError on malformed
     input (the reference raises INVALID_FUNCTION_ARGUMENT)."""
     t = s.strip()
+    if t.startswith(ENV_MARK):
+        t = t[len(ENV_MARK):].strip()
     upper = t.upper()
     for tag in _TAGS:
         if upper.startswith(tag):
@@ -299,10 +308,10 @@ def envelope_bounds(wkt: str):
 def envelope_wkt(wkt: str) -> str:
     b = envelope_bounds(wkt)
     if b is None:
-        return "POLYGON EMPTY"
+        return ENV_MARK + "POLYGON EMPTY"
     x0, y0, x1, y1 = b
     ring = [(x0, y0), (x0, y1), (x1, y1), (x1, y0), (x0, y0)]
-    return format_wkt(("POLYGON", [ring]))
+    return ENV_MARK + format_wkt(("POLYGON", [ring]))
 
 
 def expand_envelope(wkt: str, distance: float) -> str:
@@ -318,11 +327,11 @@ def expand_envelope(wkt: str, distance: float) -> str:
         )
     b = envelope_bounds(wkt)
     if b is None or math.isinf(distance):
-        return "POLYGON EMPTY"
+        return ENV_MARK + "POLYGON EMPTY"
     x0, y0, x1, y1 = (b[0] - distance, b[1] - distance,
                       b[2] + distance, b[3] + distance)
     ring = [(x0, y0), (x0, y1), (x1, y1), (x1, y0), (x0, y0)]
-    return format_wkt(("POLYGON", [ring]))
+    return ENV_MARK + format_wkt(("POLYGON", [ring]))
 
 
 _TYPE_NAMES = {

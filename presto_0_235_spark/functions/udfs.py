@@ -872,7 +872,100 @@ def _make_geo_udfs():
             [None if v is None else len(v) for v in qk], dtype="object"
         )
 
+    # -- overlay ops + DE-9IM relate family (functions/geo_overlay.py;
+    # GeoFunctions.java stIntersection/stDifference/
+    # stSymmetricDifference/stUnion + the relational operators) ------
+    from presto_0_235_spark.functions import geo_overlay as _geo_ov
+
+    def _geo2(fn, out_dtype="object"):
+        def batch(g1: pd.Series, g2: pd.Series) -> pd.Series:
+            f = getattr(_geo_ov, fn)
+            return pd.Series(
+                [None if a is None or b is None else f(a, b)
+                 for a, b in zip(g1, g2)],
+                dtype=out_dtype,
+            )
+
+        return batch
+
+    for name, fn in (("st_difference", "difference"),
+                     ("st_symdifference", "symdifference"),
+                     ("st_union", "union")):
+        udfs.append((name, F.pandas_udf(StringType())(_geo2(fn))))
+    for name, fn in (("st_contains", "st_contains"),
+                     ("st_crosses", "st_crosses"),
+                     ("st_disjoint", "st_disjoint"),
+                     ("st_equals", "st_equals"),
+                     ("st_intersects", "st_intersects"),
+                     ("st_overlaps", "st_overlaps"),
+                     ("st_touches", "st_touches"),
+                     ("st_within", "st_within")):
+        udfs.append((name, F.pandas_udf(BooleanType())(_geo2(fn))))
+
+    @F.pandas_udf(BooleanType())
+    def st_relate_geo(g1: pd.Series, g2: pd.Series,
+                      pat: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if a is None or b is None or p is None
+             else _geo_ov.relate(a, b, p)
+             for a, b, p in zip(g1, g2, pat)],
+            dtype="object",
+        )
+
+    @F.pandas_udf(StringType())
+    def st_intersection_geo(g1: pd.Series, g2: pd.Series) -> pd.Series:
+        mark = _geo_wkt.ENV_MARK
+
+        def one(a, b):
+            if a is None or b is None:
+                return None
+            # Envelope fast path (GeoFunctions.java:966-1006): two
+            # envelope-typed values intersect as rectangles; a
+            # POLYGON EMPTY result (not the general overlay's
+            # MULTIPOLYGON EMPTY) when disjoint. (The reference's
+            # point branch builds Point(xMin, xMax) — a latent
+            # xMax-for-yMin slip invisible in its own tests because
+            # the pinned corner has x == y; we emit (xMin, yMin).)
+            if a.startswith(mark) and b.startswith(mark):
+                ba = _geo_wkt.envelope_bounds(a)
+                bb = _geo_wkt.envelope_bounds(b)
+                if ba is None or bb is None:
+                    return "POLYGON EMPTY"
+                x0, y0 = max(ba[0], bb[0]), max(ba[1], bb[1])
+                x1, y1 = min(ba[2], bb[2]), min(ba[3], bb[3])
+                if x0 > x1 or y0 > y1:
+                    return "POLYGON EMPTY"
+                if x0 == x1 and y0 == y1:
+                    return _geo_wkt.point_wkt(x0, y0)
+                if x0 == x1 or y0 == y1:
+                    return _geo_wkt.format_wkt(
+                        ("LINESTRING", [(x0, y0), (x1, y1)]))
+                return _geo_wkt.format_wkt(
+                    ("POLYGON",
+                     [[(x0, y0), (x0, y1), (x1, y1), (x1, y0),
+                       (x0, y0)]]))
+            # envelope-contains shortcut returns the other side as-is
+            if a.startswith(mark):
+                ba = _geo_wkt.envelope_bounds(a)
+                bb = _geo_wkt.envelope_bounds(b)
+                if ba and bb and (ba[0] <= bb[0] and ba[1] <= bb[1]
+                                  and ba[2] >= bb[2] and ba[3] >= bb[3]):
+                    return b
+            if b.startswith(mark):
+                ba = _geo_wkt.envelope_bounds(a)
+                bb = _geo_wkt.envelope_bounds(b)
+                if ba and bb and (bb[0] <= ba[0] and bb[1] <= ba[1]
+                                  and bb[2] >= ba[2] and bb[3] >= ba[3]):
+                    return a
+            return _geo_ov.intersection(a, b)
+
+        return pd.Series(
+            [one(a, b) for a, b in zip(g1, g2)], dtype="object"
+        )
+
     udfs += [
+        ("st_relate", st_relate_geo),
+        ("st_intersection", st_intersection_geo),
         ("expand_envelope", expand_envelope_geo),
         ("st_point", st_point_geo),
         ("st_distance", st_distance_geo),

@@ -15,13 +15,25 @@ great_circle_distance (Vincenty, R=6371.01) and the Bing tile family
 backed by the pure-Python WKT engine in functions/geo_wkt.py and
 registered as Arrow-batched pandas UDFs.
 
-Excluded (63 of 218 extracted, by reason):
-- unresolved: ST_Buffer / ST_Intersection / ST_Difference /
-  ST_SymDifference / ST_Relate / ST_IsValid / geometry_invalid_reason
-  / simplify_geometry / geometry_to_bing_tiles /
-  to_spherical_geography — the boolean-ops/DE-9IM tail, out of scope
+r12 landed the boolean-ops/DE-9IM tail: ST_Intersection /
+ST_Difference / ST_SymDifference / ST_Union (functions/geo_overlay.py
+exact-rational overlay, incl. the envelope fast path via the ENV:
+value marker), ST_Relate and the eight named DE-9IM predicates
+(Contains/Crosses/Disjoint/Equals/Intersects/Overlaps/Touches/
+Within) with the full TestGeoRelations 8x8 matrix expanded below.
+Three overlay pins whose expected text differs from ours only by
+ESRI's internal ring-rotation/part-order phase are compared
+coordinate-exactly but rotation-insensitively (CASES_GEOM_CANON).
+The empty-x-simple union product (7x7 both orders in the Java loop)
+is sampled one-empty-per-simple: every pair collapses to the same 7
+distinct results.
+
+Excluded (by reason):
+- unresolved: ST_Buffer / ST_IsValid / geometry_invalid_reason /
+  simplify_geometry / geometry_to_bing_tiles /
+  to_spherical_geography — the JTS-backed tail, in progress
   this round (functions/geo_clip.py carries polygon boolean ops on
-  the DataFrame path); listed as the r12 candidate in NOTES.
+  the DataFrame path).
 - 20 engine limitation: Spark refuses Python UDFs inside
   higher-order-function lambdas (UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_
   WITH_PYTHON_UDF) — the reference tests wrap tile polygons in
@@ -201,6 +213,254 @@ CASES = [
     ('TestSphericalGeoFunctions.java', 145, 'DOUBLE', 'great_circle_distance(36.12, -86.67, 36.12, -86.67)', 0.0),
 ]
 
+
+def _g(wkt: str) -> str:
+    return f"ST_GeometryFromText('{wkt}')"
+
+
+# r12: the boolean-ops / DE-9IM tail (functions/geo_overlay.py).
+# ST_Difference / ST_Intersection / ST_SymDifference / ST_Union pins
+# from testSTDifference/testSTIntersection/testSTSymmetricDifference/
+# testSTUnion; the three ESRI-TopoGraph-ring-phase cases live in
+# CASES_GEOM_CANON below instead.
+CASES += [
+    ('TestGeoFunctions.java', 757, 'VARCHAR', f"ST_AsText(ST_Difference({_g('POINT (50 100)')}, {_g('POINT (150 150)')}))", 'POINT (50 100)'),
+    ('TestGeoFunctions.java', 758, 'VARCHAR', f"ST_AsText(ST_Difference({_g('MULTIPOINT (50 100, 50 200)')}, {_g('POINT (50 100)')}))", 'POINT (50 200)'),
+    ('TestGeoFunctions.java', 759, 'VARCHAR', f"ST_AsText(ST_Difference({_g('LINESTRING (50 100, 50 200)')}, {_g('LINESTRING (50 50, 50 150)')}))", 'LINESTRING (50 150, 50 200)'),
+    ('TestGeoFunctions.java', 760, 'VARCHAR', f"ST_AsText(ST_Difference({_g('MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))')}, {_g('MULTILINESTRING ((2 1, 4 1), (3 3, 7 3))')}))", 'MULTILINESTRING ((1 1, 2 1), (4 1, 5 1), (2 4, 4 4))'),
+    ('TestGeoFunctions.java', 761, 'VARCHAR', f"ST_AsText(ST_Difference({_g('POLYGON ((1 1, 1 4, 4 4, 4 1, 1 1))')}, {_g('POLYGON ((2 2, 2 5, 5 5, 5 2, 2 2))')}))", 'POLYGON ((1 1, 1 4, 2 4, 2 2, 4 2, 4 1, 1 1))'),
+    ('TestGeoFunctions.java', 800, 'VARCHAR', f"ST_AsText(ST_Intersection({_g('POINT (50 100)')}, {_g('POINT (150 150)')}))", 'MULTIPOLYGON EMPTY'),
+    ('TestGeoFunctions.java', 801, 'VARCHAR', f"ST_AsText(ST_Intersection({_g('MULTIPOINT (50 100, 50 200)')}, {_g('Point (50 100)')}))", 'POINT (50 100)'),
+    ('TestGeoFunctions.java', 802, 'VARCHAR', f"ST_AsText(ST_Intersection({_g('LINESTRING (50 100, 50 200)')}, {_g('LINESTRING (20 150, 100 150)')}))", 'POINT (50 150)'),
+    ('TestGeoFunctions.java', 803, 'VARCHAR', f"ST_AsText(ST_Intersection({_g('MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))')}, {_g('MULTILINESTRING ((3 4, 6 4), (5 0, 5 4))')}))", 'GEOMETRYCOLLECTION (POINT (5 1), LINESTRING (3 4, 4 4))'),
+    ('TestGeoFunctions.java', 804, 'VARCHAR', f"ST_AsText(ST_Intersection({_g('POLYGON ((1 1, 1 3, 3 3, 3 1, 1 1))')}, {_g('POLYGON ((4 4, 4 5, 5 5, 5 4, 4 4))')}))", 'MULTIPOLYGON EMPTY'),
+    ('TestGeoFunctions.java', 805, 'VARCHAR', f"ST_AsText(ST_Intersection({_g('MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((0 0, 0 2, 2 2, 2 0, 0 0)))')}, {_g('POLYGON ((0 1, 3 1, 3 3, 0 3, 0 1))')}))", 'GEOMETRYCOLLECTION (LINESTRING (1 1, 2 1), MULTIPOLYGON (((0 1, 0 2, 1 2, 1 1, 0 1)), ((2 1, 2 2, 1 2, 1 3, 3 3, 3 1, 2 1))))'),
+    ('TestGeoFunctions.java', 806, 'VARCHAR', f"ST_AsText(ST_Intersection({_g('POLYGON ((1 1, 1 4, 4 4, 4 1, 1 1))')}, {_g('LINESTRING (2 0, 2 3)')}))", 'LINESTRING (2 1, 2 3)'),
+    ('TestGeoFunctions.java', 807, 'VARCHAR', f"ST_AsText(ST_Intersection({_g('POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))')}, {_g('LINESTRING (0 0, 1 -1, 1 2)')}))", 'GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (1 0, 1 1))'),
+    ('TestGeoFunctions.java', 828, 'VARCHAR', f"ST_AsText(ST_SymDifference({_g('POINT (50 100)')}, {_g('POINT (50 150)')}))", 'MULTIPOINT ((50 100), (50 150))'),
+    ('TestGeoFunctions.java', 829, 'VARCHAR', f"ST_AsText(ST_SymDifference({_g('MULTIPOINT (50 100, 60 200)')}, {_g('MULTIPOINT (60 200, 70 150)')}))", 'MULTIPOINT ((50 100), (70 150))'),
+    ('TestGeoFunctions.java', 830, 'VARCHAR', f"ST_AsText(ST_SymDifference({_g('LINESTRING (50 100, 50 200)')}, {_g('LINESTRING (50 50, 50 150)')}))", 'MULTILINESTRING ((50 50, 50 100), (50 150, 50 200))'),
+    ('TestGeoFunctions.java', 831, 'VARCHAR', f"ST_AsText(ST_SymDifference({_g('MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))')}, {_g('MULTILINESTRING ((3 4, 6 4), (5 0, 5 4))')}))", 'MULTILINESTRING ((5 0, 5 1), (1 1, 5 1), (5 1, 5 4), (2 4, 3 4), (4 4, 5 4), (5 4, 6 4))'),
+    ('TestGeoFunctions.java', 832, 'VARCHAR', f"ST_AsText(ST_SymDifference({_g('POLYGON ((1 1, 1 4, 4 4, 4 1, 1 1))')}, {_g('POLYGON ((2 2, 2 5, 5 5, 5 2, 2 2))')}))", 'MULTIPOLYGON (((1 1, 1 4, 2 4, 2 2, 4 2, 4 1, 1 1)), ((4 2, 4 4, 2 4, 2 5, 5 5, 5 2, 4 2)))'),
+    ('TestGeoFunctions.java', 833, 'VARCHAR', f"ST_AsText(ST_SymDifference({_g('MULTIPOLYGON (((0 0, 0 2, 2 2, 2 0, 0 0)), ((2 2, 2 4, 4 4, 4 2, 2 2)))')}, {_g('POLYGON ((0 0, 0 3, 3 3, 3 0, 0 0))')}))", 'MULTIPOLYGON (((2 0, 2 2, 3 2, 3 0, 2 0)), ((0 2, 0 3, 2 3, 2 2, 0 2)), ((3 2, 3 3, 2 3, 2 4, 4 4, 4 2, 3 2)))'),
+    ('TestGeoRelations.java', 202, 'BOOLEAN', f"ST_Relate({_g('LINESTRING (0 0, 3 3)')}, {_g('LINESTRING (1 1, 4 1)')}, '****T****')", False),
+    ('TestGeoRelations.java', 203, 'BOOLEAN', f"ST_Relate({_g('POLYGON ((2 0, 2 1, 3 1, 2 0))')}, {_g('POLYGON ((1 1, 1 4, 4 4, 4 1, 1 1))')}, '****T****')", True),
+    ('TestGeoRelations.java', 204, 'BOOLEAN', f"ST_Relate({_g('POLYGON ((2 0, 2 1, 3 1, 2 0))')}, {_g('POLYGON ((1 1, 1 4, 4 4, 4 1, 1 1))')}, 'T********')", False),
+]
+
+# testSTIntersection's assertEnvelopeIntersection block
+# (TestGeoFunctions.java:810-822): the envelope fast path, including
+# the POLYGON-EMPTY disjoint case and the degenerate line/point
+# results.
+_ENVI = [
+    ('POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0))', 'POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0))', 'POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0))'),
+    ('POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0))', 'POLYGON ((-1 4, 1 4, 1 6, -1 6, -1 4))', 'POLYGON ((0 4, 0 5, 1 5, 1 4, 0 4))'),
+    ('POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0))', 'POLYGON ((1 4, 2 4, 2 6, 1 6, 1 4))', 'POLYGON ((1 4, 1 5, 2 5, 2 4, 1 4))'),
+    ('POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0))', 'POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))', 'POLYGON ((4 4, 4 5, 5 5, 5 4, 4 4))'),
+    ('POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0))', 'POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))', 'POLYGON EMPTY'),
+    ('POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0))', 'POLYGON ((-1 -1, 0 -1, 0 1, -1 1, -1 -1))', 'LINESTRING (0 0, 0 1)'),
+    ('POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0))', 'POLYGON ((1 -1, 2 -1, 2 0, 1 0, 1 -1))', 'LINESTRING (1 0, 2 0)'),
+    ('POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0))', 'POLYGON ((-1 -1, 0 -1, 0 0, -1 0, -1 -1))', 'POINT (0 0)'),
+]
+CASES += [
+    ('TestGeoFunctions.java', 822, 'VARCHAR',
+     f"ST_AsText(ST_Intersection(ST_Envelope({_g(a)}), ST_Envelope({_g(b)})))",
+     want)
+    for a, b, want in _ENVI
+]
+
+# testSTUnion (TestGeoFunctions.java:860-950): empty x simple /
+# self / touching / within / overlap unions, asserted in BOTH
+# argument orders like assertUnion does.
+_EMPTY_WKTS = ['POINT EMPTY', 'MULTIPOINT EMPTY', 'LINESTRING EMPTY',
+               'MULTILINESTRING EMPTY', 'POLYGON EMPTY',
+               'MULTIPOLYGON EMPTY', 'GEOMETRYCOLLECTION EMPTY']
+_SIMPLE_WKTS = [
+    'POINT (1 2)', 'MULTIPOINT ((1 2), (3 4))',
+    'LINESTRING (0 0, 2 2, 4 4)',
+    'MULTILINESTRING ((0 0, 2 2, 4 4), (5 5, 7 7, 9 9))',
+    'POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))',
+    'MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((2 4, 2 6, 6 6, 6 4, 2 4)))',
+    'GEOMETRYCOLLECTION (LINESTRING (0 5, 5 5), POLYGON ((1 1, 1 3, 3 3, 3 1, 1 1)))',
+]
+_UNION_CASES = (
+    [(e, s, s) for e, s in zip(_EMPTY_WKTS, _SIMPLE_WKTS)]
+    + [(s, e, s) for e, s in zip(_EMPTY_WKTS, reversed(_SIMPLE_WKTS))]
+    + [(s, s, s) for s in _SIMPLE_WKTS]
+    + [
+        ('POINT (1 2)', 'MULTIPOINT ((1 2), (3 4))', 'MULTIPOINT ((1 2), (3 4))'),
+        ('MULTIPOINT ((1 2))', 'MULTIPOINT ((1 2), (3 4))', 'MULTIPOINT ((1 2), (3 4))'),
+        ('LINESTRING (0 1, 1 2)', 'LINESTRING (1 2, 3 4)', 'LINESTRING (0 1, 1 2, 3 4)'),
+        ('MULTILINESTRING ((0 0, 2 2, 4 4), (5 5, 7 7, 9 9))', 'MULTILINESTRING ((5 5, 7 7, 9 9), (11 11, 13 13, 15 15))', 'MULTILINESTRING ((0 0, 2 2, 4 4), (5 5, 7 7, 9 9), (11 11, 13 13, 15 15))'),
+        ('POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))', 'POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))', 'POLYGON ((0 0, 0 1, 1 1, 2 1, 2 0, 1 0, 0 0))'),
+        ('MULTIPOLYGON (((0 0, 0 1, 1 1, 1 0, 0 0)))', 'MULTIPOLYGON (((1 0, 2 0, 2 1, 1 1, 1 0)))', 'POLYGON ((0 0, 0 1, 1 1, 2 1, 2 0, 1 0, 0 0))'),
+        ('GEOMETRYCOLLECTION (POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0)), POINT (1 2))', 'GEOMETRYCOLLECTION (POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0)), MULTIPOINT ((1 2), (3 4)))', 'GEOMETRYCOLLECTION (MULTIPOINT ((1 2), (3 4)), POLYGON ((0 0, 0 1, 1 1, 2 1, 2 0, 1 0, 0 0)))'),
+        ('MULTIPOINT ((20 20), (25 25))', 'POINT (25 25)', 'MULTIPOINT ((20 20), (25 25))'),
+        ('LINESTRING (20 20, 30 30)', 'POINT (25 25)', 'LINESTRING (20 20, 25 25, 30 30)'),
+        ('LINESTRING (20 20, 30 30)', 'LINESTRING (25 25, 27 27)', 'LINESTRING (20 20, 25 25, 27 27, 30 30)'),
+        ('POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', 'POLYGON ((1 1, 1 2, 2 2, 2 1, 1 1))', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))'),
+        ('GEOMETRYCOLLECTION (POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0)), MULTIPOINT ((20 20), (25 25)))', 'GEOMETRYCOLLECTION (POLYGON ((1 1, 1 2, 2 2, 2 1, 1 1)), POINT (25 25))', 'GEOMETRYCOLLECTION (MULTIPOINT ((20 20), (25 25)), POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0)))'),
+        ('LINESTRING (1 1, 3 1)', 'LINESTRING (2 1, 4 1)', 'LINESTRING (1 1, 2 1, 3 1, 4 1)'),
+        ('MULTILINESTRING ((1 1, 3 1))', 'MULTILINESTRING ((2 1, 4 1))', 'LINESTRING (1 1, 2 1, 3 1, 4 1)'),
+        ('POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))', 'POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))', 'POLYGON ((1 1, 1 3, 2 3, 2 4, 4 4, 4 2, 3 2, 3 1, 1 1))'),
+        ('MULTIPOLYGON (((1 1, 3 1, 3 3, 1 3, 1 1)))', 'MULTIPOLYGON (((2 2, 4 2, 4 4, 2 4, 2 2)))', 'POLYGON ((1 1, 1 3, 2 3, 2 4, 4 4, 4 2, 3 2, 3 1, 1 1))'),
+        ('GEOMETRYCOLLECTION (POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1)), LINESTRING (1 1, 3 1))', 'GEOMETRYCOLLECTION (POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2)), LINESTRING (2 1, 4 1))', 'GEOMETRYCOLLECTION (LINESTRING (3 1, 4 1), POLYGON ((1 1, 1 3, 2 3, 2 4, 4 4, 4 2, 3 2, 3 1, 2 1, 1 1)))'),
+    ]
+)
+CASES += [
+    ('TestGeoFunctions.java', 948, 'VARCHAR',
+     f"ST_AsText(ST_Union({_g(a)}, {_g(b)}))", want)
+    for a, b, want in _UNION_CASES
+] + [
+    ('TestGeoFunctions.java', 949, 'VARCHAR',
+     f"ST_AsText(ST_Union({_g(b)}, {_g(a)}))", want)
+    for a, b, want in _UNION_CASES
+    # the within-union multipolygon case's reversed order is the
+    # part-order ESRI-phase pin in CASES_GEOM_CANON
+    if 'MULTIPOLYGON (((0 0, 0 2' not in a
+]
+
+# DE-9IM named predicates (TestGeoRelations.java testStContains /
+# testSTCrosses / testSTDisjoint / testSTEquals / testSTIntersects /
+# testSTOverlaps / testSTTouches / testSTWithin hand pins).
+_REL_PINS = [
+    (112, 'ST_Contains', 'POINT (20 20)', 'POINT (25 25)', False),
+    (112, 'ST_Contains', 'MULTIPOINT (20 20, 25 25)', 'POINT (25 25)', True),
+    (112, 'ST_Contains', 'LINESTRING (20 20, 30 30)', 'POINT (25 25)', True),
+    (112, 'ST_Contains', 'LINESTRING (20 20, 30 30)', 'MULTIPOINT (25 25, 31 31)', False),
+    (112, 'ST_Contains', 'LINESTRING (20 20, 30 30)', 'LINESTRING (25 25, 27 27)', True),
+    (112, 'ST_Contains', 'MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))', 'MULTILINESTRING ((3 4, 4 4), (2 1, 6 1))', False),
+    (112, 'ST_Contains', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', 'POLYGON ((1 1, 1 2, 2 2, 2 1, 1 1))', True),
+    (112, 'ST_Contains', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', 'POLYGON ((-1 -1, -1 2, 2 2, 2 -1, -1 -1))', False),
+    (112, 'ST_Contains', 'MULTIPOLYGON (((0 0, 0 2, 2 2, 2 0, 0 0)), ((2 2, 2 4, 4 4, 4 2, 2 2)))', 'POLYGON ((2 2, 2 3, 3 3, 3 2, 2 2))', True),
+    (112, 'ST_Contains', 'LINESTRING (20 20, 30 30)', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', False),
+    (129, 'ST_Crosses', 'POINT (20 20)', 'POINT (25 25)', False),
+    (129, 'ST_Crosses', 'LINESTRING (20 20, 30 30)', 'POINT (25 25)', False),
+    (129, 'ST_Crosses', 'LINESTRING (20 20, 30 30)', 'MULTIPOINT (25 25, 31 31)', True),
+    (129, 'ST_Crosses', 'LINESTRING(0 0, 1 1)', 'LINESTRING (1 0, 0 1)', True),
+    (129, 'ST_Crosses', 'POLYGON ((1 1, 1 4, 4 4, 4 1, 1 1))', 'POLYGON ((2 2, 2 5, 5 5, 5 2, 2 2))', False),
+    (129, 'ST_Crosses', 'MULTIPOLYGON (((0 0, 0 2, 2 2, 2 0, 0 0)), ((2 2, 2 4, 4 4, 4 2, 2 2)))', 'POLYGON ((2 2, 2 3, 3 3, 3 2, 2 2))', False),
+    (129, 'ST_Crosses', 'LINESTRING (-2 -2, 6 6)', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', True),
+    (129, 'ST_Crosses', 'POINT (20 20)', 'POINT (20 20)', False),
+    (129, 'ST_Crosses', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', False),
+    (129, 'ST_Crosses', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', 'LINESTRING (0 0, 0 4, 4 4, 4 0)', False),
+    (144, 'ST_Disjoint', 'POINT (50 100)', 'POINT (150 150)', True),
+    (144, 'ST_Disjoint', 'MULTIPOINT (50 100, 50 200)', 'POINT (50 100)', False),
+    (144, 'ST_Disjoint', 'LINESTRING (0 0, 0 1)', 'LINESTRING (1 1, 1 0)', True),
+    (144, 'ST_Disjoint', 'LINESTRING (2 1, 1 2)', 'LINESTRING (3 1, 1 3)', True),
+    (144, 'ST_Disjoint', 'LINESTRING (1 1, 3 3)', 'LINESTRING (3 1, 1 3)', False),
+    (144, 'ST_Disjoint', 'LINESTRING (50 100, 50 200)', 'LINESTRING (20 150, 100 150)', False),
+    (144, 'ST_Disjoint', 'MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))', 'MULTILINESTRING ((3 4, 6 4), (5 0, 5 4))', False),
+    (144, 'ST_Disjoint', 'POLYGON ((1 1, 1 3, 3 3, 3 1, 1 1))', 'POLYGON ((4 4, 4 5, 5 5, 5 4, 4 4))', True),
+    (144, 'ST_Disjoint', 'MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((0 0, 0 2, 2 2, 2 0, 0 0)))', 'POLYGON ((0 1, 3 1, 3 3, 0 3, 0 1))', False),
+    (158, 'ST_Equals', 'POINT (50 100)', 'POINT (150 150)', False),
+    (158, 'ST_Equals', 'MULTIPOINT (50 100, 50 200)', 'POINT (50 100)', False),
+    (158, 'ST_Equals', 'LINESTRING (0 0, 0 1)', 'LINESTRING (1 1, 1 0)', False),
+    (158, 'ST_Equals', 'LINESTRING (0 0, 2 2)', 'LINESTRING (0 0, 2 2)', True),
+    (158, 'ST_Equals', 'MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))', 'MULTILINESTRING ((3 4, 6 4), (5 0, 5 4))', False),
+    (158, 'ST_Equals', 'POLYGON ((1 1, 1 3, 3 3, 3 1, 1 1))', 'POLYGON ((3 3, 3 1, 1 1, 1 3, 3 3))', True),
+    (158, 'ST_Equals', 'MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((0 0, 0 2, 2 2, 2 0, 0 0)))', 'POLYGON ((0 1, 3 1, 3 3, 0 3, 0 1))', False),
+    (171, 'ST_Intersects', 'POINT (50 100)', 'POINT (150 150)', False),
+    (171, 'ST_Intersects', 'MULTIPOINT (50 100, 50 200)', 'POINT (50 100)', True),
+    (171, 'ST_Intersects', 'LINESTRING (0 0, 0 1)', 'LINESTRING (1 1, 1 0)', False),
+    (171, 'ST_Intersects', 'LINESTRING (50 100, 50 200)', 'LINESTRING (20 150, 100 150)', True),
+    (171, 'ST_Intersects', 'MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))', 'MULTILINESTRING ((3 4, 6 4), (5 0, 5 4))', True),
+    (171, 'ST_Intersects', 'POLYGON ((1 1, 1 3, 3 3, 3 1, 1 1))', 'POLYGON ((4 4, 4 5, 5 5, 5 4, 4 4))', False),
+    (171, 'ST_Intersects', 'MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((0 0, 0 2, 2 2, 2 0, 0 0)))', 'POLYGON ((0 1, 3 1, 3 3, 0 3, 0 1))', True),
+    (171, 'ST_Intersects', 'POLYGON ((16.5 54, 16.5 54.1, 16.51 54.1, 16.8 54, 16.5 54))', 'LINESTRING (16.6 53, 16.6 56)', True),
+    (171, 'ST_Intersects', 'POLYGON ((16.5 54, 16.5 54.1, 16.51 54.1, 16.8 54, 16.5 54))', 'LINESTRING (16.6667 54.05, 16.8667 54.05)', False),
+    (171, 'ST_Intersects', 'POLYGON ((16.5 54, 16.5 54.1, 16.51 54.1, 16.8 54, 16.5 54))', 'LINESTRING (16.6667 54.25, 16.8667 54.25)', False),
+    (186, 'ST_Overlaps', 'POINT (50 100)', 'POINT (150 150)', False),
+    (186, 'ST_Overlaps', 'POINT (50 100)', 'POINT (50 100)', False),
+    (186, 'ST_Overlaps', 'MULTIPOINT (50 100, 50 200)', 'POINT (50 100)', False),
+    (186, 'ST_Overlaps', 'LINESTRING (0 0, 0 1)', 'LINESTRING (1 1, 1 0)', False),
+    (186, 'ST_Overlaps', 'MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))', 'MULTILINESTRING ((3 4, 6 4), (5 0, 5 4))', True),
+    (186, 'ST_Overlaps', 'POLYGON ((1 1, 1 4, 4 4, 4 1, 1 1))', 'POLYGON ((3 3, 3 5, 5 5, 5 3, 3 3))', True),
+    (186, 'ST_Overlaps', 'POLYGON ((1 1, 1 4, 4 4, 4 1, 1 1))', 'POLYGON ((1 1, 1 4, 4 4, 4 1, 1 1))', False),
+    (186, 'ST_Overlaps', 'POLYGON ((1 1, 1 4, 4 4, 4 1, 1 1))', 'LINESTRING (1 1, 4 4)', False),
+    (186, 'ST_Overlaps', 'POLYGON ((1 1, 1 3, 3 3, 3 1, 1 1))', 'POLYGON ((4 4, 4 5, 5 5, 5 4, 4 4))', False),
+    (186, 'ST_Overlaps', 'MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((0 0, 0 2, 2 2, 2 0, 0 0)))', 'POLYGON ((0 1, 3 1, 3 3, 0 3, 0 1))', True),
+    (208, 'ST_Touches', 'POINT (50 100)', 'POINT (150 150)', False),
+    (208, 'ST_Touches', 'MULTIPOINT (50 100, 50 200)', 'POINT (50 100)', False),
+    (208, 'ST_Touches', 'LINESTRING (50 100, 50 200)', 'LINESTRING (20 150, 100 150)', False),
+    (208, 'ST_Touches', 'MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))', 'MULTILINESTRING ((3 4, 6 4), (5 0, 5 4))', False),
+    (208, 'ST_Touches', 'POINT (1 2)', 'POLYGON ((1 1, 1 4, 4 4, 4 1, 1 1))', True),
+    (208, 'ST_Touches', 'POLYGON ((1 1, 1 3, 3 3, 3 1, 1 1))', 'POLYGON ((4 4, 4 5, 5 5, 5 4, 4 4))', False),
+    (208, 'ST_Touches', 'POLYGON ((1 1, 1 3, 3 3, 3 1, 1 1))', 'LINESTRING (0 0, 1 1)', True),
+    (208, 'ST_Touches', 'POLYGON ((1 1, 1 3, 3 3, 3 1, 1 1))', 'POLYGON ((3 3, 3 5, 5 5, 5 3, 3 3))', True),
+    (208, 'ST_Touches', 'MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((0 0, 0 2, 2 2, 2 0, 0 0)))', 'POLYGON ((0 1, 3 1, 3 3, 0 3, 0 1))', False),
+    (223, 'ST_Within', 'POINT (50 100)', 'POINT (150 150)', False),
+    (223, 'ST_Within', 'POINT (50 100)', 'MULTIPOINT (50 100, 50 200)', True),
+    (223, 'ST_Within', 'LINESTRING (50 100, 50 200)', 'LINESTRING (50 50, 50 250)', True),
+    (223, 'ST_Within', 'MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))', 'MULTILINESTRING ((3 4, 6 4), (5 0, 5 4))', False),
+    (223, 'ST_Within', 'POINT (3 2)', 'POLYGON ((1 1, 1 4, 4 4, 4 1, 1 1))', True),
+    (223, 'ST_Within', 'POLYGON ((1 1, 1 3, 3 3, 3 1, 1 1))', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', True),
+    (223, 'ST_Within', 'LINESTRING (1 1, 3 3)', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', True),
+    (223, 'ST_Within', 'MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((0 0, 0 2, 2 2, 2 0, 0 0)))', 'POLYGON ((0 1, 3 1, 3 3, 0 3, 0 1))', False),
+    (223, 'ST_Within', 'POLYGON ((1 1, 1 5, 5 5, 5 1, 1 1))', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', False),
+]
+CASES += [
+    ('TestGeoRelations.java', ln, 'BOOLEAN', f"{fn}({_g(a)}, {_g(b)})", want)
+    for ln, fn, a, b, want in _REL_PINS
+]
+
+# testContainsWithin / testEquals / testTouches / testOverlaps /
+# testCrosses matrix (TestGeoRelations.java:42-100, 237-290): the 8
+# RELATION_GEOMETRIES_WKT crossed pairwise, expanded here exactly as
+# the Java loops do.
+_REL_G = [
+    'POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))',
+    'POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0))',
+    'POLYGON ((1 0, 1 1, 3 1, 3 0, 1 0))',
+    'LINESTRING (1 0.5, 2.5 0.5)',
+    'LINESTRING (2 0, 2 2)',
+    'LINESTRING (2 0.5, 2 2)',
+    'POINT (1.5 0.5)',
+    'POINT (2 0.5)',
+]
+_REL_CONTAINS = {(1, 0), (2, 3), (4, 5), (1, 6), (2, 6), (2, 7),
+                 (3, 6), (3, 7), (4, 7)}
+_REL_TOUCH = {(0, 2), (0, 3), (1, 4), (1, 5), (3, 5), (1, 7), (5, 7)}
+_REL_OVER = {(1, 2)}
+_REL_CROSS = {(1, 3), (2, 4), (2, 5), (3, 4)}
+for _i in range(8):
+    for _j in range(8):
+        _sym = lambda s: (_i, _j) in s or (_j, _i) in s  # noqa: E731
+        _ok = _i == _j or (_i, _j) in _REL_CONTAINS
+        CASES += [
+            ('TestGeoRelations.java', 241, 'BOOLEAN',
+             f"ST_Contains({_g(_REL_G[_i])}, {_g(_REL_G[_j])})", _ok),
+            ('TestGeoRelations.java', 243, 'BOOLEAN',
+             f"ST_Within({_g(_REL_G[_j])}, {_g(_REL_G[_i])})", _ok),
+            ('TestGeoRelations.java', 250, 'BOOLEAN',
+             f"ST_Equals({_g(_REL_G[_i])}, {_g(_REL_G[_j])})", _i == _j),
+            ('TestGeoRelations.java', 256, 'BOOLEAN',
+             f"ST_Touches({_g(_REL_G[_i])}, {_g(_REL_G[_j])})",
+             _sym(_REL_TOUCH)),
+            ('TestGeoRelations.java', 262, 'BOOLEAN',
+             f"ST_Overlaps({_g(_REL_G[_i])}, {_g(_REL_G[_j])})",
+             _sym(_REL_OVER)),
+            ('TestGeoRelations.java', 268, 'BOOLEAN',
+             f"ST_Crosses({_g(_REL_G[_i])}, {_g(_REL_G[_j])})",
+             _sym(_REL_CROSS)),
+        ]
+
+# ESRI-TopoGraph ring-phase pins: values exact, but ESRI rotates the
+# ring to an internal traversal start (or orders multipolygon parts
+# by one) where we emit the (y, x)-canonical rotation. Compared
+# rotation/part-order-insensitively with exact coordinates.
+CASES_GEOM_CANON = [
+    ('TestGeoFunctions.java', 762,
+     f"ST_AsText(ST_Difference({_g('MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((0 0, 0 2, 2 2, 2 0, 0 0)))')}, {_g('POLYGON ((0 1, 3 1, 3 3, 0 3, 0 1))')}))",
+     'POLYGON ((1 1, 2 1, 2 0, 0 0, 0 1, 1 1))'),
+    ('TestGeoFunctions.java', 948,
+     f"ST_AsText(ST_Union({_g('MULTIPOLYGON (((0 0, 0 2, 2 2, 2 0, 0 0)), ((2 2, 2 4, 4 4, 4 2, 2 2)))')}, {_g('POLYGON ((2 2, 2 3, 3 3, 3 2, 2 2))')}))",
+     'MULTIPOLYGON (((2 2, 2 3, 2 4, 4 4, 4 2, 3 2, 2 2)), ((0 0, 0 2, 2 2, 2 0, 0 0)))'),
+    ('TestGeoFunctions.java', 949,
+     f"ST_AsText(ST_Union({_g('POLYGON ((2 2, 2 3, 3 3, 3 2, 2 2))')}, {_g('MULTIPOLYGON (((0 0, 0 2, 2 2, 2 0, 0 0)), ((2 2, 2 4, 4 4, 4 2, 2 2)))')}))",
+     'MULTIPOLYGON (((2 2, 2 3, 2 4, 4 4, 4 2, 3 2, 2 2)), ((0 0, 0 2, 2 2, 2 0, 0 0)))'),
+]
+
 CHUNK = 30
 CHUNKS = [CASES[i : i + CHUNK] for i in range(0, len(CASES), CHUNK)]
 
@@ -217,6 +477,66 @@ def _eq(got, want, typ):
     if typ == "BOOLEAN":
         return got is want
     return got == want
+
+
+def _canon_geom(wkt: str):
+    """Rotation/orientation/part-order-insensitive canonical form
+    with EXACT coordinates — the comparison tier for the
+    ESRI-ring-phase pins."""
+    from presto_0_235_spark.functions.geo_wkt import parse_wkt
+
+    def canon(tag, payload):
+        if tag == "GEOMETRYCOLLECTION":
+            return ("GC", tuple(sorted(
+                repr(canon(*s)) for s in (payload or []))))
+        if payload is None:
+            return (tag, None)
+        if tag == "POINT":
+            return ("P", (payload,))
+        if tag == "MULTIPOINT":
+            return ("P", tuple(sorted(payload)))
+
+        def line_c(path):
+            return min(tuple(path), tuple(reversed(path)))
+
+        if tag == "LINESTRING":
+            return ("L", (line_c(payload),))
+        if tag == "MULTILINESTRING":
+            return ("L", tuple(sorted(line_c(q) for q in payload)))
+
+        def ring_c(r):
+            r = list(r)
+            if r and r[0] == r[-1]:
+                r = r[:-1]
+            best = None
+            for seq in (r, list(reversed(r))):
+                for i in range(len(seq)):
+                    rot = tuple(seq[i:] + seq[:i])
+                    if best is None or rot < best:
+                        best = rot
+            return best
+
+        if tag == "POLYGON":
+            return ("A", (tuple(sorted(ring_c(r) for r in payload)),))
+        return ("A", tuple(sorted(
+            tuple(sorted(ring_c(r) for r in rings))
+            for rings in payload)))
+
+    return canon(*parse_wkt(wkt))
+
+
+def test_geom_canonical_pins(spark):
+    select = ", ".join(
+        f"({expr}) AS c{i}"
+        for i, (_, _, expr, _) in enumerate(CASES_GEOM_CANON)
+    )
+    row = run_sql(spark, f"SELECT {select}").collect()[0]
+    failures = [
+        f"{f}:{ln}: got {row[i]!r}, want(canon) {want!r}"
+        for i, (f, ln, _, want) in enumerate(CASES_GEOM_CANON)
+        if _canon_geom(row[i]) != _canon_geom(want)
+    ]
+    assert not failures, "\n".join(failures)
 
 
 def test_excluded_inventory_not_stale():
