@@ -55,13 +55,12 @@ from presto_0_235_spark.functions import geo_wkt as _W
 Pt = tuple  # (Fraction, Fraction)
 
 
-def _fr(v) -> Fraction:
-    return Fraction(v) if not isinstance(v, float) else Fraction(v).limit_denominator(10**15)
-
-
 def _fpt(p) -> Pt:
-    return (Fraction(p[0]).limit_denominator(10**15),
-            Fraction(p[1]).limit_denominator(10**15))
+    # Fraction(float) is EXACT binary-to-rational — no
+    # limit_denominator, which would corrupt sub-1e-10 coordinate
+    # deltas (the reference pins tiny buffer-of-buffer geometries at
+    # 1e-10 scale, TestGeoFunctions.java:207-209)
+    return (Fraction(p[0]), Fraction(p[1]))
 
 
 def _cross(o, a, b) -> Fraction:
@@ -830,3 +829,678 @@ def st_intersects(wa: str, wb: str) -> bool:
 
 def st_disjoint(wa: str, wb: str) -> bool:
     return relate(wa, wb, "FF*FF****")
+
+
+# ---------------------------------------------------------------------------
+# Validity (JTS IsValidOp model), simplicity (JTS IsSimpleOp model),
+# and simplify (JTS TopologyPreservingSimplifier model) — the
+# reference routes ST_IsValid / geometry_invalid_reason / ST_IsSimple
+# / simplify_geometry through JtsGeometrySerde + JTS
+# (GeoFunctions.java:394-421,760-775;
+# GeometryUtils.java:292-335 getGeometryInvalidReason).
+# ---------------------------------------------------------------------------
+
+
+def _jd(x: Fraction) -> str:
+    """Java Double.toString for the small coordinates JTS reports in
+    non-simple locations ('0.0', '3.5')."""
+    return repr(float(x))
+
+
+def _rings_of(parsed):
+    """[(shell, holes)] per polygon from a parse_wkt payload."""
+    tag, payload = parsed
+    out = []
+    if tag == "POLYGON" and payload:
+        rs = [[_fpt(p) for p in r[:-1] if True] for r in payload]
+        rs = [_dedup_ring(r) for r in rs]
+        out.append((rs[0], rs[1:]))
+    elif tag == "MULTIPOLYGON" and payload:
+        for rings in payload:
+            rs = [_dedup_ring([_fpt(p) for p in r[:-1]]) for r in rings]
+            out.append((rs[0], rs[1:]))
+    return out
+
+
+def _dedup_ring(r):
+    """drop consecutive duplicates (JTS drops them before checks)"""
+    out = []
+    for p in r:
+        if not out or out[-1] != p:
+            out.append(p)
+    if len(out) > 1 and out[0] == out[-1]:
+        out.pop()
+    return out
+
+
+def _ring_edges_list(r):
+    return [(r[i], r[(i + 1) % len(r)]) for i in range(len(r))]
+
+
+def _noding_failure(all_rings) -> bool:
+    """JTS checkConsistentArea analog: any proper crossing, collinear
+    interior overlap, or vertex-in-edge-interior between ring edges
+    (excluding shared endpoints) -> 'Self-intersection'."""
+    edges = []
+    for ri, r in enumerate(all_rings):
+        for e in _ring_edges_list(r):
+            edges.append((ri, e))
+    for i in range(len(edges)):
+        ri, (a, b) = edges[i]
+        for j in range(i + 1, len(edges)):
+            rj, (c, d) = edges[j]
+            if _cross(a, b, c) == 0 and _cross(a, b, d) == 0 \
+                    and _cross(c, d, a) == 0:
+                # collinear pair: any positive-length shared interval
+                # (duplicate or partially overlapping edges) is a
+                # noding failure even when endpoints are shared
+                shared = [p for p in dict.fromkeys((a, b, c, d))
+                          if _on_seg(p, a, b) and _on_seg(p, c, d)]
+                if len(shared) >= 2:
+                    return True
+                continue
+            for p in _seg_intersections(a, b, c, d):
+                if p in (a, b) and p in (c, d):
+                    continue  # shared endpoint: a touch node, allowed
+                return True
+    return False
+
+
+def _ring_self_touch(r):
+    """repeated non-consecutive vertex inside one ring -> the JTS
+    'Ring Self-intersection' class"""
+    seen = {}
+    for i, p in enumerate(r):
+        if p in seen:
+            return True
+        seen[p] = i
+    return False
+
+
+def _pt_in_ring_or_boundary(p, ring):
+    return _pt_on_ring(p, ring) or _point_in_ring(p, ring)
+
+
+def invalid_reason_valid_part(parsed):
+    """TopologyValidationError message or None, for one flattened
+    geometry (no GC)."""
+    tag, payload = parsed
+    if payload is None or tag in ("POINT", "MULTIPOINT", "LINESTRING",
+                                  "MULTILINESTRING"):
+        return None
+    polys = _rings_of(parsed)
+    # zero-area shell: ESRI->JTS serde cannot identify a shell ring
+    # and throws (the reference surfaces the serde message for the
+    # zero-area bowtie, TestGeoFunctions.java:458)
+    for shell, holes in polys:
+        if _signed_area2(shell) == 0:
+            return ("Error constructing Polygon: shell is empty but "
+                    "holes are not")
+    # consistent-area noding across every ring of the geometry
+    all_rings = [r for shell, holes in polys for r in [shell] + holes]
+    if _noding_failure(all_rings):
+        return "Self-intersection"
+    for r in all_rings:
+        if _ring_self_touch(r):
+            return "Ring Self-intersection"
+    for shell, holes in polys:
+        for h in holes:
+            probe = next((p for p in h if not _pt_on_ring(p, shell)),
+                         None)
+            if probe is not None and not _point_in_ring(probe, shell):
+                return "Hole lies outside shell"
+        for i, h1 in enumerate(holes):
+            for h2 in holes[i + 1:]:
+                probe = next(
+                    (p for p in h2 if not _pt_on_ring(p, h1)), None)
+                if probe is not None and _point_in_ring(probe, h1):
+                    return "Holes are nested"
+        # interior connectivity: a hole (or hole chain) touching the
+        # shell at 2+ distinct points pinches the interior apart
+        for h in holes:
+            touches = {p for p in h if _pt_on_ring(p, shell)}
+            touches |= {q for e in _ring_edges_list(h)
+                        for q in () }
+            if len(touches) >= 2:
+                return "Interior is disconnected"
+    # shells nested / overlapping across polygons (noding already
+    # caught proper overlaps; containment without edge contact here)
+    for i, (s1, _h1) in enumerate(polys):
+        for s2, _h2 in polys[i + 1:]:
+            if all(_pt_in_ring_or_boundary(p, s1) for p in s2) or \
+                    all(_pt_in_ring_or_boundary(p, s2) for p in s1):
+                return "Shells are nested"
+    return None
+
+
+def _nonsimple_location(parsed):
+    """JTS IsSimpleOp analog: None if simple, else the non-simple
+    coordinate and the JTS geometry-type label."""
+    tag, payload = parsed
+    if payload is None:
+        return None
+    if tag == "POINT":
+        return None
+    if tag == "MULTIPOINT":
+        seen = set()
+        for p in payload:
+            q = _fpt(p)
+            if q in seen:
+                return ("MultiPoint", "Repeated point", q)
+            seen.add(q)
+        return None
+    if tag in ("LINESTRING", "MULTILINESTRING"):
+        paths = [payload] if tag == "LINESTRING" else payload
+        segs = []  # (path_idx, seg_idx, a, b)
+        closed = []
+        for pi, path in enumerate(paths):
+            pts = [_fpt(p) for p in path]
+            closed.append(len(pts) > 1 and pts[0] == pts[-1])
+            for si in range(len(pts) - 1):
+                if pts[si] != pts[si + 1]:
+                    segs.append((pi, si, pts[si], pts[si + 1]))
+        bad = []
+        for x in range(len(segs)):
+            pi1, si1, a, b = segs[x]
+            for y in range(x + 1, len(segs)):
+                pi2, si2, c, d = segs[y]
+                for p in _seg_intersections(a, b, c, d):
+                    if pi1 == pi2:
+                        if si2 == si1 + 1 and p == b and p == c:
+                            continue  # consecutive join
+                        if closed[pi1] and si1 == 0 and \
+                                si2 == len([s for s in segs
+                                            if s[0] == pi1]) - 1 \
+                                and p == a and p == d:
+                            continue  # ring closure point
+                    else:
+                        # different paths may touch at mod-2
+                        # endpoints? JTS: any intersection between
+                        # different components is non-simple unless
+                        # at both boundaries
+                        if p in (a, b) and p in (c, d):
+                            # endpoint-endpoint touch between parts
+                            # is allowed only at path BOUNDARY points
+                            ends1 = {segs_first_last(segs, pi1)[0],
+                                     segs_first_last(segs, pi1)[1]}
+                            ends2 = {segs_first_last(segs, pi2)[0],
+                                     segs_first_last(segs, pi2)[1]}
+                            if p in ends1 and p in ends2:
+                                continue
+                    bad.append(p)
+        if bad:
+            label = ("LineString" if tag == "LINESTRING"
+                     else "MultiLineString")
+            p = min(bad, key=lambda q: (q[1], q[0]))
+            return (label, "Self-intersection at or near", p)
+        return None
+    return None  # polygons/GC are always OGC-simple
+
+
+def segs_first_last(segs, pi):
+    ours = [s for s in segs if s[0] == pi]
+    return (ours[0][2], ours[-1][3])
+
+
+def invalid_reason(wkt: str):
+    """geometry_invalid_reason: validity reason first, then
+    non-simplicity (GeometryUtils.java:292-335); None when valid and
+    simple. GC components are checked in order."""
+    g = _W.parse_wkt(wkt)
+    parts = g[1] if g[0] == "GEOMETRYCOLLECTION" and g[1] else [g]
+    for part in parts:
+        r = invalid_reason_valid_part(part)
+        if r is not None:
+            return r
+    # multipolygon pieces of a GC checked, now simplicity
+    for part in parts:
+        ns = _nonsimple_location(part)
+        if ns is not None:
+            label, desc, p = ns
+            return f"[{label}] {desc}: ({_jd(p[0])} {_jd(p[1])})"
+    return None
+
+
+def is_valid(wkt: str) -> bool:
+    g = _W.parse_wkt(wkt)
+    parts = g[1] if g[0] == "GEOMETRYCOLLECTION" and g[1] else [g]
+    return all(invalid_reason_valid_part(p) is None for p in parts)
+
+
+def is_simple(wkt: str) -> bool:
+    """ST_IsSimple (GeoFunctions.java:380): valid AND OGC-simple."""
+    g = _W.parse_wkt(wkt)
+    parts = g[1] if g[0] == "GEOMETRYCOLLECTION" and g[1] else [g]
+    if not all(invalid_reason_valid_part(p) is None for p in parts):
+        return False
+    return all(_nonsimple_location(p) is None for p in parts)
+
+
+# --- simplify (JTS TopologyPreservingSimplifier model) ---------------------
+
+
+def _simplify_path(pts, tol, min_size, other_edges):
+    """JTS TaggedLineStringSimplifier: recursive DP that refuses to
+    flatten when the output would drop below min_size vertices or the
+    flattened chord would cross another retained input edge."""
+    n = len(pts)
+    if n <= 2:
+        return list(pts)
+    result_pts = []  # vertices emitted so far (segment chain)
+
+    def seg_dist(p, a, b):
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        L = dx * dx + dy * dy
+        if L == 0:
+            return ((p[0] - a[0]) ** 2 + (p[1] - a[1]) ** 2)
+        t = ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / L
+        t = min(max(t, Fraction(0)), Fraction(1))
+        cx, cy = a[0] + t * dx, a[1] + t * dy
+        return (p[0] - cx) ** 2 + (p[1] - cy) ** 2
+
+    tol2 = Fraction(tol) ** 2
+
+    def furthest(i, j):
+        best, besti = None, i + 1
+        for k in range(i + 1, j):
+            d = seg_dist(pts[k], pts[i], pts[j])
+            if best is None or d > best:
+                best, besti = d, k
+        return besti, best
+
+    def bad_intersection(i, j):
+        a, b = pts[i], pts[j]
+        for (c, d) in other_edges:
+            for p in _seg_intersections(a, b, c, d):
+                if p in (a, b):
+                    continue
+                return True
+        return False
+
+    def result_size():
+        return len(result_pts) + (0 if result_pts else 0)
+
+    def section(i, j, depth):
+        depth += 1
+        if i + 1 == j:
+            if not result_pts:
+                result_pts.append(pts[i])
+            result_pts.append(pts[j])
+            return
+        ok = True
+        if len(result_pts) < min_size:
+            if depth + 1 < min_size:
+                ok = False
+        fi, fd = furthest(i, j)
+        if fd is not None and fd > tol2:
+            ok = False
+        if ok and bad_intersection(i, j):
+            ok = False
+        if ok:
+            if not result_pts:
+                result_pts.append(pts[i])
+            result_pts.append(pts[j])
+            return
+        section(i, fi, depth)
+        section(fi, j, depth)
+
+    section(0, n - 1, 0)
+    return result_pts
+
+
+def simplify(wkt: str, tol: float) -> str:
+    """simplify_geometry (GeoFunctions.java:760; JTS
+    TopologyPreservingSimplifier.simplify). tol checks are in the UDF
+    wrapper; tol == 0 returns the input untouched there."""
+    g = _W.parse_wkt(wkt)
+
+    def edges_of(parsed):
+        gg = _Geom(_W.format_wkt(parsed))
+        return gg.lines + gg.ring_edges()
+
+    def simp(parsed, other_edges):
+        tag, payload = parsed
+        if payload is None or tag in ("POINT", "MULTIPOINT"):
+            return parsed
+        if tag == "LINESTRING":
+            pts = [_fpt(p) for p in payload]
+            out = _simplify_path(pts, tol, 2, other_edges)
+            return (tag, [(float(p[0]), float(p[1])) for p in out])
+        if tag == "MULTILINESTRING":
+            return (tag, [
+                simp(("LINESTRING", path), other_edges)[1]
+                for path in payload
+            ])
+        if tag == "POLYGON":
+            rings = []
+            for r in payload:
+                pts = [_fpt(p) for p in r]
+                out = _simplify_path(pts, tol, 4, other_edges)
+                rings.append([(float(p[0]), float(p[1])) for p in out])
+            return (tag, rings)
+        if tag == "MULTIPOLYGON":
+            return (tag, [
+                simp(("POLYGON", rings), other_edges)[1]
+                for rings in payload
+            ])
+        # GEOMETRYCOLLECTION
+        return (tag, [simp(sub, other_edges) for sub in payload])
+
+    return _W.format_wkt(simp(g, []))
+
+
+# ---------------------------------------------------------------------------
+# ST_Buffer (GeoFunctions.java:277: JTS Geometry.buffer with the
+# default 8 quadrant segments, round joins and round caps). The
+# construction below models JTS OffsetSegmentGenerator: per-side
+# offset segments, directed fillets of PI/2/8 quantum at outside
+# turns, closing segments at inside turns (closingSegLengthFactor
+# 80), round line end caps — then an exact noding pass extracts the
+# positive-winding boundary. Vertex values agree with JTS to libm
+# rounding (last ulp); the corpus compares the heavy vertex pins at
+# 1e-9 relative on coordinates.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_QUADRANT_SEGS = 8
+_FILLET_QUANTUM = _math.pi / 2 / _QUADRANT_SEGS
+_CLOSING_FACTOR = 80
+
+
+class _SegList:
+    def __init__(self, min_dist: float):
+        self.pts: list = []
+        self.min_dist = min_dist
+
+    def add(self, p):
+        if self.pts:
+            q = self.pts[-1]
+            if _math.hypot(p[0] - q[0], p[1] - q[1]) <= self.min_dist:
+                return
+        self.pts.append(p)
+
+    def close(self):
+        if self.pts and self.pts[0] != self.pts[-1]:
+            self.pts.append(self.pts[0])
+
+
+def _offset_seg(a, b, dist):
+    """offset of segment ab to its LEFT by dist"""
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    L = _math.hypot(dx, dy)
+    ux, uy = dx / L, dy / L
+    nx, ny = -uy * dist, ux * dist
+    return ((a[0] + nx, a[1] + ny), (b[0] + nx, b[1] + ny))
+
+
+def _fillet(seglist, p, start_pt, end_pt, direction, radius):
+    """JTS addDirectedFillet (angle-bracketed form)."""
+    sa = _math.atan2(start_pt[1] - p[1], start_pt[0] - p[0])
+    ea = _math.atan2(end_pt[1] - p[1], end_pt[0] - p[0])
+    if direction < 0:  # clockwise
+        if sa <= ea:
+            sa += 2 * _math.pi
+    else:
+        if sa >= ea:
+            sa -= 2 * _math.pi
+    _directed_fillet(seglist, p, sa, ea, direction, radius)
+
+
+def _directed_fillet(seglist, p, start_angle, end_angle, direction,
+                     radius):
+    factor = -1 if direction < 0 else 1
+    total = abs(start_angle - end_angle)
+    nsegs = int(total / _FILLET_QUANTUM + 0.5)
+    if nsegs < 1:
+        return
+    inc = total / nsegs
+    angle = 0.0
+    while angle < total:
+        cur = start_angle + factor * angle
+        seglist.add((p[0] + radius * _math.cos(cur),
+                     p[1] + radius * _math.sin(cur)))
+        angle += inc
+
+
+class _OffsetGen:
+    """JTS OffsetSegmentGenerator (round joins/caps only)."""
+
+    def __init__(self, dist: float):
+        self.d = dist
+        self.out = _SegList(dist / 1000.0)
+        self.s1 = self.s2 = None
+        self.off1 = None
+
+    def init_side(self, s1, s2):
+        self.s1, self.s2 = s1, s2
+        self.off1 = _offset_seg(s1, s2, self.d)
+
+    def next_seg(self, p, add_start=True):
+        s0, s1, s2 = self.s1, self.s2, p
+        self.s1, self.s2 = s1, s2
+        off0 = self.off1
+        off1 = _offset_seg(s1, s2, self.d)
+        self.off1 = off1
+        turn = ((s1[0] - s0[0]) * (s2[1] - s0[1])
+                - (s1[1] - s0[1]) * (s2[0] - s0[0]))
+        outside = turn < 0  # LEFT-side offset: clockwise turn is outside
+        if turn == 0:
+            # collinear: just continue (round join degenerate)
+            self.out.add(off0[1])
+            return
+        gap = _math.hypot(off0[1][0] - off1[0][0],
+                          off0[1][1] - off1[0][1])
+        if outside:
+            # JTS OFFSET_SEGMENT_SEPARATION_FACTOR = 1e-3: nearly
+            # coincident offset endpoints collapse to one vertex
+            if gap < self.d * 1e-3:
+                self.out.add(off0[1])
+                return
+            if add_start:
+                self.out.add(off0[1])
+            _fillet(self.out, s1, off0[1], off1[0], -1, self.d)
+            self.out.add(off1[0])
+        else:
+            # inside turn (JTS addInsideTurn): if the two offset
+            # segments intersect, emit just the intersection point
+            inter = _seg_intersections(_fpt(off0[0]), _fpt(off0[1]),
+                                       _fpt(off1[0]), _fpt(off1[1]))
+            if inter:
+                self.out.add((float(inter[0][0]), float(inter[0][1])))
+                return
+            if gap < self.d * 1e-3:
+                self.out.add(off0[1])
+                return
+            # mis-turn: closing segments toward the vertex
+            self.out.add(off0[1])
+            f = _CLOSING_FACTOR
+            self.out.add((((f * off0[1][0] + s1[0]) / (f + 1)),
+                          ((f * off0[1][1] + s1[1]) / (f + 1))))
+            self.out.add((((f * off1[0][0] + s1[0]) / (f + 1)),
+                          ((f * off1[0][1] + s1[1]) / (f + 1))))
+            self.out.add(off1[0])
+
+    def last_seg(self):
+        self.out.add(self.off1[1])
+
+    def end_cap(self, p0, p1):
+        """round cap past p1 (travel direction p0 -> p1); JTS
+        addLineEndCap ends with the right-offset endpoint."""
+        dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+        ang = _math.atan2(dy, dx)
+        _directed_fillet(self.out, p1, ang + _math.pi / 2,
+                         ang - _math.pi / 2, -1, self.d)
+        self.out.add((p1[0] + self.d * _math.cos(ang - _math.pi / 2),
+                      p1[1] + self.d * _math.sin(ang - _math.pi / 2)))
+
+
+def _circle_pts(p, r):
+    sl = _SegList(r / 1000.0)
+    sl.add((p[0] + r, p[1]))
+    _directed_fillet(sl, p, 0.0, 2 * _math.pi, -1, r)
+    sl.close()
+    return sl.pts
+
+
+def _line_curve(pts, d):
+    """closed buffer curve of an open polyline (both sides + caps)"""
+    gen = _OffsetGen(d)
+    n = len(pts) - 1
+    gen.init_side(pts[0], pts[1])
+    for i in range(2, n + 1):
+        gen.next_seg(pts[i], True)
+    gen.last_seg()
+    gen.end_cap(pts[n - 1], pts[n])
+    gen.init_side(pts[n], pts[n - 1])
+    for i in range(n - 2, -1, -1):
+        gen.next_seg(pts[i], True)
+    gen.last_seg()
+    gen.end_cap(pts[1], pts[0])
+    gen.out.close()
+    return gen.out.pts
+
+
+def _ring_curve(ring, d):
+    """exterior offset curve of a closed ring (shell buffered
+    outward). The ring is traversed so its LEFT is the exterior."""
+    pts = list(ring)
+    if pts[0] != pts[-1]:
+        pts.append(pts[0])
+    # ensure counter-clockwise-with-exterior-left: left-offset needs
+    # travel with interior on the right -> clockwise ring. Exact
+    # rational shoelace — the double form cancels to 0.0 on the
+    # reference's 1e-10-sized pin rectangle.
+    s = _signed_area2([_fpt(p) for p in pts[:-1]])
+    if s > 0:
+        pts = pts[::-1]
+    n = len(pts) - 1
+    gen = _OffsetGen(d)
+    gen.init_side(pts[n - 1], pts[0])
+    for i in range(1, n + 1):
+        gen.next_seg(pts[i], True)
+    gen.out.close()
+    return gen.out.pts
+
+
+def _winding_region(curves):
+    """Node the directed closed curves and extract the boundary of
+    the positive-winding region — the cleanup pass JTS's
+    BufferBuilder does with its overlay graph. Returns face list for
+    _to_wkt."""
+    dir_edges = []
+    for c in curves:
+        fp = [_fpt(p) for p in c]
+        for a, b in zip(fp, fp[1:]):
+            if a != b:
+                dir_edges.append((a, b))
+    # node
+    cuts = [set() for _ in dir_edges]
+    for i, (a, b) in enumerate(dir_edges):
+        for j, (c, d) in enumerate(dir_edges):
+            if i == j:
+                continue
+            for p in _seg_intersections(a, b, c, d):
+                cuts[i].add(p)
+    noded = []
+    for (a, b), cut in zip(dir_edges, cuts):
+        ordered = sorted(cut | {a, b},
+                         key=lambda p: ((p[0] - a[0]) ** 2
+                                        + (p[1] - a[1]) ** 2))
+        noded.extend((u, v) for u, v in zip(ordered, ordered[1:])
+                     if u != v)
+
+    def winding(q):
+        w = 0
+        for a, b in noded:
+            if (a[1] > q[1]) != (b[1] > q[1]):
+                t = (q[1] - a[1]) / (b[1] - a[1])
+                x = a[0] + t * (b[0] - a[0])
+                if x > q[0]:
+                    w += 1 if b[1] > a[1] else -1
+        return w
+
+    labels = {}
+    for u, v in noded:
+        key = (u, v) if (u[1], u[0]) <= (v[1], v[0]) else (v, u)
+        labels.setdefault(key, True)
+    eps = _eps_for(labels)
+    boundary = []
+    seen = set()
+    for u, v in noded:
+        key = (u, v) if (u[1], u[0]) <= (v[1], v[0]) else (v, u)
+        if key in seen:
+            continue
+        seen.add(key)
+        left, right = _side_pts(u, v, eps)
+        inl, inr = winding(left) != 0, winding(right) != 0
+        if inl != inr:
+            boundary.append((u, v, True) if inr else (v, u, True))
+    return _assemble_faces(boundary)
+
+
+def buffer_wkt(wkt: str, dist: float):
+    """ST_Buffer core (raise/zero/empty handling in the UDF)."""
+    g = _W.parse_wkt(wkt)
+
+    def curves_of(parsed):
+        tag, payload = parsed
+        if payload is None:
+            return []
+        if tag == "POINT":
+            return [_circle_pts(payload, dist)]
+        if tag == "MULTIPOINT":
+            return [_circle_pts(p, dist) for p in payload]
+        if tag == "LINESTRING":
+            return [_line_curve(payload, dist)]
+        if tag == "MULTILINESTRING":
+            return [_line_curve(p, dist) for p in payload]
+        if tag == "POLYGON":
+            if len(payload) > 1:
+                raise NotImplementedError(
+                    "ST_Buffer of a polygon with holes is not "
+                    "supported on the SQL surface (unpinned in the "
+                    "reference tests; the DataFrame path in "
+                    "functions/geo_clip.py carries holed-polygon "
+                    "buffer areas)")
+            return [_ring_curve(payload[0], dist)]
+        if tag == "MULTIPOLYGON":
+            if any(len(rings) > 1 for rings in payload):
+                raise NotImplementedError(
+                    "ST_Buffer of a polygon with holes is not "
+                    "supported on the SQL surface")
+            return [_ring_curve(rings[0], dist) for rings in payload]
+        return [c for sub in payload for c in curves_of(sub)]
+
+    curves = curves_of(g)
+    if not curves:
+        return None
+    # the offset curve of a shell is ONE closed loop encircling the
+    # polygon plus its band — the interior already has winding +-1,
+    # no extra winding source needed
+    faces = _winding_region(curves)
+
+    # Collapse sub-double-precision artifact vertices: our exact
+    # noder finds crossings between nearly coincident arc chords that
+    # JTS's double-based noder never sees. The tolerance must stay
+    # below real vertex spacing (the reference pins keep vertices
+    # 1e-10 apart at distance 0.01, TestGeoFunctions.java:209).
+    snap2 = Fraction(dist * 1e-9) ** 2
+
+    def snap_ring(r):
+        out = []
+        for p in r:
+            if out and (p[0] - out[-1][0]) ** 2 \
+                    + (p[1] - out[-1][1]) ** 2 <= snap2:
+                continue
+            out.append(p)
+        if len(out) > 1 and (out[0][0] - out[-1][0]) ** 2 \
+                + (out[0][1] - out[-1][1]) ** 2 <= snap2:
+            out.pop()
+        return out
+
+    faces = [(snap_ring(shell), [snap_ring(h) for h in holes])
+             for shell, holes in faces]
+    faces = [(s, [h for h in hs if len(h) >= 3])
+             for s, hs in faces if len(s) >= 3]
+    return _to_wkt([], [], faces)

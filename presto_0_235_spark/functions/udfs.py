@@ -963,7 +963,81 @@ def _make_geo_udfs():
             [one(a, b) for a, b in zip(g1, g2)], dtype="object"
         )
 
+    # validity / simplicity / simplify (JTS-modeled;
+    # GeoFunctions.java:380-421,760-775)
+    @F.pandas_udf(BooleanType())
+    def st_isvalid_geo(g: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else _geo_ov.is_valid(v) for v in g],
+            dtype="object",
+        )
+
+    @F.pandas_udf(BooleanType())
+    def st_issimple_geo(g: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else _geo_ov.is_simple(v) for v in g],
+            dtype="object",
+        )
+
+    @F.pandas_udf(StringType())
+    def geometry_invalid_reason_geo(g: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else _geo_ov.invalid_reason(v)
+             for v in g],
+            dtype="object",
+        )
+
+    @F.pandas_udf(StringType())
+    def simplify_geometry_geo(g: pd.Series, tol: pd.Series) -> pd.Series:
+        import math as _m
+
+        def one(v, t):
+            if v is None or t is None:
+                return None
+            t = float(t)
+            if _m.isnan(t):
+                raise ValueError("distanceTolerance is NaN")
+            if t < 0:
+                raise ValueError("distanceTolerance is negative")
+            if t == 0:
+                return v
+            return _geo_ov.simplify(v, t)
+
+        return pd.Series(
+            [one(v, t) for v, t in zip(g, tol)], dtype="object"
+        )
+
+    @F.pandas_udf(StringType())
+    def st_buffer_geo(g: pd.Series, d: pd.Series) -> pd.Series:
+        import math as _m
+
+        def one(v, t):
+            if v is None or t is None:
+                return None
+            t = float(t)
+            # GeoFunctions.java:277-296 argument handling order
+            if _m.isnan(t):
+                raise ValueError("distance is NaN")
+            if t < 0:
+                raise ValueError("distance is negative")
+            if t == 0:
+                return v
+            if _geo_wkt.is_empty(v):
+                return None
+            if _m.isinf(t):
+                return "POLYGON EMPTY"
+            return _geo_ov.buffer_wkt(v, t)
+
+        return pd.Series(
+            [one(v, t) for v, t in zip(g, d)], dtype="object"
+        )
+
     udfs += [
+        ("st_buffer", st_buffer_geo),
+        ("st_isvalid", st_isvalid_geo),
+        ("st_issimple", st_issimple_geo),
+        ("geometry_invalid_reason", geometry_invalid_reason_geo),
+        ("simplify_geometry", simplify_geometry_geo),
         ("st_relate", st_relate_geo),
         ("st_intersection", st_intersection_geo),
         ("expand_envelope", expand_envelope_geo),

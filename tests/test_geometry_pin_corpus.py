@@ -28,10 +28,17 @@ The empty-x-simple union product (7x7 both orders in the Java loop)
 is sampled one-empty-per-simple: every pair collapses to the same 7
 distinct results.
 
+Also landed in r12: ST_IsValid / ST_IsSimple / geometry_invalid_reason
+(JTS IsValidOp/IsSimpleOp model with the exact TopologyValidationError
+strings), simplify_geometry (JTS TopologyPreservingSimplifier model:
+DP with min-ring-size and section splitting), and ST_Buffer (JTS
+OffsetSegmentGenerator model; semantics pins exact, heavy vertex pins
+in CASES_GEOM_FUZZY — values match to libm last-ulp, ring phase is
+JTS-internal, compared alignment-based at 1e-9 relative).
+
 Excluded (by reason):
-- unresolved: ST_Buffer / ST_IsValid / geometry_invalid_reason /
-  simplify_geometry / geometry_to_bing_tiles /
-  to_spherical_geography — the JTS-backed tail, in progress
+- unresolved: geometry_to_bing_tiles /
+  to_spherical_geography — the remaining tail, in progress
   this round (functions/geo_clip.py carries polygon boolean ops on
   the DataFrame path).
 - 20 engine limitation: Spark refuses Python UDFs inside
@@ -445,6 +452,106 @@ for _i in range(8):
              _sym(_REL_CROSS)),
         ]
 
+# ST_IsValid / ST_IsSimple / geometry_invalid_reason (JTS-modeled;
+# testSTIsValid:396-436, testGeometryInvalidReason:449-472,
+# testSTIsSimple:364-379) and simplify_geometry
+# (testSimplifyGeometry:383-393).
+_VALID_WKTS = [
+    'POINT EMPTY', 'MULTIPOINT EMPTY', 'LINESTRING EMPTY',
+    'MULTILINESTRING EMPTY', 'POLYGON EMPTY', 'MULTIPOLYGON EMPTY',
+    'GEOMETRYCOLLECTION EMPTY', 'POINT (1 2)', 'MULTIPOINT (1 2, 3 4)',
+    'LINESTRING (0 0, 1 2, 3 4)',
+    'MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))',
+    'POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))',
+    'MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((2 4, 2 6, 6 6, 6 4, 2 4)))',
+    'GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 2, 3 4), POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0)))',
+    'MULTIPOINT ((0 0), (0 1), (1 1), (0 1))',
+    'LINESTRING (0 0, 0 1, 0 1, 1 1, 1 0, 0 0)',
+    'LINESTRING (0 0, -1 0.5, 0 1, 1 1, 1 0, 0 1, 0 0)',
+]
+_INVALID_WKTS = [
+    'POLYGON ((0 0, 1 1, 0 1, 1 0, 0 0))',
+    'POLYGON ((0 0, 0 1, 0 1, 1 1, 1 0, 0 0), (2 2, 2 3, 3 3, 3 2, 2 2))',
+    'POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0), (2 2, 2 3, 3 3, 3 2, 2 2))',
+    'POLYGON ((0 0, 0 1, 2 1, 1 1, 1 0, 0 0))',
+    'POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0), (0 1, 1 1, 0.5 0.5, 0 1))',
+    'POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0), (0 0, 0.5 0.7, 1 1, 0.5 0.4, 0 0))',
+    'POLYGON ((0 0, -1 0.5, 0 1, 1 1, 1 0, 0 1, 0 0))',
+    'MULTIPOLYGON (((0 0, 0 1, 1 1, 1 0, 0 0)), ((0.5 0.5, 0.5 2, 2 2, 2 0.5, 0.5 0.5)))',
+    'GEOMETRYCOLLECTION (POINT (1 2), POLYGON ((0 0, 0 1, 2 1, 1 1, 1 0, 0 0)))',
+]
+CASES += (
+    [('TestGeoFunctions.java', 440, 'BOOLEAN',
+      f"ST_IsValid({_g(w)})", True) for w in _VALID_WKTS]
+    + [('TestGeoFunctions.java', 445, 'BOOLEAN',
+        f"ST_IsValid({_g(w)})", False) for w in _INVALID_WKTS]
+)
+_REASONS = [
+    ('MULTIPOINT ((0 0), (0 1), (1 1), (0 1))', '[MultiPoint] Repeated point: (0.0 1.0)'),
+    ('LINESTRING (0 0, -1 0.5, 0 1, 1 1, 1 0, 0 1, 0 0)', '[LineString] Self-intersection at or near: (0.0 1.0)'),
+    ('POLYGON ((0 0, 1 1, 0 1, 1 0, 0 0))', 'Error constructing Polygon: shell is empty but holes are not'),
+    ('POLYGON ((0 0, 0 1, 0 1, 1 1, 1 0, 0 0), (2 2, 2 3, 3 3, 3 2, 2 2))', 'Hole lies outside shell'),
+    ('POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0), (2 2, 2 3, 3 3, 3 2, 2 2))', 'Hole lies outside shell'),
+    ('POLYGON ((0 0, 0 1, 2 1, 1 1, 1 0, 0 0))', 'Self-intersection'),
+    ('POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0), (0 1, 1 1, 0.5 0.5, 0 1))', 'Self-intersection'),
+    ('POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0), (0 0, 0.5 0.7, 1 1, 0.5 0.4, 0 0))', 'Interior is disconnected'),
+    ('POLYGON ((0 0, -1 0.5, 0 1, 1 1, 1 0, 0 1, 0 0))', 'Ring Self-intersection'),
+    ('MULTIPOLYGON (((0 0, 0 1, 1 1, 1 0, 0 0)), ((0.5 0.5, 0.5 2, 2 2, 2 0.5, 0.5 0.5)))', 'Self-intersection'),
+    ('GEOMETRYCOLLECTION (POINT (1 2), POLYGON ((0 0, 0 1, 2 1, 1 1, 1 0, 0 0)))', 'Self-intersection'),
+    ('MULTIPOINT (1 2, 2 4, 3 6, 1 2)', '[MultiPoint] Repeated point: (1.0 2.0)'),
+    ('LINESTRING (0 0, 1 1, 1 0, 0 1)', '[LineString] Self-intersection at or near: (0.5 0.5)'),
+    ('MULTILINESTRING ((1 1, 5 1), (2 4, 4 0))', '[MultiLineString] Self-intersection at or near: (3.5 1.0)'),
+]
+CASES += [('TestGeoFunctions.java', 453, 'VARCHAR',
+           f"geometry_invalid_reason({_g(w)})", r) for w, r in _REASONS]
+_SIMPLE_PINS = [
+    ('POINT (1.5 2.5)', True), ('MULTIPOINT (1 2, 2 4, 3 6, 4 8)', True),
+    ('MULTIPOINT (1 2, 2 4, 3 6, 1 2)', False),
+    ('LINESTRING (8 4, 5 7)', True),
+    ('LINESTRING (1 1, 2 2, 1 3, 1 1)', True),
+    ('LINESTRING (0 0, 1 1, 1 0, 0 1)', False),
+    ('MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))', True),
+    ('MULTILINESTRING ((1 1, 5 1), (2 4, 4 0))', False),
+    ('POLYGON EMPTY', True), ('POLYGON ((2 0, 2 1, 3 1, 2 0))', True),
+    ('MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((2 4, 2 6, 6 6, 6 4, 2 4)))', True),
+    ('LINESTRING (0 0, -1 0.5, 0 1, 1 1, 1 0, 0 1, 0 0)', False),
+    ('MULTIPOINT ((0 0), (0 1), (1 1), (0 1))', False),
+]
+CASES += [('TestGeoFunctions.java', 366, 'BOOLEAN',
+           f"ST_IsSimple({_g(w)})", s) for w, s in _SIMPLE_PINS]
+CASES += [
+    ('TestGeoFunctions.java', 386, 'VARCHAR', f"ST_AsText(simplify_geometry({_g('POLYGON ((1 0, 2 1, 3 1, 3 1, 4 1, 1 0))')}, 1.5))", 'POLYGON ((1 0, 2 1, 4 1, 1 0))'),
+    ('TestGeoFunctions.java', 389, 'VARCHAR', f"ST_AsText(simplify_geometry({_g('POLYGON ((1 0, 1 1, 2 1, 2 3, 3 3, 3 1, 4 1, 4 0, 1 0))')}, 1.0))", 'POLYGON ((1 0, 2 3, 3 3, 4 0, 1 0))'),
+    ('TestGeoFunctions.java', 390, 'VARCHAR', f"ST_AsText(simplify_geometry({_g('POLYGON ((1 0, 1 1, 2 1, 2 3, 3 3, 3 1, 4 1, 4 0, 1 0))')}, 0.5))", 'POLYGON ((1 0, 1 1, 2 1, 2 3, 3 3, 3 1, 4 1, 4 0, 1 0))'),
+    # ST_Buffer exact-semantics pins (testSTBuffer:175-201)
+    ('TestGeoFunctions.java', 185, 'VARCHAR', 'ST_AsText(ST_Buffer(ST_Point(0, 0), 0))', 'POINT (0 0)'),
+    ('TestGeoFunctions.java', 186, 'VARCHAR', "ST_AsText(ST_Buffer(ST_LineFromText('LINESTRING (0 0, 1 1, 2 0.5)'), 0))", 'LINESTRING (0 0, 1 1, 2 0.5)'),
+    ('TestGeoFunctions.java', 187, 'VARCHAR', f"ST_AsText(ST_Buffer({_g('POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0))')}, 0))", 'POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0))'),
+    ('TestGeoFunctions.java', 193, 'VARCHAR', f"ST_AsText(ST_Buffer({_g('POINT EMPTY')}, 1))", None),
+    ('TestGeoFunctions.java', 200, 'VARCHAR', "ST_AsText(ST_Buffer(ST_Point(0, 0), CAST('Infinity' AS DOUBLE)))", 'POLYGON EMPTY'),
+]
+
+# ST_Buffer heavy vertex pins: the construction follows JTS
+# OffsetSegmentGenerator exactly (round joins/caps, fillet quantum
+# PI/16, inside-turn intersection, closing-segment factor 80), but
+# vertex VALUES carry Java-vs-C libm last-ulp differences and the
+# output ring phase is JTS-internal — compared alignment-based at
+# 1e-9 relative.
+CASES_GEOM_FUZZY = [
+    ('TestGeoFunctions.java', 180, 'ST_AsText(ST_Buffer(ST_Point(0, 0), 0.5))',
+     'POLYGON ((0.5 0, 0.4903926402016152 -0.0975451610080641, 0.4619397662556434 -0.1913417161825449, 0.4157348061512726 -0.2777851165098011, 0.3535533905932738 -0.3535533905932737, 0.2777851165098011 -0.4157348061512726, 0.1913417161825449 -0.4619397662556434, 0.0975451610080642 -0.4903926402016152, 0 -0.5, -0.0975451610080641 -0.4903926402016152, -0.1913417161825449 -0.4619397662556434, -0.277785116509801 -0.4157348061512727, -0.3535533905932737 -0.3535533905932738, -0.4157348061512727 -0.2777851165098011, -0.4619397662556434 -0.1913417161825447, -0.4903926402016153 -0.0975451610080639, -0.5 0.0000000000000004, -0.4903926402016151 0.0975451610080646, -0.4619397662556431 0.1913417161825454, -0.4157348061512722 0.2777851165098017, -0.3535533905932732 0.3535533905932743, -0.2777851165098004 0.4157348061512731, -0.1913417161825439 0.4619397662556438, -0.097545161008063 0.4903926402016154, 0.0000000000000012 0.5, 0.0975451610080655 0.4903926402016149, 0.1913417161825462 0.4619397662556428, 0.2777851165098024 0.4157348061512717, 0.353553390593275 0.3535533905932726, 0.4157348061512736 0.2777851165097996, 0.4619397662556441 0.1913417161825431, 0.4903926402016156 0.0975451610080622, 0.5 0))'),
+    ('TestGeoFunctions.java', 181, "ST_AsText(ST_Buffer(ST_LineFromText('LINESTRING (0 0, 1 1, 2 0.5)'), 0.2))",
+     'POLYGON ((0.8585786437626906 1.1414213562373094, 0.8908600605480863 1.167596162296255, 0.9278541681368628 1.1865341227356967, 0.9679635513986066 1.1974174915274993, 1.0094562767938988 1.1997763219933664, 1.050540677712335 1.1935087592239118, 1.0894427190999916 1.1788854381999831, 2.0894427190999916 0.6788854381999831, 2.1226229200749436 0.6579987957938098, 2.1510907909991412 0.6310403482720258, 2.173752327557934 0.5990460936544217, 2.189736659610103 0.5632455532033676, 2.198429518239 0.5250145216112229, 2.1994968417625285 0.4858221959818642, 2.192897613536241 0.4471747154099183, 2.178885438199983 0.4105572809000084, 2.1579987957938096 0.3773770799250564, 2.131040348272026 0.3489092090008587, 2.099046093654422 0.3262476724420662, 2.0632455532033678 0.3102633403898972, 2.0250145216112228 0.3015704817609999, 1.985822195981864 0.3005031582374715, 1.9471747154099182 0.3071023864637593, 1.9105572809000084 0.3211145618000169, 1.0394906098164267 0.7566478973418077, 0.1414213562373095 -0.1414213562373095, 0.1111140466039205 -0.1662939224605091, 0.076536686473018 -0.1847759065022574, 0.0390180644032257 -0.1961570560806461, 0 -0.2, -0.0390180644032256 -0.1961570560806461, -0.076536686473018 -0.1847759065022574, -0.1111140466039204 -0.1662939224605091, -0.1414213562373095 -0.1414213562373095, -0.1662939224605091 -0.1111140466039204, -0.1847759065022574 -0.076536686473018, -0.1961570560806461 -0.0390180644032257, -0.2 -0, -0.1961570560806461 0.0390180644032257, -0.1847759065022573 0.076536686473018, -0.166293922460509 0.1111140466039205, -0.1414213562373095 0.1414213562373095, 0.8585786437626906 1.1414213562373094))'),
+    ('TestGeoFunctions.java', 182, f"ST_AsText(ST_Buffer({_g('POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0))')}, 1.2))",
+     'POLYGON ((0 -1.2, -0.2341083864193544 -1.1769423364838763, -0.4592201188381084 -1.1086554390135437, -0.6666842796235226 -0.9977635347630542, -0.8485281374238572 -0.8485281374238569, -0.9977635347630545 -0.6666842796235223, -1.1086554390135441 -0.4592201188381076, -1.1769423364838765 -0.234108386419354, -1.2 0, -1.2 5, -1.1769423364838765 5.234108386419354, -1.1086554390135441 5.4592201188381075, -0.9977635347630543 5.666684279623523, -0.8485281374238569 5.848528137423857, -0.6666842796235223 5.997763534763054, -0.4592201188381076 6.108655439013544, -0.2341083864193538 6.176942336483877, 0 6.2, 5 6.2, 5.234108386419354 6.176942336483877, 5.4592201188381075 6.108655439013544, 5.666684279623523 5.997763534763054, 5.848528137423857 5.848528137423857, 5.997763534763054 5.666684279623523, 6.108655439013544 5.4592201188381075, 6.176942336483877 5.234108386419354, 6.2 5, 6.2 0, 6.176942336483877 -0.2341083864193539, 6.108655439013544 -0.4592201188381077, 5.997763534763054 -0.6666842796235226, 5.848528137423857 -0.8485281374238569, 5.666684279623523 -0.9977635347630542, 5.4592201188381075 -1.1086554390135441, 5.234108386419354 -1.1769423364838765, 5 -1.2, 0 -1.2))'),
+    ('TestGeoFunctions.java', 190, f"ST_AsText(ST_Buffer(ST_Intersection({_g('MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))')}, {_g('MULTILINESTRING ((3 4, 6 4), (5 0, 5 4))')}), 0.2))",
+     'MULTIPOLYGON (((5.2 1, 5.196157056080646 0.9609819355967744, 5.184775906502257 0.9234633135269821, 5.166293922460509 0.8888859533960796, 5.141421356237309 0.8585786437626906, 5.11111404660392 0.8337060775394909, 5.076536686473018 0.8152240934977426, 5.039018064403225 0.803842943919354, 5 0.8, 4.960981935596775 0.803842943919354, 4.923463313526982 0.8152240934977426, 4.88888595339608 0.8337060775394909, 4.858578643762691 0.8585786437626904, 4.833706077539491 0.8888859533960796, 4.815224093497743 0.9234633135269821, 4.803842943919354 0.9609819355967745, 4.8 1.0000000000000002, 4.803842943919354 1.0390180644032259, 4.815224093497743 1.0765366864730181, 4.833706077539491 1.1111140466039207, 4.858578643762691 1.1414213562373097, 4.88888595339608 1.1662939224605093, 4.923463313526982 1.1847759065022574, 4.960981935596775 1.1961570560806463, 5.000000000000001 1.2, 5.039018064403226 1.196157056080646, 5.076536686473019 1.1847759065022572, 5.111114046603921 1.1662939224605087, 5.14142135623731 1.141421356237309, 5.166293922460509 1.1111140466039198, 5.184775906502257 1.0765366864730173, 5.196157056080646 1.039018064403225, 5.2 1)), ((4 4.2, 4.039018064403225 4.196157056080646, 4.076536686473018 4.184775906502257, 4.11111404660392 4.166293922460509, 4.141421356237309 4.141421356237309, 4.166293922460509 4.11111404660392, 4.184775906502257 4.076536686473018, 4.196157056080646 4.039018064403225, 4.2 4, 4.196157056080646 3.960981935596774, 4.184775906502257 3.923463313526982, 4.166293922460509 3.8888859533960796, 4.141421356237309 3.8585786437626903, 4.11111404660392 3.833706077539491, 4.076536686473018 3.8152240934977426, 4.039018064403225 3.8038429439193537, 4 3.8, 3 3.8, 2.960981935596774 3.8038429439193537, 2.923463313526982 3.8152240934977426, 2.8888859533960796 3.833706077539491, 2.8585786437626903 3.8585786437626903, 2.8337060775394907 3.8888859533960796, 2.8152240934977426 3.923463313526982, 2.8038429439193537 3.960981935596774, 2.8 4, 2.8038429439193537 4.039018064403225, 2.8152240934977426 4.076536686473018, 2.833706077539491 4.11111404660392, 2.8585786437626903 4.141421356237309, 2.8888859533960796 4.166293922460509, 2.923463313526982 4.184775906502257, 2.9609819355967746 4.196157056080646, 3 4.2, 4 4.2)))'),
+    ('TestGeoFunctions.java', 207, 'ST_AsText(ST_Buffer(ST_Buffer(ST_Point(177.50102959662, 64.726807421691), 0.0000000001), 0.00005))',
+     'POLYGON ((177.50107936028078 64.72681227844056, 177.50107936028078 64.72680256494145, 177.5010774479383 64.72679292130174, 177.5010736620884 64.72678379449388, 177.50106827679528 64.72677573803607, 177.50106131974323 64.72676877387859, 177.50105313736503 64.72676330997743, 177.50104413021958 64.72675958044903, 177.50103449281957 64.72675766189617, 177.5010247004399 64.72675766189425, 177.50101506303915 64.72675958044333, 177.50100605589225 64.72676330996819, 177.5009978735119 64.72676877386616, 177.5009909164571 64.7267757380209, 177.50098553116084 64.7267837944766, 177.50098174530737 64.72679292128298, 177.5009798329611 64.72680256492194, 177.5009798329592 64.72681227844056, 177.5009817453017 64.72682192208028, 177.50098553115157 64.72683104888813, 177.5009909164447 64.72683910534595, 177.50099787349674 64.72684606950342, 177.50100605587494 64.72685153340458, 177.5010150630204 64.72685526293299, 177.5010247004204 64.72685718148584, 177.50103449280007 64.72685718148776, 177.50104413020082 64.72685526293868, 177.50105313734772 64.72685153341382, 177.50106131972808 64.72684606951586, 177.50106827678286 64.72683910536111, 177.50107366207914 64.72683104890541, 177.5010774479326 64.72682192209903, 177.50107936027888 64.72681227846007, 177.50107936028078 64.72681227844056))'),
+    ('TestGeoFunctions.java', 209, f"ST_AsText(ST_Buffer({_g('POLYGON ((177.0 64.0, 177.0000000001 64.0, 177.0000000001 64.0000000001, 177.0 64.0000000001, 177.0 64.0))')}, 0.01))",
+     'POLYGON ((177 63.99, 176.99804909677985 63.99019214719597, 176.99617316567634 63.99076120467489, 176.99444429766982 63.99168530387698, 176.99292893218814 63.992928932188136, 176.99168530387698 63.9944442976698, 176.9907612046749 63.996173165676346, 176.99019214719596 63.99804909677984, 176.99 64, 176.99019214719596 64.00195090332016, 176.9907612046749 64.00382683442365, 176.99168530387698 64.0055557024302, 176.99292893218814 64.00707106791187, 176.99444429766982 64.00831469622302, 176.99617316567634 64.00923879542512, 176.99804909677985 64.00980785290403, 177 64.0100000001, 177.00195090332014 64.00980785290403, 177.00382683442365 64.00923879542512, 177.00555570243017 64.00831469622302, 177.00707106791185 64.00707106791187, 177.008314696223 64.0055557024302, 177.0092387954251 64.00382683442365, 177.00980785290403 64.00195090332016, 177.01000000009998 64.0000000001, 177.00980785290403 63.99804909677984, 177.0092387954251 63.996173165676346, 177.008314696223 63.9944442976698, 177.00707106791185 63.992928932188136, 177.00555570243017 63.99168530387698, 177.00382683442365 63.99076120467489, 177.00195090332014 63.99019214719597, 177.0000000001 63.99, 177 63.99))'),
+]
+
 # ESRI-TopoGraph ring-phase pins: values exact, but ESRI rotates the
 # ring to an internal traversal start (or orders multipolygon parts
 # by one) where we emit the (y, x)-canonical rotation. Compared
@@ -537,6 +644,107 @@ def test_geom_canonical_pins(spark):
         if _canon_geom(row[i]) != _canon_geom(want)
     ]
     assert not failures, "\n".join(failures)
+
+
+def _geom_fuzzy_eq(got: str, want: str, rel=1e-9) -> bool:
+    """Alignment-based numeric comparison: same structure, every ring
+    of `got` matches the corresponding `want` ring under SOME
+    rotation/direction with coordinates at `rel` relative tolerance.
+    (A canonical-min-rotation comparison is unstable when values
+    differ in the last ulp.)"""
+    from presto_0_235_spark.functions.geo_wkt import parse_wkt
+
+    def close(a, b):
+        return math.isclose(a, b, rel_tol=rel, abs_tol=1e-9)
+
+    def dedup(r):
+        # collapse near-duplicate consecutive vertices: the offset
+        # curve SEAM leaves a ~1e-11 vertex pair whose position along
+        # the ring is phase-internal (ours and JTS's land at
+        # different vertices on the 207 pin)
+        out = []
+        for p in r:
+            if out and close(p[0], out[-1][0]) and close(p[1], out[-1][1]):
+                continue
+            out.append(p)
+        if len(out) > 1 and close(out[0][0], out[-1][0]) \
+                and close(out[0][1], out[-1][1]):
+            out.pop()
+        return out
+
+    def ring_eq(g, e):
+        g, e = list(g), list(e)
+        if g and g[0] == g[-1]:
+            g = g[:-1]
+        if e and e[0] == e[-1]:
+            e = e[:-1]
+        g, e = dedup(g), dedup(e)
+        if len(g) != len(e):
+            return False
+        for seq in (g, list(reversed(g))):
+            for i in range(len(seq)):
+                rot = seq[i:] + seq[:i]
+                if all(close(a[0], b[0]) and close(a[1], b[1])
+                       for a, b in zip(rot, e)):
+                    return True
+        return False
+
+    def polys_of(wkt):
+        t, p = parse_wkt(wkt)
+        if t == "POLYGON":
+            return [p]
+        if t == "MULTIPOLYGON":
+            return p
+        return None
+
+    pg, pe = polys_of(got), polys_of(want)
+    if pg is None or pe is None or len(pg) != len(pe):
+        return False
+    used = set()
+    for er in pe:
+        hit = None
+        for i, gr in enumerate(pg):
+            if i in used or len(gr) != len(er):
+                continue
+            if all(ring_eq(a, b) for a, b in zip(gr, er)):
+                hit = i
+                break
+        if hit is None:
+            return False
+        used.add(hit)
+    return True
+
+
+def test_geom_fuzzy_pins(spark):
+    select = ", ".join(
+        f"({expr}) AS c{i}"
+        for i, (_, _, expr, _) in enumerate(CASES_GEOM_FUZZY)
+    )
+    row = run_sql(spark, f"SELECT {select}").collect()[0]
+    failures = [
+        f"{f}:{ln}: got {row[i]!r}"
+        for i, (f, ln, _, want) in enumerate(CASES_GEOM_FUZZY)
+        if not _geom_fuzzy_eq(row[i], want)
+    ]
+    assert not failures, "\n".join(failures)
+
+
+def test_geometry_raise_pins(spark):
+    """Argument-validation raise contracts
+    (TestGeoFunctions.java:196-201,393)."""
+    for expr, msg in [
+        ("ST_Buffer(ST_Point(0, 0), -1.2)", "distance is negative"),
+        ("ST_Buffer(ST_Point(0, 0), CAST('-Infinity' AS DOUBLE))",
+         "distance is negative"),
+        ("ST_Buffer(ST_Point(0, 0), CAST('NaN' AS DOUBLE))",
+         "distance is NaN"),
+        ("simplify_geometry(ST_GeometryFromText("
+         "'POLYGON ((1 0, 1 1, 2 1, 2 3, 3 3, 3 1, 4 1, 4 0, 1 0))'),"
+         " -0.5)", "distanceTolerance is negative"),
+    ]:
+        with pytest.raises(Exception) as ei:
+            run_sql(spark, f"SELECT {expr} AS x").collect()
+        assert msg in str(ei.value), f"{expr}: {ei.value}"
 
 
 def test_excluded_inventory_not_stale():
