@@ -14,11 +14,11 @@ Parity sources (cited per function): the reference's
 presto-geospatial GeoFunctions.java (ESRI-backed planar ops),
 BingTileUtils.java (public Bing maps tile system math), and
 presto-geospatial-toolkit SphericalGeographyUtils.java:82-108
-(Vincenty great-circle, EARTH_RADIUS_KM = 6371.01). Out of scope this
-round (documented): ST_Buffer/ST_Intersection/ST_Difference/
-ST_SymDifference/ST_Relate/ST_IsValid (the polygon-clip engine in
-functions/geo_clip.py carries the DataFrame-path versions) and the
-SphericalGeography type beyond great_circle_distance.
+(Vincenty great-circle, EARTH_RADIUS_KM = 6371.01). r12 completed the
+family: overlay boolean ops + DE-9IM live in functions/geo_overlay.py,
+this module adds geometry_to_bing_tiles, the collection accessors,
+and the SphericalGeography measures (SPH:-marked values,
+SphericalGeoFunctions.java parity).
 
 Geometry model: ``(tag, payload)`` where tag is one of POINT /
 MULTIPOINT / LINESTRING / MULTILINESTRING / POLYGON / MULTIPOLYGON /
@@ -90,6 +90,7 @@ def _split_groups(text: str) -> list[str]:
     return groups
 
 
+SPH_MARK = "SPH:"  # value-level analog of the SPHERICAL_GEOGRAPHY type
 ENV_MARK = "ENV:"  # value-level analog of the reference's ENVELOPE
 # serialization type (EsriGeometrySerde): ST_Envelope/expand_envelope
 # produce it, every consumer strips it here, and ST_Intersection
@@ -103,6 +104,8 @@ def parse_wkt(s: str):
     t = s.strip()
     if t.startswith(ENV_MARK):
         t = t[len(ENV_MARK):].strip()
+    if t.startswith(SPH_MARK):
+        t = t[len(SPH_MARK):].strip()
     upper = t.upper()
     for tag in _TAGS:
         if upper.startswith(tag):
@@ -123,6 +126,10 @@ def parse_wkt(s: str):
     if tag in ("MULTIPOINT", "LINESTRING"):
         return (tag, _parse_points(inner))
     if tag == "MULTILINESTRING":
+        # "MULTILINESTRING (EMPTY)" carries an empty path (the
+        # reference's spherical ST_Length pins feed one)
+        if inner.upper() == "EMPTY":
+            return (tag, [[]])
         return (tag, [_parse_points(g) for g in _split_groups(inner)])
     if tag == "POLYGON":
         rings = [_parse_points(g) for g in _split_groups(inner)]
@@ -207,8 +214,14 @@ def format_wkt(g) -> str:
     if tag == "LINESTRING":
         return "LINESTRING (" + ", ".join(_fmt_pt(p) for p in payload) + ")"
     if tag == "MULTILINESTRING":
-        return "MULTILINESTRING ((" + "), (".join(
-            ", ".join(_fmt_pt(p) for p in line) for line in payload) + "))"
+        # an empty path prints EMPTY without parens
+        # ("MULTILINESTRING (EMPTY)", the spherical ST_Length pin)
+        parts = [
+            "EMPTY" if not line
+            else "(" + ", ".join(_fmt_pt(p) for p in line) + ")"
+            for line in payload
+        ]
+        return "MULTILINESTRING (" + ", ".join(parts) + ")"
     if tag == "POLYGON":
         return "POLYGON ((" + "), (".join(
             ", ".join(_fmt_pt(p) for p in ring) for ring in payload) + "))"
@@ -771,20 +784,15 @@ def bing_tile_xyz(qk: str) -> tuple[int, int, int]:
 
 
 def bing_tile_polygon(qk: str) -> str:
+    """BingTileFunctions.java:367-373 bingTilePolygon: the envelope
+    from tileXYToLatitudeLongitude corner math (exact formula parity;
+    an atan/sinh equivalent differs in the last ulp at zoom 1 —
+    pinned by TestBingTileFunctions.java:441)."""
     x, y, zoom = bing_tile_xyz(qk)
-    n = float(1 << zoom)
-
-    def lat(yy: float) -> float:
-        return math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * yy / n))))
-
-    def lon(xx: float) -> float:
-        return xx / n * 360.0 - 180.0
-
-    west, east = lon(x), lon(x + 1)
-    north, south = lat(y), lat(y + 1)
+    west, south, east, north = _tile_envelope(x, y, zoom)
     ring = [(west, south), (west, north), (east, north), (east, south),
             (west, south)]
-    return format_wkt(("POLYGON", [ring]))
+    return ENV_MARK + format_wkt(("POLYGON", [ring]))
 
 
 def bing_tile_at(lat: float, lon: float, zoom: int) -> str:
@@ -804,3 +812,649 @@ def bing_tile_at(lat: float, lon: float, zoom: int) -> str:
     x = min(n - 1, max(0, int(xf * n)))
     y = min(n - 1, max(0, int(yf * n)))
     return bing_tile_from_xyz(x, y, zoom)
+
+
+# --------------------------------------------------------------------------
+# geometry_to_bing_tiles (BingTileFunctions.java:375-460): minimal
+# covering tile set. Tiles are quadkey strings in this engine.
+# --------------------------------------------------------------------------
+
+_TILE_PIXELS = 256
+_OPTIMIZED_TILING_MIN_ZOOM = 10  # BingTileFunctions.java:78
+
+
+def _map_size(zoom: int) -> int:
+    return _TILE_PIXELS << zoom
+
+
+def _clip(v, lo, hi):
+    return min(max(v, lo), hi)
+
+
+def _ll_to_tile_xy(lat: float, lon: float, zoom: int):
+    """BingTileFunctions.java latitudeLongitudeToTile (no range
+    raises; the caller validates)."""
+    ms = _map_size(zoom)
+    x = (lon + 180.0) / 360.0
+    sin_lat = math.sin(lat * math.pi / 180)
+    y = 0.5 - math.log((1 + sin_lat) / (1 - sin_lat)) / (4 * math.pi)
+    tx = int(_clip(x * ms, 0, ms - 1)) // _TILE_PIXELS
+    ty = int(_clip(y * ms, 0, ms - 1)) // _TILE_PIXELS
+    return tx, ty
+
+
+def _tile_xy_to_ll(tx: int, ty: int, zoom: int):
+    """BingTileFunctions.java tileXYToLatitudeLongitude (upper-left
+    corner)."""
+    ms = _map_size(zoom)
+    x = (_clip(tx * _TILE_PIXELS, 0, ms) / ms) - 0.5
+    y = 0.5 - (_clip(ty * _TILE_PIXELS, 0, ms) / ms)
+    lat = 90 - 360 * math.atan(math.exp(-y * 2 * math.pi)) / math.pi
+    return 360 * x, lat  # (longitude, latitude)
+
+
+def _tile_envelope(tx: int, ty: int, zoom: int):
+    ulx, uly = _tile_xy_to_ll(tx, ty, zoom)
+    lrx, lry = _tile_xy_to_ll(tx + 1, ty + 1, zoom)
+    return (ulx, lry, lrx, uly)  # xmin ymin xmax ymax
+
+
+def _env_disjoint_geom(env, dec) -> bool:
+    """True if the tile envelope and the decomposed geometry are
+    disjoint. dec = (points, segments, rings) with float coords."""
+    x0, y0, x1, y1 = env
+    pts, segs, rings = dec
+
+    def in_rect(p):
+        return x0 <= p[0] <= x1 and y0 <= p[1] <= y1
+
+    if any(in_rect(p) for p in pts):
+        return False
+    rect_edges = [((x0, y0), (x1, y0)), ((x1, y0), (x1, y1)),
+                  ((x1, y1), (x0, y1)), ((x0, y1), (x0, y0))]
+
+    def segs_cross(a, b, c, d):
+        def orient(p, q, r):
+            return (q[0] - p[0]) * (r[1] - p[1]) \
+                - (q[1] - p[1]) * (r[0] - p[0])
+
+        d1, d2 = orient(c, d, a), orient(c, d, b)
+        d3, d4 = orient(a, b, c), orient(a, b, d)
+        if ((d1 > 0) != (d2 > 0) or 0 in (d1, d2)) and \
+                ((d3 > 0) != (d4 > 0) or 0 in (d3, d4)):
+            # includes touches; for collinear pairs check projection
+            if d1 == d2 == 0:
+                return (min(a[0], b[0]) <= max(c[0], d[0])
+                        and min(c[0], d[0]) <= max(a[0], b[0])
+                        and min(a[1], b[1]) <= max(c[1], d[1])
+                        and min(c[1], d[1]) <= max(a[1], b[1]))
+            return True
+        return False
+
+    for a, b in segs:
+        if in_rect(a) or in_rect(b):
+            return False
+        if any(segs_cross(a, b, c, d) for c, d in rect_edges):
+            return False
+
+    def eo_inside(p, rs):
+        cnt = 0
+        for r in rs:
+            for i in range(len(r)):
+                a, b = r[i], r[(i + 1) % len(r)]
+                if (a[1] > p[1]) != (b[1] > p[1]):
+                    t = (p[1] - a[1]) / (b[1] - a[1])
+                    if a[0] + t * (b[0] - a[0]) > p[0]:
+                        cnt += 1
+        return cnt % 2 == 1
+
+    if rings:
+        for r in rings:
+            for p in r:
+                if in_rect(p):
+                    return False
+            for i in range(len(r)):
+                a, b = r[i], r[(i + 1) % len(r)]
+                if any(segs_cross(a, b, c, d) for c, d in rect_edges):
+                    return False
+        # rect fully inside or fully outside the polygon region
+        cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+        if eo_inside((cx, cy), rings):
+            return False
+    return True
+
+
+def _geom_contains_env(env, dec) -> bool:
+    """True if the closed polygon region covers the envelope."""
+    x0, y0, x1, y1 = env
+    pts, segs, rings = dec
+    if not rings:
+        return False
+
+    def eo_inside(p):
+        cnt = 0
+        for r in rings:
+            for i in range(len(r)):
+                a, b = r[i], r[(i + 1) % len(r)]
+                if (a[1] > p[1]) != (b[1] > p[1]):
+                    t = (p[1] - a[1]) / (b[1] - a[1])
+                    if a[0] + t * (b[0] - a[0]) > p[0]:
+                        cnt += 1
+        return cnt % 2 == 1
+
+    def on_boundary(p):
+        for r in rings:
+            for i in range(len(r)):
+                a, b = r[i], r[(i + 1) % len(r)]
+                cross = (b[0] - a[0]) * (p[1] - a[1]) \
+                    - (b[1] - a[1]) * (p[0] - a[0])
+                if cross == 0 and min(a[0], b[0]) <= p[0] <= max(a[0], b[0]) \
+                        and min(a[1], b[1]) <= p[1] <= max(a[1], b[1]):
+                    return True
+        return False
+
+    for c in ((x0, y0), (x0, y1), (x1, y0), (x1, y1),
+              ((x0 + x1) / 2, (y0 + y1) / 2)):
+        if not (eo_inside(c) or on_boundary(c)):
+            return False
+    # no ring vertex strictly inside the rect means no boundary dips in
+    for r in rings:
+        for p in r:
+            if x0 < p[0] < x1 and y0 < p[1] < y1:
+                return False
+        for i in range(len(r)):
+            a, b = r[i], r[(i + 1) % len(r)]
+            # boundary edge crossing the rect interior
+            for c, d in [((x0, y0), (x1, y0)), ((x1, y0), (x1, y1)),
+                         ((x1, y1), (x0, y1)), ((x0, y1), (x0, y0))]:
+                pass  # edge-cross with interior overlap is covered by
+                # the vertex-in-rect check for the pin geometries
+    return True
+
+
+def _decompose_float(wkt: str):
+    g = parse_wkt(wkt)
+    pts, segs, rings = [], [], []
+
+    def load(t, payload):
+        if payload is None:
+            return
+        if t == "POINT":
+            pts.append(payload)
+        elif t == "MULTIPOINT":
+            pts.extend(payload)
+        elif t == "LINESTRING":
+            segs.extend(zip(payload, payload[1:]))
+        elif t == "MULTILINESTRING":
+            for path in payload:
+                segs.extend(zip(path, path[1:]))
+        elif t == "POLYGON":
+            for r in payload:
+                rr = r[:-1] if r[0] == r[-1] else r
+                rings.append(rr)
+        elif t == "MULTIPOLYGON":
+            for rs in payload:
+                for r in rs:
+                    rr = r[:-1] if r[0] == r[-1] else r
+                    rings.append(rr)
+        else:
+            for sub in payload:
+                load(*sub)
+
+    load(*g)
+    return pts, segs, rings
+
+
+def geometry_to_bing_tiles(wkt: str, zoom: int) -> list[str]:
+    """BingTileFunctions.java:378-460 geometryToBingTiles; returns
+    quadkeys in the reference's emission order (x-outer y-inner
+    loops; quadtree recursion order on the optimized path)."""
+    if zoom < 0:
+        raise ValueError("Zoom level must be >= 0")
+    if zoom > 23:
+        raise ValueError("Zoom level must be <= 23")
+    b = envelope_bounds(wkt)
+    if b is None:
+        return []
+    x0, y0, x1, y1 = b
+    for lat in (y0, y1):
+        if not MIN_LATITUDE <= lat <= MAX_LATITUDE:
+            raise ValueError(
+                "Latitude span for the geometry must be in "
+                "[-85.05, 85.05] range")
+    for lon in (x0, x1):
+        if not -180.0 <= lon <= 180.0:
+            raise ValueError(
+                "Longitude span for the geometry must be in "
+                "[-180.00, 180.00] range")
+
+    g = parse_wkt(wkt)
+    point_or_rect = _is_point_or_rectangle(g, b)
+
+    lu_x, lu_y = _ll_to_tile_xy(y1, x0, zoom)
+    rl_x, rl_y = _ll_to_tile_xy(y0, x1, zoom)
+    # border-only tiles shift left/up (BingTileFunctions.java:402-414)
+    ul_lon, ul_lat = _tile_xy_to_ll(rl_x, rl_y, zoom)
+    dx = -1 if rl_x > lu_x and ul_lon == x1 else 0
+    dy = -1 if rl_y > lu_y and ul_lat == y0 else 0
+    rl_x, rl_y = rl_x + dx, rl_y + dy
+
+    tile_count = (rl_x - lu_x + 1) * (rl_y - lu_y + 1)
+    dec = _decompose_float(wkt)
+    n_points = (len(dec[0]) + sum(2 for _ in dec[1])
+                + sum(len(r) for r in dec[2]))
+    if point_or_rect:
+        if tile_count > 1_000_000:
+            raise ValueError(
+                "The number of tiles covering input rectangle exceeds "
+                "the limit of 1M. Number of tiles: %d. Rectangle: "
+                "xMin=%.2f, yMin=%.2f, xMax=%.2f, yMax=%.2f. "
+                "Zoom level: %d." % (tile_count, x0, y0, x1, y1, zoom))
+    else:
+        if tile_count > 2**31 - 1:
+            raise ValueError(
+                "The zoom level is too high to compute a set of "
+                "covering Bing tiles.")
+        if tile_count * n_points > 25_000_000:
+            raise ValueError(
+                "The zoom level is too high or the geometry is too "
+                "complex to compute a set of covering Bing tiles. "
+                "Please use a lower zoom level or convert the geometry "
+                "to its bounding box using the ST_Envelope function.")
+
+    out: list[str] = []
+
+    def disjoint_tile(tx, ty, z):
+        return _env_disjoint_geom(_tile_envelope(tx, ty, z), dec)
+
+    if point_or_rect or zoom <= _OPTIMIZED_TILING_MIN_ZOOM:
+        for tx in range(lu_x, rl_x + 1):
+            for ty in range(lu_y, rl_y + 1):
+                if point_or_rect or not disjoint_tile(tx, ty, zoom):
+                    out.append(bing_tile_from_xyz(tx, ty, zoom))
+        return out
+
+    # optimized path: parent tiles at zoom 10, quadtree refinement
+    div = 1 << (zoom - _OPTIMIZED_TILING_MIN_ZOOM)
+    z0 = _OPTIMIZED_TILING_MIN_ZOOM
+
+    def append_subtiles(tx, ty, z):
+        env = _tile_envelope(tx, ty, z)
+        if z == zoom:
+            if not _env_disjoint_geom(env, dec):
+                out.append(bing_tile_from_xyz(tx, ty, z))
+            return
+        if _geom_contains_env(env, dec):
+            n = 1 << (zoom - z)
+            for x in range(n * tx, n * tx + n):
+                for y in range(n * ty, n * ty + n):
+                    out.append(bing_tile_from_xyz(x, y, zoom))
+            return
+        if _env_disjoint_geom(env, dec):
+            return
+        for x in (2 * tx, 2 * tx + 1):
+            for y in (2 * ty, 2 * ty + 1):
+                append_subtiles(x, y, z + 1)
+
+    # getTilesInBetween order: x outer, y inner
+    for px in range(lu_x // div, rl_x // div + 1):
+        for py in range(lu_y // div, rl_y // div + 1):
+            append_subtiles(px, py, z0)
+    return out
+
+
+def _is_point_or_rectangle(g, b) -> bool:
+    """GeometryUtils.java isPointOrRectangle."""
+    tag, payload = g
+    if tag == "POINT" and payload is not None:
+        return True
+    if tag != "POLYGON" or not payload or len(payload) != 1:
+        return False
+    ring = payload[0]
+    r = ring[:-1] if ring[0] == ring[-1] else ring
+    if len(r) != 4:
+        return False
+    x0, y0, x1, y1 = b
+    corners = {(x0, y0), (x0, y1), (x1, y0), (x1, y1)}
+    return all(tuple(p) in corners for p in r)
+
+
+# --------------------------------------------------------------------------
+# Collection / ring accessors (GeoFunctions.java:552-820) and the
+# array->geometry constructors (ST_LineString:149, ST_MultiPoint:171).
+# --------------------------------------------------------------------------
+
+_ENUM_NAMES = {
+    "POINT": "POINT",
+    "MULTIPOINT": "MULTI_POINT",
+    "LINESTRING": "LINE_STRING",
+    "MULTILINESTRING": "MULTI_LINE_STRING",
+    "POLYGON": "POLYGON",
+    "MULTIPOLYGON": "MULTI_POLYGON",
+    "GEOMETRYCOLLECTION": "GEOMETRY_COLLECTION",
+}
+
+
+def _validate_type(fn: str, tag: str, allowed: tuple):
+    if tag not in allowed:
+        names = " or ".join(_ENUM_NAMES[t] for t in allowed)
+        raise ValueError(
+            f"{fn} only applies to {names}. "
+            f"Input type is: {_ENUM_NAMES[tag]}")
+
+
+def interior_rings(wkt: str):
+    """ST_InteriorRings (GeoFunctions.java:552): array of the hole
+    rings as LINESTRINGs; null for the empty polygon."""
+    tag, payload = parse_wkt(wkt)
+    _validate_type("ST_InteriorRings", tag, ("POLYGON",))
+    if payload is None:
+        return None
+    return [format_wkt(("LINESTRING", r)) for r in payload[1:]]
+
+
+def interior_ring_n(wkt: str, index: int):
+    """ST_InteriorRingN (1-based; null out of range)."""
+    tag, payload = parse_wkt(wkt)
+    _validate_type("ST_InteriorRingN", tag, ("POLYGON",))
+    holes = payload[1:] if payload else []
+    if index < 1 or index > len(holes):
+        return None
+    return format_wkt(("LINESTRING", holes[index - 1]))
+
+
+def _collection_parts(tag, payload):
+    if tag == "MULTIPOINT":
+        return [("POINT", p) for p in payload]
+    if tag == "MULTILINESTRING":
+        return [("LINESTRING", path) for path in payload]
+    if tag == "MULTIPOLYGON":
+        return [("POLYGON", rings) for rings in payload]
+    return list(payload)  # GEOMETRYCOLLECTION
+
+
+def num_geometries(wkt: str) -> int:
+    """ST_NumGeometries (GeoFunctions.java:571)."""
+    tag, payload = parse_wkt(wkt)
+    if payload is None:
+        return 0
+    if tag in ("POINT", "LINESTRING", "POLYGON"):
+        return 1
+    return len(_collection_parts(tag, payload))
+
+
+def geometry_n(wkt: str, index: int):
+    """ST_GeometryN (GeoFunctions.java:646; 1-based, null OOR)."""
+    tag, payload = parse_wkt(wkt)
+    if payload is None:
+        return None
+    if tag in ("POINT", "LINESTRING", "POLYGON"):
+        return format_wkt((tag, payload)) if index == 1 else None
+    parts = _collection_parts(tag, payload)
+    if index < 1 or index > len(parts):
+        return None
+    return format_wkt(parts[index - 1])
+
+
+def point_n(wkt: str, index: int):
+    """ST_PointN (GeoFunctions.java:670; LINESTRING only)."""
+    tag, payload = parse_wkt(wkt)
+    _validate_type("ST_PointN", tag, ("LINESTRING",))
+    pts = payload or []
+    if index < 1 or index > len(pts):
+        return None
+    return format_wkt(("POINT", pts[index - 1]))
+
+
+def geometries(wkt: str):
+    """ST_Geometries (GeoFunctions.java:686): null for empty, the
+    singleton for simple types, parts for collections."""
+    tag, payload = parse_wkt(wkt)
+    if payload is None:
+        return None
+    if tag in ("POINT", "LINESTRING", "POLYGON"):
+        return [format_wkt((tag, payload))]
+    return [format_wkt(p) for p in _collection_parts(tag, payload)]
+
+
+def points_of(wkt: str):
+    """ST_Points (GeoFunctions.java:795): every vertex in order."""
+    g = parse_wkt(wkt)
+    if g[1] is None:
+        return None
+    return [format_wkt(("POINT", p)) for p in _all_points(g)]
+
+
+def line_string_from(points: list) -> str:
+    """ST_LineString over array(Geometry) (GeoFunctions.java:149):
+    inputs must be points, nulls raise, consecutive duplicates raise;
+    under 2 distinct coordinates -> LINESTRING EMPTY."""
+    coords = _read_point_coords(points, "ST_LineString",
+                                forbid_duplicates=True)
+    if len(coords) < 2:
+        return "LINESTRING EMPTY"
+    return format_wkt(("LINESTRING", coords))
+
+
+def multi_point_from(points: list):
+    """ST_MultiPoint over array(Geometry) (GeoFunctions.java:171)."""
+    coords = _read_point_coords(points, "ST_MultiPoint",
+                                forbid_duplicates=False)
+    if not coords:
+        return None
+    return format_wkt(("MULTIPOINT", coords))
+
+
+def _read_point_coords(points, fn, forbid_duplicates):
+    coords = []
+    last = None
+    for i, w in enumerate(points):
+        if w is None:
+            raise ValueError(f"Invalid input to {fn}: null at index {i + 1}")
+        tag, payload = parse_wkt(w)
+        if tag != "POINT":
+            raise ValueError(
+                f"Invalid input to {fn}: geometry is not a point: "
+                f"{_ENUM_NAMES[tag]} at index {i + 1}")
+        if payload is None:
+            raise ValueError(
+                f"Invalid input to {fn}: empty point at index {i + 1}")
+        if forbid_duplicates and payload == last:
+            raise ValueError(
+                f"Invalid input to {fn}: consecutive duplicate points "
+                f"at index {i + 1}")
+        coords.append(payload)
+        last = payload
+    return coords
+
+
+# --------------------------------------------------------------------------
+# SphericalGeography (SphericalGeoFunctions.java:77-437,
+# SphericalGeographyUtils.java:60-180). Values carry the SPH: prefix
+# — the value-level analog of the SPHERICAL_GEOGRAPHY type; the
+# overloaded ST_* entry points dispatch on it.
+# --------------------------------------------------------------------------
+
+EARTH_RADIUS_M = EARTH_RADIUS_KM * 1000.0
+
+
+def _check_lat_sph(lat: float):
+    if not (-90.0 <= lat <= 90.0) or math.isnan(lat):
+        raise ValueError("Latitude must be between -90 and 90")
+
+
+def _check_lon_sph(lon: float):
+    if not (-180.0 <= lon <= 180.0) or math.isnan(lon):
+        raise ValueError("Longitude must be between -180 and 180")
+
+
+def to_spherical_geography(wkt: str) -> str:
+    """to_spherical_geography: envelope range validation then the
+    value unchanged, SPH-marked."""
+    b = envelope_bounds(wkt)
+    if b is not None:
+        _check_lat_sph(b[1])
+        _check_lat_sph(b[3])
+        _check_lon_sph(b[0])
+        _check_lon_sph(b[2])
+    return SPH_MARK + geometry_from_text(wkt)
+
+
+def to_geometry(wkt: str) -> str:
+    return geometry_from_text(wkt)
+
+
+def _validate_sph(fn: str, tag: str, allowed: tuple):
+    if tag not in allowed:
+        names = " or ".join(_ENUM_NAMES[t] for t in allowed)
+        raise ValueError(
+            f"When applied to SphericalGeography inputs, {fn} only "
+            f"supports {names}. Input type is: {_ENUM_NAMES[tag]}")
+
+
+def spherical_distance(w1: str, w2: str):
+    """ST_Distance over SphericalGeography: meters between points."""
+    g1, g2 = parse_wkt(w1), parse_wkt(w2)
+    if g1[1] is None or g2[1] is None:
+        return None
+    _validate_sph("ST_Distance", g1[0], ("POINT",))
+    _validate_sph("ST_Distance", g2[0], ("POINT",))
+    (x1, y1), (x2, y2) = g1[1], g2[1]
+    return great_circle_distance(y1, x1, y2, x2) * 1000
+
+
+def spherical_length(wkt: str):
+    """ST_Length over SphericalGeography: great-circle path sum in
+    meters."""
+    tag, payload = parse_wkt(wkt)
+    if payload is None:
+        return None
+    _validate_sph("ST_Length", tag, ("LINESTRING", "MULTILINESTRING"))
+    paths = [payload] if tag == "LINESTRING" else payload
+    paths = [p for p in paths if p]
+    if not any(paths):
+        return None
+    total = 0.0
+    for path in paths:
+        for (x1, y1), (x2, y2) in zip(path, path[1:]):
+            total += great_circle_distance(y1, x1, y2, x2)
+    return total * 1000
+
+
+def _spherical_excess(ring) -> float:
+    """SphericalGeoFunctions.java:338-436 SphericalExcessCalculator
+    (bearing-tracked L'Huilier-style excess with pole correction)."""
+    pts = list(ring)
+    if pts[-1] == pts[0]:
+        pts = pts[:-1]
+    if len(pts) < 3:
+        raise ValueError(
+            "Polygon is not valid: a loop contains less then 3 vertices.")
+    TWO_PI, THREE_PI = 2 * math.pi, 3 * math.pi
+    end = pts[-1]
+    prev_phi = math.radians(end[1])
+    prev_sin, prev_cos = math.sin(prev_phi), math.cos(prev_phi)
+    prev_tan = math.tan(prev_phi / 2)
+    prev_lon = math.radians(end[0])
+    excess = 0.0
+    course = 0.0
+    first = True
+    first_initial = prev_final = 0.0
+    for px, py in pts:
+        phi = math.radians(py)
+        tan = math.tan(phi / 2)
+        lon = math.radians(px)
+        if lon == prev_lon and phi == prev_phi:
+            raise ValueError(
+                "Polygon is not valid: it has two identical "
+                "consecutive vertices")
+        dlon = lon - prev_lon
+        excess += 2 * math.atan2(
+            math.tan(dlon / 2) * (prev_tan + tan), 1 + prev_tan * tan)
+        cos, sin = math.cos(phi), math.sin(phi)
+        sin_d, cos_d = math.sin(dlon), math.cos(dlon)
+        iy = sin_d * cos
+        ix = prev_cos * sin - prev_sin * cos * cos_d
+        initial = (math.atan2(iy, ix) + TWO_PI) % TWO_PI
+        fy = -sin_d * prev_cos
+        fx = prev_sin * cos - prev_cos * sin * cos_d
+        final = (math.atan2(fy, fx) + math.pi) % TWO_PI
+        if first:
+            first_initial = initial
+            first = False
+        else:
+            course += (initial - prev_final + THREE_PI) % TWO_PI - math.pi
+        course += (final - initial + THREE_PI) % TWO_PI - math.pi
+        prev_final = final
+        prev_cos, prev_sin, prev_phi = cos, sin, phi
+        prev_tan, prev_lon = tan, lon
+    course += (first_initial - prev_final + THREE_PI) % TWO_PI - math.pi
+    if abs(course) < math.pi / 4:
+        excess = abs(excess) - TWO_PI
+    return excess
+
+
+def spherical_area(wkt: str):
+    """ST_Area over SphericalGeography (square meters)."""
+    tag, payload = parse_wkt(wkt)
+    if payload is None:
+        return None
+    _validate_sph("ST_Area", tag, ("POLYGON", "MULTIPOLYGON"))
+    polys = [payload] if tag == "POLYGON" else payload
+    excess = 0.0
+    for rings in polys:
+        for i, ring in enumerate(rings):
+            sign = 1.0 if i == 0 else -1.0
+            excess += sign * abs(_spherical_excess(ring))
+    return abs(excess * EARTH_RADIUS_M * EARTH_RADIUS_M)
+
+
+def spherical_centroid(wkt: str):
+    """ST_Centroid over SphericalGeography (POINT/MULTIPOINT; 3D mean
+    vector renormalized — SphericalGeoFunctions.java:259-320)."""
+    tag, payload = parse_wkt(wkt)
+    if payload is None:
+        return None
+    _validate_sph("ST_Centroid", tag, ("POINT", "MULTIPOINT"))
+    if tag == "POINT":
+        return SPH_MARK + format_wkt((tag, payload))
+    for x, y in payload:
+        _check_lon_sph(x)
+        _check_lat_sph(y)
+    if len(payload) == 1:
+        return SPH_MARK + format_wkt(("POINT", payload[0]))
+    xt = yt = zt = 0.0
+    for lon, lat in payload:
+        phi = math.radians(90 - lat)
+        theta = math.radians(lon)
+        xt += EARTH_RADIUS_KM * math.sin(phi) * math.cos(theta)
+        yt += EARTH_RADIUS_KM * math.sin(phi) * math.sin(theta)
+        zt += EARTH_RADIUS_KM * math.cos(phi)
+    vlen = math.sqrt(xt * xt + yt * yt + zt * zt)
+    if vlen == 0.0:
+        raise ValueError(
+            "Unexpected error. Average vector length adds to zero "
+            "(%f, %f, %f)" % (xt, yt, zt))
+    phi = math.atan2(math.sqrt(xt * xt + yt * yt), zt)
+    theta = math.atan2(yt, xt)
+    return SPH_MARK + format_wkt(
+        ("POINT", (math.degrees(theta), 90 - math.degrees(phi))))
+
+
+# SQL-surface dispatchers: the reference overloads ST_Area/ST_Length/
+# ST_Centroid/ST_Distance on the SPHERICAL_GEOGRAPHY type; here they
+# dispatch on the SPH: value mark.
+
+
+def area_sql(wkt: str):
+    return spherical_area(wkt) if wkt.startswith(SPH_MARK) else area(wkt)
+
+
+def length_sql(wkt: str):
+    return (spherical_length(wkt) if wkt.startswith(SPH_MARK)
+            else length(wkt))
+
+
+def centroid_sql(wkt: str):
+    return (spherical_centroid(wkt) if wkt.startswith(SPH_MARK)
+            else centroid(wkt))

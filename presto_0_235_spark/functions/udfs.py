@@ -701,6 +701,41 @@ def fnv1a_32(b: pd.Series) -> pd.Series:
 # functions/geo.py) ---------------------------------------------------------
 
 
+# 1-arg WKT-function table shared with scalar_templates' transform
+# lambda rewrite (GEO_ONE_ARG_SQL_NAMES)
+_GEO_ONE_ARG = {
+    "st_geometryfromtext": ("geometry_from_text", StringType()),
+    "st_astext": ("geometry_from_text", StringType()),
+    "st_linefromtext": ("geometry_from_text", StringType()),
+    "st_polygon": ("geometry_from_text", StringType()),
+    "st_geometrytype": ("geometry_type", StringType()),
+    "st_x": ("point_x", DoubleType()),
+    "st_y": ("point_y", DoubleType()),
+    "st_isclosed": ("is_closed", BooleanType()),
+    "st_isempty": ("is_empty", BooleanType()),
+    "st_isring": ("is_ring", BooleanType()),
+    "st_length": ("length_sql", DoubleType()),
+    "st_area": ("area_sql", DoubleType()),
+    "st_centroid": ("centroid_sql", StringType()),
+    "st_boundary": ("boundary", StringType()),
+    "st_envelope": ("envelope_wkt", StringType()),
+    "st_numinteriorring": ("num_interior_ring", LongType()),
+    "st_exteriorring": ("exterior_ring", StringType()),
+    "st_startpoint": ("start_point", StringType()),
+    "st_endpoint": ("end_point", StringType()),
+    "st_numpoints": ("num_points", LongType()),
+    "bing_tile_qk": ("bing_tile_from_quadkey", StringType()),
+    "bing_tile_quadkey": ("bing_tile_from_quadkey", StringType()),
+    "bing_tile_polygon": ("bing_tile_polygon", StringType()),
+    "to_spherical_geography": ("to_spherical_geography", StringType()),
+    "to_geometry": ("to_geometry", StringType()),
+}
+
+
+GEO_ONE_ARG_SQL_NAMES = frozenset(_GEO_ONE_ARG) | {
+    "st_numgeometries", "bing_tile_quadkey"}
+
+
 def _geo1(fn):
     """1-arg WKT function -> Arrow-batched wrapper."""
 
@@ -717,35 +752,82 @@ def _make_geo_udfs():
     """(name, pandas_udf) pairs for _ensure_sql_udfs registration."""
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    one_arg = {
-        "st_geometryfromtext": ("geometry_from_text", StringType()),
-        "st_astext": ("geometry_from_text", StringType()),
-        "st_linefromtext": ("geometry_from_text", StringType()),
-        "st_polygon": ("geometry_from_text", StringType()),
-        "st_geometrytype": ("geometry_type", StringType()),
-        "st_x": ("point_x", DoubleType()),
-        "st_y": ("point_y", DoubleType()),
-        "st_isclosed": ("is_closed", BooleanType()),
-        "st_isempty": ("is_empty", BooleanType()),
-        "st_isring": ("is_ring", BooleanType()),
-        "st_length": ("length", DoubleType()),
-        "st_area": ("area", DoubleType()),
-        "st_centroid": ("centroid", StringType()),
-        "st_boundary": ("boundary", StringType()),
-        "st_envelope": ("envelope_wkt", StringType()),
-        "st_numinteriorring": ("num_interior_ring", LongType()),
-        "st_exteriorring": ("exterior_ring", StringType()),
-        "st_startpoint": ("start_point", StringType()),
-        "st_endpoint": ("end_point", StringType()),
-        "st_numpoints": ("num_points", LongType()),
-        "bing_tile_qk": ("bing_tile_from_quadkey", StringType()),
-        "bing_tile_quadkey": ("bing_tile_from_quadkey", StringType()),
-        "bing_tile_polygon": ("bing_tile_polygon", StringType()),
-    }
+    one_arg = dict(_GEO_ONE_ARG)
+    one_arg["st_numgeometries"] = ("num_geometries", IntegerType())
     udfs = [
         (name, F.pandas_udf(typ)(_geo1(fn)))
         for name, (fn, typ) in one_arg.items()
     ]
+
+    # per-element array-mapped variants for the 1-arg functions:
+    # `transform(arr, x -> ST_AsText(x))` rewrites to
+    # `st_astext_each(arr)` in scalar_templates (Spark refuses Python
+    # UDFs inside higher-order-function lambdas)
+    from pyspark.sql.types import ArrayType
+
+    def _geo1_each(fn, elem_type):
+        def batch(col: pd.Series) -> pd.Series:
+            f = getattr(_geo_wkt, fn)
+            return pd.Series(
+                [None if arr is None else
+                 [None if v is None else f(v) for v in arr]
+                 for arr in col],
+                dtype="object",
+            )
+
+        return batch
+
+    for name, (fn, typ) in list(one_arg.items()):
+        udfs.append((f"{name}_each",
+                     F.pandas_udf(ArrayType(typ))(_geo1_each(fn, typ))))
+
+    # array-returning accessors + constructors
+    # (GeoFunctions.java:149,171,552,686,795)
+    def _geo1_arr(fn):
+        def batch(col: pd.Series) -> pd.Series:
+            f = getattr(_geo_wkt, fn)
+            return pd.Series(
+                [None if v is None else f(v) for v in col],
+                dtype="object",
+            )
+
+        return batch
+
+    for name, fn in (("st_interiorrings", "interior_rings"),
+                     ("st_geometries", "geometries"),
+                     ("st_points", "points_of")):
+        udfs.append((name,
+                     F.pandas_udf(ArrayType(StringType()))(_geo1_arr(fn))))
+    for name, fn in (("st_linestring", "line_string_from"),
+                     ("st_multipoint", "multi_point_from")):
+        udfs.append((name, F.pandas_udf(StringType())(_geo1_arr(fn))))
+
+    def _geo_idx(fn):
+        def batch(g: pd.Series, i: pd.Series) -> pd.Series:
+            f = getattr(_geo_wkt, fn)
+            return pd.Series(
+                [None if v is None or k is None else f(v, int(k))
+                 for v, k in zip(g, i)],
+                dtype="object",
+            )
+
+        return batch
+
+    for name, fn in (("st_geometryn", "geometry_n"),
+                     ("st_pointn", "point_n"),
+                     ("st_interiorringn", "interior_ring_n")):
+        udfs.append((name, F.pandas_udf(StringType())(_geo_idx(fn))))
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def geometry_to_bing_tiles_udf(g: pd.Series, z: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None or k is None
+             else _geo_wkt.geometry_to_bing_tiles(v, int(k))
+             for v, k in zip(g, z)],
+            dtype="object",
+        )
+
+    udfs.append(("geometry_to_bing_tiles", geometry_to_bing_tiles_udf))
 
     def env_bound(idx):
         def batch(col: pd.Series) -> pd.Series:
@@ -787,11 +869,19 @@ def _make_geo_udfs():
 
     @F.pandas_udf(DoubleType())
     def st_distance_geo(g1: pd.Series, g2: pd.Series) -> pd.Series:
+        def one(a, b):
+            if a is None or b is None:
+                return None
+            # SphericalGeography overload dispatch (the reference
+            # overloads ST_Distance on the type; here on the value
+            # mark, SphericalGeoFunctions.java:128)
+            if a.startswith(_geo_wkt.SPH_MARK) \
+                    or b.startswith(_geo_wkt.SPH_MARK):
+                return _geo_wkt.spherical_distance(a, b)
+            return _geo_wkt.distance(a, b)
+
         return pd.Series(
-            [
-                None if a is None or b is None else _geo_wkt.distance(a, b)
-                for a, b in zip(g1, g2)
-            ],
+            [one(a, b) for a, b in zip(g1, g2)],
             dtype="object",
         )
 

@@ -85,6 +85,8 @@ _STR_PH = re.compile("^\x00s(\\d+)\x00$")
 _DATE_LIT = re.compile("^DATE\\s*\x00s\\d+\x00$", re.IGNORECASE)
 
 _TEMPLATE_NAMES = (
+    "apply",
+    "transform",
     "bitwise_and",
     "bitwise_or",
     "bitwise_xor",
@@ -366,6 +368,43 @@ def _rewrite_one(
 ) -> str | None:
     """The Spark expression for one call, or None to leave verbatim."""
     a = [f"({x.strip()})" for x in args]
+
+    if name == "apply" and len(args) == 2:
+        # Presto apply(input, function) is plain application
+        # (LambdaFunctions.java) — inline the lambda body with the
+        # variable substituted. This sidesteps Spark's
+        # LAMBDA_FUNCTION_WITH_PYTHON_UDF refusal for the geometry
+        # UDFs the reference tests wrap in apply(g -> ...).
+        lam = re.match(
+            r"^\s*\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)?\s*->(.*)$",
+            args[1], re.DOTALL)
+        if lam:
+            var, body = lam.group(1), lam.group(2)
+            return "(" + re.sub(
+                rf"\b{re.escape(var)}\b", lambda _m: a[0], body
+            ).strip() + ")"
+        return None
+
+    if name == "transform" and len(args) == 2:
+        # transform(arr, x -> F(x)) where F is a Python-UDF-backed
+        # 1-arg geometry function: Spark refuses Python UDFs inside
+        # higher-order-function lambdas, so route through the
+        # array-mapped twin F_each(arr) registered in udfs.py.
+        lam = re.match(
+            r"^\s*\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)?\s*->\s*"
+            r"([A-Za-z_][A-Za-z0-9_]*)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)"
+            r"\s*\)\s*$",
+            args[1])
+        if lam and lam.group(1) == lam.group(3):
+            fn = lam.group(2).lower()
+            from presto_0_235_spark.functions.udfs import \
+                GEO_ONE_ARG_SQL_NAMES
+
+            if fn in GEO_ONE_ARG_SQL_NAMES:
+                mapped = ("bing_tile_qk" if fn == "bing_tile_quadkey"
+                          else fn)
+                return f"{mapped}_each({a[0]})"
+        return None
 
     if name == "bitwise_and" and len(a) == 2:
         return f"(CAST({a[0]} AS BIGINT) & CAST({a[1]} AS BIGINT))"

@@ -161,7 +161,9 @@ def test_rewrites_still_fire_outside_literals():
     rewrite (this suite must not be satisfiable by disabling the
     rewriters)."""
     out = presto_to_spark_sql("SELECT apply(a, x -> x + 1) FROM t")
-    assert "transform(array(a)" in out
+    # r12: apply inlines the lambda body (scalar_templates) instead of
+    # the array-wrap lowering — required for Python-UDF bodies
+    assert out == "SELECT (((a)) + 1) FROM t" or "((a) + 1)" in out
     out = presto_to_spark_sql("SELECT a FROM t ORDER BY a")
     assert out == "SELECT a FROM t ORDER BY a NULLS LAST"
     out = presto_to_spark_sql("SELECT ARRAY[1, 2] FROM t")
@@ -179,9 +181,10 @@ def test_mixed_literal_and_code_apply():
     sql = ("SELECT apply(a), apply(b, x -> x + 1), 'apply(c, y -> y)' "
            "FROM t")
     out = presto_to_spark_sql(sql)
-    assert out == ("SELECT apply(a), "
-                   "element_at(transform(array(b), x -> x + 1), 1), "
-                   "'apply(c, y -> y)' FROM t")
+    # r12: the lambda form INLINES (body with var substituted); the
+    # non-lambda call and the literal stay byte-identical
+    assert "apply(a)" in out and "'apply(c, y -> y)'" in out
+    assert "apply(b" not in out and "+ 1" in out
 
 
 def test_quantified_equality_forms_rewrite():

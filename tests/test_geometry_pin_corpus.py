@@ -36,15 +36,24 @@ OffsetSegmentGenerator model; semantics pins exact, heavy vertex pins
 in CASES_GEOM_FUZZY — values match to libm last-ulp, ring phase is
 JTS-internal, compared alignment-based at 1e-9 relative).
 
+Also landed in r12: geometry_to_bing_tiles (full covering-set
+algorithm incl. the optimized quadtree path and all limit raises),
+the collection/ring accessors (ST_GeometryN / ST_PointN / ST_Points /
+ST_NumGeometries / ST_InteriorRings / ST_InteriorRingN /
+ST_Geometries) and array constructors (ST_LineString /
+ST_MultiPoint), and the front-door lambda rewrites: apply(x, v ->
+body) inlines, transform(arr, v -> F(v)) with a Python-UDF F routes
+through F_each — recovering the 20 pins previously excluded for
+Spark's LAMBDA_FUNCTION_WITH_PYTHON_UDF limitation.
+
+Also landed in r12: the SphericalGeography family —
+to_spherical_geography / to_geometry (SPH:-marked values; range
+raises), the overloaded spherical ST_Distance (meters) / ST_Area
+(bearing-tracked spherical excess incl. pole correction) / ST_Length
+/ ST_Centroid (3D mean), all per SphericalGeoFunctions.java. The
+unresolved exclusion list is now EMPTY.
+
 Excluded (by reason):
-- unresolved: geometry_to_bing_tiles /
-  to_spherical_geography — the remaining tail, in progress
-  this round (functions/geo_clip.py carries polygon boolean ops on
-  the DataFrame path).
-- 20 engine limitation: Spark refuses Python UDFs inside
-  higher-order-function lambdas (UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_
-  WITH_PYTHON_UDF) — the reference tests wrap tile polygons in
-  apply(g -> ...) lambdas.
 - 1 value: ST_Centroid of a Bing tile polygon differs from ESRI in
   the last ulp of the latitude (shortest-repr prints one more digit).
 - 1 raise-vs-raise: line_locate_point over MULTILINESTRING errors on
@@ -531,6 +540,255 @@ CASES += [
     ('TestGeoFunctions.java', 200, 'VARCHAR', "ST_AsText(ST_Buffer(ST_Point(0, 0), CAST('Infinity' AS DOUBLE)))", 'POLYGON EMPTY'),
 ]
 
+# Collection/ring accessors + constructors
+# (testSTGeometryN:~1105, testSTPointN, testSTPoints,
+# testSTNumGeometries, testSTInteriorRings, testSTLineString,
+# testSTMultiPoint) — the transform(...) forms exercise the r12
+# lambda rewrite (Python-UDF-in-lambda lowering).
+_GEOMN = [
+    ('POINT EMPTY', 1, None), ('LINESTRING EMPTY', 1, None),
+    ('POLYGON EMPTY', 1, None), ('MULTIPOINT EMPTY', 1, None),
+    ('MULTILINESTRING EMPTY', 1, None), ('MULTIPOLYGON EMPTY', 1, None),
+    ('POINT EMPTY', 0, None), ('LINESTRING EMPTY', 0, None),
+    ('POLYGON EMPTY', 0, None), ('MULTIPOINT EMPTY', 0, None),
+    ('MULTILINESTRING EMPTY', 0, None), ('MULTIPOLYGON EMPTY', 0, None),
+    ('POINT (1 2)', 1, 'POINT (1 2)'),
+    ('POINT (1 2)', -1, None), ('POINT (1 2)', 2, None),
+    ('LINESTRING(77.29 29.07, 77.42 29.26, 77.27 29.31, 77.29 29.07)', 1,
+     'LINESTRING (77.29 29.07, 77.42 29.26, 77.27 29.31, 77.29 29.07)'),
+    ('LINESTRING(77.29 29.07, 77.42 29.26, 77.27 29.31, 77.29 29.07)', 2, None),
+    ('LINESTRING(77.29 29.07, 77.42 29.26, 77.27 29.31, 77.29 29.07)', -1, None),
+    ('POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))', 1, 'POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))'),
+    ('POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))', 2, None),
+    ('POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))', -1, None),
+    ('MULTIPOINT (1 2, 2 4, 3 6, 4 8)', 1, 'POINT (1 2)'),
+    ('MULTIPOINT (1 2, 2 4, 3 6, 4 8)', 2, 'POINT (2 4)'),
+    ('MULTIPOINT (1 2, 2 4, 3 6, 4 8)', 0, None),
+    ('MULTIPOINT (1 2, 2 4, 3 6, 4 8)', 5, None),
+    ('MULTIPOINT (1 2, 2 4, 3 6, 4 8)', -1, None),
+    ('MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))', 1, 'LINESTRING (1 1, 5 1)'),
+    ('MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))', 2, 'LINESTRING (2 4, 4 4)'),
+    ('MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))', 0, None),
+    ('MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))', 3, None),
+    ('MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))', -1, None),
+    ('MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((2 4, 2 6, 6 6, 6 4, 2 4)))', 1, 'POLYGON ((1 1, 1 3, 3 3, 3 1, 1 1))'),
+    ('MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((2 4, 2 6, 6 6, 6 4, 2 4)))', 2, 'POLYGON ((2 4, 2 6, 6 6, 6 4, 2 4))'),
+    ('MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((2 4, 2 6, 6 6, 6 4, 2 4)))', 0, None),
+    ('MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((2 4, 2 6, 6 6, 6 4, 2 4)))', 3, None),
+    ('MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((2 4, 2 6, 6 6, 6 4, 2 4)))', -1, None),
+    ('GEOMETRYCOLLECTION(POINT(2 3), LINESTRING (2 3, 3 4))', 1, 'POINT (2 3)'),
+    ('GEOMETRYCOLLECTION(POINT(2 3), LINESTRING (2 3, 3 4))', 2, 'LINESTRING (2 3, 3 4)'),
+    ('GEOMETRYCOLLECTION(POINT(2 3), LINESTRING (2 3, 3 4))', 3, None),
+]
+CASES += [('TestGeoFunctions.java', 1105, 'VARCHAR',
+           f"ST_ASText(ST_GeometryN({_g(w)}, {i}))", want)
+          for w, i, want in _GEOMN]
+CASES += [('TestGeoFunctions.java', 1142, 'VARCHAR',
+           f"ST_ASText(ST_PointN({_g('LINESTRING(1 2, 3 4, 5 6, 7 8)')}, {i}))", want)
+          for i, want in ((1, 'POINT (1 2)'), (3, 'POINT (5 6)'),
+                          (10, None), (0, None), (-1, None))]
+_STPOINTS = [
+    ('LINESTRING EMPTY', None),
+    ('LINESTRING (0 0, 0 0)', ['POINT (0 0)', 'POINT (0 0)']),
+    ('LINESTRING (8 4, 3 9, 8 4)', ['POINT (8 4)', 'POINT (3 9)', 'POINT (8 4)']),
+    ('LINESTRING (8 4, 3 9, 5 6)', ['POINT (8 4)', 'POINT (3 9)', 'POINT (5 6)']),
+    ('POLYGON EMPTY', None),
+    ('POLYGON ((8 4, 3 9, 5 6, 8 4))', ['POINT (8 4)', 'POINT (5 6)', 'POINT (3 9)', 'POINT (8 4)']),
+    ('POLYGON ((8 4, 3 9, 5 6, 7 2, 8 4))', ['POINT (8 4)', 'POINT (7 2)', 'POINT (5 6)', 'POINT (3 9)', 'POINT (8 4)']),
+    ('POINT EMPTY', None), ('POINT (0 0)', ['POINT (0 0)']),
+    ('MULTIPOINT EMPTY', None),
+    ('MULTIPOINT (0 0, 1 2)', ['POINT (0 0)', 'POINT (1 2)']),
+    ('MULTILINESTRING EMPTY', None),
+    ('MULTILINESTRING ((0 0, 1 1), (2 3, 3 2))',
+     ['POINT (0 0)', 'POINT (1 1)', 'POINT (2 3)', 'POINT (3 2)']),
+    ('MULTIPOLYGON EMPTY', None),
+]
+CASES += [('TestGeoFunctions.java', 1000, 'ARRAY',
+           f"transform(ST_Points({_g(w)}), x -> ST_ASText(x))", want)
+          for w, want in _STPOINTS]
+_NUMG = [('POINT EMPTY', 0), ('LINESTRING EMPTY', 0), ('POLYGON EMPTY', 0),
+         ('MULTIPOINT EMPTY', 0), ('MULTILINESTRING EMPTY', 0),
+         ('MULTIPOLYGON EMPTY', 0), ('GEOMETRYCOLLECTION EMPTY', 0),
+         ('POINT (1 2)', 1),
+         ('LINESTRING(77.29 29.07,77.42 29.26,77.27 29.31,77.29 29.07)', 1),
+         ('POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))', 1),
+         ('MULTIPOINT (1 2, 2 4, 3 6, 4 8)', 4),
+         ('MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))', 2),
+         ('MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((2 4, 2 6, 6 6, 6 4, 2 4)))', 2),
+         ('GEOMETRYCOLLECTION(POINT(2 3), LINESTRING (2 3, 3 4))', 2)]
+CASES += [('TestGeoFunctions.java', 925, 'INTEGER',
+           f"ST_NumGeometries({_g(w)})", n) for w, n in _NUMG]
+CASES += [
+    ('TestGeoFunctions.java', 846, 'ARRAY',
+     f"ST_InteriorRings({_g('POLYGON EMPTY')})", None),
+    ('TestGeoFunctions.java', 847, 'ARRAY',
+     f"transform(ST_InteriorRings({_g('POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))')}), x -> ST_ASText(x))", []),
+    ('TestGeoFunctions.java', 848, 'ARRAY',
+     f"transform(ST_InteriorRings({_g('POLYGON ((0 0, 0 3, 3 3, 3 0, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))')}), x -> ST_ASText(x))",
+     ['LINESTRING (1 1, 2 1, 2 2, 1 2, 1 1)']),
+    ('TestGeoFunctions.java', 849, 'ARRAY',
+     f"transform(ST_InteriorRings({_g('POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1), (3 3, 4 3, 4 4, 3 4, 3 3))')}), x -> ST_ASText(x))",
+     ['LINESTRING (1 1, 2 1, 2 2, 1 2, 1 1)', 'LINESTRING (3 3, 4 3, 4 4, 3 4, 3 3)']),
+    ('TestGeoFunctions.java', 1036, 'VARCHAR',
+     'ST_ASText(ST_LineString(array(ST_Point(1,2), ST_Point(3,4))))', 'LINESTRING (1 2, 3 4)'),
+    ('TestGeoFunctions.java', 1037, 'VARCHAR',
+     'ST_ASText(ST_LineString(array(ST_Point(1,2), ST_Point(3,4), ST_Point(5, 6))))', 'LINESTRING (1 2, 3 4, 5 6)'),
+    ('TestGeoFunctions.java', 1040, 'VARCHAR',
+     f"ST_ASText(ST_LineString(array({_g('POINT (1 2)')}, {_g('POINT (3 4)')})))", 'LINESTRING (1 2, 3 4)'),
+    ('TestGeoFunctions.java', 1043, 'VARCHAR',
+     'ST_ASText(ST_LineString(array(ST_Point(1, 2), ST_Point(3, 4), ST_Point(1, 2))))', 'LINESTRING (1 2, 3 4, 1 2)'),
+    ('TestGeoFunctions.java', 1046, 'VARCHAR',
+     'ST_ASText(ST_LineString(array(ST_Point(9,10))))', 'LINESTRING EMPTY'),
+    ('TestGeoFunctions.java', 1050, 'VARCHAR',
+     f"ST_ASText(ST_MultiPoint(array({_g('POINT (1 2)')}, {_g('POINT (1 2)')})))", 'MULTIPOINT ((1 2), (1 2))'),
+    ('TestGeoFunctions.java', 1051, 'VARCHAR',
+     f"ST_ASText(ST_MultiPoint(array({_g('POINT (1 2)')}, {_g('POINT (3 4)')}, {_g('POINT (1 2)')})))", 'MULTIPOINT ((1 2), (3 4), (1 2))'),
+    ('TestGeoFunctions.java', 1059, 'VARCHAR',
+     f"ST_ASText(ST_MultiPoint(array({_g('POINT (1 2)')})))", 'MULTIPOINT ((1 2))'),
+]
+
+# geometry_to_bing_tiles + the apply()-wrapped tile-corner pins
+# (TestBingTileFunctions.java:440-543) — the 20 pins previously
+# excluded for Spark's LAMBDA_FUNCTION_WITH_PYTHON_UDF limitation,
+# now green via the front door's apply-inlining rewrite.
+_G2BT = [
+    ('POINT (60 30.12)', 0, ['']),
+    ('POINT (60 30.12)', 10, ['1230301230']),
+    ('POINT (60 30.12)', 15, ['123030123010121']),
+    ('POINT (60 30.12)', 16, ['1230301230101212']),
+    ('POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))', 6, ['122220', '122222', '122221', '122223']),
+    ('POLYGON ((0 0, 0 10, 10 10, 0 0))', 6, ['122220', '122222', '122221']),
+    ('POLYGON ((10 10, -10 10, -20 -15, 10 10))', 3, ['033', '211', '122']),
+    ('POLYGON ((10 10, -10 10, -20 -15, 10 10))', 6, ['211102', '211120', '033321', '033323', '211101', '211103', '211121', '033330', '033332', '211110', '211112', '033331', '033333', '211111', '122220', '122222', '122221']),
+    ('GEOMETRYCOLLECTION (POINT (60 30.12))', 10, ['1230301230']),
+    ('GEOMETRYCOLLECTION (POINT (60 30.12))', 15, ['123030123010121']),
+    ('GEOMETRYCOLLECTION (POLYGON ((10 10, -10 10, -20 -15, 10 10)))', 3, ['033', '211', '122']),
+    ('GEOMETRYCOLLECTION (POINT (60 30.12), POLYGON ((10 10, -10 10, -20 -15, 10 10)))', 3, ['033', '211', '122', '123']),
+    ('GEOMETRYCOLLECTION (POINT (60 30.12), LINESTRING (61 31, 61.01 31.01), POLYGON EMPTY)', 15, ['123030123010121', '123030112310200', '123030112310202', '123030112310201']),
+]
+CASES += [('TestBingTileFunctions.java', 548, 'ARRAY',
+           f"transform(geometry_to_bing_tiles({_g(w)}, {z}), "
+           "x -> bing_tile_quadkey(x))", want)
+          for w, z, want in _G2BT]
+CASES += [
+    ('TestBingTileFunctions.java', 503, 'ARRAY',
+     "transform(geometry_to_bing_tiles(bing_tile_polygon(bing_tile('1230301230')), 10), x -> bing_tile_quadkey(x))",
+     ['1230301230']),
+    ('TestBingTileFunctions.java', 504, 'ARRAY',
+     "transform(geometry_to_bing_tiles(bing_tile_polygon(bing_tile('1230301230')), 11), x -> bing_tile_quadkey(x))",
+     ['12303012300', '12303012302', '12303012301', '12303012303']),
+    ('TestBingTileFunctions.java', 506, 'ARRAY',
+     f"transform(geometry_to_bing_tiles(ST_Envelope({_g('LINESTRING (59.765625 29.84064389983442, 60.2 30.14512718337612)')}), 10), x -> bing_tile_quadkey(x))",
+     ['1230301230', '1230301231']),
+    ('TestBingTileFunctions.java', 533, 'BIGINT',
+     f"cardinality(geometry_to_bing_tiles(ST_Envelope({_g('LINESTRING (0 0, 80 80)')}), 5))", 104),
+    ('TestBingTileFunctions.java', 543, 'BIGINT',
+     f"cardinality(geometry_to_bing_tiles({_g('POLYGON ((0 0, 0 20, 20 20, 0 0))')}, 14))", 428787),
+]
+_TILE_CORNER = [
+    ('bing_tile(1, 1, 1)', 'ST_XMax', 'ST_YMin', 'POINT (180 -85.05112877980659)'),
+    ('bing_tile(3, 3, 2)', 'ST_XMax', 'ST_YMin', 'POINT (180 -85.05112877980659)'),
+    ('bing_tile(7, 7, 3)', 'ST_XMax', 'ST_YMin', 'POINT (180 -85.05112877980659)'),
+    ('bing_tile(15, 15, 4)', 'ST_XMax', 'ST_YMin', 'POINT (180 -85.05112877980659)'),
+    ('bing_tile(31, 31, 5)', 'ST_XMax', 'ST_YMin', 'POINT (180 -85.05112877980659)'),
+    ('bing_tile(0, 0, 1)', 'ST_XMax', 'ST_YMin', 'POINT (0 0)'),
+    ('bing_tile(1, 1, 2)', 'ST_XMax', 'ST_YMin', 'POINT (0 0)'),
+    ('bing_tile(3, 3, 3)', 'ST_XMax', 'ST_YMin', 'POINT (0 0)'),
+    ('bing_tile(7, 7, 4)', 'ST_XMax', 'ST_YMin', 'POINT (0 0)'),
+    ('bing_tile(15, 15, 5)', 'ST_XMax', 'ST_YMin', 'POINT (0 0)'),
+    ('bing_tile(1, 1, 1)', 'ST_XMin', 'ST_YMax', 'POINT (0 0)'),
+    ('bing_tile(2, 2, 2)', 'ST_XMin', 'ST_YMax', 'POINT (0 0)'),
+    ('bing_tile(4, 4, 3)', 'ST_XMin', 'ST_YMax', 'POINT (0 0)'),
+    ('bing_tile(8, 8, 4)', 'ST_XMin', 'ST_YMax', 'POINT (0 0)'),
+    ('bing_tile(16, 16, 5)', 'ST_XMin', 'ST_YMax', 'POINT (0 0)'),
+    ('bing_tile(0, 0, 1)', 'ST_XMin', 'ST_YMax', 'POINT (-180 85.05112877980659)'),
+    ('bing_tile(0, 0, 2)', 'ST_XMin', 'ST_YMax', 'POINT (-180 85.05112877980659)'),
+    ('bing_tile(0, 0, 3)', 'ST_XMin', 'ST_YMax', 'POINT (-180 85.05112877980659)'),
+    ('bing_tile(0, 0, 4)', 'ST_XMin', 'ST_YMax', 'POINT (-180 85.05112877980659)'),
+    ('bing_tile(0, 0, 5)', 'ST_XMin', 'ST_YMax', 'POINT (-180 85.05112877980659)'),
+]
+CASES += [('TestBingTileFunctions.java', 441, 'VARCHAR',
+           f"ST_AsText(apply(bing_tile_polygon({tile}), "
+           f"g -> ST_Point({fx}(g), {fy}(g))))", want)
+          for tile, fx, fy, want in _TILE_CORNER]
+
+# SphericalGeography (TestSphericalGeoFunctions.java:91-280):
+# to_spherical_geography/to_geometry round trips, ST_Distance (m),
+# ST_Area (spherical excess), ST_Length, ST_Centroid (3D mean).
+_SPH_ROUNDTRIP = [
+    'POINT EMPTY', 'MULTIPOINT EMPTY', 'LINESTRING EMPTY',
+    'MULTILINESTRING EMPTY', 'POLYGON EMPTY', 'MULTIPOLYGON EMPTY',
+    'GEOMETRYCOLLECTION EMPTY', 'POINT (-40.2 28.9)',
+    'MULTIPOINT ((-40.2 28.9), (-40.2 31.9))',
+    'LINESTRING (-40.2 28.9, -40.2 31.9, -37.2 31.9)',
+    'MULTILINESTRING ((-40.2 28.9, -40.2 31.9), (-40.2 31.9, -37.2 31.9))',
+    'POLYGON ((-40.2 28.9, -40.2 31.9, -37.2 31.9, -37.2 28.9, -40.2 28.9))',
+    'POLYGON ((-40.2 28.9, -40.2 31.9, -37.2 31.9, -37.2 28.9, -40.2 28.9), (-39.2 29.9, -38.2 29.9, -38.2 30.9, -39.2 30.9, -39.2 29.9))',
+    'MULTIPOLYGON (((-40.2 28.9, -40.2 31.9, -37.2 31.9, -37.2 28.9, -40.2 28.9)), ((-39.2 29.9, -39.2 30.9, -38.2 30.9, -38.2 29.9, -39.2 29.9)))',
+    'GEOMETRYCOLLECTION (POINT (-40.2 28.9), LINESTRING (-40.2 28.9, -40.2 31.9, -37.2 31.9), POLYGON ((-40.2 28.9, -40.2 31.9, -37.2 31.9, -37.2 28.9, -40.2 28.9)))',
+]
+CASES += [('TestSphericalGeoFunctions.java', 130, 'VARCHAR',
+           f"ST_AsText(to_geometry(to_spherical_geography({_g(w)})))", w)
+          for w in _SPH_ROUNDTRIP]
+_SPH_DIST = [
+    ('POINT (-86.67 36.12)', 'POINT (-118.40 33.94)', 2886448.973436703),
+    ('POINT (-118.40 33.94)', 'POINT (-86.67 36.12)', 2886448.973436703),
+    ('POINT (-71.0589 42.3601)', 'POINT (-71.2290 42.4430)', 16734.69743457461),
+    ('POINT (-86.67 36.12)', 'POINT (-86.67 36.12)', 0.0),
+    ('POINT EMPTY', 'POINT (40 30)', None),
+    ('POINT (20 10)', 'POINT EMPTY', None),
+    ('POINT EMPTY', 'POINT EMPTY', None),
+]
+CASES += [('TestSphericalGeoFunctions.java', 166, 'DOUBLE',
+           f"ST_Distance(to_spherical_geography({_g(a)}), "
+           f"to_spherical_geography({_g(b)}))", want)
+          for a, b, want in _SPH_DIST]
+# areas compare via the reference's own tolerant form:
+# ABS(ROUND((area/expected - 1) * 10000, 0)) = 0
+_SPH_AREA = [
+    ('POLYGON((-135 85, -45 85, 45 85, 135 85, -135 85))', 619.00e9),
+    ('POLYGON((0 0, 0 1, 1 1, 1 0, 0 0))', 123.64e8),
+    ('POLYGON((-122.150124 37.486095, -122.149201 37.486606,  -122.145725 37.486580, -122.145923 37.483961, -122.149324 37.482480,  -122.150837 37.483238,  -122.150901 37.485392, -122.150124 37.486095))', 163290.93943446054),
+    ('POLYGON((90 0, 0 0, 0 90, 90 0))', 637.58e11),
+    ('POLYGON((90 0, 0 0, 0 90, 90 0), (89 1, 1 1, 1 89, 89 1))', 348.04e10),
+]
+CASES += [('TestSphericalGeoFunctions.java', 227, 'DOUBLE',
+           f"ABS(ROUND((ST_Area(to_spherical_geography({_g(w)})) "
+           f"/ {exp!r} - 1) * 10000, 0))", 0.0)
+          for w, exp in _SPH_AREA]
+CASES += [
+    ('TestSphericalGeoFunctions.java', 226, 'DOUBLE',
+     f"ST_Area(to_spherical_geography({_g('POLYGON EMPTY')}))", None),
+    ('TestSphericalGeoFunctions.java', 234, 'DOUBLE',
+     f"ST_Length(to_spherical_geography({_g('LINESTRING EMPTY')}))", None),
+    ('TestSphericalGeoFunctions.java', 249, 'DOUBLE',
+     f"ST_Length(to_spherical_geography({_g('MULTILINESTRING (EMPTY)')}))", None),
+    ('TestSphericalGeoFunctions.java', 239, 'DOUBLE',
+     f"ROUND(ABS(ST_Length(to_spherical_geography({_g('LINESTRING (-71.05 42.36, -87.62 41.87, -122.41 37.77)')})) / 4350866.6362 - 1.0) / 0.0001, 0)", 0.0),
+    ('TestSphericalGeoFunctions.java', 242, 'DOUBLE',
+     f"ROUND(ABS(ST_Length(to_spherical_geography({_g('LINESTRING (-122.41 37.77, -87.62 41.87, -71.05 42.36)')})) / 4350866.6362 - 1.0) / 0.0001, 0)", 0.0),
+    ('TestSphericalGeoFunctions.java', 252, 'DOUBLE',
+     f"ROUND(ABS(ST_Length(to_spherical_geography({_g('MULTILINESTRING ((-71.05 42.36, -87.62 41.87, -122.41 37.77), (-73.05 42.36, -89.62 41.87, -124.41 37.77))')})) / 8701733.2724 - 1.0) / 0.0001, 0)", 0.0),
+    ('TestSphericalGeoFunctions.java', 258, 'DOUBLE',
+     f"ROUND(ABS(ST_Length(to_spherical_geography({_g('MULTILINESTRING ((-71.05 42.36, -87.62 41.87), (-87.62 41.87, -122.41 37.77))')})) / 4350866.6362 - 1.0) / 0.0001, 0)", 0.0),
+    # spherical centroid (testSTSphericalCentroid) — compared as
+    # coordinates (the Java test compares Point objects)
+    ('TestSphericalGeoFunctions.java', 266, 'VARCHAR',
+     f"ST_AsText(to_geometry(ST_Centroid(to_spherical_geography({_g('POINT (3 5)')}))))", 'POINT (3 5)'),
+    ('TestSphericalGeoFunctions.java', 267, 'VARCHAR',
+     f"ST_AsText(to_geometry(ST_Centroid(to_spherical_geography({_g('POINT EMPTY')}))))", None),
+    ('TestSphericalGeoFunctions.java', 269, 'VARCHAR',
+     f"ST_AsText(to_geometry(ST_Centroid(to_spherical_geography({_g('MULTIPOINT (3 5)')}))))", 'POINT (3 5)'),
+    ('TestSphericalGeoFunctions.java', 270, 'DOUBLE',
+     f"ST_X(to_geometry(ST_Centroid(to_spherical_geography({_g('MULTIPOINT (0 -45, 0 45)')}))))", 0.0),
+    ('TestSphericalGeoFunctions.java', 272, 'DOUBLE',
+     f"ST_X(to_geometry(ST_Centroid(to_spherical_geography({_g('MULTIPOINT (0 -45, 0 45, 30 0)')}))))", 12.36780515862267),
+    ('TestSphericalGeoFunctions.java', 272, 'DOUBLE',
+     f"ST_Y(to_geometry(ST_Centroid(to_spherical_geography({_g('MULTIPOINT (0 -45, 0 45, 30 0)')}))))", 0.0),
+    ('TestSphericalGeoFunctions.java', 273, 'DOUBLE',
+     f"ST_X(to_geometry(ST_Centroid(to_spherical_geography({_g('MULTIPOINT (0 -45, 0 45, 30 0, -30 0)')}))))", 0.0),
+]
+
 # ST_Buffer heavy vertex pins: the construction follows JTS
 # OffsetSegmentGenerator exactly (round joins/caps, fillet quantum
 # PI/16, inside-turn intersection, closing-segment factor 80), but
@@ -741,6 +999,46 @@ def test_geometry_raise_pins(spark):
         ("simplify_geometry(ST_GeometryFromText("
          "'POLYGON ((1 0, 1 1, 2 1, 2 3, 3 3, 3 1, 4 1, 4 0, 1 0))'),"
          " -0.5)", "distanceTolerance is negative"),
+        # TestBingTileFunctions.java:521-542
+        ("geometry_to_bing_tiles(ST_Point(600, 30.12), 10)",
+         "Longitude span for the geometry must be in [-180.00, 180.00] range"),
+        ("geometry_to_bing_tiles(ST_Point(60, 300.12), 10)",
+         "Latitude span for the geometry must be in [-85.05, 85.05] range"),
+        ("geometry_to_bing_tiles(ST_Point(60, 30.12), -1)",
+         "Zoom level must be >= 0"),
+        ("geometry_to_bing_tiles(ST_Point(60, 30.12), 40)",
+         "Zoom level must be <= 23"),
+        ("geometry_to_bing_tiles(ST_Envelope(ST_GeometryFromText("
+         "'LINESTRING (0 0, 80 80)')), 16)",
+         "exceeds the limit of 1M"),
+        ("geometry_to_bing_tiles(ST_GeometryFromText("
+         "'POLYGON ((0 0, 0 20, 20 20, 0 0))'), 20)",
+         "The zoom level is too high"),
+        # TestGeoFunctions.java testSTPointN/testSTLineString/
+        # testSTMultiPoint raises
+        ("ST_PointN(ST_GeometryFromText('POINT (1 2)'), 1)",
+         "ST_PointN only applies to LINE_STRING. Input type is: POINT"),
+        ("ST_PointN(ST_GeometryFromText("
+         "'GEOMETRYCOLLECTION(POINT(4 6),LINESTRING(4 6, 7 10))'), 1)",
+         "ST_PointN only applies to LINE_STRING. "
+         "Input type is: GEOMETRY_COLLECTION"),
+        ("ST_LineString(array(ST_Point(1, 2), ST_Point(1, 2)))",
+         "Invalid input to ST_LineString: consecutive duplicate points "
+         "at index 2"),
+        ("ST_LineString(array(ST_Point(7,8), ST_GeometryFromText("
+         "'LINESTRING (1 2, 3 4)')))",
+         "Invalid input to ST_LineString: geometry is not a point: "
+         "LINE_STRING at index 2"),
+        ("ST_LineString(array(ST_Point(1,2), ST_GeometryFromText("
+         "'POINT EMPTY')))",
+         "Invalid input to ST_LineString: empty point at index 2"),
+        ("ST_MultiPoint(array(ST_GeometryFromText('POINT (1 2)'), "
+         "NULL, ST_GeometryFromText('POINT (3 4)')))",
+         "Invalid input to ST_MultiPoint: null at index 2"),
+        ("ST_MultiPoint(array(ST_GeometryFromText('POINT EMPTY')))",
+         "Invalid input to ST_MultiPoint: empty point at index 1"),
+        ("ST_InteriorRings(ST_GeometryFromText('POINT (2 3)'))",
+         "ST_InteriorRings only applies to POLYGON. Input type is: POINT"),
     ]:
         with pytest.raises(Exception) as ei:
             run_sql(spark, f"SELECT {expr} AS x").collect()
@@ -752,6 +1050,8 @@ def test_excluded_inventory_not_stale():
     instrument — it must not name a function that actually has pins
     in CASES (the r11 expand_envelope drift class)."""
     doc = __doc__
+    if "- unresolved:" not in doc:
+        return  # the unresolved list is empty (r12 closed it)
     start = doc.index("- unresolved:")
     end = doc.index("this round")
     names = re.findall(r"[A-Za-z_]{4,}", doc[start:end])
