@@ -523,15 +523,24 @@ def ip_prefix_str(addr: pd.Series, bits: pd.Series) -> pd.Series:
     engine renders IPADDRESS/IPPREFIX as canonical strings."""
     import ipaddress
 
-    return pd.Series(
-        [
-            None
-            if a is None or b is None
-            else ipaddress.ip_network(f"{a}/{int(b)}", strict=False)
-            .with_prefixlen
-            for a, b in zip(addr, bits)
-        ]
-    )
+    def one(a, b):
+        if a is None or b is None:
+            return None
+        b = int(b)
+        # IpPrefixFunctions.java subnet-size validation (r12 leniency
+        # conversion; v4-mapped addresses count as IPv4 there)
+        ip = ipaddress.ip_address(a)
+        v4 = ip.version == 4 or (
+            ip.version == 6 and ip.ipv4_mapped is not None)
+        if v4 and not 0 <= b <= 32:
+            raise ValueError("IPv4 subnet size must be in range [0, 32]")
+        if not v4 and not 0 <= b <= 128:
+            raise ValueError(
+                "IPv6 subnet size must be in range [0, 128]")
+        return ipaddress.ip_network(
+            f"{a}/{b}", strict=False).with_prefixlen
+
+    return pd.Series([one(a, b) for a, b in zip(addr, bits)])
 
 
 @F.pandas_udf(StringType())
@@ -1141,6 +1150,48 @@ def _make_geo_udfs():
         ("bing_tile_zoom_level", bing_tile_zoom_level_geo),
     ]
     return udfs
+
+
+@F.pandas_udf(LongType())
+def width_bucket_bins(operand: pd.Series, bins: pd.Series) -> pd.Series:
+    """width_bucket(operand, bins) — EXACT replica of the reference's
+    validating binary search (MathFunctions.java widthBucket over
+    array(double)): empty bins and NaN operand raise up front;
+    unsorted bins and non-finite bins raise only when the BISECTION
+    PATH encounters them (TestMathFunctions.java:1289 pins an
+    unsorted array the search never notices)."""
+    import math as _m
+
+    def one(x, bs):
+        if x is None or bs is None:
+            return None
+        x = float(x)
+        bs = list(bs)
+        if len(bs) == 0:
+            raise ValueError("Bins cannot be an empty array")
+        if _m.isnan(x):
+            raise ValueError("Operand cannot be NaN")
+        lower, upper = 0, len(bs)
+        while lower < upper:
+            if bs[lower] > bs[upper - 1]:
+                raise ValueError(
+                    "Bin values are not sorted in ascending order")
+            index = (lower + upper) // 2
+            b = bs[index]
+            if not _m.isfinite(b):
+                raise ValueError(
+                    "Bin value must be finite, got %s"
+                    % ("Infinity" if b > 0 else
+                       "-Infinity" if b < 0 else "NaN"))
+            if x < b:
+                upper = index
+            else:
+                lower = index + 1
+        return lower
+
+    return pd.Series(
+        [one(x, bs) for x, bs in zip(operand, bins)], dtype="object"
+    )
 
 
 @F.pandas_udf(StringType())

@@ -87,8 +87,9 @@ _PRIORITY: tuple[str, ...] = (
     # has no other gate representative)
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
     "tpch_q18", "tpch_q19", "tpch_q22",
-    # subqueries + core shapes
-    "scalar_subquery", "in_subquery", "quantified_all",
+    # subqueries + core shapes (quantified_all rotated out in r12 —
+    # the family stays via sql_quantified_equality)
+    "scalar_subquery", "in_subquery",
     "filter_predicates", "agg_grouping_sets", "cte_query",
     # representative r7+ families (one per surface; r10 rotation:
     # rcfile codec, geometry clipping, and two SQL-front-door corpus
@@ -99,7 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "io_roundtrip_avro",
     "io_roundtrip_rcfile",
     "sql_lambda_functions", "sql_quoted_identifiers",
-    "fn_geospatial_polygon", "join_spatial_contains",
+    "join_spatial_contains",
     "dedup_minhash_lsh", "pipeline_corpus_dedup",
     "agg_hll_wire_format", "docs_sample_temperature",
     # r11 rotation: holed-polygon geometry + the quantified-equality
@@ -113,6 +114,15 @@ _PRIORITY: tuple[str, ...] = (
     # io_roundtrip_rcfile and fn_geospatial_union_holed /
     # fn_geospatial_polygon; both remain in the full local artifact).
     "sql_agg_presto_stats", "sql_agg_array_order",
+    # r12 rotation: the SQL-surface geometry suite (overlay ops,
+    # DE-9IM predicates, simplify, bing-tile covering — all new r12
+    # surfaces, closed-form oracle) and the map/histogram aggregate
+    # template surface. fn_geospatial_polygon rotates out (geometry
+    # stays covered by fn_geospatial_union_holed +
+    # join_spatial_contains + sql_geometry_suite) and quantified_all
+    # rotates out (covered by sql_quantified_equality); both remain
+    # in the full local artifact.
+    "sql_geometry_suite", "sql_agg_map_histogram",
 )
 
 

@@ -1750,3 +1750,121 @@ def sql_agg_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM fwd, rev
         """,
     )
+
+
+@register(
+    "sql_geometry_suite",
+    oracle="""
+WITH g AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey % 7) * 0.25 + 0.015625 AS ax,
+         (o_orderkey % 5) * 0.25 + 0.015625 AS ay,
+         1.5 + (o_orderkey % 3) * 0.25 AS aw,
+         1.25 + (o_orderkey % 4) * 0.25 AS ah,
+         (o_orderkey % 7) * 0.25 + (o_orderkey % 9) * 0.25
+           - 1.0 + 0.0234375 AS bx,
+         (o_orderkey % 5) * 0.25 + (o_orderkey % 6) * 0.25
+           - 0.75 + 0.0234375 AS by
+  FROM orders WHERE o_orderkey < 400
+),
+t AS (
+  SELECT k, ax, ay, aw, ah, bx, by, 1.75 AS bw, 1.5 AS bh,
+         GREATEST(0, LEAST(ax + aw, bx + 1.75) - GREATEST(ax, bx)) AS ox,
+         GREATEST(0, LEAST(ay + ah, by + 1.5) - GREATEST(ay, by)) AS oy
+  FROM g
+),
+tiles AS (
+  SELECT k,
+         FLOOR(LEAST(GREATEST((ax + 180) / 360 * 65536, 0), 65535)
+               / 256) AS lux,
+         FLOOR(LEAST(GREATEST((ax + aw + 180) / 360 * 65536, 0), 65535)
+               / 256) AS rlx,
+         FLOOR(LEAST(GREATEST(
+           (0.5 - LN((1 + SIN((ay + ah) * PI() / 180))
+                     / (1 - SIN((ay + ah) * PI() / 180))) / (4 * PI()))
+           * 65536, 0), 65535) / 256) AS luy,
+         FLOOR(LEAST(GREATEST(
+           (0.5 - LN((1 + SIN(ay * PI() / 180))
+                     / (1 - SIN(ay * PI() / 180))) / (4 * PI()))
+           * 65536, 0), 65535) / 256) AS rly
+  FROM t
+)
+SELECT t.k,
+       ROUND(ox * oy, 9) AS inter_area,
+       ROUND(aw * ah + bw * bh - ox * oy, 9) AS union_area,
+       (ax <= bx AND ay <= by AND ax + aw >= bx + bw
+        AND ay + ah >= by + bh) AS contains_b,
+       (ox > 0 AND oy > 0) AS intersects_b,
+       (ax <= bx AND ay <= by AND ax + aw >= bx + bw
+        AND ay + ah >= by + bh) AS relate_contains,
+       CAST((rlx - lux + 1) * (rly - luy + 1) AS BIGINT) AS n_tiles,
+       ROUND(aw * ah, 9) AS simpl_area
+FROM t JOIN tiles ON t.k = tiles.k
+""",
+)
+def sql_geometry_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 geometry SQL surface as an oracle-backed registry
+    query: overlay ops (ST_Intersection/ST_Union areas), DE-9IM
+    predicates (ST_Contains/ST_Intersects/ST_Relate),
+    simplify_geometry, and geometry_to_bing_tiles cardinality over
+    per-row axis-aligned rectangles derived from orders. Coordinates
+    sit on a 1/64 grid (A) and 1/128 grid (B) so rectangle edges are
+    exact binary doubles that never coincide (no degenerate
+    line-intersection results) and never land on zoom-8 Bing tile
+    boundaries (the oracle's tile-count formula then needs no
+    border-shift term). The DuckDB oracle computes every column in
+    closed form: rectangle overlap algebra, bounds comparisons, and
+    the Mercator tile arithmetic from BingTileFunctions.java.
+
+    100 TB: one scan, per-row Arrow-batched UDFs, no shuffle, no
+    collect — embarrassingly parallel."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        WITH g AS (
+          SELECT o_orderkey AS k,
+                 (o_orderkey % 7) * 0.25 + 0.015625 AS ax,
+                 (o_orderkey % 5) * 0.25 + 0.015625 AS ay,
+                 1.5 + (o_orderkey % 3) * 0.25 AS aw,
+                 1.25 + (o_orderkey % 4) * 0.25 AS ah,
+                 (o_orderkey % 7) * 0.25 + (o_orderkey % 9) * 0.25
+                   - 1.0 + 0.0234375 AS bx,
+                 (o_orderkey % 5) * 0.25 + (o_orderkey % 6) * 0.25
+                   - 0.75 + 0.0234375 AS by
+          FROM orders WHERE o_orderkey < 400
+        ),
+        w AS (
+          SELECT k, ax, ay, aw, ah,
+                 ST_GeometryFromText(concat(
+                   'POLYGON ((', CAST(ax AS VARCHAR), ' ',
+                   CAST(ay AS VARCHAR), ', ', CAST(ax AS VARCHAR), ' ',
+                   CAST(ay + ah AS VARCHAR), ', ',
+                   CAST(ax + aw AS VARCHAR), ' ',
+                   CAST(ay + ah AS VARCHAR), ', ',
+                   CAST(ax + aw AS VARCHAR), ' ', CAST(ay AS VARCHAR),
+                   ', ', CAST(ax AS VARCHAR), ' ', CAST(ay AS VARCHAR),
+                   '))')) AS ga,
+                 ST_GeometryFromText(concat(
+                   'POLYGON ((', CAST(bx AS VARCHAR), ' ',
+                   CAST(by AS VARCHAR), ', ', CAST(bx AS VARCHAR), ' ',
+                   CAST(by + 1.5 AS VARCHAR), ', ',
+                   CAST(bx + 1.75 AS VARCHAR), ' ',
+                   CAST(by + 1.5 AS VARCHAR), ', ',
+                   CAST(bx + 1.75 AS VARCHAR), ' ',
+                   CAST(by AS VARCHAR), ', ', CAST(bx AS VARCHAR), ' ',
+                   CAST(by AS VARCHAR), '))')) AS gb
+          FROM g
+        )
+        SELECT k,
+               ROUND(ST_Area(ST_Intersection(ga, gb)), 9) AS inter_area,
+               ROUND(ST_Area(ST_Union(ga, gb)), 9) AS union_area,
+               ST_Contains(ga, gb) AS contains_b,
+               ST_Intersects(ga, gb) AS intersects_b,
+               ST_Relate(ga, gb, 'T*****FF*') AS relate_contains,
+               cardinality(geometry_to_bing_tiles(ga, 8)) AS n_tiles,
+               ROUND(ST_Area(simplify_geometry(ga, 0.1)), 9)
+                 AS simpl_area
+        FROM w
+        """,
+    )

@@ -1992,6 +1992,9 @@ def _ensure_sql_udfs(spark: SparkSession) -> None:
     from presto_0_235_spark.functions import udfs as U
 
     spark.udf.register("word_stem", U.word_stem)
+    # width_bucket array-bins form: the reference's validating binary
+    # search, replicated exactly (MathFunctions.java)
+    spark.udf.register("width_bucket_bins", U.width_bucket_bins)
     # hex-returning helpers; templates restore Presto's VARBINARY
     # returns via unhex
     spark.udf.register("hmac_sha256_hex", U.hmac_sha256)

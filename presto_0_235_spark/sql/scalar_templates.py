@@ -87,6 +87,9 @@ _DATE_LIT = re.compile("^DATE\\s*\x00s\\d+\x00$", re.IGNORECASE)
 _TEMPLATE_NAMES = (
     "apply",
     "transform",
+    "random",
+    "rand",
+    "sequence",
     "bitwise_and",
     "bitwise_or",
     "bitwise_xor",
@@ -745,10 +748,18 @@ def _rewrite_one(
 
     if name == "ngrams" and len(a) == 2:
         # ARRAY n-grams (ArrayNgramsFunction.java): n >= length gives
-        # one ngram holding the whole array.
+        # one ngram holding the whole array; n <= 0 raises (r12
+        # leniency conversion, TestArrayNgramsFunction.java:103).
         arr, n = a
+        # the guard lives inside the sequence lower bound so the
+        # raise branch types as INT regardless of the array element
+        # type (a CASE around the whole call could not type the
+        # raise branch polymorphically)
+        bad = _raise(_stash_lit(stash, "N must be positive"), "INT")
+        lo = f"(CASE WHEN {n} <= 0 THEN {bad} ELSE 1 END)"
         return (
-            f"transform(sequence(1, greatest(size({arr}) - ({n}) + 1, 1)), "
+            f"transform(sequence({lo}, "
+            f"greatest(size({arr}) - ({n}) + 1, 1)), "
             f"i -> slice({arr}, i, {n}))"
         )
 
@@ -857,9 +868,19 @@ def _rewrite_one(
             n = int(args[1].strip())
         except ValueError:
             return None
-        if n < 0 or n > 5:
-            return None
         arr = a[0]
+        if n < 0:
+            # ArrayCombinationsFunction.java:59 (r12 leniency
+            # conversion)
+            return _raise(
+                _stash_lit(stash,
+                           f"combination size must not be negative: {n}"),
+                "ARRAY<STRING>")
+        if n > 5:
+            return _raise(
+                _stash_lit(stash,
+                           f"combination size must not exceed 5: {n}"),
+                "ARRAY<STRING>")
         if n == 0:
             return "array(array())"
         # indexes i1 < i2 < ... < in over 1..size
@@ -867,9 +888,21 @@ def _rewrite_one(
         for k in range(n, 0, -1):
             lo = "1" if k == 1 else f"i{k - 1} + 1"
             hi = f"size({arr}) - {n - k}" if k < n else f"size({arr})"
+            if k == 1:
+                # result-size cap (ArrayCombinationsFunction.java:68:
+                # C(s, n) * n <= 100000, r12 leniency conversion) —
+                # the raise hides in the outermost sequence bound so
+                # it types as INT for any element type
+                fact = [1, 1, 2, 6, 24, 120][n]
+                ccount = " * ".join(
+                    f"(CAST(size({arr}) AS BIGINT) - {j})"
+                    for j in range(n))
+                toobig = _raise(
+                    _stash_lit(stash, "combinations exceed max size"),
+                    "INT")
+                hi = (f"(CASE WHEN ({ccount}) / {fact} * {n} > 100000 "
+                      f"THEN {toobig} ELSE {hi} END)")
             expr = f"flatten(transform(sequence({lo}, {hi}), i{k} -> {expr}))"
-            if k > 1:
-                continue
         # guard: sequence(lo, hi) with lo > hi DESCENDS in Spark —
         # produce [] when the array is too short instead.
         return (
@@ -1052,17 +1085,79 @@ def _rewrite_one(
         return f"bing_tile_xyz({a[0]}, {a[1]}, {a[2]})"
 
     if name == "width_bucket" and len(a) == 2:
-        # Array-bins form (MathFunctions.java widthBucket(operand,
-        # bins)): index of the bucket = number of bin boundaries <=
-        # operand. The reference requires a non-empty bins array.
-        x, bins = a
-        msg = _stash_lit(stash, "Bins cannot be an empty array")
+        # Array-bins form: the reference validates DURING its binary
+        # search (MathFunctions.java widthBucket(operand, bins) —
+        # unsortedness or a non-finite bin raises only when the
+        # bisection path sees it; TestMathFunctions.java:1289 pins an
+        # unsorted array that still returns). Exact loop replica as a
+        # pandas UDF (functions/udfs.py width_bucket_bins).
+        return (f"width_bucket_bins(CAST({a[0]} AS DOUBLE), "
+                f"CAST({a[1]} AS ARRAY<DOUBLE>))")
+
+    if name == "width_bucket" and len(a) == 4:
+        # Bounds form (MathFunctions.java widthBucket(operand, b1,
+        # b2, count)) with the reference's argument-validation raises
+        # (TestMathFunctions.java:1243-1250; r12 leniency conversion)
+        # and its exact bucket arithmetic incl. descending bounds.
+        x, b1, b2, cnt = (f"CAST({a[0]} AS DOUBLE)",
+                          f"CAST({a[1]} AS DOUBLE)",
+                          f"CAST({a[2]} AS DOUBLE)",
+                          f"CAST({a[3]} AS BIGINT)")
+        badc = _raise(
+            _stash_lit(stash, "bucketCount must be greater than 0"),
+            "BIGINT")
+        nan = _raise(
+            _stash_lit(stash, "operand must not be NaN"), "BIGINT")
+        beq = _raise(
+            _stash_lit(stash, "bounds cannot equal each other"),
+            "BIGINT")
+        bf1 = _raise(
+            _stash_lit(stash, "first bound must be finite"), "BIGINT")
+        bf2 = _raise(
+            _stash_lit(stash, "second bound must be finite"), "BIGINT")
+        infv = f"CAST({_stash_lit(stash, 'Infinity')} AS DOUBLE)"
+        up = (f"(CASE WHEN {x} < {b1} THEN CAST(0 AS BIGINT) "
+              f"WHEN {x} >= {b2} THEN {cnt} + 1 "
+              f"ELSE CAST(floor(({x} - {b1}) / ({b2} - {b1}) "
+              f"* {cnt}) AS BIGINT) + 1 END)")
+        down = (f"(CASE WHEN {x} > {b1} THEN CAST(0 AS BIGINT) "
+                f"WHEN {x} <= {b2} THEN {cnt} + 1 "
+                f"ELSE CAST(floor(({b1} - {x}) / ({b1} - {b2}) "
+                f"* {cnt}) AS BIGINT) + 1 END)")
         return (
-            f"(CASE WHEN size({bins}) = 0 THEN "
-            f"CAST(raise_error({msg}) AS BIGINT) "
-            f"ELSE CAST(size(filter({bins}, "
-            f"b -> CAST({x} AS DOUBLE) >= b)) AS BIGINT) END)"
+            f"(CASE WHEN {cnt} <= 0 THEN {badc} "
+            f"WHEN isnan({x}) THEN {nan} "
+            f"WHEN isnan({b1}) OR abs({b1}) = {infv} THEN {bf1} "
+            f"WHEN isnan({b2}) OR abs({b2}) = {infv} THEN {bf2} "
+            f"WHEN {b1} = {b2} THEN {beq} "
+            f"WHEN {b1} < {b2} THEN {up} ELSE {down} END)"
         )
+
+    if name in ("random", "rand") and len(a) == 1:
+        # Presto random(n)/rand(n) is a uniform INTEGER in [0, n)
+        # with a positivity raise (MathFunctions.java:577-601) —
+        # Spark's rand(n) treats the argument as a SEED and returns a
+        # double, a silent wrong-TYPE trap the r12 sweep closed.
+        n = a[0]
+        bad = _raise(
+            _stash_lit(stash, "bound must be positive"), "BIGINT")
+        return (
+            f"(CASE WHEN {n} <= 0 THEN {bad} "
+            f"ELSE CAST(floor(rand() * {n}) AS BIGINT) END)"
+        )
+
+    if name == "sequence" and len(a) in (2, 3):
+        # Presto caps sequence results at 10000 entries
+        # (ArrayFunctions MAX_ARRAY_LENGTH; TestArrayOperators.java:
+        # 1610-1616 — r12 leniency conversion). The size check runs
+        # on the materialized result (macro caveat: the sequence
+        # expression appears twice).
+        seq = f"sequence({', '.join(x.strip() for x in args)})"
+        toobig = _raise(
+            _stash_lit(stash, "result of sequence function must not "
+                              "have more than 10000 entries"), "INT")
+        lo = f"(CASE WHEN size({seq}) > 10000 THEN {toobig} ELSE 1 END)"
+        return f"slice({seq}, {lo}, size({seq}))"
 
     if name == "cosine_similarity" and len(a) == 2:
         # Sparse map vectors (MathFunctions.java cosineSimilarity).
