@@ -85,6 +85,38 @@ def main() -> None:
             total += it.next().getCollectionTime()
         return total
 
+    def calibration_probe() -> dict[str, float]:
+        """Fixed, plan-frozen machine-speed probe (r11 verdict #6):
+        cross-round bench comparisons can normalize by these instead
+        of guessing 'machine-side drift'. Two shapes: a pure-CPU
+        whole-stage-codegen scan-sum (no IO, no shuffle) and a
+        one-shuffle groupBy over synthetic uniform keys. Both run
+        prewarm + 2 measured, min-of-warm like the queries; neither
+        touches the data dir, so the numbers are comparable across
+        rounds regardless of query-set changes."""
+        from pyspark.sql import functions as F
+
+        out: dict[str, float] = {}
+
+        def run(label, thunk):
+            best = float("inf")
+            for i in range(3):
+                t0 = time.perf_counter()
+                thunk()
+                dt = time.perf_counter() - t0
+                if i > 0:
+                    best = min(best, dt)
+            out[label] = round(best, 4)
+
+        run("cpu_scan_sum",
+            lambda: spark.range(500_000_000).agg(
+                F.sum("id")).collect())
+        run("shuffle_groupby",
+            lambda: spark.range(20_000_000).select(
+                (F.col("id") % 100_000).alias("k"))
+            .groupBy("k").count().agg(F.sum("count")).collect())
+        return out
+
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     names = (
         [n.strip() for n in only.split(",") if n.strip()]
@@ -126,6 +158,8 @@ def main() -> None:
         raw[name] = runs
         gc_ms[name] = gcs
 
+    probe = calibration_probe()
+
     sf_match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
     print(
@@ -137,6 +171,7 @@ def main() -> None:
                 "queries": timings,
                 "raw_runs": raw,
                 "gc_ms": gc_ms,
+                "calibration": probe,
                 "driver_mem": os.environ.get(
                     "SPARK_GRAFT_DRIVER_MEM", "16g"
                 ),
