@@ -1790,15 +1790,16 @@ tiles AS (
   FROM t
 )
 SELECT t.k,
-       ROUND(ox * oy, 9) AS inter_area,
-       ROUND(aw * ah + bw * bh - ox * oy, 9) AS union_area,
+       CAST(ROUND(ox * oy, 9) AS DOUBLE) AS inter_area,
+       CAST(ROUND(aw * ah + bw * bh - ox * oy, 9) AS DOUBLE)
+         AS union_area,
        (ax <= bx AND ay <= by AND ax + aw >= bx + bw
         AND ay + ah >= by + bh) AS contains_b,
        (ox > 0 AND oy > 0) AS intersects_b,
        (ax <= bx AND ay <= by AND ax + aw >= bx + bw
         AND ay + ah >= by + bh) AS relate_contains,
        CAST((rlx - lux + 1) * (rly - luy + 1) AS BIGINT) AS n_tiles,
-       ROUND(aw * ah, 9) AS simpl_area
+       CAST(ROUND(aw * ah, 9) AS DOUBLE) AS simpl_area
 FROM t JOIN tiles ON t.k = tiles.k
 """,
 )
@@ -1866,5 +1867,254 @@ def sql_geometry_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(ST_Area(simplify_geometry(ga, 0.1)), 9)
                  AS simpl_area
         FROM w
+        """,
+    )
+
+
+# --- r12: the heaviest window/aggregate edge semantics promoted from
+# fixture-scale pin corpora to sf-scale differentials (r11 verdict
+# #8). Each runs through the SQL front door over lineitem/orders so
+# the edge lowerings are exercised on real data volumes. ---
+
+
+@register(
+    "sql_win_ntile_expr_scale",
+    oracle="""
+WITH t AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         1 + l_suppkey % 4 AS b,
+         CAST(row_number() OVER (PARTITION BY l_returnflag
+              ORDER BY l_orderkey, l_linenumber) - 1 AS BIGINT) AS r0,
+         CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+  FROM lineitem WHERE l_orderkey < 1000
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(CASE WHEN n < b THEN r0 + 1
+            WHEN r0 < (n // b + 1) * (n % b) THEN r0 // (n // b + 1) + 1
+            ELSE (r0 - n % b) // (n // b) + 1 END AS BIGINT) AS bucket
+FROM t
+""",
+)
+def sql_win_ntile_expr_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row ntile(expr) — the reference's NTileFunction.java:46-72
+    bucket arithmetic (the front door lowers non-literal bucket
+    counts to it) — over lineitem at scale. The oracle computes the
+    same arithmetic from row_number/count, so the differential pins
+    the lowering's formula, not DuckDB's ntile."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT l_orderkey, l_linenumber,
+               ntile(1 + l_suppkey % 4) OVER (
+                 PARTITION BY l_returnflag
+                 ORDER BY l_orderkey, l_linenumber) AS bucket
+        FROM lineitem WHERE l_orderkey < 1000
+        """,
+    )
+
+
+@register(
+    "sql_win_unordered_ranking_scale",
+    oracle="""
+SELECT o_orderkey,
+       CAST(1 AS DOUBLE) AS cd, CAST(0 AS DOUBLE) AS pr,
+       CAST(1 AS BIGINT) AS rk
+FROM orders WHERE o_orderkey < 2000
+""",
+)
+def sql_win_unordered_ranking_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unordered ranking specs (cume_dist()/percent_rank()/rank()
+    OVER (PARTITION BY ...) with no ORDER BY — all rows peers, the
+    r11 window-corpus gap) at orders scale. The closed-form oracle IS
+    the peers semantics: cume_dist 1, percent_rank 0, rank 1."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT o_orderkey,
+               cume_dist() OVER (PARTITION BY o_orderstatus) AS cd,
+               percent_rank() OVER (PARTITION BY o_orderstatus) AS pr,
+               rank() OVER (PARTITION BY o_orderstatus) AS rk
+        FROM orders WHERE o_orderkey < 2000
+        """,
+    )
+
+
+@register(
+    "sql_win_lag_offset_scale",
+    oracle="""
+SELECT o_orderkey,
+       lag(o_totalprice, 2, -1.0) OVER w AS l2,
+       lag(o_totalprice, 0) OVER w AS l0,
+       lead(o_totalprice, 100000, -2.0) OVER w AS ld_big,
+       CAST(NULL AS DOUBLE) AS l_null_off
+FROM orders WHERE o_orderkey < 2000
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+""",
+)
+def sql_win_lag_offset_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offset edges at scale (LagFunction.java:55-75):
+    explicit default, offset 0 (the row itself), an offset past every
+    partition (default fills), and a NULL offset (NULL result — the
+    r11 corpus gap; the oracle states it as a literal since DuckDB
+    rejects non-constant offsets)."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT o_orderkey,
+               lag(o_totalprice, 2, -1.0) OVER w AS l2,
+               lag(o_totalprice, 0) OVER w AS l0,
+               lead(o_totalprice, 100000, -2.0) OVER w AS ld_big,
+               lag(o_totalprice, CAST(NULL AS INTEGER)) OVER w
+                 AS l_null_off
+        FROM orders WHERE o_orderkey < 2000
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        """,
+    )
+
+
+@register(
+    "sql_agg_minmax_n_scale",
+    oracle="""
+SELECT o_orderpriority,
+       array_to_string((array_agg(o_orderstatus ORDER BY o_orderstatus))[1:2], ',') AS min2,
+       array_to_string((array_agg(o_orderstatus ORDER BY o_orderstatus DESC))[1:2], ',') AS max2,
+       array_to_string((array_agg(o_orderstatus ORDER BY o_orderkey))[1:3], ',') AS first3,
+       array_to_string((array_agg(o_orderstatus ORDER BY o_orderkey DESC))[1:3], ',') AS last3
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def sql_agg_minmax_n_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min(x,n)/max(x,n) (MinMaxNAggregation) and 3-arg min_by/max_by
+    (MinMaxByNAggregation) over full lineitem — the r11 lowerings
+    exercised on real volumes with a tie-free key expression so the
+    top-N is deterministic."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT o_orderpriority,
+               array_join(min(o_orderstatus, 2), ',') AS min2,
+               array_join(max(o_orderstatus, 2), ',') AS max2,
+               array_join(min_by(o_orderstatus, o_orderkey, 3), ',')
+                 AS first3,
+               array_join(max_by(o_orderstatus, o_orderkey, 3), ',')
+                 AS last3
+        FROM orders
+        GROUP BY o_orderpriority
+        """,
+    )
+
+
+@register(
+    "sql_agg_array_order_scale",
+    oracle="""
+SELECT l_suppkey,
+       array_to_string(
+         array_agg(l_linestatus ORDER BY l_extendedprice DESC,
+                   l_orderkey DESC, l_linenumber DESC)[1:5], ',')
+         AS by_price,
+       array_to_string(
+         array_agg(CAST(l_orderkey AS VARCHAR)
+                   ORDER BY l_orderkey, l_linenumber)[1:3], ',')
+         AS first_keys
+FROM lineitem
+WHERE l_suppkey < 40
+GROUP BY l_suppkey
+""",
+)
+def sql_agg_array_order_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key array_agg ORDER BY (sorted-aggregation comparator
+    with DESC/ASC mix and tiebreaks) over lineitem groups at scale —
+    the fixture-scale r11 surface on real volumes, sliced to the
+    leading elements so outputs stay gate-shaped."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT l_suppkey,
+               array_join(slice(array_agg(l_linestatus
+                 ORDER BY l_extendedprice DESC, l_orderkey DESC,
+                          l_linenumber DESC), 1, 5), ',') AS by_price,
+               array_join(slice(array_agg(CAST(l_orderkey AS VARCHAR)
+                 ORDER BY l_orderkey, l_linenumber), 1, 3), ',')
+                 AS first_keys
+        FROM lineitem
+        WHERE l_suppkey < 40
+        GROUP BY l_suppkey
+        """,
+    )
+
+
+@register(
+    "sql_win_nth_frame_scale",
+    oracle="""
+SELECT o_orderkey,
+       nth_value(o_totalprice, 3) OVER (
+         PARTITION BY o_orderstatus ORDER BY o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS nth3,
+       first_value(o_totalprice) OVER (
+         PARTITION BY o_orderstatus ORDER BY o_orderkey
+         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS fv,
+       sum(CAST(o_totalprice AS DECIMAL(18, 4))) OVER (
+         PARTITION BY o_orderstatus ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+FROM orders WHERE o_orderkey < 2000
+""",
+)
+def sql_win_nth_frame_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value / first_value over sliding ROWS frames plus a
+    running sum — the frame-edge semantics from the window corpus on
+    orders at scale (o_totalprice is DECIMAL so the running sum is
+    exact and order-independent for the hash compare)."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT o_orderkey,
+               nth_value(o_totalprice, 3) OVER (
+                 PARTITION BY o_orderstatus ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS nth3,
+               first_value(o_totalprice) OVER (
+                 PARTITION BY o_orderstatus ORDER BY o_orderkey
+                 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS fv,
+               sum(CAST(o_totalprice AS DECIMAL(18, 4))) OVER (
+                 PARTITION BY o_orderstatus ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS running
+        FROM orders WHERE o_orderkey < 2000
+        """,
+    )
+
+
+@register(
+    "sql_agg_approx_percentile_scale",
+    # no oracle: approx_percentile is sketch-estimated on both
+    # engines (qdigest vs GK) — rows-only, like the reference's own
+    # approx tests which assert within error bounds only
+)
+def sql_agg_approx_percentile_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 0.235 approx_percentile forms incl. the weighted
+    (value, percentile, weight) signature
+    (ApproximateLongPercentileAggregations.java:60-80) over lineitem at
+    scale; rows-only because the estimates are sketch-dependent."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT l_returnflag,
+               approx_percentile(l_extendedprice, 0.5) AS p50,
+               approx_percentile(l_extendedprice, 0.5,
+                 CAST(l_quantity AS BIGINT)) AS p50w,
+               approx_percentile(l_extendedprice, 0.9) AS p90
+        FROM lineitem
+        GROUP BY l_returnflag
         """,
     )
