@@ -140,6 +140,9 @@ _TEMPLATE_NAMES = (
     "to_utf8",
     "from_utf8",
     "normalize",
+    "lpad",
+    "rpad",
+    "date_trunc",
     "hmac_sha256",
     "hmac_md5",
     "hmac_sha1",
@@ -811,10 +814,52 @@ def _rewrite_one(
             form = _stash_lit(stash, "NFC")
         else:
             kw = args[1].strip().upper()
+            km = _STR_PH.match(kw)
+            if km is not None:
+                kw = stash[int(km.group(1))][1][1:-1].upper()
             if kw not in ("NFC", "NFD", "NFKC", "NFKD"):
-                return None
+                # StringFunctions.java:846 (r12 leniency conversion —
+                # an unknown form previously fell through to an
+                # unresolved-routine error)
+                return _raise(
+                    _stash_lit(stash, "Normalization form must be "
+                                      "one of [NFD, NFC, NFKD, NFKC]"),
+                    "STRING")
             form = _stash_lit(stash, kw)
         return f"unicode_normalize({form}, {a[0]})"
+
+    if name in ("lpad", "rpad") and len(a) == 3:
+        # StringFunctions.java:684-688 validation (r12 leniency
+        # conversion): Spark pads through negative lengths (empty
+        # string) and empty pad strings.
+        s_, n, pad = a
+        badlen = _raise(
+            _stash_lit(stash, "Target length must be in the range "
+                              "[0..2147483647]"), "STRING")
+        badpad = _raise(
+            _stash_lit(stash, "Padding string must not be empty"),
+            "STRING")
+        return (
+            f"(CASE WHEN {n} < 0 OR {n} > 2147483647 THEN {badlen} "
+            f"WHEN length({pad}) = 0 THEN {badpad} "
+            f"ELSE {name}({s_}, CAST({n} AS INT), {pad}) END)"
+        )
+
+    if name == "date_trunc" and len(a) == 2:
+        # DateTimeFunctions.java:549-591: an unknown unit raises
+        # where Spark's date_trunc returns NULL (r12 leniency
+        # conversion). Literal units only; the valid set passes
+        # through untouched.
+        unit = _lit_of(args[0], stash)
+        if unit is not None and unit.lower() not in (
+                "millisecond", "second", "minute", "hour", "day",
+                "week", "month", "quarter", "year"):
+            return _raise(
+                _stash_lit(stash,
+                           f"'{unit.lower()}' is not a valid "
+                           "Timestamp field"),
+                "TIMESTAMP")
+        return None
 
     if name == "json_parse" and len(a) == 1:
         # Presto json_parse canonicalizes (whitespace, key order,

@@ -1133,16 +1133,12 @@ CORPUS: list[Case] = [
     C("lambda_subquery_context",
       "SELECT apply(x, i -> i * i) FROM (SELECT 10 x)",
       f"{_ATQ}:256 testLambdaInSubqueryContext", duck="SELECT 100"),
+    # GREEN since r12: apply() INLINES the lambda body (the old
+    # lowering wrapped it in transform(array(...)), where Spark
+    # forbids subquery expressions) — the xfail converted to a pass.
     C("lambda_scalar_subquery_arg",
       "SELECT apply((SELECT 10), i -> i * i)", f"{_ATQ}:256",
-      duck="SELECT 100",
-      marks=(pytest.mark.xfail(
-          strict=True,
-          reason="Spark forbids subquery expressions inside "
-                 "higher-order functions (the lowering target of "
-                 "Presto's apply()); Presto evaluates them. "
-                 "Engine-level analyzer restriction.",
-      ),)),
+      duck="SELECT 100"),
     C("lambda_in_unnest",
       "SELECT * FROM UNNEST(transform(sequence(1, 5), x -> x * x)) "
       "t(v)", f"{_ATQ}:268 testLambdaInValuesAndUnnest",
