@@ -621,8 +621,6 @@ def _overlay(wa: str, wb: str, op: str) -> str:
                 pts.append(p)
     elif op == "symdifference":
         for p in sorted(set(ga.points) | set(gb.points), key=_yx):
-            lonely = (p in set(ga.points)) != (p in set(gb.points)) or \
-                (p in set(ga.points) and p in set(gb.points) and False)
             if p in set(ga.points) and gb.in_closure(p):
                 continue
             if p in set(gb.points) and ga.in_closure(p):
@@ -698,18 +696,11 @@ def de9im(wa: str, wb: str) -> list:
     """3x3 matrix of intersection DIMENSIONS (-1 empty, else 0/1/2)
     between {interior, boundary, exterior} of A and of B."""
     ga, gb = _Geom(wa), _Geom(wb)
-    dims_a = 2 if ga.rings else (1 if ga.lines else 0)
-    dims_b = 2 if gb.rings else (1 if gb.lines else 0)
     labels = _node(ga, gb)
     all_pts = set(ga.points) | set(gb.points)
     eps = _eps_for(labels, all_pts)
     m = [[-1] * 3 for _ in range(3)]
     idx = {"I": 0, "B": 1, "E": 2}
-
-    def cls2(g: _Geom, p: Pt, dim_in: int) -> str:
-        # classification of a sample of dimension dim_in
-        c = _classify(p, g)
-        return c
 
     def feed(p: Pt, dim: int):
         ca, cb = _classify(p, ga), _classify(p, gb)
@@ -744,15 +735,9 @@ def de9im(wa: str, wb: str) -> list:
     # handled by midpoint feed above. Boundary-of-line endpoints by
     # node feed. Exterior/exterior always dim 2 on the plane:
     m[2][2] = 2
-    # exterior intersections with interiors of 2D/1D parts: a far
-    # point plus per-edge side samples cover EI/IE; ensure the
-    # far-field sample exists:
-    far = (Fraction(10) ** 9 + Fraction(12345, 67),
-           Fraction(10) ** 9 + Fraction(7, 13))
-    feed(far, 2) if False else None
-    # A interior vs B exterior at full dimension: any side sample
-    # strictly inside A and outside B already fed dim 2; for 1D A, a
-    # midpoint of an A-only edge fed dim 1. Nothing more needed.
+    # Exterior-vs-interior cells are fed by the per-edge side
+    # samples (a point just off an A-only edge is in B's exterior and
+    # vice versa); nothing more needed.
     return m
 
 
@@ -852,8 +837,7 @@ def _rings_of(parsed):
     tag, payload = parsed
     out = []
     if tag == "POLYGON" and payload:
-        rs = [[_fpt(p) for p in r[:-1] if True] for r in payload]
-        rs = [_dedup_ring(r) for r in rs]
+        rs = [_dedup_ring([_fpt(p) for p in r[:-1]]) for r in payload]
         out.append((rs[0], rs[1:]))
     elif tag == "MULTIPOLYGON" and payload:
         for rings in payload:
@@ -959,8 +943,6 @@ def invalid_reason_valid_part(parsed):
         # shell at 2+ distinct points pinches the interior apart
         for h in holes:
             touches = {p for p in h if _pt_on_ring(p, shell)}
-            touches |= {q for e in _ring_edges_list(h)
-                        for q in () }
             if len(touches) >= 2:
                 return "Interior is disconnected"
     # shells nested / overlapping across polygons (noding already
@@ -1116,9 +1098,6 @@ def _simplify_path(pts, tol, min_size, other_edges):
                     continue
                 return True
         return False
-
-    def result_size():
-        return len(result_pts) + (0 if result_pts else 0)
 
     def section(i, j, depth):
         depth += 1

@@ -1,8 +1,9 @@
 """Geometry value-pin corpus — MECHANICALLY EXTRACTED from
 presto-geospatial's TestGeoFunctions/TestBingTileFunctions/
 TestSphericalGeoFunctions/TestGeoRelations (the r11 extraction
-methodology applied to the plugin suite). 155 pins covering the NEW
-SQL-surface geometry family: the DataFrame path keeps the
+methodology applied to the plugin suite). 943 exact pins (plus 3
+ring-rotation-insensitive and 6 numeric-alignment buffer pins)
+covering the SQL-surface geometry family: the DataFrame path keeps the
 Column-expression engine in functions/geo.py; the SQL front door now
 resolves ST_GeometryFromText / ST_AsText / ST_Point / ST_X/Y /
 ST_XMin/XMax/YMin/YMax / ST_Envelope / ST_GeometryType / ST_IsClosed/
