@@ -1458,3 +1458,208 @@ def length_sql(wkt: str):
 def centroid_sql(wkt: str):
     return (spherical_centroid(wkt) if wkt.startswith(SPH_MARK)
             else centroid(wkt))
+
+
+# --------------------------------------------------------------------------
+# r12 batch 2: ST_ConvexHull, ST_CoordDim, ST_Dimension,
+# ST_EnvelopeAsPts, line_interpolate_point, WKB I/O
+# (GeoFunctions.java:303-378,430-520,720-758).
+# --------------------------------------------------------------------------
+
+
+def convex_hull(wkt: str) -> str:
+    """ST_ConvexHull (GeoFunctions.java:303): monotone chain over
+    every vertex. Output conventions from TestGeoFunctions
+    testSTConvexHull: clockwise ring rotated to the first INPUT
+    vertex that lies on the hull; collinear inputs print the extreme
+    pair; single point prints POINT; empties keep their tag."""
+    g = parse_wkt(wkt)
+    pts = list(_all_points(g))
+    if not pts:
+        return format_wkt(g)
+    uniq = list(dict.fromkeys(pts))
+    if len(uniq) == 1:
+        return format_wkt(("POINT", uniq[0]))
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) \
+            - (a[1] - o[1]) * (b[0] - o[0])
+
+    srt = sorted(uniq)
+    lower, upper = [], []
+    for p in srt:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    for p in reversed(srt):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]  # counter-clockwise
+    if len(hull) <= 2:
+        lo, hi = srt[0], srt[-1]
+        return format_wkt(("LINESTRING", [lo, hi]))
+    hull = hull[::-1]  # clockwise (ESRI exterior convention)
+    on_hull = set(hull)
+    start = next((p for p in pts if p in on_hull), hull[0])
+    i = hull.index(start)
+    ring = hull[i:] + hull[:i]
+    return format_wkt(("POLYGON", [ring + [ring[0]]]))
+
+
+def coord_dim(wkt: str) -> int:
+    """ST_CoordDim: always 2 in this planar engine (no Z/M)."""
+    parse_wkt(wkt)
+    return 2
+
+
+def dimension(wkt: str) -> int:
+    """ST_Dimension: topological dimension by TYPE (a POLYGON EMPTY
+    is still 2 — TestGeoFunctions testSTDimension)."""
+    tag, payload = parse_wkt(wkt)
+    if tag in ("POINT", "MULTIPOINT"):
+        return 0
+    if tag in ("LINESTRING", "MULTILINESTRING"):
+        return 1
+    if tag in ("POLYGON", "MULTIPOLYGON"):
+        return 2
+    return max((dimension(format_wkt(sub)) for sub in payload or []),
+               default=0)
+
+
+def envelope_as_pts(wkt: str):
+    """ST_EnvelopeAsPts: [lower-left, upper-right] POINTs, null for
+    empty input."""
+    b = envelope_bounds(wkt)
+    if b is None:
+        return None
+    return [format_wkt(("POINT", (b[0], b[1]))),
+            format_wkt(("POINT", (b[2], b[3])))]
+
+
+def line_interpolate_point(wkt: str, fraction: float):
+    """line_interpolate_point (GeoFunctions.java:505): the point at
+    `fraction` of the total 2D length; EMPTY -> POINT EMPTY."""
+    if not 0.0 <= fraction <= 1.0 or math.isnan(fraction):
+        raise ValueError(
+            "line_interpolate_point: Fraction must be between 0 and "
+            "1, but is %r" % fraction)
+    tag, payload = parse_wkt(wkt)
+    _validate_type("line_interpolate_point", tag, ("LINESTRING",))
+    if payload is None:
+        return "POINT EMPTY"
+    pts = payload
+    total = sum(math.hypot(b[0] - a[0], b[1] - a[1])
+                for a, b in zip(pts, pts[1:]))
+    if total == 0.0 or fraction == 0.0:
+        return format_wkt(("POINT", pts[0]))
+    target = fraction * total
+    acc = 0.0
+    for a, b in zip(pts, pts[1:]):
+        seg = math.hypot(b[0] - a[0], b[1] - a[1])
+        if acc + seg >= target:
+            t = (target - acc) / seg
+            return format_wkt(("POINT",
+                               (a[0] + t * (b[0] - a[0]),
+                                a[1] + t * (b[1] - a[1]))))
+        acc += seg
+    return format_wkt(("POINT", pts[-1]))
+
+
+# --- WKB (OGC well-known binary, little-endian; ST_AsBinary /
+# ST_GeomFromBinary round-trip pinned by testSTGeometryFromBinary) ---
+
+_WKB_CODES = {"POINT": 1, "LINESTRING": 2, "POLYGON": 3,
+              "MULTIPOINT": 4, "MULTILINESTRING": 5,
+              "MULTIPOLYGON": 6, "GEOMETRYCOLLECTION": 7}
+_WKB_TAGS = {v: k for k, v in _WKB_CODES.items()}
+
+
+def as_binary(wkt: str) -> bytes:
+    import struct
+
+    def pt(p):
+        return struct.pack("<2d", float(p[0]), float(p[1]))
+
+    def enc(g) -> bytes:
+        tag, payload = g
+        head = struct.pack("<BI", 1, _WKB_CODES[tag])
+        if tag == "POINT":
+            if payload is None:
+                return head + struct.pack("<2d",
+                                          float("nan"), float("nan"))
+            return head + pt(payload)
+        if payload is None:
+            return head + struct.pack("<I", 0)
+        if tag == "LINESTRING":
+            return head + struct.pack("<I", len(payload)) \
+                + b"".join(pt(p) for p in payload)
+        if tag == "MULTIPOINT":
+            return head + struct.pack("<I", len(payload)) \
+                + b"".join(enc(("POINT", p)) for p in payload)
+        if tag == "MULTILINESTRING":
+            return head + struct.pack("<I", len(payload)) \
+                + b"".join(enc(("LINESTRING", p)) for p in payload)
+        if tag == "POLYGON":
+            body = struct.pack("<I", len(payload))
+            for ring in payload:
+                body += struct.pack("<I", len(ring)) \
+                    + b"".join(pt(p) for p in ring)
+            return head + body
+        if tag == "MULTIPOLYGON":
+            return head + struct.pack("<I", len(payload)) \
+                + b"".join(enc(("POLYGON", rs)) for rs in payload)
+        return head + struct.pack("<I", len(payload)) \
+            + b"".join(enc(sub) for sub in payload)
+
+    return enc(parse_wkt(wkt))
+
+
+def geom_from_binary(data: bytes) -> str:
+    import struct
+
+    def rd(buf, off):
+        order, code = struct.unpack_from("<BI", buf, off)
+        if order != 1:
+            raise ValueError("Invalid WKB: big-endian not supported")
+        tag = _WKB_TAGS.get(code)
+        if tag is None:
+            raise ValueError(f"Invalid WKB geometry type {code}")
+        off += 5
+        if tag == "POINT":
+            x, y = struct.unpack_from("<2d", buf, off)
+            off += 16
+            if math.isnan(x) and math.isnan(y):
+                return ("POINT", None), off
+            return ("POINT", (x, y)), off
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        if n == 0:
+            return (tag, None), off
+        if tag == "LINESTRING":
+            pts = list(struct.unpack_from(f"<{2 * n}d", buf, off))
+            off += 16 * n
+            return (tag, list(zip(pts[::2], pts[1::2]))), off
+        if tag == "POLYGON":
+            rings = []
+            for _ in range(n):
+                (m,) = struct.unpack_from("<I", buf, off)
+                off += 4
+                pts = list(struct.unpack_from(f"<{2 * m}d", buf, off))
+                off += 16 * m
+                rings.append(list(zip(pts[::2], pts[1::2])))
+            return (tag, _normalize_rings(rings)), off
+        parts = []
+        for _ in range(n):
+            sub, off = rd(buf, off)
+            parts.append(sub)
+        if tag == "MULTIPOINT":
+            return (tag, [p[1] for p in parts]), off
+        if tag == "MULTILINESTRING":
+            return (tag, [p[1] for p in parts]), off
+        if tag == "MULTIPOLYGON":
+            return (tag, [p[1] for p in parts]), off
+        return (tag, parts), off
+
+    g, _ = rd(bytes(data), 0)
+    return format_wkt(g)

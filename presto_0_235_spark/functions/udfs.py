@@ -802,7 +802,44 @@ def _make_geo_udfs():
 
         return batch
 
-    for name, fn in (("st_interiorrings", "interior_rings"),
+    udfs.append(("st_convexhull",
+                 F.pandas_udf(StringType())(_geo1_arr("convex_hull"))))
+    udfs.append(("st_coorddim",
+                 F.pandas_udf(IntegerType())(_geo1_arr("coord_dim"))))
+    udfs.append(("st_dimension",
+                 F.pandas_udf(IntegerType())(_geo1_arr("dimension"))))
+
+    @F.pandas_udf(BinaryType())
+    def st_asbinary_geo(g: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else _geo_wkt.as_binary(v) for v in g],
+            dtype="object",
+        )
+
+    @F.pandas_udf(StringType())
+    def st_geomfrombinary_geo(b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else _geo_wkt.geom_from_binary(v)
+             for v in b],
+            dtype="object",
+        )
+
+    @F.pandas_udf(StringType())
+    def line_interpolate_point_geo(g: pd.Series, f: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None or x is None
+             else _geo_wkt.line_interpolate_point(v, float(x))
+             for v, x in zip(g, f)],
+            dtype="object",
+        )
+
+    udfs += [
+        ("st_asbinary", st_asbinary_geo),
+        ("st_geomfrombinary", st_geomfrombinary_geo),
+        ("line_interpolate_point", line_interpolate_point_geo),
+    ]
+    for name, fn in (("st_envelopeaspts", "envelope_as_pts"),
+                     ("st_interiorrings", "interior_rings"),
                      ("st_geometries", "geometries"),
                      ("st_points", "points_of")):
         udfs.append((name,

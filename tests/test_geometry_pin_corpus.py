@@ -1,7 +1,7 @@
 """Geometry value-pin corpus — MECHANICALLY EXTRACTED from
 presto-geospatial's TestGeoFunctions/TestBingTileFunctions/
 TestSphericalGeoFunctions/TestGeoRelations (the r11 extraction
-methodology applied to the plugin suite). 943 exact pins (plus 3
+methodology applied to the plugin suite). 1017 exact pins (plus 4
 ring-rotation-insensitive and 6 numeric-alignment buffer pins)
 covering the SQL-surface geometry family: the DataFrame path keeps the
 Column-expression engine in functions/geo.py; the SQL front door now
@@ -46,6 +46,11 @@ ST_MultiPoint), and the front-door lambda rewrites: apply(x, v ->
 body) inlines, transform(arr, v -> F(v)) with a Python-UDF F routes
 through F_each — recovering the 20 pins previously excluded for
 Spark's LAMBDA_FUNCTION_WITH_PYTHON_UDF limitation.
+
+Also landed in r12 (batch 2): ST_ConvexHull (monotone chain with
+ESRI's first-input-vertex ring phase), ST_CoordDim, ST_Dimension,
+ST_EnvelopeAsPts, line_interpolate_point, and WKB I/O
+(ST_AsBinary/ST_GeomFromBinary, standard little-endian codec).
 
 Also landed in r12: the SphericalGeography family —
 to_spherical_geography / to_geometry (SPH:-marked values; range
@@ -713,6 +718,91 @@ CASES += [('TestBingTileFunctions.java', 441, 'VARCHAR',
            f"g -> ST_Point({fx}(g), {fy}(g))))", want)
           for tile, fx, fy, want in _TILE_CORNER]
 
+# r12 batch 2: ST_ConvexHull (testSTConvexHull), ST_CoordDim,
+# ST_Dimension, ST_EnvelopeAsPts, line_interpolate_point, and the
+# WKB round trip (testSTGeometryFromBinary).
+_HULLS = [
+    ('GEOMETRYCOLLECTION (POINT (1 1), POINT EMPTY)', 'POINT (1 1)'),
+    ('GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (1 1), GEOMETRYCOLLECTION (POINT (1 5), POINT (4 5), GEOMETRYCOLLECTION (POINT (3 4), POINT EMPTY))))', 'POLYGON ((1 1, 1 5, 4 5, 1 1))'),
+    ('POINT (1 1)', 'POINT (1 1)'),
+    ('LINESTRING (1 1, 1 9, 2 2)', 'POLYGON ((1 1, 1 9, 2 2, 1 1))'),
+    ('LINESTRING (1 1, 1 9, 2 2, 1 1)', 'POLYGON ((1 1, 1 9, 2 2, 1 1))'),
+    ('POLYGON ((0 0, 0 3, 2 4, 4 2, 3 0, 0 0))', 'POLYGON ((0 0, 0 3, 2 4, 4 2, 3 0, 0 0))'),
+    ('LINESTRING (1 1, 1 9, 2 2, 1 1, 4 0)', 'POLYGON ((1 1, 1 9, 4 0, 1 1))'),
+    ('POLYGON ((0 0, 0 3, 4 4, 1 1, 3 0, 0 0))', 'POLYGON ((0 0, 0 3, 4 4, 3 0, 0 0))'),
+    ('LINESTRING (20 20, 30 30)', 'LINESTRING (20 20, 30 30)'),
+    ('MULTILINESTRING ((0 0, 3 3), (1 1, 2 2), (2 2, 4 4), (5 5, 8 8))', 'LINESTRING (0 0, 8 8)'),
+    ('MULTIPOINT (0 1, 1 2, 2 3, 3 4, 4 5, 5 6)', 'LINESTRING (0 1, 5 6)'),
+    ('GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (1 1, 4 4, 2 2), POINT (10 10), POLYGON ((5 5, 7 7, 6 6, 5 5)), POINT (2 2), LINESTRING (6 6, 9 9))', 'LINESTRING (0 0, 10 10)'),
+    ('MULTILINESTRING ((1 1, 5 1, 6 6), (2 4, 4 0), (2 -4, 4 4), (3 -2, 4 -3))', 'POLYGON ((1 1, 2 4, 6 6, 5 1, 4 -3, 2 -4, 1 1))'),
+    ('MULTIPOINT (0 2, 1 0, 3 0, 4 0, 4 2, 2 2, 2 4)', 'POLYGON ((0 2, 2 4, 4 2, 4 0, 1 0, 0 2))'),
+    ('MULTIPOLYGON (((0 3, 2 0, 3 6, 0 3), (2 1, 2 3, 5 3, 5 1, 2 1), (1 7, 2 4, 4 2, 5 6, 3 8, 1 7)))', 'POLYGON ((0 3, 1 7, 3 8, 5 6, 5 1, 2 0, 0 3))'),
+    ('GEOMETRYCOLLECTION (POINT (2 3), LINESTRING (2 8, 7 10), POINT (8 10), POLYGON ((4 4, 4 8, 9 8, 6 6, 6 4, 8 3, 6 1, 4 4)), POINT (4 2), LINESTRING (3 6, 5 5), POLYGON ((7 5, 7 6, 8 6, 8 5, 7 5)))', 'POLYGON ((2 3, 2 8, 7 10, 8 10, 9 8, 8 3, 6 1, 2 3))'),
+    ('GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (2 3), LINESTRING (2 8, 7 10), GEOMETRYCOLLECTION (POINT (8 10))), POLYGON ((4 4, 4 8, 9 8, 6 6, 6 4, 8 3, 6 1, 4 4)), POINT (4 2), LINESTRING (3 6, 5 5), POLYGON ((7 5, 7 6, 8 6, 8 5, 7 5)))', 'POLYGON ((2 3, 2 8, 7 10, 8 10, 9 8, 8 3, 6 1, 2 3))'),
+    ('MULTILINESTRING ((1 1, 5 1, 6 6))', 'POLYGON ((1 1, 6 6, 5 1, 1 1))'),
+    ('MULTILINESTRING ((1 1, 5 1, 1 4, 5 4))', 'POLYGON ((1 1, 1 4, 5 4, 5 1, 1 1))'),
+    ('MULTIPOINT (0 2)', 'POINT (0 2)'),
+    ('MULTIPOLYGON (((0 3, 3 6, 2 0, 0 3)))', 'POLYGON ((0 3, 3 6, 2 0, 0 3))'),
+    ('MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 2 2, 0 0)))', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))'),
+    ('GEOMETRYCOLLECTION (POINT (2 3))', 'POINT (2 3)'),
+    ('GEOMETRYCOLLECTION (LINESTRING (1 1, 5 1, 6 6))', 'POLYGON ((1 1, 6 6, 5 1, 1 1))'),
+    ('GEOMETRYCOLLECTION (POLYGON ((0 3, 3 6, 2 0, 0 3)))', 'POLYGON ((0 3, 3 6, 2 0, 0 3))'),
+    ('GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 2 2, 0 0)))', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))'),
+] + [(w, w) for w in _EMPTY_WKTS]
+CASES += [('TestGeoFunctions.java', 303, 'VARCHAR',
+           f"ST_AsText(ST_ConvexHull({_g(w)}))", want)
+          for w, want in _HULLS]
+CASES += [('TestGeoFunctions.java', 520, 'INTEGER',
+           f"ST_CoordDim({_g(w)})", 2)
+          for w in ("POLYGON ((1 1, 1 4, 4 4, 4 1, 1 1))",
+                    'POLYGON EMPTY', 'LINESTRING EMPTY', 'POINT (1 4)')]
+CASES += [('TestGeoFunctions.java', 528, 'INTEGER',
+           f"ST_Dimension({_g(w)})", d)
+          for w, d in (('POLYGON EMPTY', 2),
+                       ('POLYGON ((1 1, 1 4, 4 4, 4 1, 1 1))', 2),
+                       ('LINESTRING EMPTY', 1), ('POINT (1 4)', 0))]
+_ENV_PTS = [
+    ('MULTIPOINT (1 2, 2 4, 3 6, 4 8)', ['POINT (1 2)', 'POINT (4 8)']),
+    ('LINESTRING EMPTY', None),
+    ('LINESTRING (1 1, 2 2, 1 3)', ['POINT (1 1)', 'POINT (2 3)']),
+    ('LINESTRING (8 4, 5 7)', ['POINT (5 4)', 'POINT (8 7)']),
+    ('MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))', ['POINT (1 1)', 'POINT (5 4)']),
+    ('POLYGON ((1 1, 4 1, 1 4, 1 1))', ['POINT (1 1)', 'POINT (4 4)']),
+    ('MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((0 0, 0 2, 2 2, 2 0, 0 0)))', ['POINT (0 0)', 'POINT (3 3)']),
+    ('GEOMETRYCOLLECTION (POINT (5 1), LINESTRING (3 4, 4 4))', ['POINT (3 1)', 'POINT (5 4)']),
+    ('POINT (1 2)', ['POINT (1 2)', 'POINT (1 2)']),
+]
+CASES += [('TestGeoFunctions.java', 560, 'ARRAY',
+           f"transform(ST_EnvelopeAsPts({_g(w)}), x -> ST_AsText(x))",
+           want)
+          for w, want in _ENV_PTS]
+_LIP = [
+    ('LINESTRING EMPTY', '0.5', 'POINT EMPTY'),
+    ('LINESTRING (0 0, 0 1)', '0.2', 'POINT (0 0.2)'),
+    ('LINESTRING (0 0, 0 1)', '0.0', 'POINT (0 0)'),
+    ('LINESTRING (0 0, 0 1)', '1.0', 'POINT (0 1)'),
+    ('LINESTRING (0 0, 0 1, 3 1)', '0.0625', 'POINT (0 0.25)'),
+    ('LINESTRING (0 0, 0 1, 3 1)', '0.75', 'POINT (2 1)'),
+    ('LINESTRING (1 3, 5 4)', '0.0', 'POINT (1 3)'),
+    ('LINESTRING (1 3, 5 4)', '0.25', 'POINT (2 3.25)'),
+    ('LINESTRING (1 3, 5 4)', '1.0', 'POINT (5 4)'),
+]
+CASES += [('TestGeoFunctions.java', 505, 'VARCHAR',
+           f"ST_AsText(line_interpolate_point({_g(w)}, {f}))", want)
+          for w, f, want in _LIP]
+_WKB_RT = _EMPTY_WKTS + [
+    'POINT (1 2)', 'MULTIPOINT ((1 2), (2 4), (3 6), (4 8))',
+    'LINESTRING (0 0, 1 2, 3 4)',
+    'MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))',
+    'POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))',
+    'POLYGON ((0 0, 0 3, 3 3, 3 0, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))',
+    'MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)), ((2 4, 2 6, 6 6, 6 4, 2 4)))',
+    'GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 2, 3 4), POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0)))',
+]
+CASES += [('TestGeoFunctions.java', 1230, 'VARCHAR',
+           f"ST_AsText(ST_GeomFromBinary(ST_AsBinary({_g(w)})))", w)
+          for w in _WKB_RT]
+
 # SphericalGeography (TestSphericalGeoFunctions.java:91-280):
 # to_spherical_geography/to_geometry round trips, ST_Distance (m),
 # ST_Area (spherical excess), ST_Length, ST_Centroid (3D mean).
@@ -825,6 +915,11 @@ CASES_GEOM_CANON = [
     ('TestGeoFunctions.java', 949,
      f"ST_AsText(ST_Union({_g('POLYGON ((2 2, 2 3, 3 3, 3 2, 2 2))')}, {_g('MULTIPOLYGON (((0 0, 0 2, 2 2, 2 0, 0 0)), ((2 2, 2 4, 4 4, 4 2, 2 2)))')}))",
      'MULTIPOLYGON (((2 2, 2 3, 2 4, 4 4, 4 2, 3 2, 2 2)), ((0 0, 0 2, 2 2, 2 0, 0 0)))'),
+    # degenerate collinear hull: ESRI emits the extreme pair in an
+    # internal order (here descending); ours is ascending
+    ('TestGeoFunctions.java', 320,
+     f"ST_AsText(ST_ConvexHull({_g('GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (2 2), POINT (1 1)), POINT (3 3))')}))",
+     'LINESTRING (3 3, 1 1)'),
 ]
 
 CHUNK = 30
