@@ -1663,3 +1663,151 @@ def geom_from_binary(data: bytes) -> str:
 
     g, _ = rd(bytes(data), 0)
     return format_wkt(g)
+
+
+# --------------------------------------------------------------------------
+# bing_tiles_around — 3-arg 3x3 neighborhood and 4-arg radius cover
+# (BingTileFunctions.java:198-363).
+# --------------------------------------------------------------------------
+
+
+def bing_tiles_around(lat: float, lon: float, zoom: int) -> list[str]:
+    if not MIN_LATITUDE <= lat <= MAX_LATITUDE:
+        raise ValueError(
+            f"Latitude must be between {MIN_LATITUDE} and {MAX_LATITUDE}")
+    if not -180.0 <= lon <= 180.0:
+        raise ValueError("Longitude must be between -180 and 180")
+    if zoom < 0:
+        raise ValueError("Zoom level must be >= 0")
+    if zoom > 23:
+        raise ValueError("Zoom level must be <= 23")
+    max_idx = (_map_size(zoom) // _TILE_PIXELS) - 1
+    tx, ty = _ll_to_tile_xy(lat, lon, zoom)
+    out = []
+    for i in (-1, 0, 1):
+        for j in (-1, 0, 1):
+            x, y = tx + i, ty + j
+            if 0 <= x <= max_idx and 0 <= y <= max_idx:
+                out.append(bing_tile_from_xyz(x, y, zoom))
+    return out
+
+
+def _add_distance_to_latitude(lat, radius_km, bearing):
+    lr, br = math.radians(lat), math.radians(bearing)
+    rr = radius_km / EARTH_RADIUS_KM
+    new_lat = math.degrees(math.asin(
+        math.sin(lr) * math.cos(rr)
+        + math.cos(lr) * math.sin(rr) * math.cos(br)))
+    return min(max(new_lat, MIN_LATITUDE), MAX_LATITUDE)
+
+
+def _add_distance_to_longitude(lat, lon, radius_km, bearing):
+    lr = math.radians(lat)
+    lo = math.radians(lon)
+    br = math.radians(bearing)
+    rr = radius_km / EARTH_RADIUS_KM
+    new_lon = math.degrees(lo + math.atan2(
+        math.sin(br) * math.sin(rr) * math.cos(lr),
+        math.cos(rr) - math.sin(lr) * math.sin(lr)))
+    if new_lon > 180.0:
+        return -180.0 + (new_lon - 180.0)
+    if new_lon < -180.0:
+        return 180.0 + (new_lon + 180.0)
+    return new_lon
+
+
+def bing_tiles_around_radius(lat: float, lon: float, zoom: int,
+                             radius_km: float) -> list[str]:
+    """Radius cover with the reference's exact emission order: the
+    center row, the center column, then the four corner sweeps with
+    the nearest-corner early-include walk."""
+    if not MIN_LATITUDE <= lat <= MAX_LATITUDE:
+        raise ValueError(
+            f"Latitude must be between {MIN_LATITUDE} and {MAX_LATITUDE}")
+    if not -180.0 <= lon <= 180.0:
+        raise ValueError("Longitude must be between -180 and 180")
+    if zoom < 0:
+        raise ValueError("Zoom level must be >= 0")
+    if zoom > 23:
+        raise ValueError("Zoom level must be <= 23")
+    if not radius_km >= 0:
+        raise ValueError("Radius must be >= 0")
+    if not radius_km <= 1000:
+        raise ValueError("Radius must be <= 1,000 km")
+    max_idx = (_map_size(zoom) // _TILE_PIXELS) - 1
+    tx, ty = _ll_to_tile_xy(lat, lon, zoom)
+    top_t = _ll_to_tile_xy(
+        _add_distance_to_latitude(lat, radius_km, 0), lon, zoom)
+    bot_t = _ll_to_tile_xy(
+        _add_distance_to_latitude(lat, radius_km, 180), lon, zoom)
+    left_t = _ll_to_tile_xy(
+        lat, _add_distance_to_longitude(lat, lon, radius_km, 270), zoom)
+    right_t = _ll_to_tile_xy(
+        lat, _add_distance_to_longitude(lat, lon, radius_km, 90), zoom)
+    wrap = right_t[0] < left_t[0]
+    count_x = (right_t[0] + max_idx - left_t[0] + 2) if wrap \
+        else (right_t[0] - left_t[0] + 1)
+    count_y = bot_t[1] - top_t[1] + 1
+    total = count_x * count_y
+    if total > 1_000_000:
+        raise ValueError(
+            "The number of tiles covering input rectangle exceeds the "
+            "limit of 1M. Number of tiles: %d. Radius: %.1f km. "
+            "Zoom level: %d." % (total, radius_km, zoom))
+    out = []
+    for i in range(count_x):
+        x = (left_t[0] + i) % (max_idx + 1)
+        out.append(bing_tile_from_xyz(x, ty, zoom))
+    for y in range(top_t[1], bot_t[1] + 1):
+        if y != ty:
+            out.append(bing_tile_from_xyz(tx, y, zoom))
+
+    sin_lat = math.sin(math.radians(lat))
+    cos_lat = math.cos(math.radians(lat))
+    lon_r = math.radians(lon)
+
+    def within(p_lon, p_lat):
+        # GreatCircleDistanceToPoint: Vincenty against the center
+        lr = math.radians(p_lat)
+        dlon = lon_r - math.radians(p_lon)
+        t1 = math.cos(lr) * math.sin(dlon)
+        t2 = cos_lat * math.sin(lr) - sin_lat * math.cos(lr) * math.cos(dlon)
+        t3 = sin_lat * math.sin(lr) + cos_lat * math.cos(lr) * math.cos(dlon)
+        return math.atan2(math.hypot(t1, t2), t3) * EARTH_RADIUS_KM \
+            <= radius_km
+
+    def corner_sweep(x_iter, y_range, corner_of):
+        for x in x_iter:
+            include = False
+            for y in y_range:
+                if include:
+                    out.append(bing_tile_from_xyz(x, y, zoom))
+                else:
+                    cx, cy = corner_of(x, y)
+                    p_lon, p_lat = _tile_xy_to_ll(cx, cy, zoom)
+                    if within(p_lon, p_lat):
+                        include = True
+                        out.append(bing_tile_from_xyz(x, y, zoom))
+
+    def dec_wrap(x):
+        while x != tx:
+            yield x
+            x = max_idx if x == 0 else x - 1
+
+    def inc_wrap(x):
+        while x != tx:
+            yield x
+            x = (x + 1) % (max_idx + 1)
+
+    # top-right / bottom-right from the right edge walking left
+    for x in dec_wrap(right_t[0]):
+        corner_sweep([x], range(top_t[1], ty),
+                     lambda a, b: (a, b + 1))        # bottom-left
+        corner_sweep([x], range(bot_t[1], ty, -1),
+                     lambda a, b: (a, b))            # top-left
+    for x in inc_wrap(left_t[0]):
+        corner_sweep([x], range(top_t[1], ty),
+                     lambda a, b: (a + 1, b + 1))    # bottom-right
+        corner_sweep([x], range(bot_t[1], ty, -1),
+                     lambda a, b: (a + 1, b))        # top-right
+    return out

@@ -875,6 +875,33 @@ def _make_geo_udfs():
 
     udfs.append(("geometry_to_bing_tiles", geometry_to_bing_tiles_udf))
 
+    @F.pandas_udf(ArrayType(StringType()))
+    def bing_tiles_around_xy_udf(lat: pd.Series, lon: pd.Series,
+                                 z: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if a is None or b is None or c is None
+             else _geo_wkt.bing_tiles_around(float(a), float(b), int(c))
+             for a, b, c in zip(lat, lon, z)],
+            dtype="object",
+        )
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def bing_tiles_around_radius_udf(lat: pd.Series, lon: pd.Series,
+                                     z: pd.Series,
+                                     r: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if a is None or b is None or c is None or d is None
+             else _geo_wkt.bing_tiles_around_radius(
+                 float(a), float(b), int(c), float(d))
+             for a, b, c, d in zip(lat, lon, z, r)],
+            dtype="object",
+        )
+
+    udfs.append(("bing_tiles_around_xy", bing_tiles_around_xy_udf))
+    udfs.append(("bing_tiles_around_radius", bing_tiles_around_radius_udf))
+
+
+
     def env_bound(idx):
         def batch(col: pd.Series) -> pd.Series:
             def one(v):

@@ -86,6 +86,7 @@ _DATE_LIT = re.compile("^DATE\\s*\x00s\\d+\x00$", re.IGNORECASE)
 
 _TEMPLATE_NAMES = (
     "apply",
+    "bing_tiles_around",
     "transform",
     "random",
     "rand",
@@ -1120,6 +1121,14 @@ def _rewrite_one(
             f"array_repeat({x}, CAST(raise_error({msg}) AS INT)) "
             f"ELSE array_repeat({x}, CAST({n} AS INT)) END)"
         )
+
+    if name == "bing_tiles_around" and len(a) in (3, 4):
+        # BingTileFunctions.java:198 (3x3 neighborhood) and :231
+        # (radius cover) — arity-dispatched like bing_tile
+        if len(a) == 3:
+            return f"bing_tiles_around_xy({a[0]}, {a[1]}, {a[2]})"
+        return (f"bing_tiles_around_radius({a[0]}, {a[1]}, {a[2]}, "
+                f"{a[3]})")
 
     if name == "bing_tile" and len(a) in (1, 3):
         # BingTileFunctions.java overloads: bing_tile(quadkey) and

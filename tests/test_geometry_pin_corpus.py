@@ -1,7 +1,7 @@
 """Geometry value-pin corpus — MECHANICALLY EXTRACTED from
 presto-geospatial's TestGeoFunctions/TestBingTileFunctions/
 TestSphericalGeoFunctions/TestGeoRelations (the r11 extraction
-methodology applied to the plugin suite). 1017 exact pins (plus 4
+methodology applied to the plugin suite). 1037 exact pins (plus 4
 ring-rotation-insensitive and 6 numeric-alignment buffer pins)
 covering the SQL-surface geometry family: the DataFrame path keeps the
 Column-expression engine in functions/geo.py; the SQL front door now
@@ -49,8 +49,11 @@ Spark's LAMBDA_FUNCTION_WITH_PYTHON_UDF limitation.
 
 Also landed in r12 (batch 2): ST_ConvexHull (monotone chain with
 ESRI's first-input-vertex ring phase), ST_CoordDim, ST_Dimension,
-ST_EnvelopeAsPts, line_interpolate_point, and WKB I/O
-(ST_AsBinary/ST_GeomFromBinary, standard little-endian codec).
+ST_EnvelopeAsPts, line_interpolate_point, WKB I/O
+(ST_AsBinary/ST_GeomFromBinary, standard little-endian codec), and
+bing_tiles_around in both forms (3x3 neighborhood; radius cover with
+the reference's exact emission order incl. antimeridian wrap and the
+corner early-include sweeps).
 
 Also landed in r12: the SphericalGeography family —
 to_spherical_geography / to_geometry (SPH:-marked values; range
@@ -803,6 +806,42 @@ CASES += [('TestGeoFunctions.java', 1230, 'VARCHAR',
            f"ST_AsText(ST_GeomFromBinary(ST_AsBinary({_g(w)})))", w)
           for w in _WKB_RT]
 
+# bing_tiles_around: 3-arg 3x3 neighborhood + 4-arg radius cover
+# with the reference's exact emission order (center row, center
+# column, corner sweeps — testBingTilesAround*:210-400).
+_BTA = [
+    ('30.12, 60, 1', ['0', '2', '1', '3']),
+    ('30.12, 60, 15', ['123030123010102', '123030123010120', '123030123010122', '123030123010103', '123030123010121', '123030123010123', '123030123010112', '123030123010130', '123030123010132']),
+    ('30.12, 60, 23', ['12303012301012121210122', '12303012301012121210300', '12303012301012121210302', '12303012301012121210123', '12303012301012121210301', '12303012301012121210303', '12303012301012121210132', '12303012301012121210310', '12303012301012121210312']),
+    ('-85.05112878, -180, 1', ['0', '2', '1', '3']),
+    ('-85.05112878, -180, 3', ['220', '222', '221', '223']),
+]
+_BTA_R = [
+    ('30.12, 60, 1, 1000', ['1']),
+    ('30.12, 60, 15, 0.5', ['123030123010120', '123030123010121', '123030123010123']),
+    ('30.12, 60, 19, 0.05', ['1230301230101212120', '1230301230101212121', '1230301230101212130', '1230301230101212103', '1230301230101212123', '1230301230101212112', '1230301230101212102']),
+    ('-85.05112878, -180, 1, 500', ['3', '2']),
+    ('-85.05112878, -180, 5, 200', ['33332', '33333', '22222', '22223', '22220', '22221', '33330', '33331']),
+    ('-85.05112878, -180, 4, 500', ['3323', '3332', '3333', '2222', '2223', '2232', '2220', '2221', '3330', '3331']),
+    ('-85.05112878, 180, 4, 500', ['3323', '3332', '3333', '2222', '2223', '2232', '3331', '2221', '2220', '3330']),
+    ('85.05112878, -180, 4, 500', ['1101', '1110', '1111', '0000', '0001', '0010', '0002', '0003', '1112', '1113']),
+    ('85.05112878, 180, 4, 500', ['1101', '1110', '1111', '0000', '0001', '0010', '1113', '0003', '0002', '1112']),
+    ('-85.05112878, 0, 3, 300', ['233', '322']),
+    ('-85.05112878, 0, 12, 1', ['233333333332', '233333333333', '322222222222', '322222222223', '322222222220', '233333333331']),
+    ('-85.05112878, 0, 4, 100', ['2333', '3222']),
+    ('85.05112878, 0, 4, 100', ['0111', '1000']),
+    ('0, 180, 4, 100', ['3111', '2000', '1333', '0222']),
+    ('0, -180, 4, 100', ['3111', '2000', '0222', '1333']),
+]
+CASES += [('TestBingTileFunctions.java', 316, 'ARRAY',
+           f"transform(bing_tiles_around({args}), "
+           "x -> bing_tile_quadkey(x))", want)
+          for args, want in _BTA]
+CASES += [('TestBingTileFunctions.java', 210, 'ARRAY',
+           f"transform(bing_tiles_around({args}), "
+           "x -> bing_tile_quadkey(x))", want)
+          for args, want in _BTA_R]
+
 # SphericalGeography (TestSphericalGeoFunctions.java:91-280):
 # to_spherical_geography/to_geometry round trips, ST_Distance (m),
 # ST_Area (spherical excess), ST_Length, ST_Centroid (3D mean).
@@ -1087,6 +1126,13 @@ def test_geometry_raise_pins(spark):
     """Argument-validation raise contracts
     (TestGeoFunctions.java:196-201,393)."""
     for expr, msg in [
+        ("bing_tiles_around(30.12, 60.0, 1, -1)", "Radius must be >= 0"),
+        ("bing_tiles_around(30.12, 60.0, 1, 2000)",
+         "Radius must be <= 1,000 km"),
+        ("bing_tiles_around(30.12, 60.0, 20, 100)",
+         "The number of tiles covering input rectangle exceeds the "
+         "limit of 1M. Number of tiles: 36699364. Radius: 100.0 km. "
+         "Zoom level: 20."),
         ("ST_Buffer(ST_Point(0, 0), -1.2)", "distance is negative"),
         ("ST_Buffer(ST_Point(0, 0), CAST('-Infinity' AS DOUBLE))",
          "distance is negative"),
