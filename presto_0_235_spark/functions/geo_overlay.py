@@ -1483,3 +1483,19 @@ def buffer_wkt(wkt: str, dist: float):
     faces = [(s, [h for h in hs if len(h) >= 3])
              for s, hs in faces if len(s) >= 3]
     return _to_wkt([], [], faces)
+
+
+def union_all(wkts) -> str | None:
+    """geometry_union(array(Geometry)) / geometry_union_agg
+    (GeoFunctions.java:588-596 stUnion over a cursor): left fold of
+    the binary overlay union; nulls skipped, empty input -> null.
+    Point-set equal to the reference's n-ary union; serialization is
+    this engine's canonical form (ESRI's n-ary path emits an internal
+    ring phase and dissolves some collinear crossing vertices — the
+    aggregate tests compare geometries, not text)."""
+    acc = None
+    for w in wkts or []:
+        if w is None:
+            continue
+        acc = _W.geometry_from_text(w) if acc is None else union(acc, w)
+    return acc

@@ -1811,3 +1811,18 @@ def bing_tiles_around_radius(lat: float, lon: float, zoom: int,
         corner_sweep([x], range(bot_t[1], ty, -1),
                      lambda a, b: (a + 1, b))        # top-right
     return out
+
+
+def convex_hull_of(wkts):
+    """convex_hull_agg: hull of every vertex of every input (null
+    inputs skipped; empty input -> null)."""
+    parts = []
+    for w in wkts or []:
+        if w is None:
+            continue
+        g = parse_wkt(w)
+        if g[1] is not None:
+            parts.append(g)
+    if not parts:
+        return None
+    return convex_hull(format_wkt(("GEOMETRYCOLLECTION", parts)))

@@ -900,6 +900,26 @@ def _make_geo_udfs():
     udfs.append(("bing_tiles_around_xy", bing_tiles_around_xy_udf))
     udfs.append(("bing_tiles_around_radius", bing_tiles_around_radius_udf))
 
+    @F.pandas_udf(StringType())
+    def geometry_union_udf(arrs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if a is None else _geo_ov.union_all(list(a))
+             for a in arrs],
+            dtype="object",
+        )
+
+    @F.pandas_udf(StringType())
+    def convex_hull_of_udf(arrs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if a is None else _geo_wkt.convex_hull_of(list(a))
+             for a in arrs],
+            dtype="object",
+        )
+
+    udfs.append(("geometry_union", geometry_union_udf))
+    udfs.append(("convex_hull_of", convex_hull_of_udf))
+
+
 
 
     def env_bound(idx):

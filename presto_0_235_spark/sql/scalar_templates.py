@@ -87,6 +87,9 @@ _DATE_LIT = re.compile("^DATE\\s*\x00s\\d+\x00$", re.IGNORECASE)
 _TEMPLATE_NAMES = (
     "apply",
     "bing_tiles_around",
+    "geometry_union",
+    "geometry_union_agg",
+    "convex_hull_agg",
     "transform",
     "random",
     "rand",
@@ -1121,6 +1124,17 @@ def _rewrite_one(
             f"array_repeat({x}, CAST(raise_error({msg}) AS INT)) "
             f"ELSE array_repeat({x}, CAST({n} AS INT)) END)"
         )
+
+    if name == "geometry_union_agg" and len(a) == 1:
+        # GeometryUnionAgg lowered through collect_list -> the n-ary
+        # overlay union (aggregation/GeometryUnionAgg.java; nulls are
+        # skipped and an empty group yields null, both matching
+        # collect_list + union_all)
+        return f"geometry_union(collect_list({a[0]}))"
+
+    if name == "convex_hull_agg" and len(a) == 1:
+        # GeometryConvexHullAgg: hull over every input vertex
+        return f"convex_hull_of(collect_list({a[0]}))"
 
     if name == "bing_tiles_around" and len(a) in (3, 4):
         # BingTileFunctions.java:198 (3x3 neighborhood) and :231

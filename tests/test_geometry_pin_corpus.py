@@ -1,7 +1,7 @@
 """Geometry value-pin corpus — MECHANICALLY EXTRACTED from
 presto-geospatial's TestGeoFunctions/TestBingTileFunctions/
 TestSphericalGeoFunctions/TestGeoRelations (the r11 extraction
-methodology applied to the plugin suite). 1037 exact pins (plus 4
+methodology applied to the plugin suite). 1047 exact pins (plus 11
 ring-rotation-insensitive and 6 numeric-alignment buffer pins)
 covering the SQL-surface geometry family: the DataFrame path keeps the
 Column-expression engine in functions/geo.py; the SQL front door now
@@ -53,7 +53,12 @@ ST_EnvelopeAsPts, line_interpolate_point, WKB I/O
 (ST_AsBinary/ST_GeomFromBinary, standard little-endian codec), and
 bing_tiles_around in both forms (3x3 neighborhood; radius cover with
 the reference's exact emission order incl. antimeridian wrap and the
-corner early-include sweeps).
+corner early-include sweeps), and the geometry aggregates:
+geometry_union(array) / geometry_union_agg (n-ary overlay-union fold
+lowered through collect_list) and convex_hull_agg. One aggregate case
+excluded: ESRI's n-ary union dissolves a collinear crossing vertex
+that pairwise union keeps (the 'cut through' linestring case) —
+value-level n-ary-dissolve internal.
 
 Also landed in r12: the SphericalGeography family —
 to_spherical_geography / to_geometry (SPH:-marked values; range
@@ -940,6 +945,42 @@ CASES_GEOM_FUZZY = [
      'POLYGON ((177 63.99, 176.99804909677985 63.99019214719597, 176.99617316567634 63.99076120467489, 176.99444429766982 63.99168530387698, 176.99292893218814 63.992928932188136, 176.99168530387698 63.9944442976698, 176.9907612046749 63.996173165676346, 176.99019214719596 63.99804909677984, 176.99 64, 176.99019214719596 64.00195090332016, 176.9907612046749 64.00382683442365, 176.99168530387698 64.0055557024302, 176.99292893218814 64.00707106791187, 176.99444429766982 64.00831469622302, 176.99617316567634 64.00923879542512, 176.99804909677985 64.00980785290403, 177 64.0100000001, 177.00195090332014 64.00980785290403, 177.00382683442365 64.00923879542512, 177.00555570243017 64.00831469622302, 177.00707106791185 64.00707106791187, 177.008314696223 64.0055557024302, 177.0092387954251 64.00382683442365, 177.00980785290403 64.00195090332016, 177.01000000009998 64.0000000001, 177.00980785290403 63.99804909677984, 177.0092387954251 63.996173165676346, 177.008314696223 63.9944442976698, 177.00707106791185 63.992928932188136, 177.00555570243017 63.99168530387698, 177.00382683442365 63.99076120467489, 177.00195090332014 63.99019214719597, 177.0000000001 63.99, 177 63.99))'),
 ]
 
+# geometry_union_agg / convex_hull_agg / geometry_union(array)
+# (aggregation/TestGeometryUnionGeoAggregation.java,
+# TestGeometryConvexHullGeoAggregation.java — those tests compare
+# GEOMETRIES, not text; the cases whose canonical text matches ours
+# sit here, the ESRI-internal-phase ones in CASES_GEOM_CANON).
+def _agg_pin(fn, wkts):
+    vals = ", ".join(f"('{w}')" for w in wkts)
+    return (f"(SELECT ST_AsText({fn}(ST_GeometryFromText(w))) "
+            f"FROM (VALUES {vals}) t(w))")
+
+
+_UNION_AGG_EXACT = [
+    (['POINT (1 2)', 'POINT (1 2)', 'POINT (1 2)'], 'POINT (1 2)'),
+    (['POINT EMPTY', 'POINT (1 2)'], 'POINT (1 2)'),
+    (['POINT (1 2)', 'POINT (3 4)'], 'MULTIPOINT ((1 2), (3 4))'),
+    (['LINESTRING (1 1, 2 2)', 'LINESTRING (1 1, 2 2)'], 'LINESTRING (1 1, 2 2)'),
+    (['LINESTRING EMPTY', 'LINESTRING (1 1, 2 2)'], 'LINESTRING (1 1, 2 2)'),
+    (['LINESTRING (1 1, 2 2, 3 3)', 'LINESTRING (2 2, 3 3, 4 4)'], 'LINESTRING (1 1, 2 2, 3 3, 4 4)'),
+    (['LINESTRING (1 1, 2 2, 3 3)', 'LINESTRING (1 2, 2 3, 3 4)'], 'MULTILINESTRING ((1 1, 2 2, 3 3), (1 2, 2 3, 3 4))'),
+]
+CASES += [('aggregation/TestGeometryUnionGeoAggregation.java', 40,
+           'VARCHAR', _agg_pin('geometry_union_agg', wkts), want)
+          for wkts, want in _UNION_AGG_EXACT]
+CASES += [
+    ('aggregation/TestGeometryConvexHullGeoAggregation.java', 92,
+     'VARCHAR', _agg_pin('convex_hull_agg',
+                         ['LINESTRING (1 1, 2 2, 3 3)',
+                          'LINESTRING (2 2, 3 3, 4 4)']),
+     'LINESTRING (1 1, 4 4)'),
+    ('GeoFunctions.java', 588, 'VARCHAR',
+     "ST_AsText(geometry_union(array(ST_Point(1, 2), ST_Point(3, 4))))",
+     'MULTIPOINT ((1 2), (3 4))'),
+    ('GeoFunctions.java', 588, 'VARCHAR',
+     "ST_AsText(geometry_union(array()))", None),
+]
+
 # ESRI-TopoGraph ring-phase pins: values exact, but ESRI rotates the
 # ring to an internal traversal start (or orders multipolygon parts
 # by one) where we emit the (y, x)-canonical rotation. Compared
@@ -959,6 +1000,43 @@ CASES_GEOM_CANON = [
     ('TestGeoFunctions.java', 320,
      f"ST_AsText(ST_ConvexHull({_g('GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (2 2), POINT (1 1)), POINT (3 3))')}))",
      'LINESTRING (3 3, 1 1)'),
+    # union/hull AGGREGATE cases where ESRI keeps the input ring
+    # phase/orientation or emits its internal one (the Java tests
+    # compare geometries, not text); the 'cut through' linestring
+    # case is EXCLUDED: ESRI's n-ary union dissolves the collinear
+    # crossing vertex (2 2) that pairwise union keeps — a value-level
+    # n-ary-dissolve internal, inventoried here.
+    ('aggregation/TestGeometryUnionGeoAggregation.java', 95,
+     _agg_pin('geometry_union_agg', ['POLYGON ((2 2, 1 1, 3 1, 2 2))'] * 3),
+     'POLYGON ((2 2, 1 1, 3 1, 2 2))'),
+    ('aggregation/TestGeometryUnionGeoAggregation.java', 100,
+     _agg_pin('geometry_union_agg',
+              ['POLYGON ((2 2, 3 1, 1 1, 2 2))',
+               'POLYGON ((3 2, 4 1, 2 1, 3 2))',
+               'POLYGON ((4 2, 5 1, 3 1, 4 2))']),
+     'POLYGON ((1 1, 2 1, 3 1, 4 1, 5 1, 4 2, 3.5 1.5, 3 2, 2.5 1.5, 2 2, 1 1))'),
+    ('aggregation/TestGeometryUnionGeoAggregation.java', 113,
+     _agg_pin('geometry_union_agg',
+              ['POLYGON ((2 2, 3 1, 1 1, 2 2))',
+               'POLYGON ((4 2, 5 1, 3 1, 4 2))']),
+     'MULTIPOLYGON (((1 1, 3 1, 2 2, 1 1)), ((3 1, 5 1, 4 2, 3 1)))'),
+    ('aggregation/TestGeometryUnionGeoAggregation.java', 122,
+     _agg_pin('geometry_union_agg',
+              ['POLYGON ((1 1, 6 1, 6 6, 1 6, 1 1), (3 3, 4 3, 4 4, 3 4, 3 3))',
+               'POLYGON ((3 3, 4 3, 4 4, 3 4, 3 3))']),
+     'POLYGON ((1 1, 6 1, 6 6, 1 6, 1 1))'),
+    ('aggregation/TestGeometryUnionGeoAggregation.java', 131,
+     _agg_pin('geometry_union_agg',
+              ['POLYGON ((1 1, 6 1, 6 6, 1 6, 1 1), (3 3, 4 3, 4 4, 3 4, 3 3))',
+               'POLYGON ((3.25 3.25, 3.75 3.25, 3.75 3.75, 3.25 3.75, 3.25 3.25))']),
+     'MULTIPOLYGON (((1 1, 6 1, 6 6, 1 6, 1 1), (3 3, 3 4, 4 4, 4 3, 3 3)), ((3.25 3.25, 3.75 3.25, 3.75 3.75, 3.25 3.75, 3.25 3.25)))'),
+    ('aggregation/TestGeometryConvexHullGeoAggregation.java', 114,
+     _agg_pin('convex_hull_agg', ['POLYGON ((2 2, 1 1, 3 1, 2 2))'] * 2),
+     'POLYGON ((2 2, 1 1, 3 1, 2 2))'),
+    ('aggregation/TestGeometryConvexHullGeoAggregation.java', 102,
+     _agg_pin('convex_hull_agg',
+              ['LINESTRING (1 1, 3 3)', 'LINESTRING (3 1, 1 3)']),
+     'POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))'),
 ]
 
 CHUNK = 30
