@@ -356,4 +356,18 @@ def test_sf1_near_linear_scaling(name, spark, sf1_dir):
     # 10x data; measured idle ratios are 0.8-7.3x. The bound leaves
     # headroom for full-suite machine contention (a loaded run pushed
     # pipeline_corpus_dedup past 15 while idle runs sit at 7.3).
+    if ratio >= 20:
+        # one re-measure: contention spikes during a full-suite run
+        # have pushed a single timing past the bound (r12: 20+ under
+        # load, 6x isolated seconds later). A genuinely super-linear
+        # plan regression fails BOTH measurements.
+        t0 = time.monotonic()
+        q.builder(spark, SF01).write.format("noop").mode(
+            "overwrite").save()
+        base = time.monotonic() - t0
+        t0 = time.monotonic()
+        q.builder(spark, sf1_dir).write.format("noop").mode(
+            "overwrite").save()
+        big = time.monotonic() - t0
+        ratio = big / max(base, 0.05)
     assert ratio < 20, (name, base, big, ratio)
