@@ -629,15 +629,10 @@ def _overlay(wa: str, wb: str, op: str) -> str:
                 pts.append(p)
     else:  # union
         for p in sorted(all_pts, key=_yx):
-            covered = on_kept_edge(p) or on_face_closure_pt(p) \
-                or ga.on_lines(p) or gb.on_lines(p) \
-                or ga.on_boundary2(p) or gb.on_boundary2(p) \
-                or ga.eo_inside(p) or gb.eo_inside(p)
-            if p in set(ga.points) and p in set(gb.points):
-                covered = on_kept_edge(p) or on_face_closure_pt(p)
-            else:
-                covered = on_kept_edge(p) or on_face_closure_pt(p)
-            if not covered:
+            # a point survives the union iff not absorbed by a kept
+            # edge or face closure (line/face coverage of the inputs
+            # is already folded into those kept structures)
+            if not (on_kept_edge(p) or on_face_closure_pt(p)):
                 pts.append(p)
     return _to_wkt(pts, chains, faces)
 
@@ -884,20 +879,38 @@ def _noding_failure(all_rings) -> bool:
                     return True
                 continue
             for p in _seg_intersections(a, b, c, d):
-                if p in (a, b) and p in (c, d):
-                    continue  # shared endpoint: a touch node, allowed
-                return True
+                if p in (a, b) or p in (c, d):
+                    # vertex of at least one segment: a touch node
+                    # (T-node or shared endpoint), allowed by JTS
+                    # IsValidOp — single-point hole/shell tangency is
+                    # valid even mid-edge (r13 ADVICE; same-ring
+                    # T-nodes fall to the Ring Self-intersection
+                    # check). Crossings THROUGH a vertex surface via
+                    # the hole-outside-shell / nesting checks.
+                    continue
+                return True  # interior to both segments: proper cross
     return False
 
 
 def _ring_self_touch(r):
-    """repeated non-consecutive vertex inside one ring -> the JTS
-    'Ring Self-intersection' class"""
+    """repeated non-consecutive vertex OR a vertex lying in the
+    interior of a non-adjacent edge of the SAME ring -> the JTS
+    'Ring Self-intersection' class (the T-node form moved here from
+    _noding_failure in r13: cross-ring T-nodes are valid tangency,
+    same-ring T-nodes make the ring non-simple)"""
     seen = {}
     for i, p in enumerate(r):
         if p in seen:
             return True
         seen[p] = i
+    n = len(r)
+    for i, p in enumerate(r):
+        for j in range(n):
+            if j == i or (j + 1) % n == i:
+                continue  # edges incident to p
+            a, b = r[j], r[(j + 1) % n]
+            if _on_seg(p, a, b):
+                return True
     return False
 
 

@@ -957,18 +957,46 @@ def _geom_contains_env(env, dec) -> bool:
               ((x0 + x1) / 2, (y0 + y1) / 2)):
         if not (eo_inside(c) or on_boundary(c)):
             return False
-    # no ring vertex strictly inside the rect means no boundary dips in
+    def edge_enters_rect(a, b):
+        # Liang-Barsky clip of segment ab to the closed rect; True iff
+        # the clipped portion has a point STRICTLY inside the rect.
+        # Catches concave boundaries that dip through the tile with
+        # both endpoints outside and no vertex inside.
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        t0, t1 = 0.0, 1.0
+        for p, q in ((-dx, a[0] - x0), (dx, x1 - a[0]),
+                     (-dy, a[1] - y0), (dy, y1 - a[1])):
+            if p == 0:
+                if q < 0:
+                    return False
+                continue
+            t = q / p
+            if p < 0:
+                if t > t1:
+                    return False
+                if t > t0:
+                    t0 = t
+            else:
+                if t < t0:
+                    return False
+                if t < t1:
+                    t1 = t
+        if t1 <= t0:
+            return False  # at most a point touch
+        tm = (t0 + t1) / 2
+        px, py = a[0] + tm * dx, a[1] + tm * dy
+        return x0 < px < x1 and y0 < py < y1
+
+    # no ring vertex strictly inside the rect AND no boundary edge
+    # passing through the rect interior means no boundary dips in
     for r in rings:
         for p in r:
             if x0 < p[0] < x1 and y0 < p[1] < y1:
                 return False
         for i in range(len(r)):
             a, b = r[i], r[(i + 1) % len(r)]
-            # boundary edge crossing the rect interior
-            for c, d in [((x0, y0), (x1, y0)), ((x1, y0), (x1, y1)),
-                         ((x1, y1), (x0, y1)), ((x0, y1), (x0, y0))]:
-                pass  # edge-cross with interior overlap is covered by
-                # the vertex-in-rect check for the pin geometries
+            if edge_enters_rect(a, b):
+                return False
     return True
 
 

@@ -1105,10 +1105,13 @@ def _make_geo_udfs():
             # Envelope fast path (GeoFunctions.java:966-1006): two
             # envelope-typed values intersect as rectangles; a
             # POLYGON EMPTY result (not the general overlay's
-            # MULTIPOLYGON EMPTY) when disjoint. (The reference's
-            # point branch builds Point(xMin, xMax) — a latent
-            # xMax-for-yMin slip invisible in its own tests because
-            # the pinned corner has x == y; we emit (xMin, yMin).)
+            # MULTIPOLYGON EMPTY) when disjoint. The reference's
+            # degenerate-point branch builds Point(xMin, xMax) —
+            # with xMin == xMax in that branch, the y coordinate is
+            # REPLACED by x (GeoFunctions.java:977, an upstream
+            # slip invisible in its own tests because the pinned
+            # corner has x == y). Replicated bug-for-bug (r13
+            # ADVICE): we emit (xMin, xMin) too.
             if a.startswith(mark) and b.startswith(mark):
                 ba = _geo_wkt.envelope_bounds(a)
                 bb = _geo_wkt.envelope_bounds(b)
@@ -1119,7 +1122,7 @@ def _make_geo_udfs():
                 if x0 > x1 or y0 > y1:
                     return "POLYGON EMPTY"
                 if x0 == x1 and y0 == y1:
-                    return _geo_wkt.point_wkt(x0, y0)
+                    return _geo_wkt.point_wkt(x0, x1)
                 if x0 == x1 or y0 == y1:
                     return _geo_wkt.format_wkt(
                         ("LINESTRING", [(x0, y0), (x1, y1)]))

@@ -1184,21 +1184,33 @@ def _rewrite_one(
         bf2 = _raise(
             _stash_lit(stash, "second bound must be finite"), "BIGINT")
         infv = f"CAST({_stash_lit(stash, 'Infinity')} AS DOUBLE)"
-        up = (f"(CASE WHEN {x} < {b1} THEN CAST(0 AS BIGINT) "
-              f"WHEN {x} >= {b2} THEN {cnt} + 1 "
-              f"ELSE CAST(floor(({x} - {b1}) / ({b2} - {b1}) "
-              f"* {cnt}) AS BIGINT) + 1 END)")
-        down = (f"(CASE WHEN {x} > {b1} THEN CAST(0 AS BIGINT) "
-                f"WHEN {x} <= {b2} THEN {cnt} + 1 "
-                f"ELSE CAST(floor(({b1} - {x}) / ({b1} - {b2}) "
-                f"* {cnt}) AS BIGINT) + 1 END)")
+        oflow = _raise(
+            f"concat({_stash_lit(stash, 'Bucket for value ')}, "
+            f"CAST({x} AS STRING), "
+            f"{_stash_lit(stash, ' is out of range')})", "BIGINT")
+        # Exact replica of the reference's unified arithmetic
+        # (MathFunctions.java:1172-1195): r over (lower, upper) =
+        # (min, max), THEN flip r -> cnt - r + 1 when bound1 > bound2.
+        # The interior bucket is (long)(cnt*(x-lower)/(upper-lower)+1)
+        # — truncating cast of the WHOLE +1 expression with the
+        # reference's multiply-then-divide order, NOT floor(..)+1,
+        # so exact interior boundaries in the descending form match
+        # (r13 ADVICE: width_bucket(2.5,10,0,4) = 3, x==b1 -> 0
+        # pre-flip -> cnt+... reference values at the boundaries).
+        lo, hi = f"least({b1}, {b2})", f"greatest({b1}, {b2})"
+        r = (f"(CASE WHEN {x} < {lo} THEN CAST(0 AS BIGINT) "
+             f"WHEN {x} >= {hi} THEN "
+             f"(CASE WHEN {cnt} = 9223372036854775807 THEN {oflow} "
+             f"ELSE {cnt} + 1 END) "
+             f"ELSE CAST({cnt} * ({x} - {lo}) / ({hi} - {lo}) + 1.0d "
+             f"AS BIGINT) END)")
         return (
             f"(CASE WHEN {cnt} <= 0 THEN {badc} "
             f"WHEN isnan({x}) THEN {nan} "
             f"WHEN isnan({b1}) OR abs({b1}) = {infv} THEN {bf1} "
             f"WHEN isnan({b2}) OR abs({b2}) = {infv} THEN {bf2} "
             f"WHEN {b1} = {b2} THEN {beq} "
-            f"WHEN {b1} < {b2} THEN {up} ELSE {down} END)"
+            f"WHEN {b1} > {b2} THEN {cnt} - {r} + 1 ELSE {r} END)"
         )
 
     if name in ("random", "rand") and len(a) == 1:

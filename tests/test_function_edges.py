@@ -228,6 +228,15 @@ VALUE_CASES = [
     _case("width_bucket_mid", "width_bucket(3.14E0, 0, 4, 3)", 3, f"{M}:~1240"),
     _case("width_bucket_below", "width_bucket(-1.0E0, 0, 4, 3)", 0, f"{M}:~1242"),
     _case("width_bucket_above", "width_bucket(99.0E0, 0, 4, 3)", 4, f"{M}:~1244"),
+    # descending-bounds boundaries: the reference computes r over
+    # (min,max) then flips r -> cnt-r+1 when b1>b2, with the interior
+    # bucket (long)(cnt*(x-lower)/(upper-lower)+1) — truncate the +1
+    # expression, NOT floor(..)+1 (r13 ADVICE; MathFunctions.java:1177-1194)
+    _case("width_bucket_desc_at_b1", "width_bucket(10.0E0, 10, 0, 4)", 0, f"{M}:1177"),
+    _case("width_bucket_desc_at_b2", "width_bucket(0.0E0, 10, 0, 4)", 4, f"{M}:1192"),
+    _case("width_bucket_desc_exact_interior", "width_bucket(2.5E0, 10, 0, 4)", 3, f"{M}:1189"),
+    _case("width_bucket_desc_exact_mid", "width_bucket(5.0E0, 10, 0, 4)", 2, f"{M}:1189"),
+    _case("width_bucket_desc_interior", "width_bucket(7.5E0, 10, 0, 4)", 1, f"{M}:1189"),
     # ---- greatest / least with NaN ---------------------------------------
     _case("greatest_basic", "greatest(1, 2)", 2, f"{M}:~1100"),
     _case("least_basic", "least(1, 2)", 1, f"{M}:~1110"),

@@ -1,7 +1,7 @@
 """Geometry value-pin corpus — MECHANICALLY EXTRACTED from
 presto-geospatial's TestGeoFunctions/TestBingTileFunctions/
 TestSphericalGeoFunctions/TestGeoRelations (the r11 extraction
-methodology applied to the plugin suite). 1047 exact pins (plus 11
+methodology applied to the plugin suite). 1048 exact pins (plus 11
 ring-rotation-insensitive and 6 numeric-alignment buffer pins)
 covering the SQL-surface geometry family: the DataFrame path keeps the
 Column-expression engine in functions/geo.py; the SQL front door now
@@ -291,6 +291,11 @@ _ENVI = [
     ('POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0))', 'POLYGON ((-1 -1, 0 -1, 0 1, -1 1, -1 -1))', 'LINESTRING (0 0, 0 1)'),
     ('POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0))', 'POLYGON ((1 -1, 2 -1, 2 0, 1 0, 1 -1))', 'LINESTRING (1 0, 2 0)'),
     ('POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0))', 'POLYGON ((-1 -1, 0 -1, 0 0, -1 0, -1 -1))', 'POINT (0 0)'),
+    # degenerate corner with x != y: the reference emits
+    # Point(xMin, xMax) = (0, 0) — y REPLACED by x
+    # (GeoFunctions.java:977 upstream slip, replicated bug-for-bug
+    # per r13 ADVICE; geometric answer would be POINT (0 5))
+    ('POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0))', 'POLYGON ((-1 5, 0 5, 0 6, -1 6, -1 5))', 'POINT (0 0)'),
 ]
 CASES += [
     ('TestGeoFunctions.java', 822, 'VARCHAR',
@@ -1263,6 +1268,44 @@ def test_geometry_raise_pins(spark):
         with pytest.raises(Exception) as ei:
             run_sql(spark, f"SELECT {expr} AS x").collect()
         assert msg in str(ei.value), f"{expr}: {ei.value}"
+
+
+def test_geom_contains_env_concave_edge_crossing():
+    """r13 ADVICE (high): _geom_contains_env must reject a rect whose
+    interior is crossed by a boundary edge even when all 4 corners +
+    center are inside and no vertex lies in the rect — previously a
+    no-op loop, so geometry_to_bing_tiles' optimized quadtree path
+    (BingTileFunctions.java:570 exact ESRI contains) could emit
+    subtiles disjoint from a concave geometry."""
+    from presto_0_235_spark.functions.geo_wkt import (
+        _decompose_float, _env_disjoint_geom, _geom_contains_env,
+        _tile_envelope, geometry_to_bing_tiles)
+
+    # big square with a thin slit (1<x<2) dipping from the top edge
+    # to y=-5: corners/center of (0,0,10,10) are all inside, no
+    # vertex in the rect, but the slit edges cross its interior
+    slit = ("POLYGON ((-10 -10, 30 -10, 30 30, 2 30, 2 -5, 1 -5, "
+            "1 30, -10 30, -10 -10))")
+    assert not _geom_contains_env((0, 0, 10, 10), _decompose_float(slit))
+    solid = "POLYGON ((-10 -10, 30 -10, 30 30, -10 30, -10 -10))"
+    assert _geom_contains_env((0, 0, 10, 10), _decompose_float(solid))
+
+    # end-to-end covering-set invariant on the optimized (zoom>10)
+    # path: every emitted tile intersects the geometry
+    wkt = ("POLYGON ((0 0, 0.5 0, 0.5 0.5, 0.02 0.5, 0.02 0.01, "
+           "0.01 0.01, 0.01 0.5, 0 0.5, 0 0))")
+    dec = _decompose_float(wkt)
+    for q in geometry_to_bing_tiles(wkt, 12):
+        x = y = 0
+        z = len(q)
+        for i, ch in enumerate(q):
+            mask = 1 << (z - 1 - i)
+            d = int(ch)
+            if d & 1:
+                x |= mask
+            if d & 2:
+                y |= mask
+        assert not _env_disjoint_geom(_tile_envelope(x, y, z), dec), q
 
 
 def test_excluded_inventory_not_stale():
