@@ -3078,3 +3078,153 @@ def join_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable geometry aggregates at scale (r12 verdict #1)
+
+
+@register(
+    "sql_geometry_union_agg_scale",
+    oracle="""
+WITH pts AS (
+  SELECT DISTINCT c_nationkey AS nationkey, c_custkey % 120 AS k
+  FROM customer
+), brk AS (
+  SELECT nationkey, k,
+         CASE WHEN k - lag(k) OVER (PARTITION BY nationkey ORDER BY k)
+                   >= 3 THEN 1 ELSE 0 END AS new_island
+  FROM pts
+), isl AS (
+  SELECT nationkey, k,
+         sum(new_island) OVER (PARTITION BY nationkey ORDER BY k)
+           AS island
+  FROM brk
+), spans AS (
+  SELECT nationkey, island,
+         0.5 * min(k) AS s, 0.5 * max(k) + 1.0 AS e
+  FROM isl GROUP BY nationkey, island
+)
+SELECT nationkey,
+       count(*) AS parts,
+       round(sum(e - s), 6) AS area,
+       min(s) AS xmin,
+       max(e) AS xmax
+FROM spans
+GROUP BY nationkey
+""",
+)
+def sql_geometry_union_agg_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """geometry_union_agg as the MERGEABLE two-phase aggregate
+    (operators/geo_agg.py — the reference's GeometryUnionAgg.java
+    accumulator design: per-batch partial unions below the exchange,
+    per-key merge above it; the collect_list lowering in
+    sql/scalar_templates.py remains the convenience path for ad-hoc
+    SQL, this operator is the 100 TB path).
+
+    Data: one unit-height square per customer at x = 0.5*(c_custkey
+    % 120) — an interval-union problem in disguise. Squares at
+    adjacent k overlap, at k+2 share an edge (the overlay dissolves
+    it), and a k-gap >= 3 opens a new island, so DuckDB can compute
+    the union's part count / area / bounds in closed form with
+    gaps-and-islands SQL while Spark computes them geometrically
+    from the folded WKT. Plan shape pinned in
+    tests/test_plans.py::test_geometry_union_agg_partials_below_shuffle."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.operators import geo_agg
+    from presto_0_235_spark.sql.frontend import _ensure_sql_udfs
+
+    _ensure_sql_udfs(spark)
+    # spread the single-row-group fixture scan: the partial folds are
+    # CPU-bound exact-rational overlays, and one input split would
+    # serialize them on one core (no-op on a real multi-split scan)
+    cust = spread_scan(load_table(spark, sf_dir, "customer"))
+    x0 = (F.col("c_custkey") % 120).cast("double") * 0.5
+    squares = cust.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.concat(
+            F.lit("POLYGON (("),
+            x0.cast("string"), F.lit(" 0, "),
+            (x0 + 1.0).cast("string"), F.lit(" 0, "),
+            (x0 + 1.0).cast("string"), F.lit(" 1, "),
+            x0.cast("string"), F.lit(" 1, "),
+            x0.cast("string"), F.lit(" 0))"),
+        ).alias("g"),
+    )
+    unions = geo_agg.geometry_union_agg(squares, ["nationkey"], "g")
+    return unions.select(
+        "nationkey",
+        F.expr("CAST(st_numgeometries(union_geom) AS BIGINT)")
+        .alias("parts"),
+        F.round(F.expr("st_area(union_geom)"), 6).alias("area"),
+        F.expr("st_xmin(union_geom)").alias("xmin"),
+        F.expr("st_xmax(union_geom)").alias("xmax"),
+    )
+
+
+@register(
+    "sql_convex_hull_agg_scale",
+    oracle="""
+WITH pts AS (
+  SELECT DISTINCT c_nationkey AS nationkey, c_custkey % 120 AS k
+  FROM customer
+), xy AS (
+  SELECT nationkey, CAST(k AS DOUBLE) AS x,
+         CAST(k * k AS DOUBLE) AS y
+  FROM pts
+), ring AS (
+  SELECT nationkey, x, y,
+         lead(x) OVER w AS nx, lead(y) OVER w AS ny,
+         first_value(x) OVER w AS fx, first_value(y) OVER w AS fy
+  FROM xy
+  WINDOW w AS (PARTITION BY nationkey ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING)
+)
+SELECT nationkey,
+       count(*) + 1 AS npoints,
+       round(abs(sum(x * coalesce(ny, fy) - coalesce(nx, fx) * y))
+             / 2, 6) AS area,
+       min(x) AS xmin,
+       max(x) AS xmax
+FROM ring
+GROUP BY nationkey
+""",
+)
+def sql_convex_hull_agg_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """convex_hull_agg as the mergeable two-phase aggregate
+    (GeometryConvexHullAgg.java design: hull(all) ==
+    hull(partial hulls) — per-batch hulls below the exchange are
+    hull-sized, not batch-sized).
+
+    Data: one point per distinct (nation, k) at (k, k^2) — strictly
+    convex position, so EVERY point is a hull vertex and DuckDB can
+    compute the hull ring's vertex count (distinct k + closing
+    point), shoelace area, and bounds in closed form while Spark
+    reads them off the folded hull polygon."""
+    ensure_session_defaults(spark)
+    from presto_0_235_spark.operators import geo_agg
+    from presto_0_235_spark.sql.frontend import _ensure_sql_udfs
+
+    _ensure_sql_udfs(spark)
+    cust = spread_scan(load_table(spark, sf_dir, "customer"))
+    k = (F.col("c_custkey") % 120).cast("double")
+    points = cust.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.concat(
+            F.lit("POINT ("), k.cast("string"), F.lit(" "),
+            (k * k).cast("string"), F.lit(")"),
+        ).alias("g"),
+    )
+    hulls = geo_agg.convex_hull_agg(points, ["nationkey"], "g")
+    return hulls.select(
+        "nationkey",
+        F.expr("st_numpoints(hull_geom)").alias("npoints"),
+        F.round(F.expr("st_area(hull_geom)"), 6).alias("area"),
+        F.expr("st_xmin(hull_geom)").alias("xmin"),
+        F.expr("st_xmax(hull_geom)").alias("xmax"),
+    )

@@ -529,3 +529,27 @@ def test_tpcds_q14_branches_read_persisted_ctes(spark, sf_dir):
         assert "CartesianProduct" not in plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_geometry_union_agg_partials_below_shuffle(spark, sf_dir):
+    """The mergeable geometry aggregates (operators/geo_agg.py,
+    GeometryUnionAgg.java accumulator design) must fold partials
+    BELOW the exchange: MapInPandas (per-batch partial union) ->
+    Exchange of folded partials only -> FlatMapGroupsInPandas (merge)
+    — never a collect_list of raw geometries across the shuffle."""
+    from presto_0_235_spark.queries.extensions_q import (
+        sql_convex_hull_agg_scale, sql_geometry_union_agg_scale)
+
+    for builder in (sql_geometry_union_agg_scale,
+                    sql_convex_hull_agg_scale):
+        plan = plan_of(builder(spark, sf_dir))
+        i_map = plan.find("MapInPandas")
+        i_merge = plan.find("FlatMapGroupsInPandas")
+        assert i_map != -1 and i_merge != -1, builder.__name__
+        # formatted explain prints operators top-down (output first):
+        # the merge must appear ABOVE the partial map, with an
+        # exchange in between
+        assert i_merge < i_map, builder.__name__
+        between = plan[i_merge:i_map]
+        assert "Exchange" in between, builder.__name__
+        assert "collect_list" not in plan, builder.__name__
