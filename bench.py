@@ -159,6 +159,17 @@ def main() -> None:
         gc_ms[name] = gcs
 
     probe = calibration_probe()
+    # r12 verdict #8: one machine-speed-normalized figure for
+    # cross-round comparison. Denominator = 1.0*cpu_scan_sum +
+    # 1.0*shuffle_groupby (equal weights: the headline set is a mix
+    # of codegen-bound scans/aggregations and shuffle-bound
+    # joins/dedup, and the two probe shapes drift together under
+    # ambient load — the r11->r12 episode moved both ~12%).
+    # total_normalized is dimensionless; compare IT across rounds,
+    # not the raw total.
+    denom = probe.get("cpu_scan_sum", 0) + probe.get(
+        "shuffle_groupby", 0)
+    total = round(sum(timings.values()), 4)
 
     sf_match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
@@ -166,8 +177,14 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_wall_clock",
-                "value": round(sum(timings.values()), 4),
+                "value": total,
                 "unit": "sec",
+                "total_normalized": (
+                    round(total / denom, 3) if denom else None
+                ),
+                "normalization_weights": {
+                    "cpu_scan_sum": 1.0, "shuffle_groupby": 1.0
+                },
                 "queries": timings,
                 "raw_runs": raw,
                 "gc_ms": gc_ms,

@@ -43,6 +43,33 @@ except Exception:  # pragma: no cover - older vendored cloudpickle
     pass
 
 
+@F.pandas_udf("boolean")
+def json_invalid(texts: pd.Series) -> pd.Series:
+    """True when the text is NOT a single complete JSON value under
+    the reference's jackson strictness (JsonUtil.createJsonParser:
+    scalars allowed, trailing content / partial documents / bare
+    NaN/Infinity rejected) — Spark's parse_json accepts prefixes
+    ('1 trailing') and '' that Presto's json_parse / is_json_scalar
+    raise on, so the strict raise templates in scalar_templates.py
+    guard with this (r13 leniency conversion)."""
+    import json as _json
+
+    def bad(s):
+        if s is None:
+            return None
+        try:
+            _json.loads(
+                s,
+                parse_constant=lambda _c: (_ for _ in ()).throw(
+                    ValueError()),
+            )
+            return False
+        except Exception:
+            return True
+
+    return pd.Series([bad(s) for s in texts], dtype="object")
+
+
 @F.pandas_udf(StringType())
 def word_stem(words: pd.Series) -> pd.Series:
     """English S-stemmer (suffix stripping), Presto word_stem's shape

@@ -73,9 +73,11 @@ _PRIORITY: tuple[str, ...] = (
     "join_semi", "join_anti", "join_not_in_null_aware",
     "join_theta_range", "join_broadcast_dim", "join_skew_salted",
     "join_null_keys",
-    # window functions
+    # window functions (win_range_frame rotated out in r13 — frames
+    # stay covered in the full local artifact and the family by the
+    # four entries here + sql_win_ntile_expr_scale below)
     "win_topn_per_group", "win_ranking",
-    "win_lag_lead", "win_running_agg", "win_range_frame",
+    "win_lag_lead", "win_running_agg",
     # sort / limit / top-k
     "orderby_nulls_last", "topn", "limit_deterministic",
     # set operations (union_distinct rotated out in r10 — still in
@@ -97,7 +99,6 @@ _PRIORITY: tuple[str, ...] = (
     # three TPC-H shapes and union_distinct, so the external gate
     # hash-checks the newest surfaces directly)
     "tpcds_q65_adapted", "io_roundtrip_pagefile",
-    "io_roundtrip_avro",
     "io_roundtrip_rcfile",
     "sql_lambda_functions", "sql_quoted_identifiers",
     "join_spatial_contains",
@@ -123,6 +124,15 @@ _PRIORITY: tuple[str, ...] = (
     # rotates out (covered by sql_quantified_equality); both remain
     # in the full local artifact.
     "sql_geometry_suite", "sql_agg_map_histogram",
+    # r13 rotation: the mergeable two-phase geometry aggregate
+    # (operators/geo_agg.py, gaps-and-islands oracle — a brand-new
+    # family) and one sf-scale window promotion (NTile bucket
+    # arithmetic on real volumes — the r12 promotion family's first
+    # gate appearance). io_roundtrip_avro rotates out (storage
+    # codecs stay gated via pagefile + rcfile) and win_range_frame
+    # rotates out (see the window block); both remain in the full
+    # local artifact.
+    "sql_geometry_union_agg_scale", "sql_win_ntile_expr_scale",
 )
 
 

@@ -763,8 +763,12 @@ def _lower_try(inner: str) -> str:
                 # json_parse lowers to the canonicalizing variant
                 # round trip (to_json(parse_json(x))); its TRY form is
                 # Spark's try_parse_json — NULL on invalid JSON, same
-                # canonical string otherwise (TestTryFunction.java:69)
-                return f"to_json(try_parse_json({args}))"
+                # canonical string otherwise (TestTryFunction.java:69).
+                # json_invalid adds jackson strictness: TRY absorbs
+                # the trailing-content raise to NULL too.
+                return (f"(CASE WHEN json_invalid({args}) THEN "
+                        f"CAST(NULL AS STRING) "
+                        f"ELSE to_json(try_parse_json({args})) END)")
             twin = _TRY_CALL_TWINS[m.group(1).upper()]
             return twin + "(" + args + ")"
     top = _split_top_binary(stripped)
@@ -809,15 +813,58 @@ _SUBSCRIPT = re.compile(r"(?P<base>\b[A-Za-z_][\w.]*)\s*\[(?P<idx>[^\[\]]+)\]")
 _CALL_SUBSCRIPT = re.compile(r"\)\s*\[(?P<idx>[^\[\]]+)\]")
 
 
-def _rewrite_subscripts(sql: str) -> str:
+def _subscript_index(base: str, idx: str, stash) -> str:
+    """The index expression for a lowered a[i] subscript.
+
+    Presto's ARRAY subscript raises on a negative index
+    (ArraySubscriptOperator.java checkArrayIndex: 'Array subscript is
+    negative'; TestArrayOperators.java:696,698) where Spark's
+    element_at indexes from the END — a wrong-VALUE leniency. The
+    rewrite cannot statically tell arrays from maps (map[-1] is a
+    legal lookup), so the guard resolves the base's type at runtime
+    via typeof(): arrays get the raise, maps keep the key untouched.
+    try_cast keeps string map keys ANSI-safe in the comparison; the
+    0-index and out-of-bounds raises come from ANSI element_at
+    itself."""
+    from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+    msg = _stash_lit(stash, "Array subscript is negative")
+    # assert_true keeps the index TYPE untouched (a CASE raise branch
+    # cannot unify with string map keys under ANSI): it returns NULL
+    # when the guard holds, raises otherwise, and the IF passes the
+    # original index through either way. coalesce keeps a NULL index
+    # from nulling the guard (a[NULL] is NULL in both engines, not an
+    # error).
+    # the numeric probe hops through STRING: try_cast(map_key AS
+    # DOUBLE) fails ANALYSIS for array/struct map keys, while every
+    # Spark type casts to STRING and non-numeric renderings try_cast
+    # to NULL
+    guard = (
+        f"assert_true(NOT (startswith(typeof({base}), "
+        f"{_stash_lit(stash, 'array')}) "
+        f"AND coalesce(try_cast(CAST(({idx}) AS STRING) AS DOUBLE), 0)"
+        f" < 0), {msg})"
+    )
+    # branches must DIFFER: Catalyst simplifies If(p, x, x) -> x and
+    # would silently drop the raising guard. The NULL arm is
+    # unreachable (assert_true returns NULL or raises).
+    return f"(IF(isnull({guard}), ({idx}), NULL))"
+
+
+def _rewrite_subscripts(sql: str, stash) -> str:
     """a[i] / f(x)[i] -> element_at(..., i): Presto subscripts are
     1-based (ArraySubscriptOperator.java), Spark's native ones
     0-based — element_at is Spark's 1-based accessor and also covers
     maps. Bases may be identifiers or call/parenthesized expressions
-    (split(x, ' ')[1])."""
+    (split(x, ' ')[1]). Negative indexes raise for arrays (see
+    _subscript_index)."""
     while True:
         new = _SUBSCRIPT.sub(
-            lambda m: f"element_at({m.group('base')}, {m.group('idx')})", sql
+            lambda m: (
+                f"element_at({m.group('base')}, "
+                f"{_subscript_index(m.group('base'), m.group('idx'), stash)})"
+            ),
+            sql,
         )
         if new != sql:
             sql = new
@@ -844,7 +891,9 @@ def _rewrite_subscripts(sql: str) -> str:
         base = sql[k : close + 1]
         sql = (
             sql[:k]
-            + f"element_at({base}, {m.group('idx')})"
+            + f"element_at({base}, "
+            + _subscript_index(base, m.group("idx"), stash)
+            + ")"
             + sql[m.end() :]
         )
 
@@ -1421,18 +1470,16 @@ PRESTO_FN_RENAMES: dict[str, str] = {
     "with_timezone": "to_utc_timestamp",
     # json
     "json_extract_scalar": "get_json_object",
-    # json_extract returns the JSON TEXT at the path — exactly
-    # get_json_object's contract for objects/arrays. (Divergences:
-    # Presto's json_extract_scalar is NULL for non-scalars; Spark's
-    # get_json_object returns the JSON — acceptable for the scalar
-    # rename above because corpus call sites only target scalars.
-    # And for SCALAR STRING targets json_extract keeps JSON quoting —
-    # json_extract('{"a":"x"}','$.a') = '"x"' — while get_json_object
-    # unquotes to 'x'; documented divergence, same class as above.)
-    "json_extract": "get_json_object",
+    # (Divergence: Presto's json_extract_scalar is NULL for
+    # non-scalars; Spark's get_json_object returns the JSON —
+    # acceptable because corpus call sites only target scalars.
+    # json_extract itself lowers through VARIANT in
+    # scalar_templates.py since r13, so scalar strings keep their
+    # JSON quoting exactly like the reference.)
     # binary
     "to_hex": "hex",
-    "from_hex": "unhex",
+    # from_hex is templated in scalar_templates.py (odd-length /
+    # non-hex-byte raises) — no bare rename to unhex since r13
     "to_base64": "base64",
     "from_base64": "unbase64",
 }
@@ -1922,6 +1969,39 @@ def _rewrite_window_shims(
     return out
 
 
+_JSON_CAST_HEAD = re.compile(
+    r"\b(?:TRY_)?CAST\s*\(\s*(to_json)\s*\(\s*variant_get\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_json_cast_peephole(sql: str) -> str:
+    """CAST(to_json(variant_get(..)) AS T) -> CAST(variant_get(..) AS T).
+
+    json_extract lowers to to_json(variant_get(..)) (the JSON-TEXT
+    rendering). When the user immediately CASTs that JSON value,
+    Presto applies the JsonOperators JSON-to-T cast — which unquotes
+    scalar strings and parses numbers/booleans (TestJsonOperators
+    .java:95,341). Casting the VARIANT directly is exactly that cast;
+    keeping to_json in between would cast the quoted text instead
+    ('"y"' -> '"y"', not 'y'). Only fires when to_json(..) is the
+    ENTIRE cast operand (next token must be AS)."""
+    pos = 0
+    while True:
+        m = _JSON_CAST_HEAD.search(sql, pos)
+        if not m:
+            return sql
+        tj = m.start(1)
+        open_tj = sql.index("(", tj)
+        end_tj = _balanced(sql, open_tj)
+        tail = sql[end_tj:].lstrip()
+        if not re.match(r"AS\b", tail, re.IGNORECASE):
+            pos = m.end()  # to_json is a sub-expression: leave it
+            continue
+        sql = sql[:tj] + sql[open_tj + 1:end_tj - 1] + sql[end_tj:]
+        pos = m.start()
+
+
 def presto_to_spark_sql(sql: str) -> str:
     """Source-level Presto->Spark SQL dialect translation (quote- and
     comment-aware: rewrites never touch literals)."""
@@ -1939,6 +2019,14 @@ def presto_to_spark_sql(sql: str) -> str:
                 )
         sql = sql.replace("\x00", "")
     masked, stash = _mask(sql)
+    # DECIMAL(0[,s]) is rejected by Presto's type system
+    # (DecimalParametricType precision >= 1;
+    # TestDecimalParametricType.java:72-74) — Spark accepts
+    # DECIMAL(0,0) and computes through, an r13 leniency conversion
+    # caught at translate time like the reference's analysis raise.
+    if re.search(r"\bDECIMAL\s*\(\s*0\s*[,)]", masked, re.IGNORECASE):
+        raise ValueError(
+            "DECIMAL precision must be in range [1, 38]: 0")
     # ANSI synonym Spark's parser lacks (DoubleType in the reference
     # grammar; TestDoubleOperators.java:49 DOUBLE PRECISION '12.34')
     masked = re.sub(
@@ -1964,8 +2052,9 @@ def presto_to_spark_sql(sql: str) -> str:
     # bounds), while a[i] subscripts emit raising element_at — the
     # order keeps the two distinguishable.
     masked = rewrite_scalar_templates(masked, stash)
+    masked = _rewrite_json_cast_peephole(masked)
     masked = _rewrite_window_shims(masked, stash)
-    masked = _rewrite_subscripts(masked)
+    masked = _rewrite_subscripts(masked, stash)
     masked = _rewrite_call_templates(masked)
     masked = _rewrite_function_names(masked)
     masked = _rewrite_bare_varchar(masked)
@@ -1992,6 +2081,9 @@ def _ensure_sql_udfs(spark: SparkSession) -> None:
     from presto_0_235_spark.functions import udfs as U
 
     spark.udf.register("word_stem", U.word_stem)
+    # strict JSON validity (jackson contract; parse_json is lenient
+    # on trailing content) for the json_parse / is_json_scalar raises
+    spark.udf.register("json_invalid", U.json_invalid)
     # width_bucket array-bins form: the reference's validating binary
     # search, replicated exactly (MathFunctions.java)
     spark.udf.register("width_bucket_bins", U.width_bucket_bins)

@@ -140,6 +140,11 @@ _TEMPLATE_NAMES = (
     "json_array_contains",
     "json_parse",
     "json_format",
+    "json_extract",
+    "from_hex",
+    "concat",
+    "map_from_entries",
+    "array_sort",
     "split_to_map",
     "to_utf8",
     "from_utf8",
@@ -598,14 +603,27 @@ def _rewrite_one(
         else:
             q, e = _stash_lit(stash, "\\Q"), _stash_lit(stash, "\\E")
             quoted = f"concat({q}, {a[1]}, {e})"
-        lim = f", {a[2]}" if len(a) == 3 else ""
+        if len(a) == 3:
+            # StringFunctions.java:411-412 limit validation (r13
+            # leniency conversion: Spark's split treats limit<=0 as
+            # 'no limit')
+            badpos = _raise(_stash_lit(stash, "Limit must be positive"),
+                            "INT")
+            badbig = _raise(_stash_lit(stash, "Limit is too large"),
+                            "INT")
+            lim = (f", (CASE WHEN ({a[2]}) <= 0 THEN {badpos} "
+                   f"WHEN ({a[2]}) > 2147483647 THEN {badbig} "
+                   f"ELSE CAST(({a[2]}) AS INT) END)")
+        else:
+            lim = ""
         return f"split({a[0]}, {quoted}{lim})"
 
     if name == "split_part" and len(a) == 3:
         # Presto: literal delimiter, NULL past the last field, error
-        # on index 0 (StringFunctions.java splitPart); Spark's
-        # split_part returns '' past the end. try_element_at keeps
-        # genuinely-empty fields as '' and still raises on index 0.
+        # on index <= 0 (StringFunctions.java:453 'Index must be
+        # greater than zero' — negative-index raise is an r13
+        # leniency conversion; Spark's split_part counts from the
+        # end). try_element_at keeps genuinely-empty fields as ''.
         d_lit = _lit_of(args[1], stash)
         if d_lit is not None:
             quoted = _stash_lit(
@@ -614,7 +632,12 @@ def _rewrite_one(
         else:
             q, e = _stash_lit(stash, "\\Q"), _stash_lit(stash, "\\E")
             quoted = f"concat({q}, {a[1]}, {e})"
-        return f"try_element_at(split({a[0]}, {quoted}), {a[2]})"
+        badix = _raise(
+            _stash_lit(stash, "Index must be greater than zero"),
+            "INT")
+        ix = (f"(CASE WHEN ({a[2]}) <= 0 THEN {badix} "
+              f"ELSE CAST(({a[2]}) AS INT) END)")
+        return f"try_element_at(split({a[0]}, {quoted}), {ix})"
 
     if name in ("substr", "substring"):
         # Presto: start 0 or start < -length(s) -> ''
@@ -729,6 +752,76 @@ def _rewrite_one(
         # is 3-arg only.
         return f"regexp_replace({a[0]}, {a[1]}, {_stash_lit(stash, '')})"
 
+    if name == "regexp_replace" and len(a) == 3:
+        # Replacement ${name} references must name a group the
+        # PATTERN defines — ${}, ${0}, ${unknown} raise in Presto
+        # (AbstractTestRegexpFunctions.java:124-126; Java's Matcher
+        # silently treats some of these as empty). Validated at
+        # translate time when both pattern and replacement are
+        # literals (the reference validates when compiling the
+        # replacement) — r13 leniency conversion; non-literal forms
+        # pass through untouched.
+        pat_lit = _lit_of(args[1], stash)
+        rep_lit = _lit_of(args[2], stash)
+        if pat_lit is not None and rep_lit is not None:
+            # capture-group numbering: walk the pattern tracking
+            # escapes and character classes; each bare '(' that is
+            # not (?:  (?=  (?!  (?<=  (?<!  is a capturing group,
+            # and (?<name>...) is a NAMED capturing group
+            names: dict[str, int] = {}
+            num = 0
+            i, in_class, esc = 0, False, False
+            while i < len(pat_lit):
+                ch = pat_lit[i]
+                if esc:
+                    esc = False
+                elif ch == "\\":
+                    esc = True
+                elif in_class:
+                    if ch == "]":
+                        in_class = False
+                elif ch == "[":
+                    in_class = True
+                elif ch == "(":
+                    nm = re.match(r"\(\?<([A-Za-z][A-Za-z0-9]*)>",
+                                  pat_lit[i:])
+                    if nm:
+                        num += 1
+                        names[nm.group(1)] = num
+                    elif not pat_lit.startswith("(?", i):
+                        num += 1
+                i += 1
+            out_rep, bad_ref = [], None
+            j = 0
+            while j < len(rep_lit):
+                m2 = re.match(r"\$\{([^}]*)\}", rep_lit[j:])
+                if m2:
+                    ref = m2.group(1)
+                    if ref not in names:
+                        bad_ref = ref
+                        break
+                    # Spark's RegExpReplace only honors $N numeric
+                    # references — rewrite the named form to its
+                    # group number (converts the long-standing
+                    # _XFAIL_NAMED_GROUP divergence to a pass)
+                    out_rep.append(f"${names[ref]}")
+                    j += m2.end()
+                else:
+                    out_rep.append(rep_lit[j])
+                    j += 1
+            if bad_ref is not None:
+                return _raise(
+                    _stash_lit(
+                        stash,
+                        "Invalid replacement sequence: unknown "
+                        "group { " + bad_ref + " }"),
+                    "STRING")
+            new_rep = "".join(out_rep)
+            if new_rep != rep_lit:
+                return (f"regexp_replace({a[0]}, {a[1]}, "
+                        f"{_stash_lit(stash, new_rep)})")
+        return None
+
     if name == "regexp_extract_all" and len(a) == 2:
         # Spark's 2-arg default is group 1 (errors on group-less
         # patterns); Presto's is the full match (group 0). No-match
@@ -773,7 +866,12 @@ def _rewrite_one(
     if name == "split_to_map" and len(a) == 3:
         # Literal delimiters (SplitToMapFunction.java uses indexOf);
         # Spark str_to_map's are regexes — quote them. Presto maps ''
-        # to {} where str_to_map gives {'': null}.
+        # to {} where str_to_map gives {'': null}. r13 leniency
+        # conversions (SplitToMapFunction.java:53-100): delimiter
+        # validation, the kv-delimiter-exactly-once-per-entry rule,
+        # and the duplicate-key raise; one trailing entry delimiter
+        # is legal (the reference's scan just stops), interior empty
+        # entries are not.
         quoted = []
         for arg in (args[1], args[2]):
             lit = _lit_of(arg, stash)
@@ -785,9 +883,42 @@ def _rewrite_one(
                 q, e = _stash_lit(stash, "\\Q"), _stash_lit(stash, "\\E")
                 quoted.append(f"concat({q}, ({arg.strip()}), {e})")
         empty = _stash_lit(stash, "")
+        raw = f"split({a[0]}, {quoted[0]}, -1)"
+        ents = (f"(CASE WHEN element_at({raw}, size({raw})) = {empty} "
+                f"AND size({raw}) > 1 "
+                f"THEN slice({raw}, 1, size({raw}) - 1) "
+                f"ELSE {raw} END)")
+        badent_prefix = _stash_lit(
+            stash, "Key-value delimiter must appear exactly once in "
+                   "each entry. Bad input: '")
+        badent_q = _stash_lit(stash, "'")
+        badent = _raise(
+            f"concat({badent_prefix}, "
+            f"element_at(filter({ents}, "
+            f"p -> size(split(p, {quoted[1]}, -1)) != 2), 1), "
+            f"{badent_q})",
+            "MAP<STRING, STRING>")
+        keys = f"transform({ents}, p -> element_at(split(p, {quoted[1]}, -1), 1))"
+        dup = _raise(
+            _stash_lit(stash, "Duplicate keys are not allowed"),
+            "MAP<STRING, STRING>")
         return (
-            f"(CASE WHEN {a[0]} = {empty} THEN map() "
-            f"ELSE str_to_map({a[0]}, {quoted[0]}, {quoted[1]}) END)"
+            f"(CASE WHEN ({a[1]}) = ({a[2]}) THEN "
+            + _raise(_stash_lit(stash, "entryDelimiter and "
+                                       "keyValueDelimiter must not be "
+                                       "the same"),
+                     "MAP<STRING, STRING>")
+            + f" WHEN {a[0]} = {empty} THEN map() "
+            f"WHEN exists({ents}, "
+            f"p -> size(split(p, {quoted[1]}, -1)) != 2) THEN {badent} "
+            f"WHEN size(array_distinct({keys})) != size({keys}) "
+            f"THEN {dup} "
+            # build from the trailing-dropped entry list, not the raw
+            # string: str_to_map('a=1,') would emit a spurious
+            # {'': null} entry the reference's scan never produces
+            f"ELSE map_from_entries(transform({ents}, "
+            f"p -> struct(element_at(split(p, {quoted[1]}, -1), 1), "
+            f"element_at(split(p, {quoted[1]}, -1), 2)))) END)"
         )
 
     if name == "to_utf8" and len(a) == 1:
@@ -868,13 +999,39 @@ def _rewrite_one(
     if name == "json_parse" and len(a) == 1:
         # Presto json_parse canonicalizes (whitespace, key order,
         # number form — JsonOperators.java). Spark 4's variant round
-        # trip has the same canonical form; invalid JSON raises in
-        # both. The engine's JSON type is the canonical STRING.
-        return f"to_json(parse_json({a[0]}))"
+        # trip has the same canonical form, but parse_json is LENIENT
+        # on trailing content ('"x": 1' parses as '"x"') where
+        # jackson rejects the whole document — json_invalid supplies
+        # the strict raise (r13 leniency conversion,
+        # TestJsonFunctions.java:280). The engine's JSON type is the
+        # canonical STRING.
+        bad = _raise(
+            f"concat({_stash_lit(stash, 'Cannot convert ')}, {a[0]}, "
+            f"{_stash_lit(stash, ' to JSON')})", "STRING")
+        return (f"(CASE WHEN {a[0]} IS NULL THEN CAST(NULL AS STRING) "
+                f"WHEN json_invalid({a[0]}) THEN {bad} "
+                f"ELSE to_json(parse_json({a[0]})) END)")
 
     if name == "json_format" and len(a) == 1:
         # Identity in the canonical-string JSON representation.
         return f"CAST({a[0]} AS STRING)"
+
+    if name == "json_extract" and len(a) == 2:
+        # JsonFunctions.java:472 jsonExtract: the JSON TEXT at the
+        # path — scalar strings KEEP their JSON quoting
+        # (json_extract('{"a":"x"}','$.a') = '"x"'), unlike
+        # get_json_object which unquotes (the divergence r12
+        # documented; r13 fixes it through the VARIANT machinery
+        # json_parse already uses). Invalid JSON -> NULL
+        # (JsonExtract.java:140 swallows JsonParseException);
+        # missing path -> NULL; output canonicalizes like
+        # json_parse (sorted keys, canonical numbers — the engine's
+        # documented JSON convention). A surrounding Presto
+        # JSON-to-T CAST is peepholed in frontend.py to cast the
+        # VARIANT directly (unquote/parse semantics of
+        # JsonOperators' casts).
+        return (f"to_json(variant_get(try_parse_json("
+                f"CAST({a[0]} AS STRING)), {a[1]}))")
 
     if name == "json_size" and len(a) == 2:
         # Object -> #keys, array -> #elements, scalar -> 0, absent
@@ -1060,10 +1217,78 @@ def _rewrite_one(
         )
 
     if name == "from_big_endian_32" and len(a) == 1:
+        # exactly 4 bytes or raise (VarbinaryFunctions.java:203 —
+        # r13 leniency conversion)
+        badlen = _raise(
+            f"concat({_stash_lit(stash, 'expected 4-byte input, but got instead: ')}, "
+            f"CAST(length({a[0]}) AS STRING))", "INT")
         u = f"CAST(conv(hex({a[0]}), 16, 10) AS BIGINT)"
         return (
-            f"CAST((CASE WHEN {u} >= 2147483648 THEN {u} - 4294967296 "
-            f"ELSE {u} END) AS INT)"
+            f"(CASE WHEN {a[0]} IS NULL THEN CAST(NULL AS INT) "
+            f"WHEN length({a[0]}) != 4 THEN {badlen} "
+            f"ELSE CAST((CASE WHEN {u} >= 2147483648 "
+            f"THEN {u} - 4294967296 ELSE {u} END) AS INT) END)"
+        )
+
+    if name == "from_hex" and len(a) == 1:
+        # VarbinaryFunctions.java:154 fromHexVarchar: odd length ->
+        # 'invalid input length N'; non-hex char -> 'invalid hex
+        # byte' (r13 leniency conversion; the previous lowering was a
+        # bare rename to unhex, which returns NULL/truncates)
+        x = f"CAST({a[0]} AS STRING)"
+        nonhex = _stash_lit(stash, "[^0-9a-fA-F]")
+        badlen = _raise(
+            f"concat({_stash_lit(stash, 'invalid input length ')}, "
+            f"CAST(length({x}) AS STRING))", "BINARY")
+        badbyte = _raise(
+            f"concat({_stash_lit(stash, 'invalid hex byte: ')}, "
+            f"regexp_extract({x}, {nonhex}, 0))", "BINARY")
+        return (
+            f"(CASE WHEN {a[0]} IS NULL THEN CAST(NULL AS BINARY) "
+            f"WHEN length({x}) % 2 != 0 THEN {badlen} "
+            f"WHEN {x} RLIKE {nonhex} THEN {badbyte} "
+            f"ELSE unhex({x}) END)"
+        )
+
+    if name == "concat" and len(a) == 1:
+        # ConcatFunction.java:114 — concat requires two or more
+        # arguments (r13 leniency conversion; Spark's concat('') is
+        # the identity)
+        return _raise(
+            _stash_lit(stash, "There must be two or more "
+                              "concatenation arguments"), "STRING")
+
+    if name == "map_from_entries" and len(a) == 1:
+        # MapFromEntriesFunction.java:75 — a null ENTRY raises where
+        # Spark returns NULL (r13 leniency conversion). assert_true
+        # keeps the argument type polymorphic (a CASE raise branch
+        # cannot name map<K,V>); the NULL arm is unreachable.
+        guard = (
+            f"assert_true(NOT exists({a[0]}, e -> e IS NULL), "
+            f"{_stash_lit(stash, 'map entry cannot be null')})"
+        )
+        return (f"map_from_entries(IF(isnull({guard}), {a[0]}, "
+                f"NULL))")
+
+    if name == "array_sort" and len(a) == 2:
+        # ArraySortComparatorFunction.java:194 — the lambda
+        # comparator must return EXACTLY -1, 0, or 1; Spark's
+        # array_sort accepts any integer sign (r13 leniency
+        # conversion). NULL comparator results fall to the raise arm
+        # too (checkCondition is null-intolerant).
+        lm = re.match(
+            r"^\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*->\s*(.+)$",
+            args[1].strip(), re.S)
+        if lm is None:
+            return None  # not a 2-param lambda: leave untouched
+        x, y, body = lm.group(1), lm.group(2), lm.group(3)
+        bad = _raise(
+            _stash_lit(stash, "Lambda comparator must return either "
+                              "-1, 0, or 1"), "INT")
+        return (
+            f"array_sort({a[0]}, ({x}, {y}) -> "
+            f"(CASE WHEN ({body}) IN (-1, 0, 1) "
+            f"THEN CAST(({body}) AS INT) ELSE {bad} END))"
         )
 
     if name == "strrpos" and len(a) in (2, 3):
@@ -1117,11 +1342,24 @@ def _rewrite_one(
         )
         neg = _stash_lit(stash, "count argument of repeat function "
                                 "must be greater than or equal to 0")
+        toobig = _raise(
+            _stash_lit(stash, "result of repeat function must not "
+                              "take more than 1000000 bytes"), "INT")
+        # byte cap (RepeatFunction.checkMaxSize: bytes <= (1MB +
+        # count)/count): exact for VARCHAR elements (Slice length ==
+        # UTF-8 octet_length); other element types keep the leniency
+        # (Presto's Block byte accounting is not reconstructible from
+        # SQL) — typeof gates the check to strings (r13 conversion)
         return (
             f"(CASE WHEN ({n}) < 0 THEN "
             f"array_repeat({x}, CAST(raise_error({neg}) AS INT)) "
             f"WHEN ({n}) > 10000 THEN "
             f"array_repeat({x}, CAST(raise_error({msg}) AS INT)) "
+            f"WHEN ({n}) > 0 AND "
+            f"startswith(typeof({x}), {_stash_lit(stash, 'string')}) "
+            f"AND octet_length(CAST({x} AS STRING)) > "
+            f"CAST((1000000 + ({n})) DIV ({n}) AS BIGINT) THEN "
+            f"array_repeat({x}, {toobig}) "
             f"ELSE array_repeat({x}, CAST({n} AS INT)) END)"
         )
 
@@ -1253,14 +1491,19 @@ def _rewrite_one(
 
     if name == "is_json_scalar" and len(a) == 1:
         # true for JSON scalars, false for arrays/objects; invalid
-        # JSON raises (JsonFunctions.java isJsonScalar). parse_json
-        # supplies the validity raise; the first non-space char
-        # classifies.
+        # JSON raises (JsonFunctions.java isJsonScalar). The strict
+        # json_invalid UDF supplies the validity raise — parse_json
+        # alone accepts '' / '[1' / trailing content that the
+        # reference rejects (TestJsonFunctions.java:48-51, r13
+        # leniency conversion); the first non-space char classifies.
         j = a[0]
         bracket = _stash_lit(stash, "^[\\[{]")
+        bad = _raise(
+            f"concat({_stash_lit(stash, 'Invalid JSON value: ')}, {j})",
+            "BOOLEAN")
         return (
             f"(CASE WHEN {j} IS NULL THEN CAST(NULL AS BOOLEAN) "
-            f"WHEN parse_json({j}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"WHEN json_invalid({j}) THEN {bad} "
             f"ELSE NOT (ltrim({j}) RLIKE {bracket}) END)"
         )
 
@@ -1284,15 +1527,58 @@ def _rewrite_one(
         # The registered Arrow UDFs expect float64 series — SQL
         # integer/decimal literals arrive as int64/Decimal objects
         # otherwise (the integral params are re-int()ed inside).
-        cast_args = ", ".join(f"CAST({x} AS DOUBLE)" for x in a)
-        return f"{name}({cast_args})"
+        # r13 leniency conversion: the reference's checkCondition
+        # raises (MathFunctions.java:615-658) — note Java's NaN
+        # comparisons are FALSE (so NaN sd raises) while Spark
+        # orders NaN greater than everything, hence the explicit
+        # isnan guards.
+        c = [f"CAST({x} AS DOUBLE)" for x in a]
+        call = f"{name}({', '.join(c)})"
+        # (holds-condition, reference message) pairs, checked in the
+        # reference's order
+        guards = []
+        if name == "inverse_normal_cdf":
+            guards = [
+                (f"{c[2]} > 0 AND {c[2]} < 1", "p must be 0 > p > 1"),
+                (f"{c[1]} > 0 AND NOT isnan({c[1]})",
+                 "sd must be > 0"),
+            ]
+        elif name == "normal_cdf":
+            guards = [(f"{c[1]} > 0 AND NOT isnan({c[1]})",
+                       "standardDeviation must be > 0")]
+        elif name == "inverse_beta_cdf":
+            guards = [
+                (f"{c[2]} >= 0 AND {c[2]} <= 1 AND NOT isnan({c[2]})",
+                 "p must be in the interval [0, 1]"),
+                (f"{c[0]} > 0 AND NOT isnan({c[0]})", "a must be > 0"),
+                (f"{c[1]} > 0 AND NOT isnan({c[1]})", "b must be > 0"),
+            ]
+        elif name == "beta_cdf":
+            guards = [
+                (f"{c[2]} >= 0 AND {c[2]} <= 1 AND NOT isnan({c[2]})",
+                 "value must be in the interval [0, 1]"),
+                (f"{c[0]} > 0 AND NOT isnan({c[0]})", "a must be > 0"),
+                (f"{c[1]} > 0 AND NOT isnan({c[1]})", "b must be > 0"),
+            ]
+        if not guards:
+            return call
+        nulls = " OR ".join(f"({x}) IS NULL" for x in a)
+        whens = " ".join(
+            f"WHEN NOT ({cond}) THEN "
+            f"{_raise(_stash_lit(stash, msg), 'DOUBLE')}"
+            for cond, msg in guards
+        )
+        return (f"(CASE WHEN {nulls} THEN CAST(NULL AS DOUBLE) "
+                f"{whens} ELSE {call} END)")
 
     if name in ("hmac_md5", "hmac_sha1", "hmac_sha512") and len(a) == 2:
         algo = _stash_lit(stash, name.removeprefix("hmac_"))
         return f"unhex(hmac_any_hex({algo}, {a[0]}, {a[1]}))"
 
     if name in ("wilson_interval_lower", "wilson_interval_upper") and len(a) == 3:
-        # WilsonInterval.java closed form.
+        # WilsonInterval.java closed form, with its checkCondition
+        # raises (WilsonInterval.java:48-51 — r13 leniency
+        # conversion, reference order).
         s_, n_, z_ = (
             f"CAST({a[0]} AS DOUBLE)",
             f"CAST({a[1]} AS DOUBLE)",
@@ -1306,7 +1592,25 @@ def _rewrite_one(
             f"({z_} * sqrt({p_hat} * (1 - {p_hat}) / {n_} "
             f"+ {z2} / (4 * {n_} * {n_})))"
         )
-        return f"(({center} {sign} {margin}) / (1 + {z2} / {n_}))"
+        whens = " ".join(
+            f"WHEN NOT ({cond}) THEN "
+            f"{_raise(_stash_lit(stash, msg), 'DOUBLE')}"
+            for cond, msg in (
+                (f"{s_} >= 0",
+                 "number of successes must not be negative"),
+                (f"{n_} > 0", "number of trials must be positive"),
+                (f"{s_} <= {n_}", "number of successes must not be "
+                                  "larger than number of trials"),
+                (f"{z_} >= 0 AND NOT isnan({z_})",
+                 "z-score must not be negative"),
+            )
+        )
+        nulls = " OR ".join(f"({x}) IS NULL" for x in a)
+        return (
+            f"(CASE WHEN {nulls} THEN CAST(NULL AS DOUBLE) {whens} "
+            f"ELSE (({center} {sign} {margin}) / (1 + {z2} / {n_})) "
+            f"END)"
+        )
 
     if name == "split_to_multimap" and len(a) == 3:
         # map K -> array of ALL values (SplitToMultimapFunction.java).
@@ -1320,37 +1624,61 @@ def _rewrite_one(
             else:
                 q, e = _stash_lit(stash, "\\Q"), _stash_lit(stash, "\\E")
                 quoted.append(f"concat({q}, ({arg.strip()}), {e})")
+        empty = _stash_lit(stash, "")
+        raw = f"split({a[0]}, {quoted[0]}, -1)"
+        ents = (f"(CASE WHEN element_at({raw}, size({raw})) = {empty} "
+                f"AND size({raw}) > 1 "
+                f"THEN slice({raw}, 1, size({raw}) - 1) "
+                f"ELSE {raw} END)")
         entries = (
-            f"transform(split({a[0]}, {quoted[0]}), p -> named_struct("
-            f"{_stash_lit(stash, 'k')}, element_at(split(p, {quoted[1]}), 1), "
-            f"{_stash_lit(stash, 'v')}, element_at(split(p, {quoted[1]}), 2)))"
+            f"transform({ents}, p -> named_struct("
+            f"{_stash_lit(stash, 'k')}, element_at(split(p, {quoted[1]}, -1), 1), "
+            f"{_stash_lit(stash, 'v')}, element_at(split(p, {quoted[1]}, -1), 2)))"
         )
         keys = f"array_distinct(transform({entries}, x -> x.k))"
-        empty = _stash_lit(stash, "")
+        # r13 leniency conversions (SplitToMultimapFunction.java:
+        # same contract as split_to_map — delimiter equality and the
+        # kv-delimiter-exactly-once-per-entry rule raise)
+        mm_prefix = _stash_lit(
+            stash, "Key-value delimiter must appear exactly once in "
+                   "each entry. Bad input: '")
+        mm_q = _stash_lit(stash, "'")
+        badent = _raise(
+            f"concat({mm_prefix}, element_at(filter({ents}, "
+            f"p -> size(split(p, {quoted[1]}, -1)) != 2), 1), {mm_q})",
+            "MAP<STRING, ARRAY<STRING>>")
+        samedelim = _raise(
+            _stash_lit(stash, "entryDelimiter and keyValueDelimiter "
+                              "must not be the same"),
+            "MAP<STRING, ARRAY<STRING>>")
         return (
-            f"(CASE WHEN {a[0]} = {empty} THEN map() "
+            f"(CASE WHEN ({a[1]}) = ({a[2]}) THEN {samedelim} "
+            f"WHEN {a[0]} = {empty} THEN map() "
+            f"WHEN exists({ents}, "
+            f"p -> size(split(p, {quoted[1]}, -1)) != 2) THEN {badent} "
             f"ELSE map_from_arrays({keys}, transform({keys}, "
             f"k -> transform(filter({entries}, x -> x.k <=> k), x -> x.v))) END)"
         )
 
     if name == "strpos" and len(a) == 3:
-        # StringFunctions.java stringPosition(string, substring,
-        # instance): position of the Nth occurrence; negative N
-        # counts from the end; N = 0 raises; absent -> 0. Lowered to
-        # a position scan (filter over sequence) — element_at's own
-        # negative indexing provides the from-the-end form.
+        # StringFunctions.java:228 stringPositionFromStart(string,
+        # substring, instance): position of the Nth occurrence;
+        # instance <= 0 RAISES in 0.235 (from-the-end counting is
+        # strrpos's job; TestStringFunctions.java:298-301 — r13
+        # leniency conversion); absent -> 0. NULL args propagate
+        # BEFORE the validation (RETURNS NULL ON NULL INPUT).
         hay, sub, n = a
         positions = (
             f"filter(sequence(1, length({hay})), "
             f"p -> substr({hay}, p, length({sub})) = {sub})"
         )
-        msg = _stash_lit(stash, "'instance' must be a positive or "
-                                "negative number")
+        msg = _stash_lit(stash, "'instance' must be a positive "
+                                "number.")
         return (
-            f"(CASE WHEN ({n}) = 0 THEN "
+            f"(CASE WHEN ({hay}) IS NULL OR ({sub}) IS NULL "
+            f"OR ({n}) IS NULL THEN CAST(NULL AS BIGINT) "
+            f"WHEN ({n}) <= 0 THEN "
             f"CAST(raise_error({msg}) AS BIGINT) "
-            f"WHEN ({hay}) IS NULL OR ({sub}) IS NULL OR ({n}) IS NULL "
-            f"THEN CAST(NULL AS BIGINT) "
             f"WHEN length({hay}) = 0 OR length({sub}) = 0 THEN 0 "
             f"ELSE CAST(coalesce(try_element_at({positions}, "
             f"CAST({n} AS INT)), 0) AS BIGINT) END)"
@@ -1461,12 +1789,19 @@ def _rewrite_one(
     if name == "from_big_endian_64" and len(a) == 1:
         # conv() reads the hex as UNSIGNED 64-bit; values >= 2^63
         # wrap back to the negative range via the 2^64 complement
-        # (exact in DECIMAL(20,0)).
+        # (exact in DECIMAL(20,0)). Exactly 8 bytes or raise
+        # (VarbinaryFunctions.java:182 — r13 leniency conversion).
+        badlen = _raise(
+            f"concat({_stash_lit(stash, 'expected 8-byte input, but got instead: ')}, "
+            f"CAST(length({a[0]}) AS STRING))", "BIGINT")
         h = f"hex({a[0]})"
         u = f"CAST(conv({h}, 16, 10) AS DECIMAL(20, 0))"
         return (
+            f"(CASE WHEN {a[0]} IS NULL THEN CAST(NULL AS BIGINT) "
+            f"WHEN length({a[0]}) != 8 THEN {badlen} ELSE "
             f"CAST((CASE WHEN {u} >= 9223372036854775808 "
-            f"THEN {u} - 18446744073709551616 ELSE {u} END) AS BIGINT)"
+            f"THEN {u} - 18446744073709551616 ELSE {u} END) AS BIGINT) "
+            f"END)"
         )
 
     if name in ("array_min", "array_max") and len(a) == 1:

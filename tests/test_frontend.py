@@ -166,13 +166,20 @@ def test_try_unsupported_shape_raises_loudly():
 
 
 def test_subscripts_one_based():
-    assert "element_at(a, 1)" in presto_to_spark_sql("SELECT a[1] FROM t")
-    assert "element_at(split((x), ','), 2)" in presto_to_spark_sql(
-        "SELECT split(x, ',')[2] FROM t"
-    )
+    # the index rides inside the r13 negative-array guard
+    # (frontend._subscript_index): element_at(base, (IF(isnull(
+    # assert_true(...'Array subscript is negative')), (idx), NULL)))
+    out1 = presto_to_spark_sql("SELECT a[1] FROM t")
+    assert "element_at(a, " in out1
+    assert "Array subscript is negative" in out1
+    assert "(1), NULL))" in out1
+    out2 = presto_to_spark_sql("SELECT split(x, ',')[2] FROM t")
+    assert "element_at(split((x), ','), " in out2
+    assert "(2), NULL))" in out2
     # ARRAY literal + subscript compose
     out = presto_to_spark_sql("SELECT ARRAY[10, 20][i] FROM t")
-    assert "element_at(array(10, 20), i)" in out
+    assert "element_at(array(10, 20), " in out
+    assert "(i), NULL))" in out
 
 
 # ---------------------------------------------------------------------------

@@ -269,12 +269,9 @@ VALUE_CASES = [
 _TS = "TIMESTAMP '2001-08-22 03:04:05.321'"  # the reference's TIMESTAMP_LITERAL
 _DT = "TIMESTAMP '2001-01-09 13:04:05.321'"  # testDateFormat's dateTimeLiteral
 
-_XFAIL_NAMED_GROUP = pytest.mark.xfail(
-    reason="Spark's regexp_replace drops Java ${name} group references "
-    "in the replacement (Presto/Joni substitutes them); no "
-    "source-level rewrite can recover the binding",
-    strict=True,
-)
+# (r13: the named-group xfail converted to a PASS — the
+# regexp_replace template rewrites literal ${name} references to
+# their $N group numbers at translate time, scalar_templates.py)
 _XFAIL_EMPTY_SPLIT_EDGES = pytest.mark.xfail(
     reason="Java String.split drops the leading and trailing empty "
     "fields a zero-width pattern produces; Presto/Joni keeps both",
@@ -393,8 +390,13 @@ VALUE_CASES += [
         "re_replace_named_group",
         "regexp_replace('wxyz', '(?<xyz>[xyz])', '${xyz}${xyz}')",
         "wxxyyzz",
-        f"{R}:120",
-        marks=_XFAIL_NAMED_GROUP,
+        f"{R}:120 (named refs rewritten to $N at translate time, r13)",
+    ),
+    _case(
+        "re_replace_named_group_alt",
+        "regexp_replace('wxyz', '(?<w>w)|(?<xyz>[xyz])', '[${w}](${xyz})')",
+        "[w]()[](x)[](y)[](z)",
+        f"{R}:121",
     ),
     _case("re_extract_g0_default", "regexp_extract('Hello world bye', '\\b[a-z]([a-z]*)')", "world", f"{R}:197"),
     _case("re_extract_g1", "regexp_extract('Hello world bye', '\\b[a-z]([a-z]*)', 1)", "orld", f"{R}:198"),
@@ -500,6 +502,12 @@ VALUE_CASES += [
     # ---- json (TestJsonFunctions.java) --------------------------------------
     _case("json_extract_scalar_num", """json_extract_scalar('{"a": {"b": 3}}', '$.a.b')""", "3", f"{J}:~200"),
     _case("json_extract_obj", """json_extract('{"a": {"b": 3}}', '$.a')""", '{"b":3}', f"{J}:~210"),
+    # scalar strings KEEP JSON quoting (JsonFunctions.java:472
+    # objectExtractor returns JSON text) — the r12-documented
+    # get_json_object divergence, closed in r13 via VARIANT
+    _case("json_extract_keeps_quoting", """json_extract('{"a":"x"}', '$.a')""", '"x"', f"{J}:472"),
+    _case("json_extract_invalid_null", "json_extract('bad json', '$.a')", None,
+          "JsonExtract.java:140 (JsonParseException -> NULL)"),
     _case("json_array_length_3", "json_array_length('[1, 2, 3]')", 3, f"{J}:~100"),
     _case("json_array_contains_num", "json_array_contains('[1, 2, 3]', 2)", True, f"{J}:~120"),
     _case("json_array_contains_bool", "json_array_contains('[true, false]', true)", True, f"{J}:~122"),

@@ -1278,3 +1278,41 @@ def test_tdigest_wire_query_bounds(spark, sf_dir):
         for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
             rank = np.searchsorted(xs, row[col]) / len(xs)
             assert abs(rank - q) < 0.015, (flag, col, rank)
+
+
+def test_qdigest_query_bounds(spark, sf_dir):
+    """agg_qdigest_semantic end-to-end: per-group p50/p90/p99 of
+    l_orderkey must sit within the 1% rank-error bound of the exact
+    quantiles on the same parquet (the Shrivastava Theorem-1 bound
+    the sketch is compressed to — tests/test_qdigest.py pins the
+    sketch-level properties, THIS pins the distributed two-phase
+    query path)."""
+    import numpy as np
+
+    from presto_0_235_spark.queries.aggregates_q import (
+        agg_qdigest_semantic,
+    )
+
+    got = {
+        r["l_returnflag"]: r
+        for r in agg_qdigest_semantic(spark, sf_dir).collect()
+    }
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_orderkey")
+        .toPandas()
+    )
+    groups = {
+        flag: np.sort(grp["l_orderkey"].to_numpy())
+        for flag, grp in li.groupby("l_returnflag")
+    }
+    assert set(got) == set(groups)
+    for flag, xs in groups.items():
+        row = got[flag]
+        assert row["n"] == len(xs)
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            # value-bracketing (rank-of-value breaks under ties)
+            n = len(xs)
+            lo = xs[max(0, min(n - 1, int((q - 0.01) * n) - 1))]
+            hi = xs[max(0, min(n - 1, int((q + 0.01) * n)))]
+            assert lo <= row[col] <= hi, (flag, col, row[col])
