@@ -851,6 +851,35 @@ def _subscript_index(base: str, idx: str, stash) -> str:
     return f"(IF(isnull({guard}), ({idx}), NULL))"
 
 
+_STRLIT_PH = re.compile(r"^\s*\x00s\d+\x00\s*$")
+
+
+def _subscript_expr(base: str, idx: str, stash) -> str:
+    """The full lowering of a Presto subscript base[idx]."""
+    if _STRLIT_PH.match(idx):
+        # a STRING-literal key statically implies a MAP base (a
+        # string can never index an array in either engine), so the
+        # reference's missing-key raise is expressible here:
+        # MapSubscriptOperator with legacyMissingKey=false (the
+        # 0.235 default) raises 'Key not present in map: <key>'
+        # where Spark's element_at/native subscript return NULL
+        # (r13 leniency conversion for the literal-key form; runtime
+        # keys keep the documented leniency — no analysis-safe
+        # map-vs-array probe exists for them).
+        from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+        prefix = _stash_lit(stash, "Key not present in map: ")
+        guard = (
+            f"assert_true(({base}) IS NULL OR "
+            f"map_contains_key({base}, {idx}), "
+            f"concat({prefix}, {idx}))"
+        )
+        return (f"element_at(IF(isnull({guard}), {base}, NULL), "
+                f"{idx})")
+    return (f"element_at({base}, "
+            f"{_subscript_index(base, idx, stash)})")
+
+
 def _rewrite_subscripts(sql: str, stash) -> str:
     """a[i] / f(x)[i] -> element_at(..., i): Presto subscripts are
     1-based (ArraySubscriptOperator.java), Spark's native ones
@@ -860,10 +889,8 @@ def _rewrite_subscripts(sql: str, stash) -> str:
     _subscript_index)."""
     while True:
         new = _SUBSCRIPT.sub(
-            lambda m: (
-                f"element_at({m.group('base')}, "
-                f"{_subscript_index(m.group('base'), m.group('idx'), stash)})"
-            ),
+            lambda m: _subscript_expr(m.group("base"),
+                                      m.group("idx"), stash),
             sql,
         )
         if new != sql:
@@ -891,9 +918,7 @@ def _rewrite_subscripts(sql: str, stash) -> str:
         base = sql[k : close + 1]
         sql = (
             sql[:k]
-            + f"element_at({base}, "
-            + _subscript_index(base, m.group("idx"), stash)
-            + ")"
+            + _subscript_expr(base, m.group("idx"), stash)
             + sql[m.end() :]
         )
 

@@ -156,9 +156,12 @@ def test_try_unsupported_shape_raises_loudly():
 
     with _pytest.raises(TryShapeNotSupportedError, match="TRY shape not supported"):
         presto_to_spark_sql("SELECT TRY(regexp_extract(x, p))")
-    # r11: json_parse gained a real absorber (Spark try_parse_json)
+    # r11: json_parse gained a real absorber (Spark try_parse_json);
+    # r13 added the jackson-strict trailing-content guard, absorbed
+    # to NULL under TRY
     assert presto_to_spark_sql("SELECT TRY(json_parse(x))") == (
-        "SELECT to_json(try_parse_json(x))"
+        "SELECT (CASE WHEN json_invalid(x) THEN CAST(NULL AS STRING) "
+        "ELSE to_json(try_parse_json(x)) END)"
     )
     # TRY over something that cannot fail passes through untouched.
     assert "(b)" in presto_to_spark_sql("SELECT TRY(b)")
