@@ -321,6 +321,41 @@ def _rewrite_interval_literals(masked: str, stash) -> str:
     return _INTERVAL_RANGED.sub(repl, masked)
 
 
+_DATE_PLUS_TIME_IVL = re.compile(
+    r"DATE\s+(\x00s\d+\x00)\s*(?P<op>[+-])\s*"
+    r"INTERVAL\s+(\x00s\d+\x00)\s+(?:HOUR|MINUTE|SECOND)S?\b",
+    re.IGNORECASE,
+)
+_TIME_IVL_PLUS_DATE = re.compile(
+    r"INTERVAL\s+(\x00s\d+\x00)\s+(?:HOUR|MINUTE|SECOND)S?\s*\+\s*"
+    r"DATE\s+(\x00s\d+\x00)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_date_time_interval_raise(masked: str, stash) -> str:
+    """DATE literal +/- a sub-day INTERVAL raises in Presto
+    (DateTimeOperators.java:47-58, 205: 'Cannot add hour, minutes or
+    seconds to a date' — the DATE+interval result TYPE is DATE, so
+    sub-day components are rejected at runtime) where Spark widens
+    to TIMESTAMP — a wrong-TYPE leniency (r13 conversion for the
+    literal form; a column-typed date keeps the documented
+    leniency — the string-level rewrite cannot see its type).
+    Whole-day intervals are untouched: Spark's DATE + INTERVAL 'n'
+    day already returns DATE like the reference."""
+    from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+    def repl(m: re.Match) -> str:
+        verb = ("subtract hour, minutes or seconds from"
+                if m.groupdict().get("op") == "-"
+                else "add hour, minutes or seconds to")
+        msg = _stash_lit(stash, f"Cannot {verb} a date")
+        return f"CAST(raise_error({msg}) AS DATE)"
+
+    masked = _DATE_PLUS_TIME_IVL.sub(repl, masked)
+    return _TIME_IVL_PLUS_DATE.sub(repl, masked)
+
+
 # Presto CAST to a SIZED character type truncates to n codepoints
 # (varchar(n)) or truncates-and-pads to exactly n (char(n)) —
 # type/TestCharacterStringCasts.java:30-57: cast('banana' as
@@ -2059,6 +2094,7 @@ def presto_to_spark_sql(sql: str) -> str:
     )
     masked = _rewrite_typed_literals(masked, stash)
     masked = _rewrite_interval_literals(masked, stash)
+    masked = _rewrite_date_time_interval_raise(masked, stash)
     masked = _rewrite_like_escapes(masked, stash)
     masked = _rewrite_negated_decimal_cast(masked, stash)
     masked = _rewrite_sized_char_casts(masked, stash)
