@@ -226,15 +226,40 @@ def _node(ga: _Geom, gb: _Geom):
     pts = list(ga.points) + list(gb.points)
     segs = [s for s, _ in raw]
     cuts = [set() for _ in raw]
+
+    # float bounding boxes (padded OUTWARD beyond float()'s half-ulp
+    # rounding) reject non-overlapping pairs before any exact
+    # Fraction arithmetic — the all-pairs noding loop is the overlay
+    # kernel's hot spot and most pairs in real geometry are far
+    # apart. Padding keeps this a pure PRE-FILTER: a pair the float
+    # test rejects provably cannot intersect, so exactness is
+    # untouched.
+    def _fbox(a, b):
+        ax, ay = float(a[0]), float(a[1])
+        bx, by = float(b[0]), float(b[1])
+        lo_x, hi_x = (ax, bx) if ax <= bx else (bx, ax)
+        lo_y, hi_y = (ay, by) if ay <= by else (by, ay)
+        px = 1e-9 * (1.0 + abs(lo_x) + abs(hi_x))
+        py = 1e-9 * (1.0 + abs(lo_y) + abs(hi_y))
+        return (lo_x - px, lo_y - py, hi_x + px, hi_y + py)
+
+    fb = [_fbox(a, b) for (a, b) in segs]
+    fpts = [(float(p[0]), float(p[1])) for p in pts]
     for i, (a, b) in enumerate(segs):
-        for p in pts:
-            if _on_seg(p, a, b):
+        bi = fb[i]
+        for p, (fx, fy) in zip(pts, fpts):
+            if bi[0] <= fx <= bi[2] and bi[1] <= fy <= bi[3] \
+                    and _on_seg(p, a, b):
                 cuts[i].add(p)
-        for j, (c, d) in enumerate(segs):
-            if i == j:
+        for j in range(i + 1, len(segs)):
+            bj = fb[j]
+            if bi[0] > bj[2] or bj[0] > bi[2] \
+                    or bi[1] > bj[3] or bj[1] > bi[3]:
                 continue
+            c, d = segs[j]
             for p in _seg_intersections(a, b, c, d):
                 cuts[i].add(p)
+                cuts[j].add(p)
     labels: dict = {}
     for i, ((a, b), lab) in enumerate(raw):
         ordered = sorted(cuts[i] | {a, b},
@@ -251,7 +276,66 @@ def _node(ga: _Geom, gb: _Geom):
 def _eps_for(labels, extra_pts=()):
     """A rational epsilon below half the minimum feature separation
     of the arrangement, so mid +/- eps*normal classification is exact
-    in-the-limit."""
+    in-the-limit.
+
+    Fast path (r13): the minimum separation only needs a safe LOWER
+    bound, so distances run in FLOAT — each coordinate difference is
+    an EXACT Fraction subtraction converted once (one rounding, no
+    catastrophic cancellation), and the products after carry ~1e-15
+    relative error; projecting onto a segment at a float-approximate
+    parameter can only OVERestimate that segment distance by
+    O(ulp^2) relative. The returned power of two sits at
+    sqrt(best/64) — a 2x margin over the exact path's sqrt(best/32),
+    dwarfing the float error. Underflow/overflow (best 0 or
+    non-finite) falls back to the exact-rational computation."""
+    import math
+
+    nodes = set(extra_pts)
+    for (u, v) in labels:
+        nodes.add(u)
+        nodes.add(v)
+    best = None
+
+    def upd(d2):
+        nonlocal best
+        if d2 > 0 and (best is None or d2 < best):
+            best = d2
+
+    nodes = list(nodes)
+    for i, p in enumerate(nodes):
+        for q in nodes[i + 1:]:
+            dx, dy = float(p[0] - q[0]), float(p[1] - q[1])
+            upd(dx * dx + dy * dy)
+        for (u, v) in labels:
+            if p in (u, v):
+                continue
+            # squared distance from p to segment uv (float, exact
+            # differences)
+            dxs, dys = float(v[0] - u[0]), float(v[1] - u[1])
+            ll = dxs * dxs + dys * dys
+            if ll <= 0:
+                continue
+            px, py = float(p[0] - u[0]), float(p[1] - u[1])
+            t = (px * dxs + py * dys) / ll
+            t = 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
+            cx, cy = px - t * dxs, py - t * dys
+            upd(cx * cx + cy * cy)
+    if best is None:
+        return Fraction(1, 1 << 20)
+    if not math.isfinite(best) or best <= 0.0:
+        return _eps_for_exact(labels, extra_pts)
+    target = math.sqrt(best / 64.0)
+    if target <= 0.0:
+        return _eps_for_exact(labels, extra_pts)
+    _m, ex = math.frexp(target)  # target = m * 2^ex, m in [0.5, 1)
+    # 2^(ex-1) <= target
+    return (Fraction(1 << (ex - 1)) if ex >= 1
+            else Fraction(1, 1 << (1 - ex)))
+
+
+def _eps_for_exact(labels, extra_pts=()):
+    """Exact-rational fallback of _eps_for (degenerate float
+    range)."""
     nodes = set(extra_pts)
     for (u, v) in labels:
         nodes.add(u)
@@ -270,16 +354,16 @@ def _eps_for(labels, extra_pts=()):
         for (u, v) in labels:
             if p in (u, v):
                 continue
-            # squared distance from p to segment uv
             dx, dy = v[0] - u[0], v[1] - u[1]
             L = dx * dx + dy * dy
+            if L == 0:
+                continue
             t = ((p[0] - u[0]) * dx + (p[1] - u[1]) * dy) / L
             t = min(max(t, Fraction(0)), Fraction(1))
             cx, cy = u[0] + t * dx, u[1] + t * dy
             upd((p[0] - cx) ** 2 + (p[1] - cy) ** 2)
     if best is None:
         return Fraction(1, 1 << 20)
-    # eps < sqrt(best)/4 : use best/(16*(1+best)) bound, cheap & safe
     e = best
     while e * e * 32 > best:  # e <= sqrt(best/32)
         e = e / 2

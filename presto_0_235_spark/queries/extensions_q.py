@@ -3107,9 +3107,9 @@ WITH pts AS (
 )
 SELECT nationkey,
        count(*) AS parts,
-       round(sum(e - s), 6) AS area,
-       min(s) AS xmin,
-       max(e) AS xmax
+       CAST(round(sum(e - s), 6) AS DOUBLE) AS area,
+       CAST(min(s) AS DOUBLE) AS xmin,
+       CAST(max(e) AS DOUBLE) AS xmax
 FROM spans
 GROUP BY nationkey
 """,
