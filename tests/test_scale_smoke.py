@@ -26,7 +26,12 @@ _HEAVY = ["tpch_q5", "dedup_minhash_lsh", "pipeline_corpus_dedup",
           "docs_pack_sequences",
           # round-8 heavyweights: the TPC-DS monsters
           "tpcds_q14_adapted", "tpcds_q64_adapted", "tpcds_q4_adapted",
-          "tpcds_q72_adapted", "tpcds_q67_adapted"]
+          "tpcds_q72_adapted", "tpcds_q67_adapted",
+          # r13: the mergeable geometry aggregates (exact-rational
+          # overlay folds — CPU-bound pure Python, parallel across
+          # batches/keys; ~14s at sf0.1 on 32 cores)
+          "sql_geometry_union_agg_scale", "sql_convex_hull_agg_scale",
+          "agg_qdigest_semantic"]
 
 
 @pytest.mark.parametrize("name", _HEAVY)
