@@ -333,6 +333,126 @@ _TIME_IVL_PLUS_DATE = re.compile(
 )
 
 
+_DEC_LIT_PAIR_MULDIV = re.compile(
+    r"DECIMAL\s+\x00s(\d+)\x00\s*(?P<op>[*/%])\s*"
+    r"DECIMAL\s+\x00s(\d+)\x00",
+    re.IGNORECASE,
+)
+_DEC_LIT_PAIR_ADDSUB = re.compile(
+    r"DECIMAL\s+\x00s(\d+)\x00\s*(?P<op>[+-])\s*"
+    r"DECIMAL\s+\x00s(\d+)\x00",
+    re.IGNORECASE,
+)
+
+
+def _fold_decimal_literal_arith(masked: str, stash) -> str:
+    """Constant-fold DECIMAL-literal (+,-,*,/,%) DECIMAL-literal with
+    the REFERENCE's type derivation and rounding
+    (DecimalOperators.java longVariableExpressions :91-92 add/sub,
+    :251-252 multiply, :316-317 divide, :480-481 modulus; divide
+    rounds HALF_UP at the result scale like Java BigDecimal).
+
+    Spark derives different result types (scale >= 6 divide floor,
+    allowPrecisionLoss scale reduction on multiply), which made the
+    literal-arithmetic corpus a documented divergence class through
+    r12 — for LITERAL operands the reference result is computable at
+    translate time, so the fold closes the class outright: values
+    that fit the derived type emit an exact CAST literal; values
+    that overflow it (or derive an illegal type, scale > 38) emit
+    the reference's raise. Division by zero and anything inside a
+    TRY(...) statement are left to Spark's own evaluation so TRY
+    absorption keeps Presto's error-to-NULL contract. Two passes
+    preserve precedence (*,/,% fold before +,-); column-valued
+    operands are untouched (the divergence classes remain documented
+    for those)."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+    has_try = re.search(r"\bTRY\s*\(", masked, re.IGNORECASE)
+
+    def parse(idx: str):
+        body = stash[int(idx)][1][1:-1].strip()
+        digits = body.lstrip("+-")
+        ip, _, fp = digits.partition(".")
+        p = max(1, sum(c.isdigit() for c in ip + fp))
+        return Decimal(body), p, len(fp)
+
+    def repl(m: re.Match) -> str:
+        from decimal import localcontext as _lc
+
+        with _lc() as _ctx:
+            _ctx.prec = 130  # wide enough for any 38x38-digit op
+            return _repl_inner(m)
+
+    def _repl_inner(m: re.Match) -> str:
+        a, ap, as_ = parse(m.group(1))
+        b, bp, bs = parse(m.group(3))
+        op = m.group("op")
+        if op in "+-":
+            rp = min(38, max(ap - as_, bp - bs) + max(as_, bs) + 1)
+            rs = max(as_, bs)
+            # the reference rescales BOTH operands to the result
+            # scale first in 128-bit storage: a rescaled operand may
+            # EXCEED 10^38 as long as it fits 127 bits
+            # (TestDecimalOperators.java:74-80 — 17014e33*10 fits,
+            # 17015e33*10 does not and raises even though the final
+            # sum is 38 digits)
+            if (abs(int(a.scaleb(rs))) >= 1 << 127
+                    or abs(int(b.scaleb(rs))) >= 1 << 127):
+                if has_try:
+                    return m.group(0)
+                msg = _stash_lit(stash, "Decimal overflow")
+                return (f"CAST(raise_error({msg}) "
+                        f"AS DECIMAL({rp}, {rs}))")
+            val = a + b if op == "+" else a - b
+        elif op == "*":
+            rp, rs = min(38, ap + bp), as_ + bs
+            val = a * b
+        elif op == "/":
+            if b == 0:
+                return m.group(0)  # Spark ANSI raises; TRY absorbs
+            rp = min(38, ap + bs + max(bs - as_, 0))
+            rs = max(as_, bs)
+            with localcontext() as ctx:
+                ctx.prec = 90
+                val = (a / b).quantize(
+                    Decimal(1).scaleb(-rs), rounding=ROUND_HALF_UP)
+        else:  # %
+            if b == 0:
+                return m.group(0)
+            rp = min(bp - bs, ap - as_) + max(as_, bs)
+            rs = max(as_, bs)
+            val = a % b
+        if rs > 38 or rs > rp:
+            if has_try:
+                return m.group(0)
+            msg = _stash_lit(
+                stash, f"DECIMAL scale must be in range [0, precision"
+                       f" ({rp})]: {rs}")
+            return f"CAST(raise_error({msg}) AS DECIMAL(38, 0))"
+        val = val.quantize(Decimal(1).scaleb(-rs))
+        unscaled = int(val.scaleb(rs))
+        if abs(unscaled) >= 10 ** rp:
+            if has_try:
+                return m.group(0)
+            msg = _stash_lit(stash, "Decimal overflow")
+            return (f"CAST(raise_error({msg}) "
+                    f"AS DECIMAL({rp}, {rs}))")
+        return (f"CAST({_stash_lit(stash, str(val))} "
+                f"AS DECIMAL({rp}, {rs}))")
+
+    prev = None
+    while prev != masked:
+        prev = masked
+        masked = _DEC_LIT_PAIR_MULDIV.sub(repl, masked)
+    prev = None
+    while prev != masked:
+        prev = masked
+        masked = _DEC_LIT_PAIR_ADDSUB.sub(repl, masked)
+    return masked
+
+
 def _rewrite_date_time_interval_raise(masked: str, stash) -> str:
     """DATE literal +/- a sub-day INTERVAL raises in Presto
     (DateTimeOperators.java:47-58, 205: 'Cannot add hour, minutes or
@@ -2092,6 +2212,7 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = re.sub(
         r"\bDOUBLE\s+PRECISION\b", "DOUBLE", masked, flags=re.IGNORECASE
     )
+    masked = _fold_decimal_literal_arith(masked, stash)
     masked = _rewrite_typed_literals(masked, stash)
     masked = _rewrite_interval_literals(masked, stash)
     masked = _rewrite_date_time_interval_raise(masked, stash)

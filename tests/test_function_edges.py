@@ -899,15 +899,13 @@ VALUE_CASES += [
           "1234567890.12345678900000000000", f"{DC}:468"),
 ]
 
-_XFAIL_DEC_DIVIDE = pytest.mark.xfail(
-    reason="engine divergence: Presto decimal divide yields scale "
-    "max(s1,s2) with HALF_UP rounding (DecimalOperators.java:316); "
-    "Spark derives scale >= 6 and keeps more fractional digits (or "
-    "raises NUMERIC_VALUE_OUT_OF_RANGE where the wider result "
-    "exceeds precision 38). Same quarantine class as the "
-    "REAL=DECIMAL comparison domain.",
-    strict=True,
-)
+# r13: the decimal divide-scale and multiply/add precision-loss
+# xfail classes converted to PASSES for LITERAL operands — the
+# frontend constant-folds DECIMAL-literal arithmetic with the
+# reference's exact type derivation, HALF_UP divide rounding, and
+# 127-bit rescale overflow (frontend._fold_decimal_literal_arith).
+# Column-operand decimal arithmetic keeps Spark's derivation (the
+# documented engine divergence).
 _XFAIL_DEC_CAST_ROUND = pytest.mark.xfail(
     reason="engine divergence: Presto rounds HALF_UP casting decimal "
     "to integral types (DecimalCasts.java); Spark ANSI truncates "
@@ -915,47 +913,27 @@ _XFAIL_DEC_CAST_ROUND = pytest.mark.xfail(
     "xfail.",
     strict=True,
 )
-_XFAIL_DEC_MUL_LOSS = pytest.mark.xfail(
-    reason="engine divergence: when the derived +/* result type "
-    "exceeds precision 38, Presto caps precision but KEEPS the "
-    "scale (DecimalOperators.java:91,251 — multiply is p1+p2, add "
-    "keeps max-scale; true overflow raises at runtime); Spark's "
-    "allowPrecisionLoss reduces the SCALE instead and rounds "
-    "fractional digits away (or returns a rounded value where "
-    "Presto raises). Same quarantine class as the divide-scale "
-    "divergence.",
-    strict=True,
-)
 VALUE_CASES += [
     _case("dec_add_mixed_scale", "DECIMAL '123456789012345678901234567890' + DECIMAL '.12345678'",
-          Decimal("123456789012345678901234567890.12345678"), f"{DO}:60",
-          marks=(_XFAIL_DEC_MUL_LOSS,)),
+          Decimal("123456789012345678901234567890.12345678"), f"{DO}:60"),
     _case("dec_mul_scaled_by3", "DECIMAL '1234567890123456789.0123456789012345678' * DECIMAL '3'",
-          Decimal("3703703670370370367.0370370367037037034"), f"{DO}:156",
-          marks=(_XFAIL_DEC_MUL_LOSS,)),
+          Decimal("3703703670370370367.0370370367037037034"), f"{DO}:156"),
     _case("dec_mul_fraction", "DECIMAL '.12345678901234567890123456789012345678' * DECIMAL '3'",
-          Decimal("0.37037036703703703670370370367037037034"), f"{DO}:157",
-          marks=(_XFAIL_DEC_MUL_LOSS,)),
+          Decimal("0.37037036703703703670370370367037037034"), f"{DO}:157"),
     _case("dec_div_truncating", "DECIMAL '1' / DECIMAL '3'",
-          Decimal("0"), f"{DO}:184", marks=(_XFAIL_DEC_DIVIDE,)),
+          Decimal("0"), f"{DO}:184"),
     _case("dec_div_halfup", "DECIMAL '9' / DECIMAL '5'",
-          Decimal("2"), f"{DO}:202", marks=(_XFAIL_DEC_DIVIDE,)),
+          Decimal("2"), f"{DO}:202"),
     _case("dec_div_wide_rounded", "DECIMAL '200000000000000000000000000000000000' / DECIMAL '0.30'",
           Decimal("666666666666666666666666666666666666.67"),
-          f"{DO}:216", marks=(_XFAIL_DEC_DIVIDE,)),
+          f"{DO}:216"),
     _case("dec_cast_bigint_halfup", "CAST(DECIMAL '2.5' AS BIGINT)", 3,
           f"{DC}:155", marks=(_XFAIL_DEC_CAST_ROUND,)),
     _case("dec_cast_int_halfup", "CAST(DECIMAL '-2.5' AS INTEGER)", -3,
           f"{DC}:186", marks=(_XFAIL_DEC_CAST_ROUND,)),
     _case("dec_mul_scale38", "DECIMAL '.1234567890123456789' * DECIMAL '.1234567890123456789'",
           Decimal("0.01524157875323883675019051998750190521"),
-          f"{DO}:167",
-          marks=(pytest.mark.xfail(
-              reason="engine divergence: result scale s1+s2=38 "
-              "exceeds what Spark keeps under precision-loss (it "
-              "rounds to (38,37), losing the last digit); Presto "
-              "keeps all 38 fractional digits.",
-              strict=True),)),
+          f"{DO}:167"),
 ]
 
 # ---- batch 10: ROW operators (type/TestRowOperators.java) and
@@ -1299,14 +1277,8 @@ ERROR_CASES2 = [
     _err("dec_add_overflow", "DECIMAL '99999999999999999999999999999999999999' + DECIMAL '1'",
          f"{DO}:68"),
     _err("dec_add_overflow_scaled", "DECIMAL '17015000000000000000000000000000000000' + DECIMAL '-7015000000000000000000000000000000000.1'",
-         f"{DO}:80",
-         marks=(pytest.mark.xfail(
-             reason="engine divergence: the exact sum needs (39,1); "
-             "Presto raises NUMERIC_VALUE_OUT_OF_RANGE, Spark's "
-             "allowPrecisionLoss drops the fraction and returns the "
-             "rounded (38,0) value — multiply/add precision-loss "
-             "quarantine class.",
-             strict=True),)),
+         f"{DO}:80 (r13: the literal fold replicates the 127-bit "
+         "rescale overflow, xfail converted to a raise)"),
     _err("dec_mul_overflow", "DECIMAL '12345678901234567890123456789012345678' * DECIMAL '9'",
          f"{DO}:174"),
     _err("dec_div_by_zero", "DECIMAL '1' / DECIMAL '0'", f"{DO}:253"),
