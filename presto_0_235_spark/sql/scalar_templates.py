@@ -105,6 +105,7 @@ _TEMPLATE_NAMES = (
     "from_base",
     "to_base",
     "truncate",
+    "round",
     "chr",
     "codepoint",
     "hamming_distance",
@@ -535,6 +536,53 @@ def _rewrite_one(
             f"lower(conv(CAST(-CAST({x} AS DECIMAL(20, 0)) AS STRING), 10, {r}))) "
             f"ELSE lower(conv({x}, 10, {r})) END)"
         )
+
+    if name == "round" and len(a) in (1, 2):
+        # DECIMAL-literal round folds with the reference's semantics
+        # (MathFunctions.java roundN*Decimal): result type is
+        # decimal(min(38, p+1), s) — the SCALE IS KEPT (digits past
+        # position n zeroed) where Spark's round rescales — with
+        # HALF_UP away-from-zero rounding and the 38-digit unscaled
+        # overflow raise (TestMathFunctions.java:910-911). Doubles
+        # and decimal COLUMNS pass through untouched (the documented
+        # Spark-derivation divergence for non-literal operands).
+        mdec = re.match(
+            r"^\s*CAST\(\s*(\x00s\d+\x00)\s+AS\s+"
+            r"DECIMAL\((\d+),\s*(\d+)\)\s*\)\s*$",
+            args[0].strip(),
+        )
+        if mdec is None:
+            return None
+        lit = _lit_of(mdec.group(1), stash)
+        if lit is None:
+            return None
+        if len(a) == 2:
+            try:
+                n = int(args[1].strip())
+            except ValueError:
+                return None
+        else:
+            n = 0
+        from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+        p, s = int(mdec.group(2)), int(mdec.group(3))
+        with localcontext() as ctx:
+            ctx.prec = 90
+            v = Decimal(lit)
+            if n >= s:
+                r = v
+            else:
+                r = v.scaleb(n).to_integral_value(
+                    rounding=ROUND_HALF_UP).scaleb(-n)
+            r = r.quantize(Decimal(1).scaleb(-s))
+            rp = min(38, p + 1)
+            unscaled = int(r.scaleb(s))
+        if abs(unscaled) >= 10 ** rp:
+            return _raise(
+                _stash_lit(stash, "Decimal overflow"),
+                f"DECIMAL({rp}, {s})")
+        return (f"CAST({_stash_lit(stash, str(r))} "
+                f"AS DECIMAL({rp}, {s}))")
 
     if name == "truncate" and len(a) == 1:
         x = a[0]
