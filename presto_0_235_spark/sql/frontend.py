@@ -321,6 +321,83 @@ def _rewrite_interval_literals(masked: str, stash) -> str:
     return _INTERVAL_RANGED.sub(repl, masked)
 
 
+_DEC_TO_INT_CAST = re.compile(
+    r"\bCAST\(\s*CAST\(\s*(\x00s\d+\x00)\s+AS\s+"
+    r"DECIMAL\((\d+),\s*(\d+)\)\s*\)\s+AS\s+"
+    r"(BIGINT|INTEGER|INT|SMALLINT|TINYINT)\s*\)",
+    re.IGNORECASE,
+)
+_REAL_TO_DEC_CAST = re.compile(
+    r"\bCAST\(\s*CAST\(\s*(\x00s\d+\x00)\s+AS\s+FLOAT\s*\)\s+AS\s+"
+    r"DECIMAL\((\d+),\s*(\d+)\)\s*\)",
+    re.IGNORECASE,
+)
+_INT_RANGES = {
+    "BIGINT": (-(1 << 63), (1 << 63) - 1),
+    "INTEGER": (-(1 << 31), (1 << 31) - 1),
+    "INT": (-(1 << 31), (1 << 31) - 1),
+    "SMALLINT": (-(1 << 15), (1 << 15) - 1),
+    "TINYINT": (-(1 << 7), (1 << 7) - 1),
+}
+
+
+def _fold_decimal_literal_casts(masked: str, stash) -> str:
+    """Fold CAST(DECIMAL-literal AS integral) with the reference's
+    HALF_UP rounding (DecimalCasts.java — Spark ANSI truncates
+    toward zero: CAST(DECIMAL '2.5' AS BIGINT) is 3 in Presto, 2 in
+    Spark), and CAST(REAL-literal AS DECIMAL(p,s)) through Java's
+    shortest float32 rendering (Presto parses Float.toString into a
+    BigDecimal; Spark expands the exact binary value — the r11
+    rendering-divergence class). Out-of-range / overflowing values
+    are left unfolded: both engines raise at runtime there, which
+    also keeps TRY absorption intact."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    from presto_0_235_spark.sql.scalar_templates import _lit_of
+
+    def repl_int(m: re.Match) -> str:
+        lit = _lit_of(m.group(1), stash)
+        if lit is None:
+            return m.group(0)
+        typ = m.group(4).upper()
+        with localcontext() as ctx:
+            ctx.prec = 90
+            try:
+                n = int(Decimal(lit).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP))
+            except Exception:
+                return m.group(0)
+        lo, hi = _INT_RANGES[typ]
+        if not lo <= n <= hi:
+            return m.group(0)
+        return f"CAST({n} AS {typ})"
+
+    def repl_real(m: re.Match) -> str:
+        lit = _lit_of(m.group(1), stash)
+        if lit is None:
+            return m.group(0)
+        try:
+            import numpy as np
+
+            shortest = repr(np.float32(lit.strip()))
+            p, s = int(m.group(2)), int(m.group(3))
+            with localcontext() as ctx:
+                ctx.prec = 90
+                v = Decimal(shortest).quantize(
+                    Decimal(1).scaleb(-s), rounding=ROUND_HALF_UP)
+                if abs(int(v.scaleb(s))) >= 10 ** p:
+                    return m.group(0)  # overflow: both engines raise
+        except Exception:
+            return m.group(0)
+        from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+        return (f"CAST({_stash_lit(stash, str(v))} "
+                f"AS DECIMAL({p}, {s}))")
+
+    masked = _DEC_TO_INT_CAST.sub(repl_int, masked)
+    return _REAL_TO_DEC_CAST.sub(repl_real, masked)
+
+
 _DATE_PLUS_TIME_IVL = re.compile(
     r"DATE\s+(\x00s\d+\x00)\s*(?P<op>[+-])\s*"
     r"INTERVAL\s+(\x00s\d+\x00)\s+(?:HOUR|MINUTE|SECOND)S?\b",
@@ -2214,6 +2291,7 @@ def presto_to_spark_sql(sql: str) -> str:
     )
     masked = _fold_decimal_literal_arith(masked, stash)
     masked = _rewrite_typed_literals(masked, stash)
+    masked = _fold_decimal_literal_casts(masked, stash)
     masked = _rewrite_interval_literals(masked, stash)
     masked = _rewrite_date_time_interval_raise(masked, stash)
     masked = _rewrite_like_escapes(masked, stash)

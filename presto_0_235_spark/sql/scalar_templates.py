@@ -357,6 +357,30 @@ def _raise(msg_expr: str, out_type: str) -> str:
     return f"CAST(raise_error({msg_expr}) AS {out_type})"
 
 
+_DEC_LIT_CAST = re.compile(
+    r"^\s*CAST\(\s*(\x00s\d+\x00)\s+AS\s+"
+    r"DECIMAL\((\d+),\s*(\d+)\)\s*\)\s*$"
+)
+
+
+def _dec_lit_of(arg: str, stash):
+    """(Decimal value, precision, scale) when arg is a rewritten
+    DECIMAL literal (the CAST(ph AS DECIMAL(p,s)) form the
+    typed-literal pass emits), else None."""
+    from decimal import Decimal
+
+    m = _DEC_LIT_CAST.match(arg.strip())
+    if m is None:
+        return None
+    lit = _lit_of(m.group(1), stash)
+    if lit is None:
+        return None
+    try:
+        return Decimal(lit), int(m.group(2)), int(m.group(3))
+    except Exception:
+        return None
+
+
 def _chr_template(n: str, stash: list[tuple[str, str]]) -> str:
     """Unicode code point -> string via explicit UTF-8 bytes."""
     bad = _raise(
@@ -583,6 +607,41 @@ def _rewrite_one(
                 f"DECIMAL({rp}, {s})")
         return (f"CAST({_stash_lit(stash, str(r))} "
                 f"AS DECIMAL({rp}, {s}))")
+
+    if name == "truncate" and len(a) in (1, 2):
+        # DECIMAL-literal truncate folds with the reference's
+        # semantics (MathFunctions.java truncate/truncateN over
+        # decimals; TestMathFunctions.java:254-282): 1-arg yields
+        # decimal(max(p-s,1), 0) toward zero; 2-arg KEEPS (p, s) and
+        # zeroes digits beyond position n (negative n truncates
+        # integer digits) — Spark has no decimal-scale-keeping twin.
+        dl = _dec_lit_of(args[0], stash)
+        if dl is not None:
+            from decimal import ROUND_DOWN, Decimal, localcontext
+
+            v, p, s = dl
+            n = None
+            if len(a) == 2:
+                try:
+                    n = int(args[1].strip())
+                except ValueError:
+                    dl = None
+            if dl is not None:
+                with localcontext() as ctx:
+                    ctx.prec = 90
+                    if n is None:
+                        rp, rs = max(p - s, 1), 0
+                        r = v.quantize(Decimal(1), rounding=ROUND_DOWN)
+                    else:
+                        rp, rs = p, s
+                        if n >= s:
+                            r = v
+                        else:
+                            r = v.scaleb(n).to_integral_value(
+                                rounding=ROUND_DOWN).scaleb(-n)
+                        r = r.quantize(Decimal(1).scaleb(-rs))
+                return (f"CAST({_stash_lit(stash, str(r))} "
+                        f"AS DECIMAL({rp}, {rs}))")
 
     if name == "truncate" and len(a) == 1:
         x = a[0]

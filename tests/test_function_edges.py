@@ -906,13 +906,10 @@ VALUE_CASES += [
 # 127-bit rescale overflow (frontend._fold_decimal_literal_arith).
 # Column-operand decimal arithmetic keeps Spark's derivation (the
 # documented engine divergence).
-_XFAIL_DEC_CAST_ROUND = pytest.mark.xfail(
-    reason="engine divergence: Presto rounds HALF_UP casting decimal "
-    "to integral types (DecimalCasts.java); Spark ANSI truncates "
-    "toward zero — same class as the CAST(double AS BIGINT) corpus "
-    "xfail.",
-    strict=True,
-)
+# (r13: the decimal->integral HALF_UP cast xfails converted to
+# PASSES for literal operands — frontend._fold_decimal_literal_casts;
+# decimal COLUMN casts keep Spark's truncation, same class as the
+# CAST(double AS BIGINT) corpus xfail.)
 VALUE_CASES += [
     _case("dec_add_mixed_scale", "DECIMAL '123456789012345678901234567890' + DECIMAL '.12345678'",
           Decimal("123456789012345678901234567890.12345678"), f"{DO}:60"),
@@ -928,9 +925,9 @@ VALUE_CASES += [
           Decimal("666666666666666666666666666666666666.67"),
           f"{DO}:216"),
     _case("dec_cast_bigint_halfup", "CAST(DECIMAL '2.5' AS BIGINT)", 3,
-          f"{DC}:155", marks=(_XFAIL_DEC_CAST_ROUND,)),
+          f"{DC}:155 (r13: literal cast folds HALF_UP)"),
     _case("dec_cast_int_halfup", "CAST(DECIMAL '-2.5' AS INTEGER)", -3,
-          f"{DC}:186", marks=(_XFAIL_DEC_CAST_ROUND,)),
+          f"{DC}:186"),
     _case("dec_mul_scale38", "DECIMAL '.1234567890123456789' * DECIMAL '.1234567890123456789'",
           Decimal("0.01524157875323883675019051998750190521"),
           f"{DO}:167"),
