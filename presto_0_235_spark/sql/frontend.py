@@ -395,7 +395,30 @@ def _fold_decimal_literal_casts(masked: str, stash) -> str:
                 f"AS DECIMAL({p}, {s}))")
 
     masked = _DEC_TO_INT_CAST.sub(repl_int, masked)
-    return _REAL_TO_DEC_CAST.sub(repl_real, masked)
+    masked = _REAL_TO_DEC_CAST.sub(repl_real, masked)
+
+    # NaN / Infinity -> DECIMAL raises in the reference
+    # (DecimalCasts 'Cannot cast DOUBLE/REAL ... to DECIMAL';
+    # TestDecimalCasts.java:280-283, 327-330, 392-397) where Spark
+    # ANSI returns NULL. Literal nan()/infinity() forms fold to the
+    # raise; TRY statements are left alone (Presto TRY absorbs this
+    # to NULL, which is what Spark already returns).
+    if not re.search(r"\bTRY\s*\(", masked, re.IGNORECASE):
+        from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+        def repl_nan(m: re.Match) -> str:
+            msg = _stash_lit(
+                stash, "Cannot cast DOUBLE to DECIMAL"
+                       f"({m.group('p')}, {m.group('s')})")
+            return (f"CAST(raise_error({msg}) AS "
+                    f"DECIMAL({m.group('p')}, {m.group('s')}))")
+
+        masked = re.sub(
+            r"\bCAST\(\s*(?:CAST\(\s*)?[-+]?\s*(?:nan|infinity)\s*\(\s*\)"
+            r"(?:\s+AS\s+(?:FLOAT|REAL)\s*\))?\s+AS\s+"
+            r"DECIMAL\((?P<p>\d+),\s*(?P<s>\d+)\)\s*\)",
+            repl_nan, masked, flags=re.IGNORECASE)
+    return masked
 
 
 _DATE_PLUS_TIME_IVL = re.compile(
@@ -2227,22 +2250,33 @@ def _rewrite_window_shims(
 
 
 _JSON_CAST_HEAD = re.compile(
-    r"\b(?:TRY_)?CAST\s*\(\s*(to_json)\s*\(\s*variant_get\s*\(",
+    r"\b(?:TRY_)?CAST\s*\(\s*(to_json)\s*\(\s*"
+    r"(variant_get|parse_json|try_parse_json)\s*\(",
     re.IGNORECASE,
 )
+_JSON_CAST_TGT = re.compile(
+    r"AS\s+(VARCHAR|STRING)\s*\)", re.IGNORECASE)
 
 
-def _rewrite_json_cast_peephole(sql: str) -> str:
+def _rewrite_json_cast_peephole(sql: str, stash=None) -> str:
     """CAST(to_json(variant_get(..)) AS T) -> CAST(variant_get(..) AS T).
 
-    json_extract lowers to to_json(variant_get(..)) (the JSON-TEXT
+    json_extract lowers to to_json(variant_get(..)) and json_parse /
+    the JSON literal to to_json(parse_json(..)) (the JSON-TEXT
     rendering). When the user immediately CASTs that JSON value,
     Presto applies the JsonOperators JSON-to-T cast — which unquotes
     scalar strings and parses numbers/booleans (TestJsonOperators
     .java:95,341). Casting the VARIANT directly is exactly that cast;
     keeping to_json in between would cast the quoted text instead
-    ('"y"' -> '"y"', not 'y'). Only fires when to_json(..) is the
-    ENTIRE cast operand (next token must be AS)."""
+    ('"y"' -> '"y"', not 'y'). For a VARCHAR/STRING target the full
+    JSON-to-varchar contract applies (TestJsonOperators.java:326-342):
+    JSON null -> SQL NULL, scalars render unquoted, and a JSON
+    OBJECT/ARRAY raises — non-string targets peephole variant_get
+    only (the number/bool pins already hold through the text form).
+    Only fires when to_json(..) is the ENTIRE cast operand (next
+    token must be AS)."""
+    from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
     pos = 0
     while True:
         m = _JSON_CAST_HEAD.search(sql, pos)
@@ -2255,7 +2289,45 @@ def _rewrite_json_cast_peephole(sql: str) -> str:
         if not re.match(r"AS\b", tail, re.IGNORECASE):
             pos = m.end()  # to_json is a sub-expression: leave it
             continue
-        sql = sql[:tj] + sql[open_tj + 1:end_tj - 1] + sql[end_tj:]
+        inner = sql[open_tj + 1:end_tj - 1]
+        tgt = _JSON_CAST_TGT.match(tail)
+        if tgt is not None and stash is not None:
+            # JSON -> varchar: null/scalar/object contract. The
+            # whole (TRY_)?CAST(...) call is replaced; m.start() is
+            # its first character (the regex anchors there). Under
+            # TRY_CAST the object raise absorbs to NULL (Presto's
+            # TRY contract).
+            cast_start = m.start()
+            is_try = sql[cast_start:cast_start + 4].upper() == "TRY_"
+            cast_end = (end_tj + (len(sql[end_tj:]) - len(tail))
+                        + tgt.end())
+            nul = _stash_lit(stash, "null")
+            brace = _stash_lit(stash, "{")
+            brack = _stash_lit(stash, "[")
+            if is_try:
+                bad = "CAST(NULL AS STRING)"
+            else:
+                bad = (f"CAST(raise_error(concat("
+                       f"{_stash_lit(stash, 'Cannot cast ')}, "
+                       f"to_json({inner}), "
+                       f"{_stash_lit(stash, ' to varchar')})) "
+                       f"AS STRING)")
+            guarded = (
+                f"(CASE WHEN to_json({inner}) IS NULL "
+                f"OR to_json({inner}) = {nul} "
+                f"THEN CAST(NULL AS STRING) "
+                f"WHEN startswith(to_json({inner}), {brace}) "
+                f"OR startswith(to_json({inner}), {brack}) "
+                f"THEN {bad} "
+                f"ELSE CAST({inner} AS STRING) END)"
+            )
+            sql = sql[:cast_start] + guarded + sql[cast_end:]
+            pos = cast_start
+            continue
+        if not m.group(2).lower() == "variant_get":
+            pos = m.end()  # non-string target: variant_get only
+            continue
+        sql = sql[:tj] + inner + sql[end_tj:]
         pos = m.start()
 
 
@@ -2312,7 +2384,7 @@ def presto_to_spark_sql(sql: str) -> str:
     # bounds), while a[i] subscripts emit raising element_at — the
     # order keeps the two distinguishable.
     masked = rewrite_scalar_templates(masked, stash)
-    masked = _rewrite_json_cast_peephole(masked)
+    masked = _rewrite_json_cast_peephole(masked, stash)
     masked = _rewrite_window_shims(masked, stash)
     masked = _rewrite_subscripts(masked, stash)
     masked = _rewrite_call_templates(masked)
