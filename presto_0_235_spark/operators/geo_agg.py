@@ -242,9 +242,13 @@ def hull_fold(wkts) -> str | None:
     return _wkt.convex_hull_of([w for w in (wkts or []) if w is not None])
 
 
+_COMBINE_FANIN = 4  # level-1 combine buckets per key (tree merge)
+
+
 def _two_phase(df: DataFrame, keys: list[str], geom: str, out: str,
                fold) -> DataFrame:
     import pandas as pd
+    from pyspark.sql import functions as F
 
     base = df.select(*keys, geom)
     key_schema = ", ".join(
@@ -264,15 +268,6 @@ def _two_phase(df: DataFrame, keys: list[str], geom: str, out: str,
             yield pd.DataFrame(rows, columns=[*keys, out])
 
     partials = base.mapInPandas(partial, out_schema)
-    # pin the merge exchange width: the shuffle is tiny (one partial
-    # row per key per batch) so AQE would coalesce it to ONE
-    # partition — serializing the CPU-heavy per-key merges in a
-    # single Python worker. An explicit keyed repartition keeps one
-    # task per key group up to the core count (and already satisfies
-    # the groupBy's hash-partitioning requirement, so no second
-    # exchange appears).
-    width = df.sparkSession.sparkContext.defaultParallelism
-    partials = partials.repartition(width, *keys)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         head = pdf.iloc[:1]
@@ -281,7 +276,35 @@ def _two_phase(df: DataFrame, keys: list[str], geom: str, out: str,
             {**{k: [head[k].iloc[0]] for k in keys}, out: [merged]}
         )
 
-    return partials.groupBy(*keys).applyInPandas(merge, out_schema)
+    # TREE merge (the associativity that makes combine() sound also
+    # makes it hierarchical): a wide scan yields one partial per
+    # (key, input batch), and the per-key fold cost grows
+    # superlinearly with the number of sparse partials — so a
+    # level-1 combine buckets each key's partials _COMBINE_FANIN
+    # ways (deterministic: hash of the partial text) and folds each
+    # bucket in its own task, then the final merge folds the few
+    # dense combined partials. Explicit keyed repartitions pin the
+    # exchange width: these shuffles are tiny (rows = partials) so
+    # AQE would coalesce them to ONE partition and serialize the
+    # CPU-heavy merges in a single Python worker.
+    width = df.sparkSession.sparkContext.defaultParallelism
+    salted = partials.withColumn(
+        "_gsalt", F.pmod(F.hash(F.col(out)), F.lit(_COMBINE_FANIN)))
+
+    def merge_l1(pdf: pd.DataFrame) -> pd.DataFrame:
+        head = pdf.iloc[:1]
+        merged = fold(list(pdf[out]))
+        return pd.DataFrame(
+            {**{k: [head[k].iloc[0]] for k in keys}, out: [merged]}
+        )
+
+    level1 = (
+        salted.repartition(width, *keys, "_gsalt")
+        .groupBy(*keys, "_gsalt")
+        .applyInPandas(merge_l1, out_schema)
+    )
+    return (level1.repartition(width, *keys)
+            .groupBy(*keys).applyInPandas(merge, out_schema))
 
 
 def geometry_union_agg(df: DataFrame, keys: list[str], geom: str,
