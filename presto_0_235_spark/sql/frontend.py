@@ -434,13 +434,15 @@ _TIME_IVL_PLUS_DATE = re.compile(
 
 
 _DEC_LIT_PAIR_MULDIV = re.compile(
-    r"DECIMAL\s+\x00s(\d+)\x00\s*(?P<op>[*/%])\s*"
-    r"DECIMAL\s+\x00s(\d+)\x00",
+    r"(?:DECIMAL\s+\x00s(\d+)\x00|(?<![\w.\x00])(?P<barel>\d+(?:\.\d+)?)(?![\w.\x00]))"
+    r"\s*(?P<op>[*/%])\s*"
+    r"(?:DECIMAL\s+\x00s(\d+)\x00|(?<![\w.\x00])(?P<barer>\d+(?:\.\d+)?)(?![\w.\x00]))",
     re.IGNORECASE,
 )
 _DEC_LIT_PAIR_ADDSUB = re.compile(
-    r"DECIMAL\s+\x00s(\d+)\x00\s*(?P<op>[+-])\s*"
-    r"DECIMAL\s+\x00s(\d+)\x00",
+    r"(?:DECIMAL\s+\x00s(\d+)\x00|(?<![\w.\x00])(?P<barel>\d+(?:\.\d+)?)(?![\w.\x00]))"
+    r"\s*(?P<op>[+-])\s*"
+    r"(?:DECIMAL\s+\x00s(\d+)\x00|(?<![\w.\x00])(?P<barer>\d+(?:\.\d+)?)(?![\w.\x00]))",
     re.IGNORECASE,
 )
 
@@ -478,6 +480,23 @@ def _fold_decimal_literal_arith(masked: str, stash) -> str:
         p = max(1, sum(c.isdigit() for c in ip + fp))
         return Decimal(body), p, len(fp)
 
+    def parse_bare(text: str):
+        # a bare numeric literal: decimal-form types as its digit
+        # shape (Presto and Spark agree); integer-form coerces into
+        # the op as its integral TYPE's decimal — INTEGER ->
+        # decimal(10,0), BIGINT -> decimal(19,0)
+        if "." in text:
+            ip, _, fp = text.partition(".")
+            return (Decimal(text),
+                    max(1, sum(c.isdigit() for c in ip + fp)),
+                    len(fp))
+        v = int(text)
+        if v <= 2 ** 31 - 1:
+            return Decimal(v), 10, 0
+        if v <= 2 ** 63 - 1:
+            return Decimal(v), 19, 0
+        return None  # out-of-range integer literal: leave to Spark
+
     def repl(m: re.Match) -> str:
         from decimal import localcontext as _lc
 
@@ -486,9 +505,34 @@ def _fold_decimal_literal_arith(masked: str, stash) -> str:
             return _repl_inner(m)
 
     def _repl_inner(m: re.Match) -> str:
-        a, ap, as_ = parse(m.group(1))
-        b, bp, bs = parse(m.group(3))
+        barel, barer = m.group("barel"), m.group("barer")
+        if barel is not None and barer is not None \
+                and "." not in barel and "." not in barer:
+            # pure integer-literal arithmetic stays INTEGER-typed in
+            # both engines — not a decimal op
+            return m.group(0)
+        # precedence/associativity guards: only fold a pair that is
+        # not a continuation of an adjacent arithmetic chain (the
+        # reference derives types LEFT-associatively; folding a
+        # right-hand pair of 'x - 1 - DECIMAL..' would flip signs)
+        left_txt = masked[:m.start()].rstrip()
+        right_txt = masked[m.end():].lstrip()
         op = m.group("op")
+        prev_bad = "+-*/%\x00" if op in "+-" else "*/%\x00"
+        if left_txt and left_txt[-1] in prev_bad:
+            return m.group(0)
+        if op in "+-" and right_txt and right_txt[0] in "*/%":
+            return m.group(0)
+        # group numbering: 1 = left ph, 2 = barel, 3 = op,
+        # 4 = right ph, 5 = barer
+        a_info = (parse_bare(barel) if barel is not None
+                  else parse(m.group(1)))
+        b_info = (parse_bare(barer) if barer is not None
+                  else parse(m.group(4)))
+        if a_info is None or b_info is None:
+            return m.group(0)
+        a, ap, as_ = a_info
+        b, bp, bs = b_info
         if op in "+-":
             rp = min(38, max(ap - as_, bp - bs) + max(as_, bs) + 1)
             rs = max(as_, bs)
