@@ -50,7 +50,7 @@ DEFAULT_ACCURACY = 0.01  # QuantileDigestFunctions.DEFAULT_ACCURACY
 
 
 class QDigest:
-    __slots__ = ("counts", "total", "accuracy")
+    __slots__ = ("counts", "total", "accuracy", "min", "max")
 
     def __init__(self, accuracy: float = DEFAULT_ACCURACY):
         if not 0 < accuracy < 1:
@@ -60,6 +60,20 @@ class QDigest:
         self.counts: dict[tuple[int, int], float] = {}
         self.total = 0.0
         self.accuracy = accuracy
+        # observed SIGNED min/max — airlift's QuantileDigest tracks
+        # these and clamps getQuantile into [min, max], so the
+        # reference surface never returns a value outside the input
+        # range even after merges compress mass into high-level nodes
+        self.min: int | None = None
+        self.max: int | None = None
+
+
+def _observe(d: QDigest, v: int) -> None:
+    v = int(v)
+    if d.min is None or v < d.min:
+        d.min = v
+    if d.max is None or v > d.max:
+        d.max = v
 
 
 def _u(x: int) -> int:
@@ -80,6 +94,7 @@ def qdigest_build(values, weights=None,
             k = (0, _u(v))
             d.counts[k] = d.counts.get(k, 0.0) + 1.0
             d.total += 1.0
+            _observe(d, v)
     else:
         for v, w in zip(values, weights):
             w = float(w)
@@ -88,6 +103,7 @@ def qdigest_build(values, weights=None,
             k = (0, _u(v))
             d.counts[k] = d.counts.get(k, 0.0) + w
             d.total += w
+            _observe(d, v)
     _compress(d)
     return d
 
@@ -133,6 +149,10 @@ def qdigest_merge(*digests: QDigest) -> QDigest:
     out = QDigest(min(d.accuracy for d in live))
     for d in live:
         out.total += d.total
+        if d.min is not None:
+            _observe(out, d.min)
+        if d.max is not None:
+            _observe(out, d.max)
         for k, c in d.counts.items():
             out.counts[k] = out.counts.get(k, 0.0) + c
     _compress(out)
@@ -168,7 +188,13 @@ def value_at_quantile(d: QDigest, q: float) -> int:
         if acc >= rank:
             break
     level, p = last
-    return _s(min(((p + 1) << level) - 1, _MASK))
+    v = _s(min(((p + 1) << level) - 1, _MASK))
+    # airlift getQuantile clamps into the observed [min, max]
+    if d.max is not None and v > d.max:
+        v = d.max
+    if d.min is not None and v < d.min:
+        v = d.min
+    return v
 
 
 def values_at_quantiles(d: QDigest, qs) -> list[int]:
@@ -199,17 +225,27 @@ def qdigest_serialize(d: QDigest) -> bytes:
     """Compact wire form for the exchange: header + (level, prefix,
     count) triples. THIS ENGINE's format — not airlift bytes (the
     documented out-of-scope interop)."""
-    out = [struct.pack("<ddI", d.accuracy, d.total, len(d.counts))]
+    # header carries observed min/max (offset-mapped; (0, 0) pair
+    # with the has-bounds flag 0 when the digest is empty)
+    has = 1 if d.min is not None else 0
+    umin = _u(d.min) if has else 0
+    umax = _u(d.max) if has else 0
+    out = [struct.pack("<ddIBQQ", d.accuracy, d.total, len(d.counts),
+                       has, umin, umax)]
     for (level, p), c in sorted(d.counts.items()):
         out.append(struct.pack("<BQd", level, p, c))
     return b"".join(out)
 
 
 def qdigest_deserialize(data: bytes) -> QDigest:
-    accuracy, total, n = struct.unpack_from("<ddI", data, 0)
+    accuracy, total, n, has, umin, umax = struct.unpack_from(
+        "<ddIBQQ", data, 0)
     d = QDigest(accuracy)
     d.total = total
-    off = 20
+    if has:
+        d.min = _s(umin)
+        d.max = _s(umax)
+    off = struct.calcsize("<ddIBQQ")
     for _ in range(n):
         level, p, c = struct.unpack_from("<BQd", data, off)
         off += 17

@@ -116,3 +116,26 @@ def test_validation_raises():
     d = qdigest_build([1, 2, 3])
     with pytest.raises(ValueError):
         value_at_quantile(d, 1.5)
+
+
+def test_extreme_quantiles_clamp_to_observed_range():
+    # airlift's QuantileDigest tracks min/max and clamps getQuantile
+    # into [min, max]; without the clamp, merges that compress mass
+    # into high-level/root nodes make q near 1 return the node upper
+    # bound (2^63-1) — reproduced with a 7-way merge of range(100000)
+    parts = [qdigest_build(range(i * 14286,
+                                 min((i + 1) * 14286, 100000)))
+             for i in range(7)]
+    m = qdigest_merge(*parts)
+    assert m.min == 0 and m.max == 99999
+    assert value_at_quantile(m, 1.0) == 99999
+    assert 0 <= value_at_quantile(m, 0.0) <= 1000  # accuracy*N bound
+    # bounds survive the wire
+    rt = qdigest_deserialize(qdigest_serialize(m))
+    assert (rt.min, rt.max) == (0, 99999)
+    assert value_at_quantile(rt, 1.0) == 99999
+    # negative-domain clamp at the low end
+    neg = qdigest_merge(qdigest_build([-500, -400]),
+                        qdigest_build([-300, -200, -100]))
+    assert value_at_quantile(neg, 0.0) >= -500
+    assert value_at_quantile(neg, 1.0) == -100
