@@ -73,13 +73,15 @@ _PRIORITY: tuple[str, ...] = (
     "join_semi", "join_anti", "join_not_in_null_aware",
     "join_theta_range", "join_broadcast_dim", "join_skew_salted",
     "join_null_keys",
-    # window functions (win_range_frame rotated out in r13 — frames
-    # stay covered in the full local artifact and the family by the
-    # four entries here + sql_win_ntile_expr_scale below)
-    "win_topn_per_group", "win_ranking",
-    "win_lag_lead", "win_running_agg",
-    # sort / limit / top-k
-    "orderby_nulls_last", "topn", "limit_deterministic",
+    # window functions (win_range_frame rotated out in r13;
+    # win_running_agg rotated out in r14 — frames/running aggs stay
+    # covered in the full local artifact and the family by the three
+    # entries here + sql_win_ntile_expr_scale below)
+    "win_topn_per_group", "win_ranking", "win_lag_lead",
+    # sort / limit / top-k (limit_deterministic rotated out in r14 —
+    # total-ordered LIMIT stays exercised by topn and every
+    # ORDER-BY-LIMIT query in the prefix)
+    "orderby_nulls_last", "topn",
     # set operations (union_distinct rotated out in r10 — still in
     # the full-registry local artifact)
     "union_all", "intersect_distinct", "except_distinct",
@@ -87,8 +89,11 @@ _PRIORITY: tuple[str, ...] = (
     # shapes covered by q1/q3/q5/q18/q22 + the join_* block — and
     # q19 BACK in per the r10 advice: its OR-of-ANDs predicate shape
     # has no other gate representative)
+    # (tpch_q22 rotated out in r14: its anti-join + scalar-avg shape
+    # stays covered by join_anti + scalar_subquery; still in the full
+    # local artifact)
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
-    "tpch_q18", "tpch_q19", "tpch_q22",
+    "tpch_q18", "tpch_q19",
     # subqueries + core shapes (quantified_all rotated out in r12 —
     # the family stays via sql_quantified_equality)
     "scalar_subquery", "in_subquery",
@@ -100,7 +105,10 @@ _PRIORITY: tuple[str, ...] = (
     # hash-checks the newest surfaces directly)
     "tpcds_q65_adapted", "io_roundtrip_pagefile",
     "io_roundtrip_rcfile",
-    "sql_lambda_functions", "sql_quoted_identifiers",
+    # (sql_quoted_identifiers rotated out in r14: the front-door
+    # rewrite passes stay gate-exercised by sql_lambda_functions and
+    # the new decimal-arithmetic row below)
+    "sql_lambda_functions",
     "join_spatial_contains",
     "dedup_minhash_lsh", "pipeline_corpus_dedup",
     "agg_hll_wire_format", "docs_sample_temperature",
@@ -133,6 +141,16 @@ _PRIORITY: tuple[str, ...] = (
     # rotates out (see the window block); both remain in the full
     # local artifact.
     "sql_geometry_union_agg_scale", "sql_win_ntile_expr_scale",
+    # r14 rotation: the column-operand decimal derivation (the r14
+    # semantics item — the oracle replays Presto's HALF_UP divide
+    # with exact integer arithmetic, so a Spark-derivation regression
+    # hash-mismatches), the streaming family's first gate appearance
+    # (stream_interval_join is oracle-backed: the batch oracle
+    # replays the watermark-complete interval join), one TPC-DS
+    # SQL-text twin (sql_tpcds_q67 — the grouped-topk text shape),
+    # and the convex-hull side of the mergeable geometry aggregate.
+    "sql_decimal_column_arith_scale", "stream_interval_join",
+    "sql_tpcds_q67", "sql_convex_hull_agg_scale",
 )
 
 

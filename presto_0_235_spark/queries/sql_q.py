@@ -2118,3 +2118,61 @@ def sql_agg_approx_percentile_scale(
         GROUP BY l_returnflag
         """,
     )
+
+
+@register(
+    "sql_decimal_column_arith_scale",
+    oracle="""
+WITH m AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100) AS BIGINT) AS dc,
+         CAST(l_quantity AS BIGINT) AS qi
+  FROM lineitem WHERE l_orderkey < 1000
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(pc * (100 - dc) AS DOUBLE) / 10000 AS disc_price,
+       CAST((2 * pc + qi) // (2 * qi) AS DOUBLE) / 100 AS unit_price,
+       CAST(pc % 700 AS DOUBLE) / 100 AS price_mod
+FROM m
+""",
+)
+def sql_decimal_column_arith_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Column-operand decimal arithmetic with the REFERENCE's type
+    derivation (DecimalOperators.java:91,251,316,480) over lineitem
+    money columns at scale — the r14 schema-aware rewrite
+    (sql/frontend._rewrite_decimal_column_arith). unit_price pins the
+    divide semantics on real data: Presto scale max(s1,s2)=2 with
+    HALF_UP (Spark's native derivation would produce scale 15); the
+    DuckDB oracle replays HALF_UP with exact integer arithmetic
+    ((2a+b)//(2b) on cents), so a Spark-derivation regression
+    hash-mismatches. The money columns integerize to exact cents
+    first (round(x*100)) so the double->decimal boundary is
+    rounding-mode-proof on both engines."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT l_orderkey, l_linenumber,
+               CAST(
+                 (CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       AS DECIMAL(14,0)) / DECIMAL '100.00')
+                 * (DECIMAL '1.00' -
+                    CAST(CAST(round(l_discount * 100) AS BIGINT)
+                         AS DECIMAL(14,0)) / DECIMAL '100.00')
+                 AS DOUBLE) AS disc_price,
+               CAST(
+                 CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      AS DECIMAL(14,0)) / DECIMAL '100.00'
+                 / CAST(l_quantity AS DECIMAL(12,2))
+                 AS DOUBLE) AS unit_price,
+               CAST(
+                 CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      AS DECIMAL(14,0)) / DECIMAL '100.00'
+                 % CAST(7 AS DECIMAL(10,0))
+                 AS DOUBLE) AS price_mod
+        FROM lineitem WHERE l_orderkey < 1000
+        """,
+    )

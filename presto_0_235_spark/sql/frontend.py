@@ -597,6 +597,342 @@ def _fold_decimal_literal_arith(masked: str, stash) -> str:
     return masked
 
 
+# ---------------------------------------------------------------------------
+# Presto decimal type derivation for COLUMN operands (r14)
+# ---------------------------------------------------------------------------
+# The r13 literal fold closed the literal-operand divergence class;
+# THIS pass closes the column-operand one for every site where the
+# operand decimal types are STATICALLY derivable from the SQL text:
+# CAST/TRY_CAST(x AS DECIMAL(p[,s])) forms (including the lowered
+# DECIMAL 'x' typed literals), bare numeric literals (Presto coerces
+# integer literals to decimal(10,0)/decimal(19,0); decimal-form
+# literals type by digit shape), and nodes this pass already rewrote
+# (the emission is itself a typed CAST, so chains fold bottom-up,
+# left-associatively). The emission wraps the Spark arithmetic in an
+# explicit CAST to the REFERENCE's derived type
+# (DecimalOperators.java longVariableExpressions :91-92 add/sub,
+# :251-252 multiply, :316-317 divide, :480-481 modulus) and, for
+# divide, pre-rescales the dividend and ROUNDs at the result scale so
+# the value is Presto's HALF_UP divide rather than Spark's
+# max(6, s1+p2+1)-scale quotient.
+#
+# Exactness is PROVEN, not assumed, before any site is rewritten:
+#  - +,-,*,%: rewrite only when Spark's own derivation keeps the full
+#    result scale (no allowPrecisionLoss scale reduction), so the
+#    inner arithmetic is exact and the outer CAST only renames the
+#    type (raising on overflow exactly where Presto's "Decimal
+#    overflow" raise sits).
+#  - /: Spark's quotient is the exact value rounded HALF_UP at scale
+#    s' = max(6, s1'+p2+1). ROUND(q', rs) == HALF_UP(q, rs) whenever
+#    the exact quotient cannot sit within 5*10^-(s'+1) of a half-way
+#    point at scale rs: |A*10^k/B - (2m+1)/2| is either 0 (exact
+#    half, representable at scale <= s') or >= 1/(2|B|) >
+#    5*10^-(digits(B)+1); requiring s' >= rs + digits(B) + 1 makes
+#    double rounding impossible. Sites that cannot satisfy the bound
+#    (very-high-precision operands) are left un-rewritten — the
+#    pre-r14 documented divergence, now scoped to those forms only.
+#
+# Sites inside TRY(...) are skipped: Presto TRY absorbs arithmetic
+# raises to NULL and the TRY lowering (try_divide/try_multiply/...)
+# needs the bare operator shape to do the same.
+
+_DCA_DEC_TAIL = re.compile(
+    r"\bAS\s+DECIMAL\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*$",
+    re.IGNORECASE)
+_DCA_CAST_FWD = re.compile(r"(TRY_CAST|CAST)\s*\(", re.IGNORECASE)
+_DCA_CAST_BACK = re.compile(r"\b(TRY_CAST|CAST)\s*$", re.IGNORECASE)
+_DCA_NUM_FWD = re.compile(r"\d+(?:\.\d+)?")
+_DCA_NUM_BACK = re.compile(r"(\d+(?:\.\d+)?)$")
+_IDENTCH = set("abcdefghijklmnopqrstuvwxyz"
+               "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_.\x00")
+
+
+def _dca_spark_adjusted_scale(prec: int, scale: int) -> int:
+    """Spark DecimalType.adjustPrecisionScale (allowPrecisionLoss
+    default): the result scale after Spark caps precision at 38."""
+    if prec <= 38:
+        return scale
+    return max(38 - (prec - scale), min(scale, 6))
+
+
+def _dca_literal_type(text: str):
+    """Presto's type for a bare numeric literal in a decimal op:
+    integer-form coerces as its integral TYPE's decimal; decimal-form
+    types by digit shape. Returns (p, s, unscaled_digit_bound) or
+    None (out-of-range integer)."""
+    if "." in text:
+        ip, _, fp = text.partition(".")
+        p = max(1, len(ip + fp))
+        unscaled = (ip + fp).lstrip("0")
+        return p, len(fp), max(1, len(unscaled))
+    v = int(text)
+    bound = max(1, len(str(v)))
+    if v <= 2 ** 31 - 1:
+        return 10, 0, bound
+    if v <= 2 ** 63 - 1:
+        return 19, 0, bound
+    return None
+
+
+class _DcaOperand:
+    __slots__ = ("start", "end", "p", "s", "bound", "is_lit")
+
+    def __init__(self, start, end, p, s, bound, is_lit):
+        self.start, self.end = start, end
+        self.p, self.s, self.bound = p, s, bound
+        self.is_lit = is_lit
+
+    def text(self, masked: str) -> str:
+        t = masked[self.start:self.end]
+        if self.is_lit:
+            # pin Spark's view of the literal to Presto's coercion
+            # type (Spark types integer literals by digit count)
+            return f"CAST({t} AS DECIMAL({self.p}, {self.s}))"
+        return t
+
+
+def _dca_operand_span(masked: str, lo: int, hi: int):
+    """A typed-decimal operand that spans exactly [lo, hi) modulo
+    surrounding whitespace, or None."""
+    a = lo
+    while a < hi and masked[a].isspace():
+        a += 1
+    op = _dca_operand_fwd(masked, a)
+    if op is None:
+        return None
+    b = op.end
+    while b < hi and masked[b].isspace():
+        b += 1
+    return op if b == hi else None
+
+
+def _dca_operand_fwd(masked: str, i: int):
+    """Parse a typed-decimal operand starting at i (ws skipped)."""
+    if i > 0 and masked[i - 1] in _IDENTCH:
+        return None
+    if i < len(masked) and masked[i] == "(":
+        # a parenthesized group (never a call — calls start at the
+        # function name, and the _IDENTCH guard above rejects those)
+        try:
+            past = _balanced(masked, i)
+        except ValueError:
+            return None
+        inner = _dca_operand_span(masked, i + 1, past - 1)
+        if inner is None:
+            return None
+        return _DcaOperand(i, past, inner.p, inner.s, inner.bound,
+                           inner.is_lit)
+    m = _DCA_CAST_FWD.match(masked, i)
+    if m:
+        open_i = masked.index("(", m.end(1))
+        try:
+            past = _balanced(masked, open_i)
+        except ValueError:
+            return None
+        tm = _DCA_DEC_TAIL.search(masked[open_i + 1:past - 1])
+        if tm is None:
+            return None
+        p = int(tm.group(1))
+        s = int(tm.group(2)) if tm.group(2) else 0
+        return _DcaOperand(i, past, p, s, p, False)
+    m = _DCA_NUM_FWD.match(masked, i)
+    if m:
+        if m.end() < len(masked) and masked[m.end()] in _IDENTCH:
+            return None
+        t = _dca_literal_type(m.group(0))
+        if t is None:
+            return None
+        return _DcaOperand(i, m.end(), t[0], t[1], t[2], True)
+    return None
+
+
+def _dca_operand_back(masked: str, j: int):
+    """Parse a typed-decimal operand ending just before j (ws already
+    skipped — masked[j-1] is the operand's last char)."""
+    if j <= 0:
+        return None
+    if masked[j - 1] == ")":
+        depth = 0
+        open_i = None
+        for k in range(j - 1, -1, -1):
+            if masked[k] == ")":
+                depth += 1
+            elif masked[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    open_i = k
+                    break
+        if open_i is None:
+            return None
+        hm = _DCA_CAST_BACK.search(masked[:open_i])
+        if hm is not None:
+            tm = _DCA_DEC_TAIL.search(masked[open_i + 1:j - 1])
+            if tm is None:
+                return None
+            p = int(tm.group(1))
+            s = int(tm.group(2)) if tm.group(2) else 0
+            return _DcaOperand(hm.start(), j, p, s, p, False)
+        # a parenthesized group — but only when the '(' is not a
+        # function call's argument list
+        if open_i > 0 and masked[open_i - 1] in _IDENTCH:
+            return None
+        inner = _dca_operand_span(masked, open_i + 1, j - 1)
+        if inner is None:
+            return None
+        return _DcaOperand(open_i, j, inner.p, inner.s, inner.bound,
+                           inner.is_lit)
+    nm = _DCA_NUM_BACK.search(masked[:j])
+    if nm is None:
+        return None
+    if nm.start() > 0 and masked[nm.start() - 1] in _IDENTCH:
+        return None
+    t = _dca_literal_type(nm.group(1))
+    if t is None:
+        return None
+    return _DcaOperand(nm.start(), j, t[0], t[1], t[2], True)
+
+
+def _dca_try_extents(masked: str):
+    out = []
+    for m in re.finditer(r"\bTRY\s*\(", masked, re.IGNORECASE):
+        try:
+            out.append((m.start(),
+                        _balanced(masked, masked.index("(", m.start()))))
+        except ValueError:
+            pass
+    return out
+
+
+def _dca_emit(op: str, a: _DcaOperand, b: _DcaOperand, masked: str):
+    """Presto's derivation for a op b; returns (replacement, rp, rs)
+    or None when exactness cannot be proven."""
+    p1, s1, p2, s2 = a.p, a.s, b.p, b.s
+    at, bt = a.text(masked), b.text(masked)
+    if op in "+-":
+        rs = max(s1, s2)
+        pre = max(p1 - s1, p2 - s2) + rs + 1
+        rp = min(38, pre)
+        if _dca_spark_adjusted_scale(pre, rs) != rs:
+            return None
+        return (f"CAST((({at}) {op} ({bt})) AS DECIMAL({rp}, {rs}))",
+                rp, rs)
+    if op == "*":
+        rs = s1 + s2
+        if rs > 38:
+            return None  # Presto analysis-rejects; out of rewrite scope
+        rp = min(38, p1 + p2)
+        if _dca_spark_adjusted_scale(p1 + p2 + 1, rs) != rs:
+            return None
+        return (f"CAST((({at}) * ({bt})) AS DECIMAL({rp}, {rs}))",
+                rp, rs)
+    if op == "%":
+        rs = max(s1, s2)
+        rp = min(38, max(1, min(p1 - s1, p2 - s2) + rs))
+        return (f"CAST((({at}) % ({bt})) AS DECIMAL({rp}, {rs}))",
+                rp, rs)
+    # divide: HALF_UP at scale max(s1, s2)
+    rs = max(s1, s2)
+    rp = min(38, p1 + s2 + max(0, s2 - s1))
+    d = max(0, s2 - s1)
+    p1r, s1r = p1 + d, s1 + d
+    if p1r > 38:
+        return None
+    spark_scale = max(6, s1r + p2 + 1)
+    spark_prec = p1r - s1r + s2 + spark_scale
+    adj = _dca_spark_adjusted_scale(spark_prec, spark_scale)
+    if adj < rs + b.bound + 1:
+        return None  # double rounding not provably impossible
+    if d or a.is_lit:
+        at = f"CAST({masked[a.start:a.end]} AS DECIMAL({p1r}, {s1r}))"
+    return (f"CAST(ROUND(({at}) / ({bt}), {rs}) "
+            f"AS DECIMAL({rp}, {rs}))", rp, rs)
+
+
+def _dca_pass(masked: str, ops: str) -> str:
+    """One fold of the leftmost rewritable site for this precedence
+    tier; returns masked unchanged when no site folds."""
+    extents = _dca_try_extents(masked)
+    i = -1
+    while True:
+        i += 1
+        if i >= len(masked):
+            return masked
+        c = masked[i]
+        if c not in ops:
+            continue
+        if c == "-" and i + 1 < len(masked) and masked[i + 1] == ">":
+            continue  # lambda arrow
+        if any(lo <= i < hi for lo, hi in extents):
+            continue
+        j = i
+        while j > 0 and masked[j - 1].isspace():
+            j -= 1
+        left = _dca_operand_back(masked, j)
+        if left is None:
+            continue
+        k = i + 1
+        while k < len(masked) and masked[k].isspace():
+            k += 1
+        right = _dca_operand_fwd(masked, k)
+        if right is None:
+            continue
+        if left.is_lit and right.is_lit:
+            continue  # the literal fold's domain (div-by-zero, TRY)
+        # left-associativity guards: never fold a continuation of an
+        # equal-or-higher-precedence chain
+        g = left.start
+        while g > 0 and masked[g - 1].isspace():
+            g -= 1
+        prev = masked[g - 1] if g else ""
+        if ops == "*/%" and prev in "*/%":
+            continue
+        if ops == "+-" and prev in "+-*/%":
+            continue
+        h = right.end
+        while h < len(masked) and masked[h].isspace():
+            h += 1
+        nxt = masked[h] if h < len(masked) else ""
+        if ops == "+-" and nxt in "*/%":
+            continue
+        emitted = _dca_emit(c, left, right, masked)
+        if emitted is None:
+            continue
+        new, rp, rs = emitted
+        # idempotence: the emission's own inner site re-parses (its
+        # operands are parenthesized typed casts) — skip a site whose
+        # immediately-enclosing context is already the wrap this very
+        # derivation would produce
+        pre = masked[:left.start].rstrip().upper()
+        post = masked[right.end:].lstrip()
+        if c == "/":
+            already = (pre.endswith("ROUND(") and re.match(
+                rf"^,\s*{rs}\s*\)\s*AS\s+DECIMAL\s*\(\s*{rp}\s*,"
+                rf"\s*{rs}\s*\)\s*\)", post, re.IGNORECASE))
+        else:
+            already = (pre.endswith("CAST((") and re.match(
+                rf"^\)\s*AS\s+DECIMAL\s*\(\s*{rp}\s*,\s*{rs}\s*\)",
+                post, re.IGNORECASE))
+        if already:
+            continue
+        return masked[:left.start] + new + masked[right.end:]
+
+
+def _rewrite_decimal_column_arith(masked: str) -> str:
+    # outer fixpoint: a +- fold inside parens can enable a */% site
+    # (e.g. a * (1 - b)); re-running */% after +- is precedence-safe
+    # because every cross-tier feed is a parenthesized group
+    while True:
+        before = masked
+        for ops in ("*/%", "+-"):
+            while True:
+                new = _dca_pass(masked, ops)
+                if new == masked:
+                    break
+                masked = new
+        if masked == before:
+            return masked
+
+
 def _rewrite_date_time_interval_raise(masked: str, stash) -> str:
     """DATE literal +/- a sub-day INTERVAL raises in Presto
     (DateTimeOperators.java:47-58, 205: 'Cannot add hour, minutes or
@@ -2413,6 +2749,7 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = _rewrite_like_escapes(masked, stash)
     masked = _rewrite_negated_decimal_cast(masked, stash)
     masked = _rewrite_sized_char_casts(masked, stash)
+    masked = _rewrite_decimal_column_arith(masked)
     masked = _rewrite_array_literals(masked)
     masked = _rewrite_map_ctor(masked)
     masked = _rewrite_row_types(masked)
@@ -2440,6 +2777,192 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = _rewrite_tablesample(masked)
     masked = _rewrite_order_by_nulls(masked)
     return _unmask(masked, stash)
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface mergeable geometry aggregates (r14)
+# ---------------------------------------------------------------------------
+# The collect_list lowering in sql/scalar_templates.py is CORRECT for
+# geometry_union_agg / convex_hull_agg but ships every geometry of a
+# group to one reducer — the anti-pattern the r12/r13 verdicts flagged
+# for the 100 TB path. THIS router recognizes the common aggregate
+# shape (a single SELECT block over one FROM with an optional WHERE
+# and a GROUP BY, exactly one geometry aggregate, every other select
+# item a grouping key) and plans it through the MERGEABLE two-phase
+# operator (operators/geo_agg._two_phase: per-batch partial folds
+# BELOW the exchange, fan-in-bounded tree merge above it). Any shape
+# outside the window — other top-level clauses, set ops, extra
+# aggregates, DISTINCT — falls back to the template lowering, which
+# stays the ad-hoc-SQL convenience path.
+
+_GEO_AGG_CALL = re.compile(
+    r"\b(geometry_union_agg|convex_hull_agg)\s*\(", re.IGNORECASE)
+_GEO_ROUTE_KW = re.compile(
+    r"\b(SELECT|FROM|WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|UNION"
+    r"|INTERSECT|EXCEPT|WINDOW|QUALIFY|DISTINCT|JOIN|WITH)\b",
+    re.IGNORECASE)
+_GEO_ITEM = re.compile(
+    r"^(geometry_union_agg|convex_hull_agg)\s*\((?P<arg>.*)\)\s*"
+    r"(?:AS\s+)?(?P<alias>[A-Za-z_]\w*)?$",
+    re.IGNORECASE | re.DOTALL)
+_KEY_ALIAS = re.compile(
+    r"^(?P<expr>.*?)\s+(?:AS\s+)?(?P<alias>[A-Za-z_]\w*)$",
+    re.IGNORECASE | re.DOTALL)
+_BARE_IDENT = re.compile(r"^[A-Za-z_][\w.]*$")
+
+
+def _unmask_raw(sql: str, stash) -> str:
+    """Restore the ORIGINAL source text (Presto dialect) — for
+    rewriters that re-enter the translation pipeline."""
+    return _MASK_RE.sub(lambda m: stash[int(m.group(1))][1], sql)
+
+
+def _top_commas(text: str) -> list[str]:
+    """Split on depth-0 commas."""
+    parts, depth, start = [], 0, 0
+    for i, c in enumerate(text):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts]
+
+
+def _norm_expr(text: str) -> str:
+    return re.sub(r"\s+", " ", text.strip()).lower()
+
+
+def _route_geo_aggregate(spark: SparkSession, sql: str):
+    """DataFrame plan for the recognized geometry-aggregate shape, or
+    None (caller falls back to the template lowering)."""
+    if not _GEO_AGG_CALL.search(sql):
+        return None
+    try:
+        masked, stash = _mask(sql)
+    except Exception:
+        return None
+    s = masked.rstrip().rstrip(";")
+    # depth-0 keyword map
+    depth_at = [0] * (len(s) + 1)
+    d = 0
+    for i, c in enumerate(s):
+        depth_at[i] = d
+        if c == "(":
+            d += 1
+        elif c == ")":
+            d -= 1
+    found: dict[str, list[tuple[int, int]]] = {}
+    for m in _GEO_ROUTE_KW.finditer(s):
+        if depth_at[m.start()] != 0:
+            continue
+        kw = re.sub(r"\s+", "", m.group(1).upper())
+        found.setdefault(kw, []).append((m.start(), m.end()))
+    if (len(found.get("SELECT", [])) != 1
+            or len(found.get("FROM", [])) != 1
+            or len(found.get("WHERE", [])) > 1
+            or len(found.get("GROUPBY", [])) > 1
+            or s[:found["SELECT"][0][0]].strip()):
+        return None
+    for bad in ("HAVING", "ORDERBY", "LIMIT", "UNION", "INTERSECT",
+                "EXCEPT", "WINDOW", "QUALIFY", "DISTINCT", "WITH"):
+        if bad in found:
+            return None
+    sel_s, sel_e = found["SELECT"][0]
+    frm_s, frm_e = found["FROM"][0]
+    whr = found.get("WHERE", [None])[0]
+    grp = found.get("GROUPBY", [None])[0]
+    if whr and whr[0] < frm_e:
+        return None
+    if grp and (grp[0] < frm_e or (whr and grp[0] < whr[1])):
+        return None
+    select_txt = s[sel_e:frm_s]
+    from_end = whr[0] if whr else (grp[0] if grp else len(s))
+    from_txt = s[frm_e:from_end]
+    where_txt = s[whr[1]:(grp[0] if grp else len(s))] if whr else None
+    group_txt = s[grp[1]:] if grp else None
+
+    geo = None            # (fn_name, arg_text, out_alias)
+    keys = []             # (expr_text, out_name)
+    out_order = []        # output column names in select order
+    for item in _top_commas(select_txt):
+        gm = _GEO_ITEM.match(item)
+        if gm is not None:
+            # the regex tail is greedy — verify the arg parens balance
+            arg = gm.group("arg")
+            if arg.count("(") != arg.count(")"):
+                return None
+            if geo is not None or not gm.group("alias"):
+                return None
+            geo = (gm.group(1).lower(), arg, gm.group("alias"))
+            out_order.append(gm.group("alias"))
+            continue
+        if _GEO_AGG_CALL.search(item):
+            return None  # geometry aggregate nested in an expression
+        if _BARE_IDENT.match(item):
+            name = item.split(".")[-1]
+            keys.append((item, name))
+            out_order.append(name)
+            continue
+        km = _KEY_ALIAS.match(item)
+        if km is None:
+            return None
+        keys.append((km.group("expr"), km.group("alias")))
+        out_order.append(km.group("alias"))
+    if geo is None:
+        return None
+
+    hidden: list[tuple[str, str]] = []
+    if group_txt is not None:
+        sel_names = {n for _, n in keys}
+        sel_norm = {_norm_expr(e): n for e, n in keys}
+        for gk in _top_commas(group_txt):
+            norm = _norm_expr(gk)
+            if gk.strip().isdigit():
+                pos = int(gk.strip()) - 1
+                if not 0 <= pos < len(out_order):
+                    return None
+                continue
+            if norm in sel_norm or gk.strip() in sel_names \
+                    or norm in {n.lower() for n in sel_names}:
+                continue
+            hidden.append((gk.strip(), f"_gk{len(hidden)}"))
+        # every non-aggregate select item must be a grouping key —
+        # verify the reverse direction (else invalid SQL; let Spark
+        # raise it on the fallback path)
+        gnorm = {_norm_expr(g) for g in _top_commas(group_txt)}
+        galias = gnorm | {str(i + 1) for i in range(len(out_order))}
+        for e, n in keys:
+            if _norm_expr(e) not in gnorm and n.lower() not in galias:
+                return None
+    elif keys:
+        return None  # non-aggregate items without GROUP BY: invalid
+
+    inner_parts = [f"{_unmask_raw(e, stash)} AS {n}" for e, n in keys]
+    inner_parts += [f"{_unmask_raw(e, stash)} AS {n}" for e, n in hidden]
+    inner_parts.append(f"{_unmask_raw(geo[1], stash)} AS _g")
+    key_names = [n for _, n in keys] + [n for _, n in hidden]
+    if not key_names:
+        inner_parts.append("1 AS _gk")
+        key_names = ["_gk"]
+    inner = (f"SELECT {', '.join(inner_parts)} "
+             f"FROM {_unmask_raw(from_txt, stash)}")
+    if where_txt is not None:
+        inner += f" WHERE {_unmask_raw(where_txt, stash)}"
+    try:
+        base = spark.sql(presto_to_spark_sql(inner))
+    except Exception:
+        return None
+    from presto_0_235_spark.operators import geo_agg
+
+    fold = (geo_agg.geometry_union_agg
+            if geo[0] == "geometry_union_agg"
+            else geo_agg.convex_hull_agg)
+    agg = fold(base, key_names, "_g", out=geo[2])
+    return agg.select(*out_order)
 
 
 # Pandas UDFs for the Presto scalars with no Spark-expression twin
@@ -2516,4 +3039,7 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Execute Presto-dialect SQL against the registered catalog."""
     ensure_session_defaults(spark)
     _ensure_sql_udfs(spark)
+    routed = _route_geo_aggregate(spark, sql)
+    if routed is not None:
+        return routed
     return spark.sql(presto_to_spark_sql(sql))

@@ -1,0 +1,138 @@
+"""Column-operand decimal arithmetic — the r14 conversion of the last
+documented wrong-VALUE divergence class for valid inputs.
+
+Through r13 every LITERAL decimal form constant-folded with the
+reference's type derivation, but `col_a op col_b` on decimal-typed
+columns kept Spark's derivation (notably divide: Spark's
+max(6, s1+p2+1) result scale vs Presto's max(s1, s2) with HALF_UP —
+DecimalOperators.java:316-317). The r14 `_rewrite_decimal_column_arith`
+pass closes the class for every site whose operand types are
+statically derivable from the SQL text (CAST(... AS DECIMAL(p,s))
+forms, typed/bare literals, and chains of those).
+
+Pins follow DecimalOperators.java:
+  :91-92  add/sub  (max(p1-s1,p2-s2)+max(s1,s2)+1, max(s1,s2))
+  :251-252 multiply (p1+p2, s1+s2)
+  :316-317 divide   (p1+s2+max(0,s2-s1), max(s1,s2)) with HALF_UP
+  :480-481 modulus  (min(p1-s1,p2-s2)+max(s1,s2), max(s1,s2))
+all capped at 38. Values forced through VALUES-table columns so
+Catalyst cannot constant-fold the Spark plan — the derivation under
+test is the column-operand one.
+"""
+
+from __future__ import annotations
+
+import decimal
+
+import pytest
+
+from presto_0_235_spark.sql.frontend import run_sql
+
+D = decimal.Decimal
+
+
+def _one(spark, sql):
+    df = run_sql(spark, sql)
+    row = df.collect()[0]
+    return df.schema[0].dataType.simpleString(), row[0]
+
+
+# (select expr, FROM clause, expected Spark type, expected value)
+CASES = [
+    # divide: Presto scale max(s1,s2), HALF_UP away from zero
+    ("CAST(x AS DECIMAL(12,2)) / CAST(y AS DECIMAL(12,2))",
+     "(VALUES (1.0, 3.0)) t(x, y)", "decimal(14,2)", D("0.33")),
+    ("CAST(x AS DECIMAL(12,2)) / CAST(y AS DECIMAL(12,2))",
+     "(VALUES (1.0, 8.0)) t(x, y)", "decimal(14,2)", D("0.13")),
+    ("CAST(x AS DECIMAL(12,2)) / CAST(y AS DECIMAL(12,2))",
+     "(VALUES (-1.0, 8.0)) t(x, y)", "decimal(14,2)", D("-0.13")),
+    ("CAST(x AS DECIMAL(12,2)) / CAST(y AS DECIMAL(12,2))",
+     "(VALUES (1.0, -8.0)) t(x, y)", "decimal(14,2)", D("-0.13")),
+    # integer-literal divisor coerces to decimal(10,0)
+    ("CAST(x AS DECIMAL(12,2)) / 3",
+     "(VALUES (10.0)) t(x)", "decimal(12,2)", D("3.33")),
+    # s2 > s1: dividend rescales before the HALF_UP divide
+    ("CAST(x AS DECIMAL(3,1)) / CAST(y AS DECIMAL(5,2))",
+     "(VALUES (1.0, 3.00)) t(x, y)", "decimal(6,2)", D("0.33")),
+    ("CAST(x AS DECIMAL(5,2)) / CAST(y AS DECIMAL(3,1))",
+     "(VALUES (100.00, 0.3)) t(x, y)", "decimal(6,2)", D("333.33")),
+    # the divide scale pin on minimal types
+    ("CAST(x AS DECIMAL(2,1)) / CAST(y AS DECIMAL(2,1))",
+     "(VALUES (1.0, 3.0)) t(x, y)", "decimal(3,1)", D("0.3")),
+    # multiply: (p1+p2, s1+s2)
+    ("CAST(x AS DECIMAL(12,2)) * CAST(y AS DECIMAL(12,2))",
+     "(VALUES (1.5, 2.5)) t(x, y)", "decimal(24,4)", D("3.7500")),
+    # add/sub: (max int digits + max scale + 1, max scale)
+    ("CAST(x AS DECIMAL(12,2)) + CAST(y AS DECIMAL(10,4))",
+     "(VALUES (1.25, 2.0005)) t(x, y)", "decimal(15,4)", D("3.2505")),
+    ("CAST(x AS DECIMAL(12,2)) - CAST(y AS DECIMAL(10,4))",
+     "(VALUES (1.25, 2.0005)) t(x, y)", "decimal(15,4)", D("-0.7505")),
+    # modulus: sign of the dividend, Presto type
+    ("CAST(x AS DECIMAL(12,2)) % CAST(y AS DECIMAL(10,0))",
+     "(VALUES (5.5, 2)) t(x, y)", "decimal(12,2)", D("1.50")),
+    # literal/column mixing with Presto's bare-literal coercions
+    ("2 * CAST(y AS DECIMAL(12,2))",
+     "(VALUES (2.5)) t(y)", "decimal(22,2)", D("5.00")),
+    ("CAST(x AS DECIMAL(12,2)) + 0.005",
+     "(VALUES (1.25)) t(x)", "decimal(14,3)", D("1.255")),
+    # typed DECIMAL literal against a column
+    ("DECIMAL '1.20' + CAST(x AS DECIMAL(12,2))",
+     "(VALUES (1.25)) t(x)", "decimal(13,2)", D("2.45")),
+    # left-associative chain: ((12,2)*(12,2)=(24,4)) * (12,2) = (36,6)
+    ("CAST(a AS DECIMAL(12,2)) * CAST(b AS DECIMAL(12,2)) * "
+     "CAST(c AS DECIMAL(12,2))",
+     "(VALUES (2.0, 3.0, 4.0)) t(a, b, c)",
+     "decimal(36,6)", D("24.000000")),
+    # parenthesized groups fold through (the TPC-H revenue shape)
+    ("CAST(x AS DECIMAL(12,2)) * (1 - CAST(y AS DECIMAL(12,2)))",
+     "(VALUES (100.00, 0.05)) t(x, y)", "decimal(25,4)", D("95.0000")),
+]
+
+
+@pytest.mark.parametrize(
+    "expr,frm,expected_type,expected",
+    CASES, ids=[f"case{i}" for i in range(len(CASES))])
+def test_column_decimal_arith(spark, expr, frm, expected_type, expected):
+    typ, val = _one(spark, f"SELECT {expr} AS r FROM {frm}")
+    assert typ == expected_type, f"{expr}: type {typ} != {expected_type}"
+    assert val == expected, f"{expr}: {val} != {expected}"
+
+
+def test_try_still_absorbs_division_by_zero(spark):
+    # sites inside TRY are deliberately NOT rewritten: Presto TRY
+    # absorbs "Division by zero" to NULL and the try_divide lowering
+    # needs the bare operator shape
+    _, val = _one(
+        spark,
+        "SELECT TRY(CAST(x AS DECIMAL(12,2)) / CAST(y AS DECIMAL(12,2)))"
+        " AS r FROM (VALUES (1.0, 0.0)) t(x, y)")
+    assert val is None
+
+
+def test_division_by_zero_still_raises(spark):
+    with pytest.raises(Exception):
+        run_sql(
+            spark,
+            "SELECT CAST(x AS DECIMAL(12,2)) / CAST(y AS DECIMAL(12,2))"
+            " AS r FROM (VALUES (1.0, 0.0)) t(x, y)").collect()
+
+
+def test_untyped_forms_left_alone(spark):
+    # bare double columns keep engine-native double arithmetic — the
+    # rewrite fires only on statically-typed decimal operands
+    typ, _ = _one(
+        spark,
+        "SELECT x / y AS r FROM (VALUES (CAST(1.0 AS DOUBLE), "
+        "CAST(3.0 AS DOUBLE))) t(x, y)")
+    assert typ == "double"
+
+
+def test_high_precision_divide_left_unrewritten(spark):
+    # (38,2)/(38,2): Spark's adjusted divide scale (6) cannot prove
+    # the HALF_UP bound, so the site stays Spark-derived — the
+    # documented residual, now scoped to very-high-precision operands
+    typ, _ = _one(
+        spark,
+        "SELECT CAST(x AS DECIMAL(38,2)) / CAST(y AS DECIMAL(38,2))"
+        " AS r FROM (VALUES (1.0, 3.0)) t(x, y)")
+    assert typ == "decimal(38,6)"

@@ -268,10 +268,13 @@ def test_negated_decimal_cast_rewrite_boundaries():
     """r11: _rewrite_negated_decimal_cast must fire ONLY on a clearly
     UNARY minus before CAST(... AS DECIMAL(p>34, s)) — binary minus
     (exact in Spark) and small precisions stay verbatim."""
-    # unary at statement head -> exact 0-x form (scale 0)
+    # unary at statement head -> exact 0-x form (scale 0); the r14
+    # column-decimal pass then wraps the binary Subtract (still
+    # exact) in Presto's derived type — negate keeps (38,0)
     assert presto_to_spark_sql(
         "SELECT -CAST(a AS DECIMAL(38,0)) FROM t"
-    ) == "SELECT (0 - CAST(a AS DECIMAL(38,0))) FROM t"
+    ) == ("SELECT (CAST(((CAST(0 AS DECIMAL(10, 0))) - "
+          "(CAST(a AS DECIMAL(38,0)))) AS DECIMAL(38, 0))) FROM t")
     # binary minus untouched (identifier before the '-')
     assert presto_to_spark_sql(
         "SELECT b -CAST(a AS DECIMAL(38,0)) FROM t"
@@ -300,7 +303,8 @@ def test_negated_decimal_cast_rewrite_boundaries():
     out = presto_to_spark_sql(
         "SELECT CASE WHEN x THEN -CAST(a AS DECIMAL(38,0)) END FROM t"
     )
-    assert "(0 - CAST(a AS DECIMAL(38,0)))" in out
+    assert ("(CAST(((CAST(0 AS DECIMAL(10, 0))) - "
+            "(CAST(a AS DECIMAL(38,0)))) AS DECIMAL(38, 0)))") in out
 
 
 def test_interval_literal_padding_boundaries():

@@ -553,3 +553,47 @@ def test_geometry_union_agg_partials_below_shuffle(spark, sf_dir):
         between = plan[i_merge:i_map]
         assert "Exchange" in between, builder.__name__
         assert "collect_list" not in plan, builder.__name__
+
+
+def test_sql_spelling_geometry_agg_routes_to_mergeable(spark, sf_dir):
+    """r14: the SQL SPELLING of geometry_union_agg / convex_hull_agg
+    over a GROUP BY routes through the same mergeable two-phase
+    operator (sql/frontend._route_geo_aggregate) — mirror of
+    test_geometry_union_agg_partials_below_shuffle for the front
+    door. Shapes outside the router's window (the aggregate nested
+    in an expression) keep the collect_list convenience lowering."""
+    from presto_0_235_spark.catalog import register_views
+    from presto_0_235_spark.sql.frontend import run_sql
+
+    register_views(spark, sf_dir)
+    for agg in ("geometry_union_agg", "convex_hull_agg"):
+        df = run_sql(
+            spark,
+            f"""
+            SELECT n_regionkey, {agg}(
+              st_geometryfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')
+            ) AS g
+            FROM nation GROUP BY n_regionkey
+            """,
+        )
+        plan = plan_of(df)
+        i_map = plan.find("MapInPandas")
+        i_merge = plan.find("FlatMapGroupsInPandas")
+        assert i_map != -1 and i_merge != -1, agg
+        assert i_merge < i_map, agg
+        assert "Exchange" in plan[i_merge:i_map], agg
+        assert "collect_list" not in plan, agg
+    # value parity with the template lowering on the fallback shape
+    routed = run_sql(
+        spark,
+        "SELECT n_regionkey, geometry_union_agg(st_geometryfromtext("
+        "'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')) AS g "
+        "FROM nation GROUP BY n_regionkey")
+    fallback = run_sql(
+        spark,
+        "SELECT n_regionkey, st_astext(geometry_union_agg("
+        "st_geometryfromtext("
+        "'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))) AS g "
+        "FROM nation GROUP BY n_regionkey")
+    assert sorted(map(tuple, routed.collect())) == \
+        sorted(map(tuple, fallback.collect()))
