@@ -182,6 +182,14 @@ def main() -> None:
                 "total_normalized": (
                     round(total / denom, 3) if denom else None
                 ),
+                # r13 verdict #6: per-query normalized figures so a
+                # single query's drift is attributable from the
+                # payload alone (the r13 q18 +55% episode needed a
+                # manual A/B of the unchanged commit)
+                "normalized_queries": (
+                    {n: round(t / denom, 3) for n, t in timings.items()}
+                    if denom else None
+                ),
                 "normalization_weights": {
                     "cpu_scan_sum": 1.0, "shuffle_groupby": 1.0
                 },

@@ -41,11 +41,11 @@ import sys
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-try:  # st_convex_hull/convex_hull_agg run worker-side — pickle this
-    # module by value so executor Pythons need no repo on sys.path
-    from pyspark import cloudpickle as _cp
+try:  # st_convex_hull/convex_hull_agg run worker-side — by-value
+    # fallback until the package zip ships (session.py r14)
+    from presto_0_235_spark.session import register_worker_module
 
-    _cp.register_pickle_by_value(sys.modules[__name__])
+    register_worker_module(sys.modules[__name__])
 except Exception:  # pragma: no cover - older vendored cloudpickle
     pass
 

@@ -43,10 +43,10 @@ from __future__ import annotations
 import sys
 from fractions import Fraction
 
-try:  # pickle-by-value so executor workers don't need sys.path
-    from pyspark import cloudpickle as _cp
+try:  # worker-side code: by-value fallback until the package ships
+    from presto_0_235_spark.session import register_worker_module
 
-    _cp.register_pickle_by_value(sys.modules[__name__])
+    register_worker_module(sys.modules[__name__])
 except Exception:  # pragma: no cover
     pass
 
@@ -305,7 +305,14 @@ def _eps_for(labels, extra_pts=()):
     for i, p in enumerate(nodes):
         for q in nodes[i + 1:]:
             dx, dy = float(p[0] - q[0]), float(p[1] - q[1])
-            upd(dx * dx + dy * dy)
+            d2 = dx * dx + dy * dy
+            if d2 == 0.0:
+                # nodes is a set of exact points, so p != q: the
+                # float difference UNDERFLOWED — the safe bound is
+                # below the subnormal range, only the exact path can
+                # produce it (r14, advisor finding)
+                return _eps_for_exact(labels, extra_pts)
+            upd(d2)
         for (u, v) in labels:
             if p in (u, v):
                 continue
@@ -314,12 +321,29 @@ def _eps_for(labels, extra_pts=()):
             dxs, dys = float(v[0] - u[0]), float(v[1] - u[1])
             ll = dxs * dxs + dys * dys
             if ll <= 0:
+                if u != v:
+                    return _eps_for_exact(labels, extra_pts)
                 continue
             px, py = float(p[0] - u[0]), float(p[1] - u[1])
             t = (px * dxs + py * dys) / ll
             t = 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
             cx, cy = px - t * dxs, py - t * dys
-            upd(cx * cx + cy * cy)
+            d2 = cx * cx + cy * cy
+            if d2 == 0.0:
+                # zero is legitimate only when p sits EXACTLY on the
+                # closed segment (a T-node); verify in rationals and
+                # fall back to exact when the zero is an underflow
+                cross = ((v[0] - u[0]) * (p[1] - u[1])
+                         - (v[1] - u[1]) * (p[0] - u[0]))
+                if cross != 0:
+                    return _eps_for_exact(labels, extra_pts)
+                dot = ((p[0] - u[0]) * (v[0] - u[0])
+                       + (p[1] - u[1]) * (v[1] - u[1]))
+                l2 = (v[0] - u[0]) ** 2 + (v[1] - u[1]) ** 2
+                if not (0 <= dot <= l2):
+                    return _eps_for_exact(labels, extra_pts)
+                continue
+            upd(d2)
     if best is None:
         return Fraction(1, 1 << 20)
     if not math.isfinite(best) or best <= 0.0:

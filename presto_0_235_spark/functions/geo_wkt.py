@@ -36,10 +36,10 @@ import sys
 
 # Executor Python workers don't share the driver's sys.path edits —
 # same pickle-by-value convention as every worker-side module here.
-try:
-    from pyspark import cloudpickle as _cp
+try:  # worker-side code: by-value fallback until the package ships
+    from presto_0_235_spark.session import register_worker_module
 
-    _cp.register_pickle_by_value(sys.modules[__name__])
+    register_worker_module(sys.modules[__name__])
 except Exception:  # pragma: no cover
     pass
 

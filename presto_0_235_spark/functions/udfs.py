@@ -35,7 +35,16 @@ from pyspark.sql.types import (
 # normally pickle by reference ("import presto_0_235_spark...") and
 # would fail to deserialize there — register the module for
 # pickle-by-value so the function bodies travel inside the closure.
-try:  # pyspark vendors cloudpickle; register is available since 2.x
+#
+# ALWAYS by-value (exempt from the r14 package-zip switch to
+# by-reference): this module decorates functions with @F.pandas_udf
+# at MODULE level, and pandas_udf touches the active SparkSession for
+# its returnType — importing it inside an executor Python (which has
+# no session) raises SESSION_OR_CONTEXT_NOT_EXISTS. By-value pickling
+# serializes the already-constructed objects instead of re-running
+# the decorators. session._ship_package honors the marker below.
+_PICKLE_BY_VALUE_ALWAYS = True
+try:
     from pyspark import cloudpickle as _cp
 
     _cp.register_pickle_by_value(sys.modules[__name__])

@@ -49,10 +49,10 @@ import sys
 
 from pyspark.sql import DataFrame
 
-try:  # worker-side: executor Python does not share the driver's path
-    from pyspark import cloudpickle as _cp
+try:  # worker-side code: by-value fallback until the package ships
+    from presto_0_235_spark.session import register_worker_module
 
-    _cp.register_pickle_by_value(sys.modules[__name__])
+    register_worker_module(sys.modules[__name__])
 except Exception:  # pragma: no cover
     pass
 

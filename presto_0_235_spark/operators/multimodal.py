@@ -42,10 +42,10 @@ from pyspark.sql import types as T
 # arbitrary CWD). Pickle this module's functions by value so the
 # mapInPandas closure travels self-contained (same fix as
 # functions/udfs.py).
-try:
-    from pyspark import cloudpickle as _cp
+try:  # worker-side code: by-value fallback until the package ships
+    from presto_0_235_spark.session import register_worker_module
 
-    _cp.register_pickle_by_value(sys.modules[__name__])
+    register_worker_module(sys.modules[__name__])
 except Exception:  # pragma: no cover - older vendored cloudpickle
     pass
 

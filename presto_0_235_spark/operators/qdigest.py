@@ -36,10 +36,10 @@ from __future__ import annotations
 import struct
 import sys
 
-try:  # worker-side pickling (executors do not share driver sys.path)
-    from pyspark import cloudpickle as _cp
+try:  # worker-side code: by-value fallback until the package ships
+    from presto_0_235_spark.session import register_worker_module
 
-    _cp.register_pickle_by_value(sys.modules[__name__])
+    register_worker_module(sys.modules[__name__])
 except Exception:  # pragma: no cover
     pass
 

@@ -48,10 +48,10 @@ from pyspark.sql import functions as F
 # the closure instead of re-importing from a sys.path they don't have.
 from presto_0_235_spark.functions import murmur3 as _mm
 
-try:  # wire codec runs inside pandas workers: pickle by value
-    from pyspark import cloudpickle as _cp
+try:  # worker-side code: by-value fallback until the package ships
+    from presto_0_235_spark.session import register_worker_module
 
-    _cp.register_pickle_by_value(sys.modules[__name__])
+    register_worker_module(sys.modules[__name__])
 except Exception:  # pragma: no cover - older vendored cloudpickle
     pass
 

@@ -21,6 +21,8 @@ Scale notes (local[N] here, 1000-executor cluster in production):
 from __future__ import annotations
 
 import os
+import sys
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -74,7 +76,124 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
             # Static conf on this build — keep going; defaults are
             # best-effort hardening, not correctness-critical.
             pass
+    _ship_package(spark)
     return spark
+
+
+# ---------------------------------------------------------------------------
+# Worker-side code distribution (r14)
+# ---------------------------------------------------------------------------
+# Executor Python workers do not share the driver's sys.path, so every
+# module whose functions run inside Arrow UDFs / mapInPandas /
+# applyInPandas historically registered itself pickle-BY-VALUE
+# (cloudpickle serializes the whole module into every closure). That
+# is correct but pays the module's bytecode + constants on every task
+# ship — the dominant cost of the geometry-aggregate COLD path (~16 s
+# cold vs ~6.5 s warm at sf0.1: 32 fresh Python workers x
+# multi-hundred-KB closures). The scalable design (and what a real
+# cluster deployment does with --py-files) ships the PACKAGE once per
+# session instead: ensure_session_defaults zips presto_0_235_spark and
+# addPyFile()s it, workers import by NAME, and closures shrink to
+# references. The per-module register_pickle_by_value try-blocks
+# remain as the fallback for sessions the ship could not reach
+# (register_worker_module keeps by-value until the first successful
+# ship, then unregisters).
+
+_WORKER_MODULES: list = []
+_SHIPPED_SESSIONS: "weakref.WeakSet" = weakref.WeakSet()
+_PKG_ZIP: str | None = None
+_SHIPPED_ANY = False
+
+
+def register_worker_module(mod) -> None:
+    """Modules with executor-side code call this at import time.
+
+    Registers the module pickle-by-value (the fallback that always
+    works) unless the package has already been shipped to the
+    session's workers, in which case by-reference pickling is both
+    smaller and faster.
+    """
+    _WORKER_MODULES.append(mod)
+    if _SHIPPED_ANY:
+        return
+    try:  # pragma: no cover - environment-dependent
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(mod)
+    except Exception:
+        pass
+
+
+def _package_zip() -> str | None:
+    """Build (once per process) a zip of this package for addPyFile."""
+    global _PKG_ZIP
+    if _PKG_ZIP is not None:
+        return _PKG_ZIP or None
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    try:
+        fd, path = tempfile.mkstemp(
+            prefix="presto_0_235_spark_", suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, dirs, files in os.walk(pkg_dir):
+                dirs[:] = [d for d in dirs if d != "__pycache__"]
+                for f in sorted(files):
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "presto_0_235_spark",
+                        os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+        _PKG_ZIP = path
+        return path
+    except Exception:  # pragma: no cover - disk-full etc.
+        _PKG_ZIP = ""
+        return None
+
+
+def _ship_package(spark: SparkSession) -> None:
+    global _SHIPPED_ANY
+    if spark in _SHIPPED_SESSIONS:
+        return
+    path = _package_zip()
+    if path is None:
+        return
+    try:
+        spark.sparkContext.addPyFile(path)
+    except Exception:  # pragma: no cover - e.g. connect-only session
+        return
+    _SHIPPED_SESSIONS.add(spark)
+    if not _SHIPPED_ANY:
+        _SHIPPED_ANY = True
+        try:
+            from pyspark import cloudpickle as _cp
+
+            for mod in _WORKER_MODULES:
+                if getattr(mod, "_PICKLE_BY_VALUE_ALWAYS", False):
+                    continue
+                try:
+                    _cp.unregister_pickle_by_value(mod)
+                except Exception:
+                    pass
+            # modules that registered directly (legacy form) are also
+            # engine modules — sweep the package namespace; modules
+            # whose import is not executor-safe (module-level
+            # pandas_udf construction needs a live session) opt out
+            # via _PICKLE_BY_VALUE_ALWAYS
+            for name, mod in list(sys.modules.items()):
+                if (name.startswith("presto_0_235_spark") and mod
+                        and not getattr(mod, "_PICKLE_BY_VALUE_ALWAYS",
+                                        False)):
+                    try:
+                        _cp.unregister_pickle_by_value(mod)
+                    except Exception:
+                        pass
+        except Exception:  # pragma: no cover
+            pass
 
 
 def build_session(

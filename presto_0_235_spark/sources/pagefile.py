@@ -60,10 +60,10 @@ import sys
 
 import numpy as np
 
-try:  # pickle-by-value so executors don't need this module on disk
-    from pyspark import cloudpickle as _cp
+try:  # worker-side code: by-value fallback until the package ships
+    from presto_0_235_spark.session import register_worker_module
 
-    _cp.register_pickle_by_value(sys.modules[__name__])
+    register_worker_module(sys.modules[__name__])
 except Exception:  # pragma: no cover - older vendored cloudpickle
     pass
 

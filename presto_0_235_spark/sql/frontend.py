@@ -407,15 +407,24 @@ def _fold_decimal_literal_casts(masked: str, stash) -> str:
         from presto_0_235_spark.sql.scalar_templates import _stash_lit
 
         def repl_nan(m: re.Match) -> str:
+            # the reference's message names the SOURCE type (REAL for
+            # the CAST(... AS REAL) form, DOUBLE otherwise) and the
+            # rendered value (DecimalCasts.java:550 "Cannot cast %s
+            # '%s' to %s")
+            src = "REAL" if m.group("real") else "DOUBLE"
+            sign = "-" if (m.group("sign") or "").strip() == "-" else ""
+            val = ("NaN" if m.group("fn").lower() == "nan"
+                   else f"{sign}Infinity")
             msg = _stash_lit(
-                stash, "Cannot cast DOUBLE to DECIMAL"
+                stash, f"Cannot cast {src} '{val}' to DECIMAL"
                        f"({m.group('p')}, {m.group('s')})")
             return (f"CAST(raise_error({msg}) AS "
                     f"DECIMAL({m.group('p')}, {m.group('s')}))")
 
         masked = re.sub(
-            r"\bCAST\(\s*(?:CAST\(\s*)?[-+]?\s*(?:nan|infinity)\s*\(\s*\)"
-            r"(?:\s+AS\s+(?:FLOAT|REAL)\s*\))?\s+AS\s+"
+            r"\bCAST\(\s*(?:CAST\(\s*)?(?P<sign>[-+]?)\s*"
+            r"(?P<fn>nan|infinity)\s*\(\s*\)"
+            r"(?P<real>\s+AS\s+(?:FLOAT|REAL)\s*\))?\s+AS\s+"
             r"DECIMAL\((?P<p>\d+),\s*(?P<s>\d+)\)\s*\)",
             repl_nan, masked, flags=re.IGNORECASE)
     return masked
@@ -931,6 +940,33 @@ def _rewrite_decimal_column_arith(masked: str) -> str:
                 masked = new
         if masked == before:
             return masked
+
+
+_IN_LIST = re.compile(r"\bIN\s*\(([^()]*)\)", re.IGNORECASE)
+_DIV0_ITEM = re.compile(r"^\s*\d+(?:\.\d+)?\s*[/%]\s*0\s*$")
+
+
+def _rewrite_in_list_div0(masked: str, stash) -> str:
+    """An IN list containing a literal division/modulus by integer
+    zero raises in the reference regardless of an earlier match
+    (Presto evaluates the whole constant list; the extraction's
+    `3 IN (2, 4, 3, 5 / 0)` pin) while Spark's In short-circuits on
+    the first hit. Hoist a raising item to the FRONT of the list so
+    it evaluates before any match can short-circuit. TRY statements
+    are left alone (Presto TRY absorbs the raise to NULL, which the
+    try-lowered form already produces)."""
+    if re.search(r"\bTRY\s*\(", masked, re.IGNORECASE):
+        return masked
+    from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+    def repl(m: re.Match) -> str:
+        items = m.group(1).split(",")
+        if not any(_DIV0_ITEM.match(i) for i in items):
+            return m.group(0)
+        msg = _stash_lit(stash, "Division by zero")
+        return (f"IN (CAST(raise_error({msg}) AS INT), {m.group(1)})")
+
+    return _IN_LIST.sub(repl, masked)
 
 
 def _rewrite_date_time_interval_raise(masked: str, stash) -> str:
@@ -2687,10 +2723,12 @@ def _rewrite_json_cast_peephole(sql: str, stash=None) -> str:
             if is_try:
                 bad = "CAST(NULL AS STRING)"
             else:
-                bad = (f"CAST(raise_error(concat("
-                       f"{_stash_lit(stash, 'Cannot cast ')}, "
-                       f"to_json({inner}), "
-                       f"{_stash_lit(stash, ' to varchar')})) "
+                # JsonOperators.java:93 "Cannot cast '%s' to %s" —
+                # the json VALUE is single-quoted in the message
+                pre = _stash_lit(stash, "Cannot cast '")
+                post = _stash_lit(stash, "' to varchar")
+                bad = (f"CAST(raise_error(concat({pre}, "
+                       f"to_json({inner}), {post})) "
                        f"AS STRING)")
             guarded = (
                 f"(CASE WHEN to_json({inner}) IS NULL "
@@ -2742,6 +2780,7 @@ def presto_to_spark_sql(sql: str) -> str:
         r"\bDOUBLE\s+PRECISION\b", "DOUBLE", masked, flags=re.IGNORECASE
     )
     masked = _fold_decimal_literal_arith(masked, stash)
+    masked = _rewrite_in_list_div0(masked, stash)
     masked = _rewrite_typed_literals(masked, stash)
     masked = _fold_decimal_literal_casts(masked, stash)
     masked = _rewrite_interval_literals(masked, stash)

@@ -217,6 +217,7 @@ _TEMPLATE_NAMES = (
     # _rewrite_one; window/FILTER call sites are left verbatim — the
     # replacements are CASE-compositions of several aggregates and
     # cannot carry an OVER clause)
+    "sum",
     "skewness",
     "kurtosis",
     "corr",
@@ -1009,8 +1010,19 @@ def _rewrite_one(
         dup = _raise(
             _stash_lit(stash, "Duplicate keys are not allowed"),
             "MAP<STRING, STRING>")
+        # empty delimiters raise BEFORE any scanning — the reference's
+        # checkCondition runs even for empty input
+        # (SplitToMapFunction.java:53-54: 'entryDelimiter is empty' /
+        # 'keyValueDelimiter is empty')
+        ed_empty = _raise(_stash_lit(stash, "entryDelimiter is empty"),
+                          "MAP<STRING, STRING>")
+        kvd_empty = _raise(
+            _stash_lit(stash, "keyValueDelimiter is empty"),
+            "MAP<STRING, STRING>")
         return (
-            f"(CASE WHEN ({a[1]}) = ({a[2]}) THEN "
+            f"(CASE WHEN length({a[1]}) = 0 THEN {ed_empty} "
+            f"WHEN length({a[2]}) = 0 THEN {kvd_empty} "
+            f"WHEN ({a[1]}) = ({a[2]}) THEN "
             + _raise(_stash_lit(stash, "entryDelimiter and "
                                        "keyValueDelimiter must not be "
                                        "the same"),
@@ -1758,8 +1770,17 @@ def _rewrite_one(
             _stash_lit(stash, "entryDelimiter and keyValueDelimiter "
                               "must not be the same"),
             "MAP<STRING, ARRAY<STRING>>")
+        # same pre-scan empty-delimiter raises as split_to_map
+        # (SplitToMultimapFunction.java checkCondition order)
+        mm_ed = _raise(_stash_lit(stash, "entryDelimiter is empty"),
+                       "MAP<STRING, ARRAY<STRING>>")
+        mm_kvd = _raise(
+            _stash_lit(stash, "keyValueDelimiter is empty"),
+            "MAP<STRING, ARRAY<STRING>>")
         return (
-            f"(CASE WHEN ({a[1]}) = ({a[2]}) THEN {samedelim} "
+            f"(CASE WHEN length({a[1]}) = 0 THEN {mm_ed} "
+            f"WHEN length({a[2]}) = 0 THEN {mm_kvd} "
+            f"WHEN ({a[1]}) = ({a[2]}) THEN {samedelim} "
             f"WHEN {a[0]} = {empty} THEN map() "
             f"WHEN exists({ents}, "
             f"p -> size(split(p, {quoted[1]}, -1)) != 2) THEN {badent} "
@@ -1998,6 +2019,29 @@ def _rewrite_one(
     # composes several Spark aggregates; the duplicated aggregate
     # subexpressions are textually identical, so Catalyst computes
     # each underlying aggregate once per group.
+
+    if name == "sum" and len(a) == 1:
+        # DecimalSumAggregation.java: sum over decimal(p, s) is
+        # decimal(38, s) with 38-digit overflow raising. Spark
+        # derives decimal(min(38, p+10), s) — same scale, but the
+        # ACCUMULATOR is narrower for p < 28 (a > 10^(p+10) group
+        # total raises in Spark where the reference keeps summing).
+        # Widening a statically-typed decimal argument to
+        # decimal(28, s) makes Spark's own rule land exactly on
+        # (38, s) — accumulation semantics AND declared type match
+        # with no outer cast, so OVER/FILTER call shapes compose
+        # unchanged. Non-decimal / non-static args pass through.
+        tm = re.match(
+            r"^\s*(?:TRY_)?CAST\s*\(.*\bAS\s+DECIMAL\s*"
+            r"\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*\)\s*$",
+            args[0], re.IGNORECASE | re.DOTALL)
+        if tm is None:
+            return None
+        p = int(tm.group(1))
+        s = int(tm.group(2)) if tm.group(2) else 0
+        if p >= 28 or args[0].count("(") != args[0].count(")"):
+            return None  # already lands at (38, s) / unbalanced slice
+        return f"sum(CAST({a[0]} AS DECIMAL(28, {s})))"
 
     if name == "skewness" and len(a) == 1:
         # CentralMomentsAggregation.java:58-68: n < 3 -> NULL; the

@@ -136,3 +136,29 @@ def test_high_precision_divide_left_unrewritten(spark):
         "SELECT CAST(x AS DECIMAL(38,2)) / CAST(y AS DECIMAL(38,2))"
         " AS r FROM (VALUES (1.0, 3.0)) t(x, y)")
     assert typ == "decimal(38,6)"
+
+
+def test_sum_decimal_lands_at_presto_type(spark):
+    # DecimalSumAggregation.java: sum(decimal(p,s)) -> decimal(38,s).
+    # The template widens a statically-typed argument to (28,s) so
+    # Spark's own min(38, p+10) rule produces exactly (38,s) — same
+    # accumulator width as the reference, composing with OVER/FILTER.
+    for sql, want_t, want_v in [
+        ("SELECT sum(CAST(x AS DECIMAL(12,2))) AS s "
+         "FROM (VALUES (1.25),(2.25)) t(x)",
+         "decimal(38,2)", D("3.50")),
+        ("SELECT sum(CAST(x AS DECIMAL(12,2))) OVER () AS s "
+         "FROM (VALUES (1.25)) t(x)",
+         "decimal(38,2)", D("1.25")),
+        ("SELECT sum(CAST(x AS DECIMAL(12,2))) FILTER (WHERE x > 2) "
+         "AS s FROM (VALUES (1.25),(2.25)) t(x)",
+         "decimal(38,2)", D("2.25")),
+        # the revenue shape: sum over a dca-derived (25,4) product
+        ("SELECT sum(CAST(x AS DECIMAL(12,2)) * "
+         "(1 - CAST(y AS DECIMAL(12,2)))) AS s "
+         "FROM (VALUES (100.0, 0.05)) t(x, y)",
+         "decimal(38,4)", D("95.0000")),
+    ]:
+        typ, val = _one(spark, sql)
+        assert typ == want_t, (sql, typ)
+        assert val == want_v, (sql, val)

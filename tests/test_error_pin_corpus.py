@@ -3,9 +3,11 @@ assertInvalidFunction expressions from the reference's type/ and
 operator/scalar test suites: each expression below RAISES in the
 reference, and this suite pins that it raises through the SQL front
 door too (the reference's own pattern: error TEXT differs by engine,
-the contract is errors-not-wrong-values). 402 pins (281 from
-the r11 extraction + 32 r12 leniency conversions + 89 r13
-conversions: negative array subscripts via the typeof() guard, the
+the contract is errors-not-wrong-values). 408 pins (281 from
+the r11 extraction + 32 r12 leniency conversions + 6 r14
+conversions — empty split_to_map/multimap delimiters raise BEFORE
+scanning, and constant IN lists evaluate their division-by-zero
+items like the reference — + 89 r13 conversions: negative array subscripts via the typeof() guard, the
 normal/beta CDF and wilson-interval validation families, from_hex /
 from_big_endian_32/64 input validation, single-argument concat,
 strpos/split/split_part positivity, the split_to_map/multimap
@@ -28,10 +30,11 @@ STRING repetition where Presto's repeat builds an ARRAY
 (RepeatFunction.java) — now lowered to array_repeat with the
 reference's negative/10000-cap raises.
 
-17 extracted expressions RETURN values here instead of raising
-(122 at r11 -> 90 after r12's 32 conversions -> 17 after r13's 74;
-re-triaged against the full reference extraction each round). The
-remaining 17 are the hard-divergence classes, each documented: decimal
+16 extracted expressions RETURN values here instead of raising
+(122 at r11 -> 90 after r12's 32 conversions -> 17 after r13's 74
+-> 16 after the r14 IN-list conversion; re-triaged against the full
+reference extraction each round). The
+remaining 16 are the hard-divergence classes, each documented: decimal
 arithmetic/round precision-loss for NON-literal operands (every
 literal form constant-folds with the reference's derivation since
 r13), map subscript missing-key raises for NON-string-literal keys (2:
@@ -44,7 +47,7 @@ array/row elements containing NULL — Presto raises only when a
 comparison actually TOUCHES an undetermined null, a short-circuit
 order no type-blind rewrite can replicate without raising on VALID
 inputs like contains([[1],[null]], [1])),
-IN-list short-circuit over division-by-zero, DATE + hour-interval
+DATE + hour-interval
 widening for COLUMN-typed dates (literal form converted in r13), int->TIMESTAMP array cast leniency, analysis-level || type
 unification, REGEXP '$'-at-end replacement, CHAR-length concat caps,
 the REPEAT(array,...) Block-byte cap (the VARCHAR byte cap converted),
@@ -498,6 +501,21 @@ CASES = [
     ('type/TestDateTimeOperatorsBase.java', 179, "DATE '2001-1-22' - INTERVAL '3' hour"),
     ('type/TestDecimalParametricType.java', 72, 'CAST(0 AS DECIMAL(0,0))'),
     ('type/TestDecimalParametricType.java', 74, 'CAST(0 AS DECIMAL(0))'),
+    # empty delimiters raise BEFORE any scanning — checkCondition
+    # runs even for empty input (SplitToMapFunction.java:53-54,
+    # SplitToMultimapFunction.java; r14 advisor conversion: the ''
+    # input previously short-circuited to map())
+    ('scalar/TestStringFunctions.java', 477, "SPLIT_TO_MAP('', '', '=')"),
+    ('scalar/TestStringFunctions.java', 478, "SPLIT_TO_MAP('a=1', ',', '')"),
+    ('scalar/TestStringFunctions.java', 535, "SPLIT_TO_MULTIMAP('', '', '=')"),
+    ('scalar/TestStringFunctions.java', 536, "SPLIT_TO_MULTIMAP('a=1', ',', '')"),
+    # the reference evaluates a constant IN list in full — a literal
+    # division/modulus by zero raises even when an earlier item
+    # already matched; Spark's In short-circuits, so the front door
+    # hoists a raising item to the list head (r14 conversion,
+    # frontend._rewrite_in_list_div0)
+    ('sql/TestExpressionCompiler.java', 0, '3 IN (2, 4, 3, 5 / 0)'),
+    ('sql/TestExpressionCompiler.java', 0, '3 IN (3, 5 % 0)'),
 ]
 
 

@@ -144,3 +144,43 @@ def test_split_assign_proportions_and_stability(spark, sf_dir):
         for r in df.filter(F.col("doc_id") % 2 == 0).collect()
     }
     assert all(full[k] == v for k, v in half.items())
+
+
+def test_worker_package_ships_and_closures_shrink(spark):
+    """r14 (r13 verdict item #3): ensure_session_defaults ships the
+    package zip to executor Pythons once per session (addPyFile) and
+    switches engine modules from pickle-BY-VALUE to by-reference —
+    the geometry-aggregate cold path's dominant cost was shipping
+    multi-hundred-KB module closures to 32 fresh workers. Pins all
+    three legs: the ship happened, closures are now tiny, and a
+    worker can import an engine module by name (from the zip)."""
+    import presto_0_235_spark.session as S
+    from presto_0_235_spark.operators import geo_agg
+    from presto_0_235_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    assert S._SHIPPED_ANY and spark in S._SHIPPED_SESSIONS
+    from pyspark import cloudpickle as cp
+
+    assert len(cp.dumps(geo_agg.union_fold)) < 2000  # was ~234 KB
+    # functions/udfs.py stays by-value: its module-level pandas_udf
+    # decorators cannot run at import inside a session-less worker
+    from presto_0_235_spark.functions import udfs
+
+    assert udfs._PICKLE_BY_VALUE_ALWAYS
+    assert len(cp.dumps(udfs.word_stem)) > 2000
+
+    import pandas as pd
+
+    def probe(batches):
+        import presto_0_235_spark.operators.qdigest as q  # noqa
+        for pdf in batches:
+            yield pd.DataFrame({"f": [q.__file__]})
+
+    worker_file = (spark.range(1).mapInPandas(probe, "f string")
+                   .collect()[0][0])
+    # import-by-name resolved on the worker — from the shipped zip
+    # when the repo is off the worker path (the /tmp driver
+    # contract), from the repo when the test itself runs there
+    assert worker_file.endswith(
+        "presto_0_235_spark/operators/qdigest.py")
