@@ -2176,3 +2176,47 @@ def sql_decimal_column_arith_scale(
         FROM lineitem WHERE l_orderkey < 1000
         """,
     )
+
+
+@register(
+    "sql_decimal_agg_scale",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+  FROM lineitem WHERE l_orderkey < 5000
+)
+SELECT l_returnflag,
+       CAST(CAST(sum(pc) AS DOUBLE) / 100 AS DOUBLE) AS sum_price,
+       CAST(CAST((2 * sum(pc) + count(*)) // (2 * count(*))
+            AS DOUBLE) / 100 AS DOUBLE) AS avg_price,
+       count(*) AS n
+FROM m GROUP BY l_returnflag
+""",
+)
+def sql_decimal_agg_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum/avg over decimal columns with the REFERENCE's aggregate
+    semantics at scale: sum(decimal(p,s)) -> decimal(38,s)
+    (DecimalSumAggregation.java — the template widens the argument so
+    Spark's accumulator IS (38,s)), avg(decimal(p,s)) -> decimal(p,s)
+    with sum/count ROUND_HALF_UP at s
+    (DecimalAverageAggregation.java:207 — r14 conversion). The DuckDB
+    oracle replays both in exact integer arithmetic on cents
+    (avg via (2S+n)//(2n), the positive-sum HALF_UP form), so a
+    regression to Spark's (p+4, s+4) unrounded avg hash-mismatches."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT l_returnflag,
+               CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS
+                    BIGINT) AS DECIMAL(14,0)) / DECIMAL '100.00')
+                    AS DOUBLE) AS sum_price,
+               CAST(avg(CAST(CAST(round(l_extendedprice * 100) AS
+                    BIGINT) AS DECIMAL(14,0)) / DECIMAL '100.00')
+                    AS DOUBLE) AS avg_price,
+               count(*) AS n
+        FROM lineitem WHERE l_orderkey < 5000
+        GROUP BY l_returnflag
+        """,
+    )

@@ -218,6 +218,7 @@ _TEMPLATE_NAMES = (
     # replacements are CASE-compositions of several aggregates and
     # cannot carry an OVER clause)
     "sum",
+    "avg",
     "skewness",
     "kurtosis",
     "corr",
@@ -248,7 +249,7 @@ _TEMPLATE_NAMES = (
 _AGG_TEMPLATE_NAMES = frozenset({
     "skewness", "kurtosis", "corr", "entropy", "geometric_mean",
     "histogram", "map_agg", "multimap_agg", "map_union", "array_agg",
-    "min_by", "max_by", "min", "max", "checksum",
+    "min_by", "max_by", "min", "max", "checksum", "avg",
 })
 _AGG_SUFFIX_RE = re.compile(r"\s*(OVER|FILTER|WITHIN)\b", re.IGNORECASE)
 _TOP_ORDER_BY_RE = re.compile(r"[()]|\bORDER\s+BY\b", re.IGNORECASE)
@@ -2019,6 +2020,40 @@ def _rewrite_one(
     # composes several Spark aggregates; the duplicated aggregate
     # subexpressions are textually identical, so Catalyst computes
     # each underlying aggregate once per group.
+
+    if name == "avg" and len(a) == 1:
+        # DecimalAverageAggregation.java:197-207: avg over
+        # decimal(p, s) KEEPS the input type — sum/count rounded
+        # HALF_UP at scale s. Spark's avg derives (p+4, s+4) and
+        # never rounds back, a wrong-VALUE divergence for every
+        # decimal avg. Conversion for statically-typed args: widen
+        # the argument by k = (34-p)//2 scale digits, average at
+        # scale s+k+4, then ROUND at s and cast to (p, s).
+        # Exactness bounds (both provable from the widened types):
+        #   - double rounding impossible for groups n < 5*10^(k+4)
+        #     (|S/n - half-point| >= 1/(2n) > the s+k+4-scale
+        #     perturbation);
+        #   - the internal sum accumulator (38, s+k) holds
+        #     n < 10^(38-p-k) max-magnitude values. k = (34-p)//2
+        #     equalizes the two at ~10^((42-p)/2) — 10^15 for money
+        #     (12,2) types. Beyond the second bound Spark raises
+        #     where the reference's overflow-counter state keeps
+        #     averaging — a raise, never a wrong value. p > 30
+        #     (k < 2) declines: bounds too weak to claim.
+        tm = re.match(
+            r"^\s*(?:TRY_)?CAST\s*\(.*\bAS\s+DECIMAL\s*"
+            r"\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*\)\s*$",
+            args[0], re.IGNORECASE | re.DOTALL)
+        if tm is None or args[0].count("(") != args[0].count(")"):
+            return None
+        p = int(tm.group(1))
+        s = int(tm.group(2)) if tm.group(2) else 0
+        k = (34 - p) // 2
+        if k < 2:
+            return None
+        return (f"CAST(ROUND(avg(CAST({a[0]} AS "
+                f"DECIMAL({p + k}, {s + k}))), {s}) "
+                f"AS DECIMAL({p}, {s}))")
 
     if name == "sum" and len(a) == 1:
         # DecimalSumAggregation.java: sum over decimal(p, s) is

@@ -162,3 +162,34 @@ def test_sum_decimal_lands_at_presto_type(spark):
         typ, val = _one(spark, sql)
         assert typ == want_t, (sql, typ)
         assert val == want_v, (sql, val)
+
+
+def test_avg_decimal_keeps_input_type_half_up(spark):
+    # DecimalAverageAggregation.java:197-207: avg over decimal(p,s)
+    # KEEPS (p,s) — sum/count ROUND_HALF_UP at scale s. The template
+    # widens the argument (k = (34-p)//2 extra scale digits) so the
+    # internal average carries enough guard digits that the final
+    # HALF_UP at s is provably single-rounding for any realistic
+    # group, then casts back to (p,s).
+    for sql, want_t, want_v in [
+        ("SELECT avg(CAST(x AS DECIMAL(12,2))) AS a "
+         "FROM (VALUES (1.00),(2.00),(2.01)) t(x)",
+         "decimal(12,2)", D("1.67")),
+        # the half-point pins: HALF_UP away from zero at scale s
+        ("SELECT avg(CAST(x AS DECIMAL(12,2))) AS a "
+         "FROM (VALUES (0.01),(0.02)) t(x)",
+         "decimal(12,2)", D("0.02")),
+        ("SELECT avg(CAST(x AS DECIMAL(12,2))) AS a "
+         "FROM (VALUES (-0.01),(-0.02)) t(x)",
+         "decimal(12,2)", D("-0.02")),
+    ]:
+        typ, val = _one(spark, sql)
+        assert typ == want_t, (sql, typ)
+        assert val == want_v, (sql, val)
+    # window / DISTINCT sites stay verbatim (the CASE-shaped
+    # replacement cannot carry OVER; documented residual)
+    typ, _ = _one(
+        spark,
+        "SELECT avg(CAST(x AS DECIMAL(12,2))) OVER () AS a "
+        "FROM (VALUES (0.01)) t(x)")
+    assert typ == "decimal(16,6)"
