@@ -942,6 +942,95 @@ def _rewrite_decimal_column_arith(masked: str) -> str:
             return masked
 
 
+_INT_OPND_L = (r"(?:(?P<ta>INTEGER|INT|BIGINT|SMALLINT|TINYINT)\s*"
+               r"\x00s(?P<sa>\d+)\x00|(?<![\w.\x00])(?P<a>\d+))")
+_INT_OPND_R = (r"(?:(?P<tb>INTEGER|INT|BIGINT|SMALLINT|TINYINT)\s*"
+               r"\x00s(?P<sb>\d+)\x00|(?P<b>-?\d+)(?![\w.\x00]))")
+_INT_DIV_PAIR = re.compile(
+    _INT_OPND_L + r"\s*/\s*" + _INT_OPND_R, re.IGNORECASE)
+_INT_RANK = {"TINYINT": 0, "SMALLINT": 1, "INT": 2, "INTEGER": 2,
+             "BIGINT": 3}
+_INT_RANGE = {0: 2 ** 7, 1: 2 ** 15, 2: 2 ** 31, 3: 2 ** 63}
+_INT_SQL = {0: "TINYINT", 1: "SMALLINT", 2: "INT", 3: "BIGINT"}
+
+
+def _fold_int_literal_div(masked: str, stash) -> str:
+    """Presto '/' on integral operands is truncating INTEGER division
+    per the reference's OWN TESTS (TestIntegerOperators.testDivide:
+    INTEGER'37' / INTEGER'17' = 2; TestBigintOperators:90; the fork's
+    production {Integer,Bigint}Operators.divide was edited to return
+    Double with NULL-on-zero, but — same policy call as the r12
+    0-based-subscript finding — the TEST corpus is the parity
+    target). Spark's '/' always promotes to DOUBLE, so literal pairs
+    (bare numerics and TYPE'lit' typed literals) constant-fold at
+    translate time with Java semantics; the result takes the wider
+    operand's integral type. Division by literal zero stays unfolded
+    (the raise/TRY contract), and a unary minus composes because
+    truncation toward zero commutes with negation. Column-operand
+    integer division remains the documented xfail class (untypeable
+    lexically)."""
+
+    def val_of(m, typed, stashed, bare):
+        if bare is not None:
+            v = int(bare)
+            if v >= 2 ** 63 or v <= -(2 ** 63):
+                return None
+            return v, (2 if -(2 ** 31) < v < 2 ** 31 else 3)
+        try:
+            v = int(stash[int(stashed)][1][1:-1].strip())
+        except (ValueError, IndexError):
+            return None
+        rank = _INT_RANK[typed.upper()]
+        if not -_INT_RANGE[rank] <= v < _INT_RANGE[rank]:
+            return None  # the literal itself is out of range: leave
+        return v, rank
+
+    def repl(m: re.Match) -> str:
+        # associativity guards, mirroring the decimal fold
+        left = masked[:m.start()].rstrip()
+        right = masked[m.end():].lstrip()
+        if left and left[-1] in "*/%\x00":
+            return m.group(0)
+        if right[:1] == ".":
+            return m.group(0)
+        av = val_of(m, m.group("ta"), m.group("sa"), m.group("a"))
+        bv = val_of(m, m.group("tb"), m.group("sb"), m.group("b"))
+        if bv is None:
+            return m.group(0)
+        b, rb = bv
+        if av is None and m.group("a") == str(2 ** 63):
+            # the bare literal 2^63 is only legal Presto under a
+            # preceding unary minus (Long.MIN_VALUE) — MIN / -1 is
+            # the reference's bigint division overflow raise
+            # (TestBigintOperators.testOverflowDivide); the external
+            # '-' stays outside and negates the raising branch
+            if b == -1:
+                from presto_0_235_spark.sql.scalar_templates import \
+                    _stash_lit
+
+                msg = _stash_lit(
+                    stash, "bigint division overflow: "
+                           "-9223372036854775808 / -1")
+                return f"CAST(raise_error({msg}) AS BIGINT)"
+            return m.group(0)
+        if av is None:
+            return m.group(0)
+        a, ra = av
+        if b == 0:
+            return m.group(0)
+        q = abs(a) // abs(b) * (1 if (a >= 0) == (b >= 0) else -1)
+        rank = max(ra, rb)
+        if rank == 2 and 0 <= q:
+            return str(q)  # bare literal already types INTEGER
+        return f"CAST({q} AS {_INT_SQL[rank]})"
+
+    prev = None
+    while prev != masked:
+        prev = masked
+        masked = _INT_DIV_PAIR.sub(repl, masked, count=1)
+    return masked
+
+
 _IN_LIST = re.compile(r"\bIN\s*\(([^()]*)\)", re.IGNORECASE)
 _DIV0_ITEM = re.compile(r"^\s*\d+(?:\.\d+)?\s*[/%]\s*0\s*$")
 
@@ -2781,6 +2870,7 @@ def presto_to_spark_sql(sql: str) -> str:
     )
     masked = _fold_decimal_literal_arith(masked, stash)
     masked = _rewrite_in_list_div0(masked, stash)
+    masked = _fold_int_literal_div(masked, stash)
     masked = _rewrite_typed_literals(masked, stash)
     masked = _fold_decimal_literal_casts(masked, stash)
     masked = _rewrite_interval_literals(masked, stash)
@@ -2930,9 +3020,19 @@ def _route_geo_aggregate(spark: SparkSession, sql: str):
     for item in _top_commas(select_txt):
         gm = _GEO_ITEM.match(item)
         if gm is not None:
-            # the regex tail is greedy — verify the arg parens balance
+            # the regex tail is greedy — verify the captured arg is a
+            # prefix-safe balanced span (count equality alone accepts
+            # 'a) + f(b' from 'geometry_union_agg(a) + f(b)')
             arg = gm.group("arg")
-            if arg.count("(") != arg.count(")"):
+            d = 0
+            for ch in arg:
+                if ch == "(":
+                    d += 1
+                elif ch == ")":
+                    d -= 1
+                    if d < 0:
+                        break
+            if d != 0:
                 return None
             if geo is not None or not gm.group("alias"):
                 return None

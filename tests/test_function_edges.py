@@ -1082,10 +1082,20 @@ _XFAIL_INT_DIVISION = pytest.mark.xfail(
     strict=True,
 )
 VALUE_CASES += [
+    # r14: LITERAL integer division constant-folds with the
+    # reference's truncating semantics (frontend._fold_int_literal_div
+    # — the same move as the decimal fold), converting these two
+    # xfails to passes; _XFAIL_INT_DIVISION remains for the
+    # column-operand and unary-minus-overflow forms below, which stay
+    # untypeable lexically
     _case("int_div_truncates", "7 / 2", 3,
-          "type/TestIntegerOperators.java", marks=(_XFAIL_INT_DIVISION,)),
+          "type/TestIntegerOperators.java"),
     _case("int_div_neg_truncates", "-7 / 2", -3,
-          "type/TestIntegerOperators.java", marks=(_XFAIL_INT_DIVISION,)),
+          "type/TestIntegerOperators.java"),
+    _case("int_div_chain_left_assoc", "8 / 2 / 2", 2,
+          "type/TestIntegerOperators.java (fold chains left)"),
+    _case("int_div_bigint_operand", "5000000000 / 2", 2500000000,
+          "type/TestBigintOperators.java (BIGINT/BIGINT stays BIGINT)"),
     # double/real specials
     _case("double_neg_zero_eq", "0E0 = -0E0", True,
           "type/TestDoubleOperators.java (+0.0 equals -0.0)"),
@@ -1248,6 +1258,11 @@ ERROR_CASES2 = [
          "type/TestBigintOperators.java:245"),
     _err("bigint_mul_overflow", "9223372036854775807 * 2",
          "type/TestBigintOperators.java:251"),
+    # r14: the direct-literal MIN / -1 spelling raises via the
+    # integer-division fold (the bare 2^63 literal is only legal
+    # under a preceding unary minus, so the fold can see MIN)
+    _err("bigint_div_overflow_literal", "-9223372036854775808 / -1",
+         "type/TestBigintOperators.java:259"),
     _err("bigint_div_overflow", "(-9223372036854775807 - 1) / -1",
          "type/TestBigintOperators.java:259",
          marks=(pytest.mark.xfail(
