@@ -164,11 +164,17 @@ def test_worker_package_ships_and_closures_shrink(spark):
 
     assert len(cp.dumps(geo_agg.union_fold)) < 2000  # was ~234 KB
     # functions/udfs.py stays by-value: its module-level pandas_udf
-    # decorators cannot run at import inside a session-less worker
+    # decorators cannot run at import inside a session-less worker.
+    # Probe the cloudpickle registry itself — dumps() of a pandas_udf
+    # WRAPPER is not a valid probe (once the UDF has been used, the
+    # wrapper holds a py4j handle whose RLock cannot pickle; Spark
+    # serializes the inner function, not the wrapper).
     from presto_0_235_spark.functions import udfs
 
     assert udfs._PICKLE_BY_VALUE_ALWAYS
-    assert len(cp.dumps(udfs.word_stem)) > 2000
+    registry = cp.list_registry_pickle_by_value()  # module NAMES
+    assert udfs.__name__ in registry
+    assert "presto_0_235_spark.operators.qdigest" not in registry
 
     import pandas as pd
 
