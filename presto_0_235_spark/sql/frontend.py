@@ -440,6 +440,21 @@ _TIME_IVL_PLUS_DATE = re.compile(
     r"DATE\s+(\x00s\d+\x00)",
     re.IGNORECASE,
 )
+_COL_PLUS_TIME_IVL = re.compile(
+    r"(?<![\w.\x00])(?P<base>[A-Za-z_][\w.]*)\s*(?P<op>[+-])\s*"
+    r"(?P<ivl>INTERVAL\s+\x00s\d+\x00\s+(?:HOUR|MINUTE|SECOND)S?)\b",
+    re.IGNORECASE,
+)
+_DT_IVL_KEYWORDS = frozenset({
+    "DATE", "TIME", "TIMESTAMP", "INTERVAL", "AND", "OR", "NOT",
+    "THEN", "ELSE", "WHEN", "SELECT", "WHERE", "BY", "ON", "AS",
+    "BETWEEN", "IN", "CASE", "END", "IS", "NULL", "TRUE", "FALSE",
+    # interval unit keywords: the base of `INTERVAL '3' DAY + ...`
+    # must not parse as a column reference
+    "YEAR", "YEARS", "QUARTER", "QUARTERS", "MONTH", "MONTHS",
+    "WEEK", "WEEKS", "DAY", "DAYS", "HOUR", "HOURS", "MINUTE",
+    "MINUTES", "SECOND", "SECONDS", "MILLISECOND", "MILLISECONDS",
+})
 
 
 _DEC_LIT_PAIR_MULDIV = re.compile(
@@ -1078,7 +1093,31 @@ def _rewrite_date_time_interval_raise(masked: str, stash) -> str:
         return f"CAST(raise_error({msg}) AS DATE)"
 
     masked = _DATE_PLUS_TIME_IVL.sub(repl, masked)
-    return _TIME_IVL_PLUS_DATE.sub(repl, masked)
+    masked = _TIME_IVL_PLUS_DATE.sub(repl, masked)
+    # COLUMN-typed operands (r14): the literal form above is decided
+    # at translate time; an identifier's date-ness is only knowable
+    # at runtime, so the guard is the r13 negative-subscript trick —
+    # typeof() + assert_true raising exactly when the operand IS a
+    # date (timestamps pass through and widen like both engines).
+    # TRY statements are skipped: the lowered try_add/try_sub cannot
+    # absorb a raise inside its argument.
+    if re.search(r"\bTRY\s*\(", masked, re.IGNORECASE):
+        return masked
+
+    def col_repl(m: re.Match) -> str:
+        base = m.group("base")
+        if base.upper() in _DT_IVL_KEYWORDS:
+            return m.group(0)
+        verb = ("subtract hour, minutes or seconds from"
+                if m.group("op") == "-"
+                else "add hour, minutes or seconds to")
+        msg = _stash_lit(stash, f"Cannot {verb} a date")
+        guard = (f"assert_true(NOT startswith(typeof({base}), "
+                 f"{_stash_lit(stash, 'date')}), {msg})")
+        return (f"(IF(isnull({guard}), {base}, NULL)) "
+                f"{m.group('op')} {m.group('ivl')}")
+
+    return _COL_PLUS_TIME_IVL.sub(col_repl, masked)
 
 
 # Presto CAST to a SIZED character type truncates to n codepoints

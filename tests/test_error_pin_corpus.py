@@ -3,11 +3,12 @@ assertInvalidFunction expressions from the reference's type/ and
 operator/scalar test suites: each expression below RAISES in the
 reference, and this suite pins that it raises through the SQL front
 door too (the reference's own pattern: error TEXT differs by engine,
-the contract is errors-not-wrong-values). 408 pins (281 from
-the r11 extraction + 32 r12 leniency conversions + 6 r14
+the contract is errors-not-wrong-values). 410 pins (281 from
+the r11 extraction + 32 r12 leniency conversions + 8 r14
 conversions — empty split_to_map/multimap delimiters raise BEFORE
-scanning, and constant IN lists evaluate their division-by-zero
-items like the reference — + 89 r13 conversions: negative array subscripts via the typeof() guard, the
+scanning, constant IN lists evaluate their division-by-zero items
+like the reference, and COLUMN-typed DATE +/- sub-day intervals
+raise via the runtime typeof() guard — + 89 r13 conversions: negative array subscripts via the typeof() guard, the
 normal/beta CDF and wilson-interval validation families, from_hex /
 from_big_endian_32/64 input validation, single-argument concat,
 strpos/split/split_part positivity, the split_to_map/multimap
@@ -30,11 +31,11 @@ STRING repetition where Presto's repeat builds an ARRAY
 (RepeatFunction.java) — now lowered to array_repeat with the
 reference's negative/10000-cap raises.
 
-16 extracted expressions RETURN values here instead of raising
+15 extracted expressions RETURN values here instead of raising
 (122 at r11 -> 90 after r12's 32 conversions -> 17 after r13's 74
--> 16 after the r14 IN-list conversion; re-triaged against the full
-reference extraction each round). The
-remaining 16 are the hard-divergence classes, each documented: decimal
+-> 15 after the r14 IN-list + column-date-interval conversions;
+re-triaged against the full reference extraction each round). The
+remaining 15 are the hard-divergence classes, each documented: decimal
 arithmetic/round precision-loss for NON-literal operands (every
 literal form constant-folds with the reference's derivation since
 r13), map subscript missing-key raises for NON-string-literal keys (2:
@@ -47,8 +48,7 @@ array/row elements containing NULL — Presto raises only when a
 comparison actually TOUCHES an undetermined null, a short-circuit
 order no type-blind rewrite can replicate without raising on VALID
 inputs like contains([[1],[null]], [1])),
-DATE + hour-interval
-widening for COLUMN-typed dates (literal form converted in r13), int->TIMESTAMP array cast leniency, analysis-level || type
+int->TIMESTAMP array cast leniency, analysis-level || type
 unification, REGEXP '$'-at-end replacement, CHAR-length concat caps,
 the REPEAT(array,...) Block-byte cap (the VARCHAR byte cap converted),
 and jackson-vs-Spark exotic number forms. None return a wrong value
@@ -516,6 +516,13 @@ CASES = [
     # frontend._rewrite_in_list_div0)
     ('sql/TestExpressionCompiler.java', 0, '3 IN (2, 4, 3, 5 / 0)'),
     ('sql/TestExpressionCompiler.java', 0, '3 IN (3, 5 % 0)'),
+    # COLUMN-typed DATE +/- sub-day interval (the r13 literal-form
+    # conversion extended with the runtime typeof() guard in r14 —
+    # timestamps pass through and widen like both engines)
+    ('type/TestDateTimeOperatorsBase.java', 68,
+     "(SELECT d + INTERVAL '3' HOUR FROM (VALUES (DATE '2001-01-22')) t(d))"),
+    ('type/TestDateTimeOperatorsBase.java', 179,
+     "(SELECT d - INTERVAL '3' MINUTE FROM (VALUES (DATE '2001-01-22')) t(d))"),
 ]
 
 
