@@ -1073,6 +1073,115 @@ def _rewrite_in_list_div0(masked: str, stash) -> str:
     return _IN_LIST.sub(repl, masked)
 
 
+_REAL_TAIL = re.compile(r"\bAS\s+(?:FLOAT|REAL)\s*$", re.IGNORECASE)
+
+
+def _real_operand_back(masked: str, j: int):
+    if j <= 0 or masked[j - 1] != ")":
+        return None
+    depth = 0
+    open_i = None
+    for k in range(j - 1, -1, -1):
+        if masked[k] == ")":
+            depth += 1
+        elif masked[k] == "(":
+            depth -= 1
+            if depth == 0:
+                open_i = k
+                break
+    if open_i is None:
+        return None
+    hm = _DCA_CAST_BACK.search(masked[:open_i])
+    if hm is None or not _REAL_TAIL.search(masked[open_i + 1:j - 1]):
+        return None
+    return hm.start(), j
+
+
+def _real_operand_fwd(masked: str, i: int):
+    if i > 0 and masked[i - 1] in _IDENTCH:
+        return None
+    m = _DCA_CAST_FWD.match(masked, i)
+    if m is None:
+        return None
+    open_i = masked.index("(", m.end(1))
+    try:
+        past = _balanced(masked, open_i)
+    except ValueError:
+        return None
+    if not _REAL_TAIL.search(masked[open_i + 1:past - 1]):
+        return None
+    return i, past
+
+
+def _rewrite_real_division(masked: str, stash) -> str:
+    """REAL / REAL computes in FLOAT32 with IEEE semantics in the
+    reference (RealOperators; TestRealOperators.testDivide pins
+    12.34f/56.78f AND REAL'-0.0'/REAL'0.0' -> NaN), while Spark
+    promotes float division to DOUBLE and ANSI-raises on a zero
+    divisor. For statically-REAL operand pairs (CAST(... AS
+    FLOAT/REAL) forms, which is what REAL literals lower to), emit
+    the IEEE form: CAST(a/b AS FLOAT) is EXACTLY float32 division
+    (double has >= 2*24+2 mantissa bits, so the double-rounding is
+    benign for division), zero divisors produce signed
+    Infinity/NaN per IEEE, and a float32-overflowing quotient lands
+    on +/-Infinity instead of the ANSI cast raise. TRY statements
+    are skipped (the CASE shape is not a TRY-lowerable form, and
+    the expression no longer raises anyway)."""
+    if re.search(r"\bTRY\s*\(", masked, re.IGNORECASE):
+        return masked
+    from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+    out = masked
+    i = -1
+    while True:
+        i += 1
+        if i >= len(out):
+            return out
+        if out[i] != "/":
+            continue
+        j = i
+        while j > 0 and out[j - 1].isspace():
+            j -= 1
+        left = _real_operand_back(out, j)
+        if left is None:
+            continue
+        k = i + 1
+        while k < len(out) and out[k].isspace():
+            k += 1
+        right = _real_operand_fwd(out, k)
+        if right is None:
+            continue
+        g = left[0]
+        while g > 0 and out[g - 1].isspace():
+            g -= 1
+        if g and out[g - 1] in "*/%":
+            continue  # left-associativity: a continuation chain
+        a = out[left[0]:left[1]]
+        b = out[right[0]:right[1]]
+        nan = _stash_lit(stash, "NaN")
+        inf = _stash_lit(stash, "Infinity")
+        ninf = _stash_lit(stash, "-Infinity")
+        neg = _stash_lit(stash, "-")
+        new = (
+            f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL "
+            f"THEN CAST(NULL AS FLOAT) "
+            f"WHEN ({b}) = CAST(0 AS FLOAT) THEN "
+            f"CASE WHEN isnan(({a})) OR ({a}) = CAST(0 AS FLOAT) "
+            f"THEN CAST({nan} AS FLOAT) "
+            f"WHEN (({a}) > CAST(0 AS FLOAT)) = "
+            f"(NOT startswith(CAST(({b}) AS STRING), {neg})) "
+            f"THEN CAST({inf} AS FLOAT) "
+            f"ELSE CAST({ninf} AS FLOAT) END "
+            f"ELSE COALESCE("
+            f"TRY_CAST(CAST(({a}) AS DOUBLE) / ({b}) AS FLOAT), "
+            f"IF(CAST(({a}) AS DOUBLE) / ({b}) > 0, "
+            f"CAST({inf} AS FLOAT), CAST({ninf} AS FLOAT))) END)"
+        )
+        out = out[:left[0]] + new + out[right[1]:]
+        i = left[0] + len(new) - 1
+    return out
+
+
 def _rewrite_date_time_interval_raise(masked: str, stash) -> str:
     """DATE literal +/- a sub-day INTERVAL raises in Presto
     (DateTimeOperators.java:47-58, 205: 'Cannot add hour, minutes or
@@ -2918,6 +3027,7 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = _rewrite_negated_decimal_cast(masked, stash)
     masked = _rewrite_sized_char_casts(masked, stash)
     masked = _rewrite_decimal_column_arith(masked)
+    masked = _rewrite_real_division(masked, stash)
     masked = _rewrite_array_literals(masked)
     masked = _rewrite_map_ctor(masked)
     masked = _rewrite_row_types(masked)
