@@ -20,6 +20,7 @@ from presto_0_235_spark.functions import geo_wkt as _geo_wkt
 from presto_0_235_spark.functions import xxhash as _xxhash
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     DoubleType,
@@ -1419,3 +1420,68 @@ def presto_checksum_term(val: pd.Series, typ: pd.Series) -> pd.Series:
             for v, t in zip(val, typ)
         ]
     )
+
+
+# --- qdigest surface (QuantileDigestFunctions.java; r14) -------------------
+# The digest VALUE type is this engine's wire form (operators/
+# qdigest.py — the semantic q-digest; airlift byte interop documented
+# out of scope). value_at_quantile/values_at_quantiles/
+# quantile_at_value mirror the reference's scalar signatures.
+
+
+@F.pandas_udf(LongType())
+def value_at_quantile_qd(digest: pd.Series, q: pd.Series) -> pd.Series:
+    from presto_0_235_spark.operators import qdigest as _qd
+
+    out = []
+    for d, quant in zip(digest, q):
+        if d is None or quant is None:
+            out.append(None)
+            continue
+        out.append(_qd.value_at_quantile(
+            _qd.qdigest_deserialize(bytes(d)), float(quant)))
+    return pd.Series(out, dtype="object")
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def values_at_quantiles_qd(digest: pd.Series, qs: pd.Series) -> pd.Series:
+    from presto_0_235_spark.operators import qdigest as _qd
+
+    out = []
+    for d, quants in zip(digest, qs):
+        if d is None or quants is None:
+            out.append(None)
+            continue
+        dd = _qd.qdigest_deserialize(bytes(d))
+        out.append([_qd.value_at_quantile(dd, float(q))
+                    for q in quants])
+    return pd.Series(out, dtype="object")
+
+
+@F.pandas_udf(DoubleType())
+def quantile_at_value_qd(digest: pd.Series, v: pd.Series) -> pd.Series:
+    from presto_0_235_spark.operators import qdigest as _qd
+
+    out = []
+    for d, val in zip(digest, v):
+        if d is None or val is None:
+            out.append(None)
+            continue
+        out.append(_qd.quantile_at_value(
+            _qd.qdigest_deserialize(bytes(d)), int(val)))
+    return pd.Series(out, dtype="object")
+
+
+@F.pandas_udf(BinaryType())
+def qdigest_agg_udaf(v: pd.Series) -> bytes:
+    """qdigest_agg(bigint) as a grouped-agg pandas UDAF — the
+    CONVENIENCE path for ad-hoc SQL (rows ship to the reducer); the
+    scale path is the mergeable two-phase route in
+    sql/frontend._route_mergeable_aggregate / operators/qdigest.
+    qdigest_two_phase, exactly the geometry-aggregate split."""
+    from presto_0_235_spark.operators import qdigest as _qd
+
+    vals = [int(x) for x in v.dropna()]
+    if not vals:
+        return None
+    return _qd.qdigest_serialize(_qd.qdigest_build(vals))

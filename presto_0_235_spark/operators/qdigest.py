@@ -221,6 +221,56 @@ def quantile_at_value(d: QDigest, value: int) -> float | None:
     return acc / d.total
 
 
+def qdigest_two_phase(df, keys, col, out="qdigest",
+                      weight=None,
+                      accuracy: float = DEFAULT_ACCURACY):
+    """Mergeable two-phase qdigest aggregate over a DataFrame —
+    QuantileDigestAggregationFunction.java's accumulator design:
+    per-Arrow-batch PARTIAL digests below the exchange (only few-KB
+    wire sketches cross it), nodewise merge above. NULL values are
+    skipped; an all-null/empty group yields NULL (the reference's
+    null accumulator). `weight` names an optional weight column
+    (the qdigest_agg(x, w) signature, DEFAULT_WEIGHT 1 otherwise)."""
+    import pandas as pd
+
+    cols = [col] + ([weight] if weight else [])
+    base = df.select(*keys, *cols)
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in base.select(*keys).schema.fields)
+    out_schema = f"{key_schema}, {out} binary"
+
+    def partial(batches):
+        for pdf in batches:
+            rows = []
+            for kv, grp in pdf.groupby(list(keys), dropna=False,
+                                       sort=False):
+                if not isinstance(kv, tuple):
+                    kv = (kv,)
+                mask = grp[col].notna()
+                vals = [int(v) for v in grp[col][mask]]
+                if not vals:
+                    rows.append((*kv, None))
+                    continue
+                ws = ([float(w) for w in grp[weight][mask]]
+                      if weight else None)
+                d = qdigest_build(vals, weights=ws, accuracy=accuracy)
+                rows.append((*kv, qdigest_serialize(d)))
+            yield pd.DataFrame(rows, columns=[*keys, out])
+
+    partials = base.mapInPandas(partial, out_schema)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        head = pdf.iloc[:1]
+        live = [qdigest_deserialize(bytes(b)) for b in pdf[out]
+                if b is not None]
+        m = qdigest_serialize(qdigest_merge(*live)) if live else None
+        return pd.DataFrame(
+            {**{k: [head[k].iloc[0]] for k in keys}, out: [m]})
+
+    return partials.groupBy(*keys).applyInPandas(merge, out_schema)
+
+
 def qdigest_serialize(d: QDigest) -> bytes:
     """Compact wire form for the exchange: header + (level, prefix,
     count) triples. THIS ENGINE's format — not airlift bytes (the

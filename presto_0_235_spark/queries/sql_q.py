@@ -2220,3 +2220,117 @@ def sql_decimal_agg_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """,
     )
+
+
+_SQL_TPCDS_Q51 = """
+WITH web AS (
+  SELECT l_returnflag AS item,
+         CAST(o_orderdate AS DATE) AS d,
+         SUM(SUM(CAST(l_extendedprice AS DECIMAL(18,4))))
+           OVER (PARTITION BY l_returnflag
+                 ORDER BY CAST(o_orderdate AS DATE)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cume_sales
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderkey < 2000 AND l_linenumber = 1
+  GROUP BY l_returnflag, CAST(o_orderdate AS DATE)
+), store AS (
+  SELECT l_returnflag AS item,
+         CAST(o_orderdate AS DATE) AS d,
+         SUM(SUM(CAST(l_extendedprice AS DECIMAL(18,4))))
+           OVER (PARTITION BY l_returnflag
+                 ORDER BY CAST(o_orderdate AS DATE)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cume_sales
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderkey < 2000 AND l_linenumber > 1
+  GROUP BY l_returnflag, CAST(o_orderdate AS DATE)
+)
+SELECT COALESCE(w.item, s.item) AS item,
+       COALESCE(w.d, s.d) AS d,
+       CAST(w.cume_sales AS DOUBLE) AS web_cumulative,
+       CAST(s.cume_sales AS DOUBLE) AS store_cumulative
+FROM web w FULL OUTER JOIN store s
+  ON w.item = s.item AND w.d = s.d
+WHERE COALESCE(CAST(w.cume_sales AS DOUBLE), 0)
+      > COALESCE(CAST(s.cume_sales AS DOUBLE), 0)
+ORDER BY item, d
+"""
+
+
+@register("sql_tpcds_q51", oracle=_SQL_TPCDS_Q51)
+def sql_tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51's text shape — two channels' CUMULATIVE window sums
+    over an aggregate (SUM(SUM(..)) OVER — a window over a GROUP BY
+    aggregate, the distinctive q51 construction) FULL OUTER JOINed on
+    the grouping key with a COALESCE comparison filter
+    (presto-benchto-benchmarks .../tpcds/q51.sql role-mapped onto the
+    fixture star: channels = first vs later lineitems). Same text
+    runs on DuckDB as the oracle; money through the DECIMAL hop."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q51)
+
+
+_SQL_TPCDS_Q88 = """
+SELECT *
+FROM (SELECT count(*) AS h1 FROM lineitem
+      WHERE l_quantity BETWEEN 1 AND 5 AND l_linenumber = 1) t1,
+     (SELECT count(*) AS h2 FROM lineitem
+      WHERE l_quantity BETWEEN 6 AND 10 AND l_linenumber = 1) t2,
+     (SELECT count(*) AS h3 FROM lineitem
+      WHERE l_quantity BETWEEN 11 AND 15 AND l_linenumber = 1) t3,
+     (SELECT count(*) AS h4 FROM lineitem
+      WHERE l_quantity BETWEEN 16 AND 20 AND l_linenumber = 1) t4,
+     (SELECT count(*) AS h5 FROM lineitem
+      WHERE l_quantity BETWEEN 21 AND 25 AND l_linenumber = 1) t5,
+     (SELECT count(*) AS h6 FROM lineitem
+      WHERE l_quantity BETWEEN 26 AND 30 AND l_linenumber = 1) t6,
+     (SELECT count(*) AS h7 FROM lineitem
+      WHERE l_quantity BETWEEN 31 AND 40 AND l_linenumber = 1) t7,
+     (SELECT count(*) AS h8 FROM lineitem
+      WHERE l_quantity BETWEEN 41 AND 50 AND l_linenumber = 1) t8
+"""
+
+
+@register("sql_tpcds_q88", oracle=_SQL_TPCDS_Q88)
+def sql_tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88's text shape — eight single-row aggregate
+    subqueries cross-joined into one row (the time-band battery;
+    .../tpcds/q88.sql role-mapped: hour bands -> quantity bands).
+    Each branch is an independent scan+filter+count; Catalyst plans
+    eight parallel aggregates joined by BroadcastNestedLoopJoin on
+    single rows — the 100 TB posture is eight pushed-filter scans,
+    no shuffle beyond the global counts. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q88)
+
+
+@register(
+    "sql_qdigest_agg_scale",
+    # rows-only: qdigest estimates are compression-order dependent
+    # (the same contract as agg_qdigest_semantic); the rank-error
+    # bound, merge law, clamp, and wire roundtrip are pinned in
+    # tests/test_qdigest.py
+)
+def sql_qdigest_agg_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's qdigest SQL surface end-to-end
+    (QuantileDigestAggregationFunction.java /
+    QuantileDigestFunctions.java): qdigest_agg over a GROUP BY routed
+    through the mergeable two-phase operator (partial digests below
+    the exchange — frontend._route_geo_aggregate + operators/qdigest.
+    qdigest_two_phase), with value_at_quantile / values_at_quantiles
+    applied to the per-group digests. Scale: only few-KB wire
+    sketches cross the exchange regardless of group size."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT l_returnflag,
+               value_at_quantile(qdigest_agg(l_orderkey), 0.5) AS p50,
+               value_at_quantile(qdigest_agg(l_orderkey), 0.9) AS p90,
+               values_at_quantiles(qdigest_agg(l_orderkey),
+                                   ARRAY[0.25, 0.75]) AS iqr
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+    )

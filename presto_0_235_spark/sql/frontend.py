@@ -3074,7 +3074,52 @@ def presto_to_spark_sql(sql: str) -> str:
 # stays the ad-hoc-SQL convenience path.
 
 _GEO_AGG_CALL = re.compile(
-    r"\b(geometry_union_agg|convex_hull_agg)\s*\(", re.IGNORECASE)
+    r"\b(geometry_union_agg|convex_hull_agg|qdigest_agg)\s*\(",
+    re.IGNORECASE)
+_QD_WRAP = re.compile(
+    r"^(?P<wrap>value_at_quantile|values_at_quantiles"
+    r"|quantile_at_value)\s*\(", re.IGNORECASE)
+_QD_HEAD = re.compile(r"^qdigest_agg\s*\(", re.IGNORECASE)
+
+
+def _parse_qd_item(item: str):
+    """Parse `[wrapper(]qdigest_agg(args)[, rest)][AS] alias` or None.
+
+    Returns (agg_args_text, wrapper|None, rest_text|None, alias)."""
+    wrap = None
+    pos = 0
+    wm = _QD_WRAP.match(item)
+    if wm:
+        wrap = wm.group("wrap").lower()
+        pos = wm.end()
+        wrap_open = pos - 1
+    m = _QD_HEAD.match(item[pos:])
+    if m is None:
+        return None
+    qd_open = pos + item[pos:].index("(")
+    try:
+        qd_past = _balanced(item, qd_open)
+    except ValueError:
+        return None
+    args = item[qd_open + 1:qd_past - 1]
+    rest = None
+    tail_at = qd_past
+    if wrap is not None:
+        try:
+            wrap_past = _balanced(item, wrap_open)
+        except ValueError:
+            return None
+        between = item[qd_past:wrap_past - 1].strip()
+        if between and not between.startswith(","):
+            return None
+        rest = between[1:].strip() if between else None
+        tail_at = wrap_past
+    tail = item[tail_at:].strip()
+    am = re.match(r"^(?:AS\s+)?(?P<alias>[A-Za-z_]\w*)?$", tail,
+                  re.IGNORECASE)
+    if am is None or not am.group("alias"):
+        return None
+    return args, wrap, rest, am.group("alias")
 _GEO_ROUTE_KW = re.compile(
     r"\b(SELECT|FROM|WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|UNION"
     r"|INTERSECT|EXCEPT|WINDOW|QUALIFY|DISTINCT|JOIN|WITH)\b",
@@ -3164,6 +3209,8 @@ def _route_geo_aggregate(spark: SparkSession, sql: str):
     group_txt = s[grp[1]:] if grp else None
 
     geo = None            # (fn_name, arg_text, out_alias)
+    qd_items = []         # (wrapper|None, rest|None, alias)
+    qd_args = None        # the shared qdigest_agg argument text
     keys = []             # (expr_text, out_name)
     out_order = []        # output column names in select order
     for item in _top_commas(select_txt):
@@ -3188,8 +3235,17 @@ def _route_geo_aggregate(spark: SparkSession, sql: str):
             geo = (gm.group(1).lower(), arg, gm.group("alias"))
             out_order.append(gm.group("alias"))
             continue
+        qm = _parse_qd_item(item)
+        if qm is not None:
+            args, wrap, rest, alias = qm
+            if qd_args is not None and _norm_expr(args) != qd_args:
+                return None  # two distinct digests: out of window
+            qd_args = _norm_expr(args) if qd_args is None else qd_args
+            qd_items.append((wrap, rest, alias, args))
+            out_order.append(alias)
+            continue
         if _GEO_AGG_CALL.search(item):
-            return None  # geometry aggregate nested in an expression
+            return None  # mergeable aggregate nested in an expression
         if _BARE_IDENT.match(item):
             name = item.split(".")[-1]
             keys.append((item, name))
@@ -3200,8 +3256,8 @@ def _route_geo_aggregate(spark: SparkSession, sql: str):
             return None
         keys.append((km.group("expr"), km.group("alias")))
         out_order.append(km.group("alias"))
-    if geo is None:
-        return None
+    if (geo is None) == (not qd_items):
+        return None  # exactly one mergeable-aggregate family per block
 
     hidden: list[tuple[str, str]] = []
     if group_txt is not None:
@@ -3231,7 +3287,27 @@ def _route_geo_aggregate(spark: SparkSession, sql: str):
 
     inner_parts = [f"{_unmask_raw(e, stash)} AS {n}" for e, n in keys]
     inner_parts += [f"{_unmask_raw(e, stash)} AS {n}" for e, n in hidden]
-    inner_parts.append(f"{_unmask_raw(geo[1], stash)} AS _g")
+    accuracy = None
+    weight = None
+    if geo is not None:
+        inner_parts.append(f"{_unmask_raw(geo[1], stash)} AS _g")
+    else:
+        agg_args = _top_commas(qd_items[0][3])
+        if not 1 <= len(agg_args) <= 3:
+            return None
+        if len(agg_args) == 3:
+            try:  # accuracy must be a literal (a two-phase parameter)
+                accuracy = float(agg_args[2])
+            except ValueError:
+                return None
+        inner_parts.append(
+            f"CAST(({_unmask_raw(agg_args[0], stash)}) AS BIGINT)"
+            f" AS _qv")
+        if len(agg_args) >= 2:
+            weight = "_qw"
+            inner_parts.append(
+                f"CAST(({_unmask_raw(agg_args[1], stash)}) AS DOUBLE)"
+                f" AS _qw")
     key_names = [n for _, n in keys] + [n for _, n in hidden]
     if not key_names:
         inner_parts.append("1 AS _gk")
@@ -3244,13 +3320,39 @@ def _route_geo_aggregate(spark: SparkSession, sql: str):
         base = spark.sql(presto_to_spark_sql(inner))
     except Exception:
         return None
-    from presto_0_235_spark.operators import geo_agg
+    if geo is not None:
+        from presto_0_235_spark.operators import geo_agg
 
-    fold = (geo_agg.geometry_union_agg
-            if geo[0] == "geometry_union_agg"
-            else geo_agg.convex_hull_agg)
-    agg = fold(base, key_names, "_g", out=geo[2])
-    return agg.select(*out_order)
+        fold = (geo_agg.geometry_union_agg
+                if geo[0] == "geometry_union_agg"
+                else geo_agg.convex_hull_agg)
+        agg = fold(base, key_names, "_g", out=geo[2])
+        return agg.select(*out_order)
+    from pyspark.sql import functions as F
+
+    from presto_0_235_spark.operators import qdigest as qd
+
+    kwargs = {"weight": weight}
+    if accuracy is not None:
+        kwargs["accuracy"] = accuracy
+    agg = qd.qdigest_two_phase(base, key_names, "_qv", out="_qd",
+                               **kwargs)
+    sel = {n for _, n in keys}
+    final = []
+    for name in out_order:
+        if name in sel:
+            final.append(F.col(name))
+            continue
+        wrap, rest, alias, _args = next(
+            it for it in qd_items if it[2] == name)
+        if wrap is None:
+            final.append(F.col("_qd").alias(alias))
+        else:
+            rest_sql = presto_to_spark_sql(
+                f"SELECT {_unmask_raw(rest, stash)}")[len("SELECT "):]
+            final.append(
+                F.expr(f"{wrap}(_qd, {rest_sql})").alias(alias))
+    return agg.select(*final)
 
 
 # Pandas UDFs for the Presto scalars with no Spark-expression twin
@@ -3320,6 +3422,14 @@ def _ensure_sql_udfs(spark: SparkSession) -> None:
     # geometry route stays the Column path in functions/geo.py)
     for geo_name, geo_udf in U._make_geo_udfs():
         spark.udf.register(geo_name, geo_udf)
+    # qdigest surface (QuantileDigestFunctions.java; r14): the
+    # scalar accessors plus qdigest_agg as a grouped-agg UDAF — the
+    # ad-hoc convenience path; the GROUP BY shape routes through the
+    # mergeable two-phase operator in _route_mergeable_aggregate
+    spark.udf.register("value_at_quantile", U.value_at_quantile_qd)
+    spark.udf.register("values_at_quantiles", U.values_at_quantiles_qd)
+    spark.udf.register("quantile_at_value", U.quantile_at_value_qd)
+    spark.udf.register("qdigest_agg", U.qdigest_agg_udaf)
     _UDF_SESSIONS.add(spark)
 
 

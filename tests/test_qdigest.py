@@ -139,3 +139,56 @@ def test_extreme_quantiles_clamp_to_observed_range():
                         qdigest_build([-300, -200, -100]))
     assert value_at_quantile(neg, 0.0) >= -500
     assert value_at_quantile(neg, 1.0) == -100
+
+
+def test_sql_surface_qdigest(spark):
+    """r14: the SQL door exposes the reference's qdigest surface
+    (QuantileDigestFunctions.java): qdigest_agg over a GROUP BY
+    routes through the mergeable two-phase operator
+    (frontend._route_geo_aggregate -> operators/qdigest.
+    qdigest_two_phase — partial digests below the exchange), the
+    scalar accessors evaluate on digest columns, and shapes outside
+    the router window fall back to the grouped-agg pandas UDAF."""
+    from presto_0_235_spark.catalog import register_views
+    from presto_0_235_spark.sql.frontend import run_sql
+
+    register_views(spark, "/root/testdata/sf0.001")
+    df = run_sql(
+        spark,
+        "SELECT o_orderstatus, "
+        "value_at_quantile(qdigest_agg(o_orderkey), 0.5) AS p50, "
+        "value_at_quantile(qdigest_agg(o_orderkey), 0.99) AS p99 "
+        "FROM orders GROUP BY o_orderstatus")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+    rows = {r["o_orderstatus"]: r for r in df.collect()}
+    exact = run_sql(
+        spark,
+        "SELECT o_orderstatus, count(*) AS n, max(o_orderkey) AS mx, "
+        "min(o_orderkey) AS mn FROM orders GROUP BY o_orderstatus"
+    ).collect()
+    for r in exact:
+        got = rows[r["o_orderstatus"]]
+        # clamped into the observed range, p50 <= p99, and the rank
+        # error bound holds loosely (values ordered by construction)
+        assert r["mn"] <= got["p50"] <= got["p99"] <= r["mx"]
+    # quantile_at_value inverts approximately
+    inv = run_sql(
+        spark,
+        "SELECT quantile_at_value(qdigest_agg(o_orderkey), "
+        "CAST((SELECT max(o_orderkey) FROM orders) AS BIGINT)) AS q "
+        "FROM orders").collect()[0]["q"]
+    assert 0.97 <= inv <= 1.0
+    # the UDAF fallback (subquery position declines the router)
+    fb = run_sql(
+        spark,
+        "SELECT value_at_quantile(d, 0.5) AS p50 FROM ("
+        "SELECT qdigest_agg(o_orderkey) AS d FROM orders "
+        "GROUP BY o_orderstatus) t")
+    assert fb.count() == 3
+    # weighted signature (qdigest_agg(x, w))
+    wrow = run_sql(
+        spark,
+        "SELECT value_at_quantile(qdigest_agg(o_orderkey, 2.0), 0.5) "
+        "AS p FROM orders").collect()[0]
+    assert wrow["p"] is not None
