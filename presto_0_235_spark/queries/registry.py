@@ -131,7 +131,14 @@ _PRIORITY: tuple[str, ...] = (
     # join_spatial_contains + sql_geometry_suite) and quantified_all
     # rotates out (covered by sql_quantified_equality); both remain
     # in the full local artifact.
-    "sql_geometry_suite", "sql_agg_map_histogram",
+    # (sql_agg_map_histogram rotated out in r14 #2: the template-
+    # aggregate family stays gated by sql_agg_presto_stats +
+    # sql_agg_array_order; still in the full local artifact. In:
+    # the column-operand INTEGRAL division row — the r14 #2
+    # catalog-aware typing pass, whose oracle replays truncating
+    # division with DuckDB '//' so a regression to Spark's double
+    # '/' hash-mismatches.)
+    "sql_geometry_suite", "sql_int_column_division_scale",
     # r13 rotation: the mergeable two-phase geometry aggregate
     # (operators/geo_agg.py, gaps-and-islands oracle — a brand-new
     # family) and one sf-scale window promotion (NTile bucket

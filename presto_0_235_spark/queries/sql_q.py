@@ -2222,6 +2222,44 @@ def sql_decimal_agg_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_int_column_division_scale",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_orderkey // l_linenumber AS q,
+       (l_partkey - l_suppkey) // l_linenumber AS qneg,
+       l_orderkey // 7 AS q7
+FROM lineitem WHERE l_orderkey < 2000
+""",
+)
+def sql_int_column_division_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Column-operand INTEGRAL division with the REFERENCE's
+    truncating semantics at scale (TestIntegerOperators.testDivide /
+    TestBigintOperators:90) — the r14 catalog-aware typing pass
+    (frontend._annotate_numeric_columns) + integral-division rewrite
+    (frontend._int_div_pass). qneg exercises negative dividends
+    (truncation toward zero, where floor division would differ on
+    ~half the rows) through the parenthesized-chain type derivation
+    (COUNT-operand division is pinned in
+    tests/test_int_column_division.py). The DuckDB
+    oracle replays with '//', DuckDB's truncating integral division —
+    a regression to Spark's double '/' hash-mismatches on type AND
+    value."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT l_orderkey, l_linenumber,
+               l_orderkey / l_linenumber AS q,
+               (l_partkey - l_suppkey) / l_linenumber AS qneg,
+               l_orderkey / 7 AS q7
+        FROM lineitem WHERE l_orderkey < 2000
+        """,
+    )
+
+
 _SQL_TPCDS_Q51 = """
 WITH web AS (
   SELECT l_returnflag AS item,

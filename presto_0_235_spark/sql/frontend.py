@@ -663,6 +663,13 @@ def _fold_decimal_literal_arith(masked: str, stash) -> str:
 _DCA_DEC_TAIL = re.compile(
     r"\bAS\s+DECIMAL\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*$",
     re.IGNORECASE)
+# integral CAST tails — parsed as Presto's integral->decimal(p,0)
+# coercions inside a decimal op, and as the operand form of the
+# integral-division rewrite (_int_div_pass)
+_DCA_INT_TAIL = re.compile(
+    r"\bAS\s+(TINYINT|SMALLINT|INT|INTEGER|BIGINT)\s*$", re.IGNORECASE)
+_INT_COERCE_P = {"TINYINT": 3, "SMALLINT": 5, "INT": 10,
+                 "INTEGER": 10, "BIGINT": 19}
 _DCA_CAST_FWD = re.compile(r"(TRY_CAST|CAST)\s*\(", re.IGNORECASE)
 _DCA_CAST_BACK = re.compile(r"\b(TRY_CAST|CAST)\s*$", re.IGNORECASE)
 _DCA_NUM_FWD = re.compile(r"\d+(?:\.\d+)?")
@@ -699,18 +706,39 @@ def _dca_literal_type(text: str):
 
 
 class _DcaOperand:
-    __slots__ = ("start", "end", "p", "s", "bound", "is_lit")
+    __slots__ = ("start", "end", "p", "s", "bound", "is_lit",
+                 "intcast", "lit_dec")
 
-    def __init__(self, start, end, p, s, bound, is_lit):
+    def __init__(self, start, end, p, s, bound, is_lit,
+                 intcast=False, lit_dec=False):
         self.start, self.end = start, end
         self.p, self.s, self.bound = p, s, bound
         self.is_lit = is_lit
+        # intcast: a CAST(... AS <integral>) form — joins a decimal
+        # op only as Presto's integral->decimal(p,0) coercion
+        # (TypeRegistry: tinyint->(3,0), smallint->(5,0),
+        # integer->(10,0), bigint->(19,0)); never makes a pair
+        # decimal by itself (int/int is integral division).
+        self.intcast = intcast
+        # lit_dec: a literal in DECIMAL form (has a '.') — its type
+        # IS decimal, so it can anchor a decimal op against an
+        # intcast operand.
+        self.lit_dec = lit_dec
+
+    @property
+    def is_dec(self) -> bool:
+        """True when this operand's Presto static type is DECIMAL."""
+        if self.is_lit:
+            return self.lit_dec
+        return not self.intcast
 
     def text(self, masked: str) -> str:
         t = masked[self.start:self.end]
-        if self.is_lit:
-            # pin Spark's view of the literal to Presto's coercion
-            # type (Spark types integer literals by digit count)
+        if self.is_lit or self.intcast:
+            # pin Spark's view of the operand to Presto's coercion
+            # type (Spark types integer literals by digit count and
+            # derives integral operands through its own
+            # IntegralType->DecimalType promotion)
             return f"CAST({t} AS DECIMAL({self.p}, {self.s}))"
         return t
 
@@ -745,7 +773,7 @@ def _dca_operand_fwd(masked: str, i: int):
         if inner is None:
             return None
         return _DcaOperand(i, past, inner.p, inner.s, inner.bound,
-                           inner.is_lit)
+                           inner.is_lit, inner.intcast, inner.lit_dec)
     m = _DCA_CAST_FWD.match(masked, i)
     if m:
         open_i = masked.index("(", m.end(1))
@@ -753,12 +781,17 @@ def _dca_operand_fwd(masked: str, i: int):
             past = _balanced(masked, open_i)
         except ValueError:
             return None
-        tm = _DCA_DEC_TAIL.search(masked[open_i + 1:past - 1])
-        if tm is None:
-            return None
-        p = int(tm.group(1))
-        s = int(tm.group(2)) if tm.group(2) else 0
-        return _DcaOperand(i, past, p, s, p, False)
+        body = masked[open_i + 1:past - 1]
+        tm = _DCA_DEC_TAIL.search(body)
+        if tm is not None:
+            p = int(tm.group(1))
+            s = int(tm.group(2)) if tm.group(2) else 0
+            return _DcaOperand(i, past, p, s, p, False)
+        im = _DCA_INT_TAIL.search(body)
+        if im is not None:
+            p = _INT_COERCE_P[im.group(1).upper()]
+            return _DcaOperand(i, past, p, 0, p, False, intcast=True)
+        return None
     m = _DCA_NUM_FWD.match(masked, i)
     if m:
         if m.end() < len(masked) and masked[m.end()] in _IDENTCH:
@@ -766,7 +799,8 @@ def _dca_operand_fwd(masked: str, i: int):
         t = _dca_literal_type(m.group(0))
         if t is None:
             return None
-        return _DcaOperand(i, m.end(), t[0], t[1], t[2], True)
+        return _DcaOperand(i, m.end(), t[0], t[1], t[2], True,
+                           lit_dec="." in m.group(0))
     return None
 
 
@@ -790,12 +824,18 @@ def _dca_operand_back(masked: str, j: int):
             return None
         hm = _DCA_CAST_BACK.search(masked[:open_i])
         if hm is not None:
-            tm = _DCA_DEC_TAIL.search(masked[open_i + 1:j - 1])
-            if tm is None:
-                return None
-            p = int(tm.group(1))
-            s = int(tm.group(2)) if tm.group(2) else 0
-            return _DcaOperand(hm.start(), j, p, s, p, False)
+            body = masked[open_i + 1:j - 1]
+            tm = _DCA_DEC_TAIL.search(body)
+            if tm is not None:
+                p = int(tm.group(1))
+                s = int(tm.group(2)) if tm.group(2) else 0
+                return _DcaOperand(hm.start(), j, p, s, p, False)
+            im = _DCA_INT_TAIL.search(body)
+            if im is not None:
+                p = _INT_COERCE_P[im.group(1).upper()]
+                return _DcaOperand(hm.start(), j, p, 0, p, False,
+                                   intcast=True)
+            return None
         # a parenthesized group — but only when the '(' is not a
         # function call's argument list
         if open_i > 0 and masked[open_i - 1] in _IDENTCH:
@@ -804,7 +844,7 @@ def _dca_operand_back(masked: str, j: int):
         if inner is None:
             return None
         return _DcaOperand(open_i, j, inner.p, inner.s, inner.bound,
-                           inner.is_lit)
+                           inner.is_lit, inner.intcast, inner.lit_dec)
     nm = _DCA_NUM_BACK.search(masked[:j])
     if nm is None:
         return None
@@ -813,7 +853,8 @@ def _dca_operand_back(masked: str, j: int):
     t = _dca_literal_type(nm.group(1))
     if t is None:
         return None
-    return _DcaOperand(nm.start(), j, t[0], t[1], t[2], True)
+    return _DcaOperand(nm.start(), j, t[0], t[1], t[2], True,
+                       lit_dec="." in nm.group(1))
 
 
 def _dca_try_extents(masked: str):
@@ -902,6 +943,11 @@ def _dca_pass(masked: str, ops: str) -> str:
             continue
         if left.is_lit and right.is_lit:
             continue  # the literal fold's domain (div-by-zero, TRY)
+        if not (left.is_dec or right.is_dec):
+            # no decimal-typed side: the op is INTEGRAL in Presto
+            # (int CAST forms / integer literals) — _int_div_pass's
+            # domain for '/', and Spark already matches for +,-,*,%
+            continue
         # left-associativity guards: never fold a continuation of an
         # equal-or-higher-precedence chain
         g = left.start
@@ -944,12 +990,22 @@ def _dca_pass(masked: str, ops: str) -> str:
 def _rewrite_decimal_column_arith(masked: str) -> str:
     # outer fixpoint: a +- fold inside parens can enable a */% site
     # (e.g. a * (1 - b)); re-running */% after +- is precedence-safe
-    # because every cross-tier feed is a parenthesized group
+    # because every cross-tier feed is a parenthesized group. The
+    # integral-division pass interleaves in the same fixpoint so
+    # mixed chains compose left-to-right (CAST(a AS INT)/CAST(b AS
+    # INT) * deccol: the int DIV fires first, its CAST-int emission
+    # then joins the decimal multiply as the integral coercion).
     while True:
         before = masked
         for ops in ("*/%", "+-"):
             while True:
                 new = _dca_pass(masked, ops)
+                if new == masked:
+                    break
+                masked = new
+        if "/" in masked:
+            while True:
+                new = _int_div_pass(masked)
                 if new == masked:
                     break
                 masked = new
@@ -1044,6 +1100,198 @@ def _fold_int_literal_div(masked: str, stash) -> str:
         prev = masked
         masked = _INT_DIV_PAIR.sub(repl, masked, count=1)
     return masked
+
+
+# ---------------------------------------------------------------------------
+# Column-operand INTEGRAL division (r14, second half)
+# ---------------------------------------------------------------------------
+# Presto '/' on integral operands is truncating integral division per
+# the reference's OWN TESTS (TestIntegerOperators.testDivide,
+# TestBigintOperators:90); Spark's '/' always promotes to DOUBLE.
+# _fold_int_literal_div covers literal pairs at translate time; THIS
+# pass covers sites with statically-INTEGRAL column operands —
+# CAST/TRY_CAST(... AS TINYINT/SMALLINT/INT/INTEGER/BIGINT) forms
+# (which is what the catalog annotation in run_sql wraps integral
+# columns into), COUNT(...) calls (always BIGINT in both engines),
+# parenthesized groups of those, and integer literals partnered with
+# one of the above. Emission: CAST((a) DIV (b) AS <wider type>) —
+# Spark's `div` is truncating integral division with the same ANSI
+# raise discipline the reference's tests pin (division by zero,
+# MIN/-1 overflow). Inside TRY(...) the emission is
+# TRY_CAST(TRY_DIVIDE(a, b) AS T): NULL-on-zero/overflow like
+# Presto's TRY, truncated by the ANSI fractional->integral cast
+# (exact for |quotient| <= 2^53 — the double-precision residual is
+# documented). Pairs where BOTH sides are literals stay with the
+# literal fold (div-by-zero raise contract).
+
+_INT_COUNT_BACK = re.compile(r"\bCOUNT\s*$", re.IGNORECASE)
+_INT_COUNT_FWD = re.compile(r"COUNT\s*\(", re.IGNORECASE)
+
+
+def _int_operand_span(masked: str, lo: int, hi: int):
+    """Type-derive [lo, hi) as an integral EXPRESSION: one operand, or
+    a +,-,*,% chain of integral operands (result rank = max operand
+    rank — Presto promotes both sides to the wider integral type; the
+    ops themselves keep the type with the same ANSI overflow raises in
+    both engines). A chain containing a top-level '/' fails the parse:
+    that inner division must rewrite FIRST (the pass's own fixpoint
+    brings it back as a single CAST operand). Returns
+    (lo, hi, rank, is_lit); a computed chain reports is_lit=False so
+    e.g. (7 - 3) / 2 rewrites (the bare-literal-pair decline is only
+    for the literal fold's direct domain)."""
+    ranks = []
+    all_lit = True
+    n_ops = 0
+    i = lo
+    while True:
+        while i < hi and (masked[i].isspace() or masked[i] in "+-"):
+            i += 1  # unary sign: negation keeps the integral type
+        op = _int_operand_fwd(masked, i)
+        if op is None or op[1] > hi:
+            return None
+        ranks.append(op[2])
+        all_lit = all_lit and op[3]
+        i = op[1]
+        while i < hi and masked[i].isspace():
+            i += 1
+        if i >= hi:
+            break
+        if masked[i] not in "+-*%":
+            return None  # '/' or anything else: not derivable yet
+        n_ops += 1
+        i += 1
+    return (lo, hi, max(ranks), all_lit and n_ops == 0)
+
+
+def _int_operand_fwd(masked: str, i: int):
+    """(start, end, rank, is_lit) of an integral operand at i."""
+    if i > 0 and masked[i - 1] in _IDENTCH:
+        return None
+    if i < len(masked) and masked[i] == "(":
+        try:
+            past = _balanced(masked, i)
+        except ValueError:
+            return None
+        inner = _int_operand_span(masked, i + 1, past - 1)
+        if inner is None:
+            return None
+        return (i, past, inner[2], inner[3])
+    m = _DCA_CAST_FWD.match(masked, i)
+    if m:
+        open_i = masked.index("(", m.end(1))
+        try:
+            past = _balanced(masked, open_i)
+        except ValueError:
+            return None
+        im = _DCA_INT_TAIL.search(masked[open_i + 1:past - 1])
+        if im is None:
+            return None
+        return (i, past, _INT_RANK[im.group(1).upper()], False)
+    m = _INT_COUNT_FWD.match(masked, i)
+    if m:
+        open_i = masked.index("(", i)
+        try:
+            past = _balanced(masked, open_i)
+        except ValueError:
+            return None
+        return (i, past, 3, False)
+    m = _DCA_NUM_FWD.match(masked, i)
+    if m:
+        if m.end() < len(masked) and masked[m.end()] in _IDENTCH:
+            return None
+        if "." in m.group(0):
+            return None
+        v = int(m.group(0))
+        if v >= 2 ** 63:
+            return None
+        return (i, m.end(), 2 if v < 2 ** 31 else 3, True)
+    return None
+
+
+def _int_operand_back(masked: str, j: int):
+    if j <= 0:
+        return None
+    if masked[j - 1] == ")":
+        depth = 0
+        open_i = None
+        for k in range(j - 1, -1, -1):
+            if masked[k] == ")":
+                depth += 1
+            elif masked[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    open_i = k
+                    break
+        if open_i is None:
+            return None
+        hm = _DCA_CAST_BACK.search(masked[:open_i])
+        if hm is not None:
+            im = _DCA_INT_TAIL.search(masked[open_i + 1:j - 1])
+            if im is None:
+                return None
+            return (hm.start(), j, _INT_RANK[im.group(1).upper()],
+                    False)
+        cm = _INT_COUNT_BACK.search(masked[:open_i])
+        if cm is not None:
+            return (cm.start(), j, 3, False)
+        if open_i > 0 and masked[open_i - 1] in _IDENTCH:
+            return None
+        inner = _int_operand_span(masked, open_i + 1, j - 1)
+        if inner is None:
+            return None
+        return (open_i, j, inner[2], inner[3])
+    nm = _DCA_NUM_BACK.search(masked[:j])
+    if nm is None:
+        return None
+    if nm.start() > 0 and masked[nm.start() - 1] in _IDENTCH:
+        return None
+    if "." in nm.group(1):
+        return None
+    v = int(nm.group(1))
+    if v >= 2 ** 63:
+        return None
+    return (nm.start(), j, 2 if v < 2 ** 31 else 3, True)
+
+
+def _int_div_pass(masked: str) -> str:
+    """One leftmost rewrite of a statically-integral '/' site; returns
+    masked unchanged when no site qualifies."""
+    extents = _dca_try_extents(masked)
+    i = -1
+    while True:
+        i += 1
+        if i >= len(masked):
+            return masked
+        if masked[i] != "/":
+            continue
+        j = i
+        while j > 0 and masked[j - 1].isspace():
+            j -= 1
+        left = _int_operand_back(masked, j)
+        if left is None:
+            continue
+        k = i + 1
+        while k < len(masked) and masked[k].isspace():
+            k += 1
+        right = _int_operand_fwd(masked, k)
+        if right is None:
+            continue
+        if left[3] and right[3]:
+            continue  # the literal fold's domain (div-by-zero, TRY)
+        g = left[0]
+        while g > 0 and masked[g - 1].isspace():
+            g -= 1
+        if g and masked[g - 1] in "*/%":
+            continue  # left-associativity: a continuation chain
+        rank = max(left[2], right[2])
+        a = masked[left[0]:left[1]]
+        b = masked[right[0]:right[1]]
+        if any(lo <= i < hi for lo, hi in extents):
+            new = (f"TRY_CAST(TRY_DIVIDE(({a}), ({b})) "
+                   f"AS {_INT_SQL[rank]})")
+        else:
+            new = f"CAST(({a}) DIV ({b}) AS {_INT_SQL[rank]})"
+        return masked[:left[0]] + new + masked[right[1]:]
 
 
 _IN_LIST = re.compile(r"\bIN\s*\(([^()]*)\)", re.IGNORECASE)
@@ -1687,6 +1935,19 @@ def _lower_try(inner: str) -> str:
     # nothing can error at runtime, TRY(x) == x.
     if re.fullmatch(r"[\w.\x00]*", stripped):
         return "(" + stripped + ")"
+    # A body that is already a single error-absorbed call (the
+    # integral-division pass emits TRY_CAST(TRY_DIVIDE(...) AS T)
+    # inside TRY extents): nothing left to absorb, TRY(x) == x.
+    am = re.match(r"(TRY_CAST|TRY_DIVIDE|TRY_ADD|TRY_SUBTRACT|"
+                  r"TRY_MULTIPLY|TRY_ELEMENT_AT)\s*\(", stripped,
+                  re.IGNORECASE)
+    if am:
+        open_i = stripped.index("(", am.start())
+        try:
+            if _balanced(stripped, open_i) == len(stripped):
+                return "(" + stripped + ")"
+        except ValueError:
+            pass
     raise TryShapeNotSupportedError(
         f"TRY shape not supported: TRY({stripped}). Spark has no generic "
         "runtime-error absorber; supported shapes: CAST, element_at, "
@@ -3433,6 +3694,248 @@ def _ensure_sql_udfs(spark: SparkSession) -> None:
     _UDF_SESSIONS.add(spark)
 
 
+# ---------------------------------------------------------------------------
+# Catalog-aware column typing (r14, second half)
+# ---------------------------------------------------------------------------
+# The static-type rewrites (_rewrite_decimal_column_arith,
+# _int_div_pass, _rewrite_real_division) fire on CAST(... AS <type>)
+# operand forms. For BARE column references the type is not in the SQL
+# text — but it IS in the catalog: when every FROM/JOIN reference
+# resolves to a registered table/view, a column's type is statically
+# known, and wrapping the reference in CAST(col AS <its own type>) is
+# a SEMANTIC NO-OP that makes the operand statically typed. This pass
+# does exactly that, for arithmetic-adjacent references to integral /
+# REAL / DECIMAL columns, so e.g. `l_orderkey / l_linenumber` gets the
+# reference's truncating INTEGRAL division (TestIntegerOperators
+# .testDivide) and bare decimal columns get DecimalOperators.java's
+# type derivation — closing the "non-literal operands" residual of the
+# r14 decimal work for catalog-resolvable references.
+#
+# Safety discipline (a wrong annotation would be a wrong VALUE, so
+# every rule errs toward skipping):
+#  - unqualified names annotate only when EVERY from-ref resolved, the
+#    name maps to exactly one type across all referenced tables, and
+#    nothing shadows it: SELECT-item aliases (AS and implicit),
+#    lambda parameters, and keywords are all excluded;
+#  - qualified names (alias.col) annotate whenever that alias's table
+#    resolved;
+#  - only arithmetic-adjacent references are touched, so GROUP
+#    BY/ORDER BY keys, join conditions, and projection lists keep
+#    their spelling;
+#  - any resolution error abandons annotation for the whole statement.
+
+_ANNOT_CLAUSE_KW = frozenset((
+    "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION", "INTERSECT",
+    "EXCEPT", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
+    "NATURAL", "ON", "USING", "LATERAL", "TABLESAMPLE", "SET",
+    "WINDOW", "OFFSET", "FETCH", "VALUES", "SELECT", "WITH", "UNNEST",
+))
+
+_ANNOT_KEYWORDS = frozenset("""
+    select from where group by order having join on as and or not in is
+    null case when then else end between like escape limit offset union
+    all distinct intersect except with cross inner left right full
+    outer natural lateral using values interval over partition rows
+    range unbounded preceding following current row exists any some
+    true false cast try_cast try asc desc nulls first last filter
+    within count tablesample bernoulli system at zone day hour minute
+    second month year to date time timestamp unnest ordinality grouping
+    sets rollup cube ignore respect
+""".split())
+
+# token before an implicit alias that means "this is NOT an alias"
+# (an operand of a still-open expression)
+_ANNOT_NONALIAS_PREV = frozenset("""
+    and or not then when else is in like between distinct all by escape
+    as select
+""".split())
+
+_ANNOT_KW_ALT = "|".join(sorted(_ANNOT_CLAUSE_KW | {"AS"}))
+# the alias arm must NOT consume a clause keyword (a consumed JOIN
+# would hide the joined table from resolution — an ambiguity hazard)
+_ANNOT_REF = re.compile(
+    r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*(?:\.\w+)*)"
+    r"(?:\s+(?:AS\s+)?(?!(?:" + _ANNOT_KW_ALT + r")\b)"
+    r"([A-Za-z_]\w*))?", re.IGNORECASE)
+_ANNOT_REF_COMMA = re.compile(
+    r"\s*,\s*([A-Za-z_]\w*(?:\.\w+)*)"
+    r"(?:\s+(?:AS\s+)?(?!(?:" + _ANNOT_KW_ALT + r")\b)"
+    r"([A-Za-z_]\w*))?", re.IGNORECASE)
+
+
+def _annot_refs(masked: str):
+    """(table, alias|None) pairs for every FROM/JOIN reference,
+    including comma-separated FROM lists."""
+    out = []
+    pos = 0
+    while True:
+        m = _ANNOT_REF.search(masked, pos)
+        if m is None:
+            return out
+        out.append((m.group(1), m.group(2)))
+        pos = m.end()
+        while True:
+            cm = _ANNOT_REF_COMMA.match(masked, pos)
+            if cm is None:
+                break
+            out.append((cm.group(1), cm.group(2)))
+            pos = cm.end()
+_ANNOT_IDENT = re.compile(
+    r"(?<![\w.\x00])([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)(?![\w.])")
+
+
+def _annot_sqltype(dt):
+    """SQL spelling for an annotatable Spark type, else None."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    return {"ByteType": "TINYINT", "ShortType": "SMALLINT",
+            "IntegerType": "INT", "LongType": "BIGINT",
+            "FloatType": "FLOAT"}.get(type(dt).__name__)
+
+
+def _implicit_select_aliases(masked: str) -> set:
+    """Names bound as SELECT-item aliases (with or without AS)."""
+    out = set()
+    n = len(masked)
+    for sm in re.finditer(r"\bSELECT\b", masked, re.IGNORECASE):
+        i = sm.end()
+        depth = 0
+        item_start = i
+        items = []
+        while i < n:
+            c = masked[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0:
+                if c == ",":
+                    items.append(masked[item_start:i])
+                    item_start = i + 1
+                elif (c in "Ff" and masked[i:i + 4].upper() == "FROM"
+                      and (i + 4 >= n or not (masked[i + 4].isalnum()
+                                              or masked[i + 4] == "_"))
+                      and not (masked[i - 1].isalnum()
+                               or masked[i - 1] in "_.")):
+                    break
+            i += 1
+        items.append(masked[item_start:i])
+        for item in items:
+            item = item.strip()
+            m = re.search(r"[)\]\w\x00]\s+([A-Za-z_]\w*)$", item)
+            if not m:
+                continue
+            if m.group(1).lower() in _ANNOT_KEYWORDS:
+                continue
+            pm = re.search(r"([A-Za-z_]\w*)\s+[A-Za-z_]\w*$", item)
+            if pm and pm.group(1).lower() in _ANNOT_NONALIAS_PREV:
+                continue
+            out.add(m.group(1).lower())
+    return out
+
+
+def _annotate_numeric_columns(spark: SparkSession, sql: str) -> str:
+    try:
+        return _annotate_numeric_columns_inner(spark, sql)
+    except Exception:
+        return sql  # annotation is parity hardening, never a blocker
+
+
+def _annotate_numeric_columns_inner(spark, sql: str) -> str:
+    if not re.search(r"[*/%+-]", sql):
+        return sql
+    masked, stash = _mask(sql)
+    refs = _annot_refs(masked)
+    if not refs:
+        return sql
+    tables: dict = {}   # lower table name -> schema fields or None
+    aliasmap: dict = {}  # lower alias/table -> lower table key or None
+    for tbl, alias in refs:
+        key = tbl.lower()
+        if key not in tables:
+            try:
+                tables[key] = spark.table(tbl).schema.fields
+            except Exception:
+                tables[key] = None
+        target = key if tables[key] is not None else None
+        for a in filter(None, (key, alias and alias.lower())):
+            if a in aliasmap and aliasmap[a] != target:
+                aliasmap[a] = None  # alias reused across scopes
+            else:
+                aliasmap[a] = target
+    all_resolved = all(v is not None for v in tables.values())
+    colmap: dict = {}  # lower column -> type string | None
+    for fields in tables.values():
+        if fields is None:
+            continue
+        for f in fields:
+            t = _annot_sqltype(f.dataType)
+            low = f.name.lower()
+            if low not in colmap:
+                colmap[low] = t
+            elif colmap[low] != t:
+                colmap[low] = None
+    shadows = set()
+    for m in re.finditer(r"\bAS\s+([A-Za-z_]\w*)", masked,
+                         re.IGNORECASE):
+        shadows.add(m.group(1).lower())
+    for m in re.finditer(r"\(([^()]*)\)\s*->", masked):
+        shadows.update(t.strip().lower() for t in m.group(1).split(",")
+                       if t.strip())
+    for m in re.finditer(r"\b([A-Za-z_]\w*)\s*->", masked):
+        shadows.add(m.group(1).lower())
+    shadows |= _implicit_select_aliases(masked)
+
+    out_parts = []
+    last = 0
+    changed = False
+    for m in _ANNOT_IDENT.finditer(masked):
+        name = m.group(1)
+        rest = masked[m.end():].lstrip()
+        if rest[:1] == "(":
+            continue  # a call site
+        if "." in name:
+            qual, col = name.split(".", 1)
+            tkey = aliasmap.get(qual.lower())
+            if not tkey:
+                continue
+            t = None
+            for f in tables[tkey] or ():
+                if f.name.lower() == col.lower():
+                    t = _annot_sqltype(f.dataType)
+                    break
+            if t is None:
+                continue
+        else:
+            low = name.lower()
+            if low in _ANNOT_KEYWORDS or not all_resolved \
+                    or low in shadows:
+                continue
+            t = colmap.get(low)
+            if not t:
+                continue
+        prev = masked[:m.start()].rstrip()
+        pc = prev[-1:]
+        adj = bool(pc) and pc in "+-*/%"
+        if not adj and rest[:1] and rest[:1] in "+-*/%" \
+                and rest[:2] != "->":
+            adj = True
+        if not adj:
+            continue
+        out_parts.append(masked[last:m.start()])
+        out_parts.append(f"CAST({name} AS {t})")
+        last = m.end()
+        changed = True
+    if not changed:
+        return sql
+    out_parts.append(masked[last:])
+    return _unmask("".join(out_parts), stash)
+
+
 def run_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Execute Presto-dialect SQL against the registered catalog."""
     ensure_session_defaults(spark)
@@ -3440,4 +3943,5 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
     routed = _route_geo_aggregate(spark, sql)
     if routed is not None:
         return routed
-    return spark.sql(presto_to_spark_sql(sql))
+    return spark.sql(presto_to_spark_sql(
+        _annotate_numeric_columns(spark, sql)))
