@@ -1430,6 +1430,457 @@ def _rewrite_real_division(masked: str, stash) -> str:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Null-touching complex-element comparisons (r14, second half)
+# ---------------------------------------------------------------------------
+# Presto raises NOT_SUPPORTED when an element comparison inside
+# CONTAINS / ARRAY_POSITION / ARRAY_REMOVE / ARRAY_INTERSECT / row
+# ordering actually TOUCHES an undetermined null — and only then:
+# contains(ARRAY[ARRAY[1], ARRAY[null]], ARRAY[1]) returns TRUE
+# because the match at position 1 short-circuits before the null is
+# compared. No type-blind runtime rewrite can replicate that visit
+# order without raising on valid inputs (Spark's complex equality
+# treats nulls as equal, so indeterminacy is not even observable) —
+# but for LITERAL arguments the reference's exact loop is computable
+# at translate time, the same move as the decimal literal folds. This
+# pass parses fully-literal argument pairs, replays the reference
+# algorithm (cited per function below), and folds provably-raising
+# calls to raise_error; every non-raising call is left untouched for
+# Spark to evaluate. TRY(...) extents are skipped (Presto TRY absorbs
+# these raises).
+#
+# Reference loops replayed:
+#  - ArrayContains.java: skip null elements (foundNull), raise on an
+#    indeterminate EQUAL, return true on the first match;
+#  - ArrayPositionFunction.java: skip null elements, verify(EQUAL
+#    result != null) — raise on indeterminate, 1-based index on match;
+#  - ArrayRemoveFunction.java: null elements kept, raise on any
+#    indeterminate EQUAL (no early exit — every element is compared);
+#  - ArrayIntersectFunction.java: TypedSet build/probe — EQUAL is
+#    only invoked between elements whose hashes collide (equal
+#    modulo-null structure), and Type.equalTo THROWS on indeterminate
+#    ("ROW/ARRAY comparison not supported ...");
+#  - RowComparisonOperator.compare: fields visited in order, raise on
+#    the FIRST VISITED null ("null value at position i") — a strict
+#    inequality at an earlier field decides without raising.
+
+
+class _NotLiteralExpr(Exception):
+    """Argument is not a fully-literal value — leave the call alone."""
+
+
+_CNC_NUM = re.compile(r"[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?")
+_CNC_WORD = re.compile(r"[A-Za-z_]\w*")
+_CNC_STASH = re.compile(r"\x00s(\d+)\x00")
+_CNC_NUMERIC_T = (
+    "DECIMAL", "DOUBLE", "REAL", "INTEGER", "INT", "BIGINT",
+    "SMALLINT", "TINYINT", "FLOAT",
+)
+
+
+def _cnc_bracket(s: str, open_i: int) -> int:
+    """Index one past the ']' matching s[open_i] == '['."""
+    sq = 0
+    par = 0
+    for k in range(open_i, len(s)):
+        c = s[k]
+        if c == "[":
+            sq += 1
+        elif c == "]":
+            sq -= 1
+            if sq == 0 and par == 0:
+                return k + 1
+        elif c == "(":
+            par += 1
+        elif c == ")":
+            par -= 1
+    raise _NotLiteralExpr
+
+
+def _cnc_parse(text: str, stash) -> object:
+    val, i = _cnc_value(text, 0, stash)
+    if text[i:].strip():
+        raise _NotLiteralExpr
+    return val
+
+
+def _cnc_stash_text(sm: re.Match, stash) -> str:
+    body = stash[int(sm.group(1))][1]
+    return body[1:-1].replace("''", "'")
+
+
+def _cnc_value(s: str, i: int, stash):
+    from decimal import Decimal, InvalidOperation
+
+    n = len(s)
+    while i < n and s[i].isspace():
+        i += 1
+    if i >= n:
+        raise _NotLiteralExpr
+    sm = _CNC_STASH.match(s, i)
+    if sm:
+        return _cnc_stash_text(sm, stash), sm.end()
+    if s[i] == "(":
+        close = _balanced(s, i)
+        items = _split_top_comma(s[i + 1:close - 1])
+        if len(items) >= 2:
+            return (tuple(_cnc_parse(it, stash) for it in items),
+                    close)
+        return _cnc_parse(items[0], stash), close
+    wm = _CNC_WORD.match(s, i)
+    if wm:
+        w = wm.group(0).upper()
+        j = wm.end()
+        while j < n and s[j].isspace():
+            j += 1
+        if w == "NULL":
+            return None, wm.end()
+        if w == "TRUE":
+            return True, wm.end()
+        if w == "FALSE":
+            return False, wm.end()
+        if w == "ARRAY" and j < n and s[j] == "[":
+            close = _cnc_bracket(s, j)
+            inner = s[j + 1:close - 1]
+            if not inner.strip():
+                return [], close
+            return ([_cnc_parse(it, stash)
+                     for it in _split_top_comma(inner)], close)
+        if w == "ROW" and j < n and s[j] == "(":
+            close = _balanced(s, j)
+            items = _split_top_comma(s[j + 1:close - 1])
+            return tuple(_cnc_parse(it, stash) for it in items), close
+        if w in ("CAST", "TRY_CAST") and j < n and s[j] == "(":
+            close = _balanced(s, j)
+            body = s[j + 1:close - 1]
+            am = re.search(r"\bAS\s+([A-Za-z_]\w*)[^()]*$", body,
+                           re.IGNORECASE)
+            if am is None:
+                raise _NotLiteralExpr
+            v = _cnc_parse(body[:am.start()], stash)
+            tgt = am.group(1).upper()
+            if isinstance(v, str) and tgt in _CNC_NUMERIC_T:
+                try:
+                    v = Decimal(v)
+                except InvalidOperation:
+                    raise _NotLiteralExpr from None
+            return v, close
+        # typed literal: TYPE 'text'
+        sm2 = _CNC_STASH.match(s, j)
+        if sm2 is not None:
+            body = _cnc_stash_text(sm2, stash)
+            if w in _CNC_NUMERIC_T:
+                try:
+                    return Decimal(body), sm2.end()
+                except InvalidOperation:
+                    raise _NotLiteralExpr from None
+            if w in ("VARCHAR", "CHAR"):
+                return body, sm2.end()
+        raise _NotLiteralExpr
+    nm = _CNC_NUM.match(s, i)
+    if nm:
+        t = nm.group(0)
+        if "." in t or "e" in t or "E" in t:
+            return Decimal(t), nm.end()
+        return int(t), nm.end()
+    raise _NotLiteralExpr
+
+
+def _cnc_same_kind(a, b) -> bool:
+    num = (int,) + tuple([__import__("decimal").Decimal])
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool)
+    for kinds in (num, (str,), (list,), (tuple,)):
+        if isinstance(a, kinds):
+            return isinstance(b, kinds)
+    return False
+
+
+def _cnc_eq(a, b):
+    """Presto EQUAL with three-valued semantics: True/False/None.
+    Mirrors ArrayEqualOperator.java / RowEqualOperator.java: length
+    mismatch is FALSE before any element comparison; null positions
+    mark the result indeterminate unless a determinate mismatch
+    decides FALSE first."""
+    if a is None or b is None:
+        return None
+    if not _cnc_same_kind(a, b):
+        raise _NotLiteralExpr
+    if isinstance(a, list):
+        if len(a) != len(b):
+            return False
+        indeterminate = False
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                indeterminate = True
+                continue
+            r = _cnc_eq(x, y)
+            if r is None:
+                indeterminate = True
+            elif not r:
+                return False
+        return None if indeterminate else True
+    if isinstance(a, tuple):
+        if len(a) != len(b):
+            return False
+        indeterminate = False
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                indeterminate = True
+                continue
+            r = _cnc_eq(x, y)
+            if r is None:
+                indeterminate = True
+            elif not r:
+                return False
+        return None if indeterminate else True
+    return a == b
+
+
+def _cnc_key(v):
+    """Structural hash key treating null as a fixed sentinel — two
+    values share a TypedSet bucket iff their keys match (the
+    reference hashes null positions to a constant)."""
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, (list, tuple)):
+        return (type(v).__name__,) + tuple(_cnc_key(x) for x in v)
+    from decimal import Decimal
+
+    if isinstance(v, (int, Decimal)):
+        return ("n", Decimal(v).normalize())
+    return ("s", v)
+
+
+class _CncRaise(Exception):
+    def __init__(self, msg):
+        super().__init__(msg)
+        self.msg = msg
+
+
+def _cnc_elem_msg(v) -> str:
+    if isinstance(v, tuple):
+        return "ROW comparison not supported for fields with null elements"
+    return "ARRAY comparison not supported for arrays with null elements"
+
+
+def _cnc_typedset_add(items: list, v):
+    if v is None:
+        if not any(u is None for u in items):
+            items.append(v)
+        return
+    for u in items:
+        if u is not None and _cnc_key(u) == _cnc_key(v):
+            r = _cnc_eq(u, v)
+            if r is None:
+                raise _CncRaise(_cnc_elem_msg(v))
+            if r:
+                return
+    items.append(v)
+
+
+def _cnc_typedset_contains(items: list, v) -> bool:
+    if v is None:
+        return any(u is None for u in items)
+    for u in items:
+        if u is not None and _cnc_key(u) == _cnc_key(v):
+            r = _cnc_eq(u, v)
+            if r is None:
+                raise _CncRaise(_cnc_elem_msg(v))
+            if r:
+                return True
+    return False
+
+
+def _cnc_evaluate(fn: str, a, b) -> str | None:
+    """The raise message the reference produces for fn(a, b), or None
+    when the call completes (left for Spark to evaluate)."""
+    if a is None or b is None:
+        # RETURN_NULL_ON_NULL: a null top-level argument short-circuits
+        # to NULL before the function body runs (the framework never
+        # invokes it) — TestArrayOperators.java:674-677
+        return None
+    if fn == "CONTAINS":
+        if not isinstance(a, list):
+            raise _NotLiteralExpr
+        for e in a:
+            if e is None:
+                continue
+            r = _cnc_eq(e, b)
+            if r is None:
+                return ("contains does not support arrays with "
+                        "elements that are null or contain null")
+            if r:
+                return None
+        return None
+    if fn == "ARRAY_POSITION":
+        if not isinstance(a, list):
+            raise _NotLiteralExpr
+        for e in a:
+            if e is None:
+                continue
+            r = _cnc_eq(e, b)
+            if r is None:
+                return "Array element should not be null"
+            if r:
+                return None
+        return None
+    if fn == "ARRAY_REMOVE":
+        if not isinstance(a, list):
+            raise _NotLiteralExpr
+        msg = None
+        for e in a:
+            if e is None:
+                continue
+            if _cnc_eq(e, b) is None:
+                msg = ("array_remove does not support arrays with "
+                       "elements that are null or contain null")
+        return msg
+    if fn == "ARRAY_INTERSECT":
+        if not isinstance(a, list) or not isinstance(b, list):
+            raise _NotLiteralExpr
+        left, right = a, b
+        if len(left) < len(right):
+            left, right = right, left
+        if not right:
+            return None
+        try:
+            rset: list = []
+            for v in right:
+                _cnc_typedset_add(rset, v)
+            iset: list = []
+            for v in left:
+                if _cnc_typedset_contains(rset, v):
+                    _cnc_typedset_add(iset, v)
+        except _CncRaise as e:
+            return e.msg
+        return None
+    raise _NotLiteralExpr
+
+
+def _cnc_row_compare(a: tuple, b: tuple) -> str | None:
+    """RowComparisonOperator.compare null-visit behavior: the raise
+    message, or None when the ordering decides before touching a
+    null. (The decision itself is left to Spark — struct ordering
+    agrees when no null is visited.)"""
+    if len(a) != len(b):
+        raise _NotLiteralExpr
+    for i, (x, y) in enumerate(zip(a, b)):
+        if x is None or y is None:
+            return f"null value at position {i}"
+        if isinstance(x, tuple) and isinstance(y, tuple):
+            m = _cnc_row_compare(x, y)
+            if m is not None:
+                return m
+            continue
+        if not _cnc_same_kind(x, y) or isinstance(x, list):
+            raise _NotLiteralExpr
+        if x != y:
+            return None  # strict inequality decides here
+    return None
+
+
+_CNC_FN = re.compile(
+    r"\b(CONTAINS|ARRAY_POSITION|ARRAY_REMOVE|ARRAY_INTERSECT)\s*\(",
+    re.IGNORECASE)
+_CNC_ROW_CMP = re.compile(r"\bROW\s*\(", re.IGNORECASE)
+_CNC_RET = {"CONTAINS": " AS BOOLEAN", "ARRAY_POSITION": " AS BIGINT"}
+
+
+def _fold_complex_null_comparisons(masked: str, stash) -> str:
+    if not re.search(r"\bNULL\b", masked, re.IGNORECASE):
+        return masked
+    from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+    extents = _dca_try_extents(masked)
+
+    def in_try(pos):
+        return any(lo <= pos < hi for lo, hi in extents)
+
+    out = masked
+    pos = 0
+    while True:
+        m = _CNC_FN.search(out, pos)
+        if m is None:
+            break
+        pos = m.end()
+        fn = m.group(1).upper()
+        cast_t = _CNC_RET.get(fn)
+        tried = in_try(m.start())
+        if tried and cast_t is None:
+            continue  # array-typed TRY result: type not derivable
+        open_i = out.index("(", m.end(1))
+        try:
+            past = _balanced(out, open_i)
+        except ValueError:
+            continue
+        args = _split_top_comma(out[open_i + 1:past - 1])
+        if len(args) != 2:
+            continue
+        try:
+            a = _cnc_parse(args[0], stash)
+            b = _cnc_parse(args[1], stash)
+            msg = _cnc_evaluate(fn, a, b)
+        except (_NotLiteralExpr, ValueError):
+            continue
+        if msg is None:
+            pos = past
+            continue
+        if tried:
+            # Presto TRY absorbs the raise to NULL; the raise is
+            # statically known, so fold the NULL directly (the TRY
+            # extent itself still lowers over the remaining shape)
+            repl = f"CAST(NULL{cast_t})"
+        else:
+            lit = _stash_lit(stash, msg)
+            repl = (f"CAST(raise_error({lit}){cast_t})" if cast_t
+                    else f"raise_error({lit})")
+        out = out[:m.start()] + repl + out[past:]
+        pos = m.start() + len(repl)
+        extents = _dca_try_extents(out)
+    # row(...) <op> row(...) ordering over literal rows
+    pos = 0
+    while True:
+        m = _CNC_ROW_CMP.search(out, pos)
+        if m is None:
+            return out
+        pos = m.end()
+        if in_try(m.start()):
+            continue
+        open_i = out.index("(", m.start())
+        try:
+            past = _balanced(out, open_i)
+        except ValueError:
+            continue
+        om = re.match(r"\s*(<=|>=|<|>)\s*(ROW)\s*\(", out[past:],
+                      re.IGNORECASE)
+        if om is None:
+            continue
+        open2 = past + om.end() - 1
+        try:
+            past2 = _balanced(out, open2)
+        except ValueError:
+            continue
+        try:
+            a = _cnc_parse(out[m.start():past], stash)
+            b = _cnc_parse(out[past + om.start(2):past2], stash)
+            if not (isinstance(a, tuple) and isinstance(b, tuple)):
+                raise _NotLiteralExpr
+            msg = _cnc_row_compare(a, b)
+        except (_NotLiteralExpr, ValueError):
+            continue
+        if msg is None:
+            pos = past2
+            continue
+        lit = _stash_lit(stash, msg)
+        repl = f"CAST(raise_error({lit}) AS BOOLEAN)"
+        out = out[:m.start()] + repl + out[past2:]
+        pos = m.start() + len(repl)
+        extents = _dca_try_extents(out)
+
+
 def _rewrite_date_time_interval_raise(masked: str, stash) -> str:
     """DATE literal +/- a sub-day INTERVAL raises in Presto
     (DateTimeOperators.java:47-58, 205: 'Cannot add hour, minutes or
@@ -3289,6 +3740,7 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = _rewrite_sized_char_casts(masked, stash)
     masked = _rewrite_decimal_column_arith(masked)
     masked = _rewrite_real_division(masked, stash)
+    masked = _fold_complex_null_comparisons(masked, stash)
     masked = _rewrite_array_literals(masked)
     masked = _rewrite_map_ctor(masked)
     masked = _rewrite_row_types(masked)

@@ -1,0 +1,63 @@
+"""Value pins for the null-touching complex-element comparison fold
+(frontend._fold_complex_null_comparisons, r14 #2).
+
+The raising side lives in tests/test_error_pin_corpus.py (10 pins,
+TestArrayOperators.java:536-1504 + TestRowOperators.java:521). THIS
+file pins the other half of the contract: inputs the reference
+COMPUTES must keep computing — the fold replays the reference's
+element-visit order, so a match that short-circuits before any null
+is touched returns a value (ArrayContains.java returns true at the
+first EQUAL hit; RowComparisonOperator decides at the first strict
+field inequality), and the reference's own VALID rows around the
+raise pins (TestArrayOperators.java:1195-1201 array_intersect) stay
+green. Also pins the TRY absorption: a statically-raising
+contains/array_position inside TRY folds to NULL (Presto TRY
+absorbs the NOT_SUPPORTED raise — TryFunction.java)."""
+
+from __future__ import annotations
+
+import pytest
+
+from presto_0_235_spark.sql.frontend import run_sql
+
+
+def _val(spark, expr):
+    return run_sql(spark, f"SELECT {expr} AS v").first().v
+
+
+CASES = [
+    # contains: the match at an earlier position short-circuits
+    # before the null element is compared (ArrayContains.java loop)
+    ("CONTAINS(ARRAY [ARRAY[1], ARRAY[null]], ARRAY[1])", True),
+    ("CONTAINS(ARRAY [ARRAY [1.1, 2.2], ARRAY [3.3, 4.3]], "
+     "ARRAY [1.1, 2.2])", True),
+    # a null ELEMENT (not a null inside an element) is skipped; no
+    # match over non-null elements -> NULL (foundNull)
+    ("CONTAINS(ARRAY [ARRAY[2], null], ARRAY[1])", None),
+    ("ARRAY_POSITION(ARRAY [ARRAY[1], ARRAY[null]], ARRAY[1])", 1),
+    # scalar elements never hit the complex-indeterminate raise
+    ("CONTAINS(ARRAY[1, null], 1)", True),
+    ("ARRAY_POSITION(ARRAY[null, 2], 2)", 2),
+    # row ordering decides at field 0 without visiting the null
+    # (RowComparisonOperator.compare visit order)
+    ("row(0, CAST(NULL AS INTEGER)) < row(1, 2)", True),
+    ("row(2, CAST(NULL AS INTEGER)) < row(1, 2)", False),
+    # the reference's own valid rows next to the intersect raise
+    # pins (TestArrayOperators.java:1195-1201): hash-disjoint
+    # null-field rows never reach an EQUAL call
+    ("CARDINALITY(ARRAY_INTERSECT(ARRAY[(123, 'abc'), (123, 'abc')],"
+     " ARRAY[(123, 'abc'), (123, NULL)]))", 1),
+    ("CARDINALITY(ARRAY_INTERSECT(ARRAY[(123, 'abc')], "
+     "ARRAY[(123, NULL)]))", 0),
+    # TRY absorbs the statically-known raise to NULL
+    ("TRY(CONTAINS(ARRAY [ARRAY [1.1, null]], ARRAY [1.1, null]))",
+     None),
+    ("TRY(ARRAY_POSITION(ARRAY [ARRAY[null]], ARRAY[1]))", None),
+]
+
+
+@pytest.mark.parametrize(
+    "expr,want", CASES, ids=[f"{i:02d}" for i in range(len(CASES))]
+)
+def test_valid_inputs_keep_computing(spark, expr, want):
+    assert _val(spark, expr) == want

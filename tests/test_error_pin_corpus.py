@@ -3,12 +3,20 @@ assertInvalidFunction expressions from the reference's type/ and
 operator/scalar test suites: each expression below RAISES in the
 reference, and this suite pins that it raises through the SQL front
 door too (the reference's own pattern: error TEXT differs by engine,
-the contract is errors-not-wrong-values). 410 pins (281 from
-the r11 extraction + 32 r12 leniency conversions + 8 r14
+the contract is errors-not-wrong-values). 420 pins (281 from
+the r11 extraction + 32 r12 leniency conversions + 18 r14
 conversions — empty split_to_map/multimap delimiters raise BEFORE
 scanning, constant IN lists evaluate their division-by-zero items
-like the reference, and COLUMN-typed DATE +/- sub-day intervals
-raise via the runtime typeof() guard — + 89 r13 conversions: negative array subscripts via the typeof() guard, the
+like the reference, COLUMN-typed DATE +/- sub-day intervals
+raise via the runtime typeof() guard, and the TEN null-touching
+complex-element comparison raises via translate-time replay of the
+reference's exact element-visit order over literal arguments
+(frontend._fold_complex_null_comparisons: the ArrayContains /
+ArrayPositionFunction / ArrayRemoveFunction / ArrayIntersect
+TypedSet / RowComparisonOperator loops; valid inputs like
+contains(ARRAY[ARRAY[1], ARRAY[null]], ARRAY[1]) stay computed,
+value-pinned in tests/test_complex_null_comparisons.py) —
++ 89 r13 conversions: negative array subscripts via the typeof() guard, the
 normal/beta CDF and wilson-interval validation families, from_hex /
 from_big_endian_32/64 input validation, single-argument concat,
 strpos/split/split_part positivity, the split_to_map/multimap
@@ -31,27 +39,30 @@ STRING repetition where Presto's repeat builds an ARRAY
 (RepeatFunction.java) — now lowered to array_repeat with the
 reference's negative/10000-cap raises.
 
-15 extracted expressions RETURN values here instead of raising
+5 extracted expressions RETURN values here instead of raising
 (122 at r11 -> 90 after r12's 32 conversions -> 17 after r13's 74
--> 15 after the r14 IN-list + column-date-interval conversions;
-re-triaged against the full reference extraction each round). The
-remaining 15 are the hard-divergence classes, each documented: decimal
+-> 15 after the r14 IN-list + column-date-interval conversions ->
+5 after the r14 #2 null-touching-comparison conversions; re-triaged
+against the full reference extraction each round). The remaining 5
+are the hard-divergence classes, each documented: decimal
 arithmetic/round precision-loss for NON-literal operands (every
 literal form constant-folds with the reference's derivation since
-r13), map subscript missing-key raises for NON-string-literal keys (2:
-numeric and varbinary keys cannot be statically told apart from
-array indexes; the string-literal form converted in r13, and the
-element_at FUNCTION form legitimately returns NULL in both engines),
-null-touching complex-element comparisons (10: CONTAINS /
-ARRAY_POSITION / ARRAY_REMOVE / ARRAY_SORT / row-< over
-array/row elements containing NULL — Presto raises only when a
-comparison actually TOUCHES an undetermined null, a short-circuit
-order no type-blind rewrite can replicate without raising on VALID
-inputs like contains([[1],[null]], [1])),
-int->TIMESTAMP array cast leniency, analysis-level || type
-unification, REGEXP '$'-at-end replacement, CHAR-length concat caps,
-the REPEAT(array,...) Block-byte cap (the VARCHAR byte cap converted),
-and jackson-vs-Spark exotic number forms. None return a wrong value
+r13, and catalog-resolvable COLUMN operands rewrite since r14 #2 —
+the residual is expressions whose operand types are not statically
+derivable), map subscript missing-key raises for NON-string-literal
+keys (2: numeric and varbinary keys cannot be statically told apart
+from array indexes; the string-literal form converted in r13, the
+element_at FUNCTION form legitimately returns NULL in both engines,
+and the raising guard needs map_contains_key, which fails Spark
+ANALYSIS on an array-typed base), int->TIMESTAMP array cast
+leniency, analysis-level || type unification, REGEXP '$'-at-end
+replacement, CHAR-length concat caps, the REPEAT(array,...)
+Block-byte cap (the VARCHAR byte cap converted), and
+jackson-vs-Spark exotic number forms. The former 10-strong
+null-touching complex-element comparison class converted in r14 #2
+for its entire pinned (literal) extent; COLUMN-operand forms of
+those calls remain Spark-lenient (not pinned by the reference's
+tests — its own pins are all literal). None return a wrong value
 for a VALID input — they accept inputs the reference rejects.
 """
 
@@ -523,6 +534,41 @@ CASES = [
      "(SELECT d + INTERVAL '3' HOUR FROM (VALUES (DATE '2001-01-22')) t(d))"),
     ('type/TestDateTimeOperatorsBase.java', 179,
      "(SELECT d - INTERVAL '3' MINUTE FROM (VALUES (DATE '2001-01-22')) t(d))"),
+    # null-touching complex-element comparisons (r14 #2 conversion,
+    # frontend._fold_complex_null_comparisons): the reference raises
+    # NOT_SUPPORTED exactly when an element comparison TOUCHES an
+    # undetermined null — for LITERAL arguments the visit order is
+    # replayed at translate time (ArrayContains.java loop,
+    # ArrayPositionFunction.java verify, ArrayRemoveFunction.java
+    # full-scan, ArrayIntersectFunction.java TypedSet probe,
+    # RowComparisonOperator.compare); valid inputs like
+    # contains(ARRAY[ARRAY[1], ARRAY[null]], ARRAY[1]) stay computed
+    # (tests/test_complex_null_comparisons.py pins the values)
+    ('type/TestArrayOperators.java', 536,
+     'CONTAINS(ARRAY [ARRAY [1.1, 2.2], ARRAY [3.3, 4.3]], ARRAY [1.1, null])'),
+    ('type/TestArrayOperators.java', 537,
+     'CONTAINS(ARRAY [ARRAY [1.1, null], ARRAY [3.3, 4.3]], ARRAY [1.1, null])'),
+    ('type/TestArrayOperators.java', 685,
+     'ARRAY_POSITION(ARRAY [ARRAY[null]], ARRAY[1])'),
+    ('type/TestArrayOperators.java', 686,
+     'ARRAY_POSITION(ARRAY [ARRAY[null]], ARRAY[null])'),
+    ('type/TestArrayOperators.java', 1205,
+     "ARRAY_INTERSECT(ARRAY[(123, 'abc'), (123, NULL)], "
+     "ARRAY[(123, 'abc'), (123, NULL)])"),
+    ('type/TestArrayOperators.java', 1208,
+     "ARRAY_INTERSECT(ARRAY[(NULL, 'abc'), (123, 'abc')], "
+     "ARRAY[(123, 'abc'),(NULL, 'abc')])"),
+    ('type/TestArrayOperators.java', 1502,
+     'ARRAY_REMOVE(ARRAY [ARRAY[CAST(null AS BIGINT)]], '
+     'ARRAY[CAST(1 AS BIGINT)])'),
+    ('type/TestArrayOperators.java', 1503,
+     'ARRAY_REMOVE(ARRAY [ARRAY[CAST(null AS BIGINT)]], '
+     'ARRAY[CAST(null AS BIGINT)])'),
+    ('type/TestArrayOperators.java', 1504,
+     'ARRAY_REMOVE(ARRAY [ARRAY[CAST(1 AS BIGINT)]], '
+     'ARRAY[CAST(null AS BIGINT)])'),
+    ('type/TestRowOperators.java', 521,
+     'row(1, CAST(NULL AS INTEGER)) < row(1, 2)'),
 ]
 
 
