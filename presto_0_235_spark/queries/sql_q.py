@@ -2343,6 +2343,170 @@ def sql_tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, _SQL_TPCDS_Q88)
 
 
+_SQL_TPCDS_Q1 = """
+WITH customer_total_return AS (
+  SELECT o_custkey AS ctr_customer_sk,
+         o_orderpriority AS ctr_store_sk,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS DOUBLE) / 100 AS ctr_total_return
+  FROM orders
+  GROUP BY o_custkey, o_orderpriority
+)
+SELECT c_name
+FROM customer_total_return ctr1
+JOIN customer ON ctr1.ctr_customer_sk = c_custkey
+WHERE ctr1.ctr_total_return > (
+  SELECT avg(ctr_total_return) * 1.2
+  FROM customer_total_return ctr2
+  WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk
+)
+ORDER BY c_name
+LIMIT 100
+"""
+
+
+@register("sql_tpcds_q1", oracle=_SQL_TPCDS_Q1)
+def sql_tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q1's text shape — a CTE of per-(customer, store)
+    return totals, filtered by a CORRELATED scalar subquery over the
+    SAME CTE (1.2x the per-store average), joined back to the
+    customer dimension (.../tpcds/q01.sql role-mapped: store_returns
+    -> orders, store -> orderpriority). Presto plans this via
+    TransformCorrelatedScalarAggregationToJoin; Catalyst decorrelates
+    the same shape to an aggregate + join — the 100 TB posture is
+    one shuffle for the CTE aggregate, a broadcast of the tiny
+    per-store averages, and a broadcast customer join. Money totals
+    ride exact cents. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q1)
+
+
+_SQL_TPCDS_Q11 = """
+WITH year_total AS (
+  SELECT c_custkey AS customer_id,
+         c_name AS customer_name,
+         year(o_orderdate) AS dyear,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS DOUBLE) / 100 AS year_total
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey, c_name, year(o_orderdate)
+)
+SELECT t_s_secyear.customer_name
+FROM year_total t_s_firstyear, year_total t_s_secyear
+WHERE t_s_firstyear.customer_id = t_s_secyear.customer_id
+  AND t_s_firstyear.dyear = 1995
+  AND t_s_secyear.dyear = 1996
+  AND t_s_firstyear.year_total > 0
+  AND t_s_secyear.year_total / t_s_firstyear.year_total > 0.9
+ORDER BY 1
+LIMIT 100
+"""
+
+
+@register("sql_tpcds_q11", oracle=_SQL_TPCDS_Q11)
+def sql_tpcds_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q11's text shape — the year-over-year customer ratio:
+    one CTE of per-(customer, year) totals consumed TWICE in a
+    comma-list self-join pinned to consecutive years, keeping
+    customers whose second-year/first-year ratio clears a threshold
+    (.../tpcds/q11.sql role-mapped onto orders; Q4 is the same
+    skeleton with three channels). The CTE materializes once per
+    reference to the same aggregate; the self-join shuffles on
+    customer_id — co-partitioned at 100 TB. Names are unique per
+    custkey so ORDER BY customer_name LIMIT is total. Same text is
+    the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q11)
+
+
+_SQL_TPCDS_Q16 = """
+SELECT count(DISTINCT o1.o_orderkey) AS order_count,
+       CAST(SUM(CAST(round(o1.o_totalprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 AS total_price
+FROM orders o1
+WHERE o1.o_orderpriority = '1-URGENT'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l1
+    WHERE o1.o_orderkey = l1.l_orderkey AND l1.l_linenumber > 1
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE o1.o_orderkey = l2.l_orderkey AND l2.l_returnflag = 'R'
+  )
+"""
+
+
+@register("sql_tpcds_q16", oracle=_SQL_TPCDS_Q16)
+def sql_tpcds_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q16's text shape — EXISTS plus NOT EXISTS correlated
+    subqueries under one aggregate (count distinct + money sum):
+    orders with a multi-line shipment and no returned line
+    (.../tpcds/q16.sql role-mapped: catalog_sales -> orders,
+    ws_order_number -> orderkey). Presto plans semi + anti joins
+    (TransformExistsApplyToLateralNode); Catalyst plans
+    LeftSemi + LeftAnti on the same keys — both sides shuffle on
+    orderkey once, the 100 TB posture. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q16)
+
+
+_SQL_TPCDS_Q47 = """
+WITH v1 AS (
+  SELECT l_returnflag AS i_category,
+         year(o_orderdate) AS d_year,
+         month(o_orderdate) AS d_moy,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS DOUBLE) / 100 AS sum_sales,
+         round(AVG(CAST(SUM(CAST(round(l_extendedprice * 100)
+                            AS BIGINT)) AS DOUBLE) / 100)
+           OVER (PARTITION BY l_returnflag, year(o_orderdate)), 6)
+           AS avg_monthly_sales,
+         RANK() OVER (PARTITION BY l_returnflag
+                      ORDER BY year(o_orderdate), month(o_orderdate))
+           AS rn
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_returnflag, year(o_orderdate), month(o_orderdate)
+),
+v2 AS (
+  SELECT v1.i_category, v1.d_year, v1.d_moy,
+         v1.avg_monthly_sales, v1.sum_sales,
+         v1_lag.sum_sales AS psum,
+         v1_lead.sum_sales AS nsum
+  FROM v1, v1 v1_lag, v1 v1_lead
+  WHERE v1.i_category = v1_lag.i_category
+    AND v1.i_category = v1_lead.i_category
+    AND v1.rn = v1_lag.rn + 1
+    AND v1.rn = v1_lead.rn - 1
+)
+SELECT i_category, d_year, d_moy, avg_monthly_sales, sum_sales,
+       psum, nsum
+FROM v2
+WHERE d_year = 1996
+  AND avg_monthly_sales > 0
+  AND abs(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.02
+ORDER BY i_category, d_year, d_moy
+LIMIT 100
+"""
+
+
+@register("sql_tpcds_q47", oracle=_SQL_TPCDS_Q47)
+def sql_tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q47's text shape — the monthly-sales deviation hunt:
+    a CTE mixing GROUP BY with an AVG-of-SUM window (per-category
+    yearly average) and a RANK sequence, then the distinctive
+    rn = rn±1 COMMA-LIST SELF-JOIN pulling the previous/next month's
+    sales alongside each deviating month (.../tpcds/q47.sql
+    role-mapped: item category -> returnflag, store months ->
+    order months). Nested aggregate-in-window crosses the dialect
+    layer; the self-joins shuffle on (category, rn) — bounded keys,
+    broadcast-eligible at any scale. ORDER BY the full grouping key
+    is total. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q47)
+
+
 @register(
     "sql_qdigest_agg_scale",
     # rows-only: qdigest estimates are compression-order dependent
