@@ -792,6 +792,30 @@ def _dca_operand_fwd(masked: str, i: int):
             p = _INT_COERCE_P[im.group(1).upper()]
             return _DcaOperand(i, past, p, 0, p, False, intcast=True)
         return None
+    # integral aggregates join a decimal op as bigint/int coercions:
+    # COUNT is always BIGINT; SUM(integral) is BIGINT; MIN/MAX keep
+    # the argument's integral type (both engines agree on all three)
+    m = _INT_COUNT_FWD.match(masked, i)
+    if m:
+        open_i = masked.index("(", i)
+        try:
+            past = _balanced(masked, open_i)
+        except ValueError:
+            return None
+        return _DcaOperand(i, past, 19, 0, 19, False, intcast=True)
+    m = _INT_AGG_FWD.match(masked, i)
+    if m:
+        open_i = masked.index("(", i)
+        try:
+            past = _balanced(masked, open_i)
+        except ValueError:
+            return None
+        rank = _int_agg_rank(masked, m.group(1), open_i, past)
+        if rank is None:
+            return None
+        p = 19 if m.group(1).upper() == "SUM" else \
+            _INT_COERCE_P[_INT_SQL[rank]]
+        return _DcaOperand(i, past, p, 0, p, False, intcast=True)
     m = _DCA_NUM_FWD.match(masked, i)
     if m:
         if m.end() < len(masked) and masked[m.end()] in _IDENTCH:
@@ -836,6 +860,19 @@ def _dca_operand_back(masked: str, j: int):
                 return _DcaOperand(hm.start(), j, p, 0, p, False,
                                    intcast=True)
             return None
+        cm = _INT_COUNT_BACK.search(masked[:open_i])
+        if cm is not None:
+            return _DcaOperand(cm.start(), j, 19, 0, 19, False,
+                               intcast=True)
+        am = _INT_AGG_BACK.search(masked[:open_i])
+        if am is not None:
+            rank = _int_agg_rank(masked, am.group(1), open_i, j)
+            if rank is None:
+                return None
+            p = 19 if am.group(1).upper() == "SUM" else \
+                _INT_COERCE_P[_INT_SQL[rank]]
+            return _DcaOperand(am.start(), j, p, 0, p, False,
+                               intcast=True)
         # a parenthesized group — but only when the '(' is not a
         # function call's argument list
         if open_i > 0 and masked[open_i - 1] in _IDENTCH:
@@ -943,6 +980,10 @@ def _dca_pass(masked: str, ops: str) -> str:
             continue
         if left.is_lit and right.is_lit:
             continue  # the literal fold's domain (div-by-zero, TRY)
+        tail = masked[right.end:].lstrip()
+        if _INT_WINDOW_TAIL.match(tail):
+            continue  # window/filtered-aggregate operand: rewriting
+            # would strand the OVER/FILTER clause outside the CAST
         if not (left.is_dec or right.is_dec):
             # no decimal-typed side: the op is INTEGRAL in Presto
             # (int CAST forms / integer literals) — _int_div_pass's
@@ -1126,6 +1167,26 @@ def _fold_int_literal_div(masked: str, stash) -> str:
 
 _INT_COUNT_BACK = re.compile(r"\bCOUNT\s*$", re.IGNORECASE)
 _INT_COUNT_FWD = re.compile(r"COUNT\s*\(", re.IGNORECASE)
+# single-argument integral aggregates: SUM(integral) is BIGINT in
+# both engines (Presto SumAggregation / Spark's sum over integrals);
+# MIN/MAX keep the argument's integral type in both
+_INT_AGG_FWD = re.compile(r"(SUM|MIN|MAX)\s*\(", re.IGNORECASE)
+_INT_AGG_BACK = re.compile(r"\b(SUM|MIN|MAX)\s*$", re.IGNORECASE)
+# a divisor followed by OVER/FILTER/WITHIN is part of a window or
+# filtered-aggregate expression — rewriting would strand the clause
+_INT_WINDOW_TAIL = re.compile(r"(OVER|FILTER|WITHIN)\b", re.IGNORECASE)
+
+
+def _int_agg_rank(masked: str, kw: str, open_i: int, past: int):
+    """Result rank of SUM/MIN/MAX over a single integral argument,
+    or None."""
+    args = _split_top_comma(masked[open_i + 1:past - 1])
+    if len(args) != 1:
+        return None  # Presto's min(x, n)/max(x, n) return ARRAYS
+    inner = _int_operand_span(masked, open_i + 1, past - 1)
+    if inner is None:
+        return None
+    return 3 if kw.upper() == "SUM" else inner[2]
 
 
 def _int_operand_span(masked: str, lo: int, hi: int):
@@ -1195,6 +1256,17 @@ def _int_operand_fwd(masked: str, i: int):
         except ValueError:
             return None
         return (i, past, 3, False)
+    m = _INT_AGG_FWD.match(masked, i)
+    if m:
+        open_i = masked.index("(", i)
+        try:
+            past = _balanced(masked, open_i)
+        except ValueError:
+            return None
+        rank = _int_agg_rank(masked, m.group(1), open_i, past)
+        if rank is None:
+            return None
+        return (i, past, rank, False)
     m = _DCA_NUM_FWD.match(masked, i)
     if m:
         if m.end() < len(masked) and masked[m.end()] in _IDENTCH:
@@ -1234,6 +1306,12 @@ def _int_operand_back(masked: str, j: int):
         cm = _INT_COUNT_BACK.search(masked[:open_i])
         if cm is not None:
             return (cm.start(), j, 3, False)
+        am = _INT_AGG_BACK.search(masked[:open_i])
+        if am is not None:
+            rank = _int_agg_rank(masked, am.group(1), open_i, j)
+            if rank is None:
+                return None
+            return (am.start(), j, rank, False)
         if open_i > 0 and masked[open_i - 1] in _IDENTCH:
             return None
         inner = _int_operand_span(masked, open_i + 1, j - 1)
@@ -1278,6 +1356,10 @@ def _int_div_pass(masked: str) -> str:
             continue
         if left[3] and right[3]:
             continue  # the literal fold's domain (div-by-zero, TRY)
+        tail = masked[right[1]:].lstrip()
+        if _INT_WINDOW_TAIL.match(tail):
+            continue  # window/filtered-aggregate divisor: rewriting
+            # would strand the OVER/FILTER clause outside the CAST
         g = left[0]
         while g > 0 and masked[g - 1].isspace():
             g -= 1
@@ -4376,6 +4458,18 @@ def _annotate_numeric_columns_inner(spark, sql: str) -> str:
         if not adj and rest[:1] and rest[:1] in "+-*/%" \
                 and rest[:2] != "->":
             adj = True
+        if not adj and rest[:1] == ")":
+            # sole argument of SUM/MIN/MAX whose call site is itself
+            # arithmetic-adjacent — typing the argument types the
+            # aggregate for the integral-division rewrite
+            am = re.search(r"(?<![\w.\x00])(SUM|MIN|MAX)\s*\($", prev,
+                           re.IGNORECASE)
+            if am:
+                before = masked[:am.start()].rstrip()[-1:]
+                after = masked[m.end():].lstrip()[1:].lstrip()[:1]
+                if (before and before in "+-*/%") or \
+                        (after and after in "+-*/%"):
+                    adj = True
         if not adj:
             continue
         out_parts.append(masked[last:m.start()])

@@ -129,6 +129,78 @@ def test_count_star_is_a_bigint_operand(spark):
     assert (t, v) == ("bigint", n // 7)
 
 
+def test_aggregate_operands_divide_truncating(spark):
+    # SUM(integral) is BIGINT in both engines; sum(x)/count(*) — the
+    # average idiom — is truncating integral division in Presto
+    df = run_sql(
+        spark,
+        "SELECT sum(l_linenumber) / count(*) AS a, "
+        "sum(l_orderkey) / 100 AS b, "
+        "max(l_linenumber) / 2 AS m FROM lineitem",
+    )
+    assert df.schema["a"].dataType.simpleString() == "bigint"
+    assert df.schema["b"].dataType.simpleString() == "bigint"
+    assert df.schema["m"].dataType.simpleString() == "int"
+    row = run_sql(
+        spark,
+        "SELECT sum(l_linenumber) AS s, count(*) AS n, "
+        "max(l_linenumber) AS mx FROM lineitem",
+    ).first()
+    got = df.first()
+    assert got.a == row.s // row.n
+    assert got.m == row.mx // 2
+
+
+def test_decimal_literal_over_count_derives_presto_type(spark):
+    # AbstractTestAggregations.java:354 testAggregationImplicitCoercion
+    # — DECIMAL '1.0' / bigint count is decimal(2,1) with HALF_UP in
+    # the reference (its own harness rounds the H2 expectation to
+    # that scale, H2QueryRunner.java:375)
+    df = run_sql(
+        spark,
+        "SELECT 1.0 / COUNT(*) AS q, COUNT(*) + 0.5 AS p "
+        "FROM lineitem WHERE l_orderkey = 3",
+    )
+    assert df.schema["q"].dataType.simpleString() == "decimal(2,1)"
+    assert df.schema["p"].dataType.simpleString() == "decimal(21,1)"
+    n = run_sql(
+        spark,
+        "SELECT count(*) AS n FROM lineitem WHERE l_orderkey = 3",
+    ).first().n
+    row = df.first()
+    assert row.q == D(20 + n) // D(2 * n) / 10
+    assert row.p == D(n) + D("0.5")
+
+
+def test_sum_int_with_decimal_literal_is_a_decimal_op(spark):
+    df = run_sql(
+        spark,
+        "SELECT sum(l_linenumber) * 2.5 AS s FROM lineitem "
+        "WHERE l_orderkey = 3",
+    )
+    assert df.schema["s"].dataType.simpleString() == "decimal(21,1)"
+
+
+def test_windowed_divisor_left_to_spark(spark):
+    # rewriting x / count(*) OVER () would strand the OVER clause —
+    # the site declines and keeps Spark's double division (documented
+    # residual; the plain-aggregate form above converts)
+    df = run_sql(
+        spark,
+        "SELECT CAST(l_orderkey AS BIGINT) / count(*) OVER () AS r "
+        "FROM lineitem WHERE l_orderkey < 5",
+    )
+    assert df.schema["r"].dataType.simpleString() == "double"
+
+
+def test_sum_of_double_column_untouched(spark):
+    df = run_sql(
+        spark,
+        "SELECT sum(l_quantity) / count(*) AS avgq FROM lineitem",
+    )
+    assert df.schema["avgq"].dataType.simpleString() == "double"
+
+
 def test_chain_divides_left_associatively(spark):
     spark.sql(
         "SELECT CAST(100 AS BIGINT) AS a, CAST(7 AS BIGINT) AS b, "

@@ -213,7 +213,13 @@ CORPUS: list[Case] = [
       "FROM orders) x", f"{_ATA}:348"),
     C("decimal_over_count",
       "SELECT custkey, 1.0 / COUNT(*) FROM orders GROUP BY custkey",
-      f"{_ATA} testAggregationWithProjection (adapted)"),
+      f"{_ATA} testAggregationWithProjection (adapted; r14 #2: "
+      "DECIMAL '1.0' / bigint count derives Presto's decimal(2,1) "
+      "with HALF_UP — the duck side replays floor(10/n + 1/2) on "
+      "exact integers)",
+      duck="SELECT custkey, CAST(CAST((20 + count(*)) // "
+           "(2 * count(*)) AS DOUBLE) / 10 AS DECIMAL(2,1)) "
+           "FROM orders GROUP BY custkey"),
     C("sum_linear_combination",
       "SELECT sum(CAST(round(totalprice*100) AS BIGINT)) - "
       "sum(CAST(round(totalprice*50) AS BIGINT)) FROM orders",
@@ -848,7 +854,13 @@ CORPUS: list[Case] = [
       "SELECT COUNT(DISTINCT orderkey % 5), MAX(orderstatus) "
       "FROM orders", f"{_ATA}:250"),
     C("aggregation_implicit_coercion",
-      "SELECT 1.0 / COUNT(*) FROM orders", f"{_ATA}:354"),
+      "SELECT 1.0 / COUNT(*) FROM orders",
+      f"{_ATA}:354 (r14 #2: DECIMAL '1.0' / bigint count derives "
+      "Presto's decimal(2,1) HALF_UP = 0.0 — the reference's own "
+      "harness rounds the H2 expectation to that scale, "
+      "H2QueryRunner.java:375; the duck side replays it)",
+      duck="SELECT CAST(CAST((20 + count(*)) // (2 * count(*)) "
+           "AS DOUBLE) / 10 AS DECIMAL(2,1)) FROM orders"),
     C("nested_count_distinct_having_cardinality",
       "SELECT COUNT(*) FROM (SELECT orderkey, COUNT(DISTINCT "
       "partkey) FROM lineitem GROUP BY orderkey HAVING "
