@@ -1351,9 +1351,15 @@ def _int_div_pass(masked: str) -> str:
         k = i + 1
         while k < len(masked) and masked[k].isspace():
             k += 1
+        sign_start = k
+        while k < len(masked) and (masked[k] in "+-"
+                                   or masked[k].isspace()):
+            k += 1  # unary sign on the divisor: truncation toward
+            # zero commutes with negation (MIN / -1 still overflows)
         right = _int_operand_fwd(masked, k)
         if right is None:
             continue
+        right = (sign_start, right[1], right[2], right[3])
         if left[3] and right[3]:
             continue  # the literal fold's domain (div-by-zero, TRY)
         tail = masked[right[1]:].lstrip()
@@ -4372,6 +4378,138 @@ def _implicit_select_aliases(masked: str) -> set:
     return out
 
 
+_ANNOT_VALUES = re.compile(r"\(\s*VALUES\b", re.IGNORECASE)
+_ANNOT_VALUES_INT_T = {"TINYINT": 0, "SMALLINT": 1, "INT": 2,
+                       "INTEGER": 2, "BIGINT": 3}
+
+
+def _annot_values_item_type(text: str, stash):
+    """Static type tag for one VALUES cell: ('int', rank) |
+    ('dec', intdigits, scale) | ('real',) | ('null',) | None."""
+    t = text.strip()
+    while t[:1] in "+-":
+        t = t[1:].lstrip()
+    if not t:
+        return None
+    up = t.upper()
+    if up == "NULL":
+        return ("null",)
+    cm = re.match(r"(?:TRY_)?CAST\s*\(", t, re.IGNORECASE)
+    if cm:
+        try:
+            if _balanced(t, t.index("(")) != len(t):
+                return None
+        except ValueError:
+            return None
+        am = re.search(r"\bAS\s+([A-Za-z_]\w*)\s*"
+                       r"(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?\s*\)$",
+                       t, re.IGNORECASE)
+        if am is None:
+            return None
+        tgt = am.group(1).upper()
+        if tgt in _ANNOT_VALUES_INT_T:
+            return ("int", _ANNOT_VALUES_INT_T[tgt])
+        if tgt == "DECIMAL":
+            p = int(am.group(2)) if am.group(2) else 38
+            s = int(am.group(3)) if am.group(3) else 0
+            return ("dec", p - s, s)
+        if tgt in ("REAL", "FLOAT"):
+            return ("real",)
+        return None
+    tm = re.match(r"([A-Za-z_]\w*)\s*\x00s\d+\x00$", t)
+    if tm:
+        kw = tm.group(1).upper()
+        if kw in _ANNOT_VALUES_INT_T:
+            return ("int", _ANNOT_VALUES_INT_T[kw])
+        if kw in ("REAL", "FLOAT"):
+            return ("real",)
+        return None  # DECIMAL 'x' shape needs the literal; skip
+    nm = re.fullmatch(r"\d+(?:\.\d+)?", t)
+    if nm is None:
+        return None
+    if "." in t:
+        ip, _, fp = t.partition(".")
+        return ("dec", max(1, len(ip.lstrip("0"))), len(fp))
+    v = int(t)
+    if v >= 2 ** 63:
+        return None
+    return ("int", 2 if v < 2 ** 31 else 3)
+
+
+def _annot_values_unify(items):
+    """The annotatable SQL type for one VALUES column, or None."""
+    kinds = [i for i in items if i is not None and i[0] != "null"]
+    if not kinds or any(i is None for i in items):
+        return None
+    tags = {i[0] for i in kinds}
+    if tags == {"int"}:
+        return _INT_SQL[max(i[1] for i in kinds)]
+    if tags <= {"int", "dec"}:
+        # Presto unifies via the int literals' decimal coercions
+        # (integer -> decimal(10,0), bigint -> decimal(19,0))
+        intd = max((10 if i[1] <= 2 else 19) if i[0] == "int"
+                   else i[1] for i in kinds)
+        s = max(i[2] if i[0] == "dec" else 0 for i in kinds)
+        if intd + s > 38:
+            return None
+        return f"DECIMAL({intd + s},{s})"
+    if tags == {"real"}:
+        return "FLOAT"
+    return None
+
+
+def _annot_values_refs(masked: str, stash):
+    """(alias, {column -> type|None}) for every
+    (VALUES ...) [AS] alias(col, ...) inline table whose cells are
+    statically typeable literals."""
+    out = []
+    for m in _ANNOT_VALUES.finditer(masked):
+        try:
+            past = _balanced(masked, m.start())
+        except ValueError:
+            continue
+        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)\s*\(([^()]*)\)",
+                      masked[past:])
+        if am is None:
+            continue
+        alias = am.group(1)
+        if alias.upper() in _ANNOT_CLAUSE_KW:
+            continue
+        colnames = [c.strip() for c in am.group(2).split(",")]
+        if not all(re.fullmatch(r"[A-Za-z_]\w*", c) for c in colnames):
+            continue
+        rows = _split_top_comma(masked[m.end():past - 1])
+        if not rows:
+            continue
+        colitems: list = [[] for _ in colnames]
+        ok = True
+        for r in rows:
+            r = r.strip()
+            if r.startswith("("):
+                try:
+                    if _balanced(r, 0) != len(r):
+                        ok = False
+                        break
+                except ValueError:
+                    ok = False
+                    break
+                items = _split_top_comma(r[1:-1])
+            else:
+                items = [r]
+            if len(items) != len(colnames):
+                ok = False
+                break
+            for acc, it in zip(colitems, items):
+                acc.append(_annot_values_item_type(it, stash))
+        if not ok:
+            continue
+        out.append((alias, {
+            name.lower(): _annot_values_unify(items)
+            for name, items in zip(colnames, colitems)
+        }))
+    return out
+
+
 def _annotate_numeric_columns(spark: SparkSession, sql: str) -> str:
     try:
         return _annotate_numeric_columns_inner(spark, sql)
@@ -4384,15 +4522,20 @@ def _annotate_numeric_columns_inner(spark, sql: str) -> str:
         return sql
     masked, stash = _mask(sql)
     refs = _annot_refs(masked)
-    if not refs:
+    vrefs = _annot_values_refs(masked, stash)
+    if not refs and not vrefs:
         return sql
-    tables: dict = {}   # lower table name -> schema fields or None
-    aliasmap: dict = {}  # lower alias/table -> lower table key or None
+    # lower table key -> {lower column -> type string | None} | None
+    tables: dict = {}
+    aliasmap: dict = {}  # lower alias/table -> lower table key | None
     for tbl, alias in refs:
         key = tbl.lower()
         if key not in tables:
             try:
-                tables[key] = spark.table(tbl).schema.fields
+                tables[key] = {
+                    f.name.lower(): _annot_sqltype(f.dataType)
+                    for f in spark.table(tbl).schema.fields
+                }
             except Exception:
                 tables[key] = None
         target = key if tables[key] is not None else None
@@ -4401,14 +4544,20 @@ def _annotate_numeric_columns_inner(spark, sql: str) -> str:
                 aliasmap[a] = None  # alias reused across scopes
             else:
                 aliasmap[a] = target
+    for n, (alias, cols) in enumerate(vrefs):
+        key = f"__values_{n}"
+        tables[key] = cols
+        a = alias.lower()
+        if a in aliasmap and aliasmap[a] != key:
+            aliasmap[a] = None
+        else:
+            aliasmap[a] = key
     all_resolved = all(v is not None for v in tables.values())
     colmap: dict = {}  # lower column -> type string | None
     for fields in tables.values():
         if fields is None:
             continue
-        for f in fields:
-            t = _annot_sqltype(f.dataType)
-            low = f.name.lower()
+        for low, t in fields.items():
             if low not in colmap:
                 colmap[low] = t
             elif colmap[low] != t:
@@ -4437,11 +4586,7 @@ def _annotate_numeric_columns_inner(spark, sql: str) -> str:
             tkey = aliasmap.get(qual.lower())
             if not tkey:
                 continue
-            t = None
-            for f in tables[tkey] or ():
-                if f.name.lower() == col.lower():
-                    t = _annot_sqltype(f.dataType)
-                    break
+            t = (tables[tkey] or {}).get(col.lower())
             if t is None:
                 continue
         else:

@@ -1263,17 +1263,12 @@ ERROR_CASES2 = [
     # under a preceding unary minus, so the fold can see MIN)
     _err("bigint_div_overflow_literal", "-9223372036854775808 / -1",
          "type/TestBigintOperators.java:259"),
+    # (xfail converted in r14 #2: the parenthesized literal chain
+    # type-derives as BIGINT and the signed divisor parses, so the
+    # site rewrites to DIV — Spark's integral divide raises the same
+    # MIN/-1 overflow the reference pins)
     _err("bigint_div_overflow", "(-9223372036854775807 - 1) / -1",
-         "type/TestBigintOperators.java:259",
-         marks=(pytest.mark.xfail(
-             reason="engine divergence: Presto '/' on integers is "
-             "truncating INTEGER division (so MIN/-1 overflows and "
-             "raises); Spark's '/' is always DOUBLE division (7/2 = "
-             "3.5, MIN/-1 = 9.22e18) — integer division is spelled "
-             "DIV. NOTE: the DuckDB oracle also float-divides, so "
-             "this divergence is invisible to the differential "
-             "corpus; pinned here against the reference directly.",
-             strict=True),)),
+         "type/TestBigintOperators.java:259"),
     _err("bigint_neg_overflow", "-(-9223372036854775807 - 1)",
          "type/TestBigintOperators.java:274"),
     _err("int_add_overflow", "CAST(2147483647 AS INTEGER) + CAST(1 AS INTEGER)",

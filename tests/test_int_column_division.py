@@ -151,6 +151,40 @@ def test_aggregate_operands_divide_truncating(spark):
     assert got.m == row.mx // 2
 
 
+def test_values_inline_table_types_statically(spark):
+    # (VALUES ...) t(cols): column types derive from the literal
+    # cells, so Presto's integer '/' applies without a catalog entry
+    df = run_sql(
+        spark,
+        "SELECT x / y AS q FROM (VALUES (7, 2), (-7, 2), (9, 4)) "
+        "t(x, y) ORDER BY q",
+    )
+    assert df.schema["q"].dataType.simpleString() == "int"
+    assert [r.q for r in df.collect()] == [-3, 2, 3]
+    # TRY over a VALUES-typed division: NULL on zero, truncation on
+    # the valid rows (AbstractTestQueries.java:5034 testTry)
+    df = run_sql(
+        spark,
+        "SELECT try(1 / x) AS q FROM (VALUES 0, 1, 2) t(x)",
+    )
+    assert sorted((r.q is None, r.q) for r in df.collect()) == [
+        (False, 0), (False, 1), (True, None)]
+    # mixed int/decimal cells unify to the decimal coercion
+    df = run_sql(
+        spark,
+        "SELECT x * 2 AS m FROM (VALUES 1.5, 2) t(x) ORDER BY m",
+    )
+    # x unifies to decimal(11,1) (int 2 coerces as decimal(10,0));
+    # multiply derives (p1+p2, s1+s2) = (21, 1)
+    assert df.schema["m"].dataType.simpleString() == "decimal(21,1)"
+    # a signed divisor parses (TestBigintOperators.java:259 spelling)
+    with pytest.raises(Exception):
+        run_sql(
+            spark,
+            "SELECT (-9223372036854775807 - 1) / -1",
+        ).collect()
+
+
 def test_decimal_literal_over_count_derives_presto_type(spark):
     # AbstractTestAggregations.java:354 testAggregationImplicitCoercion
     # — DECIMAL '1.0' / bigint count is decimal(2,1) with HALF_UP in

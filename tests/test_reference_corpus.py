@@ -1170,15 +1170,11 @@ CORPUS: list[Case] = [
       duck="SELECT 4, 2"),
     C("try_division_null",
       "SELECT try(1 / x) FROM (VALUES 0, 1, 2) t(x)",
-      f"{_ATQ}:5034 testTry (adapted)",
-      duck="VALUES (NULL), (1), (0)",
-      marks=(pytest.mark.xfail(
-          strict=True,
-          reason="Presto's / on integers is INTEGER division (1/2 = "
-                 "0); Spark and DuckDB both promote to double (0.5). "
-                 "Untypeable lexically in the front door; Presto "
-                 "users needing int division port to div()/floor().",
-      ),)),
+      f"{_ATQ}:5034 testTry (adapted; xfail converted in r14 #2: "
+      "the VALUES inline table types its columns statically, so "
+      "Presto's truncating integer '/' applies — 1/2 = 0 — and TRY "
+      "absorbs the zero divisor to NULL)",
+      duck="VALUES (NULL), (1), (0)"),
     # grouping sets with grouping() arithmetic
     C("grouping_arith",
       "SELECT a, b AS t, sum(c) AS s, grouping(a, b) + grouping(a) "
