@@ -802,6 +802,7 @@ def _dca_operand_fwd(masked: str, i: int):
             past = _balanced(masked, open_i)
         except ValueError:
             return None
+        past = _int_absorb_over(masked, past)
         return _DcaOperand(i, past, 19, 0, 19, False, intcast=True)
     m = _INT_AGG_FWD.match(masked, i)
     if m:
@@ -815,6 +816,7 @@ def _dca_operand_fwd(masked: str, i: int):
             return None
         p = 19 if m.group(1).upper() == "SUM" else \
             _INT_COERCE_P[_INT_SQL[rank]]
+        past = _int_absorb_over(masked, past)
         return _DcaOperand(i, past, p, 0, p, False, intcast=True)
     m = _DCA_NUM_FWD.match(masked, i)
     if m:
@@ -873,6 +875,18 @@ def _dca_operand_back(masked: str, j: int):
                 _INT_COERCE_P[_INT_SQL[rank]]
             return _DcaOperand(am.start(), j, p, 0, p, False,
                                intcast=True)
+        om = _INT_OVER_BACK.search(masked[:open_i])
+        if om is not None:
+            # <agg call> OVER (<this group>): the window suffix keeps
+            # the aggregate's type — parse the call before it
+            jj = om.start()
+            while jj > 0 and masked[jj - 1].isspace():
+                jj -= 1
+            inner = _dca_operand_back(masked, jj)
+            if inner is not None and inner.intcast:
+                return _DcaOperand(inner.start, j, inner.p, inner.s,
+                                   inner.bound, False, intcast=True)
+            return None
         # a parenthesized group — but only when the '(' is not a
         # function call's argument list
         if open_i > 0 and masked[open_i - 1] in _IDENTCH:
@@ -1189,6 +1203,23 @@ def _int_agg_rank(masked: str, kw: str, open_i: int, past: int):
     return 3 if kw.upper() == "SUM" else inner[2]
 
 
+_INT_OVER_FWD = re.compile(r"\s*OVER\s*\(", re.IGNORECASE)
+_INT_OVER_BACK = re.compile(r"\bOVER\s*$", re.IGNORECASE)
+
+
+def _int_absorb_over(masked: str, past: int) -> int:
+    """Extend an aggregate operand's end past a trailing OVER (...)
+    window suffix — a windowed COUNT/SUM/MIN/MAX keeps the same
+    integral result type in both engines."""
+    wm = _INT_OVER_FWD.match(masked, past)
+    if wm is None:
+        return past
+    try:
+        return _balanced(masked, wm.end() - 1)
+    except ValueError:
+        return past
+
+
 def _int_operand_span(masked: str, lo: int, hi: int):
     """Type-derive [lo, hi) as an integral EXPRESSION: one operand, or
     a +,-,*,% chain of integral operands (result rank = max operand
@@ -1255,7 +1286,7 @@ def _int_operand_fwd(masked: str, i: int):
             past = _balanced(masked, open_i)
         except ValueError:
             return None
-        return (i, past, 3, False)
+        return (i, _int_absorb_over(masked, past), 3, False)
     m = _INT_AGG_FWD.match(masked, i)
     if m:
         open_i = masked.index("(", i)
@@ -1266,7 +1297,7 @@ def _int_operand_fwd(masked: str, i: int):
         rank = _int_agg_rank(masked, m.group(1), open_i, past)
         if rank is None:
             return None
-        return (i, past, rank, False)
+        return (i, _int_absorb_over(masked, past), rank, False)
     m = _DCA_NUM_FWD.match(masked, i)
     if m:
         if m.end() < len(masked) and masked[m.end()] in _IDENTCH:
@@ -1312,6 +1343,17 @@ def _int_operand_back(masked: str, j: int):
             if rank is None:
                 return None
             return (am.start(), j, rank, False)
+        om = _INT_OVER_BACK.search(masked[:open_i])
+        if om is not None:
+            # <agg call> OVER (<this group>): the window suffix keeps
+            # the aggregate's integral type — parse the call before it
+            jj = om.start()
+            while jj > 0 and masked[jj - 1].isspace():
+                jj -= 1
+            inner = _int_operand_back(masked, jj)
+            if inner is not None and not inner[3]:
+                return (inner[0], j, inner[2], False)
+            return None
         if open_i > 0 and masked[open_i - 1] in _IDENTCH:
             return None
         inner = _int_operand_span(masked, open_i + 1, j - 1)

@@ -215,16 +215,31 @@ def test_sum_int_with_decimal_literal_is_a_decimal_op(spark):
     assert df.schema["s"].dataType.simpleString() == "decimal(21,1)"
 
 
-def test_windowed_divisor_left_to_spark(spark):
-    # rewriting x / count(*) OVER () would strand the OVER clause —
-    # the site declines and keeps Spark's double division (documented
-    # residual; the plain-aggregate form above converts)
+def test_windowed_aggregate_operands_divide(spark):
+    # the OVER (...) suffix is absorbed into the operand — a windowed
+    # COUNT keeps BIGINT in both engines, so the division is integral
+    # (and 1.0 / count(*) OVER () derives Presto's decimal(2,1))
     df = run_sql(
         spark,
-        "SELECT CAST(l_orderkey AS BIGINT) / count(*) OVER () AS r "
+        "SELECT CAST(l_orderkey AS BIGINT) / count(*) OVER () AS r, "
+        "1.0 / count(*) OVER () AS q, "
+        "count(*) OVER () / 7 AS c "
         "FROM lineitem WHERE l_orderkey < 5",
     )
-    assert df.schema["r"].dataType.simpleString() == "double"
+    assert df.schema["r"].dataType.simpleString() == "bigint"
+    assert df.schema["q"].dataType.simpleString() == "decimal(2,1)"
+    assert df.schema["c"].dataType.simpleString() == "bigint"
+
+
+def test_filtered_aggregate_divisor_left_to_spark(spark):
+    # a FILTER (WHERE ...) suffix is not absorbed — the site declines
+    # and keeps Spark's double division (documented residual)
+    df = run_sql(
+        spark,
+        "SELECT sum(l_linenumber) FILTER (WHERE l_linenumber > 1) "
+        "/ 2 AS f FROM lineitem",
+    )
+    assert df.schema["f"].dataType.simpleString() == "double"
 
 
 def test_sum_of_double_column_untouched(spark):
