@@ -2507,6 +2507,164 @@ def sql_tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, _SQL_TPCDS_Q47)
 
 
+_SQL_TPCDS_Q34 = """
+SELECT c_name, dn.k AS o_key, cnt
+FROM (
+  SELECT l_orderkey AS k, count(*) AS cnt
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING count(*) BETWEEN 5 AND 7
+) dn
+JOIN orders ON o_orderkey = dn.k
+JOIN customer ON o_custkey = c_custkey
+ORDER BY c_name, o_key
+LIMIT 200
+"""
+
+
+@register("sql_tpcds_q34", oracle=_SQL_TPCDS_Q34)
+def sql_tpcds_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q34's text shape (Q73 is the same skeleton with a
+    narrower band) — a grouped HAVING count(*) BETWEEN band in a
+    derived table, joined back to the customer dimension
+    (.../tpcds/q34.sql role-mapped: ticket -> orderkey, the 15-20
+    buying-frequency band -> 5-7 lines per order). The derived
+    aggregate shuffles once on orderkey; the join back to orders is
+    key-aligned and customer broadcasts. ORDER BY (c_name, o_key) is
+    total (orderkey unique). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q34)
+
+
+_SQL_TPCDS_Q59 = """
+WITH wss AS (
+  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN
+              CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0
+              END) AS DOUBLE) / 100 AS a_sales,
+         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN
+              CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0
+              END) AS DOUBLE) / 100 AS n_sales,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN
+              CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0
+              END) AS DOUBLE) / 100 AS r_sales
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY year(o_orderdate), month(o_orderdate)
+)
+SELECT y.mo AS mo,
+       round(CASE WHEN x.a_sales > 0 THEN y.a_sales / x.a_sales END,
+             9) AS a_ratio,
+       round(CASE WHEN x.n_sales > 0 THEN y.n_sales / x.n_sales END,
+             9) AS n_ratio,
+       round(CASE WHEN x.r_sales > 0 THEN y.r_sales / x.r_sales END,
+             9) AS r_ratio
+FROM wss x JOIN wss y
+  ON x.mo = y.mo AND y.yr = x.yr + 1
+WHERE x.yr = 1996
+ORDER BY mo
+"""
+
+
+@register("sql_tpcds_q59", oracle=_SQL_TPCDS_Q59)
+def sql_tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q59's text shape — the week-over-week comparison: one
+    CTE pivoting sales into per-category columns via SUM(CASE ...),
+    then a SELF-JOIN one year apart on the aligned period with
+    per-column ratios (.../tpcds/q59.sql role-mapped: day-of-week
+    pivot -> returnflag pivot, week_seq+53 -> yr+1 on the same
+    month). The pivot is one shuffle on (yr, mo); the self-join keys
+    are tiny and broadcast. Exact-cents pivot sums make the ratios
+    deterministic; round(_, 9) absorbs the double division. Same
+    text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q59)
+
+
+_SQL_TPCDS_Q95 = """
+WITH multi_supp AS (
+  SELECT l1.l_orderkey AS k
+  FROM lineitem l1, lineitem l2
+  WHERE l1.l_orderkey = l2.l_orderkey
+    AND l1.l_suppkey <> l2.l_suppkey
+)
+SELECT count(DISTINCT o_orderkey) AS order_count,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 AS total_price
+FROM orders
+WHERE o_orderpriority = '2-HIGH'
+  AND o_orderkey IN (SELECT k FROM multi_supp)
+  AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     WHERE l_returnflag = 'R')
+"""
+
+
+@register("sql_tpcds_q95", oracle=_SQL_TPCDS_Q95)
+def sql_tpcds_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q95's text shape — the two-warehouse shipment hunt: a
+    CTE SELF-JOINING the fact table on the same order with a
+    different warehouse, consumed through IN subqueries under one
+    count-distinct + sum aggregate (.../tpcds/q95.sql role-mapped:
+    warehouse -> suppkey, web returns -> returned lines). Both IN
+    subqueries plan as semi joins on orderkey — the same key the
+    self-join shuffles on, so the whole pipeline is co-partitioned at
+    any scale. Money through exact cents. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q95)
+
+
+_SQL_TPCDS_Q31 = """
+WITH ss AS (
+  SELECT n_name AS county, quarter(o_orderdate) AS qtr,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS DOUBLE) / 100 AS store_sales
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE year(o_orderdate) = 1996
+    AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+  GROUP BY n_name, quarter(o_orderdate)
+), ws AS (
+  SELECT n_name AS county, quarter(o_orderdate) AS qtr,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS DOUBLE) / 100 AS web_sales
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE year(o_orderdate) = 1996
+    AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+  GROUP BY n_name, quarter(o_orderdate)
+)
+SELECT ss1.county AS county,
+       round(ws2.web_sales / ws1.web_sales, 9) AS web_g,
+       round(ss2.store_sales / ss1.store_sales, 9) AS store_g
+FROM ss ss1, ss ss2, ws ws1, ws ws2
+WHERE ss1.county = ss2.county AND ss1.county = ws1.county
+  AND ss1.county = ws2.county
+  AND ss1.qtr = 1 AND ss2.qtr = 2 AND ws1.qtr = 1 AND ws2.qtr = 2
+  AND ss1.store_sales > 0 AND ws1.web_sales > 0
+  AND ws2.web_sales / ws1.web_sales
+      > ss2.store_sales / ss1.store_sales
+ORDER BY county
+"""
+
+
+@register("sql_tpcds_q31", oracle=_SQL_TPCDS_Q31)
+def sql_tpcds_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q31's text shape — the quarter-over-quarter
+    two-channel growth comparison: two channel CTEs (store/web
+    role-mapped to priority bands), each consumed TWICE in a
+    comma-list join pinned to consecutive quarters of the same
+    county, keeping counties where the web channel outgrew the store
+    channel (.../tpcds/q31.sql). Four aliases of two aggregates
+    joined on a low-cardinality key — every join side is
+    broadcast-eligible after the two grouped shuffles. Exact-cents
+    sums; the ratio COMPARISON stays unrounded like the original
+    (both engines evaluate the same doubles from the same exact
+    cents). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q31)
+
+
 @register(
     "sql_qdigest_agg_scale",
     # rows-only: qdigest estimates are compression-order dependent
