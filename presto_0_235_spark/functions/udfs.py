@@ -1402,6 +1402,64 @@ def xxhash64_hex(b: pd.Series) -> pd.Series:
     )
 
 
+def _make_presto_decimal_arith(op: str):
+    """Exact 128-bit-class decimal arithmetic for the sites Spark's
+    own decimal derivation cannot reproduce provably
+    (DecimalOperators.java long-decimal paths): operands arrive as
+    CAST(x AS STRING) fixed-point strings, the exact value computes
+    in Python decimal (prec 200 — wide enough for any 38x38-digit
+    op), divide rounds HALF_UP at the result scale like Java
+    BigDecimal, and a result whose unscaled value exceeds 10^rp
+    raises the reference's "Decimal overflow". The SQL emission
+    CASTs the returned string back to DECIMAL(rp, rs). Arrow-batched;
+    only sites where the pure-Spark rewrite declines
+    (frontend._dca_emit) reach this path."""
+
+    @F.pandas_udf(StringType())
+    def fn(a: pd.Series, b: pd.Series, rp: pd.Series,
+           rs: pd.Series) -> pd.Series:
+        from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+        out = []
+        with localcontext() as ctx:
+            ctx.prec = 200
+            for x, y, p_, s_ in zip(a, b, rp, rs):
+                if x is None or y is None:
+                    out.append(None)
+                    continue
+                xa, yb = Decimal(str(x)), Decimal(str(y))
+                s_ = int(s_)
+                if op == "/":
+                    if yb == 0:
+                        raise ArithmeticError("Division by zero")
+                    v = (xa / yb).quantize(
+                        Decimal(1).scaleb(-s_),
+                        rounding=ROUND_HALF_UP)
+                elif op == "%":
+                    if yb == 0:
+                        raise ArithmeticError("Division by zero")
+                    v = (xa % yb).quantize(Decimal(1).scaleb(-s_))
+                elif op == "*":
+                    v = (xa * yb).quantize(Decimal(1).scaleb(-s_))
+                elif op == "+":
+                    v = (xa + yb).quantize(Decimal(1).scaleb(-s_))
+                else:
+                    v = (xa - yb).quantize(Decimal(1).scaleb(-s_))
+                if abs(int(v.scaleb(s_))) >= 10 ** int(p_):
+                    raise ArithmeticError("Decimal overflow")
+                out.append(str(v))
+        return pd.Series(out, dtype="object")
+
+    return fn
+
+
+presto_decimal_div = _make_presto_decimal_arith("/")
+presto_decimal_mod = _make_presto_decimal_arith("%")
+presto_decimal_mul = _make_presto_decimal_arith("*")
+presto_decimal_add = _make_presto_decimal_arith("+")
+presto_decimal_sub = _make_presto_decimal_arith("-")
+
+
 @F.pandas_udf(DecimalType(20, 0))
 def presto_checksum_term(val: pd.Series, typ: pd.Series) -> pd.Series:
     """Per-row CHECKSUM contribution

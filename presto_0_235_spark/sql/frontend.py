@@ -919,9 +919,29 @@ def _dca_try_extents(masked: str):
     return out
 
 
+_DCA_UDF = {"+": "presto_decimal_add", "-": "presto_decimal_sub",
+            "*": "presto_decimal_mul", "/": "presto_decimal_div",
+            "%": "presto_decimal_mod"}
+
+
+def _dca_udf_emit(op, a, b, masked, rp, rs):
+    """The exact-arithmetic fallback for sites whose pure-Spark
+    rewrite cannot be proven exact (very-high-precision operands —
+    e.g. (38,2)/(38,2), where Spark's adjusted divide scale is too
+    coarse for the HALF_UP bound): operands render as fixed-point
+    strings and functions/udfs.presto_decimal_* computes the
+    reference's exact 128-bit-class result (Arrow-batched; the
+    common precisions never reach this path)."""
+    at = masked[a.start:a.end]
+    bt = masked[b.start:b.end]
+    return (f"CAST({_DCA_UDF[op]}(CAST(({at}) AS STRING), "
+            f"CAST(({bt}) AS STRING), {rp}, {rs}) "
+            f"AS DECIMAL({rp}, {rs}))", rp, rs)
+
+
 def _dca_emit(op: str, a: _DcaOperand, b: _DcaOperand, masked: str):
     """Presto's derivation for a op b; returns (replacement, rp, rs)
-    or None when exactness cannot be proven."""
+    or None when the op is out of rewrite scope."""
     p1, s1, p2, s2 = a.p, a.s, b.p, b.s
     at, bt = a.text(masked), b.text(masked)
     if op in "+-":
@@ -929,7 +949,7 @@ def _dca_emit(op: str, a: _DcaOperand, b: _DcaOperand, masked: str):
         pre = max(p1 - s1, p2 - s2) + rs + 1
         rp = min(38, pre)
         if _dca_spark_adjusted_scale(pre, rs) != rs:
-            return None
+            return _dca_udf_emit(op, a, b, masked, rp, rs)
         return (f"CAST((({at}) {op} ({bt})) AS DECIMAL({rp}, {rs}))",
                 rp, rs)
     if op == "*":
@@ -938,7 +958,7 @@ def _dca_emit(op: str, a: _DcaOperand, b: _DcaOperand, masked: str):
             return None  # Presto analysis-rejects; out of rewrite scope
         rp = min(38, p1 + p2)
         if _dca_spark_adjusted_scale(p1 + p2 + 1, rs) != rs:
-            return None
+            return _dca_udf_emit(op, a, b, masked, rp, rs)
         return (f"CAST((({at}) * ({bt})) AS DECIMAL({rp}, {rs}))",
                 rp, rs)
     if op == "%":
@@ -951,17 +971,19 @@ def _dca_emit(op: str, a: _DcaOperand, b: _DcaOperand, masked: str):
     rp = min(38, p1 + s2 + max(0, s2 - s1))
     d = max(0, s2 - s1)
     p1r, s1r = p1 + d, s1 + d
-    if p1r > 38:
-        return None
-    spark_scale = max(6, s1r + p2 + 1)
-    spark_prec = p1r - s1r + s2 + spark_scale
-    adj = _dca_spark_adjusted_scale(spark_prec, spark_scale)
-    if adj < rs + b.bound + 1:
-        return None  # double rounding not provably impossible
-    if d or a.is_lit:
-        at = f"CAST({masked[a.start:a.end]} AS DECIMAL({p1r}, {s1r}))"
-    return (f"CAST(ROUND(({at}) / ({bt}), {rs}) "
-            f"AS DECIMAL({rp}, {rs}))", rp, rs)
+    if p1r <= 38:
+        spark_scale = max(6, s1r + p2 + 1)
+        spark_prec = p1r - s1r + s2 + spark_scale
+        adj = _dca_spark_adjusted_scale(spark_prec, spark_scale)
+        if adj >= rs + b.bound + 1:
+            if d or a.is_lit:
+                at = (f"CAST({masked[a.start:a.end]} "
+                      f"AS DECIMAL({p1r}, {s1r}))")
+            return (f"CAST(ROUND(({at}) / ({bt}), {rs}) "
+                    f"AS DECIMAL({rp}, {rs}))", rp, rs)
+    # double rounding not provably impossible (or the rescaled
+    # dividend exceeds 38 digits): the exact-arithmetic path
+    return _dca_udf_emit(op, a, b, masked, rp, rs)
 
 
 def _dca_pass(masked: str, ops: str) -> str:
@@ -4248,6 +4270,14 @@ def _ensure_sql_udfs(spark: SparkSession) -> None:
     # CHECKSUM per-row term (ChecksumAggregationFunction.java; the
     # aggregate shape lives in sql/scalar_templates.py)
     spark.udf.register("presto_checksum_term", U.presto_checksum_term)
+    # exact long-decimal arithmetic for the sites Spark's derivation
+    # cannot reproduce provably (DecimalOperators.java long paths) —
+    # emitted by _dca_emit's decline branches
+    spark.udf.register("presto_decimal_div", U.presto_decimal_div)
+    spark.udf.register("presto_decimal_mod", U.presto_decimal_mod)
+    spark.udf.register("presto_decimal_mul", U.presto_decimal_mul)
+    spark.udf.register("presto_decimal_add", U.presto_decimal_add)
+    spark.udf.register("presto_decimal_sub", U.presto_decimal_sub)
     # Binary hash family (VarbinaryFunctions.java:296-370 +
     # CombineHashFunction.java) — wraparound arithmetic Spark's ANSI
     # mode refuses; values pinned to the reference's own vectors in

@@ -127,15 +127,45 @@ def test_untyped_forms_left_alone(spark):
     assert typ == "double"
 
 
-def test_high_precision_divide_left_unrewritten(spark):
+def test_high_precision_divide_routes_to_exact_udf(spark):
     # (38,2)/(38,2): Spark's adjusted divide scale (6) cannot prove
-    # the HALF_UP bound, so the site stays Spark-derived — the
-    # documented residual, now scoped to very-high-precision operands
-    typ, _ = _one(
+    # the HALF_UP bound, so (r14 #2) the site routes through the
+    # exact-arithmetic UDF (functions/udfs.presto_decimal_div) — the
+    # former documented residual now lands on the reference type AND
+    # value: decimal(38,2) with HALF_UP
+    typ, v = _one(
         spark,
         "SELECT CAST(x AS DECIMAL(38,2)) / CAST(y AS DECIMAL(38,2))"
         " AS r FROM (VALUES (1.0, 3.0)) t(x, y)")
-    assert typ == "decimal(38,6)"
+    assert (typ, v) == ("decimal(38,2)", D("0.33"))
+    typ, v = _one(
+        spark,
+        "SELECT CAST(x AS DECIMAL(38,2)) / CAST(y AS DECIMAL(38,2))"
+        " AS r FROM (VALUES (1.0, 8.0)) t(x, y)")
+    assert (typ, v) == ("decimal(38,2)", D("0.13"))  # HALF_UP
+    # a 38-digit-class value through the exact path stays exact
+    typ, v = _one(
+        spark,
+        "SELECT CAST(x AS DECIMAL(38,0)) / CAST(y AS DECIMAL(38,0))"
+        " AS r FROM (VALUES (CAST('99999999999999999999999999999999'"
+        " AS DECIMAL(38,0)), 3)) t(x, y)")
+    assert (typ, v) == ("decimal(38,0)",
+                        D("33333333333333333333333333333333"))
+    # precision-loss multiply routes exact too: (38,10)*(20,10) keeps
+    # the full scale 20 where Spark would reduce it
+    typ, v = _one(
+        spark,
+        "SELECT CAST(x AS DECIMAL(38,10)) * CAST(y AS DECIMAL(20,10))"
+        " AS r FROM (VALUES (1.5, 2.5)) t(x, y)")
+    assert (typ, v) == ("decimal(38,20)", D("3.75"))
+    # the reference's overflow raise survives the exact path
+    with pytest.raises(Exception):
+        _one(
+            spark,
+            "SELECT CAST(x AS DECIMAL(38,10)) * "
+            "CAST(x AS DECIMAL(38,10)) AS r FROM (VALUES ("
+            "CAST('9999999999999999999999999999.9999999999' "
+            "AS DECIMAL(38,10)))) t(x)")
 
 
 def test_sum_decimal_lands_at_presto_type(spark):

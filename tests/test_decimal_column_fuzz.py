@@ -7,9 +7,11 @@ compared against a PYTHON model of the reference's derivation
 (DecimalOperators.java:91,251,316,480 — the same rules
 `_rewrite_decimal_column_arith` emits, implemented independently here
 with decimal.Decimal so an emission bug and a model bug cannot
-cancel). Where the rewriter declines a site (unprovable exactness),
-the model declines too and the pin is skipped — the fuzz checks the
-REWRITTEN surface, the decline set is covered by the unit pins.
+cancel). Since r14 #2 the rewriter covers EVERY statically-derivable
+site: where the pure-Spark emission cannot be proven exact it routes
+through the exact-arithmetic UDF (functions/udfs.presto_decimal_*),
+so the model no longer skips those — only the analysis-reject
+multiply (result scale > 38) stays out of scope.
 
 Deterministic seed; one spark round trip for all cases (chunked
 VALUES), so the 120-case sweep costs ~2 queries.
@@ -28,30 +30,11 @@ SEED = 20260815
 
 
 def _rewriter_declines(op, p1, s1, p2, s2):
-    """Mirror of _dca_emit's decline conditions: sites where Spark's
-    own derivation cannot be proven exact are left un-rewritten (the
-    documented residual), so the fuzz skips them — the decline logic
-    itself is pinned by the unit suite."""
-    from presto_0_235_spark.sql.frontend import _dca_spark_adjusted_scale
-
-    if op in "+-":
-        rs = max(s1, s2)
-        pre = max(p1 - s1, p2 - s2) + rs + 1
-        return _dca_spark_adjusted_scale(pre, rs) != rs
-    if op == "*":
-        rs = s1 + s2
-        return rs > 38 or _dca_spark_adjusted_scale(p1 + p2 + 1, rs) != rs
-    if op == "/":
-        rs = max(s1, s2)
-        d = max(0, s2 - s1)
-        p1r, s1r = p1 + d, s1 + d
-        if p1r > 38:
-            return True
-        spark_scale = max(6, s1r + p2 + 1)
-        adj = _dca_spark_adjusted_scale(
-            p1r - s1r + s2 + spark_scale, spark_scale)
-        return adj < rs + p2 + 1
-    return False  # %
+    """Mirror of _dca_emit's remaining decline: only the
+    analysis-reject multiply (result scale > 38 — Presto refuses the
+    TYPE) stays un-rewritten; every other site now emits either the
+    provably-exact pure-Spark form or the exact-arithmetic UDF."""
+    return op == "*" and s1 + s2 > 38
 
 
 def _presto_binop(op, a, p1, s1, b, p2, s2):
