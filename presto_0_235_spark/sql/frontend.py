@@ -1702,6 +1702,22 @@ def _cnc_value(s: str, i: int, stash):
             close = _balanced(s, j)
             items = _split_top_comma(s[j + 1:close - 1])
             return tuple(_cnc_parse(it, stash) for it in items), close
+        if w == "MAP" and j < n and s[j] == "(":
+            close = _balanced(s, j)
+            body = s[j + 1:close - 1]
+            if not body.strip():
+                return {}, close
+            items = _split_top_comma(body)
+            if len(items) != 2:
+                raise _NotLiteralExpr
+            ks = _cnc_parse(items[0], stash)
+            vs = _cnc_parse(items[1], stash)
+            if not (isinstance(ks, list) and isinstance(vs, list)
+                    and len(ks) == len(vs)
+                    and all(k is not None for k in ks)):
+                raise _NotLiteralExpr
+            return {_cnc_key(k): (k, v)
+                    for k, v in zip(ks, vs)}, close
         if w in ("CAST", "TRY_CAST") and j < n and s[j] == "(":
             close = _balanced(s, j)
             body = s[j + 1:close - 1]
@@ -1742,7 +1758,7 @@ def _cnc_same_kind(a, b) -> bool:
     num = (int,) + tuple([__import__("decimal").Decimal])
     if isinstance(a, bool) or isinstance(b, bool):
         return isinstance(a, bool) and isinstance(b, bool)
-    for kinds in (num, (str,), (list,), (tuple,)):
+    for kinds in (num, (str,), (list,), (tuple,), (dict,)):
         if isinstance(a, kinds):
             return isinstance(b, kinds)
     return False
@@ -1786,6 +1802,26 @@ def _cnc_eq(a, b):
             elif not r:
                 return False
         return None if indeterminate else True
+    if isinstance(a, dict):
+        # MapEqualOperator.java: size mismatch is FALSE; keys match
+        # by key equality (keys are never null), values compare
+        # 3-valued like row fields
+        if len(a) != len(b):
+            return False
+        indeterminate = False
+        for key, (_, va) in a.items():
+            if key not in b:
+                return False
+            vb = b[key][1]
+            if va is None or vb is None:
+                indeterminate = True
+                continue
+            r = _cnc_eq(va, vb)
+            if r is None:
+                indeterminate = True
+            elif not r:
+                return False
+        return None if indeterminate else True
     return a == b
 
 
@@ -1799,6 +1835,9 @@ def _cnc_key(v):
         return ("b", v)
     if isinstance(v, (list, tuple)):
         return (type(v).__name__,) + tuple(_cnc_key(x) for x in v)
+    if isinstance(v, dict):
+        return ("m",) + tuple(sorted(
+            (k, _cnc_key(val)) for k, (_, val) in v.items()))
     from decimal import Decimal
 
     if isinstance(v, (int, Decimal)):
@@ -1934,6 +1973,111 @@ def _cnc_row_compare(a: tuple, b: tuple) -> str | None:
     return None
 
 
+def _cnc_parse_back(out: str, j: int, stash):
+    """Parse a literal COMPLEX value ending at j (ws-exclusive);
+    returns (start, value) or None. Only ROW(...)/MAP(...) calls,
+    bare tuples, and ARRAY[...] literals qualify — any other call
+    head or unparseable content declines."""
+    k = j
+    while k > 0 and out[k - 1].isspace():
+        k -= 1
+    if k == 0:
+        return None
+    c = out[k - 1]
+    if c == ")":
+        depth = 0
+        open_i = None
+        for i in range(k - 1, -1, -1):
+            if out[i] == ")":
+                depth += 1
+            elif out[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    open_i = i
+                    break
+        if open_i is None:
+            return None
+        start = open_i
+        hm = re.search(r"([A-Za-z_]\w*)\s*$", out[:open_i])
+        if hm is not None:
+            if hm.group(1).upper() not in ("ROW", "MAP"):
+                return None
+            start = hm.start()
+    elif c == "]":
+        sq = 0
+        par = 0
+        open_i = None
+        for i in range(k - 1, -1, -1):
+            ch = out[i]
+            if ch == "]":
+                sq += 1
+            elif ch == "[":
+                sq -= 1
+                if sq == 0 and par == 0:
+                    open_i = i
+                    break
+            elif ch == ")":
+                par += 1
+            elif ch == "(":
+                par -= 1
+        if open_i is None:
+            return None
+        hm = re.search(r"(ARRAY)\s*$", out[:open_i], re.IGNORECASE)
+        if hm is None:
+            return None
+        start = hm.start()
+    else:
+        return None
+    try:
+        v = _cnc_parse(out[start:k], stash)
+    except (_NotLiteralExpr, ValueError):
+        return None
+    if not isinstance(v, (list, tuple, dict)):
+        return None
+    return start, v
+
+
+_CNC_EQ_OP = re.compile(r"(<>|!=|=)")
+
+
+def _fold_complex_literal_equality(out: str, stash) -> str:
+    from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+    pos = 0
+    while True:
+        m = _CNC_EQ_OP.search(out, pos)
+        if m is None:
+            return out
+        pos = m.end()
+        op = m.group(1)
+        if op == "=" and (out[m.start() - 1:m.start()] in "<>!="
+                          or out[m.end():m.end() + 1] == "="):
+            continue  # part of <=, >=, !=, ==
+        left = _cnc_parse_back(out, m.start(), stash)
+        if left is None:
+            continue
+        try:
+            right, rend = _cnc_value(out, m.end(), stash)
+        except (_NotLiteralExpr, ValueError):
+            continue
+        if not isinstance(right, (list, tuple, dict)):
+            continue
+        try:
+            if not _cnc_same_kind(left[1], right):
+                continue
+            r = _cnc_eq(left[1], right)
+        except (_NotLiteralExpr, ValueError, TypeError):
+            continue
+        if op in ("<>", "!="):
+            r = None if r is None else not r
+        repl = ("CAST(NULL AS BOOLEAN)" if r is None
+                else ("TRUE" if r else "FALSE"))
+        out = out[:left[0]] + repl + out[rend:]
+        pos = left[0] + len(repl)
+    # unreachable
+    return out
+
+
 _CNC_FN = re.compile(
     r"\b(CONTAINS|ARRAY_POSITION|ARRAY_REMOVE|ARRAY_INTERSECT)\s*\(",
     re.IGNORECASE)
@@ -1941,8 +2085,18 @@ _CNC_ROW_CMP = re.compile(r"\bROW\s*\(", re.IGNORECASE)
 _CNC_RET = {"CONTAINS": " AS BOOLEAN", "ARRAY_POSITION": " AS BIGINT"}
 
 
+_CNC_ANY_CTOR = re.compile(r"\bROW\s*\(|\bARRAY\s*\[|\bMAP\s*\(|\(",
+                           re.IGNORECASE)
+
+
 def _fold_complex_null_comparisons(masked: str, stash) -> str:
-    if not re.search(r"\bNULL\b", masked, re.IGNORECASE):
+    has_null = re.search(r"\bNULL\b", masked, re.IGNORECASE)
+    if not has_null:
+        # without nulls the only live fold is complex-literal
+        # equality (Spark refuses '=' on MAP-containing types even
+        # for determinate comparisons)
+        if re.search(r"[=!<]", masked) and _CNC_ANY_CTOR.search(masked):
+            return _fold_complex_literal_equality(masked, stash)
         return masked
     from presto_0_235_spark.sql.scalar_templates import _stash_lit
 
@@ -1992,6 +2146,14 @@ def _fold_complex_null_comparisons(masked: str, stash) -> str:
         out = out[:m.start()] + repl + out[past:]
         pos = m.start() + len(repl)
         extents = _dca_try_extents(out)
+    # literal complex equality: ROW/ARRAY/MAP/tuple literals under
+    # = / <> / != fold with Presto's 3-valued semantics
+    # (RowEqualOperator / ArrayEqualOperator / MapEqualOperator) —
+    # Spark's struct '=' is null-as-value (FALSE where Presto is
+    # NULL) and its analyzer refuses '=' on anything containing a
+    # MAP, so the fold is both a value fix and a capability
+    out = _fold_complex_literal_equality(out, stash)
+    extents = _dca_try_extents(out)
     # row(...) <op> row(...) ordering over literal rows
     pos = 0
     while True:

@@ -53,6 +53,22 @@ CASES = [
     ("TRY(CONTAINS(ARRAY [ARRAY [1.1, null]], ARRAY [1.1, null]))",
      None),
     ("TRY(ARRAY_POSITION(ARRAY [ARRAY[null]], ARRAY[1]))", None),
+    # literal complex equality folds with Presto's 3-valued
+    # semantics (RowEqualOperator / ArrayEqualOperator /
+    # MapEqualOperator): NULL when undecided, FALSE on a decided
+    # mismatch, and MAP equality computes where Spark's analyzer
+    # refuses the type outright
+    ("row(1, CAST(NULL AS INTEGER)) = row(1, 2)", None),
+    ("row(2, CAST(NULL AS INTEGER)) = row(1, 2)", False),
+    ("ARRAY[1, null] = ARRAY[1, null]", None),
+    ("ARRAY[1, null] = ARRAY[2, null]", False),
+    ("ARRAY[1, null] <> ARRAY[2, null]", True),
+    ("MAP(ARRAY[1, 2], ARRAY['a', 'b']) = "
+     "MAP(ARRAY[2, 1], ARRAY['b', 'a'])", True),
+    ("MAP(ARRAY[1], ARRAY[NULL]) = MAP(ARRAY[1], ARRAY[NULL])",
+     None),
+    ("row(TRUE, ARRAY[1], MAP(ARRAY[1], ARRAY[2])) = "
+     "row(TRUE, ARRAY[1], MAP(ARRAY[1], ARRAY[2]))", True),
 ]
 
 

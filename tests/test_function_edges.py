@@ -969,15 +969,12 @@ VALUE_CASES += [
           "(assertComparisonCombination ROW(1,2) vs ROW(2,1))"),
     _case("row_lt_array_prefix", "row(TRUE, ARRAY [1]) < row(TRUE, ARRAY [1, 2])",
           True, f"{RO}:522"),
+    # (xfail converted in r14 #2: literal complex equality folds at
+    # translate time with Presto's MapEqualOperator semantics, so the
+    # MAP-containing row '=' Spark's analyzer refuses now computes —
+    # frontend._fold_complex_literal_equality)
     _case("row_eq_nested_array_map", "row(TRUE, ARRAY [1, 2], MAP(ARRAY[1, 3], ARRAY[2.0E0, 4.0E0])) = row(TRUE, ARRAY [1, 2], MAP(ARRAY[1, 3], ARRAY[2.0E0, 4.0E0]))",
-          True, f"{RO}:513",
-          marks=(pytest.mark.xfail(
-              reason="engine divergence: Spark refuses '=' on any "
-              "type containing a MAP (INVALID_ORDERING_TYPE — maps "
-              "have no defined ordering/equality in Catalyst); "
-              "Presto defines map equality. Map-free row equality "
-              "is pinned by the surrounding cases.",
-              strict=True),)),
+          True, f"{RO}:513"),
     _case("row_distinct_null", "row(NULL) IS DISTINCT FROM row(NULL)",
           False, f"{RO}:498"),
     _case("row_eq_decided_false", "row(2, CAST(NULL AS INTEGER)) = row(1, 2)",
@@ -987,13 +984,11 @@ VALUE_CASES += [
     # returns NULL (RowEqualOperator short-circuits only on a decided
     # FALSE); Spark struct equality treats NULL fields as ordinary
     # distinct values and returns FALSE
+    # (xfail converted in r14 #2: the literal fold replays
+    # RowEqualOperator's 3-valued per-field loop — NULL when
+    # undecided, FALSE only on a decided mismatch)
     _case("row_eq_null_field", "row(1, CAST(NULL AS INTEGER)) = row(1, 2)",
-          None, f"{RO}:516",
-          marks=(pytest.mark.xfail(
-              reason="engine divergence: Presto row '=' is 3-valued "
-              "per field (NULL when undecided); Spark struct "
-              "equality is null-as-value and returns FALSE.",
-              strict=True),)),
+          None, f"{RO}:516"),
     # interval literals — every DAY TO SECOND literal form (:58-100)
     _case("interval_dts_full", "INTERVAL '12 10:45:32.123' DAY TO SECOND",
           timedelta(days=12, hours=10, minutes=45, seconds=32,
