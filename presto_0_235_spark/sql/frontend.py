@@ -1446,6 +1446,82 @@ def _int_div_pass(masked: str) -> str:
         return masked[:left[0]] + new + masked[right[1]:]
 
 
+# ---------------------------------------------------------------------------
+# DOUBLE -> integral casts round HALF-away-from-zero (r14 #2)
+# ---------------------------------------------------------------------------
+# Presto rounds: DoubleOperators.castToLong =
+# DoubleMath.roundToLong(value, HALF_UP) and castToInteger/Smallint/
+# Tinyint go through MathFunctions.round + toIntExact — all
+# half-away-from-zero, raising on NaN/Infinity/out-of-range. Spark's
+# ANSI cast TRUNCATES toward zero. For statically-DOUBLE operands
+# (CAST(... AS DOUBLE) forms — which is what DOUBLE 'x' literals and
+# catalog-annotated double columns lower to — and bare scientific
+# literals), emit sign-aware FLOOR(|x| + 0.5) with guards: NaN and
+# |x| >= 2^63 route through the plain cast so the ANSI raise (or
+# TRY_CAST NULL) discipline is preserved — Spark's floor() would
+# otherwise map NaN to 0 and saturate at Long.MAX silently.
+
+_D2I_OUTER = re.compile(r"\b(TRY_CAST|CAST)\s*\(", re.IGNORECASE)
+_D2I_TAIL = re.compile(
+    r"\bAS\s+(TINYINT|SMALLINT|INT|INTEGER|BIGINT)\s*$", re.IGNORECASE)
+# REAL casts go through the same half-away-from-zero rounding
+# (RealOperators.castToLong/Integer: MathFunctions.round((double) v))
+_D2I_DOUBLE_TAIL = re.compile(r"\bAS\s+(?:DOUBLE|FLOAT|REAL)\s*$",
+                              re.IGNORECASE)
+_D2I_SCI = re.compile(r"[+-]?\d+(?:\.\d+)?[eE][+-]?\d+")
+
+
+def _rewrite_double_to_integral_cast(masked: str) -> str:
+    extents = _dca_try_extents(masked)
+    out = masked
+    pos = 0
+    while True:
+        m = _D2I_OUTER.search(out, pos)
+        if m is None:
+            return out
+        pos = m.end()
+        open_i = out.index("(", m.end(1))
+        try:
+            past = _balanced(out, open_i)
+        except ValueError:
+            continue
+        body = out[open_i + 1:past - 1]
+        tm = _D2I_TAIL.search(body)
+        if tm is None:
+            continue
+        inner = body[:tm.start()].strip()
+        is_double = False
+        im = re.match(r"(TRY_CAST|CAST)\s*\(", inner, re.IGNORECASE)
+        if im:
+            try:
+                o2 = inner.index("(", im.end(1))
+                if _balanced(inner, o2) == len(inner) and \
+                        _D2I_DOUBLE_TAIL.search(inner[o2 + 1:-1]):
+                    is_double = True
+            except ValueError:
+                pass
+        elif _D2I_SCI.fullmatch(inner):
+            is_double = True
+        if not is_double:
+            continue
+        t = tm.group(1)
+        outer = m.group(1).upper()
+        if outer == "CAST" and any(lo <= m.start() < hi
+                                   for lo, hi in extents):
+            # Presto TRY absorbs the NaN/range raise — emit the
+            # absorbing form directly (TRY(x) == x then; _lower_try
+            # passes a lone TRY_CAST through)
+            outer = "TRY_CAST"
+        repl = (f"{outer}(IF(isnan(({inner})) OR "
+                f"abs(({inner})) >= 9.223372036854776E18D, "
+                f"{outer}(({inner}) AS BIGINT), "
+                f"IF(({inner}) >= 0D, FLOOR(({inner}) + 0.5D), "
+                f"-FLOOR(-({inner}) + 0.5D))) AS {t})")
+        out = out[:m.start()] + repl + out[past:]
+        pos = m.start() + len(repl)
+        extents = _dca_try_extents(out)
+
+
 _IN_LIST = re.compile(r"\bIN\s*\(([^()]*)\)", re.IGNORECASE)
 _DIV0_ITEM = re.compile(r"^\s*\d+(?:\.\d+)?\s*[/%]\s*0\s*$")
 
@@ -4047,6 +4123,7 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = _fold_int_literal_div(masked, stash)
     masked = _rewrite_typed_literals(masked, stash)
     masked = _fold_decimal_literal_casts(masked, stash)
+    masked = _rewrite_double_to_integral_cast(masked)
     masked = _rewrite_interval_literals(masked, stash)
     masked = _rewrite_date_time_interval_raise(masked, stash)
     masked = _rewrite_like_escapes(masked, stash)
@@ -4559,14 +4636,21 @@ _ANNOT_IDENT = re.compile(
 
 
 def _annot_sqltype(dt):
-    """SQL spelling for an annotatable Spark type, else None."""
+    """SQL spelling for an annotatable Spark type, else None.
+
+    DOUBLE is special-cased at the annotation site: double columns
+    only annotate directly inside an integral CAST (where Presto's
+    half-away-from-zero rounding diverges from Spark's truncation) —
+    arithmetic-adjacent doubles are left alone (Spark already
+    matches)."""
     from pyspark.sql import types as T
 
     if isinstance(dt, T.DecimalType):
         return f"DECIMAL({dt.precision},{dt.scale})"
     return {"ByteType": "TINYINT", "ShortType": "SMALLINT",
             "IntegerType": "INT", "LongType": "BIGINT",
-            "FloatType": "FLOAT"}.get(type(dt).__name__)
+            "FloatType": "FLOAT",
+            "DoubleType": "DOUBLE"}.get(type(dt).__name__)
 
 
 def _implicit_select_aliases(masked: str) -> set:
@@ -4752,8 +4836,9 @@ def _annotate_numeric_columns(spark: SparkSession, sql: str) -> str:
 
 
 def _annotate_numeric_columns_inner(spark, sql: str) -> str:
-    if not re.search(r"[*/%+-]", sql):
-        return sql
+    if not re.search(r"[*/%+-]", sql) and not re.search(
+            r"\bCAST\s*\(", sql, re.IGNORECASE):
+        return sql  # no arithmetic and no cast: nothing to type
     masked, stash = _mask(sql)
     refs = _annot_refs(masked)
     vrefs = _annot_values_refs(masked, stash)
@@ -4832,6 +4917,19 @@ def _annotate_numeric_columns_inner(spark, sql: str) -> str:
             if not t:
                 continue
         prev = masked[:m.start()].rstrip()
+        if t == "DOUBLE":
+            # only the integral-cast context (see _annot_sqltype)
+            if not (re.search(r"\b(?:TRY_CAST|CAST)\s*\($", prev,
+                              re.IGNORECASE)
+                    and re.match(r"AS\s+(?:TINYINT|SMALLINT|INT|"
+                                 r"INTEGER|BIGINT)\b", rest,
+                                 re.IGNORECASE)):
+                continue
+            out_parts.append(masked[last:m.start()])
+            out_parts.append(f"CAST({name} AS DOUBLE)")
+            last = m.end()
+            changed = True
+            continue
         pc = prev[-1:]
         adj = bool(pc) and pc in "+-*/%"
         if not adj and rest[:1] and rest[:1] in "+-*/%" \

@@ -907,10 +907,30 @@ VALUE_CASES += [
 # Column-operand decimal arithmetic keeps Spark's derivation (the
 # documented engine divergence).
 # (r13: the decimal->integral HALF_UP cast xfails converted to
-# PASSES for literal operands — frontend._fold_decimal_literal_casts;
-# decimal COLUMN casts keep Spark's truncation, same class as the
-# CAST(double AS BIGINT) corpus xfail.)
+# PASSES for literal operands — frontend._fold_decimal_literal_casts.
+# r14 #2: DOUBLE/REAL -> integral casts now round half-away-from-zero
+# like DoubleOperators.castToLong (DoubleMath.roundToLong HALF_UP) /
+# RealOperators via MathFunctions.round — the literal AND
+# catalog-typed column forms, frontend._rewrite_double_to_integral_
+# cast, with NaN/out-of-range guarded to the raising plain cast.)
 VALUE_CASES += [
+    _case("double_cast_bigint_halfup", "CAST(DOUBLE '2.5' AS BIGINT)",
+          3, f"{DO} castToLong (DoubleMath.roundToLong HALF_UP)"),
+    _case("double_cast_bigint_halfup_neg",
+          "CAST(DOUBLE '-2.5' AS BIGINT)", -3,
+          f"{DO} castToLong (HALF_UP is away from zero)"),
+    _case("double_cast_bigint_down", "CAST(DOUBLE '2.4' AS BIGINT)",
+          2, f"{DO} castToLong"),
+    _case("double_cast_int_halfup", "CAST(DOUBLE '2.5' AS INTEGER)",
+          3, f"{DO} castToInteger (MathFunctions.round)"),
+    _case("real_cast_bigint_halfup", "CAST(REAL '2.5' AS BIGINT)",
+          3, "type/TestRealOperators.java castToLong "
+          "(MathFunctions.round on the widened double)"),
+    _case("double_cast_nan_try", "TRY_CAST(DOUBLE 'NaN' AS BIGINT)",
+          None, f"{DO} (try_cast absorbs the NaN raise)"),
+    _case("double_cast_range_try",
+          "TRY_CAST(DOUBLE '1e20' AS BIGINT)", None,
+          f"{DO} (try_cast absorbs the out-of-range raise)"),
     _case("dec_add_mixed_scale", "DECIMAL '123456789012345678901234567890' + DECIMAL '.12345678'",
           Decimal("123456789012345678901234567890.12345678"), f"{DO}:60"),
     _case("dec_mul_scaled_by3", "DECIMAL '1234567890123456789.0123456789012345678' * DECIMAL '3'",
@@ -1269,6 +1289,10 @@ ERROR_CASES2 = [
     _err("int_add_overflow", "CAST(2147483647 AS INTEGER) + CAST(1 AS INTEGER)",
          "type/TestIntegerOperators.java (integer addition overflow)"),
     _err("int_div_by_zero", "7 / 0", "type/TestIntegerOperators.java"),
+    _err("double_cast_nan_raises", "CAST(DOUBLE 'NaN' AS BIGINT)",
+         "type/TestDoubleOperators.java (Unable to cast NaN)"),
+    _err("double_cast_range_raises", "CAST(DOUBLE '1e20' AS BIGINT)",
+         "type/TestDoubleOperators.java (out of long range)"),
     _err("int_mod_by_zero", "7 % 0", "type/TestIntegerOperators.java"),
     # non-legacy anonymous-row ordinal access is an error on both
     # engines (legacyRowFieldOrdinalAccess defaults OFF in 0.235)

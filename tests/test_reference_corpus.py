@@ -771,18 +771,16 @@ CORPUS: list[Case] = [
     C("cast_family",
       "SELECT CAST('1' AS BIGINT), CAST(totalprice AS BIGINT), "
       "CAST(orderkey AS DOUBLE), CAST(orderkey AS VARCHAR) "
-      "FROM orders", f"{_ATQ}:4121 (adapted: truncating double cast "
-      "replaced by exact-integer totalprice cast)",
-      duck="SELECT CAST('1' AS BIGINT), CAST(totalprice AS BIGINT), "
+      "FROM orders",
+      f"{_ATQ}:4121 (xfail converted in r14 #2: the catalog-typed "
+      "double cast rounds half-away-from-zero like "
+      "DoubleOperators.castToLong; the duck side replays it — "
+      "DuckDB's own cast rounds half-even)",
+      duck="SELECT CAST('1' AS BIGINT), "
+           "CAST(CASE WHEN totalprice >= 0 THEN floor(totalprice + 0.5) "
+           "ELSE -floor(-totalprice + 0.5) END AS BIGINT), "
            "CAST(orderkey AS DOUBLE), CAST(orderkey AS VARCHAR) "
-           "FROM orders",
-      marks=(pytest.mark.xfail(
-          strict=True,
-          reason="CAST(double AS BIGINT): Spark truncates toward "
-                 "zero, DuckDB/Presto round half-even — engine-level "
-                 "cast-semantics divergence; exact casts pass, "
-                 "documented like NaN equality",
-      ),)),
+           "FROM orders"),
     C("cast_exact_family",
       "SELECT CAST('1' AS BIGINT), CAST(round(totalprice) AS BIGINT), "
       "CAST(orderkey AS DOUBLE), CAST(orderkey AS VARCHAR) "
@@ -2936,13 +2934,12 @@ CORPUS: list[Case] = [
     C("cast_str_bigint", "SELECT CAST('1' AS BIGINT)",
       f"{_ATQ} testCast"),
     C("cast_price_bigint", "SELECT CAST(totalprice AS BIGINT) FROM orders",
-      f"{_ATQ} testCast",
-      marks=(pytest.mark.xfail(
-          reason="engine divergence: Spark ANSI CAST(double AS BIGINT) "
-          "truncates toward zero; Presto's DoubleOperators.castToLong "
-          "(and DuckDB) round half-up — same quarantined class as the "
-          "REAL=DECIMAL comparison-domain xfails",
-          strict=True),)),
+      f"{_ATQ} testCast (xfail converted in r14 #2: the "
+      "catalog-typed double cast rounds half-away-from-zero like "
+      "DoubleOperators.castToLong — the duck side replays it)",
+      duck="SELECT CAST(CASE WHEN totalprice >= 0 THEN "
+           "floor(totalprice + 0.5) ELSE -floor(-totalprice + 0.5) "
+           "END AS BIGINT) FROM orders"),
     C("cast_key_double", "SELECT CAST(orderkey AS DOUBLE) FROM orders",
       f"{_ATQ} testCast"),
     C("cast_key_varchar", "SELECT CAST(orderkey AS VARCHAR) FROM orders",
