@@ -2665,6 +2665,80 @@ def sql_tpcds_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, _SQL_TPCDS_Q31)
 
 
+_SQL_TPCDS_Q39 = """
+WITH inv AS (
+  SELECT l_suppkey % 10 AS w_warehouse_sk, l_returnflag AS i_item_sk,
+         month(o_orderdate) AS d_moy,
+         CASE WHEN avg(l_quantity) = 0 THEN NULL
+              ELSE round(stddev_samp(l_quantity) / avg(l_quantity), 9)
+         END AS cov
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1996
+  GROUP BY l_suppkey % 10, l_returnflag, month(o_orderdate)
+  HAVING count(*) > 1
+)
+SELECT inv1.w_warehouse_sk, inv1.i_item_sk, inv1.d_moy,
+       inv1.cov AS cov1, inv2.cov AS cov2
+FROM inv inv1, inv inv2
+WHERE inv1.w_warehouse_sk = inv2.w_warehouse_sk
+  AND inv1.i_item_sk = inv2.i_item_sk
+  AND inv1.d_moy = inv2.d_moy - 1
+  AND inv1.cov > 0.55
+ORDER BY inv1.w_warehouse_sk, inv1.i_item_sk, inv1.d_moy
+"""
+
+
+@register("sql_tpcds_q39", oracle=_SQL_TPCDS_Q39)
+def sql_tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q39's text shape — the inventory volatility hunt: a
+    CTE computing the coefficient of variation
+    (stddev_samp / mean, NULL-guarded like the original's CASE) per
+    (warehouse, item, month), self-joined on the CONSECUTIVE month
+    with a volatility threshold (.../tpcds/q39_1.sql role-mapped:
+    warehouse -> suppkey, inventory qty -> lineitem qty).
+    stddev_samp crosses the dialect layer; round(_, 9) absorbs the
+    double accumulation order on both engines. The self-join key set
+    is the grouped CTE's own key — co-partitioned. ORDER BY the full
+    key is total. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q39)
+
+
+_SQL_TPCDS_Q93 = """
+SELECT o_custkey AS ss_customer_sk,
+       round(SUM(CASE WHEN l2.l_orderkey IS NOT NULL
+                 THEN CAST(round(l1.l_extendedprice * 100) AS BIGINT)
+                      * (l1.l_linenumber - 1)
+                 ELSE CAST(round(l1.l_extendedprice * 100) AS BIGINT)
+                      * l1.l_linenumber END) / 100.0, 2) AS sumsales
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+LEFT JOIN lineitem l2
+  ON l1.l_orderkey = l2.l_orderkey
+ AND l1.l_linenumber = l2.l_linenumber
+ AND l2.l_returnflag = 'R'
+WHERE o_orderkey < 2000
+GROUP BY o_custkey
+ORDER BY sumsales, ss_customer_sk
+LIMIT 100
+"""
+
+
+@register("sql_tpcds_q93", oracle=_SQL_TPCDS_Q93)
+def sql_tpcds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q93's text shape — returns-adjusted sales: the fact
+    table LEFT-JOINED to its own returns side on (ticket, item), a
+    CASE over the join-miss column choosing the adjusted vs plain
+    quantity, aggregated per customer (.../tpcds/q93.sql
+    role-mapped: store_returns -> returned lines, quantity roles ->
+    linenumber). The left join is key-aligned with the fact shuffle;
+    exact-cents arithmetic keeps the grouped sums order-independent
+    (the CASE arms are integral cents times small ints). ORDER BY
+    (sumsales, customer) is total. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q93)
+
+
 @register(
     "sql_qdigest_agg_scale",
     # rows-only: qdigest estimates are compression-order dependent
