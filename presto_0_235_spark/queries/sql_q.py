@@ -2706,11 +2706,12 @@ def sql_tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TPCDS_Q93 = """
 SELECT o_custkey AS ss_customer_sk,
-       round(SUM(CASE WHEN l2.l_orderkey IS NOT NULL
+       round(CAST(SUM(CASE WHEN l2.l_orderkey IS NOT NULL
                  THEN CAST(round(l1.l_extendedprice * 100) AS BIGINT)
                       * (l1.l_linenumber - 1)
                  ELSE CAST(round(l1.l_extendedprice * 100) AS BIGINT)
-                      * l1.l_linenumber END) / 100.0, 2) AS sumsales
+                      * l1.l_linenumber END) AS DOUBLE) / 100, 2)
+         AS sumsales
 FROM lineitem l1
 JOIN orders ON l1.l_orderkey = o_orderkey
 LEFT JOIN lineitem l2
