@@ -3813,6 +3813,33 @@ _GROUPING_CALL = re.compile(r"\bGROUPING\s*\(", re.IGNORECASE)
 
 
 def _rewrite_multiarg_grouping(sql: str) -> str:
+    # Presto evaluates grouping() under a PLAIN GROUP BY to 0 for
+    # every argument (no grouping set ever excludes a plain key —
+    # AbstractTestQueries testGrouping); Spark's analyzer rejects
+    # grouping() outside GROUPING SETS/ROLLUP/CUBE. With no grouping
+    # set anywhere in the statement, every grouping() call is the
+    # constant 0 (and the multi-arg grouping bitmask is 0 too) — fold
+    # it. Statements containing any grouping-set construct keep the
+    # call (the coarse statement-level check errs toward keeping).
+    if _GROUPING_CALL.search(sql) and \
+            re.search(r"\bGROUP\s+BY\b", sql, re.IGNORECASE) and \
+            not re.search(r"\bGROUPING\s+SETS\b|\bROLLUP\b|\bCUBE\b",
+                          sql, re.IGNORECASE):
+        parts: list[str] = []
+        pos = 0
+        for m in _GROUPING_CALL.finditer(sql):
+            if m.start() < pos:
+                continue
+            open_i = m.end() - 1
+            try:
+                past_close = _balanced(sql, open_i)
+            except ValueError:
+                continue
+            parts.append(sql[pos:m.start()])
+            parts.append("0")
+            pos = past_close
+        parts.append(sql[pos:])
+        sql = "".join(parts)
     out: list[str] = []
     pos = 0
     for m in _GROUPING_CALL.finditer(sql):

@@ -1198,23 +1198,17 @@ CORPUS: list[Case] = [
       duck="VALUES (NULL, 'j', 11, 2), (NULL, 'l', 7, 2)"),
     C("grouping_in_arithmetic",
       "SELECT a, grouping(a) * 1.0 FROM (VALUES (1) ) AS t (a) "
-      "GROUP BY a", f"{_ATQ}:1318", duck="VALUES (1, 0.0)",
-      marks=(pytest.mark.xfail(
-          strict=True,
-          reason="Spark restricts grouping() to GROUPING "
-                 "SETS/CUBE/ROLLUP queries; Presto/DuckDB return 0 "
-                 "under a plain GROUP BY. Engine-level analyzer "
-                 "restriction.",
-      ),)),
+      "GROUP BY a",
+      f"{_ATQ}:1318 (xfail converted in r14 #2: grouping() under a "
+      "plain GROUP BY folds to the constant 0 the reference "
+      "evaluates — no grouping set ever excludes a plain key)",
+      duck="VALUES (1, 0.0)"),
     C("grouping_repeated",
       "SELECT a, grouping(a), grouping(a) FROM (VALUES (1) ) "
-      "AS t (a) GROUP BY a", f"{_ATQ}:1318",
-      duck="VALUES (1, 0, 0)",
-      marks=(pytest.mark.xfail(
-          strict=True,
-          reason="same plain-GROUP-BY grouping() restriction as "
-                 "grouping_in_arithmetic",
-      ),)),
+      "AS t (a) GROUP BY a",
+      f"{_ATQ}:1318 (xfail converted in r14 #2 — same plain-GROUP-BY "
+      "grouping() fold as grouping_in_arithmetic)",
+      duck="VALUES (1, 0, 0)"),
     C("row_field_accessor",
       "SELECT CAST(ROW(1, 2.0) AS ROW(x BIGINT, y DOUBLE)).x",
       f"{_ATQ}:349 testRowFieldAccessor", duck="SELECT CAST(1 AS BIGINT)"),
