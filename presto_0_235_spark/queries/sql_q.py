@@ -2740,6 +2740,121 @@ def sql_tpcds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, _SQL_TPCDS_Q93)
 
 
+_SQL_TPCDS_Q15 = """
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 AS total_sales
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE (substr(n_name, 1, 1) IN ('A', 'B', 'C', 'E', 'I')
+       OR c_mktsegment IN ('BUILDING', 'MACHINERY')
+       OR l_extendedprice > 50000)
+  AND year(o_orderdate) = 1996
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("sql_tpcds_q15", oracle=_SQL_TPCDS_Q15)
+def sql_tpcds_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q15's text shape — the OR-of-three-qualifier predicate
+    (zip prefix IN / state IN / high-ticket sale) over a
+    fact-customer-geography star, grouped by geography
+    (.../tpcds/q15.sql role-mapped: zip -> nation-name prefix, state
+    -> mktsegment, cs_sales_price -> extendedprice). The disjunction
+    cannot prune any single dimension, so the planner's job is the
+    join order: dims broadcast, the OR evaluates post-join — same
+    plan Presto produces. ORDER BY the grouping key is total. Same
+    text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q15)
+
+
+_SQL_TPCDS_Q8 = """
+SELECT n_name,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 AS net_profit
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE substr(c_name, 10, 2) IN (
+  SELECT substr(c1.c_name, 10, 2)
+  FROM customer c1 WHERE c1.c_acctbal > 9000
+  INTERSECT
+  SELECT substr(c2.c_name, 10, 2)
+  FROM customer c2
+  JOIN orders o2 ON c2.c_custkey = o2.o_custkey
+  GROUP BY substr(c2.c_name, 10, 2), c2.c_custkey
+  HAVING count(*) > 10
+)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("sql_tpcds_q8", oracle=_SQL_TPCDS_Q8)
+def sql_tpcds_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q8's text shape — store sales restricted to the zip
+    prefixes that are BOTH in a literal-qualifier set AND home to
+    enough preferred customers: an INTERSECT of two substr-keyed
+    subqueries feeding an IN predicate over the main star
+    (.../tpcds/q8.sql role-mapped: zip prefix -> customer-name
+    digits, preferred-flag -> high balance, the >10 count -> active
+    buyers). The INTERSECT output is tiny -> the IN semi join
+    broadcasts; substr evaluates JVM-side in the scan stage. Same
+    text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q8)
+
+
+_SQL_TPCDS_Q23 = """
+WITH frequent_items AS (
+  SELECT l_partkey AS item_sk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_partkey
+  HAVING count(DISTINCT CAST(o_orderdate AS DATE)) > 2
+),
+max_sales AS (
+  SELECT max(csales) AS tpcds_cmax FROM (
+    SELECT o_custkey, CAST(SUM(CAST(round(l_extendedprice * 100)
+           AS BIGINT)) AS DOUBLE) / 100 AS csales
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_custkey
+  ) x
+),
+best_customers AS (
+  SELECT o_custkey AS c_sk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey
+  HAVING CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+         AS DOUBLE) / 100
+         > 0.5 * (SELECT tpcds_cmax FROM max_sales)
+)
+SELECT round(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             AS DOUBLE) / 100, 2) AS sales
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE year(o_orderdate) = 1996
+  AND l_partkey IN (SELECT item_sk FROM frequent_items)
+  AND o_custkey IN (SELECT c_sk FROM best_customers)
+"""
+
+
+@register("sql_tpcds_q23", oracle=_SQL_TPCDS_Q23)
+def sql_tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q23's text shape (the _1 variant) — frequent items
+    (HAVING a distinct-day count), best customers (HAVING above a
+    fraction of a SCALAR MAX SUBQUERY over a nested per-customer
+    aggregate), and the final fact scan filtered by BOTH IN
+    subqueries (.../tpcds/q23_1.sql role-mapped onto lineitem/
+    orders). The scalar max broadcasts into the HAVING; the two IN
+    sets semi-join on their own grouped keys. Exact-cents money
+    end-to-end. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q23)
+
+
 @register(
     "sql_qdigest_agg_scale",
     # rows-only: qdigest estimates are compression-order dependent
