@@ -4115,6 +4115,115 @@ def _rewrite_json_cast_peephole(sql: str, stash=None) -> str:
         pos = m.start()
 
 
+# ---------------------------------------------------------------------------
+# Window functions in ORDER BY (r14 #2)
+# ---------------------------------------------------------------------------
+# Presto permits window expressions directly in a query's ORDER BY
+# (AbstractTestQueries testOrderByWithOutputColumnReference:
+# ... ORDER BY -row_number() OVER ()); Spark's analyzer rejects them
+# there (UNSUPPORTED_EXPR_FOR_OPERATOR). When the statement is a
+# single SELECT whose output names are textually derivable, hoist
+# each window-bearing ORDER BY item into the select list as __ob_i
+# and wrap in an outer projection of the original output columns:
+#   SELECT a FROM t ORDER BY -row_number() OVER ()
+#   -> SELECT a FROM (SELECT a, -row_number() OVER () AS __ob_0
+#                     FROM t) __obq ORDER BY __ob_0
+# Gates (anything outside them leaves the text untouched): no WITH /
+# set operations / DISTINCT, every select item a bare identifier or
+# AS-aliased, every non-window ORDER BY item a projected name or
+# positional, and the ORDER BY at statement top level.
+
+_OBW_ORDER_BY = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_OBW_OVER = re.compile(r"\bOVER\s*\(", re.IGNORECASE)
+_OBW_TAIL = re.compile(r"\b(LIMIT|OFFSET|FETCH)\b", re.IGNORECASE)
+_OBW_DIR = re.compile(
+    r"\s+(ASC|DESC)?\s*(NULLS\s+(?:FIRST|LAST))?\s*$", re.IGNORECASE)
+
+
+def _rewrite_order_by_window(masked: str) -> str:
+    if not _OBW_OVER.search(masked):
+        return masked
+    s = masked.strip()
+    if not re.match(r"SELECT\b", s, re.IGNORECASE) or re.match(
+            r"SELECT\s+DISTINCT\b", s, re.IGNORECASE):
+        return masked
+    if re.search(r"\bWITH\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b",
+                 masked, re.IGNORECASE):
+        return masked
+    # the LAST top-level ORDER BY
+    ob = None
+    for m in _OBW_ORDER_BY.finditer(masked):
+        if masked[:m.start()].count("(") == masked[:m.start()].count(")"):
+            ob = m
+    if ob is None:
+        return masked
+    tail_m = _OBW_TAIL.search(masked, ob.end())
+    ob_end = tail_m.start() if tail_m else len(masked)
+    items = _split_top_comma(masked[ob.end():ob_end])
+    if not any(_OBW_OVER.search(it) for it in items):
+        return masked
+    # derive the select list's output names
+    sel_m = re.match(r"\s*SELECT\b", masked, re.IGNORECASE)
+    depth = 0
+    i = sel_m.end()
+    from_i = None
+    while i < len(masked):
+        c = masked[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c in "Ff" \
+                and masked[i:i + 4].upper() == "FROM" \
+                and not (masked[i + 4:i + 5].isalnum()
+                         or masked[i + 4:i + 5] == "_") \
+                and not (masked[i - 1].isalnum() or masked[i - 1] in "_."):
+            from_i = i
+            break
+        i += 1
+    if from_i is None:
+        return masked
+    out_names = []
+    for item in _split_top_comma(masked[sel_m.end():from_i]):
+        item = item.strip()
+        am = re.search(r"\bAS\s+([A-Za-z_]\w*)\s*$", item,
+                       re.IGNORECASE)
+        if am:
+            out_names.append(am.group(1))
+        elif re.fullmatch(r"[A-Za-z_]\w*", item):
+            out_names.append(item)
+        elif re.fullmatch(r"[A-Za-z_]\w*\.([A-Za-z_]\w*)", item):
+            out_names.append(item.split(".")[1])
+        else:
+            return masked  # unaliased expression: names unknown
+    # rebuild: window items hoist, plain items must be projected names
+    new_items = []
+    hoists = []
+    for it in items:
+        stripped = it.strip()
+        if _OBW_OVER.search(stripped):
+            dm = _OBW_DIR.search(stripped)
+            expr, suffix = ((stripped[:dm.start()], stripped[dm.start():])
+                            if dm else (stripped, ""))
+            alias = f"__ob_{len(hoists)}"
+            hoists.append(f"{expr.strip()} AS {alias}")
+            new_items.append(alias + suffix)
+        else:
+            base = _OBW_DIR.sub("", stripped).strip()
+            if not (re.fullmatch(r"[A-Za-z_]\w*", base)
+                    and base.lower() in
+                    {n.lower() for n in out_names}) \
+                    and not re.fullmatch(r"\d+", base):
+                return masked
+            new_items.append(stripped)
+    inner_select = (f"SELECT {masked[sel_m.end():from_i].strip()}, "
+                    f"{', '.join(hoists)} "
+                    f"{masked[from_i:ob.start()].strip()}")
+    return (f"SELECT {', '.join(out_names)} FROM ({inner_select}) "
+            f"__obq ORDER BY {', '.join(new_items)} "
+            f"{masked[ob_end:].strip()}").strip()
+
+
 def presto_to_spark_sql(sql: str) -> str:
     """Source-level Presto->Spark SQL dialect translation (quote- and
     comment-aware: rewrites never touch literals)."""
@@ -4145,6 +4254,7 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = re.sub(
         r"\bDOUBLE\s+PRECISION\b", "DOUBLE", masked, flags=re.IGNORECASE
     )
+    masked = _rewrite_order_by_window(masked)
     masked = _fold_decimal_literal_arith(masked, stash)
     masked = _rewrite_in_list_div0(masked, stash)
     masked = _fold_int_literal_div(masked, stash)

@@ -379,3 +379,33 @@ def test_cardinality_approx_set_fusion(spark, sf_dir):
     )
     assert out == ("SELECT k, approx_count_distinct(v) FROM t "
                    "GROUP BY k")
+
+
+def test_order_by_window_hoists_behind_projection(spark):
+    # Presto permits window expressions directly in ORDER BY
+    # (AbstractTestQueries:965); Spark's analyzer refuses them there —
+    # the front door hoists each window item into the select list and
+    # re-projects the original output columns (r14 #2,
+    # frontend._rewrite_order_by_window)
+    from presto_0_235_spark.sql.frontend import run_sql
+
+    df = run_sql(
+        spark,
+        "SELECT a, a * 2 AS b FROM (VALUES 3, 1, 2) t(a) "
+        "ORDER BY rank() OVER (ORDER BY a) DESC LIMIT 2",
+    )
+    assert df.columns == ["a", "b"]
+    assert [tuple(r) for r in df.collect()] == [(3, 6), (2, 4)]
+
+
+def test_order_by_window_gates_leave_other_shapes(spark):
+    # DISTINCT and unaliased-expression select lists stay untouched
+    # (the transform cannot name the output columns / would change
+    # DISTINCT semantics) — they keep raising like plain Spark
+    from presto_0_235_spark.sql.frontend import presto_to_spark_sql
+
+    for q in [
+        "SELECT DISTINCT a FROM t ORDER BY -row_number() OVER ()",
+        "SELECT a + 1 FROM t ORDER BY -row_number() OVER ()",
+    ]:
+        assert "__obq" not in presto_to_spark_sql(q)

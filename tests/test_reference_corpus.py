@@ -1856,14 +1856,12 @@ CORPUS: list[Case] = [
     C("orderby_window_neg",
       "SELECT a FROM (VALUES 1, 2) t(a) ORDER BY -row_number() OVER "
       "()",
-      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
-      duck="SELECT * FROM (VALUES (2), (1))",
-      marks=(pytest.mark.xfail(
-          strict=True,
-          reason="Spark requires an ORDER BY inside the row_number() OVER () "
-                  "frame; Presto permits the unordered form (same class as the "
-                  "documented rank() divergence)",
-      ),)),
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference (xfail "
+      "converted in r14 #2: window expressions in ORDER BY hoist "
+      "into the select list behind an outer projection — "
+      "frontend._rewrite_order_by_window — and the unordered "
+      "row_number gets the constant-sort shim)",
+      duck="SELECT * FROM (VALUES (2), (1))", ordered=True),
     C("orderby_lambda_key",
       "SELECT x AS y FROM (values (1,2), (2,3)) t(x, y) GROUP BY x "
       "ORDER BY apply(x, x -> -x) + 2*x",
