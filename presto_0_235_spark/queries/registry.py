@@ -68,8 +68,12 @@ def register(
 # not just the oldest one. All oracle-backed; everything outside the
 # prefix is still covered by the full-registry local artifact.
 _PRIORITY: tuple[str, ...] = (
-    # joins (hash/broadcast/semi/anti/null-aware/theta/skew)
-    "join_inner", "join_left", "join_full",
+    # joins (hash/broadcast/semi/anti/null-aware/theta/skew).
+    # r15 rotation: join_left/join_full out — outer-join null
+    # extension stays gate-exercised by join_not_in_null_aware +
+    # join_null_keys and the TPC-H outer shapes; both remain in the
+    # full local artifact.
+    "join_inner",
     "join_semi", "join_anti", "join_not_in_null_aware",
     "join_theta_range", "join_broadcast_dim", "join_skew_salted",
     "join_null_keys",
@@ -82,9 +86,12 @@ _PRIORITY: tuple[str, ...] = (
     # total-ordered LIMIT stays exercised by topn and every
     # ORDER-BY-LIMIT query in the prefix)
     "orderby_nulls_last", "topn",
-    # set operations (union_distinct rotated out in r10 — still in
-    # the full-registry local artifact)
-    "union_all", "intersect_distinct", "except_distinct",
+    # set operations (union_distinct rotated out in r10;
+    # union_all rotated out in r15 — concatenation is the
+    # no-dedup degenerate case and every UNION ALL inside the
+    # TPC-H/TPC-DS prefix rows exercises it; still in the full
+    # local artifact)
+    "intersect_distinct", "except_distinct",
     # TPC-H suite (r11 rotation: q10/q13/q17 out — plain join/agg
     # shapes covered by q1/q3/q5/q18/q22 + the join_* block — and
     # q19 BACK in per the r10 advice: its OR-of-ANDs predicate shape
@@ -92,7 +99,10 @@ _PRIORITY: tuple[str, ...] = (
     # (tpch_q22 rotated out in r14: its anti-join + scalar-avg shape
     # stays covered by join_anti + scalar_subquery; still in the full
     # local artifact)
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+    # (tpch_q6 rotated out in r15: its scan-filter-agg shape is the
+    # gate's most-duplicated — tpch_q1 + filter_predicates cover it;
+    # it stays a bench headline query and in the full local artifact)
+    "tpch_q1", "tpch_q3", "tpch_q5",
     "tpch_q18", "tpch_q19",
     # subqueries + core shapes (quantified_all rotated out in r12 —
     # the family stays via sql_quantified_equality)
@@ -112,9 +122,11 @@ _PRIORITY: tuple[str, ...] = (
     "join_spatial_contains",
     "dedup_minhash_lsh", "pipeline_corpus_dedup",
     "agg_hll_wire_format", "docs_sample_temperature",
-    # r11 rotation: holed-polygon geometry + the quantified-equality
-    # lowering (both r10/r11 surfaces, scalar outputs, oracle-backed)
-    "fn_geospatial_union_holed", "sql_quantified_equality",
+    # r11 rotation: the quantified-equality lowering.
+    # (fn_geospatial_union_holed rotated out in r15: holed-polygon
+    # union stays gate-exercised by sql_geometry_suite +
+    # sql_geometry_union_agg_scale; still in the full local artifact)
+    "sql_quantified_equality",
     # r11 rotation #2 — the aggregate-template surface (Presto
     # skewness/kurtosis/corr semantics; array_agg ORDER BY, top-N
     # min/max/max_by lowerings), both scalar-output and
@@ -158,6 +170,23 @@ _PRIORITY: tuple[str, ...] = (
     # and the convex-hull side of the mergeable geometry aggregate.
     "sql_decimal_column_arith_scale", "stream_interval_join",
     "sql_tpcds_q67", "sql_convex_hull_agg_scale",
+    # r15 rotation (r14 verdict #5 — oracle-backed candidates never
+    # gated): the AVRO object-container codec roundtrip (back after
+    # its r13 rotation-out, now the storage family's third member),
+    # two TPC-DS SQL-text twins (q23 — the CTE-heavy frequent-item
+    # shape; q95 — the EXISTS-heavy web-returns shape; both
+    # same-text DuckDB oracles), the decimal AGGREGATE typing row
+    # (sql_decimal_agg_scale — sum(decimal)->(38,s), avg keeps (p,s)
+    # HALF_UP, the r15 aggregate-argument annotation surface; its
+    # DuckDB oracle replays both in exact integer cents, so a
+    # regression to Spark's derivation hash-mismatches; the verdict
+    # #5 candidate sql_agg_checksum has no SQL-expressible oracle —
+    # DuckDB lacks XxHash64 — and a rows-only gate row would weaken
+    # the prefix, so the decimal row takes the slot), and one more
+    # r12 sf-scale window promotion (lag/lead offset arithmetic on
+    # real volumes).
+    "io_roundtrip_avro", "sql_tpcds_q23", "sql_tpcds_q95",
+    "sql_decimal_agg_scale", "sql_win_lag_offset_scale",
 )
 
 

@@ -2260,6 +2260,63 @@ def sql_int_column_division_scale(
     )
 
 
+@register(
+    "sql_decimal_agg_column_scale",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+  FROM lineitem WHERE l_orderkey < 5000
+)
+SELECT l_returnflag,
+       CAST(CAST(sum(pc) AS DOUBLE) / 100 AS DOUBLE) AS sum_price,
+       CAST(CAST((2 * sum(pc) + count(*)) // (2 * count(*))
+            AS DOUBLE) / 100 AS DOUBLE) AS avg_price,
+       CAST(CAST(min(pc) AS DOUBLE) / 100 AS DOUBLE) AS min_price,
+       CAST(CAST(max(pc) AS DOUBLE) / 100 AS DOUBLE) AS max_price,
+       count(*) AS n
+FROM m GROUP BY l_returnflag
+""",
+)
+def sql_decimal_agg_column_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BARE-column decimal aggregates with the reference's typing at
+    scale (r14 verdict #1/#8): unlike sql_decimal_agg_scale (whose
+    aggregate arguments are CAST-typed TEXT), this row aggregates a
+    catalog-typed DECIMAL(14,2) column by bare name — avg(d_price),
+    sum(d_price), min/max — so the r15 aggregate-argument annotation
+    (frontend._annotate_numeric_columns wrapping decimal column refs
+    in AVG/SUM/MIN/MAX argument positions) is what routes them onto
+    DecimalAverageAggregation (keeps (p,s), sum/count HALF_UP at s)
+    and DecimalSumAggregation ((38,s)) semantics. The DuckDB oracle
+    replays both in exact integer cents (avg via (2S+n)//(2n), the
+    positive-sum HALF_UP form); a regression to Spark's (p+4, s+4)
+    unrounded avg hash-mismatches."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        SELECT l_returnflag, l_orderkey,
+               CAST(round(l_extendedprice * 100) / 100
+                    AS DECIMAL(14,2)) AS d_price
+        FROM lineitem
+        """
+    ).createOrReplaceTempView("lineitem_decimal_priced")
+    return run_sql(
+        spark,
+        """
+        SELECT l_returnflag,
+               CAST(sum(d_price) AS DOUBLE) AS sum_price,
+               CAST(avg(d_price) AS DOUBLE) AS avg_price,
+               CAST(min(d_price) AS DOUBLE) AS min_price,
+               CAST(max(d_price) AS DOUBLE) AS max_price,
+               count(*) AS n
+        FROM lineitem_decimal_priced WHERE l_orderkey < 5000
+        GROUP BY l_returnflag
+        """,
+    )
+
+
 _SQL_TPCDS_Q51 = """
 WITH web AS (
   SELECT l_returnflag AS item,

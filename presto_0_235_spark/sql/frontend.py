@@ -227,7 +227,10 @@ def _rewrite_typed_literals(masked: str, stash) -> str:
             lit = stash[int(m.group(3))][1]  # includes the quotes
             body = lit[1:-1].strip().lstrip("+-")
             ip, _, fp = body.partition(".")
-            digits = sum(c.isdigit() for c in ip + fp)
+            # leading integer zeros carry no precision in Presto's
+            # DecimalParser: DECIMAL '0.5' is decimal(1,1), not (2,1)
+            digits = (sum(c.isdigit() for c in ip.lstrip("0"))
+                      + sum(c.isdigit() for c in fp))
             scale = sum(c.isdigit() for c in fp)
             typ = f"DECIMAL({max(digits, 1)}, {scale})"
         return f"CAST({ph} AS {typ})"
@@ -332,6 +335,29 @@ _REAL_TO_DEC_CAST = re.compile(
     r"DECIMAL\((\d+),\s*(\d+)\)\s*\)",
     re.IGNORECASE,
 )
+# CAST(<bare fractional/exponent literal> AS integral) — Presto types
+# a bare dotted literal as DECIMAL (HALF_UP to integral,
+# DecimalCasts.java) and an exponent literal as DOUBLE
+# (DoubleOperators.castToLong = Math.round); Spark ANSI truncates
+# toward zero in both cases, so CAST(1.7 AS INTEGER) was 1, not the
+# reference's 2 (r14 ADVICE: the _cnc fold inherited the same wrong
+# value inside ROW/CONTAINS literals).
+_BARE_DEC_TO_INT_CAST = re.compile(
+    r"\bCAST\(\s*(?P<sign>[-+]?)\s*"
+    r"(?P<num>\d+\.\d+(?:[eE][-+]?\d+)?|\d+[eE][-+]?\d+)\s+AS\s+"
+    r"(?P<typ>BIGINT|INTEGER|INT|SMALLINT|TINYINT)\s*\)",
+    re.IGNORECASE,
+)
+# CAST(<NaN/Infinity string literal> AS FLOAT/DOUBLE) nested in a
+# DECIMAL cast — the lowered form of REAL 'NaN' / DOUBLE 'Infinity'
+# typed literals (and of nan()/infinity() once rewritten); the
+# reference raises where Spark ANSI returns NULL.
+_FLT_STR_TO_DEC_CAST = re.compile(
+    r"\bCAST\(\s*(?:TRY_)?CAST\(\s*(\x00s\d+\x00)\s+AS\s+"
+    r"(?P<src>FLOAT|DOUBLE)\s*\)\s+AS\s+"
+    r"DECIMAL\((?P<p>\d+),\s*(?P<s>\d+)\)\s*\)",
+    re.IGNORECASE,
+)
 _INT_RANGES = {
     "BIGINT": (-(1 << 63), (1 << 63) - 1),
     "INTEGER": (-(1 << 31), (1 << 31) - 1),
@@ -394,7 +420,32 @@ def _fold_decimal_literal_casts(masked: str, stash) -> str:
         return (f"CAST({_stash_lit(stash, str(v))} "
                 f"AS DECIMAL({p}, {s}))")
 
+    def repl_bare_int(m: re.Match) -> str:
+        num = (m.group("sign") or "") + m.group("num")
+        typ = m.group("typ").upper()
+        if typ == "INT":
+            typ = "INTEGER"
+        try:
+            if re.search(r"[eE]", m.group("num")):
+                # DOUBLE literal: Math.round = floor(x + 0.5) on the
+                # binary double (DoubleOperators.castToLong)
+                import math
+
+                n = math.floor(float(num) + 0.5)
+            else:
+                with localcontext() as ctx:
+                    ctx.prec = 90
+                    n = int(Decimal(num).quantize(
+                        Decimal(1), rounding=ROUND_HALF_UP))
+        except Exception:
+            return m.group(0)
+        lo, hi = _INT_RANGES[typ]
+        if not lo <= n <= hi:
+            return m.group(0)  # overflow: both engines raise
+        return f"CAST({n} AS {typ})"
+
     masked = _DEC_TO_INT_CAST.sub(repl_int, masked)
+    masked = _BARE_DEC_TO_INT_CAST.sub(repl_bare_int, masked)
     masked = _REAL_TO_DEC_CAST.sub(repl_real, masked)
 
     # NaN / Infinity -> DECIMAL raises in the reference
@@ -427,6 +478,33 @@ def _fold_decimal_literal_casts(masked: str, stash) -> str:
             r"(?P<real>\s+AS\s+(?:FLOAT|REAL)\s*\))?\s+AS\s+"
             r"DECIMAL\((?P<p>\d+),\s*(?P<s>\d+)\)\s*\)",
             repl_nan, masked, flags=re.IGNORECASE)
+
+        def repl_flt_str(m: re.Match) -> str:
+            # typed-literal spelling of the same raise: REAL 'NaN' /
+            # DOUBLE 'Infinity' lower to CAST('NaN' AS FLOAT/DOUBLE)
+            # before this fold sees them (r14 verdict #2 — the
+            # function forms raised, the typed literals fell through
+            # to Spark's NULL)
+            lit = _lit_of(m.group(1), stash)
+            if lit is None:
+                return m.group(0)
+            body = lit.strip()
+            neg = body.startswith("-")
+            word = body.lstrip("+-").lower()
+            if word == "nan":
+                val = "NaN"
+            elif word in ("infinity", "inf"):
+                val = ("-" if neg else "") + "Infinity"
+            else:
+                return m.group(0)
+            src = "REAL" if m.group("src").upper() == "FLOAT" else "DOUBLE"
+            msg = _stash_lit(
+                stash, f"Cannot cast {src} '{val}' to DECIMAL"
+                       f"({m.group('p')}, {m.group('s')})")
+            return (f"CAST(raise_error({msg}) AS "
+                    f"DECIMAL({m.group('p')}, {m.group('s')}))")
+
+        masked = _FLT_STR_TO_DEC_CAST.sub(repl_flt_str, masked)
     return masked
 
 
@@ -1424,17 +1502,42 @@ def _int_div_pass(masked: str) -> str:
         if right is None:
             continue
         right = (sign_start, right[1], right[2], right[3])
-        if left[3] and right[3]:
-            continue  # the literal fold's domain (div-by-zero, TRY)
         tail = masked[right[1]:].lstrip()
         if _INT_WINDOW_TAIL.match(tail):
             continue  # window/filtered-aggregate divisor: rewriting
             # would strand the OVER/FILTER clause outside the CAST
+        # extend the dividend through an unparenthesized *|% chain
+        # (r14 ADVICE: CAST(a AS INT)*CAST(b AS INT)/CAST(c AS INT)
+        # previously declined at the left-associativity guard and
+        # kept Spark's double '/'; the whole chain is integer math
+        # in Presto, so parse it all as the dividend)
+        while True:
+            g = left[0]
+            while g > 0 and masked[g - 1].isspace():
+                g -= 1
+            if not (g and masked[g - 1] in "*%"):
+                break
+            jj = g - 1
+            while jj > 0 and masked[jj - 1].isspace():
+                jj -= 1
+            prev = _int_operand_back(masked, jj)
+            if prev is None:
+                left = None
+                break
+            left = (prev[0], left[1], max(prev[2], left[2]),
+                    prev[3] and left[3])
+        if left is None:
+            continue
+        if left[3] and right[3]:
+            continue  # the literal fold's domain (div-by-zero, TRY)
+            # — checked AFTER chain extension so a mixed chain like
+            # a*3/4 (column times literal over literal) still
+            # qualifies as integer math
         g = left[0]
         while g > 0 and masked[g - 1].isspace():
             g -= 1
-        if g and masked[g - 1] in "*/%":
-            continue  # left-associativity: a continuation chain
+        if g and masked[g - 1] == "/":
+            continue  # '/' continuation: the earlier site decides
         rank = max(left[2], right[2])
         a = masked[left[0]:left[1]]
         b = masked[right[0]:right[1]]
@@ -1704,6 +1807,83 @@ _CNC_NUMERIC_T = (
     "DECIMAL", "DOUBLE", "REAL", "INTEGER", "INT", "BIGINT",
     "SMALLINT", "TINYINT", "FLOAT",
 )
+_CNC_INT_RANGES = {
+    "TINYINT": (-128, 127),
+    "SMALLINT": (-(2 ** 15), 2 ** 15 - 1),
+    "INTEGER": (-(2 ** 31), 2 ** 31 - 1),
+    "INT": (-(2 ** 31), 2 ** 31 - 1),
+    "BIGINT": (-(2 ** 63), 2 ** 63 - 1),
+}
+
+
+def _cnc_cast_replay(v, tgt: str, was_str: bool):
+    """Replay Presto's scalar CAST on an already-parsed literal value,
+    or raise _NotLiteralExpr when the cast is not provably
+    value-preserving under this fold's untyped value model.
+
+    The fold previously treated every CAST as identity, which made
+    CAST(1.7 AS INTEGER) compare as 1.7 instead of the reference's
+    HALF_UP 2 (DecimalCasts.java shortDecimalToGenericIntegerType
+    rounds HALF_UP; DoubleOperators.castToLong uses Math.round) —
+    a wrong raise in CONTAINS short-circuits and a wrong value in
+    ROW equality. Rules:
+
+    - integral targets: round HALF_UP and range-check. Decline
+      (a) varchar sources with a fractional part (Presto raises),
+      (b) negative exact-half fractions (HALF_UP and Math.round
+      disagree and the untyped model cannot tell DECIMAL literals
+      from DOUBLE ones), (c) out-of-range results (runtime raise,
+      never a foldable value).
+    - DOUBLE/REAL targets: keep the value only when the binary
+      round-trip is exact; a value-changing float cast declines.
+    - bare DECIMAL (= decimal(38,0)): integral values only.
+    - CHAR targets decline: char(n) comparison pads to the common
+      length (CharType.java), which the padless str model here
+      cannot express.
+    - everything else (VARCHAR/BOOLEAN/complex): identity, as
+      before — downstream kind checks decline cross-kind folds.
+    """
+    from decimal import Decimal, ROUND_HALF_UP
+
+    if v is None:
+        return v
+    if tgt == "CHAR":
+        raise _NotLiteralExpr
+    if tgt in _CNC_INT_RANGES:
+        if isinstance(v, bool) or not isinstance(v, (int, Decimal)):
+            raise _NotLiteralExpr
+        if isinstance(v, Decimal):
+            integral = v.to_integral_value(rounding=ROUND_HALF_UP)
+            if was_str and v != v.to_integral_value():
+                raise _NotLiteralExpr
+            if v < 0 and abs(v - v.to_integral_value()) == Decimal("0.5"):
+                raise _NotLiteralExpr
+            v = int(integral)
+        lo, hi = _CNC_INT_RANGES[tgt]
+        if not lo <= v <= hi:
+            raise _NotLiteralExpr
+        return v
+    if tgt in ("DOUBLE", "REAL", "FLOAT"):
+        if isinstance(v, bool) or not isinstance(v, (int, Decimal)):
+            raise _NotLiteralExpr
+        try:
+            f = float(v)
+        except (OverflowError, ValueError):
+            raise _NotLiteralExpr from None
+        if tgt in ("REAL", "FLOAT"):
+            import struct
+
+            f = struct.unpack("<f", struct.pack("<f", f))[0]
+        if Decimal(f) != (v if isinstance(v, Decimal) else Decimal(v)):
+            raise _NotLiteralExpr
+        return v
+    if tgt == "DECIMAL":
+        if isinstance(v, bool) or not isinstance(v, (int, Decimal)):
+            raise _NotLiteralExpr
+        if isinstance(v, Decimal) and v != v.to_integral_value():
+            raise _NotLiteralExpr
+        return v
+    return v
 
 
 def _cnc_bracket(s: str, open_i: int) -> int:
@@ -1803,12 +1983,13 @@ def _cnc_value(s: str, i: int, stash):
                 raise _NotLiteralExpr
             v = _cnc_parse(body[:am.start()], stash)
             tgt = am.group(1).upper()
-            if isinstance(v, str) and tgt in _CNC_NUMERIC_T:
+            was_str = isinstance(v, str)
+            if was_str and tgt in _CNC_NUMERIC_T:
                 try:
-                    v = Decimal(v)
+                    v = Decimal(v.strip())
                 except InvalidOperation:
                     raise _NotLiteralExpr from None
-            return v, close
+            return _cnc_cast_replay(v, tgt, was_str), close
         # typed literal: TYPE 'text'
         sm2 = _CNC_STASH.match(s, j)
         if sm2 is not None:
@@ -1818,8 +1999,12 @@ def _cnc_value(s: str, i: int, stash):
                     return Decimal(body), sm2.end()
                 except InvalidOperation:
                     raise _NotLiteralExpr from None
-            if w in ("VARCHAR", "CHAR"):
+            if w == "VARCHAR":
                 return body, sm2.end()
+            # CHAR 'x' declines: char(n) equality pads both sides to
+            # the common length (Presto CharType), which the padless
+            # str model here would fold wrong (ADVICE r14: ROW(CHAR
+            # 'ab') = ROW(CHAR 'ab ') must not fold to FALSE).
         raise _NotLiteralExpr
     nm = _CNC_NUM.match(s, i)
     if nm:
@@ -3836,7 +4021,12 @@ def _rewrite_multiarg_grouping(sql: str) -> str:
             except ValueError:
                 continue
             parts.append(sql[pos:m.start()])
-            parts.append("0")
+            # CAST-wrapped so the constant survives in ORDER BY /
+            # GROUP BY positions: a bare 0 there is a positional
+            # ordinal under spark.sql.orderByOrdinal (parens don't
+            # survive parsing) and fails analysis (r14 ADVICE —
+            # 'ORDER BY grouping(a)' emitted 'ORDER BY 0')
+            parts.append("CAST(0 AS INTEGER)")
             pos = past_close
         parts.append(sql[pos:])
         sql = "".join(parts)
@@ -4871,20 +5061,34 @@ def _annot_values_item_type(text: str, stash):
         if tgt in ("REAL", "FLOAT"):
             return ("real",)
         return None
-    tm = re.match(r"([A-Za-z_]\w*)\s*\x00s\d+\x00$", t)
+    tm = re.match(r"([A-Za-z_]\w*)\s*\x00s(\d+)\x00$", t)
     if tm:
         kw = tm.group(1).upper()
         if kw in _ANNOT_VALUES_INT_T:
             return ("int", _ANNOT_VALUES_INT_T[kw])
         if kw in ("REAL", "FLOAT"):
             return ("real",)
-        return None  # DECIMAL 'x' shape needs the literal; skip
+        if kw == "DECIMAL":
+            # type the literal exactly as Presto's Decimals.parse
+            # (leading integer zeros carry no precision)
+            lit = stash[int(tm.group(2))][1]
+            body = lit[1:-1].strip().lstrip("+-")
+            if not re.fullmatch(r"\d*(?:\.\d*)?", body) or \
+                    not any(c.isdigit() for c in body):
+                return None
+            ip, _, fp = body.partition(".")
+            return ("dec", len(ip.lstrip("0")), len(fp))
+        return None
     nm = re.fullmatch(r"\d+(?:\.\d+)?", t)
     if nm is None:
         return None
     if "." in t:
+        # true integer-digit count — 0 for values < 1, matching
+        # Presto's DecimalParser (0.5 is decimal(1,1), not (2,1);
+        # ADVICE r14: the forced >=1 count widened downstream
+        # arithmetic, e.g. x*2 -> decimal(12,1) vs Presto's (11,1))
         ip, _, fp = t.partition(".")
-        return ("dec", max(1, len(ip.lstrip("0"))), len(fp))
+        return ("dec", len(ip.lstrip("0")), len(fp))
     v = int(t)
     if v >= 2 ** 63:
         return None
@@ -4907,7 +5111,7 @@ def _annot_values_unify(items):
         s = max(i[2] if i[0] == "dec" else 0 for i in kinds)
         if intd + s > 38:
             return None
-        return f"DECIMAL({intd + s},{s})"
+        return f"DECIMAL({max(intd + s, 1)},{s})"
     if tags == {"real"}:
         return "FLOAT"
     return None
@@ -4974,8 +5178,9 @@ def _annotate_numeric_columns(spark: SparkSession, sql: str) -> str:
 
 def _annotate_numeric_columns_inner(spark, sql: str) -> str:
     if not re.search(r"[*/%+-]", sql) and not re.search(
-            r"\bCAST\s*\(", sql, re.IGNORECASE):
-        return sql  # no arithmetic and no cast: nothing to type
+            r"\bCAST\s*\(", sql, re.IGNORECASE) and not re.search(
+            r"\b(?:AVG|SUM|MIN|MAX)\s*\(", sql, re.IGNORECASE):
+        return sql  # no arithmetic, cast, or typable aggregate
     masked, stash = _mask(sql)
     refs = _annot_refs(masked)
     vrefs = _annot_values_refs(masked, stash)
@@ -5084,6 +5289,17 @@ def _annotate_numeric_columns_inner(spark, sql: str) -> str:
                 if (before and before in "+-*/%") or \
                         (after and after in "+-*/%"):
                     adj = True
+            # aggregate-argument position over a knowable DECIMAL
+            # column: AVG/SUM typing diverges from the reference
+            # (DecimalAverageAggregation keeps (p,s) with HALF_UP;
+            # DecimalSumAggregation lands at (38,s)) and the
+            # downstream aggregate templates fire only on CAST-typed
+            # argument text — wrap unconditionally so a bare column
+            # ref becomes the statically-typed form (r14 verdict #1)
+            if not adj and t.upper().startswith("DECIMAL") and \
+                    re.search(r"(?<![\w.\x00])(AVG|SUM|MIN|MAX)"
+                              r"\s*\($", prev, re.IGNORECASE):
+                adj = True
         if not adj:
             continue
         out_parts.append(masked[last:m.start()])

@@ -252,6 +252,29 @@ _AGG_TEMPLATE_NAMES = frozenset({
     "min_by", "max_by", "min", "max", "checksum", "avg",
 })
 _AGG_SUFFIX_RE = re.compile(r"\s*(OVER|FILTER|WITHIN)\b", re.IGNORECASE)
+
+
+def _decimal_avg_window(args: list[str], over_text: str):
+    """Windowed decimal AVG: ``avg(CAST(x AS DECIMAL(p,s))) OVER w``
+    keeps (p, s) with HALF_UP rounding in the reference — the same
+    DecimalAverageAggregation.java:197-207 accumulator serves window
+    frames. Same widen-round-cast construction (and exactness
+    bounds) as the plain-aggregate avg template below, with the OVER
+    clause consumed inside the ROUND."""
+    tm = re.match(
+        r"^\s*(?:TRY_)?CAST\s*\(.*\bAS\s+DECIMAL\s*"
+        r"\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*\)\s*$",
+        args[0], re.IGNORECASE | re.DOTALL)
+    if tm is None or args[0].count("(") != args[0].count(")"):
+        return None
+    p = int(tm.group(1))
+    s = int(tm.group(2)) if tm.group(2) else 0
+    k = (34 - p) // 2
+    if k < 2:
+        return None
+    return (f"CAST(ROUND(avg(CAST({args[0]} AS "
+            f"DECIMAL({p + k}, {s + k}))) {over_text}, {s}) "
+            f"AS DECIMAL({p}, {s}))")
 _TOP_ORDER_BY_RE = re.compile(r"[()]|\bORDER\s+BY\b", re.IGNORECASE)
 
 
@@ -2406,6 +2429,26 @@ def rewrite_scalar_templates(
             # window/FILTER/ORDER BY/DISTINCT site: verbatim
             # (array_agg handles its own ORDER BY form in-template)
             repl = None
+            # decimal window AVG is the exception: the reference's
+            # DecimalAverageAggregation applies to window frames
+            # identically, so consume the OVER (...) clause into the
+            # widen-round-cast rewrite (r15 — windowed money
+            # averages previously kept Spark's (p+4, s+4) typing)
+            if name == "avg" and len(args) == 1 \
+                    and not _has_agg_modifier(args):
+                om = re.match(r"\s*OVER\s*\(", masked[past:],
+                              re.IGNORECASE)
+                if om:
+                    try:
+                        wpast = _balanced(
+                            masked, past + om.end() - 1)
+                    except ValueError:
+                        wpast = None
+                    if wpast is not None:
+                        repl = _decimal_avg_window(
+                            args, masked[past:wpast])
+                        if repl is not None:
+                            past = wpast
         else:
             repl = _rewrite_one(name, args, stash)
         if repl is None:

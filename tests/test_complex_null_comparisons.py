@@ -69,6 +69,18 @@ CASES = [
      None),
     ("row(TRUE, ARRAY[1], MAP(ARRAY[1], ARRAY[2])) = "
      "row(TRUE, ARRAY[1], MAP(ARRAY[1], ARRAY[2]))", True),
+    # r15 (r14 ADVICE high): the fold's CAST branch must replay the
+    # reference's cast rounding instead of treating it as identity —
+    # CAST(1.7 AS INTEGER) is HALF_UP 2 (DecimalCasts.java), so the
+    # match short-circuits before the null and ROW equality decides
+    # TRUE (previously a wrong raise and a wrong FALSE)
+    ("CONTAINS(ARRAY[ARRAY[2], ARRAY[null]], "
+     "ARRAY[CAST(1.7 AS INTEGER)])", True),
+    ("ROW(CAST(1.7 AS INTEGER)) = ROW(2)", True),
+    ("ROW(CAST(-1.7 AS INTEGER)) = ROW(-2)", True),
+    ("ROW(CAST(1.5 AS INTEGER)) = ROW(2)", True),
+    ("CONTAINS(ARRAY[ARRAY[3], ARRAY[null]], "
+     "ARRAY[CAST(2.5 AS INTEGER)])", True),
 ]
 
 

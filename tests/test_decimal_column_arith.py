@@ -216,10 +216,18 @@ def test_avg_decimal_keeps_input_type_half_up(spark):
         typ, val = _one(spark, sql)
         assert typ == want_t, (sql, typ)
         assert val == want_v, (sql, val)
-    # window / DISTINCT sites stay verbatim (the CASE-shaped
-    # replacement cannot carry OVER; documented residual)
-    typ, _ = _one(
+    # window sites consume the OVER clause into the rewrite since
+    # r15 (_decimal_avg_window) — the same DecimalAverageAggregation
+    # accumulator serves frames, so (p,s) + HALF_UP holds there too
+    typ, val = _one(
         spark,
         "SELECT avg(CAST(x AS DECIMAL(12,2))) OVER () AS a "
+        "FROM (VALUES (0.01)) t(x)")
+    assert typ == "decimal(12,2)"
+    assert val == D("0.01")
+    # DISTINCT sites stay verbatim (documented residual)
+    typ, _ = _one(
+        spark,
+        "SELECT avg(DISTINCT CAST(x AS DECIMAL(12,2))) AS a "
         "FROM (VALUES (0.01)) t(x)")
     assert typ == "decimal(16,6)"

@@ -3,9 +3,9 @@ assertInvalidFunction expressions from the reference's type/ and
 operator/scalar test suites: each expression below RAISES in the
 reference, and this suite pins that it raises through the SQL front
 door too (the reference's own pattern: error TEXT differs by engine,
-the contract is errors-not-wrong-values). 420 pins (281 from
+the contract is errors-not-wrong-values). 425 pins (281 from
 the r11 extraction + 32 r12 leniency conversions + 18 r14
-conversions — empty split_to_map/multimap delimiters raise BEFORE
+conversions + 5 r15 typed-literal NaN/Infinity->DECIMAL spellings — empty split_to_map/multimap delimiters raise BEFORE
 scanning, constant IN lists evaluate their division-by-zero items
 like the reference, COLUMN-typed DATE +/- sub-day intervals
 raise via the runtime typeof() guard, and the TEN null-touching
@@ -151,6 +151,15 @@ CASES = [
     ('type/TestDecimalCasts.java', 395, 'CAST(CAST(nan() as REAL) AS DECIMAL(38,10))'),
     ('type/TestDecimalCasts.java', 396, 'CAST(CAST(infinity() as REAL) AS DECIMAL(38,2))'),
     ('type/TestDecimalCasts.java', 397, 'CAST(CAST(-infinity() as REAL) AS DECIMAL(38,1))'),
+    # r15 (r14 verdict #2): the TYPED-LITERAL spellings of the same
+    # raise — REAL 'NaN' / DOUBLE 'Infinity' lower to
+    # CAST('NaN' AS FLOAT/DOUBLE) and previously fell through to
+    # Spark's ANSI NULL; same DecimalCasts.java raise family
+    ('type/TestDecimalCasts.java', 392, "CAST(REAL 'NaN' AS DECIMAL(10,5))"),
+    ('type/TestDecimalCasts.java', 393, "CAST(REAL 'Infinity' AS DECIMAL(10,1))"),
+    ('type/TestDecimalCasts.java', 394, "CAST(REAL '-Infinity' AS DECIMAL(1,1))"),
+    ('type/TestDecimalCasts.java', 281, "CAST(DOUBLE 'NaN' AS DECIMAL(10,5))"),
+    ('type/TestDecimalCasts.java', 282, "CAST(DOUBLE 'Infinity' AS DECIMAL(10,1))"),
     # r13: JSON object/array -> varchar raises (JsonOperators
     # castToVarchar; scalars render unquoted, JSON null -> SQL NULL —
     # the json-cast peephole's varchar contract)
