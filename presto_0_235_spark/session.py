@@ -107,11 +107,17 @@ def warmup_python_workers(spark: SparkSession) -> None:
         def _touch(batches):
             # the imports ARE the warmup — every worker pays them
             # here instead of inside the first real Arrow UDF task
+            import fractions  # noqa: F401 (geo_agg exact kernels)
+            import numpy  # noqa: F401
             import pandas  # noqa: F401
+            import pyarrow  # noqa: F401
 
             try:
                 from presto_0_235_spark.functions import (  # noqa: F401
                     geo, geo_clip, geo_overlay, geo_wkt,
+                )
+                from presto_0_235_spark.operators import (  # noqa: F401
+                    geo_agg,
                 )
             except Exception:
                 pass
@@ -122,6 +128,15 @@ def warmup_python_workers(spark: SparkSession) -> None:
         df.mapInPandas(_touch, df.schema).write.format("noop").mode(
             "overwrite"
         ).save()
+        # the grouped Arrow path (FlatMapGroupsInPandasExec) JITs
+        # separately from mapInPandas — the geometry aggregate's
+        # merge phase is applyInPandas, so warm that lane too
+        def _gtouch(_key, pdf):
+            return pdf
+
+        (df.withColumn("g", df.id % n).groupBy("g")
+         .applyInPandas(_gtouch, df.schema.add("g", "long"))
+         .write.format("noop").mode("overwrite").save())
     except Exception:  # pragma: no cover - warmup is never load-bearing
         pass
 

@@ -508,6 +508,94 @@ def _fold_decimal_literal_casts(masked: str, stash) -> str:
     return masked
 
 
+# Integer -> TIMESTAMP casts do not exist in the reference's
+# function registry (no BigintOperators/IntegerOperators castToTimestamp;
+# TestArrayOperators.java:168 pins the array spelling as
+# TYPE_MISMATCH) where Spark reads epoch seconds. Literal forms are
+# statically detectable — raise at translate time like the
+# reference's analyzer (r14 verdict #7 leniency conversion).
+_INT_TS_SCALAR_CAST = re.compile(
+    r"\bCAST\(\s*[+-]?\d+\s+AS\s+TIMESTAMP\s*\)", re.IGNORECASE)
+_INT_TS_ARRAY_CAST = re.compile(
+    r"\bCAST\(\s*ARRAY\s*\[(?P<elems>[^\[\]]*)\]\s+AS\s+"
+    r"ARRAY\s*[<(]\s*TIMESTAMP\s*[>)]\s*\)", re.IGNORECASE)
+
+
+def _raise_invalid_literal_casts(masked: str) -> None:
+    if _INT_TS_SCALAR_CAST.search(masked):
+        raise ValueError(
+            "Cannot cast integer to timestamp (the reference "
+            "registers no integer -> timestamp cast)")
+    for m in _INT_TS_ARRAY_CAST.finditer(masked):
+        items = [e.strip() for e in m.group("elems").split(",")]
+        if items and all(
+            re.fullmatch(r"[+-]?\d+", e) or e.upper() == "NULL"
+            for e in items
+        ):
+            raise ValueError(
+                "Cannot cast array(integer) to array(timestamp) "
+                "(the reference registers no integer -> timestamp "
+                "cast)")
+
+
+def _raise_ambiguous_array_concat(masked: str, stash) -> None:
+    """Replay the reference's AMBIGUOUS_FUNCTION_CALL on literal
+    array concat (TestArrayOperators.java:448: ARRAY [ARRAY [1]] ||
+    ARRAY [NULL]) — with an array-of-array on one side and an
+    all-NULL array literal on the other, the analyzer cannot choose
+    between array-concat (NULL as an unknown-typed array) and
+    element-append (NULL as an element); Spark silently picks
+    concat. Only fully-literal operands are decidable, matching the
+    reference's own (literal) pins."""
+    for m in re.finditer(r"\|\|", masked):
+        rm = re.match(r"\s*ARRAY\s*\[", masked[m.end():],
+                      re.IGNORECASE)
+        if rm is None:
+            continue
+        ropen = m.end() + rm.end() - 1
+        # left operand: a ']' immediately before the '||'
+        j = m.start()
+        while j > 0 and masked[j - 1].isspace():
+            j -= 1
+        if j == 0 or masked[j - 1] != "]":
+            continue
+        depth = 0
+        lopen = None
+        for k in range(j - 1, -1, -1):
+            c = masked[k]
+            if c == "]":
+                depth += 1
+            elif c == "[":
+                depth -= 1
+                if depth == 0:
+                    lopen = k
+                    break
+        if lopen is None:
+            continue
+        lkw = re.search(r"(?i)\bARRAY\s*$", masked[:lopen])
+        if lkw is None:
+            continue
+        try:
+            rclose = _cnc_bracket(masked, ropen)
+            lv = _cnc_parse(masked[lkw.start():j], stash)
+            rv = _cnc_parse(
+                masked[m.end() + rm.start():rclose], stash)
+        except (_NotLiteralExpr, ValueError):
+            continue
+
+        def ambig(a, b):
+            return (isinstance(a, list) and a
+                    and all(isinstance(e, list) for e in a)
+                    and isinstance(b, list) and b
+                    and all(e is None for e in b))
+
+        if ambig(lv, rv) or ambig(rv, lv):
+            raise ValueError(
+                "Ambiguous function call: concat of an "
+                "array-of-array and an all-NULL array literal "
+                "(reference AMBIGUOUS_FUNCTION_CALL)")
+
+
 _DATE_PLUS_TIME_IVL = re.compile(
     r"DATE\s+(\x00s\d+\x00)\s*(?P<op>[+-])\s*"
     r"INTERVAL\s+(\x00s\d+\x00)\s+(?:HOUR|MINUTE|SECOND)S?\b",
@@ -4450,6 +4538,8 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = _fold_int_literal_div(masked, stash)
     masked = _rewrite_typed_literals(masked, stash)
     masked = _fold_decimal_literal_casts(masked, stash)
+    _raise_invalid_literal_casts(masked)
+    _raise_ambiguous_array_concat(masked, stash)
     masked = _rewrite_double_to_integral_cast(masked)
     masked = _rewrite_interval_literals(masked, stash)
     masked = _rewrite_date_time_interval_raise(masked, stash)

@@ -3,9 +3,12 @@ assertInvalidFunction expressions from the reference's type/ and
 operator/scalar test suites: each expression below RAISES in the
 reference, and this suite pins that it raises through the SQL front
 door too (the reference's own pattern: error TEXT differs by engine,
-the contract is errors-not-wrong-values). 425 pins (281 from
+the contract is errors-not-wrong-values). 431 pins (281 from
 the r11 extraction + 32 r12 leniency conversions + 18 r14
-conversions + 5 r15 typed-literal NaN/Infinity->DECIMAL spellings — empty split_to_map/multimap delimiters raise BEFORE
+conversions + 11 r15: 5 typed-literal NaN/Infinity->DECIMAL
+spellings, 3 regex '$'-replacement forms (raise natively in
+Spark 4), the int->TIMESTAMP literal casts, and the ambiguous
+array-concat shape — empty split_to_map/multimap delimiters raise BEFORE
 scanning, constant IN lists evaluate their division-by-zero items
 like the reference, COLUMN-typed DATE +/- sub-day intervals
 raise via the runtime typeof() guard, and the TEN null-touching
@@ -39,26 +42,28 @@ STRING repetition where Presto's repeat builds an ARRAY
 (RepeatFunction.java) — now lowered to array_repeat with the
 reference's negative/10000-cap raises.
 
-5 extracted expressions RETURN values here instead of raising
-(122 at r11 -> 90 after r12's 32 conversions -> 17 after r13's 74
--> 15 after the r14 IN-list + column-date-interval conversions ->
-5 after the r14 #2 null-touching-comparison conversions; re-triaged
-against the full reference extraction each round). The remaining 5
-are the hard-divergence classes, each documented: decimal
-arithmetic/round precision-loss for NON-literal operands (every
-literal form constant-folds with the reference's derivation since
-r13, and catalog-resolvable COLUMN operands rewrite since r14 #2 —
-the residual is expressions whose operand types are not statically
-derivable), map subscript missing-key raises for NON-string-literal
-keys (2: numeric and varbinary keys cannot be statically told apart
-from array indexes; the string-literal form converted in r13, the
-element_at FUNCTION form legitimately returns NULL in both engines,
-and the raising guard needs map_contains_key, which fails Spark
-ANALYSIS on an array-typed base), int->TIMESTAMP array cast
-leniency, analysis-level || type unification, REGEXP '$'-at-end
-replacement, CHAR-length concat caps, the REPEAT(array,...)
-Block-byte cap (the VARCHAR byte cap converted), and
-jackson-vs-Spark exotic number forms. The former 10-strong
+3 extracted expression classes RETURN values here instead of
+raising (122 at r11 -> 90 after r12's 32 conversions -> 17 after
+r13's 74 -> 15 after the r14 IN-list + column-date-interval
+conversions -> 5 after the r14 #2 null-touching-comparison
+conversions -> 3 after the r15 sweep converted the int->TIMESTAMP
+literal casts, the ambiguous ARRAY||ARRAY[NULL] concat, and found
+the regex '$'-replacement family raising natively in Spark 4;
+re-triaged against the full reference extraction each round). The
+remaining 3 are the hard-divergence classes, each documented:
+decimal arithmetic/round precision-loss for NON-literal operands
+(every literal form constant-folds with the reference's derivation
+since r13, and catalog-resolvable COLUMN operands rewrite since
+r14 #2 — the residual is expressions whose operand types are not
+statically derivable), map subscript missing-key raises for
+NON-string-literal keys (2: numeric and varbinary keys cannot be
+statically told apart from array indexes; the string-literal form
+converted in r13, the element_at FUNCTION form legitimately
+returns NULL in both engines, and the raising guard needs
+map_contains_key, which fails Spark ANALYSIS on an array-typed
+base), and the resource-cap/renderer class: CHAR-length concat
+caps, the REPEAT(array,...) Block-byte cap (the VARCHAR byte cap
+converted), and jackson-vs-Spark exotic number forms. The former 10-strong
 null-touching complex-element comparison class converted in r14 #2
 for its entire pinned (literal) extent; COLUMN-operand forms of
 those calls remain Spark-lenient (not pinned by the reference's
@@ -578,6 +583,29 @@ CASES = [
      'ARRAY[CAST(null AS BIGINT)])'),
     ('type/TestRowOperators.java', 521,
      'row(1, CAST(NULL AS INTEGER)) < row(1, 2)'),
+    # r15 leniency conversions (r14 verdict #7 sweep):
+    # (a) the regex '$'-replacement family now raises natively —
+    # Spark 4's regexp_replace rejects dangling/invalid group refs
+    # exactly where Joni does (pin it so a future Spark relax is
+    # caught);
+    ('scalar/AbstractTestRegexpFunctions.java', 116,
+     "REGEXP_REPLACE('xxx', 'x', '$1')"),
+    ('scalar/AbstractTestRegexpFunctions.java', 117,
+     "REGEXP_REPLACE('xxx', 'x', '$a')"),
+    ('scalar/AbstractTestRegexpFunctions.java', 118,
+     "REGEXP_REPLACE('xxx', 'x', '$')"),
+    # (b) int -> TIMESTAMP casts: the reference registers no such
+    # cast (TYPE_MISMATCH at analysis); literal forms raise at
+    # translate time (frontend._raise_invalid_literal_casts). The
+    # scalar spelling is the same missing registry entry.
+    ('type/TestArrayOperators.java', 168,
+     'CAST(ARRAY [1, null, 3] AS ARRAY<TIMESTAMP>)'),
+    ('type/TestArrayOperators.java', 168, 'CAST(1 AS TIMESTAMP)'),
+    # (c) the AMBIGUOUS_FUNCTION_CALL concat shape: array-of-array
+    # || all-NULL array literal (element-append vs array-concat
+    # undecidable; frontend._raise_ambiguous_array_concat)
+    ('type/TestArrayOperators.java', 448,
+     'ARRAY [ARRAY [1]] || ARRAY [NULL]'),
 ]
 
 

@@ -244,8 +244,11 @@ def test_typed_literals_lowered_and_guarded():
     assert presto_to_spark_sql("SELECT BIGINT '5'") == (
         "SELECT CAST('5' AS BIGINT)"
     )
+    # leading integer zeros carry no precision (Decimals.java:115
+    # parse(..., false): integralPart excludes group 3's zeros) —
+    # r15 fix; was DECIMAL(6, 3)
     assert presto_to_spark_sql("SELECT DECIMAL '-001.250'") == (
-        "SELECT CAST('-001.250' AS DECIMAL(6, 3))"
+        "SELECT CAST('-001.250' AS DECIMAL(4, 3))"
     )
     assert presto_to_spark_sql("SELECT REAL '1.5'") == (
         "SELECT CAST('1.5' AS FLOAT)"
