@@ -508,6 +508,110 @@ def _fold_decimal_literal_casts(masked: str, stash) -> str:
     return masked
 
 
+# Literal floating-point comparisons where Spark's comparison domain
+# diverges from the reference's IEEE/coercion rules (r15 xfail
+# conversions):
+#   - NaN: Presto's scalar '=' is IEEE (nan() = nan() is FALSE;
+#     TestDoubleOperators ~:100); Spark normalizes NaN to a single
+#     value that equals itself.
+#   - REAL vs DECIMAL: Presto coerces the decimal to REAL and
+#     compares in float32 (CAST(1.2 AS REAL) = CAST(1.2 AS
+#     DECIMAL(2,1)) is TRUE); Spark widens both to double, where
+#     float32(1.2) widens to 1.2000000476.. <> 1.2.
+# Both are statically decidable for literal operands — fold them.
+_FLC_OPERAND_T = (
+    r"(?:(?P<nan{i}>(?<![\w.\x00])nan\s*\(\s*\))"
+    r"|(?P<inf{i}>(?<![\w.\x00])infinity\s*\(\s*\))"
+    r"|(?<![\w.\x00])CAST\s*\(\s*"
+    r"(?P<val{i}>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|\x00s\d+\x00)"
+    r"\s+AS\s+(?P<typ{i}>REAL|FLOAT|DOUBLE"
+    r"|DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\))\s*\))"
+)
+_FLC_CMP = re.compile(
+    _FLC_OPERAND_T.format(i=1)
+    + r"\s*(?P<op><>|!=|<=|>=|=|<|>)\s*"
+    + _FLC_OPERAND_T.format(i=2),
+    re.IGNORECASE,
+)
+
+
+def _flc_operand(m: re.Match, i: int, stash):
+    """(kind, float-or-Decimal value) for one matched operand, or
+    None to decline (unparseable literal: both engines raise)."""
+    from decimal import Decimal, InvalidOperation
+
+    if m.group(f"nan{i}"):
+        return ("double", float("nan"))
+    if m.group(f"inf{i}"):
+        return ("double", float("inf"))
+    v = m.group(f"val{i}")
+    if v.startswith("\x00"):
+        from presto_0_235_spark.sql.scalar_templates import _lit_of
+
+        lit = _lit_of(v, stash)
+        if lit is None:
+            return None
+        text = lit.strip()
+    else:
+        text = v
+    typ = m.group(f"typ{i}").upper()
+    if typ.startswith("DECIMAL"):
+        try:
+            return ("decimal", Decimal(text))
+        except InvalidOperation:
+            return None
+    try:
+        f = float(text)
+    except ValueError:
+        return None
+    if typ in ("REAL", "FLOAT"):
+        import struct
+
+        return ("real", struct.unpack("<f", struct.pack("<f", f))[0])
+    return ("double", f)
+
+
+def _fold_float_literal_compare(masked: str, stash) -> str:
+    import struct
+
+    def repl(m: re.Match) -> str:
+        # boundary guards: a partially-captured operand (arithmetic
+        # continuation on either side) must decline — e.g.
+        # `1 + nan() = nan()` compares (1+NaN) on the left
+        prev = masked[:m.start()].rstrip()[-1:]
+        nxt = masked[m.end():].lstrip()[:1]
+        if prev and prev in "+-*/%^|&.":
+            return m.group(0)
+        if nxt and nxt in "+-*/%^|&":
+            return m.group(0)
+        a = _flc_operand(m, 1, stash)
+        b = _flc_operand(m, 2, stash)
+        if a is None or b is None:
+            return m.group(0)
+        ka, va = a
+        kb, vb = b
+        if ka == kb == "decimal":
+            return m.group(0)  # exact-decimal fold's domain
+        if "double" in (ka, kb):
+            fa, fb = float(va), float(vb)
+        else:
+            # REAL vs DECIMAL (or REAL vs REAL): the reference
+            # coerces to REAL and compares in float32
+            # (DecimalCasts decimalToReal)
+            f32 = lambda x: struct.unpack(  # noqa: E731
+                "<f", struct.pack("<f", float(x)))[0]
+            fa, fb = f32(va), f32(vb)
+        op = m.group("op")
+        res = {
+            "=": fa == fb, "<>": fa != fb, "!=": fa != fb,
+            "<": fa < fb, ">": fa > fb,
+            "<=": fa <= fb, ">=": fa >= fb,
+        }[op]
+        return "TRUE" if res else "FALSE"
+
+    return _FLC_CMP.sub(repl, masked)
+
+
 # Integer -> TIMESTAMP casts do not exist in the reference's
 # function registry (no BigintOperators/IntegerOperators castToTimestamp;
 # TestArrayOperators.java:168 pins the array spelling as
@@ -4540,6 +4644,7 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = _fold_decimal_literal_casts(masked, stash)
     _raise_invalid_literal_casts(masked)
     _raise_ambiguous_array_concat(masked, stash)
+    masked = _fold_float_literal_compare(masked, stash)
     masked = _rewrite_double_to_integral_cast(masked)
     masked = _rewrite_interval_literals(masked, stash)
     masked = _rewrite_date_time_interval_raise(masked, stash)

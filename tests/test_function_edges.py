@@ -198,20 +198,9 @@ VALUE_CASES = [
     _case("infinity_value", "infinity()", INF, f"{M}:~390"),
     _case("is_finite_inf", "is_finite(infinity())", False, f"{M}:~395"),
     _case("is_infinite_inf", "is_infinite(infinity())", True, f"{M}:~398"),
-    _case(
-        "nan_neq_nan",
-        "nan() = nan()",
-        False,
-        f"{M}:~385",
-        marks=pytest.mark.xfail(
-            reason="Spark's comparison domain defines NaN = NaN as TRUE "
-            "(NaN sorts largest, equals itself — Spark SQL semantics "
-            "doc); Presto follows IEEE 754 inside scalar comparison. "
-            "Engine-level divergence, same class as the REAL=DECIMAL "
-            "xfails in test_reference_corpus.py.",
-            strict=True,
-        ),
-    ),
+    # xfail converted in r15: literal NaN comparisons fold with the
+    # reference's IEEE semantics (frontend._fold_float_literal_compare)
+    _case("nan_neq_nan", "nan() = nan()", False, f"{M}:~385"),
     # ---- from_base / to_base (MathFunctions.java fromBase/toBase) --------
     _case("from_base_hex", "from_base('80000000', 16)", 2147483648, f"{M}:1212"),
     _case("from_base_bin", "from_base('11111111', 2)", 255, f"{M}:1213"),
@@ -1120,13 +1109,12 @@ VALUE_CASES += [
           "type/TestDoubleOperators.java"),
     _case("double_nan_self_ne", "nan() = nan()", False,
           "type/TestDoubleOperators.java:~100 (Presto scalar '=' on "
-          "NaN is IEEE-false)",
-          marks=(pytest.mark.xfail(
-              reason="engine divergence: Spark normalizes NaN to a "
-              "single value that equals itself in every comparison "
-              "domain (the documented NaN=NaN class); Presto's "
-              "scalar '=' is IEEE (false).",
-              strict=True),)),
+          "NaN is IEEE-false; xfail converted in r15 — literal NaN "
+          "comparisons fold via _fold_float_literal_compare)"),
+    _case("double_nan_self_lt", "nan() < nan()", False,
+          "type/TestDoubleOperators.java (IEEE ordering on NaN)"),
+    _case("double_nan_ne_true", "nan() <> nan()", True,
+          "type/TestDoubleOperators.java (IEEE != on NaN)"),
     # boolean casts and distinct-from (TestBooleanOperators.java)
     _case("bool_cast_true", "cast('true' as boolean)", True,
           "type/TestBooleanOperators.java testCastFromVarchar"),

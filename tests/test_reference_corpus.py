@@ -603,14 +603,11 @@ CORPUS: list[Case] = [
       "ON x.a = y.a", f"{_ATQ}:1846", duck="VALUES (1, 2, 1, 3)"),
     C("special_floating_point",
       "SELECT CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE), "
-      "CAST('Infinity' AS DOUBLE) > 0", f"{_ATQ}:781 (adapted)",
-      duck="SELECT FALSE, TRUE",
-      marks=(pytest.mark.xfail(
-          strict=True,
-          reason="Spark SQL defines NaN = NaN as TRUE (documented NaN "
-                 "semantics); Presto/DuckDB follow IEEE 754 (FALSE). "
-                 "Engine-level divergence, not a dialect rewrite.",
-      ),)),
+      "CAST('Infinity' AS DOUBLE) > 0", f"{_ATQ}:781 (adapted; "
+      "xfail converted in r15: literal NaN comparisons fold with "
+      "the reference's IEEE semantics — "
+      "frontend._fold_float_literal_compare)",
+      duck="SELECT FALSE, TRUE"),
     C("special_floating_point_infinity",
       "SELECT CAST('Infinity' AS DOUBLE) > 1e308, "
       "CAST('-Infinity' AS DOUBLE) < -1e308, "
@@ -2238,14 +2235,10 @@ CORPUS: list[Case] = [
     C("join_coercion_real_decimal",
       "SELECT count(*) > 0 FROM nation JOIN region ON (cast(1.2 AS "
       "real) = CAST(1.2 AS decimal(2,1)))",
-      f"{_ATQ}:1794 testJoinWithConstantTrueExpressionWithCoercion",
-      marks=(pytest.mark.xfail(
-          strict=True,
-          reason="REAL = DECIMAL comparison: Spark widens both sides to double "
-                  "(float32(1.2) widens to 1.2000000476.. <> 1.2 -> FALSE) while "
-                  "Presto/DuckDB compare in REAL (TRUE). Engine-level coercion "
-                  "divergence, same class as the documented double-cast xfails",
-      ),)),
+      f"{_ATQ}:1794 testJoinWithConstantTrueExpressionWithCoercion "
+      "(xfail converted in r15: literal REAL=DECIMAL comparisons "
+      "fold in the reference's float32 coercion domain — "
+      "frontend._fold_float_literal_compare)"),
     C("join_not_neq_normalized",
       "SELECT COUNT(*) FROM nation a JOIN nation b on not "
       "((a.nationkey + b.nationkey) <> b.nationkey)",
