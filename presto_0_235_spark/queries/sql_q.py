@@ -2941,3 +2941,850 @@ def sql_qdigest_agg_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# r15 TPC-DS SQL-text twins (#13-32 of the twin program): same PUBLIC
+# benchmark text (presto-benchto-benchmarks src/main/resources/sql/
+# presto/tpcds/qNN.sql) role-mapped onto the fixture tables, with the
+# SAME text as the DuckDB oracle — the differential methodology the
+# r13 verdict requested. Money aggregates ride exact integer cents.
+# ---------------------------------------------------------------------------
+_SQL_TPCDS_Q2_R15 = """
+WITH wscs AS (
+  SELECT CAST(o_orderdate AS DATE) AS sold_date,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS sales_price
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT CAST(o_orderdate AS DATE) AS sold_date,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS sales_price
+  FROM orders WHERE o_orderpriority = '2-HIGH'
+),
+wswscs AS (
+  SELECT year(sold_date) * 100 + month(sold_date) AS d_month_seq,
+         SUM(CASE WHEN (date_diff('day', DATE '1995-01-02', sold_date) % 7) = 6
+                  THEN sales_price ELSE NULL END) AS sun_sales,
+         SUM(CASE WHEN (date_diff('day', DATE '1995-01-02', sold_date) % 7) = 0
+                  THEN sales_price ELSE NULL END) AS mon_sales,
+         SUM(CASE WHEN (date_diff('day', DATE '1995-01-02', sold_date) % 7) = 3
+                  THEN sales_price ELSE NULL END) AS wed_sales,
+         SUM(CASE WHEN (date_diff('day', DATE '1995-01-02', sold_date) % 7) = 5
+                  THEN sales_price ELSE NULL END) AS fri_sales
+  FROM wscs GROUP BY year(sold_date) * 100 + month(sold_date)
+)
+SELECT y.d_month_seq,
+       round(CAST(y.sun_sales AS DOUBLE) / z.sun_sales, 2) AS r_sun,
+       round(CAST(y.mon_sales AS DOUBLE) / z.mon_sales, 2) AS r_mon,
+       round(CAST(y.wed_sales AS DOUBLE) / z.wed_sales, 2) AS r_wed,
+       round(CAST(y.fri_sales AS DOUBLE) / z.fri_sales, 2) AS r_fri
+FROM wswscs y, wswscs z
+WHERE y.d_month_seq = z.d_month_seq - 100
+  AND y.d_month_seq BETWEEN 199801 AND 199812
+ORDER BY y.d_month_seq
+"""
+
+@register("sql_tpcds_q2", oracle=_SQL_TPCDS_Q2_R15)
+def sql_tpcds_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q2's text shape — a UNION ALL channel CTE feeding a second
+    CTE of per-month weekday CASE-pivot sums, consumed TWICE in a self-
+    join one year apart to emit week-over-week ratios
+    (.../tpcds/q02.sql role-mapped: the two web/catalog channels -> two
+    order-priority slices; d_week_seq -> a year*100+month sequence; the
+    weekday comes from a portable date_diff-mod-7 spelling because the
+    fixtures carry no date dimension). The CTE aggregates once, the
+    self-join is a broadcast of a few hundred month rows — flat at 100
+    TB. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q2_R15)
+
+
+_SQL_TPCDS_Q21_R15 = """
+SELECT *
+FROM (SELECT s_name,
+             p_name,
+             SUM(CASE WHEN CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+                      THEN l_quantity ELSE 0 END) AS inv_before,
+             SUM(CASE WHEN CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+                      THEN l_quantity ELSE 0 END) AS inv_after
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-10-01'
+                                         AND DATE '1998-04-01'
+      GROUP BY s_name, p_name) x
+WHERE (CASE WHEN inv_before > 0
+            THEN CAST(inv_after AS DOUBLE) / inv_before
+            ELSE NULL END) BETWEEN 2.0E0 / 3.0E0 AND 3.0E0 / 2.0E0
+ORDER BY s_name, p_name
+LIMIT 100
+"""
+
+@register("sql_tpcds_q21", oracle=_SQL_TPCDS_Q21_R15)
+def sql_tpcds_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q21's text shape — per-(warehouse, item) before/after-the-
+    event quantity split via CASE sums with a ratio band filter on the
+    outer SELECT (.../tpcds/q21.sql role-mapped: inventory -> lineitem,
+    warehouse -> supplier, the 30-day window around a ship-date
+    cutoff). The band bounds are spelled 2.0E0/3.0E0 (DOUBLE division)
+    because the original's bare 2.0/3.0 is DECIMAL division in the
+    reference — decimal(3,1) HALF_UP = 0.7, a semantics this engine
+    replays but DuckDB does not; the DOUBLE spelling keeps the text a
+    true twin. One shuffle on the group keys. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q21_R15)
+
+
+_SQL_TPCDS_Q41_R15 = """
+SELECT DISTINCT (p_name)
+FROM part p1
+WHERE p_partkey BETWEEN 100 AND 300
+  AND (SELECT count(*) AS item_cnt
+       FROM part
+       WHERE (p_brand = p1.p_brand
+              AND ((p_type LIKE '%ECON%' AND p_size BETWEEN 1 AND 15)
+                   OR (p_type LIKE '%STAND%' AND p_size BETWEEN 10 AND 25)))
+          OR (p_brand = p1.p_brand
+              AND ((p_type LIKE '%PROMO%' AND p_size BETWEEN 5 AND 20)
+                   OR (p_type LIKE '%MEDIUM%' AND p_size BETWEEN 15 AND 30)))) > 0
+ORDER BY p_name
+LIMIT 100
+"""
+
+@register("sql_tpcds_q41", oracle=_SQL_TPCDS_Q41_R15)
+def sql_tpcds_q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q41's text shape — DISTINCT product names gated by a
+    correlated scalar count over an OR-of-ANDs attribute matrix
+    (.../tpcds/q41.sql role-mapped: i_manufact -> p_brand, the
+    color/size/unit conjunctions -> p_type/p_size bands). Catalyst
+    decorrelates the scalar count to an aggregate-join; the part
+    dimension broadcasts at any scale. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q41_R15)
+
+
+_SQL_TPCDS_Q48_R15 = """
+SELECT SUM(l_quantity) AS qty
+FROM orders, customer, lineitem
+WHERE o_orderkey = l_orderkey
+  AND o_custkey = c_custkey
+  AND ((c_mktsegment = 'BUILDING'
+        AND o_totalprice BETWEEN 1000.0 AND 60000.0)
+       OR (c_mktsegment = 'AUTOMOBILE'
+           AND o_totalprice BETWEEN 50000.0 AND 110000.0)
+       OR (c_mktsegment = 'MACHINERY'
+           AND o_totalprice BETWEEN 100000.0 AND 160000.0))
+"""
+
+@register("sql_tpcds_q48", oracle=_SQL_TPCDS_Q48_R15)
+def sql_tpcds_q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q48's text shape — one scan-aggregate whose predicate is an
+    OR of three (demographic x price-band) conjunctions
+    (.../tpcds/q48.sql role-mapped: marital/education -> c_mktsegment,
+    sales-price bands -> o_totalprice bands). The whole disjunction
+    pushes into one pass over the fact join — no intermediate
+    materialization at 100 TB. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q48_R15)
+
+
+_SQL_TPCDS_Q49_R15 = """
+SELECT channel, item, return_ratio, return_rank
+FROM (SELECT 'F' AS channel, f.item, f.return_ratio,
+             RANK() OVER (ORDER BY f.return_ratio) AS return_rank
+      FROM (SELECT l_partkey AS item,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R'
+                                 THEN l_quantity ELSE 0 END) AS DOUBLE)
+                     / SUM(l_quantity) AS return_ratio
+            FROM lineitem
+            WHERE l_linestatus = 'F' AND l_quantity > 0
+            GROUP BY l_partkey
+            HAVING SUM(l_quantity) >= 30) f
+      UNION
+      SELECT 'O' AS channel, o.item, o.return_ratio,
+             RANK() OVER (ORDER BY o.return_ratio) AS return_rank
+      FROM (SELECT l_partkey AS item,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R'
+                                 THEN l_quantity ELSE 0 END) AS DOUBLE)
+                     / SUM(l_quantity) AS return_ratio
+            FROM lineitem
+            WHERE l_linestatus = 'O' AND l_quantity > 0
+            GROUP BY l_partkey
+            HAVING SUM(l_quantity) >= 30) o) ranked
+WHERE return_rank <= 10
+ORDER BY channel, return_rank, item
+"""
+
+@register("sql_tpcds_q49", oracle=_SQL_TPCDS_Q49_R15)
+def sql_tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q49's text shape — per-channel return ratios ranked by a
+    window, UNION-deduped, worst-10 per channel (.../tpcds/q49.sql
+    role-mapped: the web/catalog/store channels -> the two l_linestatus
+    slices; currency ratio -> returned-quantity ratio). Each channel is
+    one grouped aggregate + one global rank; UNION dedup is a final
+    few-row shuffle. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q49_R15)
+
+
+_SQL_TPCDS_Q70_R15 = """
+SELECT CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100 AS total_sum,
+       n_name, c_mktsegment,
+       grouping(n_name) + grouping(c_mktsegment) AS lochierarchy,
+       RANK() OVER (
+         PARTITION BY grouping(n_name) + grouping(c_mktsegment),
+           CASE WHEN grouping(c_mktsegment) = 0 THEN n_name END
+         ORDER BY SUM(CAST(round(o_totalprice * 100) AS BIGINT)) DESC
+       ) AS rank_within_parent
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+ORDER BY lochierarchy DESC,
+         CASE WHEN lochierarchy = 0 THEN n_name END,
+         rank_within_parent, n_name, c_mktsegment
+LIMIT 100
+"""
+
+@register("sql_tpcds_q70", oracle=_SQL_TPCDS_Q70_R15)
+def sql_tpcds_q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q70's text shape — ROLLUP over a geography hierarchy with
+    RANK() OVER (PARTITION BY grouping(...) + grouping(...)) — rank-
+    within-parent across the rollup levels (.../tpcds/q70.sql role-
+    mapped: state/county -> nation/market-segment; money through exact
+    cents). Exercises grouping() under ROLLUP inside a window PARTITION
+    BY — the expanded grouping sets aggregate once, the rank partitions
+    by grouping level. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q70_R15)
+
+
+_SQL_TPCDS_Q75_R15 = """
+WITH all_sales AS (
+  SELECT dyear, p_brand, p_type,
+         SUM(sales_cnt) AS sales_cnt,
+         SUM(sales_amt) AS sales_amt
+  FROM (SELECT year(CAST(l_shipdate AS DATE)) AS dyear,
+               p_brand, p_type,
+               l_quantity AS sales_cnt,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS sales_amt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_linestatus = 'F'
+        UNION ALL
+        SELECT year(CAST(l_shipdate AS DATE)) AS dyear,
+               p_brand, p_type,
+               l_quantity AS sales_cnt,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS sales_amt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_linestatus = 'O') sales_detail
+  GROUP BY dyear, p_brand, p_type
+)
+SELECT prev_yr.dyear AS prev_year, curr_yr.dyear AS dyear,
+       curr_yr.p_brand, curr_yr.p_type,
+       prev_yr.sales_cnt AS prev_yr_cnt,
+       curr_yr.sales_cnt AS curr_yr_cnt
+FROM all_sales curr_yr, all_sales prev_yr
+WHERE curr_yr.p_brand = prev_yr.p_brand
+  AND curr_yr.p_type = prev_yr.p_type
+  AND curr_yr.dyear = 1999
+  AND prev_yr.dyear = 1999 - 1
+  AND CAST(curr_yr.sales_cnt AS DOUBLE) / CAST(prev_yr.sales_cnt AS DOUBLE) < 0.9
+ORDER BY prev_yr_cnt - curr_yr_cnt DESC, curr_yr.p_brand, curr_yr.p_type
+LIMIT 100
+"""
+
+@register("sql_tpcds_q75", oracle=_SQL_TPCDS_Q75_R15)
+def sql_tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q75's text shape — a UNION ALL of channel sales re-
+    aggregated by (year, brand, type), self-joined a year apart,
+    keeping rows whose sales declined below 0.9x (.../tpcds/q75.sql
+    role-mapped onto lineitem/part with l_linestatus as the channel
+    axis; sales_amt rides exact cents). The CTE shuffles once on the
+    dimension keys; the year-pinned self-join broadcasts. Same text is
+    the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q75_R15)
+
+
+_SQL_TPCDS_Q87_R15 = """
+SELECT count(*) AS num_cool
+FROM ((SELECT DISTINCT c_name, c_custkey
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       WHERE year(CAST(o_orderdate AS DATE)) = 1998)
+      EXCEPT
+      (SELECT DISTINCT c_name, c_custkey
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE year(CAST(o_orderdate AS DATE)) = 1998
+         AND l_returnflag = 'R')
+      EXCEPT
+      (SELECT DISTINCT c_name, c_custkey
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       WHERE o_orderpriority = '5-LOW'
+         AND year(CAST(o_orderdate AS DATE)) = 1998)) cool_cust
+"""
+
+@register("sql_tpcds_q87", oracle=_SQL_TPCDS_Q87_R15)
+def sql_tpcds_q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q87's text shape — count over a chain of two EXCEPTs of
+    DISTINCT customer cohorts (.../tpcds/q87.sql role-mapped: the
+    store/catalog/web cohort sources -> order-year, returns, and
+    priority cohorts). EXCEPT [DISTINCT] plans as two hash anti-joins
+    on the same distinct keys — co-partitioned, no all-pairs anywhere.
+    Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q87_R15)
+
+
+_SQL_TPCDS_Q90_R15 = """
+SELECT CAST(amc AS DOUBLE) / CAST(pmc AS DOUBLE) AS am_pm_ratio
+FROM (SELECT count(*) AS amc FROM events
+      WHERE hour(ts) BETWEEN 8 AND 9 AND event_type = 'click') at_,
+     (SELECT count(*) AS pmc FROM events
+      WHERE hour(ts) BETWEEN 19 AND 20 AND event_type = 'click') pt
+ORDER BY am_pm_ratio
+LIMIT 100
+"""
+
+@register("sql_tpcds_q90", oracle=_SQL_TPCDS_Q90_R15)
+def sql_tpcds_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q90's text shape — the am/pm ratio: two uncorrelated scalar-
+    count subqueries cross-joined and divided (.../tpcds/q90.sql role-
+    mapped: web_sales time_dim windows -> events hour(ts) windows). Two
+    filtered counts, one row each — the cross join is degenerate at any
+    scale. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q90_R15)
+
+
+_SQL_TPCDS_Q92_R15 = """
+SELECT CAST(SUM(CAST(round(l.l_discount * l.l_extendedprice * 100)
+                     AS BIGINT)) AS DOUBLE) / 100 AS excess_discount_amount
+FROM lineitem l
+WHERE CAST(l.l_shipdate AS DATE) BETWEEN DATE '1998-01-01'
+                                     AND DATE '1998-04-01'
+  AND l.l_discount * l.l_extendedprice > (
+      SELECT 1.3 * avg(i.l_discount * i.l_extendedprice)
+      FROM lineitem i
+      WHERE i.l_partkey = l.l_partkey
+        AND CAST(i.l_shipdate AS DATE) BETWEEN DATE '1998-01-01'
+                                           AND DATE '1998-04-01')
+ORDER BY excess_discount_amount
+LIMIT 100
+"""
+
+@register("sql_tpcds_q92", oracle=_SQL_TPCDS_Q92_R15)
+def sql_tpcds_q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q92's text shape — 'excess discount': sum the discount
+    amounts that exceed 1.3x the item's own date-windowed average, via
+    a correlated scalar AVG (.../tpcds/q92.sql role-mapped onto
+    lineitem; money through exact cents). Catalyst decorrelates to a
+    per-item aggregate joined back on l_partkey — two co-partitioned
+    shuffles at 100 TB. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q92_R15)
+
+
+_SQL_TPCDS_Q97_R15 = """
+WITH ssci AS (
+  SELECT o_custkey AS customer_sk, l_partkey AS item_sk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_linestatus = 'F'
+  GROUP BY o_custkey, l_partkey
+),
+csci AS (
+  SELECT o_custkey AS customer_sk, l_partkey AS item_sk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_linestatus = 'O'
+  GROUP BY o_custkey, l_partkey
+)
+SELECT SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                 AND csci.customer_sk IS NULL THEN 1 ELSE 0 END)
+         AS store_only,
+       SUM(CASE WHEN ssci.customer_sk IS NULL
+                 AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+         AS catalog_only,
+       SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                 AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+         AS store_and_catalog
+FROM ssci
+FULL OUTER JOIN csci ON (ssci.customer_sk = csci.customer_sk
+                         AND ssci.item_sk = csci.item_sk)
+"""
+
+@register("sql_tpcds_q97", oracle=_SQL_TPCDS_Q97_R15)
+def sql_tpcds_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q97's text shape — channel-overlap counts from a FULL OUTER
+    JOIN of two DISTINCT (customer, item) pair sets (.../tpcds/q97.sql
+    role-mapped: store/catalog channels -> l_linestatus slices). Both
+    sides group to distinct pairs on the same keys, so the full-outer
+    join is co-partitioned; the CASE-sum collapse is map-side. Same
+    text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q97_R15)
+
+
+_SQL_TPCDS_Q99_R15 = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) <= 30
+                THEN 1 ELSE 0 END) AS d30,
+       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) > 30
+                 AND date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) <= 60
+                THEN 1 ELSE 0 END) AS d60,
+       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) > 60
+                 AND date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) <= 90
+                THEN 1 ELSE 0 END) AS d90,
+       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) > 90
+                 AND date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) <= 120
+                THEN 1 ELSE 0 END) AS d120,
+       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) > 120
+                THEN 1 ELSE 0 END) AS dmore
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+@register("sql_tpcds_q99", oracle=_SQL_TPCDS_Q99_R15)
+def sql_tpcds_q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q99's text shape — ship-lag histogram as five CASE-sum pivot
+    columns of date_diff buckets per priority (.../tpcds/q99.sql role-
+    mapped: warehouse/ship-mode -> o_orderpriority, days-to-ship ->
+    orderdate->shipdate lag). Single fact-fact join on the order key —
+    bucketable; the pivot is map-side combine. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q99_R15)
+
+
+# ---- r15 twin batch 2 (#33-42): same methodology -------------------
+_SQL_TPCDS_Q4_R15 = """
+WITH year_total AS (
+  SELECT c_custkey AS customer_id, c_name AS customer_name,
+         year(CAST(o_orderdate AS DATE)) AS dyear,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS DOUBLE) / 100 AS year_total,
+         's' AS sale_type
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  GROUP BY c_custkey, c_name, year(CAST(o_orderdate AS DATE))
+  UNION ALL
+  SELECT c_custkey AS customer_id, c_name AS customer_name,
+         year(CAST(o_orderdate AS DATE)) AS dyear,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS DOUBLE) / 100 AS year_total,
+         'c' AS sale_type
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  WHERE o_orderpriority = '3-MEDIUM'
+  GROUP BY c_custkey, c_name, year(CAST(o_orderdate AS DATE))
+  UNION ALL
+  SELECT c_custkey AS customer_id, c_name AS customer_name,
+         year(CAST(o_orderdate AS DATE)) AS dyear,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS DOUBLE) / 100 AS year_total,
+         'w' AS sale_type
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+  GROUP BY c_custkey, c_name, year(CAST(o_orderdate AS DATE))
+)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_name
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_c_firstyear, year_total t_c_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_c_firstyear.sale_type = 'c'
+  AND t_w_firstyear.sale_type = 'w' AND t_s_secyear.sale_type = 's'
+  AND t_c_secyear.sale_type = 'c' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 1995 AND t_s_secyear.dyear = 1995 + 1
+  AND t_c_firstyear.dyear = 1995 AND t_c_secyear.dyear = 1995 + 1
+  AND t_w_firstyear.dyear = 1995 AND t_w_secyear.dyear = 1995 + 1
+  AND t_s_firstyear.year_total > 0
+  AND t_c_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND t_c_secyear.year_total / t_c_firstyear.year_total
+        > t_s_secyear.year_total / t_s_firstyear.year_total
+  AND t_c_secyear.year_total / t_c_firstyear.year_total
+        > t_w_secyear.year_total / t_w_firstyear.year_total
+ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_name
+LIMIT 100
+"""
+
+@register("sql_tpcds_q4", oracle=_SQL_TPCDS_Q4_R15)
+def sql_tpcds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q4's text shape — the three-channel year_total CTE
+    (store/catalog/web -> three order-priority slices) consumed SIX
+    times in one self-join, keeping customers whose second-year ratio
+    improves in the catalog channel over BOTH other channels
+    (.../tpcds/q04.sql role-mapped; money rides exact cents). The CTE
+    aggregates once; the six references shuffle on customer_id and co-
+    partition. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q4_R15)
+
+
+_SQL_TPCDS_Q30_R15 = """
+WITH customer_total_return AS (
+  SELECT o_custkey AS ctr_customer_sk,
+         c_nationkey AS ctr_state,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS DOUBLE) / 100 AS ctr_total_return
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R'
+    AND year(CAST(o_orderdate AS DATE)) = 1998
+  GROUP BY o_custkey, c_nationkey
+)
+SELECT c_custkey, c_name, ctr_total_return
+FROM customer_total_return ctr1
+JOIN customer ON ctr1.ctr_customer_sk = c_custkey
+WHERE ctr1.ctr_total_return > (SELECT avg(ctr_total_return) * 1.2
+                               FROM customer_total_return ctr2
+                               WHERE ctr1.ctr_state = ctr2.ctr_state)
+ORDER BY c_custkey, c_name, ctr_total_return
+LIMIT 100
+"""
+
+@register("sql_tpcds_q30", oracle=_SQL_TPCDS_Q30_R15)
+def sql_tpcds_q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q30's text shape — per-customer return totals vs 1.2x the
+    per-state average via a correlated scalar subquery over the same
+    CTE, joined back to the customer dimension (.../tpcds/q30.sql role-
+    mapped: ca_state -> c_nationkey, web returns -> 'R' lineitems).
+    Catalyst decorrelates to a per-state aggregate broadcast. Same text
+    is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q30_R15)
+
+
+_SQL_TPCDS_Q33_R15 = """
+WITH ss AS (
+  SELECT p_brand, SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+           AS total_sales
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IN (SELECT p_brand FROM part
+                    WHERE p_type = 'ECONOMY')
+    AND l_linestatus = 'F'
+  GROUP BY p_brand
+),
+cs AS (
+  SELECT p_brand, SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+           AS total_sales
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IN (SELECT p_brand FROM part
+                    WHERE p_type = 'ECONOMY')
+    AND l_linestatus = 'O' AND l_returnflag = 'N'
+  GROUP BY p_brand
+),
+ws AS (
+  SELECT p_brand, SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+           AS total_sales
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IN (SELECT p_brand FROM part
+                    WHERE p_type = 'ECONOMY')
+    AND l_linestatus = 'O' AND l_returnflag = 'R'
+  GROUP BY p_brand
+)
+SELECT p_brand,
+       CAST(SUM(total_sales) AS DOUBLE) / 100 AS total_sales
+FROM (SELECT * FROM ss
+      UNION ALL
+      SELECT * FROM cs
+      UNION ALL
+      SELECT * FROM ws) tmp1
+GROUP BY p_brand
+ORDER BY total_sales DESC, p_brand
+LIMIT 100
+"""
+
+@register("sql_tpcds_q33", oracle=_SQL_TPCDS_Q33_R15)
+def sql_tpcds_q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q33's text shape — three channel CTEs each restricted to an
+    IN-subquery brand list (manufacturers in a category), UNION ALLed
+    and re-aggregated to total sales per brand (.../tpcds/q33.sql role-
+    mapped: the three channels -> linestatus/returnflag slices). The IN
+    subquery broadcasts; each channel is one grouped scan. Same text is
+    the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q33_R15)
+
+
+_SQL_TPCDS_Q43_R15 = """
+SELECT s_name, s_suppkey,
+       SUM(CASE WHEN (date_diff('day', DATE '1995-01-02',
+                                CAST(l_shipdate AS DATE)) % 7) = 6
+                THEN l_quantity ELSE 0 END) AS sun_sales,
+       SUM(CASE WHEN (date_diff('day', DATE '1995-01-02',
+                                CAST(l_shipdate AS DATE)) % 7) = 0
+                THEN l_quantity ELSE 0 END) AS mon_sales,
+       SUM(CASE WHEN (date_diff('day', DATE '1995-01-02',
+                                CAST(l_shipdate AS DATE)) % 7) = 1
+                THEN l_quantity ELSE 0 END) AS tue_sales,
+       SUM(CASE WHEN (date_diff('day', DATE '1995-01-02',
+                                CAST(l_shipdate AS DATE)) % 7) = 2
+                THEN l_quantity ELSE 0 END) AS wed_sales,
+       SUM(CASE WHEN (date_diff('day', DATE '1995-01-02',
+                                CAST(l_shipdate AS DATE)) % 7) = 3
+                THEN l_quantity ELSE 0 END) AS thu_sales,
+       SUM(CASE WHEN (date_diff('day', DATE '1995-01-02',
+                                CAST(l_shipdate AS DATE)) % 7) = 4
+                THEN l_quantity ELSE 0 END) AS fri_sales,
+       SUM(CASE WHEN (date_diff('day', DATE '1995-01-02',
+                                CAST(l_shipdate AS DATE)) % 7) = 5
+                THEN l_quantity ELSE 0 END) AS sat_sales
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE year(CAST(l_shipdate AS DATE)) = 1998
+GROUP BY s_name, s_suppkey
+ORDER BY s_name, s_suppkey
+LIMIT 100
+"""
+
+@register("sql_tpcds_q43", oracle=_SQL_TPCDS_Q43_R15)
+def sql_tpcds_q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q43's text shape — the per-store weekday CASE pivot
+    (.../tpcds/q43.sql role-mapped: store -> supplier; d_day_name -> a
+    portable date_diff-mod-7 weekday because the fixtures carry no date
+    dimension). One grouped scan, map-side combine carries seven
+    partial sums. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q43_R15)
+
+
+_SQL_TPCDS_Q53_R15 = """
+SELECT *
+FROM (SELECT p_brand,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS sum_sales,
+             AVG(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)))
+               OVER (PARTITION BY p_brand) AS avg_quarterly_sales
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE year(CAST(l_shipdate AS DATE)) IN (1998, 1999)
+      GROUP BY p_brand, quarter(CAST(l_shipdate AS DATE)),
+               year(CAST(l_shipdate AS DATE))) tmp1
+WHERE CASE WHEN avg_quarterly_sales > 0
+           THEN abs(sum_sales - avg_quarterly_sales)
+                  / avg_quarterly_sales
+           ELSE NULL END > 0.1E0
+ORDER BY avg_quarterly_sales, sum_sales, p_brand
+LIMIT 100
+"""
+
+@register("sql_tpcds_q53", oracle=_SQL_TPCDS_Q53_R15)
+def sql_tpcds_q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q53's text shape — quarterly brand sums compared to their
+    own AVG() OVER (PARTITION BY brand), keeping rows that deviate more
+    than 10% (.../tpcds/q53.sql role-mapped; q63/q89 share the
+    skeleton). A window aggregate OVER a grouped aggregate — two
+    shuffles, both on pruned row counts. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q53_R15)
+
+
+_SQL_TPCDS_Q58_R15 = """
+WITH ss_items AS (
+  SELECT p_brand AS item_id,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ss_item_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_suppkey % 3 = 0
+  GROUP BY p_brand
+),
+cs_items AS (
+  SELECT p_brand AS item_id,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cs_item_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_suppkey % 3 = 1
+  GROUP BY p_brand
+),
+ws_items AS (
+  SELECT p_brand AS item_id,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ws_item_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_suppkey % 3 = 2
+  GROUP BY p_brand
+)
+SELECT ss_items.item_id,
+       CAST(ss_item_rev AS DOUBLE) / 100 AS ss_item_rev,
+       CAST(cs_item_rev AS DOUBLE) / 100 AS cs_item_rev,
+       CAST(ws_item_rev AS DOUBLE) / 100 AS ws_item_rev,
+       CAST(ss_item_rev + cs_item_rev + ws_item_rev AS DOUBLE)
+         / 3 / 100 AS average
+FROM ss_items
+JOIN cs_items ON ss_items.item_id = cs_items.item_id
+JOIN ws_items ON ss_items.item_id = ws_items.item_id
+WHERE ss_item_rev BETWEEN 0.9E0 * cs_item_rev AND 1.1E0 * cs_item_rev
+  AND ss_item_rev BETWEEN 0.9E0 * ws_item_rev AND 1.1E0 * ws_item_rev
+  AND cs_item_rev BETWEEN 0.9E0 * ss_item_rev AND 1.1E0 * ss_item_rev
+  AND cs_item_rev BETWEEN 0.9E0 * ws_item_rev AND 1.1E0 * ws_item_rev
+  AND ws_item_rev BETWEEN 0.9E0 * ss_item_rev AND 1.1E0 * ss_item_rev
+  AND ws_item_rev BETWEEN 0.9E0 * cs_item_rev AND 1.1E0 * cs_item_rev
+ORDER BY ss_items.item_id, ss_item_rev
+LIMIT 100
+"""
+
+@register("sql_tpcds_q58", oracle=_SQL_TPCDS_Q58_R15)
+def sql_tpcds_q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q58's text shape — three per-brand channel revenues joined
+    and kept only when every pairwise ratio is within 10%
+    (.../tpcds/q58.sql role-mapped: the three channels -> uniform
+    l_suppkey%3 slices so the 10% band is actually populated at fixture
+    scale). Three grouped scans joined on the brand key —
+    broadcastable. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q58_R15)
+
+
+_SQL_TPCDS_Q61_R15 = """
+SELECT CAST(promotions AS DOUBLE) / CAST(total AS DOUBLE) * 100
+         AS promo_pct
+FROM (SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS promotions
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'PROMO'
+        AND year(CAST(l_shipdate AS DATE)) = 1998) promotional_sales,
+     (SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS total
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE year(CAST(l_shipdate AS DATE)) = 1998) all_sales
+ORDER BY promo_pct
+LIMIT 100
+"""
+
+@register("sql_tpcds_q61", oracle=_SQL_TPCDS_Q61_R15)
+def sql_tpcds_q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q61's text shape — the promotional-revenue percentage: two
+    uncorrelated aggregate subqueries cross-joined and divided
+    (.../tpcds/q61.sql role-mapped: promotions -> PROMO part type). Two
+    one-row aggregates; the cross join is degenerate at any scale. Same
+    text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q61_R15)
+
+
+_SQL_TPCDS_Q66_R15 = """
+SELECT s_name, dyear,
+       CAST(SUM(jan_sales) AS DOUBLE) / 100 AS jan_sales,
+       CAST(SUM(feb_sales) AS DOUBLE) / 100 AS feb_sales,
+       CAST(SUM(mar_sales) AS DOUBLE) / 100 AS mar_sales,
+       CAST(SUM(oct_sales) AS DOUBLE) / 100 AS oct_sales,
+       CAST(SUM(nov_sales) AS DOUBLE) / 100 AS nov_sales,
+       CAST(SUM(dec_sales) AS DOUBLE) / 100 AS dec_sales
+FROM (SELECT s_name, year(CAST(l_shipdate AS DATE)) AS dyear,
+             SUM(CASE WHEN month(CAST(l_shipdate AS DATE)) = 1
+                      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS jan_sales,
+             SUM(CASE WHEN month(CAST(l_shipdate AS DATE)) = 2
+                      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS feb_sales,
+             SUM(CASE WHEN month(CAST(l_shipdate AS DATE)) = 3
+                      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS mar_sales,
+             SUM(CASE WHEN month(CAST(l_shipdate AS DATE)) = 10
+                      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS oct_sales,
+             SUM(CASE WHEN month(CAST(l_shipdate AS DATE)) = 11
+                      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS nov_sales,
+             SUM(CASE WHEN month(CAST(l_shipdate AS DATE)) = 12
+                      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS dec_sales
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_linestatus = 'F'
+      GROUP BY s_name, year(CAST(l_shipdate AS DATE))
+      UNION ALL
+      SELECT s_name, year(CAST(l_shipdate AS DATE)) AS dyear,
+             SUM(CASE WHEN month(CAST(l_shipdate AS DATE)) = 1
+                      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS jan_sales,
+             SUM(CASE WHEN month(CAST(l_shipdate AS DATE)) = 2
+                      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS feb_sales,
+             SUM(CASE WHEN month(CAST(l_shipdate AS DATE)) = 3
+                      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS mar_sales,
+             SUM(CASE WHEN month(CAST(l_shipdate AS DATE)) = 10
+                      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS oct_sales,
+             SUM(CASE WHEN month(CAST(l_shipdate AS DATE)) = 11
+                      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS nov_sales,
+             SUM(CASE WHEN month(CAST(l_shipdate AS DATE)) = 12
+                      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS dec_sales
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_linestatus = 'O'
+      GROUP BY s_name, year(CAST(l_shipdate AS DATE))) x
+GROUP BY s_name, dyear
+ORDER BY s_name, dyear
+LIMIT 100
+"""
+
+@register("sql_tpcds_q66", oracle=_SQL_TPCDS_Q66_R15)
+def sql_tpcds_q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q66's text shape — the warehouse monthly-sales pivot: two
+    channels UNION ALLed, each a grouped scan with month CASE-sum
+    columns, re-aggregated per warehouse and year (.../tpcds/q66.sql
+    role-mapped: warehouse -> supplier, six of the twelve month columns
+    kept; money rides exact cents). Map-side combine carries the pivot
+    partials; one shuffle per channel. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q66_R15)
+
+
+_SQL_TPCDS_Q91_R15 = """
+SELECT n_name, c_mktsegment,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 AS returns_loss
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND year(CAST(o_orderdate AS DATE)) = 1998
+  AND month(CAST(o_orderdate AS DATE)) = 11
+  AND c_acctbal > 0
+GROUP BY n_name, c_mktsegment
+ORDER BY returns_loss DESC, n_name, c_mktsegment
+LIMIT 100
+"""
+
+@register("sql_tpcds_q91", oracle=_SQL_TPCDS_Q91_R15)
+def sql_tpcds_q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q91's text shape — returns loss per (geography, demographic)
+    cohort for one month: a four-table join chain with dimension
+    filters feeding one grouped sum (.../tpcds/q91.sql role-mapped:
+    call center/household demographics -> nation/market segment, cc
+    losses -> 'R' lineitems). Dimension joins broadcast. Same text is
+    the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q91_R15)
+
+
+_SQL_TPCDS_Q96_R15 = """
+SELECT count(*) AS cnt
+FROM events
+WHERE hour(ts) = 20
+  AND minute(ts) >= 30
+  AND event_type = 'purchase'
+ORDER BY count(*)
+LIMIT 100
+"""
+
+@register("sql_tpcds_q96", oracle=_SQL_TPCDS_Q96_R15)
+def sql_tpcds_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q96's text shape — a plain COUNT through time-window +
+    attribute filters (.../tpcds/q96.sql role-mapped: time_dim
+    hour/minute windows -> events hour(ts)/minute(ts),
+    household_demographics -> event_type). Pure pushed-filter scan-
+    count. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q96_R15)
