@@ -3788,3 +3788,824 @@ def sql_tpcds_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. Same text is the oracle."""
     register_views(spark, sf_dir)
     return run_sql(spark, _SQL_TPCDS_Q96_R15)
+
+
+# ---- r15 twin batch 3 (#43-54): same methodology -------------------
+_SQL_TPCDS_Q12_R15 = """
+SELECT p_brand, p_type,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 AS itemrevenue,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) * 100 /
+         SUM(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE)) OVER (PARTITION BY p_type) AS revenueratio
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1999-02-22'
+                                   AND DATE '1999-03-24'
+GROUP BY p_brand, p_type
+ORDER BY p_type, revenueratio, p_brand
+LIMIT 100
+"""
+
+@register("sql_tpcds_q12", oracle=_SQL_TPCDS_Q12_R15)
+def sql_tpcds_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q12's text shape — per-item revenue with its class-share
+    percentage via SUM(SUM(...)) OVER (PARTITION BY class) in a 30-day
+    window (.../tpcds/q12.sql role-mapped: category/class ->
+    p_type/p_brand; q20 and q98 share the skeleton). Window over
+    grouped aggregate — one shuffle each, the window partitions by the
+    pruned class key. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q12_R15)
+
+
+_SQL_TPCDS_Q17_R15 = """
+SELECT p_brand,
+       count(ss.l_quantity) AS store_sales_quantitycount,
+       CAST(SUM(CAST(ss.l_quantity AS BIGINT)) AS DOUBLE)
+         / count(ss.l_quantity) AS store_sales_quantityave,
+       CASE WHEN count(ss.l_quantity) > 1 THEN
+         sqrt((count(ss.l_quantity) *
+               CAST(SUM(CAST(ss.l_quantity AS BIGINT) *
+                        CAST(ss.l_quantity AS BIGINT)) AS DOUBLE)
+               - CAST(SUM(CAST(ss.l_quantity AS BIGINT)) AS DOUBLE)
+                 * CAST(SUM(CAST(ss.l_quantity AS BIGINT)) AS DOUBLE))
+              / (count(ss.l_quantity)
+                 * (count(ss.l_quantity) - 1)))
+       END AS store_sales_quantitystdev,
+       count(sr.l_quantity) AS store_returns_quantitycount,
+       CAST(SUM(CAST(sr.l_quantity AS BIGINT)) AS DOUBLE)
+         / count(sr.l_quantity) AS store_returns_quantityave
+FROM lineitem ss
+JOIN lineitem sr ON ss.l_orderkey = sr.l_orderkey
+                AND ss.l_partkey = sr.l_partkey
+                AND sr.l_returnflag = 'R'
+                AND ss.l_linenumber <> sr.l_linenumber
+JOIN part ON ss.l_partkey = p_partkey
+WHERE ss.l_returnflag <> 'R'
+GROUP BY p_brand
+ORDER BY p_brand
+LIMIT 100
+"""
+
+@register("sql_tpcds_q17", oracle=_SQL_TPCDS_Q17_R15)
+def sql_tpcds_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q17's text shape — quantity count/avg/stddev across sale and
+    return roles joined on (item, order) (.../tpcds/q17.sql role-
+    mapped: store_sales/store_returns -> non-returned/returned lineitem
+    slices on the same order). A fact-fact self-join on the order key —
+    bucket-joinable — feeding multi-statistic aggregates. Same text is
+    the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q17_R15)
+
+
+_SQL_TPCDS_Q22_R15 = """
+SELECT p_type, p_brand, p_size,
+       avg(l_quantity) AS qoh
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE year(CAST(l_shipdate AS DATE)) BETWEEN 1998 AND 1999
+GROUP BY ROLLUP (p_type, p_brand, p_size)
+ORDER BY qoh, p_type, p_brand, p_size
+LIMIT 100
+"""
+
+@register("sql_tpcds_q22", oracle=_SQL_TPCDS_Q22_R15)
+def sql_tpcds_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q22's text shape — average quantity over the product-
+    hierarchy ROLLUP (.../tpcds/q22.sql role-mapped:
+    category/brand/product -> p_type/p_brand/p_size). The expanded
+    grouping sets aggregate in one pass; avg's sum/count partials
+    combine map-side. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q22_R15)
+
+
+_SQL_TPCDS_Q28_R15 = """
+SELECT *
+FROM (SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100 / count(l_extendedprice)
+               AS b1_lp,
+             count(l_extendedprice) AS b1_cnt,
+             count(DISTINCT l_quantity) AS b1_cntd
+      FROM lineitem
+      WHERE l_quantity BETWEEN 0 AND 5
+        AND l_extendedprice BETWEEN 1000 AND 30000) b1,
+     (SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100 / count(l_extendedprice)
+               AS b2_lp,
+             count(l_extendedprice) AS b2_cnt,
+             count(DISTINCT l_quantity) AS b2_cntd
+      FROM lineitem
+      WHERE l_quantity BETWEEN 6 AND 10
+        AND l_extendedprice BETWEEN 15000 AND 45000) b2,
+     (SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100 / count(l_extendedprice)
+               AS b3_lp,
+             count(l_extendedprice) AS b3_cnt,
+             count(DISTINCT l_quantity) AS b3_cntd
+      FROM lineitem
+      WHERE l_quantity BETWEEN 11 AND 15
+        AND l_extendedprice BETWEEN 30000 AND 60000) b3,
+     (SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100 / count(l_extendedprice)
+               AS b4_lp,
+             count(l_extendedprice) AS b4_cnt,
+             count(DISTINCT l_quantity) AS b4_cntd
+      FROM lineitem
+      WHERE l_quantity BETWEEN 16 AND 20
+        AND l_extendedprice BETWEEN 45000 AND 75000) b4,
+     (SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100 / count(l_extendedprice)
+               AS b5_lp,
+             count(l_extendedprice) AS b5_cnt,
+             count(DISTINCT l_quantity) AS b5_cntd
+      FROM lineitem
+      WHERE l_quantity BETWEEN 21 AND 25
+        AND l_extendedprice BETWEEN 60000 AND 90000) b5,
+     (SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100 / count(l_extendedprice)
+               AS b6_lp,
+             count(l_extendedprice) AS b6_cnt,
+             count(DISTINCT l_quantity) AS b6_cntd
+      FROM lineitem
+      WHERE l_quantity BETWEEN 26 AND 30
+        AND l_extendedprice BETWEEN 75000 AND 105000) b6
+LIMIT 100
+"""
+
+@register("sql_tpcds_q28", oracle=_SQL_TPCDS_Q28_R15)
+def sql_tpcds_q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q28's text shape — six quantity-and-price-band buckets of
+    (avg, count, count DISTINCT) cross-joined into a single row
+    (.../tpcds/q28.sql role-mapped onto lineitem). Six filtered single-
+    row aggregates; the DISTINCT counts expand per-bucket, the cross
+    join is degenerate. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q28_R15)
+
+
+_SQL_TPCDS_Q35_R15 = """
+SELECT n_name, c_mktsegment,
+       count(*) AS cnt1,
+       min(c_acctbal) AS min_bal,
+       max(c_acctbal) AS max_bal,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+         / 100 / count(*) AS avg_bal
+FROM customer c
+JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT * FROM orders o
+              WHERE c.c_custkey = o.o_custkey
+                AND year(CAST(o_orderdate AS DATE)) = 1998)
+  AND (EXISTS (SELECT * FROM orders o JOIN lineitem l
+               ON o.o_orderkey = l.l_orderkey
+               WHERE c.c_custkey = o.o_custkey
+                 AND l.l_linestatus = 'F')
+       OR EXISTS (SELECT * FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey
+                  WHERE c.c_custkey = o.o_custkey
+                    AND l.l_linestatus = 'O'))
+GROUP BY n_name, c_mktsegment
+ORDER BY n_name, c_mktsegment
+LIMIT 100
+"""
+
+@register("sql_tpcds_q35", oracle=_SQL_TPCDS_Q35_R15)
+def sql_tpcds_q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q35's text shape — demographic group statistics over
+    customers gated by one EXISTS and an OR of two more
+    (.../tpcds/q35.sql role-mapped: ca_state/cd_gender -> nation/market
+    segment; the web/catalog channels -> linestatus slices). Three
+    semi-join gates then one grouped multi-aggregate. Same text is the
+    oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q35_R15)
+
+
+_SQL_TPCDS_Q37_R15 = """
+SELECT p_name, p_brand, p_retailprice
+FROM part, lineitem
+WHERE p_retailprice BETWEEN 900 AND 930
+  AND l_partkey = p_partkey
+  AND CAST(l_shipdate AS DATE) BETWEEN DATE '1999-01-01'
+                                   AND DATE '1999-03-02'
+GROUP BY p_name, p_brand, p_retailprice
+ORDER BY p_name, p_brand
+LIMIT 100
+"""
+
+@register("sql_tpcds_q37", oracle=_SQL_TPCDS_Q37_R15)
+def sql_tpcds_q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q37's text shape — items in a retail-price band with
+    activity inside a 60-day window, deduped by GROUP BY
+    (.../tpcds/q37.sql role-mapped: inventory availability -> lineitem
+    activity; q82 shares the skeleton). Dimension filter broadcasts
+    into the fact scan. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q37_R15)
+
+
+_SQL_TPCDS_Q40_R15 = """
+SELECT n_name, p_name,
+       CAST(SUM(CASE WHEN CAST(s.l_shipdate AS DATE) < DATE '1999-01-01'
+                     THEN CAST(round((s.l_extendedprice -
+                          coalesce(r.l_extendedprice, 0)) * 100)
+                          AS BIGINT) ELSE 0 END) AS DOUBLE) / 100
+         AS sales_before,
+       CAST(SUM(CASE WHEN CAST(s.l_shipdate AS DATE) >= DATE '1999-01-01'
+                     THEN CAST(round((s.l_extendedprice -
+                          coalesce(r.l_extendedprice, 0)) * 100)
+                          AS BIGINT) ELSE 0 END) AS DOUBLE) / 100
+         AS sales_after
+FROM lineitem s
+LEFT JOIN (SELECT l_orderkey, l_linenumber, l_extendedprice
+           FROM lineitem WHERE l_returnflag = 'R') r
+  ON s.l_orderkey = r.l_orderkey AND s.l_linenumber = r.l_linenumber
+JOIN part ON s.l_partkey = p_partkey
+JOIN supplier ON s.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE CAST(s.l_shipdate AS DATE) BETWEEN DATE '1998-11-01'
+                                     AND DATE '1999-03-01'
+GROUP BY n_name, p_name
+ORDER BY n_name, p_name
+LIMIT 100
+"""
+
+@register("sql_tpcds_q40", oracle=_SQL_TPCDS_Q40_R15)
+def sql_tpcds_q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q40's text shape — before/after-the-cutoff net sales per
+    (state, item) with the refunded amount stripped via LEFT JOIN
+    against the returns slice and COALESCE (.../tpcds/q40.sql role-
+    mapped: catalog_returns -> the returnflag='R' self-slice keyed by
+    order+line). The self-left-join co-partitions on the order key.
+    Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q40_R15)
+
+
+_SQL_TPCDS_Q44_R15 = """
+SELECT asceding.rnk, i1.p_name AS best_performing,
+       i2.p_name AS worst_performing
+FROM (SELECT *
+      FROM (SELECT item_sk, rank() OVER (ORDER BY rank_col ASC) AS rnk
+            FROM (SELECT l_partkey AS item_sk,
+                         avg(l_extendedprice) AS rank_col
+                  FROM lineitem
+                  WHERE l_suppkey = 4
+                  GROUP BY l_partkey
+                  HAVING avg(l_extendedprice) > 0.9 * (
+                    SELECT avg(l_extendedprice) AS rank_col
+                    FROM lineitem
+                    WHERE l_suppkey = 4
+                      AND l_returnflag = 'R')) v1) v11
+      WHERE rnk < 11) asceding,
+     (SELECT *
+      FROM (SELECT item_sk, rank() OVER (ORDER BY rank_col DESC) AS rnk
+            FROM (SELECT l_partkey AS item_sk,
+                         avg(l_extendedprice) AS rank_col
+                  FROM lineitem
+                  WHERE l_suppkey = 4
+                  GROUP BY l_partkey
+                  HAVING avg(l_extendedprice) > 0.9 * (
+                    SELECT avg(l_extendedprice) AS rank_col
+                    FROM lineitem
+                    WHERE l_suppkey = 4
+                      AND l_returnflag = 'R')) v2) v21
+      WHERE rnk < 11) descending,
+     part i1, part i2
+WHERE asceding.rnk = descending.rnk
+  AND i1.p_partkey = asceding.item_sk
+  AND i2.p_partkey = descending.item_sk
+ORDER BY asceding.rnk
+LIMIT 100
+"""
+
+@register("sql_tpcds_q44", oracle=_SQL_TPCDS_Q44_R15)
+def sql_tpcds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q44's text shape — best and worst performing items by ranked
+    average revenue: two rank() subqueries (ASC and DESC) over the same
+    HAVING-gated aggregate, equi-joined rank-to-rank, item names
+    resolved twice (.../tpcds/q44.sql role-mapped: store/col_name ->
+    supplier/returned-average). The rank inputs are tiny post-aggregate
+    sets; both dimension lookups broadcast. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q44_R15)
+
+
+_SQL_TPCDS_Q45_R15 = """
+SELECT n_name, c_mktsegment,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE (c_custkey IN (5, 13, 85, 180, 1344, 12665)
+       OR c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT'
+                          AND o_totalprice > 250000))
+  AND year(CAST(o_orderdate AS DATE)) = 1998
+GROUP BY n_name, c_mktsegment
+ORDER BY n_name, c_mktsegment
+LIMIT 100
+"""
+
+@register("sql_tpcds_q45", oracle=_SQL_TPCDS_Q45_R15)
+def sql_tpcds_q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q45's text shape — geography revenue for customers in an
+    enumerated key list OR an IN-subquery (.../tpcds/q45.sql role-
+    mapped: zip list -> customer key list, the item subquery -> an
+    urgent-high-value order subquery). The OR of a static IN and a
+    semi-join plans as a single filter over the broadcast subquery.
+    Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q45_R15)
+
+
+_SQL_TPCDS_Q71_R15 = """
+SELECT p_brand, t_month,
+       CAST(SUM(ext_price_cents) AS DOUBLE) / 100 AS ext_price
+FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+               AS ext_price_cents,
+             l_partkey AS sold_item_sk,
+             month(CAST(l_shipdate AS DATE)) AS t_month
+      FROM lineitem
+      WHERE l_linestatus = 'F'
+        AND year(CAST(l_shipdate AS DATE)) = 1999
+      UNION ALL
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+               AS ext_price_cents,
+             l_partkey AS sold_item_sk,
+             month(CAST(l_shipdate AS DATE)) AS t_month
+      FROM lineitem
+      WHERE l_linestatus = 'O' AND l_returnflag = 'N'
+        AND year(CAST(l_shipdate AS DATE)) = 1999
+      UNION ALL
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+               AS ext_price_cents,
+             l_partkey AS sold_item_sk,
+             month(CAST(l_shipdate AS DATE)) AS t_month
+      FROM lineitem
+      WHERE l_linestatus = 'O' AND l_returnflag = 'R'
+        AND year(CAST(l_shipdate AS DATE)) = 1999) tmp
+JOIN part ON sold_item_sk = p_partkey
+GROUP BY p_brand, t_month
+ORDER BY ext_price DESC, p_brand, t_month
+LIMIT 100
+"""
+
+@register("sql_tpcds_q71", oracle=_SQL_TPCDS_Q71_R15)
+def sql_tpcds_q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q71's text shape — brand revenue by time bucket across three
+    channels UNION ALLed inside the FROM (.../tpcds/q71.sql role-
+    mapped: the three channels -> linestatus/returnflag slices, hour ->
+    month since the fixtures carry no time dimension). Each branch
+    scans pruned; the item join broadcasts. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q71_R15)
+
+
+_SQL_TPCDS_Q78_R15 = """
+WITH ws AS (
+  SELECT year(CAST(s.l_shipdate AS DATE)) AS ws_sold_year,
+         s.l_partkey AS ws_item_sk,
+         o.o_custkey AS ws_customer_sk,
+         sum(s.l_quantity) AS ws_qty,
+         sum(CAST(round(s.l_extendedprice * 100) AS BIGINT)) AS ws_sp
+  FROM lineitem s
+  JOIN orders o ON s.l_orderkey = o.o_orderkey
+  LEFT JOIN (SELECT l_orderkey, l_linenumber FROM lineitem
+             WHERE l_returnflag = 'R') r
+    ON s.l_orderkey = r.l_orderkey AND s.l_linenumber = r.l_linenumber
+  WHERE r.l_orderkey IS NULL AND s.l_linestatus = 'O'
+  GROUP BY year(CAST(s.l_shipdate AS DATE)), s.l_partkey, o.o_custkey
+),
+ss AS (
+  SELECT year(CAST(s.l_shipdate AS DATE)) AS ss_sold_year,
+         s.l_partkey AS ss_item_sk,
+         o.o_custkey AS ss_customer_sk,
+         sum(s.l_quantity) AS ss_qty,
+         sum(CAST(round(s.l_extendedprice * 100) AS BIGINT)) AS ss_sp
+  FROM lineitem s
+  JOIN orders o ON s.l_orderkey = o.o_orderkey
+  LEFT JOIN (SELECT l_orderkey, l_linenumber FROM lineitem
+             WHERE l_returnflag = 'R') r
+    ON s.l_orderkey = r.l_orderkey AND s.l_linenumber = r.l_linenumber
+  WHERE r.l_orderkey IS NULL AND s.l_linestatus = 'F'
+  GROUP BY year(CAST(s.l_shipdate AS DATE)), s.l_partkey, o.o_custkey
+)
+SELECT ss_customer_sk,
+       round(CAST(ss_qty AS DOUBLE) / coalesce(ws_qty, 1), 2) AS ratio,
+       ss_qty AS store_qty,
+       coalesce(ws_qty, 0) AS other_chan_qty
+FROM ss
+LEFT JOIN ws ON ws_sold_year = ss_sold_year
+            AND ws_item_sk = ss_item_sk
+            AND ws_customer_sk = ss_customer_sk
+WHERE coalesce(ws_qty, 0) > 0 AND ss_sold_year = 1999
+ORDER BY ss_customer_sk, ss_qty DESC, ss_sp DESC,
+         other_chan_qty, ratio
+LIMIT 100
+"""
+
+@register("sql_tpcds_q78", oracle=_SQL_TPCDS_Q78_R15)
+def sql_tpcds_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q78's text shape — yearly per-(customer, item) cross-channel
+    quantity ratios with returned rows stripped via LEFT JOIN + IS NULL
+    in both channel CTEs (.../tpcds/q78.sql role-mapped: ws/ss ->
+    linestatus slices, returns -> the 'R' self-slice). Two anti-join-
+    shaped CTEs, then a co-partitioned (year, item, customer) join.
+    Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q78_R15)
+
+
+_SQL_TPCDS_Q94_R15 = """
+SELECT count(DISTINCT o1.o_orderkey) AS order_count,
+       CAST(SUM(CAST(round(o1.o_totalprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 AS total_price
+FROM orders o1
+JOIN lineitem l1 ON o1.o_orderkey = l1.l_orderkey
+WHERE o1.o_orderpriority = '2-HIGH'
+  AND year(CAST(o1.o_orderdate AS DATE)) = 1999
+  AND EXISTS (SELECT * FROM lineitem l2
+              WHERE l1.l_orderkey = l2.l_orderkey
+                AND l1.l_suppkey <> l2.l_suppkey)
+  AND NOT EXISTS (SELECT * FROM lineitem l3
+                  WHERE l1.l_orderkey = l3.l_orderkey
+                    AND l3.l_returnflag = 'R')
+ORDER BY count(DISTINCT o1.o_orderkey)
+LIMIT 100
+"""
+
+@register("sql_tpcds_q94", oracle=_SQL_TPCDS_Q94_R15)
+def sql_tpcds_q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q94's text shape — high-priority orders with a second-
+    supplier line and no returned lines: EXISTS + NOT EXISTS correlated
+    gates under count-DISTINCT and money sums (.../tpcds/q94.sql role-
+    mapped; the TPC-H Q21 cousin). Both gates plan as semi/anti joins
+    on the order key — co-partitioned with the driving join. Same text
+    is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q94_R15)
+
+
+# ---- r15 twin batch 4 (#55-62): same methodology -------------------
+_SQL_TPCDS_Q5_R15 = """
+WITH salesreturns AS (
+  SELECT 'store channel' AS channel,
+         concat('store', s_name) AS id,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS sales_price,
+         CAST(0 AS BIGINT) AS return_amt
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_returnflag <> 'R' AND l_linestatus = 'F'
+  UNION ALL
+  SELECT 'store channel' AS channel,
+         concat('store', s_name) AS id,
+         CAST(0 AS BIGINT) AS sales_price,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS return_amt
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+  UNION ALL
+  SELECT 'web channel' AS channel,
+         concat('web', s_name) AS id,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS sales_price,
+         CAST(0 AS BIGINT) AS return_amt
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_returnflag <> 'R' AND l_linestatus = 'O'
+  UNION ALL
+  SELECT 'web channel' AS channel,
+         concat('web', s_name) AS id,
+         CAST(0 AS BIGINT) AS sales_price,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS return_amt
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_returnflag = 'R' AND l_linestatus = 'O'
+)
+SELECT channel, id,
+       CAST(SUM(sales_price) AS DOUBLE) / 100 AS sales,
+       CAST(SUM(return_amt) AS DOUBLE) / 100 AS returns_amt
+FROM salesreturns
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel, id
+LIMIT 100
+"""
+
+@register("sql_tpcds_q5", oracle=_SQL_TPCDS_Q5_R15)
+def sql_tpcds_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q5's text shape — per-channel profit-and-loss: sales rows
+    and returns rows UNION ALLed with zero-filled opposite columns,
+    summed under ROLLUP (channel, id) (.../tpcds/q05.sql role-mapped:
+    the store/web channels -> linestatus slices, returns -> the 'R'
+    slice). Each branch scans pruned; the rollup aggregates once. Same
+    text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q5_R15)
+
+
+_SQL_TPCDS_Q13_R15 = """
+SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         / count(*) AS avg_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 / count(*) AS avg_price,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS DOUBLE) / 100 AS net_paid
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE ((c_mktsegment = 'BUILDING'
+        AND o_totalprice BETWEEN 1000.0 AND 100000.0
+        AND l_quantity BETWEEN 1 AND 20)
+       OR (c_mktsegment = 'AUTOMOBILE'
+           AND o_totalprice BETWEEN 50000.0 AND 150000.0
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (c_mktsegment = 'FURNITURE'
+           AND o_totalprice BETWEEN 100000.0 AND 250000.0
+           AND l_quantity BETWEEN 20 AND 40))
+"""
+
+@register("sql_tpcds_q13", oracle=_SQL_TPCDS_Q13_R15)
+def sql_tpcds_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q13's text shape — a single bundle of averages under an OR
+    of three (demographic x band) conjunctions (.../tpcds/q13.sql role-
+    mapped: marital/education bands -> market-segment x price x
+    quantity bands; averages replayed in exact integer cents). One pass
+    over the 3-table join, the disjunction fully pushed. Same text is
+    the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q13_R15)
+
+
+_SQL_TPCDS_Q27_R15 = """
+SELECT p_brand, n_name,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         / count(*) AS agg1,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 / count(*) AS agg2,
+       CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT))
+            AS DOUBLE) / 10000 / count(*) AS agg3
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE c_mktsegment = 'BUILDING'
+  AND year(CAST(o_orderdate AS DATE)) = 1999
+GROUP BY ROLLUP (p_brand, n_name)
+ORDER BY p_brand, n_name
+LIMIT 100
+"""
+
+@register("sql_tpcds_q27", oracle=_SQL_TPCDS_Q27_R15)
+def sql_tpcds_q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q27's text shape — multi-statistic averages over a ROLLUP
+    hierarchy with a fixed demographic filter (.../tpcds/q27.sql role-
+    mapped: gender/marital/education -> market segment, item/state
+    rollup -> brand/nation; averages in exact cents and basis points).
+    Five-table join, dimension sides broadcast, one rollup aggregate.
+    Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q27_R15)
+
+
+_SQL_TPCDS_Q54_R15 = """
+WITH my_customers AS (
+  SELECT DISTINCT c_custkey AS c_customer_sk
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND year(CAST(o_orderdate AS DATE)) = 1998
+),
+my_revenue AS (
+  SELECT c_customer_sk,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue
+  FROM my_customers
+  JOIN orders ON o_custkey = c_customer_sk
+  WHERE year(CAST(o_orderdate AS DATE)) = 1999
+  GROUP BY c_customer_sk
+),
+segments AS (
+  SELECT CAST((CAST(revenue AS DOUBLE) / 100 / 5000) AS INTEGER)
+           AS segment
+  FROM my_revenue
+)
+SELECT segment, count(*) AS num_customers,
+       segment * 5000 AS segment_base
+FROM segments
+GROUP BY segment
+ORDER BY segment, num_customers
+LIMIT 100
+"""
+
+@register("sql_tpcds_q54", oracle=_SQL_TPCDS_Q54_R15)
+def sql_tpcds_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q54's text shape — a cohort CTE (customers who bought the
+    category), their next-window revenue, bucketed into fixed-width
+    segments and counted (.../tpcds/q54.sql role-mapped; the segment
+    division exercises the r15 double-chain HALF_UP cast:
+    CAST(double/100/5000 AS INTEGER) rounds like the reference, not
+    Spark's truncation). Cohort semi-join then one small re-
+    aggregation. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q54_R15)
+
+
+_SQL_TPCDS_Q77_R15 = """
+WITH ss AS (
+  SELECT s_suppkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sales
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_returnflag <> 'R'
+  GROUP BY s_suppkey
+),
+sr AS (
+  SELECT s_suppkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS returns_amt
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_returnflag = 'R'
+  GROUP BY s_suppkey
+)
+SELECT channel, id,
+       CAST(SUM(sales) AS DOUBLE) / 100 AS sales,
+       CAST(SUM(returns_amt) AS DOUBLE) / 100 AS returns_amt
+FROM (SELECT 'store channel' AS channel, ss.s_suppkey AS id,
+             ss.sales, coalesce(sr.returns_amt, 0) AS returns_amt
+      FROM ss LEFT JOIN sr ON ss.s_suppkey = sr.s_suppkey
+      UNION ALL
+      SELECT 'catalog channel' AS channel, ss.s_suppkey AS id,
+             ss.sales, coalesce(sr.returns_amt, 0) AS returns_amt
+      FROM ss FULL OUTER JOIN sr ON ss.s_suppkey = sr.s_suppkey) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel, id
+LIMIT 100
+"""
+
+@register("sql_tpcds_q77", oracle=_SQL_TPCDS_Q77_R15)
+def sql_tpcds_q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q77's text shape — per-location sales and returns CTEs
+    combined channel-by-channel (LEFT and FULL OUTER JOIN variants) and
+    ROLLUPed (.../tpcds/q77.sql role-mapped: store/catalog ->
+    returnflag slices keyed by supplier). The location-keyed joins co-
+    partition; the rollup sees only per-location totals. Same text is
+    the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q77_R15)
+
+
+_SQL_TPCDS_Q80_R15 = """
+WITH ssr AS (
+  SELECT concat('store', s_name) AS store_id,
+         SUM(CAST(round(s.l_extendedprice * 100) AS BIGINT)) AS sales,
+         SUM(CAST(round(coalesce(r.l_extendedprice, 0) * 100)
+                  AS BIGINT)) AS returns_amt
+  FROM lineitem s
+  LEFT JOIN (SELECT l_orderkey, l_linenumber, l_extendedprice
+             FROM lineitem WHERE l_returnflag = 'R') r
+    ON s.l_orderkey = r.l_orderkey
+   AND s.l_linenumber = r.l_linenumber
+  JOIN supplier ON s.l_suppkey = s_suppkey
+  WHERE s.l_linestatus = 'F'
+  GROUP BY concat('store', s_name)
+),
+wsr AS (
+  SELECT concat('web', s_name) AS store_id,
+         SUM(CAST(round(s.l_extendedprice * 100) AS BIGINT)) AS sales,
+         SUM(CAST(round(coalesce(r.l_extendedprice, 0) * 100)
+                  AS BIGINT)) AS returns_amt
+  FROM lineitem s
+  LEFT JOIN (SELECT l_orderkey, l_linenumber, l_extendedprice
+             FROM lineitem WHERE l_returnflag = 'R') r
+    ON s.l_orderkey = r.l_orderkey
+   AND s.l_linenumber = r.l_linenumber
+  JOIN supplier ON s.l_suppkey = s_suppkey
+  WHERE s.l_linestatus = 'O'
+  GROUP BY concat('web', s_name)
+)
+SELECT channel, id,
+       CAST(SUM(sales) AS DOUBLE) / 100 AS sales,
+       CAST(SUM(returns_amt) AS DOUBLE) / 100 AS returns_amt
+FROM (SELECT 'store channel' AS channel, store_id AS id,
+             sales, returns_amt
+      FROM ssr
+      UNION ALL
+      SELECT 'web channel' AS channel, store_id AS id,
+             sales, returns_amt
+      FROM wsr) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel, id
+LIMIT 100
+"""
+
+@register("sql_tpcds_q80", oracle=_SQL_TPCDS_Q80_R15)
+def sql_tpcds_q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q80's text shape — per-store net sales with refunds stripped
+    via LEFT JOIN against the returns self-slice, two channels UNION
+    ALLed under ROLLUP (.../tpcds/q80.sql role-mapped like q40 plus the
+    q5 rollup skeleton). Self-left-joins co-partition on the order key.
+    Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q80_R15)
+
+
+_SQL_TPCDS_Q83_R15 = """
+WITH sr_items AS (
+  SELECT p_name AS item_id, SUM(l_quantity) AS sr_item_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+    AND year(CAST(l_shipdate AS DATE)) IN
+        (SELECT year(CAST(o_orderdate AS DATE)) FROM orders
+         WHERE o_orderpriority = '1-URGENT')
+  GROUP BY p_name
+),
+cr_items AS (
+  SELECT p_name AS item_id, SUM(l_quantity) AS cr_item_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_returnflag = 'R' AND l_linestatus = 'O'
+    AND year(CAST(l_shipdate AS DATE)) IN
+        (SELECT year(CAST(o_orderdate AS DATE)) FROM orders
+         WHERE o_orderpriority = '1-URGENT')
+  GROUP BY p_name
+),
+wr_items AS (
+  SELECT p_name AS item_id, SUM(l_quantity) AS wr_item_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_returnflag = 'A'
+    AND year(CAST(l_shipdate AS DATE)) IN
+        (SELECT year(CAST(o_orderdate AS DATE)) FROM orders
+         WHERE o_orderpriority = '1-URGENT')
+  GROUP BY p_name
+)
+SELECT sr_items.item_id,
+       sr_item_qty,
+       CAST(sr_item_qty AS DOUBLE)
+         / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0E0 * 100
+         AS sr_dev,
+       cr_item_qty,
+       CAST(cr_item_qty AS DOUBLE)
+         / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0E0 * 100
+         AS cr_dev,
+       wr_item_qty,
+       CAST(wr_item_qty AS DOUBLE)
+         / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0E0 * 100
+         AS wr_dev,
+       CAST(sr_item_qty + cr_item_qty + wr_item_qty AS DOUBLE)
+         / 3 AS average
+FROM sr_items
+JOIN cr_items ON sr_items.item_id = cr_items.item_id
+JOIN wr_items ON sr_items.item_id = wr_items.item_id
+ORDER BY sr_items.item_id, sr_item_qty
+LIMIT 100
+"""
+
+@register("sql_tpcds_q83", oracle=_SQL_TPCDS_Q83_R15)
+def sql_tpcds_q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q83's text shape — three return-quantity slices joined on
+    the item, each gated by a date IN-subquery, emitting per-channel
+    shares of the three-way total (.../tpcds/q83.sql role-mapped: the
+    three return channels -> returnflag/linestatus slices; d_week_seq
+    subquery -> an order-priority year subquery). The IN-subqueries
+    broadcast; the item joins are post-aggregate and tiny. Same text is
+    the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q83_R15)
+
+
+_SQL_TPCDS_Q85_R15 = """
+SELECT substring(o_orderpriority, 1, 20) AS prio,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS DOUBLE)
+         / count(*) AS avg_qty,
+       CAST(SUM(CAST(round(l.l_discount * 10000) AS BIGINT))
+            AS DOUBLE) / 10000 / count(*) AS avg_disc,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 / count(*) AS avg_price
+FROM lineitem l
+JOIN orders ON l.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l.l_returnflag = 'R'
+  AND ((c_mktsegment = 'BUILDING'
+        AND l.l_quantity BETWEEN 1 AND 20)
+       OR (c_mktsegment = 'AUTOMOBILE'
+           AND l.l_quantity BETWEEN 11 AND 30)
+       OR (c_mktsegment = 'MACHINERY'
+           AND l.l_quantity BETWEEN 21 AND 40))
+  AND ((c_acctbal BETWEEN 0 AND 3000
+        AND o_totalprice BETWEEN 1000 AND 150000)
+       OR (c_acctbal BETWEEN 3000 AND 7000
+           AND o_totalprice BETWEEN 50000 AND 250000)
+       OR (c_acctbal BETWEEN 7000 AND 10000
+           AND o_totalprice BETWEEN 100000 AND 400000))
+GROUP BY o_orderpriority
+ORDER BY prio
+LIMIT 100
+"""
+
+@register("sql_tpcds_q85", oracle=_SQL_TPCDS_Q85_R15)
+def sql_tpcds_q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q85's text shape — averages over a returns join gated by TWO
+    independent ORs of (demographic x band) conjunctions
+    (.../tpcds/q85.sql role-mapped: web_returns/reason -> 'R'
+    lineitems/order priority; averages in exact cents/basis points).
+    Both disjunctions push into the one join pass. Same text is the
+    oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q85_R15)

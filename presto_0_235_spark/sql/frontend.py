@@ -508,6 +508,117 @@ def _fold_decimal_literal_casts(masked: str, stash) -> str:
     return masked
 
 
+def _rewrite_orderby_aliased_grouping(masked: str) -> str:
+    """ORDER BY references to a grouping input column THROUGH its
+    select-list alias source (Presto scope rules,
+    AbstractTestQueries:965: `SELECT a AS foo ... GROUP BY GROUPING
+    SETS ((a), (a, b)) HAVING ... ORDER BY -a`): Spark's Sort over
+    Aggregate+Filter resolves only against the projected output, so
+    the bare `a` fails analysis. When the outermost select list maps
+    a bare identifier to an alias (`a AS foo`) and that identifier
+    is NOT itself an output name, substituting the alias in the
+    outer ORDER BY is value-preserving (the alias names the same
+    grouping expression). Fires only on single-SELECT statements
+    with a GROUP BY — the conservative extent of the reference pin.
+    """
+    up = masked.upper()
+    if up.count("SELECT") != 1 or "GROUP BY" not in up:
+        return masked
+    if not up.lstrip().startswith("SELECT"):
+        return masked
+    ob = re.search(r"\bORDER\s+BY\b", masked, re.IGNORECASE)
+    fr = re.search(r"\bFROM\b", masked, re.IGNORECASE)
+    if ob is None or fr is None:
+        return masked
+    sel_start = re.search(r"\bSELECT\b", masked, re.IGNORECASE).end()
+    items = _split_top_comma(masked[sel_start:fr.start()])
+    src_to_alias: dict[str, str] = {}
+    out_names = set()
+    for it in items:
+        m = re.fullmatch(r"\s*([A-Za-z_]\w*)\s+AS\s+([A-Za-z_]\w*)\s*",
+                         it, re.IGNORECASE)
+        if m:
+            src_to_alias[m.group(1).lower()] = m.group(2)
+            out_names.add(m.group(2).lower())
+        else:
+            am = re.search(r"\bAS\s+([A-Za-z_]\w*)\s*$", it,
+                           re.IGNORECASE)
+            if am:
+                out_names.add(am.group(1).lower())
+            elif re.fullmatch(r"\s*[A-Za-z_]\w*\s*", it):
+                out_names.add(it.strip().lower())
+    subs = {s: a for s, a in src_to_alias.items()
+            if s not in out_names}
+    if not subs:
+        return masked
+    head, tail = masked[:ob.end()], masked[ob.end():]
+    for s, a in subs.items():
+        tail = re.sub(rf"(?<![\w.\x00]){re.escape(s)}(?![\w.\x00(])",
+                      a, tail, flags=re.IGNORECASE)
+    return head + tail
+
+
+# A FROM-less single-expression scalar subquery `(SELECT <expr>)` is
+# exactly `(<expr>)` — one row, one value, outer references resolve
+# in the enclosing scope. The reference's analyzer decorrelates these
+# in EVERY expression position (AbstractTestQueries:6181
+# testCorrelatedScalarSubqueries: ORDER BY (SELECT 2*n.nationkey),
+# JOIN ... ON n1.k = (SELECT n2.k), grouped projections); Spark's
+# analyzer rejects correlated scalars in ORDER BY / JOIN-ON /
+# grouped-projection positions outright. Inlining the expression is
+# both the semantics and the fix (r15 xfail conversions). Declines:
+# any FROM/WHERE/GROUP/... clause, DISTINCT, top-level comma
+# (multi-column), any parenthesis in the body (a call could be an
+# aggregate, which aggregates THIS one-row scope, not the outer
+# query), and set-operation / EXISTS / quantifier positions.
+_SCALAR_SELECT_OPEN = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
+_FROMLESS_DECLINE_KW = re.compile(
+    r"\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|UNION|INTERSECT|"
+    r"EXCEPT|WINDOW|FETCH|OFFSET|DISTINCT|OVER)\b",
+    re.IGNORECASE,
+)
+_FROMLESS_POS_DECLINE = frozenset({
+    "EXISTS", "UNION", "INTERSECT", "EXCEPT", "ALL", "ANY", "SOME",
+    "FROM", "JOIN", "LATERAL", "TABLE", "AS",
+})
+
+
+def _inline_fromless_scalar_subqueries(masked: str) -> str:
+    out = masked
+    pos = 0
+    while True:
+        m = _SCALAR_SELECT_OPEN.search(out, pos)
+        if m is None:
+            return out
+        pos = m.start() + 1
+        prev = out[:m.start()].rstrip()
+        pw = re.search(r"([A-Za-z_]\w*)\s*$", prev)
+        if pw and pw.group(1).upper() in _FROMLESS_POS_DECLINE:
+            continue
+        try:
+            close = _balanced(out, m.start())
+        except ValueError:
+            continue
+        body = out[m.end():close - 1]
+        if len(_split_top_comma(body)) != 1:
+            continue  # multi-column scalar subquery: decline
+        # calls could be aggregates (which would aggregate THIS
+        # one-row scope, not the outer query) — allow only the
+        # cast wrappers the annotation pass introduces
+        called = [w.upper() for w in
+                  re.findall(r"([A-Za-z_]\w*)\s*\(", body)]
+        if any(w not in ("CAST", "TRY_CAST") for w in called):
+            continue
+        if _FROMLESS_DECLINE_KW.search(body):
+            continue
+        inner = body.strip()
+        if not inner:
+            continue
+        repl = f"({inner})"
+        out = out[:m.start()] + repl + out[close:]
+        pos = m.start() + len(repl)
+
+
 # Literal floating-point comparisons where Spark's comparison domain
 # diverges from the reference's IEEE/coercion rules (r15 xfail
 # conversions):
@@ -1766,6 +1877,42 @@ _D2I_DOUBLE_TAIL = re.compile(r"\bAS\s+(?:DOUBLE|FLOAT|REAL)\s*$",
 _D2I_SCI = re.compile(r"[+-]?\d+(?:\.\d+)?[eE][+-]?\d+")
 
 
+def _d2i_statically_double(inner: str) -> bool:
+    """True when the cast argument is statically DOUBLE/REAL-typed:
+    a CAST(... AS DOUBLE/FLOAT/REAL) form, a scientific literal, or
+    (r15) such a head followed by */ numeric-literal chain steps —
+    double arithmetic with a numeric literal stays double, so
+    CAST(CAST(x AS DOUBLE) / 100 / 5000 AS INTEGER) rounds
+    half-away-from-zero like the reference instead of keeping
+    Spark's truncation."""
+    s = inner.strip()
+    while True:
+        if s.startswith("("):
+            try:
+                if _balanced(s, 0) == len(s):
+                    s = s[1:-1].strip()
+                    continue
+            except ValueError:
+                return False
+        m = re.search(r"[/*]\s*[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?\s*$",
+                      s)
+        if m and s[:m.start()].strip():
+            s = s[:m.start()].strip()
+            continue
+        break
+    im = re.match(r"(TRY_CAST|CAST)\s*\(", s, re.IGNORECASE)
+    if im:
+        try:
+            o2 = s.index("(", im.end(1))
+            if _balanced(s, o2) == len(s) and \
+                    _D2I_DOUBLE_TAIL.search(s[o2 + 1:-1]):
+                return True
+        except ValueError:
+            pass
+        return False
+    return bool(_D2I_SCI.fullmatch(s))
+
+
 def _rewrite_double_to_integral_cast(masked: str) -> str:
     extents = _dca_try_extents(masked)
     out = masked
@@ -1785,19 +1932,7 @@ def _rewrite_double_to_integral_cast(masked: str) -> str:
         if tm is None:
             continue
         inner = body[:tm.start()].strip()
-        is_double = False
-        im = re.match(r"(TRY_CAST|CAST)\s*\(", inner, re.IGNORECASE)
-        if im:
-            try:
-                o2 = inner.index("(", im.end(1))
-                if _balanced(inner, o2) == len(inner) and \
-                        _D2I_DOUBLE_TAIL.search(inner[o2 + 1:-1]):
-                    is_double = True
-            except ValueError:
-                pass
-        elif _D2I_SCI.fullmatch(inner):
-            is_double = True
-        if not is_double:
+        if not _d2i_statically_double(inner):
             continue
         t = tm.group(1)
         outer = m.group(1).upper()
@@ -2966,6 +3101,119 @@ def _rewrite_row_ctor(sql: str) -> str:
     return _ROW_CTOR.sub("struct(", sql)
 
 
+def _row_field_names(args: list[str]) -> list[str]:
+    """Spark's field names for struct(args): a bare (possibly
+    qualified) column reference keeps its name; anything else gets
+    the positional colN name (complexTypeCreator CreateStruct)."""
+    names = []
+    for i, a in enumerate(args):
+        m = re.fullmatch(r"\s*([A-Za-z_][\w.]*)\s*", a)
+        if m:
+            names.append(m.group(1).split(".")[-1])
+        else:
+            names.append(f"col{i + 1}")
+    return names
+
+
+def _rewrite_row_column_subscripts(masked: str) -> str:
+    """Ordinal subscripts on row-typed COLUMNS whose row arity/field
+    names are statically visible (r15 — converts two of the
+    testRowSubscript xfails, AbstractTestQueries.java:318):
+
+      (VALUES (ROW (ROW (1,'a',true)))) AS v(r)  ->  r[2] = r.col2
+      (SELECT ROW (name, regionkey) FROM ...) t(r) -> r[2] = r.regionkey
+
+    Both engines agree the outer constructor is the VALUES/SELECT
+    row and the inner one is the single column's value; Spark just
+    has no positional struct access. ROW has already lowered to
+    struct( by this point. Lambda-bound row variables and
+    catalog-typed row columns stay element_at (documented scope)."""
+    out = masked
+    for m in re.finditer(
+        r"\(\s*(?:VALUES|SELECT)\b", out, re.IGNORECASE
+    ):
+        try:
+            close = _balanced(out, m.start())
+        except ValueError:
+            continue
+        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)\s*"
+                      r"\(\s*([A-Za-z_]\w*)\s*\)",
+                      out[close:], re.IGNORECASE)
+        if am is None:
+            continue
+        alias, col = am.group(1), am.group(2)
+        if alias.upper() in _ANNOT_CLAUSE_KW:
+            continue
+        body = out[m.start() + 1:close - 1].strip()
+        fields: list[str] | None = None
+        if body.upper().startswith("VALUES"):
+            rows = _split_top_comma(body[6:])
+            cand: list[str] | None = None
+            ok = True
+            for r in rows:
+                r = r.strip()
+                if r.startswith("(") and r.endswith(")"):
+                    try:
+                        if _balanced(r, 0) != len(r):
+                            ok = False
+                            break
+                    except ValueError:
+                        ok = False
+                        break
+                    r = r[1:-1].strip()
+                # the row constructor: struct( <single cell> )
+                sm = re.match(r"struct\s*\(", r, re.IGNORECASE)
+                if sm is None or _balanced(r, sm.end() - 1) != len(r):
+                    ok = False
+                    break
+                cell = r[sm.end():-1].strip()
+                cm = re.match(r"struct\s*\(", cell, re.IGNORECASE)
+                if cm is None or _balanced(cell, cm.end() - 1) != \
+                        len(cell):
+                    ok = False
+                    break
+                names = _row_field_names(
+                    _split_top_comma(cell[cm.end():-1]))
+                if cand is None:
+                    cand = names
+                elif len(cand) != len(names):
+                    ok = False
+                    break
+            if ok and cand:
+                # literal rows: positional names only (Spark keeps
+                # source names for column refs, but VALUES cells are
+                # literals -> colN either way)
+                fields = cand
+        else:
+            bm = re.match(r"SELECT\s+(struct\s*\()", body,
+                          re.IGNORECASE)
+            if bm:
+                open_i = bm.end() - 1
+                try:
+                    past = _balanced(body, open_i)
+                except ValueError:
+                    past = None
+                if past is not None and re.match(
+                    r"\s*FROM\b", body[past:], re.IGNORECASE
+                ):
+                    fields = _row_field_names(
+                        _split_top_comma(body[open_i + 1:past - 1]))
+        if not fields:
+            continue
+
+        def sub(mm: re.Match) -> str:
+            n = int(mm.group(2))
+            if not 1 <= n <= len(fields):
+                return mm.group(0)
+            return f"{mm.group(1)}.{fields[n - 1]}"
+
+        out = re.sub(
+            rf"(?<![\w.\x00])((?:{re.escape(alias)}\.)?"
+            rf"{re.escape(col)})\s*\[\s*(\d+)\s*\]",
+            sub, out)
+    return out
+
+
 # Ordinal subscript on ROW values (AbstractTestQueries.java:318
 # testRowSubscript): Presto's r[2] works on rows; Spark has no
 # positional struct access. The two syntactically-resolvable shapes
@@ -3241,25 +3489,37 @@ def _subscript_index(base: str, idx: str, stash) -> str:
 _STRLIT_PH = re.compile(r"^\s*\x00s\d+\x00\s*$")
 
 
+_MAP_CTOR_BASE = re.compile(
+    r"\s*(?:map|map_from_arrays|map_from_entries|map_concat|"
+    r"map_filter|transform_keys|transform_values)\s*\(",
+    re.IGNORECASE,
+)
+
+
 def _subscript_expr(base: str, idx: str, stash) -> str:
     """The full lowering of a Presto subscript base[idx]."""
-    if _STRLIT_PH.match(idx):
+    if _STRLIT_PH.match(idx) or _MAP_CTOR_BASE.match(base):
         # a STRING-literal key statically implies a MAP base (a
-        # string can never index an array in either engine), so the
-        # reference's missing-key raise is expressible here:
-        # MapSubscriptOperator with legacyMissingKey=false (the
-        # 0.235 default) raises 'Key not present in map: <key>'
-        # where Spark's element_at/native subscript return NULL
-        # (r13 leniency conversion for the literal-key form; runtime
-        # keys keep the documented leniency — no analysis-safe
+        # string can never index an array in either engine), and a
+        # map-constructor base IS a map syntactically (r15 extension
+        # — converts the numeric-literal-key xfail for constructor
+        # bases), so the reference's missing-key raise is
+        # expressible: MapSubscriptOperator with
+        # legacyMissingKey=false (the 0.235 default) raises 'Key not
+        # present in map: <key>' where Spark's element_at/native
+        # subscript return NULL (r13 leniency conversion for the
+        # literal-key form; runtime keys over non-constructor bases
+        # keep the documented leniency — no analysis-safe
         # map-vs-array probe exists for them).
         from presto_0_235_spark.sql.scalar_templates import _stash_lit
 
         prefix = _stash_lit(stash, "Key not present in map: ")
+        idx_str = (idx if _STRLIT_PH.match(idx)
+                   else f"CAST(({idx}) AS STRING)")
         guard = (
             f"assert_true(({base}) IS NULL OR "
             f"map_contains_key({base}, {idx}), "
-            f"concat({prefix}, {idx}))"
+            f"concat({prefix}, {idx_str}))"
         )
         return (f"element_at(IF(isnull({guard}), {base}, NULL), "
                 f"{idx})")
@@ -4637,6 +4897,8 @@ def presto_to_spark_sql(sql: str) -> str:
         r"\bDOUBLE\s+PRECISION\b", "DOUBLE", masked, flags=re.IGNORECASE
     )
     masked = _rewrite_order_by_window(masked)
+    masked = _inline_fromless_scalar_subqueries(masked)
+    masked = _rewrite_orderby_aliased_grouping(masked)
     masked = _fold_decimal_literal_arith(masked, stash)
     masked = _rewrite_in_list_div0(masked, stash)
     masked = _fold_int_literal_div(masked, stash)
@@ -4671,6 +4933,7 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = rewrite_scalar_templates(masked, stash)
     masked = _rewrite_json_cast_peephole(masked, stash)
     masked = _rewrite_window_shims(masked, stash)
+    masked = _rewrite_row_column_subscripts(masked)
     masked = _rewrite_subscripts(masked, stash)
     masked = _rewrite_call_templates(masked)
     masked = _rewrite_function_names(masked)

@@ -133,6 +133,7 @@ _TEMPLATE_NAMES = (
     "regexp_extract",
     "regexp_extract_all",
     "regexp_replace",
+    "regexp_split",
     "array_min",
     "array_max",
     "element_at",
@@ -954,6 +955,27 @@ def _rewrite_one(
                         f"{_stash_lit(stash, new_rep)})")
         return None
 
+    if name == "regexp_split" and len(args) == 2:
+        # literal-arg fold (r15): Java's Pattern.split (what the
+        # reference's regexp_split wraps) KEEPS leading/interior
+        # empties and — through Presto's explicit -1 limit — trailing
+        # ones too; the zero-width empty-pattern split yields
+        # ['', 'a', ..., ''] (AbstractTestRegexpFunctions:231) where
+        # Spark's split drops the edge empties. Python re.split
+        # replays the reference exactly for literal args.
+        lit_s = _lit_of(args[0], stash)
+        lit_p = _lit_of(args[1], stash)
+        if lit_s is not None and lit_p is not None:
+            try:
+                parts = re.split(lit_p, lit_s)
+                # Spark-native array(): the Presto ARRAY[...] lowering
+                # pass has already run by template time
+                return ("array(" + ", ".join(
+                    _stash_lit(stash, x) for x in parts) + ")")
+            except re.error:
+                pass
+        return None  # column args: the rename pass maps to split()
+
     if name == "regexp_extract_all" and len(a) == 2:
         # Spark's 2-arg default is group 1 (errors on group-less
         # patterns); Presto's is the full match (group 0). No-match
@@ -961,6 +983,29 @@ def _rewrite_one(
         return f"regexp_extract_all({a[0]}, {a[1]}, 0)"
 
     if name == "regexp_extract" and len(a) in (2, 3):
+        # literal-arg fold (r15): replay the reference's Joni
+        # semantics in Python re — a MATCHED pattern whose requested
+        # group did not participate returns NULL in the reference
+        # (AbstractTestRegexpFunctions:199) where Spark returns ''
+        # (indistinguishable from a matched-empty group post-hoc).
+        # Python re declines Joni-only syntax at compile time, which
+        # keeps the fold conservative.
+        lit_s = _lit_of(args[0], stash)
+        lit_p = _lit_of(args[1], stash)
+        g_txt = args[2].strip() if len(args) == 3 else "0"
+        if lit_s is not None and lit_p is not None \
+                and re.fullmatch(r"\d+", g_txt):
+            try:
+                pat = re.compile(lit_p)
+                gi = int(g_txt)
+                if gi <= pat.groups:
+                    m = pat.search(lit_s)
+                    if m is None or m.group(gi) is None:
+                        return "CAST(NULL AS STRING)"
+                    return _stash_lit(stash, m.group(gi))
+                # group out of range: keep the runtime raise path
+            except re.error:
+                pass
         s, p = a[0], a[1]
         g = a[2] if len(a) == 3 else "0"
         return (

@@ -3,12 +3,13 @@ assertInvalidFunction expressions from the reference's type/ and
 operator/scalar test suites: each expression below RAISES in the
 reference, and this suite pins that it raises through the SQL front
 door too (the reference's own pattern: error TEXT differs by engine,
-the contract is errors-not-wrong-values). 431 pins (281 from
+the contract is errors-not-wrong-values). 433 pins (281 from
 the r11 extraction + 32 r12 leniency conversions + 18 r14
-conversions + 11 r15: 5 typed-literal NaN/Infinity->DECIMAL
+conversions + 13 r15: 5 typed-literal NaN/Infinity->DECIMAL
 spellings, 3 regex '$'-replacement forms (raise natively in
-Spark 4), the int->TIMESTAMP literal casts, and the ambiguous
-array-concat shape — empty split_to_map/multimap delimiters raise BEFORE
+Spark 4), the int->TIMESTAMP literal casts, the ambiguous
+array-concat shape, and 2 constructor-base numeric-key map
+subscripts — empty split_to_map/multimap delimiters raise BEFORE
 scanning, constant IN lists evaluate their division-by-zero items
 like the reference, COLUMN-typed DATE +/- sub-day intervals
 raise via the runtime typeof() guard, and the TEN null-touching
@@ -606,6 +607,15 @@ CASES = [
     # undecidable; frontend._raise_ambiguous_array_concat)
     ('type/TestArrayOperators.java', 448,
      'ARRAY [ARRAY [1]] || ARRAY [NULL]'),
+    # (d) numeric-key map subscript over a CONSTRUCTOR base: the
+    # 0.235 default raises (MapSubscriptOperator
+    # legacyMissingKey=false — TestLegacyMapSubscript.java:33 only
+    # returns NULL because that file SETS legacy_map_subscript);
+    # frontend._subscript_expr _MAP_CTOR_BASE
+    ('operator/scalar/MapSubscriptOperator.java', 112,
+     "map(ARRAY[1,2], ARRAY['a','b'])[9]"),
+    ('operator/scalar/MapSubscriptOperator.java', 112,
+     'MAP(ARRAY [1], ARRAY [1.5E0])[2]'),
 ]
 
 

@@ -55,13 +55,6 @@ def _err(name, expr, cite, match=None, marks=()):
     return pytest.param(expr, cite, match, id=name, marks=marks)
 
 
-_XFAIL_GROUP_NULL = pytest.mark.xfail(
-    reason="Spark regexp_extract returns '' for a matched regex whose "
-    "group did not participate; Presto returns NULL — not "
-    "recoverable post-hoc (documented in sql/scalar_templates.py)",
-    strict=True,
-)
-
 VALUE_CASES = [
     # ---- strings: chr / codepoint (StringFunctions.java chr) -------------
     _case("chr_ascii", "CHR(65)", "A", f"{S}:80"),
@@ -261,11 +254,6 @@ _DT = "TIMESTAMP '2001-01-09 13:04:05.321'"  # testDateFormat's dateTimeLiteral
 # (r13: the named-group xfail converted to a PASS — the
 # regexp_replace template rewrites literal ${name} references to
 # their $N group numbers at translate time, scalar_templates.py)
-_XFAIL_EMPTY_SPLIT_EDGES = pytest.mark.xfail(
-    reason="Java String.split drops the leading and trailing empty "
-    "fields a zero-width pattern produces; Presto/Joni keeps both",
-    strict=True,
-)
 
 VALUE_CASES += [
     # ---- field extraction (testDayOfWeek..testYearOfWeek, :277-339) ------
@@ -395,7 +383,9 @@ VALUE_CASES += [
         "regexp_extract('rat cat\nbat dog', 'ra(.)|blah(.)(.)', 2)",
         None,
         f"{R}:199",
-        marks=_XFAIL_GROUP_NULL,
+        # xfail converted in r15: literal-arg regexp_extract folds
+        # through Python re, restoring the reference's NULL for a
+        # matched pattern whose group did not participate
     ),
     _case("re_extract_all", "regexp_extract_all('rat cat\nbat dog', '.at')", ["rat", "cat", "bat"], f"{R}:210"),
     _case("re_extract_all_g1", "regexp_extract_all('rat cat\nbat dog', '(.)at', 1)", ["r", "c", "b"], f"{R}:211"),
@@ -412,7 +402,8 @@ VALUE_CASES += [
         "regexp_split('abcd', '')",
         ["", "a", "b", "c", "d", ""],
         f"{R}:231",
-        marks=_XFAIL_EMPTY_SPLIT_EDGES,
+        # xfail converted in r15: literal-arg regexp_split folds
+        # through Python re.split, keeping the edge empties
     ),
 ]
 
@@ -1237,19 +1228,14 @@ VALUE_CASES += [
 ]
 
 ERROR_CASES3 = [
+    # xfail converted in r15: a map-CONSTRUCTOR base is statically a
+    # map, so the missing-key guard (the r13 string-literal-key
+    # machinery) now fires for numeric keys too
+    # (frontend._subscript_expr _MAP_CTOR_BASE); column-typed map
+    # bases with runtime keys keep the documented leniency
     _err("map_subscript_missing_raises", "map(ARRAY[1,2], ARRAY['a','b'])[9]",
          "MapSubscriptOperator.java (0.235 default raises 'Key not "
-         "present in map'; legacyMapSubscript=false)",
-         marks=(pytest.mark.xfail(
-             reason="engine divergence: the subscript lowering is "
-             "element_at (1-based raising for ARRAYS, matching "
-             "Presto), but Spark's element_at on MAPS returns NULL "
-             "for a missing key — Presto's legacy_map_subscript "
-             "behavior rather than the 0.235 default raise. A "
-             "type-blind textual rewrite cannot pick the raising "
-             "native m[k] for maps without breaking 1-based array "
-             "subscripts.",
-             strict=True),)),
+         "present in map'; legacyMapSubscript=false)"),
 ]
 
 ERROR_CASES2 = [

@@ -1069,16 +1069,12 @@ CORPUS: list[Case] = [
       "(SELECT 2 * n.nationkey)", f"{_ATQ}:6181"),
     C("correlated_order_by",
       "SELECT nationkey FROM nation n ORDER BY "
-      "(SELECT 2 * n.nationkey)", f"{_ATQ}:6181",
+      "(SELECT 2 * n.nationkey)",
+      f"{_ATQ}:6181 (xfail converted in r15: a FROM-less "
+      "single-expression scalar subquery inlines to its expression — "
+      "frontend._inline_fromless_scalar_subqueries)",
       duck="SELECT nationkey FROM nation ORDER BY nationkey",
-      ordered=True,
-      marks=(pytest.mark.xfail(
-          strict=True,
-          reason="Spark restricts correlated scalar subqueries to "
-                 "filters/aggregations/projections — ORDER BY is not "
-                 "a supported position (Presto decorrelates it). "
-                 "Engine-level analyzer restriction.",
-      ),)),
+      ordered=True),
     C("correlated_scalar_agg_in_where",
       "SELECT c.custkey FROM customer c WHERE c.acctbal < "
       "(SELECT avg(acctbal) FROM customer)",
@@ -1439,25 +1435,19 @@ CORPUS: list[Case] = [
       duck="SELECT 'a'"),
     C("row_subscript_values",
       "SELECT r[2] FROM (VALUES (ROW (ROW (1, 'a', true)))) AS v(r)",
-      f"{_ATQ}:318 testRowSubscript",
-      duck="SELECT 'a'",
-      marks=(pytest.mark.xfail(
-          strict=True,
-          reason="ordinal subscript on a row-typed column is not statically "
-                  "distinguishable from an array subscript at the string-rewrite "
-                  "level (needs type info); stays element_at",
-      ),)),
+      f"{_ATQ}:318 testRowSubscript (xfail converted in r15: the "
+      "VALUES-cell row arity is statically visible, so the ordinal "
+      "becomes positional field access — "
+      "frontend._rewrite_row_column_subscripts)",
+      duck="SELECT 'a'"),
     C("row_subscript_table",
       "SELECT r[1], r[2] FROM (SELECT ROW (name, regionkey) FROM "
       "nation ORDER BY name LIMIT 1) t(r)",
-      f"{_ATQ}:318 testRowSubscript",
-      duck="SELECT name, regionkey FROM nation ORDER BY name LIMIT 1",
-      marks=(pytest.mark.xfail(
-          strict=True,
-          reason="ordinal subscript on a row-typed column is not statically "
-                  "distinguishable from an array subscript at the string-rewrite "
-                  "level (needs type info); stays element_at",
-      ),)),
+      f"{_ATQ}:318 testRowSubscript (xfail converted in r15: a "
+      "derived table whose single select item is a ROW constructor "
+      "exposes its field names statically — "
+      "frontend._rewrite_row_column_subscripts)",
+      duck="SELECT name, regionkey FROM nation ORDER BY name LIMIT 1"),
     C("row_subscript_named_cast",
       "SELECT (CAST (ROW (1, 'a', 2 ) AS ROW (field1 bigint, field2 "
       "varchar(1), field3 bigint)))[2]",
@@ -1821,14 +1811,12 @@ CORPUS: list[Case] = [
     C("orderby_grouping_sets_having",
       "SELECT a AS foo FROM (values (1,2),(3,2)) t(a,b) GROUP BY "
       "GROUPING SETS ((a), (a, b)) HAVING b IS NOT NULL ORDER BY -a",
-      f"{_ATQ}:965 testOrderByWithOutputColumnReference",
-      duck="SELECT * FROM (VALUES (3), (1))",
-      marks=(pytest.mark.xfail(
-          strict=True,
-          reason="Spark does not resolve a grouping input column through its "
-                  "select-list alias under GROUPING SETS + HAVING (Presto's "
-                  "scope rules do); analyzer-level divergence",
-      ),)),
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference (xfail "
+      "converted in r15: the outer ORDER BY substitutes the "
+      "select-list alias for its bare-identifier source on grouped "
+      "single-SELECT statements — "
+      "frontend._rewrite_orderby_aliased_grouping)",
+      duck="SELECT * FROM (VALUES (3), (1))"),
     C("orderby_global_agg",
       "SELECT max(a) FROM (values (1,2),(3,2)) t(a,b) ORDER BY "
       "max(-a)",
@@ -2472,37 +2460,19 @@ CORPUS: list[Case] = [
       "SELECT nationkey FROM nation n ORDER BY (SELECT 2 * "
       "n.nationkey)",
       f"{_ATQ}:6181 testCorrelatedScalarSubqueries",
-      duck="SELECT nationkey FROM nation ORDER BY nationkey",
-      marks=(pytest.mark.xfail(
-          strict=True,
-          reason="Spark's analyzer restricts correlated scalar subqueries to "
-                  "WHERE/SELECT positions; Presto decorrelates this position "
-                  "too. Engine-level divergence",
-      ),)),
+      duck="SELECT nationkey FROM nation ORDER BY nationkey"),
     C("corr_scalar_group_proj",
       "SELECT max(n.regionkey), 2 * n.nationkey, (SELECT "
       "n.nationkey) FROM nation n GROUP BY n.nationkey",
       f"{_ATQ}:6181 testCorrelatedScalarSubqueries",
       duck="SELECT max(regionkey), 2 * nationkey, nationkey FROM nation "
-           "GROUP BY nationkey",
-      marks=(pytest.mark.xfail(
-          strict=True,
-          reason="Spark's analyzer restricts correlated scalar subqueries to "
-                  "WHERE/SELECT positions; Presto decorrelates this position "
-                  "too. Engine-level divergence",
-      ),)),
+           "GROUP BY nationkey"),
     C("corr_scalar_join_clause",
       "SELECT * FROM nation n1 JOIN nation n2 ON n1.nationkey = "
       "(SELECT n2.nationkey)",
       f"{_ATQ}:6181 testCorrelatedScalarSubqueries",
       duck="SELECT * FROM nation n1 JOIN nation n2 ON n1.nationkey = "
-           "n2.nationkey",
-      marks=(pytest.mark.xfail(
-          strict=True,
-          reason="Spark's analyzer restricts correlated scalar subqueries to "
-                  "WHERE/SELECT positions; Presto decorrelates this position "
-                  "too. Engine-level divergence",
-      ),)),
+           "n2.nationkey"),
     C("corr_guarded_null",
       "SELECT (SELECT 1 WHERE a = 2) FROM (VALUES 1) t(a)",
       f"{_ATQ}:6215 testCorrelatedNonAggregationScalarSubqueries",
