@@ -4609,3 +4609,1201 @@ def sql_tpcds_q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     register_views(spark, sf_dir)
     return run_sql(spark, _SQL_TPCDS_Q85_R15)
+
+
+# ---- r15 twin batch 5 (#63-69): same methodology -------------------
+_SQL_TPCDS_Q14_R15 = """
+WITH cross_items AS (
+  SELECT p_partkey AS ss_item_sk
+  FROM part
+  JOIN (SELECT l_partkey AS item_sk FROM lineitem
+        WHERE l_linestatus = 'F'
+        INTERSECT
+        SELECT l_partkey AS item_sk FROM lineitem
+        WHERE l_linestatus = 'O' AND l_returnflag = 'N'
+        INTERSECT
+        SELECT l_partkey AS item_sk FROM lineitem
+        WHERE l_linestatus = 'O' AND l_returnflag = 'R') x
+    ON item_sk = p_partkey
+),
+avg_sales AS (
+  SELECT CAST(SUM(cents) AS DOUBLE) / 100 / count(*) AS average_sales
+  FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem WHERE l_linestatus = 'F'
+        UNION ALL
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem WHERE l_linestatus = 'O') v
+)
+SELECT p_brand,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 AS sales,
+       count(*) AS number_sales
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_partkey IN (SELECT ss_item_sk FROM cross_items)
+  AND l_linestatus = 'F'
+  AND year(CAST(l_shipdate AS DATE)) = 1999
+GROUP BY p_brand
+HAVING CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 > (SELECT average_sales FROM avg_sales)
+ORDER BY p_brand, sales
+LIMIT 100
+"""
+
+@register("sql_tpcds_q14", oracle=_SQL_TPCDS_Q14_R15)
+def sql_tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q14's text shape — the INTERSECT-driven cross-channel item
+    set (items sold in ALL three channels) gating per-channel brand
+    sums against a CTE average computed from the UNION of every channel
+    (.../tpcds/q14.sql role-mapped: the three channels ->
+    linestatus/returnflag slices). The INTERSECTs plan as co-
+    partitioned semi-joins; the average is a one-row broadcast. Same
+    text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q14_R15)
+
+
+_SQL_TPCDS_Q24_R15 = """
+WITH ssales AS (
+  SELECT c_name, s_name, p_brand,
+         SUM(CAST(round(s.l_extendedprice * 100) AS BIGINT))
+           AS netpaid
+  FROM lineitem s
+  JOIN lineitem r ON s.l_orderkey = r.l_orderkey
+                 AND s.l_linenumber = r.l_linenumber
+                 AND r.l_returnflag = 'R'
+  JOIN orders o ON s.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier su ON s.l_suppkey = su.s_suppkey
+  JOIN part p ON s.l_partkey = p.p_partkey
+  GROUP BY c_name, s_name, p_brand
+)
+SELECT c_name, s_name,
+       CAST(SUM(netpaid) AS DOUBLE) / 100 AS paid
+FROM ssales
+WHERE p_brand = 'Brand#1'
+GROUP BY c_name, s_name
+HAVING CAST(SUM(netpaid) AS DOUBLE)
+         > (SELECT 0.05E0 * avg(CAST(netpaid AS DOUBLE))
+            FROM ssales)
+ORDER BY c_name, s_name
+LIMIT 100
+"""
+
+@register("sql_tpcds_q24", oracle=_SQL_TPCDS_Q24_R15)
+def sql_tpcds_q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q24's text shape — net paid on returned sales grouped over a
+    five-way dimension join, re-aggregated with an uncorrelated
+    0.05x-average HAVING gate over the SAME CTE (.../tpcds/q24.sql
+    role-mapped: store_returns -> the 'R' self-slice joined on
+    order+line, i_color -> p_brand). The CTE materializes once for both
+    consumers. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q24_R15)
+
+
+_SQL_TPCDS_Q25_R15 = """
+SELECT p_brand, s_name,
+       max(ss.l_quantity) AS store_sales_quantity,
+       max(sr.l_quantity) AS store_returns_quantity,
+       max(cs.l_quantity) AS catalog_sales_quantity
+FROM lineitem ss
+JOIN lineitem sr ON ss.l_orderkey = sr.l_orderkey
+                AND ss.l_partkey = sr.l_partkey
+                AND ss.l_linenumber <> sr.l_linenumber
+                AND sr.l_returnflag = 'R'
+JOIN orders o1 ON ss.l_orderkey = o1.o_orderkey
+JOIN orders o2 ON o1.o_custkey = o2.o_custkey
+              AND o2.o_orderkey <> o1.o_orderkey
+JOIN lineitem cs ON cs.l_orderkey = o2.o_orderkey
+                AND cs.l_suppkey = ss.l_suppkey
+JOIN supplier ON ss.l_suppkey = s_suppkey
+JOIN part ON ss.l_partkey = p_partkey
+WHERE ss.l_returnflag <> 'R'
+  AND year(CAST(o1.o_orderdate AS DATE)) BETWEEN 1996 AND 1999
+  AND year(CAST(o2.o_orderdate AS DATE)) BETWEEN 1996 AND 1999
+GROUP BY p_brand, s_name
+ORDER BY p_brand, s_name
+LIMIT 100
+"""
+
+@register("sql_tpcds_q25", oracle=_SQL_TPCDS_Q25_R15)
+def sql_tpcds_q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q25's text shape — sale, same-order return, and later same-
+    supplier repurchase roles joined across two orders of one customer,
+    max-statistics per (brand, store) (.../tpcds/q25.sql role-mapped;
+    the repurchase edge keys on the supplier since fixture-scale same-
+    part repurchases are empty). Facts co-partition on the order key;
+    the customer bridge is the one reshuffle. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q25_R15)
+
+
+_SQL_TPCDS_Q46_R15 = """
+SELECT c_name, c_custkey, o_orderkey, amt
+FROM (SELECT o_orderkey, o_custkey,
+             s_nationkey AS ship_nation,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100 AS amt
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND year(CAST(o_orderdate AS DATE)) = 1999
+      GROUP BY o_orderkey, o_custkey, s_nationkey) dn
+JOIN customer ON o_custkey = c_custkey
+WHERE c_nationkey <> ship_nation
+ORDER BY c_name, c_custkey, o_orderkey, amt
+LIMIT 100
+"""
+
+@register("sql_tpcds_q46", oracle=_SQL_TPCDS_Q46_R15)
+def sql_tpcds_q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q46's text shape — orders whose transaction geography
+    differs from the customer's CURRENT one: an order-grain aggregate
+    subquery joined to the customer dimension with an inequality on the
+    two geography keys (.../tpcds/q46.sql role-mapped: bought/current
+    city -> supplier/customer nation; q68 shares the skeleton). Same
+    text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q46_R15)
+
+
+_SQL_TPCDS_Q64_R15 = """
+WITH cs_ui AS (
+  SELECT l_orderkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sale,
+         SUM(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                  ELSE 0 END) AS refund
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) >
+         2 * SUM(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END)
+),
+cross_sales AS (
+  SELECT p_name AS product_name, p_partkey AS item_sk,
+         year(CAST(o_orderdate AS DATE)) AS syear,
+         count(*) AS cnt,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s1
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_orderkey IN (SELECT l_orderkey FROM cs_ui)
+    AND p_retailprice BETWEEN 900 AND 1100
+  GROUP BY p_name, p_partkey, year(CAST(o_orderdate AS DATE))
+)
+SELECT cs1.product_name, cs1.cnt AS cnt1, cs2.cnt AS cnt2,
+       CAST(cs1.s1 AS DOUBLE) / 100 AS s1,
+       CAST(cs2.s1 AS DOUBLE) / 100 AS s2
+FROM cross_sales cs1, cross_sales cs2
+WHERE cs1.item_sk = cs2.item_sk
+  AND cs1.syear = 1998 AND cs2.syear = 1999
+  AND cs2.cnt <= cs1.cnt
+ORDER BY cs1.product_name, cs1.cnt, cs2.s1
+LIMIT 100
+"""
+
+@register("sql_tpcds_q64", oracle=_SQL_TPCDS_Q64_R15)
+def sql_tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q64's text shape (core skeleton) — a gated order cohort CTE
+    (sale > 2x refund), per-(item, year) purchase stats over it,
+    consumed TWICE a year apart with the cnt2 <= cnt1 join predicate
+    (.../tpcds/q64.sql role-mapped and reduced to its load-bearing
+    joins; the original's twelve-dimension chain adds lookups, not plan
+    shape). The cohort IN-gate plans as a semi-join on the order key.
+    Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q64_R15)
+
+
+_SQL_TPCDS_Q76_R15 = """
+SELECT channel, col_name, dyear, count(*) AS sales_cnt,
+       CAST(SUM(cents) AS DOUBLE) / 100 AS sales_amt
+FROM (SELECT 'store' AS channel, 'discount' AS col_name,
+             year(CAST(l_shipdate AS DATE)) AS dyear,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+      WHERE l_linestatus = 'F' AND NULLIF(l_discount, 0) IS NULL
+      UNION ALL
+      SELECT 'web' AS channel, 'tax' AS col_name,
+             year(CAST(l_shipdate AS DATE)) AS dyear,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+      WHERE l_linestatus = 'O' AND NULLIF(l_tax, 0) IS NULL
+      UNION ALL
+      SELECT 'catalog' AS channel, 'quantity' AS col_name,
+             year(CAST(l_shipdate AS DATE)) AS dyear,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+      WHERE l_returnflag = 'R' AND NULLIF(l_quantity, 1) IS NULL) fc
+GROUP BY channel, col_name, dyear
+ORDER BY channel, col_name, dyear
+LIMIT 100
+"""
+
+@register("sql_tpcds_q76", oracle=_SQL_TPCDS_Q76_R15)
+def sql_tpcds_q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q76's text shape — per-channel counts and sums of rows whose
+    key attribute IS NULL, three channels UNION ALLed then re-grouped
+    (.../tpcds/q76.sql role-mapped; the fixtures carry no natural
+    NULLs, so NULLIF manufactures the null-attribute rows without
+    changing the shape). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q76_R15)
+
+
+_SQL_TPCDS_Q84_R15 = """
+SELECT c_custkey AS customer_id,
+       concat(c_name, ', ', n_name) AS customername
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_acctbal BETWEEN 1000 AND 6000
+  AND r_name = 'ASIA'
+ORDER BY c_custkey
+LIMIT 100
+"""
+
+@register("sql_tpcds_q84", oracle=_SQL_TPCDS_Q84_R15)
+def sql_tpcds_q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q84's text shape — a pure dimension-chain customer lookup
+    (customer -> nation -> region) with an account-band filter and
+    concat'd display name (.../tpcds/q84.sql role-mapped: income band
+    -> account-balance band). All broadcast joins; the band filter
+    pushes to the scan. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q84_R15)
+
+
+# ---- r15 twin batch 6 (#70-84): same methodology -------------------
+_SQL_TPCDS_Q6_R15 = """
+SELECT n_name AS state, count(*) AS cnt
+FROM customer c
+JOIN nation ON c_nationkey = n_nationkey
+JOIN orders o ON o_custkey = c_custkey
+JOIN lineitem l ON l_orderkey = o_orderkey
+JOIN part i ON l_partkey = i.p_partkey
+WHERE year(CAST(o_orderdate AS DATE)) = 1999
+  AND i.p_retailprice > 1.05E0 * (SELECT avg(j.p_retailprice)
+                                 FROM part j
+                                 WHERE j.p_type = i.p_type)
+GROUP BY n_name
+HAVING count(*) >= 10
+ORDER BY cnt, n_name
+LIMIT 100
+"""
+
+@register("sql_tpcds_q6", oracle=_SQL_TPCDS_Q6_R15)
+def sql_tpcds_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q6's text shape — geographies whose customers bought items
+    priced above their category average (correlated scalar AVG over the
+    item dimension) with a HAVING count floor (.../tpcds/q06.sql role-
+    mapped: state -> nation, the 1.2x ratio eased to 1.05x so the
+    fixture-scale price spread yields rows). The per-category averages
+    broadcast. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q6_R15)
+
+
+_SQL_TPCDS_Q7_R15 = """
+SELECT p_name,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         / count(*) AS agg1,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 / count(*) AS agg2,
+       CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT))
+            AS DOUBLE) / 10000 / count(*) AS agg3,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS DOUBLE) / 100 / count(*) AS agg4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN part ON l_partkey = p_partkey
+WHERE c_mktsegment = 'HOUSEHOLD'
+  AND o_orderpriority = '3-MEDIUM'
+  AND year(CAST(o_orderdate AS DATE)) = 1998
+GROUP BY p_name
+ORDER BY p_name
+LIMIT 100
+"""
+
+@register("sql_tpcds_q7", oracle=_SQL_TPCDS_Q7_R15)
+def sql_tpcds_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q7's text shape — the four-average bundle per item under
+    demographic and promo filters (.../tpcds/q07.sql role-mapped;
+    averages in exact cents/basis points; q26 is the catalog sibling
+    registered alongside). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q7_R15)
+
+
+_SQL_TPCDS_Q10_R15 = """
+SELECT c_mktsegment, count(*) AS cnt1,
+       n_name, count(*) AS cnt2
+FROM customer c
+JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT * FROM orders o
+              WHERE c.c_custkey = o.o_custkey
+                AND year(CAST(o.o_orderdate AS DATE)) = 1999
+                AND month(CAST(o.o_orderdate AS DATE)) BETWEEN 1 AND 4)
+  AND (EXISTS (SELECT * FROM orders o JOIN lineitem l
+               ON o.o_orderkey = l.l_orderkey
+               WHERE c.c_custkey = o.o_custkey
+                 AND l.l_returnflag = 'R')
+       OR EXISTS (SELECT * FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey
+                  WHERE c.c_custkey = o.o_custkey
+                    AND l.l_returnflag = 'A'))
+GROUP BY c_mktsegment, n_name
+ORDER BY c_mktsegment, n_name
+LIMIT 100
+"""
+
+@register("sql_tpcds_q10", oracle=_SQL_TPCDS_Q10_R15)
+def sql_tpcds_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q10's text shape — demographic counts for customers active
+    in a quarter whose activity also shows in either secondary channel:
+    EXISTS + (EXISTS OR EXISTS) gates then a grouped count
+    (.../tpcds/q10.sql role-mapped; q69 is the NOT-EXISTS variant).
+    Plans as chained semi-joins. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q10_R15)
+
+
+_SQL_TPCDS_Q18_R15 = """
+SELECT n_name, c_mktsegment,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         / count(*) AS agg1,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 / count(*) AS agg2,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+            AS DOUBLE) / 100 / count(*) AS agg3
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderpriority = '5-LOW'
+  AND year(CAST(o_orderdate AS DATE)) = 1998
+GROUP BY ROLLUP (n_name, c_mktsegment)
+ORDER BY n_name, c_mktsegment
+LIMIT 100
+"""
+
+@register("sql_tpcds_q18", oracle=_SQL_TPCDS_Q18_R15)
+def sql_tpcds_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q18's text shape — the average bundle over a
+    geography/demographic ROLLUP (.../tpcds/q18.sql role-mapped: the
+    decimal-cast averages replayed in exact integer cents). Same text
+    is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q18_R15)
+
+
+_SQL_TPCDS_Q19_R15 = """
+SELECT p_brand,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 AS ext_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN part ON l_partkey = p_partkey
+WHERE year(CAST(o_orderdate AS DATE)) = 1998
+  AND month(CAST(o_orderdate AS DATE)) = 11
+  AND c_nationkey <> s_nationkey
+GROUP BY p_brand
+ORDER BY ext_price DESC, p_brand
+LIMIT 100
+"""
+
+@register("sql_tpcds_q19", oracle=_SQL_TPCDS_Q19_R15)
+def sql_tpcds_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q19's text shape — brand revenue where the selling geography
+    differs from the buyer's (the store-zip <> customer-zip predicate;
+    .../tpcds/q19.sql role-mapped to supplier vs customer nation). Same
+    text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q19_R15)
+
+
+_SQL_TPCDS_Q20_R15 = """
+SELECT p_brand, p_type,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 AS itemrevenue,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) * 100 /
+         SUM(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE)) OVER (PARTITION BY p_type) AS revenueratio
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_linestatus = 'O'
+  AND CAST(l_shipdate AS DATE) BETWEEN DATE '1999-02-22'
+                                   AND DATE '1999-03-24'
+GROUP BY p_brand, p_type
+ORDER BY p_type, revenueratio, p_brand
+LIMIT 100
+"""
+
+@register("sql_tpcds_q20", oracle=_SQL_TPCDS_Q20_R15)
+def sql_tpcds_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q20's text shape — Q12's catalog sibling: per-item revenue
+    with its class-share ratio via a window sum over a 30-day window
+    (.../tpcds/q20.sql role-mapped). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q20_R15)
+
+
+_SQL_TPCDS_Q26_R15 = """
+SELECT p_name,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         / count(*) AS agg1,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 / count(*) AS agg2,
+       CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT))
+            AS DOUBLE) / 10000 / count(*) AS agg3,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS DOUBLE) / 100 / count(*) AS agg4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN part ON l_partkey = p_partkey
+WHERE c_mktsegment = 'MACHINERY'
+  AND l_linestatus = 'O'
+  AND year(CAST(o_orderdate AS DATE)) = 1999
+GROUP BY p_name
+ORDER BY p_name
+LIMIT 100
+"""
+
+@register("sql_tpcds_q26", oracle=_SQL_TPCDS_Q26_R15)
+def sql_tpcds_q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q26's text shape — Q7's catalog sibling: the same four-
+    average bundle on the other channel slice (.../tpcds/q26.sql role-
+    mapped). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q26_R15)
+
+
+_SQL_TPCDS_Q29_R15 = """
+SELECT p_brand, s_name,
+       sum(ss.l_quantity) AS store_sales_quantity,
+       sum(sr.l_quantity) AS store_returns_quantity,
+       sum(cs.l_quantity) AS catalog_sales_quantity
+FROM lineitem ss
+JOIN lineitem sr ON ss.l_orderkey = sr.l_orderkey
+                AND ss.l_partkey = sr.l_partkey
+                AND ss.l_linenumber <> sr.l_linenumber
+                AND sr.l_returnflag = 'R'
+JOIN orders o1 ON ss.l_orderkey = o1.o_orderkey
+JOIN orders o2 ON o1.o_custkey = o2.o_custkey
+              AND o2.o_orderkey <> o1.o_orderkey
+JOIN lineitem cs ON cs.l_orderkey = o2.o_orderkey
+                AND cs.l_suppkey = ss.l_suppkey
+JOIN supplier ON ss.l_suppkey = s_suppkey
+JOIN part ON ss.l_partkey = p_partkey
+WHERE ss.l_returnflag <> 'R'
+GROUP BY p_brand, s_name
+ORDER BY p_brand, s_name
+LIMIT 100
+"""
+
+@register("sql_tpcds_q29", oracle=_SQL_TPCDS_Q29_R15)
+def sql_tpcds_q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q29's text shape — Q25's SUM-statistics sibling over the
+    sale/return/repurchase three-role join (.../tpcds/q29.sql role-
+    mapped). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q29_R15)
+
+
+_SQL_TPCDS_Q32_R15 = """
+SELECT CAST(SUM(CAST(round(l.l_discount * l.l_extendedprice * 100)
+                     AS BIGINT)) AS DOUBLE) / 100 AS excess_discount
+FROM lineitem l
+JOIN part i ON l.l_partkey = i.p_partkey
+WHERE i.p_size = 27
+  AND CAST(l.l_shipdate AS DATE) BETWEEN DATE '1999-01-01'
+                                     AND DATE '1999-04-01'
+  AND l.l_discount * l.l_extendedprice > (
+      SELECT 1.3E0 * avg(j.l_discount * j.l_extendedprice)
+      FROM lineitem j
+      WHERE j.l_partkey = l.l_partkey
+        AND CAST(j.l_shipdate AS DATE) BETWEEN DATE '1999-01-01'
+                                           AND DATE '1999-04-01')
+LIMIT 100
+"""
+
+@register("sql_tpcds_q32", oracle=_SQL_TPCDS_Q32_R15)
+def sql_tpcds_q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q32's text shape — 'excess discount' with a dimension gate:
+    sum of discount amounts above 1.3x the item's windowed average via
+    a correlated scalar AVG (.../tpcds/q32.sql role-mapped; Q92's
+    catalog sibling). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q32_R15)
+
+
+_SQL_TPCDS_Q42_R15 = """
+SELECT year(CAST(o_orderdate AS DATE)) AS dyear, p_type,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 AS sum_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE year(CAST(o_orderdate AS DATE)) = 1998
+  AND month(CAST(o_orderdate AS DATE)) = 12
+GROUP BY year(CAST(o_orderdate AS DATE)), p_type
+ORDER BY sum_price DESC, dyear, p_type
+LIMIT 100
+"""
+
+@register("sql_tpcds_q42", oracle=_SQL_TPCDS_Q42_R15)
+def sql_tpcds_q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q42's text shape — the plain (year, category) revenue group-
+    by for one month (.../tpcds/q42.sql role-mapped; the simplest
+    dimensional rollup family, with q52/q55 registered alongside). Same
+    text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q42_R15)
+
+
+_SQL_TPCDS_Q50_R15 = """
+SELECT s_name,
+       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) <= 30
+                THEN 1 ELSE 0 END) AS d30,
+       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) > 30
+                 AND date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) <= 60
+                THEN 1 ELSE 0 END) AS d60,
+       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) > 60
+                 AND date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) <= 90
+                THEN 1 ELSE 0 END) AS d90,
+       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) > 90
+                THEN 1 ELSE 0 END) AS dmore
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_returnflag = 'R'
+  AND year(CAST(l_shipdate AS DATE)) = 1999
+GROUP BY s_name
+ORDER BY s_name
+LIMIT 100
+"""
+
+@register("sql_tpcds_q50", oracle=_SQL_TPCDS_Q50_R15)
+def sql_tpcds_q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q50's text shape — Q99's per-store sibling: ship-lag
+    histogram columns per store restricted to returned items
+    (.../tpcds/q50.sql role-mapped). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q50_R15)
+
+
+_SQL_TPCDS_Q52_R15 = """
+SELECT year(CAST(o_orderdate AS DATE)) AS dyear, p_brand,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 AS ext_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE year(CAST(o_orderdate AS DATE)) = 1998
+  AND month(CAST(o_orderdate AS DATE)) = 12
+GROUP BY year(CAST(o_orderdate AS DATE)), p_brand
+ORDER BY dyear, ext_price DESC, p_brand
+LIMIT 100
+"""
+
+@register("sql_tpcds_q52", oracle=_SQL_TPCDS_Q52_R15)
+def sql_tpcds_q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q52's text shape — Q42's brand sibling (.../tpcds/q52.sql
+    role-mapped). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q52_R15)
+
+
+_SQL_TPCDS_Q55_R15 = """
+SELECT p_brand,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 AS ext_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE year(CAST(o_orderdate AS DATE)) = 1999
+  AND month(CAST(o_orderdate AS DATE)) = 6
+GROUP BY p_brand
+ORDER BY ext_price DESC, p_brand
+LIMIT 100
+"""
+
+@register("sql_tpcds_q55", oracle=_SQL_TPCDS_Q55_R15)
+def sql_tpcds_q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q55's text shape — one-month brand revenue, the minimal
+    dimensional group-by (.../tpcds/q55.sql role-mapped). Same text is
+    the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q55_R15)
+
+
+_SQL_TPCDS_Q56_R15 = """
+WITH ss AS (
+  SELECT p_name, SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+           AS total_sales
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name IN (SELECT p_name FROM part WHERE p_size < 10)
+    AND l_linestatus = 'F'
+  GROUP BY p_name
+),
+cs AS (
+  SELECT p_name, SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+           AS total_sales
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name IN (SELECT p_name FROM part WHERE p_size < 10)
+    AND l_linestatus = 'O' AND l_returnflag = 'N'
+  GROUP BY p_name
+),
+ws AS (
+  SELECT p_name, SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+           AS total_sales
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name IN (SELECT p_name FROM part WHERE p_size < 10)
+    AND l_linestatus = 'O' AND l_returnflag = 'R'
+  GROUP BY p_name
+)
+SELECT p_name,
+       CAST(SUM(total_sales) AS DOUBLE) / 100 AS total_sales
+FROM (SELECT * FROM ss
+      UNION ALL
+      SELECT * FROM cs
+      UNION ALL
+      SELECT * FROM ws) tmp1
+GROUP BY p_name
+ORDER BY total_sales, p_name
+LIMIT 100
+"""
+
+@register("sql_tpcds_q56", oracle=_SQL_TPCDS_Q56_R15)
+def sql_tpcds_q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q56's text shape — Q33's sibling with the item set drawn
+    from an attribute subquery (small sizes instead of a category;
+    .../tpcds/q56.sql role-mapped; q60 is the third sibling, registered
+    in batch 7). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q56_R15)
+
+
+_SQL_TPCDS_Q57_R15 = """
+WITH v1 AS (
+  SELECT s_name, p_brand,
+         year(CAST(l_shipdate AS DATE)) AS dyear,
+         month(CAST(l_shipdate AS DATE)) AS dmoy,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_sales,
+         AVG(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)))
+           OVER (PARTITION BY s_name, p_brand,
+                 year(CAST(l_shipdate AS DATE))) AS avg_monthly_sales,
+         RANK() OVER (PARTITION BY s_name, p_brand
+                      ORDER BY year(CAST(l_shipdate AS DATE)),
+                               month(CAST(l_shipdate AS DATE))) AS rn
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY s_name, p_brand, year(CAST(l_shipdate AS DATE)),
+           month(CAST(l_shipdate AS DATE))
+),
+v2 AS (
+  SELECT v1.s_name, v1.p_brand, v1.dyear, v1.dmoy,
+         v1.avg_monthly_sales, v1.sum_sales,
+         v1_lag.sum_sales AS psum,
+         v1_lead.sum_sales AS nsum
+  FROM v1, v1 v1_lag, v1 v1_lead
+  WHERE v1.s_name = v1_lag.s_name
+    AND v1.s_name = v1_lead.s_name
+    AND v1.p_brand = v1_lag.p_brand
+    AND v1.p_brand = v1_lead.p_brand
+    AND v1.rn = v1_lag.rn + 1
+    AND v1.rn = v1_lead.rn - 1
+)
+SELECT s_name, p_brand, dyear, dmoy,
+       CAST(sum_sales AS DOUBLE) / 100 AS sum_sales,
+       CAST(psum AS DOUBLE) / 100 AS psum,
+       CAST(nsum AS DOUBLE) / 100 AS nsum
+FROM v2
+WHERE dyear = 1999
+  AND avg_monthly_sales > 0
+  AND abs(sum_sales - avg_monthly_sales)
+        / avg_monthly_sales > 0.1E0
+ORDER BY s_name, p_brand, dyear, dmoy
+LIMIT 100
+"""
+
+@register("sql_tpcds_q57", oracle=_SQL_TPCDS_Q57_R15)
+def sql_tpcds_q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q57's text shape — monthly (supplier, brand) sums vs the
+    yearly window average with SELF-JOINED lag/lead neighbors via rank
+    arithmetic (v1 joined to itself at rn±1), deviation-filtered
+    (.../tpcds/q57.sql role-mapped: call center -> supplier; Q47's
+    sibling). The rank self-joins co-partition on (supplier, brand).
+    Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q57_R15)
+
+
+# ---- r15 twin batch 7 (#85-99): completes the program --------------
+_SQL_TPCDS_Q60_R15 = """
+WITH ss AS (
+  SELECT p_brand, SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+           AS total_sales
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IN (SELECT p_brand FROM part WHERE p_type = 'MEDIUM')
+    AND l_linestatus = 'F'
+  GROUP BY p_brand
+),
+cs AS (
+  SELECT p_brand, SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+           AS total_sales
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IN (SELECT p_brand FROM part WHERE p_type = 'MEDIUM')
+    AND l_linestatus = 'O' AND l_returnflag = 'N'
+  GROUP BY p_brand
+),
+ws AS (
+  SELECT p_brand, SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+           AS total_sales
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IN (SELECT p_brand FROM part WHERE p_type = 'MEDIUM')
+    AND l_linestatus = 'O' AND l_returnflag = 'R'
+  GROUP BY p_brand
+)
+SELECT p_brand,
+       CAST(SUM(total_sales) AS DOUBLE) / 100 AS total_sales
+FROM (SELECT * FROM ss
+      UNION ALL
+      SELECT * FROM cs
+      UNION ALL
+      SELECT * FROM ws) tmp1
+GROUP BY p_brand
+ORDER BY p_brand, total_sales
+LIMIT 100
+"""
+
+@register("sql_tpcds_q60", oracle=_SQL_TPCDS_Q60_R15)
+def sql_tpcds_q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q60's text shape — the third q33-family channel union, its
+    item set drawn from a category subquery (.../tpcds/q60.sql role-
+    mapped). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q60_R15)
+
+
+_SQL_TPCDS_Q62_R15 = """
+SELECT n_name, o_orderpriority,
+       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) <= 30
+                THEN 1 ELSE 0 END) AS d30,
+       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) > 30
+                 AND date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) <= 60
+                THEN 1 ELSE 0 END) AS d60,
+       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) > 60
+                THEN 1 ELSE 0 END) AS dmore
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE year(CAST(l_shipdate AS DATE)) = 1999
+GROUP BY n_name, o_orderpriority
+ORDER BY n_name, o_orderpriority
+LIMIT 100
+"""
+
+@register("sql_tpcds_q62", oracle=_SQL_TPCDS_Q62_R15)
+def sql_tpcds_q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q62's text shape — ship-lag buckets by (geography, ship-
+    mode) — the q99 family's web member (.../tpcds/q62.sql role-mapped:
+    warehouse/web site -> supplier nation/order priority). Same text is
+    the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q62_R15)
+
+
+_SQL_TPCDS_Q63_R15 = """
+SELECT *
+FROM (SELECT p_type,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS sum_sales,
+             AVG(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)))
+               OVER (PARTITION BY p_type) AS avg_monthly_sales
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE year(CAST(l_shipdate AS DATE)) = 1999
+      GROUP BY p_type, month(CAST(l_shipdate AS DATE))) tmp1
+WHERE CASE WHEN avg_monthly_sales > 0
+           THEN abs(sum_sales - avg_monthly_sales)
+                  / avg_monthly_sales
+           ELSE NULL END > 0.1E0
+ORDER BY avg_monthly_sales, sum_sales, p_type
+LIMIT 100
+"""
+
+@register("sql_tpcds_q63", oracle=_SQL_TPCDS_Q63_R15)
+def sql_tpcds_q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q63's text shape — the q53-family manager-level monthly
+    deviation filter (.../tpcds/q63.sql role-mapped). Same text is the
+    oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q63_R15)
+
+
+_SQL_TPCDS_Q65_R15 = """
+SELECT s_name, p_name, sc.revenue
+FROM (SELECT l_suppkey, avg(revenue) AS ave
+      FROM (SELECT l_suppkey, l_partkey,
+                   CAST(SUM(CAST(round(l_extendedprice * 100)
+                                 AS BIGINT)) AS DOUBLE) / 100
+                     AS revenue
+            FROM lineitem
+            WHERE year(CAST(l_shipdate AS DATE)) = 1999
+            GROUP BY l_suppkey, l_partkey) sa
+      GROUP BY l_suppkey) sb,
+     (SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100 AS revenue
+      FROM lineitem
+      WHERE year(CAST(l_shipdate AS DATE)) = 1999
+      GROUP BY l_suppkey, l_partkey) sc,
+     supplier, part
+WHERE sb.l_suppkey = sc.l_suppkey
+  AND sc.revenue <= 0.1E0 * sb.ave
+  AND s_suppkey = sc.l_suppkey
+  AND p_partkey = sc.l_partkey
+ORDER BY s_name, p_name, sc.revenue
+LIMIT 100
+"""
+
+@register("sql_tpcds_q65", oracle=_SQL_TPCDS_Q65_R15)
+def sql_tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q65's text shape — stores' lowest-revenue items: a per-store
+    average-of-item-revenue subquery joined against per-(store, item)
+    revenue with the 10% threshold (.../tpcds/q65.sql role-mapped; the
+    SQL-text twin of the long-standing tpcds_q65_adapted DataFrame
+    row). Both aggregates shuffle on the store key and co-partition.
+    Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q65_R15)
+
+
+_SQL_TPCDS_Q68_R15 = """
+SELECT c_name, c_custkey, o_orderkey, extended_price, extended_tax
+FROM (SELECT o_orderkey, o_custkey,
+             s_nationkey AS ship_nation,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100 AS extended_price,
+             CAST(SUM(CAST(round(l_tax * 10000) AS BIGINT))
+                  AS DOUBLE) / 10000 AS extended_tax
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE year(CAST(o_orderdate AS DATE)) = 1998
+        AND month(CAST(o_orderdate AS DATE)) IN (1, 2)
+      GROUP BY o_orderkey, o_custkey, s_nationkey) dn
+JOIN customer ON o_custkey = c_custkey
+WHERE c_nationkey <> ship_nation
+ORDER BY c_name, c_custkey, o_orderkey
+LIMIT 100
+"""
+
+@register("sql_tpcds_q68", oracle=_SQL_TPCDS_Q68_R15)
+def sql_tpcds_q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q68's text shape — Q46's two-sum sibling (extended price +
+    tax per order, geography-mismatch filter; .../tpcds/q68.sql role-
+    mapped). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q68_R15)
+
+
+_SQL_TPCDS_Q69_R15 = """
+SELECT c_mktsegment, count(*) AS cnt
+FROM customer c
+JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT * FROM orders o
+              WHERE c.c_custkey = o.o_custkey
+                AND year(CAST(o.o_orderdate AS DATE)) = 1999)
+  AND NOT EXISTS (SELECT * FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey
+                  WHERE c.c_custkey = o.o_custkey
+                    AND l.l_returnflag = 'R')
+  AND NOT EXISTS (SELECT * FROM orders o
+                  WHERE c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority = '5-LOW')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+LIMIT 100
+"""
+
+@register("sql_tpcds_q69", oracle=_SQL_TPCDS_Q69_R15)
+def sql_tpcds_q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q69's text shape — Q35's NOT-EXISTS sibling: one EXISTS gate
+    and two NOT EXISTS gates (anti-joins) before the demographic count
+    (.../tpcds/q69.sql role-mapped). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q69_R15)
+
+
+_SQL_TPCDS_Q72_R15 = """
+SELECT p_brand,
+       count(*) AS no_promo
+FROM lineitem l1
+JOIN lineitem l2 ON l1.l_partkey = l2.l_partkey
+                AND l1.l_orderkey <> l2.l_orderkey
+                AND CAST(l2.l_shipdate AS DATE)
+                      BETWEEN CAST(l1.l_shipdate AS DATE)
+                          AND date_add(CAST(l1.l_shipdate AS DATE), 5)
+                AND l2.l_quantity < l1.l_quantity
+JOIN part ON l1.l_partkey = p_partkey
+WHERE year(CAST(l1.l_shipdate AS DATE)) = 1999
+  AND month(CAST(l1.l_shipdate AS DATE)) = 6
+GROUP BY p_brand
+ORDER BY no_promo DESC, p_brand
+LIMIT 100
+"""
+
+@register("sql_tpcds_q72", oracle=_SQL_TPCDS_Q72_R15)
+def sql_tpcds_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q72's text shape — the date-OFFSET self-join: each sale
+    joined to later shipments of the same item within a 5-day horizon
+    having less quantity (inventory-short proxy), counted per brand
+    (.../tpcds/q72.sql role-mapped: inventory -> the lineitem self-
+    slice; the original's d1.d_date < d3.d_date + 5 days offset join is
+    the load-bearing shape). Bounded by the one-month window; co-
+    partitions on the item key. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q72_R15)
+
+
+_SQL_TPCDS_Q73_R15 = """
+SELECT c_name, c_custkey, dj.o_orderkey, cnt
+FROM (SELECT o_orderkey, o_custkey, count(*) AS cnt
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE year(CAST(o_orderdate AS DATE)) = 1999
+      GROUP BY o_orderkey, o_custkey
+      HAVING count(*) BETWEEN 5 AND 7) dj
+JOIN customer ON o_custkey = c_custkey
+ORDER BY cnt DESC, c_name, c_custkey, dj.o_orderkey
+LIMIT 100
+"""
+
+@register("sql_tpcds_q73", oracle=_SQL_TPCDS_Q73_R15)
+def sql_tpcds_q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q73's text shape — customers whose orders fall in a line-
+    count band: order-grain HAVING count BETWEEN, joined to the
+    customer dimension (.../tpcds/q73.sql role-mapped; q79's sibling
+    registered alongside). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q73_R15)
+
+
+_SQL_TPCDS_Q74_R15 = """
+WITH year_total AS (
+  SELECT c_custkey AS customer_id,
+         c_name AS customer_name,
+         year(CAST(o_orderdate AS DATE)) AS dyear,
+         SUM(CAST(l_quantity AS BIGINT)) AS year_total
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY c_custkey, c_name, year(CAST(o_orderdate AS DATE))
+)
+SELECT t_s_secyear.customer_name
+FROM year_total t_s_firstyear, year_total t_s_secyear
+WHERE t_s_firstyear.customer_id = t_s_secyear.customer_id
+  AND t_s_firstyear.dyear = 1996
+  AND t_s_secyear.dyear = 1997
+  AND t_s_firstyear.year_total > 0
+  AND CAST(t_s_secyear.year_total AS DOUBLE)
+        / t_s_firstyear.year_total > 1.1E0
+ORDER BY 1
+LIMIT 100
+"""
+
+@register("sql_tpcds_q74", oracle=_SQL_TPCDS_Q74_R15)
+def sql_tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q74's text shape — Q11's quantity-metric sibling: the
+    year_total CTE consumed twice a year apart with the ratio threshold
+    (.../tpcds/q74.sql role-mapped). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q74_R15)
+
+
+_SQL_TPCDS_Q79_R15 = """
+SELECT c_name, sub.o_orderkey, sub.amt, sub.profit
+FROM (SELECT o_orderkey, o_custkey,
+             CAST(SUM(CAST(round(l_discount * l_extendedprice * 100)
+                           AS BIGINT)) AS DOUBLE) / 100 AS amt,
+             CAST(SUM(CAST(round(l_extendedprice *
+                                 (1 - l_discount) * 100)
+                           AS BIGINT)) AS DOUBLE) / 100 AS profit
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+        AND year(CAST(o_orderdate AS DATE)) = 1999
+      GROUP BY o_orderkey, o_custkey
+      HAVING count(*) >= 4) sub
+JOIN customer ON sub.o_custkey = c_custkey
+ORDER BY c_name, sub.o_orderkey, sub.amt
+LIMIT 100
+"""
+
+@register("sql_tpcds_q79", oracle=_SQL_TPCDS_Q79_R15)
+def sql_tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q79's text shape — per-(customer, order) discount and net-
+    paid sums over high-line-count urgent orders (.../tpcds/q79.sql
+    role-mapped). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q79_R15)
+
+
+_SQL_TPCDS_Q81_R15 = """
+WITH customer_total_return AS (
+  SELECT o_custkey AS ctr_customer_sk,
+         c_nationkey AS ctr_state,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS DOUBLE) / 100 AS ctr_total_return
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'A'
+    AND year(CAST(o_orderdate AS DATE)) = 1997
+  GROUP BY o_custkey, c_nationkey
+)
+SELECT c_custkey, c_name, ctr_total_return
+FROM customer_total_return ctr1
+JOIN customer ON ctr1.ctr_customer_sk = c_custkey
+WHERE ctr1.ctr_total_return > (SELECT avg(ctr_total_return) * 1.2
+                               FROM customer_total_return ctr2
+                               WHERE ctr1.ctr_state = ctr2.ctr_state)
+ORDER BY c_custkey, c_name, ctr_total_return
+LIMIT 100
+"""
+
+@register("sql_tpcds_q81", oracle=_SQL_TPCDS_Q81_R15)
+def sql_tpcds_q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q81's text shape — Q30's catalog sibling: the 1.2x-per-
+    state-average correlated gate over the other return slice
+    (.../tpcds/q81.sql role-mapped). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q81_R15)
+
+
+_SQL_TPCDS_Q82_R15 = """
+SELECT p_name, p_brand, p_retailprice
+FROM part, lineitem
+WHERE p_retailprice BETWEEN 960 AND 990
+  AND l_partkey = p_partkey
+  AND CAST(l_shipdate AS DATE) BETWEEN DATE '1998-06-01'
+                                   AND DATE '1998-08-01'
+GROUP BY p_name, p_brand, p_retailprice
+ORDER BY p_name, p_brand
+LIMIT 100
+"""
+
+@register("sql_tpcds_q82", oracle=_SQL_TPCDS_Q82_R15)
+def sql_tpcds_q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q82's text shape — Q37's sibling on a different retail-price
+    band and window (.../tpcds/q82.sql role-mapped to the fixture's
+    900-1000 price range). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q82_R15)
+
+
+_SQL_TPCDS_Q86_R15 = """
+SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 AS total_sum,
+       p_type, p_brand,
+       grouping(p_type) + grouping(p_brand) AS lochierarchy,
+       RANK() OVER (
+         PARTITION BY grouping(p_type) + grouping(p_brand),
+           CASE WHEN grouping(p_brand) = 0 THEN p_type END
+         ORDER BY SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+           DESC
+       ) AS rank_within_parent
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_linestatus = 'O'
+GROUP BY ROLLUP (p_type, p_brand)
+ORDER BY lochierarchy DESC,
+         CASE WHEN lochierarchy = 0 THEN p_type END,
+         rank_within_parent, p_type, p_brand
+LIMIT 100
+"""
+
+@register("sql_tpcds_q86", oracle=_SQL_TPCDS_Q86_R15)
+def sql_tpcds_q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q86's text shape — Q70's item-hierarchy sibling: ROLLUP
+    (category, brand) with RANK() OVER (PARTITION BY
+    grouping()+grouping()) rank-within-parent (.../tpcds/q86.sql role-
+    mapped). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q86_R15)
+
+
+_SQL_TPCDS_Q89_R15 = """
+SELECT *
+FROM (SELECT p_type, p_brand, dmoy, sum_sales, avg_monthly_sales
+      FROM (SELECT p_type, p_brand,
+                   month(CAST(l_shipdate AS DATE)) AS dmoy,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS sum_sales,
+                   AVG(SUM(CAST(round(l_extendedprice * 100)
+                                AS BIGINT)))
+                     OVER (PARTITION BY p_type, p_brand)
+                     AS avg_monthly_sales
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE year(CAST(l_shipdate AS DATE)) = 1999
+            GROUP BY p_type, p_brand,
+                     month(CAST(l_shipdate AS DATE))) tmp1
+      WHERE avg_monthly_sales <> 0
+        AND abs(sum_sales - avg_monthly_sales)
+              / avg_monthly_sales > 0.1E0) tmp2
+ORDER BY sum_sales - avg_monthly_sales, p_type, p_brand, dmoy
+LIMIT 100
+"""
+
+@register("sql_tpcds_q89", oracle=_SQL_TPCDS_Q89_R15)
+def sql_tpcds_q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q89's text shape — the q53 family's absolute-deviation
+    member over (category, brand, month), ordered by the signed
+    deviation (.../tpcds/q89.sql role-mapped). Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q89_R15)
+
+
+_SQL_TPCDS_Q98_R15 = """
+SELECT p_brand, p_type,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 AS itemrevenue,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) * 100 /
+         SUM(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE)) OVER (PARTITION BY p_type)
+         AS revenueratio
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_linestatus = 'F'
+  AND CAST(l_shipdate AS DATE) BETWEEN DATE '1999-02-22'
+                                   AND DATE '1999-03-24'
+GROUP BY p_brand, p_type
+ORDER BY p_type, revenueratio, p_brand
+LIMIT 100
+"""
+
+@register("sql_tpcds_q98", oracle=_SQL_TPCDS_Q98_R15)
+def sql_tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q98's text shape — the q12 family's store member (class-
+    share window ratio; .../tpcds/q98.sql role-mapped). Completes the
+    twin program: all 99 TPC-DS query texts now have same-text DuckDB-
+    oracle twins. Same text is the oracle."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_TPCDS_Q98_R15)

@@ -3115,6 +3115,59 @@ def _row_field_names(args: list[str]) -> list[str]:
     return names
 
 
+def _rewrite_values_lambda_rows(masked: str) -> str:
+    """Spark's inline tables (VALUES) reject non-foldable lambda
+    expressions (`(VALUES transform(sequence(1,5), x -> x*x)) t(x)`
+    fails analysis; AbstractTestQueries:268) where the reference
+    evaluates them like any row expression. A single-row VALUES with
+    a lambda anywhere in the row rewrites to the equivalent
+    FROM-less SELECT with the column aliases folded in:
+    `(SELECT item1 AS c1, ...) alias` (r15 xfail conversion)."""
+    out = masked
+    pos = 0
+    while True:
+        m = re.compile(r"\(\s*VALUES\b", re.IGNORECASE).search(
+            out, pos)
+        if m is None:
+            return out
+        pos = m.start() + 1
+        try:
+            close = _balanced(out, m.start())
+        except ValueError:
+            continue
+        body = out[m.end():close - 1]
+        if "->" not in body:
+            continue
+        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)\s*"
+                      r"\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)"
+                      r"\s*\)",
+                      out[close:], re.IGNORECASE)
+        if am is None:
+            continue
+        alias = am.group(1)
+        if alias.upper() in _ANNOT_CLAUSE_KW:
+            continue
+        cols = [c.strip() for c in am.group(2).split(",")]
+        rows = _split_top_comma(body)
+        if len(rows) != 1:
+            continue
+        row = rows[0].strip()
+        if row.startswith("(") and row.endswith(")"):
+            try:
+                if _balanced(row, 0) == len(row):
+                    row = row[1:-1]
+            except ValueError:
+                continue
+        items = [it.strip() for it in _split_top_comma(row)]
+        if len(items) != len(cols):
+            continue
+        sel = ", ".join(f"({it}) AS {c}"
+                        for it, c in zip(items, cols))
+        repl = f"(SELECT {sel}) {alias}"
+        out = out[:m.start()] + repl + out[close + am.end():]
+        pos = m.start() + len(repl)
+
+
 def _rewrite_row_column_subscripts(masked: str) -> str:
     """Ordinal subscripts on row-typed COLUMNS whose row arity/field
     names are statically visible (r15 — converts two of the
@@ -3498,6 +3551,35 @@ _MAP_CTOR_BASE = re.compile(
 
 def _subscript_expr(base: str, idx: str, stash) -> str:
     """The full lowering of a Presto subscript base[idx]."""
+    # struct-constructor base with an integer ordinal: pick the k-th
+    # constructor argument directly (the direct-ROW rewrite's rule,
+    # reachable again here because lambda inlining — apply(ROW(1,2),
+    # r -> r[2]) — resurfaces the shape AFTER that pass ran; r15)
+    sm = re.match(r"\(?\s*struct\s*\(", base, re.IGNORECASE)
+    im = re.fullmatch(r"\s*(\d+)\s*", idx)
+    if sm and im:
+        inner = base.strip()
+        wrapped = inner.startswith("(")
+        if wrapped:
+            try:
+                if _balanced(inner, 0) == len(inner):
+                    inner = inner[1:-1].strip()
+                else:
+                    inner = None
+            except ValueError:
+                inner = None
+        if inner is not None:
+            cm = re.match(r"struct\s*\(", inner, re.IGNORECASE)
+            try:
+                ok = cm is not None and \
+                    _balanced(inner, cm.end() - 1) == len(inner)
+            except ValueError:
+                ok = False
+            if ok:
+                args = _split_top_comma(inner[cm.end():-1])
+                k = int(im.group(1))
+                if 1 <= k <= len(args):
+                    return f"({args[k - 1].strip()})"
     if _STRLIT_PH.match(idx) or _MAP_CTOR_BASE.match(base):
         # a STRING-literal key statically implies a MAP base (a
         # string can never index an array in either engine), and a
@@ -4933,6 +5015,7 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = rewrite_scalar_templates(masked, stash)
     masked = _rewrite_json_cast_peephole(masked, stash)
     masked = _rewrite_window_shims(masked, stash)
+    masked = _rewrite_values_lambda_rows(masked)
     masked = _rewrite_row_column_subscripts(masked)
     masked = _rewrite_subscripts(masked, stash)
     masked = _rewrite_call_templates(masked)

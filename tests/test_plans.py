@@ -597,3 +597,41 @@ def test_sql_spelling_geometry_agg_routes_to_mergeable(spark, sf_dir):
         "FROM nation GROUP BY n_regionkey")
     assert sorted(map(tuple, routed.collect())) == \
         sorted(map(tuple, fallback.collect()))
+
+
+def test_twin_q64_cohort_gate_is_semi_join(spark, sf_dir):
+    """r15 twin q64: the `l_orderkey IN (SELECT ... FROM cs_ui)`
+    cohort gate must plan as a (co-partitioned or broadcast)
+    semi-join on the order key — never a full materialize-and-probe
+    of the gated side into a nested loop. The cross_sales self-join
+    a year apart stays an equi hash join on the item key."""
+    plan = plan_of(_QUERIES["sql_tpcds_q64"].builder(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_twin_q72_offset_self_join_is_equi_on_item(spark, sf_dir):
+    """r15 twin q72: the date-OFFSET self-join keys on l_partkey
+    (equi) with the 5-day range as a post-join condition — the shape
+    that co-partitions at 100 TB; a range-only join would be a
+    nested loop."""
+    plan = plan_of(_QUERIES["sql_tpcds_q72"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_twin_q86_rank_partitions_by_grouping_level(spark, sf_dir):
+    """r15 twin q86 (and q70's skeleton): ROLLUP expands grouping
+    sets ONCE (a single Expand node feeding one aggregate) and the
+    rank-within-parent window partitions by the grouping level —
+    spark_grouping_id must appear in the window spec, not a re-scan
+    per level."""
+    plan = plan_of(_QUERIES["sql_tpcds_q86"].builder(spark, sf_dir))
+    assert "Expand" in plan
+    assert "Window" in plan
+    assert "spark_grouping_id" in plan
+    # one scan per TABLE feeds the rollup — not one per grouping
+    # level (formatted mode mentions each scan node twice: tree +
+    # detail section; 2 tables -> <= 4 mentions)
+    assert plan.count("Scan parquet") <= 4

@@ -1386,14 +1386,11 @@ CORPUS: list[Case] = [
     C("lambda_values_subscript",
       "SELECT x[5] FROM (VALUES transform(sequence(1, 5), x -> x * "
       "x)) t(x)",
-      f"{_ATQ}:268",
-      duck="SELECT 25",
-      marks=(pytest.mark.xfail(
-          strict=True,
-          reason="Spark inline tables (VALUES) reject non-foldable lambda "
-                  "expressions; the adapted SELECT form passes as "
-                  "lambda_transform_subscript",
-      ),)),
+      f"{_ATQ}:268 (xfail converted in r15: a single-row VALUES "
+      "bearing a lambda rewrites to the equivalent FROM-less SELECT "
+      "with the column aliases folded in — "
+      "frontend._rewrite_values_lambda_rows)",
+      duck="SELECT 25"),
     C("lambda_repeated_sum",
       "SELECT x + x FROM (SELECT apply(a, i -> i * i) x FROM (VALUES "
       "3) t(a))",
@@ -1471,13 +1468,10 @@ CORPUS: list[Case] = [
            "n.regionkey = r.regionkey ORDER BY n.name LIMIT 1"),
     C("row_subscript_lambda",
       "SELECT apply(ROW (1, 2), r -> r[2])",
-      f"{_ATQ}:318 testRowSubscript",
-      duck="SELECT 2",
-      marks=(pytest.mark.xfail(
-          strict=True,
-          reason="ordinal subscript on a lambda-bound row variable is not "
-                  "statically resolvable at the string-rewrite level",
-      ),)),
+      f"{_ATQ}:318 testRowSubscript (xfail converted in r15: apply "
+      "inlines the lambda, and the subscript lowering now picks the "
+      "k-th argument of a struct-constructor base directly)",
+      duck="SELECT 2"),
     C("row_field_deref",
       "SELECT a FROM (VALUES ROW (CAST(ROW(1, 2) AS ROW(col0 "
       "integer, col1 integer)).col0)) AS t (a)",
