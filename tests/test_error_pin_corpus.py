@@ -3,13 +3,14 @@ assertInvalidFunction expressions from the reference's type/ and
 operator/scalar test suites: each expression below RAISES in the
 reference, and this suite pins that it raises through the SQL front
 door too (the reference's own pattern: error TEXT differs by engine,
-the contract is errors-not-wrong-values). 433 pins (281 from
+the contract is errors-not-wrong-values). 435 pins (281 from
 the r11 extraction + 32 r12 leniency conversions + 18 r14
-conversions + 13 r15: 5 typed-literal NaN/Infinity->DECIMAL
+conversions + 15 r15: 5 typed-literal NaN/Infinity->DECIMAL
 spellings, 3 regex '$'-replacement forms (raise natively in
 Spark 4), the int->TIMESTAMP literal casts, the ambiguous
-array-concat shape, and 2 constructor-base numeric-key map
-subscripts — empty split_to_map/multimap delimiters raise BEFORE
+array-concat shape, and 4 constructor-base numeric/varbinary-key
+map subscripts — the reference's own TestMapOperators pins, which
+turn out to cover the class's entire pinned extent — empty split_to_map/multimap delimiters raise BEFORE
 scanning, constant IN lists evaluate their division-by-zero items
 like the reference, COLUMN-typed DATE +/- sub-day intervals
 raise via the runtime typeof() guard, and the TEN null-touching
@@ -51,20 +52,20 @@ conversions -> 3 after the r15 sweep converted the int->TIMESTAMP
 literal casts, the ambiguous ARRAY||ARRAY[NULL] concat, and found
 the regex '$'-replacement family raising natively in Spark 4;
 re-triaged against the full reference extraction each round). The
-remaining 3 are the hard-divergence classes, each documented:
+remaining 2 are the hard-divergence classes, each documented:
 decimal arithmetic/round precision-loss for NON-literal operands
 (every literal form constant-folds with the reference's derivation
 since r13, and catalog-resolvable COLUMN operands rewrite since
 r14 #2 — the residual is expressions whose operand types are not
-statically derivable), map subscript missing-key raises for
-NON-string-literal keys (2: numeric and varbinary keys cannot be
-statically told apart from array indexes; the string-literal form
-converted in r13, the element_at FUNCTION form legitimately
-returns NULL in both engines, and the raising guard needs
-map_contains_key, which fails Spark ANALYSIS on an array-typed
-base), and the resource-cap/renderer class: CHAR-length concat
-caps, the REPEAT(array,...) Block-byte cap (the VARCHAR byte cap
-converted), and jackson-vs-Spark exotic number forms. The former 10-strong
+statically derivable), and the resource-cap/renderer class:
+CHAR-length concat caps, the REPEAT(array,...) Block-byte cap (the
+VARCHAR byte cap converted), and jackson-vs-Spark exotic number
+forms. The former map-subscript class retired in r15: every pin
+the reference's own tests carry is constructor-based, and the
+_MAP_CTOR_BASE guard replays the raise for numeric, varbinary, and
+string keys alike (a raw map-typed COLUMN base with a runtime key
+would still be Spark-lenient, but no fixture table carries a map
+column and the reference pins none). The former 10-strong
 null-touching complex-element comparison class converted in r14 #2
 for its entire pinned (literal) extent; COLUMN-operand forms of
 those calls remain Spark-lenient (not pinned by the reference's
@@ -616,6 +617,15 @@ CASES = [
      "map(ARRAY[1,2], ARRAY['a','b'])[9]"),
     ('operator/scalar/MapSubscriptOperator.java', 112,
      'MAP(ARRAY [1], ARRAY [1.5E0])[2]'),
+    # the reference's own numeric- and varbinary-key pins
+    # (TestMapOperators.java:549,555) — the constructor-base guard
+    # covers the class's ENTIRE pinned extent, retiring the
+    # 'runtime-key map subscript' leniency class
+    ('type/TestMapOperators.java', 549,
+     "MAP(ARRAY [BIGINT '1'], ARRAY [BIGINT '2'])[3]"),
+    ('type/TestMapOperators.java', 555,
+     "MAP(ARRAY[cast('1' as varbinary)], ARRAY[null])"
+     "[cast('2' as varbinary)]"),
 ]
 
 
