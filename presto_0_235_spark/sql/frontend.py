@@ -1336,7 +1336,19 @@ def _dca_emit(op: str, a: _DcaOperand, b: _DcaOperand, masked: str):
     if op == "*":
         rs = s1 + s2
         if rs > 38:
-            return None  # Presto analysis-rejects; out of rewrite scope
+            # Presto ANALYSIS-rejects the result type (multiply
+            # derives scale s1+s2 and createDecimalType refuses
+            # scale > 38); the operand types are statically known
+            # here, so replay the analyzer raise at translate time
+            # (r15 — previously declined and kept Spark's
+            # adjusted-scale result). Sites inside TRY extents never
+            # reach this emit (the pass skips them), so the
+            # TRY-wrapped spelling keeps Spark's value — an unpinned
+            # leniency (the reference would raise there too: TRY
+            # absorbs only runtime errors, not analysis ones).
+            raise ValueError(
+                f"DECIMAL scale must be in range [0, precision "
+                f"(38)]: {rs}")
         rp = min(38, p1 + p2)
         if _dca_spark_adjusted_scale(p1 + p2 + 1, rs) != rs:
             return _dca_udf_emit(op, a, b, masked, rp, rs)

@@ -3,7 +3,7 @@ assertInvalidFunction expressions from the reference's type/ and
 operator/scalar test suites: each expression below RAISES in the
 reference, and this suite pins that it raises through the SQL front
 door too (the reference's own pattern: error TEXT differs by engine,
-the contract is errors-not-wrong-values). 435 pins (281 from
+the contract is errors-not-wrong-values). 437 pins (281 from
 the r11 extraction + 32 r12 leniency conversions + 18 r14
 conversions + 15 r15: 5 typed-literal NaN/Infinity->DECIMAL
 spellings, 3 regex '$'-replacement forms (raise natively in
@@ -44,15 +44,16 @@ STRING repetition where Presto's repeat builds an ARRAY
 (RepeatFunction.java) — now lowered to array_repeat with the
 reference's negative/10000-cap raises.
 
-3 extracted expression classes RETURN values here instead of
+2 extracted expression classes RETURN values here instead of
 raising (122 at r11 -> 90 after r12's 32 conversions -> 17 after
 r13's 74 -> 15 after the r14 IN-list + column-date-interval
 conversions -> 5 after the r14 #2 null-touching-comparison
-conversions -> 3 after the r15 sweep converted the int->TIMESTAMP
-literal casts, the ambiguous ARRAY||ARRAY[NULL] concat, and found
-the regex '$'-replacement family raising natively in Spark 4;
-re-triaged against the full reference extraction each round). The
-remaining 2 are the hard-divergence classes, each documented:
+conversions -> 2 after the r15 sweep converted the int->TIMESTAMP
+literal casts, the ambiguous ARRAY||ARRAY[NULL] concat, the whole
+constructor-base map-subscript family, and found the regex
+'$'-replacement family raising natively in Spark 4; re-triaged
+against the full reference extraction each round). The remaining 2
+are the hard-divergence classes, each documented:
 decimal arithmetic/round precision-loss for NON-literal operands
 (every literal form constant-folds with the reference's derivation
 since r13, and catalog-resolvable COLUMN operands rewrite since
@@ -626,6 +627,16 @@ CASES = [
     ('type/TestMapOperators.java', 555,
      "MAP(ARRAY[cast('1' as varbinary)], ARRAY[null])"
      "[cast('2' as varbinary)]"),
+    # (e) multiply whose derived scale exceeds 38: the reference's
+    # ANALYZER rejects the result type (createDecimalType refuses
+    # scale > precision cap); statically-typed operand sites replay
+    # the raise at translate time (_dca_emit r15) — narrows the
+    # non-static-decimal leniency class to genuinely-underivable
+    # operand types
+    ('type/TestDecimalOperators.java', 0,
+     'CAST(1 AS DECIMAL(38,19)) * CAST(1 AS DECIMAL(38,20))'),
+    ('type/TestDecimalOperators.java', 0,
+     'CAST(1.5 AS DECIMAL(20,19)) * CAST(1.5 AS DECIMAL(21,20))'),
 ]
 
 
