@@ -2139,6 +2139,18 @@ class _NotLiteralExpr(Exception):
     """Argument is not a fully-literal value — leave the call alone."""
 
 
+class _CncChar(str):
+    """A CHAR 'x' typed literal inside the fold: char(n) comparison
+    pads both sides to the common length (Presto CharType), which is
+    equivalent to comparing with trailing spaces stripped. Mixing a
+    CHAR with a non-CHAR operand declines the fold (r15 — the r14
+    ADVICE low originally declined CHAR outright; replaying the pad
+    lets ROW(CHAR 'ab') = ROW(CHAR 'ab ') fold to the reference's
+    TRUE instead of Spark's unpadded FALSE)."""
+
+    __slots__ = ()
+
+
 _CNC_NUM = re.compile(r"[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?")
 _CNC_WORD = re.compile(r"[A-Za-z_]\w*")
 _CNC_STASH = re.compile(r"\x00s(\d+)\x00")
@@ -2340,10 +2352,8 @@ def _cnc_value(s: str, i: int, stash):
                     raise _NotLiteralExpr from None
             if w == "VARCHAR":
                 return body, sm2.end()
-            # CHAR 'x' declines: char(n) equality pads both sides to
-            # the common length (Presto CharType), which the padless
-            # str model here would fold wrong (ADVICE r14: ROW(CHAR
-            # 'ab') = ROW(CHAR 'ab ') must not fold to FALSE).
+            if w == "CHAR":
+                return _CncChar(body), sm2.end()
         raise _NotLiteralExpr
     nm = _CNC_NUM.match(s, i)
     if nm:
@@ -2422,6 +2432,11 @@ def _cnc_eq(a, b):
             elif not r:
                 return False
         return None if indeterminate else True
+    if isinstance(a, _CncChar) or isinstance(b, _CncChar):
+        if not (isinstance(a, _CncChar) and isinstance(b, _CncChar)):
+            raise _NotLiteralExpr  # CHAR vs non-CHAR: coercion rules
+            # not modeled here
+        return str(a).rstrip(" ") == str(b).rstrip(" ")
     return a == b
 
 
@@ -2433,6 +2448,10 @@ def _cnc_key(v):
         return ("null",)
     if isinstance(v, bool):
         return ("b", v)
+    if isinstance(v, _CncChar):
+        # char(n) hashing pads to the common length — canonical form
+        # strips the trailing spaces
+        return ("c", str(v).rstrip(" "))
     if isinstance(v, (list, tuple)):
         return (type(v).__name__,) + tuple(_cnc_key(x) for x in v)
     if isinstance(v, dict):
@@ -2568,6 +2587,13 @@ def _cnc_row_compare(a: tuple, b: tuple) -> str | None:
             continue
         if not _cnc_same_kind(x, y) or isinstance(x, list):
             raise _NotLiteralExpr
+        if isinstance(x, _CncChar) or isinstance(y, _CncChar):
+            if not (isinstance(x, _CncChar)
+                    and isinstance(y, _CncChar)):
+                raise _NotLiteralExpr
+            if str(x).rstrip(" ") != str(y).rstrip(" "):
+                return None  # padded strict inequality decides here
+            continue
         if x != y:
             return None  # strict inequality decides here
     return None
@@ -4996,6 +5022,14 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = _fold_decimal_literal_arith(masked, stash)
     masked = _rewrite_in_list_div0(masked, stash)
     masked = _fold_int_literal_div(masked, stash)
+    # complex-literal equality over CHAR typed literals must fold
+    # BEFORE the typed-literal lowering erases the CHAR-ness (CHAR
+    # 'x' lowers to CAST(x AS STRING), indistinguishable from
+    # VARCHAR): char(n) comparison pads to the common length, which
+    # the _CncChar model replays (r15 — ROW(CHAR 'ab') = ROW(CHAR
+    # 'ab ') is the reference's TRUE, not Spark's unpadded FALSE)
+    if re.search(r"\bCHAR\s*\x00s\d+\x00", masked, re.IGNORECASE):
+        masked = _fold_complex_literal_equality(masked, stash)
     masked = _rewrite_typed_literals(masked, stash)
     masked = _fold_decimal_literal_casts(masked, stash)
     _raise_invalid_literal_casts(masked)

@@ -81,6 +81,15 @@ CASES = [
     ("ROW(CAST(1.5 AS INTEGER)) = ROW(2)", True),
     ("CONTAINS(ARRAY[ARRAY[3], ARRAY[null]], "
      "ARRAY[CAST(2.5 AS INTEGER)])", True),
+    # r15 #2 (r14 ADVICE low, completed): char(n) comparison pads to
+    # the common length (Presto CharType) — the fold runs BEFORE the
+    # typed-literal lowering erases CHAR-ness and replays the pad
+    # via _CncChar, so these land on the reference's values instead
+    # of Spark's unpadded string compare
+    ("ROW(CHAR 'ab') = ROW(CHAR 'ab ')", True),
+    ("ROW(CHAR 'ab', 1) <> ROW(CHAR 'ab  ', 1)", False),
+    ("ARRAY[CHAR 'x '] = ARRAY[CHAR 'x']", True),
+    ("ROW(CHAR 'ab') = ROW(CHAR 'ac')", False),
 ]
 
 
