@@ -427,11 +427,28 @@ def _fold_decimal_literal_casts(masked: str, stash) -> str:
             typ = "INTEGER"
         try:
             if re.search(r"[eE]", m.group("num")):
-                # DOUBLE literal: Math.round = floor(x + 0.5) on the
-                # binary double (DoubleOperators.castToLong)
+                # DOUBLE literal: the reference rounds half AWAY FROM
+                # ZERO on the exact binary double — castToLong is
+                # DoubleMath.roundToLong(v, HALF_UP)
+                # (DoubleOperators.java:240, RoundingMode.HALF_UP) and
+                # castToInteger/Smallint/Tinyint go through the
+                # sign-aware MathFunctions.round
+                # (MathFunctions.java:757-758). Decimal(float) is the
+                # exact binary value, so ROUND_HALF_UP here models
+                # both paths exactly, including the post-JDK-6430675
+                # Math.round edge (0.49999999999999994 -> 0, where
+                # floor(x + 0.5) would give 1). Reference value pin:
+                # cast(-17.5E0 as bigint) = -18
+                # (TestDoubleOperators.java:195).
                 import math
 
-                n = math.floor(float(num) + 0.5)
+                v = float(num)
+                if math.isnan(v) or math.isinf(v):
+                    return m.group(0)
+                with localcontext() as ctx:
+                    ctx.prec = 90
+                    n = int(Decimal(v).quantize(
+                        Decimal(1), rounding=ROUND_HALF_UP))
             else:
                 with localcontext() as ctx:
                     ctx.prec = 90
@@ -1954,11 +1971,14 @@ def _rewrite_double_to_integral_cast(masked: str) -> str:
             # absorbing form directly (TRY(x) == x then; _lower_try
             # passes a lone TRY_CAST through)
             outer = "TRY_CAST"
-        repl = (f"{outer}(IF(isnan(({inner})) OR "
-                f"abs(({inner})) >= 9.223372036854776E18D, "
-                f"{outer}(({inner}) AS BIGINT), "
-                f"IF(({inner}) >= 0D, FLOOR(({inner}) + 0.5D), "
-                f"-FLOOR(-({inner}) + 0.5D))) AS {t})")
+        # Spark's round(double) is BigDecimal.valueOf + HALF_UP —
+        # exactly the reference's half-away-from-zero including the
+        # post-JDK-6430675 edge (round(0.49999999999999994D) = 0 where
+        # FLOOR(x + 0.5) gives 1; probed) — and it passes NaN /
+        # Infinity / out-of-int64 doubles through unchanged, so the
+        # outer ANSI cast keeps the raise (or TRY_CAST NULL)
+        # discipline without an explicit guard.
+        repl = f"{outer}(ROUND(({inner})) AS {t})"
         out = out[:m.start()] + repl + out[past:]
         pos = m.start() + len(repl)
         extents = _dca_try_extents(out)

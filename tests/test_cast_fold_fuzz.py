@@ -25,6 +25,7 @@ import math
 import random
 import struct
 from decimal import ROUND_HALF_UP, Decimal
+from fractions import Fraction
 
 import pytest
 
@@ -71,10 +72,24 @@ def test_bare_literal_integral_cast_fuzz(spark):
                 Decimal(lit).quantize(Decimal(1),
                                       rounding=ROUND_HALF_UP))
         else:
-            # exponent literal: DOUBLE source, Math.round
+            # exponent literal: DOUBLE source. The reference rounds
+            # half AWAY FROM ZERO on the exact binary double
+            # (DoubleMath.roundToLong(v, HALF_UP),
+            # DoubleOperators.java:240; sign-aware MathFunctions.round
+            # for the smaller types, MathFunctions.java:757-758).
+            # Oracle derived independently of the implementation via
+            # exact Fraction arithmetic on the parsed double.
             exp = rng.randint(-2, 3)
             lit = f"{sign}{ip}.{fp:0{fdigits}d}E{exp}"
-            want = math.floor(float(lit) + 0.5)
+            v = Fraction(float(lit))  # exact binary value
+            fl = v.numerator // v.denominator
+            rem = v - fl
+            if rem > Fraction(1, 2):
+                want = fl + 1
+            elif rem < Fraction(1, 2):
+                want = fl
+            else:  # exact tie: away from zero
+                want = fl + 1 if v > 0 else fl
         if not lo <= want <= hi:
             continue  # overflow raises in both engines; out of scope
         cases.append((f"CAST({lit} AS {typ})", want))

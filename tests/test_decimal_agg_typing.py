@@ -83,7 +83,21 @@ CAST_CASES = [
     ("CAST(2.5 AS BIGINT)", "3"),       # HALF_UP (decimal source)
     ("CAST(-2.5 AS BIGINT)", "-3"),
     ("CAST(1.7E0 AS INTEGER)", "2"),    # Math.round (double source)
-    ("CAST(-2.5E0 AS BIGINT)", "-2"),   # Math.round: floor(x + 0.5)
+    # half AWAY FROM ZERO on doubles too: castToLong is
+    # DoubleMath.roundToLong(v, HALF_UP) (DoubleOperators.java:240)
+    # and the smaller types go through the sign-aware
+    # MathFunctions.round (MathFunctions.java:757-758). Reference
+    # value pins: TestDoubleOperators.java:186-195.
+    ("CAST(-2.5E0 AS BIGINT)", "-3"),
+    ("CAST(-17.5E0 AS BIGINT)", "-18"),  # TestDoubleOperators.java:195
+    ("CAST(2.5E0 AS BIGINT)", "3"),
+    ("CAST(-2.5E0 AS INTEGER)", "-3"),
+    ("CAST(-2.5E0 AS SMALLINT)", "-3"),
+    ("CAST(-2.5E0 AS TINYINT)", "-3"),
+    # post-JDK-6430675 Math.round edge: largest double below 0.5
+    # rounds to 0, where floor(x + 0.5) would give 1
+    ("CAST(0.49999999999999994E0 AS BIGINT)", "0"),
+    ("CAST(-0.49999999999999994E0 AS BIGINT)", "0"),
     ("CAST(2.49 AS SMALLINT)", "2"),
 ]
 
