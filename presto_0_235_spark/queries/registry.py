@@ -78,10 +78,10 @@ _PRIORITY: tuple[str, ...] = (
     "join_theta_range", "join_broadcast_dim", "join_skew_salted",
     "join_null_keys",
     # window functions (win_range_frame rotated out in r13;
-    # win_running_agg rotated out in r14 — frames/running aggs stay
-    # covered in the full local artifact and the family by the three
-    # entries here + sql_win_ntile_expr_scale below)
-    "win_topn_per_group", "win_ranking", "win_lag_lead",
+    # win_running_agg rotated out in r14; win_lag_lead rotated out
+    # in r16 — lag/lead stays gate-exercised at sf scale by
+    # sql_win_lag_offset_scale and in the full local artifact)
+    "win_topn_per_group", "win_ranking",
     # sort / limit / top-k (limit_deterministic rotated out in r14 —
     # total-ordered LIMIT stays exercised by topn and every
     # ORDER-BY-LIMIT query in the prefix)
@@ -89,9 +89,11 @@ _PRIORITY: tuple[str, ...] = (
     # set operations (union_distinct rotated out in r10;
     # union_all rotated out in r15 — concatenation is the
     # no-dedup degenerate case and every UNION ALL inside the
-    # TPC-H/TPC-DS prefix rows exercises it; still in the full
-    # local artifact)
-    "intersect_distinct", "except_distinct",
+    # TPC-H/TPC-DS prefix rows exercises it; except_distinct rotated
+    # out in r16 — the hash-dedup set-op family stays gated by
+    # intersect_distinct, whose anti-shape covers the same
+    # shuffle-dedup plan; still in the full local artifact)
+    "intersect_distinct",
     # TPC-H suite (r11 rotation: q10/q13/q17 out — plain join/agg
     # shapes covered by q1/q3/q5/q18/q22 + the join_* block — and
     # q19 BACK in per the r10 advice: its OR-of-ANDs predicate shape
@@ -105,16 +107,23 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q1", "tpch_q3", "tpch_q5",
     "tpch_q18", "tpch_q19",
     # subqueries + core shapes (quantified_all rotated out in r12 —
-    # the family stays via sql_quantified_equality)
-    "scalar_subquery", "in_subquery",
+    # the family stays via sql_quantified_equality; scalar_subquery
+    # rotated out in r16 — the scalar-subquery shape is exercised
+    # inside sql_tpcds_q23's HAVING-max gate and in_subquery keeps
+    # the subquery family's gate slot; still in the full artifact)
+    "in_subquery",
     "filter_predicates", "agg_grouping_sets", "cte_query",
     # representative r7+ families (one per surface; r10 rotation:
     # rcfile codec, geometry clipping, and two SQL-front-door corpus
     # queries whose text exercises the rewrite passes swap in for
     # three TPC-H shapes and union_distinct, so the external gate
     # hash-checks the newest surfaces directly)
-    "tpcds_q65_adapted", "io_roundtrip_pagefile",
-    "io_roundtrip_rcfile",
+    # (tpcds_q65_adapted and io_roundtrip_rcfile rotated out in r16:
+    # the TPC-DS family now holds six gate rows — q23/q95/q67 plus
+    # the r16 additions q70/q64/q49 — and the storage-codec family
+    # keeps three: pagefile, avro, and the new pagefile_zstd; both
+    # rotated rows stay in the full local artifact)
+    "io_roundtrip_pagefile",
     # (sql_quoted_identifiers rotated out in r14: the front-door
     # rewrite passes stay gate-exercised by sql_lambda_functions and
     # the new decimal-arithmetic row below)
@@ -187,6 +196,18 @@ _PRIORITY: tuple[str, ...] = (
     # real volumes).
     "io_roundtrip_avro", "sql_tpcds_q23", "sql_tpcds_q95",
     "sql_decimal_agg_scale", "sql_win_lag_offset_scale",
+    # r16 rotation (r15 verdict #4 — oracle-backed candidates never
+    # gated): the bare-column decimal aggregate typing row (the r15
+    # semantics surface — AVG keeps the column's (p,s) with HALF_UP,
+    # SUM lands (38,s); its oracle replays both in exact integer
+    # cents), three TPC-DS SQL-text twins from the r15 completion
+    # (q70 — grouping()-in-window rollup; q64 — the semi-join cohort
+    # gate whose plan pin forbids a BNLJ; q49 — the windowed-union
+    # return-ratio shape), and the zstd PAGEFILE roundtrip (the
+    # reference's page container with its second codec — byte-level
+    # wire coverage the plain pagefile row doesn't reach).
+    "sql_decimal_agg_column_scale", "sql_tpcds_q70", "sql_tpcds_q64",
+    "sql_tpcds_q49", "io_roundtrip_pagefile_zstd",
 )
 
 

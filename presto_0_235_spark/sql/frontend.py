@@ -399,25 +399,28 @@ def _fold_decimal_literal_casts(masked: str, stash) -> str:
         return f"CAST({n} AS {typ})"
 
     def repl_real(m: re.Match) -> str:
+        # REAL -> DECIMAL goes through Java's Float.toString in the
+        # reference (DecimalCasts.realToLongDecimal:
+        # `new BigDecimal(String.valueOf(floatValue)).setScale(s,
+        # HALF_UP)`, DecimalCasts.java:541-556). JDK-8..17
+        # Float.toString is NOT always the shortest roundtrip
+        # rendering (REAL '12345678400000000' prints 1.23456784E16
+        # where 1.2345678E16 already roundtrips — the pre-JDK-19
+        # FloatingDecimal; reference pin TestDecimalCasts.java:367),
+        # so a Python-side shortest-repr fold computes the WRONG
+        # digits. Hop through the JVM instead: Spark's float->string
+        # cast IS Float.toString on this JVM, and its string->decimal
+        # cast rounds HALF_UP — byte-identical semantics, and ANSI
+        # keeps the overflow raise. NaN/Infinity spellings decline so
+        # the raise fold below replays the reference's message.
         lit = _lit_of(m.group(1), stash)
         if lit is None:
             return m.group(0)
-        try:
-            import numpy as np
-
-            shortest = repr(np.float32(lit.strip()))
-            p, s = int(m.group(2)), int(m.group(3))
-            with localcontext() as ctx:
-                ctx.prec = 90
-                v = Decimal(shortest).quantize(
-                    Decimal(1).scaleb(-s), rounding=ROUND_HALF_UP)
-                if abs(int(v.scaleb(s))) >= 10 ** p:
-                    return m.group(0)  # overflow: both engines raise
-        except Exception:
+        if lit.strip().lstrip("+-").lower() in ("nan", "infinity",
+                                                "inf"):
             return m.group(0)
-        from presto_0_235_spark.sql.scalar_templates import _stash_lit
-
-        return (f"CAST({_stash_lit(stash, str(v))} "
+        p, s = int(m.group(2)), int(m.group(3))
+        return (f"CAST(CAST(CAST({m.group(1)} AS FLOAT) AS STRING) "
                 f"AS DECIMAL({p}, {s}))")
 
     def repl_bare_int(m: re.Match) -> str:
@@ -543,8 +546,21 @@ def _rewrite_orderby_aliased_grouping(masked: str) -> str:
         return masked
     if not up.lstrip().startswith("SELECT"):
         return masked
-    ob = re.search(r"\bORDER\s+BY\b", masked, re.IGNORECASE)
-    fr = re.search(r"\bFROM\b", masked, re.IGNORECASE)
+    # anchor on the LAST top-level ORDER BY (balanced-paren prefix):
+    # the first occurrence may sit inside a window spec or aggregate
+    # in the select list (sum(b) OVER (ORDER BY a)), and substituting
+    # from there would rewrite FROM/WHERE/GROUP BY/HAVING too
+    ob = None
+    for obm in re.finditer(r"\bORDER\s+BY\b", masked, re.IGNORECASE):
+        pre = masked[:obm.start()]
+        if pre.count("(") == pre.count(")"):
+            ob = obm
+    fr = None
+    for frm in re.finditer(r"\bFROM\b", masked, re.IGNORECASE):
+        pre = masked[:frm.start()]
+        if pre.count("(") == pre.count(")"):
+            fr = frm
+            break
     if ob is None or fr is None:
         return masked
     sel_start = re.search(r"\bSELECT\b", masked, re.IGNORECASE).end()
@@ -598,6 +614,16 @@ _FROMLESS_POS_DECLINE = frozenset({
     "EXISTS", "UNION", "INTERSECT", "EXCEPT", "ALL", "ANY", "SOME",
     "FROM", "JOIN", "LATERAL", "TABLE", "AS",
 })
+# keywords that legitimately CONTINUE an expression after a scalar
+# subquery's closing paren; any other word there is a derived-table
+# alias (or AS, or a set-op keyword) — relation position, decline
+_FROMLESS_NEXT_OK = frozenset({
+    "AND", "OR", "NOT", "IS", "IN", "BETWEEN", "LIKE", "ESCAPE",
+    "THEN", "ELSE", "END", "WHEN", "ASC", "DESC", "NULLS", "FIRST",
+    "LAST", "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+    "OFFSET", "FETCH", "JOIN", "INNER", "LEFT", "RIGHT", "FULL",
+    "CROSS", "ON", "USING", "OVER", "DIV", "WINDOW",
+})
 
 
 def _inline_fromless_scalar_subqueries(masked: str) -> str:
@@ -615,6 +641,18 @@ def _inline_fromless_scalar_subqueries(masked: str) -> str:
         try:
             close = _balanced(out, m.start())
         except ValueError:
+            continue
+        # the token AFTER the closing paren decides expression vs
+        # relation position (r16 ADVICE #2): a derived table is
+        # followed by its alias (with or without AS) — `FROM t1,
+        # (SELECT 1) x` has a ',' before the paren, which the
+        # previous-keyword check can't see — and a set-operation's
+        # LEFT operand by UNION/INTERSECT/EXCEPT; both would inline
+        # to invalid SQL. A scalar position continues with an
+        # operator, ',', ')', end-of-text, or an
+        # expression-continuation keyword.
+        nm = re.match(r"\s*([A-Za-z_]\w*)", out[close:])
+        if nm and nm.group(1).upper() not in _FROMLESS_NEXT_OK:
             continue
         body = out[m.end():close - 1]
         if len(_split_top_comma(body)) != 1:
@@ -3318,9 +3356,21 @@ def _rewrite_row_column_subscripts(masked: str) -> str:
                 return mm.group(0)
             return f"{mm.group(1)}.{fields[n - 1]}"
 
+        # the substitution is textual, not scope-aware (r16 ADVICE
+        # #4): when the statement holds more than one relation (a
+        # JOIN branch or sibling subquery could carry an identically
+        # named map/array column), only the QUALIFIED alias.col[n]
+        # form rewrites; the bare col[n] form is taken only for
+        # single-SELECT, join-free statements where this derived
+        # table is the sole name source
+        up = out.upper()
+        sole = up.count("SELECT") - body.upper().count("SELECT") == 1 \
+            and not re.search(r"\bJOIN\b", up)
+        qual = rf"{re.escape(alias)}\s*\.\s*{re.escape(col)}" if not \
+            sole else (rf"(?:{re.escape(alias)}\s*\.\s*)?"
+                       rf"{re.escape(col)}")
         out = re.sub(
-            rf"(?<![\w.\x00])((?:{re.escape(alias)}\.)?"
-            rf"{re.escape(col)})\s*\[\s*(\d+)\s*\]",
+            rf"(?<![\w.\x00])({qual})\s*\[\s*(\d+)\s*\]",
             sub, out)
     return out
 
@@ -5036,6 +5086,16 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = re.sub(
         r"\bDOUBLE\s+PRECISION\b", "DOUBLE", masked, flags=re.IGNORECASE
     )
+    # bare DECIMAL in a type position defaults to the MAX precision
+    # in the reference — DecimalType.createDecimalType() is (38, 0)
+    # (TestDecimalCasts.java:36 CAST(true AS DECIMAL) =
+    # maxPrecisionDecimal) — where Spark's default is (10, 0).
+    # Normalize before any fold so the derivations see (38, 0); the
+    # typed-literal form DECIMAL '…' (next char is a stashed string)
+    # keeps its own parse-derived precision.
+    masked = re.sub(
+        r"\bAS\s+DECIMAL\b(?!\s*[(\x00])", "AS DECIMAL(38, 0)",
+        masked, flags=re.IGNORECASE)
     masked = _rewrite_order_by_window(masked)
     masked = _inline_fromless_scalar_subqueries(masked)
     masked = _rewrite_orderby_aliased_grouping(masked)

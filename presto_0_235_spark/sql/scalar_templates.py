@@ -262,11 +262,27 @@ def _decimal_avg_window(args: list[str], over_text: str):
     frames. Same widen-round-cast construction (and exactness
     bounds) as the plain-aggregate avg template below, with the OVER
     clause consumed inside the ROUND."""
-    tm = re.match(
-        r"^\s*(?:TRY_)?CAST\s*\(.*\bAS\s+DECIMAL\s*"
-        r"\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*\)\s*$",
-        args[0], re.IGNORECASE | re.DOTALL)
-    if tm is None or args[0].count("(") != args[0].count(")"):
+    # the argument must be EXACTLY one decimal-typed cast — the
+    # first CAST's balanced extent has to span the whole argument
+    # (r16 ADVICE #3: a greedy match on `CAST(a AS DECIMAL(10,2)) +
+    # CAST(b AS DECIMAL(10,2))` would type the avg from the LAST
+    # cast where the reference derives the SUM type decimal(11,2))
+    from presto_0_235_spark.sql.frontend import _balanced
+
+    arg = args[0].strip()
+    hm = re.match(r"^(?:TRY_)?CAST\s*\(", arg, re.IGNORECASE)
+    if hm is None:
+        return None
+    try:
+        open_i = arg.index("(", hm.end() - 1)
+        if _balanced(arg, open_i) != len(arg):
+            return None
+    except ValueError:
+        return None
+    tm = re.search(
+        r"\bAS\s+DECIMAL\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*\)\s*$",
+        arg, re.IGNORECASE)
+    if tm is None:
         return None
     p = int(tm.group(1))
     s = int(tm.group(2)) if tm.group(2) else 0

@@ -1,0 +1,99 @@
+"""Reference cast VALUE pins (r16 — VERDICT r15 item #2).
+
+tests/cast_value_corpus_data.py is MECHANICALLY EXTRACTED by
+tools/extract_cast_value_pins.py from the cast sections of the
+reference's type/ test suites: every assertFunction /
+assertDecimalFunction VALUE row (483 pins across TestDoubleOperators,
+TestRealOperators, TestIntegerOperators, TestBigintOperators,
+TestSmallintOperators, TestTinyintOperators, TestBooleanOperators,
+TestDecimalCasts, TestDecimalToDecimalCasts,
+TestCharacterStringCasts; file:line cited per row). These are the
+pins whose absence let the r15 exponent-literal tie misround ship
+validated only by same-author tests — cast(-17.5E0 as bigint) = -18
+(TestDoubleOperators.java:195) is row one of the class.
+
+Each pin checks BOTH the value and the result dtype (decimal
+precision/scale included). Values compare exactly: float/double by
+IEEE bits (so -0.0 != 0.0, NaN == NaN — Java boxed equality, which
+is what assertFunction uses), decimals by value AND scale.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from decimal import Decimal
+
+import pytest
+
+from presto_0_235_spark.sql.frontend import run_sql
+from tests.cast_value_corpus_data import CAST_VALUE_PINS
+
+CHUNK = 24
+
+_DTYPE = {
+    "bigint": {"bigint"}, "int": {"int"}, "smallint": {"smallint"},
+    "tinyint": {"tinyint"}, "boolean": {"boolean"},
+    "double": {"double"}, "real": {"float"},
+    "varchar": {"string"}, "json": {"string"},
+}
+
+
+def _expected_dtypes(rtype: str) -> set[str]:
+    if rtype in _DTYPE:
+        return _DTYPE[rtype]
+    if rtype.startswith("char("):
+        # the engine lowers CHAR(n) to padded STRING (Spark keeps
+        # char metadata only behind preserveCharVarcharTypeInfo)
+        return {"string", rtype, rtype.replace(",", ", ")}
+    if rtype.startswith("decimal("):
+        return {rtype, rtype.replace(",", ", ")}
+    raise AssertionError(f"unknown corpus type {rtype}")
+
+
+def _value_matches(rtype: str, expected, got) -> bool:
+    if expected is None or got is None:
+        return expected is None and got is None
+    if rtype in ("double", "real"):
+        if not isinstance(got, float):
+            return False
+        if math.isnan(expected):
+            return math.isnan(got)
+        pack = "<f" if rtype == "real" else "<d"
+        return struct.pack(pack, expected) == struct.pack(pack, got)
+    if rtype.startswith("decimal("):
+        if not isinstance(got, Decimal):
+            return False
+        s = int(rtype[8:-1].split(",")[1])
+        if got != Decimal(expected):
+            return False
+        return s == 0 or -got.as_tuple().exponent == s
+    if rtype in ("bigint", "int", "smallint", "tinyint"):
+        return isinstance(got, int) and got == expected
+    return got == expected
+
+
+def _chunks():
+    for i in range(0, len(CAST_VALUE_PINS), CHUNK):
+        yield i // CHUNK, CAST_VALUE_PINS[i:i + CHUNK]
+
+
+@pytest.mark.parametrize(
+    "rows", [c for _, c in _chunks()],
+    ids=[f"chunk{i:02d}" for i, _ in _chunks()])
+def test_cast_value_pins(spark, rows):
+    sel = ", ".join(f"({expr}) AS c{i}"
+                    for i, (_, _, _, expr, _, _) in enumerate(rows))
+    df = run_sql(spark, f"SELECT {sel}")
+    dtypes = dict(df.dtypes)
+    got = df.first()
+    bad = []
+    for i, (fname, ln, method, expr, rtype, expected) in \
+            enumerate(rows):
+        dtype = dtypes[f"c{i}"]
+        ok_t = dtype in _expected_dtypes(rtype)
+        ok_v = _value_matches(rtype, expected, got[i])
+        if not (ok_t and ok_v):
+            bad.append(f"{fname}:{ln} {expr!r} want {rtype} "
+                       f"{expected!r} got {dtype} {got[i]!r}")
+    assert not bad, "\n".join(bad)

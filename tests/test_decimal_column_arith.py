@@ -231,3 +231,15 @@ def test_avg_decimal_keeps_input_type_half_up(spark):
         "SELECT avg(DISTINCT CAST(x AS DECIMAL(12,2))) AS a "
         "FROM (VALUES (0.01)) t(x)")
     assert typ == "decimal(16,6)"
+    # r16 ADVICE #3: a COMPOUND argument (cast + cast) must decline —
+    # the first CAST's extent doesn't span the argument, and typing
+    # the avg from the LAST cast would pin decimal(10,2) where the
+    # reference derives the sum type decimal(11,2). Declined sites
+    # keep Spark's own derivation (not the last-cast's (10,2)).
+    typ, val = _one(
+        spark,
+        "SELECT avg(CAST(x AS DECIMAL(10,2)) + CAST(y AS "
+        "DECIMAL(10,2))) OVER () AS a FROM (VALUES (1.00, 2.00)) "
+        "t(x, y)")
+    assert typ != "decimal(10,2)", typ
+    assert val == D("3.00"), val

@@ -1075,6 +1075,19 @@ CORPUS: list[Case] = [
       "frontend._inline_fromless_scalar_subqueries)",
       duck="SELECT nationkey FROM nation ORDER BY nationkey",
       ordered=True),
+    C("fromless_derived_after_comma",
+      # r16 ADVICE #2: a FROM-less derived table after a comma in a
+      # FROM list must NOT inline ('(2) u(y)' is invalid SQL) — the
+      # following-alias token declines it
+      "SELECT x + y AS s FROM (VALUES 1) t(x), (SELECT 2) u(y)",
+      f"{_ATQ}:6181 (r16 ADVICE #2 scope guard — _inline_fromless_scalar_subqueries declines relation positions)",
+      duck="SELECT 3 AS s"),
+    C("fromless_setop_left_operand",
+      # r16 ADVICE #2: the LEFT operand of a set operation must NOT
+      # inline ('(1) UNION ALL ...' is invalid SQL)
+      "(SELECT 1 AS v) UNION ALL (SELECT 2 AS v)",
+      f"{_ATQ}:6181 (r16 ADVICE #2 scope guard — set-op operands decline)",
+      duck="SELECT * FROM (VALUES (1), (2)) t(v)"),
     C("correlated_scalar_agg_in_where",
       "SELECT c.custkey FROM customer c WHERE c.acctbal < "
       "(SELECT avg(acctbal) FROM customer)",
@@ -1445,6 +1458,16 @@ CORPUS: list[Case] = [
       "exposes its field names statically — "
       "frontend._rewrite_row_column_subscripts)",
       duck="SELECT name, regionkey FROM nation ORDER BY name LIMIT 1"),
+    C("row_subscript_shadowed_join",
+      # r16 ADVICE #4: an identically named ARRAY column in a join
+      # branch must NOT be rewritten to struct field access — in a
+      # multi-relation statement only the QUALIFIED alias.col[n]
+      # form takes the row-ordinal rewrite
+      "SELECT v.r[2] AS f, u.r[1] AS e FROM "
+      "(VALUES (ROW (ROW (1, 'a', true)))) AS v(r) CROSS JOIN "
+      "(VALUES (ARRAY[7, 8])) AS u(r)",
+      f"{_ATQ}:318 testRowSubscript (r16 ADVICE #4: multi-relation statements rewrite only the qualified form)",
+      duck="SELECT 'a' AS f, 7 AS e"),
     C("row_subscript_named_cast",
       "SELECT (CAST (ROW (1, 'a', 2 ) AS ROW (field1 bigint, field2 "
       "varchar(1), field3 bigint)))[2]",
@@ -1811,6 +1834,23 @@ CORPUS: list[Case] = [
       "single-SELECT statements — "
       "frontend._rewrite_orderby_aliased_grouping)",
       duck="SELECT * FROM (VALUES (3), (1))"),
+    C("orderby_alias_window_no_outer_order",
+      # r16 ADVICE #1: the only ORDER BY sits inside a window spec —
+      # the aliased-grouping rewrite must NOT anchor there (it would
+      # substitute foo for a across FROM/WHERE/GROUP BY and break
+      # analysis); it declines when no top-level ORDER BY exists
+      "SELECT a AS foo, sum(b) OVER (ORDER BY a) AS s FROM "
+      "(values (1,2),(3,4)) t(a,b) WHERE a > 0 GROUP BY a, b",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference (r16 ADVICE #1: anchor on the LAST top-level ORDER BY)",
+      duck="SELECT * FROM (VALUES (1, 2), (3, 6))"),
+    C("orderby_alias_window_with_outer_order",
+      # r16 ADVICE #1: with BOTH a window ORDER BY and a top-level
+      # one, the substitution must touch only the final tail
+      "SELECT a AS foo, sum(b) OVER (ORDER BY a) AS s FROM "
+      "(values (1,2),(3,4)) t(a,b) WHERE a > 0 GROUP BY a, b "
+      "ORDER BY -a",
+      f"{_ATQ}:965 testOrderByWithOutputColumnReference (r16 ADVICE #1: substitution touches only the final tail)",
+      duck="SELECT * FROM (VALUES (3, 6), (1, 2))", ordered=True),
     C("orderby_global_agg",
       "SELECT max(a) FROM (values (1,2),(3,2)) t(a,b) ORDER BY "
       "max(-a)",
