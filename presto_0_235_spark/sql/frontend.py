@@ -2089,6 +2089,184 @@ def _real_operand_fwd(masked: str, i: int):
     return i, past
 
 
+_DBL_TAIL_IN = re.compile(r"\bAS\s+DOUBLE\s*$", re.IGNORECASE)
+_SCI_LIT_BACK = re.compile(r"\d+(?:\.\d+)?[eE][+-]?\d+$")
+_SCI_LIT_FWD = re.compile(r"\d+(?:\.\d+)?[eE][+-]?\d+")
+
+
+def _float_operand_back(masked: str, j: int):
+    """(start, end, kind) for a statically float-typed operand
+    ENDING at j: a CAST(... AS FLOAT/REAL) form ('real'), a
+    CAST(... AS DOUBLE) form, or a scientific literal ('double').
+    The sign of a negative literal stays OUTSIDE the operand —
+    fmod(-a, b) == -fmod(a, b), so the unary minus distributes."""
+    r = _real_operand_back(masked, j)
+    if r is not None:
+        return r[0], r[1], "real"
+    if j > 0 and masked[j - 1] == ")":
+        depth = 0
+        open_i = None
+        for k in range(j - 1, -1, -1):
+            if masked[k] == ")":
+                depth += 1
+            elif masked[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    open_i = k
+                    break
+        if open_i is not None:
+            hm = _DCA_CAST_BACK.search(masked[:open_i])
+            if hm is not None and _DBL_TAIL_IN.search(
+                    masked[open_i + 1:j - 1]):
+                return hm.start(), j, "double"
+        return None
+    sm = _SCI_LIT_BACK.search(masked[:j])
+    if sm is not None and (sm.start() == 0 or
+                           masked[sm.start() - 1] not in _IDENTCH):
+        return sm.start(), j, "double"
+    return None
+
+
+def _float_operand_fwd(masked: str, i: int):
+    r = _real_operand_fwd(masked, i)
+    if r is not None:
+        return r[0], r[1], "real"
+    if i > 0 and masked[i - 1] in _IDENTCH:
+        return None
+    m = _DCA_CAST_FWD.match(masked, i)
+    if m is not None:
+        try:
+            open_i = masked.index("(", m.end(1))
+            past = _balanced(masked, open_i)
+        except ValueError:
+            return None
+        if _DBL_TAIL_IN.search(masked[open_i + 1:past - 1]):
+            return i, past, "double"
+        return None
+    sm = _SCI_LIT_FWD.match(masked, i)
+    if sm is not None and (sm.end() == len(masked)
+                           or masked[sm.end()] not in _IDENTCH):
+        return i, sm.end(), "double"
+    return None
+
+
+_DEC_AGG_CALL = re.compile(r"(?<![\w.\x00])(sum|avg)\s*\(",
+                           re.IGNORECASE)
+
+
+def _wrap_decimal_agg_types(masked: str) -> str:
+    """Expose the reference's decimal AGGREGATE result types to the
+    arithmetic derivation pass (r16 — r15 verdict #6, the
+    non-static-decimal leniency class): sum over decimal(p, s) is
+    decimal(38, s) (DecimalSumAggregation.java) and avg KEEPS (p, s)
+    (DecimalAverageAggregation.java:197-207), so
+    `sum(CAST(x AS DECIMAL(12,2))) / 3` must derive decimal(38, 2)
+    where Spark's own rule lands (38, 6). Wrapping the call in its
+    Presto result-type cast BEFORE _rewrite_decimal_column_arith
+    makes the aggregate a statically-typed operand; the aggregate
+    templates later rewrite the INNER call in place (the sum
+    widening / avg widen-round-cast), so the value semantics are
+    theirs and this wrap only carries the type. Windowed / FILTER /
+    WITHIN GROUP shapes are skipped (the window template owns its
+    OVER clause), as are DISTINCT and non-static arguments, and avg
+    keeps the template's p <= 30 exactness bound."""
+    from presto_0_235_spark.sql.scalar_templates import (
+        _single_decimal_cast_type)
+
+    out = masked
+    pos = 0
+    while True:
+        m = _DEC_AGG_CALL.search(out, pos)
+        if m is None:
+            return out
+        pos = m.end()
+        try:
+            open_i = out.index("(", m.end(1))
+            past = _balanced(out, open_i)
+        except ValueError:
+            continue
+        if re.match(r"\s*(OVER|FILTER|WITHIN)\b", out[past:],
+                    re.IGNORECASE):
+            continue
+        ps = _single_decimal_cast_type(out[open_i + 1:past - 1])
+        if ps is None:
+            continue
+        p, s = ps
+        if m.group(1).lower() == "sum":
+            rp, rs = 38, s
+        else:
+            if (34 - p) // 2 < 2:
+                continue  # the avg template's exactness bound
+            rp, rs = p, s
+        # idempotence: already wrapped in this exact cast
+        pre = out[:m.start()].rstrip().upper()
+        if pre.endswith("CAST(") and re.match(
+                rf"\s*AS\s+DECIMAL\s*\(\s*{rp}\s*,\s*{rs}\s*\)",
+                out[past:], re.IGNORECASE):
+            continue
+        new = (f"CAST({out[m.start():past]} "
+               f"AS DECIMAL({rp}, {rs}))")
+        out = out[:m.start()] + new + out[past:]
+        pos = m.start() + len(new)
+
+
+def _rewrite_float_modulus(masked: str, stash) -> str:
+    """Floating modulus is IEEE fmod in the reference — `% 0` yields
+    NaN, never an error (RealOperators.modulus / DoubleOperators.
+    modulus are Java's `%`; TestRealOperators.java:91 pins
+    REAL'-0.0' % REAL'0.0' -> NaN) — while Spark ANSI raises
+    REMAINDER_BY_ZERO. For statically float-typed operand pairs
+    (CAST(... AS FLOAT/REAL/DOUBLE) forms and scientific literals),
+    emit the IEEE form. fmod of two float32s is exactly
+    representable in float32, so computing in double and narrowing
+    is exact; NaN/Infinity operands fall through to the JVM's `%`,
+    which already matches Java semantics. TRY statements are
+    skipped (same contract as _rewrite_real_division)."""
+    if "%" not in masked or re.search(r"\bTRY\s*\(", masked,
+                                      re.IGNORECASE):
+        return masked
+    from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+    out = masked
+    i = -1
+    while True:
+        i += 1
+        if i >= len(out):
+            return out
+        if out[i] != "%":
+            continue
+        j = i
+        while j > 0 and out[j - 1].isspace():
+            j -= 1
+        left = _float_operand_back(out, j)
+        if left is None:
+            continue
+        k = i + 1
+        while k < len(out) and out[k].isspace():
+            k += 1
+        right = _float_operand_fwd(out, k)
+        if right is None:
+            continue
+        g = left[0]
+        while g > 0 and out[g - 1].isspace():
+            g -= 1
+        if g and out[g - 1] in "*/%":
+            continue  # left-associativity: a continuation chain
+        a = out[left[0]:left[1]]
+        b = out[right[0]:right[1]]
+        t = "FLOAT" if left[2] == right[2] == "real" else "DOUBLE"
+        nan = _stash_lit(stash, "NaN")
+        new = (
+            f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL "
+            f"THEN CAST(NULL AS {t}) "
+            f"WHEN ({b}) = CAST(0 AS {t}) THEN CAST({nan} AS {t}) "
+            f"ELSE CAST(CAST(({a}) AS DOUBLE) % ({b}) AS {t}) END)"
+        )
+        out = out[:left[0]] + new + out[right[1]:]
+        i = left[0] + len(new) - 1
+    return out
+
+
 def _rewrite_real_division(masked: str, stash) -> str:
     """REAL / REAL computes in FLOAT32 with IEEE semantics in the
     reference (RealOperators; TestRealOperators.testDivide pins
@@ -5121,8 +5299,10 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = _rewrite_like_escapes(masked, stash)
     masked = _rewrite_negated_decimal_cast(masked, stash)
     masked = _rewrite_sized_char_casts(masked, stash)
+    masked = _wrap_decimal_agg_types(masked)
     masked = _rewrite_decimal_column_arith(masked)
     masked = _rewrite_real_division(masked, stash)
+    masked = _rewrite_float_modulus(masked, stash)
     masked = _fold_complex_null_comparisons(masked, stash)
     masked = _rewrite_array_literals(masked)
     masked = _rewrite_map_ctor(masked)

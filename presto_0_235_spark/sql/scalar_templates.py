@@ -255,27 +255,21 @@ _AGG_TEMPLATE_NAMES = frozenset({
 _AGG_SUFFIX_RE = re.compile(r"\s*(OVER|FILTER|WITHIN)\b", re.IGNORECASE)
 
 
-def _decimal_avg_window(args: list[str], over_text: str):
-    """Windowed decimal AVG: ``avg(CAST(x AS DECIMAL(p,s))) OVER w``
-    keeps (p, s) with HALF_UP rounding in the reference — the same
-    DecimalAverageAggregation.java:197-207 accumulator serves window
-    frames. Same widen-round-cast construction (and exactness
-    bounds) as the plain-aggregate avg template below, with the OVER
-    clause consumed inside the ROUND."""
-    # the argument must be EXACTLY one decimal-typed cast — the
-    # first CAST's balanced extent has to span the whole argument
-    # (r16 ADVICE #3: a greedy match on `CAST(a AS DECIMAL(10,2)) +
-    # CAST(b AS DECIMAL(10,2))` would type the avg from the LAST
-    # cast where the reference derives the SUM type decimal(11,2))
+def _single_decimal_cast_type(arg: str):
+    """(p, s) when the argument is EXACTLY one decimal-typed cast —
+    the first CAST's balanced extent spans the whole argument (r16
+    ADVICE #3: a greedy tail match on compound arguments like
+    `CAST(a AS DECIMAL(10,2)) + CAST(b AS DECIMAL(10,2))` would type
+    the aggregate from the LAST cast where the reference derives the
+    compound's own type); None otherwise."""
     from presto_0_235_spark.sql.frontend import _balanced
 
-    arg = args[0].strip()
+    arg = arg.strip()
     hm = re.match(r"^(?:TRY_)?CAST\s*\(", arg, re.IGNORECASE)
     if hm is None:
         return None
     try:
-        open_i = arg.index("(", hm.end() - 1)
-        if _balanced(arg, open_i) != len(arg):
+        if _balanced(arg, hm.end() - 1) != len(arg):
             return None
     except ValueError:
         return None
@@ -284,8 +278,20 @@ def _decimal_avg_window(args: list[str], over_text: str):
         arg, re.IGNORECASE)
     if tm is None:
         return None
-    p = int(tm.group(1))
-    s = int(tm.group(2)) if tm.group(2) else 0
+    return int(tm.group(1)), int(tm.group(2)) if tm.group(2) else 0
+
+
+def _decimal_avg_window(args: list[str], over_text: str):
+    """Windowed decimal AVG: ``avg(CAST(x AS DECIMAL(p,s))) OVER w``
+    keeps (p, s) with HALF_UP rounding in the reference — the same
+    DecimalAverageAggregation.java:197-207 accumulator serves window
+    frames. Same widen-round-cast construction (and exactness
+    bounds) as the plain-aggregate avg template below, with the OVER
+    clause consumed inside the ROUND."""
+    ps = _single_decimal_cast_type(args[0])
+    if ps is None:
+        return None
+    p, s = ps
     k = (34 - p) // 2
     if k < 2:
         return None
@@ -618,7 +624,33 @@ def _rewrite_one(
             args[0].strip(),
         )
         if mdec is None:
-            return None
+            # r16 (verdict #6): a statically-typed decimal COLUMN
+            # cast (the annotation pass's CAST(col AS DECIMAL(p,s))
+            # form, or a bare-numeric literal cast) rewrites at
+            # runtime with the reference's type: round keeps the
+            # scale (digits past position n zeroed) at precision
+            # min(38, p+1) (MathFunctions.java roundN*Decimal).
+            # Spark's ROUND on decimals is the same HALF_UP
+            # away-from-zero, so value semantics ride the built-in;
+            # the cast back to (p+1, s) pads the kept scale and can
+            # never overflow (the rounded magnitude needs at most
+            # p-s+1 integer digits).
+            ps = _single_decimal_cast_type(args[0])
+            if ps is None:
+                return None
+            p, s = ps
+            if len(a) == 2:
+                try:
+                    n = int(args[1].strip())
+                except ValueError:
+                    return None
+            else:
+                n = 0
+            rp = min(38, p + 1)
+            if n >= s:
+                return f"CAST({a[0]} AS DECIMAL({rp}, {s}))"
+            return (f"CAST(ROUND({a[0]}, {n}) "
+                    f"AS DECIMAL({rp}, {s}))")
         lit = _lit_of(mdec.group(1), stash)
         if lit is None:
             return None
@@ -2124,14 +2156,10 @@ def _rewrite_one(
         #     where the reference's overflow-counter state keeps
         #     averaging — a raise, never a wrong value. p > 30
         #     (k < 2) declines: bounds too weak to claim.
-        tm = re.match(
-            r"^\s*(?:TRY_)?CAST\s*\(.*\bAS\s+DECIMAL\s*"
-            r"\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*\)\s*$",
-            args[0], re.IGNORECASE | re.DOTALL)
-        if tm is None or args[0].count("(") != args[0].count(")"):
+        ps = _single_decimal_cast_type(args[0])
+        if ps is None:
             return None
-        p = int(tm.group(1))
-        s = int(tm.group(2)) if tm.group(2) else 0
+        p, s = ps
         k = (34 - p) // 2
         if k < 2:
             return None
@@ -2150,16 +2178,12 @@ def _rewrite_one(
         # (38, s) — accumulation semantics AND declared type match
         # with no outer cast, so OVER/FILTER call shapes compose
         # unchanged. Non-decimal / non-static args pass through.
-        tm = re.match(
-            r"^\s*(?:TRY_)?CAST\s*\(.*\bAS\s+DECIMAL\s*"
-            r"\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*\)\s*$",
-            args[0], re.IGNORECASE | re.DOTALL)
-        if tm is None:
+        ps = _single_decimal_cast_type(args[0])
+        if ps is None:
             return None
-        p = int(tm.group(1))
-        s = int(tm.group(2)) if tm.group(2) else 0
-        if p >= 28 or args[0].count("(") != args[0].count(")"):
-            return None  # already lands at (38, s) / unbalanced slice
+        p, s = ps
+        if p >= 28:
+            return None  # Spark's own rule already lands at (38, s)
         return f"sum(CAST({a[0]} AS DECIMAL(28, {s})))"
 
     if name == "skewness" and len(a) == 1:

@@ -1,14 +1,18 @@
 """Reference cast VALUE pins (r16 — VERDICT r15 item #2).
 
 tests/cast_value_corpus_data.py is MECHANICALLY EXTRACTED by
-tools/extract_cast_value_pins.py from the cast sections of the
-reference's type/ test suites: every assertFunction /
-assertDecimalFunction VALUE row (483 pins across TestDoubleOperators,
-TestRealOperators, TestIntegerOperators, TestBigintOperators,
-TestSmallintOperators, TestTinyintOperators, TestBooleanOperators,
-TestDecimalCasts, TestDecimalToDecimalCasts,
-TestCharacterStringCasts; file:line cited per row). These are the
-pins whose absence let the r15 exponent-literal tie misround ship
+tools/extract_cast_value_pins.py from the reference's type/ test
+suites: every assertFunction / assertDecimalFunction VALUE row of the
+cast sections (444 pins) PLUS the comparison / arithmetic / literal
+sections (927 pins — verdict r15 #3: the folds those sections cover,
+_fold_float_literal_compare, the decimal arith folds, the REAL
+coercion paths, shipped with same-author pins only) across
+TestDoubleOperators, TestRealOperators, TestIntegerOperators,
+TestBigintOperators, TestSmallintOperators, TestTinyintOperators,
+TestBooleanOperators, TestVarcharOperators, TestDecimalCasts,
+TestDecimalToDecimalCasts, TestCharacterStringCasts,
+TestDecimalOperators; file:line cited per row. These are the pins
+whose absence let the r15 exponent-literal tie misround ship
 validated only by same-author tests — cast(-17.5E0 as bigint) = -18
 (TestDoubleOperators.java:195) is row one of the class.
 
@@ -27,8 +31,9 @@ from decimal import Decimal
 import pytest
 
 from presto_0_235_spark.sql.frontend import run_sql
-from tests.cast_value_corpus_data import CAST_VALUE_PINS
+from tests.cast_value_corpus_data import CAST_VALUE_PINS, OP_VALUE_PINS
 
+ALL_PINS = CAST_VALUE_PINS + OP_VALUE_PINS
 CHUNK = 24
 
 _DTYPE = {
@@ -74,8 +79,8 @@ def _value_matches(rtype: str, expected, got) -> bool:
 
 
 def _chunks():
-    for i in range(0, len(CAST_VALUE_PINS), CHUNK):
-        yield i // CHUNK, CAST_VALUE_PINS[i:i + CHUNK]
+    for i in range(0, len(ALL_PINS), CHUNK):
+        yield i // CHUNK, ALL_PINS[i:i + CHUNK]
 
 
 @pytest.mark.parametrize(

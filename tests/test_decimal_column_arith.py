@@ -231,6 +231,41 @@ def test_avg_decimal_keeps_input_type_half_up(spark):
         "SELECT avg(DISTINCT CAST(x AS DECIMAL(12,2))) AS a "
         "FROM (VALUES (0.01)) t(x)")
     assert typ == "decimal(16,6)"
+    # r16 (verdict #6, the non-static decimal class): aggregate
+    # RESULTS are statically typed operands now —
+    # _wrap_decimal_agg_types exposes sum->(38,s) / avg->(p,s)
+    # (DecimalSumAggregation.java / DecimalAverageAggregation.java)
+    # to the arithmetic derivation, so outer arithmetic lands the
+    # reference type instead of Spark's
+    typ, val = _one(
+        spark,
+        "SELECT sum(CAST(x AS DECIMAL(12,2))) / 3 AS a "
+        "FROM (VALUES (1.00),(2.00)) t(x)")
+    assert typ == "decimal(38,2)", typ
+    assert val == D("1.00"), val
+    typ, val = _one(
+        spark,
+        "SELECT avg(CAST(x AS DECIMAL(12,2))) * CAST(2 AS "
+        "DECIMAL(5,0)) AS a FROM (VALUES (1.00),(2.01)) t(x)")
+    assert typ == "decimal(17,2)", typ
+    assert val == D("3.02"), val
+    # r16 (verdict #6): round over a statically-typed decimal
+    # COLUMN cast keeps the scale at precision min(38, p+1)
+    # (MathFunctions.java roundN*Decimal) — Spark's own derivation
+    # rescales to (p-s+1, 0)
+    for sql, want_t, want_v in [
+        ("SELECT round(CAST(x AS DECIMAL(12,2))) AS a "
+         "FROM (VALUES (2.50)) t(x)", "decimal(13,2)", D("3.00")),
+        ("SELECT round(CAST(x AS DECIMAL(12,2)), 1) AS a "
+         "FROM (VALUES (2.55)) t(x)", "decimal(13,2)", D("2.60")),
+        ("SELECT round(CAST(x AS DECIMAL(12,2)), 5) AS a "
+         "FROM (VALUES (2.55)) t(x)", "decimal(13,2)", D("2.55")),
+        ("SELECT round(CAST(x AS DECIMAL(4,1)), -2) AS a "
+         "FROM (VALUES (99.9)) t(x)", "decimal(5,1)", D("100.0")),
+    ]:
+        typ, val = _one(spark, sql)
+        assert typ == want_t, (sql, typ)
+        assert val == want_v, (sql, val)
     # r16 ADVICE #3: a COMPOUND argument (cast + cast) must decline —
     # the first CAST's extent doesn't span the argument, and typing
     # the avg from the LAST cast would pin decimal(10,2) where the

@@ -53,9 +53,9 @@ def value_matches(rtype: str, expected, got) -> bool:
         from decimal import Decimal
 
         s = int(rtype[8:-1].split(",")[1])
-        want = Decimal(expected).scaleb(0)
-        return isinstance(got, Decimal) and got == want and \
-            -got.as_tuple().exponent == s if s else got == want
+        if not isinstance(got, Decimal) or got != Decimal(expected):
+            return False
+        return s == 0 or -got.as_tuple().exponent == s
     if rtype in ("bigint", "int", "smallint", "tinyint"):
         return isinstance(got, int) and got == expected
     return got == expected
