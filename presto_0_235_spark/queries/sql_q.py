@@ -2317,6 +2317,55 @@ def sql_decimal_agg_column_scale(
     )
 
 
+@register(
+    "sql_decimal_round_trunc_scale",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+  FROM lineitem WHERE l_orderkey < 5000
+)
+SELECT l_returnflag,
+       CAST(sum((pc + 50) // 100) AS DOUBLE) AS sum_round,
+       CAST(sum(pc // 100) AS DOUBLE) AS sum_trunc,
+       CAST(CAST(sum(((pc + 5) // 10) * 10) AS DOUBLE) / 100
+            AS DOUBLE) AS sum_round1,
+       count(*) AS n
+FROM m GROUP BY l_returnflag
+""",
+)
+def sql_decimal_round_trunc_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decimal round/truncate over statically-typed COLUMN casts at
+    scale (r16 — the value-pin extraction's semantics surface):
+    1-arg round lands the reference's decimal(min(38, p-s+min(1,s)),
+    0) INTEGER type (MathFunctions.java Round :788-792), truncate
+    the decimal(max(1, p-s), 0) toward-zero type (Truncate
+    :902-907), and 2-arg round keeps (p, s) at min(38, p+1) (RoundN
+    :838-840) — all HALF_UP away from zero. The DuckDB oracle
+    replays the three in exact integer cents (prices are positive,
+    so (pc+50)//100 IS half-away-from-zero and pc//100 IS
+    toward-zero); a regression to Spark's own derivations
+    hash-mismatches on type-driven value shape."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT l_returnflag,
+               CAST(sum(round(CAST(l_extendedprice
+                    AS DECIMAL(12,2)))) AS DOUBLE) AS sum_round,
+               CAST(sum(truncate(CAST(l_extendedprice
+                    AS DECIMAL(12,2)))) AS DOUBLE) AS sum_trunc,
+               CAST(sum(round(CAST(l_extendedprice
+                    AS DECIMAL(12,2)), 1)) AS DOUBLE) AS sum_round1,
+               count(*) AS n
+        FROM lineitem WHERE l_orderkey < 5000
+        GROUP BY l_returnflag
+        """,
+    )
+
+
 _SQL_TPCDS_Q51 = """
 WITH web AS (
   SELECT l_returnflag AS item,

@@ -2210,6 +2210,120 @@ def _wrap_decimal_agg_types(masked: str) -> str:
         pos = m.start() + len(new)
 
 
+_NUM_LIT_BACK = re.compile(r"\d+(?:\.\d+)?$")
+_NUM_LIT_FWD = re.compile(r"\d+(?:\.\d+)?")
+
+
+def _num_operand_back(masked: str, j: int):
+    m = _NUM_LIT_BACK.search(masked[:j])
+    if m is not None and (m.start() == 0
+                          or masked[m.start() - 1] not in _IDENTCH):
+        return m.start(), j, "num"
+    return None
+
+
+def _num_operand_fwd(masked: str, i: int):
+    if i > 0 and masked[i - 1] in _IDENTCH:
+        return None
+    m = _NUM_LIT_FWD.match(masked, i)
+    if m is not None and (m.end() == len(masked)
+                          or masked[m.end()] not in _IDENTCH):
+        return i, m.end(), "num"
+    return None
+
+
+def _rewrite_double_division(masked: str, stash) -> str:
+    """DOUBLE division is IEEE in the reference — a zero divisor
+    yields signed Infinity/NaN, never an error
+    (DoubleOperators.divide is Java's `/`; TestMathFunctions
+    round(1.0E0 / 0, 2) = Infinity rows) — while Spark ANSI raises
+    DIVIDE_BY_ZERO even for doubles. For `/` sites where at least
+    one operand is statically DOUBLE-typed (CAST(... AS DOUBLE)
+    forms, scientific literals) and the other is float-typed or a
+    bare numeric literal (Presto coerces INTEGER/DECIMAL to double
+    here), emit the IEEE CASE in DOUBLE. REAL/REAL pairs are the
+    earlier _rewrite_real_division's float32 domain — this pass
+    runs after it and only picks up pairs with a double side. The
+    sign of a negated operand stays outside: (-a)/b == -(a/b) in
+    IEEE. TRY statements are skipped (same contract)."""
+    if "/" not in masked or re.search(r"\bTRY\s*\(", masked,
+                                      re.IGNORECASE):
+        return masked
+    from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+    out = masked
+    i = -1
+    while True:
+        i += 1
+        if i >= len(out):
+            return out
+        if out[i] != "/":
+            continue
+        j = i
+        while j > 0 and out[j - 1].isspace():
+            j -= 1
+        left = _float_operand_back(out, j) or _num_operand_back(out, j)
+        if left is None:
+            continue
+        k = i + 1
+        while k < len(out) and out[k].isspace():
+            k += 1
+        right = _float_operand_fwd(out, k) or _num_operand_fwd(out, k)
+        if right is None:
+            continue
+        kinds = (left[2], right[2])
+        if "double" not in kinds and "real" not in kinds:
+            continue  # num/num is the decimal/int literal folds'
+            # domain
+        if kinds == ("real", "real"):
+            continue  # _rewrite_real_division's float32 domain
+        g = left[0]
+        while g > 0 and out[g - 1].isspace():
+            g -= 1
+        if g and out[g - 1] in "*/%":
+            continue  # left-associativity: a continuation chain
+        a = out[left[0]:left[1]]
+        b = out[right[0]:right[1]]
+        # REAL / num coerces the literal to REAL and computes in
+        # float32 (narrowing the double quotient is exact for
+        # division); any double side widens everything to DOUBLE
+        t = "DOUBLE" if "double" in kinds else "FLOAT"
+        nan = _stash_lit(stash, "NaN")
+        inf = _stash_lit(stash, "Infinity")
+        ninf = _stash_lit(stash, "-Infinity")
+        neg = _stash_lit(stash, "-")
+        new = (
+            f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL "
+            f"THEN CAST(NULL AS {t}) "
+            f"WHEN CAST(({b}) AS DOUBLE) = 0D THEN "
+            f"CASE WHEN isnan(CAST(({a}) AS DOUBLE)) "
+            f"OR CAST(({a}) AS DOUBLE) = 0D "
+            f"THEN CAST({nan} AS {t}) "
+            f"WHEN (CAST(({a}) AS DOUBLE) > 0D) = "
+            f"(NOT startswith(CAST(CAST(({b}) AS DOUBLE) AS STRING), "
+            f"{neg})) "
+            f"THEN CAST({inf} AS {t}) "
+            f"ELSE CAST({ninf} AS {t}) END "
+            + (f"ELSE CAST(({a}) AS DOUBLE) / CAST(({b}) AS DOUBLE) "
+               f"END)" if t == "DOUBLE" else
+               # float32-overflowing quotients land on +/-Infinity
+               # instead of the ANSI narrow-cast raise (same
+               # COALESCE shape as _rewrite_real_division)
+               f"ELSE COALESCE(TRY_CAST(CAST(({a}) AS DOUBLE) / "
+               f"CAST(({b}) AS DOUBLE) AS FLOAT), "
+               f"IF(CAST(({a}) AS DOUBLE) / CAST(({b}) AS DOUBLE) "
+               f"> 0D, CAST({inf} AS FLOAT), CAST({ninf} AS FLOAT))) "
+               f"END)")
+        )
+        # the outer no-op cast makes the emission statically typed
+        # for downstream templates (greatest/least NaN guard,
+        # ceil/floor/round type preservation)
+        new = f"CAST({new} AS {t})"
+        out = out[:left[0]] + new + out[right[1]:]
+        i = left[0] + len(new) - 1
+    return out
+
+
 def _rewrite_float_modulus(masked: str, stash) -> str:
     """Floating modulus is IEEE fmod in the reference — `% 0` yields
     NaN, never an error (RealOperators.modulus / DoubleOperators.
@@ -2238,15 +2352,19 @@ def _rewrite_float_modulus(masked: str, stash) -> str:
         j = i
         while j > 0 and out[j - 1].isspace():
             j -= 1
-        left = _float_operand_back(out, j)
+        left = _float_operand_back(out, j) or _num_operand_back(out, j)
         if left is None:
             continue
         k = i + 1
         while k < len(out) and out[k].isspace():
             k += 1
-        right = _float_operand_fwd(out, k)
+        right = _float_operand_fwd(out, k) or _num_operand_fwd(out, k)
         if right is None:
             continue
+        kinds = (left[2], right[2])
+        if "real" not in kinds and "double" not in kinds:
+            continue  # num/num is the int/decimal literal folds'
+            # domain
         g = left[0]
         while g > 0 and out[g - 1].isspace():
             g -= 1
@@ -2254,13 +2372,16 @@ def _rewrite_float_modulus(masked: str, stash) -> str:
             continue  # left-associativity: a continuation chain
         a = out[left[0]:left[1]]
         b = out[right[0]:right[1]]
-        t = "FLOAT" if left[2] == right[2] == "real" else "DOUBLE"
+        # Presto coerces the non-float side: REAL absorbs
+        # INTEGER/num literals, DOUBLE absorbs everything
+        t = "DOUBLE" if "double" in kinds else "FLOAT"
         nan = _stash_lit(stash, "NaN")
         new = (
-            f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL "
+            f"CAST((CASE WHEN ({a}) IS NULL OR ({b}) IS NULL "
             f"THEN CAST(NULL AS {t}) "
             f"WHEN ({b}) = CAST(0 AS {t}) THEN CAST({nan} AS {t}) "
-            f"ELSE CAST(CAST(({a}) AS DOUBLE) % ({b}) AS {t}) END)"
+            f"ELSE CAST(CAST(({a}) AS DOUBLE) % ({b}) AS {t}) END) "
+            f"AS {t})"
         )
         out = out[:left[0]] + new + out[right[1]:]
         i = left[0] + len(new) - 1
@@ -2331,6 +2452,10 @@ def _rewrite_real_division(masked: str, stash) -> str:
             f"IF(CAST(({a}) AS DOUBLE) / ({b}) > 0, "
             f"CAST({inf} AS FLOAT), CAST({ninf} AS FLOAT))) END)"
         )
+        # outer no-op cast: makes the emission statically FLOAT-typed
+        # for downstream templates (r16 — greatest/least NaN guard,
+        # ceil/floor/truncate type preservation)
+        new = f"CAST({new} AS FLOAT)"
         out = out[:left[0]] + new + out[right[1]:]
         i = left[0] + len(new) - 1
     return out
@@ -5302,6 +5427,7 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = _wrap_decimal_agg_types(masked)
     masked = _rewrite_decimal_column_arith(masked)
     masked = _rewrite_real_division(masked, stash)
+    masked = _rewrite_double_division(masked, stash)
     masked = _rewrite_float_modulus(masked, stash)
     masked = _fold_complex_null_comparisons(masked, stash)
     masked = _rewrite_array_literals(masked)

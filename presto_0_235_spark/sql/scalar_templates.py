@@ -106,6 +106,9 @@ _TEMPLATE_NAMES = (
     "to_base",
     "truncate",
     "round",
+    "ceil",
+    "ceiling",
+    "floor",
     "chr",
     "codepoint",
     "hamming_distance",
@@ -279,6 +282,49 @@ def _single_decimal_cast_type(arg: str):
     if tm is None:
         return None
     return int(tm.group(1)), int(tm.group(2)) if tm.group(2) else 0
+
+
+_STATIC_TAIL = re.compile(
+    r"\bAS\s+(TINYINT|SMALLINT|INT|INTEGER|BIGINT|DOUBLE|FLOAT|REAL|"
+    r"DECIMAL\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))\s*\)\s*$", re.IGNORECASE)
+_INT32_MAX = 2 ** 31
+
+
+def _static_arg_type(arg: str):
+    """The statically-derivable type of a template argument:
+    'tinyint'/'smallint'/'int'/'bigint'/'double'/'real',
+    ('decimal', p, s) for a decimal-typed cast, or None. Covers the
+    CAST(... AS T) forms typed literals and catalog-annotated
+    columns lower to, scientific literals (double), and bare integer
+    literals (int/bigint by range, the parser's rule)."""
+    from presto_0_235_spark.sql.frontend import _balanced
+
+    arg = arg.strip()
+    hm = re.match(r"^(?:TRY_)?CAST\s*\(", arg, re.IGNORECASE)
+    if hm is not None:
+        try:
+            if _balanced(arg, hm.end() - 1) != len(arg):
+                return None
+        except ValueError:
+            return None
+        tm = _STATIC_TAIL.search(arg)
+        if tm is None:
+            return None
+        t = tm.group(1).upper()
+        if t.startswith("DECIMAL"):
+            nums = re.findall(r"\d+", t)
+            return ("decimal", int(nums[0]),
+                    int(nums[1]) if len(nums) > 1 else 0)
+        return {"TINYINT": "tinyint", "SMALLINT": "smallint",
+                "INT": "int", "INTEGER": "int", "BIGINT": "bigint",
+                "DOUBLE": "double", "FLOAT": "real",
+                "REAL": "real"}[t]
+    if re.fullmatch(r"[+-]?\d+(?:\.\d+)?[eE][+-]?\d+", arg):
+        return "double"
+    if re.fullmatch(r"[+-]?\d+", arg):
+        return "int" if -_INT32_MAX <= int(arg) < _INT32_MAX \
+            else "bigint"
+    return None
 
 
 def _decimal_avg_window(args: list[str], over_text: str):
@@ -610,42 +656,68 @@ def _rewrite_one(
         )
 
     if name == "round" and len(a) in (1, 2):
-        # DECIMAL-literal round folds with the reference's semantics
-        # (MathFunctions.java roundN*Decimal): result type is
-        # decimal(min(38, p+1), s) — the SCALE IS KEPT (digits past
-        # position n zeroed) where Spark's round rescales — with
-        # HALF_UP away-from-zero rounding and the 38-digit unscaled
-        # overflow raise (TestMathFunctions.java:910-911). Doubles
-        # and decimal COLUMNS pass through untouched (the documented
-        # Spark-derivation divergence for non-literal operands).
+        # Decimal round has TWO distinct signatures in the reference
+        # (both in MathFunctions.java): the 1-arg Round is
+        # decimal(min(38, p - s + min(1, s)), 0) — rounds to an
+        # INTEGER (Round.roundShort, :788-792 constraints) — while
+        # the 2-arg RoundN KEEPS (p, s) at precision min(38, p+1)
+        # with digits past position n zeroed (:838-840 constraints).
+        # Both round HALF_UP away from zero. (The r13 fold applied
+        # the RoundN rule to both arities; the r16 value-pin
+        # extraction caught it — TestMathFunctions.java:798-840 pins
+        # round(DECIMAL '0.1') = 0 at decimal(1,0).)
+        t0 = _static_arg_type(args[0])
+        if t0 in ("double", "real"):
+            # Presto's float round is sign-aware — num < 0 computes
+            # -(Math.round(-num)) (MathFunctions.java:757-758), so
+            # round(-0.3E0) is NEGATIVE zero where Spark's
+            # BigDecimal path loses the sign. Values are otherwise
+            # identical (both HALF_UP away from zero); restore the
+            # sign by negating the positive-side round.
+            x = a[0]
+            tail = f", {a[1]}" if len(a) == 2 else ""
+            return (f"(CASE WHEN ({x}) >= 0 THEN ROUND(({x}){tail}) "
+                    f"ELSE -ROUND(-({x}){tail}) END)")
+        null_n = len(a) == 2 and (
+            args[1].strip().upper() == "NULL"
+            or re.fullmatch(r"CAST\s*\(\s*NULL\s+AS\s+\w+\s*\)",
+                            args[1].strip(), re.IGNORECASE))
         mdec = re.match(
             r"^\s*CAST\(\s*(\x00s\d+\x00)\s+AS\s+"
             r"DECIMAL\((\d+),\s*(\d+)\)\s*\)\s*$",
             args[0].strip(),
         )
+        if null_n:
+            # a NULL round scale keeps RoundN's result TYPE
+            # (min(38, p+1), s) with a NULL value
+            # (TestMathFunctions.java:938)
+            ps = (int(mdec.group(2)), int(mdec.group(3))) if mdec \
+                else _single_decimal_cast_type(args[0])
+            if ps is None:
+                return None
+            p, s = ps
+            return f"CAST(NULL AS DECIMAL({min(38, p + 1)}, {s}))"
         if mdec is None:
             # r16 (verdict #6): a statically-typed decimal COLUMN
             # cast (the annotation pass's CAST(col AS DECIMAL(p,s))
             # form, or a bare-numeric literal cast) rewrites at
-            # runtime with the reference's type: round keeps the
-            # scale (digits past position n zeroed) at precision
-            # min(38, p+1) (MathFunctions.java roundN*Decimal).
-            # Spark's ROUND on decimals is the same HALF_UP
+            # runtime. Spark's ROUND on decimals is the same HALF_UP
             # away-from-zero, so value semantics ride the built-in;
-            # the cast back to (p+1, s) pads the kept scale and can
+            # the outer cast carries the reference type and can
             # never overflow (the rounded magnitude needs at most
             # p-s+1 integer digits).
             ps = _single_decimal_cast_type(args[0])
             if ps is None:
                 return None
             p, s = ps
-            if len(a) == 2:
-                try:
-                    n = int(args[1].strip())
-                except ValueError:
-                    return None
-            else:
-                n = 0
+            if len(a) == 1:
+                rp = min(38, p - s + min(1, s))
+                return (f"CAST(ROUND({a[0]}, 0) "
+                        f"AS DECIMAL({rp}, 0))")
+            try:
+                n = int(args[1].strip())
+            except ValueError:
+                return None
             rp = min(38, p + 1)
             if n >= s:
                 return f"CAST({a[0]} AS DECIMAL({rp}, {s}))"
@@ -660,27 +732,31 @@ def _rewrite_one(
             except ValueError:
                 return None
         else:
-            n = 0
+            n = None
         from decimal import ROUND_HALF_UP, Decimal, localcontext
 
         p, s = int(mdec.group(2)), int(mdec.group(3))
         with localcontext() as ctx:
             ctx.prec = 90
             v = Decimal(lit)
-            if n >= s:
-                r = v
+            if n is None:
+                rp, rs = min(38, p - s + min(1, s)), 0
+                r = v.to_integral_value(rounding=ROUND_HALF_UP)
             else:
-                r = v.scaleb(n).to_integral_value(
-                    rounding=ROUND_HALF_UP).scaleb(-n)
-            r = r.quantize(Decimal(1).scaleb(-s))
-            rp = min(38, p + 1)
-            unscaled = int(r.scaleb(s))
+                rp, rs = min(38, p + 1), s
+                if n >= s:
+                    r = v
+                else:
+                    r = v.scaleb(n).to_integral_value(
+                        rounding=ROUND_HALF_UP).scaleb(-n)
+            r = r.quantize(Decimal(1).scaleb(-rs))
+            unscaled = int(r.scaleb(rs))
         if abs(unscaled) >= 10 ** rp:
             return _raise(
                 _stash_lit(stash, "Decimal overflow"),
-                f"DECIMAL({rp}, {s})")
+                f"DECIMAL({rp}, {rs})")
         return (f"CAST({_stash_lit(stash, str(r))} "
-                f"AS DECIMAL({rp}, {s}))")
+                f"AS DECIMAL({rp}, {rs}))")
 
     if name == "truncate" and len(a) in (1, 2):
         # DECIMAL-literal truncate folds with the reference's
@@ -689,6 +765,36 @@ def _rewrite_one(
         # decimal(max(p-s,1), 0) toward zero; 2-arg KEEPS (p, s) and
         # zeroes digits beyond position n (negative n truncates
         # integer digits) — Spark has no decimal-scale-keeping twin.
+        if args[0].strip().upper() == "NULL":
+            # untyped NULL resolves to the decimal signature at the
+            # default decimal(1,0) (TestMathFunctions.java:310
+            # truncate(NULL, NULL) = NULL decimal(1,0))
+            return "CAST(NULL AS DECIMAL(1, 0))"
+        ps = None if _dec_lit_of(args[0], stash) is not None \
+            else _single_decimal_cast_type(args[0])
+        if ps is not None:
+            # r16 (verdict #6): statically-typed decimal CASTs
+            # (columns, NULL casts, bare-numeric literal casts)
+            # rewrite at runtime — truncation toward zero is
+            # x - (x % 10^n), exact in decimal arithmetic, and the
+            # outer cast carries the reference type
+            p, s = ps
+            if len(a) == 1:
+                rp = max(1, p - s)
+                if s == 0:
+                    return f"CAST({a[0]} AS DECIMAL({rp}, 0))"
+                return (f"CAST(({a[0]}) - (({a[0]}) % 1) "
+                        f"AS DECIMAL({rp}, 0))")
+            try:
+                n = int(args[1].strip())
+            except ValueError:
+                return None
+            if n >= s:
+                return f"CAST({a[0]} AS DECIMAL({p}, {s}))"
+            mod = str(10 ** -n) if n <= 0 else \
+                "0." + "0" * (n - 1) + "1"
+            return (f"CAST(({a[0]}) - (({a[0]}) % {mod}) "
+                    f"AS DECIMAL({p}, {s}))")
         dl = _dec_lit_of(args[0], stash)
         if dl is not None:
             from decimal import ROUND_DOWN, Decimal, localcontext
@@ -719,10 +825,16 @@ def _rewrite_one(
 
     if name == "truncate" and len(a) == 1:
         x = a[0]
-        return (
+        case = (
             f"(CASE WHEN isnan({x}) OR abs({x}) = CAST({_stash_lit(stash, 'Infinity')} AS DOUBLE) "
             f"THEN {x} ELSE {x} - ({x} % 1) END)"
         )
+        if _static_arg_type(args[0]) == "real":
+            # truncate(REAL) keeps REAL in the reference
+            # (MathFunctions.java:324) — the double-computed
+            # truncation narrows exactly (integral float32 range)
+            return f"CAST({case} AS FLOAT)"
+        return case
     if name == "truncate" and len(a) == 2:
         n_lit = args[1].strip()
         try:
@@ -736,6 +848,32 @@ def _rewrite_one(
         else:
             down, up = f"floor({x} / {p}) * {p}", f"ceil({x} / {p}) * {p}"
         return f"(CASE WHEN {x} >= 0 THEN {down} ELSE {up} END)"
+
+    if name in ("ceil", "ceiling", "floor") and len(a) == 1:
+        # ceil/ceiling/floor PRESERVE the argument type in the
+        # reference (MathFunctions.java:135-171, 360-384 — tinyint
+        # through bigint are identity, double->double, real->real)
+        # where Spark's ceil/floor return BIGINT. Integral and
+        # scale-0-decimal args are identity; float args compute via
+        # the builtin then restore the type, with NaN/Infinity and
+        # the already-integral range (|x| >= 2^52 double / 2^23
+        # float32) passed through untouched. Non-static args keep
+        # Spark's derivation (documented residual).
+        t = _static_arg_type(args[0])
+        fn = "FLOOR" if name == "floor" else "CEIL"
+        x = a[0]
+        if t in ("tinyint", "smallint", "int", "bigint") or (
+                isinstance(t, tuple) and t[2] == 0):
+            return f"({x})"
+        if t == "double":
+            return (f"(CASE WHEN isnan({x}) OR abs({x}) >= "
+                    f"4.503599627370496E15D THEN {x} "
+                    f"ELSE CAST({fn}({x}) AS DOUBLE) END)")
+        if t == "real":
+            return (f"CAST((CASE WHEN isnan({x}) OR abs({x}) >= "
+                    f"CAST(8388608 AS DOUBLE) THEN {x} "
+                    f"ELSE CAST({fn}({x}) AS DOUBLE) END) AS FLOAT)")
+        return None
 
     if name == "chr" and len(a) == 1:
         return _chr_template(a[0], stash)
@@ -1933,12 +2071,31 @@ def _rewrite_one(
         # MathFunctions.java greatest/least: ANY NULL argument makes
         # the result NULL (Presto), where Spark's greatest/least
         # SKIP nulls; the 1-arg form (legal in Presto, rejected by
-        # Spark) is the identity
+        # Spark) is the identity. A NaN argument RAISES in the
+        # reference (AbstractGreatestLeast.java:128 "Invalid
+        # argument to greatest(): NaN" — r16: previously masked by
+        # Spark's divide-by-zero raise on the 0.0E0/0.0E0 spelling;
+        # the IEEE division rewrite computes NaN now, so the guard
+        # replays the raise for float-typed arguments).
         if len(a) == 1:
             return f"({a[0]})"
+        float_args = [x for x, raw in zip(a, args)
+                      if _static_arg_type(raw) in ("double", "real")]
+        nan_guard = ""
+        if float_args:
+            kinds = {_static_arg_type(raw) for raw in args
+                     if _static_arg_type(raw) in ("double", "real")}
+            t = "FLOAT" if kinds == {"real"} else "DOUBLE"
+            msg = _stash_lit(
+                stash, f"Invalid argument to {name}(): NaN")
+            nan_cond = " OR ".join(f"isnan(({x}))"
+                                   for x in float_args)
+            nan_guard = (f"WHEN {nan_cond} THEN "
+                         f"CAST(raise_error({msg}) AS {t}) ")
         null_guard = " OR ".join(f"({x}) IS NULL" for x in a)
         return (
             f"(CASE WHEN {null_guard} THEN NULL "
+            f"{nan_guard}"
             f"ELSE {name}({', '.join(a)}) END)"
         )
 

@@ -250,12 +250,13 @@ def test_avg_decimal_keeps_input_type_half_up(spark):
     assert typ == "decimal(17,2)", typ
     assert val == D("3.02"), val
     # r16 (verdict #6): round over a statically-typed decimal
-    # COLUMN cast keeps the scale at precision min(38, p+1)
-    # (MathFunctions.java roundN*Decimal) — Spark's own derivation
-    # rescales to (p-s+1, 0)
+    # COLUMN cast — 1-arg rounds to an INTEGER at
+    # decimal(min(38, p-s+min(1,s)), 0) (MathFunctions.java Round
+    # constraints) while 2-arg keeps the scale at min(38, p+1)
+    # (RoundN constraints)
     for sql, want_t, want_v in [
         ("SELECT round(CAST(x AS DECIMAL(12,2))) AS a "
-         "FROM (VALUES (2.50)) t(x)", "decimal(13,2)", D("3.00")),
+         "FROM (VALUES (2.50)) t(x)", "decimal(11,0)", D("3")),
         ("SELECT round(CAST(x AS DECIMAL(12,2)), 1) AS a "
          "FROM (VALUES (2.55)) t(x)", "decimal(13,2)", D("2.60")),
         ("SELECT round(CAST(x AS DECIMAL(12,2)), 5) AS a "

@@ -81,10 +81,17 @@ def test_real_division_overflow_and_null(spark):
     assert got is None
 
 
-def test_double_division_keeps_ansi_raise(spark):
-    # double/0 is pinned by NEITHER side of the reference fork
-    # (stock = IEEE Infinity, fork production = NULL, fork tests
-    # silent) — the engine keeps the ANSI raise, consistent with the
-    # pinned integer raise discipline (documented residual)
-    with pytest.raises(Exception):
-        run_sql(spark, "SELECT 1e0 / 0e0 AS r").collect()
+def test_double_division_is_ieee(spark):
+    # r16 REVERSAL of the r14 "pinned by neither side" reading: the
+    # value-pin extraction surfaced reference rows that DO pin IEEE
+    # double division — TestMathFunctions.java testRound carries
+    # round(1.0E0 / 0, 2) = Infinity as an assertFunction VALUE row
+    # — so statically-double `/` now computes signed Infinity/NaN
+    # via frontend._rewrite_double_division instead of keeping
+    # Spark's ANSI raise
+    _, got = _one(spark, "SELECT 1e0 / 0e0 AS r")
+    assert got == float("inf")
+    _, got = _one(spark, "SELECT -1e0 / 0 AS r")
+    assert got == float("-inf")
+    t, got = _one(spark, "SELECT 0.0e0 / 0.0e0 AS r")
+    assert math.isnan(got) and t == "double"

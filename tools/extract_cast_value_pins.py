@@ -32,6 +32,8 @@ from pathlib import Path
 
 REF = Path("/root/reference/presto-main/src/test/java/"
            "com/facebook/presto/type")
+REF_SCALAR = Path("/root/reference/presto-main/src/test/java/"
+                  "com/facebook/presto/operator/scalar")
 OUT = Path(__file__).resolve().parent.parent / "tests" / \
     "cast_value_corpus_data.py"
 
@@ -48,6 +50,10 @@ FILES = [
     "TestDecimalToDecimalCasts.java",
     "TestCharacterStringCasts.java",
     "TestDecimalOperators.java",
+    "TestMathFunctions.java",  # in operator/scalar — the
+    # abs/ceil/floor/round/truncate VALUE sections feed the r13
+    # literal math folds (loop-generated mod/sign rows are skipped
+    # by construction: their expressions are built in Java loops)
 ]
 
 # beyond the cast sections (r15 verdict #2), the comparison and
@@ -60,6 +66,7 @@ _OP_METHODS = frozenset({
     "testEqual", "testNotEqual", "testLessThan",
     "testLessThanOrEqual", "testGreaterThan",
     "testGreaterThanOrEqual", "testBetween", "testIsDistinctFrom",
+    "testAbs", "testCeil", "testFloor", "testRound", "testTruncate",
 })
 
 _METHOD = re.compile(r"public void (test\w+)\s*\(")
@@ -304,6 +311,9 @@ def _parse_expected(rtype: str, e: str):
             return True, float("inf")
         if e in ("Double.NEGATIVE_INFINITY", "Float.NEGATIVE_INFINITY"):
             return True, float("-inf")
+        if e in ("Double.MAX_VALUE", "-Double.MAX_VALUE"):
+            v = 1.7976931348623157e308
+            return True, -v if e.startswith("-") else v
         m = _FLOAT_LIT.match(e)
         if not m:
             ok, v = _eval_const_expr(rtype, e)
@@ -317,6 +327,25 @@ def _parse_expected(rtype: str, e: str):
         elif rtype == "real":
             v = _f32(v)
         return True, v
+    if rtype.startswith("decimal("):
+        # assertFunction rows spell decimals as
+        # SqlDecimal.of("unscaled", p, s); the row's declared type
+        # (arg 2) governs, the value is unscaled * 10^-s
+        m1 = re.match(r'^SqlDecimal\.of\(\s*"(-?[\d.]+)"\s*\)$', e)
+        if m1:
+            return True, m1.group(1)
+        m = re.match(
+            r'^SqlDecimal\.of\(\s*"(-?\d+)"\s*,\s*\d+\s*,\s*(\d+)'
+            r"\s*\)$", e)
+        if m is None:
+            return False, None
+        unscaled, sc = m.group(1), int(m.group(2))
+        sign = "-" if unscaled.startswith("-") else ""
+        digits = unscaled.lstrip("-")
+        if sc == 0:
+            return True, sign + digits
+        digits = digits.rjust(sc + 1, "0")
+        return True, sign + digits[:-sc] + "." + digits[-sc:]
     if rtype == "varchar" or rtype == "json" or rtype.startswith("char("):
         m = _STR_LIT.match(e)
         if not m:
@@ -355,6 +384,12 @@ _CONSTS = {
     "Math.nextDown(-0x1.0p63)": math.nextafter(-(2.0 ** 63),
                                                -math.inf),
     "Math.nextUp(-0x1.0p63)": math.nextafter(-(2.0 ** 63), 0.0),
+    # TestMathFunctions.java:44
+    "GREATEST_DOUBLE_LESS_THAN_HALF": float.fromhex("0x1.fffffffffffffp-2"),
+    "0x1p-1": 0.5,
+    # TestMathFunctions.java:240-241 (locals spliced as text)
+    "maxDouble": 1.7976931348623157e308,
+    "minDouble": -1.7976931348623157e308,
 }
 
 
@@ -438,6 +473,8 @@ def main() -> None:
     skipped = []
     for fname in FILES:
         path = REF / fname
+        if not path.exists():
+            path = REF_SCALAR / fname
         lines = path.read_text().splitlines()
         method = None
         i = 0
