@@ -256,6 +256,14 @@ _LIKE_LIT = re.compile(
 def _rewrite_like_escapes(masked: str, stash) -> str:
     from presto_0_235_spark.sql.scalar_templates import _stash_lit
 
+    # ESCAPE NULL makes the whole [NOT] LIKE predicate NULL in the
+    # reference (TestConditions.java:50,70) where Spark's parser
+    # rejects a non-literal escape; `A = CAST(NULL AS STRING)` is
+    # NULL for every A, NOT included (r16)
+    masked = re.sub(
+        r"(?:NOT\s+)?LIKE\s+\x00s\d+\x00\s+ESCAPE\s+NULL\b",
+        "= CAST(NULL AS STRING)", masked, flags=re.IGNORECASE)
+
     def repl(m: re.Match) -> str:
         pat = stash[int(m.group(2))][1][1:-1]  # quotes stripped
         if m.group(3) is not None:
@@ -4510,8 +4518,23 @@ def _rewrite_url_fns(sql: str) -> str:
         close_i = _balanced(sql, open_i)  # index just past ')'
         inner = sql[open_i + 1 : close_i - 1]
         if fn == "url_extract_parameter":
+            # UrlFunctions.java:124-148: split the query on '&', the
+            # FIRST token whose key equals the parameter wins, a
+            # keyless token ('...&k3&...') yields EMPTY STRING, no
+            # match yields NULL — Spark's parse_url(url, 'QUERY',
+            # key) returns NULL for keyless tokens and is
+            # regex-based on the key (TestUrlFunctions.java:43-47)
             url, key = _split_top_comma(inner)
-            repl = f"parse_url({url}, 'QUERY', {key})"
+            repl = (
+                f"(CASE WHEN ({url}) IS NULL OR ({key}) IS NULL "
+                f"THEN CAST(NULL AS STRING) "
+                f"ELSE try_element_at(transform(filter("
+                f"split(parse_url({url}, 'QUERY'), '&'), "
+                f"t -> t = ({key}) OR "
+                f"startswith(t, concat({key}, '='))), "
+                f"t -> IF(t = ({key}), '', "
+                f"substring(t, length({key}) + 2))), 1) END)"
+            )
         elif fn == "url_extract_port":
             repl = (
                 f"cast(nullif(regexp_extract(parse_url({inner}, "
@@ -5422,6 +5445,17 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = _rewrite_interval_literals(masked, stash)
     masked = _rewrite_date_time_interval_raise(masked, stash)
     masked = _rewrite_like_escapes(masked, stash)
+    # a bare NULL condition in a SEARCHED case is a non-match in the
+    # reference (TestConditions.java:237 `case when null then 1 when
+    # true then 33 end` = 33) where Spark's analyzer rejects the
+    # untyped NULL condition; typing it keeps the skip. Only the
+    # CASE-adjacent first WHEN is statically a searched-case
+    # condition (a simple case's WHEN NULL compares to the operand
+    # and never matches under either engine — Spark types that NULL
+    # from the operand, no rewrite needed).
+    masked = re.sub(
+        r"\b(CASE\s+WHEN)\s+NULL\s+(THEN)\b",
+        r"\1 CAST(NULL AS BOOLEAN) \2", masked, flags=re.IGNORECASE)
     masked = _rewrite_negated_decimal_cast(masked, stash)
     masked = _rewrite_sized_char_casts(masked, stash)
     masked = _wrap_decimal_agg_types(masked)

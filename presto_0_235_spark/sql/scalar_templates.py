@@ -209,6 +209,13 @@ _TEMPLATE_NAMES = (
     "json_extract",
     "json_extract_scalar",
     "strpos",
+    "trim",
+    "ltrim",
+    "rtrim",
+    "replace",
+    "length",
+    "char_length",
+    "levenshtein_distance",
     "greatest",
     "least",
     "width_bucket",
@@ -937,6 +944,57 @@ def _rewrite_one(
             lim = ""
         return f"split({a[0]}, {quoted}{lim})"
 
+    if name in ("trim", "ltrim", "rtrim") and len(a) in (1, 2):
+        # Presto's 2-arg trims are (string, trim-character-set)
+        # (StringFunctions.java leftTrim/rightTrim/trim with the
+        # CodePointsType second argument) while Spark's same-named
+        # builtins take (trimStr, str) — ARGS REVERSED. Passing
+        # through unswapped trimmed the wrong operand: LTRIM('
+        # hello  ', ' ') returned '' (the whole first argument
+        # consumed as the trim set). TestStringFunctions.java:
+        # 699-858 pin the parametrized forms. The 1-arg forms trim
+        # Character.isWhitespace code points (airlift
+        # SliceUtf8.leftTrim/rightTrim) where Spark trims U+0020
+        # only — TestStringFunctions.java:616-679 pin U+2028; spell
+        # the Java whitespace set as the trim set. (r16 — both found
+        # by the value-pin extraction.)
+        if len(a) == 2:
+            return f"{name}({a[1]}, {a[0]})"
+        ws = _stash_lit(stash, (
+            "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f "
+            "\u1680\u2000\u2001\u2002\u2003\u2004"
+            "\u2005\u2006\u2008\u2009\u200a\u2028"
+            "\u2029\u205f\u3000"))
+        return f"{name}({ws}, {a[0]})"
+
+    if name == "replace" and len(a) == 3:
+        # an EMPTY search string inserts the replacement at every
+        # boundary including both ends in the reference
+        # (StringFunctions.java replace; TestStringFunctions.java:
+        # 230-231 REPLACE('abc', '', 'xx') = 'xxaxxbxxcxx') where
+        # Spark's replace is a no-op. Java's empty-pattern
+        # replaceAll has exactly those semantics, so literal-empty
+        # search args lower to regexp_replace (with the replacement
+        # escaped for its $group/backslash syntax); non-literal
+        # search args stay Spark-native (residual: a runtime-empty
+        # search no-ops).
+        s_lit = _lit_of(args[1], stash)
+        r_lit = _lit_of(args[2], stash)
+        if s_lit == "" and r_lit is not None:
+            rep = _stash_lit(
+                stash, r_lit.replace("\\", "\\\\").replace("$", "\\$"))
+            empty = _stash_lit(stash, "")
+            return f"regexp_replace({a[0]}, {empty}, {rep})"
+        return None
+
+    if name in ("length", "char_length",
+                "levenshtein_distance") and len(a) in (1, 2):
+        # BIGINT in the reference (StringFunctions.java length /
+        # levenshteinDistance return @SqlType BIGINT) where Spark's
+        # are INT — a type-only divergence the value-pin corpus
+        # checks (r16)
+        return f"CAST({name}({', '.join(a)}) AS BIGINT)"
+
     if name == "split_part" and len(a) == 3:
         # Presto: literal delimiter, NULL past the last field, error
         # on index <= 0 (StringFunctions.java:453 'Index must be
@@ -956,6 +1014,16 @@ def _rewrite_one(
             "INT")
         ix = (f"(CASE WHEN ({a[2]}) <= 0 THEN {badix} "
               f"ELSE CAST(({a[2]}) AS INT) END)")
+        if d_lit == "":
+            # empty delimiter splits into codepoints and a past-end
+            # index is NULL — an EMPTY string has zero codepoints, so
+            # every index is past the end (split_part('', '', 1) =
+            # NULL, TestStringFunctions.java:562), where Spark's
+            # split('', '') yields ['']. The index raise still fires
+            # first ({ix} carries it and is evaluated either way).
+            return (f"IF(length({a[0]}) = 0 AND {ix} > 0, "
+                    f"CAST(NULL AS STRING), "
+                    f"try_element_at(split({a[0]}, {quoted}), {ix}))")
         return f"try_element_at(split({a[0]}, {quoted}), {ix})"
 
     if name in ("substr", "substring"):

@@ -257,10 +257,12 @@ def test_url_fn_rewrites():
         p2s("SELECT url_extract_host(u) FROM t")
         == "SELECT parse_url(u, 'HOST') FROM t"
     )
-    assert (
-        p2s("SELECT url_extract_parameter(u, 'id') FROM t")
-        == "SELECT parse_url(u, 'QUERY', 'id') FROM t"
-    )
+    # r16: url_extract_parameter lowers to the token-split chain
+    # (first matching token wins; keyless token yields '' —
+    # UrlFunctions.java:124-148), not bare parse_url(u,'QUERY',key)
+    param = p2s("SELECT url_extract_parameter(u, 'id') FROM t")
+    assert "parse_url(u, 'QUERY')" in param
+    assert "startswith" in param and "try_element_at" in param
     # nested call keeps balanced parens
     assert (
         p2s("SELECT url_extract_path(concat(a, b)) FROM t")

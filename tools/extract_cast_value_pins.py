@@ -54,7 +54,21 @@ FILES = [
     # abs/ceil/floor/round/truncate VALUE sections feed the r13
     # literal math folds (loop-generated mod/sign rows are skipped
     # by construction: their expressions are built in Java loops)
+    "TestStringFunctions.java",
+    "TestBitwiseFunctions.java",
+    "TestUrlFunctions.java",
+    "TestConditions.java",
 ]
+
+# files where EVERY test method's literal value rows are in scope
+# (r16 breadth extension — string/bitwise/url/conditions families;
+# rows land in OP_VALUE_PINS)
+_ALL_METHOD_FILES = frozenset({
+    "TestStringFunctions.java",
+    "TestBitwiseFunctions.java",
+    "TestUrlFunctions.java",
+    "TestConditions.java",
+})
 
 # beyond the cast sections (r15 verdict #2), the comparison and
 # arithmetic sections carry the VALUE vectors for the literal
@@ -70,6 +84,15 @@ _OP_METHODS = frozenset({
 })
 
 _METHOD = re.compile(r"public void (test\w+)\s*\(")
+
+# methods whose rows are NOT value pins: testFromLiteralParameter
+# exercises a test-only fixture function (`vl`), and
+# testSplitPartInvalid is an @Test(expectedExceptions) method — its
+# assertFunction row is the RAISING input (the error corpus's
+# domain)
+_EXCLUDE_METHODS = frozenset({
+    "testFromLiteralParameter", "testSplitPartInvalid",
+})
 _CALL = re.compile(r"^\s*(assertFunction|assertDecimalFunction)\s*\(")
 
 _J_ESCAPES = {
@@ -90,8 +113,20 @@ def _unescape(s: str) -> str | None:
         i += 1
         e = s[i]
         if e == "u":
-            out.append(chr(int(s[i + 1:i + 5], 16)))
+            cp = int(s[i + 1:i + 5], 16)
             i += 5
+            if 0xD800 <= cp <= 0xDBFF and s[i:i + 2] == "\\u":
+                # Java splits supplementary characters into UTF-16
+                # surrogate-pair escapes; recombine them (a lone
+                # surrogate is not a valid Python string)
+                lo = int(s[i + 2:i + 6], 16)
+                if 0xDC00 <= lo <= 0xDFFF:
+                    cp = 0x10000 + ((cp - 0xD800) << 10) + \
+                        (lo - 0xDC00)
+                    i += 6
+            if 0xD800 <= cp <= 0xDFFF:
+                return None  # unpaired surrogate: skip the row
+            out.append(chr(cp))
         elif e in _J_ESCAPES:
             out.append(_J_ESCAPES[e])
             i += 1
@@ -486,8 +521,10 @@ def main() -> None:
                 i += 1
                 continue
             cm = _CALL.match(line)
-            in_scope = method and ("Cast" in method
-                                   or method in _OP_METHODS)
+            in_scope = method and method not in _EXCLUDE_METHODS \
+                and (fname in _ALL_METHOD_FILES
+                     or "Cast" in method
+                     or method in _OP_METHODS)
             if not (cm and in_scope):
                 i += 1
                 continue
@@ -547,7 +584,9 @@ def main() -> None:
                     skipped.append((fname, start,
                                     f"expected {args[2][:40]}"))
                     continue
-            target = rows if "Cast" in method else op_rows
+            target = rows if ("Cast" in method
+                              and fname not in _ALL_METHOD_FILES) \
+                else op_rows
             target.append((fname, start, method, expr, rtype, val))
 
     with OUT.open("w") as f:
