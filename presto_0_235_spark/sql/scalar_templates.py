@@ -199,6 +199,8 @@ _TEMPLATE_NAMES = (
     "combinations",
     "multimap_from_entries",
     "parse_presto_data_size",
+    "from_ieee754_64",
+    "from_ieee754_32",
     "parse_duration",
     "spooky_hash_v2_32",
     "spooky_hash_v2_64",
@@ -1139,6 +1141,85 @@ def _rewrite_one(
         # is 3-arg only.
         return f"regexp_replace({a[0]}, {a[1]}, {_stash_lit(stash, '')})"
 
+    if name == "regexp_replace" and len(a) == 3 and "->" in args[2]:
+        # LAMBDA form: regexp_replace(string, pattern, x -> body)
+        # calls the lambda per match with the capture-group array
+        # and splices the results between the non-matching segments;
+        # a NULL lambda result makes the WHOLE result NULL
+        # (JoniRegexpFunctions.java regexpReplace(lambda);
+        # AbstractTestRegexpFunctions.java:135-184). Spark has no
+        # lambda regexp_replace at all, so for LITERAL string +
+        # pattern (the reference's entire pinned extent) the matches
+        # fold at translate time: each body instance gets its
+        # x[k] subscripts substituted with the match's group values
+        # (CAST(NULL AS STRING) for a non-participating group —
+        # exactly the NULL-ness Spark's regexp_extract_all cannot
+        # express) and the pieces concatenate. Python's re has
+        # Java's leftmost-greedy + empty-match advancement for the
+        # pinned patterns. Non-literal operands decline (they could
+        # never run before either: Spark rejects the lambda).
+        s_lit = _lit_of(args[0], stash)
+        p_lit = _lit_of(args[1], stash)
+        lm = re.match(r"^\s*\(?\s*([A-Za-z_]\w*)\s*\)?\s*->\s*(.+)$",
+                      args[2].strip(), re.DOTALL)
+        if lm is None:
+            return None
+        null_str = "CAST(NULL AS STRING)"
+        if args[0].strip().upper() == "NULL" or \
+                args[1].strip().upper() == "NULL":
+            return null_str
+        if s_lit is None or p_lit is None:
+            return None
+        var, body = lm.group(1), lm.group(2).strip()
+        try:
+            cre = re.compile(p_lit)
+        except re.error:
+            return None  # invalid pattern: leave the raise to Spark
+        segs: list[str] = []
+        bodies: list[str] = []
+        last = 0
+        for mo in cre.finditer(s_lit):
+            segs.append(s_lit[last:mo.start()])
+            last = mo.end()
+
+            def sub_group(mm: re.Match, mo=mo) -> str:
+                k = int(mm.group(1))
+                if k == 0:
+                    # the group array is 1-based; [0] raises like any
+                    # Presto array subscript (the lambda receives an
+                    # ARRAY, ArraySubscriptOperator checkArrayIndex)
+                    return _raise(
+                        _stash_lit(stash,
+                                   "SQL array indices start at 1"),
+                        "STRING")
+                if k > (cre.groups or 0):
+                    return _raise(
+                        _stash_lit(
+                            stash,
+                            "Array subscript must be less than or "
+                            "equal to array length"),
+                        "STRING")
+                g = mo.group(k)
+                return null_str if g is None else _stash_lit(stash, g)
+
+            bodies.append("(" + re.sub(
+                rf"(?<![\w.\x00]){re.escape(var)}\s*\[\s*(\d+)\s*\]",
+                sub_group, body) + ")")
+        segs.append(s_lit[last:])
+        if not bodies:
+            return _stash_lit(stash, s_lit)
+        parts: list[str] = []
+        for i, seg in enumerate(segs):
+            if seg:
+                parts.append(_stash_lit(stash, seg))
+            if i < len(bodies):
+                parts.append(bodies[i])
+        result = (f"concat({', '.join(parts)})" if len(parts) > 1
+                  else parts[0] if parts else _stash_lit(stash, ""))
+        null_guard = " OR ".join(f"{b} IS NULL" for b in bodies)
+        return (f"(CASE WHEN {null_guard} THEN {null_str} "
+                f"ELSE {result} END)")
+
     if name == "regexp_replace" and len(a) == 3:
         # Replacement ${name} references must name a group the
         # PATTERN defines — ${}, ${0}, ${unknown} raise in Presto
@@ -1570,6 +1651,20 @@ def _rewrite_one(
             f"k -> transform(filter({e}, x -> x.col1 <=> k), x -> x.col2)))"
         )
 
+    if name in ("from_ieee754_64", "from_ieee754_32") and len(a) == 1:
+        # the registered raw pandas UDF cannot RETURN NaN (Arrow's
+        # nan_as_null conversion hands it back as NULL), and its only
+        # null-for-non-null-input case IS a NaN bit pattern — so a
+        # coalesce to literal NaN restores every NaN payload, exactly
+        # the DataFrame-side wrapper's behavior
+        # (functions/udfs.py from_ieee754_64;
+        # TestVarbinaryFunctions.java:235,266)
+        t = "DOUBLE" if name.endswith("64") else "FLOAT"
+        nan = _stash_lit(stash, "NaN")
+        return (f"(CASE WHEN ({a[0]}) IS NULL THEN CAST(NULL AS {t}) "
+                f"ELSE coalesce({name}({a[0]}), "
+                f"CAST({nan} AS {t})) END)")
+
     if name == "parse_presto_data_size" and len(a) == 1:
         # '2.2kB' -> DECIMAL bytes (DataSizeFunctions.java; binary
         # units). Literal argument resolved at rewrite time.
@@ -1585,8 +1680,16 @@ def _rewrite_one(
             )
             return _raise(bad, "DECIMAL(38, 0)")
         from decimal import Decimal as _D
+        from decimal import localcontext as _lctx
 
-        value = int(_D(m.group(1)) * (1 << (10 * units[m.group(2)])))
+        with _lctx() as ctx:
+            # exact big-integer arithmetic: the default 28-digit
+            # context rounded the EB/ZB/YB products
+            # (TestDataSizeFunctions.java:46-47 pin 37-38 digit
+            # values)
+            ctx.prec = 90
+            value = int(_D(m.group(1)) *
+                        (1 << (10 * units[m.group(2)])))
         return f"CAST({_stash_lit(stash, str(value))} AS DECIMAL(38, 0))"
 
     if name == "parse_duration" and len(a) == 1:

@@ -58,6 +58,9 @@ FILES = [
     "TestBitwiseFunctions.java",
     "TestUrlFunctions.java",
     "TestConditions.java",
+    "AbstractTestRegexpFunctions.java",
+    "TestVarbinaryFunctions.java",
+    "TestDataSizeFunctions.java",
 ]
 
 # files where EVERY test method's literal value rows are in scope
@@ -68,6 +71,9 @@ _ALL_METHOD_FILES = frozenset({
     "TestBitwiseFunctions.java",
     "TestUrlFunctions.java",
     "TestConditions.java",
+    "AbstractTestRegexpFunctions.java",
+    "TestVarbinaryFunctions.java",
+    "TestDataSizeFunctions.java",
 })
 
 # beyond the cast sections (r15 verdict #2), the comparison and
@@ -174,6 +180,10 @@ _TYPE_MAP = {
     "BIGINT": "bigint", "INTEGER": "int", "SMALLINT": "smallint",
     "TINYINT": "tinyint", "BOOLEAN": "boolean", "DOUBLE": "double",
     "REAL": "real", "VARCHAR": "varchar", "JSON": "json",
+    "VARBINARY": "varbinary",
+    # bare DECIMAL in an expected-type position is the max-precision
+    # default (parse_presto_data_size rows)
+    "DECIMAL": "decimal(38,0)",
 }
 
 
@@ -373,6 +383,11 @@ def _parse_expected(rtype: str, e: str):
             r'^SqlDecimal\.of\(\s*"(-?\d+)"\s*,\s*\d+\s*,\s*(\d+)'
             r"\s*\)$", e)
         if m is None:
+            # assertFunction rows can also spell the expected with
+            # the assertDecimalFunction helpers
+            parsed = _parse_decimal_expected(e)
+            if parsed is not None:
+                return True, parsed[1]
             return False, None
         unscaled, sc = m.group(1), int(m.group(2))
         sign = "-" if unscaled.startswith("-") else ""
@@ -381,6 +396,26 @@ def _parse_expected(rtype: str, e: str):
             return True, sign + digits
         digits = digits.rjust(sc + 1, "0")
         return True, sign + digits[:-sc] + "." + digits[-sc:]
+    if rtype == "varbinary":
+        m = re.match(r"^sqlVarbinary(Hex)?\((.+)\)$", e)
+        if m is None:
+            return False, None
+        parts = _split_concat(m.group(2)) or [m.group(2)]
+        out = []
+        for pc in parts:
+            sm = _STR_LIT.match(pc.strip())
+            if sm is None:
+                return False, None
+            u = _unescape(sm.group(1))
+            if u is None:
+                return False, None
+            out.append(u)
+        joined = "".join(out)
+        try:
+            return True, (bytes.fromhex(joined) if m.group(1)
+                          else joined.encode("utf-8"))
+        except ValueError:
+            return False, None
     if rtype == "varchar" or rtype == "json" or rtype.startswith("char("):
         m = _STR_LIT.match(e)
         if not m:

@@ -24,6 +24,7 @@ _DTYPE = {
     "tinyint": {"tinyint"}, "boolean": {"boolean"},
     "double": {"double"}, "real": {"float"},
     "varchar": {"string"}, "json": {"string"},
+    "varbinary": {"binary"}, "decimal(38,0)": {"decimal(38,0)"},
 }
 
 
@@ -58,6 +59,9 @@ def value_matches(rtype: str, expected, got) -> bool:
         return s == 0 or -got.as_tuple().exponent == s
     if rtype in ("bigint", "int", "smallint", "tinyint"):
         return isinstance(got, int) and got == expected
+    if rtype == "varbinary":
+        return isinstance(got, (bytes, bytearray)) and \
+            bytes(got) == expected
     return got == expected
 
 
