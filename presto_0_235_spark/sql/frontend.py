@@ -3250,6 +3250,164 @@ _SIZED_CHAR_TYPE = re.compile(
 )
 
 
+_CHAR_TAIL_IN = re.compile(r"\bAS\s+CHAR\s*\(\s*\d+\s*\)\s*$",
+                           re.IGNORECASE)
+_STASH_BACK = re.compile(r"\x00s\d+\x00$")
+_STASH_FWD = re.compile(r"\x00s\d+\x00")
+
+
+def _char_operand_back(masked: str, j: int):
+    """(start, end, is_char_typed) for a comparison operand ENDING
+    at j: a CAST(... AS CHAR(n)) extent (True) or a string literal
+    (False); None otherwise."""
+    if j > 0 and masked[j - 1] == ")":
+        depth = 0
+        open_i = None
+        for k in range(j - 1, -1, -1):
+            if masked[k] == ")":
+                depth += 1
+            elif masked[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    open_i = k
+                    break
+        if open_i is None:
+            return None
+        hm = _DCA_CAST_BACK.search(masked[:open_i])
+        if hm is not None and _CHAR_TAIL_IN.search(
+                masked[open_i + 1:j - 1]):
+            return hm.start(), j, True
+        return None
+    m = _STASH_BACK.search(masked[:j])
+    if m is not None:
+        return m.start(), j, False
+    return None
+
+
+def _char_operand_fwd(masked: str, i: int):
+    if i > 0 and masked[i - 1] in _IDENTCH:
+        return None
+    m = _DCA_CAST_FWD.match(masked, i)
+    if m is not None:
+        try:
+            open_i = masked.index("(", m.end(1))
+            past = _balanced(masked, open_i)
+        except ValueError:
+            return None
+        if _CHAR_TAIL_IN.search(masked[open_i + 1:past - 1]):
+            return i, past, True
+        return None
+    sm = _STASH_FWD.match(masked, i)
+    if sm is not None:
+        return i, sm.end(), False
+    return None
+
+
+def _rewrite_char_comparisons(masked: str) -> str:
+    """CHAR(n) comparisons pad both sides to the common length in
+    the reference — trailing spaces are insignificant, so
+    cast('foo' as char(3)) = cast('foo' as char(5)) is TRUE and a
+    varchar operand coerces to the char side's padded semantics
+    (cast('bar' as char(5)) = 'bar   ' is TRUE;
+    TestCharOperators.java testEqual..testBetween,
+    CharOperators.java compareChars) — while this engine lowers
+    CHAR(n) to an rpad'd STRING, making lengths significant. For
+    comparison sites where at least one operand is a statically
+    CHAR-typed cast (the other a char cast or a string literal),
+    rtrim both sides: stripping trailing spaces orders identically
+    to padding to the common length for every code point >= U+0020
+    (sub-space code points can't reach these operands — NUL is
+    rejected at the literal gate, and the pinned rows are ASCII).
+    Runs BEFORE _rewrite_sized_char_casts erases the CHAR-ness.
+    Covers the binary operators, [NOT] BETWEEN, and IS [NOT]
+    DISTINCT FROM."""
+    out = masked
+    # binary comparison operators
+    i = -1
+    while True:
+        i += 1
+        if i >= len(out):
+            break
+        c = out[i]
+        if c not in "=<>!":
+            continue
+        if c == "=" and i > 0 and out[i - 1] in "<>!=":
+            continue  # the tail of <=, >=, !=, ==
+        if c == ">" and i > 0 and out[i - 1] == "<":
+            continue  # the tail of <>
+        op_end = i + 1
+        if c in "<>!" and i + 1 < len(out) and out[i + 1] in "=>":
+            op_end = i + 2
+        elif c == "!":
+            continue  # lone '!' is not a comparison
+        j = i
+        while j > 0 and out[j - 1].isspace():
+            j -= 1
+        left = _char_operand_back(out, j)
+        if left is None:
+            continue
+        k = op_end
+        while k < len(out) and out[k].isspace():
+            k += 1
+        right = _char_operand_fwd(out, k)
+        if right is None:
+            continue
+        if not (left[2] or right[2]):
+            continue  # literal-vs-literal: not a char comparison
+        a = out[left[0]:left[1]]
+        b = out[right[0]:right[1]]
+        new = f"rtrim({a}) {out[i:op_end]} rtrim({b})"
+        out = out[:left[0]] + new + out[right[1]:]
+        i = left[0] + len(new) - 1
+    # IS [NOT] DISTINCT FROM
+    pos = 0
+    while True:
+        m = re.compile(
+            r"\s+IS\s+(NOT\s+)?DISTINCT\s+FROM\s+",
+            re.IGNORECASE).search(out, pos)
+        if m is None:
+            break
+        pos = m.end()
+        left = _char_operand_back(out, m.start())
+        right = _char_operand_fwd(out, m.end())
+        if left is None or right is None or not (left[2] or right[2]):
+            continue
+        a = out[left[0]:left[1]]
+        b = out[right[0]:right[1]]
+        new = (f"rtrim({a}){out[m.start():m.end()]}rtrim({b})")
+        out = out[:left[0]] + new + out[right[1]:]
+        pos = left[0] + len(new)
+    # [NOT] BETWEEN x AND y
+    pos = 0
+    while True:
+        m = re.compile(r"\s+(NOT\s+)?BETWEEN\s+",
+                       re.IGNORECASE).search(out, pos)
+        if m is None:
+            break
+        pos = m.end()
+        left = _char_operand_back(out, m.start())
+        lo = _char_operand_fwd(out, m.end())
+        if left is None or lo is None:
+            continue
+        am = re.compile(r"\s+AND\s+", re.IGNORECASE).match(
+            out, lo[1])
+        if am is None:
+            continue
+        hi = _char_operand_fwd(out, am.end())
+        if hi is None:
+            continue
+        if not (left[2] or lo[2] or hi[2]):
+            continue
+        a = out[left[0]:left[1]]
+        b = out[lo[0]:lo[1]]
+        cexp = out[hi[0]:hi[1]]
+        new = (f"rtrim({a}){out[m.start():m.end()]}rtrim({b})"
+               f"{out[lo[1]:am.end()]}rtrim({cexp})")
+        out = out[:left[0]] + new + out[hi[1]:]
+        pos = left[0] + len(new)
+    return out
+
+
 def _rewrite_sized_char_casts(masked: str, stash) -> str:
     from presto_0_235_spark.sql.scalar_templates import _stash_lit
 
@@ -5457,6 +5615,7 @@ def presto_to_spark_sql(sql: str) -> str:
         r"\b(CASE\s+WHEN)\s+NULL\s+(THEN)\b",
         r"\1 CAST(NULL AS BOOLEAN) \2", masked, flags=re.IGNORECASE)
     masked = _rewrite_negated_decimal_cast(masked, stash)
+    masked = _rewrite_char_comparisons(masked)
     masked = _rewrite_sized_char_casts(masked, stash)
     masked = _wrap_decimal_agg_types(masked)
     masked = _rewrite_decimal_column_arith(masked)

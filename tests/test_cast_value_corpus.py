@@ -53,8 +53,13 @@ EXCLUDED = {
     ("TestStringFunctions.java", 1036),
 }
 
+#  - any row whose expression carries a literal NUL byte
+#    (TestCharOperators' U+0000 ordering probes): the engine rejects
+#    NUL inside quoted literals by contract (NulInLiteralError,
+#    pinned in tests/test_frontend.py — U+0000 is the translator's
+#    mask sentinel).
 ALL_PINS = [r for r in CAST_VALUE_PINS + OP_VALUE_PINS
-            if (r[0], r[1]) not in EXCLUDED]
+            if (r[0], r[1]) not in EXCLUDED and "\x00" not in r[3]]
 CHUNK = 24
 
 _DTYPE = {

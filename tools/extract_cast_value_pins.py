@@ -50,6 +50,7 @@ FILES = [
     "TestDecimalToDecimalCasts.java",
     "TestCharacterStringCasts.java",
     "TestDecimalOperators.java",
+    "TestCharOperators.java",
     "TestMathFunctions.java",  # in operator/scalar — the
     # abs/ceil/floor/round/truncate VALUE sections feed the r13
     # literal math folds (loop-generated mod/sign rows are skipped
