@@ -73,15 +73,23 @@ _PRIORITY: tuple[str, ...] = (
     # extension stays gate-exercised by join_not_in_null_aware +
     # join_null_keys and the TPC-H outer shapes; both remain in the
     # full local artifact.
-    "join_inner",
-    "join_semi", "join_anti", "join_not_in_null_aware",
+    # (join_semi rotated out in r17: the semi-join family stays
+    # gate-exercised by join_anti + join_not_in_null_aware and by
+    # sql_tpcds_q64's semi-join cohort gate / sql_tpcds_q95's
+    # EXISTS twins; join_left is BACK in per the r16 verdict #5 —
+    # the outer-join family had no direct gate row since r15)
+    "join_inner", "join_left",
+    "join_anti", "join_not_in_null_aware",
     "join_theta_range", "join_broadcast_dim", "join_skew_salted",
     "join_null_keys",
     # window functions (win_range_frame rotated out in r13;
     # win_running_agg rotated out in r14; win_lag_lead rotated out
-    # in r16 — lag/lead stays gate-exercised at sf scale by
-    # sql_win_lag_offset_scale and in the full local artifact)
-    "win_topn_per_group", "win_ranking",
+    # in r16; win_ranking rotated out in r17 — the ranking family
+    # stays gate-exercised by win_topn_per_group (row_number
+    # WindowGroupLimit) + sql_win_ntile_expr_scale +
+    # sql_tpcds_q51's cumulative-window twin; all in the full
+    # local artifact)
+    "win_topn_per_group",
     # sort / limit / top-k (limit_deterministic rotated out in r14 —
     # total-ordered LIMIT stays exercised by topn and every
     # ORDER-BY-LIMIT query in the prefix)
@@ -111,8 +119,12 @@ _PRIORITY: tuple[str, ...] = (
     # rotated out in r16 — the scalar-subquery shape is exercised
     # inside sql_tpcds_q23's HAVING-max gate and in_subquery keeps
     # the subquery family's gate slot; still in the full artifact)
+    # (cte_query rotated out in r17: the WITH-clause shape is
+    # exercised by sql_tpcds_q23's CTE-heavy twin and the new
+    # sql_tpcds_q51's two-CTE construction; still in the full
+    # local artifact)
     "in_subquery",
-    "filter_predicates", "agg_grouping_sets", "cte_query",
+    "filter_predicates", "agg_grouping_sets",
     # representative r7+ families (one per surface; r10 rotation:
     # rcfile codec, geometry clipping, and two SQL-front-door corpus
     # queries whose text exercises the rewrite passes swap in for
@@ -143,7 +155,10 @@ _PRIORITY: tuple[str, ...] = (
     # rotate out (their families stay covered in the prefix by
     # io_roundtrip_rcfile and fn_geospatial_union_holed /
     # fn_geospatial_polygon; both remain in the full local artifact).
-    "sql_agg_presto_stats", "sql_agg_array_order",
+    # (sql_agg_array_order rotated out in r17: the template-
+    # aggregate family keeps sql_agg_presto_stats; still in the
+    # full local artifact)
+    "sql_agg_presto_stats",
     # r12 rotation: the SQL-surface geometry suite (overlay ops,
     # DE-9IM predicates, simplify, bing-tile covering — all new r12
     # surfaces, closed-form oracle) and the map/histogram aggregate
@@ -206,8 +221,27 @@ _PRIORITY: tuple[str, ...] = (
     # return-ratio shape), and the zstd PAGEFILE roundtrip (the
     # reference's page container with its second codec — byte-level
     # wire coverage the plain pagefile row doesn't reach).
+    # (sql_tpcds_q49 rotated out in r17: the TPC-DS twin family
+    # keeps six gate rows — q67/q23/q95/q70/q64 plus the new q51;
+    # still in the full local artifact)
     "sql_decimal_agg_column_scale", "sql_tpcds_q70", "sql_tpcds_q64",
-    "sql_tpcds_q49", "io_roundtrip_pagefile_zstd",
+    "io_roundtrip_pagefile_zstd",
+    # r17 rotation (r16 verdict #5 — oracle-backed candidates never
+    # gated): the decimal round/truncate typing row from r16's
+    # value-pin extraction (sql_decimal_round_trunc_scale), the NEW
+    # resolved-type IEEE row over a real double column
+    # (sql_double_ieee_column_scale — the r17 semantics surface:
+    # half-away-from-zero column casts, IEEE Infinity/NaN on
+    # zero-able column divisors, DOUBLE-preserving ceil/floor; its
+    # oracle spells every expectation in exact integer cents since
+    # DuckDB's native cast rounds half-even and its zero-divide is
+    # NULL), the incremental cross-corpus LSH dedup
+    # (dedup_incremental — the dedup family's third gate row, the
+    # new×banded-index path), and the TPC-DS q51 twin (the
+    # SUM(SUM()) OVER cumulative-window FULL OUTER shape — no other
+    # gate row has a window-over-aggregate).
+    "sql_decimal_round_trunc_scale", "sql_double_ieee_column_scale",
+    "dedup_incremental", "sql_tpcds_q51",
 )
 
 

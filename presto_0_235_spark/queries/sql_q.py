@@ -2366,6 +2366,67 @@ def sql_decimal_round_trunc_scale(
     )
 
 
+@register(
+    "sql_double_ieee_column_scale",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag, l_discount,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+  FROM lineitem WHERE l_orderkey < 5000
+)
+SELECT l_returnflag,
+       sum((pc + 50) // 100) AS sum_cast,
+       CAST(sum(CASE WHEN l_discount = 0.05 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_inf,
+       CAST(sum(CASE WHEN l_discount = 0.04 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nan,
+       CAST(sum((pc + 99) // 100) AS DOUBLE) AS sum_ceil,
+       CAST(sum(pc // 100) AS DOUBLE) AS sum_floor,
+       count(*) AS n
+FROM m GROUP BY l_returnflag
+""",
+)
+def sql_double_ieee_column_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The r17 resolved-type numeric-semantics surface over a REAL
+    double column (r16 verdict #1 — the r14-r16 program held only
+    for lexically-visible types): CAST(double_col AS BIGINT) rounds
+    half-away-from-zero (DoubleOperators.java:240 roundToLong
+    HALF_UP; Spark truncates), a zero-able column divisor computes
+    IEEE signed Infinity instead of the ANSI DIVIDE_BY_ZERO raise
+    (TestMathFunctions.java:945), `%` computes IEEE NaN instead of
+    REMAINDER_BY_ZERO (TestRealOperators.java:91), and ceil/floor
+    PRESERVE DOUBLE (TestMathFunctions.java:151-171). All four ride
+    frontend._annotate_numeric_columns threading the catalog's
+    declared schema into the rewrites. The DuckDB oracle spells
+    every expectation in exact integer cents / discount-pivot CASEs
+    (DuckDB's own cast rounds half-even and its zero-divide yields
+    NULL — native forms would diverge); a regression to Spark-ANSI
+    either raises (gate error) or hash-mismatches on sum_cast."""
+    register_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT l_returnflag,
+               sum(CAST(l_extendedprice AS BIGINT)) AS sum_cast,
+               CAST(sum(CASE WHEN is_infinite(l_extendedprice /
+                    (l_discount - 0.05E0)) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_inf,
+               CAST(sum(CASE WHEN is_nan(l_extendedprice %
+                    (l_discount - 0.04E0)) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nan,
+               CAST(sum(ceil(l_extendedprice)) AS DOUBLE)
+                    AS sum_ceil,
+               CAST(sum(floor(l_extendedprice)) AS DOUBLE)
+                    AS sum_floor,
+               count(*) AS n
+        FROM lineitem WHERE l_orderkey < 5000
+        GROUP BY l_returnflag
+        """,
+    )
+
+
 _SQL_TPCDS_Q51 = """
 WITH web AS (
   SELECT l_returnflag AS item,

@@ -2102,10 +2102,75 @@ _SCI_LIT_BACK = re.compile(r"\d+(?:\.\d+)?[eE][+-]?\d+$")
 _SCI_LIT_FWD = re.compile(r"\d+(?:\.\d+)?[eE][+-]?\d+")
 
 
+def _float_chain_kind(text: str) -> tuple[str, bool] | None:
+    """(kind, has_operator) when ``text`` is ENTIRELY an arithmetic
+    chain (`+ - * / %`, unary signs allowed) whose operands are
+    statically float-typed (CAST(... AS DOUBLE/FLOAT/REAL) forms,
+    scientific literals), plain numeric literals, or parenthesized
+    such chains — with at least one float operand. Presto derives
+    DOUBLE for any chain with a double side, REAL otherwise (the
+    non-float literals coerce). None when any token falls outside
+    that grammar (identifiers, calls, CASE, commas, subqueries),
+    which keeps the detectors away from already-emitted IEEE CASE
+    shapes and from expressions whose types aren't static."""
+    s = text.strip()
+    n = len(s)
+    i = 0
+    kinds: set = set()
+    has_op = False
+    expect_operand = True
+    while i < n:
+        c = s[i]
+        if c.isspace():
+            i += 1
+            continue
+        if expect_operand:
+            if c in "+-":
+                i += 1
+                continue
+            if c == "(":
+                try:
+                    past = _balanced(s, i)
+                except ValueError:
+                    return None
+                sub = _float_chain_kind(s[i + 1:past - 1])
+                if sub is None:
+                    return None
+                kinds.add(sub[0])
+                has_op = has_op or sub[1]
+                i = past
+            else:
+                sp = _float_operand_fwd(s, i, chain=False) \
+                    or _num_operand_fwd(s, i)
+                if sp is None or sp[0] != i:
+                    return None
+                kinds.add(sp[2])
+                i = sp[1]
+            expect_operand = False
+        elif c in "+-*/%":
+            has_op = True
+            expect_operand = True
+            i += 1
+        else:
+            return None
+    if expect_operand:
+        return None  # empty text or a dangling operator
+    if "double" in kinds:
+        return "double", has_op
+    if "real" in kinds:
+        return "real", has_op
+    return None  # pure numeric-literal chains aren't float-typed
+
+
 def _float_operand_back(masked: str, j: int):
     """(start, end, kind) for a statically float-typed operand
     ENDING at j: a CAST(... AS FLOAT/REAL) form ('real'), a
-    CAST(... AS DOUBLE) form, or a scientific literal ('double').
+    CAST(... AS DOUBLE) form, a scientific literal ('double'), or
+    (r17) a parenthesized arithmetic chain of such operands — the
+    shape a typed-column divisor like `(a - b)` takes after the
+    annotation pass. A chain group must contain an operator
+    somewhere: a bare `(CAST(x AS DOUBLE))` wrap stays undetected
+    so the IEEE emissions' own internals are never re-detected.
     The sign of a negative literal stays OUTSIDE the operand —
     fmod(-a, b) == -fmod(a, b), so the unary minus distributes."""
     r = _real_operand_back(masked, j)
@@ -2127,6 +2192,11 @@ def _float_operand_back(masked: str, j: int):
             if hm is not None and _DBL_TAIL_IN.search(
                     masked[open_i + 1:j - 1]):
                 return hm.start(), j, "double"
+            if hm is None and (open_i == 0 or
+                               masked[open_i - 1] not in _IDENTCH):
+                sub = _float_chain_kind(masked[open_i + 1:j - 1])
+                if sub is not None and sub[1]:
+                    return open_i, j, sub[0]
         return None
     sm = _SCI_LIT_BACK.search(masked[:j])
     if sm is not None and (sm.start() == 0 or
@@ -2135,7 +2205,7 @@ def _float_operand_back(masked: str, j: int):
     return None
 
 
-def _float_operand_fwd(masked: str, i: int):
+def _float_operand_fwd(masked: str, i: int, chain: bool = True):
     r = _real_operand_fwd(masked, i)
     if r is not None:
         return r[0], r[1], "real"
@@ -2155,6 +2225,14 @@ def _float_operand_fwd(masked: str, i: int):
     if sm is not None and (sm.end() == len(masked)
                            or masked[sm.end()] not in _IDENTCH):
         return i, sm.end(), "double"
+    if chain and masked[i:i + 1] == "(":
+        try:
+            past = _balanced(masked, i)
+        except ValueError:
+            return None
+        sub = _float_chain_kind(masked[i + 1:past - 1])
+        if sub is not None and sub[1]:
+            return i, past, sub[0]
     return None
 
 
@@ -2283,8 +2361,12 @@ def _rewrite_double_division(masked: str, stash) -> str:
         if "double" not in kinds and "real" not in kinds:
             continue  # num/num is the decimal/int literal folds'
             # domain
-        if kinds == ("real", "real"):
-            continue  # _rewrite_real_division's float32 domain
+        if kinds == ("real", "real") and out[left[0]] != "(" \
+                and out[right[0]] != "(":
+            continue  # _rewrite_real_division's float32 domain —
+            # except paren-CHAIN operands (r17; a chain starts with
+            # "(", a CAST form with its keyword), which that pass's
+            # CAST-form-only detectors can't see
         g = left[0]
         while g > 0 and out[g - 1].isspace():
             g -= 1
@@ -3303,24 +3385,59 @@ def _char_operand_fwd(masked: str, i: int):
     return None
 
 
-def _rewrite_char_comparisons(masked: str) -> str:
-    """CHAR(n) comparisons pad both sides to the common length in
-    the reference — trailing spaces are insignificant, so
-    cast('foo' as char(3)) = cast('foo' as char(5)) is TRUE and a
-    varchar operand coerces to the char side's padded semantics
-    (cast('bar' as char(5)) = 'bar   ' is TRUE;
-    TestCharOperators.java testEqual..testBetween,
+_CHAR_TAIL_N = re.compile(r"\bAS\s+CHAR\s*\(\s*(\d+)\s*\)\s*\)\s*$",
+                          re.IGNORECASE)
+
+
+def _char_operand_pad_len(masked: str, stash, span) -> int | None:
+    """The padded CHAR length of a comparison operand: n for a
+    CAST(... AS CHAR(n)) extent, the literal's code-point length for
+    a string literal (a varchar operand coerces to char at its own
+    length in the reference's comparison coercion)."""
+    start, end, is_char = span
+    text = masked[start:end]
+    if is_char:
+        nm = _CHAR_TAIL_N.search(text)
+        return int(nm.group(1)) if nm else None
+    sm = re.match(r"\x00s(\d+)\x00$", text.strip())
+    if sm is None:
+        return None
+    kind, lit = stash[int(sm.group(1))]
+    if kind != "str":
+        return None
+    return len(lit[1:-1].replace("''", "'"))
+
+
+def _rewrite_char_comparisons(masked: str, stash) -> str:
+    """CHAR(n) comparisons pad both sides to the common length and
+    compare code points in the reference — trailing spaces are
+    insignificant, so cast('foo' as char(3)) = cast('foo' as
+    char(5)) is TRUE and a varchar operand coerces to the char
+    side's padded semantics (cast('bar' as char(5)) = 'bar   ' is
+    TRUE; TestCharOperators.java testEqual..testBetween,
     CharOperators.java compareChars) — while this engine lowers
     CHAR(n) to an rpad'd STRING, making lengths significant. For
     comparison sites where at least one operand is a statically
     CHAR-typed cast (the other a char cast or a string literal),
-    rtrim both sides: stripping trailing spaces orders identically
-    to padding to the common length for every code point >= U+0020
-    (sub-space code points can't reach these operands — NUL is
-    rejected at the literal gate, and the pinned rows are ASCII).
-    Runs BEFORE _rewrite_sized_char_casts erases the CHAR-ness.
-    Covers the binary operators, [NOT] BETWEEN, and IS [NOT]
-    DISTINCT FROM."""
+    rpad BOTH sides to the statically-known common length: exactly
+    the reference's padded comparison, including trailing SUB-SPACE
+    code points (r17 — the earlier rtrim spelling compared
+    cast('ab\\t' as char(3)) = cast('ab' as char(2)) TRUE because
+    the 1-arg rtrim was later template-rewritten into the
+    Java-whitespace trim set; the reference pads with U+0020 and
+    orders '\\t' < ' ', giving FALSE and < TRUE —
+    TestCharOperators.java:66-77 pins that ordering for sub-space
+    points). Appending equal-count spaces beyond the pairwise
+    common length never changes a comparison, so BETWEEN's three
+    operands share one global padded length. Runs BEFORE
+    _rewrite_sized_char_casts erases the CHAR-ness. Covers the
+    binary operators, [NOT] BETWEEN, and IS [NOT] DISTINCT FROM."""
+    from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+    def pad(text: str, length: int) -> str:
+        sp = _stash_lit(stash, " ")
+        return f"rpad({text}, {length}, {sp})"
+
     out = masked
     # binary comparison operators
     i = -1
@@ -3354,9 +3471,14 @@ def _rewrite_char_comparisons(masked: str) -> str:
             continue
         if not (left[2] or right[2]):
             continue  # literal-vs-literal: not a char comparison
+        ln_a = _char_operand_pad_len(out, stash, left)
+        ln_b = _char_operand_pad_len(out, stash, right)
+        if ln_a is None or ln_b is None:
+            continue
         a = out[left[0]:left[1]]
         b = out[right[0]:right[1]]
-        new = f"rtrim({a}) {out[i:op_end]} rtrim({b})"
+        ln = max(ln_a, ln_b)
+        new = f"{pad(a, ln)} {out[i:op_end]} {pad(b, ln)}"
         out = out[:left[0]] + new + out[right[1]:]
         i = left[0] + len(new) - 1
     # IS [NOT] DISTINCT FROM
@@ -3372,9 +3494,14 @@ def _rewrite_char_comparisons(masked: str) -> str:
         right = _char_operand_fwd(out, m.end())
         if left is None or right is None or not (left[2] or right[2]):
             continue
+        ln_a = _char_operand_pad_len(out, stash, left)
+        ln_b = _char_operand_pad_len(out, stash, right)
+        if ln_a is None or ln_b is None:
+            continue
         a = out[left[0]:left[1]]
         b = out[right[0]:right[1]]
-        new = (f"rtrim({a}){out[m.start():m.end()]}rtrim({b})")
+        ln = max(ln_a, ln_b)
+        new = (f"{pad(a, ln)}{out[m.start():m.end()]}{pad(b, ln)}")
         out = out[:left[0]] + new + out[right[1]:]
         pos = left[0] + len(new)
     # [NOT] BETWEEN x AND y
@@ -3398,11 +3525,16 @@ def _rewrite_char_comparisons(masked: str) -> str:
             continue
         if not (left[2] or lo[2] or hi[2]):
             continue
+        lens = [_char_operand_pad_len(out, stash, s)
+                for s in (left, lo, hi)]
+        if any(x is None for x in lens):
+            continue
         a = out[left[0]:left[1]]
         b = out[lo[0]:lo[1]]
         cexp = out[hi[0]:hi[1]]
-        new = (f"rtrim({a}){out[m.start():m.end()]}rtrim({b})"
-               f"{out[lo[1]:am.end()]}rtrim({cexp})")
+        ln = max(lens)
+        new = (f"{pad(a, ln)}{out[m.start():m.end()]}{pad(b, ln)}"
+               f"{out[lo[1]:am.end()]}{pad(cexp, ln)}")
         out = out[:left[0]] + new + out[hi[1]:]
         pos = left[0] + len(new)
     return out
@@ -5615,7 +5747,7 @@ def presto_to_spark_sql(sql: str) -> str:
         r"\b(CASE\s+WHEN)\s+NULL\s+(THEN)\b",
         r"\1 CAST(NULL AS BOOLEAN) \2", masked, flags=re.IGNORECASE)
     masked = _rewrite_negated_decimal_cast(masked, stash)
-    masked = _rewrite_char_comparisons(masked)
+    masked = _rewrite_char_comparisons(masked, stash)
     masked = _rewrite_sized_char_casts(masked, stash)
     masked = _wrap_decimal_agg_types(masked)
     masked = _rewrite_decimal_column_arith(masked)
@@ -6127,15 +6259,44 @@ def _annot_refs(masked: str):
 _ANNOT_IDENT = re.compile(
     r"(?<![\w.\x00])([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)(?![\w.])")
 
+# numeric calls whose reference semantics depend on the RESOLVED
+# argument type (r17 — verdict #1): ceil/floor/truncate preserve
+# DOUBLE/REAL where Spark returns BIGINT, round is sign-aware,
+# greatest/least raise on DOUBLE NaN. A float column annotated in
+# these argument positions reaches the scalar templates as a
+# statically-typed operand.
+_ANNOT_NUMFNS = frozenset((
+    "ceil", "ceiling", "floor", "round", "truncate",
+    "greatest", "least", "mod",
+))
+
+
+def _annot_enclosing_call(masked: str, pos: int) -> str | None:
+    """Lower-cased name of the innermost call enclosing ``pos``, or
+    None when pos sits outside any call's argument list."""
+    depth = 0
+    for k in range(pos - 1, -1, -1):
+        c = masked[k]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            if depth == 0:
+                nm = re.search(r"([A-Za-z_]\w*)\s*$", masked[:k])
+                return nm.group(1).lower() if nm else None
+            depth -= 1
+    return None
+
 
 def _annot_sqltype(dt):
     """SQL spelling for an annotatable Spark type, else None.
 
     DOUBLE is special-cased at the annotation site: double columns
-    only annotate directly inside an integral CAST (where Presto's
-    half-away-from-zero rounding diverges from Spark's truncation) —
-    arithmetic-adjacent doubles are left alone (Spark already
-    matches)."""
+    annotate inside an integral CAST (half-away-from-zero rounding),
+    in type-sensitive numeric-call argument positions, and adjacent
+    to arithmetic when the statement divides or takes a modulus
+    (r17 — the IEEE rewrites need the divisor chain typed). Plain
+    additive/multiplicative double arithmetic is left alone (Spark
+    already matches)."""
     from pyspark.sql import types as T
 
     if isinstance(dt, T.DecimalType):
@@ -6226,7 +6387,13 @@ def _annot_values_item_type(text: str, stash):
             return ("dec", p - s, s)
         if tgt in ("REAL", "FLOAT"):
             return ("real",)
+        if tgt == "DOUBLE":
+            return ("dbl",)
         return None
+    if re.fullmatch(r"\d+(?:\.\d+)?[eE][+-]?\d+", t):
+        return ("dbl",)  # scientific literal: DOUBLE in the parser
+    if re.fullmatch(r"(?:nan|infinity)\s*\(\s*\)", t, re.IGNORECASE):
+        return ("dbl",)  # MathFunctions nan()/infinity(): DOUBLE
     tm = re.match(r"([A-Za-z_]\w*)\s*\x00s(\d+)\x00$", t)
     if tm:
         kw = tm.group(1).upper()
@@ -6234,6 +6401,8 @@ def _annot_values_item_type(text: str, stash):
             return ("int", _ANNOT_VALUES_INT_T[kw])
         if kw in ("REAL", "FLOAT"):
             return ("real",)
+        if kw == "DOUBLE":
+            return ("dbl",)
         if kw == "DECIMAL":
             # type the literal exactly as Presto's Decimals.parse
             # (leading integer zeros carry no precision)
@@ -6267,6 +6436,11 @@ def _annot_values_unify(items):
     if not kinds or any(i is None for i in items):
         return None
     tags = {i[0] for i in kinds}
+    if "dbl" in tags and tags <= {"dbl", "int", "dec", "real"}:
+        # DOUBLE absorbs every other numeric kind in Presto's VALUES
+        # row unification (TypeCoercion: integral/decimal/real all
+        # coerce to double)
+        return "DOUBLE"
     if tags == {"int"}:
         return _INT_SQL[max(i[1] for i in kinds)]
     if tags <= {"int", "dec"}:
@@ -6345,8 +6519,10 @@ def _annotate_numeric_columns(spark: SparkSession, sql: str) -> str:
 def _annotate_numeric_columns_inner(spark, sql: str) -> str:
     if not re.search(r"[*/%+-]", sql) and not re.search(
             r"\bCAST\s*\(", sql, re.IGNORECASE) and not re.search(
-            r"\b(?:AVG|SUM|MIN|MAX)\s*\(", sql, re.IGNORECASE):
-        return sql  # no arithmetic, cast, or typable aggregate
+            r"\b(?:AVG|SUM|MIN|MAX|CEIL|CEILING|FLOOR|ROUND|TRUNCATE"
+            r"|GREATEST|LEAST|MOD)\s*\(", sql, re.IGNORECASE):
+        return sql  # no arithmetic, cast, typable aggregate, or
+        # type-sensitive numeric call
     masked, stash = _mask(sql)
     refs = _annot_refs(masked)
     vrefs = _annot_values_refs(masked, stash)
@@ -6403,6 +6579,7 @@ def _annotate_numeric_columns_inner(spark, sql: str) -> str:
     out_parts = []
     last = 0
     changed = False
+    has_divmod = "/" in masked or "%" in masked
     for m in _ANNOT_IDENT.finditer(masked):
         name = m.group(1)
         rest = masked[m.end():].lstrip()
@@ -6425,13 +6602,44 @@ def _annotate_numeric_columns_inner(spark, sql: str) -> str:
             if not t:
                 continue
         prev = masked[:m.start()].rstrip()
+        # direct-argument position of a type-sensitive numeric call
+        # (r17 — the ceil/floor/round/truncate/greatest/least/mod
+        # templates consume the static type; DECIMAL columns get the
+        # same treatment so round(decimal_col) derives the
+        # reference's (p-s+min(1,s), 0) like the CAST-typed
+        # spelling does)
+        fn_arg = False
+        if rest[:1] in (",", ")") \
+                and (prev.endswith("(") or prev.endswith(",")) \
+                and (t in ("DOUBLE", "FLOAT")
+                     or t.startswith("DECIMAL")):
+            fn_arg = _annot_enclosing_call(
+                masked, m.start()) in _ANNOT_NUMFNS
         if t == "DOUBLE":
-            # only the integral-cast context (see _annot_sqltype)
-            if not (re.search(r"\b(?:TRY_CAST|CAST)\s*\($", prev,
-                              re.IGNORECASE)
-                    and re.match(r"AS\s+(?:TINYINT|SMALLINT|INT|"
-                                 r"INTEGER|BIGINT)\b", rest,
-                                 re.IGNORECASE)):
+            # double columns annotate only where a downstream
+            # semantics rewrite consumes the static type (r17 —
+            # verdict #1; see _annot_sqltype):
+            #  (a) directly inside a double->integral CAST (the
+            #      half-away-from-zero rounding rewrite);
+            #  (b) a type-sensitive call's argument position;
+            #  (c) adjacent to an arithmetic operator when the
+            #      statement divides or takes a modulus anywhere —
+            #      the IEEE / and % rewrites need the operands AND
+            #      their sibling subexpressions (a zero-able divisor
+            #      like `(a - b)`) statically typed. Plain +,-,*
+            #      double arithmetic is value-identical in Spark, so
+            #      statements without / or % skip the churn.
+            ok = fn_arg or (
+                re.search(r"\b(?:TRY_CAST|CAST)\s*\($", prev,
+                          re.IGNORECASE)
+                and re.match(r"AS\s+(?:TINYINT|SMALLINT|INT|"
+                             r"INTEGER|BIGINT)\b", rest,
+                             re.IGNORECASE))
+            if not ok and has_divmod:
+                pc = prev[-1:]
+                ok = (bool(pc) and pc in "+-*/%") or (
+                    rest[:1] in "+-*/%" and rest[:2] != "->")
+            if not ok:
                 continue
             out_parts.append(masked[last:m.start()])
             out_parts.append(f"CAST({name} AS DOUBLE)")
@@ -6439,7 +6647,7 @@ def _annotate_numeric_columns_inner(spark, sql: str) -> str:
             changed = True
             continue
         pc = prev[-1:]
-        adj = bool(pc) and pc in "+-*/%"
+        adj = fn_arg or (bool(pc) and pc in "+-*/%")
         if not adj and rest[:1] and rest[:1] in "+-*/%" \
                 and rest[:2] != "->":
             adj = True

@@ -220,6 +220,7 @@ _TEMPLATE_NAMES = (
     "levenshtein_distance",
     "greatest",
     "least",
+    "mod",
     "width_bucket",
     "repeat",
     "bing_tile",
@@ -334,6 +335,42 @@ def _static_arg_type(arg: str):
         return "int" if -_INT32_MAX <= int(arg) < _INT32_MAX \
             else "bigint"
     return None
+
+
+def _float_round_n(x: str, n: int, kind: str, stash) -> str | None:
+    """round(double/real, n) for a literal n != 0: the reference is
+    ``Math.round(num * 10^n) / 10^n`` on the BINARY double with a
+    sign split (MathFunctions.java:750-763; the REAL overload
+    computes through double and narrows, :765-780) — NOT a decimal
+    rounding: round(1.005E0, 2) = 1.0 there because 1.005 * 100 =
+    100.49999999999999. The emitted factor literal must be
+    bit-identical to Java's Math.pow(10, n): powers of ten through
+    1E22 are exactly representable (Math.pow is exact on them), and
+    for negative n the correctly-rounded Python ``10.0 ** n`` equals
+    Math.pow on every |n| <= 22 (pinned against the session JVM by
+    tests/test_numeric_column_semantics.py). |n| > 22 declines
+    (exactness unproven; unpinned). Math.round saturates at
+    Long.MAX_VALUE — the explicit 2^63 guard replays that. Inside
+    the guard, Spark's scale-0 ROUND equals Math.round on every
+    finite double (see the call-site comment)."""
+    if abs(n) > 22:
+        return None
+    inf = _stash_lit(stash, "Infinity")
+    fl = f"1E{n}D" if n > 0 else f"{10.0 ** n!r}D"
+    xs = f"CAST(({x}) AS DOUBLE)" if kind == "real" else f"({x})"
+
+    def half(v: str) -> str:
+        return (f"IF(({v}) * {fl} >= 9.223372036854776E18D, "
+                f"9.223372036854776E18D / {fl}, "
+                f"ROUND(({v}) * {fl}, 0) / {fl})")
+
+    body = (f"(CASE WHEN isnan({xs}) OR abs({xs}) = "
+            f"CAST({inf} AS DOUBLE) THEN {xs} "
+            f"WHEN {xs} >= 0D THEN {half(xs)} "
+            f"ELSE -({half(f'-{xs}')}) END)")
+    if kind == "real":
+        body = f"CAST({body} AS FLOAT)"
+    return body
 
 
 def _decimal_avg_window(args: list[str], over_text: str):
@@ -678,12 +715,35 @@ def _rewrite_one(
         t0 = _static_arg_type(args[0])
         if t0 in ("double", "real"):
             # Presto's float round is sign-aware — num < 0 computes
-            # -(Math.round(-num)) (MathFunctions.java:757-758), so
+            # -(round(-num, n)) (MathFunctions.java:757-763), so
             # round(-0.3E0) is NEGATIVE zero where Spark's
-            # BigDecimal path loses the sign. Values are otherwise
-            # identical (both HALF_UP away from zero); restore the
-            # sign by negating the positive-side round.
+            # BigDecimal path loses the sign.
             x = a[0]
+            if len(a) == 2:
+                try:
+                    n = int(args[1].strip())
+                except ValueError:
+                    n = None
+                if n is not None and n != 0:
+                    # non-zero scale: the reference computes
+                    # Math.round(num * 10^n) / 10^n on the BINARY
+                    # double (round(1.005E0, 2) = 1.0 because
+                    # 1.005 * 100 = 100.49999999999999), while
+                    # Spark's ROUND rounds the decimal shortest
+                    # repr (1.01) — replicate the factor hop
+                    # (r17, ADVICE r16 #3)
+                    emitted = _float_round_n(x, n, t0, stash)
+                    if emitted is not None:
+                        return emitted
+            # scale 0 (1-arg is round(x, 0)): Spark's ROUND —
+            # BigDecimal HALF_UP on the shortest decimal repr — is
+            # value-identical to Math.round on the binary double:
+            # the shortest repr round-trips, so ordering against
+            # the representable n+0.5 tie boundary is preserved
+            # (probed incl. the JDK-6430675 edge). Non-literal
+            # scale expressions keep this spelling too (documented
+            # residual: a runtime scale can't pick a factor
+            # literal at translate time).
             tail = f", {a[1]}" if len(a) == 2 else ""
             return (f"(CASE WHEN ({x}) >= 0 THEN ROUND(({x}){tail}) "
                     f"ELSE -ROUND(-({x}){tail}) END)")
@@ -833,10 +893,16 @@ def _rewrite_one(
                         f"AS DECIMAL({rp}, {rs}))")
 
     if name == "truncate" and len(a) == 1:
+        # MathFunctions truncate(double) is signum(x) * floor(abs(x))
+        # — truncate(-0.3) is NEGATIVE zero (r17; the plain
+        # x - (x % 1) spelling loses the sign). x = ±0 returns x
+        # itself; the negative branch computes on -x and negates.
         x = a[0]
         case = (
             f"(CASE WHEN isnan({x}) OR abs({x}) = CAST({_stash_lit(stash, 'Infinity')} AS DOUBLE) "
-            f"THEN {x} ELSE {x} - ({x} % 1) END)"
+            f"OR ({x}) = 0D THEN {x} "
+            f"WHEN ({x}) > 0D THEN ({x}) - (({x}) % 1) "
+            f"ELSE -((-({x})) - ((-({x})) % 1)) END)"
         )
         if _static_arg_type(args[0]) == "real":
             # truncate(REAL) keeps REAL in the reference
@@ -866,10 +932,19 @@ def _rewrite_one(
         # scale-0-decimal args are identity; float args compute via
         # the builtin then restore the type, with NaN/Infinity and
         # the already-integral range (|x| >= 2^52 double / 2^23
-        # float32) passed through untouched. Non-static args keep
-        # Spark's derivation (documented residual).
+        # float32) passed through untouched. Negative zero survives
+        # (r17 — Java Math.ceil(-0.5) is -0.0, Math.floor(-0.0) is
+        # -0.0, where CAST(CEIL(x) AS DOUBLE) loses the sign):
+        # x = ±0 returns x itself, and the negative branch computes
+        # through the mirrored builtin so a zero result carries the
+        # negated sign (-CAST(FLOOR(0.5) AS DOUBLE) = -0.0).
+        # Non-static args keep Spark's derivation (annotated columns
+        # and VALUES-typed doubles arrive statically typed — r17
+        # verdict #1; compound expressions remain the residual).
         t = _static_arg_type(args[0])
-        fn = "FLOOR" if name == "floor" else "CEIL"
+        is_floor = name == "floor"
+        fn, mirror = ("FLOOR", "CEIL") if is_floor else ("CEIL",
+                                                         "FLOOR")
         x = a[0]
         if t in ("tinyint", "smallint", "int", "bigint") or (
                 isinstance(t, tuple) and t[2] == 0):
@@ -877,11 +952,16 @@ def _rewrite_one(
         if t == "double":
             return (f"(CASE WHEN isnan({x}) OR abs({x}) >= "
                     f"4.503599627370496E15D THEN {x} "
-                    f"ELSE CAST({fn}({x}) AS DOUBLE) END)")
+                    f"WHEN ({x}) = 0D THEN ({x}) "
+                    f"WHEN ({x}) > 0D THEN CAST({fn}({x}) AS DOUBLE) "
+                    f"ELSE -CAST({mirror}(-({x})) AS DOUBLE) END)")
         if t == "real":
             return (f"CAST((CASE WHEN isnan({x}) OR abs({x}) >= "
-                    f"CAST(8388608 AS DOUBLE) THEN {x} "
-                    f"ELSE CAST({fn}({x}) AS DOUBLE) END) AS FLOAT)")
+                    f"CAST(8388608 AS DOUBLE) THEN CAST({x} AS DOUBLE) "
+                    f"WHEN ({x}) = 0D THEN CAST({x} AS DOUBLE) "
+                    f"WHEN ({x}) > 0D THEN CAST({fn}({x}) AS DOUBLE) "
+                    f"ELSE -CAST({mirror}(-({x})) AS DOUBLE) END) "
+                    f"AS FLOAT)")
         return None
 
     if name == "chr" and len(a) == 1:
@@ -2238,36 +2318,73 @@ def _rewrite_one(
             f"CAST({n} AS INT)), 0) AS BIGINT) END)"
         )
 
+    if name == "mod" and len(a) == 2:
+        # MathFunctions.mod(double/real) is Java's `%` — IEEE fmod:
+        # a zero divisor yields NaN, never an error — while Spark's
+        # mod ANSI-raises REMAINDER_BY_ZERO (r17; the same contract
+        # as the frontend's `%` operator rewrite, which cannot see
+        # the call form). Fires when either argument is statically
+        # float-typed (Presto coerces the other numeric side up);
+        # fmod of two float32s is exact in float32, so computing in
+        # double and narrowing is exact.
+        kinds = {_static_arg_type(raw) for raw in args}
+        if kinds & {"double", "real"}:
+            t = "DOUBLE" if "double" in kinds else "FLOAT"
+            nan = _stash_lit(stash, "NaN")
+            x, y = a
+            return (
+                f"CAST((CASE WHEN ({x}) IS NULL OR ({y}) IS NULL "
+                f"THEN CAST(NULL AS {t}) "
+                f"WHEN ({y}) = CAST(0 AS {t}) THEN CAST({nan} AS {t}) "
+                f"ELSE CAST(CAST(({x}) AS DOUBLE) % ({y}) AS {t}) "
+                f"END) AS {t})"
+            )
+        return None
+
     if name in ("greatest", "least") and len(a) >= 1:
         # MathFunctions.java greatest/least: ANY NULL argument makes
         # the result NULL (Presto), where Spark's greatest/least
         # SKIP nulls; the 1-arg form (legal in Presto, rejected by
         # Spark) is the identity. A NaN argument RAISES in the
-        # reference (AbstractGreatestLeast.java:128 "Invalid
-        # argument to greatest(): NaN" — r16: previously masked by
-        # Spark's divide-by-zero raise on the 0.0E0/0.0E0 spelling;
-        # the IEEE division rewrite computes NaN now, so the guard
-        # replays the raise for float-typed arguments).
+        # reference ONLY when the bound type is DOUBLE
+        # (AbstractGreatestLeast.generate emits checkNotNaN solely
+        # for StandardTypes.DOUBLE — ADVICE r16 #2): pure-REAL
+        # argument lists compare through with `>`/`<`, where NaN
+        # never wins a comparison, so the result is the running
+        # best of the non-NaN tail — NaN only when the FIRST
+        # argument is NaN. Spark instead treats NaN as the largest
+        # value; replay the reference order by pinning arg 0's NaN
+        # and demoting later NaN args to the never-winning infinity.
         if len(a) == 1:
             return f"({a[0]})"
-        float_args = [x for x, raw in zip(a, args)
-                      if _static_arg_type(raw) in ("double", "real")]
+        float_kinds = {_static_arg_type(raw) for raw in args
+                       if _static_arg_type(raw) in ("double", "real")}
         nan_guard = ""
-        if float_args:
-            kinds = {_static_arg_type(raw) for raw in args
-                     if _static_arg_type(raw) in ("double", "real")}
-            t = "FLOAT" if kinds == {"real"} else "DOUBLE"
+        call_args = list(a)
+        if "double" in float_kinds:
+            float_args = [x for x, raw in zip(a, args)
+                          if _static_arg_type(raw) in ("double",
+                                                       "real")]
             msg = _stash_lit(
                 stash, f"Invalid argument to {name}(): NaN")
             nan_cond = " OR ".join(f"isnan(({x}))"
                                    for x in float_args)
             nan_guard = (f"WHEN {nan_cond} THEN "
-                         f"CAST(raise_error({msg}) AS {t}) ")
+                         f"CAST(raise_error({msg}) AS DOUBLE) ")
+        elif float_kinds == {"real"}:
+            lose = _stash_lit(
+                stash, "-Infinity" if name == "greatest"
+                else "Infinity")
+            nan_guard = (f"WHEN isnan(({a[0]})) THEN "
+                         f"CAST(({a[0]}) AS FLOAT) ")
+            call_args = [a[0]] + [
+                f"IF(isnan(({x})), CAST({lose} AS FLOAT), ({x}))"
+                for x in a[1:]]
         null_guard = " OR ".join(f"({x}) IS NULL" for x in a)
         return (
             f"(CASE WHEN {null_guard} THEN NULL "
             f"{nan_guard}"
-            f"ELSE {name}({', '.join(a)}) END)"
+            f"ELSE {name}({', '.join(call_args)}) END)"
         )
 
     if name in ("is_nan", "is_finite", "is_infinite") and len(a) == 1:

@@ -150,6 +150,27 @@ def _timed(fn):
     return time.monotonic() - start
 
 
+def _assert_trend(run_small, run_big, label, bound=25):
+    """Assert wall-time grows sub-quadratically from the small to the
+    big size, robustly under ambient load (r17 — r16 verdict #6: a
+    single capture measured 31.5x vs the 25x bound on a 0.018 s base
+    while a heavy job ran in parallel, and passed 3/3 idle). A single
+    inflated sample must not fail the suite: when the first ratio
+    exceeds the bound, re-measure up to twice and compare the
+    per-size MINIMA — the minimum of repeated wall-times is the
+    load-robust statistic; a real quadratic slip inflates every
+    sample, not just the loaded one."""
+    t1 = _timed(run_small)
+    t10 = _timed(run_big)
+    for _ in range(2):
+        if t10 / max(t1, 1e-9) <= bound:
+            break
+        t1 = min(t1, _timed(run_small))
+        t10 = min(t10, _timed(run_big))
+    assert t10 / max(t1, 1e-9) <= bound, (
+        f"{label} superlinear: {t1:.2f}s -> {t10:.2f}s")
+
+
 def test_trend_lsh_near_linear(spark):
     from pyspark.sql import functions as F
 
@@ -162,9 +183,7 @@ def test_trend_lsh_near_linear(spark):
         dd.lsh_candidate_pairs(docs, "doc_id", "sh").count()
 
     run(2_000)  # warm: codegen + session fixed costs out of the timing
-    t1 = _timed(lambda: run(4_000))
-    t10 = _timed(lambda: run(40_000))
-    assert t10 / t1 <= 25, f"LSH trend superlinear: {t1:.2f}s -> {t10:.2f}s"
+    _assert_trend(lambda: run(4_000), lambda: run(40_000), "LSH trend")
 
 
 def test_trend_cc_star_near_linear(spark):
@@ -186,9 +205,7 @@ def test_trend_cc_star_near_linear(spark):
         dd.connected_components_star(edges).count()
 
     run(2_000)
-    t1 = _timed(lambda: run(4_000))
-    t10 = _timed(lambda: run(40_000))
-    assert t10 / t1 <= 25, f"CC trend superlinear: {t1:.2f}s -> {t10:.2f}s"
+    _assert_trend(lambda: run(4_000), lambda: run(40_000), "CC trend")
 
 
 def test_trend_ann_bruteforce_near_linear(spark):
@@ -229,9 +246,7 @@ def test_trend_ann_bruteforce_near_linear(spark):
         ).count()
 
     run(2_000)
-    t1 = _timed(lambda: run(4_000))
-    t10 = _timed(lambda: run(40_000))
-    assert t10 / t1 <= 25, f"ANN trend superlinear: {t1:.2f}s -> {t10:.2f}s"
+    _assert_trend(lambda: run(4_000), lambda: run(40_000), "ANN trend")
 
 
 def test_trend_pagefile_codec_near_linear(tmp_path):
@@ -263,11 +278,8 @@ def test_trend_pagefile_codec_near_linear(tmp_path):
         assert total == n
 
     run(2_000, "warm")
-    t1 = _timed(lambda: run(5_000, "a"))
-    t10 = _timed(lambda: run(50_000, "b"))
-    assert t10 / t1 <= 25, (
-        f"pagefile codec superlinear: {t1:.2f}s -> {t10:.2f}s"
-    )
+    _assert_trend(lambda: run(5_000, "a"), lambda: run(50_000, "b"),
+                  "pagefile codec")
 
 
 # ---------------------------------------------------------------------------
