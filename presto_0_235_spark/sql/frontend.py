@@ -2100,6 +2100,26 @@ def _real_operand_fwd(masked: str, i: int):
 _DBL_TAIL_IN = re.compile(r"\bAS\s+DOUBLE\s*$", re.IGNORECASE)
 _SCI_LIT_BACK = re.compile(r"\d+(?:\.\d+)?[eE][+-]?\d+$")
 _SCI_LIT_FWD = re.compile(r"\d+(?:\.\d+)?[eE][+-]?\d+")
+# float-preserving aggregate heads: sum/min/max keep the argument's
+# float type and avg(double)->double / avg(real)->real in the
+# reference (DoubleSumAggregation, RealAverageAggregation), so an
+# aggregate call over a statically float-typed interior is itself a
+# statically float-typed operand — the shape `sum(a) / sum(b)` takes
+# after annotation (r17: aggregate-RESULT operands were the last
+# lexical-only extent of the IEEE rewrites)
+_AGG_HEAD_FWD = re.compile(r"(sum|min|max|avg)\s*\(", re.IGNORECASE)
+_AGG_HEAD_BACK = re.compile(r"(?<![\w.\x00])(sum|min|max|avg)\s*$",
+                            re.IGNORECASE)
+_AGG_TAIL_STOP = re.compile(r"\s*(OVER|FILTER|WITHIN)\b",
+                            re.IGNORECASE)
+
+
+def _agg_interior_kind(interior: str):
+    """'double'/'real' when an aggregate call's interior is itself
+    statically float-typed (a single operand or an arithmetic
+    chain); None otherwise (DISTINCT, ORDER BY, multi-arg)."""
+    sub = _float_chain_kind(interior)
+    return sub[0] if sub is not None else None
 
 
 def _float_chain_kind(text: str) -> tuple[str, bool] | None:
@@ -2192,8 +2212,13 @@ def _float_operand_back(masked: str, j: int):
             if hm is not None and _DBL_TAIL_IN.search(
                     masked[open_i + 1:j - 1]):
                 return hm.start(), j, "double"
-            if hm is None and (open_i == 0 or
-                               masked[open_i - 1] not in _IDENTCH):
+            am = _AGG_HEAD_BACK.search(masked[:open_i])
+            if am is not None:
+                k = _agg_interior_kind(masked[open_i + 1:j - 1])
+                if k is not None:
+                    return am.start(), j, k
+            if hm is None and am is None and (
+                    open_i == 0 or masked[open_i - 1] not in _IDENTCH):
                 sub = _float_chain_kind(masked[open_i + 1:j - 1])
                 if sub is not None and sub[1]:
                     return open_i, j, sub[0]
@@ -2225,6 +2250,21 @@ def _float_operand_fwd(masked: str, i: int, chain: bool = True):
     if sm is not None and (sm.end() == len(masked)
                            or masked[sm.end()] not in _IDENTCH):
         return i, sm.end(), "double"
+    am = _AGG_HEAD_FWD.match(masked, i)
+    if am is not None:
+        try:
+            open_i = masked.index("(", am.end(1))
+            past = _balanced(masked, open_i)
+        except ValueError:
+            return None
+        # a window/FILTER suffix binds tighter than the operand —
+        # wrapping just the call would orphan the OVER clause
+        if _AGG_TAIL_STOP.match(masked, past):
+            return None
+        k = _agg_interior_kind(masked[open_i + 1:past - 1])
+        if k is not None:
+            return i, past, k
+        return None
     if chain and masked[i:i + 1] == "(":
         try:
             past = _balanced(masked, i)
@@ -6639,6 +6679,26 @@ def _annotate_numeric_columns_inner(spark, sql: str) -> str:
                 pc = prev[-1:]
                 ok = (bool(pc) and pc in "+-*/%") or (
                     rest[:1] in "+-*/%" and rest[:2] != "->")
+            if not ok and rest[:1] == ")":
+                # sole argument of a float-preserving aggregate whose
+                # CALL is arithmetic-adjacent or itself a numeric
+                # call's argument (r17: `sum(a) / sum(b)` and
+                # `ceil(sum(x))` — the aggregate-RESULT operand
+                # shapes; typing the argument types the call for the
+                # IEEE operand detectors / _static_arg_type)
+                am = re.search(r"(?<![\w.\x00])(SUM|MIN|MAX|AVG)"
+                               r"\s*\($", prev, re.IGNORECASE)
+                if am:
+                    before = masked[:am.start()].rstrip()[-1:]
+                    after = masked[m.end():].lstrip()[1:].lstrip()
+                    if has_divmod and (
+                            (before and before in "+-*/%")
+                            or after[:1] in "+-*/%"):
+                        ok = True
+                    elif after[:1] in (",", ")") and \
+                            _annot_enclosing_call(
+                                masked, am.start()) in _ANNOT_NUMFNS:
+                        ok = True
             if not ok:
                 continue
             out_parts.append(masked[last:m.start()])

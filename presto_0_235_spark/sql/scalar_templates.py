@@ -334,6 +334,22 @@ def _static_arg_type(arg: str):
     if re.fullmatch(r"[+-]?\d+", arg):
         return "int" if -_INT32_MAX <= int(arg) < _INT32_MAX \
             else "bigint"
+    am = re.match(r"(sum|min|max|avg)\s*\(", arg, re.IGNORECASE)
+    if am is not None:
+        # float-preserving aggregate over a statically float-typed
+        # interior (r17: ceil(sum(x)) / round(avg(x), n) — the
+        # aggregate-RESULT operand shapes; sum/min/max keep the
+        # argument's float type, avg(double)->double and
+        # avg(real)->real in the reference). Only the float kinds
+        # recurse — integral/decimal aggregate typing belongs to
+        # the dedicated aggregate passes.
+        try:
+            if _balanced(arg, am.end() - 1) == len(arg):
+                t = _static_arg_type(arg[am.end():-1])
+                if t in ("double", "real"):
+                    return t
+        except ValueError:
+            pass
     return None
 
 

@@ -163,6 +163,44 @@ def test_ceil_round_column_negative_zero(spark):
 
 
 # ---------------------------------------------------------------------------
+# aggregate-RESULT operands (r17 second pass: sum(a)/sum(b) and
+# ceil(sum(x)) — float-preserving aggregates over typed interiors
+# are themselves statically typed operands)
+# ---------------------------------------------------------------------------
+
+def test_sum_over_sum_zero_is_ieee(spark, sf_dir):
+    register_views(spark, sf_dir)
+    v = _one(spark, "SELECT sum(l_extendedprice) / "
+                    "sum(l_discount - l_discount) FROM lineitem")
+    assert v == float("inf")
+    v = _one(spark, "SELECT sum(l_extendedprice) % "
+                    "sum(l_discount - l_discount) FROM lineitem")
+    assert math.isnan(v)
+
+
+def test_ceil_round_of_aggregate_keeps_double(spark, sf_dir):
+    register_views(spark, sf_dir)
+    df = run_sql(spark, "SELECT ceil(sum(l_extendedprice)) AS c, "
+                        "floor(min(l_extendedprice)) AS f, "
+                        "round(avg(l_extendedprice), 2) AS r "
+                        "FROM lineitem WHERE l_orderkey < 10")
+    assert dict(df.dtypes) == {"c": "double", "f": "double",
+                               "r": "double"}
+
+
+def test_windowed_aggregate_division_not_mangled(spark, sf_dir):
+    # an OVER suffix binds tighter than the operand: the detector
+    # must not wrap just the call and orphan the window clause
+    register_views(spark, sf_dir)
+    rows = run_sql(
+        spark,
+        "SELECT sum(l_extendedprice) OVER "
+        "(PARTITION BY l_returnflag) / 2E0 AS v "
+        "FROM lineitem LIMIT 5").collect()
+    assert len(rows) == 5 and all(r.v > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
 # greatest / least NaN discipline
 # ---------------------------------------------------------------------------
 
