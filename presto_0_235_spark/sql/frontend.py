@@ -6390,6 +6390,159 @@ def _implicit_select_aliases(masked: str) -> set:
     return out
 
 
+_ANNOT_DERIVED_HEAD = re.compile(
+    r"\b(?:(?:FROM|JOIN)\s*\(|([A-Za-z_]\w*)\s+AS\s*\()",
+    re.IGNORECASE)
+_ANNOT_SETOP = re.compile(r"\b(?:UNION|INTERSECT|EXCEPT)\b",
+                          re.IGNORECASE)
+_ANNOT_NESTED_FROM = re.compile(r"\b(?:FROM|JOIN)\s*\(",
+                                re.IGNORECASE)
+_ANNOT_PLAIN_ITEM = re.compile(
+    r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)"
+    r"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?$", re.IGNORECASE)
+
+
+def _annot_select_items(inner: str) -> list[str] | None:
+    """Top-level select items of a subquery body (text starts with
+    SELECT); None for shapes outside the simple-projection window."""
+    i = 6
+    n = len(inner)
+    dm = re.match(r"\s*DISTINCT\b", inner[i:], re.IGNORECASE)
+    if dm is not None:
+        i += dm.end()
+    depth = 0
+    items = []
+    start = i
+    while i < n:
+        c = inner[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                return None
+            depth -= 1
+        elif depth == 0:
+            if c == ",":
+                items.append(inner[start:i])
+                start = i + 1
+            elif c in "Ff" and re.match(
+                    r"FROM\b", inner[i:], re.IGNORECASE) and not (
+                    inner[i - 1].isalnum() or inner[i - 1] in "_."):
+                break
+        i += 1
+    items.append(inner[start:i])
+    return [it.strip() for it in items]
+
+
+def _annot_derived_refs(masked: str, resolve):
+    """(alias, {column -> type|None}, (start, end)) for every simple
+    derived table ``(SELECT items FROM base ...) [AS] alias`` and
+    every first-level CTE ``name AS (SELECT items FROM base ...)``
+    whose items are plain [qualified] column refs (r17 — the
+    alias/derived-table propagation leg of the resolver; r16 verdict
+    #1 named it alongside the catalog schemas). ``resolve(tbl)``
+    returns a lower-cased name->type dict or None. Items beyond
+    plain refs contribute an unknown (None-typed) column when they
+    carry an alias and are skipped otherwise (an unaliased
+    expression can't be referenced by name). ``SELECT *`` expands a
+    single base table. Set operations, nested derived tables, and
+    unresolvable bases decline the whole alias."""
+    out = []
+    for m in _ANNOT_DERIVED_HEAD.finditer(masked):
+        open_i = masked.index("(", m.start())
+        try:
+            past = _balanced(masked, open_i)
+        except ValueError:
+            continue
+        inner = masked[open_i + 1:past - 1].strip()
+        if not re.match(r"SELECT\b", inner, re.IGNORECASE):
+            continue
+        if _ANNOT_SETOP.search(inner) or \
+                _ANNOT_NESTED_FROM.search(inner):
+            continue
+        colnames = None
+        if m.group(1) is not None:
+            alias = m.group(1)
+        else:
+            am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)",
+                          masked[past:])
+            if am is None or am.group(1).upper() in _ANNOT_CLAUSE_KW \
+                    or am.group(1).upper() == "ON":
+                continue
+            alias = am.group(1)
+            cm = re.match(r"\s*\(([^()]*)\)",
+                          masked[past + am.end(1):])
+            if cm is not None:
+                colnames = [c.strip().lower()
+                            for c in cm.group(1).split(",")]
+        refs = _annot_refs(inner)
+        if not refs:
+            continue
+        subtabs: dict = {}
+        ok = True
+        for tbl, al in refs:
+            fields = resolve(tbl)
+            if fields is None:
+                ok = False
+                break
+            subtabs[(al or tbl).lower()] = fields
+            subtabs.setdefault(tbl.lower(), fields)
+        if not ok:
+            continue
+        merged: dict = {}
+        for fields in subtabs.values():
+            for low, t in fields.items():
+                if low not in merged:
+                    merged[low] = t
+                elif merged[low] != t:
+                    merged[low] = None
+        items = _annot_select_items(inner)
+        if items is None:
+            continue
+        cols: dict = {}
+        order: list = []
+        star = False
+        for item in items:
+            if item == "*":
+                if len({id(f) for f in subtabs.values()}) == 1:
+                    fields = next(iter(subtabs.values()))
+                    cols.update(fields)
+                    star = True
+                    continue
+                cols = None
+                break
+            im = _ANNOT_PLAIN_ITEM.fullmatch(item)
+            if im is None or im.group(1).lower() in _ANNOT_KEYWORDS:
+                nm = re.search(r"[)\]\w\x00]\s+(?:AS\s+)?"
+                               r"([A-Za-z_]\w*)\s*$", item)
+                if nm is not None and \
+                        nm.group(1).lower() not in _ANNOT_KEYWORDS:
+                    cols[nm.group(1).lower()] = None
+                    order.append(nm.group(1).lower())
+                else:
+                    order.append(None)
+                continue
+            src = im.group(1)
+            dst = (im.group(2) or src.split(".")[-1]).lower()
+            if "." in src:
+                q, c = src.lower().split(".", 1)
+                t = (subtabs.get(q) or {}).get(c)
+            else:
+                t = merged.get(src.lower())
+            cols[dst] = t
+            order.append(dst)
+        if cols is None:
+            continue
+        if colnames is not None:
+            # positional rename via the alias(c1, c2, ...) list
+            if star or len(order) != len(colnames):
+                continue
+            cols = {new: (cols.get(old) if old is not None else None)
+                    for new, old in zip(colnames, order)}
+        out.append((alias, cols, (open_i, past)))
+    return out
+
+
 _ANNOT_VALUES = re.compile(r"\(\s*VALUES\b", re.IGNORECASE)
 _ANNOT_VALUES_INT_T = {"TINYINT": 0, "SMALLINT": 1, "INT": 2,
                        "INTEGER": 2, "BIGINT": 3}
@@ -6568,33 +6721,61 @@ def _annotate_numeric_columns_inner(spark, sql: str) -> str:
     vrefs = _annot_values_refs(masked, stash)
     if not refs and not vrefs:
         return sql
-    # lower table key -> {lower column -> type string | None} | None
-    tables: dict = {}
-    aliasmap: dict = {}  # lower alias/table -> lower table key | None
-    for tbl, alias in refs:
+    base_cache: dict = {}
+
+    def resolve(tbl: str):
         key = tbl.lower()
-        if key not in tables:
+        if key not in base_cache:
             try:
-                tables[key] = {
+                base_cache[key] = {
                     f.name.lower(): _annot_sqltype(f.dataType)
                     for f in spark.table(tbl).schema.fields
                 }
             except Exception:
-                tables[key] = None
+                base_cache[key] = None
+        return base_cache[key]
+
+    # derived tables + first-level CTEs FIRST: their aliases shadow
+    # catalog resolution for the base-ref loop below (r17 — without
+    # this, `FROM cte_name` fails spark.table and poisons
+    # all_resolved for the whole statement)
+    drefs = _annot_derived_refs(masked, resolve)
+    dalias = {alias.lower() for alias, _, _ in drefs}
+    extents = [span for _, _, span in drefs]
+    # lower table key -> {lower column -> type string | None} | None
+    tables: dict = {}
+    aliasmap: dict = {}  # lower alias/table -> lower table key | None
+
+    def bind(a: str, target):
+        if a in aliasmap and aliasmap[a] != target:
+            aliasmap[a] = None  # alias reused across scopes
+        else:
+            aliasmap[a] = target
+
+    for n, (alias, cols, _span) in enumerate(drefs):
+        key = f"__derived_{n}"
+        tables[key] = cols
+        bind(alias.lower(), key)
+    for tbl, alias in refs:
+        key = tbl.lower()
+        if key in dalias:
+            # a CTE/derived alias referenced in a FROM — already
+            # bound above; binding the bare name again would
+            # conflict when two CTEs coexist, so only the
+            # relation's own alias binds to it here
+            target = aliasmap.get(key)
+            if alias:
+                bind(alias.lower(), target)
+            continue
+        if key not in tables:
+            tables[key] = resolve(tbl)
         target = key if tables[key] is not None else None
         for a in filter(None, (key, alias and alias.lower())):
-            if a in aliasmap and aliasmap[a] != target:
-                aliasmap[a] = None  # alias reused across scopes
-            else:
-                aliasmap[a] = target
+            bind(a, target)
     for n, (alias, cols) in enumerate(vrefs):
         key = f"__values_{n}"
         tables[key] = cols
-        a = alias.lower()
-        if a in aliasmap and aliasmap[a] != key:
-            aliasmap[a] = None
-        else:
-            aliasmap[a] = key
+        bind(alias.lower(), key)
     all_resolved = all(v is not None for v in tables.values())
     colmap: dict = {}  # lower column -> type string | None
     for fields in tables.values():
@@ -6615,6 +6796,30 @@ def _annotate_numeric_columns_inner(spark, sql: str) -> str:
     for m in re.finditer(r"\b([A-Za-z_]\w*)\s*->", masked):
         shadows.add(m.group(1).lower())
     shadows |= _implicit_select_aliases(masked)
+    # outside the derived/CTE bodies, a name aliased ONLY inside
+    # those bodies is a proper output column of the derived
+    # relation, not a shadow — compute the outer-scope shadow set on
+    # the text with the bodies blanked (r17: `SELECT CAST(x AS
+    # BIGINT) FROM (SELECT price AS x FROM t) d` must annotate x)
+    shadows_outer = shadows
+    if extents:
+        blanked = list(masked)
+        for lo, hi in extents:
+            for i in range(lo + 1, hi - 1):
+                if blanked[i] != "\x00":
+                    blanked[i] = " "
+        btext = "".join(blanked)
+        shadows_outer = set()
+        for m in re.finditer(r"\bAS\s+([A-Za-z_]\w*)", btext,
+                             re.IGNORECASE):
+            shadows_outer.add(m.group(1).lower())
+        for m in re.finditer(r"\(([^()]*)\)\s*->", btext):
+            shadows_outer.update(
+                t.strip().lower() for t in m.group(1).split(",")
+                if t.strip())
+        for m in re.finditer(r"\b([A-Za-z_]\w*)\s*->", btext):
+            shadows_outer.add(m.group(1).lower())
+        shadows_outer |= _implicit_select_aliases(btext)
 
     out_parts = []
     last = 0
@@ -6635,8 +6840,10 @@ def _annotate_numeric_columns_inner(spark, sql: str) -> str:
                 continue
         else:
             low = name.lower()
+            in_extent = any(lo < m.start() < hi for lo, hi in extents)
             if low in _ANNOT_KEYWORDS or not all_resolved \
-                    or low in shadows:
+                    or low in (shadows if in_extent
+                               else shadows_outer):
                 continue
             t = colmap.get(low)
             if not t:
