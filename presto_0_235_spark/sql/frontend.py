@@ -2112,6 +2112,11 @@ _AGG_HEAD_BACK = re.compile(r"(?<![\w.\x00])(sum|min|max|avg)\s*$",
                             re.IGNORECASE)
 _AGG_TAIL_STOP = re.compile(r"\s*(OVER|FILTER|WITHIN)\b",
                             re.IGNORECASE)
+# `OVER (spec)` or `OVER name` — the match ends either ON the "("
+# (balanced scan continues from there) or past the window name
+_AGG_OVER_FWD = re.compile(r"\s*OVER\s*(\(|[A-Za-z_]\w*)",
+                           re.IGNORECASE)
+_AGG_OVER_BACK = re.compile(r"\bOVER\s*$", re.IGNORECASE)
 
 
 def _agg_interior_kind(interior: str):
@@ -2217,7 +2222,32 @@ def _float_operand_back(masked: str, j: int):
                 k = _agg_interior_kind(masked[open_i + 1:j - 1])
                 if k is not None:
                     return am.start(), j, k
-            if hm is None and am is None and (
+            ov = _AGG_OVER_BACK.search(masked[:open_i]) \
+                if hm is None and am is None else None
+            if ov is not None:
+                # windowed aggregate: `agg(args) OVER (spec)` — the
+                # group ending at j is the window SPEC; the call
+                # before OVER carries the type
+                ce = len(masked[:ov.start()].rstrip())
+                if ce > 0 and masked[ce - 1] == ")":
+                    depth2 = 0
+                    copen = None
+                    for k2 in range(ce - 1, -1, -1):
+                        if masked[k2] == ")":
+                            depth2 += 1
+                        elif masked[k2] == "(":
+                            depth2 -= 1
+                            if depth2 == 0:
+                                copen = k2
+                                break
+                    if copen is not None:
+                        cm = _AGG_HEAD_BACK.search(masked[:copen])
+                        if cm is not None:
+                            k = _agg_interior_kind(
+                                masked[copen + 1:ce - 1])
+                            if k is not None:
+                                return cm.start(), j, k
+            if hm is None and am is None and ov is None and (
                     open_i == 0 or masked[open_i - 1] not in _IDENTCH):
                 sub = _float_chain_kind(masked[open_i + 1:j - 1])
                 if sub is not None and sub[1]:
@@ -2257,11 +2287,22 @@ def _float_operand_fwd(masked: str, i: int, chain: bool = True):
             past = _balanced(masked, open_i)
         except ValueError:
             return None
-        # a window/FILTER suffix binds tighter than the operand —
-        # wrapping just the call would orphan the OVER clause
-        if _AGG_TAIL_STOP.match(masked, past):
+        call_past = past
+        # an OVER clause extends the operand (a windowed aggregate
+        # keeps the same float type); FILTER/WITHIN decline —
+        # wrapping a partial call would orphan the suffix
+        om = _AGG_OVER_FWD.match(masked, past)
+        if om is not None:
+            if masked[om.end() - 1] == "(":
+                try:
+                    past = _balanced(masked, om.end() - 1)
+                except ValueError:
+                    return None
+            else:
+                past = om.end()
+        elif _AGG_TAIL_STOP.match(masked, past):
             return None
-        k = _agg_interior_kind(masked[open_i + 1:past - 1])
+        k = _agg_interior_kind(masked[open_i + 1:call_past - 1])
         if k is not None:
             return i, past, k
         return None
@@ -6897,7 +6938,21 @@ def _annotate_numeric_columns_inner(spark, sql: str) -> str:
                                r"\s*\($", prev, re.IGNORECASE)
                 if am:
                     before = masked[:am.start()].rstrip()[-1:]
-                    after = masked[m.end():].lstrip()[1:].lstrip()
+                    # position just past the call's ")" — an OVER
+                    # clause is type-transparent, skip it before
+                    # reading the call's own context
+                    ap = m.end() + masked[m.end():].index(")") + 1
+                    om = _AGG_OVER_FWD.match(masked, ap)
+                    if om is not None:
+                        if masked[om.end() - 1] == "(":
+                            try:
+                                ap = _balanced(masked, om.end() - 1)
+                            except ValueError:
+                                ap = None
+                        else:
+                            ap = om.end()
+                    after = masked[ap:].lstrip() if ap is not None \
+                        else ""
                     if has_divmod and (
                             (before and before in "+-*/%")
                             or after[:1] in "+-*/%"):

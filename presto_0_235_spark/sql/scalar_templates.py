@@ -340,12 +340,24 @@ def _static_arg_type(arg: str):
         # interior (r17: ceil(sum(x)) / round(avg(x), n) — the
         # aggregate-RESULT operand shapes; sum/min/max keep the
         # argument's float type, avg(double)->double and
-        # avg(real)->real in the reference). Only the float kinds
-        # recurse — integral/decimal aggregate typing belongs to
-        # the dedicated aggregate passes.
+        # avg(real)->real in the reference). An OVER clause is
+        # type-transparent (the windowed form keeps the same type).
+        # Only the float kinds recurse — integral/decimal aggregate
+        # typing belongs to the dedicated aggregate passes.
         try:
-            if _balanced(arg, am.end() - 1) == len(arg):
-                t = _static_arg_type(arg[am.end():-1])
+            past = _balanced(arg, am.end() - 1)
+            rest_ok = past == len(arg)
+            if not rest_ok:
+                om = re.match(r"\s*OVER\s*(\(|[A-Za-z_]\w*)",
+                              arg[past:], re.IGNORECASE)
+                if om is not None:
+                    if om.group(1) == "(":
+                        rest_ok = _balanced(
+                            arg, past + om.end() - 1) == len(arg)
+                    else:
+                        rest_ok = past + om.end() == len(arg)
+            if rest_ok:
+                t = _static_arg_type(arg[am.end():past - 1])
                 if t in ("double", "real"):
                     return t
         except ValueError:

@@ -188,9 +188,10 @@ def test_ceil_round_of_aggregate_keeps_double(spark, sf_dir):
                                "r": "double"}
 
 
-def test_windowed_aggregate_division_not_mangled(spark, sf_dir):
-    # an OVER suffix binds tighter than the operand: the detector
-    # must not wrap just the call and orphan the window clause
+def test_windowed_aggregate_operands(spark, sf_dir):
+    # an OVER clause is type-transparent: the detectors extend the
+    # operand across it (never wrapping a partial call), so windowed
+    # sums get the same IEEE and type-preservation discipline
     register_views(spark, sf_dir)
     rows = run_sql(
         spark,
@@ -198,6 +199,17 @@ def test_windowed_aggregate_division_not_mangled(spark, sf_dir):
         "(PARTITION BY l_returnflag) / 2E0 AS v "
         "FROM lineitem LIMIT 5").collect()
     assert len(rows) == 5 and all(r.v > 0 for r in rows)
+    v = run_sql(
+        spark,
+        "SELECT sum(l_extendedprice) OVER (PARTITION BY l_orderkey) "
+        "/ (l_discount - l_discount) AS v FROM lineitem "
+        "ORDER BY v DESC LIMIT 1").collect()[0].v
+    assert v == float("inf")
+    df = run_sql(
+        spark,
+        "SELECT ceil(sum(l_extendedprice) OVER "
+        "(PARTITION BY l_returnflag)) AS v FROM lineitem LIMIT 1")
+    assert dict(df.dtypes) == {"v": "double"}
 
 
 # ---------------------------------------------------------------------------
