@@ -372,10 +372,25 @@ def test_lambda_parameter_shadow_blocks_annotation(spark):
     assert "CAST(l_linenumber" not in out
 
 
-def test_unresolvable_ref_blocks_unqualified_annotation(spark):
-    # CTE name is not in the catalog: bare names must stay untouched
+def test_cte_alias_resolves_for_unqualified_annotation(spark):
+    # r17 (r16 verdict #1): a first-level CTE over a catalog table
+    # PROPAGATES its item types — the bare output column annotates
+    # with the base column's type instead of blocking the pass
+    # (pre-r17 this test pinned the conservative decline)
     sql = ("WITH m AS (SELECT l_orderkey AS k FROM lineitem) "
            "SELECT k / 2 FROM m")
+    out = _annotate_numeric_columns(spark, sql)
+    assert "CAST(k AS BIGINT) / 2" in out
+    df = run_sql(spark, sql)
+    # Presto integer division stays integral
+    assert df.schema[df.columns[0]].dataType.simpleString() == "bigint"
+
+
+def test_unresolvable_cte_still_blocks_unqualified_annotation(spark):
+    # a CTE the propagation can't type (set-op body) keeps the
+    # conservative decline for bare names
+    sql = ("WITH m AS (SELECT l_orderkey AS k FROM lineitem UNION ALL "
+           "SELECT o_orderkey FROM orders) SELECT k / 2 FROM m")
     out = _annotate_numeric_columns(spark, sql)
     assert "CAST(k" not in out
 
