@@ -2007,8 +2007,23 @@ def _rewrite_double_to_integral_cast(masked: str) -> str:
         if tm is None:
             continue
         inner = body[:tm.start()].strip()
-        if not _d2i_statically_double(inner):
-            continue
+        is_dbl = _d2i_statically_double(inner)
+        dec_s = None
+        if not is_dbl:
+            # decimal->integral also rounds HALF_UP away from zero
+            # in the reference (DecimalCasts shortDecimalToBigint et
+            # al. rescale with round-half-up) where Spark truncates;
+            # the literal spelling folds earlier, this is the
+            # runtime (column-typed CAST) extent (r17). Scale-0
+            # decimals are already integral — no rewrite needed.
+            from presto_0_235_spark.sql.scalar_templates import (
+                _static_arg_type)
+
+            st = _static_arg_type(inner)
+            if isinstance(st, tuple) and st[2] > 0:
+                dec_s = st[2]
+            else:
+                continue
         t = tm.group(1)
         outer = m.group(1).upper()
         if outer == "CAST" and any(lo <= m.start() < hi
@@ -2023,8 +2038,13 @@ def _rewrite_double_to_integral_cast(masked: str) -> str:
         # FLOOR(x + 0.5) gives 1; probed) — and it passes NaN /
         # Infinity / out-of-int64 doubles through unchanged, so the
         # outer ANSI cast keeps the raise (or TRY_CAST NULL)
-        # discipline without an explicit guard.
-        repl = f"{outer}(ROUND(({inner})) AS {t})"
+        # discipline without an explicit guard. Spark's
+        # round(decimal, 0) is the same HALF_UP (never overflows:
+        # the rounded magnitude needs at most p-s+1 integer digits).
+        if is_dbl:
+            repl = f"{outer}(ROUND(({inner})) AS {t})"
+        else:
+            repl = f"{outer}(ROUND(({inner}), 0) AS {t})"
         out = out[:m.start()] + repl + out[past:]
         pos = m.start() + len(repl)
         extents = _dca_try_extents(out)
@@ -6752,11 +6772,14 @@ def _annotate_numeric_columns(spark: SparkSession, sql: str) -> str:
 
 def _annotate_numeric_columns_inner(spark, sql: str) -> str:
     if not re.search(r"[*/%+-]", sql) and not re.search(
-            r"\bCAST\s*\(", sql, re.IGNORECASE) and not re.search(
+            r"\b(?:TRY_)?CAST\s*\(", sql, re.IGNORECASE) \
+            and not re.search(
             r"\b(?:AVG|SUM|MIN|MAX|CEIL|CEILING|FLOOR|ROUND|TRUNCATE"
             r"|GREATEST|LEAST|MOD)\s*\(", sql, re.IGNORECASE):
         return sql  # no arithmetic, cast, typable aggregate, or
-        # type-sensitive numeric call
+        # type-sensitive numeric call (\bCAST alone misses TRY_CAST:
+        # the underscore is a word character, so there is no word
+        # boundary before its CAST suffix)
     masked, stash = _mask(sql)
     refs = _annot_refs(masked)
     vrefs = _annot_values_refs(masked, stash)
@@ -6903,6 +6926,17 @@ def _annotate_numeric_columns_inner(spark, sql: str) -> str:
                      or t.startswith("DECIMAL")):
             fn_arg = _annot_enclosing_call(
                 masked, m.start()) in _ANNOT_NUMFNS
+        # directly inside a float->integral CAST: the reference
+        # rounds half-away-from-zero (REAL hops through
+        # MathFunctions.round, RealOperators.java:212-215) where
+        # Spark truncates — annotating makes
+        # _rewrite_double_to_integral_cast fire
+        int_cast_ctx = (t in ("DOUBLE", "FLOAT")
+                        or t.startswith("DECIMAL")) and bool(
+            re.search(r"\b(?:TRY_CAST|CAST)\s*\($", prev,
+                      re.IGNORECASE)
+            and re.match(r"AS\s+(?:TINYINT|SMALLINT|INT|"
+                         r"INTEGER|BIGINT)\b", rest, re.IGNORECASE))
         if t == "DOUBLE":
             # double columns annotate only where a downstream
             # semantics rewrite consumes the static type (r17 —
@@ -6917,12 +6951,7 @@ def _annotate_numeric_columns_inner(spark, sql: str) -> str:
             #      like `(a - b)`) statically typed. Plain +,-,*
             #      double arithmetic is value-identical in Spark, so
             #      statements without / or % skip the churn.
-            ok = fn_arg or (
-                re.search(r"\b(?:TRY_CAST|CAST)\s*\($", prev,
-                          re.IGNORECASE)
-                and re.match(r"AS\s+(?:TINYINT|SMALLINT|INT|"
-                             r"INTEGER|BIGINT)\b", rest,
-                             re.IGNORECASE))
+            ok = fn_arg or int_cast_ctx
             if not ok and has_divmod:
                 pc = prev[-1:]
                 ok = (bool(pc) and pc in "+-*/%") or (
@@ -6969,7 +6998,7 @@ def _annotate_numeric_columns_inner(spark, sql: str) -> str:
             changed = True
             continue
         pc = prev[-1:]
-        adj = fn_arg or (bool(pc) and pc in "+-*/%")
+        adj = fn_arg or int_cast_ctx or (bool(pc) and pc in "+-*/%")
         if not adj and rest[:1] and rest[:1] in "+-*/%" \
                 and rest[:2] != "->":
             adj = True

@@ -66,6 +66,39 @@ def test_cast_values_double_column_rounds_half_up(spark):
                        "(VALUES (0.49999999999999994E0)) t(x)") == 0
 
 
+def test_cast_real_and_trycast_column_round_half_up(spark):
+    # REAL->integral hops through MathFunctions.round
+    # (RealOperators.java:212-215) — same half-away-from-zero; and
+    # TRY_CAST must reach the annotation gate (\bCAST misses it:
+    # no word boundary after the underscore)
+    assert _one(spark, "SELECT CAST(x AS BIGINT) FROM "
+                       "(VALUES (CAST(2.7 AS REAL))) t(x)") == 3
+    assert _one(spark, "SELECT CAST(x AS INTEGER) FROM "
+                       "(VALUES (CAST(-2.5 AS REAL))) t(x)") == -3
+    assert _one(spark, "SELECT TRY_CAST(x AS BIGINT) FROM "
+                       "(VALUES (2.7E0)) t(x)") == 3
+
+
+def test_cast_decimal_column_to_integral_rounds_half_up(spark):
+    # decimal->integral rescales with round-half-up in the reference
+    # (DecimalCasts) where Spark truncates; the literal spelling
+    # folds, this pins the runtime column-typed extent
+    assert _one(spark, "SELECT CAST(CAST(x AS DECIMAL(5,2)) "
+                       "AS BIGINT) FROM (VALUES (2.75E0)) t(x)") == 3
+    rows = run_sql(spark, "SELECT CAST(d AS BIGINT) AS v FROM "
+                          "(VALUES (CAST('2.5' AS DECIMAL(5,1))), "
+                          "(CAST('-2.5' AS DECIMAL(5,1)))) t(d) "
+                          "ORDER BY v").collect()
+    assert [r.v for r in rows] == [-3, 3]
+    # scale-0 decimals are already integral — identity
+    assert _one(spark, "SELECT CAST(d AS BIGINT) FROM (VALUES "
+                       "(CAST('7' AS DECIMAL(5,0)))) t(d)") == 7
+    # TRY_CAST keeps the overflow-to-NULL discipline
+    assert _one(spark, "SELECT TRY_CAST(CAST(x AS DECIMAL(5,2)) "
+                       "AS TINYINT) FROM (VALUES (999.9E0)) t(x)") \
+        is None
+
+
 def test_cast_catalog_double_column_rounds_half_up(spark, sf_dir, duck):
     register_views(spark, sf_dir)
     got = {r.l_returnflag: r.v for r in run_sql(
