@@ -142,6 +142,7 @@ _TEMPLATE_NAMES = (
     "element_at",
     "ngrams",
     "json_size",
+    "json_array_length",
     "json_array_contains",
     "json_parse",
     "json_format",
@@ -523,6 +524,24 @@ def _lit_of(arg: str, stash: list[tuple[str, str]]) -> str | None:
 
 def _raise(msg_expr: str, out_type: str) -> str:
     return f"CAST(raise_error({msg_expr}) AS {out_type})"
+
+
+_JSON_LIT_ROUNDTRIP = re.compile(
+    r"^[\s(]*to_json\s*\(\s*(?:try_)?parse_json\s*\("
+    r"(\x00s\d+\x00)\s*\)\s*\)[\s)]*$"
+)
+
+
+def _unwrap_json_literal(arg: str) -> str:
+    """A JSON typed literal lowers to to_json(parse_json(lit)), whose
+    variant round trip renders integral float tokens as ints
+    ('[1.0]' -> '[1]') — losing the token KIND the reference's
+    json_array_* functions dispatch on (its castFromVarchar
+    canonicalization preserves kinds, JsonOperators.java). For
+    templates that only READ the document, the raw literal text is
+    kind-equivalent input: unwrap it."""
+    m = _JSON_LIT_ROUNDTRIP.match(arg)
+    return m.group(1) if m else arg
 
 
 _DEC_LIT_CAST = re.compile(
@@ -1674,23 +1693,73 @@ def _rewrite_one(
             f"size(json_object_keys({sub})), 0) AS BIGINT) END)"
         )
 
+    if name == "json_array_length" and len(a) == 1:
+        # JsonFunctions.java jsonArrayLength: BIGINT count of
+        # top-level elements; non-array / malformed / NULL -> NULL.
+        # Spark's builtin has identical null/shape semantics but
+        # returns INT — the reference type is BIGINT.
+        return (f"CAST(json_array_length(CAST({_unwrap_json_literal(a[0])} AS STRING)) "
+                f"AS BIGINT)")
+
     if name == "json_array_contains" and len(a) == 2:
-        # TYPED membership (JsonFunctions.java jsonArrayContains
-        # overloads): a boolean needle matches only true/false JSON
-        # tokens, a number only number tokens, a string only string
-        # tokens. Render both sides as JSON tokens via the
-        # to_json(array(x)) bracket-strip trick and compare exactly;
-        # NULL input or NULL needle -> NULL, malformed JSON -> NULL,
-        # JSON null elements never match (the reference skips them).
-        arr = f"from_json({a[0]}, {_stash_lit(stash, 'array<variant>')})"
-        tok = f"to_json(array({a[1]}))"
-        needle = f"substr({tok}, 2, length({tok}) - 2)"
+        # TYPED, TOKEN-KIND-AWARE membership (JsonFunctions.java
+        # jsonArrayContains overloads, :199-369): a boolean needle
+        # matches only true/false tokens, a bigint needle only
+        # INTEGER number tokens (so '[1.0]' does NOT contain 1 —
+        # TestJsonFunctions.java:100), a double needle only FLOAT
+        # number tokens (non-finite needles return false before the
+        # document is even parsed), a varchar needle only string
+        # tokens (compared unescaped). Token kind is recovered from
+        # the variant element via schema_of_variant: integer tokens
+        # in long range -> 'BIGINT', float tokens -> DECIMAL(p,s)
+        # or DOUBLE; the needle's Presto overload is dispatched on
+        # typeof(needle), which Catalyst constant-folds. NULL input
+        # or NULL needle -> NULL, malformed/non-array JSON -> NULL.
+        # Documented residual: an integer token beyond long range
+        # (variant DECIMAL(p,0)) would match an equal double
+        # needle, where the reference's VALUE_NUMBER_INT check
+        # excludes it.
+        j, v = _unwrap_json_literal(a[0]), a[1]
+        arr = f"from_json(CAST({j} AS STRING), " \
+              f"{_stash_lit(stash, 'array<variant>')})"
+        sv = "schema_of_variant(e)"
+        int_kinds = ", ".join(
+            _stash_lit(stash, k)
+            for k in ("tinyint", "smallint", "int", "bigint"))
+        dbl = f"CAST({v} AS DOUBLE)"
+        lit = {
+            s: _stash_lit(stash, s)
+            for s in ("BIGINT", "DOUBLE", "DECIMAL(%", "decimal(%",
+                      "BOOLEAN", "STRING", "double", "float",
+                      "boolean", "Infinity")
+        }
         return (
-            f"(CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL "
+            f"(CASE WHEN ({j}) IS NULL OR ({v}) IS NULL "
             f"THEN CAST(NULL AS BOOLEAN) "
+            f"WHEN typeof({v}) IN ({lit['double']}, {lit['float']}) "
+            f"AND (isnan({dbl}) OR abs({dbl}) = "
+            f"CAST({lit['Infinity']} AS DOUBLE)) THEN false "
             f"WHEN {arr} IS NULL THEN CAST(NULL AS BOOLEAN) "
-            f"ELSE coalesce(exists({arr}, "
-            f"e -> to_json(e) = {needle}), false) END)"
+            f"WHEN typeof({v}) IN ({int_kinds}) THEN "
+            f"exists({arr}, e -> CASE WHEN {sv} = {lit['BIGINT']} "
+            f"THEN CAST(e AS BIGINT) = CAST({v} AS BIGINT) "
+            f"ELSE false END) "
+            f"WHEN typeof({v}) IN ({lit['double']}, {lit['float']}) "
+            f"OR typeof({v}) LIKE {lit['decimal(%']} THEN "
+            f"exists({arr}, e -> CASE WHEN {sv} = {lit['DOUBLE']} "
+            f"OR {sv} LIKE {lit['DECIMAL(%']} "
+            f"THEN CAST(e AS DOUBLE) = {dbl} ELSE false END) "
+            # every branch must ANALYZE for every needle type (Spark
+            # type-checks non-taken CASE arms), so the boolean arm
+            # compares 'true'/'false' renderings instead of casting
+            # the needle to BOOLEAN
+            f"WHEN typeof({v}) = {lit['boolean']} THEN "
+            f"exists({arr}, e -> CASE WHEN {sv} = {lit['BOOLEAN']} "
+            f"THEN CAST(e AS STRING) = CAST({v} AS STRING) "
+            f"ELSE false END) "
+            f"ELSE exists({arr}, e -> CASE WHEN {sv} = {lit['STRING']} "
+            f"THEN CAST(e AS STRING) = CAST({v} AS STRING) "
+            f"ELSE false END) END)"
         )
 
     if name == "none_match" and len(a) == 2:
@@ -2161,16 +2230,40 @@ def _rewrite_one(
         )
 
     if name == "json_array_get" and len(a) == 2:
-        # Literal non-negative index only (get_json_object needs a
-        # foldable path; Presto's negative-from-end form declines).
-        try:
-            idx = int(args[1].strip())
-        except ValueError:
-            return None
-        if idx < 0:
-            return None
-        path = _stash_lit(stash, f"$[{idx}]")
-        return f"get_json_object({a[0]}, {path})"
+        # JsonFunctions.java:375 jsonArrayGet: element of a
+        # top-level array as JSON text — strings come back
+        # UNQUOTED (getValueAsString), nested arrays/objects in
+        # Jackson's compact toString form (both match
+        # get_json_object's rendering), negative indexes count
+        # from the end (ring buffer in the reference; resolved
+        # against json_array_length here), Long.MIN_VALUE / null
+        # index / out-of-range / non-array / malformed -> NULL,
+        # and a JSON null ELEMENT maps to SQL NULL
+        # (getValueAsString returns Java null for VALUE_NULL) —
+        # discriminated from the string "null" via
+        # is_variant_null, since get_json_object renders both as
+        # the text 'null'. Documented residuals: float-token raw
+        # text is re-rendered through double (1.00 -> '1.0',
+        # 1e2 -> '100.0'), untested in the reference suite.
+        j = f"CAST({_unwrap_json_literal(a[0])} AS STRING)"
+        idx = a[1]
+        arr = f"from_json({j}, {_stash_lit(stash, 'array<variant>')})"
+        i2 = (f"(CASE WHEN ({idx}) >= 0 THEN ({idx}) "
+              f"ELSE size({arr}) + ({idx}) END)")
+        long_min = "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+        path = (f"concat({_stash_lit(stash, '$[')}, "
+                f"CAST({i2} AS STRING), {_stash_lit(stash, ']')})")
+        return (
+            f"(CASE WHEN ({a[0]}) IS NULL OR ({idx}) IS NULL "
+            f"THEN CAST(NULL AS STRING) "
+            f"WHEN ({idx}) = {long_min} THEN CAST(NULL AS STRING) "
+            f"WHEN {arr} IS NULL THEN CAST(NULL AS STRING) "
+            f"WHEN {i2} < 0 OR {i2} >= size({arr}) "
+            f"THEN CAST(NULL AS STRING) "
+            f"WHEN is_variant_null(element_at({arr}, "
+            f"CAST({i2} AS INT) + 1)) THEN CAST(NULL AS STRING) "
+            f"ELSE get_json_object({j}, {path}) END)"
+        )
 
     if name in (
         "normal_cdf", "inverse_normal_cdf", "beta_cdf",

@@ -62,6 +62,10 @@ FILES = [
     "AbstractTestRegexpFunctions.java",
     "TestVarbinaryFunctions.java",
     "TestDataSizeFunctions.java",
+    "TestJsonFunctions.java",  # r17 breadth extension: the JSON
+    # scalar family (is_json_scalar / json_array_length /
+    # json_array_contains / json_array_get / json_size /
+    # json_format / json_parse) — scalar-typed VALUE rows
 ]
 
 # files where EVERY test method's literal value rows are in scope
@@ -75,6 +79,7 @@ _ALL_METHOD_FILES = frozenset({
     "AbstractTestRegexpFunctions.java",
     "TestVarbinaryFunctions.java",
     "TestDataSizeFunctions.java",
+    "TestJsonFunctions.java",
 })
 
 # beyond the cast sections (r15 verdict #2), the comparison and
