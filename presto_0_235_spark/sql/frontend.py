@@ -2300,6 +2300,13 @@ def _float_operand_fwd(masked: str, i: int, chain: bool = True):
     if sm is not None and (sm.end() == len(masked)
                            or masked[sm.end()] not in _IDENTCH):
         return i, sm.end(), "double"
+    # nan()/infinity() are DOUBLE-typed niladic calls
+    # (MathFunctions.java NAN/INFINITY) — the function-name rewrite
+    # to CAST('NaN' AS DOUBLE) runs after the detectors
+    nm = re.compile(r"(?:nan|infinity)\s*\(\s*\)",
+                    re.IGNORECASE).match(masked, i)
+    if nm is not None:
+        return i, nm.end(), "double"
     am = _AGG_HEAD_FWD.match(masked, i)
     if am is not None:
         try:
@@ -6388,6 +6395,28 @@ def _annot_enclosing_call(masked: str, pos: int) -> str | None:
     return None
 
 
+def _annot_enclosing_named_call(masked: str, pos: int) -> str | None:
+    """Like _annot_enclosing_call but walks OUTWARD through grouping
+    parentheses to the innermost NAMED call — the shape a compound
+    numeric-function argument takes (`ceil((x + 1) * 2)`). Stops at
+    the first named call either way, so a column nested in an
+    unknown function never reports the outer numeric call."""
+    depth = 0
+    for k in range(pos - 1, -1, -1):
+        c = masked[k]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            if depth == 0:
+                nm = re.search(r"([A-Za-z_]\w*)\s*$", masked[:k])
+                if nm is not None:
+                    return nm.group(1).lower()
+                # grouping paren — keep walking outward
+            else:
+                depth -= 1
+    return None
+
+
 def _annot_sqltype(dt):
     """SQL spelling for an annotatable Spark type, else None.
 
@@ -6952,10 +6981,19 @@ def _annotate_numeric_columns_inner(spark, sql: str) -> str:
             #      double arithmetic is value-identical in Spark, so
             #      statements without / or % skip the churn.
             ok = fn_arg or int_cast_ctx
-            if not ok and has_divmod:
+            if not ok:
                 pc = prev[-1:]
-                ok = (bool(pc) and pc in "+-*/%") or (
+                arith_adj = (bool(pc) and pc in "+-*/%") or (
                     rest[:1] in "+-*/%" and rest[:2] != "->")
+                if arith_adj:
+                    # (c) statement divides or takes a modulus
+                    # anywhere, or (b') the arithmetic chain is a
+                    # type-sensitive numeric call's argument
+                    # (r17 follow-up: `ceil(x + 1)` — the compound-
+                    # argument extent; _static_arg_type derives the
+                    # chain's type once the column is annotated)
+                    ok = has_divmod or _annot_enclosing_named_call(
+                        masked, m.start()) in _ANNOT_NUMFNS
             if not ok and rest[:1] == ")":
                 # sole argument of a float-preserving aggregate whose
                 # CALL is arithmetic-adjacent or itself a numeric

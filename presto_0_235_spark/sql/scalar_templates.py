@@ -313,23 +313,26 @@ def _static_arg_type(arg: str):
     arg = arg.strip()
     hm = re.match(r"^(?:TRY_)?CAST\s*\(", arg, re.IGNORECASE)
     if hm is not None:
+        # a CAST that is NOT the entire argument (e.g. the head of
+        # an arithmetic chain) falls through to the chain grammar
+        whole = False
         try:
-            if _balanced(arg, hm.end() - 1) != len(arg):
-                return None
+            whole = _balanced(arg, hm.end() - 1) == len(arg)
         except ValueError:
             return None
-        tm = _STATIC_TAIL.search(arg)
-        if tm is None:
+        tm = _STATIC_TAIL.search(arg) if whole else None
+        if tm is not None:
+            t = tm.group(1).upper()
+            if t.startswith("DECIMAL"):
+                nums = re.findall(r"\d+", t)
+                return ("decimal", int(nums[0]),
+                        int(nums[1]) if len(nums) > 1 else 0)
+            return {"TINYINT": "tinyint", "SMALLINT": "smallint",
+                    "INT": "int", "INTEGER": "int",
+                    "BIGINT": "bigint", "DOUBLE": "double",
+                    "FLOAT": "real", "REAL": "real"}[t]
+        if whole:
             return None
-        t = tm.group(1).upper()
-        if t.startswith("DECIMAL"):
-            nums = re.findall(r"\d+", t)
-            return ("decimal", int(nums[0]),
-                    int(nums[1]) if len(nums) > 1 else 0)
-        return {"TINYINT": "tinyint", "SMALLINT": "smallint",
-                "INT": "int", "INTEGER": "int", "BIGINT": "bigint",
-                "DOUBLE": "double", "FLOAT": "real",
-                "REAL": "real"}[t]
     if re.fullmatch(r"[+-]?\d+(?:\.\d+)?[eE][+-]?\d+", arg):
         return "double"
     if re.fullmatch(r"[+-]?\d+", arg):
@@ -363,6 +366,16 @@ def _static_arg_type(arg: str):
                     return t
         except ValueError:
             pass
+    # compound-argument extent (r17 follow-up): an arithmetic chain
+    # whose operands are all statically float-typed or numeric
+    # literals derives the reference's DOUBLE/REAL result type
+    # (`ceil(x + 1)` over an annotated double column) — reuse the
+    # IEEE detectors' chain grammar
+    from presto_0_235_spark.sql.frontend import _float_chain_kind
+
+    ck = _float_chain_kind(arg)
+    if ck is not None and ck[1]:
+        return ck[0]
     return None
 
 

@@ -380,3 +380,62 @@ def test_char_subspace_comparison_orders_by_padding(spark):
     assert _one(spark, "SELECT cast('b' as char(3)) BETWEEN "
                        "cast('a' as char(1)) AND "
                        "cast('c' as char(5))") is True
+
+
+# ---------------------------------------------------------------------------
+# compound function arguments (r17 follow-up — the residual the r17
+# notes documented): an arithmetic chain of statically-typed float
+# operands derives the reference's DOUBLE result type inside the
+# type-sensitive numeric calls
+# ---------------------------------------------------------------------------
+
+def test_ceil_floor_compound_double_column_chain(spark):
+    df = run_sql(spark, "SELECT ceil(x + 1) AS v "
+                        "FROM (VALUES (2.2E0)) t(x)")
+    assert dict(df.dtypes)["v"] == "double"
+    assert df.collect()[0][0] == 4.0
+    df = run_sql(spark, "SELECT floor(x * 2) AS v "
+                        "FROM (VALUES (2.2E0)) t(x)")
+    assert dict(df.dtypes)["v"] == "double"
+    assert df.collect()[0][0] == 4.0
+    # grouping parens inside the chain
+    df = run_sql(spark, "SELECT ceil((x + 1) * 2) AS v "
+                        "FROM (VALUES (2.2E0)) t(x)")
+    assert dict(df.dtypes)["v"] == "double"
+    assert df.collect()[0][0] == 7.0
+
+
+def test_truncate_round_compound_chain(spark):
+    assert _one(spark, "SELECT truncate(x + 1) "
+                       "FROM (VALUES (2.7E0)) t(x)") == 3.0
+    # binary-double factor semantics survive the chain spelling
+    assert _one(spark, "SELECT round(x + 0.005E0, 2) "
+                       "FROM (VALUES (1.0E0)) t(x)") == 1.0
+
+
+def test_compound_chain_negative_zero_and_nan(spark):
+    v = _one(spark, "SELECT ceil(x - x - 0.5E0) "
+                    "FROM (VALUES (3.25E0)) t(x)")
+    assert _is_neg_zero(v)
+    assert math.isnan(_one(
+        spark, "SELECT ceil(nan() + x) FROM (VALUES (1E0)) t(x)"))
+    assert math.isinf(_one(
+        spark, "SELECT floor(infinity() - x) "
+               "FROM (VALUES (1E0)) t(x)"))
+
+
+def test_greatest_mod_compound_chain(spark):
+    assert _one(spark, "SELECT greatest(x + 1E0, 0E0) "
+                       "FROM (VALUES (2.5E0)) t(x)") == 3.5
+    # IEEE modulus with a compound zero divisor
+    assert math.isnan(_one(
+        spark, "SELECT mod(x + 1, 0E0) FROM (VALUES (2.5E0)) t(x)"))
+
+
+def test_compound_chain_unknown_operand_declines(spark):
+    # a chain containing an untyped identifier keeps Spark's
+    # derivation (conservative decline, no wrong rewrite)
+    df = run_sql(spark,
+                 "SELECT ceil(x + y) AS v FROM "
+                 "(SELECT 1.5E0 AS x, CAST(1 AS BIGINT) AS y) t")
+    assert df.collect()[0][0] in (3, 3.0)

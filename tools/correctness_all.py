@@ -89,6 +89,14 @@ def main() -> int:
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
+        # the sweep runs ~500 queries in ONE JVM; several persist()
+        # and never unpersist (per-query hygiene is the registry's
+        # concern, not the sweep's), and the unified memory
+        # manager's protected storage region accumulates those
+        # blocks until a mid-shuffle allocation OOMs (first seen at
+        # ~4k stages). Size the heap for the marathon and drop
+        # cached blocks between queries.
+        .config("spark.driver.memory", "12g")
         .appName("correctness-all")
         .getOrCreate()
     )
@@ -148,6 +156,10 @@ def main() -> int:
         n_fail += 0 if ok else 1
         print(f"{'ok  ' if ok else 'FAIL'} {name} "
               f"({rec['spark_rows']} rows)", flush=True)
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001 - hygiene only
+            pass
 
     if args.out:
         with open(args.out, "w") as f:
