@@ -604,6 +604,68 @@ def ip_subnet_max_str(prefix: pd.Series) -> pd.Series:
     )
 
 
+def _ip_canonical_str(a):
+    """Presto's canonical IPADDRESS display form
+    (IpAddressOperators.java castToVarchar): IPv6 compressed
+    lowercase, v4-mapped addresses shown dotted."""
+    import ipaddress
+
+    addr = ipaddress.ip_address(a.strip())
+    if isinstance(addr, ipaddress.IPv6Address) and addr.ipv4_mapped:
+        addr = addr.ipv4_mapped
+    return str(addr)
+
+
+@F.pandas_udf(StringType())
+def ip_canon_udf(addr: pd.Series) -> pd.Series:
+    """CAST(varchar AS IPADDRESS) (IpAddressOperators.java
+    castFromVarchar) — canonicalize; invalid input raises like the
+    reference's INVALID_CAST_ARGUMENT."""
+    def one(a):
+        if a is None:
+            return None
+        try:
+            return _ip_canonical_str(a)
+        except ValueError:
+            raise ValueError(
+                f"Cannot cast value to IPADDRESS: {a}") from None
+
+    return addr.map(one)
+
+
+@F.pandas_udf(StringType())
+def try_ip_canon_udf(addr: pd.Series) -> pd.Series:
+    """TRY_CAST twin of ip_canon: invalid -> NULL."""
+    def one(a):
+        if a is None:
+            return None
+        try:
+            return _ip_canonical_str(a)
+        except ValueError:
+            return None
+
+    return addr.map(one)
+
+
+@F.pandas_udf(StringType())
+def ip_sort_key_udf(addr: pd.Series) -> pd.Series:
+    """Order key for IPADDRESS comparisons: the hex of the 16-byte
+    IPv6 form (IpAddressOperators between/comparison operators order
+    by the address BYTES, not the display string — '::1' sorts
+    before '1.2.3.5')."""
+    import ipaddress
+
+    def one(a):
+        if a is None:
+            return None
+        addr = ipaddress.ip_address(a.strip())
+        if isinstance(addr, ipaddress.IPv4Address):
+            addr = ipaddress.IPv6Address(f"::ffff:{addr}")
+        return addr.packed.hex()
+
+    return addr.map(one)
+
+
 @F.pandas_udf(BooleanType())
 def is_subnet_of_udf(prefix: pd.Series, value: pd.Series) -> pd.Series:
     """is_subnet_of(prefix, ip) / is_subnet_of(prefix, prefix2)

@@ -5917,3 +5917,87 @@ def sql_tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle twins. Same text is the oracle."""
     register_views(spark, sf_dir)
     return run_sql(spark, _SQL_TPCDS_Q98_R15)
+
+
+_SQL_CONTAINER_JSON_R17 = """
+SELECT lang,
+       CAST(ARRAY[count(*), CAST(min(n_chars) AS BIGINT),
+                  CAST(max(n_chars) AS BIGINT)] AS JSON)
+         AS stats_json,
+       CAST(MAP(ARRAY['docs', 'chars'],
+                ARRAY[count(*), sum(n_chars)]) AS JSON) AS kv_json,
+       json_array_get(CAST(ARRAY[CAST(min(n_chars) AS BIGINT),
+                                 CAST(max(n_chars) AS BIGINT)]
+                           AS JSON), -1) AS last_elem,
+       json_array_length(CAST(ARRAY[count(*),
+                                    CAST(min(n_chars) AS BIGINT)]
+                              AS JSON)) AS arr_len,
+       cardinality(ARRAY[lang, 'x']) AS card2
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+_SQL_CONTAINER_JSON_ORACLE = """
+SELECT lang,
+       '[' || count(*) || ',' || min(n_chars) || ','
+           || max(n_chars) || ']' AS stats_json,
+       '{"chars":' || sum(n_chars) || ',"docs":' || count(*) || '}'
+         AS kv_json,
+       CAST(max(n_chars) AS VARCHAR) AS last_elem,
+       CAST(2 AS BIGINT) AS arr_len,
+       CAST(2 AS BIGINT) AS card2
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("sql_container_json", oracle=_SQL_CONTAINER_JSON_ORACLE)
+def sql_container_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r17 container surface over documents: CAST(array/map AS JSON)
+    in the reference's canonical writer form (rows of aggregates ->
+    JSON arrays, map keys sorted by serialized text — JsonUtil
+    JsonGeneratorWriter), json_array_get with a negative
+    count-from-end index, BIGINT json_array_length / cardinality
+    (JsonFunctions.java:375, jsonArrayLength). The DuckDB oracle
+    spells the expected canonical TEXT with string concatenation —
+    its native JSON rendering differs in key order."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_CONTAINER_JSON_R17)
+
+
+_SQL_IP_OPS_R17 = """
+SELECT c_nationkey,
+       CAST(CAST('10.0.' || CAST(c_nationkey AS VARCHAR) || '.1'
+                 AS IPADDRESS) AS VARCHAR) AS ip_canon,
+       CASE WHEN CAST('10.0.' || CAST(c_nationkey AS VARCHAR)
+                      || '.1' AS IPADDRESS)
+                 <= IPADDRESS '10.0.12.1' THEN 1 ELSE 0 END AS le_mid,
+       count(*) AS n
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+_SQL_IP_OPS_ORACLE = """
+SELECT c_nationkey,
+       '10.0.' || CAST(c_nationkey AS VARCHAR) || '.1' AS ip_canon,
+       CASE WHEN c_nationkey <= 12 THEN 1 ELSE 0 END AS le_mid,
+       count(*) AS n
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@register("sql_ip_address_ops", oracle=_SQL_IP_OPS_ORACLE)
+def sql_ip_address_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r17 IPADDRESS operator surface over customer: runtime
+    varchar->IPADDRESS casts canonicalize (IpAddressOperators
+    castFromVarchar/castToVarchar), and ordering comparisons ride
+    the 16-byte address form (ip_sort_key), which for these v4
+    addresses agrees with the numeric third octet — exactly what
+    the DuckDB oracle computes arithmetically."""
+    register_views(spark, sf_dir)
+    return run_sql(spark, _SQL_IP_OPS_R17)

@@ -173,6 +173,148 @@ _TYPED_LIT = re.compile(
 )
 
 
+_IP_CAST_HEAD = re.compile(r"\b(TRY_)?CAST\s*\(", re.IGNORECASE)
+_IP_CMP_OP = re.compile(r"<=(?!>)|>=|<(?![=>])|>")
+
+
+def _last_top_level_as(body: str):
+    target_at = None
+    for am in re.finditer(r"\bAS\s+", body, re.IGNORECASE):
+        d = 0
+        for c in body[:am.start()]:
+            if c in "([":
+                d += 1
+            elif c in ")]":
+                d -= 1
+        if d == 0:
+            target_at = am
+    return target_at
+
+
+_TZ_TS_LIT = re.compile(
+    r"\b(TIMESTAMP|TIME)\s*(\x00s(\d+)\x00)", re.IGNORECASE)
+
+
+def _rewrite_tz_literals(masked: str, stash) -> str:
+    """TIMESTAMP/TIME literals WITH a trailing zone name lower to
+    the UTC-normalized instant (the engine's session zone is UTC):
+    `TIMESTAMP '2012-10-31 01:00 America/Los_Angeles'` becomes the
+    plain `TIMESTAMP '2012-10-31 08:00:00.000'`, so cross-zone
+    equality compares instants like the reference's
+    TIMESTAMP WITH TIME ZONE operators (by UTC millis). A zoned
+    TIME normalizes on the 1970-01-01 epoch day (the reference's
+    TIME WITH TIME ZONE anchor) and lowers to a timestamp on that
+    day — same-zone ordering and equality are preserved. Zone-less
+    literals pass through untouched."""
+    import datetime as _dt
+
+    def repl(m: re.Match) -> str:
+        kind = m.group(1).upper()
+        text = stash[int(m.group(3))][1][1:-1].replace("''", "'")
+        zm = re.match(
+            r"^\s*(.*?)\s+([A-Za-z_]\w*(?:/[\w+-]+)*|[+-]\d\d:\d\d)"
+            r"\s*$", text)
+        if zm is None or "/" not in zm.group(2) and \
+                zm.group(2).upper() not in ("UTC", "GMT", "Z") and \
+                not re.match(r"^[+-]\d\d:\d\d$", zm.group(2)):
+            return m.group(0)
+        body, zone = zm.group(1), zm.group(2)
+        try:
+            if re.match(r"^[+-]\d\d:\d\d$", zone):
+                sign = 1 if zone[0] == "+" else -1
+                tz = _dt.timezone(sign * _dt.timedelta(
+                    hours=int(zone[1:3]), minutes=int(zone[4:6])))
+            else:
+                import zoneinfo
+
+                tz = zoneinfo.ZoneInfo(zone)
+            if kind == "TIME":
+                body = f"1970-01-01 {body}"
+            fmt_in = body.replace(",", "")
+            for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S",
+                        "%Y-%m-%d %H:%M", "%Y-%m-%d"):
+                try:
+                    naive = _dt.datetime.strptime(fmt_in, fmt)
+                    break
+                except ValueError:
+                    continue
+            else:
+                return m.group(0)
+            utc = naive.replace(tzinfo=tz).astimezone(
+                _dt.timezone.utc)
+            out = utc.strftime("%Y-%m-%d %H:%M:%S.") + \
+                f"{utc.microsecond // 1000:03d}"
+        except Exception:  # noqa: BLE001 - malformed: leave as-is
+            return m.group(0)
+        from presto_0_235_spark.sql.scalar_templates import _stash_lit
+
+        return f"TIMESTAMP {_stash_lit(stash, out)}"
+
+    return _TZ_TS_LIT.sub(repl, masked)
+
+
+def _rewrite_ip_operators(masked: str) -> str:
+    """IPADDRESS operator support (IpAddressOperators.java):
+    runtime CAST(x AS IPADDRESS) canonicalizes through the
+    ip_canon UDF (the engine's IPADDRESS representation is the
+    canonical display string, so =/!=/IS DISTINCT FROM work as
+    string comparisons), and ordering comparisons route both sides
+    through ip_sort_key — the 16-byte IPv6 form's hex — because the
+    reference orders by the address BYTES ('::1' < '1.2.3.5' where
+    the canonical strings order the other way). Runs BEFORE the
+    typed-literal lowering so IPADDRESS literals are still
+    detectable; the literal inside the wrap lowers afterwards."""
+    if not re.search(r"\bIPADDRESS\b", masked, re.IGNORECASE):
+        return masked
+    pos = 0
+    while True:
+        m = _IP_CAST_HEAD.search(masked, pos)
+        if m is None:
+            break
+        open_i = masked.index("(", m.end() - 1)
+        try:
+            past = _balanced(masked, open_i)
+        except ValueError:
+            break
+        body = masked[open_i + 1:past - 1]
+        am = _last_top_level_as(body)
+        if am is None or \
+                body[am.end():].strip().upper() != "IPADDRESS":
+            pos = m.end()
+            continue
+        fn = "try_ip_canon" if m.group(1) else "ip_canon"
+        repl = (f"{fn}(CAST({body[:am.start()].strip()} "
+                f"AS STRING))")
+        masked = masked[:m.start()] + repl + masked[past:]
+        pos = m.start() + len(repl)
+    # ordering comparisons where BOTH sides are ip-typed
+    from presto_0_235_spark.sql.json_cast import (
+        _operand_back, _operand_fwd)
+
+    def ip_typed(text: str) -> bool:
+        return bool(
+            re.match(r"^\s*(?:try_)?ip_canon\s*\(", text,
+                     re.IGNORECASE)
+            or re.match(r"^\s*IPADDRESS\s*\x00s\d+\x00\s*$", text,
+                        re.IGNORECASE))
+
+    pos = 0
+    while True:
+        m = _IP_CMP_OP.search(masked, pos)
+        if m is None:
+            return masked
+        pos = m.end()
+        left = _operand_back(masked, m.start())
+        right = _operand_fwd(masked, m.end())
+        if left is None or right is None \
+                or not (ip_typed(left[1]) and ip_typed(right[1])):
+            continue
+        repl = (f"ip_sort_key({left[1]}) {m.group(0)} "
+                f"ip_sort_key({right[1]})")
+        masked = masked[:left[0]] + repl + masked[right[0]:]
+        pos = left[0] + len(repl)
+
+
 def _rewrite_typed_literals(masked: str, stash) -> str:
     def repl(m: re.Match) -> str:
         typ = m.group(1).upper()
@@ -3791,7 +3933,14 @@ def _balanced(s: str, open_i: int) -> int:
 # --------------------------------------------------------------------------
 
 _ARRAY_LIT = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
-_MAP_CTOR = re.compile(r"\bMAP\s*\(\s*(?=array\s*\()", re.IGNORECASE)
+_MAP_CTOR = re.compile(
+    # the lookahead keeps MAP(K, V) TYPE spellings (still present —
+    # _rewrite_row_types runs later) out: a VALUE ctor's first arg
+    # is an array expression — a literal ARRAY[..] (already
+    # array(..)), a (TRY_)CAST-wrapped array, or a call producing
+    # one can't open a type name
+    r"\bMAP\s*\(\s*(?=(?:array|try_cast|cast)\s*[\(\[])",
+    re.IGNORECASE)
 
 
 def _rewrite_array_literals(sql: str) -> str:
@@ -3865,16 +4014,31 @@ def _presto_type_to_spark(typ: str) -> str:
             k = _presto_type_to_spark(kv[0])
             v = _presto_type_to_spark(kv[1])
             return f"MAP<{k}, {v}>"
+    # Presto's UNKNOWN (the null type) has no Spark DDL spelling —
+    # BOOLEAN is analysis-safe and orderable for the NULL literals
+    # the type only ever carries (TestArrayOperators.java:1433)
+    typ = re.sub(r"\bUNKNOWN\b", "BOOLEAN", typ, flags=re.IGNORECASE)
     return _BARE_VARCHAR_TYPE.sub("STRING", typ)
+
+
+_ROW_FIELD_TYPE_HEAD = re.compile(
+    r"^(ROW|ARRAY|MAP|STRUCT|BIGINT|INTEGER|INT|SMALLINT|TINYINT|"
+    r"DOUBLE|REAL|FLOAT|BOOLEAN|VARCHAR|CHAR|STRING|DATE|TIME|"
+    r"TIMESTAMP|DECIMAL|VARBINARY|JSON|UNKNOWN|IPADDRESS|IPPREFIX)"
+    r"\b", re.IGNORECASE)
 
 
 def _row_fields_to_struct(inner: str) -> str:
     parts = []
-    for f in _split_top_comma(inner):
+    for i, f in enumerate(_split_top_comma(inner)):
         f = f.strip()
         sp = f.find(" ")
-        if sp < 0:
-            parts.append(f)
+        # an UNNAMED field is one whose text IS a type (Presto
+        # permits ROW(INTEGER, INTEGER)); Spark's struct DDL
+        # requires names — generate the positional colN names the
+        # row constructor produces
+        if sp < 0 or _ROW_FIELD_TYPE_HEAD.match(f):
+            parts.append(f"col{i + 1}: {_presto_type_to_spark(f)}")
             continue
         name, typ = f[:sp], f[sp + 1 :].strip()
         parts.append(f"{name}: {_presto_type_to_spark(typ)}")
@@ -3888,18 +4052,49 @@ _AS_CONTAINER_TYPE = re.compile(
 )
 
 
+_AS_ANGLE_CONTAINER = re.compile(
+    r"\bAS\s+(?:ROW|ARRAY|MAP|STRUCT)\s*<", re.IGNORECASE)
+
+
 def _rewrite_row_types(sql: str) -> str:
     while True:
         m = _AS_CONTAINER_TYPE.search(sql)
         if m is None:
-            return sql
+            break
         open_i = m.end() - 1
         try:
             past = _balanced(sql, open_i)
         except ValueError:
-            return sql
+            break
         typ = _presto_type_to_spark(sql[m.start() + 2 : past])
         sql = sql[: m.start()] + "AS " + typ + sql[past:]
+    # angle-bracket container types pass to Spark directly, but the
+    # Presto scalar spellings inside them don't: bare VARCHAR needs
+    # STRING, UNKNOWN needs a real type
+    pos = 0
+    while True:
+        m = _AS_ANGLE_CONTAINER.search(sql, pos)
+        if m is None:
+            return sql
+        open_i = m.end() - 1
+        depth = 0
+        close_i = None
+        for k in range(open_i, len(sql)):
+            if sql[k] == "<":
+                depth += 1
+            elif sql[k] == ">":
+                depth -= 1
+                if depth == 0:
+                    close_i = k
+                    break
+        if close_i is None:
+            return sql
+        inner = sql[open_i:close_i + 1]
+        fixed = _BARE_VARCHAR_TYPE.sub("STRING", inner)
+        fixed = re.sub(r"\bUNKNOWN\b", "BOOLEAN", fixed,
+                       flags=re.IGNORECASE)
+        sql = sql[:open_i] + fixed + sql[close_i + 1:]
+        pos = open_i + len(fixed)
 
 
 def _rewrite_row_ctor(sql: str) -> str:
@@ -4314,8 +4509,12 @@ def _rewrite_try(sql: str) -> str:
 # 1-based subscripts
 # --------------------------------------------------------------------------
 
-_SUBSCRIPT = re.compile(r"(?P<base>\b[A-Za-z_][\w.]*)\s*\[(?P<idx>[^\[\]]+)\]")
-_CALL_SUBSCRIPT = re.compile(r"\)\s*\[(?P<idx>[^\[\]]+)\]")
+_SUBSCRIPT = re.compile(
+    # a dot-path hanging off a close-paren (CAST(..).col1[i]) is the
+    # call-subscript case below, not a bare identifier base
+    r"(?<![.)\]])(?P<base>\b[A-Za-z_][\w.]*)\s*\[(?P<idx>[^\[\]]+)\]")
+_CALL_SUBSCRIPT = re.compile(
+    r"\)(?P<path>(?:\s*\.\s*\w+)*)\s*\[(?P<idx>[^\[\]]+)\]")
 
 
 def _subscript_index(base: str, idx: str, stash) -> str:
@@ -4461,7 +4660,8 @@ def _rewrite_subscripts(sql: str, stash) -> str:
         k = open_i
         while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] in "_."):
             k -= 1
-        base = sql[k : close + 1]
+        path = re.sub(r"\s+", "", m.group("path") or "")
+        base = sql[k : close + 1] + path
         sql = (
             sql[:k]
             + _subscript_expr(base, m.group("idx"), stash)
@@ -5664,6 +5864,35 @@ def _rewrite_json_cast_peephole(sql: str, stash=None) -> str:
             sql = sql[:cast_start] + guarded + sql[cast_end:]
             pos = cast_start
             continue
+        ctm = re.match(
+            r"AS\s+((?:ARRAY|MAP|STRUCT)\s*<)", tail, re.IGNORECASE)
+        if ctm is not None and stash is not None:
+            # JSON -> container cast (JsonToArrayCast/JsonToMapCast):
+            # parse the JSON TEXT with the target schema; malformed
+            # or shape-mismatched input -> NULL via from_json's
+            # permissive mode (the reference coerces leniently too)
+            angle_open = (end_tj + (len(sql[end_tj:]) - len(tail))
+                          + ctm.end(1) - 1)
+            depth = 0
+            close_i = None
+            for k in range(angle_open, len(sql)):
+                if sql[k] == "<":
+                    depth += 1
+                elif sql[k] == ">":
+                    depth -= 1
+                    if depth == 0:
+                        close_i = k
+                        break
+            if close_i is not None:
+                cast_start = m.start()
+                typ = ctm.group(1).rstrip().rstrip("<") + \
+                    sql[angle_open:close_i + 1]
+                cast_end = sql.index(")", close_i) + 1
+                repl = (f"from_json(CAST({inner} AS STRING), "
+                        f"{_stash_lit(stash, typ)})")
+                sql = sql[:cast_start] + repl + sql[cast_end:]
+                pos = cast_start + len(repl)
+                continue
         if not m.group(2).lower() == "variant_get":
             pos = m.end()  # non-string target: variant_get only
             continue
@@ -5834,6 +6063,8 @@ def presto_to_spark_sql(sql: str) -> str:
     # 'ab ') is the reference's TRUE, not Spark's unpadded FALSE)
     if re.search(r"\bCHAR\s*\x00s\d+\x00", masked, re.IGNORECASE):
         masked = _fold_complex_literal_equality(masked, stash)
+    masked = _rewrite_ip_operators(masked)
+    masked = _rewrite_tz_literals(masked, stash)
     masked = _rewrite_typed_literals(masked, stash)
     masked = _fold_decimal_literal_casts(masked, stash)
     _raise_invalid_literal_casts(masked)
@@ -5863,6 +6094,16 @@ def presto_to_spark_sql(sql: str) -> str:
     masked = _rewrite_double_division(masked, stash)
     masked = _rewrite_float_modulus(masked, stash)
     masked = _fold_complex_null_comparisons(masked, stash)
+    from presto_0_235_spark.sql.json_cast import (
+        rewrite_array_element_concat, rewrite_container_json_casts,
+        rewrite_decimal_array_ops, rewrite_map_comparisons)
+    # json casts first: a `ARRAY[..] || elem` operand must still be
+    # in Presto form for the cast's type derivation; the emission
+    # re-embeds it for the element-concat rewrite below
+    masked = rewrite_container_json_casts(masked, stash)
+    masked = rewrite_map_comparisons(masked, stash)
+    masked = rewrite_array_element_concat(masked)
+    masked = rewrite_decimal_array_ops(masked)
     masked = _rewrite_array_literals(masked)
     masked = _rewrite_map_ctor(masked)
     masked = _rewrite_row_types(masked)
@@ -6236,6 +6477,9 @@ def _ensure_sql_udfs(spark: SparkSession) -> None:
     # IP family (IpPrefixFunctions.java; IPADDRESS/IPPREFIX rendered
     # as canonical strings)
     spark.udf.register("ip_prefix", U.ip_prefix_str)
+    spark.udf.register("ip_canon", U.ip_canon_udf)
+    spark.udf.register("try_ip_canon", U.try_ip_canon_udf)
+    spark.udf.register("ip_sort_key", U.ip_sort_key_udf)
     spark.udf.register("ip_subnet_min", U.ip_subnet_min_str)
     spark.udf.register("ip_subnet_max", U.ip_subnet_max_str)
     spark.udf.register("is_subnet_of", U.is_subnet_of_udf)
@@ -6431,6 +6675,12 @@ def _annot_sqltype(dt):
 
     if isinstance(dt, T.DecimalType):
         return f"DECIMAL({dt.precision},{dt.scale})"
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        # container columns annotate ONLY inside CAST(.. AS JSON)
+        # (the site gates on the '<' in the DDL): the no-op
+        # self-cast makes the column's shape lexically visible to
+        # the canonical-JSON renderer (sql/json_cast.py)
+        return dt.simpleString()
     return {"ByteType": "TINYINT", "ShortType": "SMALLINT",
             "IntegerType": "INT", "LongType": "BIGINT",
             "FloatType": "FLOAT",
@@ -6942,6 +7192,18 @@ def _annotate_numeric_columns_inner(spark, sql: str) -> str:
             if not t:
                 continue
         prev = masked[:m.start()].rstrip()
+        if "<" in t:
+            # container column (array/map/struct DDL): only the
+            # canonical-JSON renderer consumes the shape — annotate
+            # solely inside CAST(col AS JSON)
+            if re.search(r"\b(?:TRY_CAST|CAST)\s*\($", prev,
+                         re.IGNORECASE) and \
+                    re.match(r"AS\s+JSON\b", rest, re.IGNORECASE):
+                out_parts.append(masked[last:m.start()])
+                out_parts.append(f"CAST({name} AS {t})")
+                last = m.end()
+                changed = True
+            continue
         # direct-argument position of a type-sensitive numeric call
         # (r17 — the ceil/floor/round/truncate/greatest/least/mod
         # templates consume the static type; DECIMAL columns get the

@@ -144,6 +144,9 @@ _TEMPLATE_NAMES = (
     "json_size",
     "json_array_length",
     "json_array_contains",
+    "cardinality",
+    "contains",
+    "array_position",
     "json_parse",
     "json_format",
     "json_extract",
@@ -1705,6 +1708,27 @@ def _rewrite_one(
             f"ELSE CAST(coalesce(json_array_length({sub}), "
             f"size(json_object_keys({sub})), 0) AS BIGINT) END)"
         )
+
+    if name == "cardinality" and len(a) == 1:
+        # BIGINT element/entry count (ArrayCardinalityFunction /
+        # MapCardinalityFunction) — Spark's size returns INT. The
+        # cardinality(approx_set(..)) HLL idiom is owned by
+        # _rewrite_call_templates (runs later): decline it.
+        if re.match(r"^\s*\(*\s*approx_set\s*\(", args[0],
+                    re.IGNORECASE):
+            return None
+        return (f"(CASE WHEN ({a[0]}) IS NULL "
+                f"THEN CAST(NULL AS BIGINT) "
+                f"ELSE CAST(size({a[0]}) AS BIGINT) END)")
+
+    if name in ("contains", "array_position") and len(a) == 2 \
+            and args[1].strip().upper() == "NULL":
+        # a typeless NULL needle returns NULL in the reference
+        # (ArrayContains/ArrayPositionFunction null handling) where
+        # Spark's analyzer rejects the untyped argument
+        # (TestArrayOperators.java:514,672)
+        return "CAST(NULL AS {})".format(
+            "BOOLEAN" if name == "contains" else "BIGINT")
 
     if name == "json_array_length" and len(a) == 1:
         # JsonFunctions.java jsonArrayLength: BIGINT count of

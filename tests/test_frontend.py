@@ -372,9 +372,11 @@ def test_cardinality_approx_set_fusion(spark, sf_dir):
     ):
         got = run_sql(spark, sql).first()["c"]
         assert abs(got - exact) <= max(5, exact * 0.15), (sql, got, exact)
-    # non-idiom cardinality stays the array/map size function
+    # non-idiom cardinality stays the array/map size function —
+    # since r17 typed BIGINT with explicit NULL handling
+    # (ArrayCardinalityFunction returns BIGINT; Spark's size is INT)
     out = presto_to_spark_sql("SELECT cardinality(x) FROM t")
-    assert out == "SELECT size(x) FROM t"
+    assert "size((x))" in out and "AS BIGINT" in out
     # composition inside a grouped query
     out = presto_to_spark_sql(
         "SELECT k, cardinality(approx_set(v)) FROM t GROUP BY k"

@@ -66,6 +66,17 @@ FILES = [
     # scalar family (is_json_scalar / json_array_length /
     # json_array_contains / json_array_get / json_size /
     # json_format / json_parse) — scalar-typed VALUE rows
+    # r17 second breadth extension: the container-type operator
+    # suites. Container-typed expecteds are skipped by construction
+    # (only the scalar rtype whitelist extracts), which leaves the
+    # comparison / cardinality / membership / element-access /
+    # cast-to-JSON rows — the scalar surface of the array/map/row
+    # type system.
+    "TestArrayOperators.java",
+    "TestMapOperators.java",
+    "TestRowOperators.java",
+    "TestIpAddressOperators.java",
+    "TestIpPrefixFunctions.java",
 ]
 
 # files where EVERY test method's literal value rows are in scope
@@ -80,6 +91,11 @@ _ALL_METHOD_FILES = frozenset({
     "TestVarbinaryFunctions.java",
     "TestDataSizeFunctions.java",
     "TestJsonFunctions.java",
+    "TestArrayOperators.java",
+    "TestMapOperators.java",
+    "TestRowOperators.java",
+    "TestIpAddressOperators.java",
+    "TestIpPrefixFunctions.java",
 })
 
 # beyond the cast sections (r15 verdict #2), the comparison and
@@ -104,6 +120,14 @@ _METHOD = re.compile(r"public void (test\w+)\s*\(")
 # domain)
 _EXCLUDE_METHODS = frozenset({
     "testFromLiteralParameter", "testSplitPartInvalid",
+})
+
+# individual rows that are NOT value pins: TestArrayOperators:702
+# sits inside a try { assertFunction(..) ; fail(..) } — the
+# reference EXPECTS the double-subscript access to raise
+# TYPE_MISMATCH, so the asserted value row never executes
+_EXCLUDE_ROWS = frozenset({
+    ("TestArrayOperators.java", 702),
 })
 _CALL = re.compile(r"^\s*(assertFunction|assertDecimalFunction)\s*\(")
 
@@ -566,7 +590,8 @@ def main() -> None:
                 and (fname in _ALL_METHOD_FILES
                      or "Cast" in method
                      or method in _OP_METHODS)
-            if not (cm and in_scope):
+            if not (cm and in_scope) \
+                    or (fname, i + 1) in _EXCLUDE_ROWS:
                 i += 1
                 continue
             start = i + 1  # 1-based
