@@ -58,16 +58,21 @@ def main() -> None:
         if q is None:
             continue
         sc.setJobDescription(f"{name} [{TAG}]")
+
+        def next_job_id() -> int:
+            v = sc._jsc.sc().dagScheduler().nextJobId()
+            return v if isinstance(v, int) else v.get()
+
         builds, execs, jobs = [], [], []
         df = None
         for i in range(3):
             t0 = time.perf_counter()
             df = q.builder(spark, sf_dir)
             t1 = time.perf_counter()
-            j0 = sc._jsc.sc().dagScheduler().nextJobId().get()
+            j0 = next_job_id()
             df.write.format("noop").mode("overwrite").save()
             t2 = time.perf_counter()
-            j1 = sc._jsc.sc().dagScheduler().nextJobId().get()
+            j1 = next_job_id()
             builds.append(round(t1 - t0, 4))
             execs.append(round(t2 - t1, 4))
             jobs.append(j1 - j0)
