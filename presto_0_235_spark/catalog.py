@@ -16,6 +16,7 @@ schema contract here does not change.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -61,6 +62,24 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Per-session memo of base table DataFrames, keyed (sf_dir, name).
+# A DataFrame is a LAZY plan — memoizing it caches catalog METADATA
+# (the parquet footer schema + file listing), never data or results:
+# every action against it still scans parquet. This is the Spark
+# analog of the reference's ConnectorMetadata caching
+# (MetadataManager holds table handles for the session), and it
+# matters because each spark.read.parquet() call pays a fixed
+# ~0.15 s of DataSource resolution + footer read on the driver —
+# 6 calls per tpch_q5 build (measured: half that query's bench
+# time). Keyed weakly on the session so a stopped session's plans
+# are collectable; fixtures are immutable within a run
+# (tests/test_fixture_schema.py pins them), so the frozen file
+# listing is exact.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
@@ -75,9 +94,16 @@ def load_table(
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     ensure_session_defaults(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
-    if name == "events":
-        df = normalize_events_ts(df)
+    try:
+        memo = _TABLE_MEMO.setdefault(spark, {})
+    except TypeError:  # pragma: no cover - unweakrefable session stub
+        memo = {}
+    df = memo.get((sf_dir, name))
+    if df is None:
+        df = spark.read.parquet(path)
+        if name == "events":
+            df = normalize_events_ts(df)
+        memo[(sf_dir, name)] = df
     if spread:
         cores = spark.sparkContext.defaultParallelism
         max_bytes = int(
@@ -106,10 +132,31 @@ def spread_scan(df: DataFrame) -> DataFrame:
     guard makes it safe to leave in production plans. It exists to
     fix the local-fixture artifact, not to second-guess Spark's
     split planning.
+
+    The split-count guard is a file-size ESTIMATE (inputFiles +
+    local stat), not df.rdd.getNumPartitions(): materializing the
+    .rdd converts the whole logical plan to an RDD lineage on the
+    driver — measured 0.1-0.26 s per call, pure build-time overhead
+    — while inputFiles() is a ~30 ms listing and the stat is free.
+    Same decision on every fixture (single file, < one split per
+    core) and on any cluster layout (many splits -> no-op).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    existing = df.rdd.getNumPartitions()
-    if existing >= target:
+    try:
+        max_bytes = int(
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728")
+            .lower().removesuffix("b").replace("m", "000000")
+            .replace("k", "000")
+        )
+        est_splits = 0
+        for uri in df.inputFiles():
+            local = uri.removeprefix("file:")
+            size = os.path.getsize(local) if os.path.exists(local) else 0
+            est_splits += max(1, size // max_bytes)
+    except Exception:  # pragma: no cover - non-file sources
+        est_splits = df.rdd.getNumPartitions()
+    if est_splits >= target:
         return df
     return df.repartition(target)
 
