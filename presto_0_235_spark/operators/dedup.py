@@ -191,34 +191,58 @@ def lsh_candidate_pairs(
 
     Bucket-size cap (``max_bucket``): without it, ONE degenerate
     band_key — a 100k-copy boilerplate doc, common in real corpora —
-    makes the self-join quadratic in that bucket (10^10 pairs from a
-    single key). Buckets above the cap are dropped from pair
+    makes pair generation quadratic in that bucket (10^10 pairs from
+    a single key). Buckets above the cap are dropped from pair
     generation, bounding the output at O(n * B * max_bucket); their
     members are mass-duplicates that the exact-dedup stage (run first
-    in the curation pipeline) already collapses. The count is a
-    window over the SAME (band_id, band_key) partitioning the join
-    shuffles on, so the cap adds no extra exchange. Pass
+    in the curation pipeline) already collapses. Pass
     ``max_bucket=None`` for the uncapped research variant.
 
-    The banded table is persisted: the self-join scans it twice, and
-    without the cache each side would recompute every minhash
-    (K md5 passes over every shingle) — the single biggest cost in
-    the pipeline. Same move at cluster scale (persist or checkpoint
-    the signature table; it is ~n*B small rows).
-    """
-    from pyspark.sql import Window
+    Capped pair generation is ONE aggregation, not a self-join:
+    groupBy (band_id, band_key) -> collect_list(id) -> size filter
+    (the cap) -> in-bucket pair explode (a value-ordered nested
+    transform, <= C(max_bucket, 2) pairs per bucket). Versus the
+    previous window-cap + self-join this removes the window SORT,
+    the second scan of the banded table (and the persist that fed
+    it), and the join exchange — the minhash signatures (K md5
+    passes over every shingle, the dominant compute) are evaluated
+    exactly once, and the only shuffles left are the banded groupBy
+    and the final distinct. Pair sets are identical: ids are unique
+    within a bucket (one row per doc per band), so value-ordered
+    pairs == the join's id1 < id2 pairs, and the size filter sees
+    the same bucket cardinality the window count did.
 
+    The uncapped variant keeps the self-join: with no cap a
+    degenerate bucket's collect_list would be unbounded driver-less
+    state in one aggregation buffer, while the join only streams.
+    """
     sig = minhash_signature(F.col(shingle_col))
     banded = docs.select(
         F.col(id_col),
         F.posexplode(lsh_band_keys(sig, bands, rows)).alias("band_id", "band_key"),
     )
     if max_bucket is not None:
-        w = Window.partitionBy("band_id", "band_key")
-        banded = (
-            banded.withColumn("__bsz", F.count("*").over(w))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
+        buckets = (
+            banded.groupBy("band_id", "band_key")
+            .agg(F.collect_list(id_col).alias("__ids"))
+            .filter(
+                (F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket)
+            )
+        )
+        ids = F.col("__ids")
+        pairs = F.flatten(
+            F.transform(
+                ids,
+                lambda x: F.transform(
+                    F.filter(ids, lambda y: y > x),
+                    lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                ),
+            )
+        )
+        return (
+            buckets.select(F.explode(pairs).alias("__p"))
+            .select(F.col("__p.id1").alias("id1"), F.col("__p.id2").alias("id2"))
+            .distinct()
         )
     banded = banded.persist()
     left = banded.alias("l")
