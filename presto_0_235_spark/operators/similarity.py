@@ -62,6 +62,28 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
 
 
+def sq_norm(vec: Column) -> Column:
+    """|vec|^2 as the same sequential fold cosine() uses for dot(v,v).
+
+    Precompute this once per ROW (a projection below the join) and
+    pass it to cosine_pre: the per-PAIR cosine then pays one O(dim)
+    fold instead of three. With Q queries scoring N candidates the
+    fold count drops from 3*Q*N to Q*N + Q + N — and because the
+    expression is identical to cosine()'s inner dot(v,v), the
+    resulting doubles are bit-identical."""
+    return dot(vec, vec)
+
+
+def cosine_pre(a: Column, b: Column, a_sq: Column, b_sq: Column) -> Column:
+    """cosine(a, b) with both squared norms precomputed via sq_norm.
+
+    Same formula, same operand order, same double arithmetic as
+    cosine() — only the evaluation COUNT of the norm folds changes,
+    so scores are bit-identical and the differential oracle
+    (sql_cosine) is unchanged."""
+    return dot(a, b) / F.sqrt(a_sq * b_sq)
+
+
 def sql_cosine(a: str, b: str) -> str:
     return f"({sql_dot(a, b)} / sqrt({sql_dot(a, a)} * {sql_dot(b, b)}))"
 

@@ -263,13 +263,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the semantic-dedup verifier (block here = cluster label; at scale
     the block is an LSH/IVF bucket, see ann_lsh_bucketed)."""
     ensure_session_defaults(spark)
+    # Norm precompute below the self-join (see ann_cosine_topk): each
+    # side pays one |v|^2 fold per ROW instead of per PAIR.
     e = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 200)
-        .select("vec_id", "label", "embedding")
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            sim.sq_norm(F.col("embedding")).alias("nsq"),
+        )
     )
     a, b = e.alias("a"), e.alias("b")
-    cos = F.round(sim.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    cos = F.round(
+        sim.cosine_pre(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            F.col("a.nsq"),
+            F.col("b.nsq"),
+        ),
+        6,
+    )
     return (
         a.join(b, (F.col("a.label") == F.col("b.label"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -316,11 +331,21 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so nothing N-sized ever shuffles."""
     ensure_session_defaults(spark)
     emb = load_table(spark, sf_dir, "embeddings")
+    # Squared norms are projected once per row BELOW the join
+    # (sq_norm/cosine_pre): the per-pair score is then a single
+    # O(dim) fold instead of three — ~3x less scoring compute at
+    # identical (bit-exact) results. The candidate-side norm lands
+    # in the scan projection; the query-side norm rides the
+    # broadcast (Q rows).
     q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        sim.sq_norm(F.col("embedding")).alias("qn"),
     )
     c = spread_scan(emb.filter(F.col("vec_id") >= 5)).select(
-        "vec_id", F.col("embedding").alias("cv")
+        "vec_id",
+        F.col("embedding").alias("cv"),
+        sim.sq_norm(F.col("embedding")).alias("cn"),
     )
     from pyspark.sql import Window
 
@@ -329,7 +354,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(sim.cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+            F.round(
+                sim.cosine_pre(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -377,14 +407,17 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors: partition candidates by bucket once, broadcast queries."""
     ensure_session_defaults(spark)
     emb = load_table(spark, sf_dir, "embeddings")
+    # Same norm-precompute as ann_cosine_topk: one fold per pair.
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        sim.sq_norm(F.col("embedding")).alias("qn"),
         sim.lsh_bucket(F.col("embedding")).alias("bucket"),
     )
     c = emb.filter(F.col("vec_id") >= 5).select(
         "vec_id",
         F.col("embedding").alias("cv"),
+        sim.sq_norm(F.col("embedding")).alias("cn"),
         sim.lsh_bucket(F.col("embedding")).alias("bucket"),
     )
     from pyspark.sql import Window
@@ -392,7 +425,10 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",
         "vec_id",
-        F.round(sim.cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        F.round(
+            sim.cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
+            6,
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id")
