@@ -89,8 +89,18 @@ def run_to_batch(
     spark = stream_df.sparkSession
     name = f"stream_result_{uuid.uuid4().hex[:12]}"
     before = spark.conf.get("spark.sql.shuffle.partitions")
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    before_nodata = spark.conf.get(nodata_key, "true")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if output_mode == "complete":
+        # complete mode re-emits the FULL state at every trigger, so
+        # the trailing no-data micro-batch (whose job is to advance
+        # the watermark and flush append-mode finalizations) adds a
+        # full state-store commit cycle and emits nothing new —
+        # skip it. append/update keep it: their row emission depends
+        # on the watermark advancing past the last data batch.
+        spark.conf.set(nodata_key, "false")
     try:
         query = (
             stream_df.writeStream.format("memory")
@@ -102,4 +112,5 @@ def run_to_batch(
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+        spark.conf.set(nodata_key, before_nodata)
     return spark.table(name)
