@@ -273,7 +273,10 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 300)
-        .select("l_orderkey")
+        # Fresh name: `big` is joined back against lineitem below, and
+        # a shared attribute id would make that a self-join Spark has
+        # to disambiguate.
+        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     # The >300-quantity order-key set is a fixed FRACTION of orders
     # (~4e-5: tens of keys at SF1, thousands at 100x), so it grows
@@ -283,11 +286,30 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     # none is given. The cost-based analog in the reference is
     # DetermineJoinDistributionType.java (never an unconditional hint).
     filtered_orders = orders.join(
-        big, orders.o_orderkey == big.l_orderkey, "left_semi"
+        big, orders.o_orderkey == big.big_orderkey, "left_semi"
     ).join(cust, F.col("o_custkey") == cust.c_custkey)
+    # Semi-filter lineitem by the big-order key set BEFORE the probe
+    # join (guide §3.2: reduce the big side before it moves). Without
+    # this, Spark's static size estimate (lineitem pruned to 2
+    # columns < the post-join filtered_orders estimate) picks
+    # lineitem as the BROADCAST side of the final join — wrong at
+    # every scale (measured: the final plan broadcast all ~600k
+    # lineitem rows at sf0.1). With it, both join inputs are
+    # key-pruned to the ~4e-5 big-order fraction and the broadcast
+    # side is genuinely small whichever one the planner picks.
+    # `big` feeds both semi joins; the duplicated agg subtree is two
+    # cheap 3-task partial-agg stages (measured) — the variant that
+    # rewires the orders semi through li_big's keys to evaluate the
+    # agg once was measured SLOWER in a fresh session (1.65 s vs
+    # 1.16 s best-total: one more AQE job round and a third lineitem
+    # scan). Result set is unchanged by the extra semi: the inner
+    # join against filtered_orders already restricts lineitem to
+    # exactly those order keys.
+    li_big = li.select("l_orderkey", "l_quantity").join(
+        big, F.col("l_orderkey") == big.big_orderkey, "left_semi"
+    )
     return (
-        li.select("l_orderkey", "l_quantity")
-        .join(
+        li_big.join(
             filtered_orders,
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
