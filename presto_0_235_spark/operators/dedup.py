@@ -280,8 +280,21 @@ def lsh_incremental_pairs(
     new row. In production the old banded table is the persisted
     artifact of the original dedup run — here it is recomputed, the
     same table either way. Returns (id_new, id_old) distinct pairs.
+
+    The cap is an aggregate count of OVERSIZED keys + anti join over
+    the PERSISTED banded index, not a window count: the window
+    spelling sorted every banded index row inside its exchange,
+    while the count groupBy partial-aggregates map-side and shuffles
+    only (key, count) rows, and the anti join reads the cache (AQE
+    broadcasts the oversized-key set when it is small, the common
+    case). The persist makes the local shape match the production
+    one the paragraph above describes — the banded index is the
+    artifact a pipeline reuses across batches, and the index-side
+    minhash signatures (the dominant compute) are evaluated exactly
+    once either way. Same kept set: a bucket is dropped iff its
+    total row count exceeds the cap, exactly what the window count
+    filtered.
     """
-    from pyspark.sql import Window
 
     def banded(docs: DataFrame, out: str) -> DataFrame:
         sig = minhash_signature(F.col(shingle_col))
@@ -294,11 +307,15 @@ def lsh_incremental_pairs(
 
     old_b = banded(old_docs, "id_old")
     if max_bucket is not None:
-        w = Window.partitionBy("band_id", "band_key")
-        old_b = (
-            old_b.withColumn("__bsz", F.count("*").over(w))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
+        old_b = old_b.persist()
+        oversized = (
+            old_b.groupBy("band_id", "band_key")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("band_id", "band_key")
+        )
+        old_b = old_b.join(
+            oversized, ["band_id", "band_key"], "left_anti"
         )
     new_b = banded(new_docs, "id_new")
     return (
