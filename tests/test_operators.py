@@ -179,6 +179,58 @@ def test_lsh_bucket_cap_bounds_mass_duplicates(spark):
     assert uncapped.count() >= n * (n - 1) // 2
 
 
+def test_lsh_capped_pairs_equal_join_path_when_no_bucket_oversized(spark):
+    """r17 optimization pin: the capped pair generation (groupBy +
+    collect_list + in-bucket explode) must emit EXACTLY the pair set
+    of the self-join path whenever no bucket exceeds the cap — the
+    two spellings differ only in evaluation strategy. Corpus built so
+    buckets have assorted small sizes (dup families of 2/3/4 plus
+    singletons)."""
+    rows = []
+    for fam, copies in [(0, 2), (10, 3), (20, 4)]:
+        for c in range(copies):
+            rows.append((fam + c, f"family {fam} shared text body {'x' * 5}"))
+    rows += [(900, "unique text one about rivers"),
+             (901, "completely different words entirely")]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string").select(
+        "doc_id", dd.word_shingles("text").alias("sh")
+    )
+    capped = sorted(
+        (r.id1, r.id2)
+        for r in dd.lsh_candidate_pairs(docs, "doc_id", "sh").collect()
+    )
+    joined = sorted(
+        (r.id1, r.id2)
+        for r in dd.lsh_candidate_pairs(
+            docs, "doc_id", "sh", max_bucket=None
+        ).collect()
+    )
+    assert capped == joined
+    assert all(a < b for a, b in capped)
+
+
+def test_lsh_incremental_cap_excludes_only_oversized_index_buckets(spark):
+    """r17 optimization pin: the aggregate-count + anti-join cap must
+    drop exactly the index buckets whose size exceeds max_bucket
+    (what the window count filtered) while keeping smaller buckets'
+    pairs."""
+    boiler = [(i, "mass duplicated boilerplate body") for i in range(40)]
+    old_rows = boiler + [(500, "rare old document about glaciers")]
+    new_rows = [(600, "mass duplicated boilerplate body"),
+                (601, "rare old document about glaciers?")]
+    mk = lambda rows: spark.createDataFrame(
+        rows, schema="doc_id long, text string"
+    ).select("doc_id", dd.word_shingles("text").alias("sh"))
+    pairs = dd.lsh_incremental_pairs(
+        mk(old_rows), mk(new_rows), "doc_id", "sh", max_bucket=8
+    ).collect()
+    got = {(r.id_new, r.id_old) for r in pairs}
+    # the 40-copy boilerplate bucket is oversized -> no (600, *) hits;
+    # the rare pair survives via its small bucket.
+    assert all(idn != 600 for idn, _ in got), got
+    assert (601, 500) in got
+
+
 def test_connected_components_deep_chain_converges(spark):
     """A 40-vertex path graph (diameter >> checkpoint stride) still
     converges to a single min-label component — exercises the
