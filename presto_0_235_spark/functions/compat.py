@@ -79,11 +79,40 @@ def _scaled_long(c: Column) -> Column:
     )
 
 
-def dec_sum(col: Column | str, alias: str) -> Column:
-    """Order-independent SUM of a double column, returned as double."""
-    c = F.col(col) if isinstance(col, str) else col
+def _scaled_long_sql(expr: str) -> str:
+    """Spark-SQL spelling of _scaled_long over a SQL sub-expression.
+
+    Literal-for-literal the same tree the Column form builds: int
+    literal MONEY_SCALE (the analyzer promotes it to double exactly
+    as Column * int does), `0.5D` / double-suffixed where the Column
+    form uses F.lit(0.5) (a bare SQL `0.5` would parse as
+    DECIMAL(1,1) and change the coercion chain). Plan-identity with
+    the Column form is pinned in tests/test_compat_rounding.py.
+    """
     return (
-        F.sum(_scaled_long(c)).cast("double") / F.lit(float(MONEY_SCALE))
+        f"CASE WHEN ({expr}) >= 0 THEN FLOOR(({expr}) * {MONEY_SCALE} + 0.5D) "
+        f"ELSE -FLOOR(-(({expr}) * {MONEY_SCALE}) + 0.5D) END"
+    )
+
+
+def dec_sum(col: Column | str, alias: str) -> Column:
+    """Order-independent SUM of a double column, returned as double.
+
+    A string argument is a Spark-SQL expression (a plain column name
+    parses as itself) and takes the single-`expr` fast path: the
+    Column spelling costs ~60 Py4J driver round trips per aggregate
+    (every operator/literal is a JVM call), the parsed spelling one —
+    measured ~0.18 s/build on the 7-aggregate q1 shape (guide §5:
+    driver-side work). Both spellings analyze to the identical plan
+    (pinned in tests/test_compat_rounding.py).
+    """
+    if isinstance(col, str):
+        return F.expr(
+            f"CAST(SUM({_scaled_long_sql(col)}) AS DOUBLE)"
+            f" / {float(MONEY_SCALE)}D"
+        ).alias(alias)
+    return (
+        F.sum(_scaled_long(col)).cast("double") / F.lit(float(MONEY_SCALE))
     ).alias(alias)
 
 
@@ -91,13 +120,18 @@ def dec_avg(col: Column | str, alias: str) -> Column:
     """Order-independent AVG of a double column, returned as double.
 
     exact scaled sum, then two double divisions — identical on both
-    engines because numerator and denominator are exact.
+    engines because numerator and denominator are exact. String
+    arguments take the same single-`expr` fast path as dec_sum.
     """
-    c = F.col(col) if isinstance(col, str) else col
+    if isinstance(col, str):
+        return F.expr(
+            f"CAST(SUM({_scaled_long_sql(col)}) AS DOUBLE)"
+            f" / {float(MONEY_SCALE)}D / COUNT({col})"
+        ).alias(alias)
     return (
-        F.sum(_scaled_long(c)).cast("double")
+        F.sum(_scaled_long(col)).cast("double")
         / F.lit(float(MONEY_SCALE))
-        / F.count(c)
+        / F.count(col)
     ).alias(alias)
 
 

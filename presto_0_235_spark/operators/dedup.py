@@ -174,6 +174,35 @@ def sql_lsh_band_key(sig: str, band: int, rows: int = LSH_ROWS) -> str:
     return f"md5({parts})"
 
 
+def spark_minhash_min_sql(shingles: str, i: int) -> str:
+    """Spark-SQL spelling of one minhash min (seed ``i``) — the same
+    expression `minhash_signature` builds via the Column API."""
+    return f"array_min(transform({shingles}, s -> md5(concat('{i}|', s))))"
+
+
+def spark_lsh_band_keys_sql(
+    shingles: str, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> str:
+    """Spark-SQL spelling of the band-key array, as ONE parseable
+    expression (single Py4J round trip; the Column spelling costs
+    ~400 driver round trips per build — guide §5).
+
+    Emits the post-optimizer form directly: the Column path builds
+    `array(min_0..min_K)[idx]` per band row and Catalyst's
+    SimplifyExtractValueOps folds each subscript to its element, so
+    both spellings reach the IDENTICAL optimized plan (pinned in
+    tests/test_operators.py)."""
+    keys = ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(
+            spark_minhash_min_sql(shingles, b * rows + j) for j in range(rows)
+        )
+        + "))"
+        for b in range(bands)
+    )
+    return f"array({keys})"
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     id_col: str,
@@ -216,10 +245,13 @@ def lsh_candidate_pairs(
     degenerate bucket's collect_list would be unbounded driver-less
     state in one aggregation buffer, while the join only streams.
     """
-    sig = minhash_signature(F.col(shingle_col))
+    # Single-expr spelling of signatures + band keys: same optimized
+    # plan as the Column form (pinned), one driver round trip.
     banded = docs.select(
         F.col(id_col),
-        F.posexplode(lsh_band_keys(sig, bands, rows)).alias("band_id", "band_key"),
+        F.posexplode(
+            F.expr(spark_lsh_band_keys_sql(shingle_col, bands, rows))
+        ).alias("band_id", "band_key"),
     )
     if max_bucket is not None:
         buckets = (
@@ -229,15 +261,10 @@ def lsh_candidate_pairs(
                 (F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket)
             )
         )
-        ids = F.col("__ids")
-        pairs = F.flatten(
-            F.transform(
-                ids,
-                lambda x: F.transform(
-                    F.filter(ids, lambda y: y > x),
-                    lambda y: F.struct(x.alias("id1"), y.alias("id2")),
-                ),
-            )
+        pairs = F.expr(
+            "flatten(transform(__ids, x -> "
+            "transform(filter(__ids, y -> y > x), "
+            "y -> struct(x AS id1, y AS id2))))"
         )
         return (
             buckets.select(F.explode(pairs).alias("__p"))
@@ -297,12 +324,11 @@ def lsh_incremental_pairs(
     """
 
     def banded(docs: DataFrame, out: str) -> DataFrame:
-        sig = minhash_signature(F.col(shingle_col))
         return docs.select(
             F.col(id_col).alias(out),
-            F.posexplode(lsh_band_keys(sig, bands, rows)).alias(
-                "band_id", "band_key"
-            ),
+            F.posexplode(
+                F.expr(spark_lsh_band_keys_sql(shingle_col, bands, rows))
+            ).alias("band_id", "band_key"),
         )
 
     old_b = banded(old_docs, "id_old")

@@ -88,6 +88,30 @@ def sql_cosine(a: str, b: str) -> str:
     return f"({sql_dot(a, b)} / sqrt({sql_dot(a, a)} * {sql_dot(b, b)}))"
 
 
+def spark_dot_sql(a: str, b: str) -> str:
+    """Spark-SQL spelling of dot() as ONE parseable expression (a
+    single Py4J round trip; the Column spelling's two lambdas cost
+    ~60 driver round trips per call — guide §5). `0.0D` forces the
+    double literal F.lit(0.0) builds (a bare SQL 0.0 parses as
+    DECIMAL(1,1)). Optimized-plan identity with dot() is pinned in
+    tests/test_operators.py."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def spark_sq_norm_sql(vec: str) -> str:
+    """Spark-SQL twin of sq_norm (same fold as spark_dot_sql)."""
+    return spark_dot_sql(vec, vec)
+
+
+def spark_cosine_pre_sql(a: str, b: str, a_sq: str, b_sq: str) -> str:
+    """Spark-SQL twin of cosine_pre."""
+    return f"({spark_dot_sql(a, b)} / SQRT({a_sq} * {b_sq}))"
+
+
 # ---------------------------------------------------------------------------
 # sign-projection LSH buckets
 

@@ -272,16 +272,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             "embedding",
-            sim.sq_norm(F.col("embedding")).alias("nsq"),
+            F.expr(sim.spark_sq_norm_sql("embedding")).alias("nsq"),
         )
     )
     a, b = e.alias("a"), e.alias("b")
     cos = F.round(
-        sim.cosine_pre(
-            F.col("a.embedding"),
-            F.col("b.embedding"),
-            F.col("a.nsq"),
-            F.col("b.nsq"),
+        F.expr(
+            sim.spark_cosine_pre_sql(
+                "a.embedding", "b.embedding", "a.nsq", "b.nsq"
+            )
         ),
         6,
     )
@@ -340,12 +339,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        sim.sq_norm(F.col("embedding")).alias("qn"),
+        F.expr(sim.spark_sq_norm_sql("embedding")).alias("qn"),
     )
     c = spread_scan(emb.filter(F.col("vec_id") >= 5)).select(
         "vec_id",
         F.col("embedding").alias("cv"),
-        sim.sq_norm(F.col("embedding")).alias("cn"),
+        F.expr(sim.spark_sq_norm_sql("embedding")).alias("cn"),
     )
     from pyspark.sql import Window
 
@@ -355,8 +354,8 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             F.round(
-                sim.cosine_pre(
-                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                F.expr(
+                    sim.spark_cosine_pre_sql("qv", "cv", "qn", "cn")
                 ),
                 6,
             ).alias("score"),
@@ -411,13 +410,13 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        sim.sq_norm(F.col("embedding")).alias("qn"),
+        F.expr(sim.spark_sq_norm_sql("embedding")).alias("qn"),
         sim.lsh_bucket(F.col("embedding")).alias("bucket"),
     )
     c = emb.filter(F.col("vec_id") >= 5).select(
         "vec_id",
         F.col("embedding").alias("cv"),
-        sim.sq_norm(F.col("embedding")).alias("cn"),
+        F.expr(sim.spark_sq_norm_sql("embedding")).alias("cn"),
         sim.lsh_bucket(F.col("embedding")).alias("bucket"),
     )
     from pyspark.sql import Window
@@ -426,7 +425,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "vec_id",
         F.round(
-            sim.cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
+            F.expr(sim.spark_cosine_pre_sql("qv", "cv", "qn", "cn")),
             6,
         ).alias("score"),
     )

@@ -1227,13 +1227,13 @@ def tpcds_q17_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("s_name")
         .agg(
             F.count("ss.qty").alias("ss_cnt"),
-            dec_avg(F.col("ss.qty"), "ss_avg"),
+            dec_avg("ss.qty", "ss_avg"),
             std6("ss.qty", "ss_std"),
             F.count("sr.qty").alias("sr_cnt"),
-            dec_avg(F.col("sr.qty"), "sr_avg"),
+            dec_avg("sr.qty", "sr_avg"),
             std6("sr.qty", "sr_std"),
             F.count("cs.qty").alias("cs_cnt"),
-            dec_avg(F.col("cs.qty"), "cs_avg"),
+            dec_avg("cs.qty", "cs_avg"),
             std6("cs.qty", "cs_std"),
         )
         .orderBy("s_name")
@@ -3521,7 +3521,7 @@ def tpcds_q46_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("bought_nation"),
         )
         .agg(
-            dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "amt"),
+            dec_sum("l_extendedprice * l_discount", "amt"),
             dec_sum("l_extendedprice", "profit"),
         )
     )
@@ -4323,14 +4323,9 @@ def tpcds_q64_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("cnt"),
-            dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                "s1",
-            ),
+            dec_sum("l_extendedprice * (1 - l_discount)", "s1"),
             dec_sum("l_extendedprice", "s2"),
-            dec_sum(
-                F.col("l_extendedprice") * F.col("l_discount"), "s3"
-            ),
+            dec_sum("l_extendedprice * l_discount", "s3"),
         )
         .persist()
     )
@@ -4512,10 +4507,7 @@ def tpcds_q16_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("l_orderkey").cast("bigint").alias(
                 "order_count"
             ),
-            dec_sum(
-                F.col("l_extendedprice") * F.col("l_discount"),
-                "total_ship_cost",
-            ),
+            dec_sum("l_extendedprice * l_discount", "total_ship_cost"),
             dec_sum("l_extendedprice", "total_net_profit"),
         )
     )
@@ -5445,10 +5437,7 @@ def tpcds_q8_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s_name")
         .agg(
-            dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                "net_profit",
-            )
+            dec_sum("l_extendedprice * (1 - l_discount)", "net_profit")
         )
         .orderBy("s_name")
         .limit(100)
@@ -5539,10 +5528,7 @@ def tpcds_q24_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cust.c_nationkey == supp.s_nationkey)
         .groupBy("c_name", "s_name", "n_name", "p_type", "p_brand")
         .agg(
-            dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                "netpaid",
-            )
+            dec_sum("l_extendedprice * (1 - l_discount)", "netpaid")
         )
         .persist()
     )
@@ -6133,9 +6119,9 @@ def tpcds_q25_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(part, F.col("ss.ik") == part.p_partkey)
         .groupBy("s_name", "p_brand")
         .agg(
-            dec_sum(F.col("ss.amt"), "store_sales_profit"),
-            dec_sum(F.col("sr.amt"), "store_returns_loss"),
-            dec_sum(F.col("cs.amt"), "catalog_sales_profit"),
+            dec_sum("ss.amt", "store_sales_profit"),
+            dec_sum("sr.amt", "store_returns_loss"),
+            dec_sum("cs.amt", "catalog_sales_profit"),
         )
         .orderBy("s_name", "p_brand")
         .limit(100)
@@ -6386,10 +6372,7 @@ def tpcds_q91_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month("o_orderdate").cast("int").alias("moy"),
         )
         .agg(
-            dec_sum(
-                F.col("l_extendedprice") * F.col("l_discount"),
-                "returns_loss",
-            )
+            dec_sum("l_extendedprice * l_discount", "returns_loss")
         )
         .orderBy(F.col("returns_loss").desc(), "call_center", "moy")
         .limit(100)
@@ -7402,13 +7385,8 @@ def tpcds_q68_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             dec_sum("l_extendedprice", "extended_price"),
-            dec_sum(
-                F.col("l_extendedprice") * F.col("l_discount"),
-                "ext_disc_amt",
-            ),
-            dec_sum(
-                F.col("l_extendedprice") * F.col("l_tax"), "ext_tax"
-            ),
+            dec_sum("l_extendedprice * l_discount", "ext_disc_amt"),
+            dec_sum("l_extendedprice * l_tax", "ext_tax"),
         )
     )
     cn = nation.alias("cn")
@@ -7725,13 +7703,8 @@ def tpcds_q79_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("store_nation"),
         )
         .agg(
-            dec_sum(
-                F.col("l_extendedprice") * F.col("l_discount"), "amt"
-            ),
-            dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                "profit",
-            ),
+            dec_sum("l_extendedprice * l_discount", "amt"),
+            dec_sum("l_extendedprice * (1 - l_discount)", "profit"),
         )
     )
     return (
@@ -8130,10 +8103,7 @@ def tpcds_q94_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("l_orderkey").cast("bigint").alias(
                 "order_count"
             ),
-            dec_sum(
-                F.col("l_extendedprice") * F.col("l_discount"),
-                "total_ship_cost",
-            ),
+            dec_sum("l_extendedprice * l_discount", "total_ship_cost"),
             dec_sum("l_extendedprice", "total_net_profit"),
         )
     )

@@ -84,7 +84,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | (
         (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
     )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = _REV
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -206,7 +206,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = load_table(spark, sf_dir, "nation")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = _REV
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -323,7 +323,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     supp = load_table(spark, sf_dir, "supplier")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = _REV
     revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dec_sum(revenue, "total_revenue")
     )
@@ -417,7 +417,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
            & (q >= 20) & (q <= 30))
     )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = _REV
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .filter(band)
@@ -513,7 +513,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = _REV
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)

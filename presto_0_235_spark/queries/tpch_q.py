@@ -65,8 +65,11 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-task partial agg it would parallelize. On real
     # multi-split data the scan parallelizes by itself.
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # SQL-string aggregates: same analyzed plan as the Column
+    # spelling (pinned in tests/test_compat_rounding.py), one Py4J
+    # round trip per aggregate instead of ~60 (guide §5).
+    disc_price = "l_extendedprice * (1 - l_discount)"
+    charge = f"({disc_price}) * (1 + l_tax)"
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -122,7 +125,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > cutoff
     )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = "l_extendedprice * (1 - l_discount)"
     # No broadcast hint on customer: the BUILDING segment grows
     # linearly with SF, so a hard-coded hint would force a multi-GB
     # broadcast at 100x and override the cost-based choice Spark/AQE
@@ -185,7 +188,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(
         F.col("r_name") == "ASIA"
     )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = "l_extendedprice * (1 - l_discount)"
     # customer and supplier grow with SF — no hard broadcast hints
     # (AQE decides size-aware at runtime); nation/region are bounded
     # (25/5 rows at any SF) and keep explicit hints.
@@ -235,7 +238,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+        .agg(dec_sum("l_extendedprice * l_discount", "revenue"))
     )
 
 

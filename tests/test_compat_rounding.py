@@ -96,3 +96,61 @@ def test_no_bigdecimal_round_in_dec_sum_plan(spark):
     )
     assert "round(" not in plan.lower()
     assert "floor(" in plan.lower()
+
+
+def _column_dec_sum(col, alias):
+    """The pre-fast-path Column spelling of dec_sum (kept as the
+    reference tree for the plan-identity pin below)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(_scaled_long(c)).cast("double") / F.lit(float(MONEY_SCALE))
+    ).alias(alias)
+
+
+def _column_dec_avg(col, alias):
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(_scaled_long(c)).cast("double")
+        / F.lit(float(MONEY_SCALE))
+        / F.count(c)
+    ).alias(alias)
+
+
+def test_expr_fast_path_plan_identity(spark, sf_dir):
+    """The r17 single-`expr` fast path (string args to dec_sum /
+    dec_avg parse as one Spark-SQL expression instead of ~60 Py4J
+    Column calls) must build the IDENTICAL analyzed plan — same
+    literal types (0.5D, int MONEY_SCALE), same operator tree — so
+    results are bit-identical by construction. Canonicalized
+    optimized-plan equality pins it for every aggregate shape the
+    query corpus uses."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def canon(df):
+        return (
+            df._jdf.queryExecution().optimizedPlan().canonicalized()
+            .toString()
+        )
+
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    shapes = [
+        (F.col("l_quantity"), "l_quantity", "plain"),
+        (disc, "l_extendedprice * (1 - l_discount)", "product"),
+        (
+            disc * (1 + F.col("l_tax")),
+            "(l_extendedprice * (1 - l_discount)) * (1 + l_tax)",
+            "charge",
+        ),
+        (
+            F.col("l_extendedprice") * F.col("l_discount"),
+            "l_extendedprice * l_discount",
+            "disc_product",
+        ),
+    ]
+    for col_expr, sql_expr, label in shapes:
+        old = li.groupBy("l_returnflag").agg(_column_dec_sum(col_expr, "x"))
+        new = li.groupBy("l_returnflag").agg(dec_sum(sql_expr, "x"))
+        assert canon(old) == canon(new), f"dec_sum {label}"
+    old = li.groupBy("l_returnflag").agg(_column_dec_avg("l_discount", "x"))
+    new = li.groupBy("l_returnflag").agg(dec_avg("l_discount", "x"))
+    assert canon(old) == canon(new), "dec_avg plain"

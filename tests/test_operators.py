@@ -1368,3 +1368,114 @@ def test_qdigest_query_bounds(spark, sf_dir):
             lo = xs[max(0, min(n - 1, int((q - 0.01) * n) - 1))]
             hi = xs[max(0, min(n - 1, int((q + 0.01) * n)))]
             assert lo <= row[col] <= hi, (flag, col, row[col])
+
+
+def test_lsh_expr_spelling_plan_identical_to_column_form(spark):
+    """r17 optimization pin: spark_lsh_band_keys_sql / the single-expr
+    pair explode (one Py4J round trip per build) must reach the SAME
+    optimized plan as the Column-API spelling they replaced — the
+    Column form's array(min_0..min_K)[idx] subscripts are folded by
+    SimplifyExtractValueOps into exactly the per-band mins the SQL
+    form spells directly, so results are identical by construction."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        schema="doc_id long, text string",
+    ).select("doc_id", dd.word_shingles("text").alias("sh"))
+
+    def canon(df):
+        return (
+            df._jdf.queryExecution().optimizedPlan().canonicalized()
+            .toString()
+        )
+
+    sig = dd.minhash_signature(F.col("sh"))
+    old_banded = docs.select(
+        "doc_id",
+        F.posexplode(dd.lsh_band_keys(sig)).alias("band_id", "band_key"),
+    )
+    new_banded = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(dd.spark_lsh_band_keys_sql("sh"))).alias(
+            "band_id", "band_key"
+        ),
+    )
+    assert canon(old_banded) == canon(new_banded)
+
+    buckets = (
+        old_banded.groupBy("band_id", "band_key")
+        .agg(F.collect_list("doc_id").alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= 64))
+    )
+    ids = F.col("__ids")
+    old_pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x: F.transform(
+                F.filter(ids, lambda y: y > x),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
+    new_pairs = F.expr(
+        "flatten(transform(__ids, x -> "
+        "transform(filter(__ids, y -> y > x), "
+        "y -> struct(x AS id1, y AS id2))))"
+    )
+
+    def pairs_df(col):
+        return (
+            buckets.select(F.explode(col).alias("__p"))
+            .select(
+                F.col("__p.id1").alias("id1"), F.col("__p.id2").alias("id2")
+            )
+            .distinct()
+        )
+
+    assert canon(pairs_df(old_pairs)) == canon(pairs_df(new_pairs))
+
+
+def test_similarity_expr_spelling_plan_identical_to_column_form(spark):
+    """r17 optimization pin: spark_dot_sql / spark_sq_norm_sql /
+    spark_cosine_pre_sql (single-expr spellings, one Py4J round trip)
+    must reach the SAME optimized plan as the Column-API helpers they
+    replaced at the ANN call sites — same fold, same 0.0D seed, same
+    cast chain — so scores are bit-identical by construction."""
+    emb = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0, 3.0]), (2, "a", [0.5, 0.25, 8.0])],
+        schema="vec_id long, label string, embedding array<double>",
+    )
+
+    def canon(df):
+        return (
+            df._jdf.queryExecution().optimizedPlan().canonicalized()
+            .toString()
+        )
+
+    old = emb.select(sim.sq_norm(F.col("embedding")).alias("n"))
+    new = emb.select(F.expr(sim.spark_sq_norm_sql("embedding")).alias("n"))
+    assert canon(old) == canon(new)
+
+    e = emb.select(
+        "vec_id", "label", "embedding",
+        sim.sq_norm(F.col("embedding")).alias("nsq"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    old = j.select(
+        sim.cosine_pre(
+            F.col("a.embedding"), F.col("b.embedding"),
+            F.col("a.nsq"), F.col("b.nsq"),
+        ).alias("c")
+    )
+    new = j.select(
+        F.expr(
+            sim.spark_cosine_pre_sql(
+                "a.embedding", "b.embedding", "a.nsq", "b.nsq"
+            )
+        ).alias("c")
+    )
+    assert canon(old) == canon(new)
