@@ -1509,7 +1509,7 @@ sizes AS (
 ranked AS (
   SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS rn FROM u
 )
-SELECT s, SUM(in_a * in_b) AS intersection,
+SELECT s, CAST(SUM(in_a * in_b) AS BIGINT) AS intersection,
        round(CAST(SUM(in_a * in_b) AS DOUBLE) / s, 9) AS jaccard
 FROM ranked, sizes
 WHERE rn <= s

@@ -1251,7 +1251,8 @@ def sql_geospatial(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sql_corpus_complex_topn",
     oracle="""
-SELECT sum(o_orderkey) AS s, row_number() OVER (ORDER BY o_orderkey) AS rn
+SELECT CAST(sum(o_orderkey) AS BIGINT) AS s,
+       row_number() OVER (ORDER BY o_orderkey) AS rn
 FROM orders WHERE o_orderkey <= 10 GROUP BY o_orderkey
 HAVING sum(o_orderkey) >= 3 ORDER BY o_orderkey DESC LIMIT 3
 """,
@@ -1349,7 +1350,7 @@ def sql_corpus_order_by_nulls_limit(
     "sql_corpus_mixed_distinct",
     oracle="""
 SELECT o_custkey, o_orderstatus, COUNT(DISTINCT o_orderkey) AS cd,
-       SUM(DISTINCT o_orderkey) AS sd
+       CAST(SUM(DISTINCT o_orderkey) AS BIGINT) AS sd
 FROM orders GROUP BY o_custkey, o_orderstatus
 """,
 )
@@ -1373,8 +1374,9 @@ def sql_corpus_mixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_corpus_agg_filter",
     oracle="""
 SELECT count(1) FILTER (WHERE o_orderstatus = 'O') AS c_open,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT))
-         FILTER (WHERE o_orderpriority = '1-URGENT') AS s_urgent
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+         AS s_urgent
 FROM orders
 """,
 )
@@ -2375,7 +2377,7 @@ WITH m AS (
   FROM lineitem WHERE l_orderkey < 5000
 )
 SELECT l_returnflag,
-       sum((pc + 50) // 100) AS sum_cast,
+       CAST(sum((pc + 50) // 100) AS BIGINT) AS sum_cast,
        CAST(sum(CASE WHEN l_discount = 0.05 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_inf,
        CAST(sum(CASE WHEN l_discount = 0.04 THEN 1 ELSE 0 END)
@@ -3408,14 +3410,14 @@ csci AS (
   WHERE l_linestatus = 'O'
   GROUP BY o_custkey, l_partkey
 )
-SELECT SUM(CASE WHEN ssci.customer_sk IS NOT NULL
-                 AND csci.customer_sk IS NULL THEN 1 ELSE 0 END)
+SELECT CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                 AND csci.customer_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS store_only,
-       SUM(CASE WHEN ssci.customer_sk IS NULL
-                 AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN ssci.customer_sk IS NULL
+                 AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS catalog_only,
-       SUM(CASE WHEN ssci.customer_sk IS NOT NULL
-                 AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                 AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS store_and_catalog
 FROM ssci
 FULL OUTER JOIN csci ON (ssci.customer_sk = csci.customer_sk
@@ -3436,27 +3438,27 @@ def sql_tpcds_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TPCDS_Q99_R15 = """
 SELECT o_orderpriority,
-       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
                                CAST(l_shipdate AS DATE)) <= 30
-                THEN 1 ELSE 0 END) AS d30,
-       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
                                CAST(l_shipdate AS DATE)) > 30
                  AND date_diff('day', CAST(o_orderdate AS DATE),
                                CAST(l_shipdate AS DATE)) <= 60
-                THEN 1 ELSE 0 END) AS d60,
-       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
                                CAST(l_shipdate AS DATE)) > 60
                  AND date_diff('day', CAST(o_orderdate AS DATE),
                                CAST(l_shipdate AS DATE)) <= 90
-                THEN 1 ELSE 0 END) AS d90,
-       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
                                CAST(l_shipdate AS DATE)) > 90
                  AND date_diff('day', CAST(o_orderdate AS DATE),
                                CAST(l_shipdate AS DATE)) <= 120
-                THEN 1 ELSE 0 END) AS d120,
-       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
                                CAST(l_shipdate AS DATE)) > 120
-                THEN 1 ELSE 0 END) AS dmore
+                THEN 1 ELSE 0 END) AS BIGINT) AS dmore
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -3673,7 +3675,7 @@ def sql_tpcds_q43(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TPCDS_Q53_R15 = """
 SELECT *
 FROM (SELECT p_brand,
-             SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
                AS sum_sales,
              AVG(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)))
                OVER (PARTITION BY p_brand) AS avg_quarterly_sales
@@ -5280,22 +5282,22 @@ def sql_tpcds_q42(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TPCDS_Q50_R15 = """
 SELECT s_name,
-       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
                                CAST(l_shipdate AS DATE)) <= 30
-                THEN 1 ELSE 0 END) AS d30,
-       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
                                CAST(l_shipdate AS DATE)) > 30
                  AND date_diff('day', CAST(o_orderdate AS DATE),
                                CAST(l_shipdate AS DATE)) <= 60
-                THEN 1 ELSE 0 END) AS d60,
-       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
                                CAST(l_shipdate AS DATE)) > 60
                  AND date_diff('day', CAST(o_orderdate AS DATE),
                                CAST(l_shipdate AS DATE)) <= 90
-                THEN 1 ELSE 0 END) AS d90,
-       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
                                CAST(l_shipdate AS DATE)) > 90
-                THEN 1 ELSE 0 END) AS dmore
+                THEN 1 ELSE 0 END) AS BIGINT) AS dmore
 FROM orders
 JOIN lineitem ON o_orderkey = l_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -5512,17 +5514,17 @@ def sql_tpcds_q60(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TPCDS_Q62_R15 = """
 SELECT n_name, o_orderpriority,
-       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
                                CAST(l_shipdate AS DATE)) <= 30
-                THEN 1 ELSE 0 END) AS d30,
-       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
                                CAST(l_shipdate AS DATE)) > 30
                  AND date_diff('day', CAST(o_orderdate AS DATE),
                                CAST(l_shipdate AS DATE)) <= 60
-                THEN 1 ELSE 0 END) AS d60,
-       SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
                                CAST(l_shipdate AS DATE)) > 60
-                THEN 1 ELSE 0 END) AS dmore
+                THEN 1 ELSE 0 END) AS BIGINT) AS dmore
 FROM orders
 JOIN lineitem ON o_orderkey = l_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -5546,7 +5548,7 @@ def sql_tpcds_q62(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TPCDS_Q63_R15 = """
 SELECT *
 FROM (SELECT p_type,
-             SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
                AS sum_sales,
              AVG(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)))
                OVER (PARTITION BY p_type) AS avg_monthly_sales
@@ -5865,7 +5867,7 @@ SELECT *
 FROM (SELECT p_type, p_brand, dmoy, sum_sales, avg_monthly_sales
       FROM (SELECT p_type, p_brand,
                    month(CAST(l_shipdate AS DATE)) AS dmoy,
-                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
                      AS sum_sales,
                    AVG(SUM(CAST(round(l_extendedprice * 100)
                                 AS BIGINT)))

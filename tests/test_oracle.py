@@ -33,6 +33,33 @@ def test_rows_only_runs(name, spark, sf_dir):
     assert df.count() >= 0
 
 
+# Queries whose ENGINE side is DecimalType — the oracle matching it
+# with a DuckDB DECIMAL is correct there (and only there).
+_DECIMAL_ENGINE = {"fn_decimal_arithmetic", "fn_decimal38",
+                   "sql_win_nth_frame_scale"}
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_no_hugeint_columns(name, duck):
+    """No oracle may yield HUGEINT (or an unexpected DECIMAL) result
+    column: DuckDB sum(BIGINT) returns HUGEINT, which an Arrow-based
+    fetch surfaces as decimal128 — hash-diverging from the engine's
+    BIGINT on harnesses that keep the fetched type (r17's one red
+    gate row, sql_double_ieee_column_scale). Oracles must CAST such
+    sums to BIGINT explicitly."""
+    q = _QUERIES[name]
+    rel = duck.sql(f"SELECT * FROM ({q.oracle}) LIMIT 0")
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ)
+        assert t not in ("HUGEINT", "UHUGEINT"), (
+            f"{name}.{col} is {t}: wrap the aggregate in "
+            f"CAST(... AS BIGINT)")
+        if t.startswith("DECIMAL"):
+            assert name in _DECIMAL_ENGINE, (
+                f"{name}.{col} is {t} but the engine side is not "
+                f"DecimalType — align the oracle's result type")
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
