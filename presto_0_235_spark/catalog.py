@@ -79,6 +79,41 @@ _TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
 
+_BYTE_SUFFIX = {
+    "b": 1, "k": 1024, "kb": 1024, "m": 1024**2, "mb": 1024**2,
+    "g": 1024**3, "gb": 1024**3, "t": 1024**4, "tb": 1024**4,
+    "p": 1024**5, "pb": 1024**5,
+}
+
+
+def _byte_string_as_bytes(value: str) -> int:
+    """Parse a Spark byte-size conf string ("128m", "1g", "134217728")
+    with JavaUtils.byteStringAsBytes semantics: binary (1024-based)
+    suffixes b/k/m/g/t/p (optionally with a trailing 'b'). The
+    previous string-replace shortcut read "128m" as 128e6 (~4.6%
+    under the real 134217728) and raised on "1g"."""
+    s = value.strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    num, suffix = s[:i], s[i:].strip()
+    return int(num) * _BYTE_SUFFIX.get(suffix, 1)
+
+
+def invalidate_table_memo(spark: SparkSession | None = None) -> None:
+    """Drop memoized table plans (one session's, or every session's).
+
+    The memo freezes each table's FILE LISTING at first load for the
+    lifetime of the session — exact for the immutable driver
+    fixtures, but a long-lived session reading a table that gains
+    files (streaming append, compaction) would silently miss them.
+    Deployments with mutable tables call this after appends, or skip
+    the memo by reading through spark.read.parquet directly."""
+    if spark is None:
+        _TABLE_MEMO.clear()
+    else:
+        _TABLE_MEMO.pop(spark, None)
+
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
@@ -89,6 +124,11 @@ def load_table(
     consumers: see spread_scan. The guard here is a free file-size
     estimate of the scan's split count (size / maxPartitionBytes),
     so the common no-op case costs nothing.
+
+    Contract: the returned plan memoizes the table's schema AND file
+    listing per (session, sf_dir, name) — correct for immutable
+    fixtures; call invalidate_table_memo() if the underlying files
+    can change within a session's lifetime.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
@@ -106,9 +146,8 @@ def load_table(
         memo[(sf_dir, name)] = df
     if spread:
         cores = spark.sparkContext.defaultParallelism
-        max_bytes = int(
+        max_bytes = _byte_string_as_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-            .lower().removesuffix("b").replace("m", "000000").replace("k", "000")
         )
         est_splits = max(1, os.path.getsize(path) // max_bytes)
         if est_splits < cores:
@@ -143,11 +182,9 @@ def spread_scan(df: DataFrame) -> DataFrame:
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
-        max_bytes = int(
+        max_bytes = _byte_string_as_bytes(
             df.sparkSession.conf.get(
                 "spark.sql.files.maxPartitionBytes", "134217728")
-            .lower().removesuffix("b").replace("m", "000000")
-            .replace("k", "000")
         )
         est_splits = 0
         for uri in df.inputFiles():

@@ -98,13 +98,19 @@ def _scaled_long_sql(expr: str) -> str:
 def dec_sum(col: Column | str, alias: str) -> Column:
     """Order-independent SUM of a double column, returned as double.
 
-    A string argument is a Spark-SQL expression (a plain column name
-    parses as itself) and takes the single-`expr` fast path: the
-    Column spelling costs ~60 Py4J driver round trips per aggregate
-    (every operator/literal is a JVM call), the parsed spelling one —
-    measured ~0.18 s/build on the 7-aggregate q1 shape (guide §5:
-    driver-side work). Both spellings analyze to the identical plan
-    (pinned in tests/test_compat_rounding.py).
+    CONTRACT: a string argument is parsed as a Spark-SQL EXPRESSION,
+    not resolved as a column name (r17 change). A plain identifier
+    parses as itself, so ``dec_sum("l_quantity", ...)`` is unchanged,
+    but a name that is not a bare identifier (spaces, operators)
+    must be backtick-quoted by the caller or passed as
+    ``F.col(name)`` — ``dec_sum("a b", ...)`` parses as ``a AS b``.
+
+    The expression path exists because the Column spelling costs ~60
+    Py4J driver round trips per aggregate (every operator/literal is
+    a JVM call) while the parsed spelling costs one — measured
+    ~0.18 s/build on the 7-aggregate q1 shape (guide §5: driver-side
+    work). Both spellings analyze to the identical plan (pinned in
+    tests/test_compat_rounding.py).
     """
     if isinstance(col, str):
         return F.expr(
@@ -121,12 +127,15 @@ def dec_avg(col: Column | str, alias: str) -> Column:
 
     exact scaled sum, then two double divisions — identical on both
     engines because numerator and denominator are exact. String
-    arguments take the same single-`expr` fast path as dec_sum.
+    arguments take the same single-`expr` fast path (and the same
+    expression CONTRACT) as dec_sum; the COUNT argument is
+    parenthesized exactly like _scaled_long_sql's so both uses of
+    the expression parse with one shape.
     """
     if isinstance(col, str):
         return F.expr(
             f"CAST(SUM({_scaled_long_sql(col)}) AS DOUBLE)"
-            f" / {float(MONEY_SCALE)}D / COUNT({col})"
+            f" / {float(MONEY_SCALE)}D / COUNT(({col}))"
         ).alias(alias)
     return (
         F.sum(_scaled_long(col)).cast("double")

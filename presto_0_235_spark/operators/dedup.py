@@ -192,6 +192,12 @@ def spark_lsh_band_keys_sql(
     SimplifyExtractValueOps folds each subscript to its element, so
     both spellings reach the IDENTICAL optimized plan (pinned in
     tests/test_operators.py)."""
+    # The Column path indexes a fixed MINHASH_K-element signature —
+    # out-of-range subscripts there became NULL band keys, while this
+    # spelling would happily derive seeds past K. Pin the implicit
+    # bound so the two spellings cannot silently diverge.
+    assert bands * rows <= MINHASH_K, (
+        f"bands*rows ({bands}*{rows}) exceeds MINHASH_K ({MINHASH_K})")
     keys = ", ".join(
         "md5(concat_ws('|', "
         + ", ".join(

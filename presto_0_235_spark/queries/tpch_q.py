@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 
 from presto_0_235_spark.catalog import load_table
 from presto_0_235_spark.functions.compat import (
+    MONEY_SCALE,
+    _scaled_long_sql,
     dec_avg,
     dec_sum,
     oracle_dec_avg,
@@ -65,22 +67,48 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-task partial agg it would parallelize. On real
     # multi-split data the scan parallelizes by itself.
     li = load_table(spark, sf_dir, "lineitem")
-    # SQL-string aggregates: same analyzed plan as the Column
-    # spelling (pinned in tests/test_compat_rounding.py), one Py4J
-    # round trip per aggregate instead of ~60 (guide §5).
+    # Scaled longs are projected ONCE below the aggregate: the
+    # sum+avg pairs over the same measure would otherwise each
+    # re-evaluate the CASE/FLOOR scaling per row (aggregate children
+    # are not CSE'd), and the shared SUM(s_x) aggregate expressions
+    # dedup to one buffer. Value-identical to aggregating
+    # dec_sum/dec_avg directly: the per-row scaled long is the same
+    # expression, integer SUM is order-independent, COUNT(s_x) ==
+    # COUNT(x) (the CASE preserves NULL), and the final
+    # CAST/divisions are spelled with the same literals.
     disc_price = "l_extendedprice * (1 - l_discount)"
     charge = f"({disc_price}) * (1 + l_tax)"
+    scale = f"{float(MONEY_SCALE)}D"
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.expr(_scaled_long_sql("l_quantity")).alias("s_qty"),
+            F.expr(_scaled_long_sql("l_extendedprice")).alias("s_price"),
+            F.expr(_scaled_long_sql(disc_price)).alias("s_disc_price"),
+            F.expr(_scaled_long_sql(charge)).alias("s_charge"),
+            F.expr(_scaled_long_sql("l_discount")).alias("s_disc"),
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dec_sum("l_quantity", "sum_qty"),
-            dec_sum("l_extendedprice", "sum_base_price"),
-            dec_sum(disc_price, "sum_disc_price"),
-            dec_sum(charge, "sum_charge"),
-            dec_avg("l_quantity", "avg_qty"),
-            dec_avg("l_extendedprice", "avg_price"),
-            dec_avg("l_discount", "avg_disc"),
+            F.expr(f"CAST(SUM(s_qty) AS DOUBLE) / {scale}")
+            .alias("sum_qty"),
+            F.expr(f"CAST(SUM(s_price) AS DOUBLE) / {scale}")
+            .alias("sum_base_price"),
+            F.expr(f"CAST(SUM(s_disc_price) AS DOUBLE) / {scale}")
+            .alias("sum_disc_price"),
+            F.expr(f"CAST(SUM(s_charge) AS DOUBLE) / {scale}")
+            .alias("sum_charge"),
+            F.expr(
+                f"CAST(SUM(s_qty) AS DOUBLE) / {scale} / COUNT(s_qty)"
+            ).alias("avg_qty"),
+            F.expr(
+                f"CAST(SUM(s_price) AS DOUBLE) / {scale} / COUNT(s_price)"
+            ).alias("avg_price"),
+            F.expr(
+                f"CAST(SUM(s_disc) AS DOUBLE) / {scale} / COUNT(s_disc)"
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

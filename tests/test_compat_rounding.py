@@ -154,3 +154,10 @@ def test_expr_fast_path_plan_identity(spark, sf_dir):
     old = li.groupBy("l_returnflag").agg(_column_dec_avg("l_discount", "x"))
     new = li.groupBy("l_returnflag").agg(dec_avg("l_discount", "x"))
     assert canon(old) == canon(new), "dec_avg plain"
+    # non-trivial dec_avg expression: COUNT's argument must be
+    # parenthesized like _scaled_long_sql's so the parse shape of
+    # both uses of the expression cannot drift
+    old = li.groupBy("l_returnflag").agg(_column_dec_avg(disc, "x"))
+    new = li.groupBy("l_returnflag").agg(
+        dec_avg("l_extendedprice * (1 - l_discount)", "x"))
+    assert canon(old) == canon(new), "dec_avg product"

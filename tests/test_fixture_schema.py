@@ -117,3 +117,34 @@ def test_fixture_physical_schema_pinned(name):
             assert actual[col] == want, (
                 f"{name}.{col}: layout changed {want!r} -> {actual[col]!r}"
             )
+
+
+def test_byte_string_parsing():
+    """Conf byte-size strings parse with JavaUtils semantics (the
+    r17 string-replace shortcut read "128m" as 128e6, ~4.6% under
+    the real 134217728, and raised on "1g")."""
+    from presto_0_235_spark.catalog import _byte_string_as_bytes
+
+    assert _byte_string_as_bytes("134217728") == 134217728
+    assert _byte_string_as_bytes("128m") == 128 * 1024**2
+    assert _byte_string_as_bytes("128mb") == 128 * 1024**2
+    assert _byte_string_as_bytes("1g") == 1024**3
+    assert _byte_string_as_bytes("512k") == 512 * 1024
+    assert _byte_string_as_bytes("2b") == 2
+
+
+def test_table_memo_per_session_and_invalidation(spark):
+    """The load_table memo freezes a table's plan per (session,
+    sf_dir, name); invalidate_table_memo must drop it (the contract
+    for mutable tables), and a session absent from the memo re-lists
+    on next load."""
+    from presto_0_235_spark import catalog as cat
+
+    df1 = cat.load_table(spark, SF_DIR, "nation")
+    assert cat.load_table(spark, SF_DIR, "nation") is df1
+    cat.invalidate_table_memo(spark)
+    df2 = cat.load_table(spark, SF_DIR, "nation")
+    assert df2 is not df1  # fresh plan => fresh footer read + listing
+    assert df2.schema == df1.schema
+    cat.invalidate_table_memo()  # global form clears every session
+    assert cat.load_table(spark, SF_DIR, "nation") is not df2

@@ -1,6 +1,7 @@
 """Capture .explain("formatted") for the headline queries into
-plans/r17/<name>_<tag>.txt (no execution except what builders do
-themselves). Usage: python tools/capture_plans.py <tag> [names...]
+plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<tag>.txt (default r18; no
+execution except what builders do themselves).
+Usage: python tools/capture_plans.py <tag> [names...]
 """
 
 from __future__ import annotations
@@ -33,8 +34,9 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus) if cpus.isdigit() else 8,
     )
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r17")
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r18"))
     os.makedirs(plans_dir, exist_ok=True)
     registered = all_queries()
     for name in (ONLY or HEADLINE):

@@ -46,8 +46,9 @@ def main() -> None:
         shuffle_partitions=int(cpus) if cpus.isdigit() else 8,
     )
     sc = spark.sparkContext
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r17")
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r18"))
     os.makedirs(plans_dir, exist_ok=True)
 
     registered = all_queries()
