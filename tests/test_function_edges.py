@@ -1392,7 +1392,41 @@ def _eval(spark, expr):
     return run_sql(spark, f"SELECT {expr} AS v").collect()[0][0]
 
 
-@pytest.mark.parametrize("expr,expected,cite", VALUE_CASES)
+# Unmarked VALUE pins run CHUNKED: one front-door SELECT evaluates
+# ~25 pins per Spark job instead of one each (the pattern
+# test_cast_value_corpus.py proved against the frontend's rewrite
+# passes) — same assertions, same per-pin failure attribution by id,
+# ~25x fewer Spark round trips (this module alone was ~3 minutes of
+# the suite). Marked (xfail) pins keep their own tests: an expected
+# failure must fail individually to count.
+_MARKED_VALUE = [p for p in VALUE_CASES if p.marks]
+_PLAIN_VALUE = [p for p in VALUE_CASES if not p.marks]
+_CHUNK = 25
+
+
+def _value_chunks():
+    for i in range(0, len(_PLAIN_VALUE), _CHUNK):
+        yield i // _CHUNK, _PLAIN_VALUE[i:i + _CHUNK]
+
+
+@pytest.mark.parametrize(
+    "cases", [c for _, c in _value_chunks()],
+    ids=[f"chunk{i:02d}" for i, _ in _value_chunks()])
+def test_edge_values_chunk(spark, cases):
+    sel = ", ".join(f"({p.values[0]}) AS c{i}"
+                    for i, p in enumerate(cases))
+    row = run_sql(spark, f"SELECT {sel}").collect()[0]
+    bad = []
+    for i, p in enumerate(cases):
+        expr, expected, cite = p.values
+        if not _values_equal(row[i], expected):
+            bad.append(
+                f"{p.id}: {expr} [{cite}]: got {row[i]!r} "
+                f"({type(row[i]).__name__}), expected {expected!r}")
+    assert not bad, "\n".join(bad)
+
+
+@pytest.mark.parametrize("expr,expected,cite", _MARKED_VALUE)
 def test_edge_value(spark, expr, expected, cite):
     got = _eval(spark, expr)
     assert _values_equal(got, expected), (

@@ -25,6 +25,10 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+# Randomized property sweeps; the deterministic pins they originally
+# surfaced run in the default suite (corpus/pin modules).
+pytestmark = pytest.mark.slow
+
 ROWS = [(i, (i * 7) % 13 - 6, f"s{i % 5}") for i in range(-5, 10)]
 
 

@@ -231,6 +231,7 @@ def test_lsh_incremental_cap_excludes_only_oversized_index_buckets(spark):
     assert (601, 500) in got
 
 
+@pytest.mark.slow
 def test_connected_components_deep_chain_converges(spark):
     """A 40-vertex path graph (diameter >> checkpoint stride) still
     converges to a single min-label component — exercises the
@@ -243,6 +244,7 @@ def test_connected_components_deep_chain_converges(spark):
     assert got == {(v, 0) for v in range(41)}
 
 
+@pytest.mark.slow
 def test_cc_star_equals_propagation(spark):
     """large-star/small-star CC must produce exactly the labels of
     min-label propagation on chains, stars, cliques, random graphs,

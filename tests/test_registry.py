@@ -93,6 +93,7 @@ def test_notes_registry_count_matches():
     )
 
 
+@pytest.mark.slow
 def test_priority_queries_gate_shape_safe(spark, duck, sf_dir):
     """Every _PRIORITY query's output — Spark side AND DuckDB oracle
     side — must survive a REPLICA of the external driver gate's

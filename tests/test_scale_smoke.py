@@ -171,6 +171,7 @@ def _assert_trend(run_small, run_big, label, bound=25):
         f"{label} superlinear: {t1:.2f}s -> {t10:.2f}s")
 
 
+@pytest.mark.slow
 def test_trend_lsh_near_linear(spark):
     from pyspark.sql import functions as F
 
@@ -186,6 +187,7 @@ def test_trend_lsh_near_linear(spark):
     _assert_trend(lambda: run(4_000), lambda: run(40_000), "LSH trend")
 
 
+@pytest.mark.slow
 def test_trend_cc_star_near_linear(spark):
     from pyspark.sql import functions as F
 
@@ -358,6 +360,7 @@ def sf1_dir(spark):
 
 
 @pytest.mark.parametrize("name", _SF1_HEAVY)
+@pytest.mark.slow
 def test_sf1_near_linear_scaling(name, spark, sf1_dir):
     q = all_queries()[name]
     # warm both tiers once (codegen + footer caches), then measure
