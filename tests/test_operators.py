@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from presto_0_235_spark.functions.scalar import mysql_to_java_pattern

@@ -11,6 +11,8 @@ only APPEND after the window.
 
 from __future__ import annotations
 
+import pytest
+
 from presto_0_235_spark.queries.registry import _PRIORITY, all_queries
 
 
