@@ -216,8 +216,19 @@ def lsh_candidate_pairs(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
     max_bucket: int | None = LSH_MAX_BUCKET,
+    distinct_pairs: bool = True,
 ) -> DataFrame:
     """(id1, id2) candidate pairs sharing >=1 LSH band bucket.
+
+    ``distinct_pairs=False`` skips the final pair dedup — a full
+    shuffle of the pair set whose only effect is collapsing
+    multi-band collisions (a pair colliding in k bands appears k
+    times, k <= bands). Consumers whose downstream is set-semantic
+    anyway (a DISTINCT after the verify filter, a LEFT ANTI probe)
+    get the identical final result one exchange cheaper, paying at
+    most bands-1 duplicate verifications for the multi-band (i.e.
+    highest-similarity) pairs. Consumers that RETURN the pair set
+    keep the default.
 
     One narrow projection computes signatures, posexplode emits B
     (band_id, band_key) rows per doc, and the self-join shuffles on the
@@ -272,23 +283,23 @@ def lsh_candidate_pairs(
             "transform(filter(__ids, y -> y > x), "
             "y -> struct(x AS id1, y AS id2))))"
         )
-        return (
+        out = (
             buckets.select(F.explode(pairs).alias("__p"))
             .select(F.col("__p.id1").alias("id1"), F.col("__p.id2").alias("id2"))
-            .distinct()
         )
+        return out.distinct() if distinct_pairs else out
     banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
-    return (
+    out = (
         left.join(right, ["band_id", "band_key"])
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(
             F.col(f"l.{id_col}").alias("id1"),
             F.col(f"r.{id_col}").alias("id2"),
         )
-        .distinct()
     )
+    return out.distinct() if distinct_pairs else out
 
 
 def lsh_incremental_pairs(

@@ -861,9 +861,19 @@ sig AS (
 bands AS (
   {_P_BANDS}
 ),
+ok_buckets AS (
+  -- replay the engine's LSH_MAX_BUCKET hygiene cap: oversized band
+  -- buckets (mass boilerplate) are excluded from pair generation
+  -- (operators/dedup.py LSH_MAX_BUCKET; first bites at sf0.1, where
+  -- one bucket holds 94 docs — smaller SFs have none oversized)
+  SELECT band_id, band_key FROM bands
+  GROUP BY band_id, band_key HAVING count(*) <= {dd.LSH_MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
   FROM bands a
+  JOIN ok_buckets k ON a.band_id = k.band_id
+                   AND a.band_key = k.band_key
   JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
               AND a.doc_id < b.doc_id
 ),
@@ -918,16 +928,30 @@ def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact dedup as ONE shuffle: first row per content key (min
     # doc_id) via window group-limit, instead of groupBy + join back
     # (two shuffles). Spark pushes the rank filter into a partial
-    # top-1 per partition (InferWindowGroupLimit).
+    # top-1 per partition (InferWindowGroupLimit). ckey is dead after
+    # the window — dropping it keeps it out of the persisted cache
+    # and every downstream exchange (guide §2.3). A no-persist
+    # variant was measured and REJECTED: the three kept consumers'
+    # pruned projections differ, so no exchange reuses and the
+    # executed plan re-scans documents 4x (r18).
     w_ck = Window.partitionBy("ckey").orderBy("doc_id")
     kept = (
         q.withColumn("__rn", F.row_number().over(w_ck))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .select("doc_id", "lang", "sh", "n_toks")
         .persist()
     )
+    # distinct_pairs=False / no DISTINCT before the anti join: both
+    # dedups were full shuffles of the pair / doc-id sets whose only
+    # effect is collapsing multi-band collisions, and this pipeline's
+    # downstream is set-semantic anyway (the LEFT ANTI probe ignores
+    # duplicate build keys), so the final result is identical with
+    # two fewer exchanges (guide §2.4); the price is at most
+    # bands-1 duplicate jaccard verifications on multi-band (i.e.
+    # highest-similarity) pairs. Oracle unchanged (its NOT IN is
+    # set-semantic too); green at all SFs.
     cand = dd.lsh_candidate_pairs(
-        kept.select("doc_id", "sh"), "doc_id", "sh"
+        kept.select("doc_id", "sh"), "doc_id", "sh", distinct_pairs=False
     )
     d1 = kept.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
     d2 = kept.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
@@ -936,7 +960,6 @@ def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(d2, "id2")
         .filter(dd.jaccard(F.col("sh1"), F.col("sh2")) >= 0.08)
         .select(F.col("id2").alias("doc_id"))
-        .distinct()
     )
     final = kept.join(neardup, "doc_id", "left_anti")
     return final.groupBy("lang").agg(

@@ -211,6 +211,40 @@ def test_lsh_capped_pairs_equal_join_path_when_no_bucket_oversized(spark):
     assert all(a < b for a, b in capped)
 
 
+def test_lsh_distinct_pairs_false_is_multiset_of_same_set(spark):
+    """r18 optimization pin: distinct_pairs=False removes the
+    pair-dedup exchange, so multi-band collisions may repeat a pair
+    (an identical dup family collides in every band) — but the SET
+    of pairs must equal the distinct path's exactly, and duplicates
+    stay bounded by the band count. Consumers that re-dedup
+    downstream (pipeline_corpus_dedup's anti-join) see identical
+    results one shuffle cheaper."""
+    rows = []
+    for fam, copies in [(0, 3), (10, 2)]:
+        for c in range(copies):
+            # identical text per family -> identical signatures ->
+            # the pair collides in ALL 6 bands
+            rows.append((fam + c, f"family {fam} shared text body"))
+    rows += [(900, "unique text one about rivers")]
+    docs = spark.createDataFrame(
+        rows, schema="doc_id long, text string"
+    ).select("doc_id", dd.word_shingles("text").alias("sh"))
+    dup = [
+        (r.id1, r.id2)
+        for r in dd.lsh_candidate_pairs(
+            docs, "doc_id", "sh", distinct_pairs=False
+        ).collect()
+    ]
+    dis = sorted(
+        (r.id1, r.id2)
+        for r in dd.lsh_candidate_pairs(docs, "doc_id", "sh").collect()
+    )
+    assert sorted(set(dup)) == dis
+    assert len(dup) > len(dis)  # the multi-band dups are real
+    from collections import Counter
+    assert max(Counter(dup).values()) <= dd.LSH_BANDS
+
+
 def test_lsh_incremental_cap_excludes_only_oversized_index_buckets(spark):
     """r17 optimization pin: the aggregate-count + anti-join cap must
     drop exactly the index buckets whose size exceeds max_bucket
