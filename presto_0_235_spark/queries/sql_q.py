@@ -4961,6 +4961,47 @@ ORDER BY cs1.product_name, cs1.cnt, cs2.s1
 LIMIT 100
 """
 
+# cross_sales (including its cs_ui cohort gate), verbatim from the
+# CTE text above — the engine materializes it once (below).
+_SQL_TPCDS_Q64_CROSS_SALES = """
+WITH cs_ui AS (
+  SELECT l_orderkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sale,
+         SUM(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                  ELSE 0 END) AS refund
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) >
+         2 * SUM(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END)
+)
+SELECT p_name AS product_name, p_partkey AS item_sk,
+       year(CAST(o_orderdate AS DATE)) AS syear,
+       count(*) AS cnt,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s1
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE l_orderkey IN (SELECT l_orderkey FROM cs_ui)
+  AND p_retailprice BETWEEN 900 AND 1100
+GROUP BY p_name, p_partkey, year(CAST(o_orderdate AS DATE))
+"""
+
+_SQL_TPCDS_Q64_MAIN = """
+SELECT cs1.product_name, cs1.cnt AS cnt1, cs2.cnt AS cnt2,
+       CAST(cs1.s1 AS DOUBLE) / 100 AS s1,
+       CAST(cs2.s1 AS DOUBLE) / 100 AS s2
+FROM __q64_cross_sales cs1, __q64_cross_sales cs2
+WHERE cs1.item_sk = cs2.item_sk
+  AND cs1.syear = 1998 AND cs2.syear = 1999
+  AND cs2.cnt <= cs1.cnt
+ORDER BY cs1.product_name, cs1.cnt, cs2.s1
+LIMIT 100
+"""
+
+
 @register("sql_tpcds_q64", oracle=_SQL_TPCDS_Q64_R15)
 def sql_tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS Q64's text shape (core skeleton) — a gated order cohort CTE
@@ -4969,9 +5010,19 @@ def sql_tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     (.../tpcds/q64.sql role-mapped and reduced to its load-bearing
     joins; the original's twelve-dimension chain adds lookups, not plan
     shape). The cohort IN-gate plans as a semi-join on the order key.
-    Same text is the oracle."""
+    The oracle keeps the original single text.
+
+    r18 (guide §2.4, same move as sql_tpcds_q23): Spark inlines the
+    twice-referenced cross_sales CTE, executing the whole
+    cohort-gated 3-way join + aggregate twice (10 parquet scans).
+    The engine materializes cross_sales once (persisted per-(item,
+    year) aggregate — scale-safe, never the fact table) and
+    self-joins the cached table; spellings are verbatim, values
+    bit-identical, differential green at all three SFs."""
     register_views(spark, sf_dir)
-    return run_sql(spark, _SQL_TPCDS_Q64_R15)
+    cs = run_sql(spark, _SQL_TPCDS_Q64_CROSS_SALES).persist()
+    cs.createOrReplaceTempView("__q64_cross_sales")
+    return run_sql(spark, _SQL_TPCDS_Q64_MAIN)
 
 
 _SQL_TPCDS_Q76_R15 = """
